@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash-sketch primitives for near-duplicate detection at scale:
+  * word/char shingling, MinHash signatures, LSH band keys, and SimHash.
+  *
+  * Everything here is a deterministic per-row Catalyst expression — the
+  * expensive global step (candidate pairing) is done by the callers in
+  * [[graft.operators.DedupOps]] via band-key equi-joins, which shuffle only
+  * (id, band_key) pairs rather than documents. That is what keeps the
+  * approach viable at 100 TB: signature computation is embarrassingly
+  * parallel, and the shuffle payload is a few longs per document.
+  */
+object HashFunctions {
+
+  /** Word n-gram shingles over a token array (distinct). */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    array_distinct(grams)
+  }
+
+  /** Character n-gram shingles (distinct) over cleaned text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = TextFunctions.cleanText(text)
+    val grams = when(length(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), length(t) - n),
+        i => t.substr(i + 1, lit(n))))
+    array_distinct(grams)
+  }
+
+  /** MinHash signature: k independent permutations approximated by k
+    * seeded xxhash64 draws; element i = min over shingles of
+    * xxhash64(i, shingle). Empty shingle sets get a sentinel signature of
+    * Long.MaxValue so they never collide with real content.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => coalesce(
+        array_min(transform(shingles, s => xxhash64(i, s))),
+        lit(Long.MaxValue)))
+
+  /** LSH band keys from a MinHash signature: `bands` rows of `rowsPerBand`
+    * signature elements each, hashed to one long per band. Join on
+    * (band_index, band_key) to get candidate pairs.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, array_join(
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")),
+        "_")))
+
+  /** 64-bit SimHash over a token array: per token, hash to 64 bits; each
+    * bit contributes +1/-1 to a counter; final bit j is set iff counter
+    * j >= 0. Near-duplicates have small hamming distance (use
+    * `bit_count(a ^ b)`).
+    */
+  def simhash(toks: Column): Column = {
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(
+          acc,
+          sequence(lit(0), lit(63)),
+          (c, j) => c + when(
+            call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)), (c, j) =>
+        when(c >= 0L, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Jaccard similarity of two (distinct) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni   = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar string / URL / regex functions from SURVEY.md §2.4, re-expressed
+  * as pure-Catalyst `Column` combinators (codegen'd, no UDFs).
+  *
+  * Reference behavior (cited file:line under /root/reference):
+  *  - X1 clean text       — scraper/parser.py:40-46
+  *  - X3 filename from URL — scraper/parser.py:78-89
+  *  - X4 archive status    — scraper/parser.py:91-107
+  *  - X5 total results     — scraper/parser.py:109-116
+  *  - X7 sanitize filename — downloader/file_manager.py:19-29
+  *  - X8 extension from URL — downloader/file_manager.py:31-45
+  *  - X9 download path     — downloader/file_manager.py:47-114
+  *  - X13 URL hash         — cli.py:444-445
+  *
+  * All are stateless per-row expressions: they stay inside whole-stage
+  * codegen and scale linearly with input splits at any data size.
+  */
+object TextFunctions {
+
+  /** X1: HTML-ish text cleanup — collapse runs of whitespace, trim. */
+  def cleanText(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** X7: make a string safe as a filename. Forbidden chars → '-',
+    * collapse '-'/space runs, strip leading/trailing '-', truncate to 100,
+    * empty → "unknown".
+    */
+  def sanitizeFilename(c: Column): Column = {
+    val replaced  = regexp_replace(c, "[<>:\"/\\\\|?*]", "-")
+    val collapsed = regexp_replace(replaced, "[-\\s]+", "-")
+    val stripped  = regexp_replace(collapsed, "^-+|-+$", "")
+    val truncated = substring(stripped, 1, 100)
+    when(truncated.isNull || truncated === "", lit("unknown")).otherwise(truncated)
+  }
+
+  /** X3: extract a document filename from a URL; regex for known doc
+    * extensions first, else the last path segment before the query string.
+    */
+  def filenameFromUrl(url: Column): Column = {
+    val byExt = regexp_extract(url, "(?i)/([^/?]+\\.(?:pdf|xlsx|xls))", 1)
+    val path  = regexp_extract(url, "^([^?#]*)", 1)
+    val last  = element_at(split(path, "/"), -1)
+    when(byExt =!= "", byExt).otherwise(last)
+  }
+
+  /** X8: file extension from a URL path, with the reference's defaulting
+    * rule (".xlsx" if the URL mentions xls, else ".pdf").
+    */
+  def extensionFromUrl(url: Column): Column = {
+    val path = lower(url_decode(parse_url(url, lit("PATH"))))
+    when(path.contains(".pdf"), ".pdf")
+      .when(path.contains(".xlsx"), ".xlsx")
+      .when(path.contains(".xls"), ".xls")
+      .when(lower(url).contains("xls"), ".xlsx")
+      .otherwise(".pdf")
+  }
+
+  /** X4: archive-status detection — CASE chain, non-archived checked before
+    * archived (substring containment), default "Non-Archived".
+    */
+  def archiveStatus(text: Column): Column = {
+    val t = lower(coalesce(text, lit("")))
+    when(t.contains("non-archive"), "Non-Archived")
+      .when(t.contains("archive"), "Archived")
+      .otherwise("Non-Archived")
+  }
+
+  /** X5: "of N results" cardinality extraction with comma stripping. */
+  def totalResults(text: Column): Column = {
+    val raw = regexp_extract(text, "of\\s+([\\d,]+)\\s+results?", 1)
+    when(raw === "", lit(null)).otherwise(replace(raw, lit(","), lit("")).cast("int"))
+  }
+
+  /** X9: download path expression
+    * `downloads/{type}/{fy}/{insurer}/{uin}_{name}{ext}` over sanitized parts.
+    */
+  def downloadPath(productType: Column, fy: Column, insurer: Column,
+                   uin: Column, name: Column, ext: Column): Column =
+    concat_ws("/",
+      lit("downloads"), productType,
+      sanitizeFilename(fy), sanitizeFilename(insurer),
+      concat(sanitizeFilename(uin), lit("_"), sanitizeFilename(name), ext))
+
+  /** X13: stable 64-bit URL hash (xxhash64) for fallback destinations. */
+  def urlHash(url: Column): Column = xxhash64(url)
+
+  /** Whitespace tokenization; the base for token counting, shingling,
+    * stopword ratios. Empty/blank input → empty array (not [""]).
+    */
+  def tokens(c: Column): Column = {
+    val t = cleanText(c)
+    when(t === "" || t.isNull, array().cast("array<string>")).otherwise(split(t, " "))
+  }
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish token count: runs of letters, single digits, or single
+    * non-alphanumeric symbols — a cheap proxy for subword token counts.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are (English) stopwords; 0.0 for empty docs. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val stops = filter(toks, t => t.isin(EnglishStopwords.map(x => x: Any): _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Punctuation-character ratio over total characters; 0.0 for empty. */
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    val noPunct = length(regexp_replace(c, "[!-/:-@\\[-`{-~]", ""))
+    when(n === 0 || n.isNull, lit(0.0))
+      .otherwise((n - noPunct).cast("double") / n.cast("double"))
+  }
+
+  /** Mean token length in characters; 0.0 for empty docs. */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Document fingerprint: md5 of lower-cased whitespace-normalized text —
+    * the exact-dedup key for 100 TB-scale exact deduplication (hash then
+    * groupBy the 32-char digest instead of shuffling full documents).
+    */
+  def fingerprint(c: Column): Column = md5(lower(cleanText(c)))
+}

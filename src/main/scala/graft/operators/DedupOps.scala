@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation.
+  *
+  * Scale notes (what changes at 100 TB):
+  *  - Exact dedup groups on a 16-byte digest, never on the document text —
+  *    the shuffle carries (digest, id), not payloads.
+  *  - MinHash/SimHash candidate generation explodes per-document band keys
+  *    and self-joins on the key. Shuffle payload = (id, long) per band.
+  *    Bucket skew (a degenerate key shared by thousands of docs) is the
+  *    classic failure mode; `maxBucketSize` drops pathological buckets the
+  *    way production LSH pipelines do, and AQE skew-join handles the rest.
+  *  - Final verification (exact Jaccard) only touches candidate pairs, so
+  *    the quadratic step is bounded by bucket size, never corpus size.
+  */
+object DedupOps {
+
+  /** Exact dedup: one representative (min id) per distinct normalized text.
+    * SURVEY §2 A4/U3 analog (distinct-set accumulation) generalized to
+    * content hashing.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("fingerprint", T.fingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding.
+    *
+    * @param shingleN    word-shingle width
+    * @param numPerms    MinHash signature length (bands * rowsPerBand)
+    * @param bands       LSH bands; collision threshold ≈ (1/bands)^(1/rows)
+    * @param maxBucketSize drop degenerate buckets larger than this
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numPerms: Int = 64, bands: Int = 16,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numPerms / bands
+    val keyed = docs
+      .select(
+        col(idCol).as("id"),
+        H.bandKeys(
+          H.minhashSignature(H.wordShingles(T.tokens(col(textCol)), shingleN), numPerms),
+          bands, rows).as("bks"))
+      .select(col("id"), posexplode(col("bks")).as(Seq("band", "bk")))
+
+    // Drop degenerate buckets before the self-join (skew guard).
+    val sized = keyed
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")))
+      .where(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+
+    val a = sized.select(col("band"), col("bk"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("bk"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified with exact n-gram Jaccard over
+    * the candidate set only.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, shingleN: Int = 3,
+                      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleN, numPerms, bands)
+    val sh = docs.select(
+      col(idCol).as("id"),
+      H.wordShingles(T.tokens(col(textCol)), shingleN).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch, candidates by 16-bit band
+    * equality (4 bands ⇒ guaranteed recall for hamming ≤ 3), verified by
+    * exact hamming distance.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sketched = docs.select(
+      col(idCol).as("id"),
+      H.simhash(T.tokens(col(textCol))).as("sh"))
+
+    val banded = sketched.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        call_function("shiftright", col("sh"), b * lit(16)).bitwiseAND(lit(0xFFFFL))
+      )).as(Seq("band", "bk")))
+
+    val a = banded.select(col("band"), col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming", H.hamming(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for explicitly given id pairs
+    * (deterministic, oracle-checkable).
+    */
+  def pairwiseJaccard(docs: DataFrame, idCol: String, textCol: String,
+                      pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      H.wordShingles(T.tokens(col(textCol)), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(H.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+  }
+}
