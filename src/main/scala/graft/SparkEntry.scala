@@ -1,13 +1,698 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Rounding => R, TextFunctions => T}
+import graft.operators._
+import graft.operators.ParsePipeline.PageHtml
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the LLM-data-pipeline operators, each with a
+  * DuckDB-equivalent `oracleSql` where SQL-expressible.
+  *
+  * Conventions shared by every query/oracle pair:
+  *  - every computed column is aliased identically on both sides (the
+  *    driver's compare sorts columns by name before hashing);
+  *  - double aggregates are rounded via [[graft.functions.Rounding]]
+  *    (binary-deterministic `floor(x*10^k + 0.5)`) with the SAME expression
+  *    in the oracle SQL, so neither FP summation-order noise nor
+  *    decimal-vs-binary round-half semantics can flip the hash;
+  *  - synthetic inputs (URLs, HTML pages, media metadata) are constructed
+  *    deterministically from table columns with identical expressions in
+  *    Spark and SQL, so the oracle can state the expected OUTPUT directly.
+  *
+  * Queries with no oracle entry use Spark-specific hashing (xxhash64) or
+  * seeded RNG that DuckDB cannot reproduce; they get the driver's
+  * rows-only check and are deterministic by construction.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private def did = col("doc_id")
+  private def sid = col("doc_id").cast("string")
+
+  // ---- synthetic input builders (mirrored literally in the oracle SQL) ----
+
+  /** Deterministic URL variants exercising every filenameFromUrl branch. */
+  private def testUrl: Column =
+    when(pmod(did, lit(4)) === 0, concat(lit("https://x.test/docs/file_"), sid, lit(".pdf?x=1")))
+      .when(pmod(did, lit(4)) === 1, concat(lit("https://x.test/d/report "), sid, lit(".XLSX")))
+      .when(pmod(did, lit(4)) === 2, concat(lit("https://x.test/plain/"), sid))
+      .otherwise(concat(lit("files/data"), sid))
+
+  /** Deterministic URL variants exercising every extensionFromUrl branch. */
+  private def extUrl: Column =
+    when(pmod(did, lit(5)) === 0, concat(lit("https://x.test/a/file"), sid, lit(".pdf")))
+      .when(pmod(did, lit(5)) === 1, concat(lit("https://x.test/b/file"), sid, lit(".xlsx?v=2")))
+      .when(pmod(did, lit(5)) === 2, concat(lit("https://x.test/c/FILE"), sid, lit(".XLS")))
+      .when(pmod(did, lit(5)) === 3, lit("https://x.test/download?fmt=xlsheet"))
+      .otherwise(lit("https://x.test/download/plain"))
+
+  private def archSample: Column =
+    element_at(
+      array(lit("Archived Product"), lit("Non-Archived item"),
+        lit("non archived thing"), lit("Regular entry")),
+      (pmod(did, lit(4)) + 1).cast("int"))
+
+  /** documents ∪ near-duplicate copies (id+1000, two tokens appended) —
+    * gives the near-dup detectors a deterministic positive set.
+    */
+  private def dupCorpus(docs: DataFrame): DataFrame =
+    docs.select(did.as("id"), col("text"))
+      .unionByName(docs.select((did + 1000).as("id"),
+        concat(col("text"), lit(" zzdup tail")).as("text")))
+
+  /** embeddings ∪ scaled copies (id+1000, ×1.001) — cosine ≈ 1 pairs. */
+  private def dupEmbeddings(emb: DataFrame): DataFrame =
+    emb.unionByName(emb.select(
+      (col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"),
+      col("label")))
+
+  // ---- HTML round-trip fixtures: build a one-row page per document,
+  //      parse it back through the full G1-G4 + P* + F* pipeline ----
+
+  private def td(c: Column) = concat(lit("<td>"), c, lit("</td>"))
+
+  private def pageDs(s: SparkSession, cells: Seq[Column], productType: String,
+                     docs: DataFrame): Dataset[PageHtml] = {
+    val row = concat((lit("<tr>") +: cells.map(td)) :+ lit("</tr>"): _*)
+    val html = concat(lit("<table class='data table'><tbody>"), row,
+      lit("</tbody></table>"))
+    docs.select(lit(productType).as("productType"),
+        did.cast("int").as("page"), html.as("html"))
+      .as(Encoders.product[PageHtml])
+  }
+
+  private def lifePages(s: SparkSession, dir: String): Dataset[PageHtml] = {
+    val docs = Tables.documents(s, dir)
+    val cells = Seq(
+      lit("<input type='checkbox'/>"),
+      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
+      concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
+      concat(lit("Ins "), col("source")),
+      concat(lit("Prod "), sid),
+      concat(lit("UIN"), sid),
+      lit("TypeA"), lit(""), lit(""),
+      lit("P"), lit("Par"), lit("Ind"),
+      when(pmod(did, lit(3)) === 0, "").otherwise(concat(lit("rem "), sid)),
+      concat(lit("<a href='/documents/doc"), sid, lit(".pdf'>Doc "), sid, lit("</a>")))
+    pageDs(s, cells, "life", docs)
+  }
+
+  private def healthPages(s: SparkSession, dir: String): Dataset[PageHtml] = {
+    val docs = Tables.documents(s, dir)
+    val cells = Seq(
+      lit("<input type='checkbox'/>"),
+      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
+      concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
+      concat(lit("Ins "), col("source")),
+      concat(lit("HUIN"), sid),
+      concat(lit("HProd "), sid),
+      when(pmod(did, lit(4)) === 0, "").otherwise(lit("2020-01-15")),
+      when(pmod(did, lit(5)) === 0, lit(""))
+        .otherwise(concat(lit("<a href='/documents/h"), sid, lit(".pdf'>H</a>"))),
+      lit("TypeH"))
+    pageDs(s, cells, "health", docs)
+  }
+
+  // ---- the contract maps ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2-style aggregation over the big fact table (TPC-H Q1 shape).
+    "q01_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(R.half2(sum("l_quantity")).as("sum_qty"),
+          R.half2(sum("l_extendedprice")).as("sum_base"),
+          R.half4(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("n_rows"))),
+
+    // J3-style equi-joins + agg; nation/region are broadcast-size dims.
+    "q02_revenue_by_nation" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(R.half2(sum("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))),
+
+    // O1/O2: global top-k with deterministic tiebreak.
+    "q03_top_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")),
+
+    // [gap] window function: first 3 orders per customer.
+    "q04_order_rank_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("int").as("rn"))
+    }),
+
+    // J1: delta anti-join — customers with no open ('O') orders.
+    "q05_delta_anti" -> ((s, d) =>
+      DeltaOps.delta(
+        Tables.customer(s, d).select("c_custkey", "c_name"),
+        Tables.orders(s, d).where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("c_custkey")),
+        "c_custkey")),
+
+    // J3: deterministic last-write-wins enrichment.
+    "q06_enrich_latest" -> ((s, d) =>
+      DeltaOps.enrich(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_quantity")),
+        "o_orderkey", "l_linenumber")),
+
+    // U2: set difference.
+    "q07_set_except" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_partkey").as("key"))
+        .except(Tables.part(s, d).where(col("p_size") > 40)
+          .select(col("p_partkey").as("key")))),
+
+    // U3: idempotent distinct union of key sets.
+    "q08_union_distinct" -> ((s, d) =>
+      DeltaOps.addCompleted(
+        Tables.orders(s, d).where(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("key")),
+        Tables.orders(s, d).where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("key")),
+        "key")),
+
+    // A1: running counters per group.
+    "q09_event_counters" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          R.half2(sum("value")).as("sum_value"),
+          R.half4(avg("value")).as("avg_value"))),
+
+    // A3: state summary (max/count/sum per status).
+    "q10_state_summary" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          max("o_orderdate").as("max_date"),
+          R.half2(sum("o_totalprice")).as("total"))),
+
+    // X1: clean text.
+    "q11_clean_text" -> ((s, d) =>
+      Tables.documents(s, d).select(did, T.cleanText(col("text")).as("clean"))),
+
+    // X13-adjacent: md5 content fingerprint (oracle-checkable half).
+    "q12_fingerprints" -> ((s, d) =>
+      Tables.documents(s, d).select(did, T.fingerprint(col("text")).as("fingerprint"))),
+
+    // Exact dedup by content hash.
+    "q13_exact_dedup" -> ((s, d) =>
+      DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")),
+
+    // Token counting (whitespace + BPE-ish).
+    "q14_token_counts" -> ((s, d) =>
+      TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+
+    // Quality scoring.
+    "q15_quality_score" -> ((s, d) =>
+      TextAnalysisOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+
+    // Language ID.
+    "q16_lang_id" -> ((s, d) =>
+      TextAnalysisOps.languageId(Tables.documents(s, d), "doc_id", "text")),
+
+    // X4: archive-status detection over synthetic inputs.
+    "q17_archive_status" -> ((s, d) =>
+      Tables.documents(s, d).select(did, archSample.as("sample"),
+        T.archiveStatus(archSample).as("status"))),
+
+    // X5: "of N results" extraction; input built with format_number commas.
+    "q18_total_results" -> ((s, d) =>
+      Tables.documents(s, d).select(did,
+        T.totalResults(concat(lit("Total of "),
+          format_number(col("n_chars") * 7, 0), lit(" Results"))).as("total"))),
+
+    // X7: sanitize filename.
+    "q19_sanitize_filename" -> ((s, d) =>
+      Tables.documents(s, d).select(did,
+        T.sanitizeFilename(concat(col("source"), lit(": "),
+          substring(col("text"), 1, 50))).as("fname"))),
+
+    // X3: filename from URL (all branches).
+    "q20_filename_from_url" -> ((s, d) =>
+      Tables.documents(s, d).select(did, T.filenameFromUrl(testUrl).as("fname"))),
+
+    // X8: extension from URL (all branches).
+    "q21_extension_from_url" -> ((s, d) =>
+      Tables.documents(s, d).select(did, T.extensionFromUrl(extUrl).as("ext"))),
+
+    // X9: download path expression.
+    "q22_download_path" -> ((s, d) =>
+      Tables.documents(s, d).select(did,
+        T.downloadPath(lit("life"),
+          concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
+          col("source"), concat(lit("UIN-"), sid),
+          substring(col("text"), 1, 20), lit(".pdf")).as("path"))),
+
+    // X13: xxhash64 URL hash — Spark-specific hash, rows-only check.
+    "q23_url_hash" -> ((s, d) =>
+      Tables.documents(s, d).select(did,
+        T.urlHash(concat(lit("https://x.test/doc/"), sid, lit(".pdf"))).as("url_hash"))),
+
+    // n-gram Jaccard on explicit pairs.
+    "q24_pairwise_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.where(pmod(did, lit(5)) === 0)
+        .select(did.as("id_a"), (did + 1).as("id_b"))
+      DedupOps.pairwiseJaccard(docs, "doc_id", "text", pairs)
+    }),
+
+    // MinHash-LSH near-dups (xxhash64 signatures — rows-only check).
+    "q25_minhash_neardups" -> ((s, d) =>
+      DedupOps.minhashNearDups(dupCorpus(Tables.documents(s, d)), "id", "text",
+        threshold = 0.7)),
+
+    // SimHash near-dups (xxhash64 — rows-only check).
+    "q26_simhash_neardups" -> ((s, d) =>
+      DedupOps.simhashNearDups(dupCorpus(Tables.documents(s, d)), "id", "text")),
+
+    // Embedding near-dups via hyperplane LSH (seeded RNG — rows-only).
+    "q27_embedding_neardups" -> ((s, d) =>
+      SimilarityOps.embeddingNearDups(dupEmbeddings(Tables.embeddings(s, d)),
+        minCosine = 0.99)),
+
+    // Brute-force exact top-k ANN.
+    "q28_bruteforce_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
+    }),
+
+    // IVF assignment (literal-centroid argmin, no shuffle).
+    "q29_ivf_assign" -> ((s, d) =>
+      SimilarityOps.ivfAssign(Tables.embeddings(s, d), nlist = 16)
+        .select("vec_id", "centroid_id")),
+
+    // IVF probed top-k.
+    "q30_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+        nlist = 16, nprobe = 4)
+    }),
+
+    // Multimodal: binary column + typed metadata projection.
+    "q31_media_meta" -> ((s, d) =>
+      MultimodalOps.asMediaTable(Tables.documents(s, d), "doc_id", "text")
+        .select(col("media_id"), col("meta.mediaType").as("media_type"),
+          col("meta.byteLen").as("byte_len"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.durationMs").as("duration_ms"))),
+
+    // Multimodal: metadata-only resize.
+    "q32_media_resize" -> ((s, d) =>
+      MultimodalOps.resize(
+        MultimodalOps.asMediaTable(Tables.documents(s, d), "doc_id", "text"),
+        128, 128)
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"))),
+
+    // Multimodal: frame sampling (explode).
+    "q33_frame_sample" -> ((s, d) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.asMediaTable(Tables.documents(s, d), "doc_id", "text"),
+        everyMs = 1000L, maxFrames = 8)),
+
+    // T-adjacent: event-time hourly windowed aggregation.
+    "q34_event_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), R.half2(sum("value")).as("sum_value"))),
+
+    // G1-G4 + P1 + F1/F2/F4: full HTML parse round-trip (life).
+    "q35_parse_life" -> ((s, d) =>
+      ParsePipeline.life(ParsePipeline.explodeRows(lifePages(s, d)).toDF())),
+
+    // G1-G4 + P4 (prev-cell doc-link fallback): parse round-trip (health).
+    "q36_parse_health" -> ((s, d) =>
+      ParsePipeline.health(ParsePipeline.explodeRows(healthPages(s, d)).toDF())),
+
+    // J2: completed-set guard.
+    "q37_filter_completed" -> ((s, d) =>
+      DeltaOps.filterCompleted(
+        Tables.part(s, d).select("p_partkey", "p_name"),
+        Tables.lineitem(s, d).where(col("l_quantity") > 49)
+          .select(col("l_partkey").as("p_partkey")),
+        "p_partkey")),
+
+    // J4: DLQ anti-membership delete (keyed by event, so the result is
+    // non-empty and the anti-join is actually exercised).
+    "q38_clear_succeeded" -> ((s, d) =>
+      DeltaOps.clearSucceeded(
+        Tables.events(s, d).where(col("value") < 0.1).select("event_id", "user_id"),
+        Tables.events(s, d)
+          .where(col("value") < 0.1 && pmod(col("user_id"), lit(3)) === 0)
+          .select("event_id"),
+        "event_id")),
+
+    // S5/A2: count scan.
+    "q39_count_scan" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))),
+
+    // [gap] distinct aggregate.
+    "q40_distinct_users" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"))),
+
+    // [gap] intersect.
+    "q41_intersect" -> ((s, d) =>
+      Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("key"))
+        .intersect(Tables.orders(s, d).where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("key"))))
+  )
+
+  // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
+
+  /** Shared SQL fragments (DuckDB dialect; note regexp_replace needs 'g'). */
+  private val cleanSql = """trim(regexp_replace(text, '\s+', ' ', 'g'))"""
+  private val toksSql =
+    s"""CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+       | ELSE string_split($cleanSql, ' ') END""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base,
+        | floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_order_rank_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q05_delta_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+
+    "q06_enrich_latest" ->
+      """SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity
+        |FROM orders o LEFT JOIN (
+        | SELECT l_orderkey, l_linenumber, l_quantity,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+        | FROM lineitem) l ON o.o_orderkey = l.l_orderkey AND l.rn = 1""".stripMargin,
+
+    "q07_set_except" ->
+      """SELECT l_partkey AS key FROM lineitem
+        |EXCEPT SELECT p_partkey FROM part WHERE p_size > 40""".stripMargin,
+
+    "q08_union_distinct" ->
+      """SELECT DISTINCT o_custkey AS key FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
+
+    "q09_event_counters" ->
+      """SELECT event_type, count(*) AS n_events,
+        | floor(sum(value) * 100 + 0.5) / 100 AS sum_value, floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q10_state_summary" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, max(o_orderdate) AS max_date,
+        | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q11_clean_text" ->
+      s"""SELECT doc_id, $cleanSql AS clean FROM documents""",
+
+    "q12_fingerprints" ->
+      s"""SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents""",
+
+    "q13_exact_dedup" ->
+      s"""SELECT md5(lower($cleanSql)) AS fingerprint,
+         | min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q14_token_counts" ->
+      s"""SELECT doc_id,
+         | CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
+         |   AS bpeish_tokens
+         |FROM documents""".stripMargin,
+
+    "q15_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |   ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks) END AS mtl,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
+         |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
+         |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
+         | FROM t)
+         |SELECT doc_id, n_chars, n_tokens,
+         | floor(mtl * 10000 + 0.5) / 10000 AS mean_token_len,
+         | floor(swr * 10000 + 0.5) / 10000 AS stopword_ratio,
+         | floor(pr * 10000 + 0.5) / 10000 AS punct_ratio,
+         | floor(greatest(0.0, least(1.0,
+         |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |   + least(swr * 5.0, 1.0) * 0.3
+         |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000 AS quality
+         |FROM m""".stripMargin,
+
+    "q16_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
+         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
+         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
+         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
+         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
+         | FROM t)
+         |SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
+         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+         | ELSE 'zh' END AS lang_pred
+         |FROM s""".stripMargin,
+
+    "q17_archive_status" ->
+      """SELECT doc_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'Archived Product' WHEN 1 THEN 'Non-Archived item'
+        |  WHEN 2 THEN 'non archived thing' ELSE 'Regular entry' END AS sample,
+        | CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 'Archived' ELSE 'Non-Archived' END AS status
+        |FROM documents""".stripMargin,
+
+    "q18_total_results" ->
+      """SELECT doc_id, CAST(n_chars * 7 AS INTEGER) AS total FROM documents""",
+
+    "q19_sanitize_filename" ->
+      """WITH r AS (SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   source || ': ' || substr(text, 1, 50),
+        |   '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '^-+|-+$', '', 'g') AS v
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN substr(v, 1, 100) IS NULL OR substr(v, 1, 100) = '' THEN 'unknown'
+        |  ELSE substr(v, 1, 100) END AS fname
+        |FROM r""".stripMargin,
+
+    "q20_filename_from_url" ->
+      """SELECT doc_id,
+        | CASE doc_id % 4
+        |  WHEN 0 THEN 'file_' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |  WHEN 1 THEN 'report ' || CAST(doc_id AS VARCHAR) || '.XLSX'
+        |  WHEN 2 THEN 'x.test'
+        |  ELSE CAST(NULL AS VARCHAR) END AS fname
+        |FROM documents""".stripMargin,
+
+    "q21_extension_from_url" ->
+      """SELECT doc_id,
+        | CASE doc_id % 5 WHEN 0 THEN '.pdf' WHEN 1 THEN '.xlsx' WHEN 2 THEN '.xls'
+        |  WHEN 3 THEN '.xlsx' ELSE '.pdf' END AS ext
+        |FROM documents""".stripMargin,
+
+    "q22_download_path" ->
+      """WITH n AS (SELECT doc_id, source,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   substr(text, 1, 20),
+        |   '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '^-+|-+$', '', 'g') AS name_s
+        | FROM documents)
+        |SELECT doc_id,
+        | 'downloads/life/FY-20' || CAST(15 + doc_id % 5 AS VARCHAR) || '/' || source
+        |  || '/UIN-' || CAST(doc_id AS VARCHAR) || '_'
+        |  || (CASE WHEN name_s = '' THEN 'unknown' ELSE substr(name_s, 1, 100) END)
+        |  || '.pdf' AS path
+        |FROM n""".stripMargin,
+
+    "q24_pairwise_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+         | FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | floor((CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) END) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+         |WHERE a.doc_id % 5 = 0""".stripMargin,
+
+    "q28_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
+        | FROM c CROSS JOIN q WHERE qid <> nid),
+        |r AS (SELECT qid, nid,
+        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
+        |w AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
+        |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+    "q29_ivf_assign" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, c.cid,
+        |  list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |    p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS d2
+        | FROM embeddings e CROSS JOIN cent c),
+        |r AS (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+        |SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1""".stripMargin,
+
+    "q30_ivf_topk" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+        | FROM embeddings e CROSS JOIN cent c),
+        |a AS (SELECT nid, nv, cid FROM ad WHERE rn = 1),
+        |pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   list_sum(list_transform(list_zip(q.embedding, c.cv),
+        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+        | FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8),
+        |p AS (SELECT qid, qv, cid FROM pd WHERE rn <= 4),
+        |s AS (SELECT p.qid, a.nid,
+        |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
+        | FROM a JOIN p ON a.cid = p.cid WHERE p.qid <> a.nid),
+        |r AS (SELECT qid, nid,
+        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
+        |w AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
+        |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+    "q31_media_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | CAST(doc_id % 640 + 32 AS INTEGER) AS width,
+        | CAST(doc_id % 480 + 32 AS INTEGER) AS height,
+        | CAST(doc_id % 30000 + 1000 AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "q32_media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        | CAST(doc_id % 640 + 32 AS INTEGER) AS w,
+        | CAST(doc_id % 480 + 32 AS INTEGER) AS h FROM documents),
+        |sc AS (SELECT doc_id, w, h,
+        | least(128.0 / w, 128.0 / h, 1.0) AS scale FROM m)
+        |SELECT doc_id AS media_id,
+        | CAST(floor(w * scale) AS INTEGER) AS width,
+        | CAST(floor(h * scale) AS INTEGER) AS height
+        |FROM sc""".stripMargin,
+
+    "q33_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        | unnest(generate_series(0, least(doc_id % 30000 + 1000, 7000), 1000)) AS frame_ts_ms
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q34_event_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q35_parse_life" ->
+      """SELECT 'life' AS product_type,
+        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
+        | 'FY 20' || CAST(15 + doc_id % 5 AS VARCHAR) AS financial_year,
+        | 'Ins ' || source AS insurer,
+        | 'Prod ' || CAST(doc_id AS VARCHAR) AS product_name,
+        | 'UIN' || CAST(doc_id AS VARCHAR) AS uin,
+        | 'TypeA' AS type_of_product,
+        | CAST(NULL AS VARCHAR) AS launch_modification_date,
+        | CAST(NULL AS VARCHAR) AS closing_withdrawal_date,
+        | 'P' AS protection_savings_retirement,
+        | 'Par' AS par_nonpar,
+        | 'Ind' AS individual_group,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(NULL AS VARCHAR)
+        |  ELSE 'rem ' || CAST(doc_id AS VARCHAR) END AS remarks,
+        | 'https://example.invalid/documents/doc' || CAST(doc_id AS VARCHAR) || '.pdf' AS document_url,
+        | 'Doc ' || CAST(doc_id AS VARCHAR) AS document_filename
+        |FROM documents""".stripMargin,
+
+    "q36_parse_health" ->
+      """SELECT 'health' AS product_type,
+        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
+        | 'FY 20' || CAST(15 + doc_id % 5 AS VARCHAR) AS financial_year,
+        | 'Ins ' || source AS insurer,
+        | 'HUIN' || CAST(doc_id AS VARCHAR) AS uin,
+        | 'HProd ' || CAST(doc_id AS VARCHAR) AS product_name,
+        | CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS VARCHAR) ELSE '2020-01-15' END AS date_of_approval,
+        | 'TypeH' AS type_of_product,
+        | CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
+        |  ELSE 'https://example.invalid/documents/h' || CAST(doc_id AS VARCHAR) || '.pdf' END AS document_url,
+        | CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
+        |  ELSE 'h' || CAST(doc_id AS VARCHAR) || '.pdf' END AS document_filename
+        |FROM documents""".stripMargin,
+
+    "q37_filter_completed" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)""".stripMargin,
+
+    "q38_clear_succeeded" ->
+      """SELECT event_id, user_id FROM events WHERE value < 0.1
+        |AND event_id NOT IN (
+        |  SELECT event_id FROM events WHERE value < 0.1 AND user_id % 3 = 0)""".stripMargin,
+
+    "q39_count_scan" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q40_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q41_intersect" ->
+      """SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+  )
 }

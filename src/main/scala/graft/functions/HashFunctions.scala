@@ -38,6 +38,12 @@ object HashFunctions {
     * seeded xxhash64 draws; element i = min over shingles of
     * xxhash64(i, shingle). Empty shingle sets get a sentinel signature of
     * Long.MaxValue so they never collide with real content.
+    *
+    * PITFALL: do not nest this inside another higher-order function (e.g.
+    * `bandKeys(minhashSignature(...))`) — HOF lambda arguments are
+    * re-evaluated per element, so composition multiplies per-row cost by
+    * k × bands. For the production path use
+    * [[graft.operators.DedupOps.minhashBandRows]], a single-pass kernel.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
     transform(

@@ -36,14 +36,19 @@ object TextFunctions {
     when(truncated.isNull || truncated === "", lit("unknown")).otherwise(truncated)
   }
 
-  /** X3: extract a document filename from a URL; regex for known doc
-    * extensions first, else the last path segment before the query string.
+  /** X3: extract a document filename from a URL. Parity with
+    * scraper/parser.py:78-89: known doc-extension regex first; else the
+    * LAST path segment containing a dot (query string stripped after the
+    * dot check, as the reference does); else NULL.
     */
   def filenameFromUrl(url: Column): Column = {
-    val byExt = regexp_extract(url, "(?i)/([^/?]+\\.(?:pdf|xlsx|xls))", 1)
-    val path  = regexp_extract(url, "^([^?#]*)", 1)
-    val last  = element_at(split(path, "/"), -1)
-    when(byExt =!= "", byExt).otherwise(last)
+    val byExt  = regexp_extract(url, "(?i)/([^/]+\\.(?:pdf|xlsx|xls))", 1)
+    val dotted = filter(split(url, "/"), s => s.contains("."))
+    val last   = element_at(dotted, -1)
+    val lastNoQuery = element_at(split(last, "\\?"), 1)
+    when(byExt =!= "", byExt)
+      .when(size(dotted) > 0, lastNoQuery)
+      .otherwise(lit(null).cast("string"))
   }
 
   /** X8: file extension from a URL path, with the reference's defaulting
@@ -58,19 +63,31 @@ object TextFunctions {
       .otherwise(".pdf")
   }
 
-  /** X4: archive-status detection — CASE chain, non-archived checked before
-    * archived (substring containment), default "Non-Archived".
+  /** X4: archive-status detection, bug-for-bug with scraper/parser.py:91-107:
+    * the row's CSS class is checked first ("archive" substring → Archived);
+    * then the first cell's text checks "archived" BEFORE "non-archived" /
+    * "non archived" — so a cell reading "non-archived" yields "Archived"
+    * (substring containment), exactly like the reference. Default
+    * "Non-Archived".
     */
-  def archiveStatus(text: Column): Column = {
-    val t = lower(coalesce(text, lit("")))
-    when(t.contains("non-archive"), "Non-Archived")
-      .when(t.contains("archive"), "Archived")
+  def archiveStatus(rowClass: Column, firstCellText: Column): Column = {
+    val cls = lower(coalesce(rowClass, lit("")))
+    val t   = lower(coalesce(firstCellText, lit("")))
+    when(cls.contains("archive"), "Archived")
+      .when(t.contains("archived"), "Archived")
+      .when(t.contains("non-archived") || t.contains("non archived"), "Non-Archived")
       .otherwise("Non-Archived")
   }
 
-  /** X5: "of N results" cardinality extraction with comma stripping. */
+  /** X4 text-only overload (no CSS class available). */
+  def archiveStatus(firstCellText: Column): Column =
+    archiveStatus(lit(""), firstCellText)
+
+  /** X5: "of N results" cardinality extraction with comma stripping.
+    * Case-insensitive like the reference (parser.py:113 re.IGNORECASE).
+    */
   def totalResults(text: Column): Column = {
-    val raw = regexp_extract(text, "of\\s+([\\d,]+)\\s+results?", 1)
+    val raw = regexp_extract(text, "(?i)of\\s+([\\d,]+)\\s+results?", 1)
     when(raw === "", lit(null)).otherwise(replace(raw, lit(","), lit("")).cast("int"))
   }
 

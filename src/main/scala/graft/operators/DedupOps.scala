@@ -1,8 +1,11 @@
 package graft.operators
 
-import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.functions.{HashFunctions => H, Rounding, TextFunctions => T}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deduplication operators for large-scale corpus curation.
   *
@@ -29,6 +32,52 @@ object DedupOps {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** (id, band, bandKey) rows — the LSH join keys — computed in one tight
+    * `mapPartitions` kernel.
+    *
+    * Why not the Catalyst higher-order-function composition
+    * (`bandKeys(minhashSignature(wordShingles(...)))`)? Lambda arguments in
+    * nested HOFs are re-evaluated per element: the 16-band transform
+    * re-evaluates the 64-perm signature per band, which re-evaluates the
+    * shingle construction per perm — a 1000× per-row blowup that Catalyst
+    * cannot common-subexpression away (measured: minutes for 1k docs).
+    * The kernel is per-row, shuffle-free, and emits only (long, int, long),
+    * so it scales exactly like the expression version was meant to.
+    */
+  def minhashBandRows(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, numPerms: Int, bands: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numPerms / bands
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          val shingles: Set[String] =
+            if (toks.length < shingleN) Set.empty
+            else (0 to toks.length - shingleN)
+              .map(i => toks.slice(i, i + shingleN).mkString(" ")).toSet
+          val sig = Array.fill(numPerms)(Long.MaxValue)
+          shingles.foreach { s =>
+            val u = UTF8String.fromString(s)
+            var i = 0
+            while (i < numPerms) {
+              val h = XxHash64Function.hash(u, StringType, i.toLong)
+              if (h < sig(i)) sig(i) = h
+              i += 1
+            }
+          }
+          (0 until bands).map { b =>
+            val sb = new StringBuilder
+            var j = b * rowsPerBand
+            while (j < (b + 1) * rowsPerBand) { sb.append(sig(j)).append('_'); j += 1 }
+            (id, b, XxHash64Function.hash(UTF8String.fromString(sb.toString), StringType, b.toLong))
+          }
+        }
+      }.toDF("id", "band", "bk")
+  }
+
   /** Candidate near-duplicate pairs via MinHash + LSH banding.
     *
     * @param shingleN    word-shingle width
@@ -39,21 +88,17 @@ object DedupOps {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numPerms: Int = 64, bands: Int = 16,
                         maxBucketSize: Int = 1000): DataFrame = {
-    val rows = numPerms / bands
-    val keyed = docs
-      .select(
-        col(idCol).as("id"),
-        H.bandKeys(
-          H.minhashSignature(H.wordShingles(T.tokens(col(textCol)), shingleN), numPerms),
-          bands, rows).as("bks"))
-      .select(col("id"), posexplode(col("bks")).as(Seq("band", "bk")))
+    val keyed = minhashBandRows(docs, idCol, textCol, shingleN, numPerms, bands)
 
-    // Drop degenerate buckets before the self-join (skew guard).
-    val sized = keyed
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")))
-      .where(col("bsz") <= maxBucketSize)
-      .drop("bsz")
+    // Drop degenerate buckets before the self-join (skew guard). A window
+    // count would shuffle every (id, band, bk) row once just to measure;
+    // instead compute the (tiny) oversized-key set with a partially
+    // aggregated groupBy and broadcast-anti-join it back.
+    val oversized = keyed
+      .groupBy("band", "bk").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucketSize)
+      .select("band", "bk")
+    val sized = keyed.join(broadcast(oversized), Seq("band", "bk"), "left_anti")
 
     val a = sized.select(col("band"), col("bk"), col("id").as("id_a"))
     val b = sized.select(col("band"), col("bk"), col("id").as("id_b"))
@@ -78,7 +123,7 @@ object DedupOps {
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), Rounding.half4(col("jaccard")).as("jaccard"))
   }
 
   /** SimHash near-dup pairs: 64-bit sketch, candidates by 16-bit band
@@ -120,6 +165,6 @@ object DedupOps {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(H.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        Rounding.half4(H.jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
   }
 }

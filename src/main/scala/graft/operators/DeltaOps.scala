@@ -30,12 +30,25 @@ object DeltaOps {
   def filterCompleted(tasks: DataFrame, completed: DataFrame, key: String): DataFrame =
     tasks.join(completed.select(key).distinct(), Seq(key), "left_anti")
 
-  /** J3: enrich products with their (first) download result by key.
-    * The reference's nested loop takes the first match; we make that
-    * deterministic by keeping the min-ordered result per key first.
+  /** J3: enrich products with one download result per key.
+    * The reference builds `{r.url: r}` over results in order — last write
+    * wins per URL (delta_download.py:130-137). We make that explicit and
+    * deterministic: keep the result with the MAX `orderCol` per key, ties
+    * broken by every remaining payload column (a total order, so the
+    * output is identical under any partitioning; max_by benefits from
+    * partial aggregation — no window, no arbitrary dropDuplicates row).
     */
-  def enrich(products: DataFrame, results: DataFrame, key: String): DataFrame =
-    products.join(results.dropDuplicates(key), Seq(key), "left")
+  def enrich(products: DataFrame, results: DataFrame, key: String,
+             orderCol: String): DataFrame = {
+    val others = results.columns.filterNot(_ == key).toSeq
+    val ordering = orderCol +: others.filterNot(_ == orderCol)
+    val picked = results
+      .groupBy(key)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(ordering.map(col): _*)).as("_r"))
+      .select(col(key) +: others.map(c => col(s"_r.$c").as(c)): _*)
+    products.join(picked, Seq(key), "left")
+  }
 
   /** J4: remove keys that have since succeeded from the dead-letter set. */
   def clearSucceeded(failed: DataFrame, succeeded: DataFrame, key: String): DataFrame =

@@ -1,24 +1,35 @@
 package graft.operators
 
-import graft.functions.{VectorFunctions => V}
-import org.apache.spark.sql.expressions.Window
+import graft.functions.{Rounding, TopK, VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
 
 /** Approximate / exact nearest-neighbor search over an embedding column.
   *
   * Execution shapes (designed for a big corpus, small-to-medium query set):
-  *  - Brute force: broadcast the query vectors, stream the corpus once —
-  *    one pass, no shuffle of the corpus, per-partition top-k via a window
-  *    after a cheap repartition of the (query, candidate, sim) triples.
-  *  - IVF: corpus is pre-assigned to the nearest of `nlist` centroids
-  *    (one broadcast-join pass); a query probes only `nprobe` lists, so the
-  *    scan cost drops by ~nlist/nprobe. At 100 TB the assignment would be
-  *    written out bucketed by `centroid_id` so probes prune at the source.
+  *  - Brute force: broadcast the query vectors, stream the corpus once,
+  *    and aggregate per-query top-k with a bounded-heap [[TopK]] aggregator
+  *    — partial aggregation keeps the shuffle at k rows per group per map
+  *    task instead of the full Q×N scored cross product.
+  *  - IVF: `nlist` centroids are collected ONCE to the driver (tiny:
+  *    nlist × dim doubles) and inlined as a plan literal; assignment is a
+  *    per-row higher-order-function argmin — zero joins, zero shuffles.
+  *    A query probes only `nprobe` lists, so the scan cost drops by
+  *    ~nlist/nprobe. At 100 TB the assignment would be written out
+  *    bucketed by `centroid_id` so probes prune at the source.
   *  - Hyperplane LSH: sign-bit bucket key per vector; candidates share a
   *    bucket. Deterministic planes (seeded), so results are reproducible.
   */
 object SimilarityOps {
+
+  /** Rank an `array<struct<sim,neighborId>>` top-k list into rows. */
+  private def explodeRanked(df: DataFrame): DataFrame =
+    df.select(col("query_id"), posexplode(col("topk")).as(Seq("rank0", "nb")))
+      .select(
+        col("query_id"),
+        col("nb.neighborId").as("neighbor_id"),
+        col("nb.sim").as("sim"),
+        (col("rank0") + 1).cast("long").as("rank"))
 
   /** Exact top-k cosine neighbors for each query vector (brute force).
     * `queries` is expected to be small — it is broadcast explicitly.
@@ -29,61 +40,83 @@ object SimilarityOps {
       col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(V.cosine(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sim", "rank")
+      .withColumn("sim", Rounding.half4(V.cosine(col("qv"), col("cv"))))
+    val agg = scored.groupBy("query_id")
+      .agg(TopK.topK(k)(col("sim"), col("neighbor_id")).as("topk"))
+    explodeRanked(agg)
   }
 
-  /** Deterministic IVF index: centroids = the `nlist` lowest-id vectors
-    * (a stand-in for k-means at this scale; the interface is the point).
-    * Returns the corpus with a `centroid_id` assignment column.
+  /** Deterministic IVF centroids: the `nlist` lowest-id vectors (a
+    * stand-in for k-means at this scale; the interface is the point).
+    * Collected once — nlist × dim doubles — and reused by assignment and
+    * probing as a plan literal.
+    */
+  def collectCentroids(corpus: DataFrame, nlist: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Double])] =
+    corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol))  // planned as TakeOrderedAndProject, not a global sort
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+
+  /** Per-row argmin over a literal centroid array: fold keeping the
+    * (id, d2) struct with the smallest distance. Strict `<` keeps the
+    * earliest (lowest-position) centroid on ties — deterministic.
+    */
+  private def nearestCentroid(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
+    val lits = typedLit(centroids)
+    aggregate(
+      lits,
+      struct(lit(-1L).as("_1"), lit(Double.MaxValue).as("_2")),
+      (acc, c) => {
+        val d2 = V.sqDist(vec, c.getField("_2"))
+        when(d2 < acc.getField("_2"), struct(c.getField("_1").as("_1"), d2.as("_2")))
+          .otherwise(acc)
+      }).getField("_1")
+  }
+
+  /** The `nprobe` nearest centroid ids for a query vector, as an array —
+    * sort a tiny literal-sized array per row, no join, no window.
+    */
+  private def probeList(vec: Column, centroids: Seq[(Long, Seq[Double])], nprobe: Int): Column = {
+    val lits = typedLit(centroids)
+    val scored = transform(lits, c =>
+      struct(V.sqDist(vec, c.getField("_2")).as("d2"), c.getField("_1").as("cid")))
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cid"))
+  }
+
+  /** IVF assignment: corpus + `centroid_id`, computed as a per-row
+    * expression against literal centroids — no cross join, no window, no
+    * exchange at all (verify: explain shows a single scan + project).
     */
   def ivfAssign(corpus: DataFrame, nlist: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = broadcast(
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("centroid_id").asc)
-    corpus
-      .join(centroids)
-      .withColumn("d2", V.sqDist(col(vecCol), col("centroid_vec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn", "d2", "centroid_vec")
+    val cents = collectCentroids(corpus, nlist, idCol, vecCol)
+    corpus.withColumn("centroid_id", nearestCentroid(col(vecCol), cents))
   }
 
   /** IVF top-k: probe the `nprobe` nearest centroid lists per query, then
-    * exact cosine within the probed lists.
+    * exact cosine within the probed lists with bounded-heap top-k.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(corpus, nlist, idCol, vecCol)
-    val centroids = broadcast(
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
-
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("qd2").asc, col("centroid_id").asc)
-    val probes = q.join(centroids)
-      .withColumn("qd2", V.sqDist(col("qv"), col("centroid_vec")))
-      .withColumn("pr", row_number().over(wProbe))
-      .where(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
-
-    val cand = assigned
-      .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val cents = collectCentroids(corpus, nlist, idCol, vecCol)
+    val assigned = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestCentroid(col(vecCol), cents).as("centroid_id"))
+    val probes = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeList(col(vecCol), cents, nprobe)).as("centroid_id"))
+    val scored = assigned
       .join(broadcast(probes), Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(V.cosine(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sim", "rank")
+      .withColumn("sim", Rounding.half4(V.cosine(col("qv"), col("cv"))))
+    val agg = scored.groupBy("query_id")
+      .agg(TopK.topK(k)(col("sim"), col("neighbor_id")).as("topk"))
+    explodeRanked(agg)
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded). Small:
@@ -108,7 +141,7 @@ object SimilarityOps {
     val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("sim", round(V.cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("sim", Rounding.half4(V.cosine(col("v_a"), col("v_b"))))
       .where(col("sim") >= minCosine)
       .select("id_a", "id_b", "sim")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => T}
+import graft.functions.{Rounding, TextFunctions => T}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -61,10 +61,10 @@ object TextAnalysisOps {
       col(idCol),
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
-      round(mtl, 4).as("mean_token_len"),
-      round(swr, 4).as("stopword_ratio"),
-      round(pr, 4).as("punct_ratio"),
-      round(composite, 4).as("quality"))
+      Rounding.half4(mtl).as("mean_token_len"),
+      Rounding.half4(swr).as("stopword_ratio"),
+      Rounding.half4(pr).as("punct_ratio"),
+      Rounding.half4(composite).as("quality"))
   }
 
   /** Token-counting pass: whitespace and BPE-ish counts per document. */

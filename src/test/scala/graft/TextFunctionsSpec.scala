@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+/** Column-function tests incl. the SURVEY §5 property checks
+  * (X1/X7 idempotence, X7 invariants) — seeded sample-based properties
+  * (scalatestplus isn't resolvable offline, so no forAll sugar).
+  */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+  private def randomStrings(n: Int, alphabet: String): Seq[String] =
+    Seq.fill(n)(Seq.fill(rng.nextInt(40))(alphabet(rng.nextInt(alphabet.length))).mkString)
+
+  private def run1(c: org.apache.spark.sql.Column, input: String): String = {
+    val r = Seq(input).toDF("s").select(c.as("r")).head
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("cleanText collapses whitespace and trims") {
+    assert(run1(T.cleanText(col("s")), "  a\t\tb \n c ") == "a b c")
+  }
+
+  test("cleanText is idempotent (100 seeded samples)") {
+    val samples = randomStrings(100, "ab \t\ncd  ")
+    val df = samples.toDF("s")
+      .select(T.cleanText(col("s")).as("once"),
+        T.cleanText(T.cleanText(col("s"))).as("twice"))
+    assert(df.where(col("once") =!= col("twice")).count() == 0)
+  }
+
+  test("sanitizeFilename: forbidden chars removed, ≤100 chars, never empty") {
+    val samples = randomStrings(200, "aZ09<>:\"/\\|?* -") ++ Seq("", "///", "  ")
+    val outs = samples.toDF("s").select(T.sanitizeFilename(col("s")).as("o"))
+      .collect().map(_.getString(0))
+    outs.foreach { out =>
+      assert(out != null && out.nonEmpty && out.length <= 100, s"out=$out")
+      assert(!out.exists("<>:\"/\\|?* ".contains(_)), s"out=$out")
+    }
+    assert(run1(T.sanitizeFilename(col("s")), "") == "unknown")
+    assert(run1(T.sanitizeFilename(col("s")), "a/b:c") == "a-b-c")
+  }
+
+  test("archiveStatus: reference check order (archived before non-archived)") {
+    def st(cls: String, txt: String) =
+      run1(T.archiveStatus(lit(cls), col("s")), txt)
+    assert(st("", "Archived") == "Archived")
+    // reference bug parity: 'non-archived' contains 'archived' → Archived
+    assert(st("", "non-archived") == "Archived")
+    assert(st("", "non archived") == "Archived")
+    assert(st("archive-row", "whatever") == "Archived")
+    assert(st("", "plain row") == "Non-Archived")
+  }
+
+  test("totalResults: case-insensitive, comma-stripping, null when absent") {
+    assert(run1(T.totalResults(col("s")).cast("string"), "of 1,234 Results") == "1234")
+    assert(run1(T.totalResults(col("s")).cast("string"), "OF 7 RESULT") == "7")
+    assert(run1(T.totalResults(col("s")).cast("string"), "nothing here") == null)
+  }
+
+  test("filenameFromUrl branches (parser.py:78-89 parity)") {
+    def f(u: String) = run1(T.filenameFromUrl(col("s")), u)
+    assert(f("https://x.test/a/Policy Doc.pdf?v=2") == "Policy Doc.pdf")
+    assert(f("https://x.test/a/F.XLSX") == "F.XLSX")
+    assert(f("https://x.test/plain/9") == "x.test") // dotted-segment fallback
+    assert(f("files/data9") == null)
+  }
+
+  test("extensionFromUrl defaulting rules (file_manager.py:31-45)") {
+    def e(u: String) = run1(T.extensionFromUrl(col("s")), u)
+    assert(e("https://x.test/a.pdf") == ".pdf")
+    assert(e("https://x.test/a.XLSX?q=1") == ".xlsx")
+    assert(e("https://x.test/a.xls") == ".xls")
+    assert(e("https://x.test/get?fmt=xlsheet") == ".xlsx")
+    assert(e("https://x.test/get/plain") == ".pdf")
+  }
+
+  test("tokens/tokenCount handle empty and blank input") {
+    val counts = Seq("", "   ", "a b  c").toDF("s")
+      .select(T.tokenCount(col("s")).as("n")).collect().map(_.getLong(0))
+    assert(counts.toSeq == Seq(0L, 0L, 3L))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fp = Seq(("A  b C", "a b c")).toDF("x", "y")
+      .select(T.fingerprint(col("x")).as("fx"), T.fingerprint(col("y")).as("fy")).head
+    assert(fp.getString(0) == fp.getString(1))
+  }
+}
