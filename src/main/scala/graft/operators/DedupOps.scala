@@ -5,6 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deduplication operators for large-scale corpus curation.
@@ -44,6 +45,28 @@ object DedupOps {
     * The kernel is per-row, shuffle-free, and emits only (long, int, long),
     * so it scales exactly like the expression version was meant to.
     */
+  /** (id, distinct word shingles) via one tokenization pass — the
+    * verification-side twin of [[minhashBandRows]] (same HOF-blowup
+    * rationale; `wordShingles(tokens(...))` re-tokenizes per shingle).
+    */
+  def wordShingleRows(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          val sh: Seq[String] =
+            if (toks.length < shingleN) Seq.empty
+            else (0 to toks.length - shingleN)
+              .map(i => toks.slice(i, i + shingleN).mkString(" ")).distinct
+          (id, sh)
+        }
+      }.toDF("id", "sh")
+  }
+
   def minhashBandRows(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numPerms: Int, bands: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -88,7 +111,12 @@ object DedupOps {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numPerms: Int = 64, bands: Int = 16,
                         maxBucketSize: Int = 1000): DataFrame = {
+    // The band rows feed three plan branches (bucket-size guard + both
+    // sides of the self-join); persist the tiny (long,int,long) sketch
+    // table so the signature kernel runs once, not three times. This is
+    // the table a 100 TB pipeline would materialize to storage anyway.
     val keyed = minhashBandRows(docs, idCol, textCol, shingleN, numPerms, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Drop degenerate buckets before the self-join (skew guard). A window
     // count would shuffle every (id, band, bk) row once just to measure;
@@ -115,9 +143,7 @@ object DedupOps {
                       threshold: Double = 0.8, shingleN: Int = 3,
                       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleN, numPerms, bands)
-    val sh = docs.select(
-      col(idCol).as("id"),
-      H.wordShingles(T.tokens(col(textCol)), shingleN).as("sh"))
+    val sh = wordShingleRows(docs, idCol, textCol, shingleN)
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -126,15 +152,45 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), Rounding.half4(col("jaccard")).as("jaccard"))
   }
 
+  /** 64-bit SimHash sketches as a single-pass kernel (same HOF-blowup
+    * rationale as [[minhashBandRows]]: the Catalyst `aggregate`/`zip_with`
+    * form boxes 64 lambda evaluations per token — measured ~2 ms/row).
+    * Per token: one xxhash64 draw; bit j of the hash votes ±1 on counter
+    * j; final bit j is set iff counter j >= 0.
+    */
+  def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          val counters = new Array[Int](64)
+          toks.foreach { t =>
+            val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+            var j = 0
+            while (j < 64) {
+              if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+              j += 1
+            }
+          }
+          var sh = 0L
+          var j = 0
+          while (j < 64) { if (counters(j) >= 0) sh |= (1L << j); j += 1 }
+          (id, sh)
+        }
+      }.toDF("id", "sh")
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch, candidates by 16-bit band
     * equality (4 bands ⇒ guaranteed recall for hamming ≤ 3), verified by
     * exact hamming distance.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sketched = docs.select(
-      col(idCol).as("id"),
-      H.simhash(T.tokens(col(textCol))).as("sh"))
+    val sketched = simhashSketches(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val banded = sketched.select(
       col("id"), col("sh"),
@@ -158,9 +214,7 @@ object DedupOps {
     */
   def pairwiseJaccard(docs: DataFrame, idCol: String, textCol: String,
                       pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("id"),
-      H.wordShingles(T.tokens(col(textCol)), shingleN).as("sh"))
+    val sh = wordShingleRows(docs, idCol, textCol, shingleN)
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -5,11 +5,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-corpus analysis operators: language ID, quality scoring, token
-  * counting, fingerprinting. All pure per-row Catalyst expressions —
-  * they stay in whole-stage codegen and need no shuffle at all, which is
-  * exactly what you want for a 100 TB scan-and-score pass.
+  * counting, fingerprinting. Shuffle-free scan-and-score passes.
+  *
+  * Counting runs in a single `mapPartitions` kernel ([[textStats]]): the
+  * Catalyst higher-order-function forms re-evaluate the tokenizer once per
+  * derived metric (no CSE inside lambda bodies), which measured ~1 ms/row —
+  * the kernel is one tokenization pass per row. All RATIO arithmetic stays
+  * in Catalyst so the operators remain oracle-checkable: the divisions and
+  * clamps are the exact same IEEE double ops the DuckDB oracle SQL runs.
   */
 object TextAnalysisOps {
+
+  case class TextStatsRow(id: Long, n_chars: Long, n_tokens: Long,
+                          sum_token_len: Long, n_stopwords: Long,
+                          n_punct: Long, bpeish_tokens: Long,
+                          lang_hits: Seq[Long])
 
   /** Tiny per-language stopword marker lists for the n-gram-free heuristic.
     * Deliberately small and deterministic (explainable, oracle-checkable);
@@ -22,16 +32,65 @@ object TextAnalysisOps {
     "de" -> Seq("der", "die", "und", "das"),
     "zh" -> Seq("de", "shi", "le", "zai"))
 
+  /** Per-document counting stats from one tokenization pass.
+    * Tokenization parity with [[T.tokens]]: trim + split on `\s+`.
+    * `bpeish_tokens` counts letter runs / single digits / single symbols —
+    * the same language the regex `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]` accepts.
+    */
+  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stops = T.EnglishStopwords.toSet
+    val markers = LangMarkers.map { case (_, ms) => ms.toSet }
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val text = Option(raw).getOrElse("")
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          // regex \s = space, \t, \n, , \f, \r
+          def isWs(c: Char) =
+            c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+          def isAsciiLetter(c: Char) =
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+          def isPunct(c: Char) =
+            (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+              (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+          var bpeish = 0L
+          var i = 0
+          while (i < text.length) {
+            val c = text.charAt(i)
+            if (isAsciiLetter(c)) {
+              while (i < text.length && isAsciiLetter(text.charAt(i))) i += 1
+              bpeish += 1
+            } else {
+              if ((c >= '0' && c <= '9') || !isWs(c)) bpeish += 1
+              i += 1
+            }
+          }
+          TextStatsRow(
+            id = id,
+            n_chars = text.length.toLong,
+            n_tokens = toks.length.toLong,
+            sum_token_len = toks.map(_.length.toLong).sum,
+            n_stopwords = toks.count(stops.contains).toLong,
+            n_punct = text.count(isPunct).toLong,
+            bpeish_tokens = bpeish,
+            lang_hits = markers.map(ms => toks.count(ms.contains).toLong))
+        }
+      }.toDF().withColumnRenamed("id", idCol)
+  }
+
   private def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(x => x: Any): _*))).cast("double")
 
-  /** Heuristic language ID: score each language by marker-token hit rate;
-    * highest scorer wins, ties broken by list order; "und" when nothing
-    * hits.
+  /** Heuristic language ID as a pure Column expression (API surface; the
+    * operator below uses the [[textStats]] kernel for the same result at a
+    * fraction of the per-row cost). Highest marker-hit count wins, ties
+    * broken by [[LangMarkers]] order; "und" when nothing hits.
     */
   def langIdExpr(text: Column): Column = {
     val toks = T.tokens(text)
-    // Build a deterministic argmax as a fold over the (lang, score) list.
     val scored = LangMarkers.map { case (lang, ms) => (lang, markerHits(toks, ms)) }
     val best = scored.foldLeft((lit("und"), lit(0.0))) {
       case ((bestLang, bestScore), (lang, score)) =>
@@ -41,26 +100,40 @@ object TextAnalysisOps {
     best._1
   }
 
+  /** Deterministic argmax over the kernel's per-language hit counts:
+    * strict `>` fold = earliest language (in [[LangMarkers]] order) with
+    * the maximum score; zero hits everywhere → "und".
+    */
+  private def langPredFromHits(hits: Column): Column =
+    LangMarkers.zipWithIndex.foldLeft((lit("und"), lit(0.0))) {
+      case ((bestLang, bestScore), ((lang, _), i)) =>
+        val score = element_at(hits, i + 1).cast("double")
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }._1
+
   /** Quality-scoring pass: length, token stats, stopword/punct ratios and
-    * a composite [0,1] quality score (heuristic, deterministic).
+    * a composite [0,1] quality score (heuristic, deterministic). Counts
+    * come from the kernel; every ratio/clamp below is plain Catalyst
+    * double arithmetic, mirrored 1:1 in the DuckDB oracle.
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nChars = length(t).cast("long")
-    val nToks = T.tokenCount(t)
-    val swr = T.stopwordRatio(t)
-    val pr = T.punctRatio(t)
-    val mtl = T.meanTokenLen(t)
-    // Composite: reward mid-length docs with some stopwords, penalize punct
-    // walls; clamp to [0,1]. Pure arithmetic, no UDF.
+    val st = textStats(docs, idCol, textCol)
+    val nToks = col("n_tokens")
+    val mtl = when(nToks === 0, lit(0.0))
+      .otherwise(col("sum_token_len").cast("double") / nToks.cast("double"))
+    val swr = when(nToks === 0, lit(0.0))
+      .otherwise(col("n_stopwords").cast("double") / nToks.cast("double"))
+    val pr = when(col("n_chars") === 0, lit(0.0))
+      .otherwise(col("n_punct").cast("double") / col("n_chars").cast("double"))
     val lengthScore = least(nToks.cast("double") / lit(50.0), lit(1.0))
     val composite = greatest(lit(0.0), least(lit(1.0),
       lengthScore * lit(0.5) + least(swr * lit(5.0), lit(1.0)) * lit(0.3)
         + (lit(1.0) - least(pr * lit(10.0), lit(1.0))) * lit(0.2)))
-    docs.select(
+    st.select(
       col(idCol),
-      nChars.as("n_chars"),
-      nToks.as("n_tokens"),
+      col("n_chars"),
+      col("n_tokens"),
       Rounding.half4(mtl).as("mean_token_len"),
       Rounding.half4(swr).as("stopword_ratio"),
       Rounding.half4(pr).as("punct_ratio"),
@@ -69,19 +142,19 @@ object TextAnalysisOps {
 
   /** Token-counting pass: whitespace and BPE-ish counts per document. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol),
-      T.tokenCount(col(textCol)).as("ws_tokens"),
-      T.bpeishTokenCount(col(textCol)).as("bpeish_tokens"))
+    textStats(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens").as("ws_tokens"), col("bpeish_tokens"))
 
-  /** Language-ID pass with agreement flag against a labeled column. */
+  /** Language-ID pass, optionally carrying a label column for agreement
+    * checks.
+    */
   def languageId(docs: DataFrame, idCol: String, textCol: String,
                  labelCol: Option[String] = None): DataFrame = {
-    val base = docs.select(col(idCol), langIdExpr(col(textCol)).as("lang_pred"))
+    val preds = textStats(docs, idCol, textCol)
+      .select(col(idCol), langPredFromHits(col("lang_hits")).as("lang_pred"))
     labelCol match {
-      case Some(l) => docs.select(col(idCol), col(l).as("lang_label"),
-        langIdExpr(col(textCol)).as("lang_pred"))
-      case None => base
+      case Some(l) => docs.select(col(idCol), col(l).as("lang_label")).join(preds, idCol)
+      case None => preds
     }
   }
 
