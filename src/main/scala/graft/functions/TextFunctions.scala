@@ -104,6 +104,32 @@ object TextFunctions {
   /** X13: stable 64-bit URL hash (xxhash64) for fallback destinations. */
   def urlHash(url: Column): Column = xxhash64(url)
 
+  /** X10: object-store key from a local relative path — backslashes →
+    * slashes, leading slashes stripped, prefixed with the product type
+    * (r2_uploader.py:172-183).
+    */
+  def r2Key(productType: Column, relativePath: Column): Column =
+    concat(productType, lit("/"),
+      regexp_replace(regexp_replace(relativePath, "\\\\", "/"), "^/+", ""))
+
+  /** X10: public bucket URL for a key (r2_uploader.py:53-59). */
+  def publicUrl(bucketHost: Column, key: Column): Column =
+    concat(lit("https://"), bucketHost, lit("/"), key)
+
+  /** X11: extension → MIME content type, octet-stream default
+    * (r2_uploader.py:160-170).
+    */
+  def contentType(path: Column): Column = {
+    val ext = lower(regexp_extract(path, "(\\.[A-Za-z0-9]+)$", 1))
+    when(ext === ".pdf", "application/pdf")
+      .when(ext === ".xlsx", "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+      .when(ext === ".xls", "application/vnd.ms-excel")
+      .when(ext === ".csv", "text/csv")
+      .when(ext === ".json", "application/json")
+      .when(ext === ".html", "text/html")
+      .otherwise("application/octet-stream")
+  }
+
   /** Whitespace tokenization; the base for token counting, shingling,
     * stopword ratios. Empty/blank input → empty array (not [""]).
     */

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Dedup operator tests with planted duplicates. */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base + " extra"),                      // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer rules engine"),
+    (4L, "THE  quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1 mod case/ws
+    (5L, base)                                   // exact dup of 1
+  ).toDF("id", "text")
+
+  test("exactDedup groups case/whitespace-normalized duplicates") {
+    val out = DedupOps.exactDedup(docs, "id", "text").collect()
+    val dupGroup = out.find(_.getAs[Long]("dup_count") == 3L)
+    assert(dupGroup.isDefined && dupGroup.get.getAs[Long]("keep_id") == 1L)
+    assert(out.length == 3) // {1,4,5}, {2}, {3}
+  }
+
+  test("minhashNearDups finds the planted near-dup and nothing else") {
+    val pairs = DedupOps.minhashNearDups(docs, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact dups found with jaccard 1.0
+    assert(pairs.contains((1L, 5L)))
+  }
+
+  test("simhashNearDups: identical docs at hamming 0, unrelated docs absent") {
+    val out = DedupOps.simhashNearDups(docs, "id", "text").collect()
+    val h15 = out.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 5L)
+    assert(h15.isDefined && h15.get.getAs[Int]("hamming") == 0)
+    assert(!out.exists(r => r.getAs[Long]("id_a") == 3L || r.getAs[Long]("id_b") == 3L))
+  }
+
+  test("pairwiseJaccard: identical → 1.0, disjoint → 0.0") {
+    val pairs = Seq((1L, 5L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = DedupOps.pairwiseJaccard(docs, "id", "text", pairs)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(out((1L, 5L)) == 1.0)
+    assert(out((1L, 3L)) == 0.0)
+  }
+
+  test("minhash band rows: deterministic across runs, bands per doc") {
+    val a = DedupOps.minhashBandRows(docs, "id", "text", 3, 64, 16).collect()
+    val b = DedupOps.minhashBandRows(docs, "id", "text", 3, 64, 16).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+    assert(a.length == 5 * 16)
+  }
+
+  test("oversized-bucket skew guard drops degenerate buckets") {
+    // 50 identical docs all share every band bucket → bucket size 50;
+    // with maxBucketSize=10 the guard must drop them all.
+    val many = (1L to 50L).map(i => (i, base)).toDF("id", "text")
+    val cands = DedupOps.minhashCandidates(many, "id", "text", maxBucketSize = 10)
+    assert(cands.count() == 0)
+    // and with a tolerant cap the self-join yields all pairs
+    val loose = DedupOps.minhashCandidates(many, "id", "text", maxBucketSize = 100)
+    assert(loose.count() == 50L * 49L / 2L)
+  }
+}

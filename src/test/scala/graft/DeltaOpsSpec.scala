@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.DeltaOps
+import org.apache.spark.sql.functions._
+
+/** J1-J4/U2/U3 law tests (SURVEY §5: delta laws). */
+class DeltaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val current = Seq(("u1", "a"), ("u2", "b"), ("u3", "c")).toDF("url", "payload")
+  private val existing = Seq("u2").toDF("url")
+
+  test("delta laws: delta ∩ existing = ∅ and delta ∪ existing ⊇ current") {
+    val d = DeltaOps.delta(current, existing, "url")
+    assert(d.select("url").as[String].collect().sorted.toSeq == Seq("u1", "u3"))
+    assert(d.join(existing, Seq("url")).count() == 0)
+    val keys = d.select("url").union(existing).distinct()
+    assert(current.select("url").except(keys).count() == 0)
+  }
+
+  test("delta of current against itself is empty (T3 idempotence law)") {
+    assert(DeltaOps.delta(current, current.select("url"), "url").count() == 0)
+  }
+
+  test("filterCompleted drops completed keys only") {
+    val out = DeltaOps.filterCompleted(current, existing, "url")
+    assert(out.count() == 2)
+  }
+
+  test("enrich keeps the max-ordered result per key, deterministically") {
+    val products = Seq(("u1", 10.0), ("u2", 20.0)).toDF("url", "price")
+    val results = Seq(("u1", 1, "first"), ("u1", 3, "third"), ("u1", 2, "second"))
+      .toDF("url", "seq", "tag")
+    val out = DeltaOps.enrich(products, results, "url", "seq")
+      .orderBy("url").collect()
+    assert(out(0).getAs[String]("tag") == "third")
+    assert(out(1).isNullAt(out(1).fieldIndex("tag"))) // left join: no result row
+  }
+
+  test("enrich ties broken by remaining columns (total order)") {
+    val products = Seq(("u1", 1.0)).toDF("url", "price")
+    val results = Seq(("u1", 1, "aa"), ("u1", 1, "zz")).toDF("url", "seq", "tag")
+    val out = DeltaOps.enrich(products, results, "url", "seq").collect()
+    assert(out.head.getAs[String]("tag") == "zz") // max over (seq, tag)
+  }
+
+  test("clearSucceeded removes exactly the succeeded keys (J4)") {
+    val failed = Seq(("u1", "e1"), ("u2", "e2")).toDF("url", "error")
+    val out = DeltaOps.clearSucceeded(failed, Seq("u2").toDF("url"), "url")
+    assert(out.select("url").as[String].collect().toSeq == Seq("u1"))
+  }
+
+  test("addCompleted is idempotent (U3)") {
+    val completed = Seq("u1").toDF("url")
+    val once = DeltaOps.addCompleted(completed, Seq("u2", "u2", "u1").toDF("url"), "url")
+    val twice = DeltaOps.addCompleted(once, Seq("u2").toDF("url"), "url")
+    assert(once.as[String].collect().sorted.toSeq == Seq("u1", "u2"))
+    assert(twice.as[String].collect().sorted.toSeq == Seq("u1", "u2"))
+  }
+
+  test("delta anti-join broadcasts the small existing side") {
+    val plan = DeltaOps.delta(current, existing, "url")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+  }
+}

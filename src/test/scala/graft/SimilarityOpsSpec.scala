@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** ANN operator tests against naive driver-side computation. */
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private def vec(seed: Int): Seq[Float] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(dim)(rng.nextFloat() * 2 - 1)
+  }
+  private val n = 30
+  private def corpus = (0 until n).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(ad.map(x => x * x).sum); val nb = math.sqrt(bd.map(x => x * x).sum)
+    if (na * nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("bruteForceTopK matches naive top-k with (sim desc, id asc) order") {
+    val out = SimilarityOps.bruteForceTopK(corpus, corpus.where(col("vec_id") < 3), k = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+      .sortBy(t => (t._1, t._2))
+    val vecs = (0 until n).map(i => i.toLong -> vec(i)).toMap
+    val expected = (0L until 3L).flatMap { q =>
+      val scored = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, math.floor(cosine(vecs(q), vecs(c)) * 10000 + 0.5) / 10000))
+        .sortBy { case (c, s) => (-s, c) }.take(4)
+      scored.zipWithIndex.map { case ((c, s), i) => (q, (i + 1).toLong, c, s) }
+    }
+    assert(out.toSeq == expected)
+  }
+
+  test("ivfAssign: centroid vectors assign to themselves, plan is shuffle-free") {
+    val assigned = SimilarityOps.ivfAssign(corpus, nlist = 4)
+    val self = assigned.where(col("vec_id") < 4)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    (0L until 4L).foreach(i => assert(self(i) == i))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ivfAssign plan should have no shuffle:\n$plan")
+  }
+
+  test("ivfTopK with nprobe = nlist degenerates to brute force") {
+    val bf = SimilarityOps.bruteForceTopK(corpus, corpus.where(col("vec_id") < 2), k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val ivf = SimilarityOps.ivfTopK(corpus, corpus.where(col("vec_id") < 2), k = 3,
+      nlist = 4, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(ivf == bf)
+  }
+
+  test("embeddingNearDups finds scaled copies in the same LSH bucket") {
+    val scaled = corpus.unionByName(corpus.select(
+      (col("vec_id") + 100).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding")))
+    val pairs = SimilarityOps.embeddingNearDups(scaled, minCosine = 0.999, dim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until n.toLong).foreach(i => assert(pairs.contains((i, i + 100)), s"missing pair $i"))
+  }
+
+  test("TopK aggregator matches sort-take under merge across partitions") {
+    import graft.functions.TopK
+    val df = (0 until 1000).map(i => (i.toLong % 7, (i * 37 % 101) / 100.0, i.toLong))
+      .toDF("query_id", "sim", "neighbor_id").repartition(8)
+    val agg = df.groupBy("query_id")
+      .agg(TopK.topK(5)(col("sim"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r", "nb")))
+      .select(col("query_id"), col("nb.sim"), col("nb.neighborId"))
+      .as[(Long, Double, Long)].collect().groupBy(_._1)
+    val naive = (0 until 1000).map(i => (i.toLong % 7, (i * 37 % 101) / 100.0, i.toLong))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._2, t._3)).take(5)).toMap
+    naive.foreach { case (q, exp) =>
+      assert(agg(q).sortBy(t => (-t._2, t._3)).toSeq == exp.toSeq)
+    }
+  }
+}
