@@ -374,7 +374,29 @@ object SparkEntry {
       Tables.orders(s, d).where(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("key"))
         .intersect(Tables.orders(s, d).where(col("o_orderstatus") === "O")
-          .select(col("o_custkey").as("key"))))
+          .select(col("o_custkey").as("key")))),
+
+    // X10/X11: object-store key, public URL, content type.
+    "q42_r2_meta" -> ((s, d) => {
+      val ext = when(pmod(did, lit(3)) === 0, ".pdf")
+        .when(pmod(did, lit(3)) === 1, ".xlsx").otherwise(".bin")
+      val rel = concat(lit("\\docs\\"), col("source"), lit("\\f"), sid, ext)
+      val key = T.r2Key(lit("life"), rel)
+      Tables.documents(s, d).select(did, key.as("key"),
+        T.publicUrl(lit("bucket.r2.dev"), key).as("public_url"),
+        T.contentType(key).as("content_type"))
+    }),
+
+    // A5: max pagination cursor as a Catalyst expression over raw hrefs.
+    "q43_max_page" -> ((s, d) => {
+      val html = concat(
+        lit("<a href='?p_cur="), sid, lit("'>x</a><a href='?p_cur="),
+        pmod(did * 2, lit(97)).cast("string"), lit("'>y</a>"))
+      val cursors = transform(
+        regexp_extract_all(html, lit("_cur=(\\d+)"), lit(1)), x => x.cast("int"))
+      Tables.documents(s, d).select(did,
+        greatest(lit(1), array_max(cursors)).as("max_page"))
+    })
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -693,6 +715,23 @@ object SparkEntry {
     "q41_intersect" ->
       """SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT
-        |SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+        |SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q42_r2_meta" ->
+      """WITH e AS (SELECT doc_id, source,
+        | CASE doc_id % 3 WHEN 0 THEN '.pdf' WHEN 1 THEN '.xlsx' ELSE '.bin' END AS ext
+        | FROM documents)
+        |SELECT doc_id,
+        | 'life/docs/' || source || '/f' || CAST(doc_id AS VARCHAR) || ext AS key,
+        | 'https://bucket.r2.dev/life/docs/' || source || '/f' || CAST(doc_id AS VARCHAR) || ext AS public_url,
+        | CASE ext WHEN '.pdf' THEN 'application/pdf'
+        |  WHEN '.xlsx' THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+        |  ELSE 'application/octet-stream' END AS content_type
+        |FROM e""".stripMargin,
+
+    "q43_max_page" ->
+      """SELECT doc_id,
+        | CAST(greatest(1, doc_id, (doc_id * 2) % 97) AS INTEGER) AS max_page
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's incremental
+  * semantics (SURVEY §2.10): the monthly scrape job is a slow micro-batch
+  * stream — pages arrive, rows are parsed, URLs are deduplicated against
+  * state, output is appended exactly-once-per-key.
+  *
+  *  - T1 trigger: callers pick `Trigger.AvailableNow()` (batch-like) or
+  *    processing-time; the transformations below are trigger-agnostic.
+  *  - T2 offsets/resume: the streaming checkpoint does what
+  *    storage/state.py:108-117 hand-rolls.
+  *  - T3 exactly-once-per-key: [[dedupByKey]] = `dropDuplicates` with
+  *    state — the streaming twin of the completed-set guard
+  *    (state.py:133-140).
+  *  - T6-adjacent: watermarked event-time windows ([[windowedCounts]])
+  *    and a `mapGroupsWithState` session tracker ([[sessionProgress]]),
+  *    the streaming analogs of SessionState bookkeeping (models.py:92-99).
+  *
+  * Scale notes: dedup state is keyed by the dedup column only (compact);
+  * the watermark bounds both window and dedup state so state size is
+  * O(keys in the watermark horizon), not O(stream history).
+  */
+object StreamingOps {
+
+  /** T3: exactly-once-per-key streaming dedup, state bounded by the
+    * watermark when an event-time column is provided.
+    */
+  def dedupByKey(stream: DataFrame, keyCol: String,
+                 eventTimeCol: Option[String] = None,
+                 watermark: String = "1 hour"): DataFrame =
+    eventTimeCol match {
+      case Some(ts) => stream.withWatermark(ts, watermark).dropDuplicates(keyCol, ts)
+      case None => stream.dropDuplicates(keyCol)
+    }
+
+  /** Watermarked tumbling-window counts per group — the streaming form of
+    * the A1 running counters.
+    */
+  def windowedCounts(stream: DataFrame, tsCol: String, groupCol: String,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("n"), col("sum_value"))
+
+  /** One page-progress event (the streaming analog of SessionState). */
+  case class PageEvent(productType: String, page: Int, nProducts: Long)
+
+  /** Accumulated per-type progress (models.py:92-99 shape). */
+  case class SessionProgress(productType: String, lastCompletedPage: Int,
+                             totalProducts: Long, batches: Long)
+
+  /** T2-shaped custom state: `mapGroupsWithState` keeps the max completed
+    * page and the running product count per product type across
+    * micro-batches — resume data the reference rewrites to JSON per page.
+    */
+  def sessionProgress(events: Dataset[PageEvent]): Dataset[SessionProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.productType)
+      .mapGroupsWithState[SessionProgress, SessionProgress](
+        GroupStateTimeout.NoTimeout()) {
+        case (pt, batch, state: GroupState[SessionProgress]) =>
+          val prior = state.getOption.getOrElse(SessionProgress(pt, 0, 0L, 0L))
+          val events = batch.toSeq
+          val next = SessionProgress(
+            pt,
+            math.max(prior.lastCompletedPage, if (events.isEmpty) 0 else events.map(_.page).max),
+            prior.totalProducts + events.map(_.nProducts).sum,
+            prior.batches + 1)
+          state.update(next)
+          next
+      }
+  }
+
+  /** K1 streaming: append each micro-batch to the single-file CSV sink via
+    * foreachBatch — exactly the reference's per-page append loop
+    * (cli.py:223), driven by the streaming engine.
+    */
+  def csvAppendSink(stream: DataFrame, productType: String, csvPath: String,
+                    checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.CsvMeta.append(batch.toDF(), productType, csvPath)
+      }
+}
