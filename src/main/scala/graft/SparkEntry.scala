@@ -119,6 +119,38 @@ object SparkEntry {
     pageDs(s, cells, "health", docs)
   }
 
+  private def nonlifePages(s: SparkSession, dir: String): Dataset[PageHtml] = {
+    val docs = Tables.documents(s, dir)
+    val cells = Seq(
+      lit("<input type='checkbox'/>"),
+      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
+      when(pmod(did, lit(6)) === 0, "").otherwise(sid),
+      concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
+      concat(lit("GIns "), col("source")),
+      concat(lit("NProd "), sid),
+      lit("Motor"),
+      concat(lit("NL-"), sid),
+      when(pmod(did, lit(4)) === 0, "").otherwise(lit("2021-03-31")),
+      concat(lit("<a href='/documents/n"), sid, lit(".xlsx'>NL Doc "), sid, lit("</a>")))
+    pageDs(s, cells, "nonlife", docs)
+  }
+
+  /** life_list pages exercising the X2 onclick fallback on every third row. */
+  private def lifeListPages(s: SparkSession, dir: String): Dataset[PageHtml] = {
+    val docs = Tables.documents(s, dir)
+    val linkCell = when(pmod(did, lit(3)) === 0,
+        concat(lit("<span onclick=\"window.open('/files/w"), sid, lit(".xlsx')\">view</span>")))
+      .otherwise(concat(lit("<a href='/documents/l"), sid, lit(".pdf'>List Doc "), sid, lit("</a>")))
+    val cells = Seq(
+      lit("<input type='checkbox'/>"),
+      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
+      concat(lit("Product list "), sid),
+      when(pmod(did, lit(4)) === 0, "").otherwise(lit("01-01-2024")),
+      when(pmod(did, lit(5)) === 0, "").otherwise(concat(lit("sub "), sid)),
+      linkCell)
+    pageDs(s, cells, "life_list", docs)
+  }
+
   // ---- the contract maps ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -396,6 +428,37 @@ object SparkEntry {
         regexp_extract_all(html, lit("_cur=(\\d+)"), lit(1)), x => x.cast("int"))
       Tables.documents(s, d).select(did,
         greatest(lit(1), array_max(cursors)).as("max_page"))
+    }),
+
+    // G1-G4 + P3: parse round-trip (nonlife, with optional s_no/date F4).
+    "q44_parse_nonlife" -> ((s, d) =>
+      ParsePipeline.nonlife(ParsePipeline.explodeRows(nonlifePages(s, d)).toDF())),
+
+    // G1-G4 + P2 + X2 onclick fallback: parse round-trip (life_list).
+    "q45_parse_life_list" -> ((s, d) =>
+      ParsePipeline.lifeList(ParsePipeline.explodeRows(lifeListPages(s, d)).toDF())),
+
+    // U1: union/append of per-source batches.
+    "q46_union_append" -> ((s, d) =>
+      Tables.lineitem(s, d).where(col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .unionAll(Tables.lineitem(s, d).where(col("l_quantity") > 45)
+          .select("l_orderkey", "l_linenumber", "l_quantity"))),
+
+    // F5: success/failure branch counts in one pass.
+    "q47_branch_split" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("success", col("value") > 0.5)
+        .groupBy("event_type")
+        .agg(sum(when(col("success"), 1).otherwise(0)).as("n_ok"),
+          sum(when(!col("success"), 1).otherwise(0)).as("n_fail"))),
+
+    // S3: cardinality probe — "of N results" → ceil-div page count.
+    "q48_total_pages" -> ((s, d) => {
+      val total = T.totalResults(concat(lit("Showing 1 to 60 of "),
+        format_number(col("n_chars") * 3, 0), lit(" results")))
+      Tables.documents(s, d).select(did,
+        floor((total + 59) / 60).cast("int").as("total_pages"))
     })
   )
 
@@ -732,6 +795,50 @@ object SparkEntry {
     "q43_max_page" ->
       """SELECT doc_id,
         | CAST(greatest(1, doc_id, (doc_id * 2) % 97) AS INTEGER) AS max_page
+        |FROM documents""".stripMargin,
+
+    "q44_parse_nonlife" ->
+      """SELECT 'nonlife' AS product_type,
+        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
+        | CASE WHEN doc_id % 6 = 0 THEN CAST(NULL AS VARCHAR) ELSE CAST(doc_id AS VARCHAR) END AS s_no,
+        | 'FY 20' || CAST(15 + doc_id % 5 AS VARCHAR) AS financial_year,
+        | 'GIns ' || source AS insurer,
+        | 'NProd ' || CAST(doc_id AS VARCHAR) AS product_name,
+        | 'Motor' AS type_of_product,
+        | 'NL-' || CAST(doc_id AS VARCHAR) AS uin,
+        | CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS VARCHAR) ELSE '2021-03-31' END AS date_of_approval,
+        | 'https://example.invalid/documents/n' || CAST(doc_id AS VARCHAR) || '.xlsx' AS document_url,
+        | 'NL Doc ' || CAST(doc_id AS VARCHAR) AS document_filename
+        |FROM documents""".stripMargin,
+
+    "q45_parse_life_list" ->
+      """SELECT 'life_list' AS product_type,
+        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
+        | 'Product list ' || CAST(doc_id AS VARCHAR) AS short_description,
+        | CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS VARCHAR) ELSE '01-01-2024' END AS last_updated,
+        | CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
+        |  ELSE 'sub ' || CAST(doc_id AS VARCHAR) END AS sub_title,
+        | CASE WHEN doc_id % 3 = 0
+        |  THEN 'https://example.invalid/files/w' || CAST(doc_id AS VARCHAR) || '.xlsx'
+        |  ELSE 'https://example.invalid/documents/l' || CAST(doc_id AS VARCHAR) || '.pdf' END AS document_url,
+        | CASE WHEN doc_id % 3 = 0 THEN 'w' || CAST(doc_id AS VARCHAR) || '.xlsx'
+        |  ELSE 'List Doc ' || CAST(doc_id AS VARCHAR) END AS document_filename
+        |FROM documents""".stripMargin,
+
+    "q46_union_append" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45""".stripMargin,
+
+    "q47_branch_split" ->
+      """SELECT event_type,
+        | CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        | CAST(sum(CASE WHEN NOT (value > 0.5) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q48_total_pages" ->
+      """SELECT doc_id,
+        | CAST(floor((n_chars * 3 + 59) / 60.0) AS INTEGER) AS total_pages
         |FROM documents""".stripMargin
   )
 }

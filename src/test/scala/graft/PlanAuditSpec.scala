@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that matter at 100 TB, asserted on
+  * the actual executed plans of the contract queries over the real tables.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("scalar scans prune to the referenced columns (ReadSchema)") {
+    val p = q("q11_clean_text").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"clean_text should scan only doc_id+text:\n$p")
+  }
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val df = Tables.lineitem(spark, sf).where(col("l_quantity") > 45)
+      .select("l_orderkey")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter should push to scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+  }
+
+  test("dimension joins broadcast the small side (q02)") {
+    val p = plan(q("q02_revenue_by_nation"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dims must not sort-merge at this size:\n$p")
+  }
+
+  test("delta anti-join is a broadcast anti join (q05)") {
+    val p = plan(q("q05_delta_anti"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("top-k ANN aggregates partially — no Window, no full-corpus sort (q28)") {
+    val p = plan(q("q28_bruteforce_topk"))
+    assert(!p.contains("Window"), s"row_number window would shuffle QxN rows:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected partial top-k aggregation:\n$p")
+  }
+
+  test("IVF assignment plans with zero exchanges (q29)") {
+    val p = plan(q("q29_ivf_assign"))
+    assert(!p.contains("Exchange"), s"argmin against literal centroids must not shuffle:\n$p")
+  }
+
+  test("global top-n compiles to TakeOrderedAndProject, not a full sort (q03)") {
+    val p = plan(q("q03_top_orders"))
+    assert(p.contains("TakeOrderedAndProject"), s"limit+orderBy should fuse:\n$p")
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle (q01)") {
+    val p = plan(q("q01_pricing_summary"))
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"expected partial+final agg:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar function pipeline (q19)") {
+    val p = plan(q("q19_sanitize_filename"))
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(p.contains("*(1) Project"), s"scalar chain should codegen:\n$p")
+  }
+}
