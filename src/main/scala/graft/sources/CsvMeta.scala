@@ -24,21 +24,28 @@ object CsvMeta {
 
   /** Ordered output columns per product table — the single source of truth
     * (reference declares this twice: config.py:49-125 + pydantic models).
-    * `scraped_at` is the extra sink-appended column (csv_writer.py:53-54).
+    * Orders are golden-matched to the shipped corpus headers
+    * (the data/metadata CSVs; verified by CsvGoldenSpec): no product_type
+    * column (implied by the file), local_file_path/r2_url present,
+    * `scraped_at` appended by the sink (csv_writer.py:53-54).
     */
   val columns: Map[String, Seq[String]] = Map(
-    "life" -> Seq("product_type", "archive_status", "financial_year", "insurer",
-      "product_name", "uin", "type_of_product", "launch_modification_date",
+    "life" -> Seq("archive_status", "financial_year", "insurer", "product_name",
+      "uin", "type_of_product", "launch_modification_date",
       "closing_withdrawal_date", "protection_savings_retirement", "par_nonpar",
-      "individual_group", "remarks", "document_url", "document_filename", "scraped_at"),
-    "life_list" -> Seq("product_type", "archive_status", "short_description",
-      "last_updated", "sub_title", "document_url", "document_filename", "scraped_at"),
-    "nonlife" -> Seq("product_type", "archive_status", "s_no", "financial_year",
-      "insurer", "product_name", "type_of_product", "uin", "date_of_approval",
-      "document_url", "document_filename", "scraped_at"),
-    "health" -> Seq("product_type", "archive_status", "financial_year", "insurer",
-      "uin", "product_name", "date_of_approval", "type_of_product",
-      "document_url", "document_filename", "scraped_at"))
+      "individual_group", "remarks", "document_url", "document_filename",
+      "local_file_path", "r2_url", "scraped_at"),
+    "life_list" -> Seq("archive_status", "short_description", "last_updated",
+      "sub_title", "document_url", "document_filename", "local_file_path",
+      "r2_url", "scraped_at"),
+    "nonlife" -> Seq("s_no", "financial_year", "insurer", "product_name",
+      "type_of_product", "uin", "date_of_approval", "document_url",
+      "document_filename", "local_file_path", "r2_url", "archive_status",
+      "scraped_at"),
+    "health" -> Seq("financial_year", "insurer", "uin", "product_name",
+      "date_of_approval", "document_url", "document_filename",
+      "local_file_path", "r2_url", "type_of_product", "archive_status",
+      "scraped_at"))
 
   /** S4: project the existing-URL set out of a metadata CSV
     * (delta_download.py:41-51); empty/missing file → empty set.

@@ -77,7 +77,7 @@ class StreamingOpsSpec extends SparkSpec {
       input.addData(("U2", "B")); q.processAllAvailable()
       val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(s"$dir/m.csv"))
       assert(lines.size == 3) // one header + two rows
-      assert(lines.get(0).startsWith("product_type,"))
+      assert(lines.get(0).startsWith("archive_status,"))
     } finally q.stop()
   }
 }
