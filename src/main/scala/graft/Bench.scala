@@ -27,6 +27,12 @@ object Bench {
       case c => c.toString
     }
 
+    // Untimed warmup: JIT the parquet reader, codegen, and noop-sink paths
+    // so the first timed query doesn't absorb one-time JVM costs.
+    try Tables.lineitem(spark, sfDir).limit(1000)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

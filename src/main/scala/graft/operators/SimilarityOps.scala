@@ -40,7 +40,8 @@ object SimilarityOps {
       col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", Rounding.half4(V.cosine(col("qv"), col("cv"))))
+      .withColumn("sim", Rounding.half4(
+        graft.GraftFunctions.cosine(corpus.sparkSession, col("qv"), col("cv"))))
     val agg = scored.groupBy("query_id")
       .agg(TopK.topK(k)(col("sim"), col("neighbor_id")).as("topk"))
     explodeRanked(agg)
@@ -113,7 +114,8 @@ object SimilarityOps {
     val scored = assigned
       .join(broadcast(probes), Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", Rounding.half4(V.cosine(col("qv"), col("cv"))))
+      .withColumn("sim", Rounding.half4(
+        graft.GraftFunctions.cosine(corpus.sparkSession, col("qv"), col("cv"))))
     val agg = scored.groupBy("query_id")
       .agg(TopK.topK(k)(col("sim"), col("neighbor_id")).as("topk"))
     explodeRanked(agg)
@@ -141,7 +143,8 @@ object SimilarityOps {
     val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("sim", Rounding.half4(V.cosine(col("v_a"), col("v_b"))))
+      .withColumn("sim", Rounding.half4(
+        graft.GraftFunctions.cosine(corpus.sparkSession, col("v_a"), col("v_b"))))
       .where(col("sim") >= minCosine)
       .select("id_a", "id_b", "sim")
   }
