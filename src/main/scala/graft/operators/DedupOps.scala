@@ -33,18 +33,6 @@ object DedupOps {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** (id, band, bandKey) rows — the LSH join keys — computed in one tight
-    * `mapPartitions` kernel.
-    *
-    * Why not the Catalyst higher-order-function composition
-    * (`bandKeys(minhashSignature(wordShingles(...)))`)? Lambda arguments in
-    * nested HOFs are re-evaluated per element: the 16-band transform
-    * re-evaluates the 64-perm signature per band, which re-evaluates the
-    * shingle construction per perm — a 1000× per-row blowup that Catalyst
-    * cannot common-subexpression away (measured: minutes for 1k docs).
-    * The kernel is per-row, shuffle-free, and emits only (long, int, long),
-    * so it scales exactly like the expression version was meant to.
-    */
   /** (id, distinct word shingles) via one tokenization pass — the
     * verification-side twin of [[minhashBandRows]] (same HOF-blowup
     * rationale; `wordShingles(tokens(...))` re-tokenizes per shingle).
@@ -67,6 +55,18 @@ object DedupOps {
       }.toDF("id", "sh")
   }
 
+  /** (id, band, bandKey) rows — the LSH join keys — computed in one tight
+    * `mapPartitions` kernel.
+    *
+    * Why not the Catalyst higher-order-function composition
+    * (`bandKeys(minhashSignature(wordShingles(...)))`)? Lambda arguments in
+    * nested HOFs are re-evaluated per element: the 16-band transform
+    * re-evaluates the 64-perm signature per band, which re-evaluates the
+    * shingle construction per perm — a 1000× per-row blowup that Catalyst
+    * cannot common-subexpression away (measured: minutes for 1k docs).
+    * The kernel is per-row, shuffle-free, and emits only (long, int, long),
+    * so it scales exactly like the expression version was meant to.
+    */
   def minhashBandRows(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numPerms: Int, bands: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -143,7 +143,9 @@ object DedupOps {
                       threshold: Double = 0.8, shingleN: Int = 3,
                       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleN, numPerms, bands)
+    // referenced by both sides of the pair join — materialize once
     val sh = wordShingleRows(docs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * ordering invariant from the reference (anti-join BEFORE the expensive
   * fetch) is preserved by construction: these produce the task set that
   * feeds [[graft.fetch.Downloader]].
+  *
+  * T5 changed-data semantics (SURVEY §2.10, delta_download.py:191): the
+  * delta is INSERT-ONLY on the key — a changed document at an unchanged
+  * URL is never refetched, exactly like the reference. To upgrade beyond
+  * parity, delta on a composite key instead, e.g.
+  * `delta(current.withColumn("k", concat(url, content_hash)), existing, "k")`
+  * with [[graft.functions.TextFunctions.fingerprint]] as the hash.
   */
 object DeltaOps {
 
