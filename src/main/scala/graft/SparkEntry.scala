@@ -459,7 +459,13 @@ object SparkEntry {
         format_number(col("n_chars") * 3, 0), lit(" results")))
       Tables.documents(s, d).select(did,
         floor((total + 59) / 60).cast("int").as("total_pages"))
-    })
+    }),
+
+    // T6-adjacent: gap-based sessionization + per-session rollup.
+    "q49_sessionize" -> ((s, d) =>
+      SessionOps.sessionSummary(Tables.events(s, d), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
+          col("session_start"), col("session_end"), col("n_events"), col("sum_value")))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -839,6 +845,25 @@ object SparkEntry {
     "q48_total_pages" ->
       """SELECT doc_id,
         | CAST(floor((n_chars * 3 + 59) / 60.0) AS INTEGER) AS total_pages
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q49_sessionize" ->
+      """WITH s AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |   THEN 1 ELSE 0 END AS is_new
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        | SELECT *, CAST(sum(is_new) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |  AS session_seq
+        | FROM s)
+        |SELECT user_id, session_seq,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events,
+        | floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM t GROUP BY user_id, session_seq""".stripMargin
   )
 }
