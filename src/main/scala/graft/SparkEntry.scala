@@ -465,7 +465,14 @@ object SparkEntry {
     "q49_sessionize" -> ((s, d) =>
       SessionOps.sessionSummary(Tables.events(s, d), "user_id", "ts", "event_id")
         .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
-          col("session_start"), col("session_end"), col("n_events"), col("sum_value")))
+          col("session_start"), col("session_end"), col("n_events"), col("sum_value"))),
+
+    // Winnowing rolling-hash fingerprint overlap (rows-only: the
+    // polynomial rolling hash has no DuckDB equivalent; deterministic by
+    // construction — every planted (i, i+1000) near-dup pair must appear).
+    "q50_fingerprint_overlap" -> ((s, d) =>
+      DedupOps.fingerprintOverlap(dupCorpus(Tables.documents(s, d)), "id", "text",
+        minContainment = 0.9))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----

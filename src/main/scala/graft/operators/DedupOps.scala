@@ -211,6 +211,106 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): polynomial
+    * rolling hash over char k-grams of the normalized text, then the
+    * rightmost-minimum hash of each length-w window, distinct. Two
+    * documents sharing any fingerprint share a k-gram run — the standard
+    * containment/plagiarism detector. Guarantee: any shared substring of
+    * length ≥ w + k - 1 produces at least one shared fingerprint.
+    *
+    * Kernel-shaped like [[minhashBandRows]]: per-row, shuffle-free, emits
+    * (id, array<long>); at 100 TB the downstream overlap join shuffles
+    * only (fingerprint, id) longs.
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val B = 1000003L // polynomial base (prime)
+        it.map { case (id, raw) =>
+          val text = Option(raw).getOrElse("").trim
+            .replaceAll("\\s+", " ").toLowerCase
+          if (text.length < k) (id, Seq.empty[Long])
+          else {
+            // rolling hashes of all k-grams
+            var pow = 1L
+            var i = 1
+            while (i < k) { pow *= B; i += 1 }
+            val n = text.length - k + 1
+            val hs = new Array[Long](n)
+            var h = 0L
+            i = 0
+            while (i < k) { h = h * B + text.charAt(i); i += 1 }
+            hs(0) = h
+            i = 1
+            while (i < n) {
+              h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+              hs(i) = h
+              i += 1
+            }
+            // winnow: rightmost minimum of each w-window
+            val picked = scala.collection.mutable.LinkedHashSet[Long]()
+            var j = 0
+            val lastWindow = n - w
+            while (j <= math.max(lastWindow, 0)) {
+              var minIdx = j
+              var m = j
+              val end = math.min(j + w, n)
+              while (m < end) { if (hs(m) <= hs(minIdx)) minIdx = m; m += 1 }
+              picked += hs(minIdx)
+              j += 1
+            }
+            (id, picked.toSeq)
+          }
+        }
+      }.toDF("id", "fingerprints")
+  }
+
+  /** Document pairs whose winnowing-fingerprint CONTAINMENT —
+    * shared / min(|A|, |B|) — reaches `minContainment`.
+    *
+    * Two scale guards, both essential:
+    *  - posting-list cap: a fingerprint appearing in more than
+    *    `maxPostings` documents is a non-discriminative common substring
+    *    (boilerplate); it would fan the self-join out quadratically and
+    *    adds no signal, so it is dropped — the same degenerate-bucket
+    *    treatment as the LSH `maxBucketSize` guard;
+    *  - raw shared-count alone is length-biased (long docs share common
+    *    fragments by chance); containment normalizes by the smaller
+    *    fingerprint set, so verbatim-inclusion pairs score ~1.0 regardless
+    *    of vocabulary overlap noise.
+    */
+  def fingerprintOverlap(docs: DataFrame, idCol: String, textCol: String,
+                         minContainment: Double = 0.9, maxPostings: Int = 100,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    val fp = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col("id"), explode(col("fingerprints")).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val common = fp.groupBy("fp").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxPostings).select("fp")
+    // containment numerator AND denominator both use the post-cap (rare)
+    // sets — mixing the two underestimates containment for docs rich in
+    // boilerplate fingerprints
+    val rare = fp.join(broadcast(common), Seq("fp"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = rare.groupBy("id").agg(count(lit(1)).as("nfp"))
+    val a = rare.select(col("fp"), col("id").as("id_a"))
+    val b = rare.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .join(sizes.select(col("id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
+      .withColumn("containment", Rounding.half4(
+        col("shared_fingerprints").cast("double") / least(col("nfp_a"), col("nfp_b"))))
+      .where(col("containment") >= minContainment)
+      .select("id_a", "id_b", "shared_fingerprints", "containment")
+  }
+
   /** Exact n-gram Jaccard similarity for explicitly given id pairs
     * (deterministic, oracle-checkable).
     */

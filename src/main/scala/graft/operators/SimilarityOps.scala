@@ -160,6 +160,46 @@ object SimilarityOps {
     cents
   }
 
+  /** Materialize the IVF index: the assigned corpus written
+    * partition-by-centroid, so probes prune at the SOURCE — a query that
+    * probes 4 of 256 lists reads 4/256ths of the bytes (verify:
+    * `PartitionFilters: [centroid_id IN (…)]` in the scan, asserted by
+    * IvfIndexSpec). This is the 100 TB shape: assignment cost is paid once
+    * per corpus build, per-query cost scales with nprobe/nlist.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[(Long, Seq[Double])] = {
+    val cents = collectCentroids(corpus, nlist, idCol, vecCol)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        nearestCentroid(col(vecCol), cents).as("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    cents
+  }
+
+  /** Top-k probe against a materialized index: only the `nprobe` partition
+    * directories per query batch are ever read.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     cents: Seq[(Long, Seq[Double])], queries: DataFrame, k: Int,
+                     nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeList(col(vecCol), cents, nprobe)).as("centroid_id"))
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = spark.read.parquet(indexPath)
+      .where(col("centroid_id").isin(probedIds: _*))
+    val scored = lists
+      .join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Rounding.half4(
+        graft.GraftFunctions.cosine(spark, col("qv"), col("cv"))))
+    explodeRanked(scored.groupBy("query_id")
+      .agg(TopK.topK(k)(col("sim"), col("neighbor_id")).as("topk")))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded). Small:
     * nbits × dim doubles, inlined into the plan as a literal.
     */

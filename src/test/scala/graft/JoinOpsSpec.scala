@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{DedupOps, JoinOps}
+import org.apache.spark.sql.functions._
+
+/** Salted join + winnowing fingerprint tests. */
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedEquiJoin returns exactly the plain join's rows") {
+    // hot key: 500 of 600 rows share key "hot"
+    val big = ((1 to 500).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("key", "payload")
+    val small = (Seq(("hot", "H")) ++ (1 to 50).map(i => (s"k$i", s"V$i")))
+      .toDF("key", "dim")
+    val plain = big.join(small, Seq("key")).collect().map(_.toString).sorted.toSeq
+    val salted = JoinOps.saltedEquiJoin(big, small, "key", saltFactor = 8)
+      .select("key", "payload", "dim").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    assert(salted.count(_.contains("hot")) == 500)
+  }
+
+  test("salted join is deterministic across executions") {
+    val big = (1 to 200).map(i => ("k" + i % 3, i)).toDF("key", "payload")
+    val small = Seq(("k0", "a"), ("k1", "b"), ("k2", "c")).toDF("key", "dim")
+    val r1 = JoinOps.saltedEquiJoin(big, small, "key").collect().map(_.toString).sorted.toSeq
+    val r2 = JoinOps.saltedEquiJoin(big, small, "key").collect().map(_.toString).sorted.toSeq
+    assert(r1 == r2 && r1.size == 200)
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill nearby"
+
+  test("winnowing: shared substrings produce shared fingerprints") {
+    val docs = Seq(
+      (1L, base),
+      (2L, "INTRO. " + base + " OUTRO."),      // contains doc 1 verbatim
+      (3L, "totally unrelated content about catalyst expression codegen internals")
+    ).toDF("id", "text")
+    val overlap = DedupOps.fingerprintOverlap(docs, "id", "text", minContainment = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(overlap.contains((1L, 2L)))
+    assert(!overlap.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing guarantee: substrings ≥ w+k-1 chars always share a fingerprint") {
+    val shared = "abcdefghijklmnop" // 16 chars ≥ w+k-1 = 11 (k=8, w=4)
+    val docs = Seq(
+      (1L, "xxxx " + shared + " yyyy"),
+      (2L, "zzzz " + shared + " qqqq")).toDF("id", "text")
+    val overlap = DedupOps.fingerprintOverlap(docs, "id", "text", minContainment = 0.05)
+    assert(overlap.count() == 1)
+  }
+
+  test("winnowing fingerprints are deterministic and short-text-safe") {
+    val docs = Seq((1L, "tiny"), (2L, "")).toDF("id", "text")
+    val fp = DedupOps.winnowingFingerprints(docs, "id", "text").collect()
+    assert(fp.forall(_.getAs[Seq[Long]]("fingerprints").isEmpty))
+  }
+}
