@@ -33,6 +33,16 @@ object DedupOps {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Seeded odd multipliers / offsets for the minhash affine permutation
+    * family (deterministic across runs and JVMs).
+    */
+  private val (permA, permB) = {
+    val rng = new scala.util.Random(0x5EED)
+    (Array.fill(256)(rng.nextLong() | 1L), Array.fill(256)(rng.nextLong()))
+  }
+  private def PermA(i: Int): Long = permA(i % 256)
+  private def PermB(i: Int): Long = permB(i % 256)
+
   /** (id, distinct word shingles) via one tokenization pass — the
     * verification-side twin of [[minhashBandRows]] (same HOF-blowup
     * rationale; `wordShingles(tokens(...))` re-tokenizes per shingle).
@@ -83,11 +93,14 @@ object DedupOps {
               .map(i => toks.slice(i, i + shingleN).mkString(" ")).toSet
           val sig = Array.fill(numPerms)(Long.MaxValue)
           shingles.foreach { s =>
-            val u = UTF8String.fromString(s)
+            // one string hash per shingle; the numPerms "independent"
+            // permutations are affine mixes h*A(i)+B(i) of it (the
+            // standard minhash construction) — 64× fewer byte-level hashes
+            val h = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
             var i = 0
             while (i < numPerms) {
-              val h = XxHash64Function.hash(u, StringType, i.toLong)
-              if (h < sig(i)) sig(i) = h
+              val mixed = h * PermA(i) + PermB(i)
+              if (mixed < sig(i)) sig(i) = mixed
               i += 1
             }
           }
