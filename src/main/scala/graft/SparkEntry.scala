@@ -472,7 +472,19 @@ object SparkEntry {
     // construction — every planted (i, i+1000) near-dup pair must appear).
     "q50_fingerprint_overlap" -> ((s, d) =>
       DedupOps.fingerprintOverlap(dupCorpus(Tables.documents(s, d)), "id", "text",
-        minContainment = 0.9))
+        minContainment = 0.9)),
+
+    // [gap] exact percentiles (sort-based aggregate, linear interpolation).
+    "q51_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(R.half4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+          R.half4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          R.half4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))),
+
+    // [gap] rollup with grand total.
+    "q52_rollup" -> ((s, d) =>
+      Tables.orders(s, d).rollup("o_orderstatus")
+        .agg(count(lit(1)).as("n"), R.half2(sum("o_totalprice")).as("total")))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -871,6 +883,18 @@ object SparkEntry {
         | min(ts) AS session_start, max(ts) AS session_end,
         | count(*) AS n_events,
         | floor(sum(value) * 100 + 0.5) / 100 AS sum_value
-        |FROM t GROUP BY user_id, session_seq""".stripMargin
+        |FROM t GROUP BY user_id, session_seq""".stripMargin,
+
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+        | floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        | floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000 AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q52_rollup" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus)""".stripMargin
   )
 }

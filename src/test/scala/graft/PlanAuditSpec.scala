@@ -63,6 +63,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"expected partial+final agg:\n$p")
   }
 
+  test("pre-bucketed tables join without a shuffle (co-located join)") {
+    import spark.implicits._
+    val n = 1000
+    (1 to n).map(i => (i.toLong, s"o$i")).toDF("k", "ov")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("b_orders")
+    (1 to n).map(i => (i.toLong, i * 1.5)).toDF("k", "lv")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("b_lines")
+    // force the shuffled-join path: tiny test tables would broadcast
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lines"), "k")
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must be shuffle-free (both sides pre-partitioned on k):\n$p")
+      assert(joined.count() == n)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("whole-stage codegen covers the scalar function pipeline (q19)") {
     val p = plan(q("q19_sanitize_filename"))
     // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
