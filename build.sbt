@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 50+ whole-stage-codegen queries in one JVM generate enough classes to
+  // fill the default code cache; a full cache disables the JIT silently
+  // and CPU-bound kernels drop to interpreter speed (observed: bimodal
+  // 3.6s↔11.4s on the same query).
+  "-XX:ReservedCodeCacheSize=512m",
 )

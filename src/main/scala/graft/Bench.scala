@@ -44,6 +44,9 @@ object Bench {
         false
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // operators persist their sketch tables; drop them between queries
+      // so caches don't accumulate across 50+ queries and churn eviction
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }

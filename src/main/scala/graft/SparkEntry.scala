@@ -475,11 +475,15 @@ object SparkEntry {
         minContainment = 0.9)),
 
     // [gap] exact percentiles (sort-based aggregate, linear interpolation).
+    // One aggregation buffer for all three quantiles — three separate
+    // percentile() calls would each collect the group's values.
     "q51_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(R.half4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-          R.half4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          R.half4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))),
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+        .select(col("l_returnflag"),
+          R.half4(element_at(col("ps"), 1)).as("p25"),
+          R.half4(element_at(col("ps"), 2)).as("p50"),
+          R.half4(element_at(col("ps"), 3)).as("p75"))),
 
     // [gap] rollup with grand total.
     "q52_rollup" -> ((s, d) =>
