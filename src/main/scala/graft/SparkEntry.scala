@@ -233,7 +233,10 @@ object SparkEntry {
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
-          max("o_orderdate").as("max_date"),
+          // string-typed on both sides: Spark parquet timestamps are
+          // adjusted-to-UTC (read tz-aware) while DuckDB returns naive —
+          // a comparator that doesn't tz-normalize would false-fail
+          date_format(max("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_date"),
           R.half2(sum("o_totalprice")).as("total"))),
 
     // X1: clean text.
@@ -363,7 +366,8 @@ object SparkEntry {
     // T-adjacent: event-time hourly windowed aggregation.
     "q34_event_hourly" -> ((s, d) =>
       Tables.events(s, d)
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), R.half2(sum("value")).as("sum_value"))),
 
     // G1-G4 + P1 + F1/F2/F4: full HTML parse round-trip (life).
@@ -465,7 +469,9 @@ object SparkEntry {
     "q49_sessionize" -> ((s, d) =>
       SessionOps.sessionSummary(Tables.events(s, d), "user_id", "ts", "event_id")
         .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
-          col("session_start"), col("session_end"), col("n_events"), col("sum_value"))),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"), col("sum_value"))),
 
     // Winnowing rolling-hash fingerprint overlap (rows-only: the
     // polynomial rolling hash has no DuckDB equivalent; deterministic by
@@ -550,7 +556,8 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q10_state_summary" ->
-      """SELECT o_orderstatus, count(*) AS n_orders, max(o_orderdate) AS max_date,
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS max_date,
         | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
@@ -751,7 +758,7 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     "q34_event_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour, event_type,
         | count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
@@ -884,7 +891,8 @@ object SparkEntry {
         |  AS session_seq
         | FROM s)
         |SELECT user_id, session_seq,
-        | min(ts) AS session_start, max(ts) AS session_end,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         | count(*) AS n_events,
         | floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
