@@ -494,7 +494,15 @@ object SparkEntry {
     // [gap] rollup with grand total.
     "q52_rollup" -> ((s, d) =>
       Tables.orders(s, d).rollup("o_orderstatus")
-        .agg(count(lit(1)).as("n"), R.half2(sum("o_totalprice")).as("total")))
+        .agg(count(lit(1)).as("n"), R.half2(sum("o_totalprice")).as("total"))),
+
+    // RAG retrieval: ANN top-k joined back to document text (vec_id and
+    // doc_id are aligned in the test data).
+    "q53_rag_retrieve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.retrieveDocs(Tables.documents(s, d), emb,
+        emb.where(col("vec_id") < 4), k = 3)
+    })
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -907,6 +915,22 @@ object SparkEntry {
     "q52_rollup" ->
       """SELECT o_orderstatus, count(*) AS n,
         | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
-        |FROM orders GROUP BY ROLLUP (o_orderstatus)""".stripMargin
+        |FROM orders GROUP BY ROLLUP (o_orderstatus)""".stripMargin,
+
+    "q53_rag_retrieve" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
+        | FROM c CROSS JOIN q WHERE qid <> nid),
+        |r AS (SELECT qid, nid,
+        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
+        |w AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
+        |SELECT w.qid AS query_id, w.rk AS rank, w.nid AS neighbor_id, w.sim, d.text
+        |FROM w JOIN documents d ON d.doc_id = w.nid
+        |WHERE w.rk <= 3""".stripMargin
   )
 }

@@ -200,6 +200,21 @@ object SimilarityOps {
       .agg(TopK.topK(k)(col("sim"), col("neighbor_id")).as("topk")))
   }
 
+  /** RAG retrieval: top-k neighbors per query joined back to the document
+    * payload — the downstream-consumer shape (embedding table keyed by
+    * doc id + document table). The ANN stage shuffles only (query, k)
+    * rows; the payload join touches k × |queries| documents, broadcast
+    * when small.
+    */
+  def retrieveDocs(docs: DataFrame, embeddings: DataFrame, queries: DataFrame,
+                   k: Int, docIdCol: String = "doc_id", textCol: String = "text",
+                   vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val topk = bruteForceTopK(embeddings, queries, k, vecIdCol, vecCol)
+    topk.join(docs.select(col(docIdCol).as("neighbor_id"), col(textCol)),
+      Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"), col(textCol))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded). Small:
     * nbits × dim doubles, inlined into the plan as a literal.
     */
