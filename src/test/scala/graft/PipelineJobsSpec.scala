@@ -119,6 +119,20 @@ class PipelineJobsSpec extends SparkSpec {
     assert(CsvMeta.count(spark, csv) == 0)
   }
 
+  test("metadata-only mode skips the download stage entirely (F6)") {
+    val work = mkWorkDir()
+    val pagesDir = s"$work/pages"
+    writeLifePages(pagesDir, Seq(Seq(("UIN1", "Alpha", 1), ("UIN2", "Beta", 2))))
+    val state = new StateStore(spark, s"$work/state")
+    val pages = graft.sources.PageSource.fixtureScan(spark, "life", pagesDir, 1, 1)
+    val (n, ok, bad) = Jobs.runPipeline(spark, state, work, "life", pages,
+      Jobs.stubFetch, metadataOnly = true)
+    assert((n, ok, bad) == (2L, 0L, 0L))
+    assert(CsvMeta.count(spark, Jobs.csvPath(work, "life")) == 2L)
+    assert(!Files.exists(Paths.get(s"$work/downloads"))) // no fetch happened
+    assert(state.completed.count() == 0)
+  }
+
   test("status summary exposes sessions plus completed/failed counts (A3)") {
     val work = mkWorkDir()
     val pagesDir = s"$work/pages"

@@ -63,6 +63,13 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"expected partial+final agg:\n$p")
   }
 
+  test("enrichment join's max_by aggregates partially before its shuffle (q06)") {
+    val p = plan(q("q06_enrich_latest"))
+    assert(p.contains("partial_max_by") || p.contains("ObjectHashAggregate"),
+      s"max_by should partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"no window needed for last-write-wins:\n$p")
+  }
+
   test("pre-bucketed tables join without a shuffle (co-located join)") {
     import spark.implicits._
     val n = 1000
