@@ -446,7 +446,7 @@ object SparkEntry {
     "q46_union_append" -> ((s, d) =>
       Tables.lineitem(s, d).where(col("l_quantity") < 5)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .unionAll(Tables.lineitem(s, d).where(col("l_quantity") > 45)
+        .union(Tables.lineitem(s, d).where(col("l_quantity") > 45)
           .select("l_orderkey", "l_linenumber", "l_quantity"))),
 
     // F5: success/failure branch counts in one pass.
