@@ -349,13 +349,17 @@ object SparkEntry {
           col("meta.height").as("height"),
           col("meta.durationMs").as("duration_ms"))),
 
-    // Multimodal: metadata-only resize.
-    "q32_media_resize" -> ((s, d) =>
-      MultimodalOps.resize(
-        MultimodalOps.asMediaTable(Tables.documents(s, d), "doc_id", "text"),
-        128, 128)
-        .select(col("media_id"), col("meta.width").as("width"),
-          col("meta.height").as("height"))),
+    // Multimodal: REAL resize — synthesize PNGs, ImageIO-decode, downscale
+    // via Graphics2D, re-encode, then decode AGAIN: output dims and channel
+    // means come from the resized raster, not metadata.
+    "q32_media_resize" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.decodeImages(
+        MultimodalOps.resizeImages(
+          MultimodalOps.asImageTable(Tables.documents(s, d), "doc_id"),
+          maxW = 16, maxH = 12))
+        .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+    }),
 
     // Multimodal: frame sampling (explode).
     "q33_frame_sample" -> ((s, d) =>
@@ -502,6 +506,25 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.retrieveDocs(Tables.documents(s, d), emb,
         emb.where(col("vec_id") < 4), k = 3)
+    }),
+
+    // Multimodal: REAL image decode — per-row PNG bytes through
+    // javax.imageio; dims and per-channel means read from the raster.
+    "q54_image_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.decodeImages(
+        MultimodalOps.asImageTable(Tables.documents(s, d), "doc_id"))
+        .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+    }),
+
+    // Multimodal: REAL video frame extraction — parse the length-prefixed
+    // frame container, decode every 2nd frame's PNG, emit per-frame stats.
+    "q55_video_frames" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.sampleVideoFrames(
+        MultimodalOps.asVideoTable(Tables.documents(s, d), "doc_id"), stride = 2)
+        .toDF("media_id", "frame_idx", "width", "height",
+          "mean_r", "mean_g", "mean_b")
     })
   )
 
@@ -749,15 +772,21 @@ object SparkEntry {
         | CAST(doc_id % 30000 + 1000 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
+    // Mirrors the synthetic-PNG formulas (MultimodalOps.dimsFor/channels)
+    // and the resize target-dim arithmetic; Spark derives the same values
+    // by actually decoding the resized PNG bytes.
     "q32_media_resize" ->
       """WITH m AS (SELECT doc_id,
-        | CAST(doc_id % 640 + 32 AS INTEGER) AS w,
-        | CAST(doc_id % 480 + 32 AS INTEGER) AS h FROM documents),
+        | CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+        | CAST(doc_id % 16 + 8 AS INTEGER) AS h FROM documents),
         |sc AS (SELECT doc_id, w, h,
-        | least(128.0 / w, 128.0 / h, 1.0) AS scale FROM m)
+        | least(16.0 / w, 12.0 / h, 1.0) AS scale FROM m)
         |SELECT doc_id AS media_id,
-        | CAST(floor(w * scale) AS INTEGER) AS width,
-        | CAST(floor(h * scale) AS INTEGER) AS height
+        | CAST(greatest(1, floor(w * scale)) AS INTEGER) AS width,
+        | CAST(greatest(1, floor(h * scale)) AS INTEGER) AS height,
+        | CAST((doc_id * 3 + 7) % 256 AS DOUBLE) AS mean_r,
+        | CAST((doc_id * 5 + 11) % 256 AS DOUBLE) AS mean_g,
+        | CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_b
         |FROM sc""".stripMargin,
 
     "q33_frame_sample" ->
@@ -931,6 +960,31 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
         |SELECT w.qid AS query_id, w.rk AS rank, w.nid AS neighbor_id, w.sim, d.text
         |FROM w JOIN documents d ON d.doc_id = w.nid
-        |WHERE w.rk <= 3""".stripMargin
+        |WHERE w.rk <= 3""".stripMargin,
+
+    // Mirrors MultimodalOps.dimsFor + channels: the Spark side derives
+    // these values by ImageIO-decoding real PNG bytes.
+    "q54_image_decode" ->
+      """SELECT doc_id AS media_id,
+        | CAST(doc_id % 24 + 8 AS INTEGER) AS width,
+        | CAST(doc_id % 16 + 8 AS INTEGER) AS height,
+        | CAST((doc_id * 3 + 7) % 256 AS DOUBLE) AS mean_r,
+        | CAST((doc_id * 5 + 11) % 256 AS DOUBLE) AS mean_g,
+        | CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
+
+    // Mirrors MultimodalOps.frameCountFor (doc_id % 5 + 2 frames) and the
+    // per-frame seed (doc_id * 1000 + frame); stride 2 samples 0, 2, 4.
+    "q55_video_frames" ->
+      """WITH fr AS (
+        | SELECT doc_id, unnest(generate_series(0, doc_id % 5 + 1, 2)) AS f
+        | FROM documents)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        | CAST(doc_id % 24 + 8 AS INTEGER) AS width,
+        | CAST(doc_id % 16 + 8 AS INTEGER) AS height,
+        | CAST(((doc_id * 1000 + f) * 3 + 7) % 256 AS DOUBLE) AS mean_r,
+        | CAST(((doc_id * 1000 + f) * 5 + 11) % 256 AS DOUBLE) AS mean_g,
+        | CAST(((doc_id * 1000 + f) * 7 + 13) % 256 AS DOUBLE) AS mean_b
+        |FROM fr""".stripMargin
   )
 }

@@ -1,17 +1,32 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import javax.imageio.ImageIO
+
+import scala.util.Try
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: images/audio/video as opaque `binary`
-  * columns with typed metadata, plus decode / feature-extract / resize /
-  * frame-sample stages.
+/** Multimodal-column operators: images/audio/video as opaque `binary`
+  * columns with typed metadata, plus REAL decode / feature-extract /
+  * resize / frame-sample kernels built on the JDK's own codecs
+  * (`javax.imageio` PNG — no external deps).
   *
-  * The container has no image/audio codecs, so the decode kernels are
-  * DETERMINISTIC FAKES (clearly marked below) — the Spark-side contract is
-  * real: schemas, batch shape (mapPartitions = one iterator per task, the
-  * Scala analog of `mapInPandas` batches), partition sizing, and metadata
-  * propagation are exactly what a real decoder would plug into.
+  * Batch shape: every kernel is `mapPartitions` (one iterator per task,
+  * the Scala analog of `mapInPandas` batches) so a heavyweight codec is
+  * initialized once per partition, never per row. Per-row failures are
+  * isolated with `Try` — one corrupt blob never kills a 100 TB scan task
+  * (mirrors the reference's per-row parse isolation,
+  * `/root/reference/src/irdai_scraper/parser.py` row loop).
+  *
+  * Scale notes: blobs never pass through a shuffle in these operators —
+  * decode/resize are narrow map stages over the scan, and only compact
+  * feature rows (dims + channel means, ~40 bytes) flow downstream. At
+  * 100 TB the scan parallelism (`spark.sql.files.maxPartitionBytes`)
+  * alone governs memory; no operator here accumulates more than one
+  * decoded frame at a time.
   */
 object MultimodalOps {
 
@@ -21,11 +36,203 @@ object MultimodalOps {
 
   case class MediaRow(mediaId: Long, content: Array[Byte], meta: MediaMeta)
 
-  case class Feature(mediaId: Long, featNorm: Double, dims: Int)
+  /** An opaque encoded image blob. Decode-side operators derive ALL
+    * facts from the bytes — nothing is trusted from upstream metadata.
+    */
+  case class ImageRow(mediaId: Long, content: Array[Byte])
 
-  /** Wrap a text corpus as opaque binary blobs + typed metadata — stands in
-    * for `spark.read.format("binaryFile")` in this container. The blob is
-    * the UTF-8 text; metadata fields are derived deterministically.
+  /** Decoded-image features: dimensions and per-channel means, computed
+    * from the actual pixel raster.
+    */
+  case class DecodedImage(mediaId: Long, width: Int, height: Int,
+                          meanR: Double, meanG: Double, meanB: Double)
+
+  // ---------------------------------------------------------------------
+  // Deterministic synthetic media (test fixtures the oracle can predict)
+  // ---------------------------------------------------------------------
+
+  /** Channel values for a seed — the ONLY place the fill color is defined;
+    * oracle SQL mirrors these three affine formulas.
+    */
+  private[graft] def channels(seed: Long): (Int, Int, Int) =
+    (((seed * 3 + 7)  % 256).toInt,
+     ((seed * 5 + 11) % 256).toInt,
+     ((seed * 7 + 13) % 256).toInt)
+
+  /** A real PNG: `BufferedImage` filled with a seed-derived solid color,
+    * encoded through `ImageIO`. Solid fill keeps every decoded statistic
+    * (dims, channel means) exactly reproducible in SQL while the engine
+    * still exercises a genuine PNG encode/decode round trip.
+    */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val (r, g, b) = channels(seed)
+    val gfx = img.createGraphics()
+    gfx.setColor(new java.awt.Color(r, g, b))
+    gfx.fillRect(0, 0, w, h)
+    gfx.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic image dims for an id (small: fixtures stay cheap). */
+  private[graft] def dimsFor(id: Long): (Int, Int) =
+    ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
+
+  /** Synthesize an image table from an id column: one real PNG per row,
+    * generated ON THE EXECUTORS (the driver never sees a blob). Stands in
+    * for `spark.read.format("binaryFile")` in this container.
+    */
+  def asImageTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = dimsFor(id)
+        ImageRow(id, syntheticPng(id, w, h))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Real image kernels (javax.imageio)
+  // ---------------------------------------------------------------------
+
+  private def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+    Try(Option(ImageIO.read(new ByteArrayInputStream(bytes)))).toOption.flatten
+
+  /** Per-channel means over the actual raster. */
+  private def imageStats(mediaId: Long, img: BufferedImage): DecodedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    DecodedImage(mediaId, w, h, sr / n, sg / n, sb / n)
+  }
+
+  /** REAL DECODE: `ImageIO.read` on the blob bytes; emits dimensions and
+    * per-channel means from the decoded raster. Undecodable blobs are
+    * dropped (per-row `Try` isolation), never fail the task.
+    */
+  def decodeImages(images: Dataset[ImageRow])(implicit spark: SparkSession): Dataset[DecodedImage] = {
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.flatMap(row => readImage(row.content).map(imageStats(row.mediaId, _)))
+    }
+  }
+
+  /** REAL RESIZE: decode → aspect-preserving downscale (never upscale)
+    * via `Graphics2D.drawImage` → re-encode PNG. Target dims are
+    * `max(1, floor(dim * scale))` with `scale = min(maxW/w, maxH/h, 1)`,
+    * computed in double precision (oracle mirrors the same IEEE ops).
+    */
+  def resizeImages(images: Dataset[ImageRow], maxW: Int, maxH: Int)
+                  (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.flatMap { row =>
+        readImage(row.content).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+          val tw = math.max(1, math.floor(w * scale).toInt)
+          val th = math.max(1, math.floor(h * scale).toInt)
+          val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+          val gfx = out.createGraphics()
+          gfx.drawImage(img, 0, 0, tw, th, null)
+          gfx.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          ImageRow(row.mediaId, bos.toByteArray)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Video container: length-prefixed PNG frames (real frame extraction)
+  // ---------------------------------------------------------------------
+
+  private val VideoMagic = 0x47564944 // "GVID"
+
+  /** A deterministic "video": `frames` real PNG frames in a simple
+    * length-prefixed container (magic, frame count, then per frame a
+    * 4-byte length + PNG bytes). Frame f uses seed `id * 1000 + f`.
+    */
+  def syntheticVideo(id: Long, frames: Int): Array[Byte] = {
+    val (w, h) = dimsFor(id)
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(VideoMagic)
+    out.writeInt(frames)
+    (0 until frames).foreach { f =>
+      val png = syntheticPng(id * 1000 + f, w, h)
+      out.writeInt(png.length)
+      out.write(png)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Deterministic frame count for an id. */
+  private[graft] def frameCountFor(id: Long): Int = (id % 5 + 2).toInt
+
+  /** Synthesize a video table: one container of real PNG frames per id. */
+  def asVideoTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => ImageRow(id, syntheticVideo(id, frameCountFor(id))))
+    }
+  }
+
+  case class VideoFrame(mediaId: Long, frameIdx: Int, width: Int, height: Int,
+                        meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL FRAME SAMPLING: parse the container, decode every `stride`-th
+    * frame's PNG bytes, emit decoded stats per sampled frame. Frames are
+    * decoded one at a time — memory is one frame, not one video.
+    */
+  def sampleVideoFrames(videos: Dataset[ImageRow], stride: Int)
+                       (implicit spark: SparkSession): Dataset[VideoFrame] = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    videos.mapPartitions { it =>
+      it.flatMap { row =>
+        Try {
+          val in = new DataInputStream(new ByteArrayInputStream(row.content))
+          require(in.readInt() == VideoMagic, "bad magic")
+          val n = in.readInt()
+          (0 until n).flatMap { f =>
+            val len = in.readInt()
+            val png = new Array[Byte](len)
+            in.readFully(png)
+            if (f % stride == 0)
+              readImage(png).map { img =>
+                val s = imageStats(row.mediaId, img)
+                VideoFrame(row.mediaId, f, s.width, s.height, s.meanR, s.meanG, s.meanB)
+              }
+            else None
+          }
+        }.toOption.getOrElse(Seq.empty) // corrupt container → skip row, keep task
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Metadata plumbing over mixed-modality blobs (q31/q33 shape)
+  // ---------------------------------------------------------------------
+
+  /** Wrap a text corpus as opaque binary blobs + typed metadata — the
+    * mixed-modality catalog shape (image/audio/video rows side by side).
+    * Metadata fields are derived deterministically from the id.
     */
   def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
@@ -41,44 +248,10 @@ object MultimodalOps {
         (pmod(col(idCol), lit(30000)) + 1000).cast("long").as("durationMs")
       ).as("meta"))
 
-  /** STUB DECODE: a real implementation would decode image bytes here
-    * (e.g. via javax.imageio / ffmpeg on the executor). This fake derives a
-    * deterministic "feature norm" from the bytes so the distributed
-    * plumbing (mapPartitions over binary batches, typed output) is testable.
-    */
-  def decodeFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[Feature] = {
-    import spark.implicits._
-    media.mapPartitions { it =>
-      // One iterator per task — batch-shaped like mapInPandas; a real codec
-      // would be initialized once per partition HERE, not per row.
-      it.map { m =>
-        val checksum = m.content.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
-        Feature(m.mediaId, (checksum % 100000).toDouble / 100000.0, dims = 512)
-      }
-    }
-  }
-
-  /** STUB RESIZE: metadata-only transform of the typed struct (a real
-    * kernel would also rewrite `content`). Demonstrates nested-struct
-    * column surgery without exploding the blob.
-    */
-  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
-    val scale = least(
-      lit(maxW.toDouble) / col("meta.width"),
-      lit(maxH.toDouble) / col("meta.height"),
-      lit(1.0))
-    media.withColumn("meta", struct(
-      col("meta.mediaType").as("mediaType"),
-      col("meta.byteLen").as("byteLen"),
-      floor(col("meta.width") * scale).cast("int").as("width"),
-      floor(col("meta.height") * scale).cast("int").as("height"),
-      col("meta.sampleRateHz").as("sampleRateHz"),
-      col("meta.durationMs").as("durationMs")))
-  }
-
-  /** STUB FRAME SAMPLE: one row per sampled frame timestamp (every
-    * `everyMs`), capped at `maxFrames` — pure `explode`, the real decoder
-    * would fetch the frame bytes per emitted timestamp.
+  /** Frame-TIMESTAMP sampling over catalog metadata: one row per sampled
+    * timestamp (every `everyMs`, capped at `maxFrames`) — a pure
+    * `explode`, no blob access. Plan-side twin of [[sampleVideoFrames]]:
+    * use this to schedule which frames to fetch, that one to decode them.
     */
   def sampleFrames(media: DataFrame, everyMs: Long, maxFrames: Int = 32): DataFrame =
     media

@@ -1,17 +1,95 @@
 package graft
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 import graft.operators.MultimodalOps
-import graft.operators.MultimodalOps.{MediaMeta, MediaRow}
+import graft.operators.MultimodalOps.ImageRow
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing tests (decode kernels are deterministic stubs —
-  * the Spark-side schema/batch contracts are what is under test).
+/** Multimodal kernels: REAL javax.imageio decode/resize over synthetic
+  * PNGs, real frame extraction from the length-prefixed video container,
+  * plus the metadata-plumbing shape (asMediaTable / sampleFrames).
   */
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  private implicit val s: org.apache.spark.sql.SparkSession = spark
+
   private def docs = Seq((0L, "alpha"), (1L, "bravo"), (2L, "charlie video doc"))
     .toDF("doc_id", "text")
+
+  test("syntheticPng is a real PNG: ImageIO round-trips dims and color") {
+    val bytes = MultimodalOps.syntheticPng(seed = 5L, w = 11, h = 7)
+    // PNG signature
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img.getWidth == 11 && img.getHeight == 7)
+    val (r, g, b) = MultimodalOps.channels(5L)
+    val rgb = img.getRGB(3, 2)
+    assert(((rgb >> 16) & 0xff) == r && ((rgb >> 8) & 0xff) == g && (rgb & 0xff) == b)
+  }
+
+  test("decodeImages: dims and channel means come from the decoded raster") {
+    val out = MultimodalOps.decodeImages(MultimodalOps.asImageTable(docs, "doc_id"))
+      .collect().sortBy(_.mediaId)
+    assert(out.length == 3)
+    out.foreach { d =>
+      val (w, h) = MultimodalOps.dimsFor(d.mediaId)
+      val (r, g, b) = MultimodalOps.channels(d.mediaId)
+      assert(d.width == w && d.height == h)
+      assert(d.meanR == r.toDouble && d.meanG == g.toDouble && d.meanB == b.toDouble)
+    }
+  }
+
+  test("decodeImages isolates undecodable blobs (row dropped, task survives)") {
+    val mixed = Seq(
+      ImageRow(1L, MultimodalOps.syntheticPng(1L, 8, 8)),
+      ImageRow(2L, "definitely not a png".getBytes("UTF-8")),
+      ImageRow(3L, Array[Byte]())
+    ).toDS()
+    val out = MultimodalOps.decodeImages(mixed).collect()
+    assert(out.map(_.mediaId).toSet == Set(1L))
+  }
+
+  test("resizeImages: aspect-preserving downscale, re-encoded and re-decodable") {
+    val images = MultimodalOps.asImageTable(docs, "doc_id")
+    val resized = MultimodalOps.resizeImages(images, maxW = 16, maxH = 12)
+    val out = MultimodalOps.decodeImages(resized).collect().sortBy(_.mediaId)
+    assert(out.length == 3)
+    out.foreach { d =>
+      val (w0, h0) = MultimodalOps.dimsFor(d.mediaId)
+      val scale = math.min(math.min(16.0 / w0, 12.0 / h0), 1.0)
+      assert(d.width == math.max(1, math.floor(w0 * scale).toInt))
+      assert(d.height == math.max(1, math.floor(h0 * scale).toInt))
+      assert(d.width <= 16 && d.height <= 12)
+      // solid fill survives interpolation exactly
+      val (r, g, b) = MultimodalOps.channels(d.mediaId)
+      assert(d.meanR == r.toDouble && d.meanG == g.toDouble && d.meanB == b.toDouble)
+    }
+  }
+
+  test("sampleVideoFrames: real per-frame PNG decode at the given stride") {
+    val videos = MultimodalOps.asVideoTable(docs, "doc_id")
+    val frames = MultimodalOps.sampleVideoFrames(videos, stride = 2)
+      .collect().sortBy(f => (f.mediaId, f.frameIdx))
+    // doc 0 → 2 frames (idx 0), doc 1 → 3 frames (0,2), doc 2 → 4 frames (0,2)
+    assert(frames.map(f => (f.mediaId, f.frameIdx)).toSeq ==
+      Seq((0L, 0), (1L, 0), (1L, 2), (2L, 0), (2L, 2)))
+    frames.foreach { f =>
+      val (r, g, b) = MultimodalOps.channels(f.mediaId * 1000 + f.frameIdx)
+      assert(f.meanR == r.toDouble && f.meanG == g.toDouble && f.meanB == b.toDouble)
+    }
+  }
+
+  test("sampleVideoFrames skips corrupt containers without failing the task") {
+    val mixed = Seq(
+      ImageRow(7L, MultimodalOps.syntheticVideo(7L, 2)),
+      ImageRow(8L, "garbage".getBytes("UTF-8"))
+    ).toDS()
+    val out = MultimodalOps.sampleVideoFrames(mixed, stride = 1).collect()
+    assert(out.map(_.mediaId).toSet == Set(7L) && out.length == 2)
+  }
 
   test("asMediaTable: opaque binary + typed metadata struct") {
     val m = MultimodalOps.asMediaTable(docs, "doc_id", "text").collect()
@@ -20,25 +98,6 @@ class MultimodalOpsSpec extends SparkSpec {
     val meta = byId(2L).getStruct(byId(2L).fieldIndex("meta"))
     assert(meta.getAs[String]("mediaType") == "video") // doc_id % 3 == 2
     assert(meta.getAs[Long]("byteLen") == "charlie video doc".length.toLong)
-  }
-
-  test("decodeFeatures: one deterministic feature row per blob") {
-    implicit val s = spark
-    val media = Seq(
-      MediaRow(1L, "abc".getBytes("UTF-8"), MediaMeta("image", 3, 64, 64, 0, 0)),
-      MediaRow(2L, "abc".getBytes("UTF-8"), MediaMeta("image", 3, 64, 64, 0, 0))
-    ).toDS()
-    val f = MultimodalOps.decodeFeatures(media).collect().sortBy(_.mediaId)
-    assert(f.length == 2 && f(0).featNorm == f(1).featNorm) // same bytes → same feature
-    assert(f.forall(_.dims == 512))
-  }
-
-  test("resize clamps dimensions preserving aspect ratio, never upscales") {
-    val m = MultimodalOps.asMediaTable(docs, "doc_id", "text")
-    val out = MultimodalOps.resize(m, 16, 16)
-      .select(col("media_id"), col("meta.width"), col("meta.height"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
-    out.foreach { case (_, w, h) => assert(w <= 16 && h <= 16 && w > 0 && h > 0) }
   }
 
   test("sampleFrames: video rows only, capped frame count, step spacing") {
