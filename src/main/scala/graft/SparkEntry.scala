@@ -487,6 +487,10 @@ object SparkEntry {
     // [gap] exact percentiles (sort-based aggregate, linear interpolation).
     // One aggregation buffer for all three quantiles — three separate
     // percentile() calls would each collect the group's values.
+    // GROUP-SIZE BOUND: percentile() buffers every value of a group in one
+    // ObjectHashAggregate buffer — safe only when the hottest group holds
+    // ≲10M values. Beyond that use PercentileOps.histogramQuantiles
+    // (bounded domains, exact — q56) or approxQuantiles (GK sketch — q57).
     "q51_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
@@ -525,7 +529,24 @@ object SparkEntry {
         MultimodalOps.asVideoTable(Tables.documents(s, d), "doc_id"), stride = 2)
         .toDF("media_id", "frame_idx", "width", "height",
           "mean_r", "mean_g", "mean_b")
-    })
+    }),
+
+    // Scale-safe percentiles #1: exact discrete quantiles over a
+    // cent-quantized domain — shuffle volume is distinct price cells,
+    // never raw rows (q51's 100 TB-safe twin).
+    "q56_hist_quantiles" -> ((s, d) =>
+      PercentileOps.histogramQuantiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), decimals = 2)),
+
+    // Scale-safe percentiles #2: Greenwald–Khanna sketch. At this SF the
+    // 1e6 accuracy bound (rank error < 1) makes it exactly the discrete
+    // quantile, so DuckDB's quantile_disc is a true oracle; at scale the
+    // same plan degrades gracefully to bounded-state approximation.
+    "q57_approx_percentiles" -> ((s, d) =>
+      PercentileOps.approxQuantiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), accuracy = 1000000))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -985,6 +1006,34 @@ object SparkEntry {
         | CAST(((doc_id * 1000 + f) * 3 + 7) % 256 AS DOUBLE) AS mean_r,
         | CAST(((doc_id * 1000 + f) * 5 + 11) % 256 AS DOUBLE) AS mean_g,
         | CAST(((doc_id * 1000 + f) * 7 + 13) % 256 AS DOUBLE) AS mean_b
-        |FROM fr""".stripMargin
+        |FROM fr""".stripMargin,
+
+    // Same cell-quantize → cumulative-rank arithmetic as
+    // PercentileOps.histogramQuantiles (IEEE double ops are bit-exact in
+    // both engines).
+    "q56_hist_quantiles" ->
+      """WITH c AS (
+        | SELECT l_returnflag, floor(l_extendedprice * 100) / 100 AS qval, count(*) AS cnt
+        | FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        | SELECT l_returnflag, qval,
+        |  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qval
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+        | FROM c)
+        |SELECT l_returnflag,
+        | min(CASE WHEN cum >= ceil(total * 0.25) THEN qval END) AS p25,
+        | min(CASE WHEN cum >= ceil(total * 0.5) THEN qval END) AS p50,
+        | min(CASE WHEN cum >= ceil(total * 0.75) THEN qval END) AS p75
+        |FROM w GROUP BY l_returnflag""".stripMargin,
+
+    // Valid oracle because the Spark side's GK accuracy bound (1e6) keeps
+    // rank error < 1 at verify SFs → exactly the discrete quantile.
+    "q57_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_disc(l_extendedprice, 0.25) AS p25,
+        | quantile_disc(l_extendedprice, 0.5) AS p50,
+        | quantile_disc(l_extendedprice, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

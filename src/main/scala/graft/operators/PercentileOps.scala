@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe percentile operators.
+  *
+  * The exact `percentile()` aggregate (q51) is a sort-based
+  * ObjectHashAggregate that buffers EVERY value of a group in one
+  * aggregation buffer — correct, but at 100 TB a single hot group
+  * (~billions of doubles) OOMs one executor. These operators trade that
+  * for bounded state:
+  *
+  *  - [[histogramQuantiles]]: EXACT discrete quantiles over a quantized
+  *    value domain. State and shuffle volume are O(distinct quantized
+  *    values per group) — for bounded domains (prices, durations,
+  *    scores) this is thousands of cells regardless of row count, and
+  *    the map-side partial `count` collapses the row volume before the
+  *    shuffle. Fully deterministic, so it hash-matches a SQL oracle.
+  *  - [[approxQuantiles]]: Spark's native `approx_percentile`
+  *    (Greenwald–Khanna sketch), rank error ≤ N/accuracy with
+  *    O(accuracy · log N) state — the right tool when the value domain
+  *    is unbounded/continuous. Mergeable sketch → partial aggregation
+  *    works; no driver-side collection.
+  *
+  * Rule of thumb (also on q51's scaladoc): exact `percentile()` only
+  * when max group row-count is known-bounded (≲10M values/group);
+  * histogram for bounded domains; GK sketch otherwise.
+  */
+object PercentileOps {
+
+  /** Exact "lower" (type-1) quantiles over values quantized to
+    * `decimals` decimal places: the smallest quantized value whose
+    * cumulative count reaches `ceil(p * total)`.
+    *
+    * Plan shape: map-side partial count → shuffle of (group, qval)
+    * cells → per-group running-sum window over the cells → conditional
+    * min. Rows never cross the wire; only distinct cells do.
+    */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         probs: Seq[(String, Double)],
+                         decimals: Int): DataFrame = {
+    require(probs.nonEmpty, "need at least one probability")
+    val f = math.pow(10, decimals)
+    val qval = (floor(col(valueCol) * f) / f).as("qval")
+    val cells = df.groupBy(col(groupCol), qval).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(groupCol).orderBy("qval")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val ranked = cells
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(wAll))
+    val aggs: Seq[Column] = probs.map { case (name, p) =>
+      min(when(col("cum") >= ceil(col("total") * p), col("qval"))).as(name)
+    }
+    ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Greenwald–Khanna sketch quantiles (`approx_percentile`): bounded
+    * mergeable state, rank error ≤ group-size / `accuracy`. Returns one
+    * row per group with one column per requested (name, prob).
+    */
+  def approxQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                      probs: Seq[(String, Double)],
+                      accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty, "need at least one probability")
+    val arr = s"array(${probs.map(_._2 + "D").mkString(", ")})"
+    val sketched = df.groupBy(col(groupCol))
+      .agg(expr(s"approx_percentile($valueCol, $arr, $accuracy)").as("qs"))
+    val cols = col(groupCol) +: probs.zipWithIndex.map { case ((name, _), i) =>
+      element_at(col("qs"), i + 1).as(name)
+    }
+    sketched.select(cols: _*)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.PercentileOps
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Scale-safe percentile operators: exactness of the histogram quantile
+  * against a hand-computed rank definition, GK-sketch rank-error bound,
+  * and the cell-not-row shuffle shape.
+  */
+class PercentileOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private val probs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+
+  /** Type-1 (lower) quantile on a sorted vector: element at rank ceil(p*n). */
+  private def typeOneQuantile(sorted: Vector[Double], p: Double): Double =
+    sorted(math.ceil(p * sorted.size).toInt - 1)
+
+  private def corpus = {
+    // deterministic, skewed, with duplicates and two groups
+    val rows = (1 to 997).map { i =>
+      val g = if (i % 3 == 0) "A" else "B"
+      val v = ((i * 7919L % 1000) / 4.0) + (i % 5) * 0.25
+      (g, v)
+    }
+    rows.toDF("grp", "value")
+  }
+
+  test("histogramQuantiles matches the type-1 quantile computed by hand") {
+    val out = PercentileOps.histogramQuantiles(corpus, "grp", "value", probs, decimals = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byGroup = corpus.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted.toVector }
+    byGroup.foreach { case (g, sorted) =>
+      // decimals=2 quantization is exact for these .25-step values
+      assert(out(g)._1 == typeOneQuantile(sorted, 0.25), s"p25 group $g")
+      assert(out(g)._2 == typeOneQuantile(sorted, 0.5), s"p50 group $g")
+      assert(out(g)._3 == typeOneQuantile(sorted, 0.75), s"p75 group $g")
+    }
+  }
+
+  test("histogramQuantiles quantizes to the requested grid") {
+    val df = Seq(("A", 1.234), ("A", 1.236), ("A", 9.999)).toDF("grp", "value")
+    val out = PercentileOps.histogramQuantiles(df, "grp", "value",
+      Seq("p50" -> 0.5), decimals = 2).collect().head
+    assert(out.getDouble(1) == 1.23) // both 1.23x values land in the 1.23 cell
+  }
+
+  test("approxQuantiles honors the GK rank-error bound") {
+    val n = 2000
+    val df = (1 to n).map(i => ("G", i.toDouble)).toDF("grp", "value")
+    val accuracy = 100 // rank error <= n/accuracy = 20
+    val out = PercentileOps.approxQuantiles(df, "grp", "value", probs, accuracy)
+      .collect().head
+    Seq(0.25 -> out.getDouble(1), 0.5 -> out.getDouble(2), 0.75 -> out.getDouble(3))
+      .foreach { case (p, v) =>
+        val rank = v.toInt // value i has rank i
+        assert(math.abs(rank - p * n) <= n / accuracy + 1, s"p=$p v=$v")
+      }
+  }
+
+  test("histogramQuantiles shuffles cells, not rows (partial count before exchange)") {
+    val plan = PercentileOps.histogramQuantiles(corpus, "grp", "value", probs, decimals = 2)
+      .queryExecution.executedPlan
+    val formatted = plan.toString
+    // a partial HashAggregate must appear below the first Exchange
+    assert(formatted.contains("partial_count") || formatted.contains("Partial"),
+      s"expected map-side partial aggregation in:\n$formatted")
+  }
+}
