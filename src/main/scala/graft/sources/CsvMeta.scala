@@ -68,10 +68,46 @@ object CsvMeta {
     else spark.read.option("header", "true").csv(csvPath).count()
   }
 
+  private def streamCopy(fs: org.apache.hadoop.fs.FileSystem, src: Path,
+                         out: java.io.OutputStream, buf: Array[Byte]): Unit = {
+    val in = fs.open(src)
+    try {
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+  }
+
+  /** In-place O(batch) append of `parts` onto `target` via `fs.append`.
+    * Returns false without touching the file when the FS doesn't support
+    * append (Hadoop's checksummed LocalFileSystem; object stores) — a
+    * mid-write IOException on a capable FS propagates instead, because
+    * silently retrying through another path could duplicate rows.
+    */
+  private[graft] def appendInPlace(fs: org.apache.hadoop.fs.FileSystem,
+                                   target: Path, parts: Seq[Path]): Boolean = {
+    val out =
+      try fs.append(target)
+      catch { case _: UnsupportedOperationException => return false }
+    try {
+      val buf = new Array[Byte](1 << 16)
+      parts.foreach(p => streamCopy(fs, p, out, buf))
+    } finally out.close()
+    true
+  }
+
   /** K1+X14: append `df` to a single CSV file at `csvPath` with the fixed
     * column order for `productType`; header written only when the file
     * doesn't exist yet; missing columns become empty strings
     * (extrasaction=ignore + None→"" parity, csv_writer.py:44-51, 79-94).
+    *
+    * Cost model: parts are written distributed, then stitched onto the
+    * target. On an append-capable FS (HDFS and most HCFS) the stitch is
+    * `fs.append` — O(batch) like the reference's in-place append. Where
+    * append is unsupported (Hadoop's checksummed local FS, S3-style
+    * stores) it falls back to a streamed copy-merge + atomic rename —
+    * O(total history) per batch through one driver thread, but crash-safe
+    * (readers see old or new, never half). For high-frequency appends at
+    * scale prefer [[appendParts]], which keeps everything distributed.
     */
   def append(df: DataFrame, productType: String, csvPath: String): Unit = {
     val spark = df.sparkSession
@@ -88,31 +124,53 @@ object CsvMeta {
     ordered.write.mode(SaveMode.Overwrite)
       .option("header", "false").option("emptyValue", "").option("nullValue", "")
       .csv(partsDir.toString)
+    val parts = fs.listStatus(partsDir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
 
-    // Driver-side streamed merge: copy-on-append into a temp file, then an
-    // atomic rename over the target (local FS doesn't support fs.append;
-    // this is also crash-safe — readers see old or new, never half).
-    val buf = new Array[Byte](1 << 16)
-    def copy(src: Path, out: java.io.OutputStream): Unit = {
-      val in = fs.open(src)
+    val appended = exists && appendInPlace(fs, target, parts)
+    if (!appended) {
+      // Copy-merge fallback: stream history + new parts into a temp file,
+      // atomic rename over the target.
+      val buf = new Array[Byte](1 << 16)
+      val merged = new Path(csvPath + ".merged.tmp")
+      val out = fs.create(merged, true)
       try {
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      } finally in.close()
+        if (exists) streamCopy(fs, target, out, buf)
+        else out.write((cols.mkString(",") + "\n").getBytes("UTF-8"))
+        parts.foreach(p => streamCopy(fs, p, out, buf))
+      } finally out.close()
+      if (fs.exists(target)) fs.delete(target, false)
+      fs.rename(merged, target)
     }
-    val merged = new Path(csvPath + ".merged.tmp")
-    val out = fs.create(merged, true)
-    try {
-      if (exists) copy(target, out)
-      else out.write((cols.mkString(",") + "\n").getBytes("UTF-8"))
-      fs.listStatus(partsDir).filter(_.getPath.getName.startsWith("part-"))
-        .sortBy(_.getPath.getName)
-        .foreach(p => copy(p.getPath, out))
-    } finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(merged, target)
     fs.delete(partsDir, true)
     ()
+  }
+
+  /** K1 at scale: directory-of-parts append — each batch lands as new
+    * part files via Spark's native distributed CSV sink; no bytes ever
+    * pass through the driver and no history is rewritten. Read back with
+    * [[readParts]]. This is the 100 TB shape; [[append]] exists for
+    * single-file parity with the reference.
+    */
+  def appendParts(df: DataFrame, productType: String, dir: String): Unit = {
+    val cols = columns(productType)
+    val ordered = df.select(cols.map(c =>
+      if (df.columns.contains(c)) coalesce(col(c).cast("string"), lit("")).as(c)
+      else lit("").as(c)): _*)
+    ordered.write.mode(SaveMode.Append)
+      .option("header", "false").option("emptyValue", "").option("nullValue", "")
+      .csv(dir)
+  }
+
+  /** Read a [[appendParts]] directory with the canonical column order. */
+  def readParts(spark: SparkSession, productType: String, dir: String): DataFrame = {
+    val cols = columns(productType)
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    // unquoted empty fields parse as null; restore the sink's
+    // ""-for-absent convention (X14) on the way back in
+    spark.read.schema(schema).option("header", "false").csv(dir)
+      .select(cols.map(c => coalesce(col(c), lit("")).as(c)): _*)
   }
 
   /** K4: clear one metadata CSV (csv_writer.py:112-126). */
