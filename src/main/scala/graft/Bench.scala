@@ -44,8 +44,9 @@ object Bench {
         false
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // operators persist their sketch tables; drop them between queries
-      // so caches don't accumulate across 50+ queries and churn eviction
+      // operators persist their sketch tables; release them between
+      // queries so caches don't accumulate across 50+ queries
+      GraftCache.releaseAll(spark)
       spark.catalog.clearCache()
       name -> (if (ok) sec else -sec)
     }

@@ -1,0 +1,47 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry of DataFrames persisted INSIDE library
+  * operators (LSH sketch tables, shingle tables, hyperplane keys).
+  *
+  * Those caches back multiple branches of a still-lazy returned plan, so
+  * the operator itself can never unpersist them — only the caller knows
+  * when the result has been materialized. Contract: after consuming an
+  * operator's output (write/collect/count), call
+  * [[GraftCache.releaseAll]] to drop every operator-held cache block.
+  * `Verify` and `Bench` do this between queries; a long-lived
+  * application should do it per pipeline stage. Idempotent and safe to
+  * call while nothing is registered.
+  */
+object GraftCache {
+
+  private val frames =
+    new ConcurrentHashMap[SparkSession, java.util.Queue[DataFrame]]()
+
+  /** Register an operator-persisted frame for later release. */
+  private[graft] def register(df: DataFrame): DataFrame = {
+    frames
+      .computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+      .add(df)
+    df
+  }
+
+  /** Unpersist every registered frame for `spark` (non-blocking). */
+  def releaseAll(spark: SparkSession): Unit = {
+    val q = frames.remove(spark)
+    if (q != null) {
+      var df = q.poll()
+      while (df != null) { df.unpersist(false); df = q.poll() }
+    }
+  }
+
+  /** Number of registered (not yet released) frames — for tests. */
+  private[graft] def registeredCount(spark: SparkSession): Int = {
+    val q = frames.get(spark)
+    if (q == null) 0 else q.size()
+  }
+}

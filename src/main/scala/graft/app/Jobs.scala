@@ -49,7 +49,7 @@ object Jobs {
     val existing = CsvMeta.loadExistingUrls(spark, csvPath(workDir, productType))
     val fresh = DeltaOps.delta(
       parsed.where(col("document_url").isNotNull),
-      existing.withColumnRenamed("document_url", "document_url"),
+      existing,
       "document_url")
       .unionByName(parsed.where(col("document_url").isNull))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -151,6 +151,13 @@ object Jobs {
     new StateStore(spark, s"$workDir/state").resetSession(productType)
     if (clearCsv) CsvMeta.clear(spark, csvPath(workDir, productType))
   }
+
+  /** §3.3 reset-all: every product type in one sweep
+    * (csv_writer.py:112-126 clears ALL tables, not one).
+    */
+  def resetAll(spark: SparkSession, workDir: String,
+               clearCsv: Boolean = false): Unit =
+    CsvMeta.columns.keys.foreach(reset(spark, workDir, _, clearCsv))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

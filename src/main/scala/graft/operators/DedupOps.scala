@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCache
 import graft.functions.{HashFunctions => H, Rounding, TextFunctions => T}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
@@ -128,8 +129,9 @@ object DedupOps {
     // sides of the self-join); persist the tiny (long,int,long) sketch
     // table so the signature kernel runs once, not three times. This is
     // the table a 100 TB pipeline would materialize to storage anyway.
-    val keyed = minhashBandRows(docs, idCol, textCol, shingleN, numPerms, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keyed = GraftCache.register(
+      minhashBandRows(docs, idCol, textCol, shingleN, numPerms, bands)
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
     // Drop degenerate buckets before the self-join (skew guard). A window
     // count would shuffle every (id, band, bk) row once just to measure;
@@ -157,8 +159,9 @@ object DedupOps {
                       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleN, numPerms, bands)
     // referenced by both sides of the pair join — materialize once
-    val sh = wordShingleRows(docs, idCol, textCol, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = GraftCache.register(
+      wordShingleRows(docs, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -204,8 +207,9 @@ object DedupOps {
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sketched = simhashSketches(docs, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sketched = GraftCache.register(
+      simhashSketches(docs, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
     val banded = sketched.select(
       col("id"), col("sh"),
@@ -299,16 +303,18 @@ object DedupOps {
   def fingerprintOverlap(docs: DataFrame, idCol: String, textCol: String,
                          minContainment: Double = 0.9, maxPostings: Int = 100,
                          k: Int = 8, w: Int = 4): DataFrame = {
-    val fp = winnowingFingerprints(docs, idCol, textCol, k, w)
-      .select(col("id"), explode(col("fingerprints")).as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = GraftCache.register(
+      winnowingFingerprints(docs, idCol, textCol, k, w)
+        .select(col("id"), explode(col("fingerprints")).as("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val common = fp.groupBy("fp").agg(count(lit(1)).as("n"))
       .where(col("n") > maxPostings).select("fp")
     // containment numerator AND denominator both use the post-cap (rare)
     // sets — mixing the two underestimates containment for docs rich in
     // boilerplate fingerprints
-    val rare = fp.join(broadcast(common), Seq("fp"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rare = GraftCache.register(
+      fp.join(broadcast(common), Seq("fp"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val sizes = rare.groupBy("id").agg(count(lit(1)).as("nfp"))
     val a = rare.select(col("fp"), col("id").as("id_a"))
     val b = rare.select(col("fp"), col("id").as("id_b"))

@@ -232,10 +232,10 @@ object SimilarityOps {
     val planes = typedLit(hyperplanes(nbits, dim))
     // bucket keys feed both self-join branches; the HOF dot-per-plane is
     // the expensive part — materialize it once
-    val keyed = corpus.select(
+    val keyed = graft.GraftCache.register(corpus.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       V.hyperplaneKey(col(vecCol), planes).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

@@ -58,6 +58,44 @@ object ObjectStoreSink {
     }
   }
 
+  /** K3 upload_fileobj parity (r2_uploader.py:110-125 region): upload
+    * in-memory byte payloads — (content, key) rows — without a local-file
+    * staging step. Same verification and error-isolation contract as
+    * [[upload]].
+    */
+  def uploadBytes(blobs: DataFrame, storeRoot: String, publicHost: String): Dataset[UploadResult] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    implicit val enc = Encoders.product[UploadResult]
+    val withMeta = blobs.select(
+      col("content").cast("binary"),
+      col("key").cast("string"),
+      T.publicUrl(lit(publicHost), col("key")).as("public_url"),
+      T.contentType(col("key")).as("content_type"))
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    withMeta.as[(Array[Byte], String, String, String)].mapPartitions { it =>
+      val conf = confBc.value.value
+      val root = new Path(storeRoot)
+      val fs = root.getFileSystem(conf)
+      it.map { case (content, key, url, ctype) =>
+        try {
+          val dst = new Path(root, key)
+          if (dst.getParent != null) fs.mkdirs(dst.getParent)
+          val out = fs.create(dst, true)
+          try out.write(content)
+          finally out.close()
+          UploadResult(null, key, url, ctype, verified = fs.exists(dst), null)
+        } catch {
+          case e: Exception =>
+            UploadResult(null, key, url, ctype, verified = false,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        }
+      }
+    }
+  }
+
   /** K3 delete (r2_uploader.py:110-125). */
   def delete(spark: org.apache.spark.sql.SparkSession, storeRoot: String, key: String): Boolean = {
     val p = new Path(new Path(storeRoot), key)

@@ -30,6 +30,20 @@ class ObjectStoreSinkSpec extends SparkSpec {
       .sameElements("pdfbytes".getBytes))
   }
 
+  test("uploadBytes writes in-memory payloads without local staging (upload_fileobj parity)") {
+    val store = Files.createTempDirectory("graft-k3-bytes").toString
+    val blobs = Seq(
+      ("inmem-pdf".getBytes, "life/2021/m.pdf"),
+      ("inmem-doc".getBytes, "life/2021/n.docx")).toDF("content", "key")
+    val out = ObjectStoreSink.uploadBytes(blobs, store, "bucket.example.dev").collect()
+    assert(out.forall(_.verified) && out.forall(_.error == null))
+    assert(out.forall(_.local_path == null)) // no file staging involved
+    assert(Files.readAllBytes(Paths.get(s"$store/life/2021/m.pdf"))
+      .sameElements("inmem-pdf".getBytes))
+    assert(out.map(_.public_url).toSet
+      .contains("https://bucket.example.dev/life/2021/n.docx"))
+  }
+
   test("missing local file → failure row, not an exception") {
     val store = Files.createTempDirectory("graft-k3-store2").toString
     val files = Seq(("/does/not/exist.pdf", "x/exist.pdf")).toDF("local_path", "key")

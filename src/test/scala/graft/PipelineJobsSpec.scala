@@ -119,6 +119,19 @@ class PipelineJobsSpec extends SparkSpec {
     assert(CsvMeta.count(spark, csv) == 0)
   }
 
+  test("resetAll clears every product type's CSV in one sweep (csv_writer.py:112-126)") {
+    import spark.implicits._
+    val work = mkWorkDir()
+    for (pt <- CsvMeta.columns.keys) {
+      val df = Seq(("u1", "P1")).toDF("document_url", "product_name")
+      CsvMeta.append(df, pt, Jobs.csvPath(work, pt))
+      assert(CsvMeta.count(spark, Jobs.csvPath(work, pt)) == 1L)
+    }
+    Jobs.resetAll(spark, work, clearCsv = true)
+    for (pt <- CsvMeta.columns.keys)
+      assert(CsvMeta.count(spark, Jobs.csvPath(work, pt)) == 0L, pt)
+  }
+
   test("metadata-only mode skips the download stage entirely (F6)") {
     val work = mkWorkDir()
     val pagesDir = s"$work/pages"
