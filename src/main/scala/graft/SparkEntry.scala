@@ -546,7 +546,20 @@ object SparkEntry {
     "q57_approx_percentiles" -> ((s, d) =>
       PercentileOps.approxQuantiles(Tables.lineitem(s, d),
         "l_returnflag", "l_extendedprice",
-        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), accuracy = 1000000))
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), accuracy = 1000000)),
+
+    // IVF over a MATERIALIZED partition-pruned index — the 100 TB shape:
+    // index written partitionBy(centroid_id) once, probes read only the
+    // nprobe partition directories (PartitionFilters at the source,
+    // asserted by IvfIndexSpec). Timed cost here includes the one-time
+    // index build; the probe step alone is the per-query cost at scale.
+    "q58_ivf_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+      val cents = SimilarityOps.writeIvfIndex(emb, idx, nlist = 16)
+      SimilarityOps.ivfTopKIndexed(s, idx, cents,
+        emb.where(col("vec_id") < 8), k = 5, nprobe = 4)
+    })
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -1007,6 +1020,34 @@ object SparkEntry {
         | CAST(((doc_id * 1000 + f) * 5 + 11) % 256 AS DOUBLE) AS mean_g,
         | CAST(((doc_id * 1000 + f) * 7 + 13) % 256 AS DOUBLE) AS mean_b
         |FROM fr""".stripMargin,
+
+    // Identical semantics to q30 — the Spark side differs only in HOW
+    // (materialized partition-pruned index vs in-plan assignment).
+    "q58_ivf_indexed" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+        | FROM embeddings e CROSS JOIN cent c),
+        |a AS (SELECT nid, nv, cid FROM ad WHERE rn = 1),
+        |pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   list_sum(list_transform(list_zip(q.embedding, c.cv),
+        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+        | FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8),
+        |p AS (SELECT qid, qv, cid FROM pd WHERE rn <= 4),
+        |s AS (SELECT p.qid, a.nid,
+        |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
+        | FROM a JOIN p ON a.cid = p.cid WHERE p.qid <> a.nid),
+        |r AS (SELECT qid, nid,
+        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
+        |w AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
+        |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
+        |FROM w WHERE rk <= 5""".stripMargin,
 
     // Same cell-quantize → cumulative-rank arithmetic as
     // PercentileOps.histogramQuantiles (IEEE double ops are bit-exact in
