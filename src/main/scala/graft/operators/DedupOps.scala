@@ -79,25 +79,58 @@ object DedupOps {
     * so it scales exactly like the expression version was meant to.
     */
   def minhashBandRows(docs: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int, numPerms: Int, bands: Int): DataFrame = {
-    val spark = docs.sparkSession
+                      shingleN: Int, numPerms: Int, bands: Int): DataFrame =
+    minhashBandRowsFromShingles(
+      wordShingleRows(docs, idCol, textCol, shingleN), numPerms, bands)
+
+  /** Band rows from a PRECOMPUTED (id, sh) shingle table — lets one
+    * materialized shingle pass feed both the signature and the
+    * verification stages (see [[minhashNearDups]]).
+    */
+  def minhashBandRowsFromShingles(shingles: DataFrame,
+                                  numPerms: Int, bands: Int): DataFrame =
+    minhashBandRowsFromHashes(hashShingles(shingles), numPerms, bands)
+
+  /** (id, distinct shingle xxhash64s) — ONE tokenization+hash pass whose
+    * output feeds BOTH the signature kernel and the verification Jaccard
+    * of [[minhashNearDups]]. Long arrays cache and intersect far cheaper
+    * than string shingles, and 64-bit hashing makes collisions
+    * (≈ n²/2⁶⁵ per doc) irrelevant to the Jaccard ratio.
+    */
+  def hashedShingleRows(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int): DataFrame =
+    hashShingles(wordShingleRows(docs, idCol, textCol, shingleN))
+
+  /** Hash a (id, sh: array<string>) table to (id, hs: array<long>). */
+  private def hashShingles(shingles: DataFrame): DataFrame = {
+    val spark = shingles.sparkSession
+    import spark.implicits._
+    shingles.select(col("id").cast("long"), col("sh").cast("array<string>"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (id, sh) =>
+          // one string hash per shingle (the numPerms "independent"
+          // permutations downstream are affine mixes h*A(i)+B(i) of it —
+          // the standard minhash construction, 64× fewer byte hashes)
+          (id, sh.map(s =>
+            XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L))
+            .distinct.sorted.toArray)
+        }
+      }.toDF("id", "hs")
+  }
+
+  /** Band rows from precomputed (id, hs: array<long>) hashed shingles. */
+  def minhashBandRowsFromHashes(hashed: DataFrame,
+                                numPerms: Int, bands: Int): DataFrame = {
+    val spark = hashed.sparkSession
     import spark.implicits._
     val rowsPerBand = numPerms / bands
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
+    hashed.select(col("id").cast("long"), col("hs").cast("array<long>"))
+      .as[(Long, Array[Long])]
       .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          val toks = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
-          val shingles: Set[String] =
-            if (toks.length < shingleN) Set.empty
-            else (0 to toks.length - shingleN)
-              .map(i => toks.slice(i, i + shingleN).mkString(" ")).toSet
+        it.flatMap { case (id, hs) =>
           val sig = Array.fill(numPerms)(Long.MaxValue)
-          shingles.foreach { s =>
-            // one string hash per shingle; the numPerms "independent"
-            // permutations are affine mixes h*A(i)+B(i) of it (the
-            // standard minhash construction) — 64× fewer byte-level hashes
-            val h = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+          hs.foreach { h =>
             var i = 0
             while (i < numPerms) {
               val mixed = h * PermA(i) + PermB(i)
@@ -124,13 +157,21 @@ object DedupOps {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numPerms: Int = 64, bands: Int = 16,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000): DataFrame =
+    minhashCandidatesFromHashes(
+      hashedShingleRows(docs, idCol, textCol, shingleN),
+      numPerms, bands, maxBucketSize)
+
+  /** [[minhashCandidates]] over precomputed (id, hs) hashed shingles. */
+  def minhashCandidatesFromHashes(hashed: DataFrame,
+                                  numPerms: Int = 64, bands: Int = 16,
+                                  maxBucketSize: Int = 1000): DataFrame = {
     // The band rows feed three plan branches (bucket-size guard + both
     // sides of the self-join); persist the tiny (long,int,long) sketch
     // table so the signature kernel runs once, not three times. This is
     // the table a 100 TB pipeline would materialize to storage anyway.
     val keyed = GraftCache.register(
-      minhashBandRows(docs, idCol, textCol, shingleN, numPerms, bands)
+      minhashBandRowsFromHashes(hashed, numPerms, bands)
         .persist(StorageLevel.MEMORY_AND_DISK))
 
     // Drop degenerate buckets before the self-join (skew guard). A window
@@ -157,14 +198,17 @@ object DedupOps {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, shingleN: Int = 3,
                       numPerms: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleN, numPerms, bands)
-    // referenced by both sides of the pair join — materialize once
-    val sh = GraftCache.register(
-      wordShingleRows(docs, idCol, textCol, shingleN)
+    // ONE tokenization+hash pass feeds the signature kernel AND both
+    // sides of the verification join (r2 verdict: the double tokenization
+    // dominated q25). The shared table holds hashed shingles (longs):
+    // smaller to cache, cheaper to intersect, identical Jaccard.
+    val hs = GraftCache.register(
+      hashedShingleRows(docs, idCol, textCol, shingleN)
         .persist(StorageLevel.MEMORY_AND_DISK))
+    val cands = minhashCandidatesFromHashes(hs, numPerms, bands)
     cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(hs.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "sh_a"), "id_a")
+      .join(hs.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "sh_b"), "id_b")
       .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Rounding.half4(col("jaccard")).as("jaccard"))
