@@ -92,4 +92,36 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.sources.CsvMeta.append(batch.toDF(), productType, csvPath)
       }
+
+  /** §3.2 END-TO-END streaming delta pipeline: watch `pagesDir` for page
+    * HTML files, parse them to typed product rows (G1-G4/P*), drop
+    * document URLs already emitted in ANY prior micro-batch or run
+    * (stateful streaming dedup), and append each micro-batch through the
+    * K1 single-file CSV sink.
+    *
+    * Restartability (T2/T3, the reference's storage/state.py:108-140
+    * semantics): file-source offsets AND the dedup key state both live in
+    * `checkpointDir`, so a killed query restarted with the same
+    * checkpoint resumes where it stopped and never re-appends a URL it
+    * already delivered — proven by the kill-and-resume test in
+    * StreamingOpsSpec. Dedup state is keyed by URL only (compact); pass
+    * an event-time column via [[dedupByKey]] directly if the key horizon
+    * must be bounded at very long stream lifetimes.
+    */
+  def deltaPipeline(spark: org.apache.spark.sql.SparkSession, pagesDir: String,
+                    productType: String, csvPath: String,
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", "16")
+      .text(pagesDir)
+      .select(lit(productType).as("productType"), lit(1).as("page"),
+        col("value").as("html"))
+      .as[graft.operators.ParsePipeline.PageHtml]
+    val parsed = graft.operators.ParsePipeline.withScrapedAt(
+      graft.operators.ParsePipeline.parse(spark, pages, productType))
+    val fresh = dedupByKey(parsed.where(col("document_url").isNotNull), "document_url")
+    csvAppendSink(fresh, productType, csvPath, checkpointDir).start()
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.sources.CsvMeta
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.PageEvent
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -63,6 +64,56 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows.contains(("2026-01-01 10:00:00.0", 2L, 3.0)))
       assert(rows.contains(("2026-01-01 11:00:00.0", 1L, 4.0)))
     } finally q.stop()
+  }
+
+  test("deltaPipeline survives kill-and-restart with no duplicate appends (T2/T3)") {
+    val work = java.nio.file.Files.createTempDirectory("graft-e2e-stream").toString
+    val pagesDir = s"$work/pages"
+    val csv = s"$work/life.csv"
+    val ckpt = s"$work/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pagesDir))
+
+    def writePage(name: String, rows: Seq[(String, String, Int)]): Unit = {
+      val trs = rows.map { case (uin, pname, d) =>
+        s"""<tr><td><input/></td><td>Non-Archived</td><td>FY 2020</td>
+           |<td>Acme Life</td><td>$pname</td><td>$uin</td><td>Term</td>
+           |<td></td><td></td><td>P</td><td>Par</td><td>Ind</td><td></td>
+           |<td><a href='/documents/doc$d.pdf'>Doc $d</a></td></tr>""".stripMargin.replace("\n", "")
+      }.mkString
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(pagesDir, name),
+        s"<table class='table'><tbody>$trs</tbody></table>")
+    }
+
+    def csvDataRows(): Seq[String] = {
+      val p = java.nio.file.Paths.get(csv)
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala.toSeq.drop(1)
+      }
+    }
+
+    // run 1: two products
+    writePage("page_1.html", Seq(("UIN1", "Alpha", 1), ("UIN2", "Beta", 2)))
+    val q1 = StreamingOps.deltaPipeline(spark, pagesDir, "life", csv, ckpt)
+    try q1.processAllAvailable() finally q1.stop() // kill mid-stream
+    assert(csvDataRows().size == 2)
+
+    // while down: a new page arrives repeating doc1 (dup URL) + one new doc
+    writePage("page_2.html", Seq(("UIN1", "Alpha", 1), ("UIN3", "Gamma", 3)))
+
+    // run 2: restart from the SAME checkpoint — only the new URL lands
+    val q2 = StreamingOps.deltaPipeline(spark, pagesDir, "life", csv, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = csvDataRows()
+    assert(rows.size == 3, s"expected 3 data rows, got:\n${rows.mkString("\n")}")
+    val urls = rows.map(_.split(",", -1)(CsvMeta.columns("life").indexOf("document_url")))
+    assert(urls.distinct.size == 3, s"duplicate URLs appended: $urls")
+
+    // run 3: nothing new → nothing appended
+    val q3 = StreamingOps.deltaPipeline(spark, pagesDir, "life", csv, ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(csvDataRows().size == 3)
   }
 
   test("csvAppendSink appends each micro-batch through the K1 sink") {
