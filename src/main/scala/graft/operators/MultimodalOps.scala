@@ -51,6 +51,12 @@ object MultimodalOps {
   // Deterministic synthetic media (test fixtures the oracle can predict)
   // ---------------------------------------------------------------------
 
+  /** ImageIO defaults to DISK-backed stream caches — one temp file per
+    * encode/decode. In-memory caching is strictly better for our
+    * byte-array round trips; applied lazily once per JVM (executor).
+    */
+  private lazy val imageIoInMemory: Unit = ImageIO.setUseCache(false)
+
   /** Channel values for a seed — the ONLY place the fill color is defined;
     * oracle SQL mirrors these three affine formulas.
     */
@@ -65,6 +71,7 @@ object MultimodalOps {
     * still exercises a genuine PNG encode/decode round trip.
     */
   def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    imageIoInMemory
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val (r, g, b) = channels(seed)
     val gfx = img.createGraphics()
@@ -98,8 +105,10 @@ object MultimodalOps {
   // Real image kernels (javax.imageio)
   // ---------------------------------------------------------------------
 
-  private def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+  private def readImage(bytes: Array[Byte]): Option[BufferedImage] = {
+    imageIoInMemory
     Try(Option(ImageIO.read(new ByteArrayInputStream(bytes)))).toOption.flatten
+  }
 
   /** Per-channel means over the actual raster. */
   private def imageStats(mediaId: Long, img: BufferedImage): DecodedImage = {
