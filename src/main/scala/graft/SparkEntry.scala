@@ -548,6 +548,16 @@ object SparkEntry {
         "l_returnflag", "l_extendedprice",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), accuracy = 1000000)),
 
+    // Multimodal: REAL audio decode — WAV bytes through javax.sound;
+    // sample rate and frame count come from the parsed RIFF header, the
+    // stats from the decoded PCM frames.
+    "q59_audio_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.decodeAudio(
+        MultimodalOps.asAudioTable(Tables.documents(s, d), "doc_id"))
+        .toDF("media_id", "sample_rate_hz", "n_samples", "mean_abs", "peak")
+    }),
+
     // IVF over a MATERIALIZED partition-pruned index — the 100 TB shape:
     // index written partitionBy(centroid_id) once, probes read only the
     // nprobe partition directories (PartitionFilters at the source,
@@ -1067,6 +1077,21 @@ object SparkEntry {
         | min(CASE WHEN cum >= ceil(total * 0.5) THEN qval END) AS p50,
         | min(CASE WHEN cum >= ceil(total * 0.75) THEN qval END) AS p75
         |FROM w GROUP BY l_returnflag""".stripMargin,
+
+    // Mirrors MultimodalOps.sampleAt/sampleCountFor; the Spark side reads
+    // these facts back out of real WAV bytes via javax.sound.
+    "q59_audio_decode" ->
+      """WITH idx AS (
+        | SELECT doc_id, unnest(generate_series(0, doc_id % 400 + 99)) AS i
+        | FROM documents),
+        |s AS (SELECT doc_id,
+        | abs(((doc_id * 31 + i * 17) % 20001) - 10000) AS a FROM idx)
+        |SELECT doc_id AS media_id,
+        | CAST(8000 AS INTEGER) AS sample_rate_hz,
+        | count(*) AS n_samples,
+        | CAST(sum(a) AS DOUBLE) / count(*) AS mean_abs,
+        | CAST(max(a) AS INTEGER) AS peak
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     // Valid oracle because the Spark side's GK accuracy bound (1e6) keeps
     // rank error < 1 at verify SFs → exactly the discrete quantile.

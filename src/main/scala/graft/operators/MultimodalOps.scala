@@ -236,6 +236,87 @@ object MultimodalOps {
   }
 
   // ---------------------------------------------------------------------
+  // Real audio kernels (javax.sound.sampled — WAV, in the JDK)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic signed-16-bit sample value for (seed, index) — the
+    * single source of truth the oracle SQL mirrors.
+    */
+  private[graft] def sampleAt(seed: Long, i: Int): Int =
+    (((seed * 31 + i.toLong * 17) % 20001) - 10000).toInt
+
+  /** Deterministic sample count for an id. */
+  private[graft] def sampleCountFor(id: Long): Int = (id % 400 + 100).toInt
+
+  /** A real WAV file: 16-bit mono little-endian PCM with seed-derived
+    * samples, written through `AudioSystem` (proper RIFF header).
+    */
+  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = sampleAt(seed, i)
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize an audio table: one real WAV per id, built on the
+    * executors.
+    */
+  def asAudioTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => ImageRow(id, syntheticWav(id, sampleCountFor(id))))
+    }
+  }
+
+  case class DecodedAudio(mediaId: Long, sampleRateHz: Int, nSamples: Long,
+                          meanAbs: Double, peak: Int)
+
+  /** REAL AUDIO DECODE: `AudioSystem.getAudioInputStream` parses the RIFF
+    * header (sample rate / frame size come from the FILE, not metadata),
+    * then the PCM frames are read and reduced to mean-|sample| and peak.
+    * Undecodable blobs are dropped per-row.
+    */
+  def decodeAudio(audio: Dataset[ImageRow])(implicit spark: SparkSession): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      it.flatMap { row =>
+        Try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(row.content))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unsupported PCM layout: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / fmt.getFrameSize
+          var sumAbs = 0L
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            val a = math.abs(s)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          DecodedAudio(row.mediaId, fmt.getSampleRate.toInt, n.toLong,
+            sumAbs.toDouble / n, peak)
+        }.toOption
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // Metadata plumbing over mixed-modality blobs (q31/q33 shape)
   // ---------------------------------------------------------------------
 

@@ -91,6 +91,29 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.map(_.mediaId).toSet == Set(7L) && out.length == 2)
   }
 
+  test("decodeAudio: rate/frames from the RIFF header, stats from real PCM frames") {
+    val out = MultimodalOps.decodeAudio(MultimodalOps.asAudioTable(docs, "doc_id"))
+      .collect().sortBy(_.mediaId)
+    assert(out.length == 3)
+    out.foreach { a =>
+      val n = MultimodalOps.sampleCountFor(a.mediaId)
+      val samples = (0 until n).map(i => math.abs(MultimodalOps.sampleAt(a.mediaId, i)))
+      assert(a.sampleRateHz == 8000)
+      assert(a.nSamples == n.toLong)
+      assert(a.meanAbs == samples.map(_.toLong).sum.toDouble / n)
+      assert(a.peak == samples.max)
+    }
+  }
+
+  test("decodeAudio skips non-WAV blobs without failing the task") {
+    val mixed = Seq(
+      ImageRow(1L, MultimodalOps.syntheticWav(1L, 50)),
+      ImageRow(2L, "not audio at all".getBytes("UTF-8"))
+    ).toDS()
+    val out = MultimodalOps.decodeAudio(mixed).collect()
+    assert(out.map(_.mediaId).toSet == Set(1L))
+  }
+
   test("asMediaTable: opaque binary + typed metadata struct") {
     val m = MultimodalOps.asMediaTable(docs, "doc_id", "text").collect()
     val byId = m.map(r => r.getAs[Long]("media_id") -> r).toMap
