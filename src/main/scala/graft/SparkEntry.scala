@@ -558,6 +558,12 @@ object SparkEntry {
         .toDF("media_id", "sample_rate_hz", "n_samples", "mean_abs", "peak")
     }),
 
+    // Corpus curation composition: one-pass quality+language profile →
+    // gates → exact dedup; only (fingerprint, id) pairs ever shuffle.
+    "q60_curate" -> ((s, d) =>
+      CurationOps.curate(Tables.documents(s, d), "doc_id", "text",
+        minQuality = 0.5, langs = Seq("en"))),
+
     // IVF over a MATERIALIZED partition-pruned index — the 100 TB shape:
     // index written partitionBy(centroid_id) once, probes read only the
     // nprobe partition directories (PartitionFilters at the source,
@@ -1077,6 +1083,40 @@ object SparkEntry {
         | min(CASE WHEN cum >= ceil(total * 0.5) THEN qval END) AS p50,
         | min(CASE WHEN cum >= ceil(total * 0.75) THEN qval END) AS p75
         |FROM w GROUP BY l_returnflag""".stripMargin,
+
+    // Curation = q15's quality composite (rounded, gated at 0.5) ∘ q16's
+    // language argmax (gated to en) ∘ q13's fingerprint dedup.
+    "q60_curate" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
+         |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
+         |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
+         | FROM t),
+         |q AS (SELECT doc_id, floor(greatest(0.0, least(1.0,
+         |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |   + least(swr * 5.0, 1.0) * 0.3
+         |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000 AS quality FROM m),
+         |s AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
+         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
+         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
+         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
+         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
+         | FROM t),
+         |l AS (SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
+         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+         | ELSE 'zh' END AS lang_pred FROM s),
+         |g AS (SELECT q.doc_id FROM q JOIN l USING (doc_id)
+         | WHERE q.quality >= 0.5 AND l.lang_pred IN ('en')),
+         |f AS (SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents)
+         |SELECT f.fingerprint, min(f.doc_id) AS keep_id, count(*) AS dup_count
+         |FROM g JOIN f USING (doc_id) GROUP BY 1""".stripMargin,
 
     // Mirrors MultimodalOps.sampleAt/sampleCountFor; the Spark side reads
     // these facts back out of real WAV bytes via javax.sound.

@@ -117,8 +117,13 @@ object TextAnalysisOps {
     * come from the kernel; every ratio/clamp below is plain Catalyst
     * double arithmetic, mirrored 1:1 in the DuckDB oracle.
     */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val st = textStats(docs, idCol, textCol)
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    textStats(docs, idCol, textCol).select(scoreColumns(idCol): _*)
+
+  /** The quality-score projection over a [[textStats]] frame (shared by
+    * [[qualityScore]] and [[docProfile]]).
+    */
+  private def scoreColumns(idCol: String): Seq[Column] = {
     val nToks = col("n_tokens")
     val mtl = when(nToks === 0, lit(0.0))
       .otherwise(col("sum_token_len").cast("double") / nToks.cast("double"))
@@ -130,7 +135,7 @@ object TextAnalysisOps {
     val composite = greatest(lit(0.0), least(lit(1.0),
       lengthScore * lit(0.5) + least(swr * lit(5.0), lit(1.0)) * lit(0.3)
         + (lit(1.0) - least(pr * lit(10.0), lit(1.0))) * lit(0.2)))
-    st.select(
+    Seq(
       col(idCol),
       col("n_chars"),
       col("n_tokens"),
@@ -139,6 +144,16 @@ object TextAnalysisOps {
       Rounding.half4(pr).as("punct_ratio"),
       Rounding.half4(composite).as("quality"))
   }
+
+  /** ONE-PASS document profile: quality metrics AND language prediction
+    * from a single [[textStats]] kernel scan — the input frame corpus
+    * curation gates on ([[CurationOps.curate]]). Running
+    * [[qualityScore]] + [[languageId]] separately would scan and
+    * tokenize the corpus twice.
+    */
+  def docProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    textStats(docs, idCol, textCol)
+      .select(scoreColumns(idCol) :+ langPredFromHits(col("lang_hits")).as("lang_pred"): _*)
 
   /** Token-counting pass: whitespace and BPE-ish counts per document. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

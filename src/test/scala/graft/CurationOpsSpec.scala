@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions._
+
+/** Curation composition: planted low-quality, foreign-language, and
+  * duplicate rows must be gated/collapsed; clean rows must survive.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 tokens of plain English with enough stopwords to clear the gate
+  private val goodText = ("the quick brown fox jumps over the lazy dog and " +
+    "runs far into the woods where it is safe and warm for the winter " +
+    "season with plenty of food and water to last until spring arrives " +
+    "bringing sunshine and new growth for all of the animals in the forest").trim
+
+  private def corpus = Seq(
+    (1L, goodText),                         // survivor
+    (2L, goodText),                         // exact dup of 1 → collapsed
+    (3L, goodText.replace(" ", "   ")),     // whitespace-variant dup (same fingerprint)
+    (4L, "el la de que " * 20),             // spanish → language-gated
+    (5L, "!!! ??? ### $$$ %%%"),            // punctuation soup → quality-gated
+    (6L, goodText + " unique closing sentence for doc six of the corpus here")
+  ).toDF("doc_id", "text")
+
+  test("curate gates quality/language and collapses exact duplicates") {
+    val out = CurationOps.curate(corpus, "doc_id", "text",
+      minQuality = 0.5, langs = Seq("en")).collect()
+    val byKeep = out.map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(byKeep.keySet == Set(1L, 6L), s"got $byKeep")
+    assert(byKeep(1L) == 3L) // docs 1, 2, 3 share a normalized fingerprint
+    assert(byKeep(6L) == 1L)
+  }
+
+  test("curatedDocs returns the surviving payload rows") {
+    val out = CurationOps.curatedDocs(corpus, "doc_id", "text",
+      minQuality = 0.5, langs = Seq("en"))
+      .select("doc_id", "dup_count", "text").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 6L))
+    assert(out.forall(_.getString(2).nonEmpty))
+  }
+
+  test("widening the language gate admits the spanish doc") {
+    val out = CurationOps.curate(corpus, "doc_id", "text",
+      minQuality = 0.3, langs = Seq("en", "es")).collect()
+    assert(out.map(_.getAs[Long]("keep_id")).toSet.contains(4L))
+  }
+}
