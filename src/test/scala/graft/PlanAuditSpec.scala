@@ -95,4 +95,35 @@ class PlanAuditSpec extends SparkSpec {
     // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
     assert(p.contains("*(1) Project"), s"scalar chain should codegen:\n$p")
   }
+
+  test("media decode kernels are narrow — zero exchanges scan-to-stats (q54/q59)") {
+    for (name <- Seq("q54_image_decode", "q59_audio_decode")) {
+      val p = plan(q(name))
+      assert(!p.contains("Exchange"),
+        s"$name decode must be a narrow map over the scan (blobs never shuffle):\n$p")
+    }
+  }
+
+  test("histogram quantiles shuffle cells, not rows (q56: partial count below the exchange)") {
+    val p = plan(q("q56_hist_quantiles"))
+    assert(p.contains("HashAggregate") &&
+      "HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final count around the cell shuffle:\n$p")
+  }
+
+  test("curation gates evaluate before any exchange (q60)") {
+    val df = q("q60_curate")
+    val p = df.queryExecution.executedPlan.toString
+    // the quality/language Filter must sit BELOW the first Exchange in
+    // the profile branch: gated rows must never be shuffled
+    val filterIdx = p.indexOf("Filter")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(filterIdx >= 0 && exchangeIdx >= 0,
+      s"expected both a Filter and an Exchange in:\n$p")
+    // executedPlan prints top-down: a Filter appearing only above (before)
+    // the Exchange string-wise would mean post-shuffle filtering; the gate
+    // must also appear after (below) it
+    assert(p.lastIndexOf("Filter") > exchangeIdx,
+      s"quality/language gate should run scan-side, below the shuffle:\n$p")
+  }
 }
