@@ -564,6 +564,20 @@ object SparkEntry {
       CurationOps.curate(Tables.documents(s, d), "doc_id", "text",
         minQuality = 0.5, langs = Seq("en"))),
 
+    // Deterministic hash split (rows-only: xxhash64 has no DuckDB twin);
+    // per-split counts prove proportions and stability.
+    "q61_hash_split" -> ((s, d) =>
+      SampleOps.hashSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"))),
+
+    // Token-budget sequence packing within deterministic shards.
+    "q62_pack_budget" -> ((s, d) => {
+      val toks = TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens"))
+      SampleOps.packByTokenBudget(toks, "doc_id", "ws_tokens",
+        budget = 512L, nShards = 32)
+    }),
+
     // IVF over a MATERIALIZED partition-pruned index — the 100 TB shape:
     // index written partitionBy(centroid_id) once, probes read only the
     // nprobe partition directories (PartitionFilters at the source,
@@ -1117,6 +1131,21 @@ object SparkEntry {
          |f AS (SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents)
          |SELECT f.fingerprint, min(f.doc_id) AS keep_id, count(*) AS dup_count
          |FROM g JOIN f USING (doc_id) GROUP BY 1""".stripMargin,
+
+    // Same shard/window/floor arithmetic as SampleOps.packByTokenBudget
+    // (ws-token counts per q14's tokenizer).
+    "q62_pack_budget" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, doc_id % 32 AS shard,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
+         | FROM n)
+         |SELECT doc_id, shard, n_tokens,
+         | CAST(so AS BIGINT) AS start_offset,
+         | CAST(floor(so / 512.0) AS BIGINT) AS pack_id
+         |FROM o""".stripMargin,
 
     // Mirrors MultimodalOps.sampleAt/sampleCountFor; the Spark side reads
     // these facts back out of real WAV bytes via javax.sound.

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset assembly operators for training pipelines: deterministic
+  * splits and token-budget sequence packing.
+  *
+  * Scale notes:
+  *  - [[hashSplit]] is a pure per-row projection (zero shuffles, zero
+  *    state): the split is a function of the id alone, so it is stable
+  *    across runs, re-partitions, and incremental appends — new rows
+  *    never move old rows between splits (the property rand()-based
+  *    splits lack).
+  *  - [[packByTokenBudget]] packs WITHIN deterministic shards
+  *    (id-derived), the standard distributed shape: shards pack in
+  *    parallel, each shard's window orders by id, and the shuffle
+  *    carries (shard, id, n_tokens) — never document payloads. One
+  *    shard's rows must fit a task (bound shards accordingly).
+  */
+object SampleOps {
+
+  /** Deterministic train/val/test assignment from the 64-bit hash of the
+    * id: balanced regardless of id distribution, reproducible across
+    * engines that share the hash. `boundaries` are cumulative percentages
+    * (e.g. 80, 90 → train 80%, val 10%, test 10%).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                names: Seq[String] = Seq("train", "val", "test"),
+                boundaries: Seq[Int] = Seq(80, 90)): DataFrame = {
+    require(names.size == boundaries.size + 1, "need one more name than boundary")
+    val bucket = pmod(xxhash64(col(idCol)), lit(100))
+    val split = boundaries.zip(names).foldRight(lit(names.last): org.apache.spark.sql.Column) {
+      case ((b, n), rest) => when(bucket < b, n).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Greedy "concat then chunk" sequence packing: within each of
+    * `nShards` deterministic shards, documents are laid out in id order
+    * and cut into packs of `budget` tokens; `pack_id` is the pack a
+    * document STARTS in (documents may straddle a boundary, as when the
+    * token stream is chunked post-concatenation).
+    *
+    * Returns (id, shard, n_tokens, start_offset, pack_id).
+    */
+  def packByTokenBudget(docs: DataFrame, idCol: String, tokenCol: String,
+                        budget: Long, nShards: Int = 32): DataFrame = {
+    require(budget > 0 && nShards > 0)
+    val shard = pmod(col(idCol), lit(nShards.toLong)).as("shard")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), shard, col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("pack_id", floor(col("start_offset") / budget).cast("long"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.SampleOps
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators: split determinism/stability and packing
+  * arithmetic.
+  */
+class SampleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: proportions near the boundaries, all rows labeled") {
+    val df = (1L to 10000L).toDF("id")
+    val counts = SampleOps.hashSplit(df, "id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000L) < 400, counts)
+    assert(math.abs(counts("val") - 1000L) < 200, counts)
+  }
+
+  test("hashSplit is stable: a row's split never depends on the rest of the data") {
+    val full = SampleOps.hashSplit((1L to 1000L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subset = SampleOps.hashSplit((1L to 100L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(full(id) == s, s"id $id moved splits") }
+  }
+
+  test("packByTokenBudget: offsets accumulate in id order; packs cut at the budget") {
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 50L))
+      .toDF("id", "toks")
+    val out = SampleOps.packByTokenBudget(docs, "id", "toks", budget = 512L, nShards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // offsets: 0, 300, 600, 900 → packs 0, 0, 1, 1
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 300L, 0L), (3L, 600L, 1L), (4L, 900L, 1L)))
+  }
+
+  test("packByTokenBudget shards deterministically and packs per shard") {
+    val docs = (0L until 64L).map(i => (i, 100L)).toDF("id", "toks")
+    val out = SampleOps.packByTokenBudget(docs, "id", "toks", budget = 150L, nShards = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    out.foreach { case (id, shard, _, _) => assert(shard == id % 32) }
+    // each shard has exactly ids (k, k+32): offsets 0 and 100 → packs 0 and 0
+    out.foreach { case (id, _, off, pack) =>
+      if (id < 32) assert(off == 0L && pack == 0L) else assert(off == 100L && pack == 0L)
+    }
+  }
+}
