@@ -578,6 +578,23 @@ object SparkEntry {
         budget = 512L, nShards = 32)
     }),
 
+    // Dedup cluster resolution: connected components (iterative min-label
+    // propagation) over the exact-dup edge graph. The oracle derives the
+    // same components directly from fingerprint groups — valid because on
+    // this graph a component IS a fingerprint group.
+    "q63_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val did = col("doc_id").cast("long")
+      val corpus = docs.select(did.as("id"), col("text"))
+        .unionByName(docs.select((did + 1000000L).as("id"), col("text")))
+      val fp = corpus.select(col("id"), T.fingerprint(col("text")).as("fp"))
+      val edges = fp.select(col("fp"), col("id").as("id_a"))
+        .join(fp.select(col("fp"), col("id").as("id_b")), "fp")
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      DedupOps.connectedComponents(edges, maxIter = 10)
+    }),
+
     // IVF over a MATERIALIZED partition-pruned index — the 100 TB shape:
     // index written partitionBy(centroid_id) once, probes read only the
     // nprobe partition directories (PartitionFilters at the source,
@@ -1131,6 +1148,17 @@ object SparkEntry {
          |f AS (SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents)
          |SELECT f.fingerprint, min(f.doc_id) AS keep_id, count(*) AS dup_count
          |FROM g JOIN f USING (doc_id) GROUP BY 1""".stripMargin,
+
+    // On the exact-dup graph every component equals its fingerprint
+    // group, so min-per-group is the expected label assignment.
+    "q63_components" ->
+      s"""WITH c AS (
+         | SELECT doc_id AS id, text FROM documents
+         | UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |f AS (SELECT id, md5(lower($cleanSql)) AS fp FROM c),
+         |g AS (SELECT fp, min(id) AS component, count(*) AS n
+         |      FROM f GROUP BY fp)
+         |SELECT f.id, g.component FROM f JOIN g USING (fp) WHERE g.n > 1""".stripMargin,
 
     // Same shard/window/floor arithmetic as SampleOps.packByTokenBudget
     // (ws-token counts per q14's tokenizer).

@@ -386,4 +386,61 @@ object DedupOps {
       .select(col("id_a"), col("id_b"),
         Rounding.half4(H.jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
   }
+
+  /** Connected components over an undirected (id_a, id_b) edge list —
+    * the cluster-resolution step a dedup pipeline needs AFTER pair
+    * detection: survivors are picked per component, not per pair.
+    *
+    * Algorithm: iterative min-label propagation (the Spark-native member
+    * of the large-star/small-star family): every node repeatedly adopts
+    * the minimum component label among itself and its neighbors until a
+    * fixpoint. Deterministic; converges in O(max component diameter)
+    * rounds — near-dup components are short chains/stars in practice, so
+    * a handful. Each round is one shuffle join + partial-agg `min` per
+    * node; labels are (long, long) pairs, never payloads. Returns
+    * (id, component = min id reachable); isolated nodes (no edges) are
+    * not emitted.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    // Materialize AND re-root the frame on the persisted RDD (LogicalRDD):
+    // without this, every iteration's plan embeds the previous one and the
+    // logical plan grows exponentially — AQE's plan stringification alone
+    // OOMs after ~15 rounds. With it, each round's plan is O(1).
+    def compact(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      (spark.createDataFrame(p.rdd, p.schema), p)
+    }
+    val sym = edges
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(edges
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    var (labels, handle) = compact(
+      sym.select(col("src").as("id")).distinct().withColumn("component", col("id")))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
+        .groupBy("src").agg(min("nc").as("min_nc"))
+      val (next, nextHandle) = compact(labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("min_nc"), col("component")))
+            .as("component")))
+      changed = next
+        .join(labels.select(col("id"), col("component").as("prev")), "id")
+        .where(col("component") =!= col("prev"))
+        .count()
+      handle.unpersist(false)
+      labels = next
+      handle = nextHandle
+      i += 1
+    }
+    // final cache handed to the caller's release cycle; the returned frame
+    // stays recomputable through RDD lineage after release
+    GraftCache.register(handle)
+    labels
+  }
 }

@@ -64,4 +64,30 @@ class DedupOpsSpec extends SparkSpec {
     val loose = DedupOps.minhashCandidates(many, "id", "text", maxBucketSize = 100)
     assert(loose.count() == 50L * 49L / 2L)
   }
+
+  test("connectedComponents resolves chains, stars, and isolates correctly") {
+    // chain 1-2-3-4, star 10-{11,12,13}, pair 20-21; 99 isolated (no edge)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val comp = DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    assert(!comp.contains(99L))
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("connectedComponents converges on a long path within diameter rounds") {
+    // path 0-1-2-...-15: worst case for label propagation (diameter 15)
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = DedupOps.connectedComponents(edges, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 16 && comp.values.forall(_ == 0L))
+    graft.GraftCache.releaseAll(spark)
+  }
 }
