@@ -595,6 +595,17 @@ object SparkEntry {
       DedupOps.connectedComponents(edges, maxIter = 10)
     }),
 
+    // As-of join (union+window pattern — one shuffle, no range-join row
+    // explosion): each event gets the latest state checkpoint at-or-before
+    // its timestamp per user. DuckDB's native ASOF JOIN is the oracle.
+    "q64_asof_state" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val ckpt = Tables.events(s, d).where(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("ts"), col("event_id").as("state_id"))
+      JoinOps.asofJoin(ev, ckpt, "user_id", "ts", "state_id")
+        .select("event_id", "user_id", "state_id")
+    }),
+
     // IVF over a MATERIALIZED partition-pruned index — the 100 TB shape:
     // index written partitionBy(centroid_id) once, probes read only the
     // nprobe partition directories (PartitionFilters at the source,
@@ -1148,6 +1159,16 @@ object SparkEntry {
          |f AS (SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents)
          |SELECT f.fingerprint, min(f.doc_id) AS keep_id, count(*) AS dup_count
          |FROM g JOIN f USING (doc_id) GROUP BY 1""".stripMargin,
+
+    // DuckDB ASOF JOIN: greatest c.ts <= e.ts per user (inclusive), null
+    // when no prior checkpoint — exactly the union+window semantics.
+    "q64_asof_state" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events),
+        |c AS (SELECT user_id, ts, event_id AS state_id FROM events
+        |      WHERE event_id % 20 = 0)
+        |SELECT e.event_id, e.user_id, c.state_id
+        |FROM e ASOF LEFT JOIN c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
 
     // On the exact-dup graph every component equals its fingerprint
     // group, so min-per-group is the expected label assignment.

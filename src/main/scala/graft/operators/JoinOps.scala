@@ -32,4 +32,41 @@ object JoinOps {
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** As-of join: attach to every left row the `valueCol` of the LATEST
+    * right row with `right.ts <= left.ts` for the same key (inclusive);
+    * null when no prior right row exists.
+    *
+    * Spark has no ASOF JOIN; the naive encoding — range join + per-row
+    * max — explodes to |left|×|right-per-key| rows. This is the
+    * UNION+WINDOW pattern instead: tag both sides, union, and take the
+    * running `last(value, ignoreNulls)` per key in (ts, side) order —
+    * right rows sort before left rows at equal ts, making the match
+    * inclusive. ONE shuffle on the key, zero row amplification, state
+    * bounded by the window frame (running, not unbounded-following).
+    *
+    * Ties between two right rows at identical (key, ts) resolve to the
+    * larger `valueCol` (final sort key) for determinism.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, valueCol: String): DataFrame = {
+    val valueType = right.schema(valueCol).dataType
+    val payloadType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val l = left.select(
+      col(keyCol).as("_k"), col(tsCol).as("_ts"), lit(1).as("_side"),
+      lit(null).cast(valueType).as("_v"),
+      struct(left.columns.map(col).toSeq: _*).as("_payload"))
+    val r = right.select(
+      col(keyCol).as("_k"), col(tsCol).as("_ts"), lit(0).as("_side"),
+      col(valueCol).cast(valueType).as("_v"),
+      lit(null).cast(payloadType).as("_payload"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k").orderBy(col("_ts"), col("_side"), col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_v"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(col("_payload.*"), col("_asof").as(valueCol))
+  }
 }

@@ -56,4 +56,35 @@ class JoinOpsSpec extends SparkSpec {
     val fp = DedupOps.winnowingFingerprints(docs, "id", "text").collect()
     assert(fp.forall(_.getAs[Seq[Long]]("fingerprints").isEmpty))
   }
+
+  test("asofJoin picks the latest at-or-before right row per key, null before any") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val left = Seq(
+      (100L, 1L, ts(5)),   // after ckpt at 3 → state 30
+      (101L, 1L, ts(3)),   // exactly at ckpt 3 → inclusive → 30
+      (102L, 1L, ts(2)),   // between 1 and 3 → 10
+      (103L, 1L, ts(0)),   // before any → null
+      (104L, 2L, ts(9))    // other key, only ckpt at 7 → 70
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(1), 10L), (1L, ts(3), 30L), (2L, ts(7), 70L)
+    ).toDF("user_id", "ts", "state_id")
+    val out = JoinOps.asofJoin(left, right, "user_id", "ts", "state_id")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[Any]("state_id")).map(_.asInstanceOf[Long])).toMap
+    assert(out == Map(
+      100L -> Some(30L), 101L -> Some(30L), 102L -> Some(10L),
+      103L -> None, 104L -> Some(70L)))
+  }
+
+  test("asofJoin plans one shuffle and no join operator (union+window)") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val left = Seq((1L, 1L, ts(1))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(0), 5L)).toDF("user_id", "ts", "state_id")
+    val p = JoinOps.asofJoin(left, right, "user_id", "ts", "state_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"asof must not use a range join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"expected one shuffle per input side at most:\n$p")
+  }
 }
