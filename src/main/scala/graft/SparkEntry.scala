@@ -617,7 +617,72 @@ object SparkEntry {
       val cents = SimilarityOps.writeIvfIndex(emb, idx, nlist = 16)
       SimilarityOps.ivfTopKIndexed(s, idx, cents,
         emb.where(col("vec_id") < 8), k = 5, nprobe = 4)
-    })
+    }),
+
+    // BM25 lexical retrieval — the keyword complement to q28/q30's
+    // embedding ANN. Posting explode is filtered to the query terms
+    // before anything shuffles; df + corpus stats broadcast back; the
+    // ranking is TakeOrderedAndProject, never a global sort.
+    "q65_bm25" -> ((s, d) =>
+      RetrievalOps.bm25(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("spark", "window", "hash"), topK = 20)),
+
+    // Bucketed range join: events joined to the 2h checkpoint windows
+    // covering them — an equi-join on time bucket + exact BETWEEN filter,
+    // never the broadcast-nested-loop a naive range predicate plans to.
+    "q66_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pts = ev.select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
+      val iv = ev.where(col("event_id") % 50 === 0)
+        .select(col("event_id").as("interval_id"),
+          unix_timestamp(col("ts")).as("lo"),
+          (unix_timestamp(col("ts")) + 7200L).as("hi"))
+      JoinOps.rangeJoin(pts, iv, "pt", "lo", "hi", bucketWidth = 3600L)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_points"), sum("event_id").as("sum_ids"))
+    }),
+
+    // Bloom-filter delta: q05's answer, computed the way a state table
+    // too big to broadcast requires — broadcast the BITSET, not the rows;
+    // anti-join only the mightContain survivors. Output is exactly J1's.
+    "q67_bloom_delta" -> ((s, d) =>
+      DeltaOps.bloomDelta(
+        Tables.customer(s, d).select("c_custkey", "c_name"),
+        Tables.orders(s, d).where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("c_custkey")),
+        "c_custkey", expectedItems = 100000L)),
+
+    // PII scrub: deterministic synthetic PII injected from table columns
+    // (identical expression on the oracle side), then the redaction chain
+    // + per-category audit counts — a shuffle-free codegen'd scan.
+    "q68_redact" -> ((s, d) => {
+      val emailPart = when(pmod(did, lit(2)) === 0,
+        concat(lit(" user"), sid, lit("@example.com"))).otherwise(lit(""))
+      val phonePart = when(pmod(did, lit(3)) === 0,
+        concat(lit(" call +1 555-010-"), lpad(sid, 4, "0"))).otherwise(lit(""))
+      val ssnPart = when(pmod(did, lit(5)) === 0,
+        lit(" id 987-65-4321")).otherwise(lit(""))
+      val pii = concat(col("text"), emailPart, phonePart, ssnPart)
+      Tables.documents(s, d).select(
+        did.as("doc_id") +: T.redactPii(pii).as("redacted") +: T.piiCounts(pii): _*)
+    }),
+
+    // Portable 60-bit-md5 split + sample flag: row-level assignment
+    // hash-checked against DuckDB computing the same md5 arithmetic —
+    // the cross-engine-auditable twin of xxhash64-based q61 (rows-only).
+    "q69_portable_split" -> ((s, d) =>
+      SampleOps.portableSplit(Tables.documents(s, d).select("doc_id"), "doc_id")
+        .withColumn("in_sample10",
+          pmod(SampleOps.portableHash(col("doc_id")), lit(100)) < 10)),
+
+    // Exact heavy hitters: corpus-wide term counts, top 20. Map-side
+    // partial agg collapses each partition's token stream pre-shuffle;
+    // the ranking is TakeOrderedAndProject over (count, term).
+    "q70_term_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(T.tokens(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("term")).limit(20))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -1218,6 +1283,88 @@ object SparkEntry {
         | quantile_disc(l_extendedprice, 0.25) AS p25,
         | quantile_disc(l_extendedprice, 0.5) AS p50,
         | quantile_disc(l_extendedprice, 0.75) AS p75
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // BM25: ln / double arithmetic written in the exact same op order as
+    // the Spark expression (idf and tf' are IEEE-bit-identical); score
+    // rounded half4 before the ORDER BY so the top-20 total order matches.
+    "q65_bm25" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
+         | FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |hits AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |postings AS (SELECT doc_id, term, count(*) AS tf FROM hits
+         |  WHERE term IN ('spark', 'window', 'hash') GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+         |SELECT p.doc_id,
+         | floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |   * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))))
+         |   * 10000 + 0.5) / 10000 AS bm25
+         |FROM postings p JOIN dfreq USING (term) JOIN lens USING (doc_id)
+         | CROSS JOIN stats
+         |GROUP BY p.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // floor(epoch(ts)) mirrors Spark's unix_timestamp (DuckDB's epoch()
+    // keeps fractional seconds); sum(BIGINT) is HUGEINT in DuckDB → cast.
+    "q66_range_join" ->
+      """WITH pts AS (SELECT event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events),
+        |iv AS (SELECT event_id AS interval_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |  CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS hi
+        | FROM events WHERE event_id % 50 = 0)
+        |SELECT interval_id, count(*) AS n_points,
+        | CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM pts JOIN iv ON pt >= lo AND pt <= hi
+        |GROUP BY interval_id""".stripMargin,
+
+    // Same oracle as q05: the bloom pre-pass must not change the answer.
+    "q67_bloom_delta" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+
+    "q68_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0
+        |   THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0
+        |   THEN ' call +1 555-010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' id 987-65-4321' ELSE '' END AS pii
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(pii,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |   '\d{3}-\d{2}-\d{4}', '<SSN>', 'g') AS redacted,
+        | CAST(len(regexp_extract_all(pii,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(pii,
+        |   '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(
+        |   regexp_replace(pii, '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |   '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssns
+        |FROM p""".stripMargin,
+
+    // The portable-hash contract stated as SQL: first 15 md5 hex chars as
+    // a 60-bit unsigned int — DuckDB parses the 0x literal directly.
+    "q69_portable_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        | bucket < 10 AS in_sample10
+        |FROM b""".stripMargin,
+
+    "q70_term_topk" ->
+      s"""SELECT term, count(*) AS n FROM (
+         | SELECT unnest(CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END) AS term
+         | FROM documents)
+         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
   )
 }

@@ -179,4 +179,34 @@ object TextFunctions {
     * groupBy the 32-char digest instead of shuffling full documents).
     */
   def fingerprint(c: Column): Column = md5(lower(cleanText(c)))
+
+  // ---- PII scrubbing (training-data hygiene; RE2-compatible patterns,
+  //      so the same regexes run in Spark, DuckDB, and Go-side tooling) ----
+
+  /** Email addresses (pragmatic form, not full RFC 5322). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Phone numbers in international `+CC NNN-NNN-NNNN` form. */
+  val PhonePattern = "\\+\\d{1,2} \\d{3}-\\d{3}-\\d{4}"
+  /** US-SSN-shaped ids `NNN-NN-NNNN`. */
+  val SsnPattern = "\\d{3}-\\d{2}-\\d{4}"
+
+  /** Replace every email/phone/SSN-shaped span with a typed placeholder.
+    * Pure codegen'd `regexp_replace` chain — a shuffle-free scan at any
+    * scale. Order matters: SSN last, so the phone rule consumes full
+    * phone numbers before the looser digit-group pattern can bite a
+    * suffix of one.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      SsnPattern, "<SSN>")
+
+  /** Per-category redaction counts (audit columns for the scrub job). */
+  def piiCounts(c: Column): Seq[Column] = Seq(
+    regexp_count(c, lit(EmailPattern)).cast("long").as("n_emails"),
+    regexp_count(c, lit(PhonePattern)).cast("long").as("n_phones"),
+    regexp_count(regexp_replace(c, PhonePattern, "<PHONE>"), lit(SsnPattern))
+      .cast("long").as("n_ssns"))
 }

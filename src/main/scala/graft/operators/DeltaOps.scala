@@ -64,4 +64,39 @@ object DeltaOps {
   /** U3: idempotent insert into a distinct key set. */
   def addCompleted(completed: DataFrame, newKeys: DataFrame, key: String): DataFrame =
     completed.select(key).union(newKeys.select(key)).distinct()
+
+  /** J1 at the scale where `existing` outgrows broadcast: EXACT delta
+    * via a bloom-filter pre-pass.
+    *
+    * A billion-key state table can't broadcast as rows (~tens of GB),
+    * but its bloom filter can (~1.2 GB at 1e9 keys / 1% fpp). Plan:
+    *  1. build the filter over `existing`'s keys (one reduce, compact
+    *     bitset to the driver, broadcast once);
+    *  2. rows whose key the filter REJECTS are definitely new (bloom has
+    *     no false negatives) — they skip the join entirely;
+    *  3. only the `mightContain` survivors (true hits + ~fpp of the new
+    *     rows) run the exact anti-join, so the shuffled verify handles a
+    *     small fraction of `current`.
+    * Output == [[delta]] exactly; the bloom only prunes the join input.
+    *
+    * Null keys are "new" (bloom pass: null never matches; anti-join
+    * pass: null joins nothing) — same as [[delta]].
+    *
+    * @param expectedItems sizing hint for the filter (#distinct existing keys)
+    * @param fpp           target false-positive rate (drives filter bits)
+    */
+  def bloomDelta(current: DataFrame, existing: DataFrame, key: String,
+                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    val keys = existing.select(col(key).cast("string").as(key))
+    val bf = keys.stat.bloomFilter(key, expectedItems, fpp)
+    val bfB = current.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val flagged = current.withColumn("_maybe", mightContain(col(key).cast("string")))
+    val definitelyNew = flagged.where(!col("_maybe")).drop("_maybe")
+    val verified = flagged.where(col("_maybe")).drop("_maybe")
+      .join(existing.select(key).distinct(), Seq(key), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
 }

@@ -33,6 +33,38 @@ object JoinOps {
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Point-in-interval range join via bucketing: `points ⋈ intervals ON
+    * lo <= pt <= hi` (inclusive both ends).
+    *
+    * A naive range join is a broadcast-nested-loop (O(|P|·|I|) — dead at
+    * scale). Bucketing turns it into an EQUI-join: each point maps to
+    * exactly one `bucketWidth`-wide bucket, each interval explodes to the
+    * buckets it overlaps, the join runs hash-partitioned on bucket id,
+    * and the exact `BETWEEN` predicate filters survivors post-join. No
+    * duplicates by construction (a point lives in one bucket; an
+    * interval covers that bucket at most once).
+    *
+    * Cost: intervals replicate ~`len/bucketWidth + 1`× — pick the width
+    * near the MEDIAN interval length so replication stays O(1). Point
+    * clustering shows up as bucket skew; compose with AQE's skew split
+    * or [[saltedEquiJoin]] on `_bkt` for pathological hot windows.
+    *
+    * `ptCol`/`loCol`/`hiCol` must be numeric (cast timestamps to epoch
+    * first); the two frames' column names must be disjoint.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
+                loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("_bkt",
+      floor(col(ptCol).cast("double") / bucketWidth).cast("long"))
+    val i = intervals.withColumn("_bkt", explode(sequence(
+      floor(col(loCol).cast("double") / bucketWidth).cast("long"),
+      floor(col(hiCol).cast("double") / bucketWidth).cast("long"))))
+    p.join(i, Seq("_bkt"))
+      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("_bkt")
+  }
+
   /** As-of join: attach to every left row the `valueCol` of the LATEST
     * right row with `right.ts <= left.ts` for the same key (inclusive);
     * null when no prior right row exists.

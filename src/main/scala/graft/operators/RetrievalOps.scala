@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.{Rounding, TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword (lexical) retrieval — the BM25 complement to
+  * [[SimilarityOps]]' embedding ANN. Production RAG stacks run both and
+  * fuse the rankings ([[hybridTopK]]); the reference has no search
+  * surface at all, so this whole file is engine capability beyond parity
+  * (cf. `/root/reference/scripts/delta_download.py` which only key-joins).
+  *
+  * Scale shape (what survives 100 TB):
+  *  - the posting explode is filtered to the QUERY terms before anything
+  *    shuffles — the corpus-wide token stream never leaves its scan
+  *    stage; only (doc, query-term) hits reach the `groupBy`;
+  *  - document frequencies and the corpus stats (N, avgdl) reduce to a
+  *    handful of rows and broadcast back — no second pass re-keys the
+  *    corpus;
+  *  - the final ranking is `ORDER BY ... LIMIT k` →
+  *    `TakeOrderedAndProject`: per-partition bounded heaps, k rows per
+  *    task to the driver, never a global sort;
+  *  - the one real shuffle joins term hits to doc lengths on doc id,
+  *    carrying two longs per matching doc — never text payloads.
+  */
+object RetrievalOps {
+
+  /** BM25 score of every document matching >= 1 of `queryTerms`, top
+    * `topK` by (score desc, id asc). Tokenization is lowercase
+    * whitespace tokens over cleaned text ([[T.tokens]] parity, so scores
+    * line up with [[TextAnalysisOps.tokenCounts]] lengths).
+    *
+    * idf = ln((N - df + 0.5) / (df + 0.5) + 1)   (Lucene's non-negative form)
+    * tf' = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *
+    * The score is rounded half-up to 4 decimals (binary-deterministic,
+    * [[Rounding.half4]]) so the ORDER BY total order — and the driver's
+    * value hash — is engine-independent.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      T.tokens(lower(col(textCol))).as("toks"))
+    val lens = tok.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val postings = tok.select(col("doc_id"), explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms.map(x => x: Any): _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfComp = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    postings
+      .join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(Rounding.half4(sum(idf * tfComp)).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Reciprocal-rank fusion of a lexical ([[bm25]]) and a semantic
+    * ([[SimilarityOps.bruteForceTopK]] / ivf) ranking:
+    * score(d) = Σ_rankings 1/(rrfK + rank_d). Docs missing from a
+    * ranking contribute nothing (standard RRF). Both inputs are already
+    * top-k sized, so the fusion is a broadcast-scale full-outer join.
+    */
+  def rrfFuse(lexical: DataFrame, semantic: DataFrame, idCol: String,
+              lexOrder: Seq[org.apache.spark.sql.Column],
+              semOrder: Seq[org.apache.spark.sql.Column],
+              rrfK: Int = 60, topK: Int = 20): DataFrame = {
+    def ranked(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+               as: String) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      df.select(col(idCol), row_number().over(w).cast("long").as(as))
+    }
+    val l = ranked(lexical, lexOrder, "lex_rank")
+    val s = ranked(semantic, semOrder, "sem_rank")
+    l.join(s, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        Rounding.half4(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0))).as("rrf"))
+      .orderBy(desc("rrf"), col(idCol))
+      .limit(topK)
+  }
+}

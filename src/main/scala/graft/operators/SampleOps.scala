@@ -37,6 +37,43 @@ object SampleOps {
     df.withColumn("split", split)
   }
 
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5 of the
+    * value's string form, read as an unsigned integer. Any engine with
+    * md5 reproduces it bit-for-bit (DuckDB:
+    * `('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT`), which
+    * makes splits/samples derived from it verifiable ACROSS engines —
+    * the property `xxhash64` (Spark-specific) lacks. ~3× slower than
+    * xxhash64 per row; prefer [[hashSplit]] when only Spark reads the
+    * split and portability doesn't matter.
+    */
+  def portableHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** [[hashSplit]] on [[portableHash]]: same append-stability, plus the
+    * assignment is reproducible outside Spark (auditable lineage — a
+    * downstream consumer can re-derive every row's split from its id).
+    */
+  def portableSplit(df: DataFrame, idCol: String,
+                    names: Seq[String] = Seq("train", "val", "test"),
+                    boundaries: Seq[Int] = Seq(80, 90)): DataFrame = {
+    require(names.size == boundaries.size + 1, "need one more name than boundary")
+    val bucket = pmod(portableHash(col(idCol)), lit(100))
+    val split = boundaries.zip(names).foldRight(lit(names.last): org.apache.spark.sql.Column) {
+      case ((b, n), rest) => when(bucket < b, n).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Deterministic `percent`% sample by [[portableHash]] bucket — stable
+    * under appends and re-partitioning (rows never enter/leave the
+    * sample across runs), reproducible in any md5-bearing engine. A pure
+    * predicate: pushes to the scan, no shuffle, no RNG state.
+    */
+  def portableSample(df: DataFrame, idCol: String, percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100)
+    df.where(pmod(portableHash(col(idCol)), lit(100)) < percent)
+  }
+
   /** Greedy "concat then chunk" sequence packing: within each of
     * `nShards` deterministic shards, documents are laid out in id order
     * and cut into packs of `budget` tokens; `pack_id` is the pack a

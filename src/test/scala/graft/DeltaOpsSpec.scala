@@ -63,4 +63,25 @@ class DeltaOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
   }
+
+  test("bloomDelta == delta, even under forced false positives") {
+    val cur = spark.range(1, 2001).toDF("k").withColumn("payload", col("k") * 2)
+    val exist = spark.range(1, 1001).where(col("id") % 3 === 0).toDF("k")
+    val want = DeltaOps.delta(cur, exist, "k")
+      .select("k").as[Long].collect().sorted.toSeq
+    // undersized filter + huge fpp → most keys are mightContain hits; the
+    // exact verify join must keep the answer identical
+    val got = DeltaOps.bloomDelta(cur, exist, "k", expectedItems = 10L, fpp = 0.5)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.size == 2000 - 333)
+  }
+
+  test("bloomDelta keeps null keys, like the anti-join") {
+    val cur = Seq(Option(1L), None, Option(5L)).toDF("k")
+    val exist = Seq(1L).toDF("k")
+    val got = DeltaOps.bloomDelta(cur, exist, "k", expectedItems = 10L)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(got == Set(None, Some(5L)))
+  }
 }

@@ -77,6 +77,38 @@ class JoinOpsSpec extends SparkSpec {
       103L -> None, 104L -> Some(70L)))
   }
 
+  test("rangeJoin matches the naive range predicate exactly") {
+    val pts = (0L to 200L).map(i => (i, i * 7L % 500L)).toDF("pid", "pt")
+    val ivs = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 400L, 700L), (4L, 480L, 490L),
+        (5L, 130L, 130L))
+      .toDF("iid", "lo", "hi")
+    val got = JoinOps.rangeJoin(pts, ivs, "pt", "lo", "hi", 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = pts.crossJoin(ivs)
+      .where(col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.length == got.distinct.length, "bucketing must not duplicate pairs")
+  }
+
+  test("rangeJoin: inclusive bounds, no duplicates when one interval spans many buckets") {
+    val pts = Seq((1L, 10L), (2L, 20L), (3L, 21L)).toDF("pid", "pt")
+    val ivs = Seq((9L, 10L, 20L)).toDF("iid", "lo", "hi")
+    // width 3 → the interval covers buckets 3..6; each point still matches once
+    val rows = JoinOps.rangeJoin(pts, ivs, "pt", "lo", "hi", 3L)
+      .select("pid").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L))
+  }
+
+  test("rangeJoin plans an equi-join on the bucket, not a nested loop") {
+    val pts = Seq((1L, 10L)).toDF("pid", "pt")
+    val ivs = Seq((9L, 0L, 20L)).toDF("iid", "lo", "hi")
+    val p = JoinOps.rangeJoin(pts, ivs, "pt", "lo", "hi", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must bucket to an equi-join:\n$p")
+  }
+
   test("asofJoin plans one shuffle and no join operator (union+window)") {
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
     val left = Seq((1L, 1L, ts(1))).toDF("event_id", "user_id", "ts")

@@ -111,6 +111,26 @@ class PlanAuditSpec extends SparkSpec {
       s"expected partial+final count around the cell shuffle:\n$p")
   }
 
+  test("bm25 ranks via TakeOrderedAndProject and broadcasts the stats sides (q65)") {
+    val p = plan(q("q65_bm25"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df/stats joins should broadcast, corpus side stays put:\n$p")
+  }
+
+  test("range join buckets to an equi-join — no nested loop (q66)") {
+    val p = plan(q("q66_range_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range predicate must ride the bucket equi-join:\n$p")
+  }
+
+  test("term top-k partial-aggregates before the shuffle and take-orders (q70)") {
+    val p = plan(q("q70_term_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"token stream must map-side combine before the term shuffle:\n$p")
+  }
+
   test("curation gates evaluate before any exchange (q60)") {
     val df = q("q60_curate")
     val p = df.queryExecution.executedPlan.toString

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.RetrievalOps
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval: BM25 ranking semantics and RRF fusion. */
+class RetrievalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark spark spark engine"),
+    (2L, "spark engine"),
+    (3L, "window join window plan"),
+    (4L, "nothing relevant here at all"),
+    (5L, "the rare hash term appears hash")
+  ).toDF("doc_id", "text")
+
+  test("bm25 returns only matching docs; higher tf ranks higher") {
+    val out = RetrievalOps.bm25(corpus, "doc_id", "text", Seq("spark"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSet == Set(1L, 2L))
+    assert(out.head._1 == 1L, s"tf=3 should outrank tf=1: ${out.toSeq}")
+    assert(out.forall(_._2 > 0.0))
+  }
+
+  test("bm25 idf: a rarer term contributes more than a common one at equal tf") {
+    // 'spark' appears in 2 docs, 'window' in 1 → doc3 (window×2) should
+    // outscore doc2 (spark×1): higher idf AND higher tf.
+    val out = RetrievalOps.bm25(corpus, "doc_id", "text", Seq("spark", "window"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(3L) > out(2L), s"rare-term doc should outscore common-term doc: $out")
+  }
+
+  test("bm25 is invariant to partitioning") {
+    val a = RetrievalOps.bm25(corpus, "doc_id", "text", Seq("spark", "hash"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = RetrievalOps.bm25(corpus.repartition(7), "doc_id", "text",
+        Seq("spark", "hash"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
+  test("rrfFuse: a doc ranked in both lists beats docs in one list") {
+    val lex = Seq((1L, 5.0), (2L, 4.0), (3L, 3.0)).toDF("doc_id", "bm25")
+    val sem = Seq((2L, 0.9), (4L, 0.8)).toDF("doc_id", "cos")
+    val out = RetrievalOps.rrfFuse(lex, sem, "doc_id",
+        Seq(col("bm25").desc, col("doc_id").asc),
+        Seq(col("cos").desc, col("doc_id").asc), rrfK = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.head._1 == 2L, s"doc in both rankings should fuse highest: ${out.toSeq}")
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // 1/(60+1) alone < 1/(60+2)+1/(60+1): fused strictly above any single-list doc
+    assert(out.head._2 > out(1)._2)
+  }
+}

@@ -47,4 +47,30 @@ class SampleOpsSpec extends SparkSpec {
       if (id < 32) assert(off == 0L && pack == 0L) else assert(off == 100L && pack == 0L)
     }
   }
+
+  test("portableHash matches the documented md5-prefix contract") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("42".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val want = java.lang.Long.parseLong(hex.take(15), 16)
+    val got = spark.range(42, 43)
+      .select(SampleOps.portableHash(col("id")).as("h")).as[Long].head()
+    assert(got == want)
+  }
+
+  test("portableSplit is append-stable; portableSample is a stable subset") {
+    val full = SampleOps.portableSplit((1L to 1000L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subset = SampleOps.portableSplit((1L to 100L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(full(id) == s, s"id $id moved splits") }
+    assert(full.values.toSet == Set("train", "val", "test"))
+
+    val sampled = SampleOps.portableSample((1L to 1000L).toDF("id"), "id", 10)
+      .as[Long].collect().toSet
+    assert(sampled.size > 50 && sampled.size < 200, s"~10% expected, got ${sampled.size}")
+    val again = SampleOps.portableSample((1L to 500L).toDF("id"), "id", 10)
+      .as[Long].collect().toSet
+    assert(again == sampled.filter(_ <= 500L), "sample membership must not depend on corpus size")
+  }
 }

@@ -88,4 +88,29 @@ class TextFunctionsSpec extends SparkSpec {
       .select(T.fingerprint(col("x")).as("fx"), T.fingerprint(col("y")).as("fy")).head
     assert(fp.getString(0) == fp.getString(1))
   }
+
+  test("redactPii replaces emails/phones/SSN-shaped ids; counts agree") {
+    val cases = Seq(
+      ("a@b.com and c.d+x@e.org", "<EMAIL> and <EMAIL>", 2L, 0L, 0L),
+      ("call +1 555-010-1234 or +44 123-456-7890",
+        "call <PHONE> or <PHONE>", 0L, 2L, 0L),
+      ("id 123-45-6789 ok", "id <SSN> ok", 0L, 0L, 1L),
+      ("m a@b.co +1 555-010-1234 123-45-6789",
+        "m <EMAIL> <PHONE> <SSN>", 1L, 1L, 1L),
+      ("clean text, nothing here", "clean text, nothing here", 0L, 0L, 0L))
+    val out = cases.map(_._1).toDF("t")
+      .select(T.redactPii(col("t")).as("r") +: T.piiCounts(col("t")): _*)
+      .collect()
+    cases.zip(out).foreach { case ((in, want, e, p, s), row) =>
+      assert(row.getString(0) == want, s"input: $in")
+      assert((row.getLong(1), row.getLong(2), row.getLong(3)) == ((e, p, s)), s"input: $in")
+    }
+  }
+
+  test("redactPii: a phone's digit tail is not double-counted as an SSN") {
+    val row = Seq("+1 555-010-1234").toDF("t")
+      .select(T.redactPii(col("t")).as("r") +: T.piiCounts(col("t")): _*).head
+    assert(row.getString(0) == "<PHONE>")
+    assert(row.getLong(3) == 0L)
+  }
 }
