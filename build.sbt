@@ -31,5 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fill the default code cache; a full cache disables the JIT silently
   // and CPU-bound kernels drop to interpreter speed (observed: bimodal
   // 3.6s↔11.4s on the same query).
-  "-XX:ReservedCodeCacheSize=512m",
+  // sized for 70+ whole-stage-codegen queries in one Bench JVM
+  "-XX:ReservedCodeCacheSize=1g",
 )
