@@ -578,10 +578,11 @@ object SparkEntry {
         budget = 512L, nShards = 32)
     }),
 
-    // Dedup cluster resolution: connected components (iterative min-label
-    // propagation) over the exact-dup edge graph. The oracle derives the
-    // same components directly from fingerprint groups — valid because on
-    // this graph a component IS a fingerprint group.
+    // Dedup cluster resolution: connected components (alternating
+    // large-star/small-star, O(log n) rounds) over the exact-dup edge
+    // graph. The oracle derives the same components directly from
+    // fingerprint groups — valid because on this graph a component IS a
+    // fingerprint group.
     "q63_components" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val did = col("doc_id").cast("long")

@@ -391,56 +391,95 @@ object DedupOps {
     * the cluster-resolution step a dedup pipeline needs AFTER pair
     * detection: survivors are picked per component, not per pair.
     *
-    * Algorithm: iterative min-label propagation (the Spark-native member
-    * of the large-star/small-star family): every node repeatedly adopts
-    * the minimum component label among itself and its neighbors until a
-    * fixpoint. Deterministic; converges in O(max component diameter)
-    * rounds — near-dup components are short chains/stars in practice, so
-    * a handful. Each round is one shuffle join + partial-agg `min` per
-    * node; labels are (long, long) pairs, never payloads. Returns
-    * (id, component = min id reachable); isolated nodes (no edges) are
-    * not emitted.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    * rewrites the edge set:
+    *  - large-star: every node u connects its strictly-LARGER neighbors to
+    *    m(u) = min(neighbors(u) ∪ u);
+    *  - small-star: every node u (edges oriented larger→smaller) connects
+    *    its smaller neighbors and itself to the minimum.
+    * Both preserve connectivity; their joint fixpoints are rooted stars
+    * (every node pointing straight at its component minimum), reached in
+    * O(log n) rounds — diameter-independent, unlike min-label propagation
+    * whose round count is the component diameter (a chain of length d
+    * needs d rounds; this needs ~log d). Each round is ONE Spark action:
+    * the (count, xxhash64-xor) set checksum that detects the fixpoint is
+    * computed by the same aggregation that materializes the round's
+    * persist, so there is no separate "changed" job.
+    *
+    * Edge payloads are (long, long) pairs throughout — never documents.
+    * Returns (id, component = min id reachable); isolated nodes (no
+    * edges) are not emitted.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds executed (the last
+    * round is the fixpoint-confirming one) — exposed so tests can assert
+    * the O(log n) bound on long chains.
+    */
+  def connectedComponentsWithRounds(edges: DataFrame,
+                                    maxIter: Int = 50): (DataFrame, Int) = {
     val spark = edges.sparkSession
     // Materialize AND re-root the frame on the persisted RDD (LogicalRDD):
     // without this, every iteration's plan embeds the previous one and the
     // logical plan grows exponentially — AQE's plan stringification alone
-    // OOMs after ~15 rounds. With it, each round's plan is O(1).
-    def compact(df: DataFrame): (DataFrame, DataFrame) = {
+    // OOMs after ~15 rounds. With it, each round's plan is O(1). The same
+    // action also computes the set checksum used for convergence.
+    def compact(df: DataFrame): (DataFrame, DataFrame, Long, Long) = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      (spark.createDataFrame(p.rdd, p.schema), p)
+      // bit_xor (not sum) — sum of 64-bit hashes overflows under ANSI mode
+      val row = p.agg(count(lit(1)),
+        call_function("bit_xor", xxhash64(col("src"), col("dst")))).head()
+      val chk = if (row.isNullAt(1)) 0L else row.getLong(1)
+      (spark.createDataFrame(p.rdd, p.schema), p, row.getLong(0), chk)
     }
-    val sym = edges
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(edges
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-    var (labels, handle) = compact(
-      sym.select(col("src").as("id")).distinct().withColumn("component", col("id")))
-    var changed = 1L
+    // Orient larger→smaller (the small-star invariant; both rewrites
+    // preserve it) and drop self-loops/duplicates.
+    val init = edges.select(
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("src"),
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    var (e, handle, prevN, prevChk) = compact(init)
+    var converged = prevN == 0L
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val neighborMin = sym
-        .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
-        .groupBy("src").agg(min("nc").as("min_nc"))
-      val (next, nextHandle) = compact(labels
-        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("min_nc"), col("component")))
-            .as("component")))
-      changed = next
-        .join(labels.select(col("id"), col("component").as("prev")), "id")
-        .where(col("component") =!= col("prev"))
-        .count()
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric view: for each edge (u,v), v > u,
+      // emit (v, m(u)). Output stays larger→smaller since v > u >= m(u).
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val minN = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      val large = sym.join(minN, sym("src") === minN("u"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      // small-star on the oriented output: per larger-endpoint group,
+      // point every smaller neighbor (and the endpoint itself) at the min.
+      // min() tolerates the duplicate rows large-star can emit, so the
+      // only distinct is the one that canonicalizes the round's output.
+      val minS = large.groupBy("src").agg(min("dst").as("m"))
+      val small = large.join(minS, "src")
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(minS.select(col("src"), col("m").as("dst")))
+      val (next, nextHandle, n1, chk1) = compact(small.distinct())
+      converged = n1 == prevN && chk1 == prevChk
       handle.unpersist(false)
-      labels = next
-      handle = nextHandle
+      e = next; handle = nextHandle; prevN = n1; prevChk = chk1
       i += 1
     }
+    // At the star fixpoint every non-root appears exactly once as src,
+    // pointing at its component min; roots appear only as dst. The min agg
+    // guards the maxIter-without-convergence edge (never picks a worse
+    // label than the star edge).
+    val nonRoots = e.groupBy("src").agg(min("dst").as("component"))
+      .select(col("src").as("id"), col("component"))
+    val roots = e.select(col("dst").as("id")).distinct()
+      .join(e.select(col("src").as("id")), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
     // final cache handed to the caller's release cycle; the returned frame
     // stays recomputable through RDD lineage after release
     GraftCache.register(handle)
-    labels
+    (nonRoots.union(roots), i)
   }
 }

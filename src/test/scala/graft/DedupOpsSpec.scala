@@ -90,4 +90,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(comp.size == 16 && comp.values.forall(_ == 0L))
     graft.GraftCache.releaseAll(spark)
   }
+
+  test("connectedComponents resolves a diameter-100 chain in O(log n) rounds") {
+    // Min-label propagation needs ~100 rounds here; large-star/small-star
+    // needs ~log2(100) plus the fixpoint-confirming round.
+    val edges = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = DedupOps.connectedComponentsWithRounds(edges)
+    val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 101 && comp.values.forall(_ == 0L))
+    assert(rounds <= 10, s"expected O(log n) convergence, took $rounds rounds")
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("connectedComponents handles shuffled ids, dup edges, and self-loops") {
+    // two components with non-monotonic ids, redundant + reversed + self edges
+    val edges = Seq(
+      (7L, 3L), (3L, 9L), (9L, 7L), (9L, 3L), (5L, 5L),
+      (42L, 17L), (17L, 42L)
+    ).toDF("id_a", "id_b")
+    val comp = DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 17L -> 17L, 42L -> 17L))
+    graft.GraftCache.releaseAll(spark)
+  }
 }
