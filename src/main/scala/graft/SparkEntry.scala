@@ -296,10 +296,11 @@ object SparkEntry {
           col("source"), concat(lit("UIN-"), sid),
           substring(col("text"), 1, 20), lit(".pdf")).as("path"))),
 
-    // X13: xxhash64 URL hash — Spark-specific hash, rows-only check.
+    // X13: portable (md5-derived) URL hash — oracle-checked; the xxhash64
+    // fast path stays available as TextFunctions.urlHash.
     "q23_url_hash" -> ((s, d) =>
       Tables.documents(s, d).select(did,
-        T.urlHash(concat(lit("https://x.test/doc/"), sid, lit(".pdf"))).as("url_hash"))),
+        T.urlHashPortable(concat(lit("https://x.test/doc/"), sid, lit(".pdf"))).as("url_hash"))),
 
     // n-gram Jaccard on explicit pairs.
     "q24_pairwise_jaccard" -> ((s, d) => {
@@ -309,14 +310,18 @@ object SparkEntry {
       DedupOps.pairwiseJaccard(docs, "doc_id", "text", pairs)
     }),
 
-    // MinHash-LSH near-dups (xxhash64 signatures — rows-only check).
+    // MinHash-LSH near-dups, portable md5 hashing end-to-end: candidate
+    // pairs AND Jaccard scores are hash-checked against a full DuckDB
+    // re-derivation (shingles → signatures → bands → verify). The
+    // xxhash64 fast path remains DedupOps.minhashNearDups.
     "q25_minhash_neardups" -> ((s, d) =>
-      DedupOps.minhashNearDups(dupCorpus(Tables.documents(s, d)), "id", "text",
+      DedupOps.minhashNearDupsPortable(dupCorpus(Tables.documents(s, d)), "id", "text",
         threshold = 0.7)),
 
-    // SimHash near-dups (xxhash64 — rows-only check).
+    // SimHash near-dups, portable 60-bit md5 sketches — oracle-checked;
+    // xxhash64 fast path remains DedupOps.simhashNearDups.
     "q26_simhash_neardups" -> ((s, d) =>
-      DedupOps.simhashNearDups(dupCorpus(Tables.documents(s, d)), "id", "text")),
+      DedupOps.simhashNearDupsPortable(dupCorpus(Tables.documents(s, d)), "id", "text")),
 
     // Embedding near-dups via hyperplane LSH (seeded RNG — rows-only).
     "q27_embedding_neardups" -> ((s, d) =>
@@ -855,6 +860,90 @@ object SparkEntry {
         |  || (CASE WHEN name_s = '' THEN 'unknown' ELSE substr(name_s, 1, 100) END)
         |  || '.pdf' AS path
         |FROM n""".stripMargin,
+
+    "q23_url_hash" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5('https://x.test/doc/' || CAST(doc_id AS VARCHAR) || '.pdf'), 1, 15))::BIGINT AS url_hash
+        |FROM documents""".stripMargin,
+
+    // Full re-derivation of the portable MinHash-LSH pipeline: shingle
+    // hashes -> 64 affine permutations in 60-bit space -> 16 four-value
+    // band keys -> bucket-capped banded self-join -> exact Jaccard verify.
+    // Arithmetic parity: Spark computes (h*a+b) & (2^60-1) in wrapping
+    // 64-bit longs; low-bit truncation commutes with wraparound, so the
+    // HUGEINT mod-2^60 here produces identical values.
+    "q25_minhash_neardups" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
+         |t AS (SELECT id, $toksSql AS toks FROM corpus),
+         |shl AS (SELECT id,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |   ELSE list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs
+         | FROM t),
+         |shu AS (SELECT id, unnest(shs) AS s FROM shl),
+         |sh AS (SELECT DISTINCT id,
+         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shu),
+         |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |perms AS (SELECT i,
+         |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
+         |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
+         | FROM pidx),
+         |sig AS (SELECT sh.id, perms.i,
+         |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
+         | FROM sh, perms GROUP BY sh.id, perms.i),
+         |bandkey AS (SELECT id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
+         | FROM sig GROUP BY id, i // 4),
+         |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey GROUP BY band, bk),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         | FROM bandkey x
+         | JOIN bandkey y ON x.band = y.band AND x.bk = y.bk
+         | JOIN bsz ON bsz.band = x.band AND bsz.bk = x.bk
+         | WHERE bsz.n <= 1000 AND x.id < y.id),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS m
+         | FROM cand c
+         | JOIN sh x ON x.id = c.id_a
+         | JOIN sh y ON y.id = c.id_b AND y.h = x.h
+         | GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b,
+         | floor((CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.id = i.id_a
+         |JOIN sizes sb ON sb.id = i.id_b
+         |WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7""".stripMargin,
+
+    // Portable 60-bit SimHash: per-token md5 hash votes on 60 counters,
+    // 4x15-bit bands, exact hamming verify. Tokenless docs sketch to
+    // all-ones (counter 0 >= 0 sets every bit) — mirrored by the
+    // coalesce.
+    "q26_simhash_neardups" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
+         |t AS (SELECT id, $toksSql AS toks FROM corpus),
+         |tok AS (SELECT id, unnest(toks) AS tk FROM t),
+         |th AS (SELECT id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+         |bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+         |votes AS (SELECT th.id, bits.b,
+         |  sum(CASE WHEN (th.h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         | FROM th, bits GROUP BY th.id, bits.b),
+         |sk0 AS (SELECT id,
+         |  CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+         | FROM votes GROUP BY id),
+         |sk AS (SELECT corpus.id, coalesce(sk0.sh, 1152921504606846975) AS sh
+         | FROM corpus LEFT JOIN sk0 ON corpus.id = sk0.id),
+         |b4 AS (SELECT unnest([0, 1, 2, 3]) AS band),
+         |banded AS (SELECT sk.id, sk.sh, b4.band,
+         |  (sk.sh >> (b4.band * 15)) & 32767 AS bk FROM sk, b4),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.sh AS sh_a, y.sh AS sh_b
+         | FROM banded x JOIN banded y ON x.band = y.band AND x.bk = y.bk
+         | WHERE x.id < y.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
 
     "q24_pairwise_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -95,6 +95,32 @@ object HashFunctions {
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
 
+  /** Engine-portable 60-bit hash (Column form): first 15 hex chars of
+    * md5, read as an unsigned integer — always positive, never overflows
+    * a signed 64-bit lane. Reproducible bit-for-bit in any md5-bearing
+    * engine (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`), which is
+    * what lets sketches built on it be verified ACROSS engines. ~3× the
+    * cost of xxhash64 — prefer the xxhash64 paths when only Spark ever
+    * re-derives the hash.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** JVM twin of [[portableHash60]] for `mapPartitions` kernels — same
+    * bits as the Column form and the DuckDB expression. Pass a per-
+    * partition MessageDigest (MD5 digests are not thread-safe).
+    */
+  def portableHash60JVM(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = high 7.5 bytes, big-endian (matches the hex
+    // string form md5() renders)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+
   /** Jaccard similarity of two (distinct) shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

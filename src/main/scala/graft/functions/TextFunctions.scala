@@ -104,6 +104,14 @@ object TextFunctions {
   /** X13: stable 64-bit URL hash (xxhash64) for fallback destinations. */
   def urlHash(url: Column): Column = xxhash64(url)
 
+  /** X13 portable twin: md5-derived 60-bit URL hash. The reference's
+    * fallback filename uses Python's process-seeded builtin `hash`
+    * (cli.py:445) — unstable across runs, so collisions/idempotency
+    * break on resume; a content-derived hash is the corrected semantics,
+    * and the md5 form is reproducible in any engine for audit.
+    */
+  def urlHashPortable(url: Column): Column = HashFunctions.portableHash60(url)
+
   /** X10: object-store key from a local relative path — backslashes →
     * slashes, leading slashes stripped, prefixed with the product type
     * (r2_uploader.py:172-183).

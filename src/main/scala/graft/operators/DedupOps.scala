@@ -173,23 +173,7 @@ object DedupOps {
     val keyed = GraftCache.register(
       minhashBandRowsFromHashes(hashed, numPerms, bands)
         .persist(StorageLevel.MEMORY_AND_DISK))
-
-    // Drop degenerate buckets before the self-join (skew guard). A window
-    // count would shuffle every (id, band, bk) row once just to measure;
-    // instead compute the (tiny) oversized-key set with a partially
-    // aggregated groupBy and broadcast-anti-join it back.
-    val oversized = keyed
-      .groupBy("band", "bk").agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") > maxBucketSize)
-      .select("band", "bk")
-    val sized = keyed.join(broadcast(oversized), Seq("band", "bk"), "left_anti")
-
-    val a = sized.select(col("band"), col("bk"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("bk"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bk"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    candidatesFromBandRows(keyed, maxBucketSize)
   }
 
   /** MinHash-LSH near-dup pairs, verified with exact n-gram Jaccard over
@@ -212,6 +196,191 @@ object DedupOps {
       .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Rounding.half4(col("jaccard")).as("jaccard"))
+  }
+
+  // ---- Engine-portable (md5-based) near-dup variants ----------------
+  //
+  // Same algorithms as the xxhash64 paths above, but every hash is the
+  // portable 60-bit md5 prefix (HashFunctions.portableHash60), every
+  // arithmetic step stays inside 60 unsigned bits, and band keys are the
+  // plain '_'-joined signature strings — so the ENTIRE pipeline, from
+  // shingles to verified pairs, is reproducible in any md5-bearing SQL
+  // engine and the contract queries built on these are hash-checked
+  // against DuckDB rather than rows-only. ~3× hashing cost vs xxhash64;
+  // prefer the xxhash64 paths when no cross-engine audit is needed.
+
+  private val Mask60 = (1L << 60) - 1
+
+  /** Deterministic portable permutation constants, derived from md5 so an
+    * oracle can re-derive them without a shared constant table:
+    * a_i = portable60("graft_perm_a_i") | 1 (odd), b_i = portable60("graft_perm_b_i").
+    */
+  private[graft] lazy val portablePerms: Array[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(256) { i =>
+      (H.portableHash60JVM(md, s"graft_perm_a_$i") | 1L,
+       H.portableHash60JVM(md, s"graft_perm_b_$i"))
+    }
+  }
+
+  /** (id, distinct sorted portable-60-bit shingle hashes) — one fused
+    * tokenize+shingle+md5 pass; the portable twin of [[hashedShingleRows]].
+    */
+  def hashedShingleRowsPortable(docs: DataFrame, idCol: String, textCol: String,
+                                shingleN: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          val hs: Array[Long] =
+            if (toks.length < shingleN) Array.empty
+            else (0 to toks.length - shingleN)
+              .map(i => H.portableHash60JVM(md, toks.slice(i, i + shingleN).mkString(" ")))
+              .distinct.sorted.toArray
+          (id, hs)
+        }
+      }.toDF("id", "hs")
+  }
+
+  /** (id, band, bk: string) portable band rows. Signature element i =
+    * min over shingle hashes h of the low 60 bits of h*a_i + b_i (low-bit
+    * truncation commutes with 64-bit wraparound, so plain Long arithmetic
+    * here equals 128-bit-then-mod in SQL); band key = the '_'-joined run
+    * of rowsPerBand signature values. Documents with no shingles emit no
+    * band rows (matching SQL, where they vanish at the unnest).
+    */
+  def minhashBandRowsPortable(hashed: DataFrame,
+                              numPerms: Int, bands: Int): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numPerms / bands
+    hashed.select(col("id").cast("long"), col("hs").cast("array<long>"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, hs) =>
+          if (hs.isEmpty) Iterator.empty
+          else {
+            val sig = Array.fill(numPerms)(Long.MaxValue)
+            hs.foreach { h =>
+              var i = 0
+              while (i < numPerms) {
+                val (a, b) = portablePerms(i)
+                val mixed = (h * a + b) & Mask60
+                if (mixed < sig(i)) sig(i) = mixed
+                i += 1
+              }
+            }
+            (0 until bands).iterator.map { b =>
+              (id, b, (b * rowsPerBand until (b + 1) * rowsPerBand)
+                .map(sig).mkString("_"))
+            }
+          }
+        }
+      }.toDF("id", "band", "bk")
+  }
+
+  /** Candidate pairs from persisted band rows: degenerate-bucket guard +
+    * banded self-join. Key type agnostic (long or string `bk`).
+    */
+  private def candidatesFromBandRows(keyed: DataFrame,
+                                     maxBucketSize: Int): DataFrame = {
+    // Drop degenerate buckets before the self-join (skew guard). A window
+    // count would shuffle every (id, band, bk) row once just to measure;
+    // instead compute the (tiny) oversized-key set with a partially
+    // aggregated groupBy and broadcast-anti-join it back.
+    val oversized = keyed
+      .groupBy("band", "bk").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucketSize)
+      .select("band", "bk")
+    val sized = keyed.join(broadcast(oversized), Seq("band", "bk"), "left_anti")
+    val a = sized.select(col("band"), col("bk"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("bk"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Portable twin of [[minhashNearDups]]: identical LSH shape, every
+    * hash md5-derived — the pairs AND the Jaccard scores are reproducible
+    * in DuckDB, so the contract query is hash-checked, not rows-only.
+    */
+  def minhashNearDupsPortable(docs: DataFrame, idCol: String, textCol: String,
+                              threshold: Double = 0.8, shingleN: Int = 3,
+                              numPerms: Int = 64, bands: Int = 16,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    val hs = GraftCache.register(
+      hashedShingleRowsPortable(docs, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val keyed = GraftCache.register(
+      minhashBandRowsPortable(hs, numPerms, bands)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val cands = candidatesFromBandRows(keyed, maxBucketSize)
+    cands
+      .join(hs.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "sh_a"), "id_a")
+      .join(hs.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "sh_b"), "id_b")
+      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), Rounding.half4(col("jaccard")).as("jaccard"))
+  }
+
+  /** Portable 60-bit SimHash sketches: per-token portable md5 hash votes
+    * on 60 counters. Tokenless documents sketch to all-ones (every
+    * counter 0 >= 0), mirrored explicitly by the oracle.
+    */
+  def simhashSketchesPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          val counters = new Array[Int](60)
+          toks.foreach { t =>
+            val h = H.portableHash60JVM(md, t)
+            var j = 0
+            while (j < 60) {
+              if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+              j += 1
+            }
+          }
+          var sh = 0L
+          var j = 0
+          while (j < 60) { if (counters(j) >= 0) sh |= (1L << j); j += 1 }
+          (id, sh)
+        }
+      }.toDF("id", "sh")
+  }
+
+  /** Portable twin of [[simhashNearDups]]: 60-bit sketch, 4×15-bit bands
+    * (guaranteed recall for hamming <= 3), exact hamming verify — fully
+    * DuckDB-reproducible.
+    */
+  def simhashNearDupsPortable(docs: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    val sketched = GraftCache.register(
+      simhashSketchesPortable(docs, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val banded = sketched.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        call_function("shiftright", col("sh"), b * lit(15)).bitwiseAND(lit(0x7FFFL))
+      )).as(Seq("band", "bk")))
+    val a = banded.select(col("band"), col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming", H.hamming(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** 64-bit SimHash sketches as a single-pass kernel (same HOF-blowup

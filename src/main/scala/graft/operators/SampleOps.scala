@@ -47,7 +47,7 @@ object SampleOps {
     * split and portability doesn't matter.
     */
   def portableHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.HashFunctions.portableHash60(c)
 
   /** [[hashSplit]] on [[portableHash]]: same append-stability, plus the
     * assignment is reproducible outside Spark (auditable lineage — a

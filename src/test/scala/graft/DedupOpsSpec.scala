@@ -39,6 +39,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(!out.exists(r => r.getAs[Long]("id_a") == 3L || r.getAs[Long]("id_b") == 3L))
   }
 
+  test("minhashNearDupsPortable finds the planted near-dup and nothing else") {
+    val pairs = DedupOps.minhashNearDupsPortable(docs, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("simhashNearDupsPortable: identical docs at hamming 0, unrelated absent") {
+    val out = DedupOps.simhashNearDupsPortable(docs, "id", "text").collect()
+    val h15 = out.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 5L)
+    assert(h15.isDefined && h15.get.getAs[Int]("hamming") == 0)
+    assert(!out.exists(r => r.getAs[Long]("id_a") == 3L || r.getAs[Long]("id_b") == 3L))
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("portable band rows skip shingle-less docs and join keys as strings") {
+    val mixed = Seq((1L, base), (2L, "too short")).toDF("id", "text")
+    val rows = DedupOps.minhashBandRowsPortable(
+      DedupOps.hashedShingleRowsPortable(mixed, "id", "text", 3), 64, 16).collect()
+    assert(rows.forall(_.getAs[Long]("id") == 1L)) // doc 2 has < 3 tokens
+    assert(rows.length == 16)
+    // band key is the '_'-joined signature run — 4 positive 60-bit values
+    val bk = rows.head.getAs[String]("bk").split("_")
+    assert(bk.length == 4 && bk.forall(v => v.toLong >= 0))
+  }
+
   test("pairwiseJaccard: identical → 1.0, disjoint → 0.0") {
     val pairs = Seq((1L, 5L), (1L, 3L)).toDF("id_a", "id_b")
     val out = DedupOps.pairwiseJaccard(docs, "id", "text", pairs)

@@ -57,4 +57,16 @@ class HashFunctionsSpec extends SparkSpec {
       .select(H.jaccard(col("x"), col("y")).as("j"))
     assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0, 0.0))
   }
+
+  test("portableHash60: JVM kernel twin matches the Column form bit-for-bit") {
+    val samples = Seq("", "a", "hello world", "graft_perm_a_0", "Ünïcodé ☃",
+      "https://x.test/doc/42.pdf", "the quick brown fox")
+    val viaColumn = samples.toDF("s")
+      .select(H.portableHash60(col("s")).as("h")).as[Long].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val viaJvm = samples.map(H.portableHash60JVM(md, _))
+    assert(viaColumn.toSeq == viaJvm)
+    // 60-bit: always non-negative, below 2^60
+    assert(viaJvm.forall(h => h >= 0 && h < (1L << 60)))
+  }
 }
