@@ -67,6 +67,12 @@ object RetrievalOps {
     * score(d) = Σ_rankings 1/(rrfK + rank_d). Docs missing from a
     * ranking contribute nothing (standard RRF). Both inputs are already
     * top-k sized, so the fusion is a broadcast-scale full-outer join.
+    *
+    * SCALE BOUND: the rank windows are unpartitioned `Window.orderBy` —
+    * a single partition per input. That is safe ONLY because RRF fuses
+    * top-k lists (k rows move to one task, k ≈ tens); do NOT feed this
+    * un-truncated rankings. A corpus-sized ranking belongs in
+    * [[bm25]]/ANN's own TakeOrderedAndProject before fusion.
     */
   def rrfFuse(lexical: DataFrame, semantic: DataFrame, idCol: String,
               lexOrder: Seq[org.apache.spark.sql.Column],
