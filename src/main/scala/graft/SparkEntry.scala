@@ -718,7 +718,21 @@ object SparkEntry {
         lexOrder = Seq(desc("bm25"), col("doc_id")),
         semOrder = Seq(desc("sim"), col("doc_id")),
         topK = 20)
-    })
+    }),
+
+    // REAL BPE token counts (iterative best-pair merge over the toy
+    // vocab) — the counts training pipelines pack by. Oracle re-derives
+    // the encode loop as a recursive CTE over DISTINCT words.
+    "q72_bpe_tokens" -> ((s, d) =>
+      TextAnalysisOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text")),
+
+    // q62's packing on REAL BPE counts instead of whitespace words —
+    // same shard/window shape, corrected weights.
+    "q74_pack_bpe" -> ((s, d) =>
+      SampleOps.packByTokenBudget(
+        TextAnalysisOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("n_bpe_tokens")),
+        "doc_id", "n_bpe_tokens", budget = 512L, nShards = 32))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -728,6 +742,46 @@ object SparkEntry {
   private val toksSql =
     s"""CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
        | ELSE string_split($cleanSql, ' ') END""".stripMargin
+
+  /** [[graft.functions.Bpe.ToyMerges]] as a DuckDB literal ('a b' strings
+    * in priority order; list_position = rank + 1).
+    */
+  private val bpeMergesLit: String =
+    graft.functions.Bpe.ToyMerges
+      .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
+
+  /** The BPE encode loop as a recursive CTE over DISTINCT words: each
+    * step finds the best-ranked adjacent pair (999999 = "absent") and
+    * merges all its occurrences left-to-right via a list_reduce over
+    * singleton lists — the exact semantics of Bpe.Vocab.encode. `fin`
+    * keeps each word's terminal state; `cnt` joins counts back to word
+    * INSTANCES per doc.
+    */
+  private val bpeCtes: String =
+    s"""t AS (SELECT doc_id, CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+       |  ELSE string_split(lower($cleanSql), ' ') END AS toks FROM documents),
+       |inst AS (SELECT doc_id, unnest(toks) AS w FROM t),
+       |wd AS (SELECT DISTINCT w FROM inst),
+       |init AS (SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS tk FROM wd),
+       |bpe AS (
+       |  SELECT w, tk FROM init
+       |  UNION ALL
+       |  SELECT w, list_reduce(list_transform(tk, x -> [x]), (a, b) ->
+       |      CASE WHEN a[len(a)] || ' ' || b[1] = bp
+       |           THEN a[1:len(a)-1] || [a[len(a)] || b[1]]
+       |           ELSE a || b END) AS tk
+       |  FROM (SELECT w, tk, $bpeMergesLit[br] AS bp FROM (
+       |          SELECT w, tk, list_min(list_transform(range(1, len(tk)), i ->
+       |            coalesce(nullif(list_position($bpeMergesLit, tk[i] || ' ' || tk[i+1]), 0), 999999))) AS br
+       |          FROM bpe) s
+       |        WHERE br IS NOT NULL AND br < 999999) s2),
+       |fin AS (SELECT w, len(tk) AS n FROM (
+       |          SELECT w, tk, list_min(list_transform(range(1, len(tk)), i ->
+       |            coalesce(nullif(list_position($bpeMergesLit, tk[i] || ' ' || tk[i+1]), 0), 999999))) AS br
+       |          FROM bpe) s
+       |        WHERE br IS NULL OR br = 999999),
+       |cnt AS (SELECT i.doc_id, count(*) AS n_words, sum(f.n) AS n_bpe
+       |        FROM inst i JOIN fin f USING (w) GROUP BY i.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1528,6 +1582,27 @@ object SparkEntry {
          |  floor((coalesce(1.0 / (60 + l.lex_rank), 0.0)
          |       + coalesce(1.0 / (60 + s2.sem_rank), 0.0)) * 10000 + 0.5) / 10000 AS rrf
          | FROM lexr l FULL OUTER JOIN semr s2 ON l.doc_id = s2.doc_id)
-         |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+         |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q72_bpe_tokens" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT d.doc_id,
+         | coalesce(c.n_words, 0) AS n_words,
+         | CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin,
+
+    "q74_pack_bpe" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |n AS (SELECT d.doc_id, d.doc_id % 32 AS shard,
+         |  CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_tokens
+         | FROM documents d LEFT JOIN cnt c USING (doc_id)),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
+         | FROM n)
+         |SELECT doc_id, shard, n_tokens,
+         | CAST(so AS BIGINT) AS start_offset,
+         | CAST(floor(so / 512.0) AS BIGINT) AS pack_id
+         |FROM o""".stripMargin
   )
 }
