@@ -726,6 +726,18 @@ object SparkEntry {
     "q72_bpe_tokens" -> ((s, d) =>
       TextAnalysisOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text")),
 
+    // Document-blob text extraction (the "PDF extraction" slot): parse a
+    // real compressed container, inflate every page through a genuine
+    // DEFLATE codec, verify the EXTRACTED text by md5 against the
+    // oracle's formula reconstruction. Narrow map over the blob scan,
+    // zero exchanges; per-row corrupt isolation.
+    "q73_doc_extract" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.extractDocText(
+        MultimodalOps.asDocTable(Tables.documents(s, d), "doc_id"))
+        .toDF("doc_id", "n_pages", "n_chars", "n_words", "text_md5")
+    }),
+
     // q62's packing on REAL BPE counts instead of whitespace words —
     // same shard/window shape, corrected weights.
     "q74_pack_bpe" -> ((s, d) =>
@@ -1590,6 +1602,28 @@ object SparkEntry {
          | coalesce(c.n_words, 0) AS n_words,
          | CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
          |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin,
+
+    // Reconstruct each page's text by formula, join with newlines in
+    // page order, and mirror the kernel's stats INCLUDING the md5 of the
+    // full extracted text — if extraction (magic, lengths, inflate,
+    // UTF-8) dropped or altered one byte, the hash breaks.
+    "q73_doc_extract" ->
+      """WITH pg AS (SELECT doc_id, doc_id % 4 + 1 AS np, doc_id % 7 + 3 AS k
+        |  FROM documents),
+        |pp AS (SELECT doc_id, np, k, unnest(range(0, np)) AS p FROM pg),
+        |pages AS (SELECT doc_id, np, k, p,
+        |  'doc ' || doc_id || ' page ' || p || ' ' || rtrim(repeat('word ', CAST(k AS INTEGER))) AS ptext
+        | FROM pp),
+        |agg AS (SELECT doc_id,
+        |  any_value(np) AS np, any_value(k) AS k,
+        |  string_agg(ptext, chr(10) ORDER BY p) AS full_text
+        | FROM pages GROUP BY doc_id)
+        |SELECT doc_id,
+        | np AS n_pages,
+        | CAST(len(full_text) AS BIGINT) AS n_chars,
+        | np * (4 + k) AS n_words,
+        | md5(full_text) AS text_md5
+        |FROM agg""".stripMargin,
 
     "q74_pack_bpe" ->
       s"""WITH RECURSIVE $bpeCtes,

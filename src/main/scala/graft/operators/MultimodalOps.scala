@@ -317,6 +317,115 @@ object MultimodalOps {
   }
 
   // ---------------------------------------------------------------------
+  // Real document-blob kernels (the "PDF extraction" slot): a structured
+  // binary container with DEFLATE-compressed text pages (java.util.zip —
+  // a real codec, in the JDK), parsed and inflated per page.
+  // ---------------------------------------------------------------------
+
+  private val DocMagic = 0x47444F43 // "GDOC"
+
+  /** Deterministic page count / filler-word count for an id — the only
+    * definitions; oracle SQL mirrors both formulas.
+    */
+  private[graft] def pageCountFor(id: Long): Int = (id % 4 + 1).toInt
+  private[graft] def fillerWordsFor(id: Long): Int = (id % 7 + 3).toInt
+
+  /** Page p's text — reconstructable in SQL
+    * (`'doc ' || id || ' page ' || p || ' ' || rtrim(repeat('word ', k))`),
+    * so the EXTRACTED text can be md5-verified end to end.
+    */
+  private[graft] def pageText(id: Long, p: Int): String =
+    s"doc $id page $p " + ("word " * fillerWordsFor(id)).trim
+
+  /** A real compressed document container: magic, page count, then per
+    * page (uncompressedLen, compressedLen, DEFLATE bytes). The codec is
+    * genuine — extraction must run a real Inflater per page, exactly the
+    * shape of a PDF stream-object parse, while the CONTENT stays
+    * formula-predictable for the oracle.
+    */
+  def syntheticDoc(id: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(DocMagic)
+    val n = pageCountFor(id)
+    out.writeInt(n)
+    (0 until n).foreach { p =>
+      val raw = pageText(id, p).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw)
+      deflater.finish()
+      val cbos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (!deflater.finished()) {
+        val m = deflater.deflate(buf)
+        cbos.write(buf, 0, m)
+      }
+      deflater.end()
+      val comp = cbos.toByteArray
+      out.writeInt(raw.length)
+      out.writeInt(comp.length)
+      out.write(comp)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Synthesize a document-blob table: one real container per id, built
+    * on the executors (the driver never sees a blob).
+    */
+  def asDocTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => ImageRow(id, syntheticDoc(id)))
+    }
+  }
+
+  case class DocText(docId: Long, nPages: Long, nChars: Long, nWords: Long,
+                     textMd5: String)
+
+  /** REAL TEXT EXTRACTION: parse the container, inflate every page
+    * (genuine DEFLATE decompression), join pages with newlines, reduce to
+    * text stats + an md5 of the extracted text (the cross-engine check
+    * that extraction reproduced the content byte-for-byte). Pages inflate
+    * one at a time — memory is one page, not one document. Corrupt blobs
+    * are dropped per-row, never killing the scan task.
+    */
+  def extractDocText(blobs: Dataset[ImageRow])(implicit spark: SparkSession): Dataset[DocText] = {
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        Try {
+          val in = new DataInputStream(new ByteArrayInputStream(row.content))
+          require(in.readInt() == DocMagic, "bad magic")
+          val n = in.readInt()
+          val sb = new StringBuilder
+          (0 until n).foreach { p =>
+            val ulen = in.readInt()
+            val clen = in.readInt()
+            val comp = new Array[Byte](clen)
+            in.readFully(comp)
+            val inflater = new java.util.zip.Inflater()
+            inflater.setInput(comp)
+            val raw = new Array[Byte](ulen)
+            val got = inflater.inflate(raw)
+            inflater.end()
+            require(got == ulen, s"short inflate: $got != $ulen")
+            if (p > 0) sb.append('\n')
+            sb.append(new String(raw, java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val text = sb.toString
+          val words = text.split("\\s+").count(_.nonEmpty).toLong
+          md.reset()
+          val hex = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map(b => f"$b%02x").mkString
+          DocText(row.mediaId, n.toLong, text.length.toLong, words, hex)
+        }.toOption // corrupt container → skip row, keep task
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // Metadata plumbing over mixed-modality blobs (q31/q33 shape)
   // ---------------------------------------------------------------------
 

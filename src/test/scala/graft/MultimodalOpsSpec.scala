@@ -131,4 +131,30 @@ class MultimodalOpsSpec extends SparkSpec {
     val ts = frames.map(_._2).sorted
     assert(ts.length <= 4 && ts.zip(ts.drop(1)).forall { case (a, b) => b - a == 500L })
   }
+
+  test("extractDocText: real DEFLATE round trip reproduces the page text") {
+    val blobs = Seq(ImageRow(5L, MultimodalOps.syntheticDoc(5L))).toDS()
+    val out = MultimodalOps.extractDocText(blobs).collect()
+    assert(out.length == 1)
+    val d = out.head
+    // id 5: 2 pages, 8 filler words -> 12 words per page
+    assert(d.nPages == 2L && d.nWords == 24L)
+    val expected = (0 until 2).map(p => MultimodalOps.pageText(5L, p)).mkString("\n")
+    assert(d.nChars == expected.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(expected.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(d.textMd5 == hex)
+  }
+
+  test("extractDocText: corrupt containers are dropped per-row, not fatal") {
+    val good = MultimodalOps.syntheticDoc(1L)
+    val truncated = good.take(good.length - 3) // valid magic, short page bytes
+    val blobs = Seq(
+      ImageRow(1L, good),
+      ImageRow(2L, "not a container".getBytes("UTF-8")),
+      ImageRow(3L, truncated)
+    ).toDS()
+    val out = MultimodalOps.extractDocText(blobs).collect()
+    assert(out.map(_.docId).toSet == Set(1L))
+  }
 }
