@@ -330,9 +330,11 @@ object SparkEntry {
     "q26_simhash_neardups" -> ((s, d) =>
       DedupOps.simhashNearDupsPortable(dupCorpus(Tables.documents(s, d)), "id", "text")),
 
-    // Embedding near-dups via hyperplane LSH (seeded RNG — rows-only).
+    // Embedding near-dups via hyperplane LSH with PORTABLE md5-derived
+    // planes — buckets and verified cosines hash-checked in DuckDB; the
+    // seeded-Gaussian fast path remains SimilarityOps.embeddingNearDups.
     "q27_embedding_neardups" -> ((s, d) =>
-      SimilarityOps.embeddingNearDups(dupEmbeddings(Tables.embeddings(s, d)),
+      SimilarityOps.embeddingNearDupsPortable(dupEmbeddings(Tables.embeddings(s, d)),
         minCosine = 0.99)),
 
     // Brute-force exact top-k ANN.
@@ -1054,6 +1056,44 @@ object SparkEntry {
          |    / len(list_distinct(list_concat(a.sh, b.sh))) END) * 10000 + 0.5) / 10000 AS jaccard
          |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
          |WHERE a.doc_id % 5 = 0""".stripMargin,
+
+    // Portable hyperplane LSH re-derived end-to-end: md5-derived plane
+    // components in [-1,1), per-plane dots via ordered list_sum (the
+    // same sequential-sum parity q28 established), sign-bit bucket keys,
+    // bucketed self-join, exact cosine verify. The float×1.001 dup-arm
+    // multiply is safe cross-engine: a float product is exact in double,
+    // so double-then-round equals native float math.
+    "q27_embedding_neardups" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000 AS id,
+        |    list_transform(embedding, x -> CAST(CAST(x AS REAL) * CAST(1.001 AS REAL) AS REAL)) AS v
+        |  FROM embeddings),
+        |pj AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |pk AS (SELECT unnest(generate_series(0, 63)) AS k),
+        |pl AS (SELECT j, k,
+        |  (('0x' || substr(md5('graft_plane_' || CAST(j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+        |    / 576460752303423488.0 - 1.0 AS w
+        | FROM pj, pk),
+        |plv AS (SELECT j, list(w ORDER BY k) AS pv FROM pl GROUP BY j),
+        |dots AS (SELECT c.id, c.v, p.j,
+        |  list_sum(list_transform(list_zip(c.v, p.pv), q -> q[1]::DOUBLE * q[2]::DOUBLE)) AS dp
+        | FROM corpus c CROSS JOIN plv p),
+        |bk AS (SELECT id, any_value(v) AS v,
+        |  CAST(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM dots GROUP BY id),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+        | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id),
+        |s AS (SELECT id_a, id_b,
+        |  list_sum(list_transform(list_zip(va, vb), q -> q[1]::DOUBLE * q[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(va, va), q -> q[1]::DOUBLE * q[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(vb, vb), q -> q[1]::DOUBLE * q[2]::DOUBLE))) AS nb
+        | FROM pairs),
+        |r AS (SELECT id_a, id_b,
+        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim
+        | FROM s)
+        |SELECT id_a, id_b, sim FROM r WHERE sim >= 0.99""".stripMargin,
 
     "q28_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),

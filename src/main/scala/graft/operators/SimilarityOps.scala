@@ -223,13 +223,43 @@ object SimilarityOps {
     Seq.fill(nbits)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Engine-portable hyperplanes: component (j,k) derives from the md5
+    * 60-bit hash of "graft_plane_j_k", mapped affinely to [-1, 1) — any
+    * md5-bearing engine re-derives the planes without a shared constant
+    * table (uniform rather than Gaussian components; for sign-bucket LSH
+    * only the direction distribution matters and uniform hypercube
+    * directions are fine at these dims). The int→double conversion and
+    * the division are single IEEE ops, identical in every engine.
+    */
+  def portableHyperplanes(nbits: Int = 16, dim: Int = 64): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(nbits)(j => Seq.tabulate(dim)(k =>
+      graft.functions.HashFunctions.portableHash60JVM(md, s"graft_plane_${j}_${k}")
+        .toDouble / (1L << 59).toDouble - 1.0))
+  }
+
   /** Near-duplicate embedding pairs via random-hyperplane LSH buckets,
     * verified with exact cosine.
     */
   def embeddingNearDups(corpus: DataFrame, minCosine: Double = 0.95,
                         nbits: Int = 16, dim: Int = 64,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = typedLit(hyperplanes(nbits, dim))
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddingNearDupsWithPlanes(corpus, hyperplanes(nbits, dim), minCosine, idCol, vecCol)
+
+  /** [[embeddingNearDups]] on [[portableHyperplanes]] — the whole
+    * pipeline (buckets AND verified cosines) is md5-derivable, so the
+    * contract query is hash-checked in DuckDB instead of rows-only.
+    */
+  def embeddingNearDupsPortable(corpus: DataFrame, minCosine: Double = 0.95,
+                                nbits: Int = 16, dim: Int = 64,
+                                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddingNearDupsWithPlanes(corpus, portableHyperplanes(nbits, dim), minCosine, idCol, vecCol)
+
+  private def embeddingNearDupsWithPlanes(corpus: DataFrame,
+                                          planeRows: Seq[Seq[Double]],
+                                          minCosine: Double,
+                                          idCol: String, vecCol: String): DataFrame = {
+    val planes = typedLit(planeRows)
     // bucket keys feed both self-join branches; the HOF dot-per-plane is
     // the expensive part — materialize it once
     val keyed = graft.GraftCache.register(corpus.select(

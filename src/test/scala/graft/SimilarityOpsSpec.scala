@@ -65,6 +65,21 @@ class SimilarityOpsSpec extends SparkSpec {
     (0L until n.toLong).foreach(i => assert(pairs.contains((i, i + 100)), s"missing pair $i"))
   }
 
+  test("portable planes are in [-1,1) and the portable LSH finds planted dups") {
+    val planes = SimilarityOps.portableHyperplanes(nbits = 16, dim = dim)
+    assert(planes.length == 16 && planes.forall(_.length == dim))
+    assert(planes.flatten.forall(w => w >= -1.0 && w < 1.0))
+    // deterministic: re-derivation is identical
+    assert(planes == SimilarityOps.portableHyperplanes(nbits = 16, dim = dim))
+    val scaled = corpus.unionByName(corpus.select(
+      (col("vec_id") + 100).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding")))
+    val pairs = SimilarityOps.embeddingNearDupsPortable(scaled, minCosine = 0.999, dim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until n.toLong).foreach(i => assert(pairs.contains((i, i + 100)), s"missing pair $i"))
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("TopK aggregator matches sort-take under merge across partitions") {
     import graft.functions.TopK
     val df = (0 until 1000).map(i => (i.toLong % 7, (i * 37 % 101) / 100.0, i.toLong))
