@@ -491,9 +491,11 @@ object SparkEntry {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
           col("n_events"), col("sum_value"))),
 
-    // Winnowing rolling-hash fingerprint overlap (rows-only: the
-    // polynomial rolling hash has no DuckDB equivalent; deterministic by
-    // construction — every planted (i, i+1000) near-dup pair must appear).
+    // Winnowing rolling-hash fingerprint overlap — hash-checked: the
+    // oracle expands the k=8 rolling hash to its closed-form 8-term
+    // polynomial per position (congruent mod 2^64 to the kernel's
+    // wrapping arithmetic) and replays the rightmost-min winnow with
+    // window functions.
     "q50_fingerprint_overlap" -> ((s, d) =>
       DedupOps.fingerprintOverlap(dupCorpus(Tables.documents(s, d)), "id", "text",
         minContainment = 0.9)),
@@ -1316,6 +1318,58 @@ object SparkEntry {
         | count(*) AS n_events,
         | floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
+
+    // Winnowing re-derived: char codes -> closed-form degree-7 polynomial
+    // hash per position (coefficients are B^e mod 2^64 as SIGNED
+    // literals; products/sums in HUGEINT stay congruent mod 2^64, then
+    // reduce to the kernel's signed Long value), rolling 4-window min
+    // with the rightmost-min tie-break via max(position) at the window
+    // minimum, then the same posting-cap + containment math as the
+    // kernel. Window starts: every full window plus position 1 (the
+    // kernel's short-text case).
+    "q50_fingerprint_overlap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
+        |cl AS (SELECT id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM corpus),
+        |lens AS (SELECT id, t, len(t) AS L FROM cl WHERE len(t) >= 8),
+        |chars AS (SELECT id, i, ord(t[i:i]) AS c
+        |  FROM (SELECT id, t, unnest(range(1, L + 1)) AS i FROM lens)),
+        |poly AS (SELECT id, i,
+        |   c::HUGEINT * (-5522125492475424181)::HUGEINT
+        | + lead(c, 1) OVER w * (-7523229268483095719)::HUGEINT
+        | + lead(c, 2) OVER w * (-3993531167153147853)::HUGEINT
+        | + lead(c, 3) OVER w * (-4442925868394654895)::HUGEINT
+        | + lead(c, 4) OVER w * 1000009000027000027::HUGEINT
+        | + lead(c, 5) OVER w * 1000006000009::HUGEINT
+        | + lead(c, 6) OVER w * 1000003::HUGEINT
+        | + lead(c, 7) OVER w * 1::HUGEINT AS s
+        | FROM chars
+        | WINDOW w AS (PARTITION BY id ORDER BY i)),
+        |hs AS (SELECT id, i,
+        |  (CASE WHEN nn >= 9223372036854775808::HUGEINT THEN nn - 18446744073709551616::HUGEINT ELSE nn END)::BIGINT AS h
+        | FROM (SELECT id, i,
+        |   ((s % 18446744073709551616::HUGEINT) + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT AS nn
+        |  FROM poly WHERE s IS NOT NULL)),
+        |win AS (SELECT id, i,
+        |   min(h) OVER fr AS wmin, count(*) OVER fr AS wcnt
+        | FROM hs
+        | WINDOW fr AS (PARTITION BY id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+        |starts AS (SELECT id, i AS j, wmin FROM win WHERE wcnt = 4 OR i = 1),
+        |picks AS (SELECT s.id, s.j, max(p.i) AS pick FROM starts s JOIN hs p
+        |  ON p.id = s.id AND p.i >= s.j AND p.i <= s.j + 3 AND p.h = s.wmin GROUP BY s.id, s.j),
+        |fp AS (SELECT DISTINCT h.id, h.h AS fpv FROM picks JOIN hs h ON h.id = picks.id AND h.i = picks.pick),
+        |common AS (SELECT fpv FROM fp GROUP BY fpv HAVING count(*) > 100),
+        |rare AS (SELECT f.id, f.fpv FROM fp f WHERE f.fpv NOT IN (SELECT fpv FROM common)),
+        |sizes AS (SELECT id, count(*) AS nfp FROM rare GROUP BY id),
+        |shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fingerprints
+        |  FROM rare a JOIN rare b ON a.fpv = b.fpv AND a.id < b.id GROUP BY a.id, b.id),
+        |r AS (SELECT s.id_a, s.id_b, s.shared_fingerprints,
+        |  floor((s.shared_fingerprints::DOUBLE / least(sa.nfp, sb.nfp)) * 10000 + 0.5) / 10000 AS containment
+        | FROM shared s JOIN sizes sa ON sa.id = s.id_a JOIN sizes sb ON sb.id = s.id_b)
+        |SELECT id_a, id_b, shared_fingerprints, containment FROM r
+        |WHERE containment >= 0.9""".stripMargin,
 
     "q51_percentiles" ->
       """SELECT l_returnflag,
