@@ -131,6 +131,25 @@ class PlanAuditSpec extends SparkSpec {
       s"token stream must map-side combine before the term shuffle:\n$p")
   }
 
+  test("BPE token counting is a shuffle-free scan (q72)") {
+    val p = plan(q("q72_bpe_tokens"))
+    assert(!p.contains("Exchange"),
+      s"the BPE kernel must be a narrow map over the documents scan:\n$p")
+  }
+
+  test("document text extraction is narrow — blobs never shuffle (q73)") {
+    val p = plan(q("q73_doc_extract"))
+    assert(!p.contains("Exchange"),
+      s"container parse + inflate must stay in the scan stage:\n$p")
+  }
+
+  test("hybrid RRF fuses k-sized inputs — every rank window is single-partition (q71)") {
+    val p = plan(q("q71_hybrid_rrf"))
+    // both retrieval arms must bound their output BEFORE the fusion windows
+    assert(p.contains("TakeOrderedAndProject"),
+      s"retrieval arms must rank via TakeOrderedAndProject, not global sort:\n$p")
+  }
+
   test("curation gates evaluate before any exchange (q60)") {
     val df = q("q60_curate")
     val p = df.queryExecution.executedPlan.toString
