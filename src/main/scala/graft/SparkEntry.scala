@@ -748,7 +748,22 @@ object SparkEntry {
       SampleOps.packByTokenBudget(
         TextAnalysisOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text")
           .select(col("doc_id"), col("n_bpe_tokens")),
-        "doc_id", "n_bpe_tokens", budget = 512L, nShards = 32))
+        "doc_id", "n_bpe_tokens", budget = 512L, nShards = 32)),
+
+    // Salted equi-join, oracle-proven output-identical to the plain
+    // join: lineitem's 3 return flags are the textbook hot keys (every
+    // row hits one of 3 join keys); the deterministic row-hash salt
+    // spreads each over 8 sub-keys. At this SF the 24-row dim broadcasts
+    // anyway — the check is output parity; the salt pays off when the
+    // small side outgrows the broadcast threshold and the join shuffles.
+    "q75_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"), col("l_quantity"))
+      val dim = li.select("flag").distinct()
+        .withColumn("flag_label", concat(lit("flag_"), col("flag")))
+      JoinOps.saltedEquiJoin(li, dim, "flag", saltFactor = 8)
+        .groupBy("flag_label")
+        .agg(count(lit(1)).as("n"), R.half2(sum("l_quantity")).as("sum_qty"))
+    })
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -1731,6 +1746,11 @@ object SparkEntry {
          |SELECT doc_id, shard, n_tokens,
          | CAST(so AS BIGINT) AS start_offset,
          | CAST(floor(so / 512.0) AS BIGINT) AS pack_id
-         |FROM o""".stripMargin
+         |FROM o""".stripMargin,
+
+    "q75_salted_join" ->
+      """SELECT 'flag_' || l_returnflag AS flag_label, count(*) AS n,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -146,12 +146,14 @@ class StateStore(spark: SparkSession, root: String) {
   // ---- A3: state summary ----
 
   /** Per-type session summary + global completed/failed counts
-    * (state.py:181-195, rendered cli.py:382-413).
+    * (state.py:181-195, rendered cli.py:382-413). The two driver-side
+    * counts become a literal one-row frame via the typed API (not SQL
+    * string interpolation — values never round-trip through a parser).
     */
   def summary: DataFrame = {
-    val counts = spark.sql(
-      s"SELECT CAST(${completed.count()} AS BIGINT) AS completed_downloads, " +
-      s"CAST(${failed.count()} AS BIGINT) AS failed_downloads")
+    import spark.implicits._
+    val counts = Seq((completed.count(), failed.count()))
+      .toDF("completed_downloads", "failed_downloads")
     sessions.crossJoin(counts)
   }
 }
