@@ -500,20 +500,21 @@ object SparkEntry {
       DedupOps.fingerprintOverlap(dupCorpus(Tables.documents(s, d)), "id", "text",
         minContainment = 0.9)),
 
-    // [gap] exact percentiles (sort-based aggregate, linear interpolation).
-    // One aggregation buffer for all three quantiles — three separate
-    // percentile() calls would each collect the group's values.
-    // GROUP-SIZE BOUND: percentile() buffers every value of a group in one
-    // ObjectHashAggregate buffer — safe only when the hottest group holds
-    // ≲10M values. Beyond that use PercentileOps.histogramQuantiles
-    // (bounded domains, exact — q56) or approxQuantiles (GK sketch — q57).
+    // [gap] exact percentiles, linear interpolation — percentile_cont
+    // semantics via PercentileOps.exactQuantiles: IEEE-identical to the
+    // percentile() built-in, but the plan is spill-safe at any group
+    // size (distinct-cell shuffle + sort-window cumulative counts, no
+    // whole-group ObjectHashAggregate buffer). The former hot-group OOM
+    // bound is gone; histogramQuantiles (q56) and approxQuantiles (q57)
+    // remain for domain-bounded / sketch trade-offs.
     "q51_percentiles" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      PercentileOps.exactQuantiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
         .select(col("l_returnflag"),
-          R.half4(element_at(col("ps"), 1)).as("p25"),
-          R.half4(element_at(col("ps"), 2)).as("p50"),
-          R.half4(element_at(col("ps"), 3)).as("p75"))),
+          R.half4(col("p25")).as("p25"),
+          R.half4(col("p50")).as("p50"),
+          R.half4(col("p75")).as("p75"))),
 
     // [gap] rollup with grand total.
     "q52_rollup" -> ((s, d) =>

@@ -57,6 +57,52 @@ object PercentileOps {
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** EXACT linearly-interpolated quantiles (`percentile_cont`
+    * semantics, bit-identical to Spark's `percentile()` built-in) with
+    * a SPILL-SAFE distributed plan: map-side partial count collapses
+    * duplicate values, the per-group cumulative count runs over a
+    * sort-based window (sorts spill to disk; `percentile()`'s
+    * ObjectHashAggregate buffer does not — the q51 100 TB hazard), and
+    * each requested quantile reduces to the two order statistics
+    * bracketing rank p·(n−1) plus the interpolation fraction. Shuffle
+    * volume is distinct (group, value) cells, never raw rows.
+    *
+    * result = x_lo + (r − ⌊r⌋)·(x_hi − x_lo), the exact expression the
+    * built-in evaluates — IEEE-identical, so oracles written against
+    * `percentile()`/`quantile_cont` keep matching.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     probs: Seq[(String, Double)]): DataFrame = {
+    require(probs.nonEmpty, "need at least one probability")
+    val cells = df.groupBy(col(groupCol), col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val ranked = cells
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(wAll))
+    val aggs: Seq[Column] = probs.flatMap { case (name, p) =>
+      val r = lit(p) * (col("total") - 1).cast("double")
+      val loIdx = floor(r)
+      val hiIdx = ceil(r)
+      // exactly one cell brackets each index: cum - cnt <= idx < cum
+      Seq(
+        min(when(col("cum") - col("cnt") <= loIdx && loIdx < col("cum"), col("v")))
+          .as(s"_lo_$name"),
+        min(when(col("cum") - col("cnt") <= hiIdx && hiIdx < col("cum"), col("v")))
+          .as(s"_hi_$name"),
+        // r and loIdx are per-group constants; min() just picks them up
+        min(r - loIdx.cast("double")).as(s"_frac_$name"))
+    }
+    val agged = ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    val outs = probs.map { case (name, _) =>
+      (col(s"_lo_$name") +
+        col(s"_frac_$name") * (col(s"_hi_$name") - col(s"_lo_$name"))).as(name)
+    }
+    agged.select(col(groupCol) +: outs: _*)
+  }
+
   /** Greenwald–Khanna sketch quantiles (`approx_percentile`): bounded
     * mergeable state, rank error ≤ group-size / `accuracy`. Returns one
     * row per group with one column per requested (name, prob).

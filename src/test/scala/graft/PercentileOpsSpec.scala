@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.PercentileOps
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions.expr
 
 /** Scale-safe percentile operators: exactness of the histogram quantile
   * against a hand-computed rank definition, GK-sketch rank-error bound,
@@ -57,6 +58,31 @@ class PercentileOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         val rank = v.toInt // value i has rank i
         assert(math.abs(rank - p * n) <= n / accuracy + 1, s"p=$p v=$v")
       }
+  }
+
+  test("exactQuantiles is bit-identical to the percentile() built-in") {
+    // adversarial distribution: duplicates, negatives, singleton group,
+    // group sizes that make p*(n-1) land on and between integers
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(997)(i => ("A", (rng.nextInt(50) - 25).toDouble / 4)) ++
+      Seq.tabulate(10)(i => ("B", i.toDouble)) ++
+      Seq(("C", 42.0))
+    val df = rows.toDF("grp", "value").repartition(8)
+    val got = PercentileOps.exactQuantiles(df, "grp", "value", probs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val want = df.groupBy("grp")
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .collect().map(r => r.getString(0) -> {
+        val s = r.getSeq[Double](1); (s(0), s(1), s(2))
+      }).toMap
+    assert(got == want) // == on doubles: BIT-identical, not approximately
+  }
+
+  test("exactQuantiles plan has no ObjectHashAggregate buffering") {
+    val plan = PercentileOps.exactQuantiles(corpus, "grp", "value", probs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"exact quantiles must not buffer whole groups:\n$plan")
   }
 
   test("histogramQuantiles shuffles cells, not rows (partial count before exchange)") {
