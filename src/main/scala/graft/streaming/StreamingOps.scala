@@ -37,6 +37,22 @@ object StreamingOps {
       case None => stream.dropDuplicates(keyCol)
     }
 
+  /** Streaming ingest dedup by key ALONE with watermark-expired state
+    * (`dropDuplicatesWithinWatermark`): a re-fetched document arriving
+    * minutes later is dropped even though its event time differs —
+    * the semantics a corpus-ingest dedup wants, where
+    * `dropDuplicates(key, ts)` would pass the re-fetch through. State
+    * is O(keys inside the watermark horizon): the 100 TB-stream shape,
+    * since keys older than the watermark are evicted instead of
+    * accumulating forever (plain `dropDuplicates(key)` state grows
+    * unboundedly).
+    */
+  def dedupWithinWatermark(stream: DataFrame, keyCol: String,
+                           eventTimeCol: String,
+                           watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Watermarked tumbling-window counts per group — the streaming form of
     * the A1 running counters.
     */

@@ -27,6 +27,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops re-fetches with DIFFERENT event times") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "url")
+    val out = StreamingOps.dedupWithinWatermark(df, "url", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      // u1 re-fetched 2 minutes later with a different event time: the
+      // (key, ts) dedup would emit both; within-watermark dedup must not
+      input.addData((t(0), "u1"), (t(2), "u1"), (t(3), "u2"))
+      q.processAllAvailable()
+      input.addData((t(5), "u1"), (t(6), "u3"))
+      q.processAllAvailable()
+      val seen = spark.table("dedup_wm").select("url").as[String].collect().sorted.toSeq
+      assert(seen == Seq("u1", "u2", "u3"))
+    } finally q.stop()
+  }
+
   test("sessionProgress accumulates max page + product totals (T2 state)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[PageEvent]
