@@ -764,7 +764,18 @@ object SparkEntry {
       JoinOps.saltedEquiJoin(li, dim, "flag", saltFactor = 8)
         .groupBy("flag_label")
         .agg(count(lit(1)).as("n"), R.half2(sum("l_quantity")).as("sum_qty"))
-    })
+    }),
+
+    // Deterministic stratified sample (training-mix class balancing):
+    // per-source keep rates as a literal CASE over the portable hash
+    // bucket — a pure pushdown-eligible predicate, membership stable
+    // under appends and reproducible in any md5-bearing engine.
+    "q76_stratified_sample" -> ((s, d) =>
+      SampleOps.stratifiedSample(
+        Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id", "source",
+        percentByStratum = Map("src0" -> 100, "src1" -> 50, "src2" -> 10),
+        defaultPercent = 25))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -1752,6 +1763,14 @@ object SparkEntry {
     "q75_salted_join" ->
       """SELECT 'flag_' || l_returnflag AS flag_label, count(*) AS n,
         | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q76_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < (CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+        |  WHEN 'src2' THEN 10 ELSE 25 END)""".stripMargin
   )
 }

@@ -74,6 +74,25 @@ object SampleOps {
     df.where(pmod(portableHash(col(idCol)), lit(100)) < percent)
   }
 
+  /** Deterministic STRATIFIED sample: per-stratum percentages (class
+    * balancing for training mixes — downsample the over-represented
+    * source, keep the rare one whole). Same [[portableHash]] bucket
+    * predicate as [[portableSample]], so membership is append-stable,
+    * engine-reproducible, and a pure per-row filter: the rate map rides
+    * the plan as a literal CASE chain, no join, no shuffle, pushdown-
+    * eligible. Strata absent from `percentByStratum` get `defaultPercent`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       percentByStratum: Map[String, Int],
+                       defaultPercent: Int = 0): DataFrame = {
+    require((defaultPercent +: percentByStratum.values.toSeq)
+      .forall(p => p >= 0 && p <= 100), "percentages must be 0-100")
+    val rate = percentByStratum.foldLeft(lit(defaultPercent)) {
+      case (rest, (s, p)) => when(col(stratumCol) === s, p).otherwise(rest)
+    }
+    df.where(pmod(portableHash(col(idCol)), lit(100)) < rate)
+  }
+
   /** Greedy "concat then chunk" sequence packing: within each of
     * `nShards` deterministic shards, documents are laid out in id order
     * and cut into packs of `budget` tokens; `pack_id` is the pack a

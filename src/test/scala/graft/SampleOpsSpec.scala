@@ -73,4 +73,20 @@ class SampleOpsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(again == sampled.filter(_ <= 500L), "sample membership must not depend on corpus size")
   }
+
+  test("stratifiedSample applies per-stratum rates, default elsewhere") {
+    val df = (1L to 900L).map(i => (i, s"c${i % 3}")).toDF("id", "cls")
+    val out = SampleOps.stratifiedSample(df, "id", "cls",
+      Map("c0" -> 100, "c1" -> 0), defaultPercent = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byCls = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCls("c0") == 300)              // keep-all stratum intact
+    assert(!byCls.contains("c1"))           // zero-rate stratum gone
+    val c2 = byCls.getOrElse("c2", 0)
+    assert(c2 > 20 && c2 < 120, s"~20% of 300 expected, got $c2") // default rate
+    // membership within a stratum equals the unstratified portable sample
+    val flat = SampleOps.portableSample(df.where(col("cls") === "c2"), "id", 20)
+      .select("id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "c2").map(_._1).toSet == flat)
+  }
 }
