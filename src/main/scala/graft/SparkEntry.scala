@@ -775,7 +775,19 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "source"),
         "doc_id", "source",
         percentByStratum = Map("src0" -> 100, "src1" -> 50, "src2" -> 10),
-        defaultPercent = 25))
+        defaultPercent = 25)),
+
+    // Intra-doc repetition (Gopher-rule family): top-bigram and
+    // duplicate-bigram fractions; the shuffle carries (id, gram) with
+    // map-side partial counts, never document text.
+    "q77_repetition" -> ((s, d) =>
+      TextAnalysisOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+
+    // Deterministic epoch shuffle: seed-stable training order, one
+    // hash-partition exchange + parallel in-shard sorts, no global sort.
+    "q78_epoch_shuffle" -> ((s, d) =>
+      SampleOps.epochShuffle(Tables.documents(s, d).select("doc_id"),
+        "doc_id", epoch = 3, nShards = 32))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -1771,6 +1783,33 @@ object SparkEntry {
         |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
         |  FROM documents)
         |WHERE bucket < (CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
-        |  WHEN 'src2' THEN 10 ELSE 25 END)""".stripMargin
+        |  WHEN 'src2' THEN 10 ELSE 25 END)""".stripMargin,
+
+    "q77_repetition" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
+         | FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+         | FROM t),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+         |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |  count(*) AS n_distinct, max(c) AS max_c FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | coalesce(p.n_grams, 0) AS n_bigrams,
+         | floor((CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+         |   ELSE p.max_c::DOUBLE / p.n_grams END) * 10000 + 0.5) / 10000 AS top_bigram_frac,
+         | floor((CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+         |   ELSE (p.n_grams - p.n_distinct)::DOUBLE / p.n_grams END) * 10000 + 0.5) / 10000 AS dup_bigram_frac
+         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+
+    "q78_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_e3'), 1, 15))::BIGINT AS hv
+        | FROM documents)
+        |SELECT doc_id, hv % 32 AS shard,
+        | CAST(row_number() OVER (PARTITION BY hv % 32 ORDER BY hv, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin
   )
 }

@@ -93,6 +93,25 @@ object SampleOps {
     df.where(pmod(portableHash(col(idCol)), lit(100)) < rate)
   }
 
+  /** Deterministic EPOCH SHUFFLE: a seed-stable pseudo-random training
+    * order without a global sort. Every row shards by
+    * portableHash(id ++ "_e" ++ epoch) and orders within its shard by
+    * the same hash — changing `epoch` re-deals the whole order, re-runs
+    * reproduce it exactly, and the plan is one hash-partition exchange
+    * with in-partition sorts (shards sort in parallel; nothing global).
+    * Returns the input plus (shard, pos).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int = 32): DataFrame = {
+    require(nShards > 0)
+    val h = portableHash(concat(col(idCol).cast("string"), lit(s"_e$epoch")))
+    val w = Window.partitionBy("shard").orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Greedy "concat then chunk" sequence packing: within each of
     * `nShards` deterministic shards, documents are laid out in id order
     * and cut into packs of `budget` tokens; `pack_id` is the pack a

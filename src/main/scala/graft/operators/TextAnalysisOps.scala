@@ -182,6 +182,35 @@ object TextAnalysisOps {
       T.fingerprint(col(textCol)).as("fingerprint"),
       xxhash64(lower(T.cleanText(col(textCol)))).as("fp64"))
 
+  /** Intra-document repetition stats (the Gopher-rule family): per doc,
+    * the fraction of word bigrams consumed by the single most frequent
+    * bigram (`top_bigram_frac` — boilerplate/spam marker) and the
+    * fraction that are duplicates of an earlier bigram
+    * (`dup_bigram_frac` — loops/stutter marker). Shuffle carries
+    * (id, gram) pairs with map-side partial counts; documents with
+    * fewer than 2 tokens score 0.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = T.tokens(lower(col(textCol)))
+    val grams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => array_join(slice(toks, i + 1, lit(2)), " ")))
+    val counts = docs.select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+    val per = counts.groupBy(idCol).agg(
+      sum("c").as("n_grams"), count(lit(1)).as("n_distinct"), max("c").as("max_c"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_bigrams"),
+        Rounding.half4(when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("max_c").cast("double") / col("n_grams").cast("double")))
+          .as("top_bigram_frac"),
+        Rounding.half4(when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise((col("n_grams") - col("n_distinct")).cast("double")
+            / col("n_grams").cast("double")))
+          .as("dup_bigram_frac"))
+  }
+
   /** REAL BPE token counts per document ([[graft.functions.Bpe]] encode
     * loop over lowercased whitespace words): the counts a training
     * pipeline packs sequences by — whitespace words under-count tokens

@@ -74,6 +74,24 @@ class SampleOpsSpec extends SparkSpec {
     assert(again == sampled.filter(_ <= 500L), "sample membership must not depend on corpus size")
   }
 
+  test("epochShuffle: reproducible within an epoch, re-dealt across epochs") {
+    val df = (1L to 400L).toDF("id")
+    def order(epoch: Int): Seq[Long] =
+      SampleOps.epochShuffle(df, "id", epoch, nShards = 8)
+        .orderBy("shard", "pos").select("id").as[Long].collect().toSeq
+    val e1 = order(1)
+    assert(e1 == order(1), "same epoch must reproduce the same order")
+    val e2 = order(2)
+    assert(e1 != e2, "different epochs must re-deal the order")
+    assert(e1.sorted == e2.sorted, "a shuffle permutes, never drops")
+    // pos is dense 1..k within each shard
+    val byShard = SampleOps.epochShuffle(df, "id", 1, nShards = 8)
+      .select("shard", "pos").as[(Long, Long)].collect().groupBy(_._1)
+    byShard.values.foreach { s =>
+      assert(s.map(_._2).sorted.toSeq == (1L to s.length).toSeq)
+    }
+  }
+
   test("stratifiedSample applies per-stratum rates, default elsewhere") {
     val df = (1L to 900L).map(i => (i, s"c${i % 3}")).toDF("id", "cls")
     val out = SampleOps.stratifiedSample(df, "id", "cls",
