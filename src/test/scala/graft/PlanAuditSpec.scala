@@ -150,6 +150,32 @@ class PlanAuditSpec extends SparkSpec {
       s"retrieval arms must rank via TakeOrderedAndProject, not global sort:\n$p")
   }
 
+  test("salted join spreads hot keys — join keys include the salt (q75)") {
+    val p = plan(q("q75_salted_join"))
+    assert(p.contains("_salt"),
+      s"the salted join must key on (flag, _salt), not flag alone:\n$p")
+  }
+
+  test("stratified sample is a pure filter — zero exchanges (q76)") {
+    val p = plan(q("q76_stratified_sample"))
+    assert(!p.contains("Exchange"),
+      s"per-stratum rates must ride the scan as a literal CASE predicate:\n$p")
+  }
+
+  test("repetition stats partial-aggregate (id,gram) before the shuffle (q77)") {
+    val p = plan(q("q77_repetition"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"gram counts must map-side combine before shuffling:\n$p")
+  }
+
+  test("epoch shuffle is one exchange + in-shard sorts, no global sort (q78)") {
+    val p = plan(q("q78_epoch_shuffle"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one hash exchange (on shard):\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range exchange would mean a global sort crept in:\n$p")
+  }
+
   test("curation gates evaluate before any exchange (q60)") {
     val df = q("q60_curate")
     val p = df.queryExecution.executedPlan.toString
