@@ -787,7 +787,17 @@ object SparkEntry {
     // hash-partition exchange + parallel in-shard sorts, no global sort.
     "q78_epoch_shuffle" -> ((s, d) =>
       SampleOps.epochShuffle(Tables.documents(s, d).select("doc_id"),
-        "doc_id", epoch = 3, nShards = 32))
+        "doc_id", epoch = 3, nShards = 32)),
+
+    // Test-set decontamination (GPT-3/Pile n-gram rule): the benchmark
+    // slice's distinct 3-grams broadcast; corpus docs sharing >= 2 with
+    // any benchmark doc are flagged. Benchmark docs flag themselves —
+    // the expected fixed point.
+    "q79_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurationOps.decontaminate(docs, "doc_id", "text",
+        docs.where(pmod(did, lit(97)) === 0).select("text"), "text")
+    })
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -1810,6 +1820,20 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, hv % 32 AS shard,
         | CAST(row_number() OVER (PARTITION BY hv % 32 ORDER BY hv, doc_id) AS BIGINT) AS pos
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    "q79_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' '))) END) AS gram
+         | FROM t),
+         |bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+         |hits AS (SELECT dg.doc_id, count(*) AS shared
+         | FROM dg JOIN bg ON bg.gram = dg.gram GROUP BY dg.doc_id)
+         |SELECT d.doc_id,
+         | coalesce(h.shared, 0) AS shared_ngrams,
+         | coalesce(h.shared, 0) >= 2 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin
   )
 }

@@ -54,4 +54,34 @@ object CurationOps {
     curate(docs, idCol, textCol, minQuality, langs)
       .select(col("keep_id").as(idCol), col("dup_count"))
       .join(docs, Seq(idCol))
+
+  /** TEST-SET DECONTAMINATION (the GPT-3/Pile n-gram rule): flag every
+    * corpus document sharing at least `minShared` distinct word
+    * `shingleN`-grams with ANY benchmark document, so evaluation data
+    * can be scrubbed from the training mix.
+    *
+    * Scale shape: the benchmark is small by definition (an eval set) —
+    * its distinct gram set BROADCASTS, so the corpus-side probe is a
+    * narrow semi-join in the scan stage; the only shuffle is the
+    * per-document distinct-hit count, carrying (id, gram) pairs for
+    * MATCHING grams only (a tiny fraction of the corpus token stream).
+    * Returns (id, shared_ngrams, contaminated) for every corpus row.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    shingleN: Int = 3, minShared: Int = 2): DataFrame = {
+    val docGrams = DedupOps.wordShingleRows(docs, idCol, textCol, shingleN)
+      .select(col("id"), explode(col("sh")).as("gram"))
+    val benchGrams = DedupOps.wordShingleRows(
+        benchmark.select(lit(0L).as("_bid"), col(benchTextCol)), "_bid", benchTextCol, shingleN)
+      .select(explode(col("sh")).as("gram")).distinct()
+    // wordShingleRows emits DISTINCT grams per doc, so a plain count is
+    // the distinct-hit count — no count_distinct expansion needed
+    val hits = docGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
+    docs.select(col(idCol).cast("long").as("id")).join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("shared_ngrams"), lit(0L)).as("shared_ngrams"),
+        (coalesce(col("shared_ngrams"), lit(0L)) >= minShared).as("contaminated"))
+  }
 }

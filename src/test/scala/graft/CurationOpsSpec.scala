@@ -41,6 +41,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.forall(_.getString(2).nonEmpty))
   }
 
+  test("decontaminate flags benchmark-overlapping docs, spares the rest") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),     // contains bench grams
+      (2L, "completely unrelated text about catalyst planner internals"),
+      (3L, "quick brown fox appears here too with more words") // shares 2 grams
+    ).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox ran far").toDF("text")
+    val out = CurationOps.decontaminate(corpus, "doc_id", "text", bench, "text",
+      shingleN = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // bench grams: "the quick brown","quick brown fox","brown fox ran","fox ran far"
+    assert(out(1L) == ((2L, true)))   // shares the first two
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((1L, false)))  // only "quick brown fox" — below threshold
+  }
+
   test("widening the language gate admits the spanish doc") {
     val out = CurationOps.curate(corpus, "doc_id", "text",
       minQuality = 0.3, langs = Seq("en", "es")).collect()
