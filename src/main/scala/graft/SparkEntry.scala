@@ -797,6 +797,16 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       CurationOps.decontaminate(docs, "doc_id", "text",
         docs.where(pmod(did, lit(97)) === 0).select("text"), "text")
+    }),
+
+    // Domain-mixing weights (DoReMi-lite): whitespace-token mass per
+    // source vs target shares -> sampling multipliers for the mix.
+    "q80_mix_weights" -> ((s, d) => {
+      val counts = TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      CurationOps.mixWeights(counts, "source", "ws_tokens",
+        targetShares = Map("src0" -> 0.25, "src1" -> 0.15),
+        defaultTarget = 0.03)
     })
   )
 
@@ -1834,6 +1844,19 @@ object SparkEntry {
          |SELECT d.doc_id,
          | coalesce(h.shared, 0) AS shared_ngrams,
          | coalesce(h.shared, 0) >= 2 AS contaminated
-         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin,
+
+    "q80_mix_weights" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok
+         | FROM documents),
+         |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         | FROM t GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps)
+         |SELECT source, n_docs, n_tokens,
+         | floor((n_tokens::DOUBLE / total_tokens) * 10000 + 0.5) / 10000 AS actual_share,
+         | (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE AS target_share,
+         | floor(((CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE
+         |   / (n_tokens::DOUBLE / total_tokens)) * 10000 + 0.5) / 10000 AS weight
+         |FROM ps CROSS JOIN tot""".stripMargin
   )
 }

@@ -55,6 +55,35 @@ object CurationOps {
       .select(col("keep_id").as(idCol), col("dup_count"))
       .join(docs, Seq(idCol))
 
+  /** DOMAIN-MIXING WEIGHTS (DoReMi-lite): per-source token mass vs a
+    * target share → the sampling multiplier that reshapes the mix
+    * (weight > 1: upsample; < 1: downsample). Feed the result to
+    * [[SampleOps.stratifiedSample]] rates. Input is any pre-counted
+    * (source, tokens) frame — compose with
+    * [[TextAnalysisOps.tokenCounts]] or bpeTokenCounts. One partial-
+    * aggregated shuffle on source; the corpus total broadcasts back as
+    * a one-row frame (the bm25-stats shape).
+    */
+  def mixWeights(counts: DataFrame, sourceCol: String, tokenCol: String,
+                 targetShares: Map[String, Double],
+                 defaultTarget: Double): DataFrame = {
+    val perSource = counts.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+    val total = perSource.agg(sum("n_tokens").as("total_tokens"))
+    val target = targetShares.foldLeft(lit(defaultTarget)) {
+      case (rest, (s, t)) => when(col(sourceCol) === s, t).otherwise(rest)
+    }
+    perSource.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        graft.functions.Rounding.half4(
+          col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("actual_share"),
+        target.as("target_share"),
+        graft.functions.Rounding.half4(
+          target / (col("n_tokens").cast("double") / col("total_tokens").cast("double")))
+          .as("weight"))
+  }
+
   /** TEST-SET DECONTAMINATION (the GPT-3/Pile n-gram rule): flag every
     * corpus document sharing at least `minShared` distinct word
     * `shingleN`-grams with ANY benchmark document, so evaluation data

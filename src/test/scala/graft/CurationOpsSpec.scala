@@ -57,6 +57,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(3L) == ((1L, false)))  // only "quick brown fox" — below threshold
   }
 
+  test("mixWeights: upsample under-represented, downsample dominant") {
+    val counts = Seq(
+      ("web", 900L), ("web", 100L),   // 1000 tokens -> actual 0.8
+      ("books", 250L)                 // 250 tokens  -> actual 0.2
+    ).toDF("src", "tok")
+    val out = CurationOps.mixWeights(counts, "src", "tok",
+      Map("books" -> 0.5), defaultTarget = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5)))).toMap
+    assert(out("web") == ((2L, 1000L, 0.8, 0.625)))   // 0.5 / 0.8
+    assert(out("books") == ((1L, 250L, 0.2, 2.5)))    // 0.5 / 0.2 -> upsample
+  }
+
   test("widening the language gate admits the spanish doc") {
     val out = CurationOps.curate(corpus, "doc_id", "text",
       minQuality = 0.3, langs = Seq("en", "es")).collect()
