@@ -807,6 +807,18 @@ object SparkEntry {
       CurationOps.mixWeights(counts, "source", "ws_tokens",
         targetShares = Map("src0" -> 0.25, "src1" -> 0.15),
         defaultTarget = 0.03)
+    }),
+
+    // End-to-end near-dup cluster resolution: portable MinHash pairs ->
+    // large-star/small-star components. Unlike q63 (whose oracle derives
+    // components from fingerprint groups), this oracle resolves the SAME
+    // pair graph with a recursive label closure — an independent
+    // cross-engine check of the components operator itself.
+    "q81_neardup_clusters" -> ((s, d) => {
+      val pairs = DedupOps.minhashNearDupsPortable(
+        dupCorpus(Tables.documents(s, d)), "id", "text", threshold = 0.7)
+        .select("id_a", "id_b")
+      DedupOps.connectedComponents(pairs)
     })
   )
 
@@ -824,6 +836,48 @@ object SparkEntry {
   private val bpeMergesLit: String =
     graft.functions.Bpe.ToyMerges
       .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
+
+  /** The portable MinHash-LSH pipeline as a CTE chain ending in
+    * `inter` (shared intersection counts) + `sizes` — q25 selects the
+    * verified pairs from it; q81 feeds those pairs into the component
+    * closure. Arithmetic parity notes at the q25 entry.
+    */
+  private val minhashLshCtes: String =
+    s"""corpus AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
+       |t AS (SELECT id, $toksSql AS toks FROM corpus),
+       |shl AS (SELECT id,
+       |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |   ELSE list_transform(range(1, len(toks) - 1),
+       |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs
+       | FROM t),
+       |shu AS (SELECT id, unnest(shs) AS s FROM shl),
+       |sh AS (SELECT DISTINCT id,
+       |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shu),
+       |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
+       |perms AS (SELECT i,
+       |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
+       |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
+       | FROM pidx),
+       |sig AS (SELECT sh.id, perms.i,
+       |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
+       | FROM sh, perms GROUP BY sh.id, perms.i),
+       |bandkey AS (SELECT id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
+       | FROM sig GROUP BY id, i // 4),
+       |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey GROUP BY band, bk),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       | FROM bandkey x
+       | JOIN bandkey y ON x.band = y.band AND x.bk = y.bk
+       | JOIN bsz ON bsz.band = x.band AND bsz.bk = x.bk
+       | WHERE bsz.n <= 1000 AND x.id < y.id),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS m
+       | FROM cand c
+       | JOIN sh x ON x.id = c.id_a
+       | JOIN sh y ON y.id = c.id_b AND y.h = x.h
+       | GROUP BY c.id_a, c.id_b)""".stripMargin
 
   /** The BPE encode loop as a recursive CTE over DISTINCT words: each
     * step finds the best-ranked adjacent pair (999999 = "absent") and
@@ -1032,41 +1086,7 @@ object SparkEntry {
     // 64-bit longs; low-bit truncation commutes with wraparound, so the
     // HUGEINT mod-2^60 here produces identical values.
     "q25_minhash_neardups" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id AS id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
-         |t AS (SELECT id, $toksSql AS toks FROM corpus),
-         |shl AS (SELECT id,
-         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-         |   ELSE list_transform(range(1, len(toks) - 1),
-         |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs
-         | FROM t),
-         |shu AS (SELECT id, unnest(shs) AS s FROM shl),
-         |sh AS (SELECT DISTINCT id,
-         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shu),
-         |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
-         |perms AS (SELECT i,
-         |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
-         |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
-         | FROM pidx),
-         |sig AS (SELECT sh.id, perms.i,
-         |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
-         | FROM sh, perms GROUP BY sh.id, perms.i),
-         |bandkey AS (SELECT id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
-         | FROM sig GROUP BY id, i // 4),
-         |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey GROUP BY band, bk),
-         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
-         | FROM bandkey x
-         | JOIN bandkey y ON x.band = y.band AND x.bk = y.bk
-         | JOIN bsz ON bsz.band = x.band AND bsz.bk = x.bk
-         | WHERE bsz.n <= 1000 AND x.id < y.id),
-         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-         |inter AS (SELECT c.id_a, c.id_b, count(*) AS m
-         | FROM cand c
-         | JOIN sh x ON x.id = c.id_a
-         | JOIN sh y ON y.id = c.id_b AND y.h = x.h
-         | GROUP BY c.id_a, c.id_b)
+      s"""WITH $minhashLshCtes
          |SELECT i.id_a, i.id_b,
          | floor((CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
          |FROM inter i
@@ -1857,6 +1877,27 @@ object SparkEntry {
          | (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE AS target_share,
          | floor(((CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE
          |   / (n_tokens::DOUBLE / total_tokens)) * 10000 + 0.5) / 10000 AS weight
-         |FROM ps CROSS JOIN tot""".stripMargin
+         |FROM ps CROSS JOIN tot""".stripMargin,
+
+    // q25's pair graph resolved to components by a monotone label
+    // closure: a label walks an edge only onto a larger node, so the
+    // closure is finite (UNION dedups states) and every node's min
+    // reachable label is its component min.
+    "q81_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashLshCtes,
+         |jp AS (SELECT i.id_a, i.id_b
+         | FROM inter i
+         | JOIN sizes sa ON sa.id = i.id_a
+         | JOIN sizes sb ON sb.id = i.id_b
+         | WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7),
+         |symx AS (SELECT id_a AS a, id_b AS b FROM jp
+         |  UNION SELECT id_b, id_a FROM jp),
+         |nodesx AS (SELECT DISTINCT a AS id FROM symx),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodesx
+         |  UNION
+         |  SELECT s2.b AS id, r.lbl FROM reach r JOIN symx s2 ON s2.a = r.id
+         |  WHERE r.lbl < s2.b)
+         |SELECT id, min(lbl) AS component FROM reach GROUP BY id""".stripMargin
   )
 }
