@@ -813,11 +813,16 @@ object SparkEntry {
     // large-star/small-star components. Unlike q63 (whose oracle derives
     // components from fingerprint groups), this oracle resolves the SAME
     // pair graph with a recursive label closure — an independent
-    // cross-engine check of the components operator itself.
+    // cross-engine check of the components operator itself. Runs on a
+    // quarter slice (q25 already benches the full LSH; this prices the
+    // resolution step) with a collision-free +100000 dup-id offset.
     "q81_neardup_clusters" -> ((s, d) => {
-      val pairs = DedupOps.minhashNearDupsPortable(
-        dupCorpus(Tables.documents(s, d)), "id", "text", threshold = 0.7)
-        .select("id_a", "id_b")
+      val base = Tables.documents(s, d).where(pmod(did, lit(4)) === 0)
+      val corpus = base.select(did.as("id"), col("text"))
+        .unionByName(base.select((did + 100000L).as("id"),
+          concat(col("text"), lit(" zzdup tail")).as("text")))
+      val pairs = DedupOps.minhashNearDupsPortable(corpus, "id", "text",
+        threshold = 0.7).select("id_a", "id_b")
       DedupOps.connectedComponents(pairs)
     })
   )
@@ -840,13 +845,16 @@ object SparkEntry {
   /** The portable MinHash-LSH pipeline as a CTE chain ending in
     * `inter` (shared intersection counts) + `sizes` — q25 selects the
     * verified pairs from it; q81 feeds those pairs into the component
-    * closure. Arithmetic parity notes at the q25 entry.
+    * closure over a corpus SLICE (cheaper bench input; the +100000
+    * offset keeps dup ids collision-free within the slice). Arithmetic
+    * parity notes at the q25 entry.
     */
-  private val minhashLshCtes: String =
+  private def minhashLshCtes(where: String, offset: Long): String =
     s"""corpus AS (
-       |  SELECT doc_id AS id, text FROM documents
+       |  SELECT doc_id AS id, text FROM documents WHERE $where
        |  UNION ALL
-       |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
+       |  SELECT doc_id + $offset AS id, text || ' zzdup tail' AS text
+       |  FROM documents WHERE $where),
        |t AS (SELECT id, $toksSql AS toks FROM corpus),
        |shl AS (SELECT id,
        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
@@ -1086,7 +1094,7 @@ object SparkEntry {
     // 64-bit longs; low-bit truncation commutes with wraparound, so the
     // HUGEINT mod-2^60 here produces identical values.
     "q25_minhash_neardups" ->
-      s"""WITH $minhashLshCtes
+      s"""WITH ${minhashLshCtes("TRUE", 1000L)}
          |SELECT i.id_a, i.id_b,
          | floor((CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
          |FROM inter i
@@ -1884,7 +1892,7 @@ object SparkEntry {
     // closure is finite (UNION dedups states) and every node's min
     // reachable label is its component min.
     "q81_neardup_clusters" ->
-      s"""WITH RECURSIVE $minhashLshCtes,
+      s"""WITH RECURSIVE ${minhashLshCtes("doc_id % 4 = 0", 100000L)},
          |jp AS (SELECT i.id_a, i.id_b
          | FROM inter i
          | JOIN sizes sa ON sa.id = i.id_a

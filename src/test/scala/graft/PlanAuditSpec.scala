@@ -162,10 +162,10 @@ class PlanAuditSpec extends SparkSpec {
       s"per-stratum rates must ride the scan as a literal CASE predicate:\n$p")
   }
 
-  test("repetition stats partial-aggregate (id,gram) before the shuffle (q77)") {
+  test("repetition stats are a shuffle-free kernel scan (q77)") {
     val p = plan(q("q77_repetition"))
-    assert("HashAggregate".r.findAllIn(p).length >= 2,
-      s"gram counts must map-side combine before shuffling:\n$p")
+    assert(!p.contains("Exchange"),
+      s"per-doc repetition stats are row-local — nothing may shuffle:\n$p")
   }
 
   test("epoch shuffle is one exchange + in-shard sorts, no global sort (q78)") {
