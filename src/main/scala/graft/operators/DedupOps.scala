@@ -579,6 +579,14 @@ object DedupOps {
     * Edge payloads are (long, long) pairs throughout — never documents.
     * Returns (id, component = min id reachable); isolated nodes (no
     * edges) are not emitted.
+    *
+    * Per-node minima are computed with partial-aggregated groupBy + join
+    * rather than a window over the neighbor list on purpose: map-side
+    * combine collapses a hot node's edges BEFORE the shuffle, where the
+    * window form would sort the hot node's entire adjacency in one task —
+    * the skew profile of web-scale dedup graphs (celebrity pages, empty
+    * documents) makes that the wrong trade even though the window form
+    * saves a join locally.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsWithRounds(edges, maxIter)._1

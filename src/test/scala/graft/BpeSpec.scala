@@ -36,6 +36,17 @@ class BpeSpec extends SparkSpec {
     assert(v2.encode("abc").toSeq == Seq("abc"))
   }
 
+  test("encode is lossless: tokens always concatenate back to the word") {
+    val rng = new scala.util.Random(11)
+    val alpha = "etaoinshrdlcumwfgypbvk"
+    (1 to 500).foreach { _ =>
+      val w = Seq.fill(rng.nextInt(14) + 1)(alpha(rng.nextInt(alpha.length))).mkString
+      val toks = Bpe.toyVocab.encode(w)
+      assert(toks.mkString == w, s"lossy encode of '$w': ${toks.toSeq}")
+      assert(toks.forall(_.nonEmpty))
+    }
+  }
+
   test("bpeTokenCounts kernel: per-doc word and token counts") {
     val docs = Seq(
       (1L, "The and the"),   // lowercased: the=1, and=1, the=1 -> 3 tokens

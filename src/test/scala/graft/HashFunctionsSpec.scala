@@ -69,4 +69,14 @@ class HashFunctionsSpec extends SparkSpec {
     // 60-bit: always non-negative, below 2^60
     assert(viaJvm.forall(h => h >= 0 && h < (1L << 60)))
   }
+
+  test("portableHash60 property: random strings agree across both forms") {
+    val rng = new scala.util.Random(13)
+    val samples = Seq.fill(300)(rng.alphanumeric.take(rng.nextInt(40)).mkString)
+      .distinct
+    val viaColumn = samples.toDF("s")
+      .select(H.portableHash60(col("s")).as("h")).as[Long].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(viaColumn.toSeq == samples.map(H.portableHash60JVM(md, _)))
+  }
 }
