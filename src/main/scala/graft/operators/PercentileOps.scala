@@ -111,7 +111,7 @@ object PercentileOps {
                       probs: Seq[(String, Double)],
                       accuracy: Int = 10000): DataFrame = {
     require(probs.nonEmpty, "need at least one probability")
-    val arr = s"array(${probs.map(_._2 + "D").mkString(", ")})"
+    val arr = s"array(${probs.map(p => s"${p._2}D").mkString(", ")})"
     val sketched = df.groupBy(col(groupCol))
       .agg(expr(s"approx_percentile($valueCol, $arr, $accuracy)").as("qs"))
     val cols = col(groupCol) +: probs.zipWithIndex.map { case ((name, _), i) =>
