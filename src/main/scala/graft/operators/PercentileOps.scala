@@ -74,7 +74,10 @@ object PercentileOps {
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      probs: Seq[(String, Double)]): DataFrame = {
     require(probs.nonEmpty, "need at least one probability")
-    val cells = df.groupBy(col(groupCol), col(valueCol).cast("double").as("v"))
+    // percentile() ignores null values (they don't count toward n);
+    // without this filter nulls would sort first and shift every rank
+    val cells = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(groupCol).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

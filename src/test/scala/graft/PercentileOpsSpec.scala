@@ -67,7 +67,10 @@ class PercentileOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val rows = Seq.tabulate(997)(i => ("A", (rng.nextInt(50) - 25).toDouble / 4)) ++
       Seq.tabulate(10)(i => ("B", i.toDouble)) ++
       Seq(("C", 42.0))
-    val df = rows.toDF("grp", "value").repartition(8)
+    // null values must be ignored exactly like the built-in does
+    val withNulls = rows.map { case (g, v) => (g, Option(v)) } ++
+      Seq(("A", Option.empty[Double]), ("B", Option.empty[Double]))
+    val df = withNulls.toDF("grp", "value").repartition(8)
     val got = PercentileOps.exactQuantiles(df, "grp", "value", probs)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val want = df.groupBy("grp")
