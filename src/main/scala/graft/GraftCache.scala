@@ -20,6 +20,8 @@ object GraftCache {
 
   private val frames =
     new ConcurrentHashMap[SparkSession, java.util.Queue[DataFrame]]()
+  private val rdds =
+    new ConcurrentHashMap[SparkSession, java.util.Queue[org.apache.spark.rdd.RDD[_]]]()
 
   /** Register an operator-persisted frame for later release. */
   private[graft] def register(df: DataFrame): DataFrame = {
@@ -30,18 +32,38 @@ object GraftCache {
     df
   }
 
-  /** Unpersist every registered frame for `spark` (non-blocking). */
+  /** Register an operator-persisted RDD (iterative operators like
+    * connected components persist their per-round state as RDDs, not
+    * frames). Results derived from it stay recomputable after release:
+    * lineage re-reads the final round's shuffle files.
+    */
+  private[graft] def registerRdd[T](spark: SparkSession,
+                                    rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+    rdds
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]())
+      .add(rdd)
+    rdd
+  }
+
+  /** Unpersist every registered frame/RDD for `spark` (non-blocking). */
   def releaseAll(spark: SparkSession): Unit = {
     val q = frames.remove(spark)
     if (q != null) {
       var df = q.poll()
       while (df != null) { df.unpersist(false); df = q.poll() }
     }
+    val r = rdds.remove(spark)
+    if (r != null) {
+      var rdd = r.poll()
+      while (rdd != null) { rdd.unpersist(false); rdd = r.poll() }
+    }
   }
 
-  /** Number of registered (not yet released) frames — for tests. */
+  /** Number of registered (not yet released) frames/RDDs — for tests. */
   private[graft] def registeredCount(spark: SparkSession): Int = {
     val q = frames.get(spark)
-    if (q == null) 0 else q.size()
+    val r = rdds.get(spark)
+    (if (q == null) 0 else q.size()) + (if (r == null) 0 else r.size())
   }
 }

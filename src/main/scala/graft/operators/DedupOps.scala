@@ -580,13 +580,23 @@ object DedupOps {
     * Returns (id, component = min id reachable); isolated nodes (no
     * edges) are not emitted.
     *
-    * Per-node minima are computed with partial-aggregated groupBy + join
-    * rather than a window over the neighbor list on purpose: map-side
-    * combine collapses a hot node's edges BEFORE the shuffle, where the
-    * window form would sort the hot node's entire adjacency in one task —
-    * the skew profile of web-scale dedup graphs (celebrity pages, empty
-    * documents) makes that the wrong trade even though the window form
-    * saves a join locally.
+    * The inner loop runs on `RDD[(Long, Long)]` with one shared
+    * `HashPartitioner`, not on DataFrames, deliberately:
+    *  - every per-round plan would generate FRESH Janino/codegen classes
+    *    (new expression ids each round), so an N-round run Janino-compiles
+    *    and C2-JITs ~6N classes that execute once — measured as multi-
+    *    second background JIT per bench rep dwarfing the actual shuffle
+    *    work. The RDD loop compiles nothing per round.
+    *  - co-partitioning makes every per-round `reduceByKey`/`join` a
+    *    NARROW dependency: each round shuffles exactly three times (the
+    *    symmetric view, the large-star output, the canonicalized round
+    *    output) and the joins reuse those shuffle files.
+    *  - `reduceByKey(min)` keeps map-side combine, so a hot node's
+    *    adjacency collapses before the shuffle — the skew profile of
+    *    web-scale dedup graphs (celebrity pages, empty documents) is why
+    *    a groupBy-then-window form is the wrong trade.
+    * Shuffle volume per round is identical to the DataFrame form; at
+    * 100 TB the three shuffles carry (long, long) pairs only.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsWithRounds(edges, maxIter)._1
@@ -597,66 +607,117 @@ object DedupOps {
     */
   def connectedComponentsWithRounds(edges: DataFrame,
                                     maxIter: Int = 50): (DataFrame, Int) = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
     val spark = edges.sparkSession
-    // Materialize AND re-root the frame on the persisted RDD (LogicalRDD):
-    // without this, every iteration's plan embeds the previous one and the
-    // logical plan grows exponentially — AQE's plan stringification alone
-    // OOMs after ~15 rounds. With it, each round's plan is O(1). The same
-    // action also computes the set checksum used for convergence.
-    def compact(df: DataFrame): (DataFrame, DataFrame, Long, Long) = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      // bit_xor (not sum) — sum of 64-bit hashes overflows under ANSI mode
-      val row = p.agg(count(lit(1)),
-        call_function("bit_xor", xxhash64(col("src"), col("dst")))).head()
-      val chk = if (row.isNullAt(1)) 0L else row.getLong(1)
-      (spark.createDataFrame(p.rdd, p.schema), p, row.getLong(0), chk)
+    val part = new HashPartitioner(
+      math.max(1, spark.sessionState.conf.numShufflePartitions))
+
+    // splitmix64 avalanche — XOR over the edge set gives an order-
+    // independent set checksum; (count, checksum) equality across rounds
+    // is the fixpoint test, computed by the SAME action that materializes
+    // the round's persist (no separate "changed" job).
+    def mix(s: Long, d: Long): Long = {
+      var z = s * 0x9E3779B97F4A7C15L + d
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
     }
+    def stats(r: RDD[(Long, Long)]): (Long, Long) =
+      r.treeAggregate((0L, 0L))(
+        { case ((n, x), (s, d)) => (n + 1L, x ^ mix(s, d)) },
+        { case ((n1, x1), (n2, x2)) => (n1 + n2, x1 ^ x2) })
+    // per-partition dedupe after a partitionBy — all copies of an edge
+    // hash to the same partition, so a local set IS a global distinct
+    def dedupe(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+      val seen = new java.util.HashSet[(Long, Long)]()
+      it.filter(seen.add)
+    }
+
     // Orient larger→smaller (the small-star invariant; both rewrites
     // preserve it) and drop self-loops/duplicates.
-    val init = edges.select(
+    val init: RDD[(Long, Long)] = edges.select(
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("src"),
         least(col("id_a").cast("long"), col("id_b").cast("long")).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
-    var (e, handle, prevN, prevChk) = compact(init)
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part)
+      .mapPartitions(dedupe, preservesPartitioning = true)
+
+    var e = init.persist(StorageLevel.MEMORY_AND_DISK)
+    var (prevN, prevChk) = stats(e)
     var converged = prevN == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      // large-star over the symmetric view: for each edge (u,v), v > u,
-      // emit (v, m(u)). Output stays larger→smaller since v > u >= m(u).
-      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val minN = sym.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
-      val large = sym.join(minN, sym("src") === minN("u"))
-        .where(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
+      // large-star over the symmetric view: for each edge (u,v) with
+      // v > u, emit (v, m(u)) where m(u) = min(u ∪ neighbors(u)).
+      // Output stays larger→smaller since v > u >= m(u).
+      val sym = e.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+        .partitionBy(part) // shuffle 1 (2|E|); both consumers below reuse it
+      val minN = sym.reduceByKey(part, math.min(_: Long, _: Long)) // narrow: co-partitioned
+      val large = sym.join(minN).flatMap { case (u, (v, mn)) =>
+        if (v > u) Iterator((v, math.min(u, mn))) else Iterator.empty
+      }
       // small-star on the oriented output: per larger-endpoint group,
       // point every smaller neighbor (and the endpoint itself) at the min.
-      // min() tolerates the duplicate rows large-star can emit, so the
-      // only distinct is the one that canonicalizes the round's output.
-      val minS = large.groupBy("src").agg(min("dst").as("m"))
-      val small = large.join(minS, "src")
-        .where(col("dst") =!= col("m"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .union(minS.select(col("src"), col("m").as("dst")))
-      val (next, nextHandle, n1, chk1) = compact(small.distinct())
+      val largeP = large.partitionBy(part) // shuffle 2
+      val minS = largeP.reduceByKey(part, math.min(_: Long, _: Long)) // narrow
+      val small = largeP.join(minS).flatMap { case (_, (d, m)) =>
+        if (d != m) Iterator((d, m)) else Iterator.empty
+      }.union(minS)
+      val next = small.partitionBy(part) // shuffle 3 canonicalizes the round
+        .mapPartitions(dedupe, preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (n1, chk1) = stats(next) // the round's ONE action
       converged = n1 == prevN && chk1 == prevChk
-      handle.unpersist(false)
-      e = next; handle = nextHandle; prevN = n1; prevChk = chk1
+      e.unpersist(false)
+      e = next; prevN = n1; prevChk = chk1
       i += 1
     }
     // At the star fixpoint every non-root appears exactly once as src,
-    // pointing at its component min; roots appear only as dst. The min agg
-    // guards the maxIter-without-convergence edge (never picks a worse
-    // label than the star edge).
-    val nonRoots = e.groupBy("src").agg(min("dst").as("component"))
-      .select(col("src").as("id"), col("component"))
-    val roots = e.select(col("dst").as("id")).distinct()
-      .join(e.select(col("src").as("id")), Seq("id"), "left_anti")
-      .withColumn("component", col("id"))
-    // final cache handed to the caller's release cycle; the returned frame
-    // stays recomputable through RDD lineage after release
-    GraftCache.register(handle)
-    (nonRoots.union(roots), i)
+    // pointing at its component min; roots appear only as dst. The min
+    // reduce guards the maxIter-without-convergence edge (never picks a
+    // worse label than the star edge). All three steps are narrow over e.
+    val comps = e.reduceByKey(part, math.min(_: Long, _: Long))
+    val roots = e.map { case (_, d) => (d, d) }.reduceByKey(part, math.min(_: Long, _: Long))
+      .subtractByKey(comps, part)
+    val out = comps.union(roots).map { case (id, c) =>
+      org.apache.spark.sql.Row(id, c)
+    }
+    // released by the caller's GraftCache cycle; the returned frame stays
+    // recomputable afterwards (lineage re-reads the final round's shuffle)
+    GraftCache.registerRdd(spark, e)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    (spark.createDataFrame(out, schema), i)
+  }
+
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023,
+    * arXiv:2303.09540): embedding near-duplicate pairs (hyperplane-LSH
+    * bucketed, exact-cosine verified) → connected components → keep ONE
+    * representative (the min id) per semantic cluster. Returns every
+    * input row as (id, cluster, keep); singletons are their own cluster
+    * and always kept.
+    *
+    * Scale shape: the pair graph carries only (long, long) edges, the
+    * component resolution is the O(log n)-round star algorithm, and the
+    * final labeling is one equi-join of (id) against (id, component) —
+    * embeddings themselves never shuffle past the LSH bucketing stage.
+    */
+  def semanticDedup(embeddings: DataFrame, minCosine: Double = 0.95,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val pairs = SimilarityOps
+      .embeddingNearDupsPortable(embeddings, minCosine, idCol = idCol, vecCol = vecCol)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(pairs)
+    embeddings.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster"),
+        (coalesce(col("component"), col("id")) === col("id")).as("keep"))
   }
 }
