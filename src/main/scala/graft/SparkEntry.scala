@@ -824,6 +824,28 @@ object SparkEntry {
       val pairs = DedupOps.minhashNearDupsPortable(corpus, "id", "text",
         threshold = 0.7).select("id_a", "id_b")
       DedupOps.connectedComponents(pairs)
+    }),
+
+    // Semantic dedup (SemDeDup shape): q27's embedding near-dup pair
+    // graph -> connected components -> keep the min-id representative
+    // per cluster; every vector gets a (cluster, keep) verdict,
+    // singletons keep themselves. The oracle resolves the same pair
+    // graph with a recursive label closure and left-joins it back to
+    // the corpus.
+    "q82_semantic_dedup" -> ((s, d) =>
+      DedupOps.semanticDedup(dupEmbeddings(Tables.embeddings(s, d)),
+        minCosine = 0.99)),
+
+    // CCNet-style boilerplate removal by line frequency: a per-source
+    // footer line planted in EVERY document of the source is detected
+    // and stripped; the per-document unique line survives. The original
+    // text lines stay (no real line repeats across >=50% of a source).
+    "q83_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("source"),
+        concat(col("text"), lit("\nFooter: "), col("source"),
+          lit("\nLine "), col("doc_id").cast("string")).as("text"))
+      CurationOps.stripBoilerplate(corpus, "doc_id", "source", "text")
     })
   )
 
@@ -834,6 +856,42 @@ object SparkEntry {
   private val toksSql =
     s"""CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
        | ELSE string_split($cleanSql, ' ') END""".stripMargin
+
+  /** q27's portable hyperplane-LSH embedding pipeline as a reusable CTE
+    * chain ending in `r(id_a, id_b, sim)` — q27 selects the pairs, q82
+    * resolves the same pair graph into semantic clusters. Also defines
+    * `corpus(id, v)`, which q82's final labeling joins back to.
+    */
+  private val embeddingPairCtes: String =
+    """corpus AS (
+      |  SELECT vec_id AS id, embedding AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000 AS id,
+      |    list_transform(embedding, x -> CAST(CAST(x AS REAL) * CAST(1.001 AS REAL) AS REAL)) AS v
+      |  FROM embeddings),
+      |pj AS (SELECT unnest(generate_series(0, 15)) AS j),
+      |pk AS (SELECT unnest(generate_series(0, 63)) AS k),
+      |pl AS (SELECT j, k,
+      |  (('0x' || substr(md5('graft_plane_' || CAST(j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+      |    / 576460752303423488.0 - 1.0 AS w
+      | FROM pj, pk),
+      |plv AS (SELECT j, list(w ORDER BY k) AS pv FROM pl GROUP BY j),
+      |dots AS (SELECT c.id, c.v, p.j,
+      |  list_sum(list_transform(list_zip(c.v, p.pv), q -> q[1]::DOUBLE * q[2]::DOUBLE)) AS dp
+      | FROM corpus c CROSS JOIN plv p),
+      |bk AS (SELECT id, any_value(v) AS v,
+      |  CAST(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+      | FROM dots GROUP BY id),
+      |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+      | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id),
+      |s AS (SELECT id_a, id_b,
+      |  list_sum(list_transform(list_zip(va, vb), q -> q[1]::DOUBLE * q[2]::DOUBLE)) AS dp,
+      |  sqrt(list_sum(list_transform(list_zip(va, va), q -> q[1]::DOUBLE * q[2]::DOUBLE))) AS na,
+      |  sqrt(list_sum(list_transform(list_zip(vb, vb), q -> q[1]::DOUBLE * q[2]::DOUBLE))) AS nb
+      | FROM pairs),
+      |r AS (SELECT id_a, id_b,
+      |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim
+      | FROM s)""".stripMargin
 
   /** [[graft.functions.Bpe.ToyMerges]] as a DuckDB literal ('a b' strings
     * in priority order; list_position = rank + 1).
@@ -1153,35 +1211,7 @@ object SparkEntry {
     // multiply is safe cross-engine: a float product is exact in double,
     // so double-then-round equals native float math.
     "q27_embedding_neardups" ->
-      """WITH corpus AS (
-        |  SELECT vec_id AS id, embedding AS v FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000 AS id,
-        |    list_transform(embedding, x -> CAST(CAST(x AS REAL) * CAST(1.001 AS REAL) AS REAL)) AS v
-        |  FROM embeddings),
-        |pj AS (SELECT unnest(generate_series(0, 15)) AS j),
-        |pk AS (SELECT unnest(generate_series(0, 63)) AS k),
-        |pl AS (SELECT j, k,
-        |  (('0x' || substr(md5('graft_plane_' || CAST(j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
-        |    / 576460752303423488.0 - 1.0 AS w
-        | FROM pj, pk),
-        |plv AS (SELECT j, list(w ORDER BY k) AS pv FROM pl GROUP BY j),
-        |dots AS (SELECT c.id, c.v, p.j,
-        |  list_sum(list_transform(list_zip(c.v, p.pv), q -> q[1]::DOUBLE * q[2]::DOUBLE)) AS dp
-        | FROM corpus c CROSS JOIN plv p),
-        |bk AS (SELECT id, any_value(v) AS v,
-        |  CAST(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-        | FROM dots GROUP BY id),
-        |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
-        | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id),
-        |s AS (SELECT id_a, id_b,
-        |  list_sum(list_transform(list_zip(va, vb), q -> q[1]::DOUBLE * q[2]::DOUBLE)) AS dp,
-        |  sqrt(list_sum(list_transform(list_zip(va, va), q -> q[1]::DOUBLE * q[2]::DOUBLE))) AS na,
-        |  sqrt(list_sum(list_transform(list_zip(vb, vb), q -> q[1]::DOUBLE * q[2]::DOUBLE))) AS nb
-        | FROM pairs),
-        |r AS (SELECT id_a, id_b,
-        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim
-        | FROM s)
+      s"""WITH $embeddingPairCtes
         |SELECT id_a, id_b, sim FROM r WHERE sim >= 0.99""".stripMargin,
 
     "q28_bruteforce_topk" ->
@@ -1906,6 +1936,45 @@ object SparkEntry {
          |  UNION
          |  SELECT s2.b AS id, r.lbl FROM reach r JOIN symx s2 ON s2.a = r.id
          |  WHERE r.lbl < s2.b)
-         |SELECT id, min(lbl) AS component FROM reach GROUP BY id""".stripMargin
+         |SELECT id, min(lbl) AS component FROM reach GROUP BY id""".stripMargin,
+
+    // q27's pair graph resolved to semantic clusters by the same monotone
+    // label closure as q81, left-joined back to the full corpus so
+    // singletons label (and keep) themselves.
+    "q82_semantic_dedup" ->
+      s"""WITH RECURSIVE $embeddingPairCtes,
+         |jp AS (SELECT id_a, id_b FROM r WHERE sim >= 0.99),
+         |symx AS (SELECT id_a AS a, id_b AS b FROM jp
+         |  UNION SELECT id_b, id_a FROM jp),
+         |nodesx AS (SELECT DISTINCT a AS id FROM symx),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodesx
+         |  UNION
+         |  SELECT s2.b AS id, r2.lbl FROM reach r2 JOIN symx s2 ON s2.a = r2.id
+         |  WHERE r2.lbl < s2.b),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+         |SELECT c.id, coalesce(cp.component, c.id) AS cluster,
+         | (coalesce(cp.component, c.id) = c.id) AS keep
+         |FROM corpus c LEFT JOIN comp cp ON cp.id = c.id""".stripMargin,
+
+    // Line-frequency boilerplate: lines distinct per doc, counted per
+    // (source, line); lines in >= 50% (and >= 2) of a source's docs are
+    // stripped via an order-preserving list_filter.
+    "q83_boilerplate" ->
+      """WITH corpus AS (SELECT doc_id, source,
+        |  text || chr(10) || 'Footer: ' || source || chr(10) || 'Line ' || CAST(doc_id AS VARCHAR) AS text
+        | FROM documents),
+        |t AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM corpus),
+        |ln AS (SELECT source, unnest(list_distinct(ls)) AS line FROM t),
+        |dc AS (SELECT source, count(*) AS n_docs FROM corpus GROUP BY source),
+        |freq AS (SELECT source, line, count(*) AS n FROM ln GROUP BY source, line),
+        |bl AS (SELECT f.source, list(f.line) AS bl
+        | FROM freq f JOIN dc ON dc.source = f.source
+        | WHERE f.n >= 2 AND f.n >= dc.n_docs * 0.5 GROUP BY f.source),
+        |j AS (SELECT t.doc_id, t.ls, coalesce(bl.bl, CAST([] AS VARCHAR[])) AS bl
+        | FROM t LEFT JOIN bl ON bl.source = t.source),
+        |k AS (SELECT doc_id, ls, list_filter(ls, x -> NOT list_contains(bl, x)) AS kept FROM j)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        | CAST(len(ls) - len(kept) AS INTEGER) AS removed_lines FROM k""".stripMargin
   )
 }

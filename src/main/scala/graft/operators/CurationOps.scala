@@ -113,4 +113,40 @@ object CurationOps {
         coalesce(col("shared_ngrams"), lit(0L)).as("shared_ngrams"),
         (coalesce(col("shared_ngrams"), lit(0L)) >= minShared).as("contaminated"))
   }
+
+  /** BOILERPLATE LINE REMOVAL (the CCNet/RefinedWeb line-frequency rule):
+    * a line occurring in at least `minDocFrac` of a source's documents
+    * (and in at least `minDocs` of them) is boilerplate — headers,
+    * footers, nav, cookie banners — and is stripped from every document
+    * of that source. Surviving lines keep their original order. Returns
+    * (id, clean_text, removed_lines) for every input row.
+    *
+    * Scale shape: the frequency pass shuffles (source, line) with
+    * map-side partial aggregation — lines are distinct-per-doc before
+    * exploding, so a plain count IS the containing-doc count. The
+    * boilerplate set per source is tiny by construction (only lines in
+    * ≥ frac of a source's docs survive the filter), so it collects to a
+    * per-source list that BROADCASTS back, and the strip itself is a
+    * narrow array-filter in the scan stage — document payloads never
+    * shuffle.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, srcCol: String,
+                       textCol: String, minDocFrac: Double = 0.5,
+                       minDocs: Int = 2): DataFrame = {
+    val lines = docs.select(col(srcCol).as("src"),
+      explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+    val docCounts = docs.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("n_docs"))
+    val freq = lines.groupBy("src", "line").agg(count(lit(1)).as("n"))
+    val boiler = freq.join(docCounts, "src")
+      .where(col("n") >= minDocs && col("n") >= col("n_docs") * minDocFrac)
+      .groupBy("src").agg(collect_list("line").as("bl"))
+    docs.join(broadcast(boiler), docs(srcCol) === boiler("src"), "left")
+      .withColumn("ls", split(col(textCol), "\n"))
+      .withColumn("kept", filter(col("ls"),
+        l => !coalesce(array_contains(col("bl"), l), lit(false))))
+      .select(col(idCol),
+        array_join(col("kept"), "\n").as("clean_text"),
+        (size(col("ls")) - size(col("kept"))).as("removed_lines"))
+  }
 }

@@ -75,4 +75,34 @@ class CurationOpsSpec extends SparkSpec {
       minQuality = 0.3, langs = Seq("en", "es")).collect()
     assert(out.map(_.getAs[Long]("keep_id")).toSet.contains(4L))
   }
+
+  test("stripBoilerplate removes frequent lines, keeps order and rare lines") {
+    // footer in all 3 docs of src a (boilerplate), banner in 2 of 3 (also
+    // >= 50%), unique body lines survive in order; src b below minDocs
+    val docs = Seq(
+      (1L, "a", "alpha body one\nFOOTER A\nBANNER\nalpha body two"),
+      (2L, "a", "beta body\nFOOTER A\nBANNER"),
+      (3L, "a", "gamma body\nFOOTER A"),
+      (4L, "b", "delta body\nFOOTER B")
+    ).toDF("doc_id", "src", "text")
+    val out = CurationOps.stripBoilerplate(docs, "doc_id", "src", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("alpha body one\nalpha body two", 2)))
+    assert(out(2L) == (("beta body", 2)))
+    assert(out(3L) == (("gamma body", 1)))
+    // src b has a single doc: its footer is below minDocs=2, nothing strips
+    assert(out(4L) == (("delta body\nFOOTER B", 0)))
+  }
+
+  test("stripBoilerplate counts repeated lines within one doc once for frequency") {
+    // the repeated line appears TWICE in doc 1 but only doc 1 contains it:
+    // distinct-per-doc counting keeps it (1 of 2 docs < minDocs)
+    val docs = Seq(
+      (1L, "a", "dup line\ndup line\nbody one"),
+      (2L, "a", "body two")
+    ).toDF("doc_id", "src", "text")
+    val out = CurationOps.stripBoilerplate(docs, "doc_id", "src", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(1L -> 0, 2L -> 0))
+  }
 }

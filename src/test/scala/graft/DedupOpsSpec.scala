@@ -200,6 +200,28 @@ class DedupOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("semanticDedup keeps one representative per embedding cluster") {
+    // 10 base vectors + scaled near-copies (id+100): each (i, i+100) pair
+    // must cluster with min-id representative i kept and i+100 dropped;
+    // vectors are random enough that no cross-pair cluster forms at 0.999
+    val dim = 8
+    def vec(seed: Int): Seq[Float] = {
+      val rng = new scala.util.Random(seed)
+      Seq.fill(dim)(rng.nextFloat() * 2 - 1)
+    }
+    val base = (0 until 10).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val scaled = base.unionByName(base.select(
+      (col("vec_id") + 100).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding")))
+    val out = DedupOps.semanticDedup(scaled, minCosine = 0.999)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    (0L until 10L).foreach { i =>
+      assert(out(i) == ((i, true)), s"base $i should anchor its cluster")
+      assert(out(i + 100) == ((i, false)), s"copy ${i + 100} should defer to $i")
+    }
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("connectedComponents handles shuffled ids, dup edges, and self-loops") {
     // two components with non-monotonic ids, redundant + reversed + self edges
     val edges = Seq(
