@@ -846,7 +846,31 @@ object SparkEntry {
         concat(col("text"), lit("\nFooter: "), col("source"),
           lit("\nLine "), col("doc_id").cast("string")).as("text"))
       CurationOps.stripBoilerplate(corpus, "doc_id", "source", "text")
-    })
+    }),
+
+    // Crawl-side URL canonicalization: four messy variants per doc
+    // (uppercase scheme/host + default port + tracking params + fragment;
+    // default https port + tracking; non-default port + trailing slash;
+    // scheme-less pass-through) normalize to stable dedup keys.
+    "q84_url_canon" -> ((s, d) => {
+      val messy = when(pmod(did, lit(4)) === 0,
+          concat(lit("HTTP://WWW.Ex.TEST:80/p"), sid, lit("/?utm_source=x&b=2&a=1#sec")))
+        .when(pmod(did, lit(4)) === 1,
+          concat(lit("https://Ex.Test:443/q"), sid, lit("?fbclid=abc&id="), sid))
+        .when(pmod(did, lit(4)) === 2,
+          concat(lit("https://cdn.ex.test:8443/r/"), sid, lit("/")))
+        .otherwise(concat(lit("files/data"), sid))
+      val canon = T.canonicalizeUrl(messy)
+      Tables.documents(s, d).select(did.as("doc_id"), messy.as("url"),
+        canon.as("canon_url"), T.urlHost(canon).as("host"))
+    }),
+
+    // Corpus-relative token rarity: every doc scored against the global
+    // unigram distribution with all-integer counting (no LM, no
+    // floating-accumulation hazard) — the CCNet-style quality signal
+    // that needs corpus statistics, not just row-local features.
+    "q85_token_rarity" -> ((s, d) =>
+      TextAnalysisOps.tokenRarity(Tables.documents(s, d), "doc_id", "text"))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -1975,6 +1999,60 @@ object SparkEntry {
         | FROM t LEFT JOIN bl ON bl.source = t.source),
         |k AS (SELECT doc_id, ls, list_filter(ls, x -> NOT list_contains(bl, x)) AS kept FROM j)
         |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
-        | CAST(len(ls) - len(kept) AS INTEGER) AS removed_lines FROM k""".stripMargin
+        | CAST(len(ls) - len(kept) AS INTEGER) AS removed_lines FROM k""".stripMargin,
+
+    // The same canon chain step by step: fragment strip, scheme/host
+    // lowercase, default-port drop, tracking-param filter + sort,
+    // non-root trailing-slash strip; scheme-less urls pass through.
+    "q84_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 4
+        |   WHEN 0 THEN 'HTTP://WWW.Ex.TEST:80/p' || CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=2&a=1#sec'
+        |   WHEN 1 THEN 'https://Ex.Test:443/q' || CAST(doc_id AS VARCHAR) || '?fbclid=abc&id=' || CAST(doc_id AS VARCHAR)
+        |   WHEN 2 THEN 'https://cdn.ex.test:8443/r/' || CAST(doc_id AS VARCHAR) || '/'
+        |   ELSE 'files/data' || CAST(doc_id AS VARCHAR) END AS url
+        | FROM documents),
+        |p AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |q AS (SELECT doc_id, url, nofrag,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p),
+        |h AS (SELECT doc_id, url, nofrag, scheme, rest,
+        |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        |  regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '(.)/$', '\1') AS path,
+        |  list_sort(list_filter(string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$'))) AS params
+        | FROM q),
+        |c AS (SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN url ELSE
+        |   scheme || '://' ||
+        |   (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |     ELSE hostport END) || path ||
+        |   (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
+        |  END AS canon_url
+        | FROM h)
+        |SELECT doc_id, url, canon_url,
+        | regexp_replace(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)', 1), '^www\.', '') AS host
+        |FROM c""".stripMargin,
+
+    // Unigram counts over the whole corpus, rejoined to each doc's token
+    // stream; DuckDB sums of INTEGER are HUGEINT, so cast back to BIGINT.
+    "q85_token_rarity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |pd AS (SELECT tok.doc_id,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN c.cnt <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tokens,
+         |  CAST(sum(c.cnt) AS BIGINT) AS sum_counts
+         | FROM tok JOIN counts c ON c.tok = tok.tok GROUP BY tok.doc_id)
+         |SELECT d.doc_id AS id,
+         | coalesce(pd.n_tokens, 0) AS n_tokens,
+         | coalesce(pd.rare_tokens, 0) AS rare_tokens,
+         | CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+         |  ELSE floor((pd.rare_tokens::DOUBLE / pd.n_tokens) * 10000 + 0.5) / 10000 END AS rare_frac,
+         | CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+         |  ELSE floor((pd.sum_counts::DOUBLE / pd.n_tokens) * 10000 + 0.5) / 10000 END AS mean_count
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
   )
 }

@@ -217,4 +217,41 @@ object TextFunctions {
     regexp_count(c, lit(PhonePattern)).cast("long").as("n_phones"),
     regexp_count(regexp_replace(c, PhonePattern, "<PHONE>"), lit(SsnPattern))
       .cast("long").as("n_ssns"))
+
+  // ---- URL canonicalization (web-corpus dedup key; the crawl-side
+  //      counterpart of the content dedup family) ----
+
+  /** Canonicalize an absolute http(s) URL for crawl dedup:
+    * lowercase scheme+host, drop the fragment, drop the scheme's default
+    * port (:80 http, :443 https), drop tracking params (utm_*, fbclid,
+    * gclid, ref), sort surviving query params, strip one trailing slash
+    * from a non-root path. Non-absolute inputs (no `scheme://`) pass
+    * through unchanged. Pure codegen'd regexp/array expressions —
+    * shuffle-free at any scale; RE2-compatible patterns so the same
+    * canon runs in any engine.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path0 = regexp_extract(rest, "^[^/?]*([^?]*)", 1)
+    val path = regexp_replace(path0, "(.)/$", "$1")
+    val params = array_sort(filter(
+      split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$")))
+    val query = when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+      .otherwise(lit(""))
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+
+  /** Registrable host of a canonicalized URL ('' for non-absolute). */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)", 1),
+      "^www\\.", "")
 }

@@ -253,4 +253,47 @@ object TextAnalysisOps {
         }
       }.toDF(idCol, "n_words", "n_bpe_tokens")
   }
+
+  /** CORPUS-RELATIVE TOKEN RARITY (the CCNet idea — score documents
+    * against corpus statistics — with all-integer arithmetic instead of
+    * an LM, so the result is bit-identical in any engine): per document,
+    * how many of its token occurrences are corpus-rare (global count ≤
+    * `rareThreshold`) and the mean corpus count of its tokens. High
+    * `rare_frac` marks gibberish/codes/OCR noise; very low marks
+    * boilerplate. Returns every doc: (id, n_tokens, rare_tokens,
+    * rare_frac, mean_count).
+    *
+    * Scale shape: pass 1 is a partial-aggregated unigram count shuffled
+    * on token; pass 2 re-joins the token stream to the counts — also
+    * shuffled on token, where the Zipf head makes hot keys (AQE skew
+    * join handles it; counts carry (token, long) only) — then
+    * re-aggregates per doc. Integer sums commute, so no
+    * floating-accumulation-order hazard exists; the two divisions
+    * happen once per row at the end.
+    */
+  def tokenRarity(docs: DataFrame, idCol: String, textCol: String,
+                  rareThreshold: Long = 3L): DataFrame = {
+    val clean = T.cleanText(col(textCol))
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        explode(when(clean === "", array().cast("array<string>"))
+          .otherwise(split(clean, " "))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val perDoc = toks.join(counts, "tok")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") <= rareThreshold, 1L).otherwise(0L)).as("rare_tokens"),
+        sum("cnt").as("sum_counts"))
+    docs.select(col(idCol).cast("long").as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("rare_tokens"), lit(0L)).as("rare_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(graft.functions.Rounding.half4(
+            col("rare_tokens").cast("double") / col("n_tokens").cast("double")))
+          .as("rare_frac"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(graft.functions.Rounding.half4(
+            col("sum_counts").cast("double") / col("n_tokens").cast("double")))
+          .as("mean_count"))
+  }
 }

@@ -191,4 +191,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.lastIndexOf("Filter") > exchangeIdx,
       s"quality/language gate should run scan-side, below the shuffle:\n$p")
   }
+
+  test("URL canonicalization is a shuffle-free scan (q84)") {
+    // the param-sort HOF lambdas keep the Project out of whole-stage
+    // codegen (expected for higher-order functions); the property that
+    // matters at scale is that nothing shuffles
+    val p = plan(q("q84_url_canon"))
+    assert(!p.contains("Exchange"),
+      s"pure per-row regexp/array exprs must not shuffle:\n$p")
+  }
+
+  test("boilerplate strip broadcasts the per-source line lists (q83)") {
+    val p = plan(q("q83_boilerplate"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny boilerplate list must broadcast, not sort-merge:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("token rarity partial-aggregates the unigram counts (q85)") {
+    val p = plan(q("q85_token_rarity"))
+    // both the counts pass and the per-doc pass must combine map-side
+    assert("partial_count".r.findAllIn(p.toLowerCase).nonEmpty ||
+      p.contains("HashAggregate"),
+      s"expected partial aggregation before the token shuffle:\n$p")
+  }
 }

@@ -29,4 +29,22 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0.0, 0.0)))
     assert(out(5L) == ((0L, 0.0, 0.0)))
   }
+
+  test("tokenRarity scores docs against the corpus unigram counts") {
+    // corpus counts: "the"=3, "cat"=2, "sat"=1, "zx9q"=1
+    // threshold 1 -> rare tokens are sat and zx9q
+    val docs = Seq(
+      (1L, "the cat sat"),        // counts 3,2,1 -> rare 1/3, mean 6/3
+      (2L, "the cat the"),        // counts 3,2,3 -> rare 0, mean 8/3
+      (3L, "zx9q"),               // count 1     -> rare 1/1, mean 1
+      (4L, "")                    // no tokens   -> zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysisOps.tokenRarity(docs, "doc_id", "text", rareThreshold = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3L, 1L, 0.3333, 2.0)))
+    assert(out(2L) == ((3L, 0L, 0.0, 2.6667)))
+    assert(out(3L) == ((1L, 1L, 1.0, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0.0, 0.0)))
+  }
 }

@@ -113,4 +113,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(row.getString(0) == "<PHONE>")
     assert(row.getLong(3) == 0L)
   }
+
+  test("canonicalizeUrl normalizes case/port/params/slash; passes relative through") {
+    val cases = Seq(
+      // lowercase scheme+host, drop :80, drop fragment + utm_*, sort params
+      ("HTTP://WWW.Ex.TEST:80/p1/?utm_source=x&b=2&a=1#sec",
+        "http://www.ex.test/p1?a=1&b=2", "ex.test"),
+      // drop :443 on https, drop fbclid, keep real param
+      ("https://Ex.Test:443/q7?fbclid=abc&id=7",
+        "https://ex.test/q7?id=7", "ex.test"),
+      // non-default port survives; trailing slash stripped
+      ("https://cdn.ex.test:8443/r/9/", "https://cdn.ex.test:8443/r/9", "cdn.ex.test"),
+      // root path slash is NOT stripped
+      ("https://ex.test/", "https://ex.test/", "ex.test"),
+      // all params tracking -> no query at all
+      ("http://ex.test/a?utm_medium=m&gclid=g&ref=r", "http://ex.test/a", "ex.test"),
+      // scheme-less input unchanged, empty host
+      ("files/data3", "files/data3", ""))
+    val out = cases.map(_._1).toDF("u")
+      .select(T.canonicalizeUrl(col("u")).as("c"),
+        T.urlHost(T.canonicalizeUrl(col("u"))).as("h")).collect()
+    cases.zip(out).foreach { case ((in, wantC, wantH), row) =>
+      assert(row.getString(0) == wantC, s"canon of $in")
+      assert(row.getString(1) == wantH, s"host of $in")
+    }
+  }
 }
