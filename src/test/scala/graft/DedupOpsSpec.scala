@@ -200,6 +200,29 @@ class DedupOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("connectedComponents runs one Spark job per round") {
+    // the RDD loop's only action per round is the treeAggregate that
+    // materializes the persist and computes the fixpoint checksum —
+    // assert via the scheduler's job-start events: total jobs for the
+    // whole call is rounds + 1 (initial edge compaction), bounded with
+    // +1 slack for listener timing
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val edges = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val (_, rounds) = DedupOps.connectedComponentsWithRounds(edges)
+      Thread.sleep(500)
+      val n = jobs.get()
+      assert(n <= rounds + 2,
+        s"$n jobs for $rounds rounds — the loop must run ONE action per round")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("semanticDedup keeps one representative per embedding cluster") {
     // 10 base vectors + scaled near-copies (id+100): each (i, i+100) pair
     // must cluster with min-id representative i kept and i+100 dropped;
