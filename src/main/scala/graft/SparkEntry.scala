@@ -870,7 +870,23 @@ object SparkEntry {
     // floating-accumulation hazard) — the CCNet-style quality signal
     // that needs corpus statistics, not just row-local features.
     "q85_token_rarity" -> ((s, d) =>
-      TextAnalysisOps.tokenRarity(Tables.documents(s, d), "doc_id", "text"))
+      TextAnalysisOps.tokenRarity(Tables.documents(s, d), "doc_id", "text")),
+
+    // Incremental ingest near-dup probe: a new batch (every 10th doc with
+    // a dup tail, plus genuinely novel docs) probed against the full
+    // corpus WITHOUT a corpus self-join. Each dup-arm doc must hit its
+    // origin; novel docs match nothing.
+    "q86_minhash_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tenth = docs.where(pmod(did, lit(10)) === 0)
+      val batch = tenth.select((did + 1000000L).as("id"),
+          concat(col("text"), lit(" zzdup tail")).as("text"))
+        .unionByName(tenth.select((did + 2000000L).as("id"),
+          concat(lit("totally novel content block number "), sid,
+            lit(" unseen tokens qqq www eee")).as("text")))
+      DedupOps.minhashProbe(docs.select(did.as("id"), col("text")), batch,
+        "id", "text", threshold = 0.7)
+    })
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -2053,6 +2069,57 @@ object SparkEntry {
          |  ELSE floor((pd.rare_tokens::DOUBLE / pd.n_tokens) * 10000 + 0.5) / 10000 END AS rare_frac,
          | CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
          |  ELSE floor((pd.sum_counts::DOUBLE / pd.n_tokens) * 10000 + 0.5) / 10000 END AS mean_count
-         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+    // The asymmetric (side-tagged) variant of the q25 LSH chain: corpus
+    // and batch share one signature derivation; the bucket guard counts
+    // CORPUS rows only; candidates join corpus x batch, never self.
+    "q86_minhash_probe" ->
+      s"""WITH all_docs AS (
+         |  SELECT 'c' AS side, doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT 'b', doc_id + 1000000, text || ' zzdup tail'
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT 'b', doc_id + 2000000,
+         |    'totally novel content block number ' || CAST(doc_id AS VARCHAR) || ' unseen tokens qqq www eee'
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (SELECT side, id, $toksSql AS toks FROM all_docs),
+         |shl AS (SELECT side, id,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |   ELSE list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs
+         | FROM t),
+         |shu AS (SELECT side, id, unnest(shs) AS s FROM shl),
+         |sh AS (SELECT DISTINCT side, id,
+         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shu),
+         |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |perms AS (SELECT i,
+         |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
+         |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
+         | FROM pidx),
+         |sig AS (SELECT sh.side, sh.id, perms.i,
+         |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
+         | FROM sh, perms GROUP BY sh.side, sh.id, perms.i),
+         |bandkey AS (SELECT side, id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
+         | FROM sig GROUP BY side, id, i // 4),
+         |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey WHERE side = 'c' GROUP BY band, bk),
+         |cand AS (SELECT DISTINCT y.id AS batch_id, x.id AS corpus_id
+         | FROM bandkey x
+         | JOIN bandkey y ON x.band = y.band AND x.bk = y.bk
+         | JOIN bsz ON bsz.band = x.band AND bsz.bk = x.bk
+         | WHERE x.side = 'c' AND y.side = 'b' AND bsz.n <= 1000),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.batch_id, c.corpus_id, count(*) AS m
+         | FROM cand c
+         | JOIN sh x ON x.id = c.corpus_id
+         | JOIN sh y ON y.id = c.batch_id AND y.h = x.h
+         | GROUP BY c.batch_id, c.corpus_id)
+         |SELECT i.batch_id, i.corpus_id,
+         | floor((CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM inter i
+         |JOIN sizes sb ON sb.id = i.batch_id
+         |JOIN sizes sc ON sc.id = i.corpus_id
+         |WHERE CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m) >= 0.7""".stripMargin
   )
 }

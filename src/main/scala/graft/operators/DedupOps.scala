@@ -328,6 +328,51 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), Rounding.half4(col("jaccard")).as("jaccard"))
   }
 
+  /** INCREMENTAL near-dup probe: which documents of a NEW batch
+    * near-duplicate an EXISTING corpus — without the corpus self-join a
+    * full dedup pays. This is the daily-ingest shape at 100 TB: corpus
+    * band rows are corpus state computed once (materialize them like the
+    * IVF index in production), batch band rows are small, and the
+    * candidate join is band-bucketed corpus x batch, so candidate volume
+    * scales with the BATCH, not the corpus. The degenerate-bucket guard
+    * applies to the corpus side (the skew source). Verification is exact
+    * Jaccard over candidate pairs only. Every hash is md5-portable, so
+    * the whole probe is reproducible in DuckDB.
+    *
+    * Returns (batch_id, corpus_id, jaccard) for every batch doc whose
+    * similarity to some corpus doc clears `threshold`.
+    */
+  def minhashProbe(corpus: DataFrame, batch: DataFrame,
+                   idCol: String, textCol: String,
+                   threshold: Double = 0.8, shingleN: Int = 3,
+                   numPerms: Int = 64, bands: Int = 16,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    val ch = GraftCache.register(
+      hashedShingleRowsPortable(corpus, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val bh = GraftCache.register(
+      hashedShingleRowsPortable(batch, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val ck = minhashBandRowsPortable(ch, numPerms, bands)
+    val bk = minhashBandRowsPortable(bh, numPerms, bands)
+    val oversized = ck.groupBy("band", "bk").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucketSize)
+      .select("band", "bk")
+    val sized = ck.join(broadcast(oversized), Seq("band", "bk"), "left_anti")
+    val cands = sized.select(col("band"), col("bk"), col("id").as("corpus_id"))
+      .join(bk.select(col("band"), col("bk"), col("id").as("batch_id")),
+        Seq("band", "bk"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    cands
+      .join(bh.select(col("id").as("batch_id"), col("hs").as("sh_b")), "batch_id")
+      .join(ch.select(col("id").as("corpus_id"), col("hs").as("sh_c")), "corpus_id")
+      .withColumn("jaccard", H.jaccard(col("sh_b"), col("sh_c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        Rounding.half4(col("jaccard")).as("jaccard"))
+  }
+
   /** Portable 60-bit SimHash sketches: per-token portable md5 hash votes
     * on 60 counters. Tokenless documents sketch to all-ones (every
     * counter 0 >= 0), mirrored explicitly by the oracle.

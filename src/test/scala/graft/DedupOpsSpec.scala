@@ -200,6 +200,23 @@ class DedupOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("minhashProbe finds batch-vs-corpus dups but never corpus-internal pairs") {
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base),  // corpus-internal exact dup — must NOT be reported
+      (3L, "completely different corpus document about insurance policies and annual reports filed yearly")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (101L, base + " zz"),                       // near-dup of 1 and 2
+      (102L, "novel batch content qqq www eee rrr ttt yyy uuu iii ooo ppp")
+    ).toDF("id", "text")
+    val out = DedupOps.minhashProbe(corpus, batch, "id", "text", threshold = 0.7)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((101L, 1L), (101L, 2L)), s"got $out")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("connectedComponents runs one Spark job per round") {
     // the RDD loop's only action per round is the treeAggregate that
     // materializes the persist and computes the fixpoint checksum —
