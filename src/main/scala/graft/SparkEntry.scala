@@ -886,6 +886,39 @@ object SparkEntry {
             lit(" unseen tokens qqq www eee")).as("text")))
       DedupOps.minhashProbe(docs.select(did.as("id"), col("text")), batch,
         "id", "text", threshold = 0.7)
+    }),
+
+    // RAG chunking: fixed-size token windows (64) with overlap (16);
+    // the tail-suppression rule keeps chunks that add new tokens only.
+    "q87_chunking" -> ((s, d) =>
+      TextAnalysisOps.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 64, overlap = 16)),
+
+    // Semi-structured extraction: typed JSON field pulled from the
+    // events payload column, filtered on the extracted value.
+    "q88_json_extract" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k") >= 50)),
+
+    // Pivot: per-user event-type counts as columns (the OLAP reshape);
+    // absent combinations coalesce to 0 to match the CASE-sum oracle.
+    "q89_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d).groupBy("user_id").pivot("event_type", types).count()
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    // Lag analytics: day-over-day delta of daily event counts per type
+    // (count aggregation reuses the window partitioning).
+    "q90_lag_delta" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.select(col("event_type"), col("day"), col("n"),
+        (col("n") - coalesce(lag("n", 1).over(w), lit(0L))).as("delta"))
     })
   )
 
@@ -2120,6 +2153,42 @@ object SparkEntry {
          |FROM inter i
          |JOIN sizes sb ON sb.id = i.batch_id
          |JOIN sizes sc ON sc.id = i.corpus_id
-         |WHERE CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m) >= 0.7""".stripMargin
+         |WHERE CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m) >= 0.7""".stripMargin,
+
+    // Token-window chunking: stepped starts via generate_series (stop-
+    // inclusive both engines), tail suppression, 1-based inclusive list
+    // slices on both sides.
+    "q87_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |nz AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+         |st0 AS (SELECT doc_id, ts, n,
+         |  unnest(generate_series(0, CAST(n - 1 AS BIGINT), 48)) AS s FROM nz),
+         |st AS (SELECT * FROM st0 WHERE s = 0 OR s + 16 < n)
+         |SELECT doc_id AS id, s // 48 AS chunk_id,
+         | array_to_string(ts[s + 1 : s + 64], ' ') AS chunk_text,
+         | CAST(least(n - s, 64) AS INTEGER) AS n_tokens
+         |FROM st""".stripMargin,
+
+    "q88_json_extract" ->
+      """SELECT event_id, event_type,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin,
+
+    "q89_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q90_lag_delta" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        | n - coalesce(lag(n, 1) OVER (PARTITION BY event_type ORDER BY day), 0) AS delta
+        |FROM d""".stripMargin
   )
 }

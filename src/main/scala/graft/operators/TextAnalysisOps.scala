@@ -254,6 +254,37 @@ object TextAnalysisOps {
       }.toDF(idCol, "n_words", "n_bpe_tokens")
   }
 
+  /** RAG CHUNKING: split each document into fixed-size token windows
+    * with overlap — the retrieval-side preparation step that feeds
+    * embedding + indexing. Chunk starts step by `chunkSize - overlap`;
+    * a tail window that would add no tokens beyond the previous chunk's
+    * overlap is suppressed. Returns (id, chunk_id, chunk_text,
+    * n_tokens); empty docs emit no chunks.
+    *
+    * Pure Column expressions over the row's own token array — a
+    * shuffle-free scan whose output fans out ~n_tokens/step rows per
+    * doc. At 100 TB the chunker runs in the same stage as the scan and
+    * the downstream embed/index step repartitions as it needs.
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val clean = T.cleanText(col(textCol))
+    val ts = when(clean === "", array().cast("array<string>"))
+      .otherwise(split(clean, " "))
+    val n = size(col("ts"))
+    docs.select(col(idCol).cast("long").as("id"), ts.as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("id"), col("ts"),
+        explode(filter(sequence(lit(0), n - 1, lit(step)),
+          s => (s === 0) || (s + lit(overlap) < n))).as("start"))
+      .select(col("id"),
+        (col("start") / step).cast("long").as("chunk_id"),
+        array_join(slice(col("ts"), col("start") + 1, lit(chunkSize)), " ").as("chunk_text"),
+        least(size(col("ts")) - col("start"), lit(chunkSize)).as("n_tokens"))
+  }
+
   /** CORPUS-RELATIVE TOKEN RARITY (the CCNet idea — score documents
     * against corpus statistics — with all-integer arithmetic instead of
     * an LM, so the result is bit-identical in any engine): per document,

@@ -30,6 +30,26 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0.0, 0.0)))
   }
 
+  test("chunkByTokens windows with overlap, suppresses no-new-token tails") {
+    // chunkSize 4, overlap 2, step 2 over 7 tokens:
+    // starts 0,2,4 (6 suppressed: 6+2 >= 7 adds nothing new);
+    // chunks: t0-t3, t2-t5, t4-t6 (tail clamps to 3 tokens)
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x y"),        // single chunk, n_tokens 2
+      (3L, "")            // no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysisOps.chunkByTokens(docs, "doc_id", "text",
+        chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getInt(3)))).toMap
+    assert(out == Map(
+      (1L, 0L) -> (("a b c d", 4)),
+      (1L, 1L) -> (("c d e f", 4)),
+      (1L, 2L) -> (("e f g", 3)),
+      (2L, 0L) -> (("x y", 2))))
+  }
+
   test("tokenRarity scores docs against the corpus unigram counts") {
     // corpus counts: "the"=3, "cat"=2, "sat"=1, "zx9q"=1
     // threshold 1 -> rare tokens are sat and zx9q
