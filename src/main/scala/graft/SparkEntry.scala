@@ -919,7 +919,28 @@ object SparkEntry {
       val w = Window.partitionBy("event_type").orderBy("day")
       daily.select(col("event_type"), col("day"), col("n"),
         (col("n") - coalesce(lag("n", 1).over(w), lit(0L))).as("delta"))
-    })
+    }),
+
+    // Fuzzy entity matching: supplier names vs variants with one
+    // character typo'd mid-string; suffix blocking + Levenshtein <= 1
+    // pairs each variant with exactly its origin (any other supplier in
+    // the block differs by >= 2 edits).
+    "q91_fuzzy_match" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val variants = sup.select((col("s_suppkey") + 100000L).as("vid"),
+        concat(substring(col("s_name"), 1, 9), lit("X"),
+          substring(col("s_name"), 11, 100)).as("vname"))
+      JoinOps.fuzzyJoin(sup, variants, "s_suppkey", "s_name", "vid", "vname",
+        maxDist = 1, blockLen = 3)
+    }),
+
+    // Cube: event counts + value sums over all subsets of
+    // (event_type, user bucket) — the OLAP totals/subtotals reshape.
+    "q92_cube" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), pmod(col("user_id"), lit(4)).as("ub"), col("value"))
+        .cube("event_type", "ub")
+        .agg(count(lit(1)).as("n"), R.half2(sum("value")).as("sum_value")))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -2189,6 +2210,23 @@ object SparkEntry {
         | FROM events GROUP BY 1, 2)
         |SELECT event_type, day, n,
         | n - coalesce(lag(n, 1) OVER (PARTITION BY event_type ORDER BY day), 0) AS delta
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q91_fuzzy_match" ->
+      """WITH l AS (SELECT s_suppkey AS left_id, s_name AS left_name FROM supplier),
+        |r AS (SELECT s_suppkey + 100000 AS right_id,
+        |  substr(s_name, 1, 9) || 'X' || substr(s_name, 11) AS right_name FROM supplier)
+        |SELECT l.left_id, r.right_id, l.left_name, r.right_name,
+        | CAST(levenshtein(l.left_name, r.right_name) AS INTEGER) AS dist
+        |FROM l JOIN r
+        | ON right(l.left_name, 3) = right(r.right_name, 3)
+        | AND abs(len(l.left_name) - len(r.right_name)) <= 1
+        |WHERE levenshtein(l.left_name, r.right_name) <= 1""".stripMargin,
+
+    "q92_cube" ->
+      """WITH e AS (SELECT event_type, user_id % 4 AS ub, value FROM events)
+        |SELECT event_type, ub, count(*) AS n,
+        | floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM e GROUP BY CUBE (event_type, ub)""".stripMargin
   )
 }

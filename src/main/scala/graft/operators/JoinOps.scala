@@ -101,4 +101,37 @@ object JoinOps {
       .where(col("_side") === 1)
       .select(col("_payload.*"), col("_asof").as(valueCol))
   }
+
+  /** FUZZY ENTITY MATCHING: approximate string join via blocking + exact
+    * Levenshtein verification — the entity-resolution shape (catalog
+    * reconciliation, typo'd identifiers) a nested-loop distance join
+    * cannot survive at scale.
+    *
+    * Blocking key = (last `blockLen` characters, length within
+    * `maxDist`): candidates form ONLY within a block, so the quadratic
+    * verify is bounded by block size, never table size — the same
+    * guard-then-verify shape as the MinHash family. Recall bound is
+    * explicit and documented: a typo inside the last `blockLen`
+    * characters (or a length change > maxDist) escapes the block;
+    * production pipelines union several block keys (prefix, suffix,
+    * phonetic) exactly like LSH unions bands.
+    *
+    * Returns (left id, right id, both names, dist <= maxDist).
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftId: String, leftName: String,
+                rightId: String, rightName: String,
+                maxDist: Int = 1, blockLen: Int = 3): DataFrame = {
+    val lb = left.select(col(leftId).as("left_id"), col(leftName).as("left_name"),
+      substring(col(leftName), -blockLen, blockLen).as("_blk_l"),
+      length(col(leftName)).as("_ln_l"))
+    val rb = right.select(col(rightId).as("right_id"), col(rightName).as("right_name"),
+      substring(col(rightName), -blockLen, blockLen).as("_blk_r"),
+      length(col(rightName)).as("_ln_r"))
+    lb.join(rb, col("_blk_l") === col("_blk_r") &&
+        abs(col("_ln_l") - col("_ln_r")) <= maxDist)
+      .withColumn("dist", levenshtein(col("left_name"), col("right_name")))
+      .where(col("dist") <= maxDist)
+      .select("left_id", "right_id", "left_name", "right_name", "dist")
+  }
 }

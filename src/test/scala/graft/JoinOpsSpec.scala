@@ -119,4 +119,20 @@ class JoinOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
       s"expected one shuffle per input side at most:\n$p")
   }
+
+  test("fuzzyJoin matches within edit distance; blocking bounds recall as documented") {
+    val left = Seq((1L, "acme corp"), (2L, "zenith ltd")).toDF("id", "name")
+    val right = Seq(
+      (11L, "acme c0rp"),   // 1 sub, suffix "orp"->"0rp"? no: last 3 = "0rp" != "orp" — escapes block
+      (12L, "acme corp"),   // exact dup, matches 1
+      (13L, "acmex corp"),  // 1 insert mid-string, same suffix, matches 1
+      (14L, "zenith ltd x") // length +2 -> excluded by length guard
+    ).toDF("id", "name")
+    val out = JoinOps.fuzzyJoin(left, right, "id", "name", "id", "name",
+        maxDist = 1, blockLen = 3)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // 11 escapes the suffix block (typo inside the block region) — the
+    // documented recall bound; 14 fails the length guard
+    assert(out == Set((1L, 12L), (1L, 13L)), s"got $out")
+  }
 }
