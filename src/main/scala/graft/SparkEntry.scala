@@ -940,7 +940,20 @@ object SparkEntry {
       Tables.events(s, d)
         .select(col("event_type"), pmod(col("user_id"), lit(4)).as("ub"), col("value"))
         .cube("event_type", "ub")
-        .agg(count(lit(1)).as("n"), R.half2(sum("value")).as("sum_value")))
+        .agg(count(lit(1)).as("n"), R.half2(sum("value")).as("sum_value"))),
+
+    // Unpivot: melt q89's wide per-user counts back to long form
+    // (the round-trip of the pivot reshape); zero rows dropped so the
+    // pair is lossless.
+    "q93_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d).groupBy("user_id").pivot("event_type", types).count()
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      val stackExpr = "stack(5, " +
+        types.map(t => s"'$t', $t").mkString(", ") + ") as (event_type, n)"
+      wide.select(col("user_id"), expr(stackExpr))
+        .select("user_id", "event_type", "n")
+    })
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -2227,6 +2240,22 @@ object SparkEntry {
       """WITH e AS (SELECT event_type, user_id % 4 AS ub, value FROM events)
         |SELECT event_type, ub, count(*) AS n,
         | floor(sum(value) * 100 + 0.5) / 100 AS sum_value
-        |FROM e GROUP BY CUBE (event_type, ub)""".stripMargin
+        |FROM e GROUP BY CUBE (event_type, ub)""".stripMargin,
+
+    // The wide CTE mirrors q89; the melt is a 5-way UNION ALL (portable
+    // across engines, same row multiset as Spark's stack()).
+    "q93_unpivot" ->
+      """WITH w AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, 'click' AS event_type, click AS n FROM w
+        |UNION ALL SELECT user_id, 'error', error FROM w
+        |UNION ALL SELECT user_id, 'purchase', purchase FROM w
+        |UNION ALL SELECT user_id, 'signup', signup FROM w
+        |UNION ALL SELECT user_id, 'view', view FROM w""".stripMargin
   )
 }
