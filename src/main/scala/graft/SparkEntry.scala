@@ -953,6 +953,39 @@ object SparkEntry {
         types.map(t => s"'$t', $t").mkString(", ") + ") as (event_type, n)"
       wide.select(col("user_id"), expr(stackExpr))
         .select("user_id", "event_type", "n")
+    }),
+
+    // Full outer join: per-user event activity vs per-customer order
+    // activity — ids present on either side survive with 0-coalesced
+    // counts from the missing side.
+    "q94_full_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d).groupBy(col("user_id").as("id"))
+        .agg(count(lit(1)).as("n_events"))
+      val ord = Tables.orders(s, d).groupBy(col("o_custkey").as("id"))
+        .agg(count(lit(1)).as("n_orders"))
+      ev.join(ord, Seq("id"), "full_outer")
+        .select(col("id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
+    // Per-source z-score standardization of document length with
+    // INTEGER moment sums (sum, sum of squares) so the statistics are
+    // order-independent; the mean/std/z derivation is a fixed expression
+    // tree mirrored exactly in SQL. Outliers = |z| > 2.
+    "q95_zscore" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      val mean = col("s1").cast("double") / col("n").cast("double")
+      val variance = col("s2").cast("double") / col("n").cast("double") - mean * mean
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(broadcast(stats), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          R.half4((col("n_chars").cast("double") - mean) / sqrt(variance)).as("z"),
+          (abs((col("n_chars").cast("double") - mean) / sqrt(variance)) > 2.0).as("outlier"))
     })
   )
 
@@ -2256,6 +2289,29 @@ object SparkEntry {
         |UNION ALL SELECT user_id, 'error', error FROM w
         |UNION ALL SELECT user_id, 'purchase', purchase FROM w
         |UNION ALL SELECT user_id, 'signup', signup FROM w
-        |UNION ALL SELECT user_id, 'view', view FROM w""".stripMargin
+        |UNION ALL SELECT user_id, 'view', view FROM w""".stripMargin,
+
+    "q94_full_outer" ->
+      """WITH ev AS (SELECT user_id AS id, count(*) AS n_events FROM events GROUP BY 1),
+        |ord AS (SELECT o_custkey AS id, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT coalesce(ev.id, ord.id) AS id,
+        | coalesce(ev.n_events, 0) AS n_events,
+        | coalesce(ord.n_orders, 0) AS n_orders
+        |FROM ev FULL OUTER JOIN ord ON ev.id = ord.id""".stripMargin,
+
+    // Integer moment sums (count/sum/sum-of-squares) then the identical
+    // double expression tree: mean = s1/n, var = s2/n - mean^2,
+    // z = (x - mean)/sqrt(var). DuckDB integer sums are HUGEINT -> cast.
+    "q95_zscore" ->
+      """WITH st AS (SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS s1,
+        |  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        | FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        | floor(((d.n_chars::DOUBLE - st.s1::DOUBLE / st.n)
+        |   / sqrt(st.s2::DOUBLE / st.n - (st.s1::DOUBLE / st.n) * (st.s1::DOUBLE / st.n))) * 10000 + 0.5) / 10000 AS z,
+        | abs((d.n_chars::DOUBLE - st.s1::DOUBLE / st.n)
+        |   / sqrt(st.s2::DOUBLE / st.n - (st.s1::DOUBLE / st.n) * (st.s1::DOUBLE / st.n))) > 2.0 AS outlier
+        |FROM documents d JOIN st ON st.source = d.source""".stripMargin
   )
 }
