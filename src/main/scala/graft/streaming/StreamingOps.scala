@@ -96,6 +96,75 @@ object StreamingOps {
       }
   }
 
+  /** One user interaction for gap-based streaming sessionization. */
+  case class Interaction(userId: Long, ts: java.sql.Timestamp)
+
+  /** A closed session emitted when its inactivity gap expires. */
+  case class ClosedSession(userId: Long, sessionStart: java.sql.Timestamp,
+                           sessionEnd: java.sql.Timestamp, nEvents: Long)
+
+  /** In-flight session state (public: the state encoder's generated code
+    * must construct it).
+    */
+  case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** GAP-BASED STREAMING SESSIONIZATION — the streaming twin of the batch
+    * sessionizer (SessionOps, q49): `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout. Per user, arriving interactions extend the open
+    * session; when the watermark passes `gap` beyond the session's last
+    * event, the state times out and the CLOSED session is emitted —
+    * exactly-once, in append mode, no reprocessing of history.
+    *
+    * State is one (start, end, n) triple per ACTIVE user — O(users in
+    * the gap horizon), the bounded-state shape that survives an
+    * unbounded stream. Late events inside the watermark merge into the
+    * open session; the watermark bounds how late.
+    *
+    * Events arriving within one batch that already straddle multiple
+    * gaps are split here (sorted within the group, tiny by definition);
+    * cross-batch splitting is the timeout's job.
+    */
+  def streamingSessions(events: Dataset[Interaction],
+                        gapMinutes: Int = 30,
+                        watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, batch, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n)
+                  cur = Some(OpenSession(t, t, 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** K1 streaming: append each micro-batch to the single-file CSV sink via
     * foreachBatch — exactly the reference's per-page append loop
     * (cli.py:223), driven by the streaming engine.

@@ -136,6 +136,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(csvDataRows().size == 3)
   }
 
+  test("streamingSessions closes a session via event-time timeout, splits in-batch gaps") {
+    import graft.streaming.StreamingOps.{ClosedSession, Interaction}
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[Interaction]
+    val out = StreamingOps.streamingSessions(input.toDS(),
+      gapMinutes = 30, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session); an in-batch gap of
+      // 2h later must split into a second session within the same batch
+      input.addData(Interaction(1L, t(10, 0)), Interaction(1L, t(10, 10)),
+        Interaction(1L, t(12, 30)))
+      q.processAllAvailable()
+      // the in-batch split emits the first session immediately
+      val afterBatch1 = spark.table("sessions_stream").as[ClosedSession].collect()
+      assert(afterBatch1.toSeq == Seq(ClosedSession(1L, t(10, 0), t(10, 10), 2L)))
+      // advance the watermark far past 12:30 + gap: the open session
+      // times out and closes with exactly one event... then another
+      // event far later for user 2 pushes the watermark
+      input.addData(Interaction(2L, t(18, 0)))
+      q.processAllAvailable()
+      input.addData(Interaction(2L, t(23, 0)))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_stream").as[ClosedSession].collect()
+        .map(c => (c.userId, c.sessionStart, c.sessionEnd, c.nEvents)).toSet
+      assert(closed.contains((1L, t(12, 30), t(12, 30), 1L)),
+        s"timeout should close user 1's open session: $closed")
+      assert(closed.contains((2L, t(18, 0), t(18, 0), 1L)),
+        s"user 2's first session should close once the watermark passes: $closed")
+    } finally q.stop()
+  }
+
   test("csvAppendSink appends each micro-batch through the K1 sink") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
