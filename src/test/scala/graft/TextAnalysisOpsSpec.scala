@@ -50,6 +50,26 @@ class TextAnalysisOpsSpec extends SparkSpec {
       (2L, 0L) -> (("x y", 2))))
   }
 
+  test("chunking is lossless: stepped prefixes reconstruct every token stream") {
+    // taking the first `step` tokens of each chunk (all of the last)
+    // must rebuild the document exactly, for arbitrary token counts
+    // around the window boundaries
+    val chunkSize = 8; val overlap = 3; val step = chunkSize - overlap
+    val docs = (1 to 30).map { n =>
+      (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = TextAnalysisOps.chunkByTokens(docs, "doc_id", "text", chunkSize, overlap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (1 to 30).foreach { n =>
+      val cs = chunks(n.toLong)
+      val rebuilt = (cs.init.map(_.split(" ").take(step).mkString(" ")) :+ cs.last)
+        .mkString(" ")
+      val want = (1 to n).map(i => s"t$i").mkString(" ")
+      assert(rebuilt == want, s"n=$n: $cs")
+    }
+  }
+
   test("tokenRarity scores docs against the corpus unigram counts") {
     // corpus counts: "the"=3, "cat"=2, "sat"=1, "zx9q"=1
     // threshold 1 -> rare tokens are sat and zx9q

@@ -114,6 +114,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(row.getLong(3) == 0L)
   }
 
+  test("canonicalizeUrl is idempotent: canonical forms are fixed points") {
+    // re-canonicalizing must change nothing — the property that makes
+    // the canon a valid dedup KEY (mixed crawl inputs converge)
+    val urls = Seq(
+      "HTTP://WWW.Ex.TEST:80/p1/?utm_source=x&b=2&a=1#sec",
+      "https://Ex.Test:443/q7?fbclid=abc&id=7",
+      "https://cdn.ex.test:8443/r/9/",
+      "https://ex.test/",
+      "http://ex.test/a?utm_medium=m&gclid=g&ref=r",
+      "https://ex.test/deep/path/x?z=1&y=2&a=3",
+      "files/data3",
+      "ftp://Mixed.Case/path/",
+      "https://h.test/p?a=1&a=1&b")
+    val once = urls.toDF("u").select(T.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    val twice = once.toDF("c").select(T.canonicalizeUrl(col("c")).as("c2"))
+      .as[String].collect().toSeq
+    assert(once == twice, s"canon not idempotent:\n${once.zip(twice).filter(p => p._1 != p._2)}")
+  }
+
   test("canonicalizeUrl normalizes case/port/params/slash; passes relative through") {
     val cases = Seq(
       // lowercase scheme+host, drop :80, drop fragment + utm_*, sort params
