@@ -986,6 +986,56 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"),
           R.half4((col("n_chars").cast("double") - mean) / sqrt(variance)).as("z"),
           (abs((col("n_chars").cast("double") - mean) / sqrt(variance)) > 2.0).as("outlier"))
+    }),
+
+    // Generic top-k per group via the bounded-heap aggregator (the q28
+    // shape on a non-ANN axis): top-3 quality docs per source. Partial
+    // aggregation, never a per-group window sort.
+    "q96_topk_per_group" -> ((s, d) => {
+      import graft.functions.TopK
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysisOps.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      scored.groupBy("source")
+        .agg(TopK.topK(3)(col("quality"), col("doc_id")).as("topk"))
+        .select(col("source"), posexplode(col("topk")).as(Seq("rank0", "e")))
+        .select(col("source"), (col("rank0") + 1).cast("long").as("rank"),
+          col("e.neighborId").as("doc_id"), col("e.sim").as("quality"))
+    }),
+
+    // Hopping (sliding) event-time windows: 1 h windows every 30 min —
+    // each event lands in exactly two windows.
+    "q97_hopping_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"))),
+
+    // Funnel: signup followed by a purchase within 24 h, per user.
+    "q98_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val su = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      su.join(pu, "user_id")
+        .where(col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_conversions"))
+    }),
+
+    // Cohort retention: users bucketed by first-activity day, activity
+    // counted by day offset from the cohort day.
+    "q99_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.distinct().join(cohort, "user_id")
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
     })
   )
 
@@ -996,6 +1046,28 @@ object SparkEntry {
   private val toksSql =
     s"""CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
        | ELSE string_split($cleanSql, ' ') END""".stripMargin
+
+  /** q15's tokenize/measure CTE chain (`t`, `m`) and the rounded quality
+    * composite — shared by q15 and the q96 per-source top-k.
+    */
+  private val qualityCtes: String =
+    s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len(toks) = 0 THEN 0.0
+       |   ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks) END AS mtl,
+       |  CASE WHEN len(toks) = 0 THEN 0.0
+       |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
+       |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
+       |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
+       | FROM t)""".stripMargin
+
+  private val qualityExprSql: String =
+    """floor(greatest(0.0, least(1.0,
+      |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+      |   + least(swr * 5.0, 1.0) * 0.3
+      |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000""".stripMargin
 
   /** q27's portable hyperplane-LSH embedding pipeline as a reusable CTE
     * chain ending in `r(id_a, id_b, sim)` — q27 selects the pairs, q82
@@ -1193,25 +1265,12 @@ object SparkEntry {
          |FROM documents""".stripMargin,
 
     "q15_quality_score" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CASE WHEN len(toks) = 0 THEN 0.0
-         |   ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks) END AS mtl,
-         |  CASE WHEN len(toks) = 0 THEN 0.0
-         |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
-         |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
-         |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
-         | FROM t)
+      s"""WITH $qualityCtes
          |SELECT doc_id, n_chars, n_tokens,
          | floor(mtl * 10000 + 0.5) / 10000 AS mean_token_len,
          | floor(swr * 10000 + 0.5) / 10000 AS stopword_ratio,
          | floor(pr * 10000 + 0.5) / 10000 AS punct_ratio,
-         | floor(greatest(0.0, least(1.0,
-         |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
-         |   + least(swr * 5.0, 1.0) * 0.3
-         |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000 AS quality
+         | $qualityExprSql AS quality
          |FROM m""".stripMargin,
 
     "q16_lang_id" ->
@@ -2312,6 +2371,47 @@ object SparkEntry {
         |   / sqrt(st.s2::DOUBLE / st.n - (st.s1::DOUBLE / st.n) * (st.s1::DOUBLE / st.n))) * 10000 + 0.5) / 10000 AS z,
         | abs((d.n_chars::DOUBLE - st.s1::DOUBLE / st.n)
         |   / sqrt(st.s2::DOUBLE / st.n - (st.s1::DOUBLE / st.n) * (st.s1::DOUBLE / st.n))) > 2.0 AS outlier
-        |FROM documents d JOIN st ON st.source = d.source""".stripMargin
+        |FROM documents d JOIN st ON st.source = d.source""".stripMargin,
+
+    // (quality DESC, doc_id ASC) row_number mirrors the TopK
+    // aggregator's deterministic tie order.
+    "q96_topk_per_group" ->
+      s"""WITH $qualityCtes,
+         |qs AS (SELECT doc_id, $qualityExprSql AS quality FROM m),
+         |j AS (SELECT d.source, qs.doc_id, qs.quality
+         | FROM qs JOIN documents d ON d.doc_id = qs.doc_id),
+         |r AS (SELECT source, doc_id, quality,
+         |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+         | FROM j)
+         |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, quality
+         |FROM r WHERE rk <= 3""".stripMargin,
+
+    // Each event belongs to exactly two 1-hour windows on the 30-min
+    // grid: its own bucket and the one 30 min earlier. time_bucket's
+    // origin is midnight-aligned, same as Spark's epoch alignment.
+    "q97_hopping_window" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, event_type FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type FROM events)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, count(*) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q98_funnel" ->
+      """WITH su AS (SELECT user_id, ts AS s_ts FROM events WHERE event_type = 'signup'),
+        |pu AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase')
+        |SELECT su.user_id, count(*) AS n_conversions
+        |FROM su JOIN pu ON pu.user_id = su.user_id
+        |WHERE p_ts > s_ts AND p_ts <= s_ts + INTERVAL '24 hours'
+        |GROUP BY su.user_id""".stripMargin,
+
+    "q99_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        | CAST(date_diff('day', c.cohort_day, ev.day) AS INTEGER) AS day_offset,
+        | count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c ON c.user_id = ev.user_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }
