@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * instead of being silently swallowed, and flips the exit code.
   *
   * Each query runs SPARK_GRAFT_BENCH_REPS times (default 2) and the MIN is
-  * reported. Rationale (root cause of the round-3 "q17-q23 regression"):
+  * reported; reps are interleaved as full passes over the query list so a
+  * transient machine-load window (root cause of the round-5 "q40-q47
+  * regression" — not reproducible afterwards) cannot hit every rep of the
+  * same query. Rationale for min (root cause of the round-3 "q17-q23
+  * regression"):
   * the first execution of a query pays one-time costs — Janino compilation
   * of the generated code, C2 JIT of the hot loops, and cold page cache for
   * its parquet footprint — and with 70 codegen queries in one JVM the
@@ -67,11 +71,23 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
 
     var errors = List.empty[(String, String)]
-    var coldTimes = List.empty[(String, Double)]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { rep =>
+    // Reps are INTERLEAVED (pass 1 over every query, then pass 2, ...)
+    // rather than back-to-back: a transient external slowdown — CPU
+    // contention from a co-resident process, page-cache eviction — spans
+    // a contiguous time window, and back-to-back reps both land inside
+    // it, so min-of-N reports a contiguous BLOCK of queries as regressed
+    // with unchanged code (observed round 5: q40-q47 at 5-22x, not
+    // reproducible afterwards). Interleaving puts a query's reps minutes
+    // apart, so the min survives any window shorter than a full pass.
+    def loadAvg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").head
+      catch { case _: Throwable => "?" }
+    val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    (1 to reps).foreach { rep =>
+      if (diag) System.err.println(s"BENCHDIAG pass $rep loadavg=$loadAvg")
+      selected.foreach { case (name, fn) =>
         val (j0, g0) = (jitMs, gcMs)
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column;
@@ -89,18 +105,19 @@ object Bench {
         // rep measures the same cold-cache plan
         GraftCache.releaseAll(spark)
         spark.catalog.clearCache()
-        if (ok) sec else -sec
+        timesByQuery(name) = (if (ok) sec else -sec) :: timesByQuery.getOrElse(name, Nil)
       }
-      coldTimes ::= (name -> times.head)
-      // min = steady-state; an errored rep is negative and sorts first,
-      // preserving the error marker
-      name -> times.min
     }
+    val coldTimes = selected.map { case (name, _) =>
+      name -> timesByQuery(name).last } // pass-1 time (list is prepended)
+    // min = steady-state; an errored rep is negative and sorts first,
+    // preserving the error marker
+    val results = selected.map { case (name, _) => name -> timesByQuery(name).min }
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // first-rep (cold) times published alongside the steady-state mins so
     // the one-time JIT/codegen cost stays auditable, not hidden
-    val cold = coldTimes.reverse.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }
+    val cold = coldTimes.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")

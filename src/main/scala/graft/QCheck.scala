@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object QCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    for (q <- args) {
+      val df = SparkEntry.queries(q)(spark, d)
+      val rows = df.count()
+      println(s"== $q rows=$rows")
+      df.show(5, false)
+    }
+    spark.stop()
+  }
+}

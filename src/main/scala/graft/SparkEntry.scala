@@ -937,10 +937,16 @@ object SparkEntry {
     // Cube: event counts + value sums over all subsets of
     // (event_type, user bucket) — the OLAP totals/subtotals reshape.
     "q92_cube" -> ((s, d) =>
+      // sum a fixed-point integer form (cents) so the aggregate is
+      // accumulation-order independent: a raw double sum can land on
+      // either side of a 2-decimal rounding boundary depending on
+      // partition order — a cross-engine flake vs the oracle.
       Tables.events(s, d)
-        .select(col("event_type"), pmod(col("user_id"), lit(4)).as("ub"), col("value"))
+        .select(col("event_type"), pmod(col("user_id"), lit(4)).as("ub"),
+          round(col("value") * 100).cast("long").as("cents"))
         .cube("event_type", "ub")
-        .agg(count(lit(1)).as("n"), R.half2(sum("value")).as("sum_value"))),
+        .agg(count(lit(1)).as("n"),
+          (sum("cents").cast("double") / 100.0).as("sum_value"))),
 
     // Unpivot: melt q89's wide per-user counts back to long form
     // (the round-trip of the pivot reshape); zero rows dropped so the
@@ -981,11 +987,15 @@ object SparkEntry {
         sum(col("n_chars") * col("n_chars")).as("s2"))
       val mean = col("s1").cast("double") / col("n").cast("double")
       val variance = col("s2").cast("double") / col("n").cast("double") - mean * mean
+      val z = (col("n_chars").cast("double") - mean) / sqrt(variance)
+      // zero-variance guard: a source whose docs all share one n_chars
+      // value (any single-doc source included) would otherwise divide by
+      // zero -> NaN/Inf with engine-dependent handling vs the oracle.
       docs.select(col("doc_id"), col("source"), col("n_chars"))
         .join(broadcast(stats), "source")
         .select(col("doc_id"), col("source"), col("n_chars"),
-          R.half4((col("n_chars").cast("double") - mean) / sqrt(variance)).as("z"),
-          (abs((col("n_chars").cast("double") - mean) / sqrt(variance)) > 2.0).as("outlier"))
+          when(variance <= 0.0, lit(0.0)).otherwise(R.half4(z)).as("z"),
+          when(variance <= 0.0, lit(false)).otherwise(abs(z) > 2.0).as("outlier"))
     }),
 
     // Generic top-k per group via the bounded-heap aggregator (the q28
@@ -2328,10 +2338,13 @@ object SparkEntry {
         | AND abs(len(l.left_name) - len(r.right_name)) <= 1
         |WHERE levenshtein(l.left_name, r.right_name) <= 1""".stripMargin,
 
+    // Fixed-point cents sum: order-independent, so Spark's partition-order
+    // accumulation and DuckDB's sequential accumulation agree exactly.
     "q92_cube" ->
-      """WITH e AS (SELECT event_type, user_id % 4 AS ub, value FROM events)
+      """WITH e AS (SELECT event_type, user_id % 4 AS ub,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |SELECT event_type, ub, count(*) AS n,
-        | floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        | CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
         |FROM e GROUP BY CUBE (event_type, ub)""".stripMargin,
 
     // The wide CTE mirrors q89; the melt is a 5-way UNION ALL (portable
@@ -2365,13 +2378,17 @@ object SparkEntry {
       """WITH st AS (SELECT source, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS s1,
         |  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
-        | FROM documents GROUP BY source)
+        | FROM documents GROUP BY source),
+        |mv AS (SELECT source, s1::DOUBLE / n AS mean,
+        |  s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) AS var FROM st)
         |SELECT d.doc_id, d.source, d.n_chars,
-        | floor(((d.n_chars::DOUBLE - st.s1::DOUBLE / st.n)
-        |   / sqrt(st.s2::DOUBLE / st.n - (st.s1::DOUBLE / st.n) * (st.s1::DOUBLE / st.n))) * 10000 + 0.5) / 10000 AS z,
-        | abs((d.n_chars::DOUBLE - st.s1::DOUBLE / st.n)
-        |   / sqrt(st.s2::DOUBLE / st.n - (st.s1::DOUBLE / st.n) * (st.s1::DOUBLE / st.n))) > 2.0 AS outlier
-        |FROM documents d JOIN st ON st.source = d.source""".stripMargin,
+        | CASE WHEN mv.var <= 0 THEN 0.0
+        |   ELSE floor(((d.n_chars::DOUBLE - mv.mean) / sqrt(mv.var)) * 10000 + 0.5) / 10000
+        | END AS z,
+        | CASE WHEN mv.var <= 0 THEN FALSE
+        |   ELSE abs((d.n_chars::DOUBLE - mv.mean) / sqrt(mv.var)) > 2.0
+        | END AS outlier
+        |FROM documents d JOIN mv ON mv.source = d.source""".stripMargin,
 
     // (quality DESC, doc_id ASC) row_number mirrors the TopK
     // aggregator's deterministic tie order.

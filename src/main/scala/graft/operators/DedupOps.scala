@@ -657,6 +657,17 @@ object DedupOps {
     val spark = edges.sparkSession
     val part = new HashPartitioner(
       math.max(1, spark.sessionState.conf.numShufflePartitions))
+    // Routes a ((src, dst), _) pair key by src's hash alone while
+    // comparing equal to HashPartitioner(n) — the equality contract
+    // ("routes keys to the same partitions") holds for the Long keys the
+    // rounds use, so the deduped edge set stays co-partitioned with the
+    // src-keyed rounds without a reshuffle.
+    val srcPart: HashPartitioner = new HashPartitioner(part.numPartitions) {
+      override def getPartition(key: Any): Int = key match {
+        case (s, _) => super.getPartition(s)
+        case k => super.getPartition(k)
+      }
+    }
 
     // splitmix64 avalanche — XOR over the edge set gives an order-
     // independent set checksum; (count, checksum) equality across rounds
@@ -672,22 +683,26 @@ object DedupOps {
       r.treeAggregate((0L, 0L))(
         { case ((n, x), (s, d)) => (n + 1L, x ^ mix(s, d)) },
         { case ((n1, x1), (n2, x2)) => (n1 + n2, x1 ^ x2) })
-    // per-partition dedupe after a partitionBy — all copies of an edge
-    // hash to the same partition, so a local set IS a global distinct
-    def dedupe(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
-      val seen = new java.util.HashSet[(Long, Long)]()
-      it.filter(seen.add)
-    }
+    // Spillable global edge dedupe: reduceByKey on the (src, dst) PAIR,
+    // routed by src's hash (srcPart) so the output is co-partitioned with
+    // the src-keyed reduceByKey/join rounds — narrow downstream, and the
+    // map-side combine collapses duplicates before the wire. Spark's
+    // external aggregation spills to disk, so a skewed or under-
+    // partitioned run degrades instead of OOMing (an on-heap HashSet per
+    // partition would hold every distinct edge of the partition with no
+    // spill path).
+    def dedupe(r: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      r.map(e => (e, ())).reduceByKey(srcPart, (a, _) => a)
+        .mapPartitions(_.map(_._1), preservesPartitioning = true)
 
     // Orient larger→smaller (the small-star invariant; both rewrites
     // preserve it) and drop self-loops/duplicates.
-    val init: RDD[(Long, Long)] = edges.select(
+    val init: RDD[(Long, Long)] = dedupe(
+      edges.select(
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("src"),
         least(col("id_a").cast("long"), col("id_b").cast("long")).as("dst"))
       .where(col("src") =!= col("dst"))
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
-      .partitionBy(part)
-      .mapPartitions(dedupe, preservesPartitioning = true)
+      .rdd.map(r => (r.getLong(0), r.getLong(1))))
 
     var e = init.persist(StorageLevel.MEMORY_AND_DISK)
     var (prevN, prevChk) = stats(e)
@@ -710,9 +725,9 @@ object DedupOps {
       val small = largeP.join(minS).flatMap { case (_, (d, m)) =>
         if (d != m) Iterator((d, m)) else Iterator.empty
       }.union(minS)
-      val next = small.partitionBy(part) // shuffle 3 canonicalizes the round
-        .mapPartitions(dedupe, preservesPartitioning = true)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // shuffle 3 canonicalizes the round: spillable dedupe with map-side
+      // combine, output co-partitioned with `part` for the next round
+      val next = dedupe(small).persist(StorageLevel.MEMORY_AND_DISK)
       val (n1, chk1) = stats(next) // the round's ONE action
       converged = n1 == prevN && chk1 == prevChk
       e.unpersist(false)

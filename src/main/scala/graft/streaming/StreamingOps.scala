@@ -118,7 +118,10 @@ object StreamingOps {
     * State is one (start, end, n) triple per ACTIVE user — O(users in
     * the gap horizon), the bounded-state shape that survives an
     * unbounded stream. Late events inside the watermark merge into the
-    * open session; the watermark bounds how late.
+    * open session when within `gap` of it (extending its START backward
+    * if needed); a late event more than `gap` before the open session
+    * forms its own earlier session rather than polluting the open one.
+    * The watermark bounds how late.
     *
     * Events arriving within one batch that already straddle multiple
     * gaps are split here (sorted within the group, tiny by definition);
@@ -141,26 +144,33 @@ object StreamingOps {
             Iterator(ClosedSession(uid, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.n))
           } else {
-            val times = batch.map(_.ts.getTime).toSeq.sorted
-            var closed = List.empty[ClosedSession]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  closed ::= ClosedSession(uid, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n)
-                  cur = Some(OpenSession(t, t, 1))
-                case None =>
-                  cur = Some(OpenSession(t, t, 1))
+            // Interval sessionization: treat the open session as an
+            // interval and each new event as a point-interval, then merge
+            // sorted-by-start neighbors whose gap is <= gapMs. This keeps
+            // event-time semantics identical to the batch sessionizer for
+            // in-watermark late data: an event shortly BEFORE the open
+            // session extends its start backward, an event > gap before it
+            // sessionizes separately (with other such events) instead of
+            // silently merging — the naive `t - s.end <= gapMs` guard is
+            // vacuously true for any t <= s.end.
+            val intervals = (batch.map { i =>
+              val t = i.ts.getTime; OpenSession(t, t, 1L)
+            }.toSeq ++ state.getOption).sortBy(s => (s.start, s.end))
+            var merged = List.empty[OpenSession]
+            intervals.foreach { iv =>
+              merged = merged match {
+                case h :: rest if iv.start - h.end <= gapMs =>
+                  OpenSession(h.start, math.max(h.end, iv.end), h.n + iv.n) :: rest
+                case other => iv :: other
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.reverse.iterator
+            val chrono = merged.reverse
+            val open = chrono.last
+            state.update(open)
+            state.setTimeoutTimestamp(open.end + gapMs)
+            chrono.init.iterator.map(s =>
+              ClosedSession(uid, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n))
           }
       }
   }

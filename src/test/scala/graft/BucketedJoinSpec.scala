@@ -35,6 +35,7 @@ class BucketedJoinSpec extends SparkSpec {
       val p = joined.queryExecution.executedPlan.toString
       // the join itself must not shuffle: the only allowed exchange is
       // the one feeding the final aggregation
+      assert(p.contains("Join"), s"expected a join node in the plan:\n$p")
       val joinPart = p.substring(p.indexOf("Join"))
       assert(!joinPart.contains("Exchange"),
         s"bucketed join must read co-located buckets, not shuffle:\n$p")
@@ -51,6 +52,8 @@ class BucketedJoinSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      // the external-table data dirs survive DROP TABLE; remove them
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
     }
   }
 }

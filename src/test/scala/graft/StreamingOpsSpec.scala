@@ -170,6 +170,43 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSessions: in-watermark late events extend the start backward; " +
+    "a late event > gap before the session stays separate") {
+    import graft.streaming.StreamingOps.{ClosedSession, Interaction}
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[Interaction]
+    val out = StreamingOps.streamingSessions(input.toDS(),
+      gapMinutes = 30, watermark = "10 hours")
+    val q = out.writeStream.format("memory").queryName("late_sessions_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // open a session at 10:00-10:10
+      input.addData(Interaction(1L, t(10, 0)), Interaction(1L, t(10, 10)))
+      q.processAllAvailable()
+      // late (in-watermark) events: 9:50 is within gap of the session
+      // START and must extend it backward; 8:00 is > gap before and must
+      // form its own earlier session, not silently merge (the old
+      // `t - s.end <= gapMs` guard was vacuously true for both)
+      input.addData(Interaction(1L, t(9, 50)), Interaction(1L, t(8, 0)))
+      q.processAllAvailable()
+      val early = spark.table("late_sessions_stream").as[ClosedSession].collect()
+        .map(c => (c.userId, c.sessionStart, c.sessionEnd, c.nEvents)).toSet
+      assert(early.contains((1L, t(8, 0), t(8, 0), 1L)),
+        s"too-early late event should close as its own session: $early")
+      // push the watermark past 10:10 + gap: the open session times out
+      // and must report the BACKWARD-EXTENDED start 9:50 with 3 events
+      input.addData(Interaction(2L, t(23, 0)))
+      q.processAllAvailable()
+      input.addData(Interaction(2L, t(23, 59)))
+      q.processAllAvailable()
+      val closed = spark.table("late_sessions_stream").as[ClosedSession].collect()
+        .map(c => (c.userId, c.sessionStart, c.sessionEnd, c.nEvents)).toSet
+      assert(closed.contains((1L, t(9, 50), t(10, 10), 3L)),
+        s"open session should extend its start backward to 9:50: $closed")
+    } finally q.stop()
+  }
+
   test("csvAppendSink appends each micro-batch through the K1 sink") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
