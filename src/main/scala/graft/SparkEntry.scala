@@ -1046,7 +1046,13 @@ object SparkEntry {
         .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           datediff(col("day"), col("cohort_day")).as("day_offset"))
         .agg(countDistinct("user_id").as("n_users"))
-    })
+    }),
+
+    // Bigram-LM fluency scoring (the perplexity-filter slot): mean
+    // in-corpus bigram probability per doc, add-one smoothed, integer-
+    // quantized so the aggregate is order-independent and hash-exact.
+    "q100_bigram_lm" -> ((s, d) =>
+      TextAnalysisOps.bigramLmScore(Tables.documents(s, d), "doc_id", "text"))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -2429,6 +2435,31 @@ object SparkEntry {
         | CAST(date_diff('day', c.cohort_day, ev.day) AS INTEGER) AS day_offset,
         | count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN c ON c.user_id = ev.user_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Division-then-multiply order mirrors the Spark expression exactly;
+    // p9 quantization keeps every aggregate an integer sum. range() is
+    // stop-exclusive, lists are 1-indexed, and the unnest lives in its
+    // own CTE (DuckDB can't combine unnest with formulas over it).
+    "q100_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |idx AS (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i FROM t),
+         |bg AS (SELECT doc_id, toks[i-1] AS prev, toks[i] AS tok FROM idx),
+         |cbg AS (SELECT prev, tok, count(*) AS cbg FROM bg GROUP BY 1, 2),
+         |cprev AS (SELECT prev, count(*) AS cprev FROM bg GROUP BY 1),
+         |u AS (SELECT unnest(toks) AS tok FROM t),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM u),
+         |scored AS (SELECT bg.doc_id,
+         |  CAST(floor((cbg.cbg + 1)::DOUBLE / (cprev.cprev + v.v) * 1000000000 + 0.5) AS BIGINT) AS p9
+         | FROM bg JOIN cbg ON cbg.prev = bg.prev AND cbg.tok = bg.tok
+         | JOIN cprev ON cprev.prev = bg.prev CROSS JOIN v),
+         |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(p9) AS BIGINT) AS sum_p9 FROM scored GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         | coalesce(pd.n_bigrams, 0) AS n_bigrams,
+         | coalesce(pd.sum_p9, 0) AS sum_p9,
+         | CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0.0
+         |  ELSE floor((pd.sum_p9::DOUBLE / pd.n_bigrams) * 100 + 0.5) / 100 END AS mean_p9
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
   )
 }

@@ -302,6 +302,55 @@ object TextAnalysisOps {
     * floating-accumulation-order hazard exists; the two divisions
     * happen once per row at the end.
     */
+  /** Corpus bigram-LM fluency score (the KenLM/CCNet perplexity-filter
+    * slot of a training-data pipeline): every document scored by the MEAN
+    * in-corpus probability of its token bigrams under add-one smoothing,
+    * p(cur|prev) = (c(prev,cur) + 1) / (c(prev) + V). Low mean = unusual
+    * token transitions = low fluency.
+    *
+    * Transcendental-free by design so the score is exactly reproducible
+    * cross-engine: IEEE division is correctly rounded, `log` is not (Java
+    * and DuckDB may differ in the last ulp, which flips a rounding
+    * boundary). Each bigram probability is quantized to integer 1e-9
+    * units and per-doc totals are INTEGER sums — accumulation-order
+    * independent, hash-exact against the oracle.
+    *
+    * Scale shape: one shuffle keys the per-doc bigram window (doc id),
+    * one keys the bigram-count join ((prev, cur)), one keys c(prev); the
+    * vocabulary size V is a 1-row broadcast. State per group is one
+    * count; documents and token lists never shuffle.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = T.cleanText(col(textCol))
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      posexplode(when(clean === "", array().cast("array<string>"))
+        .otherwise(split(clean, " "))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val bg = toks.select(col("id"), lag("tok", 1).over(w).as("prev"), col("tok"))
+      .where(col("prev").isNotNull)
+    val cbg = bg.groupBy("prev", "tok").agg(count(lit(1)).as("cbg"))
+    val cprev = bg.groupBy("prev").agg(count(lit(1)).as("cprev"))
+    val vdf = toks.agg(countDistinct("tok").as("v"))
+    val scored = bg.join(cbg, Seq("prev", "tok"))
+      .join(cprev, Seq("prev"))
+      .crossJoin(broadcast(vdf))
+      .select(col("id"),
+        floor((col("cbg") + lit(1L)).cast("double")
+          / (col("cprev") + col("v")).cast("double") * lit(1000000000.0) + lit(0.5))
+          .cast("long").as("p9"))
+    val perDoc = scored.groupBy("id").agg(
+      count(lit(1)).as("n_bigrams"), sum("p9").as("sum_p9"))
+    docs.select(col(idCol).cast("long").as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_p9"), lit(0L)).as("sum_p9"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(Rounding.half2(
+            col("sum_p9").cast("double") / col("n_bigrams").cast("double")))
+          .as("mean_p9"))
+  }
+
   def tokenRarity(docs: DataFrame, idCol: String, textCol: String,
                   rareThreshold: Long = 3L): DataFrame = {
     val clean = T.cleanText(col(textCol))

@@ -87,4 +87,24 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 1.0, 1.0)))
     assert(out(4L) == ((0L, 0L, 0.0, 0.0)))
   }
+
+  test("bigramLmScore: add-one smoothed bigram probabilities, integer-quantized") {
+    // corpus bigrams: doc1 "a b a b" -> (a,b),(b,a),(a,b); doc2 "a b" -> (a,b)
+    // c(a,b)=3, c(b,a)=1; c(a as prev)=3, c(b as prev)=1; V={a,b,c}=3
+    // p(a,b) = (3+1)/(3+3) = 2/3 -> p9 = 666666667
+    // p(b,a) = (1+1)/(1+3) = 1/2 -> p9 = 500000000
+    val docs = Seq(
+      (1L, "a b a b"), // p9s: ab, ba, ab -> sum 1833333334, mean 611111111.33
+      (2L, "a b"),     // one bigram: 666666667
+      (3L, "c"),       // single token: no bigrams
+      (4L, "")         // empty: no tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysisOps.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 1833333334L, 611111111.33)))
+    assert(out(2L) == ((1L, 666666667L, 666666667.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
 }
