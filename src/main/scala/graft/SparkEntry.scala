@@ -1052,7 +1052,53 @@ object SparkEntry {
     // in-corpus bigram probability per doc, add-one smoothed, integer-
     // quantized so the aggregate is order-independent and hash-exact.
     "q100_bigram_lm" -> ((s, d) =>
-      TextAnalysisOps.bigramLmScore(Tables.documents(s, d), "doc_id", "text"))
+      TextAnalysisOps.bigramLmScore(Tables.documents(s, d), "doc_id", "text")),
+
+    // Z-order (Morton) clustering key over (custkey, orderkey) buckets —
+    // the multi-column data-skipping layout; the pruning win itself is
+    // asserted in ZOrderSpec, this checks the interleave bit-exactly.
+    "q101_zorder" -> ((s, d) => {
+      val x = pmod(col("o_custkey"), lit(1024L))
+      val y = pmod(col("o_orderkey"), lit(1024L))
+      Tables.orders(s, d).select(col("o_orderkey"), x.as("xb"), y.as("yb"),
+        graft.functions.ZOrder.zValue(x, y, 10).as("zval"))
+    }),
+
+    // Curriculum interleave (stride scheduling / weighted fair queueing):
+    // each doc gets virtual time vt = src_idx / weight using q80's mix
+    // weights; sorting by vt IS the weight-proportional training order.
+    // The sort key is emitted, not a global row_number — materializing a
+    // global index needs a single-partition window, while writing
+    // sorted-by-vt is a range-partitioned sort that scales.
+    "q102_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val counts = TextAnalysisOps.tokenCounts(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val weights = CurationOps.mixWeights(counts, "source", "ws_tokens",
+          targetShares = Map("src0" -> 0.25, "src1" -> 0.15),
+          defaultTarget = 0.03)
+        .select(col("source"), col("weight"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("src_idx", row_number().over(w).cast("long"))
+        .join(broadcast(weights), "source")
+        .select(col("doc_id"), col("source"), col("src_idx"),
+          R.half4(col("src_idx").cast("double") / col("weight")).as("vt"))
+    }),
+
+    // Count-min sketch: mergeable fixed-size frequency summary, built
+    // and probed with the portable md5 hash so the oracle rebuilds the
+    // identical sketch. Estimates are exact here (5 hot keys, 1024
+    // buckets); the overestimate-only property is spec-asserted.
+    "q103_cms_counts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cms = SketchOps.cmsBuild(ev, "user_id")
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      SketchOps.cmsEstimate(cms, ev.select("user_id").distinct(), "user_id")
+        .join(exact, "user_id")
+        .select(col("user_id"), col("exact_n"), col("cms_n"))
+    })
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -2460,6 +2506,54 @@ object SparkEntry {
          | coalesce(pd.sum_p9, 0) AS sum_p9,
          | CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0.0
          |  ELSE floor((pd.sum_p9::DOUBLE / pd.n_bigrams) * 100 + 0.5) / 100 END AS mean_p9
-         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+    // Morton interleave as a sum of shift-mask terms; list_sum over
+    // BIGINT promotes to HUGEINT -> cast back.
+    "q101_zorder" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey % 1024 AS xb,
+        |  o_orderkey % 1024 AS yb FROM orders)
+        |SELECT o_orderkey, xb, yb,
+        | CAST(list_sum(list_transform(range(0, 10), i ->
+        |   ((xb & (1::BIGINT << i)) << i) + ((yb & (1::BIGINT << i)) << (i + 1))))
+        |  AS BIGINT) AS zval
+        |FROM b""".stripMargin,
+
+    // The weight CTE is q80's formula verbatim (rounded weight), then
+    // vt divides by the ROUNDED weight — mirroring the Spark pipeline
+    // which joins mixWeights' emitted column.
+    "q102_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok
+         | FROM documents),
+         |ps AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens
+         | FROM t GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps),
+         |w AS (SELECT source,
+         |  floor(((CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE
+         |    / (n_tokens::DOUBLE / total_tokens)) * 10000 + 0.5) / 10000 AS weight
+         | FROM ps CROSS JOIN tot),
+         |idx AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS src_idx
+         | FROM documents)
+         |SELECT i.doc_id, i.source, i.src_idx,
+         | floor((i.src_idx::DOUBLE / w.weight) * 10000 + 0.5) / 10000 AS vt
+         |FROM idx i JOIN w ON w.source = i.source""".stripMargin,
+
+    // Rebuilds the identical md5-hashed sketch grid, then probes it:
+    // depth 4 x width 1024, estimate = min over rows. The unnest of the
+    // hash-row index lives in its own CTE (DuckDB lateral rule).
+    "q103_cms_counts" ->
+      """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+        |hb AS (SELECT e.user_id, ks.k,
+        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
+        | FROM events e CROSS JOIN ks),
+        |cms AS (SELECT k, bucket, count(*) AS n FROM hb GROUP BY 1, 2),
+        |kh AS (SELECT DISTINCT user_id, k, bucket FROM hb),
+        |est AS (SELECT kh.user_id, min(coalesce(cms.n, 0)) AS cms_n
+        | FROM kh LEFT JOIN cms ON cms.k = kh.k AND cms.bucket = kh.bucket
+        | GROUP BY 1),
+        |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+        |SELECT x.user_id, x.exact_n, est.cms_n
+        |FROM exact x JOIN est ON est.user_id = x.user_id""".stripMargin
   )
 }

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.SketchOps
+import org.apache.spark.sql.functions._
+
+class SketchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cms estimates are exact with no collisions, never underestimate with them") {
+    val rows = (1 to 200).flatMap(i => Seq.fill(i % 5 + 1)(i.toLong)).toDF("k")
+    val exact = rows.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    // wide sketch: 200 keys over 4x4096 — estimates should all be exact
+    val wide = SketchOps.cmsEstimate(
+        SketchOps.cmsBuild(rows, "k", 4, 4096), rows.select("k").distinct(), "k", 4, 4096)
+      .join(exact, "k").collect()
+    assert(wide.forall(r => r.getLong(1) == r.getLong(2)),
+      "4x4096 over 200 keys should have no full-depth collisions")
+    // narrow sketch: 200 keys over 2x8 — collisions guaranteed, but the
+    // estimate must NEVER be below the true count
+    val narrow = SketchOps.cmsEstimate(
+        SketchOps.cmsBuild(rows, "k", 2, 8), rows.select("k").distinct(), "k", 2, 8)
+      .join(exact, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(narrow.forall { case (_, est, ex) => est >= ex },
+      s"CMS must only overestimate: ${narrow.filter(t => t._2 < t._3).toSeq}")
+    assert(narrow.exists { case (_, est, ex) => est > ex },
+      "2x8 over 200 keys must collide somewhere")
+  }
+
+  test("sketches merge by elementwise sum: shard sketches == full sketch") {
+    val rows = (1 to 500).map(i => (i.toLong, i % 7L)).toDF("id", "k")
+    val a = rows.where(col("id") <= 250)
+    val b = rows.where(col("id") > 250)
+    val merged = SketchOps.cmsMerge(
+        SketchOps.cmsBuild(a, "k"), SketchOps.cmsBuild(b, "k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = SketchOps.cmsBuild(rows, "k")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == full,
+      "per-shard sketches must roll up to the full-corpus sketch")
+  }
+}
