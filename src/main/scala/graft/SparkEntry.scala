@@ -1098,6 +1098,17 @@ object SparkEntry {
       SketchOps.cmsEstimate(cms, ev.select("user_id").distinct(), "user_id")
         .join(exact, "user_id")
         .select(col("user_id"), col("exact_n"), col("cms_n"))
+    }),
+
+    // HyperLogLog distinct sketch (mergeable by register max): integer-
+    // scaled harmonic sum makes the raw estimate bit-identical cross-
+    // engine; exact distinct alongside for the quality check.
+    "q104_hll_distinct" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = docs.agg(countDistinct("doc_id").as("n_exact"))
+      SketchOps.hllEstimate(docs, "doc_id")
+        .crossJoin(broadcast(exact))
+        .select(col("n_exact"), col("n_reg"), col("s_scaled"), col("hll_est"))
     })
   )
 
@@ -2554,6 +2565,27 @@ object SparkEntry {
         | GROUP BY 1),
         |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
         |SELECT x.user_id, x.exact_n, est.cms_n
-        |FROM exact x JOIN est ON est.user_id = x.user_id""".stripMargin
+        |FROM exact x JOIN est ON est.user_id = x.user_id""".stripMargin,
+
+    // Identical HLL state: bucket = low 6 hash bits, rho from bin()
+    // (renders without leading zeros in both engines), registers = max,
+    // harmonic sum as integer 2^(55-r) units; the alpha*m^2*2^55
+    // constant is the 17-digit literal that round-trips to the same
+    // double both sides.
+    "q104_hll_distinct" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM documents),
+        |br AS (SELECT h & 63 AS bucket,
+        |  CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
+        | FROM h),
+        |reg AS (SELECT bucket, max(rho) AS r FROM br GROUP BY 1),
+        |agg AS (SELECT count(*) AS n_reg,
+        |  CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT) AS s_nonempty FROM reg),
+        |s AS (SELECT n_reg,
+        |  s_nonempty + (64 - n_reg) * (1::BIGINT << 55) AS s_scaled FROM agg)
+        |SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_exact,
+        | n_reg, s_scaled,
+        | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
+        |FROM s""".stripMargin
   )
 }

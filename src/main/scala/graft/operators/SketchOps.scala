@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.HashFunctions
+import graft.functions.{HashFunctions, Rounding}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -59,4 +59,58 @@ object SketchOps {
       .join(cms, Seq("h", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
+
+  /** HyperLogLog registers over a key column (Flajolet et al. 2007):
+    * bucket = low `p` bits of the portable hash, rho = leading-zero run
+    * of the remaining 60-p bits + 1, register = max(rho) per bucket.
+    * Registers MERGE by elementwise max — the distinct-count roll-up a
+    * 100 TB pipeline keeps per shard/day (asserted in SketchOpsSpec).
+    *
+    * rho is derived from `length(bin(w))` — bin() renders without
+    * leading zeros identically in Spark and DuckDB, so the registers
+    * (and therefore the estimate) are bit-identical cross-engine.
+    */
+  def hllRegisters(rows: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val h = HashFunctions.portableHash60(col(keyCol).cast("string"))
+    val window = 60 - p
+    val w = shiftright(h, p)
+    val rho = when(w === 0L, lit(window + 1))
+      .otherwise(lit(window + 1) - length(bin(w)))
+    rows.select(h.bitwiseAND(lit((1L << p) - 1)).as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("r"))
+  }
+
+  /** Raw HLL estimate from [[hllRegisters]] — ONE row with the exact
+    * integer sketch state and the double estimate.
+    *
+    * The harmonic sum is computed as an INTEGER: sum of 2^(window+1-r)
+    * per register plus 2^(window+1) per empty register (= sum 2^-r
+    * scaled by 2^(window+1)) — accumulation-order independent, so the
+    * oracle reproduces the estimate to the last bit; the only floating
+    * ops are the final constant multiply and one division, both exactly
+    * rounded. Raw estimator only (no small/large-range correction — the
+    * corrections need ln(), which is not exactly reproducible
+    * cross-engine; at n >= 2.5m the raw estimator is the standard one).
+    */
+  def hllEstimate(rows: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val scaleBits = 60 - p + 1
+    // alpha_64 = 0.709 (the HLL paper's constant for m = 64; m >= 128
+    // uses 0.7213/(1 + 1.079/m))
+    require(p == 6, "estimate constants are wired for p = 6 (m = 64)")
+    // 0.709 * 64 * 64 * 2^55, evaluated left-assoc in IEEE doubles; the
+    // printed 17-sig-digit literal round-trips to the same double in
+    // DuckDB (checked), so both engines divide the identical constant.
+    val alphaM2Scale = 1.0462993238608057e20
+    hllRegisters(rows, keyCol, p)
+      .agg(count(lit(1)).as("n_reg"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scaleBits - r)")).as("s_nonempty"))
+      .select(col("n_reg"),
+        (col("s_nonempty") + (lit(m.toLong) - col("n_reg")) * lit(1L << scaleBits))
+          .as("s_scaled"))
+      .select(col("n_reg"), col("s_scaled"),
+        Rounding.half2(lit(alphaM2Scale) / col("s_scaled").cast("double"))
+          .as("hll_est"))
+  }
 }

@@ -39,4 +39,28 @@ class SketchOpsSpec extends SparkSpec {
     assert(merged == full,
       "per-shard sketches must roll up to the full-corpus sketch")
   }
+
+  test("hll estimate lands within the m=64 error band; duplicates don't move it") {
+    val n = 10000L
+    val ids = spark.range(n).select(col("id"))
+    val est = SketchOps.hllEstimate(ids, "id").collect().head.getDouble(2)
+    assert(est > n * 0.6 && est < n * 1.4,
+      s"HLL(m=64) on $n distinct ids estimated $est")
+    // distinct-count property: tripling every row changes nothing
+    val tripled = ids.union(ids).union(ids)
+    val est3 = SketchOps.hllEstimate(tripled, "id").collect().head.getDouble(2)
+    assert(est3 == est, "HLL must be insensitive to multiplicity")
+  }
+
+  test("hll registers merge by elementwise max: shard registers == full registers") {
+    val ids = spark.range(5000L).select(col("id"))
+    val a = ids.where(col("id") % 2 === 0)
+    val b = ids.where(col("id") % 2 === 1)
+    val merged = SketchOps.hllRegisters(a, "id").unionByName(SketchOps.hllRegisters(b, "id"))
+      .groupBy("bucket").agg(max("r").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = SketchOps.hllRegisters(ids, "id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == full)
+  }
 }
