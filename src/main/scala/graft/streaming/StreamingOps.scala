@@ -175,6 +175,30 @@ object StreamingOps {
       }
   }
 
+  /** STREAM-STREAM event-time interval join — the streaming twin of the
+    * q98 batch funnel: left events (e.g. signups) joined to right events
+    * (e.g. purchases) with the same key arriving within `within` AFTER
+    * the left event. Both sides are watermarked and the join condition
+    * bounds the right timestamp on BOTH ends, so Spark derives a state
+    * eviction horizon for each side — join state is O(events in the
+    * watermark+interval window), not O(stream history): the shape that
+    * survives an unbounded 100 TB stream. Append-mode safe (matches are
+    * final once the watermark passes the interval).
+    *
+    * Key/timestamp column names must differ between the two sides (the
+    * caller renames; keeps the condition unambiguous without aliases).
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         within: String = "24 hours",
+                         watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) > col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
   /** K1 streaming: append each micro-batch to the single-file CSV sink via
     * foreachBatch — exactly the reference's per-page append loop
     * (cli.py:223), driven by the streaming engine.

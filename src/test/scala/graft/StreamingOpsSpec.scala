@@ -207,6 +207,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin matches within the interval, drops outside it") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val signups = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingOps.streamIntervalJoin(
+      signups.toDF().toDF("s_user", "s_ts"),
+      purchases.toDF().toDF("p_user", "p_ts"),
+      "s_user", "p_user", "s_ts", "p_ts", within = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("interval_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      signups.addData((1L, t(10, 0)), (2L, t(10, 0)))
+      // user 1 purchases inside the 2 h window; user 2 outside; user 3
+      // never signed up
+      purchases.addData((1L, t(11, 30)), (2L, t(13, 0)), (3L, t(11, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("interval_join")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(rows == Set((1L, 1L)),
+        s"only user 1's in-window purchase should match: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("csvAppendSink appends each micro-batch through the K1 sink") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
