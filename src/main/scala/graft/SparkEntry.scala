@@ -1109,6 +1109,18 @@ object SparkEntry {
       SketchOps.hllEstimate(docs, "doc_id")
         .crossJoin(broadcast(exact))
         .select(col("n_exact"), col("n_reg"), col("s_scaled"), col("hll_est"))
+    }),
+
+    // Fixed-point PageRank (3 iterations, damping 0.85) over a
+    // deterministic literal link graph on doc ids — integer division
+    // everywhere, so the iteration is hash-exact cross-engine.
+    "q105_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 17L + 3L, lit(500L)).as("dst")))
+      GraphOps.pageRankFixedPoint(edges, iters = 3)
     })
   )
 
@@ -2586,6 +2598,33 @@ object SparkEntry {
         |SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_exact,
         | n_reg, s_scaled,
         | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // Three unrolled synchronous iterations, all-integer arithmetic
+    // (// is floor division; operands are non-negative, matching
+    // Spark's div). Dangling mass leaks identically in both engines.
+    "q105_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 7) % 500 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 17 + 3) % 500 FROM documents),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*) AS n_nodes FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1000000000000 // n_nodes AS r FROM nodes CROSS JOIN n),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(((r0.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
+        | FROM e JOIN r0 ON r0.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |r1 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c1.c, 0) AS r
+        | FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.id = nodes.id),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(((r1.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
+        | FROM e JOIN r1 ON r1.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |r2 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c2.c, 0) AS r
+        | FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.id = nodes.id),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(((r2.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
+        | FROM e JOIN r2 ON r2.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |r3 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c3.c, 0) AS r
+        | FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.id = nodes.id)
+        |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin
   )
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scale = 1000000000000L
+
+  test("pageRank: star hub outranks its spokes; symmetric pair ties exactly") {
+    // star: 1..4 all link to 0; 0 links back to 1 (so 0 is not dangling)
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    val r = GraphOps.pageRankFixedPoint(star, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(1L) && r(1L) > r(2L),
+      s"hub > linked-back spoke > plain spoke: $r")
+    assert(r(2L) == r(3L) && r(3L) == r(4L), s"identical spokes tie exactly: $r")
+
+    // symmetric 2-cycle: exactly equal fixed-point ranks
+    val pair = Seq((10L, 20L), (20L, 10L)).toDF("src", "dst")
+    val p = GraphOps.pageRankFixedPoint(pair, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(p(10L) == p(20L))
+    // no dangling nodes here: total mass stays within iters * one
+    // rounding unit per edge per iteration of the full scale
+    val total = p.values.sum
+    assert(total > scale - 100L && total <= scale, s"mass ~conserved: $total")
+  }
+
+  test("pageRank drops self-loops and is insensitive to duplicate-free input order") {
+    val g1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L)).toDF("src", "dst")
+    val g2 = Seq((3L, 1L), (2L, 3L), (1L, 2L)).toDF("src", "dst") // self-loop removed, reordered
+    val r1 = GraphOps.pageRankFixedPoint(g1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r2 = GraphOps.pageRankFixedPoint(g2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == r2)
+    // 3-cycle: perfect symmetry, exactly equal ranks
+    assert(r1(1L) == r1(2L) && r1(2L) == r1(3L))
+  }
+}
