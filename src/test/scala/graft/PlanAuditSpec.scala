@@ -215,4 +215,29 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("HashAggregate"),
       s"expected partial aggregation before the token shuffle:\n$p")
   }
+
+  test("z-order key is a pure projection — zero exchanges (q101)") {
+    val p = plan(q("q101_zorder"))
+    assert(!p.contains("Exchange"),
+      s"Morton interleave must not shuffle:\n$p")
+    assert(p.contains("*(1) Project"),
+      s"shift-mask sum should stay inside one codegen span:\n$p")
+  }
+
+  test("CMS build partial-aggregates the (h, bucket) grid (q103)") {
+    val p = plan(q("q103_cms_counts"))
+    assert(p.contains("HashAggregate"),
+      s"sketch counters must combine map-side before the shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the depth*width-bounded sketch side must broadcast:\n$p")
+  }
+
+  test("HLL registers reduce to one row before the final agg (q104)") {
+    val p = plan(q("q104_hll_distinct"))
+    // the register aggregation is bounded by m = 64 rows; the estimate
+    // join must be a 1-row broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"exact-count side should broadcast as one row:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
