@@ -1121,6 +1121,28 @@ object SparkEntry {
         .unionByName(docs.select(did.as("src"),
           pmod(did * 17L + 3L, lit(500L)).as("dst")))
       GraphOps.pageRankFixedPoint(edges, iters = 3)
+    }),
+
+    // Robust outliers via MAD (median absolute deviation) — the
+    // median-based complement of q95's mean/sigma z-score: immune to the
+    // very outliers it hunts. All-integer (discrete medians, integer
+    // deviations, integer threshold compare), so hash-exact. The GK
+    // sketch at accuracy 1e6 is the exact discrete quantile at this SF
+    // (the q57 bound); at scale the same plan degrades gracefully to a
+    // mergeable bounded-state approximation. Group stats broadcast.
+    "q106_mad_outliers" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val med = docs.groupBy("source").agg(
+        expr("approx_percentile(n_chars, 0.5, 1000000)").as("med"))
+      val dev = docs.join(broadcast(med), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          abs(col("n_chars") - col("med")).as("dev"))
+      val mad = dev.groupBy("source").agg(
+        expr("approx_percentile(dev, 0.5, 1000000)").as("mad"))
+      dev.join(broadcast(mad), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("dev"),
+          col("mad"), (col("dev") > col("mad") * 3).as("outlier"))
     })
   )
 
@@ -2625,6 +2647,19 @@ object SparkEntry {
         | FROM e JOIN r2 ON r2.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
         |r3 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c3.c, 0) AS r
         | FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.id = nodes.id)
-        |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin
+        |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin,
+
+    // quantile_disc == approx_percentile at rank error < 1 (the q57
+    // bound); everything downstream is integer arithmetic.
+    "q106_mad_outliers" ->
+      """WITH m AS (SELECT source, quantile_disc(n_chars, 0.5) AS med
+        | FROM documents GROUP BY 1),
+        |dv AS (SELECT d.doc_id, d.source, d.n_chars,
+        |  abs(d.n_chars - m.med) AS dev
+        | FROM documents d JOIN m ON m.source = d.source),
+        |md AS (SELECT source, quantile_disc(dev, 0.5) AS mad FROM dv GROUP BY 1)
+        |SELECT dv.doc_id, dv.source, dv.n_chars, dv.dev, md.mad,
+        | dv.dev > 3 * md.mad AS outlier
+        |FROM dv JOIN md ON md.source = dv.source""".stripMargin
   )
 }
