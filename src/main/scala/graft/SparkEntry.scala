@@ -1143,6 +1143,32 @@ object SparkEntry {
       dev.join(broadcast(mad), "source")
         .select(col("doc_id"), col("source"), col("n_chars"), col("dev"),
           col("mad"), (col("dev") > col("mad") * 3).as("outlier"))
+    }),
+
+    // Linear quality-classifier scoring (the fastText-style serving
+    // mechanism): top-200 corpus tokens get integer weights (md5-derived
+    // stand-ins — trained weights swap in unchanged), broadcast to a
+    // token join, per-doc logit = integer dot product. All-integer, so
+    // hash-exact; the vocabulary is bounded, so the weights side always
+    // broadcasts no matter the corpus size.
+    "q107_classifier_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clean = T.cleanText(col("text"))
+      val toks = docs.select(did.as("id"),
+        explode(when(clean === "", array().cast("array<string>"))
+          .otherwise(split(clean, " "))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(200)
+        .select(col("tok"),
+          (pmod(graft.functions.HashFunctions.portableHash60(col("tok")),
+            lit(2001L)) - 1000L).as("wt"))
+      val scored = toks.join(broadcast(vocab), "tok")
+        .groupBy("id").agg(count(lit(1)).as("n_scored"), sum("wt").as("logit"))
+      docs.select(did.as("id")).join(scored, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+          coalesce(col("logit"), lit(0L)).as("logit"),
+          (coalesce(col("logit"), lit(0L)) > 0L).as("positive"))
     })
   )
 
@@ -2660,6 +2686,24 @@ object SparkEntry {
         |md AS (SELECT source, quantile_disc(dev, 0.5) AS mad FROM dv GROUP BY 1)
         |SELECT dv.doc_id, dv.source, dv.n_chars, dv.dev, md.mad,
         | dv.dev > 3 * md.mad AS outlier
-        |FROM dv JOIN md ON md.source = dv.source""".stripMargin
+        |FROM dv JOIN md ON md.source = dv.source""".stripMargin,
+
+    // Same vocabulary (count desc, token asc, LIMIT 200 — deterministic
+    // tie-break both sides) and the same md5 weight formula.
+    "q107_classifier_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id AS id, unnest(toks) AS tok FROM t),
+         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         |vocab AS (SELECT tok,
+         |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS wt
+         | FROM counts ORDER BY cnt DESC, tok LIMIT 200),
+         |sc AS (SELECT tok.id, count(*) AS n_scored,
+         |  CAST(sum(v.wt) AS BIGINT) AS logit
+         | FROM tok JOIN vocab v ON v.tok = tok.tok GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         | coalesce(sc.n_scored, 0) AS n_scored,
+         | coalesce(sc.logit, 0) AS logit,
+         | coalesce(sc.logit, 0) > 0 AS positive
+         |FROM documents d LEFT JOIN sc ON sc.id = d.doc_id""".stripMargin
   )
 }
