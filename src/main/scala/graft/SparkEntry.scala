@@ -1169,6 +1169,48 @@ object SparkEntry {
           coalesce(col("n_scored"), lit(0L)).as("n_scored"),
           coalesce(col("logit"), lit(0L)).as("logit"),
           (coalesce(col("logit"), lit(0L)) > 0L).as("positive"))
+    }),
+
+    // Filtered vector search: ANN under a metadata predicate. The range
+    // predicate pushes to the corpus parquet scan (PushedFilters), so a
+    // selective filter prunes BEFORE any scoring — the vector-db
+    // "filtered search" shape, composed from the same bounded-heap
+    // partial top-k as q28.
+    "q108_filtered_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bruteForceTopK(
+        emb.where(col("vec_id") >= 100), emb.where(col("vec_id") < 8), k = 5)
+    }),
+
+    // Incremental materialized-view maintenance: the stored per-(type,
+    // day) partial state rolls up to per-type totals WITHOUT touching
+    // raw events — the algebraic-aggregate (count/sum/min/max) merge a
+    // 100 TB nightly pipeline runs on yesterday's partials plus today's
+    // delta. All-integer cents. AggMergeSpec asserts partial-merge ==
+    // direct aggregation.
+    "q109_mv_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val state = ev.groupBy("event_type", "day").agg(
+        count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      state.groupBy("event_type").agg(
+        sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+    }),
+
+    // Last-touch attribution: every purchase attributed to the latest
+    // click at-or-before it per user — the q64 as-of machinery (one
+    // union+window shuffle, zero amplification) on the funnel axis.
+    "q110_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      JoinOps.asofJoin(purchases, clicks, "user_id", "ts", "click_id")
+        .select("event_id", "user_id", "click_id")
     })
   )
 
@@ -2704,6 +2746,43 @@ object SparkEntry {
          | coalesce(sc.n_scored, 0) AS n_scored,
          | coalesce(sc.logit, 0) AS logit,
          | coalesce(sc.logit, 0) > 0 AS positive
-         |FROM documents d LEFT JOIN sc ON sc.id = d.doc_id""".stripMargin
+         |FROM documents d LEFT JOIN sc ON sc.id = d.doc_id""".stripMargin,
+
+    // q28's scoring chain with the corpus pre-filtered.
+    "q108_filtered_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE vec_id >= 100),
+        |s AS (SELECT qid, nid,
+        |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
+        | FROM c CROSS JOIN q WHERE qid <> nid),
+        |r AS (SELECT qid, nid,
+        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
+        |w AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
+        |SELECT qid AS query_id, nid AS neighbor_id, sim, CAST(rk AS BIGINT) AS rank
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+    "q109_mv_rollup" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |state AS (SELECT event_type, day, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        | FROM ev GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        | CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+        | min(min_cents) AS min_cents, max(max_cents) AS max_cents
+        |FROM state GROUP BY 1""".stripMargin,
+
+    "q110_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.click_id
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
   )
 }
