@@ -1211,6 +1211,29 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
       JoinOps.asofJoin(purchases, clicks, "user_id", "ts", "click_id")
         .select("event_id", "user_id", "click_id")
+    }),
+
+    // Canonical-document selection — the survivor policy that completes
+    // dedup: per exact-dup group (md5 of normalized text; every doc has
+    // a planted +1000000 twin), keep the highest-quality member, ties
+    // broken by lowest id. max_by over a (quality, -id) total order —
+    // partial-aggregating, no per-group window sort on the corpus.
+    "q111_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = docs.select(did.as("doc_id"), col("text"))
+        .unionByName(docs.select((did + 1000000L).as("doc_id"), col("text")))
+      val quality = TextAnalysisOps.qualityScore(c, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val ranked = c.select(col("doc_id"),
+          md5(lower(T.cleanText(col("text")))).as("fp"))
+        .join(quality, "doc_id")
+      val surv = ranked.groupBy("fp").agg(
+        max_by(col("doc_id"),
+          struct(col("quality"), (-col("doc_id")).as("negid"))).as("canonical_id"),
+        count(lit(1)).as("group_n"))
+      ranked.join(surv, "fp")
+        .select(col("doc_id"), col("canonical_id"), col("group_n"),
+          (col("doc_id") === col("canonical_id")).as("keep"))
     })
   )
 
@@ -1223,10 +1246,11 @@ object SparkEntry {
        | ELSE string_split($cleanSql, ' ') END""".stripMargin
 
   /** q15's tokenize/measure CTE chain (`t`, `m`) and the rounded quality
-    * composite — shared by q15 and the q96 per-source top-k.
+    * composite — shared by q15, the q96 per-source top-k, and q111's
+    * survivor selection (which scores a doubled corpus via `src`).
     */
-  private val qualityCtes: String =
-    s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+  private def qualityCtesFrom(src: String): String =
+    s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
        |m AS (SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_chars,
        |  CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1237,6 +1261,8 @@ object SparkEntry {
        |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
        |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
        | FROM t)""".stripMargin
+
+  private val qualityCtes: String = qualityCtesFrom("documents")
 
   private val qualityExprSql: String =
     """floor(greatest(0.0, least(1.0,
@@ -2783,6 +2809,23 @@ object SparkEntry {
         |  WHERE event_type = 'click')
         |SELECT p.event_id, p.user_id, c.click_id
         |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // Same survivor policy: rank within each fingerprint group by
+    // (quality desc, id asc); rk = 1 is the canonical member.
+    "q111_canonical" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |${qualityCtesFrom("corpus")},
+         |qs AS (SELECT doc_id, $qualityExprSql AS quality FROM m),
+         |f AS (SELECT c.doc_id, md5(lower($cleanSql)) AS fp, qs.quality
+         | FROM corpus c JOIN qs ON qs.doc_id = c.doc_id),
+         |r AS (SELECT doc_id, fp,
+         |  row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY fp) AS group_n FROM f),
+         |s AS (SELECT fp, doc_id AS canonical_id FROM r WHERE rk = 1)
+         |SELECT r.doc_id, s.canonical_id, CAST(r.group_n AS BIGINT) AS group_n,
+         | r.doc_id = s.canonical_id AS keep
+         |FROM r JOIN s ON s.fp = r.fp""".stripMargin
   )
 }
