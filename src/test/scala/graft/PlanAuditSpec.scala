@@ -232,6 +232,15 @@ class PlanAuditSpec extends SparkSpec {
       s"the depth*width-bounded sketch side must broadcast:\n$p")
   }
 
+  test("filtered ANN pushes the metadata predicate to the corpus scan (q108)") {
+    val p = q("q108_filtered_ann").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(vec_id,100)"),
+      s"corpus filter must reach the parquet scan:\n$p")
+    assert(!p.contains("Window"),
+      s"top-k must stay a bounded-heap partial aggregation:\n$p")
+  }
+
   test("HLL registers reduce to one row before the final agg (q104)") {
     val p = plan(q("q104_hll_distinct"))
     // the register aggregation is bounded by m = 64 rows; the estimate
