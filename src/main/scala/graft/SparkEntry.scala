@@ -1234,6 +1234,22 @@ object SparkEntry {
       ranked.join(surv, "fp")
         .select(col("doc_id"), col("canonical_id"), col("group_n"),
           (col("doc_id") === col("canonical_id")).as("keep"))
+    }),
+
+    // Cross-split NEAR-DUP leakage check — the contamination audit q79's
+    // exact n-gram rule misses: the test split (plus planted paraphrase
+    // twins of train docs) probed against the train split with the q86
+    // asymmetric LSH probe. Candidates scale with the test split; the
+    // train split never self-joins.
+    "q112_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bucket = pmod(SampleOps.portableHash(did), lit(100))
+      val train = docs.where(bucket < 80).select(did.as("id"), col("text"))
+      val test = docs.where(bucket >= 90).select(did.as("id"), col("text"))
+        .unionByName(docs.where(bucket < 80 && pmod(did, lit(25)) === 0)
+          .select((did + 1000000L).as("id"),
+            concat(col("text"), lit(" zzdup tail")).as("text")))
+      DedupOps.minhashProbe(train, test, "id", "text", threshold = 0.7)
     })
   )
 
@@ -1263,6 +1279,54 @@ object SparkEntry {
        | FROM t)""".stripMargin
 
   private val qualityCtes: String = qualityCtesFrom("documents")
+
+  /** The asymmetric (side-tagged) LSH probe chain: one signature
+    * derivation over `allDocs` (must yield side 'c' = corpus / 'b' =
+    * batch with columns side, id, text), corpus-only bucket guard,
+    * corpus x batch candidates (never self), candidate-bounded Jaccard
+    * verify at 0.7. Shared by q86 (ingest batch vs corpus) and q112
+    * (test split vs train split).
+    */
+  private def minhashProbeSql(allDocs: String): String =
+    s"""WITH all_docs AS (
+       |$allDocs),
+       |t AS (SELECT side, id, $toksSql AS toks FROM all_docs),
+       |shl AS (SELECT side, id,
+       |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |   ELSE list_transform(range(1, len(toks) - 1),
+       |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs
+       | FROM t),
+       |shu AS (SELECT side, id, unnest(shs) AS s FROM shl),
+       |sh AS (SELECT DISTINCT side, id,
+       |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shu),
+       |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
+       |perms AS (SELECT i,
+       |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
+       |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
+       | FROM pidx),
+       |sig AS (SELECT sh.side, sh.id, perms.i,
+       |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
+       | FROM sh, perms GROUP BY sh.side, sh.id, perms.i),
+       |bandkey AS (SELECT side, id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
+       | FROM sig GROUP BY side, id, i // 4),
+       |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey WHERE side = 'c' GROUP BY band, bk),
+       |cand AS (SELECT DISTINCT y.id AS batch_id, x.id AS corpus_id
+       | FROM bandkey x
+       | JOIN bandkey y ON x.band = y.band AND x.bk = y.bk
+       | JOIN bsz ON bsz.band = x.band AND bsz.bk = x.bk
+       | WHERE x.side = 'c' AND y.side = 'b' AND bsz.n <= 1000),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.batch_id, c.corpus_id, count(*) AS m
+       | FROM cand c
+       | JOIN sh x ON x.id = c.corpus_id
+       | JOIN sh y ON y.id = c.batch_id AND y.h = x.h
+       | GROUP BY c.batch_id, c.corpus_id)
+       |SELECT i.batch_id, i.corpus_id,
+       | floor((CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
+       |FROM inter i
+       |JOIN sizes sb ON sb.id = i.batch_id
+       |JOIN sizes sc ON sc.id = i.corpus_id
+       |WHERE CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m) >= 0.7""".stripMargin
 
   private val qualityExprSql: String =
     """floor(greatest(0.0, least(1.0,
@@ -2434,53 +2498,15 @@ object SparkEntry {
     // The asymmetric (side-tagged) variant of the q25 LSH chain: corpus
     // and batch share one signature derivation; the bucket guard counts
     // CORPUS rows only; candidates join corpus x batch, never self.
-    "q86_minhash_probe" ->
-      s"""WITH all_docs AS (
-         |  SELECT 'c' AS side, doc_id AS id, text FROM documents
+    "q86_minhash_probe" -> minhashProbeSql(
+      s"""  SELECT 'c' AS side, doc_id AS id, text FROM documents
          |  UNION ALL
          |  SELECT 'b', doc_id + 1000000, text || ' zzdup tail'
          |  FROM documents WHERE doc_id % 10 = 0
          |  UNION ALL
          |  SELECT 'b', doc_id + 2000000,
          |    'totally novel content block number ' || CAST(doc_id AS VARCHAR) || ' unseen tokens qqq www eee'
-         |  FROM documents WHERE doc_id % 10 = 0),
-         |t AS (SELECT side, id, $toksSql AS toks FROM all_docs),
-         |shl AS (SELECT side, id,
-         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-         |   ELSE list_transform(range(1, len(toks) - 1),
-         |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs
-         | FROM t),
-         |shu AS (SELECT side, id, unnest(shs) AS s FROM shl),
-         |sh AS (SELECT DISTINCT side, id,
-         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shu),
-         |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
-         |perms AS (SELECT i,
-         |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
-         |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
-         | FROM pidx),
-         |sig AS (SELECT sh.side, sh.id, perms.i,
-         |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
-         | FROM sh, perms GROUP BY sh.side, sh.id, perms.i),
-         |bandkey AS (SELECT side, id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
-         | FROM sig GROUP BY side, id, i // 4),
-         |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey WHERE side = 'c' GROUP BY band, bk),
-         |cand AS (SELECT DISTINCT y.id AS batch_id, x.id AS corpus_id
-         | FROM bandkey x
-         | JOIN bandkey y ON x.band = y.band AND x.bk = y.bk
-         | JOIN bsz ON bsz.band = x.band AND bsz.bk = x.bk
-         | WHERE x.side = 'c' AND y.side = 'b' AND bsz.n <= 1000),
-         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-         |inter AS (SELECT c.batch_id, c.corpus_id, count(*) AS m
-         | FROM cand c
-         | JOIN sh x ON x.id = c.corpus_id
-         | JOIN sh y ON y.id = c.batch_id AND y.h = x.h
-         | GROUP BY c.batch_id, c.corpus_id)
-         |SELECT i.batch_id, i.corpus_id,
-         | floor((CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
-         |FROM inter i
-         |JOIN sizes sb ON sb.id = i.batch_id
-         |JOIN sizes sc ON sc.id = i.corpus_id
-         |WHERE CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m) >= 0.7""".stripMargin,
+         |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
 
     // Token-window chunking: stepped starts via generate_series (stop-
     // inclusive both engines), tail suppression, 1-based inclusive list
@@ -2826,6 +2852,19 @@ object SparkEntry {
          |s AS (SELECT fp, doc_id AS canonical_id FROM r WHERE rk = 1)
          |SELECT r.doc_id, s.canonical_id, CAST(r.group_n AS BIGINT) AS group_n,
          | r.doc_id = s.canonical_id AS keep
-         |FROM r JOIN s ON s.fp = r.fp""".stripMargin
+         |FROM r JOIN s ON s.fp = r.fp""".stripMargin,
+
+    // The q86 probe chain over the portable-split sides: 'c' = train
+    // (bucket < 80), 'b' = test (bucket >= 90) plus planted twins.
+    "q112_split_leakage" -> minhashProbeSql(
+      """  SELECT 'c' AS side, doc_id AS id, text FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+        |  UNION ALL
+        |  SELECT 'b', doc_id, text FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 90
+        |  UNION ALL
+        |  SELECT 'b', doc_id + 1000000, text || ' zzdup tail' FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+        |   AND doc_id % 25 = 0""".stripMargin)
   )
 }
