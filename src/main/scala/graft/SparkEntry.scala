@@ -1250,6 +1250,25 @@ object SparkEntry {
           .select((did + 1000000L).as("id"),
             concat(col("text"), lit(" zzdup tail")).as("text")))
       DedupOps.minhashProbe(train, test, "id", "text", threshold = 0.7)
+    }),
+
+    // ANN recall evaluation — the eval harness that justifies an index:
+    // recall@5 of the nprobe=4 IVF search against the brute-force ground
+    // truth, per query. Both sides are existing contract operators; the
+    // metric is an integer hit count over a k-sized join.
+    "q113_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 8)
+      val exact = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps.ivfTopK(emb, qs, k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      qs.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+          R.half4(coalesce(col("hits"), lit(0L)).cast("double") / 5.0)
+            .as("recall_at_5"))
     })
   )
 
@@ -2865,6 +2884,51 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'b', doc_id + 1000000, text || ' zzdup tail' FROM documents
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
-        |   AND doc_id % 25 = 0""".stripMargin)
+        |   AND doc_id % 25 = 0""".stripMargin),
+
+    // Exact chain (q28, CTEs prefixed e*) + IVF chain (q30 verbatim) +
+    // the per-query hit count. Both chains rank by the ROUNDED sim
+    // (matching the Spark operators) so the rank-5 cut agrees exactly.
+    "q113_ann_recall" ->
+      """WITH eq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |ec AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+        |es AS (SELECT qid, nid,
+        |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
+        | FROM ec CROSS JOIN eq WHERE qid <> nid),
+        |er AS (SELECT qid, nid,
+        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM es),
+        |ew AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM er),
+        |exact AS (SELECT qid, nid FROM ew WHERE rk <= 5),
+        |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+        | FROM embeddings e CROSS JOIN cent c),
+        |a AS (SELECT nid, nv, cid FROM ad WHERE rn = 1),
+        |pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   list_sum(list_transform(list_zip(q.embedding, c.cv),
+        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+        | FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8),
+        |p AS (SELECT qid, qv, cid FROM pd WHERE rn <= 4),
+        |s AS (SELECT p.qid, a.nid,
+        |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
+        | FROM a JOIN p ON a.cid = p.cid WHERE p.qid <> a.nid),
+        |r AS (SELECT qid, nid,
+        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
+        |w AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r),
+        |approx AS (SELECT qid, nid FROM w WHERE rk <= 5),
+        |hits AS (SELECT e.qid, count(*) AS hits
+        | FROM exact e JOIN approx x ON x.qid = e.qid AND x.nid = e.nid GROUP BY 1)
+        |SELECT eq.qid AS query_id, coalesce(h.hits, 0) AS hits,
+        | floor((coalesce(h.hits, 0)::DOUBLE / 5) * 10000 + 0.5) / 10000 AS recall_at_5
+        |FROM eq LEFT JOIN hits h ON h.qid = eq.qid""".stripMargin
   )
 }
