@@ -1269,6 +1269,40 @@ object SparkEntry {
         .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
           R.half4(coalesce(col("hits"), lit(0L)).cast("double") / 5.0)
             .as("recall_at_5"))
+    }),
+
+    // Int8 scalar-quantized ANN — the 4x memory-bandwidth reduction a
+    // 100 TB vector store runs: global (min, scale) quantizes every
+    // vector to [-127, 127]; search ranks by the INTEGER dot product
+    // (exact, no float accumulation — ties broken by id, hash-exact
+    // cross-engine). Stats are a 1-row broadcast; the bounded-heap TopK
+    // aggregates partially as in q28.
+    "q114_quantized_ann" -> ((s, d) => {
+      import graft.functions.TopK
+      val emb = Tables.embeddings(s, d)
+      val stats = emb.agg(
+        min(array_min(col("embedding"))).cast("double").as("mn"),
+        max(array_max(col("embedding"))).cast("double").as("mx"))
+        .select(col("mn"),
+          when(col("mx") === col("mn"), lit(0.0))
+            .otherwise(lit(254.0) / (col("mx") - col("mn"))).as("sc"))
+      val qexpr = expr("transform(embedding, x -> " +
+        "CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INT) - 127)")
+      val corpus = emb.crossJoin(broadcast(stats))
+        .select(col("vec_id").as("neighbor_id"), qexpr.as("cq"))
+      val queries = emb.where(col("vec_id") < 8).crossJoin(broadcast(stats))
+        .select(col("vec_id").as("query_id"), qexpr.as("qq"))
+      val scored = corpus.join(broadcast(queries),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr("aggregate(zip_with(qq, cq, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dp"))
+      scored.groupBy("query_id")
+        .agg(TopK.topK(5)(col("dp").cast("double"), col("neighbor_id")).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")).as(Seq("rank0", "nb")))
+        .select(col("query_id"), col("nb.neighborId").as("neighbor_id"),
+          col("nb.sim").cast("long").as("dp"),
+          (col("rank0") + 1).cast("long").as("rank"))
     })
   )
 
@@ -2929,6 +2963,30 @@ object SparkEntry {
         | FROM exact e JOIN approx x ON x.qid = e.qid AND x.nid = e.nid GROUP BY 1)
         |SELECT eq.qid AS query_id, coalesce(h.hits, 0) AS hits,
         | floor((coalesce(h.hits, 0)::DOUBLE / 5) * 10000 + 0.5) / 10000 AS recall_at_5
-        |FROM eq LEFT JOIN hits h ON h.qid = eq.qid""".stripMargin
+        |FROM eq LEFT JOIN hits h ON h.qid = eq.qid""".stripMargin,
+
+    // Identical (mn, sc) scalars, identical per-element quantization
+    // ((x - mn) * sc + 0.5 — same op order), integer dot products.
+    "q114_quantized_ann" ->
+      """WITH st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
+        |st AS (SELECT mn,
+        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
+        |cq AS (SELECT vec_id AS neighbor_id,
+        |  list_transform(embedding, x ->
+        |    CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
+        | FROM embeddings CROSS JOIN st),
+        |qq AS (SELECT vec_id AS qid,
+        |  list_transform(embedding, x ->
+        |    CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS qv
+        | FROM embeddings CROSS JOIN st WHERE vec_id < 8),
+        |sdp AS (SELECT qid, neighbor_id,
+        |  CAST(list_sum(list_transform(list_zip(qv, cv),
+        |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS dp
+        | FROM cq CROSS JOIN qq WHERE qid <> neighbor_id),
+        |w AS (SELECT qid, neighbor_id, dp,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dp DESC, neighbor_id) AS rk FROM sdp)
+        |SELECT qid AS query_id, neighbor_id, dp, CAST(rk AS BIGINT) AS rank
+        |FROM w WHERE rk <= 5""".stripMargin
   )
 }
