@@ -1303,6 +1303,27 @@ object SparkEntry {
         .select(col("query_id"), col("nb.neighborId").as("neighbor_id"),
           col("nb.sim").cast("long").as("dp"),
           (col("rank0") + 1).cast("long").as("rank"))
+    }),
+
+    // Windowed HLL: trailing-3-day distinct-user estimate per day by
+    // register merge — each day's registers CONTRIBUTE to 3 target days
+    // (bounded explode of tiny (day, bucket) rows), then max per
+    // (target day, bucket). The dashboard-at-scale shape: raw user ids
+    // shuffle once into per-day registers; the rolling merge never
+    // touches them again.
+    "q115_windowed_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val dreg = SketchOps.hllRegistersBy(ev, "user_id", Seq("day"))
+      val contrib = dreg.select(col("day"), col("bucket"), col("r"),
+          explode(array(lit(0), lit(1), lit(2))).as("o"))
+        .select(expr("date_add(day, o)").as("day"), col("bucket"), col("r"))
+      val days = ev.select("day").distinct()
+      val wreg = contrib.join(days, "day")
+        .groupBy("day", "bucket").agg(max("r").as("r"))
+      SketchOps.hllEstimateFromRegisters(wreg, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_reg"), col("s_scaled"), col("hll_est"))
     })
   )
 
@@ -2987,6 +3008,30 @@ object SparkEntry {
         |w AS (SELECT qid, neighbor_id, dp,
         |  row_number() OVER (PARTITION BY qid ORDER BY dp DESC, neighbor_id) AS rk FROM sdp)
         |SELECT qid AS query_id, neighbor_id, dp, CAST(rk AS BIGINT) AS rank
-        |FROM w WHERE rk <= 5""".stripMargin
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+    // Identical per-day registers (q104 chain grouped by day), the same
+    // 3-day contribution explode, register max, integer harmonic sum.
+    "q115_windowed_hll" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |h AS (SELECT day,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM ev),
+        |br AS (SELECT day, h & 63 AS bucket,
+        |  CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
+        | FROM h),
+        |dreg AS (SELECT day, bucket, max(rho) AS r FROM br GROUP BY 1, 2),
+        |offs AS (SELECT unnest([0, 1, 2]) AS o),
+        |contrib AS (SELECT day + o AS tday, bucket, r FROM dreg CROSS JOIN offs),
+        |days AS (SELECT DISTINCT day FROM ev),
+        |wreg AS (SELECT c.tday AS day, c.bucket, max(c.r) AS r
+        | FROM contrib c JOIN days dy ON dy.day = c.tday GROUP BY 1, 2),
+        |agg AS (SELECT day, count(*) AS n_reg,
+        |  CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT) AS s_ne
+        | FROM wreg GROUP BY 1),
+        |s AS (SELECT day, n_reg,
+        |  s_ne + (64 - n_reg) * (1::BIGINT << 55) AS s_scaled FROM agg)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_reg, s_scaled,
+        | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
+        |FROM s""".stripMargin
   )
 }

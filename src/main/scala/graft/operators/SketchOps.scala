@@ -70,15 +70,24 @@ object SketchOps {
     * leading zeros identically in Spark and DuckDB, so the registers
     * (and therefore the estimate) are bit-identical cross-engine.
     */
-  def hllRegisters(rows: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+  def hllRegisters(rows: DataFrame, keyCol: String, p: Int = 6): DataFrame =
+    hllRegistersBy(rows, keyCol, Nil, p)
+
+  /** [[hllRegisters]] with extra grouping columns — one register set per
+    * group (per day, per shard, ...), ready for windowed or rolled-up
+    * merges by register max.
+    */
+  def hllRegistersBy(rows: DataFrame, keyCol: String,
+                     groupCols: Seq[String], p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
     val h = HashFunctions.portableHash60(col(keyCol).cast("string"))
     val window = 60 - p
     val w = shiftright(h, p)
     val rho = when(w === 0L, lit(window + 1))
       .otherwise(lit(window + 1) - length(bin(w)))
-    rows.select(h.bitwiseAND(lit((1L << p) - 1)).as("bucket"), rho.as("rho"))
-      .groupBy("bucket").agg(max("rho").as("r"))
+    rows.select(groupCols.map(col) ++ Seq(
+        h.bitwiseAND(lit((1L << p) - 1)).as("bucket"), rho.as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*).agg(max("rho").as("r"))
   }
 
   /** Raw HLL estimate from [[hllRegisters]] — ONE row with the exact
@@ -99,18 +108,36 @@ object SketchOps {
     // alpha_64 = 0.709 (the HLL paper's constant for m = 64; m >= 128
     // uses 0.7213/(1 + 1.079/m))
     require(p == 6, "estimate constants are wired for p = 6 (m = 64)")
+    hllEstimateFromRegisters(hllRegisters(rows, keyCol, p), Nil, p)
+  }
+
+  /** Estimate from a (groupCols..., bucket, r) register frame — one row
+    * per group with the exact integer sketch state and the double
+    * estimate (see [[hllEstimate]] for the determinism argument).
+    */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+                               p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val scaleBits = 60 - p + 1
+    require(p == 6, "estimate constants are wired for p = 6 (m = 64)")
     // 0.709 * 64 * 64 * 2^55, evaluated left-assoc in IEEE doubles; the
     // printed 17-sig-digit literal round-trips to the same double in
     // DuckDB (checked), so both engines divide the identical constant.
     val alphaM2Scale = 1.0462993238608057e20
-    hllRegisters(rows, keyCol, p)
-      .agg(count(lit(1)).as("n_reg"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scaleBits - r)")).as("s_nonempty"))
-      .select(col("n_reg"),
+    val agged =
+      if (groupCols.isEmpty)
+        regs.agg(count(lit(1)).as("n_reg"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scaleBits - r)")).as("s_nonempty"))
+      else
+        regs.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("n_reg"),
+            sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scaleBits - r)")).as("s_nonempty"))
+    agged
+      .select(groupCols.map(col) ++ Seq(col("n_reg"),
         (col("s_nonempty") + (lit(m.toLong) - col("n_reg")) * lit(1L << scaleBits))
-          .as("s_scaled"))
-      .select(col("n_reg"), col("s_scaled"),
+          .as("s_scaled")): _*)
+      .select(groupCols.map(col) ++ Seq(col("n_reg"), col("s_scaled"),
         Rounding.half2(lit(alphaM2Scale) / col("s_scaled").cast("double"))
-          .as("hll_est"))
+          .as("hll_est")): _*)
   }
 }
