@@ -82,7 +82,8 @@ object Bench {
     // reproducible afterwards). Interleaving puts a query's reps minutes
     // apart, so the min survives any window shorter than a full pass.
     def loadAvg: String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").head
+      try java.nio.file.Files.readString(
+        java.nio.file.Path.of("/proc/loadavg")).trim.split(" ").head
       catch { case _: Throwable => "?" }
     val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     (1 to reps).foreach { rep =>

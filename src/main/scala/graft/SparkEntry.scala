@@ -1203,12 +1203,16 @@ object SparkEntry {
     // Last-touch attribution: every purchase attributed to the latest
     // click at-or-before it per user — the q64 as-of machinery (one
     // union+window shuffle, zero amplification) on the funnel axis.
+    // Same-timestamp clicks collapse to the max event_id FIRST: DuckDB's
+    // ASOF pick among tied right-side timestamps is unspecified, so the
+    // as-of input must have unique (user, ts) for a stable oracle.
     "q110_attribution" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("click_id"))
       JoinOps.asofJoin(purchases, clicks, "user_id", "ts", "click_id")
         .select("event_id", "user_id", "click_id")
     }),
@@ -1353,6 +1357,54 @@ object SparkEntry {
        | FROM t)""".stripMargin
 
   private val qualityCtes: String = qualityCtesFrom("documents")
+
+  /** q28's brute-force cosine chain as CTEs `{pfx}q/{pfx}c/{pfx}s/
+    * {pfx}r/{pfx}w` — `{pfx}w` holds (qid, nid, sim, rk) ranked by the
+    * ROUNDED sim (matching the Spark operators' tie behavior). Shared
+    * by q28 (full corpus), q108 (filtered corpus), and q113 (exact
+    * ground-truth side, `e` prefix to avoid clashing with the IVF
+    * chain).
+    */
+  private def cosineTopKCtes(pfx: String, corpusWhere: String): String =
+    s"""${pfx}q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |${pfx}c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE $corpusWhere),
+       |${pfx}s AS (SELECT qid, nid,
+       |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
+       |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
+       |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
+       | FROM ${pfx}c CROSS JOIN ${pfx}q WHERE qid <> nid),
+       |${pfx}r AS (SELECT qid, nid,
+       |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM ${pfx}s),
+       |${pfx}w AS (SELECT qid, nid, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM ${pfx}r)""".stripMargin
+
+  /** q30's IVF chain (centroid assignment → nprobe probe → cosine →
+    * rank) as CTEs `cent/ad/a/pd/p/s/r/w` — shared by q30 and q113's
+    * approximate side.
+    */
+  private val ivfTopKCtes: String =
+    """cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      |ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
+      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |   list_sum(list_transform(list_zip(e.embedding, c.cv),
+      |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+      | FROM embeddings e CROSS JOIN cent c),
+      |a AS (SELECT nid, nv, cid FROM ad WHERE rn = 1),
+      |pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+      |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |   list_sum(list_transform(list_zip(q.embedding, c.cv),
+      |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+      | FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8),
+      |p AS (SELECT qid, qv, cid FROM pd WHERE rn <= 4),
+      |s AS (SELECT p.qid, a.nid,
+      |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
+      |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
+      |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
+      | FROM a JOIN p ON a.cid = p.cid WHERE p.qid <> a.nid),
+      |r AS (SELECT qid, nid,
+      |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
+      |w AS (SELECT qid, nid, sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)""".stripMargin
 
   /** The asymmetric (side-tagged) LSH probe chain: one signature
     * derivation over `allDocs` (must yield side 'c' = corpus / 'b' =
@@ -1753,17 +1805,7 @@ object SparkEntry {
         |SELECT id_a, id_b, sim FROM r WHERE sim >= 0.99""".stripMargin,
 
     "q28_bruteforce_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
-        |s AS (SELECT qid, nid,
-        |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
-        |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
-        |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
-        | FROM c CROSS JOIN q WHERE qid <> nid),
-        |r AS (SELECT qid, nid,
-        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
-        |w AS (SELECT qid, nid, sim,
-        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
+      s"""WITH ${cosineTopKCtes("", "TRUE")}
         |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
         |FROM w WHERE rk <= 5""".stripMargin,
 
@@ -1778,28 +1820,7 @@ object SparkEntry {
         |SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1""".stripMargin,
 
     "q30_ivf_topk" ->
-      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-        |ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
-        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |   list_sum(list_transform(list_zip(e.embedding, c.cv),
-        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
-        | FROM embeddings e CROSS JOIN cent c),
-        |a AS (SELECT nid, nv, cid FROM ad WHERE rn = 1),
-        |pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
-        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |   list_sum(list_transform(list_zip(q.embedding, c.cv),
-        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
-        | FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8),
-        |p AS (SELECT qid, qv, cid FROM pd WHERE rn <= 4),
-        |s AS (SELECT p.qid, a.nid,
-        |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
-        |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
-        |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
-        | FROM a JOIN p ON a.cid = p.cid WHERE p.qid <> a.nid),
-        |r AS (SELECT qid, nid,
-        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
-        |w AS (SELECT qid, nid, sim,
-        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
+      s"""WITH $ivfTopKCtes
         |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
         |FROM w WHERE rk <= 5""".stripMargin,
 
@@ -2876,17 +2897,7 @@ object SparkEntry {
 
     // q28's scoring chain with the corpus pre-filtered.
     "q108_filtered_ann" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE vec_id >= 100),
-        |s AS (SELECT qid, nid,
-        |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
-        |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
-        |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
-        | FROM c CROSS JOIN q WHERE qid <> nid),
-        |r AS (SELECT qid, nid,
-        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
-        |w AS (SELECT qid, nid, sim,
-        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
+      s"""WITH ${cosineTopKCtes("", "vec_id >= 100")}
         |SELECT qid AS query_id, nid AS neighbor_id, sim, CAST(rk AS BIGINT) AS rank
         |FROM w WHERE rk <= 5""".stripMargin,
 
@@ -2905,8 +2916,8 @@ object SparkEntry {
     "q110_attribution" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, event_id AS click_id FROM events
-        |  WHERE event_type = 'click')
+        |c AS (SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id
+        | FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, c.click_id
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
@@ -2945,40 +2956,9 @@ object SparkEntry {
     // the per-query hit count. Both chains rank by the ROUNDED sim
     // (matching the Spark operators) so the rank-5 cut agrees exactly.
     "q113_ann_recall" ->
-      """WITH eq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-        |ec AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
-        |es AS (SELECT qid, nid,
-        |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
-        |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
-        |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
-        | FROM ec CROSS JOIN eq WHERE qid <> nid),
-        |er AS (SELECT qid, nid,
-        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM es),
-        |ew AS (SELECT qid, nid,
-        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM er),
+      s"""WITH ${cosineTopKCtes("e", "TRUE")},
         |exact AS (SELECT qid, nid FROM ew WHERE rk <= 5),
-        |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-        |ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
-        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |   list_sum(list_transform(list_zip(e.embedding, c.cv),
-        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
-        | FROM embeddings e CROSS JOIN cent c),
-        |a AS (SELECT nid, nv, cid FROM ad WHERE rn = 1),
-        |pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
-        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |   list_sum(list_transform(list_zip(q.embedding, c.cv),
-        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
-        | FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8),
-        |p AS (SELECT qid, qv, cid FROM pd WHERE rn <= 4),
-        |s AS (SELECT p.qid, a.nid,
-        |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
-        |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
-        |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
-        | FROM a JOIN p ON a.cid = p.cid WHERE p.qid <> a.nid),
-        |r AS (SELECT qid, nid,
-        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
-        |w AS (SELECT qid, nid,
-        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r),
+        |$ivfTopKCtes,
         |approx AS (SELECT qid, nid FROM w WHERE rk <= 5),
         |hits AS (SELECT e.qid, count(*) AS hits
         | FROM exact e JOIN approx x ON x.qid = e.qid AND x.nid = e.nid GROUP BY 1)

@@ -662,6 +662,11 @@ object DedupOps {
     // ("routes keys to the same partitions") holds for the Long keys the
     // rounds use, so the deduped edge set stays co-partitioned with the
     // src-keyed rounds without a reshuffle.
+    // CONTAINMENT INVARIANT: the pair-keyed RDD must never escape
+    // `dedupe` below — against another PAIR-keyed RDD partitioned by a
+    // real HashPartitioner, the claimed equality would skip a needed
+    // shuffle (hash(src) != hash((src, dst))) and silently mis-co-
+    // partition. Only the Long-keyed output leaves this function.
     val srcPart: HashPartitioner = new HashPartitioner(part.numPartitions) {
       override def getPartition(key: Any): Int = key match {
         case (s, _) => super.getPartition(s)

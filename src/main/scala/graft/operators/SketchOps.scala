@@ -102,14 +102,8 @@ object SketchOps {
     * corrections need ln(), which is not exactly reproducible
     * cross-engine; at n >= 2.5m the raw estimator is the standard one).
     */
-  def hllEstimate(rows: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
-    val m = 1 << p
-    val scaleBits = 60 - p + 1
-    // alpha_64 = 0.709 (the HLL paper's constant for m = 64; m >= 128
-    // uses 0.7213/(1 + 1.079/m))
-    require(p == 6, "estimate constants are wired for p = 6 (m = 64)")
+  def hllEstimate(rows: DataFrame, keyCol: String, p: Int = 6): DataFrame =
     hllEstimateFromRegisters(hllRegisters(rows, keyCol, p), Nil, p)
-  }
 
   /** Estimate from a (groupCols..., bucket, r) register frame — one row
     * per group with the exact integer sketch state and the double
@@ -119,10 +113,12 @@ object SketchOps {
                                p: Int = 6): DataFrame = {
     val m = 1 << p
     val scaleBits = 60 - p + 1
-    require(p == 6, "estimate constants are wired for p = 6 (m = 64)")
-    // 0.709 * 64 * 64 * 2^55, evaluated left-assoc in IEEE doubles; the
-    // printed 17-sig-digit literal round-trips to the same double in
+    // alpha_64 = 0.709 (the HLL paper's constant for m = 64; m >= 128
+    // uses 0.7213/(1 + 1.079/m)). The literal below is
+    // 0.709 * 64 * 64 * 2^55 evaluated left-assoc in IEEE doubles; the
+    // printed 17-sig-digit form round-trips to the same double in
     // DuckDB (checked), so both engines divide the identical constant.
+    require(p == 6, "estimate constants are wired for p = 6 (m = 64)")
     val alphaM2Scale = 1.0462993238608057e20
     val agged =
       if (groupCols.isEmpty)

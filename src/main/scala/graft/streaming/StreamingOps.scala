@@ -108,24 +108,29 @@ object StreamingOps {
     */
   case class OpenSession(start: Long, end: Long, n: Long)
 
+  /** All of a user's not-yet-final sessions (any session whose
+    * `end + gap` the watermark has not passed may still grow).
+    */
+  case class OpenSessions(sessions: Seq[OpenSession])
+
   /** GAP-BASED STREAMING SESSIONIZATION — the streaming twin of the batch
     * sessionizer (SessionOps, q49): `flatMapGroupsWithState` with an
-    * EVENT-TIME timeout. Per user, arriving interactions extend the open
-    * session; when the watermark passes `gap` beyond the session's last
-    * event, the state times out and the CLOSED session is emitted —
-    * exactly-once, in append mode, no reprocessing of history.
+    * EVENT-TIME timeout. Per user, arriving interactions merge into the
+    * user's not-yet-final sessions as intervals (sorted by start,
+    * neighbors within `gap` coalesce); a session is emitted ONLY once
+    * the watermark passes `gap` beyond its last event — so any
+    * in-watermark late event, in this batch or a later one, can still
+    * extend a session forward OR backward, or bridge two of them.
+    * Event-time semantics match the batch sessionizer for all
+    * in-watermark data; append-mode emissions are final exactly when
+    * the batch sessionizer's output could no longer change.
     *
-    * State is one (start, end, n) triple per ACTIVE user — O(users in
-    * the gap horizon), the bounded-state shape that survives an
-    * unbounded stream. Late events inside the watermark merge into the
-    * open session when within `gap` of it (extending its START backward
-    * if needed); a late event more than `gap` before the open session
-    * forms its own earlier session rather than polluting the open one.
-    * The watermark bounds how late.
-    *
-    * Events arriving within one batch that already straddle multiple
-    * gaps are split here (sorted within the group, tiny by definition);
-    * cross-batch splitting is the timeout's job.
+    * State is the user's sessions inside the `watermark + gap` horizon
+    * — O(users x sessions-in-horizon), the bounded shape that survives
+    * an unbounded stream. The naive single-open-session model either
+    * merges arbitrarily-early events (a `t - end <= gap` guard is
+    * vacuously true for any t <= end) or emits early sessions eagerly,
+    * fragmenting ones a later in-watermark event would have merged.
     */
   def streamingSessions(events: Dataset[Interaction],
                         gapMinutes: Int = 30,
@@ -135,43 +140,35 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (uid, batch, state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(ClosedSession(uid, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n))
-          } else {
-            // Interval sessionization: treat the open session as an
-            // interval and each new event as a point-interval, then merge
-            // sorted-by-start neighbors whose gap is <= gapMs. This keeps
-            // event-time semantics identical to the batch sessionizer for
-            // in-watermark late data: an event shortly BEFORE the open
-            // session extends its start backward, an event > gap before it
-            // sessionizes separately (with other such events) instead of
-            // silently merging — the naive `t - s.end <= gapMs` guard is
-            // vacuously true for any t <= s.end.
-            val intervals = (batch.map { i =>
-              val t = i.ts.getTime; OpenSession(t, t, 1L)
-            }.toSeq ++ state.getOption).sortBy(s => (s.start, s.end))
-            var merged = List.empty[OpenSession]
-            intervals.foreach { iv =>
-              merged = merged match {
-                case h :: rest if iv.start - h.end <= gapMs =>
-                  OpenSession(h.start, math.max(h.end, iv.end), h.n + iv.n) :: rest
-                case other => iv :: other
-              }
+        case (uid, batch, state: GroupState[OpenSessions]) =>
+          def toClosed(s: OpenSession) = ClosedSession(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
+          // merge prior sessions and new point-events as sorted intervals
+          val intervals = (batch.map { i =>
+            val t = i.ts.getTime; OpenSession(t, t, 1L)
+          }.toSeq ++ state.getOption.map(_.sessions).getOrElse(Nil))
+            .sortBy(s => (s.start, s.end))
+          var merged = List.empty[OpenSession]
+          intervals.foreach { iv =>
+            merged = merged match {
+              case h :: rest if iv.start - h.end <= gapMs =>
+                OpenSession(h.start, math.max(h.end, iv.end), h.n + iv.n) :: rest
+              case other => iv :: other
             }
-            val chrono = merged.reverse
-            val open = chrono.last
-            state.update(open)
-            state.setTimeoutTimestamp(open.end + gapMs)
-            chrono.init.iterator.map(s =>
-              ClosedSession(uid, new java.sql.Timestamp(s.start),
-                new java.sql.Timestamp(s.end), s.n))
           }
+          // close exactly the sessions the watermark has finalized; keep
+          // the rest (they may still grow from in-watermark late data)
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.reverse.partition(_.end + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(OpenSessions(open))
+            // next close point; must be strictly beyond the watermark
+            state.setTimeoutTimestamp(
+              math.max(wm + 1L, open.map(_.end).min + gapMs))
+          } else state.remove()
+          closed.iterator.map(toClosed)
       }
   }
 

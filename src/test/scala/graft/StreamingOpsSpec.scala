@@ -147,24 +147,28 @@ class StreamingOpsSpec extends SparkSpec {
       .outputMode(OutputMode.Append()).start()
     try {
       // user 1: two events 10 min apart (one session); an in-batch gap of
-      // 2h later must split into a second session within the same batch
+      // 2h later must split into a second session
       input.addData(Interaction(1L, t(10, 0)), Interaction(1L, t(10, 10)),
         Interaction(1L, t(12, 30)))
       q.processAllAvailable()
-      // the in-batch split emits the first session immediately
-      val afterBatch1 = spark.table("sessions_stream").as[ClosedSession].collect()
-      assert(afterBatch1.toSeq == Seq(ClosedSession(1L, t(10, 0), t(10, 10), 2L)))
-      // advance the watermark far past 12:30 + gap: the open session
-      // times out and closes with exactly one event... then another
-      // event far later for user 2 pushes the watermark
+      // nothing is final yet (the watermark hasn't passed end + gap at
+      // PROCESSING time); the 18:00 event advances the watermark to
+      // 17:50 and the follow-up timeout batch closes BOTH user-1
+      // sessions — the split is visible in the two emitted rows
       input.addData(Interaction(2L, t(18, 0)))
       q.processAllAvailable()
+      val afterBatch2 = spark.table("sessions_stream").as[ClosedSession].collect().toSet
+      assert(afterBatch2 == Set(ClosedSession(1L, t(10, 0), t(10, 10), 2L),
+        ClosedSession(1L, t(12, 30), t(12, 30), 1L)))
+      // push the watermark past 12:30 + gap, then past 18:00 + gap
       input.addData(Interaction(2L, t(23, 0)))
+      q.processAllAvailable()
+      input.addData(Interaction(3L, t(23, 59)))
       q.processAllAvailable()
       val closed = spark.table("sessions_stream").as[ClosedSession].collect()
         .map(c => (c.userId, c.sessionStart, c.sessionEnd, c.nEvents)).toSet
       assert(closed.contains((1L, t(12, 30), t(12, 30), 1L)),
-        s"timeout should close user 1's open session: $closed")
+        s"timeout should close user 1's second session: $closed")
       assert(closed.contains((2L, t(18, 0), t(18, 0), 1L)),
         s"user 2's first session should close once the watermark passes: $closed")
     } finally q.stop()
@@ -186,22 +190,23 @@ class StreamingOpsSpec extends SparkSpec {
       q.processAllAvailable()
       // late (in-watermark) events: 9:50 is within gap of the session
       // START and must extend it backward; 8:00 is > gap before and must
-      // form its own earlier session, not silently merge (the old
+      // start a SEPARATE earlier session, not silently merge (the old
       // `t - s.end <= gapMs` guard was vacuously true for both)
       input.addData(Interaction(1L, t(9, 50)), Interaction(1L, t(8, 0)))
       q.processAllAvailable()
-      val early = spark.table("late_sessions_stream").as[ClosedSession].collect()
-        .map(c => (c.userId, c.sessionStart, c.sessionEnd, c.nEvents)).toSet
-      assert(early.contains((1L, t(8, 0), t(8, 0), 1L)),
-        s"too-early late event should close as its own session: $early")
-      // push the watermark past 10:10 + gap: the open session times out
-      // and must report the BACKWARD-EXTENDED start 9:50 with 3 events
+      // the earlier session is NOT emitted eagerly: a later in-watermark
+      // event at 8:10 must still merge into it (cross-batch)
+      input.addData(Interaction(1L, t(8, 10)))
+      q.processAllAvailable()
+      // push the watermark past every session's end + gap
       input.addData(Interaction(2L, t(23, 0)))
       q.processAllAvailable()
       input.addData(Interaction(2L, t(23, 59)))
       q.processAllAvailable()
       val closed = spark.table("late_sessions_stream").as[ClosedSession].collect()
         .map(c => (c.userId, c.sessionStart, c.sessionEnd, c.nEvents)).toSet
+      assert(closed.contains((1L, t(8, 0), t(8, 10), 2L)),
+        s"8:00 and the cross-batch 8:10 should sessionize together: $closed")
       assert(closed.contains((1L, t(9, 50), t(10, 10), 3L)),
         s"open session should extend its start backward to 9:50: $closed")
     } finally q.stop()
