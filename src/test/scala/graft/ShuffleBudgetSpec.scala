@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+/** MEASURED shuffle budgets: the "shuffle only keys and sketches, never
+  * payloads" design rule asserted quantitatively. Each query's total
+  * shuffle-write bytes must stay a small fraction of its payload size —
+  * a regression that starts shuffling text/embeddings (a dropped
+  * partial-agg, a widened projection before an exchange) fails here
+  * even while results stay correct.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute the query's own plan and sum shuffleBytesWritten across
+    * every exchange (descending into AQE stages).
+    */
+  private def shuffleBytes(df: DataFrame): Long = {
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ p.children.flatMap(walk) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case _ => Seq.empty
+      })
+    walk(qe.executedPlan).collect { case s: ShuffleExchangeLike =>
+      s.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+    }.sum
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("dedup and curation shuffle digests, not document text") {
+    val textBytes = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).collect().head.getLong(0)
+    assert(textBytes > 100000L, s"corpus unexpectedly small: $textBytes")
+    // exact dedup shuffles (digest, id): ~22 KB observed vs ~150 KB text
+    val dedup = shuffleBytes(q("q13_exact_dedup"))
+    assert(dedup < textBytes / 3,
+      s"q13 shuffled $dedup bytes — payload-sized vs $textBytes of text")
+    // minhash LSH shuffles (band, key, id) longs: ~7 KB observed
+    val lsh = shuffleBytes(q("q25_minhash_neardups"))
+    assert(lsh < textBytes / 3,
+      s"q25 shuffled $lsh bytes — payload-sized vs $textBytes of text")
+    GraftCache.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("top-k ANN shuffles bounded heaps, not scored embeddings") {
+    val embBytes = Tables.embeddings(spark, sf)
+      .agg(sum(size(col("embedding")) * 4)).collect().head.getLong(0)
+    // the Q x N scored cross product would dwarf the corpus itself; the
+    // partial TopK carries k rows per group per map task (~2.4 KB)
+    val ann = shuffleBytes(q("q28_bruteforce_topk"))
+    assert(ann < embBytes / 10,
+      s"q28 shuffled $ann bytes vs $embBytes of embeddings — heap aggregation lost?")
+  }
+}
