@@ -1070,6 +1070,10 @@ object SparkEntry {
     // The sort key is emitted, not a global row_number — materializing a
     // global index needs a single-partition window, while writing
     // sorted-by-vt is a range-partitioned sort that scales.
+    // Skew bound: the per-source row_number window sorts one source per
+    // partition; for a few-huge-sources corpus swap src_idx for a
+    // deterministic hash rank (the q78 epochShuffle shape) to keep
+    // per-partition state bounded.
     "q102_curriculum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
