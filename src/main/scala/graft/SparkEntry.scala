@@ -1332,6 +1332,54 @@ object SparkEntry {
       SketchOps.hllEstimateFromRegisters(wreg, Seq("day"))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n_reg"), col("s_scaled"), col("hll_est"))
+    }),
+
+    // Column profiling (the Deequ-style pre-ingest audit): one pass
+    // over the table computes every column's row/null/distinct counts
+    // and string min/max; the long-format explode happens on the 1-row
+    // aggregate. Long/string columns only, so the string rendering is
+    // engine-independent.
+    "q116_profile" -> ((s, d) => {
+      QualityOps.columnProfile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    }),
+
+    // Declarative constraint validation with PLANTED violations: rows
+    // with o_orderkey % 997 == 0 are re-appended with negated custkey
+    // (FK break), negated cents (domain break), and a now-duplicate key
+    // (pk break) — so every failing check has a known nonzero count and
+    // the all-zero degenerate output cannot pass. One row per check.
+    "q117_constraints" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dirty = o.unionByName(
+        o.where(pmod(col("o_orderkey"), lit(997L)) === 0L)
+          .select(col("o_orderkey"), (-col("o_custkey")).as("o_custkey"),
+            (-col("cents")).as("cents")))
+      QualityOps.checkViolations(Seq(
+        QualityOps.Check("orders_pk_unique",
+          QualityOps.duplicateKeys(dirty, "o_orderkey"), lit(true)),
+        QualityOps.Check("orders_fk_customer",
+          QualityOps.fkViolations(dirty, "o_custkey",
+            Tables.customer(s, d), "c_custkey"), lit(true)),
+        QualityOps.Check("orders_custkey_not_null", dirty,
+          col("o_custkey").isNull),
+        QualityOps.Check("orders_price_positive", dirty,
+          col("cents") <= 0L)))
+    }),
+
+    // Snapshot CDC diff: two deterministic snapshots of orders (A drops
+    // keys %11==3; B drops %13==5 and bumps %7==0 cents) diffed into
+    // added/removed/changed — ONLY differences ship, from one co-keyed
+    // full-outer join, and values compare as exact cents.
+    "q118_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val snapA = o.where(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
+      val snapB = o.where(pmod(col("o_orderkey"), lit(13L)) =!= 5L)
+        .select(col("o_orderkey"), when(pmod(col("o_orderkey"), lit(7L)) === 0L,
+          col("cents") + 100L).otherwise(col("cents")).as("cents"))
+      QualityOps.snapshotDiff(snapA, snapB, "o_orderkey", "cents")
     })
   )
 
@@ -3016,6 +3064,55 @@ object SparkEntry {
         |  s_ne + (64 - n_reg) * (1::BIGINT << 55) AS s_scaled FROM agg)
         |SELECT strftime(day, '%Y-%m-%d') AS day, n_reg, s_scaled,
         | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // One UNION ALL arm per profiled column; long/string columns only,
+    // so CAST AS VARCHAR renders identically in both engines.
+    "q116_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      .map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | min(CAST($c AS VARCHAR)) AS min_s,
+           | max(CAST($c AS VARCHAR)) AS max_s FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    // Same dirty corpus (planted pk/fk/domain violations), one arm per
+    // check.
+    "q117_constraints" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |dirty AS (SELECT * FROM o
+        | UNION ALL
+        | SELECT o_orderkey, -o_custkey, -cents FROM o WHERE o_orderkey % 997 = 0),
+        |pk AS (SELECT count(*) AS n FROM (
+        |  SELECT o_orderkey FROM dirty GROUP BY 1 HAVING count(*) > 1)),
+        |fk AS (SELECT count(*) AS n FROM dirty
+        | WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |nn AS (SELECT count(*) AS n FROM dirty WHERE o_custkey IS NULL),
+        |dom AS (SELECT count(*) AS n FROM dirty WHERE cents <= 0)
+        |SELECT 'orders_pk_unique' AS check_name, n AS n_violations, n = 0 AS passed FROM pk
+        |UNION ALL
+        |SELECT 'orders_fk_customer', n, n = 0 FROM fk
+        |UNION ALL
+        |SELECT 'orders_custkey_not_null', n, n = 0 FROM nn
+        |UNION ALL
+        |SELECT 'orders_price_positive', n, n = 0 FROM dom""".stripMargin,
+
+    "q118_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |a AS (SELECT k, cents AS old_v FROM o WHERE k % 11 <> 3),
+        |b AS (SELECT k, CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS new_v
+        | FROM o WHERE k % 13 <> 5)
+        |SELECT coalesce(a.k, b.k) AS o_orderkey,
+        | CASE WHEN a.k IS NULL THEN 'added'
+        |      WHEN b.k IS NULL THEN 'removed'
+        |      ELSE 'changed' END AS status,
+        | a.old_v, b.new_v
+        |FROM a FULL OUTER JOIN b ON b.k = a.k
+        |WHERE a.k IS NULL OR b.k IS NULL OR a.old_v <> b.new_v""".stripMargin
   )
 }

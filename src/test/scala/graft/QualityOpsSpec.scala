@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.QualityOps
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators (q116-q118): profiling, constraint checks,
+  * snapshot diff — each against hand-built frames with known answers.
+  */
+class QualityOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("columnProfile counts rows, nulls, distincts, and string min/max") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, "a"), (2L, null), (null, "a"))
+      .toDF("k", "s")
+    val p = QualityOps.columnProfile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(p("k") == ((4L, 1L, 2L, "1", "2")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("checkViolations: planted pk/fk/domain violations are counted") {
+    val rows = Seq((1L, 10L, 5L), (2L, 10L, -1L), (2L, 99L, 3L))
+      .toDF("id", "fk", "v")
+    val parent = Seq(10L).toDF("pk")
+    val out = QualityOps.checkViolations(Seq(
+      QualityOps.Check("pk", QualityOps.duplicateKeys(rows, "id"), lit(true)),
+      QualityOps.Check("fk",
+        QualityOps.fkViolations(rows, "fk", parent, "pk"), lit(true)),
+      QualityOps.Check("dom", rows, col("v") <= 0L)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out("pk") == ((1L, false)))  // key 2 appears twice -> one bad key
+    assert(out("fk") == ((1L, false)))  // fk=99 has no parent
+    assert(out("dom") == ((1L, false)))
+  }
+
+  test("fkViolations ignores NULL foreign keys (SQL semantics)") {
+    val rows = Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, null))
+      .toDF("id", "fk")
+    val parent = Seq(10L).toDF("pk")
+    assert(QualityOps.fkViolations(rows, "fk", parent, "pk").count() == 0L)
+  }
+
+  test("snapshotDiff emits only added/removed/changed") {
+    val a = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "v")
+    val b = Seq((2L, 200L), (3L, 333L), (4L, 400L)).toDF("k", "v")
+    val d = QualityOps.snapshotDiff(a, b, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // unchanged key 2 must NOT appear
+    assert(!d.contains(2L))
+  }
+}
