@@ -1380,6 +1380,19 @@ object SparkEntry {
         .select(col("o_orderkey"), when(pmod(col("o_orderkey"), lit(7L)) === 0L,
           col("cents") + 100L).otherwise(col("cents")).as("cents"))
       QualityOps.snapshotDiff(snapA, snapB, "o_orderkey", "cents")
+    }),
+
+    // Exact global NTILE(10) quality binning WITHOUT the global sort:
+    // ntile-over-everything is the canonical single-partition-window
+    // scale-killer; this derives each row's global rank from distinct-
+    // cell cumulative counts (the only unpartitioned window runs over
+    // cells, bounded by the n_chars domain) + a per-value row_number,
+    // then the bucket is integer arithmetic. Oracle = the naive window.
+    "q119_ntile_bins" -> ((s, d) => {
+      PercentileOps.ntileExact(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", k = 10)
+        .select(col("doc_id"), col("n_chars"), col("rank"), col("bin"))
     })
   )
 
@@ -3113,6 +3126,14 @@ object SparkEntry {
         |      ELSE 'changed' END AS status,
         | a.old_v, b.new_v
         |FROM a FULL OUTER JOIN b ON b.k = a.k
-        |WHERE a.k IS NULL OR b.k IS NULL OR a.old_v <> b.new_v""".stripMargin
+        |WHERE a.k IS NULL OR b.k IS NULL OR a.old_v <> b.new_v""".stripMargin,
+
+    // The naive global window the Spark side deliberately avoids —
+    // fine in DuckDB at oracle SF, a scale-killer in a cluster.
+    "q119_ntile_bins" ->
+      """SELECT doc_id, n_chars,
+        | CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+        | CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+        |FROM documents""".stripMargin
   )
 }

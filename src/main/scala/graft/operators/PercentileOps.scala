@@ -106,6 +106,51 @@ object PercentileOps {
     agged.select(col(groupCol) +: outs: _*)
   }
 
+  /** EXACT global NTILE(k) over the total order (valueCol, idCol)
+    * WITHOUT a global row sort: the single-partition window a naive
+    * `ntile(k) OVER (ORDER BY v, id)` needs is the classic 100 TB
+    * scale-killer (every row through one task). Instead:
+    *
+    *  1. distinct-VALUE cells get cumulative counts (the q51/q56
+    *     machinery — the only unpartitioned window runs over distinct
+    *     cells, bounded by the value domain, not the row count);
+    *  2. each row's global rank = rows strictly below its value
+    *     (from the cell running sum) + its row_number within its value
+    *     partition (bounded by the duplicate count of that value);
+    *  3. the NTILE bucket is pure integer arithmetic on (rank, N, k):
+    *     the first N mod k buckets take ⌈N/k⌉ rows, the rest ⌊N/k⌋ —
+    *     exactly the SQL NTILE contract.
+    *
+    * Returns (idCol, valueCol, rank, bin), rank 1-based, bin in [1, k].
+    */
+  def ntileExact(df: DataFrame, valueCol: String, idCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = df.select(col(idCol), col(valueCol).as("v"))
+    val cells = rows.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val starts = cells.withColumn("cum", sum("cnt").over(wCum))
+      .select(col("v"), (col("cum") - col("cnt")).as("below"))
+    val nTotal = rows.agg(count(lit(1)).as("n_total"))
+    val wIn = Window.partitionBy("v").orderBy(idCol)
+    val ranked = rows.withColumn("rn_in", row_number().over(wIn))
+      .join(starts, "v")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("rank", col("below") + col("rn_in"))
+    val bin = {
+      val q = expr(s"n_total div $k")
+      val rem = expr(s"n_total % $k")
+      val bigSpan = (q + 1) * rem // rows living in the (q+1)-sized buckets
+      when(col("rank") <= bigSpan,
+        expr(s"(rank - 1) div (n_total div $k + 1) + 1"))
+        .otherwise(expr(
+          s"n_total % $k + (rank - 1 - (n_total div $k + 1) * (n_total % $k)) div (n_total div $k) + 1"))
+    }
+    ranked.select(col(idCol), col("v").as(valueCol), col("rank"),
+      bin.cast("long").as("bin"))
+  }
+
   /** Greenwald–Khanna sketch quantiles (`approx_percentile`): bounded
     * mergeable state, rank error ≤ group-size / `accuracy`. Returns one
     * row per group with one column per requested (name, prob).

@@ -96,4 +96,28 @@ class PercentileOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(formatted.contains("partial_count") || formatted.contains("Partial"),
       s"expected map-side partial aggregation in:\n$formatted")
   }
+
+  test("ntileExact == Spark's ntile window for several k, with duplicate values") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (1 to 500).map(i => (i.toLong, i * 7919L % 40)).toDF("id", "v")
+    for (k <- Seq(1, 3, 10, 499, 500, 700)) {
+      val mine = PercentileOps.ntileExact(df, "v", "id", k)
+        .select(col("id"), col("bin")).as[(Long, Long)].collect().toMap
+      val ref = df.select(col("id"),
+          ntile(k).over(Window.orderBy("v", "id")).cast("long").as("bin"))
+        .as[(Long, Long)].collect().toMap
+      assert(mine == ref, s"k=$k")
+    }
+  }
+
+  test("ntileExact: the raw-row window is value-partitioned (cells-only global window)") {
+    val df = (1 to 500).map(i => (i.toLong, i * 7919L % 40)).toDF("id", "v")
+    val plan = PercentileOps.ntileExact(df, "v", "id", 10)
+      .queryExecution.optimizedPlan.toString()
+    val rowWindows = plan.linesIterator
+      .filter(_.contains("row_number()")).mkString("\n")
+    assert(rowWindows.contains("windowspecdefinition(v"),
+      s"row_number window must be value-partitioned:\n$plan")
+  }
 }
