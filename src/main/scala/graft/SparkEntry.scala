@@ -1393,6 +1393,38 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
         "n_chars", "doc_id", k = 10)
         .select(col("doc_id"), col("n_chars"), col("rank"), col("bin"))
+    }),
+
+    // SCD Type-2 dimension build from the event stream: each user's
+    // event_type history collapses no-op changes, then every surviving
+    // change opens a version [valid_from, valid_to). One shuffle on the
+    // key; all three windows reuse the (user, ts, event_id) ordering.
+    "q120_scd2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      CdcOps.scd2(ev, "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("attr"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          col("version"), col("is_current"))
+    }),
+
+    // MERGE (upsert + delete) application: a deterministic I/U/D batch
+    // (keys %5==4 insert, %5==0 update +7 cents, %5==1 delete) applied
+    // to the orders snapshot in ONE co-keyed full-outer join — the
+    // delta side stays broadcast-sized at scale, the snapshot never
+    // re-shuffles to take a day's changes.
+    "q121_merge_upsert" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val target = o.where(pmod(col("o_orderkey"), lit(5L)) =!= 4L)
+      val batch = o.where(pmod(col("o_orderkey"), lit(5L)) === 4L)
+        .select(col("o_orderkey"), col("cents"), lit("I").as("op"))
+        .unionByName(o.where(pmod(col("o_orderkey"), lit(5L)) === 0L)
+          .select(col("o_orderkey"), (col("cents") + 7L).as("cents"), lit("U").as("op")))
+        .unionByName(o.where(pmod(col("o_orderkey"), lit(5L)) === 1L)
+          .select(col("o_orderkey"), lit(null).cast("long").as("cents"), lit("D").as("op")))
+      CdcOps.mergeApply(target, batch, "o_orderkey", "cents", "op")
     })
   )
 
@@ -3134,6 +3166,38 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
         | CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
         | CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Same collapse-then-version window chain; (ts, event_id) totally
+    // orders each user's history on both sides.
+    "q120_scd2" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM o
+        | WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        | FROM c)
+        |SELECT user_id, event_type AS attr,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        | strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        | CAST(version AS BIGINT) AS version,
+        | valid_to IS NULL AS is_current
+        |FROM v""".stripMargin,
+
+    // Same I/U/D batch, applied via FULL OUTER + coalesce.
+    "q121_merge_upsert" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |t AS (SELECT k, cents FROM o WHERE k % 5 <> 4),
+        |b AS (SELECT k, cents AS v, 'I' AS op FROM o WHERE k % 5 = 4
+        | UNION ALL SELECT k, cents + 7, 'U' FROM o WHERE k % 5 = 0
+        | UNION ALL SELECT k, NULL, 'D' FROM o WHERE k % 5 = 1)
+        |SELECT coalesce(t.k, b.k) AS o_orderkey,
+        | coalesce(b.v, t.cents) AS cents
+        |FROM t FULL OUTER JOIN b ON b.k = t.k
+        |WHERE b.op IS NULL OR b.op <> 'D'""".stripMargin
   )
 }
