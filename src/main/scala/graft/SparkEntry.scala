@@ -1425,6 +1425,23 @@ object SparkEntry {
         .unionByName(o.where(pmod(col("o_orderkey"), lit(5L)) === 1L)
           .select(col("o_orderkey"), lit(null).cast("long").as("cents"), lit("D").as("op")))
       CdcOps.mergeApply(target, batch, "o_orderkey", "cents", "op")
+    }),
+
+    // Degree-oriented triangle counting over a literal ring+chord link
+    // graph (i->i+1, i->i+2, i->31i+7 mod 500 — every consecutive
+    // triple plus chords closes triangles, so the zero answer can't
+    // pass vacuously): orientation caps every out-degree at O(sqrt(m)),
+    // so the wedge join stays O(m^1.5) on ANY graph — the oracle counts
+    // the same triangles via an independent a<b<c three-way self-join.
+    "q122_triangles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          pmod(did + 1L, lit(500L)).as("dst"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did + 2L, lit(500L)).as("dst")))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst")))
+      GraphOps.triangleCount(edges)
     })
   )
 
@@ -3198,6 +3215,25 @@ object SparkEntry {
         |SELECT coalesce(t.k, b.k) AS o_orderkey,
         | coalesce(b.v, t.cents) AS cents
         |FROM t FULL OUTER JOIN b ON b.k = t.k
-        |WHERE b.op IS NULL OR b.op <> 'D'""".stripMargin
+        |WHERE b.op IS NULL OR b.op <> 'D'""".stripMargin,
+
+    // Independent formulation: canonical a<b edges, triangles counted
+    // by the ordered three-way self-join — no orientation trick, so a
+    // wrong orientation on the Spark side cannot self-confirm.
+    "q122_triangles" ->
+      """WITH e0 AS (SELECT doc_id AS src, (doc_id + 1) % 500 AS dst FROM documents
+        | UNION ALL
+        | SELECT doc_id, (doc_id + 2) % 500 FROM documents
+        | UNION ALL
+        | SELECT doc_id, (doc_id * 31 + 7) % 500 FROM documents),
+        |c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        | FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT a AS id FROM c UNION SELECT b FROM c),
+        |tri AS (SELECT count(*) AS t FROM c e1
+        |  JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+        | (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_edges,
+        | (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles""".stripMargin
   )
 }

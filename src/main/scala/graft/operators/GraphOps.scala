@@ -59,4 +59,54 @@ object GraphOps {
     }
     rank.select(col("id"), col("r").as("rank_fp"))
   }
+
+  /** Global triangle count (plus node/edge counts) over an undirected
+    * graph given as a (src, dst) edge list — the clustering signal that
+    * separates organic link neighborhoods from link farms in web-corpus
+    * curation.
+    *
+    * Degree-ordered orientation (Cohen, CiSE 2009): each canonical
+    * edge points from the endpoint with the smaller (degree, id) to the
+    * larger, so every out-degree is O(sqrt(m)) on any graph — the wedge
+    * join (the quadratic step of a naive approach) generates at most
+    * O(m^1.5) candidate wedges, each closed by ONE equi-join probe
+    * against the oriented edge set. Both joins are partial-agg-free
+    * shuffles on node keys; nothing is ever collected.
+    *
+    * A triangle {x, y, z} is counted exactly once: orientation is a DAG
+    * under a total order, so the wedge forms only at the minimum vertex
+    * and the closing edge has one canonical direction.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val c = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = c.select(col("a").as("id"))
+      .unionAll(c.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient each edge low -> high in the (deg, id) total order
+    val oriented = c
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val ok = oriented
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("dv"))
+    // wedges at the minimum vertex: two out-edges (u->v, u->w), ordered
+    // so the closing oriented edge can only be v->w
+    val wedges = ok.select(col("u"), col("v"), col("dv"))
+      .join(ok.select(col("u"), col("v").as("w"), col("dv").as("dw")), "u")
+      .where(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .select(col("v").as("u"), col("w").as("v"))
+    val tri = wedges.join(oriented, Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = c.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(tri)
+  }
 }

@@ -40,4 +40,37 @@ class GraphOpsSpec extends SparkSpec {
     // 3-cycle: perfect symmetry, exactly equal ranks
     assert(r1(1L) == r1(2L) && r1(2L) == r1(3L))
   }
+
+  private def triCount(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = GraphOps.triangleCount(edges.toDF("src", "dst")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangleCount on known graphs: K4, pendant, square, self-loops/dups") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(triCount(k4) == ((4L, 6L, 4L)))
+    // K4 + pendant edge: no new triangle
+    assert(triCount(k4 :+ ((3L, 9L))) == ((5L, 7L, 4L)))
+    // 4-cycle: no triangles
+    assert(triCount(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) == ((4L, 4L, 0L)))
+    // duplicates / reversed copies / self-loops collapse
+    assert(triCount(Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (2L, 2L),
+      (0L, 1L))) == ((3L, 3L, 1L)))
+  }
+
+  test("triangleCount matches a naive all-triples count on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val canon = edges.collect {
+      case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+    }.toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val naive = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      if canon((nodes(i), nodes(j))) && canon((nodes(j), nodes(k))) &&
+        canon((nodes(i), nodes(k)))
+    } yield 1).size.toLong
+    val (n, m, t) = triCount(edges)
+    assert((n, m, t) == ((nodes.size.toLong, canon.size.toLong, naive)))
+  }
 }
