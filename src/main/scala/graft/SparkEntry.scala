@@ -1442,6 +1442,23 @@ object SparkEntry {
         .unionByName(docs.select(did.as("src"),
           pmod(did * 31L + 7L, lit(500L)).as("dst")))
       GraphOps.triangleCount(edges)
+    }),
+
+    // Corpus-frequent n-gram exposure (repeated-span contamination, Lee
+    // et al. ACL 2022): every doc_id%4==0 doc gets a planted boilerplate
+    // footer, so its 5-grams are corpus-frequent (df ~ N/4) while
+    // organic 5-grams stay rare — the per-doc frequent fraction
+    // separates them. Shingles shuffle once; the frequent set is
+    // bounded by actual boilerplate volume.
+    "q123_ngram_contam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(did.as("doc_id"),
+        when(pmod(did, lit(4)) === 0,
+          concat(col("text"),
+            lit(" subscribe to our newsletter for daily updates today")))
+          .otherwise(col("text")).as("text"))
+      DedupOps.frequentShingleStats(corpus, "doc_id", "text",
+        shingleN = 5, minDf = 5)
     })
   )
 
@@ -3234,6 +3251,36 @@ object SparkEntry {
         |  JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
         | (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_edges,
-        | (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles""".stripMargin
+        | (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    // Same planted boilerplate, same 5-gram shingling as the minhash
+    // chain (1-based inclusive slices), integer basis points.
+    "q123_ngram_contam" ->
+      s"""WITH corpus AS (SELECT doc_id AS id,
+         |  CASE WHEN doc_id % 4 = 0
+         |   THEN text || ' subscribe to our newsletter for daily updates today'
+         |   ELSE text END AS text
+         | FROM documents),
+         |t AS (SELECT id, $toksSql AS toks FROM corpus),
+         |shl AS (SELECT id, CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(toks) - 3),
+         |    i -> array_to_string(toks[i:i+4], ' ')) END AS shs FROM t),
+         |sh AS (SELECT DISTINCT id, unnest(shs) AS s FROM shl),
+         |dfq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 5),
+         |tot AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY 1),
+         |nf AS (SELECT sh.id, count(*) AS n_frequent FROM sh
+         | JOIN dfq USING (s) GROUP BY 1)
+         |SELECT c.id,
+         | CAST(coalesce(tot.n_shingles, 0) AS BIGINT) AS n_shingles,
+         | CAST(coalesce(nf.n_frequent, 0) AS BIGINT) AS n_frequent,
+         | CAST(CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0
+         |  ELSE (coalesce(nf.n_frequent, 0) * 10000) // tot.n_shingles
+         |  END AS BIGINT) AS frequent_bp,
+         | CAST(CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0
+         |  ELSE (coalesce(nf.n_frequent, 0) * 10000) // tot.n_shingles
+         |  END AS BIGINT) >= 5000 AS flagged
+         |FROM corpus c
+         |LEFT JOIN tot ON tot.id = c.id
+         |LEFT JOIN nf ON nf.id = c.id""".stripMargin
   )
 }

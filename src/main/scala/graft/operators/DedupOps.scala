@@ -785,4 +785,43 @@ object DedupOps {
         coalesce(col("component"), col("id")).as("cluster"),
         (coalesce(col("component"), col("id")) === col("id")).as("keep"))
   }
+
+  /** Per-document corpus-frequent n-gram exposure — the repeated-span
+    * contamination signal of Lee et al. (ACL 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): a shingle occurring
+    * in ≥ `minDf` distinct documents is boilerplate/template text, and
+    * a document dominated by such shingles is low-value even when no
+    * single whole-doc duplicate exists (the case exact dedup and
+    * MinHash both miss).
+    *
+    * Returns (id, n_shingles, n_frequent, frequent_bp, flagged):
+    * distinct n-gram count, how many of those are corpus-frequent, the
+    * frequent fraction in integer basis points (hash-exact), and the
+    * ≥50% flag.
+    *
+    * Scale shape: one shingle pass per doc (the [[wordShingleRows]]
+    * kernel), doc-frequency by partial-aggregated count of ALREADY
+    * per-doc-distinct shingles, and the frequent set — bounded by how
+    * much text is actually boilerplate — comes back as a semi-join
+    * that AQE broadcasts when small. Raw shingles cross the wire once.
+    */
+  def frequentShingleStats(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, minDf: Long): DataFrame = {
+    val pairs = wordShingleRows(docs, idCol, textCol, shingleN)
+      .select(col("id"), explode(col("sh")).as("s"))
+    val freq = pairs.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf).select("s")
+    val tot = pairs.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val nf = pairs.join(freq, Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_frequent"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(tot, Seq("id"), "left").join(nf, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_frequent"), lit(0L)).as("n_frequent"))
+      .withColumn("frequent_bp",
+        when(col("n_shingles") === 0L, lit(0L))
+          .otherwise(expr("(n_frequent * 10000) div n_shingles")))
+      .withColumn("flagged", col("frequent_bp") >= 5000L)
+  }
 }

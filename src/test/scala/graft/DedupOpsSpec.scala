@@ -273,4 +273,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(comp == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 17L -> 17L, 42L -> 17L))
     graft.GraftCache.releaseAll(spark)
   }
+
+  test("frequentShingleStats: planted boilerplate counted, organic text not") {
+    // 5 docs share a 6-word footer (two 5-grams, df=5); one doc is pure
+    // boilerplate; one unique doc and one too-short doc stay at zero
+    val footer = "one two three four five six"
+    val docs = ((0 until 5).map(i => (i.toLong, s"unique$i words here padding $footer"))
+      ++ Seq((10L, footer), (11L, "completely original text with no repeats at all"),
+        (12L, "too short"))).toDF("id", "text")
+    val out = DedupOps.frequentShingleStats(docs, "id", "text", shingleN = 5, minDf = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // footer alone = 2 distinct 5-grams, both frequent (df = 6 docs)
+    assert(out(10L) == ((2L, 2L, 10000L, true)))
+    // shared-footer docs: 6 shingles each; only the one containing the
+    // doc-unique first token is rare — the other 5 appear in all 5 docs
+    (0 until 5).foreach { i =>
+      val (n, f, bp, fl) = out(i.toLong)
+      assert(n == 6L && f == 5L && bp == 8333L && fl, s"doc $i: $n $f $bp $fl")
+    }
+    assert(out(11L) == ((4L, 0L, 0L, false)))
+    assert(out(12L) == ((0L, 0L, 0L, false)))
+  }
 }
