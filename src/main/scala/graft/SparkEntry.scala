@@ -1459,6 +1459,19 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       DedupOps.frequentShingleStats(corpus, "doc_id", "text",
         shingleN = 5, minDf = 5)
+    }),
+
+    // Per-user integer EWMA anomaly flags: one shuffle on the key, each
+    // user's history consumed as a sorted stream with O(1) state (the
+    // mapGroupsWithState batch twin). All-integer recurrence
+    // s_t = (7*s_{t-1} + x) div 8, so the oracle's recursive CTE
+    // reproduces every state bit-for-bit.
+    "q124_ewma_spikes" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      TimeSeriesOps.ewmaSpikes(ev, "user_id", "ts_us", "event_id", "cents")
+        .withColumnRenamed("value", "cents")
     })
   )
 
@@ -3281,6 +3294,28 @@ object SparkEntry {
          |  END AS BIGINT) >= 5000 AS flagged
          |FROM corpus c
          |LEFT JOIN tot ON tot.id = c.id
-         |LEFT JOIN nf ON nf.id = c.id""".stripMargin
+         |LEFT JOIN nf ON nf.id = c.id""".stripMargin,
+
+    // The EWMA recurrence unrolled as a recursive CTE over per-user row
+    // numbers; (ts, event_id) is the same total order, // the same
+    // floor division (operands non-negative).
+    "q124_ewma_spikes" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        |r AS (
+        | SELECT user_id, event_id, cents, rn, cents AS ewma FROM e WHERE rn = 1
+        | UNION ALL
+        | SELECT e.user_id, e.event_id, e.cents, e.rn, (r.ewma * 7 + e.cents) // 8
+        | FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+        |p AS (SELECT user_id, event_id, cents, ewma, rn,
+        |  lag(ewma) OVER (PARTITION BY user_id ORDER BY rn) AS pewma FROM r)
+        |SELECT event_id, user_id, cents,
+        | CAST(CASE WHEN rn = 1 THEN cents ELSE pewma END AS BIGINT) AS ewma_prev,
+        | CAST(ewma AS BIGINT) AS ewma,
+        | CASE WHEN rn = 1 THEN FALSE
+        |  ELSE abs(cents - pewma) > 30000 END AS spike
+        |FROM p""".stripMargin
   )
 }
