@@ -1472,6 +1472,15 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents"))
       TimeSeriesOps.ewmaSpikes(ev, "user_id", "ts_us", "event_id", "cents")
         .withColumnRenamed("value", "cents")
+    }),
+
+    // Product-quantization ANN: vectors compress to 8 one-byte codes
+    // (the 64x memory shape of a 100 TB vector store); queries score by
+    // summing integer distance-table lookups over codes — raw vectors
+    // never shuffle. Sampled codebook + int8 affine make every step
+    // integer-exact, so the oracle re-derives codes and tables.
+    "q125_pq_ann" -> ((s, d) => {
+      SimilarityOps.pqTopK(Tables.embeddings(s, d))
     })
   )
 
@@ -3316,6 +3325,43 @@ object SparkEntry {
         | CAST(ewma AS BIGINT) AS ewma,
         | CASE WHEN rn = 1 THEN FALSE
         |  ELSE abs(cents - pewma) > 30000 END AS spike
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // Identical int8 affine (q114), identical sampled codebook (entry
+    // (s, c) = subspace-s slice of vector s*16+c), argmin squared-L2
+    // with (dist, c) tie-break, ADC = sum of integer table lookups.
+    "q125_pq_ann" ->
+      """WITH st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
+        |st AS (SELECT mn,
+        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
+        |q AS (SELECT vec_id AS id, list_transform(embedding, x ->
+        |  CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
+        | FROM embeddings CROSS JOIN st),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |sub AS (SELECT q.id, ss.s, q.cv[ss.s*8+1 : ss.s*8+8] AS sv
+        | FROM q CROSS JOIN ss),
+        |cb AS (SELECT s, id % 16 AS c, sv AS cvec FROM sub
+        | WHERE id < 128 AND s = id // 16),
+        |enc AS (SELECT sub.id, sub.s, cb.c,
+        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
+        |    p -> CAST(p[1] - p[2] AS BIGINT) * CAST(p[1] - p[2] AS BIGINT)))
+        |   AS BIGINT) AS dist
+        | FROM sub JOIN cb ON cb.s = sub.s),
+        |codes AS (SELECT id, s, c FROM (
+        |  SELECT id, s, c,
+        |   row_number() OVER (PARTITION BY id, s ORDER BY dist, c) AS rk FROM enc)
+        | WHERE rk = 1),
+        |dt AS (SELECT sub.id AS qid, sub.s, cb.c,
+        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
+        |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS dot
+        | FROM sub JOIN cb ON cb.s = sub.s WHERE sub.id < 8),
+        |adc AS (SELECT dt.qid, codes.id AS nid, CAST(sum(dt.dot) AS BIGINT) AS adp
+        | FROM codes JOIN dt ON dt.s = codes.s AND dt.c = codes.c
+        | WHERE dt.qid <> codes.id GROUP BY 1, 2),
+        |w AS (SELECT qid, nid, adp,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adp DESC, nid) AS rk FROM adc)
+        |SELECT qid AS query_id, nid AS neighbor_id, adp, CAST(rk AS BIGINT) AS rank
+        |FROM w WHERE rk <= 5""".stripMargin
   )
 }

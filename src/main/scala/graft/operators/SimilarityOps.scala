@@ -275,4 +275,79 @@ object SimilarityOps {
       .where(col("sim") >= minCosine)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011) — the memory
+    * shape of a genuinely huge vector store: each `dim`-dimensional
+    * vector compresses to `m` one-byte codes (64× smaller than float32
+    * at dim=64/m=8), and query scoring touches ONLY codes plus a
+    * per-query distance table.
+    *
+    * Everything is integer-exact so the result is oracle-reproducible:
+    * vectors first quantize to int8 on the global (min, scale) affine
+    * (the q114 discipline), the codebook for subspace s is the s-th
+    * subvector of the first m×k corpus vectors (a deterministic sampled
+    * codebook — trained centroids swap in unchanged), assignment is
+    * argmin integer squared-L2 (ties to the lowest code), and the
+    * asymmetric-distance score is the sum of m integer dot-product
+    * table lookups.
+    *
+    * Scale shape: the codebook (m×k subvectors) and the per-query
+    * tables (|Q|×m×k longs) broadcast; encoding is a per-row broadcast
+    * join + partial-agg argmin (the n·m·k PQ encode cost); scoring
+    * joins CODES — never vectors — against the tables and top-k's
+    * through the bounded-heap [[TopK]] partial aggregation. Raw
+    * embeddings never shuffle.
+    */
+  def pqTopK(emb: DataFrame, numQueries: Int = 8, dim: Int = 64,
+             m: Int = 8, k: Int = 16, topK: Int = 5,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val stats = emb.agg(
+      min(array_min(col(vecCol))).cast("double").as("mn"),
+      max(array_max(col(vecCol))).cast("double").as("mx"))
+      .select(col("mn"),
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(lit(254.0) / (col("mx") - col("mn"))).as("sc"))
+    val qexpr = expr(s"transform($vecCol, x -> " +
+      "CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INT) - 127)")
+    val qemb = emb.crossJoin(broadcast(stats))
+      .select(col(idCol).cast("long").as("id"), qexpr.as("cv"))
+    // one row per (vector, subspace): the 8-dim integer subvector
+    val sub = qemb.select(col("id"),
+        explode(array((0 until m).map(lit): _*)).as("s"),
+        col("cv"))
+      .select(col("id"), col("s"),
+        slice(col("cv"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+    // sampled codebook: entry (s, c) = subspace-s slice of vector s*k+c
+    val cb = broadcast(sub.where(col("id") < m.toLong * k &&
+        col("s") === expr(s"id div $k"))
+      .select(col("s"), pmod(col("id"), lit(k.toLong)).as("c"),
+        col("sv").as("cvec")))
+    val sqDist = expr("aggregate(zip_with(sv, cvec, " +
+      "(x, y) -> CAST(x - y AS BIGINT) * CAST(x - y AS BIGINT)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val codes = sub.join(cb, Seq("s"))
+      .select(col("id"), col("s"), col("c"), sqDist.as("dist"))
+      .groupBy("id", "s")
+      .agg(min_by(col("c"), struct(col("dist"), col("c"))).as("c"))
+    // per-query dot-product tables over the SAME codebook
+    val dots = expr("aggregate(zip_with(sv, cvec, " +
+      "(x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val dt = broadcast(sub.where(col("id") < numQueries)
+      .select(col("id").as("qid"), col("s"), col("sv"))
+      .join(cb, Seq("s"))
+      .select(col("qid"), col("s"), col("c"), dots.as("dot")))
+    val adc = codes.join(dt, Seq("s", "c"))
+      .where(col("qid") =!= col("id"))
+      .groupBy("qid", "id").agg(sum("dot").as("adp"))
+    adc.groupBy("qid")
+      .agg(TopK.topK(topK)(col("adp").cast("double"), col("id")).as("topk"))
+      .select(col("qid").as("query_id"),
+        posexplode(col("topk")).as(Seq("rank0", "nb")))
+      .select(col("query_id"), col("nb.neighborId").as("neighbor_id"),
+        col("nb.sim").cast("long").as("adp"),
+        (col("rank0") + 1).cast("long").as("rank"))
+  }
 }

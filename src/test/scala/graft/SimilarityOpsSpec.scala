@@ -95,4 +95,42 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(agg(q).sortBy(t => (-t._2, t._3)).toSeq == exp.toSeq)
     }
   }
+
+  test("pqTopK is EXACT when every subvector comes from the codebook") {
+    // dim=8, m=2, k=4: codebook subspace 0 = first halves of vecs 0..3,
+    // subspace 1 = second halves of vecs 4..7. A corpus built only from
+    // those halves has zero quantization error, so the ADC ranking must
+    // equal the exact int8 dot-product ranking.
+    val rnd = new scala.util.Random(11)
+    // every vector is a_i ++ b_j: vecs 0..3 put a_0..a_3 in subspace 0
+    // (the s=0 codebook), vecs 4..7 put b_0..b_3 in subspace 1 (the
+    // s=1 codebook), so ALL 24 vectors quantize with zero error
+    val a = Array.fill(4, 4)(rnd.nextFloat() * 2f - 1f)
+    val b = Array.fill(4, 4)(rnd.nextFloat() * 2f - 1f)
+    val baseV = (0 until 4).map(c => a(c) ++ b((c + 1) % 4)) ++
+      (0 until 4).map(c => a((c + 2) % 4) ++ b(c))
+    val mixed = for (i <- 0 until 4; j <- 0 until 4) yield a(i) ++ b(j)
+    val all = (baseV ++ mixed).toIndexedSeq
+    val emb = all.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.pqTopK(emb, numQueries = 2, dim = 8, m = 2,
+        k = 4, topK = 5)
+      .select("query_id", "neighbor_id", "adp", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+
+    // replicate the affine int8 quantization exactly
+    val allVals = all.flatten
+    val (mn, mx) = (allVals.min.toDouble, allVals.max.toDouble)
+    val sc = if (mx == mn) 0.0 else 254.0 / (mx - mn)
+    def q8(x: Float): Long = math.floor((x.toDouble - mn) * sc + 0.5).toLong - 127
+    val ints = all.map(_.map(q8))
+    val expected = (0 until 2).map { qi =>
+      val scored = all.indices.filter(_ != qi).map { ni =>
+        (ni.toLong, ints(qi).zip(ints(ni)).map { case (a, b) => a * b }.sum)
+      }
+      qi.toLong -> scored.sortBy { case (id, dp) => (-dp, id) }.take(5).map(_._1)
+    }.toMap
+    assert(out == expected)
+  }
 }
