@@ -1481,6 +1481,42 @@ object SparkEntry {
     // integer-exact, so the oracle re-derives codes and tables.
     "q125_pq_ann" -> ((s, d) => {
       SimilarityOps.pqTopK(Tables.embeddings(s, d))
+    }),
+
+    // Per-source document cap (domain balancing): at most 20 docs per
+    // source, picked by the portable md5 hash of the id — append-stable
+    // (new docs in other sources never change a source's picks) and
+    // engine-reproducible.
+    "q126_capped_sample" -> ((s, d) =>
+      SampleOps.cappedPerGroup(Tables.documents(s, d), "source", "doc_id",
+        cap = 20)),
+
+    // Winsorization at per-source exact p05/p95 from the distinct-cell
+    // histogram (q56 machinery): group quantiles ride a cell-level
+    // shuffle, the bounded quantile frame broadcasts back onto the
+    // corpus — outlier clipping without ever sorting rows globally.
+    "q128_winsorize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val qs = PercentileOps.histogramQuantiles(docs, "source", "n_chars",
+        Seq("p05" -> 0.05, "p95" -> 0.95), decimals = 0)
+      docs.join(broadcast(qs), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("p05"), col("p95"),
+          least(greatest(col("n_chars").cast("double"), col("p05")),
+            col("p95")).cast("long").as("clipped"))
+    }),
+
+    // Per-type daily-volume trend as an EXACT integer rational
+    // (slope = slope_num/slope_den from integer moments): "is this
+    // event type growing?" with no float accumulation anywhere. Five
+    // moments per group cross the wire, never rows.
+    "q130_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
+      TimeSeriesOps.integerTrend(daily, "event_type", "x", "y")
     })
   )
 
@@ -3362,6 +3398,50 @@ object SparkEntry {
         |w AS (SELECT qid, nid, adp,
         |  row_number() OVER (PARTITION BY qid ORDER BY adp DESC, nid) AS rk FROM adc)
         |SELECT qid AS query_id, nid AS neighbor_id, adp, CAST(rk AS BIGINT) AS rank
-        |FROM w WHERE rk <= 5""".stripMargin
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+    // Same md5 ordering, same (hash, id) tie-break.
+    "q126_capped_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        | FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+        | FROM h)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS pick_rank
+        |FROM r WHERE rk <= 20""".stripMargin,
+
+    // The q56 cum/total cell chain at decimals=0, then clip.
+    "q128_winsorize" ->
+      """WITH c AS (SELECT source, floor(n_chars * 1.0) / 1.0 AS qval,
+        |  count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |w AS (SELECT source, qval,
+        |  sum(cnt) OVER (PARTITION BY source ORDER BY qval
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY source) AS total FROM c),
+        |q AS (SELECT source,
+        |  min(CASE WHEN cum >= ceil(total * 0.05) THEN qval END) AS p05,
+        |  min(CASE WHEN cum >= ceil(total * 0.95) THEN qval END) AS p95
+        | FROM w GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars, q.p05, q.p95,
+        | CAST(least(greatest(CAST(d.n_chars AS DOUBLE), q.p05), q.p95) AS BIGINT) AS clipped
+        |FROM documents d JOIN q ON q.source = d.source""".stripMargin,
+
+    // Same integer moments, same closed-form rational slope.
+    "q130_trend" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS y FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |  CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x,
+        |  CAST(y AS BIGINT) AS y FROM daily),
+        |a AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx FROM m GROUP BY 1)
+        |SELECT event_type, n,
+        | n * sxy - sx * sy AS slope_num,
+        | n * sxx - sx * sx AS slope_den,
+        | n * sxy - sx * sy > 0 AS rising
+        |FROM a""".stripMargin
   )
 }

@@ -130,4 +130,30 @@ object SampleOps {
       .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("pack_id", floor(col("start_offset") / budget).cast("long"))
   }
+
+  /** Keep at most `cap` rows per group, picked by the portable hash of
+    * the id — the domain-balancing rule of web-corpus pipelines (no
+    * single source may dominate the mix), with the same append-stable
+    * determinism as [[hashSplit]]: a row's hash never changes, so
+    * adding documents to OTHER groups never changes a group's picks,
+    * and re-runs reproduce the sample bit-for-bit in any engine
+    * sharing md5.
+    *
+    * Returns the kept rows as (idCol, groupCol, pick_rank). Scale
+    * shape: one shuffle on the group; the per-group window sort spills
+    * and is bounded by the hottest group's row count (the q102 skew
+    * bound — for pathological single-group skew, pre-filter with an
+    * approximate per-group count and sample the hot group in shards).
+    */
+  def cappedPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                     cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("_h"), col(idCol))
+    df.select(col(idCol), col(groupCol),
+        graft.functions.HashFunctions.portableHash60(col(idCol)).as("_h"))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .where(col("pick_rank") <= cap)
+      .select(col(idCol), col(groupCol), col("pick_rank"))
+  }
 }

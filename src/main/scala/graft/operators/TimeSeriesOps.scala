@@ -52,4 +52,32 @@ object TimeSeriesOps {
       }(Encoders.product[(Long, Long, Long, Long, Long, Boolean)])
       .toDF(seqCol, keyCol, "value", "ewma_prev", "ewma", "spike")
   }
+
+  /** Per-group least-squares trend as an EXACT integer rational: for
+    * y over x, slope = slope_num / slope_den with
+    * slope_num = n·Σxy − Σx·Σy and slope_den = n·Σx² − (Σx)² — the
+    * closed form from integer moments only, so detection ("is this
+    * source growing?") never depends on float summation order. The
+    * denominator is ≥ 0 (Cauchy–Schwarz; 0 iff all x equal, where the
+    * slope is undefined and `rising` is false).
+    *
+    * Scale shape: one partial-aggregated pass — five integer moments
+    * per group cross the wire, never rows. Caller must bound
+    * |x|,|y| ≲ 2^20 per group-size ≲ 2^20 to keep n·Σxy within int64
+    * (true for any per-source daily-count series; use day indexes, not
+    * epoch micros, as x).
+    */
+  def integerTrend(df: DataFrame, groupCol: String, xCol: String,
+                   yCol: String): DataFrame =
+    df.select(col(groupCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(groupCol).agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(groupCol), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        (col("n") * col("sxy") - col("sx") * col("sy") > 0L).as("rising"))
 }

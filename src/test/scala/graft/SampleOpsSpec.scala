@@ -107,4 +107,21 @@ class SampleOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(out.filter(_._2 == "c2").map(_._1).toSet == flat)
   }
+
+  test("cappedPerGroup respects the cap and is append-stable across groups") {
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val picks = SampleOps.cappedPerGroup(df, "grp", "id", cap = 10)
+      .select("id", "grp").as[(Long, String)].collect()
+    assert(picks.groupBy(_._2).forall(_._2.length == 10))
+    // growing OTHER groups never changes g1's picks
+    val grown = df.unionAll(
+      (1000 to 1300).map(i => (i.toLong, s"g${2 * (i % 2)}")).toDF("id", "grp"))
+    val g1After = SampleOps.cappedPerGroup(grown, "grp", "id", cap = 10)
+      .where(col("grp") === "g1").select("id").as[Long].collect().toSet
+    assert(g1After == picks.filter(_._2 == "g1").map(_._1).toSet)
+    // a group smaller than the cap is kept whole
+    val tiny = SampleOps.cappedPerGroup(
+      (1 to 4).map(i => (i.toLong, "solo")).toDF("id", "grp"), "grp", "id", 10)
+    assert(tiny.count() == 4)
+  }
 }

@@ -43,4 +43,21 @@ class TimeSeriesOpsSpec extends SparkSpec {
     // key 3 unaffected by key 2's history
     assert(out((3L, 1L)) == 50L)
   }
+
+  test("integerTrend: exact rational slope, falling series, degenerate x") {
+    val pts =
+      (0 to 9).map(x => ("up", x.toLong, 2L * x + 5)) ++     // slope exactly 2
+      (0 to 9).map(x => ("down", x.toLong, 100L - 3 * x)) ++ // slope exactly -3
+      Seq(("flat_x", 4L, 1L), ("flat_x", 4L, 9L))            // all x equal
+    val out = TimeSeriesOps.integerTrend(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val (nU, numU, denU, risingU) = out("up")
+    assert(nU == 10L && numU == 2L * denU && denU > 0L && risingU)
+    val (_, numD, denD, risingD) = out("down")
+    assert(numD == -3L * denD && !risingD)
+    val (_, numF, denF, risingF) = out("flat_x")
+    assert(numF == 0L && denF == 0L && !risingF)
+  }
 }
