@@ -1517,7 +1517,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("y"))
         .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
       TimeSeriesOps.integerTrend(daily, "event_type", "x", "y")
-    })
+    }),
+
+    // Inverted-index materialization: term -> (df, gap-compressed
+    // sorted posting list) — the artifact BM25 reads instead of
+    // re-tokenizing the corpus per query. (id, term) pairs shuffle
+    // once; per-term state is the posting list itself (stop-words
+    // shard-and-merge in production).
+    "q129_inverted_index" -> ((s, d) =>
+      RetrievalOps.invertedIndex(Tables.documents(s, d), "doc_id", "text")),
+
+    // EXACT similarity join via prefix filtering (PPJoin): candidates
+    // must share one of each doc's rarest (n - ceil(t*n) + 1) shingles
+    // — no LSH false negatives. The oracle knows nothing about prefixes
+    // (it joins ALL shared shingles), so a wrong prefix bound that
+    // drops a true pair cannot self-confirm.
+    "q131_prefix_join" -> ((s, d) =>
+      DedupOps.prefixFilterJoin(dupCorpus(Tables.documents(s, d)),
+        "id", "text", minJaccard = 0.7))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -3442,6 +3459,47 @@ object SparkEntry {
         | n * sxy - sx * sy AS slope_num,
         | n * sxx - sx * sx AS slope_den,
         | n * sxy - sx * sy > 0 AS rising
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Same lowercase tokenization; gaps rebuilt with lag() instead of
+    // the list transform — an independent formulation of the same
+    // encoding.
+    "q129_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  CASE WHEN lower($cleanSql) = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
+         | FROM documents),
+         |tok AS (SELECT DISTINCT id, unnest(toks) AS term FROM t),
+         |w AS (SELECT term, id,
+         |  id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), 0) AS gap
+         | FROM tok)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         | string_agg(CAST(gap AS VARCHAR), ',' ORDER BY id) AS gaps_csv
+         |FROM w GROUP BY term""".stripMargin,
+
+    // Brute-force exact Jaccard over ALL shared-shingle pairs — no
+    // prefix logic, so the oracle independently certifies the prefix
+    // filter's no-false-negative guarantee on this corpus.
+    "q131_prefix_join" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' FROM documents),
+         |t AS (SELECT id, $toksSql AS toks FROM corpus),
+         |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' ')) END AS shs FROM t),
+         |sh AS (SELECT DISTINCT id,
+         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         | FROM (SELECT id, unnest(shs) AS s FROM shl)),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS m
+         | FROM sh a JOIN sh b ON b.h = a.h AND b.id > a.id GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         | floor((CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.id = i.id_a
+         |JOIN sizes sb ON sb.id = i.id_b
+         |WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7""".stripMargin
   )
 }

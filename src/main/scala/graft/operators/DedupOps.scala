@@ -4,6 +4,7 @@ import graft.GraftCache
 import graft.functions.{HashFunctions => H, Rounding, TextFunctions => T}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.storage.StorageLevel
@@ -784,6 +785,52 @@ object DedupOps {
       .select(col("id"),
         coalesce(col("component"), col("id")).as("cluster"),
         (coalesce(col("component"), col("id")) === col("id")).as("keep"))
+  }
+
+  /** EXACT similarity join via prefix filtering (PPJoin family,
+    * Xiao et al. WWW 2008) — the no-false-negative alternative to
+    * MinHash-LSH: two documents with Jaccard ≥ t MUST share at least
+    * one shingle among each document's (n − ⌈t·n⌉ + 1) globally rarest
+    * shingles, because J ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, and missing every
+    * prefix element leaves at most n − prefix < ⌈t·n⌉ shared. So the
+    * candidate join runs on PREFIXES only; exact Jaccard verifies.
+    *
+    * Scale shape: shingle doc-frequencies partial-aggregate; the
+    * global rarity order makes prefixes land on RARE shingles, so
+    * prefix buckets stay small exactly where a naive shingle join
+    * explodes (stop-shingles rank last and almost never enter a
+    * prefix). One per-doc window (bounded by shingle count) ranks
+    * shingles; verification is candidate-bounded, reusing the portable
+    * md5 shingle hashes so the whole join is oracle-reproducible.
+    */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+                       minJaccard: Double = 0.7,
+                       shingleN: Int = 3): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val hs = GraftCache.register(
+      hashedShingleRowsPortable(docs, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sh = hs.select(col("id"), explode(col("hs")).as("h"))
+    val dfh = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("id").orderBy("df", "h")
+    val wAll = Window.partitionBy("id")
+    val pref = sh.join(dfh, "h")
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .where(col("rnk") <= col("n") - ceil(col("n") * minJaccard) + lit(1))
+      .select(col("id"), col("h"))
+    val cand = pref.select(col("h"), col("id").as("id_a"))
+      .join(pref.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
+      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        Rounding.half4(col("jaccard")).as("jaccard"))
   }
 
   /** Per-document corpus-frequent n-gram exposure — the repeated-span

@@ -93,4 +93,32 @@ object RetrievalOps {
       .orderBy(desc("rrf"), col(idCol))
       .limit(topK)
   }
+
+  /** Materialize the inverted index itself: one row per term with its
+    * document frequency and the delta-encoded (gap-compressed) sorted
+    * posting list — the storage artifact [[bm25]] implicitly rebuilds
+    * per query, written out once so retrieval reads postings instead of
+    * re-tokenizing the corpus. Gap encoding (first id, then diffs) is
+    * the standard index compression prior (small ints → varint/PFor on
+    * disk); emitted as CSV text so the artifact is byte-comparable
+    * across engines.
+    *
+    * Scale shape: (id, term) pairs are distinct-ed and shuffled ONCE on
+    * the term; each posting list lives in one group whose state is the
+    * term's df — bounded for everything except stop-words, which a
+    * production index shards into blocks and merges (the same
+    * shard-then-merge shape as [[SketchOps.cmsMerge]]).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).cast("long").as("id"),
+        explode(T.tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    tok.groupBy("term")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(col("term"), size(col("ids")).cast("long").as("df"),
+        expr("array_join(transform(transform(ids, (x, i) -> " +
+          "CASE WHEN i = 0 THEN x ELSE x - ids[i-1] END), " +
+          "g -> CAST(g AS STRING)), ',')").as("gaps_csv"))
+  }
 }

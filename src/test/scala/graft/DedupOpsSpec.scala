@@ -296,4 +296,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(11L) == ((4L, 0L, 0L, false)))
     assert(out(12L) == ((0L, 0L, 0L, false)))
   }
+
+  test("prefixFilterJoin == brute-force exact Jaccard join (no false negatives)") {
+    // near-dup family around a base sentence + unrelated docs
+    val base = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"), (3L, "prefix " + base),
+      (4L, "totally different content about spark query engines"),
+      (5L, "totally different content about spark query planners"),
+      (6L, base)).toDF("id", "text")
+    val got = DedupOps.prefixFilterJoin(docs, "id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    // in-test brute force over ALL pairs from the same shingle rows
+    val hs = DedupOps.hashedShingleRowsPortable(docs, "id", "text", 3)
+      .as[(Long, Array[Long])].collect().toMap
+    val expected = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      inter = hs(a).toSet.intersect(hs(b).toSet).size
+      union = hs(a).toSet.union(hs(b).toSet).size
+      j = inter.toDouble / union if j >= 0.5
+    } yield (a, b, math.floor(j * 10000 + 0.5) / 10000)).toSet
+    assert(got == expected)
+    assert(expected.exists { case (a, b, _) => Set(a, b) == Set(1L, 6L) },
+      "planted exact pair must be present")
+    graft.GraftCache.releaseAll(spark)
+  }
 }

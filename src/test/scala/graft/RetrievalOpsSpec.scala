@@ -53,4 +53,25 @@ class RetrievalOpsSpec extends SparkSpec {
     // 1/(60+1) alone < 1/(60+2)+1/(60+1): fused strictly above any single-list doc
     assert(out.head._2 > out(1)._2)
   }
+
+  test("invertedIndex: known postings, gap encoding decodes to sorted ids") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "apple banana"), (10L, "Banana cherry"), (7L, "banana  apple"),
+      (1L, "")).toDF("doc_id", "text")
+    val idx = RetrievalOps.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // lowercased, per-doc distinct, sorted ids, gaps = first + diffs
+    assert(idx == Map(
+      "apple" -> ((2L, "3,4")),           // ids 3, 7
+      "banana" -> ((3L, "3,4,3")),        // ids 3, 7, 10
+      "cherry" -> ((1L, "10"))))
+    // decode law: cumulative sum of gaps reproduces the sorted id list
+    idx.values.foreach { case (df, csv) =>
+      val gaps = csv.split(",").map(_.toLong)
+      assert(gaps.length == df)
+      val ids = gaps.scanLeft(0L)(_ + _).drop(1)
+      assert(ids.sorted.sameElements(ids))
+    }
+  }
 }
