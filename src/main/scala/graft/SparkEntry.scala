@@ -1534,7 +1534,14 @@ object SparkEntry {
     // drops a true pair cannot self-confirm.
     "q131_prefix_join" -> ((s, d) =>
       DedupOps.prefixFilterJoin(dupCorpus(Tables.documents(s, d)),
-        "id", "text", minJaccard = 0.7))
+        "id", "text", minJaccard = 0.7)),
+
+    // IVF + PQ composed: centroid pruning cuts candidates to nprobe/
+    // nlist of the corpus, integer ADC scores only those candidates
+    // from codes — the full query path of a 100 TB vector store (with
+    // the q58 layout the probed lists also prune at the source).
+    "q127_ivfpq_ann" -> ((s, d) =>
+      SimilarityOps.ivfPqTopK(Tables.embeddings(s, d)))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -3500,6 +3507,47 @@ object SparkEntry {
          |FROM inter i
          |JOIN sizes sa ON sa.id = i.id_a
          |JOIN sizes sb ON sb.id = i.id_b
-         |WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7""".stripMargin
+         |WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7""".stripMargin,
+
+    // The q30 IVF pruning chain (a = assignments, p = probes) composed
+    // with the q125 PQ chain (codes, dt): ADC scores only probed pairs.
+    "q127_ivfpq_ann" ->
+      s"""WITH $ivfTopKCtes,
+        |st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
+        |st AS (SELECT mn,
+        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
+        |q AS (SELECT vec_id AS id, list_transform(embedding, x ->
+        |  CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
+        | FROM embeddings CROSS JOIN st),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |sub AS (SELECT q.id, ss.s, q.cv[ss.s*8+1 : ss.s*8+8] AS sv
+        | FROM q CROSS JOIN ss),
+        |cb AS (SELECT s, id % 16 AS c, sv AS cvec FROM sub
+        | WHERE id < 128 AND s = id // 16),
+        |enc AS (SELECT sub.id, sub.s, cb.c,
+        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
+        |    x -> CAST(x[1] - x[2] AS BIGINT) * CAST(x[1] - x[2] AS BIGINT)))
+        |   AS BIGINT) AS dist
+        | FROM sub JOIN cb ON cb.s = sub.s),
+        |codes AS (SELECT id, s, c FROM (
+        |  SELECT id, s, c,
+        |   row_number() OVER (PARTITION BY id, s ORDER BY dist, c) AS rk FROM enc)
+        | WHERE rk = 1),
+        |dt AS (SELECT sub.id AS qid, sub.s, cb.c,
+        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
+        |    x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS BIGINT) AS dot
+        | FROM sub JOIN cb ON cb.s = sub.s WHERE sub.id < 8),
+        |pairs AS (SELECT p.qid, a.nid FROM a JOIN p ON a.cid = p.cid
+        | WHERE p.qid <> a.nid),
+        |adc AS (SELECT pr.qid, pr.nid, CAST(sum(dt.dot) AS BIGINT) AS adp
+        | FROM pairs pr
+        | JOIN codes ON codes.id = pr.nid
+        | JOIN dt ON dt.qid = pr.qid AND dt.s = codes.s AND dt.c = codes.c
+        | GROUP BY 1, 2),
+        |w2 AS (SELECT qid, nid, adp,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adp DESC, nid) AS rk FROM adc)
+        |SELECT qid AS query_id, nid AS neighbor_id, adp, CAST(rk AS BIGINT) AS rank
+        |FROM w2 WHERE rk <= 5""".stripMargin
   )
 }

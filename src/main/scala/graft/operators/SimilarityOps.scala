@@ -276,31 +276,14 @@ object SimilarityOps {
       .select("id_a", "id_b", "sim")
   }
 
-  /** Product-quantization ANN (Jégou et al., TPAMI 2011) — the memory
-    * shape of a genuinely huge vector store: each `dim`-dimensional
-    * vector compresses to `m` one-byte codes (64× smaller than float32
-    * at dim=64/m=8), and query scoring touches ONLY codes plus a
-    * per-query distance table.
-    *
-    * Everything is integer-exact so the result is oracle-reproducible:
-    * vectors first quantize to int8 on the global (min, scale) affine
-    * (the q114 discipline), the codebook for subspace s is the s-th
-    * subvector of the first m×k corpus vectors (a deterministic sampled
-    * codebook — trained centroids swap in unchanged), assignment is
-    * argmin integer squared-L2 (ties to the lowest code), and the
-    * asymmetric-distance score is the sum of m integer dot-product
-    * table lookups.
-    *
-    * Scale shape: the codebook (m×k subvectors) and the per-query
-    * tables (|Q|×m×k longs) broadcast; encoding is a per-row broadcast
-    * join + partial-agg argmin (the n·m·k PQ encode cost); scoring
-    * joins CODES — never vectors — against the tables and top-k's
-    * through the bounded-heap [[TopK]] partial aggregation. Raw
-    * embeddings never shuffle.
+  /** PQ building blocks shared by [[pqTopK]] and [[ivfPqTopK]]: corpus
+    * codes (id, s, c) and per-query integer dot-product tables
+    * (qid, s, c, dot), both derived from the int8 affine + sampled
+    * codebook described at [[pqTopK]].
     */
-  def pqTopK(emb: DataFrame, numQueries: Int = 8, dim: Int = 64,
-             m: Int = 8, k: Int = 16, topK: Int = 5,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  private def pqCodesAndTables(emb: DataFrame, numQueries: Int, dim: Int,
+                               m: Int, k: Int, idCol: String,
+                               vecCol: String): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     val stats = emb.agg(
@@ -339,9 +322,10 @@ object SimilarityOps {
       .select(col("id").as("qid"), col("s"), col("sv"))
       .join(cb, Seq("s"))
       .select(col("qid"), col("s"), col("c"), dots.as("dot")))
-    val adc = codes.join(dt, Seq("s", "c"))
-      .where(col("qid") =!= col("id"))
-      .groupBy("qid", "id").agg(sum("dot").as("adp"))
+    (codes, dt)
+  }
+
+  private def rankAdc(adc: DataFrame, topK: Int): DataFrame =
     adc.groupBy("qid")
       .agg(TopK.topK(topK)(col("adp").cast("double"), col("id")).as("topk"))
       .select(col("qid").as("query_id"),
@@ -349,5 +333,65 @@ object SimilarityOps {
       .select(col("query_id"), col("nb.neighborId").as("neighbor_id"),
         col("nb.sim").cast("long").as("adp"),
         (col("rank0") + 1).cast("long").as("rank"))
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011) — the memory
+    * shape of a genuinely huge vector store: each `dim`-dimensional
+    * vector compresses to `m` one-byte codes (64× smaller than float32
+    * at dim=64/m=8), and query scoring touches ONLY codes plus a
+    * per-query distance table.
+    *
+    * Everything is integer-exact so the result is oracle-reproducible:
+    * vectors first quantize to int8 on the global (min, scale) affine
+    * (the q114 discipline), the codebook for subspace s is the s-th
+    * subvector of the first m×k corpus vectors (a deterministic sampled
+    * codebook — trained centroids swap in unchanged), assignment is
+    * argmin integer squared-L2 (ties to the lowest code), and the
+    * asymmetric-distance score is the sum of m integer dot-product
+    * table lookups.
+    *
+    * Scale shape: the codebook (m×k subvectors) and the per-query
+    * tables (|Q|×m×k longs) broadcast; encoding is a per-row broadcast
+    * join + partial-agg argmin (the n·m·k PQ encode cost); scoring
+    * joins CODES — never vectors — against the tables and top-k's
+    * through the bounded-heap [[TopK]] partial aggregation. Raw
+    * embeddings never shuffle.
+    */
+  def pqTopK(emb: DataFrame, numQueries: Int = 8, dim: Int = 64,
+             m: Int = 8, k: Int = 16, topK: Int = 5,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (codes, dt) = pqCodesAndTables(emb, numQueries, dim, m, k, idCol, vecCol)
+    val adc = codes.join(dt, Seq("s", "c"))
+      .where(col("qid") =!= col("id"))
+      .groupBy("qid", "id").agg(sum("dot").as("adp"))
+    rankAdc(adc, topK)
+  }
+
+  /** IVF + PQ — the composition a real 100 TB vector store runs: IVF
+    * pruning cuts the candidate set to the query's `nprobe` nearest
+    * centroid lists (~nprobe/nlist of the corpus), and PQ's asymmetric
+    * distance scores ONLY those candidates from codes. Neither raw
+    * vectors nor off-list codes are touched at query time; with the
+    * q58-style `partitionBy(centroid_id)` layout the probed lists prune
+    * at the source. Same float centroid assignment as [[ivfTopK]]
+    * (first `nlist` vectors; (dist, cid) tie-break), same integer ADC
+    * as [[pqTopK]] — both halves stay oracle-reproducible.
+    */
+  def ivfPqTopK(emb: DataFrame, numQueries: Int = 8, nlist: Int = 16,
+                nprobe: Int = 4, dim: Int = 64, m: Int = 8, k: Int = 16,
+                topK: Int = 5, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(emb, nlist, idCol, vecCol)
+    val assigned = emb.select(col(idCol).cast("long").as("id"),
+      nearestCentroid(col(vecCol), cents).as("cid"))
+    val probes = broadcast(emb.where(col(idCol) < numQueries)
+      .select(col(idCol).cast("long").as("qid"),
+        explode(probeList(col(vecCol), cents, nprobe)).as("cid")))
+    val pairs = assigned.join(probes, Seq("cid"))
+      .where(col("qid") =!= col("id")).select("qid", "id")
+    val (codes, dt) = pqCodesAndTables(emb, numQueries, dim, m, k, idCol, vecCol)
+    val adc = pairs.join(codes, "id")
+      .join(dt, Seq("qid", "s", "c"))
+      .groupBy("qid", "id").agg(sum("dot").as("adp"))
+    rankAdc(adc, topK)
   }
 }

@@ -172,6 +172,64 @@ object StreamingOps {
       }
   }
 
+  case class EwmaEvent(key: Long, ts: java.sql.Timestamp, seq: Long, value: Long)
+  case class EwmaFlag(key: Long, seq: Long, value: Long, ewmaPrev: Long,
+                      ewma: Long, spike: Boolean)
+  /** Per-key EWMA state: the running value plus the not-yet-final
+    * events inside the watermark horizon (public for the state
+    * encoder's generated code).
+    */
+  case class EwmaPending(ts: Long, seq: Long, value: Long)
+  case class EwmaState(hasEwma: Boolean, ewma: Long, pending: Seq[EwmaPending])
+
+  /** STREAMING EWMA ANOMALY FLAGS — the streaming twin of the batch
+    * [[graft.operators.TimeSeriesOps.ewmaSpikes]] kernel, BATCH-
+    * EQUIVALENT for all in-watermark data: because every flag depends
+    * on the key's full event PREFIX, an event is scored only once the
+    * watermark guarantees nothing earlier can still arrive. Arriving
+    * events buffer in state; each trigger finalizes the prefix with
+    * event time <= watermark in (ts, seq) order through the same
+    * integer recurrence s_t = (s_{t-1}(den-1) + x) div den, emits its
+    * flags (append-mode final), and carries the EWMA forward. An
+    * event-time timeout drains a key's buffer even if the key never
+    * receives another event.
+    *
+    * State is O(events inside the watermark horizon) per key plus one
+    * long of EWMA forever — the bounded shape that survives an
+    * unbounded stream. Same-millisecond ties order by `seq`, so feed
+    * the batch twin millisecond timestamps when comparing.
+    */
+  def streamingEwma(events: Dataset[EwmaEvent], den: Long = 8L,
+                    threshold: Long = 30000L,
+                    watermark: String = "1 hour"): Dataset[EwmaFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaFlag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, batch, state: GroupState[EwmaState]) =>
+          val prev = state.getOption.getOrElse(EwmaState(false, 0L, Nil))
+          val pending = prev.pending ++
+            batch.map(e => EwmaPending(e.ts.getTime, e.seq, e.value))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = pending.partition(_.ts <= wm)
+          var has = prev.hasEwma
+          var s = prev.ewma
+          val out = ready.sortBy(p => (p.ts, p.seq)).map { p =>
+            val pv = if (has) s else p.value
+            s = (pv * (den - 1) + p.value) / den
+            has = true
+            EwmaFlag(key, p.seq, p.value, pv, s,
+              math.abs(p.value - pv) > threshold)
+          }
+          state.update(EwmaState(has, s, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(wm + 1L, hold.map(_.ts).min))
+          out.iterator
+      }
+  }
+
   /** STREAM-STREAM event-time interval join — the streaming twin of the
     * q98 batch funnel: left events (e.g. signups) joined to right events
     * (e.g. purchases) with the same key arriving within `within` AFTER

@@ -133,4 +133,24 @@ class SimilarityOpsSpec extends SparkSpec {
     }.toMap
     assert(out == expected)
   }
+
+  test("ivfPqTopK: neighbors come only from probed lists, ADC agrees with pqTopK") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivfpq = SimilarityOps.ivfPqTopK(emb)
+      .select("query_id", "neighbor_id", "adp")
+      .as[(Long, Long, Long)].collect()
+    assert(ivfpq.nonEmpty)
+    // every (q, n, adp) must appear in the UNPRUNED PQ scoring with the
+    // same integer ADC value (pruning may only remove candidates)
+    val full = SimilarityOps.pqTopK(emb, topK = 2000)
+      .select("query_id", "neighbor_id", "adp")
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    ivfpq.foreach { case (q, n, adp) =>
+      assert(full.contains((q, n)), s"($q, $n) not in the unpruned scoring")
+      assert(full((q, n)) == adp, s"ADC mismatch for ($q, $n)")
+    }
+    // 8 queries x top-5 each (enough corpus in every probed list)
+    assert(ivfpq.length == 40)
+  }
 }

@@ -251,4 +251,46 @@ class StreamingOpsSpec extends SparkSpec {
       assert(lines.get(0).startsWith("archive_status,"))
     } finally q.stop()
   }
+
+  test("streamingEwma == batch ewmaSpikes for all in-watermark events, " +
+    "including late arrivals and an idle-key timeout drain") {
+    import graft.streaming.StreamingOps.{EwmaEvent, EwmaFlag}
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val input = MemoryStream[EwmaEvent]
+    val out = StreamingOps.streamingEwma(input.toDS(), den = 8L,
+      threshold = 100L, watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Append()).start()
+    val events = Seq(
+      EwmaEvent(1L, t(0), 1L, 0L), EwmaEvent(1L, t(18), 2L, 80L),
+      EwmaEvent(1L, t(20), 3L, 800L), EwmaEvent(2L, t(30), 4L, 40L))
+    try {
+      // batch 1 (out of order): t20 and t0 -> watermark advances to t15
+      input.addData(EwmaEvent(1L, t(20), 3L, 800L), EwmaEvent(1L, t(0), 1L, 0L))
+      q.processAllAvailable()
+      // batch 2: t18 arrives AFTER t20 but is still inside the
+      // watermark (t18 > t15) — it must score BEFORE t20 in the final
+      // output; key 2 starts
+      input.addData(EwmaEvent(1L, t(18), 2L, 80L), EwmaEvent(2L, t(30), 4L, 40L))
+      q.processAllAvailable()
+      // watermark flush: far-future events on an unrelated key
+      // finalize key 1 and drain key 2 purely via its timeout
+      input.addData(EwmaEvent(9L, t(600), 99L, 1L))
+      q.processAllAvailable()
+      input.addData(EwmaEvent(9L, t(610), 100L, 1L))
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_stream").as[EwmaFlag].collect()
+        .filter(_.key != 9L) // the watermark-driver key
+        .map(f => (f.key, f.seq, f.value, f.ewmaPrev, f.ewma, f.spike)).toSet
+      val batch = graft.operators.TimeSeriesOps.ewmaSpikes(
+        events.map(e => (e.key, e.ts.getTime, e.seq, e.value))
+          .toDF("key", "ts", "seq", "value"),
+        "key", "ts", "seq", "value", den = 8L, threshold = 100L)
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+        .map(r => (r._2, r._1, r._3, r._4, r._5, r._6)).toSet
+      assert(streamed == batch,
+        s"streaming $streamed\nbatch $batch")
+    } finally q.stop()
+  }
 }
