@@ -1541,7 +1541,92 @@ object SparkEntry {
     // from codes — the full query path of a 100 TB vector store (with
     // the q58 layout the probed lists also prune at the source).
     "q127_ivfpq_ann" -> ((s, d) =>
-      SimilarityOps.ivfPqTopK(Tables.embeddings(s, d)))
+      SimilarityOps.ivfPqTopK(Tables.embeddings(s, d))),
+
+    // Top user paths: the 20 most common 3-step event sequences. One
+    // key shuffle (both leads share the per-user window), partial-agg
+    // count, TakeOrderedAndProject top-k — never a global sort.
+    "q132_event_paths" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("step2", lead(col("event_type"), 1).over(w))
+        .withColumn("step3", lead(col("event_type"), 2).over(w))
+        .where(col("step2").isNotNull && col("step3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    }),
+
+    // First-order Markov transition matrix over event types, integer
+    // basis points: the per-state normalizing window runs over distinct
+    // (state, next) CELLS (at most |types|^2 rows), never events.
+    "q133_markov" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next", lead(col("event_type"), 1).over(w))
+        .where(col("next").isNotNull)
+        .groupBy(col("event_type").as("from_state"), col("next").as("to_state"))
+        .agg(count(lit(1)).as("n"))
+      val wState = org.apache.spark.sql.expressions.Window.partitionBy("from_state")
+      pairs.withColumn("total", sum("n").over(wState))
+        .select(col("from_state"), col("to_state"), col("n"),
+          expr("(n * 10000) div total").as("prob_bp"))
+    }),
+
+    // Trailing-7-day rolling volume per event type: the range-frame
+    // window runs over per-day CELLS (one row per (type, day)), so its
+    // state is bounded by the calendar, not the event count.
+    "q134_rolling_7d" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("x").rangeBetween(-6, 0)
+      daily.select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        sum("n").over(w).as("n_7d"))
+    }),
+
+    // MinHash estimator-quality evaluation on the planted pairs: the
+    // fraction of matching signature positions (the LSH estimate)
+    // audited against exact Jaccard, all in integer basis points — the
+    // eval that justifies a numPerms/bands choice before trusting LSH
+    // at corpus scale (the q113-for-dedup).
+    "q135_minhash_eval" -> ((s, d) => {
+      val base = Tables.documents(s, d).where(pmod(did, lit(5)) === 0)
+      val corpus = base.select(did.as("id"), col("text"))
+        .unionByName(base.select((did + 1000L).as("id"),
+          concat(col("text"), lit(" zzdup tail")).as("text")))
+      val hs = DedupOps.hashedShingleRowsPortable(corpus, "id", "text", 3)
+      val sig = DedupOps.minhashSignatureRows(hs, 64)
+      val matches = sig.where(col("id") < 1000L)
+        .select(col("id").as("id_a"), col("i"), col("s").as("s_a"))
+        .join(sig.where(col("id") >= 1000L)
+          .select((col("id") - 1000L).as("id_a"), col("i"), col("s").as("s_b")),
+          Seq("id_a", "i"))
+        .groupBy("id_a")
+        .agg(sum(when(col("s_a") === col("s_b"), 1L).otherwise(0L)).as("n_match"))
+      val exact = hs.where(col("id") < 1000L)
+        .select(col("id").as("id_a"), col("hs").as("hs_a"))
+        .join(hs.where(col("id") >= 1000L)
+          .select((col("id") - 1000L).as("id_a"), col("hs").as("hs_b")), "id_a")
+        .select(col("id_a"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("m"),
+          size(col("hs_a")).cast("long").as("na"),
+          size(col("hs_b")).cast("long").as("nb"))
+      matches.join(exact, "id_a")
+        .select(col("id_a"), (col("id_a") + 1000L).as("id_b"), col("n_match"),
+          expr("(n_match * 10000) div 64").as("est_bp"),
+          expr("(m * 10000) div (na + nb - m)").as("exact_bp"),
+          abs(expr("(n_match * 10000) div 64") -
+            expr("(m * 10000) div (na + nb - m)")).as("err_bp"))
+    })
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -3548,6 +3633,79 @@ object SparkEntry {
         |w2 AS (SELECT qid, nid, adp,
         |  row_number() OVER (PARTITION BY qid ORDER BY adp DESC, nid) AS rk FROM adc)
         |SELECT qid AS query_id, nid AS neighbor_id, adp, CAST(rk AS BIGINT) AS rank
-        |FROM w2 WHERE rk <= 5""".stripMargin
+        |FROM w2 WHERE rk <= 5""".stripMargin,
+
+    // (n desc, steps) is a unique total order, so the LIMIT is stable.
+    "q132_event_paths" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+        | FROM events)
+        |SELECT event_type AS step1, step2, step3, count(*) AS n
+        |FROM o WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+
+    "q133_markov" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        | FROM events),
+        |p AS (SELECT event_type AS from_state, next AS to_state, count(*) AS n
+        | FROM o WHERE next IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, to_state, n,
+        |  sum(n) OVER (PARTITION BY from_state) AS total FROM p)
+        |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+        | CAST((n * 10000) // total AS BIGINT) AS prob_bp
+        |FROM t""".stripMargin,
+
+    "q134_rolling_7d" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, day,
+        |  CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x,
+        |  CAST(n AS BIGINT) AS n FROM daily)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        | CAST(sum(n) OVER (PARTITION BY event_type ORDER BY x
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM m""".stripMargin,
+
+    // The q25 signature chain restricted to the planted pairs; the
+    // estimate (matching positions / 64) audited against exact Jaccard.
+    "q135_minhash_eval" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
+         |corpus AS (SELECT id, text FROM base
+         | UNION ALL SELECT id + 1000, text || ' zzdup tail' FROM base),
+         |t AS (SELECT id, $toksSql AS toks FROM corpus),
+         |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' ')) END AS shs FROM t),
+         |sh AS (SELECT DISTINCT id,
+         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         | FROM (SELECT id, unnest(shs) AS s FROM shl)),
+         |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |perms AS (SELECT i,
+         |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
+         |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
+         | FROM pidx),
+         |sig AS (SELECT sh.id, perms.i,
+         |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
+         | FROM sh, perms GROUP BY 1, 2),
+         |mm AS (SELECT a.id AS id_a,
+         |  CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         | FROM sig a JOIN sig b ON b.i = a.i AND b.id = a.id + 1000
+         | WHERE a.id < 1000 GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, CAST(count(*) AS BIGINT) AS m
+         | FROM sh a JOIN sh b ON b.h = a.h AND b.id = a.id + 1000
+         | WHERE a.id < 1000 GROUP BY 1),
+         |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+         |SELECT mm.id_a, mm.id_a + 1000 AS id_b, mm.n_match,
+         | (mm.n_match * 10000) // 64 AS est_bp,
+         | (coalesce(i.m, 0) * 10000) // (sa.n + sb.n - coalesce(i.m, 0)) AS exact_bp,
+         | abs((mm.n_match * 10000) // 64
+         |   - (coalesce(i.m, 0) * 10000) // (sa.n + sb.n - coalesce(i.m, 0))) AS err_bp
+         |FROM mm
+         |LEFT JOIN inter i ON i.id_a = mm.id_a
+         |JOIN sizes sa ON sa.id = mm.id_a
+         |JOIN sizes sb ON sb.id = mm.id_a + 1000""".stripMargin
   )
 }

@@ -284,6 +284,38 @@ object DedupOps {
       }.toDF("id", "band", "bk")
   }
 
+  /** Per-permutation portable MinHash signature values (id, i, s) — the
+    * estimator itself, exposed for estimator-quality evaluation (q135):
+    * the fraction of matching signature positions between two documents
+    * is an unbiased estimate of their Jaccard similarity, and auditing
+    * that estimate against the exact value on known pairs is how a
+    * pipeline picks numPerms/bands before trusting LSH at scale.
+    */
+  def minhashSignatureRows(hashed: DataFrame, numPerms: Int): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    hashed.select(col("id").cast("long"), col("hs").cast("array<long>"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, hs) =>
+          if (hs.isEmpty) Iterator.empty
+          else {
+            val sig = Array.fill(numPerms)(Long.MaxValue)
+            hs.foreach { h =>
+              var i = 0
+              while (i < numPerms) {
+                val (a, b) = portablePerms(i)
+                val mixed = (h * a + b) & Mask60
+                if (mixed < sig(i)) sig(i) = mixed
+                i += 1
+              }
+            }
+            (0 until numPerms).iterator.map(i => (id, i, sig(i)))
+          }
+        }
+      }.toDF("id", "i", "s")
+  }
+
   /** Candidate pairs from persisted band rows: degenerate-bucket guard +
     * banded self-join. Key type agnostic (long or string `bk`).
     */

@@ -297,6 +297,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(12L) == ((0L, 0L, 0L, false)))
   }
 
+  test("minhashSignatureRows: 64 positions, identical docs agree everywhere, " +
+    "empty docs emit nothing") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), (3L, "")).toDF("id", "text")
+    val hs = DedupOps.hashedShingleRowsPortable(docs, "id", "text", 3)
+    val sig = DedupOps.minhashSignatureRows(hs, 64)
+      .as[(Long, Int, Long)].collect()
+    val byId = sig.groupBy(_._1)
+    assert(byId.keySet == Set(1L, 2L), "empty doc must emit no signature")
+    assert(byId(1L).length == 64 && byId(2L).length == 64)
+    val s1 = byId(1L).map(t => t._2 -> t._3).toMap
+    val s2 = byId(2L).map(t => t._2 -> t._3).toMap
+    assert(s1 == s2, "identical shingle sets must produce identical signatures")
+  }
+
   test("prefixFilterJoin == brute-force exact Jaccard join (no false negatives)") {
     // near-dup family around a base sentence + unrelated docs
     val base = "the quick brown fox jumps over the lazy dog today"

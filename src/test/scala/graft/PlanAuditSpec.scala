@@ -249,4 +249,83 @@ class PlanAuditSpec extends SparkSpec {
       s"exact-count side should broadcast as one row:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("column profiling is ONE pass over a pruned scan (q116)") {
+    val p = q("q116_profile").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      s"profiling must not rescan per column:\n$p")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string,o_orderpriority:string>"),
+      s"profile should scan only the profiled columns:\n$p")
+  }
+
+  test("constraint checks anti-join via broadcast, never nested-loop (q117)") {
+    val p = plan(q("q117_constraints"))
+    assert(p.contains("LeftAnti"), s"FK check should be an anti-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no quadratic joins in the validation suite:\n$p")
+  }
+
+  test("snapshot diff reads only the key and value columns (q118)") {
+    val p = q("q118_snapshot_diff").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"diff must never scan unreferenced columns:\n$p")
+  }
+
+  test("SCD2 windows reuse one key shuffle (q120)") {
+    val p = plan(q("q120_scd2"))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"collapse + lead + version must share the (user) partitioning:\n$p")
+  }
+
+  test("triangle counting never goes quadratic (q122)") {
+    val p = plan(q("q122_triangles"))
+    // the closing-edge probe is an equi semi-join; the only nested-loop
+    // joins are the two deliberate 1-row count combinations at the end
+    assert(p.contains("LeftSemi"), s"closing edge must probe via semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      s"only the 1-row count combinations may nested-loop:\n$p")
+  }
+
+  test("EWMA kernel shuffles the key exactly once (q124)") {
+    val p = plan(q("q124_ewma_spikes"))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"sorted-group scan needs one key shuffle only:\n$p")
+  }
+
+  test("PQ scoring aggregates partially, no Window over scored pairs (q125)") {
+    val p = plan(q("q125_pq_ann"))
+    assert(!p.contains("Window"),
+      s"top-k must stay a bounded-heap partial aggregation:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected TopK partial agg:\n$p")
+  }
+
+  test("IVF+PQ probes and tables broadcast (q127)") {
+    val p = plan(q("q127_ivfpq_ann"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe list and distance tables must broadcast:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("capped sampling groups in a single shuffle (q126)") {
+    val p = plan(q("q126_capped_sample"))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"one (source) shuffle only:\n$p")
+  }
+
+  test("trend moments partial-aggregate before the shuffle (q130)") {
+    val p = plan(q("q130_trend"))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"five integer moments must combine map-side:\n$p")
+  }
+
+  test("prefix-filter join stays equi-join shaped (q131)") {
+    val p = plan(q("q131_prefix_join"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the prefix equi-join:\n$p")
+    graft.GraftCache.releaseAll(spark)
+  }
 }
