@@ -1626,6 +1626,60 @@ object SparkEntry {
           expr("(m * 10000) div (na + nb - m)").as("exact_bp"),
           abs(expr("(n_match * 10000) div 64") -
             expr("(m * 10000) div (na + nb - m)")).as("err_bp"))
+    }),
+
+    // End-to-end entity resolution: blocked fuzzy pairs (q91 machinery)
+    // resolved to entity clusters by connected components (q63), each
+    // record labeled with its min-id canonical entity — the full record-
+    // linkage shape (block -> score -> cluster) in three composed
+    // operators. Singletons label themselves via the left join.
+    "q136_entity_resolution" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val all = sup.select(col("s_suppkey").as("id"), col("s_name").as("name"))
+        .unionByName(sup.select((col("s_suppkey") + 100000L).as("id"),
+          concat(substring(col("s_name"), 1, 9), lit("X"),
+            substring(col("s_name"), 11, 100)).as("name")))
+      val pairs = JoinOps.fuzzyJoin(all, all, "id", "name", "id", "name",
+          maxDist = 1, blockLen = 3)
+        .where(col("left_id") < col("right_id"))
+        .select(col("left_id").as("id_a"), col("right_id").as("id_b"))
+      val comps = DedupOps.connectedComponents(pairs)
+      all.select(col("id")).join(comps, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("entity"),
+          (coalesce(col("component"), col("id")) === col("id")).as("canonical"))
+    }),
+
+    // Incremental index maintenance: two RANGE-SHARDED halves of the
+    // corpus build their q129 indexes independently, then merge by
+    // term (df adds; posting lists concatenate with one boundary-gap
+    // fix) — the corpus is never re-tokenized. The oracle builds the
+    // index DIRECTLY from the full corpus, so the hash match certifies
+    // merge == direct.
+    "q137_index_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = RetrievalOps.invertedIndexGaps(
+        docs.where(col("doc_id") < 250), "doc_id", "text")
+      val b = RetrievalOps.invertedIndexGaps(
+        docs.where(col("doc_id") >= 250), "doc_id", "text")
+      RetrievalOps.mergeRangeShardIndexes(a, b)
+    }),
+
+    // Telemetry dedup: keep the EARLIEST event per (user, type) within
+    // each 1-minute tumbling window — the batch twin of streaming
+    // ingest dedup for repeated beacons. One shuffle; per-window state
+    // bounded by the window.
+    "q138_event_dedup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")))
+        .orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
     })
   )
 
@@ -3706,6 +3760,56 @@ object SparkEntry {
          |FROM mm
          |LEFT JOIN inter i ON i.id_a = mm.id_a
          |JOIN sizes sa ON sa.id = mm.id_a
-         |JOIN sizes sb ON sb.id = mm.id_a + 1000""".stripMargin
+         |JOIN sizes sb ON sb.id = mm.id_a + 1000""".stripMargin,
+
+    // Same blocking + distance (q91), then the q81 monotone label
+    // closure; singletons self-label through the left join.
+    "q136_entity_resolution" ->
+      """WITH RECURSIVE sup AS (
+        |  SELECT s_suppkey AS id, s_name AS name FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, substr(s_name, 1, 9) || 'X' || substr(s_name, 11)
+        |  FROM supplier),
+        |jp AS (SELECT a.id AS id_a, b.id AS id_b FROM sup a JOIN sup b
+        |  ON right(a.name, 3) = right(b.name, 3)
+        |  AND abs(len(a.name) - len(b.name)) <= 1
+        |  AND a.id < b.id
+        | WHERE levenshtein(a.name, b.name) <= 1),
+        |symx AS (SELECT id_a AS a, id_b AS b FROM jp
+        |  UNION SELECT id_b, id_a FROM jp),
+        |nodesx AS (SELECT DISTINCT a AS id FROM symx),
+        |reach AS (
+        |  SELECT id, id AS lbl FROM nodesx
+        |  UNION
+        |  SELECT s2.b AS id, r.lbl FROM reach r JOIN symx s2 ON s2.a = r.id
+        |  WHERE r.lbl < s2.b),
+        |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        |SELECT s.id, coalesce(c.component, s.id) AS entity,
+        | s.id = coalesce(c.component, s.id) AS canonical
+        |FROM sup s LEFT JOIN comp c ON c.id = s.id""".stripMargin,
+
+    // Direct build over the FULL corpus — hash equality with the
+    // Spark-side shard merge certifies merge == direct.
+    "q137_index_merge" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  CASE WHEN lower($cleanSql) = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
+         | FROM documents),
+         |tok AS (SELECT DISTINCT id, unnest(toks) AS term FROM t),
+         |w AS (SELECT term, id,
+         |  id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), 0) AS gap
+         | FROM tok)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         | string_agg(CAST(gap AS VARCHAR), ',' ORDER BY id) AS gaps_csv
+         |FROM w GROUP BY term""".stripMargin,
+
+    "q138_event_dedup" ->
+      """WITH r AS (SELECT event_id, user_id, event_type, ts,
+        |  row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+        |    ORDER BY ts, event_id) AS rn
+        | FROM events)
+        |SELECT event_id, user_id, event_type,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+        |FROM r WHERE rn = 1""".stripMargin
   )
 }

@@ -851,10 +851,26 @@ object DedupOps {
       .withColumn("rnk", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wAll))
       .where(col("rnk") <= col("n") - ceil(col("n") * minJaccard) + lit(1))
-      .select(col("id"), col("h"))
-    val cand = pref.select(col("h"), col("id").as("id_a"))
-      .join(pref.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .select(col("id"), col("h"), col("rnk"), col("n"))
+    // PPJoin's candidate filters, both implied by J >= t so they can
+    // only remove false candidates:
+    //  - size: |A∩B| <= min and |A∪B| >= max force min >= t * max;
+    //  - positional: the overlap still reachable from match positions
+    //    (pa, pb) is 1 + min(na - pa, nb - pb), and J >= t forces the
+    //    total overlap m to satisfy m(1 + t) >= t(na + nb).
+    // Without them a low-vocabulary corpus (many shared shingles)
+    // degenerates toward the all-pairs join.
+    val eps = 1e-9
+    val cand = pref.select(col("h"), col("id").as("id_a"),
+        col("rnk").as("pa"), col("n").as("na"))
+      .join(pref.select(col("h"), col("id").as("id_b"),
+        col("rnk").as("pb"), col("n").as("nb")), Seq("h"))
       .where(col("id_a") < col("id_b"))
+      .where(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")) * lit(minJaccard) - lit(eps))
+      .where((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
+        .cast("double") * lit(1.0 + minJaccard) >=
+        (col("na") + col("nb")) * lit(minJaccard) - lit(eps))
       .select("id_a", "id_b").distinct()
     cand
       .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")

@@ -110,15 +110,50 @@ object RetrievalOps {
     * shard-then-merge shape as [[SketchOps.cmsMerge]]).
     */
   def invertedIndex(docs: DataFrame, idCol: String,
-                    textCol: String): DataFrame = {
+                    textCol: String): DataFrame =
+    invertedIndexGaps(docs, idCol, textCol)
+      .select(col("term"), col("df"), gapsCsv(col("gaps")).as("gaps_csv"))
+
+  /** [[invertedIndex]] with the posting list as a long array (first
+    * absolute id, then gaps) — the mergeable internal form.
+    */
+  def invertedIndexGaps(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).cast("long").as("id"),
         explode(T.tokens(lower(col(textCol)))).as("term"))
       .distinct()
     tok.groupBy("term")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .select(col("term"), size(col("ids")).cast("long").as("df"),
-        expr("array_join(transform(transform(ids, (x, i) -> " +
-          "CASE WHEN i = 0 THEN x ELSE x - ids[i-1] END), " +
-          "g -> CAST(g AS STRING)), ',')").as("gaps_csv"))
+        expr("transform(ids, (x, i) -> " +
+          "CASE WHEN i = 0 THEN x ELSE x - ids[i-1] END)").as("gaps"))
+  }
+
+  private def gapsCsv(gaps: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(transform(gaps, g => g.cast("string")), ",")
+
+  /** Merge two RANGE-SHARDED index halves (every doc id of `a` below
+    * every doc id of `b` — the layout sharded index builds produce)
+    * WITHOUT touching the corpus: per term, df adds and the posting
+    * lists concatenate with one boundary-gap adjustment (b's first
+    * absolute id minus a's last id, recovered as the sum of a's gaps).
+    * This is the index twin of the q109 algebraic-MV merge: nightly
+    * shards build in parallel and fold together in one full-outer join
+    * on the term — the corpus is never re-tokenized. The q137 oracle
+    * certifies merge == direct build.
+    */
+  def mergeRangeShardIndexes(a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.select(col("term"), col("df").as("df_a"), col("gaps").as("ga"))
+    val bb = b.select(col("term"), col("df").as("df_b"), col("gaps").as("gb"))
+    aa.join(bb, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"),
+        when(col("ga").isNull, col("gb"))
+          .when(col("gb").isNull, col("ga"))
+          .otherwise(concat(col("ga"),
+            array(element_at(col("gb"), 1) -
+              expr("aggregate(ga, CAST(0 AS BIGINT), (x, y) -> x + y)")),
+            expr("slice(gb, 2, size(gb) - 1)"))).as("gaps"))
+      .select(col("term"), col("df"), gapsCsv(col("gaps")).as("gaps_csv"))
   }
 }

@@ -74,4 +74,25 @@ class RetrievalOpsSpec extends SparkSpec {
       assert(ids.sorted.sameElements(ids))
     }
   }
+
+  test("mergeRangeShardIndexes == direct build, including one-sided terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana"), (5L, "banana cherry"),      // low shard
+      (10L, "banana date"), (20L, "egg")).toDF("doc_id", "text") // high shard
+    val a = RetrievalOps.invertedIndexGaps(
+      docs.where(col("doc_id") < 10), "doc_id", "text")
+    val b = RetrievalOps.invertedIndexGaps(
+      docs.where(col("doc_id") >= 10), "doc_id", "text")
+    val merged = RetrievalOps.mergeRangeShardIndexes(a, b)
+      .as[(String, Long, String)].collect().toSet
+    val direct = RetrievalOps.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Long, String)].collect().toSet
+    assert(merged == direct)
+    // the boundary adjustment is visible: banana spans both shards
+    assert(merged.contains(("banana", 3L, "1,4,5")))
+    // one-sided terms pass through untouched
+    assert(merged.contains(("apple", 1L, "1")))
+    assert(merged.contains(("egg", 1L, "20")))
+  }
 }
