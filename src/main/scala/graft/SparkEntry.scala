@@ -1680,6 +1680,46 @@ object SparkEntry {
         .where(col("rn") === 1)
         .select(col("event_id"), col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+    }),
+
+    // Join-cardinality estimation from two INDEPENDENT count-min
+    // sketches (the optimizer-statistics primitive): the CMS inner
+    // product upper-bounds |orders ⋈ customer| from two fixed-size
+    // artifacts without touching either table again; exact count
+    // alongside for the quality check. All-integer.
+    "q139_join_cardinality" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val est = SketchOps.cmsJoinCardinality(
+        SketchOps.cmsBuild(o, "k", width = 8192),
+        SketchOps.cmsBuild(c, "k", width = 8192))
+      val exact = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est_join_size"), col("exact_join_size"),
+          (col("est_join_size") >= col("exact_join_size")).as("overestimate"))
+    }),
+
+    // Merkle-style anti-entropy: two replicas (one with planted
+    // corruption on keys %5003==0) reduce to per-range (count, xor
+    // digest) pairs; only mismatched ranges would pay a row-level diff
+    // (q118) — reconciling 100 TB copies without shipping either.
+    "q140_range_digest" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val replicaB = o.select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(5003L)) === 0L, col("cents") + 1L)
+          .otherwise(col("cents")).as("cents"))
+      val da = QualityOps.rangeDigests(o, "o_orderkey", "cents", 1000L)
+        .select(col("bucket"), col("n").as("n_a"), col("digest").as("digest_a"))
+      val db = QualityOps.rangeDigests(replicaB, "o_orderkey", "cents", 1000L)
+        .select(col("bucket"), col("n").as("n_b"), col("digest").as("digest_b"))
+      da.join(db, Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          col("digest_a"), col("digest_b"),
+          ((col("n_a") <=> col("n_b")) &&
+            (col("digest_a") <=> col("digest_b"))).as("in_sync"))
     })
   )
 
@@ -3810,6 +3850,50 @@ object SparkEntry {
         | FROM events)
         |SELECT event_id, user_id, event_type,
         | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // The q103 grid chain for both tables, then the row-wise inner
+    // product and the min — identical integer arithmetic.
+    "q139_join_cardinality" ->
+      """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+        |ga AS (SELECT ks.k,
+        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS na
+        | FROM orders CROSS JOIN ks GROUP BY 1, 2),
+        |gb AS (SELECT ks.k,
+        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS nb
+        | FROM customer CROSS JOIN ks GROUP BY 1, 2),
+        |dot AS (SELECT ga.k, CAST(sum(ga.na * gb.nb) AS BIGINT) AS d
+        | FROM ga JOIN gb ON gb.k = ga.k AND gb.bucket = ga.bucket GROUP BY 1),
+        |est AS (SELECT min(d) AS est_join_size FROM dot),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+        | FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+        |SELECT CAST(est_join_size AS BIGINT) AS est_join_size, exact_join_size,
+        | est_join_size >= exact_join_size AS overestimate
+        |FROM est CROSS JOIN ex""".stripMargin,
+
+    // Same fingerprints, same xor fold; bit_xor is order-independent
+    // in both engines.
+    "q140_range_digest" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |rb AS (SELECT k, CASE WHEN k % 5003 = 0 THEN cents + 1 ELSE cents END AS cents
+        | FROM o),
+        |fa AS (SELECT k // 1000 AS bucket,
+        |  ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 15))::BIGINT AS fp
+        | FROM o),
+        |fb AS (SELECT k // 1000 AS bucket,
+        |  ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 15))::BIGINT AS fp
+        | FROM rb),
+        |da AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+        |  CAST(bit_xor(fp) AS BIGINT) AS digest_a FROM fa GROUP BY 1),
+        |db AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+        |  CAST(bit_xor(fp) AS BIGINT) AS digest_b FROM fb GROUP BY 1)
+        |SELECT coalesce(da.bucket, db.bucket) AS bucket, n_a, n_b,
+        | digest_a, digest_b,
+        | n_a IS NOT DISTINCT FROM n_b
+        |  AND digest_a IS NOT DISTINCT FROM digest_b AS in_sync
+        |FROM da FULL OUTER JOIN db ON db.bucket = da.bucket""".stripMargin
   )
 }

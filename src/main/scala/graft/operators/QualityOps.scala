@@ -89,6 +89,26 @@ object QualityOps {
       .join(parent.select(col(pkCol).as(fkCol)).distinct(),
         Seq(fkCol), "left_anti")
 
+  /** Merkle-style range digests for replica reconciliation: bucket the
+    * key space into ranges and reduce each range to (row count,
+    * order-independent xor digest of per-row fingerprints). Two
+    * replicas compare digests — tiny artifacts that broadcast — and
+    * only MISMATCHED ranges pay a row-level diff ([[snapshotDiff]]):
+    * the anti-entropy shape that reconciles two 100 TB copies without
+    * shipping either. xor is commutative/associative, so the digest is
+    * partition-order independent and partial-aggregates; fingerprints
+    * are portable md5, so any engine derives the same digests.
+    */
+  def rangeDigests(rows: DataFrame, keyCol: String, valCol: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
+    val fp = graft.functions.HashFunctions.portableHash60(
+      concat(col(keyCol).cast("string"), lit(":"), col(valCol).cast("string")))
+    rows.select(expr(s"$keyCol div $bucketWidth").as("bucket"), fp.as("fp"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").as("digest"))
+  }
+
   /** Diff two keyed snapshots into (key, status, old value, new value),
     * emitting ONLY differences: `added` (new only), `removed` (old
     * only), `changed` (both, value differs). Values must already be

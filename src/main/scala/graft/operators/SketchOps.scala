@@ -136,4 +136,24 @@ object SketchOps {
         Rounding.half2(lit(alphaM2Scale) / col("s_scaled").cast("double"))
           .as("hll_est")): _*)
   }
+
+  /** Equi-join cardinality estimate from two count-min sketches
+    * (Cormode & Muthukrishnan): |A ⋈ B| ≈ min over rows k of
+    * Σ_bucket a_k[b]·b_k[b] — the inner product distributes over hash
+    * collisions, so every row's sum OVERestimates and the min is the
+    * classic upper-bound estimate. This is the optimizer-statistics
+    * primitive: two fixed-size sketches (built independently, possibly
+    * on different clusters on different days) predict a join's size
+    * without touching either table again.
+    *
+    * Returns one row (est_join_size). All-integer, so the oracle
+    * reproduces it exactly.
+    */
+  def cmsJoinCardinality(cmsA: DataFrame, cmsB: DataFrame): DataFrame = {
+    val a = cmsA.select(col("h"), col("bucket"), col("n").as("na"))
+    val b = cmsB.select(col("h"), col("bucket"), col("n").as("nb"))
+    a.join(b, Seq("h", "bucket"))
+      .groupBy("h").agg(sum(col("na") * col("nb")).as("dot"))
+      .agg(min("dot").as("est_join_size"))
+  }
 }

@@ -44,6 +44,23 @@ class QualityOpsSpec extends SparkSpec {
     assert(QualityOps.fkViolations(rows, "fk", parent, "pk").count() == 0L)
   }
 
+  test("rangeDigests: replica parity, single-row sensitivity, order independence") {
+    val rows = (1L to 100L).map(k => (k, k * 7)).toDF("k", "v")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      QualityOps.rangeDigests(df, "k", "v", 10L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = dig(rows)
+    assert(base.keySet == (0L to 10L).toSet)
+    // identical replica (shuffled row order) -> identical digests
+    assert(dig(rows.orderBy(org.apache.spark.sql.functions.rand(7))) == base)
+    // one corrupted value flips exactly its own bucket's digest
+    val corrupted = (1L to 100L).map(k => (k, if (k == 55L) 999L else k * 7))
+      .toDF("k", "v")
+    val cd = dig(corrupted)
+    assert(cd.filter(_._1 != 5L) == base.filter(_._1 != 5L))
+    assert(cd(5L)._1 == base(5L)._1 && cd(5L)._2 != base(5L)._2)
+  }
+
   test("snapshotDiff emits only added/removed/changed") {
     val a = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "v")
     val b = Seq((2L, 200L), (3L, 333L), (4L, 400L)).toDF("k", "v")

@@ -63,4 +63,24 @@ class SketchOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(merged == full)
   }
+
+  test("cmsJoinCardinality: exact when collision-free, always an overestimate") {
+    import spark.implicits._
+    // multiplicities: key k appears k times in a, (k % 3) + 1 times in b
+    val a = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val b = (1 to 20).flatMap(k => Seq.fill(k % 3 + 1)(k.toLong)).toDF("k")
+    val trueSize = (1 to 20).map(k => k * (k % 3 + 1)).sum.toLong
+    // wide sketch: 20 keys in 4096 buckets -> collision-free, est exact
+    val wide = SketchOps.cmsJoinCardinality(
+      SketchOps.cmsBuild(a, "k", width = 4096),
+      SketchOps.cmsBuild(b, "k", width = 4096))
+      .collect().head.getLong(0)
+    assert(wide == trueSize)
+    // narrow sketch: collisions only ADD cross terms
+    val narrow = SketchOps.cmsJoinCardinality(
+      SketchOps.cmsBuild(a, "k", width = 4),
+      SketchOps.cmsBuild(b, "k", width = 4))
+      .collect().head.getLong(0)
+    assert(narrow >= trueSize)
+  }
 }
