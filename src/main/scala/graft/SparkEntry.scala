@@ -1720,6 +1720,39 @@ object SparkEntry {
           col("digest_a"), col("digest_b"),
           ((col("n_a") <=> col("n_b")) &&
             (col("digest_a") <=> col("digest_b"))).as("in_sync"))
+    }),
+
+    // Multi-source BFS on the q122 link graph: hop distance from the
+    // nearest of three seed docs (the crawl-frontier / TrustRank-depth
+    // signal), 4 unrolled frontier expansions, min-dist union per hop.
+    "q141_bfs_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          pmod(did + 1L, lit(500L)).as("dst"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did + 2L, lit(500L)).as("dst")))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst")))
+      GraphOps.bfsDistances(edges, Seq(0L, 100L, 200L), maxHops = 4)
+    }),
+
+    // Funnel latency distribution: per user, hours from FIRST click to
+    // the first purchase at-or-after it, bucketed into an hours
+    // histogram — integer microsecond arithmetic end to end.
+    "q142_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstClick = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val lat = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .join(firstClick, "user_id")
+        .where(col("ts") >= col("t_click"))
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts")) - unix_micros(col("t_click")))
+          .as("lat_us"))
+      lat.select(col("user_id"),
+          expr("lat_us div 3600000000").as("hours_bucket"))
+        .groupBy("hours_bucket").agg(count(lit(1)).as("n_users"))
     })
   )
 
@@ -3894,6 +3927,45 @@ object SparkEntry {
         | digest_a, digest_b,
         | n_a IS NOT DISTINCT FROM n_b
         |  AND digest_a IS NOT DISTINCT FROM digest_b AS in_sync
-        |FROM da FULL OUTER JOIN db ON db.bucket = da.bucket""".stripMargin
+        |FROM da FULL OUTER JOIN db ON db.bucket = da.bucket""".stripMargin,
+
+    // Same 4 unrolled expansions: frontier = rows that first appeared
+    // last hop; min-dist after each union.
+    "q141_bfs_distance" ->
+      """WITH e0 AS (SELECT doc_id AS src, (doc_id + 1) % 500 AS dst FROM documents
+        | UNION ALL SELECT doc_id, (doc_id + 2) % 500 FROM documents
+        | UNION ALL SELECT doc_id, (doc_id * 31 + 7) % 500 FROM documents),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst
+        | UNION SELECT dst, src FROM e0 WHERE src <> dst),
+        |d0 AS (SELECT unnest([0, 100, 200]) AS id, 0 AS dist),
+        |f1 AS (SELECT e.dst AS id, 1 AS dist FROM d0 JOIN e ON e.src = d0.id
+        | WHERE d0.dist = 0),
+        |d1 AS (SELECT id, min(dist) AS dist FROM
+        | (SELECT * FROM d0 UNION ALL SELECT * FROM f1) GROUP BY 1),
+        |f2 AS (SELECT e.dst AS id, 2 AS dist FROM d1 JOIN e ON e.src = d1.id
+        | WHERE d1.dist = 1),
+        |d2 AS (SELECT id, min(dist) AS dist FROM
+        | (SELECT * FROM d1 UNION ALL SELECT * FROM f2) GROUP BY 1),
+        |f3 AS (SELECT e.dst AS id, 3 AS dist FROM d2 JOIN e ON e.src = d2.id
+        | WHERE d2.dist = 2),
+        |d3 AS (SELECT id, min(dist) AS dist FROM
+        | (SELECT * FROM d2 UNION ALL SELECT * FROM f3) GROUP BY 1),
+        |f4 AS (SELECT e.dst AS id, 4 AS dist FROM d3 JOIN e ON e.src = d3.id
+        | WHERE d3.dist = 3),
+        |d4 AS (SELECT id, min(dist) AS dist FROM
+        | (SELECT * FROM d3 UNION ALL SELECT * FROM f4) GROUP BY 1)
+        |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin,
+
+    "q142_funnel_latency" ->
+      """WITH fc AS (SELECT user_id, min(ts) AS t_click FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |lat AS (SELECT e.user_id,
+        |  min(epoch_us(e.ts) - epoch_us(fc.t_click)) AS lat_us
+        | FROM events e JOIN fc ON fc.user_id = e.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts >= fc.t_click
+        | GROUP BY 1)
+        |SELECT lat_us // 3600000000 AS hours_bucket,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM lat GROUP BY 1""".stripMargin
   )
 }

@@ -60,6 +60,41 @@ object GraphOps {
     rank.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** Multi-source BFS distances over an undirected edge list, unrolled
+    * to `maxHops` synchronous frontier expansions — hop distance from
+    * the nearest seed (crawl frontier depth, link distance from trusted
+    * domains a la TrustRank). Unvisited nodes are absent.
+    *
+    * Scale shape per hop: the frontier (rows that FIRST appeared last
+    * hop) joins the edge list on the node key and the union re-mins —
+    * both partial-aggregating equi-joins; the frontier shrinks as the
+    * reachable set saturates. A fixed small `maxHops` unrolls into one
+    * Catalyst plan (the [[pageRankFixedPoint]] pattern); deep traversals
+    * should switch to the RDD loop with lineage compaction that
+    * [[DedupOps.connectedComponents]] uses.
+    */
+  def bfsDistances(edges: DataFrame, sources: Seq[Long],
+                   maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, s"maxHops must be in [1, 8], got $maxHops")
+    require(sources.nonEmpty, "need at least one source node")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var dist = sources.map(id => (id, 0L)).toDF("id", "dist")
+    (1 to maxHops).foreach { h =>
+      val next = dist.where(col("dist") === (h - 1).toLong)
+        .join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), lit(h.toLong).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("id").agg(min("dist").as("dist"))
+    }
+    dist
+  }
+
   /** Global triangle count (plus node/edge counts) over an undirected
     * graph given as a (src, dst) edge list — the clustering signal that
     * separates organic link neighborhoods from link farms in web-corpus

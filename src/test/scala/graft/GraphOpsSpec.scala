@@ -58,6 +58,20 @@ class GraphOpsSpec extends SparkSpec {
       (0L, 1L))) == ((3L, 3L, 1L)))
   }
 
+  test("bfsDistances: path graph hops, multi-source min, unreachable absent") {
+    // path 0-1-2-3-4-5 plus an isolated pair 10-11
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("src", "dst")
+    val fromZero = GraphOps.bfsDistances(edges, Seq(0L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hop-4 horizon: node 5 is 5 hops away -> absent; 10/11 unreachable
+    assert(fromZero == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // two sources: distance to the NEAREST seed wins
+    val multi = GraphOps.bfsDistances(edges, Seq(0L, 5L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("triangleCount matches a naive all-triples count on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
