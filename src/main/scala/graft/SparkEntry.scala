@@ -1753,6 +1753,63 @@ object SparkEntry {
       lat.select(col("user_id"),
           expr("lat_us div 3600000000").as("hours_bucket"))
         .groupBy("hours_bucket").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Weight-proportional sampling (integer priority sampling): 50 docs
+    // drawn with probability ~ n_chars, fully deterministic — priority
+    // = md5_hash div weight, k smallest win via TakeOrderedAndProject.
+    "q143_weighted_sample" -> ((s, d) =>
+      SampleOps.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 50)),
+
+    // The data-skipping manifest for the q101 z-order layout: per file
+    // bucket (64 KiB z-range), row count and min/max of both dimensions
+    // — the stats a box query prunes against (ZOrderSpec shows the
+    // skipping win; this materializes what it prunes with).
+    "q144_skipping_manifest" -> ((s, d) => {
+      val x = pmod(col("o_custkey"), lit(1024L))
+      val y = pmod(col("o_orderkey"), lit(1024L))
+      Tables.orders(s, d)
+        .select(x.as("xb"), y.as("yb"),
+          graft.functions.ZOrder.zValue(x, y, 10).as("zval"))
+        .withColumn("file_bucket", expr("zval div 65536"))
+        .groupBy("file_bucket").agg(count(lit(1)).as("n"),
+          min("xb").as("min_x"), max("xb").as("max_x"),
+          min("yb").as("min_y"), max("yb").as("max_y"),
+          min("zval").as("min_z"), max("zval").as("max_z"))
+    }),
+
+    // k-anonymity audit over (nation, segment) quasi-identifiers:
+    // combinations with fewer than 10 customers re-identify them — the
+    // governance gate before a dataset release. One row per occupied
+    // combination.
+    "q145_k_anonymity" -> ((s, d) =>
+      QualityOps.kAnonymityAudit(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+
+    // Linear multi-touch attribution (the q110 last-touch complement):
+    // every click within 24h before a purchase shares the purchase's
+    // credit equally, in integer basis points; per-click totals sum the
+    // shares. The join is user-co-keyed with a bounded time range, so
+    // state is the 24h window, and 10000 div n keeps credit hash-exact.
+    "q146_multi_touch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .where(col("c_us") <= col("p_us") &&
+          col("c_us") >= col("p_us") - 86400000000L)
+      val shares = touches.groupBy("p_id")
+        .agg(count(lit(1)).as("n_touches"))
+      touches.join(shares, "p_id")
+        .groupBy("click_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(expr("10000 div n_touches")).as("credit_bp"))
     })
   )
 
@@ -3966,6 +4023,46 @@ object SparkEntry {
         | GROUP BY 1)
         |SELECT lat_us // 3600000000 AS hours_bucket,
         | CAST(count(*) AS BIGINT) AS n_users
-        |FROM lat GROUP BY 1""".stripMargin
+        |FROM lat GROUP BY 1""".stripMargin,
+
+    "q143_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    // CAST(n_chars AS BIGINT) AS priority
+        | FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, w, CAST(priority AS BIGINT) AS priority
+        |FROM p ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+
+    // The q101 interleave formula, bucketed and reduced to stats.
+    "q144_skipping_manifest" ->
+      """WITH b AS (SELECT o_custkey % 1024 AS xb, o_orderkey % 1024 AS yb
+        | FROM orders),
+        |z AS (SELECT xb, yb,
+        |  CAST(list_sum(list_transform(range(0, 10), i ->
+        |    ((xb & (1::BIGINT << i)) << i) + ((yb & (1::BIGINT << i)) << (i + 1))))
+        |   AS BIGINT) AS zval FROM b)
+        |SELECT zval // 65536 AS file_bucket, CAST(count(*) AS BIGINT) AS n,
+        | min(xb) AS min_x, max(xb) AS max_x,
+        | min(yb) AS min_y, max(yb) AS max_y,
+        | min(zval) AS min_z, max(zval) AS max_z
+        |FROM z GROUP BY 1""".stripMargin,
+
+    "q145_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        | count(*) < 10 AS violates
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "q146_multi_touch" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        | FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+        | FROM events WHERE event_type = 'click'),
+        |touch AS (SELECT p.p_id, c.click_id FROM p JOIN c ON c.user_id = p.user_id
+        | WHERE c.c_us <= p.p_us AND c.c_us >= p.p_us - 86400000000),
+        |sh AS (SELECT p_id, count(*) AS n_touches FROM touch GROUP BY 1)
+        |SELECT t.click_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        | CAST(sum(10000 // sh.n_touches) AS BIGINT) AS credit_bp
+        |FROM touch t JOIN sh ON sh.p_id = t.p_id
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -89,6 +89,19 @@ object QualityOps {
       .join(parent.select(col(pkCol).as(fkCol)).distinct(),
         Seq(fkCol), "left_anti")
 
+  /** k-anonymity audit: every combination of the quasi-identifier
+    * columns whose group holds fewer than `k` rows re-identifies those
+    * rows (Sweeney 2002) — the governance gate a dataset passes before
+    * release. One partial-aggregated count per combination; the output
+    * is one row per occupied combination, never per record.
+    */
+  def kAnonymityAudit(rows: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    rows.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .withColumn("violates", col("n") < k)
+  }
+
   /** Merkle-style range digests for replica reconciliation: bucket the
     * key space into ranges and reduce each range to (row count,
     * order-independent xor digest of per-row fingerprints). Two

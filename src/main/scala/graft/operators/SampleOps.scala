@@ -145,6 +145,30 @@ object SampleOps {
     * bound — for pathological single-group skew, pre-filter with an
     * approximate per-group count and sample the hot group in shards).
     */
+  /** Weight-proportional sample of k rows without replacement:
+    * integer priority sampling (the sequential-Poisson shape, Ohlsson
+    * 1998) with priority = portable_hash(id) div weight — a row with
+    * twice the weight halves its priority, so heavier rows win
+    * proportionally more often, and the whole draw is a deterministic
+    * pure function of (id, weight): reproducible across engines and
+    * appends (a new row never changes existing priorities, only the
+    * cutoff). The k smallest (priority, id) rows are the sample.
+    *
+    * Scale shape: priority is a shuffle-free projection; the selection
+    * is ORDER BY + LIMIT = TakeOrderedAndProject (bounded per-partition
+    * heaps, k rows per task to the driver — never a global sort).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(col(idCol), col(weightCol).cast("long").as("w"),
+        graft.functions.HashFunctions.portableHash60(col(idCol)).as("_h"))
+      .where(col("w") > 0L)
+      .withColumn("priority", expr("_h div w"))
+      .select(col(idCol), col("w"), col("priority"))
+      .orderBy(col("priority"), col(idCol)).limit(k)
+  }
+
   def cappedPerGroup(df: DataFrame, groupCol: String, idCol: String,
                      cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")

@@ -44,6 +44,16 @@ class QualityOpsSpec extends SparkSpec {
     assert(QualityOps.fkViolations(rows, "fk", parent, "pk").count() == 0L)
   }
 
+  test("kAnonymityAudit flags exactly the under-k combinations") {
+    val rows = (Seq.fill(12)(("IN", "A")) ++ Seq.fill(3)(("IN", "B")) ++
+      Seq.fill(10)(("US", "A"))).toDF("nation", "seg")
+    val out = QualityOps.kAnonymityAudit(rows, Seq("nation", "seg"), k = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out == Map(("IN", "A") -> ((12L, false)),
+      ("IN", "B") -> ((3L, true)), ("US", "A") -> ((10L, false))))
+  }
+
   test("rangeDigests: replica parity, single-row sensitivity, order independence") {
     val rows = (1L to 100L).map(k => (k, k * 7)).toDF("k", "v")
     def dig(df: org.apache.spark.sql.DataFrame) =

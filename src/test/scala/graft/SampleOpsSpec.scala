@@ -124,4 +124,29 @@ class SampleOpsSpec extends SparkSpec {
       (1 to 4).map(i => (i.toLong, "solo")).toDF("id", "grp"), "grp", "id", 10)
     assert(tiny.count() == 4)
   }
+
+  test("weightedSample: deterministic, favors heavy rows, priorities append-stable") {
+    // half the ids carry weight 1000, half weight 1
+    val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) 1000L else 1L))
+      .toDF("id", "w")
+    val s1 = SampleOps.weightedSample(df, "id", "w", k = 40)
+      .select("id").as[Long].collect().toSet
+    val s2 = SampleOps.weightedSample(df, "id", "w", k = 40)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "same input must reproduce the same sample")
+    // 1000x weight should dominate the draw overwhelmingly
+    val heavy = s1.count(_ % 2 == 0)
+    assert(heavy >= 35, s"heavy rows should dominate, got $heavy/40")
+    // appending rows never changes surviving rows' priorities
+    val p1 = SampleOps.weightedSample(df, "id", "w", k = 40)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    val grown = df.unionAll((1000 to 1100).map(i => (i.toLong, 500L)).toDF("id", "w"))
+    val p2 = SampleOps.weightedSample(grown, "id", "w", k = 40)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    p2.keySet.intersect(p1.keySet).foreach(id => assert(p1(id) == p2(id)))
+    // zero/negative weights are excluded, not divided by
+    val withZero = df.unionAll(Seq((9999L, 0L)).toDF("id", "w"))
+    assert(!SampleOps.weightedSample(withZero, "id", "w", 400)
+      .select("id").as[Long].collect().contains(9999L))
+  }
 }
