@@ -77,16 +77,26 @@ object SketchOps {
     * group (per day, per shard, ...), ready for windowed or rolled-up
     * merges by register max.
     */
-  def hllRegistersBy(rows: DataFrame, keyCol: String,
-                     groupCols: Seq[String], p: Int = 6): DataFrame = {
+  /** The row-local HLL projection: (bucket, rho) columns for a key —
+    * exposed so streaming aggregations ([[graft.streaming.StreamingOps
+    * .streamingDistinct]]) can reuse the exact same sketch math.
+    */
+  def hllBucketRho(key: org.apache.spark.sql.Column,
+                   p: Int = 6): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
-    val h = HashFunctions.portableHash60(col(keyCol).cast("string"))
+    val h = HashFunctions.portableHash60(key.cast("string"))
     val window = 60 - p
     val w = shiftright(h, p)
     val rho = when(w === 0L, lit(window + 1))
       .otherwise(lit(window + 1) - length(bin(w)))
+    (h.bitwiseAND(lit((1L << p) - 1)), rho)
+  }
+
+  def hllRegistersBy(rows: DataFrame, keyCol: String,
+                     groupCols: Seq[String], p: Int = 6): DataFrame = {
+    val (bucket, rho) = hllBucketRho(col(keyCol), p)
     rows.select(groupCols.map(col) ++ Seq(
-        h.bitwiseAND(lit((1L << p) - 1)).as("bucket"), rho.as("rho")): _*)
+        bucket.as("bucket"), rho.as("rho")): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*).agg(max("rho").as("r"))
   }
 

@@ -172,6 +172,28 @@ object StreamingOps {
       }
   }
 
+  /** STREAMING DISTINCT-COUNT SKETCH: per-window HLL registers over an
+    * unbounded stream — distinct users per hour WITHOUT storing ids.
+    * bucket/rho are row-local projections of the portable hash
+    * ([[graft.operators.SketchOps.hllBucketRho]] — the exact math the
+    * batch/oracle chain uses), and register max is an algebraic
+    * aggregate, so Spark keeps at most 2^p tiny registers per window as
+    * state (vs. the unbounded id set an exact streaming distinct
+    * needs). Registers from any two streams/windows/days merge by max
+    * — the same roll-up algebra as the batch q115 windowed HLL — and
+    * [[graft.operators.SketchOps.hllEstimateFromRegisters]] turns any
+    * collected register set into the estimate.
+    */
+  def streamingDistinct(stream: DataFrame, tsCol: String, keyCol: String,
+                        windowDur: String = "1 hour",
+                        watermark: String = "1 hour"): DataFrame = {
+    val (bucket, rho) = graft.operators.SketchOps.hllBucketRho(col(keyCol))
+    stream.withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowDur).as("win"),
+        bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("win"), col("bucket")).agg(max("rho").as("r"))
+  }
+
   case class EwmaEvent(key: Long, ts: java.sql.Timestamp, seq: Long, value: Long)
   case class EwmaFlag(key: Long, seq: Long, value: Long, ewmaPrev: Long,
                       ewma: Long, spike: Boolean)

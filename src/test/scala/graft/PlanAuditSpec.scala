@@ -328,4 +328,27 @@ class PlanAuditSpec extends SparkSpec {
       s"candidates must come from the prefix equi-join:\n$p")
     graft.GraftCache.releaseAll(spark)
   }
+
+  test("index merge reads each shard once, never the corpus again (q137)") {
+    val p = q("q137_index_merge").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 2,
+      s"exactly the two shard scans:\n$p")
+  }
+
+  test("weighted sampling selects via TakeOrderedAndProject (q143)") {
+    val p = plan(q("q143_weighted_sample"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k smallest priorities must not globally sort:\n$p")
+  }
+
+  test("event analytics joins stay equi-shaped (q141, q146)") {
+    val bfs = plan(q("q141_bfs_distance"))
+    assert(!bfs.contains("CartesianProduct") &&
+      !bfs.contains("BroadcastNestedLoopJoin"),
+      s"frontier expansion must be an equi-join:\n$bfs")
+    val mt = plan(q("q146_multi_touch"))
+    assert(!mt.contains("CartesianProduct"),
+      s"touch join must be user-co-keyed, range applied as a filter:\n$mt")
+  }
 }

@@ -252,6 +252,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDistinct registers == batch HLL registers per window") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-03-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = StreamingOps.streamingDistinct(
+      input.toDF().toDF("ts", "user"), "ts", "user")
+    val q = out.writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // hour 10: users 1,2,2,3 (dup); hour 11: users 2,4 — split so one
+      // user spans both batches and windows
+      input.addData((t(10, 0), 1L), (t(10, 10), 2L), (t(10, 20), 2L))
+      q.processAllAvailable()
+      input.addData((t(10, 30), 3L), (t(11, 5), 2L), (t(11, 40), 4L))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .select(date_format(col("win.start"), "HH").as("h"), col("bucket"), col("r"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val batchRows = Seq((t(10, 0), 1L), (t(10, 10), 2L), (t(10, 20), 2L),
+        (t(10, 30), 3L), (t(11, 5), 2L), (t(11, 40), 4L))
+        .toDF("ts", "user")
+        .select(date_format(col("ts"), "HH").as("h"), col("user"))
+      val batch = graft.operators.SketchOps
+        .hllRegistersBy(batchRows, "user", Seq("h"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streamingEwma == batch ewmaSpikes for all in-watermark events, " +
     "including late arrivals and an idle-key timeout drain") {
     import graft.streaming.StreamingOps.{EwmaEvent, EwmaFlag}
