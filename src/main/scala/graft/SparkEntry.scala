@@ -1810,6 +1810,32 @@ object SparkEntry {
         .groupBy("click_id")
         .agg(count(lit(1)).as("n_purchases"),
           sum(expr("10000 div n_touches")).as("credit_bp"))
+    }),
+
+    // Positional phrase search ("table hash" as an exact token
+    // sequence): what docs-only postings can't answer. Token stream is
+    // filtered to the phrase terms pre-shuffle; consecutive terms join
+    // on (doc, anchored position); counts are exact per start position.
+    "q147_phrase_search" -> ((s, d) =>
+      RetrievalOps.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+        Seq("table", "hash"))),
+
+    // Interval x interval overlap join: per-(user, day) activity spans
+    // vs 20 literal outage windows — bucketed to 6h candidates + exact
+    // predicate (never a nested-loop); the oracle is the brute-force
+    // overlap join, so the bucketing cannot hide lost pairs.
+    "q148_interval_overlap" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(unix_micros(col("ts"))).as("a_start"),
+          max(unix_micros(col("ts"))).as("a_end"))
+        .select(concat(col("user_id"), lit(":"),
+          date_format(col("day"), "yyyy-MM-dd")).as("a_id"),
+          col("a_start"), col("a_end"))
+      val outages = s.range(0, 20).select(col("id").as("b_id"),
+          (lit(1704067200000000L) + col("id") * 129600000000L).as("b_start"))
+        .withColumn("b_end", col("b_start") + 28800000000L)
+      JoinOps.intervalOverlapJoin(act, outages, bucketSize = 21600000000L)
     })
   )
 
@@ -4063,6 +4089,36 @@ object SparkEntry {
         |SELECT t.click_id, CAST(count(*) AS BIGINT) AS n_purchases,
         | CAST(sum(10000 // sh.n_touches) AS BIGINT) AS credit_bp
         |FROM touch t JOIN sh ON sh.p_id = t.p_id
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // Parallel unnest aligns token and subscript; the offset anchoring
+    // cancels the 0- vs 1-based position difference.
+    "q147_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  CASE WHEN lower($cleanSql) = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
+         | FROM documents),
+         |tok AS (SELECT id, unnest(toks) AS w,
+         |  generate_subscripts(toks, 1) AS pos FROM t),
+         |p0 AS (SELECT id, pos FROM tok WHERE w = 'table'),
+         |p1 AS (SELECT id, pos - 1 AS pos FROM tok WHERE w = 'hash')
+         |SELECT p0.id, CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM p0 JOIN p1 ON p1.id = p0.id AND p1.pos = p0.pos
+         |GROUP BY 1""".stripMargin,
+
+    // Brute-force overlap join — no buckets, so the Spark side's
+    // bucketing cannot self-confirm.
+    "q148_interval_overlap" ->
+      """WITH act AS (SELECT
+        |  CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS a_id,
+        |  min(epoch_us(ts)) AS a_start, max(epoch_us(ts)) AS a_end
+        | FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |o AS (SELECT k AS b_id,
+        |  1704067200000000 + k * 129600000000 AS b_start,
+        |  1704067200000000 + k * 129600000000 + 28800000000 AS b_end
+        | FROM (SELECT unnest(generate_series(0, 19)) AS k))
+        |SELECT a_id, CAST(b_id AS BIGINT) AS b_id,
+        | CAST(least(a_end, b_end) - greatest(a_start, b_start) AS BIGINT) AS overlap
+        |FROM act JOIN o ON a_start < b_end AND b_start < a_end""".stripMargin
   )
 }

@@ -134,4 +134,33 @@ object JoinOps {
       .where(col("dist") <= maxDist)
       .select("left_id", "right_id", "left_name", "right_name", "dist")
   }
+
+  /** INTERVAL × INTERVAL overlap join — the generalization of
+    * [[rangeJoin]] (point-in-interval) to two interval sets: pairs
+    * with strictly positive overlap, plus the overlap length.
+    *
+    * `a` must have columns (a_id, a_start, a_end), `b` (b_id, b_start,
+    * b_end), integer endpoints. The naive formulation is a
+    * BroadcastNestedLoopJoin on the overlap predicate — quadratic. Here
+    * each interval explodes to the coarse buckets it covers (bounded by
+    * span/bucketSize), candidates equi-join per bucket, the exact
+    * predicate filters, and the pair distinct-s away multi-bucket
+    * duplicates — the standard time/genomic-interval join shape. Pick
+    * `bucketSize` near the typical interval span: too small multiplies
+    * the explode, too large degrades toward all-pairs per bucket.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          bucketSize: Long): DataFrame = {
+    require(bucketSize >= 1L, s"bucketSize must be >= 1, got $bucketSize")
+    def expand(df: DataFrame, s: String, e: String) =
+      df.withColumn("_bucket",
+        explode(sequence(expr(s"$s div $bucketSize"), expr(s"$e div $bucketSize"))))
+    expand(a, "a_start", "a_end")
+      .join(expand(b, "b_start", "b_end"), Seq("_bucket"))
+      .where(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap"))
+      .distinct()
+  }
 }

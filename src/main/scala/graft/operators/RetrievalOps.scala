@@ -132,6 +132,31 @@ object RetrievalOps {
   private def gapsCsv(gaps: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array_join(transform(gaps, g => g.cast("string")), ",")
 
+  /** Positional phrase search: documents containing the exact token
+    * sequence `phrase`, with occurrence counts — the capability a
+    * positional inverted index exists for (docs-only postings, q129,
+    * cannot distinguish "new york" from "york new").
+    *
+    * Scale shape (the [[bm25]] discipline): the corpus token stream is
+    * filtered to the PHRASE terms before anything shuffles, then each
+    * consecutive term joins on (doc, first-term-anchored position) —
+    * equi-joins whose volume is the phrase terms' posting sizes, never
+    * the corpus. Each match is one start position, so counts are exact
+    * even for overlapping/repeated matches.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two tokens")
+    val tok = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(T.tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase.distinct.map(x => x: Any): _*))
+    val anchor = tok.where(col("term") === phrase.head).select("id", "pos")
+    phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (m, (t, i)) =>
+      m.join(tok.where(col("term") === t)
+        .select(col("id"), (col("pos") - i).as("pos")), Seq("id", "pos"))
+    }.groupBy("id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Merge two RANGE-SHARDED index halves (every doc id of `a` below
     * every doc id of `b` — the layout sharded index builds produce)
     * WITHOUT touching the corpus: per term, df adds and the posting

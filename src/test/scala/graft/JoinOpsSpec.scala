@@ -135,4 +135,27 @@ class JoinOpsSpec extends SparkSpec {
     // documented recall bound; 14 fails the length guard
     assert(out == Set((1L, 12L), (1L, 13L)), s"got $out")
   }
+
+  test("intervalOverlapJoin == brute force: multi-bucket spans dedupe, " +
+    "touching intervals excluded") {
+    val a = Seq((1L, 0L, 100L), (2L, 250L, 260L), (3L, 300L, 300L))
+      .toDF("a_id", "a_start", "a_end")
+    val b = Seq((10L, 50L, 320L), (20L, 100L, 120L), (30L, 400L, 500L))
+      .toDF("b_id", "b_start", "b_end")
+    // bucketSize 10 -> interval (50, 320) spans 28 buckets: pairs must
+    // still appear exactly once
+    val out = JoinOps.intervalOverlapJoin(a, b, bucketSize = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force with the same strict predicate
+    val av = Seq((1L, 0L, 100L), (2L, 250L, 260L), (3L, 300L, 300L))
+    val bv = Seq((10L, 50L, 320L), (20L, 100L, 120L), (30L, 400L, 500L))
+    val naive = (for {
+      (ai, as_, ae) <- av; (bi, bs, be) <- bv
+      if as_ < be && bs < ae
+    } yield (ai, bi, math.min(ae, be) - math.max(as_, bs))).toSet
+    assert(out == naive)
+    // (1, 20) touch at 100 exactly -> excluded by the strict predicate
+    assert(!out.exists(t => t._1 == 1L && t._2 == 20L))
+    assert(out.contains((1L, 10L, 50L)) && out.contains((2L, 10L, 10L)))
+  }
 }

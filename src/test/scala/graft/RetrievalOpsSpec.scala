@@ -75,6 +75,25 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("phraseSearch: order-sensitive, overlapping matches, 3-token phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york city"), (2L, "york new city"), (3L, "a new york and new york"),
+      (4L, "new new new"), (5L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val ny = RetrievalOps.phraseSearch(docs, "doc_id", "text", Seq("new", "york"))
+      .as[(Long, Long)].collect().toMap
+    assert(ny == Map(1L -> 1L, 3L -> 2L), s"got $ny") // doc 2 has reversed order
+    // overlapping matches count per start position
+    val nn = RetrievalOps.phraseSearch(docs, "doc_id", "text", Seq("new", "new"))
+      .as[(Long, Long)].collect().toMap
+    assert(nn == Map(4L -> 2L))
+    val nyc = RetrievalOps.phraseSearch(docs, "doc_id", "text",
+      Seq("new", "york", "city"))
+      .as[(Long, Long)].collect().toMap
+    assert(nyc == Map(1L -> 1L))
+  }
+
   test("mergeRangeShardIndexes == direct build, including one-sided terms") {
     import spark.implicits._
     val docs = Seq(
