@@ -1836,7 +1836,36 @@ object SparkEntry {
           (lit(1704067200000000L) + col("id") * 129600000000L).as("b_start"))
         .withColumn("b_end", col("b_start") + 28800000000L)
       JoinOps.intervalOverlapJoin(act, outages, bucketSize = 21600000000L)
-    })
+    }),
+
+    // CEP pattern: purchase preceded by a click within 24h with NO
+    // error event in between — negation via a SECOND as-of join (last
+    // error before the purchase must predate the click) instead of a
+    // range scan, so the whole pattern costs two q64-shaped
+    // union+window passes and zero amplification.
+    "q149_cep_pattern" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      def lastOf(t: String, as: String) = ev.where(col("event_type") === t)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(unix_micros(col("ts"))).as(as))
+      val withClick = JoinOps.asofJoin(purchases, lastOf("click", "c_us"),
+        "user_id", "ts", "c_us")
+      val withBoth = JoinOps.asofJoin(withClick, lastOf("error", "e_us"),
+        "user_id", "ts", "e_us")
+      withBoth.select(col("event_id"), col("user_id"),
+        col("c_us"), col("e_us"),
+        (col("c_us").isNotNull &&
+          unix_micros(col("ts")) - col("c_us") <= 86400000000L &&
+          (col("e_us").isNull || col("e_us") <= col("c_us"))).as("converted"))
+    }),
+
+    // Achlioptas ±1 random projection (JL transform): 64-dim embeddings
+    // fold to 8 integer components against an md5-derived literal sign
+    // matrix — zero joins, zero shuffles, hash-exact.
+    "q150_jl_project" -> ((s, d) =>
+      SimilarityOps.jlProject(Tables.embeddings(s, d)))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -4119,6 +4148,54 @@ object SparkEntry {
         | FROM (SELECT unnest(generate_series(0, 19)) AS k))
         |SELECT a_id, CAST(b_id AS BIGINT) AS b_id,
         | CAST(least(a_end, b_end) - greatest(a_start, b_start) AS BIGINT) AS overlap
-        |FROM act JOIN o ON a_start < b_end AND b_start < a_end""".stripMargin
+        |FROM act JOIN o ON a_start < b_end AND b_start < a_end""".stripMargin,
+
+    // Two native ASOF joins; tied right-side timestamps collapse to
+    // max first (the q110 discipline).
+    "q149_cep_pattern" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(epoch_us(ts)) AS c_us FROM events
+        | WHERE event_type = 'click' GROUP BY 1, 2),
+        |er AS (SELECT user_id, ts, max(epoch_us(ts)) AS e_us FROM events
+        | WHERE event_type = 'error' GROUP BY 1, 2),
+        |j1 AS (SELECT p.event_id, p.user_id, p.ts, c.c_us
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |j2 AS (SELECT j1.event_id, j1.user_id, j1.ts, j1.c_us, er.e_us
+        | FROM j1 ASOF LEFT JOIN er ON j1.user_id = er.user_id AND j1.ts >= er.ts)
+        |SELECT event_id, user_id, c_us, e_us,
+        | c_us IS NOT NULL AND epoch_us(ts) - c_us <= 86400000000
+        |  AND (e_us IS NULL OR e_us <= c_us) AS converted
+        |FROM j2""".stripMargin,
+
+    // Same int8 affine (q125 chain), same md5 sign matrix, integer
+    // folds pivoted to columns.
+    "q150_jl_project" ->
+      """WITH st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
+        |st AS (SELECT mn,
+        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
+        |q AS (SELECT vec_id AS id, list_transform(embedding, x ->
+        |  CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
+        | FROM embeddings CROSS JOIN st),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |ii AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |sgn AS (SELECT j, i,
+        |  CASE WHEN ('0x' || substr(md5('jl_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |   THEN 1 ELSE -1 END AS s
+        | FROM jj CROSS JOIN ii),
+        |proj AS (SELECT q.id, sgn.j,
+        |  CAST(sum(CAST(q.cv[sgn.i + 1] AS BIGINT) * sgn.s) AS BIGINT) AS p
+        | FROM q CROSS JOIN sgn GROUP BY 1, 2)
+        |SELECT id AS vec_id,
+        | CAST(sum(CASE WHEN j = 0 THEN p END) AS BIGINT) AS p0,
+        | CAST(sum(CASE WHEN j = 1 THEN p END) AS BIGINT) AS p1,
+        | CAST(sum(CASE WHEN j = 2 THEN p END) AS BIGINT) AS p2,
+        | CAST(sum(CASE WHEN j = 3 THEN p END) AS BIGINT) AS p3,
+        | CAST(sum(CASE WHEN j = 4 THEN p END) AS BIGINT) AS p4,
+        | CAST(sum(CASE WHEN j = 5 THEN p END) AS BIGINT) AS p5,
+        | CAST(sum(CASE WHEN j = 6 THEN p END) AS BIGINT) AS p6,
+        | CAST(sum(CASE WHEN j = 7 THEN p END) AS BIGINT) AS p7
+        |FROM proj GROUP BY 1""".stripMargin
   )
 }

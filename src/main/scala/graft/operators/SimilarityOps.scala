@@ -366,6 +366,49 @@ object SimilarityOps {
     rankAdc(adc, topK)
   }
 
+  /** Achlioptas random projection (JL transform with ±1 entries,
+    * Achlioptas 2003): reduce `dim`-dimensional embeddings to `m`
+    * integer components p_j = Σ_i sign_ij · q_i over the int8-quantized
+    * vector — the cheap dimensionality reduction that preserves
+    * pairwise distances within (1±ε) and feeds downstream LSH/cluster
+    * stages at m/dim of the bandwidth. Signs derive from the portable
+    * md5 hash of "jl_j_i", so the projection matrix is a deterministic
+    * constant any engine re-derives; with integer inputs the output is
+    * hash-exact.
+    *
+    * Scale shape: the sign matrix is a plan literal (m×dim values) and
+    * the projection is a per-row codegen'd fold — zero joins, zero
+    * shuffles, embarrassingly parallel.
+    */
+  def jlProject(emb: DataFrame, m: Int = 8, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && m <= dim, s"need 1 <= m <= dim, got m=$m dim=$dim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs: IndexedSeq[IndexedSeq[Long]] = (0 until m).map { j =>
+      (0 until dim).map { i =>
+        if (graft.functions.HashFunctions.portableHash60JVM(md, s"jl_${j}_$i") % 2 == 0) 1L
+        else -1L
+      }
+    }
+    val stats = emb.agg(
+      min(array_min(col(vecCol))).cast("double").as("mn"),
+      max(array_max(col(vecCol))).cast("double").as("mx"))
+      .select(col("mn"),
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(lit(254.0) / (col("mx") - col("mn"))).as("sc"))
+    val qexpr = expr(s"transform($vecCol, x -> " +
+      "CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INT) - 127)")
+    val projections = (0 until m).map { j =>
+      val sgn = array(signs(j).map(lit): _*)
+      aggregate(
+        zip_with(col("_cv"), sgn, (x, s) => x.cast("long") * s),
+        lit(0L), (acc, v) => acc + v).as(s"p$j")
+    }
+    emb.crossJoin(broadcast(stats))
+      .select(col(idCol), qexpr.as("_cv"))
+      .select(col(idCol) +: projections: _*)
+  }
+
   /** IVF + PQ — the composition a real 100 TB vector store runs: IVF
     * pruning cuts the candidate set to the query's `nprobe` nearest
     * centroid lists (~nprobe/nlist of the corpus), and PQ's asymmetric

@@ -134,6 +134,29 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("jlProject matches the hand-computed ±1 fold over the int8 affine") {
+    val vecs = Seq(
+      (1L, Seq(0f, 1f, -1f, 0.5f)), (2L, Seq(1f, 1f, 1f, 1f)),
+      (3L, Seq(0f, 1f, -1f, 0.5f))) // duplicate of 1
+    val out = SimilarityOps.jlProject(vecs.toDF("vec_id", "embedding"),
+        m = 2, dim = 4)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // replicate affine + signs exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs = (0 until 2).map(j => (0 until 4).map(i =>
+      if (graft.functions.HashFunctions.portableHash60JVM(md, s"jl_${j}_$i") % 2 == 0) 1L else -1L))
+    val all = vecs.flatMap(_._2)
+    val (mn, mx) = (all.min.toDouble, all.max.toDouble)
+    val sc = 254.0 / (mx - mn)
+    def q8(x: Float) = math.floor((x.toDouble - mn) * sc + 0.5).toLong - 127L
+    val expected = vecs.map { case (id, v) =>
+      id -> ((v.zip(signs(0)).map { case (x, s) => q8(x) * s }.sum,
+        v.zip(signs(1)).map { case (x, s) => q8(x) * s }.sum))
+    }.toMap
+    assert(out == expected)
+    assert(out(1L) == out(3L), "identical vectors must project identically")
+  }
+
   test("ivfPqTopK: neighbors come only from probed lists, ADC agrees with pqTopK") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ivfpq = SimilarityOps.ivfPqTopK(emb)
