@@ -342,6 +342,27 @@ class PlanAuditSpec extends SparkSpec {
       s"k smallest priorities must not globally sort:\n$p")
   }
 
+  test("JL projection plans with zero exchanges (q150)") {
+    val p = plan(q("q150_jl_project"))
+    // the 1-row stats crossJoin broadcasts; nothing else may shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"literal sign-matrix fold must not shuffle:\n$p")
+  }
+
+  test("phrase search filters to phrase terms before any shuffle (q147)") {
+    val p = plan(q("q147_phrase_search"))
+    assert(p.contains("table") && p.contains("hash"),
+      s"term filter must appear in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"anchored position joins must stay equi:\n$p")
+  }
+
+  test("interval overlap join never nested-loops (q148)") {
+    val p = plan(q("q148_interval_overlap"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed candidates + filter, not a quadratic join:\n$p")
+  }
+
   test("event analytics joins stay equi-shaped (q141, q146)") {
     val bfs = plan(q("q141_bfs_distance"))
     assert(!bfs.contains("CartesianProduct") &&
