@@ -1865,7 +1865,25 @@ object SparkEntry {
     // fold to 8 integer components against an md5-derived literal sign
     // matrix — zero joins, zero shuffles, hash-exact.
     "q150_jl_project" -> ((s, d) =>
-      SimilarityOps.jlProject(Tables.embeddings(s, d)))
+      SimilarityOps.jlProject(Tables.embeddings(s, d))),
+
+    // Rendezvous-hash shard routing: every user to argmax over 8 shards
+    // of md5(user#shard) — the resize-minimal router (adding a shard
+    // moves ~1/9 of keys, all TO it; spec-asserted). Zero shuffles.
+    "q151_hrw_router" -> ((s, d) =>
+      SampleOps.hrwAssign(
+        Tables.events(s, d).select(col("user_id")).distinct(),
+        "user_id", shards = 8)),
+
+    // Quantile normalization: each doc's n_chars maps onto the GLOBAL
+    // value at the same within-source percentile — batch-effect
+    // correction across sources. Rows shuffle once; the global side is
+    // cells + a 10000-row broadcast lookup built by the bucketed range
+    // join.
+    "q152_quantile_norm" -> ((s, d) =>
+      PercentileOps.quantileNormalize(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id"))
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -4196,6 +4214,42 @@ object SparkEntry {
         | CAST(sum(CASE WHEN j = 5 THEN p END) AS BIGINT) AS p5,
         | CAST(sum(CASE WHEN j = 6 THEN p END) AS BIGINT) AS p6,
         | CAST(sum(CASE WHEN j = 7 THEN p END) AS BIGINT) AS p7
-        |FROM proj GROUP BY 1""".stripMargin
+        |FROM proj GROUP BY 1""".stripMargin,
+
+    // Same argmax; hash ties (never in practice) break to the larger
+    // shard id on both sides.
+    "q151_hrw_router" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |h AS (SELECT u.user_id, ss.s,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT AS hv
+        | FROM u CROSS JOIN ss),
+        |r AS (SELECT user_id, s,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY hv DESC, s DESC) AS rk
+        | FROM h)
+        |SELECT user_id, CAST(s AS BIGINT) AS shard FROM r WHERE rk = 1""".stripMargin,
+
+    // Same rank quantization, same cell-interval lookup (the range
+    // join re-derived as an interval predicate).
+    "q152_quantile_norm" ->
+      """WITH rows_ AS (SELECT doc_id AS id, source AS g, n_chars AS v FROM documents),
+        |rk AS (SELECT id, g, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY v, id) AS r,
+        |  count(*) OVER (PARTITION BY g) AS n_g FROM rows_),
+        |rb AS (SELECT id, g, v,
+        |  greatest(1, (r * 10000) // n_g) AS rank_bp FROM rk),
+        |cells AS (SELECT v, count(*) AS cnt FROM rows_ GROUP BY 1),
+        |cum AS (SELECT v, cnt,
+        |  sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM cells),
+        |n AS (SELECT count(*) AS n_total FROM rows_),
+        |lv AS (SELECT unnest(generate_series(1, 10000)) AS bp),
+        |lvr AS (SELECT bp, (bp * n_total + 9999) // 10000 AS r_req FROM lv CROSS JOIN n),
+        |lut AS (SELECT lvr.bp, c.v AS norm_v FROM lvr
+        | JOIN cum c ON lvr.r_req >= c.cum - c.cnt + 1 AND lvr.r_req <= c.cum)
+        |SELECT rb.id AS doc_id, rb.g AS source, CAST(rb.v AS BIGINT) AS n_chars,
+        | CAST(rb.rank_bp AS BIGINT) AS rank_bp,
+        | CAST(l.norm_v AS BIGINT) AS normalized
+        |FROM rb JOIN lut l ON l.bp = rb.rank_bp""".stripMargin
   )
 }

@@ -151,6 +151,57 @@ object PercentileOps {
       bin.cast("long").as("bin"))
   }
 
+  /** Quantile normalization: map every value onto the GLOBAL value at
+    * the same within-group percentile — the batch-effect correction
+    * that makes per-source distributions comparable (a verbose source's
+    * p90 length becomes the corpus's p90 length). Standard in
+    * bioinformatics (Bolstad 2003) and feature pipelines.
+    *
+    * Plan shape, all bounded:
+    *  1. within-group percentile = row_number / group size, quantized
+    *     to `levels` basis points (per-group window — bounded by the
+    *     hottest group, the q102 skew bound);
+    *  2. the global distribution reduces to distinct-value cells with
+    *     cumulative counts (the only unpartitioned window runs over
+    *     cells);
+    *  3. a `levels`-row lookup table (bp -> global value) materializes
+    *     via the bucketed [[JoinOps.rangeJoin]] of required ranks
+    *     against cell intervals, then broadcasts back onto the rows.
+    * Rows shuffle once (the group window); everything else is cells,
+    * levels, and broadcasts.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String, levels: Int = 10000): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    val rows = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"), col(idCol).as("_id"))
+    val wRank = Window.partitionBy("g").orderBy("v", "_id")
+    val wN = Window.partitionBy("g")
+    val ranked = rows
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(wN))
+      .withColumn("rank_bp",
+        greatest(lit(1L), expr(s"(r * $levels) div n_g")))
+    val cells = rows.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("lo", col("cum") - col("cnt") + 1L)
+    val nTotal = rows.agg(count(lit(1)).as("n_total"))
+    val levelsDf = df.sparkSession.range(1, levels + 1)
+      .select(col("id").as("bp"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("r_req", expr(s"(bp * n_total + ${levels - 1}) div $levels"))
+    val lookup = JoinOps.rangeJoin(levelsDf,
+      cum.select(col("v").as("norm_v"), col("lo"), col("cum")),
+      "r_req", "lo", "cum", bucketWidth = 1024L)
+      .select(col("bp").as("rank_bp"), col("norm_v"))
+    ranked.join(broadcast(lookup), "rank_bp")
+      .select(col("_id").as(idCol), col("g").as(groupCol),
+        col("v").as(valueCol), col("rank_bp"),
+        col("norm_v").as("normalized"))
+  }
+
   /** Greenwald–Khanna sketch quantiles (`approx_percentile`): bounded
     * mergeable state, rank error ≤ group-size / `accuracy`. Returns one
     * row per group with one column per requested (name, prob).

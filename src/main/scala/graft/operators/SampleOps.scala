@@ -145,6 +145,28 @@ object SampleOps {
     * bound — for pathological single-group skew, pre-filter with an
     * approximate per-group count and sample the hot group in shards).
     */
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998): each key goes to argmax over shards of
+    * hash(key # shard). Unlike `key mod n`, RESIZING is minimal: adding
+    * shard n+1 moves ONLY the keys whose new-shard hash wins (~1/(n+1)
+    * of them), every one TO the new shard — nothing reshuffles between
+    * existing shards (spec-asserted). The portable md5 hash makes the
+    * routing reproducible in any engine, so a 100 TB corpus can be
+    * routed identically by Spark, the warehouse, and a serving tier.
+    *
+    * Pure per-row argmax over `shards` literal hash entries — zero
+    * joins, zero shuffles, codegen'd.
+    */
+  def hrwAssign(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 1024, s"shards must be in [1, 1024], got $shards")
+    val entries = (0 until shards).map { s0 =>
+      struct(graft.functions.HashFunctions.portableHash60(
+          concat(col(keyCol).cast("string"), lit("#"), lit(s0.toString))).as("h"),
+        lit(s0.toLong).as("s"))
+    }
+    df.withColumn("shard", array_max(array(entries: _*)).getField("s"))
+  }
+
   /** Weight-proportional sample of k rows without replacement:
     * integer priority sampling (the sequential-Poisson shape, Ohlsson
     * 1998) with priority = portable_hash(id) div weight — a row with

@@ -111,6 +111,31 @@ class PercentileOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("quantileNormalize: identity on a single group, monotone and " +
+    "global-valued across groups") {
+    import org.apache.spark.sql.functions.col
+    val one = (1 to 300).map(i => (i.toLong, "g", i * 7L % 97)).toDF("id", "g", "v")
+    val ident = PercentileOps.quantileNormalize(one, "g", "v", "id")
+      .select(col("v"), col("normalized")).as[(Long, Long)].collect()
+    ident.foreach { case (v, n) => assert(n == v, s"single group must be identity: $v -> $n") }
+
+    // two groups with disjoint ranges: normalized values come from the
+    // GLOBAL value set and preserve within-group order
+    val two = ((1 to 100).map(i => (i.toLong, "small", i.toLong)) ++
+      (1 to 100).map(i => ((i + 1000).toLong, "big", 1000L + i))).toDF("id", "g", "v")
+    val out = PercentileOps.quantileNormalize(two, "g", "v", "id")
+      .select(col("g"), col("v"), col("normalized"))
+      .as[(String, Long, Long)].collect()
+    val globalVals = ((1 to 100).map(_.toLong) ++ (1 to 100).map(1000L + _)).toSet
+    out.foreach { case (_, _, n) => assert(globalVals.contains(n)) }
+    Seq("small", "big").foreach { g =>
+      val sorted = out.filter(_._1 == g).sortBy(_._2).map(_._3)
+      assert(sorted.sameElements(sorted.sorted), s"$g must stay monotone")
+    }
+    // both groups' top rows normalize to the global maximum
+    assert(out.filter(_._2 == 100L).head._3 == out.filter(_._2 == 1100L).head._3)
+  }
+
   test("ntileExact: the raw-row window is value-partitioned (cells-only global window)") {
     val df = (1 to 500).map(i => (i.toLong, i * 7919L % 40)).toDF("id", "v")
     val plan = PercentileOps.ntileExact(df, "v", "id", 10)

@@ -125,6 +125,20 @@ class SampleOpsSpec extends SparkSpec {
     assert(tiny.count() == 4)
   }
 
+  test("hrwAssign: adding a shard moves only keys TO the new shard (~1/n)") {
+    val keys = (1 to 500).map(_.toLong).toDF("k")
+    val with8 = SampleOps.hrwAssign(keys, "k", shards = 8)
+      .as[(Long, Long)].collect().toMap
+    val with9 = SampleOps.hrwAssign(keys, "k", shards = 9)
+      .as[(Long, Long)].collect().toMap
+    assert(with8.values.toSet.subsetOf((0L until 8L).toSet))
+    val moved = with9.collect { case (k, s) if s != with8(k) => (k, s) }
+    // the defining rendezvous property: every moved key lands on shard 8
+    assert(moved.values.toSet == Set(8L), s"moved to ${moved.values.toSet}")
+    // ~1/9 of 500 ~ 56; allow generous slack
+    assert(moved.size > 20 && moved.size < 120, s"moved ${moved.size}")
+  }
+
   test("weightedSample: deterministic, favors heavy rows, priorities append-stable") {
     // half the ids carry weight 1000, half weight 1
     val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) 1000L else 1L))
