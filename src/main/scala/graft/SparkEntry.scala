@@ -1883,7 +1883,36 @@ object SparkEntry {
     "q152_quantile_norm" -> ((s, d) =>
       PercentileOps.quantileNormalize(
         Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
-        "source", "n_chars", "doc_id"))
+        "source", "n_chars", "doc_id")),
+
+    // CDC feed generation — the inverse of q121: diff the q118
+    // snapshots into the I/U/D batch whose replay reproduces snapshot
+    // B exactly (round-trip law spec-asserted in CdcOpsSpec).
+    "q153_cdc_feed" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val snapA = o.where(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
+      val snapB = o.where(pmod(col("o_orderkey"), lit(13L)) =!= 5L)
+        .select(col("o_orderkey"), when(pmod(col("o_orderkey"), lit(7L)) === 0L,
+          col("cents") + 100L).otherwise(col("cents")).as("cents"))
+      CdcOps.cdcFeed(snapA, snapB, "o_orderkey", "cents")
+    }),
+
+    // Data-freshness monitoring: per-type newest event vs the global
+    // high-water mark, integer lag, staleness flag — the ops check a
+    // 100 TB ingest runs every cycle (tiny aggregates, 1-row
+    // broadcast).
+    "q154_freshness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val per = ev.groupBy("event_type")
+        .agg(max(unix_micros(col("ts"))).as("max_us"),
+          count(lit(1)).as("n"))
+      val glob = ev.agg(max(unix_micros(col("ts"))).as("global_us"))
+      per.crossJoin(broadcast(glob))
+        .select(col("event_type"), col("n"), col("max_us"),
+          (col("global_us") - col("max_us")).as("lag_us"),
+          (col("global_us") - col("max_us") > 3600000000L).as("stale"))
+    })
   )
 
   // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
@@ -4250,6 +4279,32 @@ object SparkEntry {
         |SELECT rb.id AS doc_id, rb.g AS source, CAST(rb.v AS BIGINT) AS n_chars,
         | CAST(rb.rank_bp AS BIGINT) AS rank_bp,
         | CAST(l.norm_v AS BIGINT) AS normalized
-        |FROM rb JOIN lut l ON l.bp = rb.rank_bp""".stripMargin
+        |FROM rb JOIN lut l ON l.bp = rb.rank_bp""".stripMargin,
+
+    // The q118 diff with status -> op; D rows carry NULL values on
+    // both sides.
+    "q153_cdc_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |a AS (SELECT k, cents AS old_v FROM o WHERE k % 11 <> 3),
+        |b AS (SELECT k, CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS new_v
+        | FROM o WHERE k % 13 <> 5),
+        |d AS (SELECT coalesce(a.k, b.k) AS o_orderkey,
+        |  CASE WHEN a.k IS NULL THEN 'I'
+        |       WHEN b.k IS NULL THEN 'D'
+        |       ELSE 'U' END AS op,
+        |  b.new_v AS cents
+        | FROM a FULL OUTER JOIN b ON b.k = a.k
+        | WHERE a.k IS NULL OR b.k IS NULL OR a.old_v <> b.new_v)
+        |SELECT o_orderkey, cents, op FROM d""".stripMargin,
+
+    "q154_freshness" ->
+      """WITH per AS (SELECT event_type, max(epoch_us(ts)) AS max_us,
+        |  count(*) AS n FROM events GROUP BY 1),
+        |g AS (SELECT max(epoch_us(ts)) AS global_us FROM events)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, max_us,
+        | global_us - max_us AS lag_us,
+        | global_us - max_us > 3600000000 AS stale
+        |FROM per CROSS JOIN g""".stripMargin
   )
 }

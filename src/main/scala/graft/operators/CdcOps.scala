@@ -47,6 +47,22 @@ object CdcOps {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Derive the MERGE batch that turns `oldSnap` into `newSnap` — the
+    * inverse of [[mergeApply]]: added keys become I, removed keys D,
+    * changed values U ([[QualityOps.snapshotDiff]] finds them; this
+    * maps status → op). The round-trip law
+    * `mergeApply(old, cdcFeed(old, new)) == new` is spec-asserted —
+    * the CDC loop closes: diff two snapshots once, replay the feed
+    * anywhere.
+    */
+  def cdcFeed(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+              valCol: String): DataFrame =
+    QualityOps.snapshotDiff(oldSnap, newSnap, keyCol, valCol)
+      .select(col(keyCol), col("new_v").as(valCol),
+        when(col("status") === "added", lit("I"))
+          .when(col("status") === "removed", lit("D"))
+          .otherwise(lit("U")).as("op"))
+
   /** Apply a MERGE batch to a keyed snapshot.
     *
     * `batch` rows are (keyCol, valCol, opCol) with op in {I, U, D}:

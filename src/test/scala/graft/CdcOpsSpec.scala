@@ -49,6 +49,30 @@ class CdcOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 10L, 2L -> 22L, 4L -> 40L))
   }
 
+  test("cdcFeed round-trip law: mergeApply(old, cdcFeed(old, new)) == new") {
+    val a = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val b = Seq((2L, 22L), (3L, 30L), (4L, 40L)).toDF("k", "v")
+    val feed = CdcOps.cdcFeed(a, b, "k", "v")
+    val f = feed.collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2))))
+      .toMap
+    assert(f == Map(1L -> ((None, "D")), 2L -> ((Some(22L), "U")),
+      4L -> ((Some(40L), "I"))), s"got $f") // unchanged key 3 absent
+    val rebuilt = CdcOps.mergeApply(a, feed, "k", "v", "op")
+      .as[(Long, Long)].collect().toMap
+    assert(rebuilt == Map(2L -> 22L, 3L -> 30L, 4L -> 40L))
+  }
+
+  test("mergeApply is idempotent: replaying the same batch changes nothing") {
+    val snap = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val batch = Seq((2L, 22L, "U"), (3L, 0L, "D"), (4L, 40L, "I"))
+      .toDF("k", "v", "op")
+    val once = CdcOps.mergeApply(snap, batch, "k", "v", "op")
+    val twice = CdcOps.mergeApply(once, batch, "k", "v", "op")
+      .as[(Long, Long)].collect().toMap
+    assert(twice == once.as[(Long, Long)].collect().toMap)
+  }
+
   test("mergeApply with an empty batch is the identity") {
     val snap = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
     val batch = Seq.empty[(Long, Long, String)].toDF("k", "v", "op")
