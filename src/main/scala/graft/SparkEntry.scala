@@ -1912,6 +1912,55 @@ object SparkEntry {
         .select(col("event_type"), col("n"), col("max_us"),
           (col("global_us") - col("max_us")).as("lag_us"),
           (col("global_us") - col("max_us") > 3600000000L).as("stale"))
+    }),
+
+    // Source-level overlap matrix: exact Jaccard between each source
+    // pair's 3-gram shingle SETS — the cross-dump redundancy check
+    // (CommonCrawl snapshots overlap heavily; this decides which dumps
+    // to keep) at source granularity: pairs are |sources|^2-bounded,
+    // never doc^2. Integer basis points.
+    "q155_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs0 = DedupOps.wordShingleRows(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", 3)
+      val srcSh = pairs0.join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .select(col("source"), explode(col("sh")).as("s"))
+        .select(col("source"),
+          graft.functions.HashFunctions.portableHash60(col("s")).as("h"))
+        .distinct()
+      val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = srcSh.select(col("source").as("src_a"), col("h"))
+        .join(srcSh.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("m"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("m"), col("na"), col("nb"),
+          expr("(m * 10000) div (na + nb - m)").as("jaccard_bp"))
+    }),
+
+    // Scale-safe percent_rank / cume_dist in integer basis points: the
+    // global rank comes from the q119 cell machinery (no global row
+    // sort); cume_dist joins the broadcast cell table. The oracle
+    // recomputes both from the naive global window's row_number —
+    // independent of the cell derivation.
+    "q156_percent_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val ranked = PercentileOps.ntileExact(docs, "n_chars", "doc_id", k = 1)
+      val cells = docs.groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = cells.withColumn("cum", sum("cnt").over(wCum))
+        .select(col("v").as("n_chars"), col("cum"))
+      val nTotal = docs.agg(count(lit(1)).as("n_total"))
+      ranked.join(broadcast(cum), "n_chars")
+        .crossJoin(broadcast(nTotal))
+        .select(col("doc_id"), col("n_chars"),
+          expr("((rank - 1) * 10000) div (n_total - 1)").as("pr_bp"),
+          expr("(cum * 10000) div n_total").as("cume_bp"))
     })
   )
 
@@ -4305,6 +4354,39 @@ object SparkEntry {
         |SELECT event_type, CAST(n AS BIGINT) AS n, max_us,
         | global_us - max_us AS lag_us,
         | global_us - max_us > 3600000000 AS stale
-        |FROM per CROSS JOIN g""".stripMargin
+        |FROM per CROSS JOIN g""".stripMargin,
+
+    // Same 3-gram shingling (q25 chain), distinct per SOURCE, pairwise
+    // exact Jaccard over md5 hashes.
+    "q155_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |shl AS (SELECT doc_id, source,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |   ELSE list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs FROM t),
+         |sh AS (SELECT DISTINCT source,
+         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         | FROM (SELECT source, unnest(shs) AS s FROM shl)),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS m
+         | FROM sh a JOIN sh b ON b.h = a.h AND b.source > a.source GROUP BY 1, 2)
+         |SELECT i.src_a, i.src_b, i.m, sa.n AS na, sb.n AS nb,
+         | (i.m * 10000) // (sa.n + sb.n - i.m) AS jaccard_bp
+         |FROM inter i
+         |JOIN sizes sa ON sa.source = i.src_a
+         |JOIN sizes sb ON sb.source = i.src_b""".stripMargin,
+
+    // Both measures recomputed from the naive global window —
+    // independent of the Spark side's cell-histogram ranks.
+    "q156_percent_rank" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER () AS n FROM documents),
+        |c AS (SELECT n_chars, max(rn) AS cum FROM r GROUP BY 1)
+        |SELECT r.doc_id, r.n_chars,
+        | ((r.rn - 1) * 10000) // (r.n - 1) AS pr_bp,
+        | (c.cum * 10000) // r.n AS cume_bp
+        |FROM r JOIN c ON c.n_chars = r.n_chars""".stripMargin
   )
 }
