@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The training-manifest pipeline (q157) composes the
+    * engine end to end: curate → dedup → domain cap → split → pack.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q157_training_manifest")(spark, "/root/testdata/sf0.001")
 
   private def did = col("doc_id")
   private def sid = col("doc_id").cast("string")
@@ -1961,6 +1964,33 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"),
           expr("((rank - 1) * 10000) div (n_total - 1)").as("pr_bp"),
           expr("(cum * 10000) div n_total").as("cume_bp"))
+    }),
+
+    // THE FLAGSHIP COMPOSITION — the full training-data manifest in one
+    // pipeline: quality+language curation with exact dedup (q60) →
+    // per-source domain cap (q126) → portable 80/10/10 split (q69) →
+    // token-budget packing of the train split (q62). One manifest row
+    // per surviving doc: its provenance, split, token count, and (for
+    // train) its pack assignment. Every stage is the already-audited
+    // operator; the oracle replays the identical chain in SQL.
+    "q157_training_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = CurationOps.curate(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), col("dup_count"))
+      val keptDocs = kept.join(docs.select(col("doc_id"), col("source"),
+        T.tokenCount(col("text")).as("n_tokens")), "doc_id")
+      val capped = SampleOps.cappedPerGroup(keptDocs, "source", "doc_id", cap = 30)
+        .select("doc_id")
+      val manifest = SampleOps.portableSplit(
+        capped.join(keptDocs, "doc_id"), "doc_id")
+      val packed = SampleOps.packByTokenBudget(
+        manifest.where(col("split") === "train"), "doc_id", "n_tokens",
+        budget = 512L, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pack_id"))
+      manifest.join(packed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("split"),
+          col("dup_count"), col("n_tokens"),
+          col("shard"), col("pack_id"))
     })
   )
 
@@ -4376,6 +4406,59 @@ object SparkEntry {
          |FROM inter i
          |JOIN sizes sa ON sa.source = i.src_a
          |JOIN sizes sb ON sb.source = i.src_b""".stripMargin,
+
+    // The q60 curate chain verbatim, then cap (q126), split (q69), and
+    // pack (q62) replayed stage for stage.
+    "q157_training_manifest" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
+         |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
+         |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
+         | FROM t),
+         |q AS (SELECT doc_id, floor(greatest(0.0, least(1.0,
+         |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |   + least(swr * 5.0, 1.0) * 0.3
+         |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000 AS quality FROM m),
+         |s AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
+         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
+         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
+         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
+         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
+         | FROM t),
+         |l AS (SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
+         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+         | ELSE 'zh' END AS lang_pred FROM s),
+         |g AS (SELECT q.doc_id FROM q JOIN l USING (doc_id)
+         | WHERE q.quality >= 0.5 AND l.lang_pred IN ('en')),
+         |f AS (SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents),
+         |cur AS (SELECT min(f.doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+         | FROM g JOIN f USING (doc_id) GROUP BY f.fingerprint),
+         |kd AS (SELECT c.doc_id, c.dup_count, d.source,
+         |  CAST(len(t2.toks) AS BIGINT) AS n_tokens
+         | FROM cur c JOIN documents d USING (doc_id) JOIN t t2 ON t2.doc_id = c.doc_id),
+         |rkd AS (SELECT kd.*, row_number() OVER (PARTITION BY source ORDER BY
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
+         | FROM kd),
+         |sp AS (SELECT doc_id, dup_count, source, n_tokens,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM rkd WHERE rk <= 30),
+         |pk AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+         |  sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
+         | FROM sp WHERE split = 'train'),
+         |pk2 AS (SELECT doc_id, shard, CAST(floor(so / 512.0) AS BIGINT) AS pack_id FROM pk)
+         |SELECT sp.doc_id, sp.source, sp.split, sp.dup_count, sp.n_tokens,
+         | pk2.shard, pk2.pack_id
+         |FROM sp LEFT JOIN pk2 USING (doc_id)""".stripMargin,
 
     // Both measures recomputed from the naive global window —
     // independent of the Spark side's cell-histogram ranks.
