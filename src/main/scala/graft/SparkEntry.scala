@@ -1991,6 +1991,54 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("split"),
           col("dup_count"), col("n_tokens"),
           col("shard"), col("pack_id"))
+    }),
+
+    // Split-balance audit: the statistical check on the q69 splitter —
+    // per source, each split's share in basis points and the deviation
+    // from the 80% train target (hash splits are only balanced in
+    // expectation; this is the release gate that catches a bad bucket
+    // formula).
+    "q158_split_balance" -> ((s, d) => {
+      val sp = SampleOps.portableSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      sp.groupBy("source").agg(count(lit(1)).as("n"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .withColumn("train_bp", expr("(n_train * 10000) div n"))
+        .withColumn("dev_bp", abs(col("train_bp") - 8000L))
+        .withColumn("balanced", col("dev_bp") <= 1500L)
+    }),
+
+    // Retrieval quality vs GROUND-TRUTH labels: precision@5 of the q28
+    // exact cosine search, scored by label agreement — the eval that
+    // tells you whether the embedding space is any good at all.
+    "q159_knn_precision" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val topk = SimilarityOps.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 8), k = 5)
+      topk
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), "query_id")
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+        .groupBy("query_id")
+        .agg(sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+          .as("hits"))
+        .withColumn("precision_bp", expr("(hits * 10000) div 5"))
+    }),
+
+    // Language-ID confusion matrix vs the GROUND-TRUTH lang column:
+    // one row per (truth, prediction) pair — the model-eval artifact
+    // behind the q16 classifier.
+    "q160_lang_confusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysisOps.languageId(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("correct", col("lang") === col("lang_pred"))
     })
   )
 
@@ -4470,6 +4518,58 @@ object SparkEntry {
         |SELECT r.doc_id, r.n_chars,
         | ((r.rn - 1) * 10000) // (r.n - 1) AS pr_bp,
         | (c.cum * 10000) // r.n AS cume_bp
-        |FROM r JOIN c ON c.n_chars = r.n_chars""".stripMargin
+        |FROM r JOIN c ON c.n_chars = r.n_chars""".stripMargin,
+
+    "q158_split_balance" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        | FROM documents),
+        |sp AS (SELECT source,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (split = 'train') AS BIGINT) AS n_train,
+        |  CAST(count(*) FILTER (split = 'val') AS BIGINT) AS n_val,
+        |  CAST(count(*) FILTER (split = 'test') AS BIGINT) AS n_test
+        | FROM sp GROUP BY 1)
+        |SELECT source, n, n_train, n_val, n_test,
+        | (n_train * 10000) // n AS train_bp,
+        | abs((n_train * 10000) // n - 8000) AS dev_bp,
+        | abs((n_train * 10000) // n - 8000) <= 1500 AS balanced
+        |FROM a""".stripMargin,
+
+    // The q28 chain scored by label agreement.
+    "q159_knn_precision" ->
+      s"""WITH ${cosineTopKCtes("", "TRUE")},
+        |top5 AS (SELECT qid, nid FROM w WHERE rk <= 5),
+        |lab AS (SELECT vec_id, label FROM embeddings)
+        |SELECT t.qid AS query_id,
+        | CAST(sum(CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        | (CAST(sum(CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END) AS BIGINT) * 10000) // 5 AS precision_bp
+        |FROM top5 t
+        |JOIN lab lq ON lq.vec_id = t.qid
+        |JOIN lab ln ON ln.vec_id = t.nid
+        |GROUP BY 1""".stripMargin,
+
+    // The q16 prediction chain joined to the truth column.
+    "q160_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
+         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
+         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
+         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
+         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
+         | FROM t),
+         |p AS (SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
+         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+         | ELSE 'zh' END AS lang_pred FROM s)
+         |SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n,
+         | d.lang = p.lang_pred AS correct
+         |FROM documents d JOIN p USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
   )
 }
