@@ -2039,6 +2039,40 @@ object SparkEntry {
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .withColumn("correct", col("lang") === col("lang_pred"))
+    }),
+
+    // Backfill planner: the (type, day) partitions a complete calendar
+    // expects but the observed data lacks — with a PLANTED outage
+    // (click days with day_idx % 7 == 0 are dropped from "observed"),
+    // so the anti-join provably finds real gaps. Day dimension comes
+    // from the data itself; everything is tiny aggregates.
+    "q161_backfill_plan" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .withColumn("day_idx",
+          datediff(col("day"), lit("2024-01-01").cast("date")))
+      val observed = ev.distinct()
+        .where(!(col("event_type") === "click" && pmod(col("day_idx"), lit(7)) === 0))
+      val days = ev.select("day", "day_idx").distinct()
+      val types = ev.select("event_type").distinct()
+      types.crossJoin(days)
+        .join(observed, Seq("event_type", "day", "day_idx"), "left_anti")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_idx"))
+    }),
+
+    // KS drift detection: the distribution of n_chars vs a planted
+    // 25%-shifted copy (doc_id%4==0 gains +40 chars) — D = max
+    // |cdf_a - cdf_b| in integer basis points, the drift gate between
+    // two days/sources of the same feature. No transcendentals (KS,
+    // not PSI), so engine-exact.
+    "q162_ks_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("n_chars"))
+      val b = docs.select(
+        when(pmod(did, lit(4)) === 0, col("n_chars") + 40L)
+          .otherwise(col("n_chars")).as("n_chars"))
+      QualityOps.ksDrift(a, b, "n_chars")
     })
   )
 
@@ -4570,6 +4604,42 @@ object SparkEntry {
          |SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n,
          | d.lang = p.lang_pred AS correct
          |FROM documents d JOIN p USING (doc_id)
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q161_backfill_plan" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+        | FROM events),
+        |observed AS (SELECT DISTINCT event_type, day, day_idx FROM ev
+        | WHERE NOT (event_type = 'click' AND day_idx % 7 = 0)),
+        |days AS (SELECT DISTINCT day, day_idx FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT t.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+        | CAST(d.day_idx AS BIGINT) AS day_idx
+        |FROM types t CROSS JOIN days d
+        |WHERE NOT EXISTS (SELECT 1 FROM observed o
+        | WHERE o.event_type = t.event_type AND o.day = d.day)""".stripMargin,
+
+    // Same merged-cell cumulative CDFs, same integer D; v_at_max ties
+    // break to the smallest value on both sides.
+    "q162_ks_drift" ->
+      """WITH a AS (SELECT n_chars AS v, count(*) AS ca FROM documents GROUP BY 1),
+        |b0 AS (SELECT CASE WHEN doc_id % 4 = 0 THEN n_chars + 40 ELSE n_chars END AS v
+        | FROM documents),
+        |b AS (SELECT v, count(*) AS cb FROM b0 GROUP BY 1),
+        |m AS (SELECT coalesce(a.v, b.v) AS v,
+        |  coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+        | FROM a FULL OUTER JOIN b ON b.v = a.v),
+        |c AS (SELECT v, ca, cb,
+        |  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+        |  sum(ca) OVER () AS tot_a, sum(cb) OVER () AS tot_b
+        | FROM m),
+        |dd AS (SELECT v, tot_a, tot_b,
+        |  abs((cum_a * 10000) // tot_a - (cum_b * 10000) // tot_b) AS d FROM c)
+        |SELECT CAST(max(tot_a) AS BIGINT) AS n_a, CAST(max(tot_b) AS BIGINT) AS n_b,
+        | CAST(max(d) AS BIGINT) AS ks_bp,
+        | CAST(min(v) FILTER (d = (SELECT max(d) FROM dd)) AS BIGINT) AS v_at_max
+        |FROM dd""".stripMargin
   )
 }

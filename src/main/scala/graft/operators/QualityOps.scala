@@ -89,6 +89,45 @@ object QualityOps {
       .join(parent.select(col(pkCol).as(fkCol)).distinct(),
         Seq(fkCol), "left_anti")
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic in integer basis
+    * points: D = max over values of |cdf_A − cdf_B|, the
+    * distribution-drift gate between two snapshots/sources of the same
+    * feature (KS rather than PSI because it needs no ln() — everything
+    * stays integer and engine-exact). Returns one row
+    * (n_a, n_b, ks_bp, v_at_max), v_at_max = the smallest value
+    * attaining D.
+    *
+    * Scale shape: each side partial-aggregates to distinct-value
+    * cells; the cumulative window runs over the merged cell set
+    * (bounded by the value domain, the q56 argument), and the max
+    * reduces to one row.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def cells(df: DataFrame, n: String) =
+      df.select(col(valueCol).cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as(n))
+    val merged = cells(a, "cnt_a").join(cells(b, "cnt_b"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("cnt_a"), lit(0L)).as("ca"),
+        coalesce(col("cnt_b"), lit(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    merged
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+      .withColumn("tot_a", sum("ca").over(wAll))
+      .withColumn("tot_b", sum("cb").over(wAll))
+      .withColumn("d", abs(expr("(cum_a * 10000) div tot_a") -
+        expr("(cum_b * 10000) div tot_b")))
+      .agg(max("tot_a").as("n_a"), max("tot_b").as("n_b"),
+        max(struct(col("d"), (-col("v")).as("negv"))).as("best"))
+      .select(col("n_a"), col("n_b"),
+        col("best.d").as("ks_bp"), (-col("best.negv")).as("v_at_max"))
+  }
+
   /** k-anonymity audit: every combination of the quasi-identifier
     * columns whose group holds fewer than `k` rows re-identifies those
     * rows (Sweeney 2002) — the governance gate a dataset passes before

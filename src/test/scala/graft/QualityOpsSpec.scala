@@ -44,6 +44,21 @@ class QualityOpsSpec extends SparkSpec {
     assert(QualityOps.fkViolations(rows, "fk", parent, "pk").count() == 0L)
   }
 
+  test("ksDrift: zero on identical, 10000 on disjoint, exact on a known shift") {
+    val a = (1 to 100).map(_.toLong % 10).toDF("v")
+    assert(QualityOps.ksDrift(a, a, "v").collect().head.getLong(2) == 0L)
+    val lo = Seq(1L, 2L, 3L).toDF("v")
+    val hi = Seq(10L, 11L).toDF("v")
+    val dj = QualityOps.ksDrift(lo, hi, "v").collect().head
+    assert(dj.getLong(2) == 10000L && dj.getLong(3) == 3L)
+    // half the B side shifted from 0 to 5: at v in [0, 4], cdf_a = 1.0
+    // vs cdf_b = 0.5 -> D = 5000 bp at the smallest such value
+    val base = Seq.fill(10)(0L).toDF("v")
+    val shifted = (Seq.fill(5)(0L) ++ Seq.fill(5)(5L)).toDF("v")
+    val r = QualityOps.ksDrift(base, shifted, "v").collect().head
+    assert(r.getLong(2) == 5000L && r.getLong(3) == 0L)
+  }
+
   test("kAnonymityAudit flags exactly the under-k combinations") {
     val rows = (Seq.fill(12)(("IN", "A")) ++ Seq.fill(3)(("IN", "B")) ++
       Seq.fill(10)(("US", "A"))).toDF("nation", "seg")
