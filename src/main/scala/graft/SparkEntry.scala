@@ -2073,6 +2073,60 @@ object SparkEntry {
         when(pmod(did, lit(4)) === 0, col("n_chars") + 40L)
           .otherwise(col("n_chars")).as("n_chars"))
       QualityOps.ksDrift(a, b, "n_chars")
+    }),
+
+    // Distinctive terms per source (c-TF-IDF-lite, integer): the terms
+    // most CONCENTRATED in a source relative to the corpus — the
+    // cluster-labeling op that names what each source is about. Min
+    // support 5; top 3 per source by (concentration, term); the
+    // per-source window is bounded by the vocabulary.
+    "q163_source_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("source"),
+        explode(T.tokens(lower(col("text")))).as("term"))
+      val bySrc = toks.groupBy("source", "term").agg(count(lit(1)).as("n_src"))
+      val corpus = toks.groupBy("term").agg(count(lit(1)).as("n_corpus"))
+      val scored = bySrc.join(broadcast(corpus), "term")
+        .where(col("n_src") >= 5L)
+        .withColumn("score_bp", expr("(n_src * 10000) div n_corpus"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("score_bp").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("source", "term", "n_src", "n_corpus", "score_bp", "rank")
+    }),
+
+    // Packing-efficiency audit: per (shard, pack) doc and token counts
+    // plus the over-budget flag — the utilization check on the q62/q157
+    // packer (greedy offset packing intentionally lets the last doc of
+    // a pack spill past the budget; this measures by how much).
+    "q164_pack_efficiency" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
+      SampleOps.packByTokenBudget(docs, "doc_id", "n_tokens",
+          budget = 512L, nShards = 8)
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+        .withColumn("over_budget", col("pack_tokens") > 512L)
+    }),
+
+    // LSH quality eval on the planted corpus: recall and precision of
+    // the q25 MinHash-LSH pairs against the EXACT prefix-filter join
+    // (q131) at the same threshold — the eval that justifies the
+    // banding choice (16 bands x 4 rows at t=0.7).
+    "q165_lsh_recall" -> ((s, d) => {
+      val corpus = dupCorpus(Tables.documents(s, d))
+      val exact = DedupOps.prefixFilterJoin(corpus, "id", "text",
+        minJaccard = 0.7).select("id_a", "id_b")
+      val lsh = DedupOps.minhashNearDupsPortable(corpus, "id", "text",
+        threshold = 0.7).select("id_a", "id_b")
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nC = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_common"))
+      nE.crossJoin(nL).crossJoin(nC)
+        .select(col("n_exact"), col("n_lsh"), col("n_common"),
+          expr("(n_common * 10000) div n_exact").as("recall_bp"),
+          expr("(n_common * 10000) div n_lsh").as("precision_bp"))
     })
   )
 
@@ -4640,6 +4694,65 @@ object SparkEntry {
         |SELECT CAST(max(tot_a) AS BIGINT) AS n_a, CAST(max(tot_b) AS BIGINT) AS n_b,
         | CAST(max(d) AS BIGINT) AS ks_bp,
         | CAST(min(v) FILTER (d = (SELECT max(d) FROM dd)) AS BIGINT) AS v_at_max
-        |FROM dd""".stripMargin
+        |FROM dd""".stripMargin,
+
+    "q163_source_terms" ->
+      s"""WITH t AS (SELECT source,
+         |  CASE WHEN lower($cleanSql) = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
+         | FROM documents),
+         |tok AS (SELECT source, unnest(toks) AS term FROM t),
+         |bs AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_src
+         | FROM tok GROUP BY 1, 2),
+         |co AS (SELECT term, CAST(count(*) AS BIGINT) AS n_corpus
+         | FROM tok GROUP BY 1),
+         |sc AS (SELECT bs.source, bs.term, bs.n_src, co.n_corpus,
+         |  (bs.n_src * 10000) // co.n_corpus AS score_bp
+         | FROM bs JOIN co USING (term) WHERE bs.n_src >= 5),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |  ORDER BY score_bp DESC, term) AS rank FROM sc)
+         |SELECT source, term, n_src, n_corpus, score_bp,
+         | CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // The q62 chain grouped to packs.
+    "q164_pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, doc_id % 8 AS shard,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
+         | FROM n)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         | CAST(floor(so / 512.0) AS BIGINT) AS pack_id,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         | CAST(sum(n_tokens) AS BIGINT) > 512 AS over_budget
+         |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // LSH chain (q25) and exact brute-force chain (q131, x-prefixed)
+    // side by side, reduced to recall/precision.
+    "q165_lsh_recall" ->
+      s"""WITH ${minhashLshCtes("TRUE", 1000L)},
+         |lshp AS (SELECT i.id_a, i.id_b FROM inter i
+         | JOIN sizes sa ON sa.id = i.id_a
+         | JOIN sizes sb ON sb.id = i.id_b
+         | WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7),
+         |xsh AS (SELECT id, h FROM sh),
+         |xinter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS m
+         | FROM xsh a JOIN xsh b ON b.h = a.h AND b.id > a.id GROUP BY 1, 2),
+         |exactp AS (SELECT i.id_a, i.id_b FROM xinter i
+         | JOIN sizes sa ON sa.id = i.id_a
+         | JOIN sizes sb ON sb.id = i.id_b
+         | WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exactp),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lshp),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+         | FROM exactp e JOIN lshp l ON l.id_a = e.id_a AND l.id_b = e.id_b)
+         |SELECT n_exact, n_lsh, n_common,
+         | (n_common * 10000) // n_exact AS recall_bp,
+         | (n_common * 10000) // n_lsh AS precision_bp
+         |FROM ne CROSS JOIN nl CROSS JOIN nc""".stripMargin
   )
 }
