@@ -2115,11 +2115,24 @@ object SparkEntry {
     // (q131) at the same threshold — the eval that justifies the
     // banding choice (16 bands x 4 rows at t=0.7).
     "q165_lsh_recall" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel
       val corpus = dupCorpus(Tables.documents(s, d))
-      val exact = DedupOps.prefixFilterJoin(corpus, "id", "text",
-        minJaccard = 0.7).select("id_a", "id_b")
-      val lsh = DedupOps.minhashNearDupsPortable(corpus, "id", "text",
-        threshold = 0.7).select("id_a", "id_b")
+      // ONE materialized shingle pass feeds both the exact join and
+      // the full LSH pipeline
+      val hs = graft.GraftCache.register(
+        DedupOps.hashedShingleRowsPortable(corpus, "id", "text", 3)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      // both pair sets feed two consumers (their count + the overlap
+      // count) — persist so neither pipeline runs twice
+      val exact = graft.GraftCache.register(
+        DedupOps.prefixFilterJoinFromHashes(hs, minJaccard = 0.7)
+          .select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK))
+      val cands = DedupOps.minhashCandidatesFromHashesPortable(hs)
+      val lsh = graft.GraftCache.register(cands
+        .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
+        .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
+        .where(graft.functions.HashFunctions.jaccard(col("sh_a"), col("sh_b")) >= 0.7)
+        .select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK))
       val nE = exact.agg(count(lit(1)).as("n_exact"))
       val nL = lsh.agg(count(lit(1)).as("n_lsh"))
       val nC = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_common"))

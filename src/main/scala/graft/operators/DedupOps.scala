@@ -177,6 +177,19 @@ object DedupOps {
     candidatesFromBandRows(keyed, maxBucketSize)
   }
 
+  /** [[minhashCandidatesFromHashes]] with the PORTABLE md5-derived
+    * permutations — the banding the DuckDB oracle re-derives; feed it
+    * [[hashedShingleRowsPortable]] output.
+    */
+  def minhashCandidatesFromHashesPortable(hashed: DataFrame,
+                                          numPerms: Int = 64, bands: Int = 16,
+                                          maxBucketSize: Int = 1000): DataFrame = {
+    val keyed = GraftCache.register(
+      minhashBandRowsPortable(hashed, numPerms, bands)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    candidatesFromBandRows(keyed, maxBucketSize)
+  }
+
   /** MinHash-LSH near-dup pairs, verified with exact n-gram Jaccard over
     * the candidate set only.
     */
@@ -838,11 +851,21 @@ object DedupOps {
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
                        minJaccard: Double = 0.7,
                        shingleN: Int = 3): DataFrame = {
-    require(minJaccard > 0.0 && minJaccard <= 1.0,
-      s"minJaccard must be in (0, 1], got $minJaccard")
     val hs = GraftCache.register(
       hashedShingleRowsPortable(docs, idCol, textCol, shingleN)
         .persist(StorageLevel.MEMORY_AND_DISK))
+    prefixFilterJoinFromHashes(hs, minJaccard)
+  }
+
+  /** [[prefixFilterJoin]] over a PRECOMPUTED (id, hs) shingle-hash
+    * table — lets one materialized shingle pass feed both this exact
+    * join and the LSH pipeline (the q165 eval runs both sides from one
+    * pass).
+    */
+  def prefixFilterJoinFromHashes(hs: DataFrame,
+                                 minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
     val sh = hs.select(col("id"), explode(col("hs")).as("h"))
     val dfh = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy("id").orderBy("df", "h")
