@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation join utilities.
@@ -122,11 +122,16 @@ object JoinOps {
                 leftId: String, leftName: String,
                 rightId: String, rightName: String,
                 maxDist: Int = 1, blockLen: Int = 3): DataFrame = {
+    // right(name, blockLen) semantics: a name SHORTER than blockLen blocks
+    // on the whole string (substring(name, -blockLen) would yield "" and
+    // collapse every short name into one giant block).
+    def blk(c: Column): Column =
+      c.substr(greatest(lit(1), length(c) - lit(blockLen - 1)), lit(blockLen))
     val lb = left.select(col(leftId).as("left_id"), col(leftName).as("left_name"),
-      substring(col(leftName), -blockLen, blockLen).as("_blk_l"),
+      blk(col(leftName)).as("_blk_l"),
       length(col(leftName)).as("_ln_l"))
     val rb = right.select(col(rightId).as("right_id"), col(rightName).as("right_name"),
-      substring(col(rightName), -blockLen, blockLen).as("_blk_r"),
+      blk(col(rightName)).as("_blk_r"),
       length(col(rightName)).as("_ln_r"))
     lb.join(rb, col("_blk_l") === col("_blk_r") &&
         abs(col("_ln_l") - col("_ln_r")) <= maxDist)

@@ -64,12 +64,15 @@ object QualityOps {
     * check is an independent filtered count (partial-aggregated); the
     * result is one row per check, so the output never grows with data.
     */
-  def checkViolations(checks: Seq[Check]): DataFrame =
+  def checkViolations(checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty,
+      "checkViolations needs at least one Check (reduce over empty Seq)")
     checks.map { c =>
       c.rows.where(c.pred).agg(count(lit(1)).as("n_violations"))
         .select(lit(c.name).as("check_name"), col("n_violations"),
           (col("n_violations") === 0L).as("passed"))
     }.reduce(_ unionByName _)
+  }
 
   /** Keys of `rows` appearing more than once — the primary-key
     * uniqueness violation set, as a frame usable in a [[Check]] or

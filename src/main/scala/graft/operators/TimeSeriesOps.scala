@@ -46,7 +46,10 @@ object TimeSeriesOps {
         var state = Long.MinValue
         it.map { case (_, _, seq, v) =>
           val prev = if (state == Long.MinValue) v else state
-          state = (prev * (den - 1) + v) / den
+          // floorDiv, not /: DuckDB's // floors toward -inf, JVM / truncates
+          // toward 0 — they agree only for non-negative operands, and
+          // nothing stops a caller feeding negative values.
+          state = Math.floorDiv(prev * (den - 1) + v, den)
           (seq, key, v, prev, state, math.abs(v - prev) > threshold)
         }
       }(Encoders.product[(Long, Long, Long, Long, Long, Boolean)])
