@@ -34,4738 +34,35 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q157_training_manifest")(spark, "/root/testdata/sf0.001")
 
-  private def did = col("doc_id")
-  private def sid = col("doc_id").cast("string")
-
-  /** One materialized IVF index per sf dir per JVM (q58): the index is
-    * corpus state — building it inside every query run would charge the
-    * one-time build cost to every probe measurement.
-    */
-  private val ivfIndexCache =
-    scala.collection.mutable.Map.empty[String, (String, Seq[(Long, Seq[Double])])]
-
-  // ---- synthetic input builders (mirrored literally in the oracle SQL) ----
-
-  /** Deterministic URL variants exercising every filenameFromUrl branch. */
-  private def testUrl: Column =
-    when(pmod(did, lit(4)) === 0, concat(lit("https://x.test/docs/file_"), sid, lit(".pdf?x=1")))
-      .when(pmod(did, lit(4)) === 1, concat(lit("https://x.test/d/report "), sid, lit(".XLSX")))
-      .when(pmod(did, lit(4)) === 2, concat(lit("https://x.test/plain/"), sid))
-      .otherwise(concat(lit("files/data"), sid))
-
-  /** Deterministic URL variants exercising every extensionFromUrl branch. */
-  private def extUrl: Column =
-    when(pmod(did, lit(5)) === 0, concat(lit("https://x.test/a/file"), sid, lit(".pdf")))
-      .when(pmod(did, lit(5)) === 1, concat(lit("https://x.test/b/file"), sid, lit(".xlsx?v=2")))
-      .when(pmod(did, lit(5)) === 2, concat(lit("https://x.test/c/FILE"), sid, lit(".XLS")))
-      .when(pmod(did, lit(5)) === 3, lit("https://x.test/download?fmt=xlsheet"))
-      .otherwise(lit("https://x.test/download/plain"))
-
-  private def archSample: Column =
-    element_at(
-      array(lit("Archived Product"), lit("Non-Archived item"),
-        lit("non archived thing"), lit("Regular entry")),
-      (pmod(did, lit(4)) + 1).cast("int"))
-
-  /** documents ∪ near-duplicate copies (id+1000, two tokens appended) —
-    * gives the near-dup detectors a deterministic positive set.
-    */
-  private def dupCorpus(docs: DataFrame): DataFrame =
-    docs.select(did.as("id"), col("text"))
-      .unionByName(docs.select((did + 1000).as("id"),
-        concat(col("text"), lit(" zzdup tail")).as("text")))
-
-  /** embeddings ∪ scaled copies (id+1000, ×1.001) — cosine ≈ 1 pairs. */
-  private def dupEmbeddings(emb: DataFrame): DataFrame =
-    emb.unionByName(emb.select(
-      (col("vec_id") + 1000).as("vec_id"),
-      transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"),
-      col("label")))
-
-  // ---- HTML round-trip fixtures: build a one-row page per document,
-  //      parse it back through the full G1-G4 + P* + F* pipeline ----
-
-  private def td(c: Column) = concat(lit("<td>"), c, lit("</td>"))
-
-  private def pageDs(s: SparkSession, cells: Seq[Column], productType: String,
-                     docs: DataFrame): Dataset[PageHtml] = {
-    val row = concat((lit("<tr>") +: cells.map(td)) :+ lit("</tr>"): _*)
-    val html = concat(lit("<table class='data table'><tbody>"), row,
-      lit("</tbody></table>"))
-    docs.select(lit(productType).as("productType"),
-        did.cast("int").as("page"), html.as("html"))
-      .as(Encoders.product[PageHtml])
-  }
-
-  private def lifePages(s: SparkSession, dir: String): Dataset[PageHtml] = {
-    val docs = Tables.documents(s, dir)
-    val cells = Seq(
-      lit("<input type='checkbox'/>"),
-      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
-      concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
-      concat(lit("Ins "), col("source")),
-      concat(lit("Prod "), sid),
-      concat(lit("UIN"), sid),
-      lit("TypeA"), lit(""), lit(""),
-      lit("P"), lit("Par"), lit("Ind"),
-      when(pmod(did, lit(3)) === 0, "").otherwise(concat(lit("rem "), sid)),
-      concat(lit("<a href='/documents/doc"), sid, lit(".pdf'>Doc "), sid, lit("</a>")))
-    pageDs(s, cells, "life", docs)
-  }
-
-  private def healthPages(s: SparkSession, dir: String): Dataset[PageHtml] = {
-    val docs = Tables.documents(s, dir)
-    val cells = Seq(
-      lit("<input type='checkbox'/>"),
-      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
-      concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
-      concat(lit("Ins "), col("source")),
-      concat(lit("HUIN"), sid),
-      concat(lit("HProd "), sid),
-      when(pmod(did, lit(4)) === 0, "").otherwise(lit("2020-01-15")),
-      when(pmod(did, lit(5)) === 0, lit(""))
-        .otherwise(concat(lit("<a href='/documents/h"), sid, lit(".pdf'>H</a>"))),
-      lit("TypeH"))
-    pageDs(s, cells, "health", docs)
-  }
-
-  private def nonlifePages(s: SparkSession, dir: String): Dataset[PageHtml] = {
-    val docs = Tables.documents(s, dir)
-    val cells = Seq(
-      lit("<input type='checkbox'/>"),
-      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
-      when(pmod(did, lit(6)) === 0, "").otherwise(sid),
-      concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
-      concat(lit("GIns "), col("source")),
-      concat(lit("NProd "), sid),
-      lit("Motor"),
-      concat(lit("NL-"), sid),
-      when(pmod(did, lit(4)) === 0, "").otherwise(lit("2021-03-31")),
-      concat(lit("<a href='/documents/n"), sid, lit(".xlsx'>NL Doc "), sid, lit("</a>")))
-    pageDs(s, cells, "nonlife", docs)
-  }
-
-  /** life_list pages exercising the X2 onclick fallback on every third row. */
-  private def lifeListPages(s: SparkSession, dir: String): Dataset[PageHtml] = {
-    val docs = Tables.documents(s, dir)
-    val linkCell = when(pmod(did, lit(3)) === 0,
-        concat(lit("<span onclick=\"window.open('/files/w"), sid, lit(".xlsx')\">view</span>")))
-      .otherwise(concat(lit("<a href='/documents/l"), sid, lit(".pdf'>List Doc "), sid, lit("</a>")))
-    val cells = Seq(
-      lit("<input type='checkbox'/>"),
-      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
-      concat(lit("Product list "), sid),
-      when(pmod(did, lit(4)) === 0, "").otherwise(lit("01-01-2024")),
-      when(pmod(did, lit(5)) === 0, "").otherwise(concat(lit("sub "), sid)),
-      linkCell)
-    pageDs(s, cells, "life_list", docs)
-  }
-
-  // ---- the contract maps ----
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/A2-style aggregation over the big fact table (TPC-H Q1 shape).
-    "q01_pricing_summary" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(R.half2(sum("l_quantity")).as("sum_qty"),
-          R.half2(sum("l_extendedprice")).as("sum_base"),
-          R.half4(avg("l_discount")).as("avg_disc"),
-          count(lit(1)).as("n_rows"))),
-
-    // J3-style equi-joins + agg; nation/region are broadcast-size dims.
-    "q02_revenue_by_nation" -> ((s, d) =>
-      Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(R.half2(sum("o_totalprice")).as("revenue"),
-          count(lit(1)).as("n_orders"))),
-
-    // O1/O2: global top-k with deterministic tiebreak.
-    "q03_top_orders" -> ((s, d) =>
-      Tables.orders(s, d)
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        .limit(10)
-        .select("o_orderkey", "o_totalprice")),
-
-    // [gap] window function: first 3 orders per customer.
-    "q04_order_rank_window" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables.orders(s, d)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))))
-        .where(col("rn") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("int").as("rn"))
-    }),
-
-    // J1: delta anti-join — customers with no open ('O') orders.
-    "q05_delta_anti" -> ((s, d) =>
-      DeltaOps.delta(
-        Tables.customer(s, d).select("c_custkey", "c_name"),
-        Tables.orders(s, d).where(col("o_orderstatus") === "O")
-          .select(col("o_custkey").as("c_custkey")),
-        "c_custkey")),
-
-    // J3: deterministic last-write-wins enrichment.
-    "q06_enrich_latest" -> ((s, d) =>
-      DeltaOps.enrich(
-        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
-        Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
-          col("l_linenumber"), col("l_quantity")),
-        "o_orderkey", "l_linenumber")),
-
-    // U2: set difference.
-    "q07_set_except" -> ((s, d) =>
-      Tables.lineitem(s, d).select(col("l_partkey").as("key"))
-        .except(Tables.part(s, d).where(col("p_size") > 40)
-          .select(col("p_partkey").as("key")))),
-
-    // U3: idempotent distinct union of key sets.
-    "q08_union_distinct" -> ((s, d) =>
-      DeltaOps.addCompleted(
-        Tables.orders(s, d).where(col("o_orderstatus") === "F")
-          .select(col("o_custkey").as("key")),
-        Tables.orders(s, d).where(col("o_orderstatus") === "O")
-          .select(col("o_custkey").as("key")),
-        "key")),
-
-    // A1: running counters per group.
-    "q09_event_counters" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          R.half2(sum("value")).as("sum_value"),
-          R.half4(avg("value")).as("avg_value"))),
-
-    // A3: state summary (max/count/sum per status).
-    "q10_state_summary" -> ((s, d) =>
-      Tables.orders(s, d)
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_orders"),
-          // string-typed on both sides: Spark parquet timestamps are
-          // adjusted-to-UTC (read tz-aware) while DuckDB returns naive —
-          // a comparator that doesn't tz-normalize would false-fail
-          date_format(max("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_date"),
-          R.half2(sum("o_totalprice")).as("total"))),
-
-    // X1: clean text.
-    "q11_clean_text" -> ((s, d) =>
-      Tables.documents(s, d).select(did, T.cleanText(col("text")).as("clean"))),
-
-    // X13-adjacent: md5 content fingerprint (oracle-checkable half).
-    "q12_fingerprints" -> ((s, d) =>
-      Tables.documents(s, d).select(did, T.fingerprint(col("text")).as("fingerprint"))),
-
-    // Exact dedup by content hash.
-    "q13_exact_dedup" -> ((s, d) =>
-      DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")),
-
-    // Token counting (whitespace + BPE-ish).
-    "q14_token_counts" -> ((s, d) =>
-      TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
-
-    // Quality scoring.
-    "q15_quality_score" -> ((s, d) =>
-      TextAnalysisOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
-
-    // Language ID.
-    "q16_lang_id" -> ((s, d) =>
-      TextAnalysisOps.languageId(Tables.documents(s, d), "doc_id", "text")),
-
-    // X4: archive-status detection over synthetic inputs.
-    "q17_archive_status" -> ((s, d) =>
-      Tables.documents(s, d).select(did, archSample.as("sample"),
-        T.archiveStatus(archSample).as("status"))),
-
-    // X5: "of N results" extraction; input built with format_number commas.
-    "q18_total_results" -> ((s, d) =>
-      Tables.documents(s, d).select(did,
-        T.totalResults(concat(lit("Total of "),
-          format_number(col("n_chars") * 7, 0), lit(" Results"))).as("total"))),
-
-    // X7: sanitize filename.
-    "q19_sanitize_filename" -> ((s, d) =>
-      Tables.documents(s, d).select(did,
-        T.sanitizeFilename(concat(col("source"), lit(": "),
-          substring(col("text"), 1, 50))).as("fname"))),
-
-    // X3: filename from URL (all branches).
-    "q20_filename_from_url" -> ((s, d) =>
-      Tables.documents(s, d).select(did, T.filenameFromUrl(testUrl).as("fname"))),
-
-    // X8: extension from URL (all branches).
-    "q21_extension_from_url" -> ((s, d) =>
-      Tables.documents(s, d).select(did, T.extensionFromUrl(extUrl).as("ext"))),
-
-    // X9: download path expression.
-    "q22_download_path" -> ((s, d) =>
-      Tables.documents(s, d).select(did,
-        T.downloadPath(lit("life"),
-          concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
-          col("source"), concat(lit("UIN-"), sid),
-          substring(col("text"), 1, 20), lit(".pdf")).as("path"))),
-
-    // X13: portable (md5-derived) URL hash — oracle-checked; the xxhash64
-    // fast path stays available as TextFunctions.urlHash.
-    "q23_url_hash" -> ((s, d) =>
-      Tables.documents(s, d).select(did,
-        T.urlHashPortable(concat(lit("https://x.test/doc/"), sid, lit(".pdf"))).as("url_hash"))),
-
-    // n-gram Jaccard on explicit pairs.
-    "q24_pairwise_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = docs.where(pmod(did, lit(5)) === 0)
-        .select(did.as("id_a"), (did + 1).as("id_b"))
-      DedupOps.pairwiseJaccard(docs, "doc_id", "text", pairs)
-    }),
-
-    // MinHash-LSH near-dups, portable md5 hashing end-to-end: candidate
-    // pairs AND Jaccard scores are hash-checked against a full DuckDB
-    // re-derivation (shingles → signatures → bands → verify). The
-    // xxhash64 fast path remains DedupOps.minhashNearDups.
-    "q25_minhash_neardups" -> ((s, d) =>
-      DedupOps.minhashNearDupsPortable(dupCorpus(Tables.documents(s, d)), "id", "text",
-        threshold = 0.7)),
-
-    // SimHash near-dups, portable 60-bit md5 sketches — oracle-checked;
-    // xxhash64 fast path remains DedupOps.simhashNearDups.
-    "q26_simhash_neardups" -> ((s, d) =>
-      DedupOps.simhashNearDupsPortable(dupCorpus(Tables.documents(s, d)), "id", "text")),
-
-    // Embedding near-dups via hyperplane LSH with PORTABLE md5-derived
-    // planes — buckets and verified cosines hash-checked in DuckDB; the
-    // seeded-Gaussian fast path remains SimilarityOps.embeddingNearDups.
-    "q27_embedding_neardups" -> ((s, d) =>
-      SimilarityOps.embeddingNearDupsPortable(dupEmbeddings(Tables.embeddings(s, d)),
-        minCosine = 0.99)),
-
-    // Brute-force exact top-k ANN.
-    "q28_bruteforce_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
-    }),
-
-    // IVF assignment (literal-centroid argmin, no shuffle).
-    "q29_ivf_assign" -> ((s, d) =>
-      SimilarityOps.ivfAssign(Tables.embeddings(s, d), nlist = 16)
-        .select("vec_id", "centroid_id")),
-
-    // IVF probed top-k.
-    "q30_ivf_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
-        nlist = 16, nprobe = 4)
-    }),
-
-    // Multimodal: binary column + typed metadata projection.
-    "q31_media_meta" -> ((s, d) =>
-      MultimodalOps.asMediaTable(Tables.documents(s, d), "doc_id", "text")
-        .select(col("media_id"), col("meta.mediaType").as("media_type"),
-          col("meta.byteLen").as("byte_len"), col("meta.width").as("width"),
-          col("meta.height").as("height"),
-          col("meta.durationMs").as("duration_ms"))),
-
-    // Multimodal: REAL resize — synthesize PNGs, ImageIO-decode, downscale
-    // via Graphics2D, re-encode, then decode AGAIN: output dims and channel
-    // means come from the resized raster, not metadata.
-    "q32_media_resize" -> ((s, d) => {
-      implicit val sp: SparkSession = s
-      MultimodalOps.decodeImages(
-        MultimodalOps.resizeImages(
-          MultimodalOps.asImageTable(Tables.documents(s, d), "doc_id"),
-          maxW = 16, maxH = 12))
-        .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
-    }),
-
-    // Multimodal: frame sampling (explode).
-    "q33_frame_sample" -> ((s, d) =>
-      MultimodalOps.sampleFrames(
-        MultimodalOps.asMediaTable(Tables.documents(s, d), "doc_id", "text"),
-        everyMs = 1000L, maxFrames = 8)),
-
-    // T-adjacent: event-time hourly windowed aggregation.
-    "q34_event_hourly" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(date_format(date_trunc("hour", col("ts")),
-          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), R.half2(sum("value")).as("sum_value"))),
-
-    // G1-G4 + P1 + F1/F2/F4: full HTML parse round-trip (life).
-    "q35_parse_life" -> ((s, d) =>
-      ParsePipeline.life(ParsePipeline.explodeRows(lifePages(s, d)).toDF())),
-
-    // G1-G4 + P4 (prev-cell doc-link fallback): parse round-trip (health).
-    "q36_parse_health" -> ((s, d) =>
-      ParsePipeline.health(ParsePipeline.explodeRows(healthPages(s, d)).toDF())),
-
-    // J2: completed-set guard.
-    "q37_filter_completed" -> ((s, d) =>
-      DeltaOps.filterCompleted(
-        Tables.part(s, d).select("p_partkey", "p_name"),
-        Tables.lineitem(s, d).where(col("l_quantity") > 49)
-          .select(col("l_partkey").as("p_partkey")),
-        "p_partkey")),
-
-    // J4: DLQ anti-membership delete (keyed by event, so the result is
-    // non-empty and the anti-join is actually exercised).
-    "q38_clear_succeeded" -> ((s, d) =>
-      DeltaOps.clearSucceeded(
-        Tables.events(s, d).where(col("value") < 0.1).select("event_id", "user_id"),
-        Tables.events(s, d)
-          .where(col("value") < 0.1 && pmod(col("user_id"), lit(3)) === 0)
-          .select("event_id"),
-        "event_id")),
-
-    // S5/A2: count scan.
-    "q39_count_scan" -> ((s, d) =>
-      Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))),
-
-    // [gap] distinct aggregate.
-    "q40_distinct_users" -> ((s, d) =>
-      Tables.events(s, d).groupBy("event_type")
-        .agg(countDistinct("user_id").as("n_users"))),
-
-    // [gap] intersect.
-    "q41_intersect" -> ((s, d) =>
-      Tables.orders(s, d).where(col("o_orderstatus") === "F")
-        .select(col("o_custkey").as("key"))
-        .intersect(Tables.orders(s, d).where(col("o_orderstatus") === "O")
-          .select(col("o_custkey").as("key")))),
-
-    // X10/X11: object-store key, public URL, content type.
-    "q42_r2_meta" -> ((s, d) => {
-      val ext = when(pmod(did, lit(3)) === 0, ".pdf")
-        .when(pmod(did, lit(3)) === 1, ".xlsx").otherwise(".bin")
-      val rel = concat(lit("\\docs\\"), col("source"), lit("\\f"), sid, ext)
-      val key = T.r2Key(lit("life"), rel)
-      Tables.documents(s, d).select(did, key.as("key"),
-        T.publicUrl(lit("bucket.r2.dev"), key).as("public_url"),
-        T.contentType(key).as("content_type"))
-    }),
-
-    // A5: max pagination cursor as a Catalyst expression over raw hrefs.
-    "q43_max_page" -> ((s, d) => {
-      val html = concat(
-        lit("<a href='?p_cur="), sid, lit("'>x</a><a href='?p_cur="),
-        pmod(did * 2, lit(97)).cast("string"), lit("'>y</a>"))
-      val cursors = transform(
-        regexp_extract_all(html, lit("_cur=(\\d+)"), lit(1)), x => x.cast("int"))
-      Tables.documents(s, d).select(did,
-        greatest(lit(1), array_max(cursors)).as("max_page"))
-    }),
-
-    // G1-G4 + P3: parse round-trip (nonlife, with optional s_no/date F4).
-    "q44_parse_nonlife" -> ((s, d) =>
-      ParsePipeline.nonlife(ParsePipeline.explodeRows(nonlifePages(s, d)).toDF())),
-
-    // G1-G4 + P2 + X2 onclick fallback: parse round-trip (life_list).
-    "q45_parse_life_list" -> ((s, d) =>
-      ParsePipeline.lifeList(ParsePipeline.explodeRows(lifeListPages(s, d)).toDF())),
-
-    // U1: union/append of per-source batches.
-    "q46_union_append" -> ((s, d) =>
-      Tables.lineitem(s, d).where(col("l_quantity") < 5)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .union(Tables.lineitem(s, d).where(col("l_quantity") > 45)
-          .select("l_orderkey", "l_linenumber", "l_quantity"))),
-
-    // F5: success/failure branch counts in one pass.
-    "q47_branch_split" -> ((s, d) =>
-      Tables.events(s, d)
-        .withColumn("success", col("value") > 0.5)
-        .groupBy("event_type")
-        .agg(sum(when(col("success"), 1).otherwise(0)).as("n_ok"),
-          sum(when(!col("success"), 1).otherwise(0)).as("n_fail"))),
-
-    // S3: cardinality probe — "of N results" → ceil-div page count.
-    "q48_total_pages" -> ((s, d) => {
-      val total = T.totalResults(concat(lit("Showing 1 to 60 of "),
-        format_number(col("n_chars") * 3, 0), lit(" results")))
-      Tables.documents(s, d).select(did,
-        floor((total + 59) / 60).cast("int").as("total_pages"))
-    }),
-
-    // T6-adjacent: gap-based sessionization + per-session rollup.
-    "q49_sessionize" -> ((s, d) =>
-      SessionOps.sessionSummary(Tables.events(s, d), "user_id", "ts", "event_id")
-        .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
-          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
-          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
-          col("n_events"), col("sum_value"))),
-
-    // Winnowing rolling-hash fingerprint overlap — hash-checked: the
-    // oracle expands the k=8 rolling hash to its closed-form 8-term
-    // polynomial per position (congruent mod 2^64 to the kernel's
-    // wrapping arithmetic) and replays the rightmost-min winnow with
-    // window functions.
-    "q50_fingerprint_overlap" -> ((s, d) =>
-      DedupOps.fingerprintOverlap(dupCorpus(Tables.documents(s, d)), "id", "text",
-        minContainment = 0.9)),
-
-    // [gap] exact percentiles, linear interpolation — percentile_cont
-    // semantics via PercentileOps.exactQuantiles: IEEE-identical to the
-    // percentile() built-in, but the plan is spill-safe at any group
-    // size (distinct-cell shuffle + sort-window cumulative counts, no
-    // whole-group ObjectHashAggregate buffer). The former hot-group OOM
-    // bound is gone; histogramQuantiles (q56) and approxQuantiles (q57)
-    // remain for domain-bounded / sketch trade-offs.
-    "q51_percentiles" -> ((s, d) =>
-      PercentileOps.exactQuantiles(Tables.lineitem(s, d),
-        "l_returnflag", "l_extendedprice",
-        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-        .select(col("l_returnflag"),
-          R.half4(col("p25")).as("p25"),
-          R.half4(col("p50")).as("p50"),
-          R.half4(col("p75")).as("p75"))),
-
-    // [gap] rollup with grand total.
-    "q52_rollup" -> ((s, d) =>
-      Tables.orders(s, d).rollup("o_orderstatus")
-        .agg(count(lit(1)).as("n"), R.half2(sum("o_totalprice")).as("total"))),
-
-    // RAG retrieval: ANN top-k joined back to document text (vec_id and
-    // doc_id are aligned in the test data).
-    "q53_rag_retrieve" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.retrieveDocs(Tables.documents(s, d), emb,
-        emb.where(col("vec_id") < 4), k = 3)
-    }),
-
-    // Multimodal: REAL image decode — per-row PNG bytes through
-    // javax.imageio; dims and per-channel means read from the raster.
-    "q54_image_decode" -> ((s, d) => {
-      implicit val sp: SparkSession = s
-      MultimodalOps.decodeImages(
-        MultimodalOps.asImageTable(Tables.documents(s, d), "doc_id"))
-        .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
-    }),
-
-    // Multimodal: REAL video frame extraction — parse the length-prefixed
-    // frame container, decode every 2nd frame's PNG, emit per-frame stats.
-    "q55_video_frames" -> ((s, d) => {
-      implicit val sp: SparkSession = s
-      MultimodalOps.sampleVideoFrames(
-        MultimodalOps.asVideoTable(Tables.documents(s, d), "doc_id"), stride = 2)
-        .toDF("media_id", "frame_idx", "width", "height",
-          "mean_r", "mean_g", "mean_b")
-    }),
-
-    // Scale-safe percentiles #1: exact discrete quantiles over a
-    // cent-quantized domain — shuffle volume is distinct price cells,
-    // never raw rows (q51's 100 TB-safe twin).
-    "q56_hist_quantiles" -> ((s, d) =>
-      PercentileOps.histogramQuantiles(Tables.lineitem(s, d),
-        "l_returnflag", "l_extendedprice",
-        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), decimals = 2)),
-
-    // Scale-safe percentiles #2: Greenwald–Khanna sketch. At this SF the
-    // 1e6 accuracy bound (rank error < 1) makes it exactly the discrete
-    // quantile, so DuckDB's quantile_disc is a true oracle; at scale the
-    // same plan degrades gracefully to bounded-state approximation.
-    "q57_approx_percentiles" -> ((s, d) =>
-      PercentileOps.approxQuantiles(Tables.lineitem(s, d),
-        "l_returnflag", "l_extendedprice",
-        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), accuracy = 1000000)),
-
-    // Multimodal: REAL audio decode — WAV bytes through javax.sound;
-    // sample rate and frame count come from the parsed RIFF header, the
-    // stats from the decoded PCM frames.
-    "q59_audio_decode" -> ((s, d) => {
-      implicit val sp: SparkSession = s
-      MultimodalOps.decodeAudio(
-        MultimodalOps.asAudioTable(Tables.documents(s, d), "doc_id"))
-        .toDF("media_id", "sample_rate_hz", "n_samples", "mean_abs", "peak")
-    }),
-
-    // Corpus curation composition: one-pass quality+language profile →
-    // gates → exact dedup; only (fingerprint, id) pairs ever shuffle.
-    "q60_curate" -> ((s, d) =>
-      CurationOps.curate(Tables.documents(s, d), "doc_id", "text",
-        minQuality = 0.5, langs = Seq("en"))),
-
-    // Deterministic hash split (rows-only: xxhash64 has no DuckDB twin);
-    // per-split counts prove proportions and stability.
-    "q61_hash_split" -> ((s, d) =>
-      SampleOps.hashSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")
-        .groupBy("split").agg(count(lit(1)).as("n"))),
-
-    // Token-budget sequence packing within deterministic shards.
-    "q62_pack_budget" -> ((s, d) => {
-      val toks = TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
-        .select(col("doc_id"), col("ws_tokens"))
-      SampleOps.packByTokenBudget(toks, "doc_id", "ws_tokens",
-        budget = 512L, nShards = 32)
-    }),
-
-    // Dedup cluster resolution: connected components (alternating
-    // large-star/small-star, O(log n) rounds) over the exact-dup edge
-    // graph. The oracle derives the same components directly from
-    // fingerprint groups — valid because on this graph a component IS a
-    // fingerprint group.
-    "q63_components" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val did = col("doc_id").cast("long")
-      val corpus = docs.select(did.as("id"), col("text"))
-        .unionByName(docs.select((did + 1000000L).as("id"), col("text")))
-      val fp = corpus.select(col("id"), T.fingerprint(col("text")).as("fp"))
-      val edges = fp.select(col("fp"), col("id").as("id_a"))
-        .join(fp.select(col("fp"), col("id").as("id_b")), "fp")
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      DedupOps.connectedComponents(edges, maxIter = 10)
-    }),
-
-    // As-of join (union+window pattern — one shuffle, no range-join row
-    // explosion): each event gets the latest state checkpoint at-or-before
-    // its timestamp per user. DuckDB's native ASOF JOIN is the oracle.
-    "q64_asof_state" -> ((s, d) => {
-      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
-      val ckpt = Tables.events(s, d).where(col("event_id") % 20 === 0)
-        .select(col("user_id"), col("ts"), col("event_id").as("state_id"))
-      JoinOps.asofJoin(ev, ckpt, "user_id", "ts", "state_id")
-        .select("event_id", "user_id", "state_id")
-    }),
-
-    // IVF over a MATERIALIZED partition-pruned index — the 100 TB shape:
-    // index written partitionBy(centroid_id) once, probes read only the
-    // nprobe partition directories (PartitionFilters at the source,
-    // asserted by IvfIndexSpec). The build is memoized per sf dir: an
-    // index is corpus state, not query work, so under Bench's min-of-N
-    // reps the reported time is the PROBE-ONLY per-query cost (rep 1
-    // pays the one-time build; later reps reuse it).
-    "q58_ivf_indexed" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val (idx, cents) = ivfIndexCache.synchronized {
-        ivfIndexCache.getOrElseUpdate(d, {
-          val p = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
-          (p, SimilarityOps.writeIvfIndex(emb, p, nlist = 16))
-        })
-      }
-      SimilarityOps.ivfTopKIndexed(s, idx, cents,
-        emb.where(col("vec_id") < 8), k = 5, nprobe = 4)
-    }),
-
-    // BM25 lexical retrieval — the keyword complement to q28/q30's
-    // embedding ANN. Posting explode is filtered to the query terms
-    // before anything shuffles; df + corpus stats broadcast back; the
-    // ranking is TakeOrderedAndProject, never a global sort.
-    "q65_bm25" -> ((s, d) =>
-      RetrievalOps.bm25(Tables.documents(s, d), "doc_id", "text",
-        queryTerms = Seq("spark", "window", "hash"), topK = 20)),
-
-    // Bucketed range join: events joined to the 2h checkpoint windows
-    // covering them — an equi-join on time bucket + exact BETWEEN filter,
-    // never the broadcast-nested-loop a naive range predicate plans to.
-    "q66_range_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val pts = ev.select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
-      val iv = ev.where(col("event_id") % 50 === 0)
-        .select(col("event_id").as("interval_id"),
-          unix_timestamp(col("ts")).as("lo"),
-          (unix_timestamp(col("ts")) + 7200L).as("hi"))
-      JoinOps.rangeJoin(pts, iv, "pt", "lo", "hi", bucketWidth = 3600L)
-        .groupBy("interval_id")
-        .agg(count(lit(1)).as("n_points"), sum("event_id").as("sum_ids"))
-    }),
-
-    // Bloom-filter delta: q05's answer, computed the way a state table
-    // too big to broadcast requires — broadcast the BITSET, not the rows;
-    // anti-join only the mightContain survivors. Output is exactly J1's.
-    "q67_bloom_delta" -> ((s, d) =>
-      DeltaOps.bloomDelta(
-        Tables.customer(s, d).select("c_custkey", "c_name"),
-        Tables.orders(s, d).where(col("o_orderstatus") === "O")
-          .select(col("o_custkey").as("c_custkey")),
-        "c_custkey", expectedItems = 100000L)),
-
-    // PII scrub: deterministic synthetic PII injected from table columns
-    // (identical expression on the oracle side), then the redaction chain
-    // + per-category audit counts — a shuffle-free codegen'd scan.
-    "q68_redact" -> ((s, d) => {
-      val emailPart = when(pmod(did, lit(2)) === 0,
-        concat(lit(" user"), sid, lit("@example.com"))).otherwise(lit(""))
-      val phonePart = when(pmod(did, lit(3)) === 0,
-        concat(lit(" call +1 555-010-"), lpad(sid, 4, "0"))).otherwise(lit(""))
-      val ssnPart = when(pmod(did, lit(5)) === 0,
-        lit(" id 987-65-4321")).otherwise(lit(""))
-      val pii = concat(col("text"), emailPart, phonePart, ssnPart)
-      Tables.documents(s, d).select(
-        did.as("doc_id") +: T.redactPii(pii).as("redacted") +: T.piiCounts(pii): _*)
-    }),
-
-    // Portable 60-bit-md5 split + sample flag: row-level assignment
-    // hash-checked against DuckDB computing the same md5 arithmetic —
-    // the cross-engine-auditable twin of xxhash64-based q61 (rows-only).
-    "q69_portable_split" -> ((s, d) =>
-      SampleOps.portableSplit(Tables.documents(s, d).select("doc_id"), "doc_id")
-        .withColumn("in_sample10",
-          pmod(SampleOps.portableHash(col("doc_id")), lit(100)) < 10)),
-
-    // Exact heavy hitters: corpus-wide term counts, top 20. Map-side
-    // partial agg collapses each partition's token stream pre-shuffle;
-    // the ranking is TakeOrderedAndProject over (count, term).
-    "q70_term_topk" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(explode(T.tokens(lower(col("text")))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), col("term")).limit(20)),
-
-    // Hybrid retrieval: RRF fusion of the q65 BM25 lexical top-20 with
-    // the brute-force semantic top-20 for query vector 0 (vec_id and
-    // doc_id are aligned in the test data). Both fusion inputs are
-    // k-sized by construction, which is exactly the documented bound
-    // under which rrfFuse's unpartitioned rank windows are safe.
-    "q71_hybrid_rrf" -> ((s, d) => {
-      val lex = RetrievalOps.bm25(Tables.documents(s, d), "doc_id", "text",
-        queryTerms = Seq("spark", "window", "hash"), topK = 20)
-      val emb = Tables.embeddings(s, d)
-      val sem = SimilarityOps.bruteForceTopK(emb, emb.where(col("vec_id") === 0), k = 20)
-        .select(col("neighbor_id").as("doc_id"), col("sim"))
-      RetrievalOps.rrfFuse(lex, sem, "doc_id",
-        lexOrder = Seq(desc("bm25"), col("doc_id")),
-        semOrder = Seq(desc("sim"), col("doc_id")),
-        topK = 20)
-    }),
-
-    // REAL BPE token counts (iterative best-pair merge over the toy
-    // vocab) — the counts training pipelines pack by. Oracle re-derives
-    // the encode loop as a recursive CTE over DISTINCT words.
-    "q72_bpe_tokens" -> ((s, d) =>
-      TextAnalysisOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text")),
-
-    // Document-blob text extraction (the "PDF extraction" slot): parse a
-    // real compressed container, inflate every page through a genuine
-    // DEFLATE codec, verify the EXTRACTED text by md5 against the
-    // oracle's formula reconstruction. Narrow map over the blob scan,
-    // zero exchanges; per-row corrupt isolation.
-    "q73_doc_extract" -> ((s, d) => {
-      implicit val sp: SparkSession = s
-      MultimodalOps.extractDocText(
-        MultimodalOps.asDocTable(Tables.documents(s, d), "doc_id"))
-        .toDF("doc_id", "n_pages", "n_chars", "n_words", "text_md5")
-    }),
-
-    // q62's packing on REAL BPE counts instead of whitespace words —
-    // same shard/window shape, corrected weights.
-    "q74_pack_bpe" -> ((s, d) =>
-      SampleOps.packByTokenBudget(
-        TextAnalysisOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text")
-          .select(col("doc_id"), col("n_bpe_tokens")),
-        "doc_id", "n_bpe_tokens", budget = 512L, nShards = 32)),
-
-    // Salted equi-join, oracle-proven output-identical to the plain
-    // join: lineitem's 3 return flags are the textbook hot keys (every
-    // row hits one of 3 join keys); the deterministic row-hash salt
-    // spreads each over 8 sub-keys. At this SF the 24-row dim broadcasts
-    // anyway — the check is output parity; the salt pays off when the
-    // small side outgrows the broadcast threshold and the join shuffles.
-    "q75_salted_join" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"), col("l_quantity"))
-      val dim = li.select("flag").distinct()
-        .withColumn("flag_label", concat(lit("flag_"), col("flag")))
-      JoinOps.saltedEquiJoin(li, dim, "flag", saltFactor = 8)
-        .groupBy("flag_label")
-        .agg(count(lit(1)).as("n"), R.half2(sum("l_quantity")).as("sum_qty"))
-    }),
-
-    // Deterministic stratified sample (training-mix class balancing):
-    // per-source keep rates as a literal CASE over the portable hash
-    // bucket — a pure pushdown-eligible predicate, membership stable
-    // under appends and reproducible in any md5-bearing engine.
-    "q76_stratified_sample" -> ((s, d) =>
-      SampleOps.stratifiedSample(
-        Tables.documents(s, d).select("doc_id", "source"),
-        "doc_id", "source",
-        percentByStratum = Map("src0" -> 100, "src1" -> 50, "src2" -> 10),
-        defaultPercent = 25)),
-
-    // Intra-doc repetition (Gopher-rule family): top-bigram and
-    // duplicate-bigram fractions; the shuffle carries (id, gram) with
-    // map-side partial counts, never document text.
-    "q77_repetition" -> ((s, d) =>
-      TextAnalysisOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
-
-    // Deterministic epoch shuffle: seed-stable training order, one
-    // hash-partition exchange + parallel in-shard sorts, no global sort.
-    "q78_epoch_shuffle" -> ((s, d) =>
-      SampleOps.epochShuffle(Tables.documents(s, d).select("doc_id"),
-        "doc_id", epoch = 3, nShards = 32)),
-
-    // Test-set decontamination (GPT-3/Pile n-gram rule): the benchmark
-    // slice's distinct 3-grams broadcast; corpus docs sharing >= 2 with
-    // any benchmark doc are flagged. Benchmark docs flag themselves —
-    // the expected fixed point.
-    "q79_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      CurationOps.decontaminate(docs, "doc_id", "text",
-        docs.where(pmod(did, lit(97)) === 0).select("text"), "text")
-    }),
-
-    // Domain-mixing weights (DoReMi-lite): whitespace-token mass per
-    // source vs target shares -> sampling multipliers for the mix.
-    "q80_mix_weights" -> ((s, d) => {
-      val counts = TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
-        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-      CurationOps.mixWeights(counts, "source", "ws_tokens",
-        targetShares = Map("src0" -> 0.25, "src1" -> 0.15),
-        defaultTarget = 0.03)
-    }),
-
-    // End-to-end near-dup cluster resolution: portable MinHash pairs ->
-    // large-star/small-star components. Unlike q63 (whose oracle derives
-    // components from fingerprint groups), this oracle resolves the SAME
-    // pair graph with a recursive label closure — an independent
-    // cross-engine check of the components operator itself. Runs on a
-    // quarter slice (q25 already benches the full LSH; this prices the
-    // resolution step) with a collision-free +100000 dup-id offset.
-    "q81_neardup_clusters" -> ((s, d) => {
-      val base = Tables.documents(s, d).where(pmod(did, lit(4)) === 0)
-      val corpus = base.select(did.as("id"), col("text"))
-        .unionByName(base.select((did + 100000L).as("id"),
-          concat(col("text"), lit(" zzdup tail")).as("text")))
-      val pairs = DedupOps.minhashNearDupsPortable(corpus, "id", "text",
-        threshold = 0.7).select("id_a", "id_b")
-      DedupOps.connectedComponents(pairs)
-    }),
-
-    // Semantic dedup (SemDeDup shape): q27's embedding near-dup pair
-    // graph -> connected components -> keep the min-id representative
-    // per cluster; every vector gets a (cluster, keep) verdict,
-    // singletons keep themselves. The oracle resolves the same pair
-    // graph with a recursive label closure and left-joins it back to
-    // the corpus.
-    "q82_semantic_dedup" -> ((s, d) =>
-      DedupOps.semanticDedup(dupEmbeddings(Tables.embeddings(s, d)),
-        minCosine = 0.99)),
-
-    // CCNet-style boilerplate removal by line frequency: a per-source
-    // footer line planted in EVERY document of the source is detected
-    // and stripped; the per-document unique line survives. The original
-    // text lines stay (no real line repeats across >=50% of a source).
-    "q83_boilerplate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpus = docs.select(col("doc_id"), col("source"),
-        concat(col("text"), lit("\nFooter: "), col("source"),
-          lit("\nLine "), col("doc_id").cast("string")).as("text"))
-      CurationOps.stripBoilerplate(corpus, "doc_id", "source", "text")
-    }),
-
-    // Crawl-side URL canonicalization: four messy variants per doc
-    // (uppercase scheme/host + default port + tracking params + fragment;
-    // default https port + tracking; non-default port + trailing slash;
-    // scheme-less pass-through) normalize to stable dedup keys.
-    "q84_url_canon" -> ((s, d) => {
-      val messy = when(pmod(did, lit(4)) === 0,
-          concat(lit("HTTP://WWW.Ex.TEST:80/p"), sid, lit("/?utm_source=x&b=2&a=1#sec")))
-        .when(pmod(did, lit(4)) === 1,
-          concat(lit("https://Ex.Test:443/q"), sid, lit("?fbclid=abc&id="), sid))
-        .when(pmod(did, lit(4)) === 2,
-          concat(lit("https://cdn.ex.test:8443/r/"), sid, lit("/")))
-        .otherwise(concat(lit("files/data"), sid))
-      val canon = T.canonicalizeUrl(messy)
-      Tables.documents(s, d).select(did.as("doc_id"), messy.as("url"),
-        canon.as("canon_url"), T.urlHost(canon).as("host"))
-    }),
-
-    // Corpus-relative token rarity: every doc scored against the global
-    // unigram distribution with all-integer counting (no LM, no
-    // floating-accumulation hazard) — the CCNet-style quality signal
-    // that needs corpus statistics, not just row-local features.
-    "q85_token_rarity" -> ((s, d) =>
-      TextAnalysisOps.tokenRarity(Tables.documents(s, d), "doc_id", "text")),
-
-    // Incremental ingest near-dup probe: a new batch (every 10th doc with
-    // a dup tail, plus genuinely novel docs) probed against the full
-    // corpus WITHOUT a corpus self-join. Each dup-arm doc must hit its
-    // origin; novel docs match nothing.
-    "q86_minhash_probe" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tenth = docs.where(pmod(did, lit(10)) === 0)
-      val batch = tenth.select((did + 1000000L).as("id"),
-          concat(col("text"), lit(" zzdup tail")).as("text"))
-        .unionByName(tenth.select((did + 2000000L).as("id"),
-          concat(lit("totally novel content block number "), sid,
-            lit(" unseen tokens qqq www eee")).as("text")))
-      DedupOps.minhashProbe(docs.select(did.as("id"), col("text")), batch,
-        "id", "text", threshold = 0.7)
-    }),
-
-    // RAG chunking: fixed-size token windows (64) with overlap (16);
-    // the tail-suppression rule keeps chunks that add new tokens only.
-    "q87_chunking" -> ((s, d) =>
-      TextAnalysisOps.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
-        chunkSize = 64, overlap = 16)),
-
-    // Semi-structured extraction: typed JSON field pulled from the
-    // events payload column, filtered on the extracted value.
-    "q88_json_extract" -> ((s, d) =>
-      Tables.events(s, d).select(col("event_id"), col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .where(col("k") >= 50)),
-
-    // Pivot: per-user event-type counts as columns (the OLAP reshape);
-    // absent combinations coalesce to 0 to match the CASE-sum oracle.
-    "q89_pivot" -> ((s, d) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      Tables.events(s, d).groupBy("user_id").pivot("event_type", types).count()
-        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
-    }),
-
-    // Lag analytics: day-over-day delta of daily event counts per type
-    // (count aggregation reuses the window partitioning).
-    "q90_lag_delta" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-      daily.select(col("event_type"), col("day"), col("n"),
-        (col("n") - coalesce(lag("n", 1).over(w), lit(0L))).as("delta"))
-    }),
-
-    // Fuzzy entity matching: supplier names vs variants with one
-    // character typo'd mid-string; suffix blocking + Levenshtein <= 1
-    // pairs each variant with exactly its origin (any other supplier in
-    // the block differs by >= 2 edits).
-    "q91_fuzzy_match" -> ((s, d) => {
-      val sup = Tables.supplier(s, d)
-      val variants = sup.select((col("s_suppkey") + 100000L).as("vid"),
-        concat(substring(col("s_name"), 1, 9), lit("X"),
-          substring(col("s_name"), 11, 100)).as("vname"))
-      JoinOps.fuzzyJoin(sup, variants, "s_suppkey", "s_name", "vid", "vname",
-        maxDist = 1, blockLen = 3)
-    }),
-
-    // Cube: event counts + value sums over all subsets of
-    // (event_type, user bucket) — the OLAP totals/subtotals reshape.
-    "q92_cube" -> ((s, d) =>
-      // sum a fixed-point integer form (cents) so the aggregate is
-      // accumulation-order independent: a raw double sum can land on
-      // either side of a 2-decimal rounding boundary depending on
-      // partition order — a cross-engine flake vs the oracle.
-      Tables.events(s, d)
-        .select(col("event_type"), pmod(col("user_id"), lit(4)).as("ub"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .cube("event_type", "ub")
-        .agg(count(lit(1)).as("n"),
-          (sum("cents").cast("double") / 100.0).as("sum_value"))),
-
-    // Unpivot: melt q89's wide per-user counts back to long form
-    // (the round-trip of the pivot reshape); zero rows dropped so the
-    // pair is lossless.
-    "q93_unpivot" -> ((s, d) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val wide = Tables.events(s, d).groupBy("user_id").pivot("event_type", types).count()
-        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
-      val stackExpr = "stack(5, " +
-        types.map(t => s"'$t', $t").mkString(", ") + ") as (event_type, n)"
-      wide.select(col("user_id"), expr(stackExpr))
-        .select("user_id", "event_type", "n")
-    }),
-
-    // Full outer join: per-user event activity vs per-customer order
-    // activity — ids present on either side survive with 0-coalesced
-    // counts from the missing side.
-    "q94_full_outer" -> ((s, d) => {
-      val ev = Tables.events(s, d).groupBy(col("user_id").as("id"))
-        .agg(count(lit(1)).as("n_events"))
-      val ord = Tables.orders(s, d).groupBy(col("o_custkey").as("id"))
-        .agg(count(lit(1)).as("n_orders"))
-      ev.join(ord, Seq("id"), "full_outer")
-        .select(col("id"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"),
-          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
-    }),
-
-    // Per-source z-score standardization of document length with
-    // INTEGER moment sums (sum, sum of squares) so the statistics are
-    // order-independent; the mean/std/z derivation is a fixed expression
-    // tree mirrored exactly in SQL. Outliers = |z| > 2.
-    "q95_zscore" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val stats = docs.groupBy("source").agg(
-        count(lit(1)).as("n"),
-        sum(col("n_chars")).as("s1"),
-        sum(col("n_chars") * col("n_chars")).as("s2"))
-      val mean = col("s1").cast("double") / col("n").cast("double")
-      val variance = col("s2").cast("double") / col("n").cast("double") - mean * mean
-      val z = (col("n_chars").cast("double") - mean) / sqrt(variance)
-      // zero-variance guard: a source whose docs all share one n_chars
-      // value (any single-doc source included) would otherwise divide by
-      // zero -> NaN/Inf with engine-dependent handling vs the oracle.
-      docs.select(col("doc_id"), col("source"), col("n_chars"))
-        .join(broadcast(stats), "source")
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          when(variance <= 0.0, lit(0.0)).otherwise(R.half4(z)).as("z"),
-          when(variance <= 0.0, lit(false)).otherwise(abs(z) > 2.0).as("outlier"))
-    }),
-
-    // Generic top-k per group via the bounded-heap aggregator (the q28
-    // shape on a non-ANN axis): top-3 quality docs per source. Partial
-    // aggregation, never a per-group window sort.
-    "q96_topk_per_group" -> ((s, d) => {
-      import graft.functions.TopK
-      val docs = Tables.documents(s, d)
-      val scored = TextAnalysisOps.qualityScore(docs, "doc_id", "text")
-        .select(col("doc_id"), col("quality"))
-        .join(docs.select("doc_id", "source"), "doc_id")
-      scored.groupBy("source")
-        .agg(TopK.topK(3)(col("quality"), col("doc_id")).as("topk"))
-        .select(col("source"), posexplode(col("topk")).as(Seq("rank0", "e")))
-        .select(col("source"), (col("rank0") + 1).cast("long").as("rank"),
-          col("e.neighborId").as("doc_id"), col("e.sim").as("quality"))
-    }),
-
-    // Hopping (sliding) event-time windows: 1 h windows every 30 min —
-    // each event lands in exactly two windows.
-    "q97_hopping_window" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-          col("event_type"), col("n"))),
-
-    // Funnel: signup followed by a purchase within 24 h, per user.
-    "q98_funnel" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val su = ev.where(col("event_type") === "signup")
-        .select(col("user_id"), col("ts").as("s_ts"))
-      val pu = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("p_ts"))
-      su.join(pu, "user_id")
-        .where(col("p_ts") > col("s_ts") &&
-          col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
-        .groupBy("user_id").agg(count(lit(1)).as("n_conversions"))
-    }),
-
-    // Cohort retention: users bucketed by first-activity day, activity
-    // counted by day offset from the cohort day.
-    "q99_cohort_retention" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
-      ev.distinct().join(cohort, "user_id")
-        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
-          datediff(col("day"), col("cohort_day")).as("day_offset"))
-        .agg(countDistinct("user_id").as("n_users"))
-    }),
-
-    // Bigram-LM fluency scoring (the perplexity-filter slot): mean
-    // in-corpus bigram probability per doc, add-one smoothed, integer-
-    // quantized so the aggregate is order-independent and hash-exact.
-    "q100_bigram_lm" -> ((s, d) =>
-      TextAnalysisOps.bigramLmScore(Tables.documents(s, d), "doc_id", "text")),
-
-    // Z-order (Morton) clustering key over (custkey, orderkey) buckets —
-    // the multi-column data-skipping layout; the pruning win itself is
-    // asserted in ZOrderSpec, this checks the interleave bit-exactly.
-    "q101_zorder" -> ((s, d) => {
-      val x = pmod(col("o_custkey"), lit(1024L))
-      val y = pmod(col("o_orderkey"), lit(1024L))
-      Tables.orders(s, d).select(col("o_orderkey"), x.as("xb"), y.as("yb"),
-        graft.functions.ZOrder.zValue(x, y, 10).as("zval"))
-    }),
-
-    // Curriculum interleave (stride scheduling / weighted fair queueing):
-    // each doc gets virtual time vt = src_idx / weight using q80's mix
-    // weights; sorting by vt IS the weight-proportional training order.
-    // The sort key is emitted, not a global row_number — materializing a
-    // global index needs a single-partition window, while writing
-    // sorted-by-vt is a range-partitioned sort that scales.
-    // Skew bound: the per-source row_number window sorts one source per
-    // partition; for a few-huge-sources corpus swap src_idx for a
-    // deterministic hash rank (the q78 epochShuffle shape) to keep
-    // per-partition state bounded.
-    "q102_curriculum" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val counts = TextAnalysisOps.tokenCounts(docs, "doc_id", "text")
-        .join(docs.select("doc_id", "source"), "doc_id")
-      val weights = CurationOps.mixWeights(counts, "source", "ws_tokens",
-          targetShares = Map("src0" -> 0.25, "src1" -> 0.15),
-          defaultTarget = 0.03)
-        .select(col("source"), col("weight"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      docs.select(col("doc_id"), col("source"))
-        .withColumn("src_idx", row_number().over(w).cast("long"))
-        .join(broadcast(weights), "source")
-        .select(col("doc_id"), col("source"), col("src_idx"),
-          R.half4(col("src_idx").cast("double") / col("weight")).as("vt"))
-    }),
-
-    // Count-min sketch: mergeable fixed-size frequency summary, built
-    // and probed with the portable md5 hash so the oracle rebuilds the
-    // identical sketch. Estimates are exact here (5 hot keys, 1024
-    // buckets); the overestimate-only property is spec-asserted.
-    "q103_cms_counts" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val cms = SketchOps.cmsBuild(ev, "user_id")
-      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
-      SketchOps.cmsEstimate(cms, ev.select("user_id").distinct(), "user_id")
-        .join(exact, "user_id")
-        .select(col("user_id"), col("exact_n"), col("cms_n"))
-    }),
-
-    // HyperLogLog distinct sketch (mergeable by register max): integer-
-    // scaled harmonic sum makes the raw estimate bit-identical cross-
-    // engine; exact distinct alongside for the quality check.
-    "q104_hll_distinct" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val exact = docs.agg(countDistinct("doc_id").as("n_exact"))
-      SketchOps.hllEstimate(docs, "doc_id")
-        .crossJoin(broadcast(exact))
-        .select(col("n_exact"), col("n_reg"), col("s_scaled"), col("hll_est"))
-    }),
-
-    // Fixed-point PageRank (3 iterations, damping 0.85) over a
-    // deterministic literal link graph on doc ids — integer division
-    // everywhere, so the iteration is hash-exact cross-engine.
-    "q105_pagerank" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val edges = docs.select(did.as("src"),
-          pmod(did * 31L + 7L, lit(500L)).as("dst"))
-        .unionByName(docs.select(did.as("src"),
-          pmod(did * 17L + 3L, lit(500L)).as("dst")))
-      GraphOps.pageRankFixedPoint(edges, iters = 3)
-    }),
-
-    // Robust outliers via MAD (median absolute deviation) — the
-    // median-based complement of q95's mean/sigma z-score: immune to the
-    // very outliers it hunts. All-integer (discrete medians, integer
-    // deviations, integer threshold compare), so hash-exact. The GK
-    // sketch at accuracy 1e6 is the exact discrete quantile at this SF
-    // (the q57 bound); at scale the same plan degrades gracefully to a
-    // mergeable bounded-state approximation. Group stats broadcast.
-    "q106_mad_outliers" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      val med = docs.groupBy("source").agg(
-        expr("approx_percentile(n_chars, 0.5, 1000000)").as("med"))
-      val dev = docs.join(broadcast(med), "source")
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          abs(col("n_chars") - col("med")).as("dev"))
-      val mad = dev.groupBy("source").agg(
-        expr("approx_percentile(dev, 0.5, 1000000)").as("mad"))
-      dev.join(broadcast(mad), "source")
-        .select(col("doc_id"), col("source"), col("n_chars"), col("dev"),
-          col("mad"), (col("dev") > col("mad") * 3).as("outlier"))
-    }),
-
-    // Linear quality-classifier scoring (the fastText-style serving
-    // mechanism): top-200 corpus tokens get integer weights (md5-derived
-    // stand-ins — trained weights swap in unchanged), broadcast to a
-    // token join, per-doc logit = integer dot product. All-integer, so
-    // hash-exact; the vocabulary is bounded, so the weights side always
-    // broadcasts no matter the corpus size.
-    "q107_classifier_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val clean = T.cleanText(col("text"))
-      val toks = docs.select(did.as("id"),
-        explode(when(clean === "", array().cast("array<string>"))
-          .otherwise(split(clean, " "))).as("tok"))
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok")).limit(200)
-        .select(col("tok"),
-          (pmod(graft.functions.HashFunctions.portableHash60(col("tok")),
-            lit(2001L)) - 1000L).as("wt"))
-      val scored = toks.join(broadcast(vocab), "tok")
-        .groupBy("id").agg(count(lit(1)).as("n_scored"), sum("wt").as("logit"))
-      docs.select(did.as("id")).join(scored, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("n_scored"), lit(0L)).as("n_scored"),
-          coalesce(col("logit"), lit(0L)).as("logit"),
-          (coalesce(col("logit"), lit(0L)) > 0L).as("positive"))
-    }),
-
-    // Filtered vector search: ANN under a metadata predicate. The range
-    // predicate pushes to the corpus parquet scan (PushedFilters), so a
-    // selective filter prunes BEFORE any scoring — the vector-db
-    // "filtered search" shape, composed from the same bounded-heap
-    // partial top-k as q28.
-    "q108_filtered_ann" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.bruteForceTopK(
-        emb.where(col("vec_id") >= 100), emb.where(col("vec_id") < 8), k = 5)
-    }),
-
-    // Incremental materialized-view maintenance: the stored per-(type,
-    // day) partial state rolls up to per-type totals WITHOUT touching
-    // raw events — the algebraic-aggregate (count/sum/min/max) merge a
-    // 100 TB nightly pipeline runs on yesterday's partials plus today's
-    // delta. All-integer cents. AggMergeSpec asserts partial-merge ==
-    // direct aggregation.
-    "q109_mv_rollup" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"),
-        to_date(col("ts")).as("day"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val state = ev.groupBy("event_type", "day").agg(
-        count(lit(1)).as("n"), sum("cents").as("sum_cents"),
-        min("cents").as("min_cents"), max("cents").as("max_cents"))
-      state.groupBy("event_type").agg(
-        sum("n").as("n"), sum("sum_cents").as("sum_cents"),
-        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
-    }),
-
-    // Last-touch attribution: every purchase attributed to the latest
-    // click at-or-before it per user — the q64 as-of machinery (one
-    // union+window shuffle, zero amplification) on the funnel axis.
-    // Same-timestamp clicks collapse to the max event_id FIRST: DuckDB's
-    // ASOF pick among tied right-side timestamps is unspecified, so the
-    // as-of input must have unique (user, ts) for a stable oracle.
-    "q110_attribution" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = ev.where(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max("event_id").as("click_id"))
-      JoinOps.asofJoin(purchases, clicks, "user_id", "ts", "click_id")
-        .select("event_id", "user_id", "click_id")
-    }),
-
-    // Canonical-document selection — the survivor policy that completes
-    // dedup: per exact-dup group (md5 of normalized text; every doc has
-    // a planted +1000000 twin), keep the highest-quality member, ties
-    // broken by lowest id. max_by over a (quality, -id) total order —
-    // partial-aggregating, no per-group window sort on the corpus.
-    "q111_canonical" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val c = docs.select(did.as("doc_id"), col("text"))
-        .unionByName(docs.select((did + 1000000L).as("doc_id"), col("text")))
-      val quality = TextAnalysisOps.qualityScore(c, "doc_id", "text")
-        .select(col("doc_id"), col("quality"))
-      val ranked = c.select(col("doc_id"),
-          md5(lower(T.cleanText(col("text")))).as("fp"))
-        .join(quality, "doc_id")
-      val surv = ranked.groupBy("fp").agg(
-        max_by(col("doc_id"),
-          struct(col("quality"), (-col("doc_id")).as("negid"))).as("canonical_id"),
-        count(lit(1)).as("group_n"))
-      ranked.join(surv, "fp")
-        .select(col("doc_id"), col("canonical_id"), col("group_n"),
-          (col("doc_id") === col("canonical_id")).as("keep"))
-    }),
-
-    // Cross-split NEAR-DUP leakage check — the contamination audit q79's
-    // exact n-gram rule misses: the test split (plus planted paraphrase
-    // twins of train docs) probed against the train split with the q86
-    // asymmetric LSH probe. Candidates scale with the test split; the
-    // train split never self-joins.
-    "q112_split_leakage" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bucket = pmod(SampleOps.portableHash(did), lit(100))
-      val train = docs.where(bucket < 80).select(did.as("id"), col("text"))
-      val test = docs.where(bucket >= 90).select(did.as("id"), col("text"))
-        .unionByName(docs.where(bucket < 80 && pmod(did, lit(25)) === 0)
-          .select((did + 1000000L).as("id"),
-            concat(col("text"), lit(" zzdup tail")).as("text")))
-      DedupOps.minhashProbe(train, test, "id", "text", threshold = 0.7)
-    }),
-
-    // ANN recall evaluation — the eval harness that justifies an index:
-    // recall@5 of the nprobe=4 IVF search against the brute-force ground
-    // truth, per query. Both sides are existing contract operators; the
-    // metric is an integer hit count over a k-sized join.
-    "q113_ann_recall" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val qs = emb.where(col("vec_id") < 8)
-      val exact = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = SimilarityOps.ivfTopK(emb, qs, k = 5, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-      qs.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
-          R.half4(coalesce(col("hits"), lit(0L)).cast("double") / 5.0)
-            .as("recall_at_5"))
-    }),
-
-    // Int8 scalar-quantized ANN — the 4x memory-bandwidth reduction a
-    // 100 TB vector store runs: global (min, scale) quantizes every
-    // vector to [-127, 127]; search ranks by the INTEGER dot product
-    // (exact, no float accumulation — ties broken by id, hash-exact
-    // cross-engine). Stats are a 1-row broadcast; the bounded-heap TopK
-    // aggregates partially as in q28.
-    "q114_quantized_ann" -> ((s, d) => {
-      import graft.functions.TopK
-      val emb = Tables.embeddings(s, d)
-      val stats = emb.agg(
-        min(array_min(col("embedding"))).cast("double").as("mn"),
-        max(array_max(col("embedding"))).cast("double").as("mx"))
-        .select(col("mn"),
-          when(col("mx") === col("mn"), lit(0.0))
-            .otherwise(lit(254.0) / (col("mx") - col("mn"))).as("sc"))
-      val qexpr = expr("transform(embedding, x -> " +
-        "CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INT) - 127)")
-      val corpus = emb.crossJoin(broadcast(stats))
-        .select(col("vec_id").as("neighbor_id"), qexpr.as("cq"))
-      val queries = emb.where(col("vec_id") < 8).crossJoin(broadcast(stats))
-        .select(col("vec_id").as("query_id"), qexpr.as("qq"))
-      val scored = corpus.join(broadcast(queries),
-          col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          expr("aggregate(zip_with(qq, cq, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dp"))
-      scored.groupBy("query_id")
-        .agg(TopK.topK(5)(col("dp").cast("double"), col("neighbor_id")).as("topk"))
-        .select(col("query_id"), posexplode(col("topk")).as(Seq("rank0", "nb")))
-        .select(col("query_id"), col("nb.neighborId").as("neighbor_id"),
-          col("nb.sim").cast("long").as("dp"),
-          (col("rank0") + 1).cast("long").as("rank"))
-    }),
-
-    // Windowed HLL: trailing-3-day distinct-user estimate per day by
-    // register merge — each day's registers CONTRIBUTE to 3 target days
-    // (bounded explode of tiny (day, bucket) rows), then max per
-    // (target day, bucket). The dashboard-at-scale shape: raw user ids
-    // shuffle once into per-day registers; the rolling merge never
-    // touches them again.
-    "q115_windowed_hll" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(to_date(col("ts")).as("day"), col("user_id"))
-      val dreg = SketchOps.hllRegistersBy(ev, "user_id", Seq("day"))
-      val contrib = dreg.select(col("day"), col("bucket"), col("r"),
-          explode(array(lit(0), lit(1), lit(2))).as("o"))
-        .select(expr("date_add(day, o)").as("day"), col("bucket"), col("r"))
-      val days = ev.select("day").distinct()
-      val wreg = contrib.join(days, "day")
-        .groupBy("day", "bucket").agg(max("r").as("r"))
-      SketchOps.hllEstimateFromRegisters(wreg, Seq("day"))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("n_reg"), col("s_scaled"), col("hll_est"))
-    }),
-
-    // Column profiling (the Deequ-style pre-ingest audit): one pass
-    // over the table computes every column's row/null/distinct counts
-    // and string min/max; the long-format explode happens on the 1-row
-    // aggregate. Long/string columns only, so the string rendering is
-    // engine-independent.
-    "q116_profile" -> ((s, d) => {
-      QualityOps.columnProfile(Tables.orders(s, d),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
-    }),
-
-    // Declarative constraint validation with PLANTED violations: rows
-    // with o_orderkey % 997 == 0 are re-appended with negated custkey
-    // (FK break), negated cents (domain break), and a now-duplicate key
-    // (pk break) — so every failing check has a known nonzero count and
-    // the all-zero degenerate output cannot pass. One row per check.
-    "q117_constraints" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val dirty = o.unionByName(
-        o.where(pmod(col("o_orderkey"), lit(997L)) === 0L)
-          .select(col("o_orderkey"), (-col("o_custkey")).as("o_custkey"),
-            (-col("cents")).as("cents")))
-      QualityOps.checkViolations(Seq(
-        QualityOps.Check("orders_pk_unique",
-          QualityOps.duplicateKeys(dirty, "o_orderkey"), lit(true)),
-        QualityOps.Check("orders_fk_customer",
-          QualityOps.fkViolations(dirty, "o_custkey",
-            Tables.customer(s, d), "c_custkey"), lit(true)),
-        QualityOps.Check("orders_custkey_not_null", dirty,
-          col("o_custkey").isNull),
-        QualityOps.Check("orders_price_positive", dirty,
-          col("cents") <= 0L)))
-    }),
-
-    // Snapshot CDC diff: two deterministic snapshots of orders (A drops
-    // keys %11==3; B drops %13==5 and bumps %7==0 cents) diffed into
-    // added/removed/changed — ONLY differences ship, from one co-keyed
-    // full-outer join, and values compare as exact cents.
-    "q118_snapshot_diff" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val snapA = o.where(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
-      val snapB = o.where(pmod(col("o_orderkey"), lit(13L)) =!= 5L)
-        .select(col("o_orderkey"), when(pmod(col("o_orderkey"), lit(7L)) === 0L,
-          col("cents") + 100L).otherwise(col("cents")).as("cents"))
-      QualityOps.snapshotDiff(snapA, snapB, "o_orderkey", "cents")
-    }),
-
-    // Exact global NTILE(10) quality binning WITHOUT the global sort:
-    // ntile-over-everything is the canonical single-partition-window
-    // scale-killer; this derives each row's global rank from distinct-
-    // cell cumulative counts (the only unpartitioned window runs over
-    // cells, bounded by the n_chars domain) + a per-value row_number,
-    // then the bucket is integer arithmetic. Oracle = the naive window.
-    "q119_ntile_bins" -> ((s, d) => {
-      PercentileOps.ntileExact(
-        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
-        "n_chars", "doc_id", k = 10)
-        .select(col("doc_id"), col("n_chars"), col("rank"), col("bin"))
-    }),
-
-    // SCD Type-2 dimension build from the event stream: each user's
-    // event_type history collapses no-op changes, then every surviving
-    // change opens a version [valid_from, valid_to). One shuffle on the
-    // key; all three windows reuse the (user, ts, event_id) ordering.
-    "q120_scd2" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      CdcOps.scd2(ev, "user_id", "event_type", "ts", "event_id")
-        .select(col("user_id"), col("attr"),
-          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
-          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
-          col("version"), col("is_current"))
-    }),
-
-    // MERGE (upsert + delete) application: a deterministic I/U/D batch
-    // (keys %5==4 insert, %5==0 update +7 cents, %5==1 delete) applied
-    // to the orders snapshot in ONE co-keyed full-outer join — the
-    // delta side stays broadcast-sized at scale, the snapshot never
-    // re-shuffles to take a day's changes.
-    "q121_merge_upsert" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val target = o.where(pmod(col("o_orderkey"), lit(5L)) =!= 4L)
-      val batch = o.where(pmod(col("o_orderkey"), lit(5L)) === 4L)
-        .select(col("o_orderkey"), col("cents"), lit("I").as("op"))
-        .unionByName(o.where(pmod(col("o_orderkey"), lit(5L)) === 0L)
-          .select(col("o_orderkey"), (col("cents") + 7L).as("cents"), lit("U").as("op")))
-        .unionByName(o.where(pmod(col("o_orderkey"), lit(5L)) === 1L)
-          .select(col("o_orderkey"), lit(null).cast("long").as("cents"), lit("D").as("op")))
-      CdcOps.mergeApply(target, batch, "o_orderkey", "cents", "op")
-    }),
-
-    // Degree-oriented triangle counting over a literal ring+chord link
-    // graph (i->i+1, i->i+2, i->31i+7 mod 500 — every consecutive
-    // triple plus chords closes triangles, so the zero answer can't
-    // pass vacuously): orientation caps every out-degree at O(sqrt(m)),
-    // so the wedge join stays O(m^1.5) on ANY graph — the oracle counts
-    // the same triangles via an independent a<b<c three-way self-join.
-    "q122_triangles" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val edges = docs.select(did.as("src"),
-          pmod(did + 1L, lit(500L)).as("dst"))
-        .unionByName(docs.select(did.as("src"),
-          pmod(did + 2L, lit(500L)).as("dst")))
-        .unionByName(docs.select(did.as("src"),
-          pmod(did * 31L + 7L, lit(500L)).as("dst")))
-      GraphOps.triangleCount(edges)
-    }),
-
-    // Corpus-frequent n-gram exposure (repeated-span contamination, Lee
-    // et al. ACL 2022): every doc_id%4==0 doc gets a planted boilerplate
-    // footer, so its 5-grams are corpus-frequent (df ~ N/4) while
-    // organic 5-grams stay rare — the per-doc frequent fraction
-    // separates them. Shingles shuffle once; the frequent set is
-    // bounded by actual boilerplate volume.
-    "q123_ngram_contam" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpus = docs.select(did.as("doc_id"),
-        when(pmod(did, lit(4)) === 0,
-          concat(col("text"),
-            lit(" subscribe to our newsletter for daily updates today")))
-          .otherwise(col("text")).as("text"))
-      DedupOps.frequentShingleStats(corpus, "doc_id", "text",
-        shingleN = 5, minDf = 5)
-    }),
-
-    // Per-user integer EWMA anomaly flags: one shuffle on the key, each
-    // user's history consumed as a sorted stream with O(1) state (the
-    // mapGroupsWithState batch twin). All-integer recurrence
-    // s_t = (7*s_{t-1} + x) div 8, so the oracle's recursive CTE
-    // reproduces every state bit-for-bit.
-    "q124_ewma_spikes" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"),
-        unix_micros(col("ts")).as("ts_us"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-      TimeSeriesOps.ewmaSpikes(ev, "user_id", "ts_us", "event_id", "cents")
-        .withColumnRenamed("value", "cents")
-    }),
-
-    // Product-quantization ANN: vectors compress to 8 one-byte codes
-    // (the 64x memory shape of a 100 TB vector store); queries score by
-    // summing integer distance-table lookups over codes — raw vectors
-    // never shuffle. Sampled codebook + int8 affine make every step
-    // integer-exact, so the oracle re-derives codes and tables.
-    "q125_pq_ann" -> ((s, d) => {
-      SimilarityOps.pqTopK(Tables.embeddings(s, d))
-    }),
-
-    // Per-source document cap (domain balancing): at most 20 docs per
-    // source, picked by the portable md5 hash of the id — append-stable
-    // (new docs in other sources never change a source's picks) and
-    // engine-reproducible.
-    "q126_capped_sample" -> ((s, d) =>
-      SampleOps.cappedPerGroup(Tables.documents(s, d), "source", "doc_id",
-        cap = 20)),
-
-    // Winsorization at per-source exact p05/p95 from the distinct-cell
-    // histogram (q56 machinery): group quantiles ride a cell-level
-    // shuffle, the bounded quantile frame broadcasts back onto the
-    // corpus — outlier clipping without ever sorting rows globally.
-    "q128_winsorize" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      val qs = PercentileOps.histogramQuantiles(docs, "source", "n_chars",
-        Seq("p05" -> 0.05, "p95" -> 0.95), decimals = 0)
-      docs.join(broadcast(qs), "source")
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          col("p05"), col("p95"),
-          least(greatest(col("n_chars").cast("double"), col("p05")),
-            col("p95")).cast("long").as("clipped"))
-    }),
-
-    // Per-type daily-volume trend as an EXACT integer rational
-    // (slope = slope_num/slope_den from integer moments): "is this
-    // event type growing?" with no float accumulation anywhere. Five
-    // moments per group cross the wire, never rows.
-    "q130_trend" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("y"))
-        .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
-      TimeSeriesOps.integerTrend(daily, "event_type", "x", "y")
-    }),
-
-    // Inverted-index materialization: term -> (df, gap-compressed
-    // sorted posting list) — the artifact BM25 reads instead of
-    // re-tokenizing the corpus per query. (id, term) pairs shuffle
-    // once; per-term state is the posting list itself (stop-words
-    // shard-and-merge in production).
-    "q129_inverted_index" -> ((s, d) =>
-      RetrievalOps.invertedIndex(Tables.documents(s, d), "doc_id", "text")),
-
-    // EXACT similarity join via prefix filtering (PPJoin): candidates
-    // must share one of each doc's rarest (n - ceil(t*n) + 1) shingles
-    // — no LSH false negatives. The oracle knows nothing about prefixes
-    // (it joins ALL shared shingles), so a wrong prefix bound that
-    // drops a true pair cannot self-confirm.
-    "q131_prefix_join" -> ((s, d) =>
-      DedupOps.prefixFilterJoin(dupCorpus(Tables.documents(s, d)),
-        "id", "text", minJaccard = 0.7)),
-
-    // IVF + PQ composed: centroid pruning cuts candidates to nprobe/
-    // nlist of the corpus, integer ADC scores only those candidates
-    // from codes — the full query path of a 100 TB vector store (with
-    // the q58 layout the probed lists also prune at the source).
-    "q127_ivfpq_ann" -> ((s, d) =>
-      SimilarityOps.ivfPqTopK(Tables.embeddings(s, d))),
-
-    // Top user paths: the 20 most common 3-step event sequences. One
-    // key shuffle (both leads share the per-user window), partial-agg
-    // count, TakeOrderedAndProject top-k — never a global sort.
-    "q132_event_paths" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("step2", lead(col("event_type"), 1).over(w))
-        .withColumn("step3", lead(col("event_type"), 2).over(w))
-        .where(col("step2").isNotNull && col("step3").isNotNull)
-        .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
-        .limit(20)
-    }),
-
-    // First-order Markov transition matrix over event types, integer
-    // basis points: the per-state normalizing window runs over distinct
-    // (state, next) CELLS (at most |types|^2 rows), never events.
-    "q133_markov" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pairs = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("next", lead(col("event_type"), 1).over(w))
-        .where(col("next").isNotNull)
-        .groupBy(col("event_type").as("from_state"), col("next").as("to_state"))
-        .agg(count(lit(1)).as("n"))
-      val wState = org.apache.spark.sql.expressions.Window.partitionBy("from_state")
-      pairs.withColumn("total", sum("n").over(wState))
-        .select(col("from_state"), col("to_state"), col("n"),
-          expr("(n * 10000) div total").as("prob_bp"))
-    }),
-
-    // Trailing-7-day rolling volume per event type: the range-frame
-    // window runs over per-day CELLS (one row per (type, day)), so its
-    // state is bounded by the calendar, not the event count.
-    "q134_rolling_7d" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("x").rangeBetween(-6, 0)
-      daily.select(col("event_type"),
-        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
-        sum("n").over(w).as("n_7d"))
-    }),
-
-    // MinHash estimator-quality evaluation on the planted pairs: the
-    // fraction of matching signature positions (the LSH estimate)
-    // audited against exact Jaccard, all in integer basis points — the
-    // eval that justifies a numPerms/bands choice before trusting LSH
-    // at corpus scale (the q113-for-dedup).
-    "q135_minhash_eval" -> ((s, d) => {
-      val base = Tables.documents(s, d).where(pmod(did, lit(5)) === 0)
-      val corpus = base.select(did.as("id"), col("text"))
-        .unionByName(base.select((did + 1000L).as("id"),
-          concat(col("text"), lit(" zzdup tail")).as("text")))
-      val hs = DedupOps.hashedShingleRowsPortable(corpus, "id", "text", 3)
-      val sig = DedupOps.minhashSignatureRows(hs, 64)
-      val matches = sig.where(col("id") < 1000L)
-        .select(col("id").as("id_a"), col("i"), col("s").as("s_a"))
-        .join(sig.where(col("id") >= 1000L)
-          .select((col("id") - 1000L).as("id_a"), col("i"), col("s").as("s_b")),
-          Seq("id_a", "i"))
-        .groupBy("id_a")
-        .agg(sum(when(col("s_a") === col("s_b"), 1L).otherwise(0L)).as("n_match"))
-      val exact = hs.where(col("id") < 1000L)
-        .select(col("id").as("id_a"), col("hs").as("hs_a"))
-        .join(hs.where(col("id") >= 1000L)
-          .select((col("id") - 1000L).as("id_a"), col("hs").as("hs_b")), "id_a")
-        .select(col("id_a"),
-          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("m"),
-          size(col("hs_a")).cast("long").as("na"),
-          size(col("hs_b")).cast("long").as("nb"))
-      matches.join(exact, "id_a")
-        .select(col("id_a"), (col("id_a") + 1000L).as("id_b"), col("n_match"),
-          expr("(n_match * 10000) div 64").as("est_bp"),
-          expr("(m * 10000) div (na + nb - m)").as("exact_bp"),
-          abs(expr("(n_match * 10000) div 64") -
-            expr("(m * 10000) div (na + nb - m)")).as("err_bp"))
-    }),
-
-    // End-to-end entity resolution: blocked fuzzy pairs (q91 machinery)
-    // resolved to entity clusters by connected components (q63), each
-    // record labeled with its min-id canonical entity — the full record-
-    // linkage shape (block -> score -> cluster) in three composed
-    // operators. Singletons label themselves via the left join.
-    "q136_entity_resolution" -> ((s, d) => {
-      val sup = Tables.supplier(s, d)
-      val all = sup.select(col("s_suppkey").as("id"), col("s_name").as("name"))
-        .unionByName(sup.select((col("s_suppkey") + 100000L).as("id"),
-          concat(substring(col("s_name"), 1, 9), lit("X"),
-            substring(col("s_name"), 11, 100)).as("name")))
-      val pairs = JoinOps.fuzzyJoin(all, all, "id", "name", "id", "name",
-          maxDist = 1, blockLen = 3)
-        .where(col("left_id") < col("right_id"))
-        .select(col("left_id").as("id_a"), col("right_id").as("id_b"))
-      val comps = DedupOps.connectedComponents(pairs)
-      all.select(col("id")).join(comps, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("component"), col("id")).as("entity"),
-          (coalesce(col("component"), col("id")) === col("id")).as("canonical"))
-    }),
-
-    // Incremental index maintenance: two RANGE-SHARDED halves of the
-    // corpus build their q129 indexes independently, then merge by
-    // term (df adds; posting lists concatenate with one boundary-gap
-    // fix) — the corpus is never re-tokenized. The oracle builds the
-    // index DIRECTLY from the full corpus, so the hash match certifies
-    // merge == direct.
-    "q137_index_merge" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val a = RetrievalOps.invertedIndexGaps(
-        docs.where(col("doc_id") < 250), "doc_id", "text")
-      val b = RetrievalOps.invertedIndexGaps(
-        docs.where(col("doc_id") >= 250), "doc_id", "text")
-      RetrievalOps.mergeRangeShardIndexes(a, b)
-    }),
-
-    // Telemetry dedup: keep the EARLIEST event per (user, type) within
-    // each 1-minute tumbling window — the batch twin of streaming
-    // ingest dedup for repeated beacons. One shuffle; per-window state
-    // bounded by the window.
-    "q138_event_dedup" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")))
-        .orderBy("ts", "event_id")
-      Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
-    }),
-
-    // Join-cardinality estimation from two INDEPENDENT count-min
-    // sketches (the optimizer-statistics primitive): the CMS inner
-    // product upper-bounds |orders ⋈ customer| from two fixed-size
-    // artifacts without touching either table again; exact count
-    // alongside for the quality check. All-integer.
-    "q139_join_cardinality" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
-      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
-      val est = SketchOps.cmsJoinCardinality(
-        SketchOps.cmsBuild(o, "k", width = 8192),
-        SketchOps.cmsBuild(c, "k", width = 8192))
-      val exact = Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .agg(count(lit(1)).as("exact_join_size"))
-      est.crossJoin(broadcast(exact))
-        .select(col("est_join_size"), col("exact_join_size"),
-          (col("est_join_size") >= col("exact_join_size")).as("overestimate"))
-    }),
-
-    // Merkle-style anti-entropy: two replicas (one with planted
-    // corruption on keys %5003==0) reduce to per-range (count, xor
-    // digest) pairs; only mismatched ranges would pay a row-level diff
-    // (q118) — reconciling 100 TB copies without shipping either.
-    "q140_range_digest" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val replicaB = o.select(col("o_orderkey"),
-        when(pmod(col("o_orderkey"), lit(5003L)) === 0L, col("cents") + 1L)
-          .otherwise(col("cents")).as("cents"))
-      val da = QualityOps.rangeDigests(o, "o_orderkey", "cents", 1000L)
-        .select(col("bucket"), col("n").as("n_a"), col("digest").as("digest_a"))
-      val db = QualityOps.rangeDigests(replicaB, "o_orderkey", "cents", 1000L)
-        .select(col("bucket"), col("n").as("n_b"), col("digest").as("digest_b"))
-      da.join(db, Seq("bucket"), "full_outer")
-        .select(col("bucket"), col("n_a"), col("n_b"),
-          col("digest_a"), col("digest_b"),
-          ((col("n_a") <=> col("n_b")) &&
-            (col("digest_a") <=> col("digest_b"))).as("in_sync"))
-    }),
-
-    // Multi-source BFS on the q122 link graph: hop distance from the
-    // nearest of three seed docs (the crawl-frontier / TrustRank-depth
-    // signal), 4 unrolled frontier expansions, min-dist union per hop.
-    "q141_bfs_distance" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val edges = docs.select(did.as("src"),
-          pmod(did + 1L, lit(500L)).as("dst"))
-        .unionByName(docs.select(did.as("src"),
-          pmod(did + 2L, lit(500L)).as("dst")))
-        .unionByName(docs.select(did.as("src"),
-          pmod(did * 31L + 7L, lit(500L)).as("dst")))
-      GraphOps.bfsDistances(edges, Seq(0L, 100L, 200L), maxHops = 4)
-    }),
-
-    // Funnel latency distribution: per user, hours from FIRST click to
-    // the first purchase at-or-after it, bucketed into an hours
-    // histogram — integer microsecond arithmetic end to end.
-    "q142_funnel_latency" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val firstClick = ev.where(col("event_type") === "click")
-        .groupBy("user_id").agg(min("ts").as("t_click"))
-      val lat = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"))
-        .join(firstClick, "user_id")
-        .where(col("ts") >= col("t_click"))
-        .groupBy("user_id")
-        .agg(min(unix_micros(col("ts")) - unix_micros(col("t_click")))
-          .as("lat_us"))
-      lat.select(col("user_id"),
-          expr("lat_us div 3600000000").as("hours_bucket"))
-        .groupBy("hours_bucket").agg(count(lit(1)).as("n_users"))
-    }),
-
-    // Weight-proportional sampling (integer priority sampling): 50 docs
-    // drawn with probability ~ n_chars, fully deterministic — priority
-    // = md5_hash div weight, k smallest win via TakeOrderedAndProject.
-    "q143_weighted_sample" -> ((s, d) =>
-      SampleOps.weightedSample(
-        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
-        "doc_id", "n_chars", k = 50)),
-
-    // The data-skipping manifest for the q101 z-order layout: per file
-    // bucket (64 KiB z-range), row count and min/max of both dimensions
-    // — the stats a box query prunes against (ZOrderSpec shows the
-    // skipping win; this materializes what it prunes with).
-    "q144_skipping_manifest" -> ((s, d) => {
-      val x = pmod(col("o_custkey"), lit(1024L))
-      val y = pmod(col("o_orderkey"), lit(1024L))
-      Tables.orders(s, d)
-        .select(x.as("xb"), y.as("yb"),
-          graft.functions.ZOrder.zValue(x, y, 10).as("zval"))
-        .withColumn("file_bucket", expr("zval div 65536"))
-        .groupBy("file_bucket").agg(count(lit(1)).as("n"),
-          min("xb").as("min_x"), max("xb").as("max_x"),
-          min("yb").as("min_y"), max("yb").as("max_y"),
-          min("zval").as("min_z"), max("zval").as("max_z"))
-    }),
-
-    // k-anonymity audit over (nation, segment) quasi-identifiers:
-    // combinations with fewer than 10 customers re-identify them — the
-    // governance gate before a dataset release. One row per occupied
-    // combination.
-    "q145_k_anonymity" -> ((s, d) =>
-      QualityOps.kAnonymityAudit(Tables.customer(s, d),
-        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
-
-    // Linear multi-touch attribution (the q110 last-touch complement):
-    // every click within 24h before a purchase shares the purchase's
-    // credit equally, in integer basis points; per-click totals sum the
-    // shares. The join is user-co-keyed with a bounded time range, so
-    // state is the 24h window, and 10000 div n keeps credit hash-exact.
-    "q146_multi_touch" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"),
-          unix_micros(col("ts")).as("p_us"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          unix_micros(col("ts")).as("c_us"))
-      val touches = purchases.join(clicks, Seq("user_id"))
-        .where(col("c_us") <= col("p_us") &&
-          col("c_us") >= col("p_us") - 86400000000L)
-      val shares = touches.groupBy("p_id")
-        .agg(count(lit(1)).as("n_touches"))
-      touches.join(shares, "p_id")
-        .groupBy("click_id")
-        .agg(count(lit(1)).as("n_purchases"),
-          sum(expr("10000 div n_touches")).as("credit_bp"))
-    }),
-
-    // Positional phrase search ("table hash" as an exact token
-    // sequence): what docs-only postings can't answer. Token stream is
-    // filtered to the phrase terms pre-shuffle; consecutive terms join
-    // on (doc, anchored position); counts are exact per start position.
-    "q147_phrase_search" -> ((s, d) =>
-      RetrievalOps.phraseSearch(Tables.documents(s, d), "doc_id", "text",
-        Seq("table", "hash"))),
-
-    // Interval x interval overlap join: per-(user, day) activity spans
-    // vs 20 literal outage windows — bucketed to 6h candidates + exact
-    // predicate (never a nested-loop); the oracle is the brute-force
-    // overlap join, so the bucketing cannot hide lost pairs.
-    "q148_interval_overlap" -> ((s, d) => {
-      val act = Tables.events(s, d)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(min(unix_micros(col("ts"))).as("a_start"),
-          max(unix_micros(col("ts"))).as("a_end"))
-        .select(concat(col("user_id"), lit(":"),
-          date_format(col("day"), "yyyy-MM-dd")).as("a_id"),
-          col("a_start"), col("a_end"))
-      val outages = s.range(0, 20).select(col("id").as("b_id"),
-          (lit(1704067200000000L) + col("id") * 129600000000L).as("b_start"))
-        .withColumn("b_end", col("b_start") + 28800000000L)
-      JoinOps.intervalOverlapJoin(act, outages, bucketSize = 21600000000L)
-    }),
-
-    // CEP pattern: purchase preceded by a click within 24h with NO
-    // error event in between — negation via a SECOND as-of join (last
-    // error before the purchase must predate the click) instead of a
-    // range scan, so the whole pattern costs two q64-shaped
-    // union+window passes and zero amplification.
-    "q149_cep_pattern" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      def lastOf(t: String, as: String) = ev.where(col("event_type") === t)
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(unix_micros(col("ts"))).as(as))
-      val withClick = JoinOps.asofJoin(purchases, lastOf("click", "c_us"),
-        "user_id", "ts", "c_us")
-      val withBoth = JoinOps.asofJoin(withClick, lastOf("error", "e_us"),
-        "user_id", "ts", "e_us")
-      withBoth.select(col("event_id"), col("user_id"),
-        col("c_us"), col("e_us"),
-        (col("c_us").isNotNull &&
-          unix_micros(col("ts")) - col("c_us") <= 86400000000L &&
-          (col("e_us").isNull || col("e_us") <= col("c_us"))).as("converted"))
-    }),
-
-    // Achlioptas ±1 random projection (JL transform): 64-dim embeddings
-    // fold to 8 integer components against an md5-derived literal sign
-    // matrix — zero joins, zero shuffles, hash-exact.
-    "q150_jl_project" -> ((s, d) =>
-      SimilarityOps.jlProject(Tables.embeddings(s, d))),
-
-    // Rendezvous-hash shard routing: every user to argmax over 8 shards
-    // of md5(user#shard) — the resize-minimal router (adding a shard
-    // moves ~1/9 of keys, all TO it; spec-asserted). Zero shuffles.
-    "q151_hrw_router" -> ((s, d) =>
-      SampleOps.hrwAssign(
-        Tables.events(s, d).select(col("user_id")).distinct(),
-        "user_id", shards = 8)),
-
-    // Quantile normalization: each doc's n_chars maps onto the GLOBAL
-    // value at the same within-source percentile — batch-effect
-    // correction across sources. Rows shuffle once; the global side is
-    // cells + a 10000-row broadcast lookup built by the bucketed range
-    // join.
-    "q152_quantile_norm" -> ((s, d) =>
-      PercentileOps.quantileNormalize(
-        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
-        "source", "n_chars", "doc_id")),
-
-    // CDC feed generation — the inverse of q121: diff the q118
-    // snapshots into the I/U/D batch whose replay reproduces snapshot
-    // B exactly (round-trip law spec-asserted in CdcOpsSpec).
-    "q153_cdc_feed" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val snapA = o.where(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
-      val snapB = o.where(pmod(col("o_orderkey"), lit(13L)) =!= 5L)
-        .select(col("o_orderkey"), when(pmod(col("o_orderkey"), lit(7L)) === 0L,
-          col("cents") + 100L).otherwise(col("cents")).as("cents"))
-      CdcOps.cdcFeed(snapA, snapB, "o_orderkey", "cents")
-    }),
-
-    // Data-freshness monitoring: per-type newest event vs the global
-    // high-water mark, integer lag, staleness flag — the ops check a
-    // 100 TB ingest runs every cycle (tiny aggregates, 1-row
-    // broadcast).
-    "q154_freshness" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val per = ev.groupBy("event_type")
-        .agg(max(unix_micros(col("ts"))).as("max_us"),
-          count(lit(1)).as("n"))
-      val glob = ev.agg(max(unix_micros(col("ts"))).as("global_us"))
-      per.crossJoin(broadcast(glob))
-        .select(col("event_type"), col("n"), col("max_us"),
-          (col("global_us") - col("max_us")).as("lag_us"),
-          (col("global_us") - col("max_us") > 3600000000L).as("stale"))
-    }),
-
-    // Source-level overlap matrix: exact Jaccard between each source
-    // pair's 3-gram shingle SETS — the cross-dump redundancy check
-    // (CommonCrawl snapshots overlap heavily; this decides which dumps
-    // to keep) at source granularity: pairs are |sources|^2-bounded,
-    // never doc^2. Integer basis points.
-    "q155_source_overlap" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs0 = DedupOps.wordShingleRows(
-        docs.select(col("doc_id"), col("text")), "doc_id", "text", 3)
-      val srcSh = pairs0.join(docs.select(col("doc_id").as("id"), col("source")), "id")
-        .select(col("source"), explode(col("sh")).as("s"))
-        .select(col("source"),
-          graft.functions.HashFunctions.portableHash60(col("s")).as("h"))
-        .distinct()
-      val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
-      val inter = srcSh.select(col("source").as("src_a"), col("h"))
-        .join(srcSh.select(col("source").as("src_b"), col("h")), Seq("h"))
-        .where(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("m"))
-      inter
-        .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
-        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
-        .select(col("src_a"), col("src_b"), col("m"), col("na"), col("nb"),
-          expr("(m * 10000) div (na + nb - m)").as("jaccard_bp"))
-    }),
-
-    // Scale-safe percent_rank / cume_dist in integer basis points: the
-    // global rank comes from the q119 cell machinery (no global row
-    // sort); cume_dist joins the broadcast cell table. The oracle
-    // recomputes both from the naive global window's row_number —
-    // independent of the cell derivation.
-    "q156_percent_rank" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-      val ranked = PercentileOps.ntileExact(docs, "n_chars", "doc_id", k = 1)
-      val cells = docs.groupBy(col("n_chars").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val wCum = org.apache.spark.sql.expressions.Window.orderBy("v")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val cum = cells.withColumn("cum", sum("cnt").over(wCum))
-        .select(col("v").as("n_chars"), col("cum"))
-      val nTotal = docs.agg(count(lit(1)).as("n_total"))
-      ranked.join(broadcast(cum), "n_chars")
-        .crossJoin(broadcast(nTotal))
-        .select(col("doc_id"), col("n_chars"),
-          expr("((rank - 1) * 10000) div (n_total - 1)").as("pr_bp"),
-          expr("(cum * 10000) div n_total").as("cume_bp"))
-    }),
-
-    // THE FLAGSHIP COMPOSITION — the full training-data manifest in one
-    // pipeline: quality+language curation with exact dedup (q60) →
-    // per-source domain cap (q126) → portable 80/10/10 split (q69) →
-    // token-budget packing of the train split (q62). One manifest row
-    // per surviving doc: its provenance, split, token count, and (for
-    // train) its pack assignment. Every stage is the already-audited
-    // operator; the oracle replays the identical chain in SQL.
-    "q157_training_manifest" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val kept = CurationOps.curate(docs, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"), col("dup_count"))
-      val keptDocs = kept.join(docs.select(col("doc_id"), col("source"),
-        T.tokenCount(col("text")).as("n_tokens")), "doc_id")
-      val capped = SampleOps.cappedPerGroup(keptDocs, "source", "doc_id", cap = 30)
-        .select("doc_id")
-      val manifest = SampleOps.portableSplit(
-        capped.join(keptDocs, "doc_id"), "doc_id")
-      val packed = SampleOps.packByTokenBudget(
-        manifest.where(col("split") === "train"), "doc_id", "n_tokens",
-        budget = 512L, nShards = 8)
-        .select(col("doc_id"), col("shard"), col("pack_id"))
-      manifest.join(packed, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"), col("split"),
-          col("dup_count"), col("n_tokens"),
-          col("shard"), col("pack_id"))
-    }),
-
-    // Split-balance audit: the statistical check on the q69 splitter —
-    // per source, each split's share in basis points and the deviation
-    // from the 80% train target (hash splits are only balanced in
-    // expectation; this is the release gate that catches a bad bucket
-    // formula).
-    "q158_split_balance" -> ((s, d) => {
-      val sp = SampleOps.portableSplit(
-        Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
-      sp.groupBy("source").agg(count(lit(1)).as("n"),
-          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
-          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
-          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
-        .withColumn("train_bp", expr("(n_train * 10000) div n"))
-        .withColumn("dev_bp", abs(col("train_bp") - 8000L))
-        .withColumn("balanced", col("dev_bp") <= 1500L)
-    }),
-
-    // Retrieval quality vs GROUND-TRUTH labels: precision@5 of the q28
-    // exact cosine search, scored by label agreement — the eval that
-    // tells you whether the embedding space is any good at all.
-    "q159_knn_precision" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val labels = emb.select(col("vec_id"), col("label"))
-      val topk = SimilarityOps.bruteForceTopK(emb,
-        emb.where(col("vec_id") < 8), k = 5)
-      topk
-        .join(labels.select(col("vec_id").as("query_id"),
-          col("label").as("q_label")), "query_id")
-        .join(labels.select(col("vec_id").as("neighbor_id"),
-          col("label").as("n_label")), "neighbor_id")
-        .groupBy("query_id")
-        .agg(sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
-          .as("hits"))
-        .withColumn("precision_bp", expr("(hits * 10000) div 5"))
-    }),
-
-    // Language-ID confusion matrix vs the GROUND-TRUTH lang column:
-    // one row per (truth, prediction) pair — the model-eval artifact
-    // behind the q16 classifier.
-    "q160_lang_confusion" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      TextAnalysisOps.languageId(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        .groupBy(col("lang"), col("lang_pred"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("correct", col("lang") === col("lang_pred"))
-    }),
-
-    // Backfill planner: the (type, day) partitions a complete calendar
-    // expects but the observed data lacks — with a PLANTED outage
-    // (click days with day_idx % 7 == 0 are dropped from "observed"),
-    // so the anti-join provably finds real gaps. Day dimension comes
-    // from the data itself; everything is tiny aggregates.
-    "q161_backfill_plan" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), to_date(col("ts")).as("day"))
-        .withColumn("day_idx",
-          datediff(col("day"), lit("2024-01-01").cast("date")))
-      val observed = ev.distinct()
-        .where(!(col("event_type") === "click" && pmod(col("day_idx"), lit(7)) === 0))
-      val days = ev.select("day", "day_idx").distinct()
-      val types = ev.select("event_type").distinct()
-      types.crossJoin(days)
-        .join(observed, Seq("event_type", "day", "day_idx"), "left_anti")
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_idx"))
-    }),
-
-    // KS drift detection: the distribution of n_chars vs a planted
-    // 25%-shifted copy (doc_id%4==0 gains +40 chars) — D = max
-    // |cdf_a - cdf_b| in integer basis points, the drift gate between
-    // two days/sources of the same feature. No transcendentals (KS,
-    // not PSI), so engine-exact.
-    "q162_ks_drift" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val a = docs.select(col("n_chars"))
-      val b = docs.select(
-        when(pmod(did, lit(4)) === 0, col("n_chars") + 40L)
-          .otherwise(col("n_chars")).as("n_chars"))
-      QualityOps.ksDrift(a, b, "n_chars")
-    }),
-
-    // Distinctive terms per source (c-TF-IDF-lite, integer): the terms
-    // most CONCENTRATED in a source relative to the corpus — the
-    // cluster-labeling op that names what each source is about. Min
-    // support 5; top 3 per source by (concentration, term); the
-    // per-source window is bounded by the vocabulary.
-    "q163_source_terms" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("source"),
-        explode(T.tokens(lower(col("text")))).as("term"))
-      val bySrc = toks.groupBy("source", "term").agg(count(lit(1)).as("n_src"))
-      val corpus = toks.groupBy("term").agg(count(lit(1)).as("n_corpus"))
-      val scored = bySrc.join(broadcast(corpus), "term")
-        .where(col("n_src") >= 5L)
-        .withColumn("score_bp", expr("(n_src * 10000) div n_corpus"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-        .orderBy(col("score_bp").desc, col("term"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 3)
-        .select("source", "term", "n_src", "n_corpus", "score_bp", "rank")
-    }),
-
-    // Packing-efficiency audit: per (shard, pack) doc and token counts
-    // plus the over-budget flag — the utilization check on the q62/q157
-    // packer (greedy offset packing intentionally lets the last doc of
-    // a pack spill past the budget; this measures by how much).
-    "q164_pack_efficiency" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
-      SampleOps.packByTokenBudget(docs, "doc_id", "n_tokens",
-          budget = 512L, nShards = 8)
-        .groupBy("shard", "pack_id")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
-        .withColumn("over_budget", col("pack_tokens") > 512L)
-    }),
-
-    // LSH quality eval on the planted corpus: recall and precision of
-    // the q25 MinHash-LSH pairs against the EXACT prefix-filter join
-    // (q131) at the same threshold — the eval that justifies the
-    // banding choice (16 bands x 4 rows at t=0.7).
-    "q165_lsh_recall" -> ((s, d) => {
-      import org.apache.spark.storage.StorageLevel
-      val corpus = dupCorpus(Tables.documents(s, d))
-      // ONE materialized shingle pass feeds both the exact join and
-      // the full LSH pipeline
-      val hs = graft.GraftCache.register(
-        DedupOps.hashedShingleRowsPortable(corpus, "id", "text", 3)
-          .persist(StorageLevel.MEMORY_AND_DISK))
-      // both pair sets feed two consumers (their count + the overlap
-      // count) — persist so neither pipeline runs twice
-      val exact = graft.GraftCache.register(
-        DedupOps.prefixFilterJoinFromHashes(hs, minJaccard = 0.7)
-          .select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK))
-      val cands = DedupOps.minhashCandidatesFromHashesPortable(hs)
-      val lsh = graft.GraftCache.register(cands
-        .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
-        .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
-        .where(graft.functions.HashFunctions.jaccard(col("sh_a"), col("sh_b")) >= 0.7)
-        .select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK))
-      val nE = exact.agg(count(lit(1)).as("n_exact"))
-      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
-      val nC = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_common"))
-      nE.crossJoin(nL).crossJoin(nC)
-        .select(col("n_exact"), col("n_lsh"), col("n_common"),
-          expr("(n_common * 10000) div n_exact").as("recall_bp"),
-          expr("(n_common * 10000) div n_lsh").as("precision_bp"))
-    })
+  import graft.queries._
+
+  private val modules = Seq(
+    RelationalQueries.queries -> RelationalQueries.oracleSql,
+    ScrapeQueries.queries -> ScrapeQueries.oracleSql,
+    DeltaQueries.queries -> DeltaQueries.oracleSql,
+    DedupQueries.queries -> DedupQueries.oracleSql,
+    SimilarityQueries.queries -> SimilarityQueries.oracleSql,
+    RetrievalQueries.queries -> RetrievalQueries.oracleSql,
+    TextQueries.queries -> TextQueries.oracleSql,
+    CurationQueries.queries -> CurationQueries.oracleSql,
+    MultimodalQueries.queries -> MultimodalQueries.oracleSql,
+    StatsQueries.queries -> StatsQueries.oracleSql,
+    QualityQueries.queries -> QualityQueries.oracleSql,
+    JoinsQueries.queries -> JoinsQueries.oracleSql,
+    GraphQueries.queries -> GraphQueries.oracleSql,
+    TimeSeriesQueries.queries -> TimeSeriesQueries.oracleSql,
   )
 
-  // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
-
-  /** Shared SQL fragments (DuckDB dialect; note regexp_replace needs 'g'). */
-  private val cleanSql = """trim(regexp_replace(text, '\s+', ' ', 'g'))"""
-  private val toksSql =
-    s"""CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
-       | ELSE string_split($cleanSql, ' ') END""".stripMargin
-
-  /** q15's tokenize/measure CTE chain (`t`, `m`) and the rounded quality
-    * composite — shared by q15, the q96 per-source top-k, and q111's
-    * survivor selection (which scores a doubled corpus via `src`).
+  /** Union of every family module's contract queries. Family maps have
+    * disjoint key sets (asserted), so ++ order cannot shadow an entry.
     */
-  private def qualityCtesFrom(src: String): String =
-    s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
-       |m AS (SELECT doc_id,
-       |  CAST(length(text) AS BIGINT) AS n_chars,
-       |  CAST(len(toks) AS BIGINT) AS n_tokens,
-       |  CASE WHEN len(toks) = 0 THEN 0.0
-       |   ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks) END AS mtl,
-       |  CASE WHEN len(toks) = 0 THEN 0.0
-       |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
-       |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
-       |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
-       | FROM t)""".stripMargin
-
-  private val qualityCtes: String = qualityCtesFrom("documents")
-
-  /** q28's brute-force cosine chain as CTEs `{pfx}q/{pfx}c/{pfx}s/
-    * {pfx}r/{pfx}w` — `{pfx}w` holds (qid, nid, sim, rk) ranked by the
-    * ROUNDED sim (matching the Spark operators' tie behavior). Shared
-    * by q28 (full corpus), q108 (filtered corpus), and q113 (exact
-    * ground-truth side, `e` prefix to avoid clashing with the IVF
-    * chain).
-    */
-  private def cosineTopKCtes(pfx: String, corpusWhere: String): String =
-    s"""${pfx}q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-       |${pfx}c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE $corpusWhere),
-       |${pfx}s AS (SELECT qid, nid,
-       |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
-       |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
-       |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
-       | FROM ${pfx}c CROSS JOIN ${pfx}q WHERE qid <> nid),
-       |${pfx}r AS (SELECT qid, nid,
-       |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM ${pfx}s),
-       |${pfx}w AS (SELECT qid, nid, sim,
-       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM ${pfx}r)""".stripMargin
-
-  /** q30's IVF chain (centroid assignment → nprobe probe → cosine →
-    * rank) as CTEs `cent/ad/a/pd/p/s/r/w` — shared by q30 and q113's
-    * approximate side.
-    */
-  private val ivfTopKCtes: String =
-    """cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-      |ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
-      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |   list_sum(list_transform(list_zip(e.embedding, c.cv),
-      |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
-      | FROM embeddings e CROSS JOIN cent c),
-      |a AS (SELECT nid, nv, cid FROM ad WHERE rn = 1),
-      |pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
-      |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
-      |   list_sum(list_transform(list_zip(q.embedding, c.cv),
-      |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
-      | FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8),
-      |p AS (SELECT qid, qv, cid FROM pd WHERE rn <= 4),
-      |s AS (SELECT p.qid, a.nid,
-      |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
-      |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
-      |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
-      | FROM a JOIN p ON a.cid = p.cid WHERE p.qid <> a.nid),
-      |r AS (SELECT qid, nid,
-      |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
-      |w AS (SELECT qid, nid, sim,
-      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)""".stripMargin
-
-  /** The asymmetric (side-tagged) LSH probe chain: one signature
-    * derivation over `allDocs` (must yield side 'c' = corpus / 'b' =
-    * batch with columns side, id, text), corpus-only bucket guard,
-    * corpus x batch candidates (never self), candidate-bounded Jaccard
-    * verify at 0.7. Shared by q86 (ingest batch vs corpus) and q112
-    * (test split vs train split).
-    */
-  private def minhashProbeSql(allDocs: String): String =
-    s"""WITH all_docs AS (
-       |$allDocs),
-       |t AS (SELECT side, id, $toksSql AS toks FROM all_docs),
-       |shl AS (SELECT side, id,
-       |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-       |   ELSE list_transform(range(1, len(toks) - 1),
-       |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs
-       | FROM t),
-       |shu AS (SELECT side, id, unnest(shs) AS s FROM shl),
-       |sh AS (SELECT DISTINCT side, id,
-       |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shu),
-       |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
-       |perms AS (SELECT i,
-       |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
-       |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
-       | FROM pidx),
-       |sig AS (SELECT sh.side, sh.id, perms.i,
-       |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
-       | FROM sh, perms GROUP BY sh.side, sh.id, perms.i),
-       |bandkey AS (SELECT side, id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
-       | FROM sig GROUP BY side, id, i // 4),
-       |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey WHERE side = 'c' GROUP BY band, bk),
-       |cand AS (SELECT DISTINCT y.id AS batch_id, x.id AS corpus_id
-       | FROM bandkey x
-       | JOIN bandkey y ON x.band = y.band AND x.bk = y.bk
-       | JOIN bsz ON bsz.band = x.band AND bsz.bk = x.bk
-       | WHERE x.side = 'c' AND y.side = 'b' AND bsz.n <= 1000),
-       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-       |inter AS (SELECT c.batch_id, c.corpus_id, count(*) AS m
-       | FROM cand c
-       | JOIN sh x ON x.id = c.corpus_id
-       | JOIN sh y ON y.id = c.batch_id AND y.h = x.h
-       | GROUP BY c.batch_id, c.corpus_id)
-       |SELECT i.batch_id, i.corpus_id,
-       | floor((CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
-       |FROM inter i
-       |JOIN sizes sb ON sb.id = i.batch_id
-       |JOIN sizes sc ON sc.id = i.corpus_id
-       |WHERE CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m) >= 0.7""".stripMargin
-
-  private val qualityExprSql: String =
-    """floor(greatest(0.0, least(1.0,
-      |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
-      |   + least(swr * 5.0, 1.0) * 0.3
-      |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000""".stripMargin
-
-  /** q27's portable hyperplane-LSH embedding pipeline as a reusable CTE
-    * chain ending in `r(id_a, id_b, sim)` — q27 selects the pairs, q82
-    * resolves the same pair graph into semantic clusters. Also defines
-    * `corpus(id, v)`, which q82's final labeling joins back to.
-    */
-  private val embeddingPairCtes: String =
-    """corpus AS (
-      |  SELECT vec_id AS id, embedding AS v FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id + 1000 AS id,
-      |    list_transform(embedding, x -> CAST(CAST(x AS REAL) * CAST(1.001 AS REAL) AS REAL)) AS v
-      |  FROM embeddings),
-      |pj AS (SELECT unnest(generate_series(0, 15)) AS j),
-      |pk AS (SELECT unnest(generate_series(0, 63)) AS k),
-      |pl AS (SELECT j, k,
-      |  (('0x' || substr(md5('graft_plane_' || CAST(j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
-      |    / 576460752303423488.0 - 1.0 AS w
-      | FROM pj, pk),
-      |plv AS (SELECT j, list(w ORDER BY k) AS pv FROM pl GROUP BY j),
-      |dots AS (SELECT c.id, c.v, p.j,
-      |  list_sum(list_transform(list_zip(c.v, p.pv), q -> q[1]::DOUBLE * q[2]::DOUBLE)) AS dp
-      | FROM corpus c CROSS JOIN plv p),
-      |bk AS (SELECT id, any_value(v) AS v,
-      |  CAST(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-      | FROM dots GROUP BY id),
-      |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
-      | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id),
-      |s AS (SELECT id_a, id_b,
-      |  list_sum(list_transform(list_zip(va, vb), q -> q[1]::DOUBLE * q[2]::DOUBLE)) AS dp,
-      |  sqrt(list_sum(list_transform(list_zip(va, va), q -> q[1]::DOUBLE * q[2]::DOUBLE))) AS na,
-      |  sqrt(list_sum(list_transform(list_zip(vb, vb), q -> q[1]::DOUBLE * q[2]::DOUBLE))) AS nb
-      | FROM pairs),
-      |r AS (SELECT id_a, id_b,
-      |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim
-      | FROM s)""".stripMargin
-
-  /** [[graft.functions.Bpe.ToyMerges]] as a DuckDB literal ('a b' strings
-    * in priority order; list_position = rank + 1).
-    */
-  private val bpeMergesLit: String =
-    graft.functions.Bpe.ToyMerges
-      .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
-
-  /** The portable MinHash-LSH pipeline as a CTE chain ending in
-    * `inter` (shared intersection counts) + `sizes` — q25 selects the
-    * verified pairs from it; q81 feeds those pairs into the component
-    * closure over a corpus SLICE (cheaper bench input; the +100000
-    * offset keeps dup ids collision-free within the slice). Arithmetic
-    * parity notes at the q25 entry.
-    */
-  private def minhashLshCtes(where: String, offset: Long): String =
-    s"""corpus AS (
-       |  SELECT doc_id AS id, text FROM documents WHERE $where
-       |  UNION ALL
-       |  SELECT doc_id + $offset AS id, text || ' zzdup tail' AS text
-       |  FROM documents WHERE $where),
-       |t AS (SELECT id, $toksSql AS toks FROM corpus),
-       |shl AS (SELECT id,
-       |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-       |   ELSE list_transform(range(1, len(toks) - 1),
-       |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs
-       | FROM t),
-       |shu AS (SELECT id, unnest(shs) AS s FROM shl),
-       |sh AS (SELECT DISTINCT id,
-       |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shu),
-       |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
-       |perms AS (SELECT i,
-       |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
-       |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
-       | FROM pidx),
-       |sig AS (SELECT sh.id, perms.i,
-       |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
-       | FROM sh, perms GROUP BY sh.id, perms.i),
-       |bandkey AS (SELECT id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
-       | FROM sig GROUP BY id, i // 4),
-       |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey GROUP BY band, bk),
-       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
-       | FROM bandkey x
-       | JOIN bandkey y ON x.band = y.band AND x.bk = y.bk
-       | JOIN bsz ON bsz.band = x.band AND bsz.bk = x.bk
-       | WHERE bsz.n <= 1000 AND x.id < y.id),
-       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-       |inter AS (SELECT c.id_a, c.id_b, count(*) AS m
-       | FROM cand c
-       | JOIN sh x ON x.id = c.id_a
-       | JOIN sh y ON y.id = c.id_b AND y.h = x.h
-       | GROUP BY c.id_a, c.id_b)""".stripMargin
-
-  /** The BPE encode loop as a recursive CTE over DISTINCT words: each
-    * step finds the best-ranked adjacent pair (999999 = "absent") and
-    * merges all its occurrences left-to-right via a list_reduce over
-    * singleton lists — the exact semantics of Bpe.Vocab.encode. `fin`
-    * keeps each word's terminal state; `cnt` joins counts back to word
-    * INSTANCES per doc.
-    */
-  private val bpeCtes: String =
-    s"""t AS (SELECT doc_id, CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
-       |  ELSE string_split(lower($cleanSql), ' ') END AS toks FROM documents),
-       |inst AS (SELECT doc_id, unnest(toks) AS w FROM t),
-       |wd AS (SELECT DISTINCT w FROM inst),
-       |init AS (SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS tk FROM wd),
-       |bpe AS (
-       |  SELECT w, tk FROM init
-       |  UNION ALL
-       |  SELECT w, list_reduce(list_transform(tk, x -> [x]), (a, b) ->
-       |      CASE WHEN a[len(a)] || ' ' || b[1] = bp
-       |           THEN a[1:len(a)-1] || [a[len(a)] || b[1]]
-       |           ELSE a || b END) AS tk
-       |  FROM (SELECT w, tk, $bpeMergesLit[br] AS bp FROM (
-       |          SELECT w, tk, list_min(list_transform(range(1, len(tk)), i ->
-       |            coalesce(nullif(list_position($bpeMergesLit, tk[i] || ' ' || tk[i+1]), 0), 999999))) AS br
-       |          FROM bpe) s
-       |        WHERE br IS NOT NULL AND br < 999999) s2),
-       |fin AS (SELECT w, len(tk) AS n FROM (
-       |          SELECT w, tk, list_min(list_transform(range(1, len(tk)), i ->
-       |            coalesce(nullif(list_position($bpeMergesLit, tk[i] || ' ' || tk[i+1]), 0), 999999))) AS br
-       |          FROM bpe) s
-       |        WHERE br IS NULL OR br = 999999),
-       |cnt AS (SELECT i.doc_id, count(*) AS n_words, sum(f.n) AS n_bpe
-       |        FROM inst i JOIN fin f USING (w) GROUP BY i.doc_id)""".stripMargin
-
-  def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
-        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base,
-        | floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
-        | count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q02_revenue_by_nation" ->
-      """SELECT n_name, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue, count(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin,
-
-    "q03_top_orders" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-
-    "q04_order_rank_window" ->
-      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
-        | SELECT o_custkey, o_orderkey,
-        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
-        | FROM orders) WHERE rn <= 3""".stripMargin,
-
-    "q05_delta_anti" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
-
-    "q06_enrich_latest" ->
-      """SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity
-        |FROM orders o LEFT JOIN (
-        | SELECT l_orderkey, l_linenumber, l_quantity,
-        |  row_number() OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
-        | FROM lineitem) l ON o.o_orderkey = l.l_orderkey AND l.rn = 1""".stripMargin,
-
-    "q07_set_except" ->
-      """SELECT l_partkey AS key FROM lineitem
-        |EXCEPT SELECT p_partkey FROM part WHERE p_size > 40""".stripMargin,
-
-    "q08_union_distinct" ->
-      """SELECT DISTINCT o_custkey AS key FROM orders
-        |WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
-
-    "q09_event_counters" ->
-      """SELECT event_type, count(*) AS n_events,
-        | floor(sum(value) * 100 + 0.5) / 100 AS sum_value, floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
-        |FROM events GROUP BY event_type""".stripMargin,
-
-    "q10_state_summary" ->
-      """SELECT o_orderstatus, count(*) AS n_orders,
-        | strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS max_date,
-        | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
-        |FROM orders GROUP BY o_orderstatus""".stripMargin,
-
-    "q11_clean_text" ->
-      s"""SELECT doc_id, $cleanSql AS clean FROM documents""",
-
-    "q12_fingerprints" ->
-      s"""SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents""",
-
-    "q13_exact_dedup" ->
-      s"""SELECT md5(lower($cleanSql)) AS fingerprint,
-         | min(doc_id) AS keep_id, count(*) AS dup_count
-         |FROM documents GROUP BY 1""".stripMargin,
-
-    "q14_token_counts" ->
-      s"""SELECT doc_id,
-         | CAST(len($toksSql) AS BIGINT) AS ws_tokens,
-         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
-         |   AS bpeish_tokens
-         |FROM documents""".stripMargin,
-
-    "q15_quality_score" ->
-      s"""WITH $qualityCtes
-         |SELECT doc_id, n_chars, n_tokens,
-         | floor(mtl * 10000 + 0.5) / 10000 AS mean_token_len,
-         | floor(swr * 10000 + 0.5) / 10000 AS stopword_ratio,
-         | floor(pr * 10000 + 0.5) / 10000 AS punct_ratio,
-         | $qualityExprSql AS quality
-         |FROM m""".stripMargin,
-
-    "q16_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
-         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
-         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
-         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
-         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
-         | FROM t)
-         |SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
-         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
-         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
-         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
-         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
-         | ELSE 'zh' END AS lang_pred
-         |FROM s""".stripMargin,
-
-    "q17_archive_status" ->
-      """SELECT doc_id,
-        | CASE doc_id % 4 WHEN 0 THEN 'Archived Product' WHEN 1 THEN 'Non-Archived item'
-        |  WHEN 2 THEN 'non archived thing' ELSE 'Regular entry' END AS sample,
-        | CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 'Archived' ELSE 'Non-Archived' END AS status
-        |FROM documents""".stripMargin,
-
-    "q18_total_results" ->
-      """SELECT doc_id, CAST(n_chars * 7 AS INTEGER) AS total FROM documents""",
-
-    "q19_sanitize_filename" ->
-      """WITH r AS (SELECT doc_id,
-        | regexp_replace(regexp_replace(regexp_replace(
-        |   source || ': ' || substr(text, 1, 50),
-        |   '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '^-+|-+$', '', 'g') AS v
-        | FROM documents)
-        |SELECT doc_id,
-        | CASE WHEN substr(v, 1, 100) IS NULL OR substr(v, 1, 100) = '' THEN 'unknown'
-        |  ELSE substr(v, 1, 100) END AS fname
-        |FROM r""".stripMargin,
-
-    "q20_filename_from_url" ->
-      """SELECT doc_id,
-        | CASE doc_id % 4
-        |  WHEN 0 THEN 'file_' || CAST(doc_id AS VARCHAR) || '.pdf'
-        |  WHEN 1 THEN 'report ' || CAST(doc_id AS VARCHAR) || '.XLSX'
-        |  WHEN 2 THEN 'x.test'
-        |  ELSE CAST(NULL AS VARCHAR) END AS fname
-        |FROM documents""".stripMargin,
-
-    "q21_extension_from_url" ->
-      """SELECT doc_id,
-        | CASE doc_id % 5 WHEN 0 THEN '.pdf' WHEN 1 THEN '.xlsx' WHEN 2 THEN '.xls'
-        |  WHEN 3 THEN '.xlsx' ELSE '.pdf' END AS ext
-        |FROM documents""".stripMargin,
-
-    "q22_download_path" ->
-      """WITH n AS (SELECT doc_id, source,
-        | regexp_replace(regexp_replace(regexp_replace(
-        |   substr(text, 1, 20),
-        |   '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '^-+|-+$', '', 'g') AS name_s
-        | FROM documents)
-        |SELECT doc_id,
-        | 'downloads/life/FY-20' || CAST(15 + doc_id % 5 AS VARCHAR) || '/' || source
-        |  || '/UIN-' || CAST(doc_id AS VARCHAR) || '_'
-        |  || (CASE WHEN name_s = '' THEN 'unknown' ELSE substr(name_s, 1, 100) END)
-        |  || '.pdf' AS path
-        |FROM n""".stripMargin,
-
-    "q23_url_hash" ->
-      """SELECT doc_id,
-        | ('0x' || substr(md5('https://x.test/doc/' || CAST(doc_id AS VARCHAR) || '.pdf'), 1, 15))::BIGINT AS url_hash
-        |FROM documents""".stripMargin,
-
-    // Full re-derivation of the portable MinHash-LSH pipeline: shingle
-    // hashes -> 64 affine permutations in 60-bit space -> 16 four-value
-    // band keys -> bucket-capped banded self-join -> exact Jaccard verify.
-    // Arithmetic parity: Spark computes (h*a+b) & (2^60-1) in wrapping
-    // 64-bit longs; low-bit truncation commutes with wraparound, so the
-    // HUGEINT mod-2^60 here produces identical values.
-    "q25_minhash_neardups" ->
-      s"""WITH ${minhashLshCtes("TRUE", 1000L)}
-         |SELECT i.id_a, i.id_b,
-         | floor((CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
-         |FROM inter i
-         |JOIN sizes sa ON sa.id = i.id_a
-         |JOIN sizes sb ON sb.id = i.id_b
-         |WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7""".stripMargin,
-
-    // Portable 60-bit SimHash: per-token md5 hash votes on 60 counters,
-    // 4x15-bit bands, exact hamming verify. Tokenless docs sketch to
-    // all-ones (counter 0 >= 0 sets every bit) — mirrored by the
-    // coalesce.
-    "q26_simhash_neardups" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id AS id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
-         |t AS (SELECT id, $toksSql AS toks FROM corpus),
-         |tok AS (SELECT id, unnest(toks) AS tk FROM t),
-         |th AS (SELECT id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
-         |bits AS (SELECT unnest(generate_series(0, 59)) AS b),
-         |votes AS (SELECT th.id, bits.b,
-         |  sum(CASE WHEN (th.h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         | FROM th, bits GROUP BY th.id, bits.b),
-         |sk0 AS (SELECT id,
-         |  CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
-         | FROM votes GROUP BY id),
-         |sk AS (SELECT corpus.id, coalesce(sk0.sh, 1152921504606846975) AS sh
-         | FROM corpus LEFT JOIN sk0 ON corpus.id = sk0.id),
-         |b4 AS (SELECT unnest([0, 1, 2, 3]) AS band),
-         |banded AS (SELECT sk.id, sk.sh, b4.band,
-         |  (sk.sh >> (b4.band * 15)) & 32767 AS bk FROM sk, b4),
-         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.sh AS sh_a, y.sh AS sh_b
-         | FROM banded x JOIN banded y ON x.band = y.band AND x.bk = y.bk
-         | WHERE x.id < y.id)
-         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
-
-    "q24_pairwise_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-         |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-         |     i -> array_to_string(toks[i:i+2], ' '))) END AS sh
-         | FROM t)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         | floor((CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-         |  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) END) * 10000 + 0.5) / 10000 AS jaccard
-         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
-         |WHERE a.doc_id % 5 = 0""".stripMargin,
-
-    // Portable hyperplane LSH re-derived end-to-end: md5-derived plane
-    // components in [-1,1), per-plane dots via ordered list_sum (the
-    // same sequential-sum parity q28 established), sign-bit bucket keys,
-    // bucketed self-join, exact cosine verify. The float×1.001 dup-arm
-    // multiply is safe cross-engine: a float product is exact in double,
-    // so double-then-round equals native float math.
-    "q27_embedding_neardups" ->
-      s"""WITH $embeddingPairCtes
-        |SELECT id_a, id_b, sim FROM r WHERE sim >= 0.99""".stripMargin,
-
-    "q28_bruteforce_topk" ->
-      s"""WITH ${cosineTopKCtes("", "TRUE")}
-        |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
-        |FROM w WHERE rk <= 5""".stripMargin,
-
-    "q29_ivf_assign" ->
-      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-        |d AS (SELECT e.vec_id, c.cid,
-        |  list_sum(list_transform(list_zip(e.embedding, c.cv),
-        |    p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS d2
-        | FROM embeddings e CROSS JOIN cent c),
-        |r AS (SELECT vec_id, cid,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
-        |SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1""".stripMargin,
-
-    "q30_ivf_topk" ->
-      s"""WITH $ivfTopKCtes
-        |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
-        |FROM w WHERE rk <= 5""".stripMargin,
-
-    "q31_media_meta" ->
-      """SELECT doc_id AS media_id,
-        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        | CAST(doc_id % 640 + 32 AS INTEGER) AS width,
-        | CAST(doc_id % 480 + 32 AS INTEGER) AS height,
-        | CAST(doc_id % 30000 + 1000 AS BIGINT) AS duration_ms
-        |FROM documents""".stripMargin,
-
-    // Mirrors the synthetic-PNG formulas (MultimodalOps.dimsFor/channels)
-    // and the resize target-dim arithmetic; Spark derives the same values
-    // by actually decoding the resized PNG bytes.
-    "q32_media_resize" ->
-      """WITH m AS (SELECT doc_id,
-        | CAST(doc_id % 24 + 8 AS INTEGER) AS w,
-        | CAST(doc_id % 16 + 8 AS INTEGER) AS h FROM documents),
-        |sc AS (SELECT doc_id, w, h,
-        | least(16.0 / w, 12.0 / h, 1.0) AS scale FROM m)
-        |SELECT doc_id AS media_id,
-        | CAST(greatest(1, floor(w * scale)) AS INTEGER) AS width,
-        | CAST(greatest(1, floor(h * scale)) AS INTEGER) AS height,
-        | CAST((doc_id * 3 + 7) % 256 AS DOUBLE) AS mean_r,
-        | CAST((doc_id * 5 + 11) % 256 AS DOUBLE) AS mean_g,
-        | CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_b
-        |FROM sc""".stripMargin,
-
-    "q33_frame_sample" ->
-      """SELECT doc_id AS media_id,
-        | unnest(generate_series(0, least(doc_id % 30000 + 1000, 7000), 1000)) AS frame_ts_ms
-        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
-
-    "q34_event_hourly" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour, event_type,
-        | count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    "q35_parse_life" ->
-      """SELECT 'life' AS product_type,
-        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
-        | 'FY 20' || CAST(15 + doc_id % 5 AS VARCHAR) AS financial_year,
-        | 'Ins ' || source AS insurer,
-        | 'Prod ' || CAST(doc_id AS VARCHAR) AS product_name,
-        | 'UIN' || CAST(doc_id AS VARCHAR) AS uin,
-        | 'TypeA' AS type_of_product,
-        | CAST(NULL AS VARCHAR) AS launch_modification_date,
-        | CAST(NULL AS VARCHAR) AS closing_withdrawal_date,
-        | 'P' AS protection_savings_retirement,
-        | 'Par' AS par_nonpar,
-        | 'Ind' AS individual_group,
-        | CASE WHEN doc_id % 3 = 0 THEN CAST(NULL AS VARCHAR)
-        |  ELSE 'rem ' || CAST(doc_id AS VARCHAR) END AS remarks,
-        | 'https://example.invalid/documents/doc' || CAST(doc_id AS VARCHAR) || '.pdf' AS document_url,
-        | 'Doc ' || CAST(doc_id AS VARCHAR) AS document_filename
-        |FROM documents""".stripMargin,
-
-    "q36_parse_health" ->
-      """SELECT 'health' AS product_type,
-        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
-        | 'FY 20' || CAST(15 + doc_id % 5 AS VARCHAR) AS financial_year,
-        | 'Ins ' || source AS insurer,
-        | 'HUIN' || CAST(doc_id AS VARCHAR) AS uin,
-        | 'HProd ' || CAST(doc_id AS VARCHAR) AS product_name,
-        | CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS VARCHAR) ELSE '2020-01-15' END AS date_of_approval,
-        | 'TypeH' AS type_of_product,
-        | CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
-        |  ELSE 'https://example.invalid/documents/h' || CAST(doc_id AS VARCHAR) || '.pdf' END AS document_url,
-        | CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
-        |  ELSE 'h' || CAST(doc_id AS VARCHAR) || '.pdf' END AS document_filename
-        |FROM documents""".stripMargin,
-
-    "q37_filter_completed" ->
-      """SELECT p_partkey, p_name FROM part
-        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)""".stripMargin,
-
-    "q38_clear_succeeded" ->
-      """SELECT event_id, user_id FROM events WHERE value < 0.1
-        |AND event_id NOT IN (
-        |  SELECT event_id FROM events WHERE value < 0.1 AND user_id % 3 = 0)""".stripMargin,
-
-    "q39_count_scan" -> "SELECT count(*) AS n_rows FROM lineitem",
-
-    "q40_distinct_users" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type""".stripMargin,
-
-    "q41_intersect" ->
-      """SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
-        |INTERSECT
-        |SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
-
-    "q42_r2_meta" ->
-      """WITH e AS (SELECT doc_id, source,
-        | CASE doc_id % 3 WHEN 0 THEN '.pdf' WHEN 1 THEN '.xlsx' ELSE '.bin' END AS ext
-        | FROM documents)
-        |SELECT doc_id,
-        | 'life/docs/' || source || '/f' || CAST(doc_id AS VARCHAR) || ext AS key,
-        | 'https://bucket.r2.dev/life/docs/' || source || '/f' || CAST(doc_id AS VARCHAR) || ext AS public_url,
-        | CASE ext WHEN '.pdf' THEN 'application/pdf'
-        |  WHEN '.xlsx' THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
-        |  ELSE 'application/octet-stream' END AS content_type
-        |FROM e""".stripMargin,
-
-    "q43_max_page" ->
-      """SELECT doc_id,
-        | CAST(greatest(1, doc_id, (doc_id * 2) % 97) AS INTEGER) AS max_page
-        |FROM documents""".stripMargin,
-
-    "q44_parse_nonlife" ->
-      """SELECT 'nonlife' AS product_type,
-        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
-        | CASE WHEN doc_id % 6 = 0 THEN CAST(NULL AS VARCHAR) ELSE CAST(doc_id AS VARCHAR) END AS s_no,
-        | 'FY 20' || CAST(15 + doc_id % 5 AS VARCHAR) AS financial_year,
-        | 'GIns ' || source AS insurer,
-        | 'NProd ' || CAST(doc_id AS VARCHAR) AS product_name,
-        | 'Motor' AS type_of_product,
-        | 'NL-' || CAST(doc_id AS VARCHAR) AS uin,
-        | CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS VARCHAR) ELSE '2021-03-31' END AS date_of_approval,
-        | 'https://example.invalid/documents/n' || CAST(doc_id AS VARCHAR) || '.xlsx' AS document_url,
-        | 'NL Doc ' || CAST(doc_id AS VARCHAR) AS document_filename
-        |FROM documents""".stripMargin,
-
-    "q45_parse_life_list" ->
-      """SELECT 'life_list' AS product_type,
-        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
-        | 'Product list ' || CAST(doc_id AS VARCHAR) AS short_description,
-        | CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS VARCHAR) ELSE '01-01-2024' END AS last_updated,
-        | CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
-        |  ELSE 'sub ' || CAST(doc_id AS VARCHAR) END AS sub_title,
-        | CASE WHEN doc_id % 3 = 0
-        |  THEN 'https://example.invalid/files/w' || CAST(doc_id AS VARCHAR) || '.xlsx'
-        |  ELSE 'https://example.invalid/documents/l' || CAST(doc_id AS VARCHAR) || '.pdf' END AS document_url,
-        | CASE WHEN doc_id % 3 = 0 THEN 'w' || CAST(doc_id AS VARCHAR) || '.xlsx'
-        |  ELSE 'List Doc ' || CAST(doc_id AS VARCHAR) END AS document_filename
-        |FROM documents""".stripMargin,
-
-    "q46_union_append" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5
-        |UNION ALL
-        |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45""".stripMargin,
-
-    "q47_branch_split" ->
-      """SELECT event_type,
-        | CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
-        | CAST(sum(CASE WHEN NOT (value > 0.5) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
-        |FROM events GROUP BY event_type""".stripMargin,
-
-    "q48_total_pages" ->
-      """SELECT doc_id,
-        | CAST(floor((n_chars * 3 + 59) / 60.0) AS INTEGER) AS total_pages
-        |FROM documents""".stripMargin,
-
-    "q49_sessionize" ->
-      """WITH s AS (
-        | SELECT user_id, event_id, ts, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
-        |   THEN 1 ELSE 0 END AS is_new
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |t AS (
-        | SELECT *, CAST(sum(is_new) OVER (
-        |   PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |  AS session_seq
-        | FROM s)
-        |SELECT user_id, session_seq,
-        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        | strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-        | count(*) AS n_events,
-        | floor(sum(value) * 100 + 0.5) / 100 AS sum_value
-        |FROM t GROUP BY user_id, session_seq""".stripMargin,
-
-    // Winnowing re-derived: char codes -> closed-form degree-7 polynomial
-    // hash per position (coefficients are B^e mod 2^64 as SIGNED
-    // literals; products/sums in HUGEINT stay congruent mod 2^64, then
-    // reduce to the kernel's signed Long value), rolling 4-window min
-    // with the rightmost-min tie-break via max(position) at the window
-    // minimum, then the same posting-cap + containment math as the
-    // kernel. Window starts: every full window plus position 1 (the
-    // kernel's short-text case).
-    "q50_fingerprint_overlap" ->
-      """WITH corpus AS (
-        |  SELECT doc_id AS id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
-        |cl AS (SELECT id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM corpus),
-        |lens AS (SELECT id, t, len(t) AS L FROM cl WHERE len(t) >= 8),
-        |chars AS (SELECT id, i, ord(t[i:i]) AS c
-        |  FROM (SELECT id, t, unnest(range(1, L + 1)) AS i FROM lens)),
-        |poly AS (SELECT id, i,
-        |   c::HUGEINT * (-5522125492475424181)::HUGEINT
-        | + lead(c, 1) OVER w * (-7523229268483095719)::HUGEINT
-        | + lead(c, 2) OVER w * (-3993531167153147853)::HUGEINT
-        | + lead(c, 3) OVER w * (-4442925868394654895)::HUGEINT
-        | + lead(c, 4) OVER w * 1000009000027000027::HUGEINT
-        | + lead(c, 5) OVER w * 1000006000009::HUGEINT
-        | + lead(c, 6) OVER w * 1000003::HUGEINT
-        | + lead(c, 7) OVER w * 1::HUGEINT AS s
-        | FROM chars
-        | WINDOW w AS (PARTITION BY id ORDER BY i)),
-        |hs AS (SELECT id, i,
-        |  (CASE WHEN nn >= 9223372036854775808::HUGEINT THEN nn - 18446744073709551616::HUGEINT ELSE nn END)::BIGINT AS h
-        | FROM (SELECT id, i,
-        |   ((s % 18446744073709551616::HUGEINT) + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT AS nn
-        |  FROM poly WHERE s IS NOT NULL)),
-        |win AS (SELECT id, i,
-        |   min(h) OVER fr AS wmin, count(*) OVER fr AS wcnt
-        | FROM hs
-        | WINDOW fr AS (PARTITION BY id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
-        |starts AS (SELECT id, i AS j, wmin FROM win WHERE wcnt = 4 OR i = 1),
-        |picks AS (SELECT s.id, s.j, max(p.i) AS pick FROM starts s JOIN hs p
-        |  ON p.id = s.id AND p.i >= s.j AND p.i <= s.j + 3 AND p.h = s.wmin GROUP BY s.id, s.j),
-        |fp AS (SELECT DISTINCT h.id, h.h AS fpv FROM picks JOIN hs h ON h.id = picks.id AND h.i = picks.pick),
-        |common AS (SELECT fpv FROM fp GROUP BY fpv HAVING count(*) > 100),
-        |rare AS (SELECT f.id, f.fpv FROM fp f WHERE f.fpv NOT IN (SELECT fpv FROM common)),
-        |sizes AS (SELECT id, count(*) AS nfp FROM rare GROUP BY id),
-        |shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fingerprints
-        |  FROM rare a JOIN rare b ON a.fpv = b.fpv AND a.id < b.id GROUP BY a.id, b.id),
-        |r AS (SELECT s.id_a, s.id_b, s.shared_fingerprints,
-        |  floor((s.shared_fingerprints::DOUBLE / least(sa.nfp, sb.nfp)) * 10000 + 0.5) / 10000 AS containment
-        | FROM shared s JOIN sizes sa ON sa.id = s.id_a JOIN sizes sb ON sb.id = s.id_b)
-        |SELECT id_a, id_b, shared_fingerprints, containment FROM r
-        |WHERE containment >= 0.9""".stripMargin,
-
-    "q51_percentiles" ->
-      """SELECT l_returnflag,
-        | floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
-        | floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
-        | floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000 AS p75
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    "q52_rollup" ->
-      """SELECT o_orderstatus, count(*) AS n,
-        | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
-        |FROM orders GROUP BY ROLLUP (o_orderstatus)""".stripMargin,
-
-    "q53_rag_retrieve" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
-        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
-        |s AS (SELECT qid, nid,
-        |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
-        |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
-        |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
-        | FROM c CROSS JOIN q WHERE qid <> nid),
-        |r AS (SELECT qid, nid,
-        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
-        |w AS (SELECT qid, nid, sim,
-        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
-        |SELECT w.qid AS query_id, w.rk AS rank, w.nid AS neighbor_id, w.sim, d.text
-        |FROM w JOIN documents d ON d.doc_id = w.nid
-        |WHERE w.rk <= 3""".stripMargin,
-
-    // Mirrors MultimodalOps.dimsFor + channels: the Spark side derives
-    // these values by ImageIO-decoding real PNG bytes.
-    "q54_image_decode" ->
-      """SELECT doc_id AS media_id,
-        | CAST(doc_id % 24 + 8 AS INTEGER) AS width,
-        | CAST(doc_id % 16 + 8 AS INTEGER) AS height,
-        | CAST((doc_id * 3 + 7) % 256 AS DOUBLE) AS mean_r,
-        | CAST((doc_id * 5 + 11) % 256 AS DOUBLE) AS mean_g,
-        | CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_b
-        |FROM documents""".stripMargin,
-
-    // Mirrors MultimodalOps.frameCountFor (doc_id % 5 + 2 frames) and the
-    // per-frame seed (doc_id * 1000 + frame); stride 2 samples 0, 2, 4.
-    "q55_video_frames" ->
-      """WITH fr AS (
-        | SELECT doc_id, unnest(generate_series(0, doc_id % 5 + 1, 2)) AS f
-        | FROM documents)
-        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
-        | CAST(doc_id % 24 + 8 AS INTEGER) AS width,
-        | CAST(doc_id % 16 + 8 AS INTEGER) AS height,
-        | CAST(((doc_id * 1000 + f) * 3 + 7) % 256 AS DOUBLE) AS mean_r,
-        | CAST(((doc_id * 1000 + f) * 5 + 11) % 256 AS DOUBLE) AS mean_g,
-        | CAST(((doc_id * 1000 + f) * 7 + 13) % 256 AS DOUBLE) AS mean_b
-        |FROM fr""".stripMargin,
-
-    // Identical semantics to q30 — the Spark side differs only in HOW
-    // (materialized partition-pruned index vs in-plan assignment).
-    "q58_ivf_indexed" ->
-      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-        |ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
-        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |   list_sum(list_transform(list_zip(e.embedding, c.cv),
-        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
-        | FROM embeddings e CROSS JOIN cent c),
-        |a AS (SELECT nid, nv, cid FROM ad WHERE rn = 1),
-        |pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
-        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |   list_sum(list_transform(list_zip(q.embedding, c.cv),
-        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
-        | FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8),
-        |p AS (SELECT qid, qv, cid FROM pd WHERE rn <= 4),
-        |s AS (SELECT p.qid, a.nid,
-        |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
-        |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
-        |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
-        | FROM a JOIN p ON a.cid = p.cid WHERE p.qid <> a.nid),
-        |r AS (SELECT qid, nid,
-        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
-        |w AS (SELECT qid, nid, sim,
-        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
-        |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
-        |FROM w WHERE rk <= 5""".stripMargin,
-
-    // Same cell-quantize → cumulative-rank arithmetic as
-    // PercentileOps.histogramQuantiles (IEEE double ops are bit-exact in
-    // both engines).
-    "q56_hist_quantiles" ->
-      """WITH c AS (
-        | SELECT l_returnflag, floor(l_extendedprice * 100) / 100 AS qval, count(*) AS cnt
-        | FROM lineitem GROUP BY 1, 2),
-        |w AS (
-        | SELECT l_returnflag, qval,
-        |  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qval
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  sum(cnt) OVER (PARTITION BY l_returnflag) AS total
-        | FROM c)
-        |SELECT l_returnflag,
-        | min(CASE WHEN cum >= ceil(total * 0.25) THEN qval END) AS p25,
-        | min(CASE WHEN cum >= ceil(total * 0.5) THEN qval END) AS p50,
-        | min(CASE WHEN cum >= ceil(total * 0.75) THEN qval END) AS p75
-        |FROM w GROUP BY l_returnflag""".stripMargin,
-
-    // Curation = q15's quality composite (rounded, gated at 0.5) ∘ q16's
-    // language argmax (gated to en) ∘ q13's fingerprint dedup.
-    "q60_curate" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CASE WHEN len(toks) = 0 THEN 0.0
-         |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
-         |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
-         |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
-         | FROM t),
-         |q AS (SELECT doc_id, floor(greatest(0.0, least(1.0,
-         |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
-         |   + least(swr * 5.0, 1.0) * 0.3
-         |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000 AS quality FROM m),
-         |s AS (SELECT doc_id,
-         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
-         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
-         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
-         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
-         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
-         | FROM t),
-         |l AS (SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
-         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
-         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
-         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
-         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
-         | ELSE 'zh' END AS lang_pred FROM s),
-         |g AS (SELECT q.doc_id FROM q JOIN l USING (doc_id)
-         | WHERE q.quality >= 0.5 AND l.lang_pred IN ('en')),
-         |f AS (SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents)
-         |SELECT f.fingerprint, min(f.doc_id) AS keep_id, count(*) AS dup_count
-         |FROM g JOIN f USING (doc_id) GROUP BY 1""".stripMargin,
-
-    // DuckDB ASOF JOIN: greatest c.ts <= e.ts per user (inclusive), null
-    // when no prior checkpoint — exactly the union+window semantics.
-    "q64_asof_state" ->
-      """WITH e AS (SELECT event_id, user_id, ts FROM events),
-        |c AS (SELECT user_id, ts, event_id AS state_id FROM events
-        |      WHERE event_id % 20 = 0)
-        |SELECT e.event_id, e.user_id, c.state_id
-        |FROM e ASOF LEFT JOIN c
-        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
-
-    // On the exact-dup graph every component equals its fingerprint
-    // group, so min-per-group is the expected label assignment.
-    "q63_components" ->
-      s"""WITH c AS (
-         | SELECT doc_id AS id, text FROM documents
-         | UNION ALL SELECT doc_id + 1000000, text FROM documents),
-         |f AS (SELECT id, md5(lower($cleanSql)) AS fp FROM c),
-         |g AS (SELECT fp, min(id) AS component, count(*) AS n
-         |      FROM f GROUP BY fp)
-         |SELECT f.id, g.component FROM f JOIN g USING (fp) WHERE g.n > 1""".stripMargin,
-
-    // Same shard/window/floor arithmetic as SampleOps.packByTokenBudget
-    // (ws-token counts per q14's tokenizer).
-    "q62_pack_budget" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |n AS (SELECT doc_id, doc_id % 32 AS shard,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
-         |o AS (SELECT doc_id, shard, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
-         | FROM n)
-         |SELECT doc_id, shard, n_tokens,
-         | CAST(so AS BIGINT) AS start_offset,
-         | CAST(floor(so / 512.0) AS BIGINT) AS pack_id
-         |FROM o""".stripMargin,
-
-    // Mirrors MultimodalOps.sampleAt/sampleCountFor; the Spark side reads
-    // these facts back out of real WAV bytes via javax.sound.
-    "q59_audio_decode" ->
-      """WITH idx AS (
-        | SELECT doc_id, unnest(generate_series(0, doc_id % 400 + 99)) AS i
-        | FROM documents),
-        |s AS (SELECT doc_id,
-        | abs(((doc_id * 31 + i * 17) % 20001) - 10000) AS a FROM idx)
-        |SELECT doc_id AS media_id,
-        | CAST(8000 AS INTEGER) AS sample_rate_hz,
-        | count(*) AS n_samples,
-        | CAST(sum(a) AS DOUBLE) / count(*) AS mean_abs,
-        | CAST(max(a) AS INTEGER) AS peak
-        |FROM s GROUP BY doc_id""".stripMargin,
-
-    // Valid oracle because the Spark side's GK accuracy bound (1e6) keeps
-    // rank error < 1 at verify SFs → exactly the discrete quantile.
-    "q57_approx_percentiles" ->
-      """SELECT l_returnflag,
-        | quantile_disc(l_extendedprice, 0.25) AS p25,
-        | quantile_disc(l_extendedprice, 0.5) AS p50,
-        | quantile_disc(l_extendedprice, 0.75) AS p75
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    // BM25: ln / double arithmetic written in the exact same op order as
-    // the Spark expression (idf and tf' are IEEE-bit-identical); score
-    // rounded half4 before the ORDER BY so the top-20 total order matches.
-    "q65_bm25" ->
-      s"""WITH tok AS (SELECT doc_id,
-         |  CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
-         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
-         | FROM documents),
-         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
-         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
-         |hits AS (SELECT doc_id, unnest(toks) AS term FROM tok),
-         |postings AS (SELECT doc_id, term, count(*) AS tf FROM hits
-         |  WHERE term IN ('spark', 'window', 'hash') GROUP BY doc_id, term),
-         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
-         |SELECT p.doc_id,
-         | floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |   * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))))
-         |   * 10000 + 0.5) / 10000 AS bm25
-         |FROM postings p JOIN dfreq USING (term) JOIN lens USING (doc_id)
-         | CROSS JOIN stats
-         |GROUP BY p.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
-
-    // floor(epoch(ts)) mirrors Spark's unix_timestamp (DuckDB's epoch()
-    // keeps fractional seconds); sum(BIGINT) is HUGEINT in DuckDB → cast.
-    "q66_range_join" ->
-      """WITH pts AS (SELECT event_id,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events),
-        |iv AS (SELECT event_id AS interval_id,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS lo,
-        |  CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS hi
-        | FROM events WHERE event_id % 50 = 0)
-        |SELECT interval_id, count(*) AS n_points,
-        | CAST(sum(event_id) AS BIGINT) AS sum_ids
-        |FROM pts JOIN iv ON pt >= lo AND pt <= hi
-        |GROUP BY interval_id""".stripMargin,
-
-    // Same oracle as q05: the bloom pre-pass must not change the answer.
-    "q67_bloom_delta" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
-
-    "q68_redact" ->
-      """WITH p AS (SELECT doc_id, text ||
-        |  CASE WHEN doc_id % 2 = 0
-        |   THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-        |  CASE WHEN doc_id % 3 = 0
-        |   THEN ' call +1 555-010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END ||
-        |  CASE WHEN doc_id % 5 = 0 THEN ' id 987-65-4321' ELSE '' END AS pii
-        | FROM documents)
-        |SELECT doc_id,
-        | regexp_replace(regexp_replace(regexp_replace(pii,
-        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |   '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
-        |   '\d{3}-\d{2}-\d{4}', '<SSN>', 'g') AS redacted,
-        | CAST(len(regexp_extract_all(pii,
-        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        | CAST(len(regexp_extract_all(pii,
-        |   '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
-        | CAST(len(regexp_extract_all(
-        |   regexp_replace(pii, '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
-        |   '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssns
-        |FROM p""".stripMargin,
-
-    // The portable-hash contract stated as SQL: first 15 md5 hex chars as
-    // a 60-bit unsigned int — DuckDB parses the 0x literal directly.
-    "q69_portable_split" ->
-      """WITH b AS (SELECT doc_id,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
-        | FROM documents)
-        |SELECT doc_id,
-        | CASE WHEN bucket < 80 THEN 'train'
-        |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-        | bucket < 10 AS in_sample10
-        |FROM b""".stripMargin,
-
-    "q70_term_topk" ->
-      s"""SELECT term, count(*) AS n FROM (
-         | SELECT unnest(CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
-         |   ELSE string_split(lower($cleanSql), ' ') END) AS term
-         | FROM documents)
-         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
-
-    // Hybrid RRF: q65's BM25 top-20 and the single-query ANN top-20 are
-    // re-derived, ranked (score desc, id — both scores pre-rounded half4
-    // so the total order is engine-independent), full-outer fused with
-    // 1/(60+rank) contributions, rounded half4.
-    "q71_hybrid_rrf" ->
-      s"""WITH tok AS (SELECT doc_id,
-         |  CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
-         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
-         | FROM documents),
-         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
-         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
-         |hits AS (SELECT doc_id, unnest(toks) AS term FROM tok),
-         |postings AS (SELECT doc_id, term, count(*) AS tf FROM hits
-         |  WHERE term IN ('spark', 'window', 'hash') GROUP BY doc_id, term),
-         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-         |bm AS (SELECT p.doc_id,
-         |  floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |    * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))))
-         |    * 10000 + 0.5) / 10000 AS bm25
-         | FROM postings p JOIN dfreq USING (term) JOIN lens USING (doc_id)
-         |  CROSS JOIN stats
-         | GROUP BY p.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
-         |lexr AS (SELECT doc_id,
-         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm),
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE vec_id <> 0),
-         |s AS (SELECT nid,
-         |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
-         |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
-         |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
-         | FROM c CROSS JOIN q),
-         |r AS (SELECT nid,
-         |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim
-         | FROM s),
-         |sem AS (SELECT nid AS doc_id, sim FROM r ORDER BY sim DESC, nid LIMIT 20),
-         |semr AS (SELECT doc_id,
-         |  row_number() OVER (ORDER BY sim DESC, doc_id) AS sem_rank FROM sem),
-         |f AS (SELECT coalesce(l.doc_id, s2.doc_id) AS doc_id,
-         |  floor((coalesce(1.0 / (60 + l.lex_rank), 0.0)
-         |       + coalesce(1.0 / (60 + s2.sem_rank), 0.0)) * 10000 + 0.5) / 10000 AS rrf
-         | FROM lexr l FULL OUTER JOIN semr s2 ON l.doc_id = s2.doc_id)
-         |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
-
-    "q72_bpe_tokens" ->
-      s"""WITH RECURSIVE $bpeCtes
-         |SELECT d.doc_id,
-         | coalesce(c.n_words, 0) AS n_words,
-         | CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
-         |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin,
-
-    // Reconstruct each page's text by formula, join with newlines in
-    // page order, and mirror the kernel's stats INCLUDING the md5 of the
-    // full extracted text — if extraction (magic, lengths, inflate,
-    // UTF-8) dropped or altered one byte, the hash breaks.
-    "q73_doc_extract" ->
-      """WITH pg AS (SELECT doc_id, doc_id % 4 + 1 AS np, doc_id % 7 + 3 AS k
-        |  FROM documents),
-        |pp AS (SELECT doc_id, np, k, unnest(range(0, np)) AS p FROM pg),
-        |pages AS (SELECT doc_id, np, k, p,
-        |  'doc ' || doc_id || ' page ' || p || ' ' || rtrim(repeat('word ', CAST(k AS INTEGER))) AS ptext
-        | FROM pp),
-        |agg AS (SELECT doc_id,
-        |  any_value(np) AS np, any_value(k) AS k,
-        |  string_agg(ptext, chr(10) ORDER BY p) AS full_text
-        | FROM pages GROUP BY doc_id)
-        |SELECT doc_id,
-        | np AS n_pages,
-        | CAST(len(full_text) AS BIGINT) AS n_chars,
-        | np * (4 + k) AS n_words,
-        | md5(full_text) AS text_md5
-        |FROM agg""".stripMargin,
-
-    "q74_pack_bpe" ->
-      s"""WITH RECURSIVE $bpeCtes,
-         |n AS (SELECT d.doc_id, d.doc_id % 32 AS shard,
-         |  CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_tokens
-         | FROM documents d LEFT JOIN cnt c USING (doc_id)),
-         |o AS (SELECT doc_id, shard, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
-         | FROM n)
-         |SELECT doc_id, shard, n_tokens,
-         | CAST(so AS BIGINT) AS start_offset,
-         | CAST(floor(so / 512.0) AS BIGINT) AS pack_id
-         |FROM o""".stripMargin,
-
-    "q75_salted_join" ->
-      """SELECT 'flag_' || l_returnflag AS flag_label, count(*) AS n,
-        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    "q76_stratified_sample" ->
-      """SELECT doc_id, source FROM (
-        |  SELECT doc_id, source,
-        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
-        |  FROM documents)
-        |WHERE bucket < (CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
-        |  WHEN 'src2' THEN 10 ELSE 25 END)""".stripMargin,
-
-    "q77_repetition" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
-         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
-         | FROM documents),
-         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
-         |  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gram
-         | FROM t),
-         |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
-         |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-         |  count(*) AS n_distinct, max(c) AS max_c FROM c GROUP BY doc_id)
-         |SELECT d.doc_id,
-         | coalesce(p.n_grams, 0) AS n_bigrams,
-         | floor((CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
-         |   ELSE p.max_c::DOUBLE / p.n_grams END) * 10000 + 0.5) / 10000 AS top_bigram_frac,
-         | floor((CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
-         |   ELSE (p.n_grams - p.n_distinct)::DOUBLE / p.n_grams END) * 10000 + 0.5) / 10000 AS dup_bigram_frac
-         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
-
-    "q78_epoch_shuffle" ->
-      """WITH h AS (SELECT doc_id,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_e3'), 1, 15))::BIGINT AS hv
-        | FROM documents)
-        |SELECT doc_id, hv % 32 AS shard,
-        | CAST(row_number() OVER (PARTITION BY hv % 32 ORDER BY hv, doc_id) AS BIGINT) AS pos
-        |FROM h""".stripMargin,
-
-    "q79_decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |dg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-         |  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-         |    i -> array_to_string(toks[i:i+2], ' '))) END) AS gram
-         | FROM t),
-         |bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
-         |hits AS (SELECT dg.doc_id, count(*) AS shared
-         | FROM dg JOIN bg ON bg.gram = dg.gram GROUP BY dg.doc_id)
-         |SELECT d.doc_id,
-         | coalesce(h.shared, 0) AS shared_ngrams,
-         | coalesce(h.shared, 0) >= 2 AS contaminated
-         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin,
-
-    "q80_mix_weights" ->
-      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok
-         | FROM documents),
-         |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
-         | FROM t GROUP BY source),
-         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps)
-         |SELECT source, n_docs, n_tokens,
-         | floor((n_tokens::DOUBLE / total_tokens) * 10000 + 0.5) / 10000 AS actual_share,
-         | (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE AS target_share,
-         | floor(((CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE
-         |   / (n_tokens::DOUBLE / total_tokens)) * 10000 + 0.5) / 10000 AS weight
-         |FROM ps CROSS JOIN tot""".stripMargin,
-
-    // q25's pair graph resolved to components by a monotone label
-    // closure: a label walks an edge only onto a larger node, so the
-    // closure is finite (UNION dedups states) and every node's min
-    // reachable label is its component min.
-    "q81_neardup_clusters" ->
-      s"""WITH RECURSIVE ${minhashLshCtes("doc_id % 4 = 0", 100000L)},
-         |jp AS (SELECT i.id_a, i.id_b
-         | FROM inter i
-         | JOIN sizes sa ON sa.id = i.id_a
-         | JOIN sizes sb ON sb.id = i.id_b
-         | WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7),
-         |symx AS (SELECT id_a AS a, id_b AS b FROM jp
-         |  UNION SELECT id_b, id_a FROM jp),
-         |nodesx AS (SELECT DISTINCT a AS id FROM symx),
-         |reach AS (
-         |  SELECT id, id AS lbl FROM nodesx
-         |  UNION
-         |  SELECT s2.b AS id, r.lbl FROM reach r JOIN symx s2 ON s2.a = r.id
-         |  WHERE r.lbl < s2.b)
-         |SELECT id, min(lbl) AS component FROM reach GROUP BY id""".stripMargin,
-
-    // q27's pair graph resolved to semantic clusters by the same monotone
-    // label closure as q81, left-joined back to the full corpus so
-    // singletons label (and keep) themselves.
-    "q82_semantic_dedup" ->
-      s"""WITH RECURSIVE $embeddingPairCtes,
-         |jp AS (SELECT id_a, id_b FROM r WHERE sim >= 0.99),
-         |symx AS (SELECT id_a AS a, id_b AS b FROM jp
-         |  UNION SELECT id_b, id_a FROM jp),
-         |nodesx AS (SELECT DISTINCT a AS id FROM symx),
-         |reach AS (
-         |  SELECT id, id AS lbl FROM nodesx
-         |  UNION
-         |  SELECT s2.b AS id, r2.lbl FROM reach r2 JOIN symx s2 ON s2.a = r2.id
-         |  WHERE r2.lbl < s2.b),
-         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
-         |SELECT c.id, coalesce(cp.component, c.id) AS cluster,
-         | (coalesce(cp.component, c.id) = c.id) AS keep
-         |FROM corpus c LEFT JOIN comp cp ON cp.id = c.id""".stripMargin,
-
-    // Line-frequency boilerplate: lines distinct per doc, counted per
-    // (source, line); lines in >= 50% (and >= 2) of a source's docs are
-    // stripped via an order-preserving list_filter.
-    "q83_boilerplate" ->
-      """WITH corpus AS (SELECT doc_id, source,
-        |  text || chr(10) || 'Footer: ' || source || chr(10) || 'Line ' || CAST(doc_id AS VARCHAR) AS text
-        | FROM documents),
-        |t AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM corpus),
-        |ln AS (SELECT source, unnest(list_distinct(ls)) AS line FROM t),
-        |dc AS (SELECT source, count(*) AS n_docs FROM corpus GROUP BY source),
-        |freq AS (SELECT source, line, count(*) AS n FROM ln GROUP BY source, line),
-        |bl AS (SELECT f.source, list(f.line) AS bl
-        | FROM freq f JOIN dc ON dc.source = f.source
-        | WHERE f.n >= 2 AND f.n >= dc.n_docs * 0.5 GROUP BY f.source),
-        |j AS (SELECT t.doc_id, t.ls, coalesce(bl.bl, CAST([] AS VARCHAR[])) AS bl
-        | FROM t LEFT JOIN bl ON bl.source = t.source),
-        |k AS (SELECT doc_id, ls, list_filter(ls, x -> NOT list_contains(bl, x)) AS kept FROM j)
-        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
-        | CAST(len(ls) - len(kept) AS INTEGER) AS removed_lines FROM k""".stripMargin,
-
-    // The same canon chain step by step: fragment strip, scheme/host
-    // lowercase, default-port drop, tracking-param filter + sort,
-    // non-root trailing-slash strip; scheme-less urls pass through.
-    "q84_url_canon" ->
-      """WITH u AS (SELECT doc_id,
-        |  CASE doc_id % 4
-        |   WHEN 0 THEN 'HTTP://WWW.Ex.TEST:80/p' || CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=2&a=1#sec'
-        |   WHEN 1 THEN 'https://Ex.Test:443/q' || CAST(doc_id AS VARCHAR) || '?fbclid=abc&id=' || CAST(doc_id AS VARCHAR)
-        |   WHEN 2 THEN 'https://cdn.ex.test:8443/r/' || CAST(doc_id AS VARCHAR) || '/'
-        |   ELSE 'files/data' || CAST(doc_id AS VARCHAR) END AS url
-        | FROM documents),
-        |p AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
-        |q AS (SELECT doc_id, url, nofrag,
-        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p),
-        |h AS (SELECT doc_id, url, nofrag, scheme, rest,
-        |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
-        |  regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '(.)/$', '\1') AS path,
-        |  list_sort(list_filter(string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
-        |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$'))) AS params
-        | FROM q),
-        |c AS (SELECT doc_id, url,
-        |  CASE WHEN scheme = '' THEN url ELSE
-        |   scheme || '://' ||
-        |   (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-        |     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-        |     ELSE hostport END) || path ||
-        |   (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
-        |  END AS canon_url
-        | FROM h)
-        |SELECT doc_id, url, canon_url,
-        | regexp_replace(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)', 1), '^www\.', '') AS host
-        |FROM c""".stripMargin,
-
-    // Unigram counts over the whole corpus, rejoined to each doc's token
-    // stream; DuckDB sums of INTEGER are HUGEINT, so cast back to BIGINT.
-    "q85_token_rarity" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
-         |pd AS (SELECT tok.doc_id,
-         |  count(*) AS n_tokens,
-         |  CAST(sum(CASE WHEN c.cnt <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tokens,
-         |  CAST(sum(c.cnt) AS BIGINT) AS sum_counts
-         | FROM tok JOIN counts c ON c.tok = tok.tok GROUP BY tok.doc_id)
-         |SELECT d.doc_id AS id,
-         | coalesce(pd.n_tokens, 0) AS n_tokens,
-         | coalesce(pd.rare_tokens, 0) AS rare_tokens,
-         | CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
-         |  ELSE floor((pd.rare_tokens::DOUBLE / pd.n_tokens) * 10000 + 0.5) / 10000 END AS rare_frac,
-         | CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
-         |  ELSE floor((pd.sum_counts::DOUBLE / pd.n_tokens) * 10000 + 0.5) / 10000 END AS mean_count
-         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
-
-    // The asymmetric (side-tagged) variant of the q25 LSH chain: corpus
-    // and batch share one signature derivation; the bucket guard counts
-    // CORPUS rows only; candidates join corpus x batch, never self.
-    "q86_minhash_probe" -> minhashProbeSql(
-      s"""  SELECT 'c' AS side, doc_id AS id, text FROM documents
-         |  UNION ALL
-         |  SELECT 'b', doc_id + 1000000, text || ' zzdup tail'
-         |  FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT 'b', doc_id + 2000000,
-         |    'totally novel content block number ' || CAST(doc_id AS VARCHAR) || ' unseen tokens qqq www eee'
-         |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
-
-    // Token-window chunking: stepped starts via generate_series (stop-
-    // inclusive both engines), tail suppression, 1-based inclusive list
-    // slices on both sides.
-    "q87_chunking" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
-         |nz AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
-         |st0 AS (SELECT doc_id, ts, n,
-         |  unnest(generate_series(0, CAST(n - 1 AS BIGINT), 48)) AS s FROM nz),
-         |st AS (SELECT * FROM st0 WHERE s = 0 OR s + 16 < n)
-         |SELECT doc_id AS id, s // 48 AS chunk_id,
-         | array_to_string(ts[s + 1 : s + 64], ' ') AS chunk_text,
-         | CAST(least(n - s, 64) AS INTEGER) AS n_tokens
-         |FROM st""".stripMargin,
-
-    "q88_json_extract" ->
-      """SELECT event_id, event_type,
-        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events
-        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin,
-
-    "q89_pivot" ->
-      """SELECT user_id,
-        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        |FROM events GROUP BY user_id""".stripMargin,
-
-    "q90_lag_delta" ->
-      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
-        | FROM events GROUP BY 1, 2)
-        |SELECT event_type, day, n,
-        | n - coalesce(lag(n, 1) OVER (PARTITION BY event_type ORDER BY day), 0) AS delta
-        |FROM d""".stripMargin,
-
-    "q91_fuzzy_match" ->
-      """WITH l AS (SELECT s_suppkey AS left_id, s_name AS left_name FROM supplier),
-        |r AS (SELECT s_suppkey + 100000 AS right_id,
-        |  substr(s_name, 1, 9) || 'X' || substr(s_name, 11) AS right_name FROM supplier)
-        |SELECT l.left_id, r.right_id, l.left_name, r.right_name,
-        | CAST(levenshtein(l.left_name, r.right_name) AS INTEGER) AS dist
-        |FROM l JOIN r
-        | ON right(l.left_name, 3) = right(r.right_name, 3)
-        | AND abs(len(l.left_name) - len(r.right_name)) <= 1
-        |WHERE levenshtein(l.left_name, r.right_name) <= 1""".stripMargin,
-
-    // Fixed-point cents sum: order-independent, so Spark's partition-order
-    // accumulation and DuckDB's sequential accumulation agree exactly.
-    "q92_cube" ->
-      """WITH e AS (SELECT event_type, user_id % 4 AS ub,
-        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
-        |SELECT event_type, ub, count(*) AS n,
-        | CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
-        |FROM e GROUP BY CUBE (event_type, ub)""".stripMargin,
-
-    // The wide CTE mirrors q89; the melt is a 5-way UNION ALL (portable
-    // across engines, same row multiset as Spark's stack()).
-    "q93_unpivot" ->
-      """WITH w AS (SELECT user_id,
-        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        | FROM events GROUP BY user_id)
-        |SELECT user_id, 'click' AS event_type, click AS n FROM w
-        |UNION ALL SELECT user_id, 'error', error FROM w
-        |UNION ALL SELECT user_id, 'purchase', purchase FROM w
-        |UNION ALL SELECT user_id, 'signup', signup FROM w
-        |UNION ALL SELECT user_id, 'view', view FROM w""".stripMargin,
-
-    "q94_full_outer" ->
-      """WITH ev AS (SELECT user_id AS id, count(*) AS n_events FROM events GROUP BY 1),
-        |ord AS (SELECT o_custkey AS id, count(*) AS n_orders FROM orders GROUP BY 1)
-        |SELECT coalesce(ev.id, ord.id) AS id,
-        | coalesce(ev.n_events, 0) AS n_events,
-        | coalesce(ord.n_orders, 0) AS n_orders
-        |FROM ev FULL OUTER JOIN ord ON ev.id = ord.id""".stripMargin,
-
-    // Integer moment sums (count/sum/sum-of-squares) then the identical
-    // double expression tree: mean = s1/n, var = s2/n - mean^2,
-    // z = (x - mean)/sqrt(var). DuckDB integer sums are HUGEINT -> cast.
-    "q95_zscore" ->
-      """WITH st AS (SELECT source, count(*) AS n,
-        |  CAST(sum(n_chars) AS BIGINT) AS s1,
-        |  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
-        | FROM documents GROUP BY source),
-        |mv AS (SELECT source, s1::DOUBLE / n AS mean,
-        |  s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) AS var FROM st)
-        |SELECT d.doc_id, d.source, d.n_chars,
-        | CASE WHEN mv.var <= 0 THEN 0.0
-        |   ELSE floor(((d.n_chars::DOUBLE - mv.mean) / sqrt(mv.var)) * 10000 + 0.5) / 10000
-        | END AS z,
-        | CASE WHEN mv.var <= 0 THEN FALSE
-        |   ELSE abs((d.n_chars::DOUBLE - mv.mean) / sqrt(mv.var)) > 2.0
-        | END AS outlier
-        |FROM documents d JOIN mv ON mv.source = d.source""".stripMargin,
-
-    // (quality DESC, doc_id ASC) row_number mirrors the TopK
-    // aggregator's deterministic tie order.
-    "q96_topk_per_group" ->
-      s"""WITH $qualityCtes,
-         |qs AS (SELECT doc_id, $qualityExprSql AS quality FROM m),
-         |j AS (SELECT d.source, qs.doc_id, qs.quality
-         | FROM qs JOIN documents d ON d.doc_id = qs.doc_id),
-         |r AS (SELECT source, doc_id, quality,
-         |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
-         | FROM j)
-         |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, quality
-         |FROM r WHERE rk <= 3""".stripMargin,
-
-    // Each event belongs to exactly two 1-hour windows on the 30-min
-    // grid: its own bucket and the one 30 min earlier. time_bucket's
-    // origin is midnight-aligned, same as Spark's epoch alignment.
-    "q97_hopping_window" ->
-      """WITH b AS (
-        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, event_type FROM events
-        |  UNION ALL
-        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type FROM events)
-        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, count(*) AS n
-        |FROM b GROUP BY 1, 2""".stripMargin,
-
-    "q98_funnel" ->
-      """WITH su AS (SELECT user_id, ts AS s_ts FROM events WHERE event_type = 'signup'),
-        |pu AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase')
-        |SELECT su.user_id, count(*) AS n_conversions
-        |FROM su JOIN pu ON pu.user_id = su.user_id
-        |WHERE p_ts > s_ts AND p_ts <= s_ts + INTERVAL '24 hours'
-        |GROUP BY su.user_id""".stripMargin,
-
-    "q99_cohort_retention" ->
-      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
-        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
-        | CAST(date_diff('day', c.cohort_day, ev.day) AS INTEGER) AS day_offset,
-        | count(DISTINCT ev.user_id) AS n_users
-        |FROM ev JOIN c ON c.user_id = ev.user_id
-        |GROUP BY 1, 2""".stripMargin,
-
-    // Division-then-multiply order mirrors the Spark expression exactly;
-    // p9 quantization keeps every aggregate an integer sum. range() is
-    // stop-exclusive, lists are 1-indexed, and the unnest lives in its
-    // own CTE (DuckDB can't combine unnest with formulas over it).
-    "q100_bigram_lm" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |idx AS (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i FROM t),
-         |bg AS (SELECT doc_id, toks[i-1] AS prev, toks[i] AS tok FROM idx),
-         |cbg AS (SELECT prev, tok, count(*) AS cbg FROM bg GROUP BY 1, 2),
-         |cprev AS (SELECT prev, count(*) AS cprev FROM bg GROUP BY 1),
-         |u AS (SELECT unnest(toks) AS tok FROM t),
-         |v AS (SELECT count(DISTINCT tok) AS v FROM u),
-         |scored AS (SELECT bg.doc_id,
-         |  CAST(floor((cbg.cbg + 1)::DOUBLE / (cprev.cprev + v.v) * 1000000000 + 0.5) AS BIGINT) AS p9
-         | FROM bg JOIN cbg ON cbg.prev = bg.prev AND cbg.tok = bg.tok
-         | JOIN cprev ON cprev.prev = bg.prev CROSS JOIN v),
-         |pd AS (SELECT doc_id, count(*) AS n_bigrams,
-         |  CAST(sum(p9) AS BIGINT) AS sum_p9 FROM scored GROUP BY 1)
-         |SELECT d.doc_id AS id,
-         | coalesce(pd.n_bigrams, 0) AS n_bigrams,
-         | coalesce(pd.sum_p9, 0) AS sum_p9,
-         | CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0.0
-         |  ELSE floor((pd.sum_p9::DOUBLE / pd.n_bigrams) * 100 + 0.5) / 100 END AS mean_p9
-         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
-
-    // Morton interleave as a sum of shift-mask terms; list_sum over
-    // BIGINT promotes to HUGEINT -> cast back.
-    "q101_zorder" ->
-      """WITH b AS (SELECT o_orderkey, o_custkey % 1024 AS xb,
-        |  o_orderkey % 1024 AS yb FROM orders)
-        |SELECT o_orderkey, xb, yb,
-        | CAST(list_sum(list_transform(range(0, 10), i ->
-        |   ((xb & (1::BIGINT << i)) << i) + ((yb & (1::BIGINT << i)) << (i + 1))))
-        |  AS BIGINT) AS zval
-        |FROM b""".stripMargin,
-
-    // The weight CTE is q80's formula verbatim (rounded weight), then
-    // vt divides by the ROUNDED weight — mirroring the Spark pipeline
-    // which joins mixWeights' emitted column.
-    "q102_curriculum" ->
-      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok
-         | FROM documents),
-         |ps AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens
-         | FROM t GROUP BY source),
-         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps),
-         |w AS (SELECT source,
-         |  floor(((CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE
-         |    / (n_tokens::DOUBLE / total_tokens)) * 10000 + 0.5) / 10000 AS weight
-         | FROM ps CROSS JOIN tot),
-         |idx AS (SELECT doc_id, source,
-         |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS src_idx
-         | FROM documents)
-         |SELECT i.doc_id, i.source, i.src_idx,
-         | floor((i.src_idx::DOUBLE / w.weight) * 10000 + 0.5) / 10000 AS vt
-         |FROM idx i JOIN w ON w.source = i.source""".stripMargin,
-
-    // Rebuilds the identical md5-hashed sketch grid, then probes it:
-    // depth 4 x width 1024, estimate = min over rows. The unnest of the
-    // hash-row index lives in its own CTE (DuckDB lateral rule).
-    "q103_cms_counts" ->
-      """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
-        |hb AS (SELECT e.user_id, ks.k,
-        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
-        | FROM events e CROSS JOIN ks),
-        |cms AS (SELECT k, bucket, count(*) AS n FROM hb GROUP BY 1, 2),
-        |kh AS (SELECT DISTINCT user_id, k, bucket FROM hb),
-        |est AS (SELECT kh.user_id, min(coalesce(cms.n, 0)) AS cms_n
-        | FROM kh LEFT JOIN cms ON cms.k = kh.k AND cms.bucket = kh.bucket
-        | GROUP BY 1),
-        |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
-        |SELECT x.user_id, x.exact_n, est.cms_n
-        |FROM exact x JOIN est ON est.user_id = x.user_id""".stripMargin,
-
-    // Identical HLL state: bucket = low 6 hash bits, rho from bin()
-    // (renders without leading zeros in both engines), registers = max,
-    // harmonic sum as integer 2^(55-r) units; the alpha*m^2*2^55
-    // constant is the 17-digit literal that round-trips to the same
-    // double both sides.
-    "q104_hll_distinct" ->
-      """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-        | FROM documents),
-        |br AS (SELECT h & 63 AS bucket,
-        |  CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
-        | FROM h),
-        |reg AS (SELECT bucket, max(rho) AS r FROM br GROUP BY 1),
-        |agg AS (SELECT count(*) AS n_reg,
-        |  CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT) AS s_nonempty FROM reg),
-        |s AS (SELECT n_reg,
-        |  s_nonempty + (64 - n_reg) * (1::BIGINT << 55) AS s_scaled FROM agg)
-        |SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_exact,
-        | n_reg, s_scaled,
-        | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
-        |FROM s""".stripMargin,
-
-    // Three unrolled synchronous iterations, all-integer arithmetic
-    // (// is floor division; operands are non-negative, matching
-    // Spark's div). Dangling mass leaks identically in both engines.
-    "q105_pagerank" ->
-      """WITH e0 AS (
-        |  SELECT doc_id AS src, (doc_id * 31 + 7) % 500 AS dst FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id * 17 + 3) % 500 FROM documents),
-        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
-        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-        |n AS (SELECT count(*) AS n_nodes FROM nodes),
-        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-        |r0 AS (SELECT id, 1000000000000 // n_nodes AS r FROM nodes CROSS JOIN n),
-        |c1 AS (SELECT e.dst AS id, CAST(sum(((r0.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
-        | FROM e JOIN r0 ON r0.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
-        |r1 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c1.c, 0) AS r
-        | FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.id = nodes.id),
-        |c2 AS (SELECT e.dst AS id, CAST(sum(((r1.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
-        | FROM e JOIN r1 ON r1.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
-        |r2 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c2.c, 0) AS r
-        | FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.id = nodes.id),
-        |c3 AS (SELECT e.dst AS id, CAST(sum(((r2.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
-        | FROM e JOIN r2 ON r2.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
-        |r3 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c3.c, 0) AS r
-        | FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.id = nodes.id)
-        |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin,
-
-    // quantile_disc == approx_percentile at rank error < 1 (the q57
-    // bound); everything downstream is integer arithmetic.
-    "q106_mad_outliers" ->
-      """WITH m AS (SELECT source, quantile_disc(n_chars, 0.5) AS med
-        | FROM documents GROUP BY 1),
-        |dv AS (SELECT d.doc_id, d.source, d.n_chars,
-        |  abs(d.n_chars - m.med) AS dev
-        | FROM documents d JOIN m ON m.source = d.source),
-        |md AS (SELECT source, quantile_disc(dev, 0.5) AS mad FROM dv GROUP BY 1)
-        |SELECT dv.doc_id, dv.source, dv.n_chars, dv.dev, md.mad,
-        | dv.dev > 3 * md.mad AS outlier
-        |FROM dv JOIN md ON md.source = dv.source""".stripMargin,
-
-    // Same vocabulary (count desc, token asc, LIMIT 200 — deterministic
-    // tie-break both sides) and the same md5 weight formula.
-    "q107_classifier_score" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |tok AS (SELECT doc_id AS id, unnest(toks) AS tok FROM t),
-         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
-         |vocab AS (SELECT tok,
-         |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS wt
-         | FROM counts ORDER BY cnt DESC, tok LIMIT 200),
-         |sc AS (SELECT tok.id, count(*) AS n_scored,
-         |  CAST(sum(v.wt) AS BIGINT) AS logit
-         | FROM tok JOIN vocab v ON v.tok = tok.tok GROUP BY 1)
-         |SELECT d.doc_id AS id,
-         | coalesce(sc.n_scored, 0) AS n_scored,
-         | coalesce(sc.logit, 0) AS logit,
-         | coalesce(sc.logit, 0) > 0 AS positive
-         |FROM documents d LEFT JOIN sc ON sc.id = d.doc_id""".stripMargin,
-
-    // q28's scoring chain with the corpus pre-filtered.
-    "q108_filtered_ann" ->
-      s"""WITH ${cosineTopKCtes("", "vec_id >= 100")}
-        |SELECT qid AS query_id, nid AS neighbor_id, sim, CAST(rk AS BIGINT) AS rank
-        |FROM w WHERE rk <= 5""".stripMargin,
-
-    "q109_mv_rollup" ->
-      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        |state AS (SELECT event_type, day, count(*) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-        |  min(cents) AS min_cents, max(cents) AS max_cents
-        | FROM ev GROUP BY 1, 2)
-        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
-        | CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
-        | min(min_cents) AS min_cents, max(max_cents) AS max_cents
-        |FROM state GROUP BY 1""".stripMargin,
-
-    "q110_attribution" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id
-        | FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT p.event_id, p.user_id, c.click_id
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
-
-    // Same survivor policy: rank within each fingerprint group by
-    // (quality desc, id asc); rk = 1 is the canonical member.
-    "q111_canonical" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
-         | UNION ALL SELECT doc_id + 1000000, text FROM documents),
-         |${qualityCtesFrom("corpus")},
-         |qs AS (SELECT doc_id, $qualityExprSql AS quality FROM m),
-         |f AS (SELECT c.doc_id, md5(lower($cleanSql)) AS fp, qs.quality
-         | FROM corpus c JOIN qs ON qs.doc_id = c.doc_id),
-         |r AS (SELECT doc_id, fp,
-         |  row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id) AS rk,
-         |  count(*) OVER (PARTITION BY fp) AS group_n FROM f),
-         |s AS (SELECT fp, doc_id AS canonical_id FROM r WHERE rk = 1)
-         |SELECT r.doc_id, s.canonical_id, CAST(r.group_n AS BIGINT) AS group_n,
-         | r.doc_id = s.canonical_id AS keep
-         |FROM r JOIN s ON s.fp = r.fp""".stripMargin,
-
-    // The q86 probe chain over the portable-split sides: 'c' = train
-    // (bucket < 80), 'b' = test (bucket >= 90) plus planted twins.
-    "q112_split_leakage" -> minhashProbeSql(
-      """  SELECT 'c' AS side, doc_id AS id, text FROM documents
-        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
-        |  UNION ALL
-        |  SELECT 'b', doc_id, text FROM documents
-        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 90
-        |  UNION ALL
-        |  SELECT 'b', doc_id + 1000000, text || ' zzdup tail' FROM documents
-        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
-        |   AND doc_id % 25 = 0""".stripMargin),
-
-    // Exact chain (q28, CTEs prefixed e*) + IVF chain (q30 verbatim) +
-    // the per-query hit count. Both chains rank by the ROUNDED sim
-    // (matching the Spark operators) so the rank-5 cut agrees exactly.
-    "q113_ann_recall" ->
-      s"""WITH ${cosineTopKCtes("e", "TRUE")},
-        |exact AS (SELECT qid, nid FROM ew WHERE rk <= 5),
-        |$ivfTopKCtes,
-        |approx AS (SELECT qid, nid FROM w WHERE rk <= 5),
-        |hits AS (SELECT e.qid, count(*) AS hits
-        | FROM exact e JOIN approx x ON x.qid = e.qid AND x.nid = e.nid GROUP BY 1)
-        |SELECT eq.qid AS query_id, coalesce(h.hits, 0) AS hits,
-        | floor((coalesce(h.hits, 0)::DOUBLE / 5) * 10000 + 0.5) / 10000 AS recall_at_5
-        |FROM eq LEFT JOIN hits h ON h.qid = eq.qid""".stripMargin,
-
-    // Identical (mn, sc) scalars, identical per-element quantization
-    // ((x - mn) * sc + 0.5 — same op order), integer dot products.
-    "q114_quantized_ann" ->
-      """WITH st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
-        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
-        |st AS (SELECT mn,
-        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
-        |cq AS (SELECT vec_id AS neighbor_id,
-        |  list_transform(embedding, x ->
-        |    CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
-        | FROM embeddings CROSS JOIN st),
-        |qq AS (SELECT vec_id AS qid,
-        |  list_transform(embedding, x ->
-        |    CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS qv
-        | FROM embeddings CROSS JOIN st WHERE vec_id < 8),
-        |sdp AS (SELECT qid, neighbor_id,
-        |  CAST(list_sum(list_transform(list_zip(qv, cv),
-        |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS dp
-        | FROM cq CROSS JOIN qq WHERE qid <> neighbor_id),
-        |w AS (SELECT qid, neighbor_id, dp,
-        |  row_number() OVER (PARTITION BY qid ORDER BY dp DESC, neighbor_id) AS rk FROM sdp)
-        |SELECT qid AS query_id, neighbor_id, dp, CAST(rk AS BIGINT) AS rank
-        |FROM w WHERE rk <= 5""".stripMargin,
-
-    // Identical per-day registers (q104 chain grouped by day), the same
-    // 3-day contribution explode, register max, integer harmonic sum.
-    "q115_windowed_hll" ->
-      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
-        |h AS (SELECT day,
-        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM ev),
-        |br AS (SELECT day, h & 63 AS bucket,
-        |  CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
-        | FROM h),
-        |dreg AS (SELECT day, bucket, max(rho) AS r FROM br GROUP BY 1, 2),
-        |offs AS (SELECT unnest([0, 1, 2]) AS o),
-        |contrib AS (SELECT day + o AS tday, bucket, r FROM dreg CROSS JOIN offs),
-        |days AS (SELECT DISTINCT day FROM ev),
-        |wreg AS (SELECT c.tday AS day, c.bucket, max(c.r) AS r
-        | FROM contrib c JOIN days dy ON dy.day = c.tday GROUP BY 1, 2),
-        |agg AS (SELECT day, count(*) AS n_reg,
-        |  CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT) AS s_ne
-        | FROM wreg GROUP BY 1),
-        |s AS (SELECT day, n_reg,
-        |  s_ne + (64 - n_reg) * (1::BIGINT << 55) AS s_scaled FROM agg)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, n_reg, s_scaled,
-        | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
-        |FROM s""".stripMargin,
-
-    // One UNION ALL arm per profiled column; long/string columns only,
-    // so CAST AS VARCHAR renders identically in both engines.
-    "q116_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_orderpriority")
-      .map { c =>
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           | count(*) - count($c) AS n_null,
-           | count(DISTINCT $c) AS n_distinct,
-           | min(CAST($c AS VARCHAR)) AS min_s,
-           | max(CAST($c AS VARCHAR)) AS max_s FROM orders""".stripMargin
-      }.mkString("\nUNION ALL\n"),
-
-    // Same dirty corpus (planted pk/fk/domain violations), one arm per
-    // check.
-    "q117_constraints" ->
-      """WITH o AS (SELECT o_orderkey, o_custkey,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |dirty AS (SELECT * FROM o
-        | UNION ALL
-        | SELECT o_orderkey, -o_custkey, -cents FROM o WHERE o_orderkey % 997 = 0),
-        |pk AS (SELECT count(*) AS n FROM (
-        |  SELECT o_orderkey FROM dirty GROUP BY 1 HAVING count(*) > 1)),
-        |fk AS (SELECT count(*) AS n FROM dirty
-        | WHERE o_custkey IS NOT NULL
-        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
-        |nn AS (SELECT count(*) AS n FROM dirty WHERE o_custkey IS NULL),
-        |dom AS (SELECT count(*) AS n FROM dirty WHERE cents <= 0)
-        |SELECT 'orders_pk_unique' AS check_name, n AS n_violations, n = 0 AS passed FROM pk
-        |UNION ALL
-        |SELECT 'orders_fk_customer', n, n = 0 FROM fk
-        |UNION ALL
-        |SELECT 'orders_custkey_not_null', n, n = 0 FROM nn
-        |UNION ALL
-        |SELECT 'orders_price_positive', n, n = 0 FROM dom""".stripMargin,
-
-    "q118_snapshot_diff" ->
-      """WITH o AS (SELECT o_orderkey AS k,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |a AS (SELECT k, cents AS old_v FROM o WHERE k % 11 <> 3),
-        |b AS (SELECT k, CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS new_v
-        | FROM o WHERE k % 13 <> 5)
-        |SELECT coalesce(a.k, b.k) AS o_orderkey,
-        | CASE WHEN a.k IS NULL THEN 'added'
-        |      WHEN b.k IS NULL THEN 'removed'
-        |      ELSE 'changed' END AS status,
-        | a.old_v, b.new_v
-        |FROM a FULL OUTER JOIN b ON b.k = a.k
-        |WHERE a.k IS NULL OR b.k IS NULL OR a.old_v <> b.new_v""".stripMargin,
-
-    // The naive global window the Spark side deliberately avoids —
-    // fine in DuckDB at oracle SF, a scale-killer in a cluster.
-    "q119_ntile_bins" ->
-      """SELECT doc_id, n_chars,
-        | CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
-        | CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin
-        |FROM documents""".stripMargin,
-
-    // Same collapse-then-version window chain; (ts, event_id) totally
-    // orders each user's history on both sides.
-    "q120_scd2" ->
-      """WITH o AS (SELECT user_id, event_type, ts, event_id,
-        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        | FROM events),
-        |c AS (SELECT user_id, event_type, ts, event_id FROM o
-        | WHERE prev IS NULL OR prev <> event_type),
-        |v AS (SELECT user_id, event_type, ts,
-        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
-        | FROM c)
-        |SELECT user_id, event_type AS attr,
-        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-        | strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
-        | CAST(version AS BIGINT) AS version,
-        | valid_to IS NULL AS is_current
-        |FROM v""".stripMargin,
-
-    // Same I/U/D batch, applied via FULL OUTER + coalesce.
-    "q121_merge_upsert" ->
-      """WITH o AS (SELECT o_orderkey AS k,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |t AS (SELECT k, cents FROM o WHERE k % 5 <> 4),
-        |b AS (SELECT k, cents AS v, 'I' AS op FROM o WHERE k % 5 = 4
-        | UNION ALL SELECT k, cents + 7, 'U' FROM o WHERE k % 5 = 0
-        | UNION ALL SELECT k, NULL, 'D' FROM o WHERE k % 5 = 1)
-        |SELECT coalesce(t.k, b.k) AS o_orderkey,
-        | coalesce(b.v, t.cents) AS cents
-        |FROM t FULL OUTER JOIN b ON b.k = t.k
-        |WHERE b.op IS NULL OR b.op <> 'D'""".stripMargin,
-
-    // Independent formulation: canonical a<b edges, triangles counted
-    // by the ordered three-way self-join — no orientation trick, so a
-    // wrong orientation on the Spark side cannot self-confirm.
-    "q122_triangles" ->
-      """WITH e0 AS (SELECT doc_id AS src, (doc_id + 1) % 500 AS dst FROM documents
-        | UNION ALL
-        | SELECT doc_id, (doc_id + 2) % 500 FROM documents
-        | UNION ALL
-        | SELECT doc_id, (doc_id * 31 + 7) % 500 FROM documents),
-        |c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        | FROM e0 WHERE src <> dst),
-        |nodes AS (SELECT a AS id FROM c UNION SELECT b FROM c),
-        |tri AS (SELECT count(*) AS t FROM c e1
-        |  JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
-        |  JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b)
-        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
-        | (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_edges,
-        | (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
-
-    // Same planted boilerplate, same 5-gram shingling as the minhash
-    // chain (1-based inclusive slices), integer basis points.
-    "q123_ngram_contam" ->
-      s"""WITH corpus AS (SELECT doc_id AS id,
-         |  CASE WHEN doc_id % 4 = 0
-         |   THEN text || ' subscribe to our newsletter for daily updates today'
-         |   ELSE text END AS text
-         | FROM documents),
-         |t AS (SELECT id, $toksSql AS toks FROM corpus),
-         |shl AS (SELECT id, CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
-         |  ELSE list_transform(range(1, len(toks) - 3),
-         |    i -> array_to_string(toks[i:i+4], ' ')) END AS shs FROM t),
-         |sh AS (SELECT DISTINCT id, unnest(shs) AS s FROM shl),
-         |dfq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 5),
-         |tot AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY 1),
-         |nf AS (SELECT sh.id, count(*) AS n_frequent FROM sh
-         | JOIN dfq USING (s) GROUP BY 1)
-         |SELECT c.id,
-         | CAST(coalesce(tot.n_shingles, 0) AS BIGINT) AS n_shingles,
-         | CAST(coalesce(nf.n_frequent, 0) AS BIGINT) AS n_frequent,
-         | CAST(CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0
-         |  ELSE (coalesce(nf.n_frequent, 0) * 10000) // tot.n_shingles
-         |  END AS BIGINT) AS frequent_bp,
-         | CAST(CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0
-         |  ELSE (coalesce(nf.n_frequent, 0) * 10000) // tot.n_shingles
-         |  END AS BIGINT) >= 5000 AS flagged
-         |FROM corpus c
-         |LEFT JOIN tot ON tot.id = c.id
-         |LEFT JOIN nf ON nf.id = c.id""".stripMargin,
-
-    // The EWMA recurrence unrolled as a recursive CTE over per-user row
-    // numbers; (ts, event_id) is the same total order, // the same
-    // floor division (operands non-negative).
-    "q124_ewma_spikes" ->
-      """WITH RECURSIVE e AS (SELECT user_id, event_id,
-        |  CAST(round(value * 100) AS BIGINT) AS cents,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        | FROM events),
-        |r AS (
-        | SELECT user_id, event_id, cents, rn, cents AS ewma FROM e WHERE rn = 1
-        | UNION ALL
-        | SELECT e.user_id, e.event_id, e.cents, e.rn, (r.ewma * 7 + e.cents) // 8
-        | FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1),
-        |p AS (SELECT user_id, event_id, cents, ewma, rn,
-        |  lag(ewma) OVER (PARTITION BY user_id ORDER BY rn) AS pewma FROM r)
-        |SELECT event_id, user_id, cents,
-        | CAST(CASE WHEN rn = 1 THEN cents ELSE pewma END AS BIGINT) AS ewma_prev,
-        | CAST(ewma AS BIGINT) AS ewma,
-        | CASE WHEN rn = 1 THEN FALSE
-        |  ELSE abs(cents - pewma) > 30000 END AS spike
-        |FROM p""".stripMargin,
-
-    // Identical int8 affine (q114), identical sampled codebook (entry
-    // (s, c) = subspace-s slice of vector s*16+c), argmin squared-L2
-    // with (dist, c) tie-break, ADC = sum of integer table lookups.
-    "q125_pq_ann" ->
-      """WITH st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
-        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
-        |st AS (SELECT mn,
-        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
-        |q AS (SELECT vec_id AS id, list_transform(embedding, x ->
-        |  CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
-        | FROM embeddings CROSS JOIN st),
-        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
-        |sub AS (SELECT q.id, ss.s, q.cv[ss.s*8+1 : ss.s*8+8] AS sv
-        | FROM q CROSS JOIN ss),
-        |cb AS (SELECT s, id % 16 AS c, sv AS cvec FROM sub
-        | WHERE id < 128 AND s = id // 16),
-        |enc AS (SELECT sub.id, sub.s, cb.c,
-        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
-        |    p -> CAST(p[1] - p[2] AS BIGINT) * CAST(p[1] - p[2] AS BIGINT)))
-        |   AS BIGINT) AS dist
-        | FROM sub JOIN cb ON cb.s = sub.s),
-        |codes AS (SELECT id, s, c FROM (
-        |  SELECT id, s, c,
-        |   row_number() OVER (PARTITION BY id, s ORDER BY dist, c) AS rk FROM enc)
-        | WHERE rk = 1),
-        |dt AS (SELECT sub.id AS qid, sub.s, cb.c,
-        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
-        |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS dot
-        | FROM sub JOIN cb ON cb.s = sub.s WHERE sub.id < 8),
-        |adc AS (SELECT dt.qid, codes.id AS nid, CAST(sum(dt.dot) AS BIGINT) AS adp
-        | FROM codes JOIN dt ON dt.s = codes.s AND dt.c = codes.c
-        | WHERE dt.qid <> codes.id GROUP BY 1, 2),
-        |w AS (SELECT qid, nid, adp,
-        |  row_number() OVER (PARTITION BY qid ORDER BY adp DESC, nid) AS rk FROM adc)
-        |SELECT qid AS query_id, nid AS neighbor_id, adp, CAST(rk AS BIGINT) AS rank
-        |FROM w WHERE rk <= 5""".stripMargin,
-
-    // Same md5 ordering, same (hash, id) tie-break.
-    "q126_capped_sample" ->
-      """WITH h AS (SELECT doc_id, source,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
-        | FROM documents),
-        |r AS (SELECT doc_id, source,
-        |  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
-        | FROM h)
-        |SELECT doc_id, source, CAST(rk AS BIGINT) AS pick_rank
-        |FROM r WHERE rk <= 20""".stripMargin,
-
-    // The q56 cum/total cell chain at decimals=0, then clip.
-    "q128_winsorize" ->
-      """WITH c AS (SELECT source, floor(n_chars * 1.0) / 1.0 AS qval,
-        |  count(*) AS cnt FROM documents GROUP BY 1, 2),
-        |w AS (SELECT source, qval,
-        |  sum(cnt) OVER (PARTITION BY source ORDER BY qval
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  sum(cnt) OVER (PARTITION BY source) AS total FROM c),
-        |q AS (SELECT source,
-        |  min(CASE WHEN cum >= ceil(total * 0.05) THEN qval END) AS p05,
-        |  min(CASE WHEN cum >= ceil(total * 0.95) THEN qval END) AS p95
-        | FROM w GROUP BY source)
-        |SELECT d.doc_id, d.source, d.n_chars, q.p05, q.p95,
-        | CAST(least(greatest(CAST(d.n_chars AS DOUBLE), q.p05), q.p95) AS BIGINT) AS clipped
-        |FROM documents d JOIN q ON q.source = d.source""".stripMargin,
-
-    // Same integer moments, same closed-form rational slope.
-    "q130_trend" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |  count(*) AS y FROM events GROUP BY 1, 2),
-        |m AS (SELECT event_type,
-        |  CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x,
-        |  CAST(y AS BIGINT) AS y FROM daily),
-        |a AS (SELECT event_type, count(*) AS n,
-        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |  CAST(sum(x * y) AS BIGINT) AS sxy,
-        |  CAST(sum(x * x) AS BIGINT) AS sxx FROM m GROUP BY 1)
-        |SELECT event_type, n,
-        | n * sxy - sx * sy AS slope_num,
-        | n * sxx - sx * sx AS slope_den,
-        | n * sxy - sx * sy > 0 AS rising
-        |FROM a""".stripMargin,
-
-    // Same lowercase tokenization; gaps rebuilt with lag() instead of
-    // the list transform — an independent formulation of the same
-    // encoding.
-    "q129_inverted_index" ->
-      s"""WITH t AS (SELECT doc_id AS id,
-         |  CASE WHEN lower($cleanSql) = '' THEN CAST([] AS VARCHAR[])
-         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
-         | FROM documents),
-         |tok AS (SELECT DISTINCT id, unnest(toks) AS term FROM t),
-         |w AS (SELECT term, id,
-         |  id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), 0) AS gap
-         | FROM tok)
-         |SELECT term, CAST(count(*) AS BIGINT) AS df,
-         | string_agg(CAST(gap AS VARCHAR), ',' ORDER BY id) AS gaps_csv
-         |FROM w GROUP BY term""".stripMargin,
-
-    // Brute-force exact Jaccard over ALL shared-shingle pairs — no
-    // prefix logic, so the oracle independently certifies the prefix
-    // filter's no-false-negative guarantee on this corpus.
-    "q131_prefix_join" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id AS id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' FROM documents),
-         |t AS (SELECT id, $toksSql AS toks FROM corpus),
-         |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-         |  ELSE list_transform(range(1, len(toks) - 1),
-         |    i -> array_to_string(toks[i:i+2], ' ')) END AS shs FROM t),
-         |sh AS (SELECT DISTINCT id,
-         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
-         | FROM (SELECT id, unnest(shs) AS s FROM shl)),
-         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS m
-         | FROM sh a JOIN sh b ON b.h = a.h AND b.id > a.id GROUP BY 1, 2)
-         |SELECT i.id_a, i.id_b,
-         | floor((CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
-         |FROM inter i
-         |JOIN sizes sa ON sa.id = i.id_a
-         |JOIN sizes sb ON sb.id = i.id_b
-         |WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7""".stripMargin,
-
-    // The q30 IVF pruning chain (a = assignments, p = probes) composed
-    // with the q125 PQ chain (codes, dt): ADC scores only probed pairs.
-    "q127_ivfpq_ann" ->
-      s"""WITH $ivfTopKCtes,
-        |st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
-        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
-        |st AS (SELECT mn,
-        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
-        |q AS (SELECT vec_id AS id, list_transform(embedding, x ->
-        |  CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
-        | FROM embeddings CROSS JOIN st),
-        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
-        |sub AS (SELECT q.id, ss.s, q.cv[ss.s*8+1 : ss.s*8+8] AS sv
-        | FROM q CROSS JOIN ss),
-        |cb AS (SELECT s, id % 16 AS c, sv AS cvec FROM sub
-        | WHERE id < 128 AND s = id // 16),
-        |enc AS (SELECT sub.id, sub.s, cb.c,
-        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
-        |    x -> CAST(x[1] - x[2] AS BIGINT) * CAST(x[1] - x[2] AS BIGINT)))
-        |   AS BIGINT) AS dist
-        | FROM sub JOIN cb ON cb.s = sub.s),
-        |codes AS (SELECT id, s, c FROM (
-        |  SELECT id, s, c,
-        |   row_number() OVER (PARTITION BY id, s ORDER BY dist, c) AS rk FROM enc)
-        | WHERE rk = 1),
-        |dt AS (SELECT sub.id AS qid, sub.s, cb.c,
-        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
-        |    x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS BIGINT) AS dot
-        | FROM sub JOIN cb ON cb.s = sub.s WHERE sub.id < 8),
-        |pairs AS (SELECT p.qid, a.nid FROM a JOIN p ON a.cid = p.cid
-        | WHERE p.qid <> a.nid),
-        |adc AS (SELECT pr.qid, pr.nid, CAST(sum(dt.dot) AS BIGINT) AS adp
-        | FROM pairs pr
-        | JOIN codes ON codes.id = pr.nid
-        | JOIN dt ON dt.qid = pr.qid AND dt.s = codes.s AND dt.c = codes.c
-        | GROUP BY 1, 2),
-        |w2 AS (SELECT qid, nid, adp,
-        |  row_number() OVER (PARTITION BY qid ORDER BY adp DESC, nid) AS rk FROM adc)
-        |SELECT qid AS query_id, nid AS neighbor_id, adp, CAST(rk AS BIGINT) AS rank
-        |FROM w2 WHERE rk <= 5""".stripMargin,
-
-    // (n desc, steps) is a unique total order, so the LIMIT is stable.
-    "q132_event_paths" ->
-      """WITH o AS (SELECT user_id, event_type,
-        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
-        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
-        | FROM events)
-        |SELECT event_type AS step1, step2, step3, count(*) AS n
-        |FROM o WHERE step2 IS NOT NULL AND step3 IS NOT NULL
-        |GROUP BY 1, 2, 3
-        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
-
-    "q133_markov" ->
-      """WITH o AS (SELECT user_id, event_type,
-        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
-        | FROM events),
-        |p AS (SELECT event_type AS from_state, next AS to_state, count(*) AS n
-        | FROM o WHERE next IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT from_state, to_state, n,
-        |  sum(n) OVER (PARTITION BY from_state) AS total FROM p)
-        |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
-        | CAST((n * 10000) // total AS BIGINT) AS prob_bp
-        |FROM t""".stripMargin,
-
-    "q134_rolling_7d" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |  count(*) AS n FROM events GROUP BY 1, 2),
-        |m AS (SELECT event_type, day,
-        |  CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x,
-        |  CAST(n AS BIGINT) AS n FROM daily)
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
-        | CAST(sum(n) OVER (PARTITION BY event_type ORDER BY x
-        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
-        |FROM m""".stripMargin,
-
-    // The q25 signature chain restricted to the planted pairs; the
-    // estimate (matching positions / 64) audited against exact Jaccard.
-    "q135_minhash_eval" ->
-      s"""WITH base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
-         |corpus AS (SELECT id, text FROM base
-         | UNION ALL SELECT id + 1000, text || ' zzdup tail' FROM base),
-         |t AS (SELECT id, $toksSql AS toks FROM corpus),
-         |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-         |  ELSE list_transform(range(1, len(toks) - 1),
-         |    i -> array_to_string(toks[i:i+2], ' ')) END AS shs FROM t),
-         |sh AS (SELECT DISTINCT id,
-         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
-         | FROM (SELECT id, unnest(shs) AS s FROM shl)),
-         |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
-         |perms AS (SELECT i,
-         |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
-         |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
-         | FROM pidx),
-         |sig AS (SELECT sh.id, perms.i,
-         |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
-         | FROM sh, perms GROUP BY 1, 2),
-         |mm AS (SELECT a.id AS id_a,
-         |  CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-         | FROM sig a JOIN sig b ON b.i = a.i AND b.id = a.id + 1000
-         | WHERE a.id < 1000 GROUP BY 1),
-         |inter AS (SELECT a.id AS id_a, CAST(count(*) AS BIGINT) AS m
-         | FROM sh a JOIN sh b ON b.h = a.h AND b.id = a.id + 1000
-         | WHERE a.id < 1000 GROUP BY 1),
-         |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1)
-         |SELECT mm.id_a, mm.id_a + 1000 AS id_b, mm.n_match,
-         | (mm.n_match * 10000) // 64 AS est_bp,
-         | (coalesce(i.m, 0) * 10000) // (sa.n + sb.n - coalesce(i.m, 0)) AS exact_bp,
-         | abs((mm.n_match * 10000) // 64
-         |   - (coalesce(i.m, 0) * 10000) // (sa.n + sb.n - coalesce(i.m, 0))) AS err_bp
-         |FROM mm
-         |LEFT JOIN inter i ON i.id_a = mm.id_a
-         |JOIN sizes sa ON sa.id = mm.id_a
-         |JOIN sizes sb ON sb.id = mm.id_a + 1000""".stripMargin,
-
-    // Same blocking + distance (q91), then the q81 monotone label
-    // closure; singletons self-label through the left join.
-    "q136_entity_resolution" ->
-      """WITH RECURSIVE sup AS (
-        |  SELECT s_suppkey AS id, s_name AS name FROM supplier
-        |  UNION ALL
-        |  SELECT s_suppkey + 100000, substr(s_name, 1, 9) || 'X' || substr(s_name, 11)
-        |  FROM supplier),
-        |jp AS (SELECT a.id AS id_a, b.id AS id_b FROM sup a JOIN sup b
-        |  ON right(a.name, 3) = right(b.name, 3)
-        |  AND abs(len(a.name) - len(b.name)) <= 1
-        |  AND a.id < b.id
-        | WHERE levenshtein(a.name, b.name) <= 1),
-        |symx AS (SELECT id_a AS a, id_b AS b FROM jp
-        |  UNION SELECT id_b, id_a FROM jp),
-        |nodesx AS (SELECT DISTINCT a AS id FROM symx),
-        |reach AS (
-        |  SELECT id, id AS lbl FROM nodesx
-        |  UNION
-        |  SELECT s2.b AS id, r.lbl FROM reach r JOIN symx s2 ON s2.a = r.id
-        |  WHERE r.lbl < s2.b),
-        |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
-        |SELECT s.id, coalesce(c.component, s.id) AS entity,
-        | s.id = coalesce(c.component, s.id) AS canonical
-        |FROM sup s LEFT JOIN comp c ON c.id = s.id""".stripMargin,
-
-    // Direct build over the FULL corpus — hash equality with the
-    // Spark-side shard merge certifies merge == direct.
-    "q137_index_merge" ->
-      s"""WITH t AS (SELECT doc_id AS id,
-         |  CASE WHEN lower($cleanSql) = '' THEN CAST([] AS VARCHAR[])
-         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
-         | FROM documents),
-         |tok AS (SELECT DISTINCT id, unnest(toks) AS term FROM t),
-         |w AS (SELECT term, id,
-         |  id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), 0) AS gap
-         | FROM tok)
-         |SELECT term, CAST(count(*) AS BIGINT) AS df,
-         | string_agg(CAST(gap AS VARCHAR), ',' ORDER BY id) AS gaps_csv
-         |FROM w GROUP BY term""".stripMargin,
-
-    "q138_event_dedup" ->
-      """WITH r AS (SELECT event_id, user_id, event_type, ts,
-        |  row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
-        |    ORDER BY ts, event_id) AS rn
-        | FROM events)
-        |SELECT event_id, user_id, event_type,
-        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
-        |FROM r WHERE rn = 1""".stripMargin,
-
-    // The q103 grid chain for both tables, then the row-wise inner
-    // product and the min — identical integer arithmetic.
-    "q139_join_cardinality" ->
-      """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
-        |ga AS (SELECT ks.k,
-        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bucket,
-        |  CAST(count(*) AS BIGINT) AS na
-        | FROM orders CROSS JOIN ks GROUP BY 1, 2),
-        |gb AS (SELECT ks.k,
-        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bucket,
-        |  CAST(count(*) AS BIGINT) AS nb
-        | FROM customer CROSS JOIN ks GROUP BY 1, 2),
-        |dot AS (SELECT ga.k, CAST(sum(ga.na * gb.nb) AS BIGINT) AS d
-        | FROM ga JOIN gb ON gb.k = ga.k AND gb.bucket = ga.bucket GROUP BY 1),
-        |est AS (SELECT min(d) AS est_join_size FROM dot),
-        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_size
-        | FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
-        |SELECT CAST(est_join_size AS BIGINT) AS est_join_size, exact_join_size,
-        | est_join_size >= exact_join_size AS overestimate
-        |FROM est CROSS JOIN ex""".stripMargin,
-
-    // Same fingerprints, same xor fold; bit_xor is order-independent
-    // in both engines.
-    "q140_range_digest" ->
-      """WITH o AS (SELECT o_orderkey AS k,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |rb AS (SELECT k, CASE WHEN k % 5003 = 0 THEN cents + 1 ELSE cents END AS cents
-        | FROM o),
-        |fa AS (SELECT k // 1000 AS bucket,
-        |  ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 15))::BIGINT AS fp
-        | FROM o),
-        |fb AS (SELECT k // 1000 AS bucket,
-        |  ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 15))::BIGINT AS fp
-        | FROM rb),
-        |da AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
-        |  CAST(bit_xor(fp) AS BIGINT) AS digest_a FROM fa GROUP BY 1),
-        |db AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
-        |  CAST(bit_xor(fp) AS BIGINT) AS digest_b FROM fb GROUP BY 1)
-        |SELECT coalesce(da.bucket, db.bucket) AS bucket, n_a, n_b,
-        | digest_a, digest_b,
-        | n_a IS NOT DISTINCT FROM n_b
-        |  AND digest_a IS NOT DISTINCT FROM digest_b AS in_sync
-        |FROM da FULL OUTER JOIN db ON db.bucket = da.bucket""".stripMargin,
-
-    // Same 4 unrolled expansions: frontier = rows that first appeared
-    // last hop; min-dist after each union.
-    "q141_bfs_distance" ->
-      """WITH e0 AS (SELECT doc_id AS src, (doc_id + 1) % 500 AS dst FROM documents
-        | UNION ALL SELECT doc_id, (doc_id + 2) % 500 FROM documents
-        | UNION ALL SELECT doc_id, (doc_id * 31 + 7) % 500 FROM documents),
-        |e AS (SELECT src, dst FROM e0 WHERE src <> dst
-        | UNION SELECT dst, src FROM e0 WHERE src <> dst),
-        |d0 AS (SELECT unnest([0, 100, 200]) AS id, 0 AS dist),
-        |f1 AS (SELECT e.dst AS id, 1 AS dist FROM d0 JOIN e ON e.src = d0.id
-        | WHERE d0.dist = 0),
-        |d1 AS (SELECT id, min(dist) AS dist FROM
-        | (SELECT * FROM d0 UNION ALL SELECT * FROM f1) GROUP BY 1),
-        |f2 AS (SELECT e.dst AS id, 2 AS dist FROM d1 JOIN e ON e.src = d1.id
-        | WHERE d1.dist = 1),
-        |d2 AS (SELECT id, min(dist) AS dist FROM
-        | (SELECT * FROM d1 UNION ALL SELECT * FROM f2) GROUP BY 1),
-        |f3 AS (SELECT e.dst AS id, 3 AS dist FROM d2 JOIN e ON e.src = d2.id
-        | WHERE d2.dist = 2),
-        |d3 AS (SELECT id, min(dist) AS dist FROM
-        | (SELECT * FROM d2 UNION ALL SELECT * FROM f3) GROUP BY 1),
-        |f4 AS (SELECT e.dst AS id, 4 AS dist FROM d3 JOIN e ON e.src = d3.id
-        | WHERE d3.dist = 3),
-        |d4 AS (SELECT id, min(dist) AS dist FROM
-        | (SELECT * FROM d3 UNION ALL SELECT * FROM f4) GROUP BY 1)
-        |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin,
-
-    "q142_funnel_latency" ->
-      """WITH fc AS (SELECT user_id, min(ts) AS t_click FROM events
-        |  WHERE event_type = 'click' GROUP BY 1),
-        |lat AS (SELECT e.user_id,
-        |  min(epoch_us(e.ts) - epoch_us(fc.t_click)) AS lat_us
-        | FROM events e JOIN fc ON fc.user_id = e.user_id
-        | WHERE e.event_type = 'purchase' AND e.ts >= fc.t_click
-        | GROUP BY 1)
-        |SELECT lat_us // 3600000000 AS hours_bucket,
-        | CAST(count(*) AS BIGINT) AS n_users
-        |FROM lat GROUP BY 1""".stripMargin,
-
-    "q143_weighted_sample" ->
-      """WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |    // CAST(n_chars AS BIGINT) AS priority
-        | FROM documents WHERE n_chars > 0)
-        |SELECT doc_id, w, CAST(priority AS BIGINT) AS priority
-        |FROM p ORDER BY priority, doc_id LIMIT 50""".stripMargin,
-
-    // The q101 interleave formula, bucketed and reduced to stats.
-    "q144_skipping_manifest" ->
-      """WITH b AS (SELECT o_custkey % 1024 AS xb, o_orderkey % 1024 AS yb
-        | FROM orders),
-        |z AS (SELECT xb, yb,
-        |  CAST(list_sum(list_transform(range(0, 10), i ->
-        |    ((xb & (1::BIGINT << i)) << i) + ((yb & (1::BIGINT << i)) << (i + 1))))
-        |   AS BIGINT) AS zval FROM b)
-        |SELECT zval // 65536 AS file_bucket, CAST(count(*) AS BIGINT) AS n,
-        | min(xb) AS min_x, max(xb) AS max_x,
-        | min(yb) AS min_y, max(yb) AS max_y,
-        | min(zval) AS min_z, max(zval) AS max_z
-        |FROM z GROUP BY 1""".stripMargin,
-
-    "q145_k_anonymity" ->
-      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
-        | count(*) < 10 AS violates
-        |FROM customer GROUP BY 1, 2""".stripMargin,
-
-    "q146_multi_touch" ->
-      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
-        | FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
-        | FROM events WHERE event_type = 'click'),
-        |touch AS (SELECT p.p_id, c.click_id FROM p JOIN c ON c.user_id = p.user_id
-        | WHERE c.c_us <= p.p_us AND c.c_us >= p.p_us - 86400000000),
-        |sh AS (SELECT p_id, count(*) AS n_touches FROM touch GROUP BY 1)
-        |SELECT t.click_id, CAST(count(*) AS BIGINT) AS n_purchases,
-        | CAST(sum(10000 // sh.n_touches) AS BIGINT) AS credit_bp
-        |FROM touch t JOIN sh ON sh.p_id = t.p_id
-        |GROUP BY 1""".stripMargin,
-
-    // Parallel unnest aligns token and subscript; the offset anchoring
-    // cancels the 0- vs 1-based position difference.
-    "q147_phrase_search" ->
-      s"""WITH t AS (SELECT doc_id AS id,
-         |  CASE WHEN lower($cleanSql) = '' THEN CAST([] AS VARCHAR[])
-         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
-         | FROM documents),
-         |tok AS (SELECT id, unnest(toks) AS w,
-         |  generate_subscripts(toks, 1) AS pos FROM t),
-         |p0 AS (SELECT id, pos FROM tok WHERE w = 'table'),
-         |p1 AS (SELECT id, pos - 1 AS pos FROM tok WHERE w = 'hash')
-         |SELECT p0.id, CAST(count(*) AS BIGINT) AS n_occurrences
-         |FROM p0 JOIN p1 ON p1.id = p0.id AND p1.pos = p0.pos
-         |GROUP BY 1""".stripMargin,
-
-    // Brute-force overlap join — no buckets, so the Spark side's
-    // bucketing cannot self-confirm.
-    "q148_interval_overlap" ->
-      """WITH act AS (SELECT
-        |  CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS a_id,
-        |  min(epoch_us(ts)) AS a_start, max(epoch_us(ts)) AS a_end
-        | FROM events GROUP BY user_id, CAST(ts AS DATE)),
-        |o AS (SELECT k AS b_id,
-        |  1704067200000000 + k * 129600000000 AS b_start,
-        |  1704067200000000 + k * 129600000000 + 28800000000 AS b_end
-        | FROM (SELECT unnest(generate_series(0, 19)) AS k))
-        |SELECT a_id, CAST(b_id AS BIGINT) AS b_id,
-        | CAST(least(a_end, b_end) - greatest(a_start, b_start) AS BIGINT) AS overlap
-        |FROM act JOIN o ON a_start < b_end AND b_start < a_end""".stripMargin,
-
-    // Two native ASOF joins; tied right-side timestamps collapse to
-    // max first (the q110 discipline).
-    "q149_cep_pattern" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, max(epoch_us(ts)) AS c_us FROM events
-        | WHERE event_type = 'click' GROUP BY 1, 2),
-        |er AS (SELECT user_id, ts, max(epoch_us(ts)) AS e_us FROM events
-        | WHERE event_type = 'error' GROUP BY 1, 2),
-        |j1 AS (SELECT p.event_id, p.user_id, p.ts, c.c_us
-        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
-        |j2 AS (SELECT j1.event_id, j1.user_id, j1.ts, j1.c_us, er.e_us
-        | FROM j1 ASOF LEFT JOIN er ON j1.user_id = er.user_id AND j1.ts >= er.ts)
-        |SELECT event_id, user_id, c_us, e_us,
-        | c_us IS NOT NULL AND epoch_us(ts) - c_us <= 86400000000
-        |  AND (e_us IS NULL OR e_us <= c_us) AS converted
-        |FROM j2""".stripMargin,
-
-    // Same int8 affine (q125 chain), same md5 sign matrix, integer
-    // folds pivoted to columns.
-    "q150_jl_project" ->
-      """WITH st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
-        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
-        |st AS (SELECT mn,
-        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
-        |q AS (SELECT vec_id AS id, list_transform(embedding, x ->
-        |  CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
-        | FROM embeddings CROSS JOIN st),
-        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
-        |ii AS (SELECT unnest(generate_series(0, 63)) AS i),
-        |sgn AS (SELECT j, i,
-        |  CASE WHEN ('0x' || substr(md5('jl_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
-        |   THEN 1 ELSE -1 END AS s
-        | FROM jj CROSS JOIN ii),
-        |proj AS (SELECT q.id, sgn.j,
-        |  CAST(sum(CAST(q.cv[sgn.i + 1] AS BIGINT) * sgn.s) AS BIGINT) AS p
-        | FROM q CROSS JOIN sgn GROUP BY 1, 2)
-        |SELECT id AS vec_id,
-        | CAST(sum(CASE WHEN j = 0 THEN p END) AS BIGINT) AS p0,
-        | CAST(sum(CASE WHEN j = 1 THEN p END) AS BIGINT) AS p1,
-        | CAST(sum(CASE WHEN j = 2 THEN p END) AS BIGINT) AS p2,
-        | CAST(sum(CASE WHEN j = 3 THEN p END) AS BIGINT) AS p3,
-        | CAST(sum(CASE WHEN j = 4 THEN p END) AS BIGINT) AS p4,
-        | CAST(sum(CASE WHEN j = 5 THEN p END) AS BIGINT) AS p5,
-        | CAST(sum(CASE WHEN j = 6 THEN p END) AS BIGINT) AS p6,
-        | CAST(sum(CASE WHEN j = 7 THEN p END) AS BIGINT) AS p7
-        |FROM proj GROUP BY 1""".stripMargin,
-
-    // Same argmax; hash ties (never in practice) break to the larger
-    // shard id on both sides.
-    "q151_hrw_router" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
-        |h AS (SELECT u.user_id, ss.s,
-        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT AS hv
-        | FROM u CROSS JOIN ss),
-        |r AS (SELECT user_id, s,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY hv DESC, s DESC) AS rk
-        | FROM h)
-        |SELECT user_id, CAST(s AS BIGINT) AS shard FROM r WHERE rk = 1""".stripMargin,
-
-    // Same rank quantization, same cell-interval lookup (the range
-    // join re-derived as an interval predicate).
-    "q152_quantile_norm" ->
-      """WITH rows_ AS (SELECT doc_id AS id, source AS g, n_chars AS v FROM documents),
-        |rk AS (SELECT id, g, v,
-        |  row_number() OVER (PARTITION BY g ORDER BY v, id) AS r,
-        |  count(*) OVER (PARTITION BY g) AS n_g FROM rows_),
-        |rb AS (SELECT id, g, v,
-        |  greatest(1, (r * 10000) // n_g) AS rank_bp FROM rk),
-        |cells AS (SELECT v, count(*) AS cnt FROM rows_ GROUP BY 1),
-        |cum AS (SELECT v, cnt,
-        |  sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM cells),
-        |n AS (SELECT count(*) AS n_total FROM rows_),
-        |lv AS (SELECT unnest(generate_series(1, 10000)) AS bp),
-        |lvr AS (SELECT bp, (bp * n_total + 9999) // 10000 AS r_req FROM lv CROSS JOIN n),
-        |lut AS (SELECT lvr.bp, c.v AS norm_v FROM lvr
-        | JOIN cum c ON lvr.r_req >= c.cum - c.cnt + 1 AND lvr.r_req <= c.cum)
-        |SELECT rb.id AS doc_id, rb.g AS source, CAST(rb.v AS BIGINT) AS n_chars,
-        | CAST(rb.rank_bp AS BIGINT) AS rank_bp,
-        | CAST(l.norm_v AS BIGINT) AS normalized
-        |FROM rb JOIN lut l ON l.bp = rb.rank_bp""".stripMargin,
-
-    // The q118 diff with status -> op; D rows carry NULL values on
-    // both sides.
-    "q153_cdc_feed" ->
-      """WITH o AS (SELECT o_orderkey AS k,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |a AS (SELECT k, cents AS old_v FROM o WHERE k % 11 <> 3),
-        |b AS (SELECT k, CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS new_v
-        | FROM o WHERE k % 13 <> 5),
-        |d AS (SELECT coalesce(a.k, b.k) AS o_orderkey,
-        |  CASE WHEN a.k IS NULL THEN 'I'
-        |       WHEN b.k IS NULL THEN 'D'
-        |       ELSE 'U' END AS op,
-        |  b.new_v AS cents
-        | FROM a FULL OUTER JOIN b ON b.k = a.k
-        | WHERE a.k IS NULL OR b.k IS NULL OR a.old_v <> b.new_v)
-        |SELECT o_orderkey, cents, op FROM d""".stripMargin,
-
-    "q154_freshness" ->
-      """WITH per AS (SELECT event_type, max(epoch_us(ts)) AS max_us,
-        |  count(*) AS n FROM events GROUP BY 1),
-        |g AS (SELECT max(epoch_us(ts)) AS global_us FROM events)
-        |SELECT event_type, CAST(n AS BIGINT) AS n, max_us,
-        | global_us - max_us AS lag_us,
-        | global_us - max_us > 3600000000 AS stale
-        |FROM per CROSS JOIN g""".stripMargin,
-
-    // Same 3-gram shingling (q25 chain), distinct per SOURCE, pairwise
-    // exact Jaccard over md5 hashes.
-    "q155_source_overlap" ->
-      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
-         |shl AS (SELECT doc_id, source,
-         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-         |   ELSE list_transform(range(1, len(toks) - 1),
-         |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs FROM t),
-         |sh AS (SELECT DISTINCT source,
-         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
-         | FROM (SELECT source, unnest(shs) AS s FROM shl)),
-         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
-         |  CAST(count(*) AS BIGINT) AS m
-         | FROM sh a JOIN sh b ON b.h = a.h AND b.source > a.source GROUP BY 1, 2)
-         |SELECT i.src_a, i.src_b, i.m, sa.n AS na, sb.n AS nb,
-         | (i.m * 10000) // (sa.n + sb.n - i.m) AS jaccard_bp
-         |FROM inter i
-         |JOIN sizes sa ON sa.source = i.src_a
-         |JOIN sizes sb ON sb.source = i.src_b""".stripMargin,
-
-    // The q60 curate chain verbatim, then cap (q126), split (q69), and
-    // pack (q62) replayed stage for stage.
-    "q157_training_manifest" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CASE WHEN len(toks) = 0 THEN 0.0
-         |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
-         |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
-         |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
-         | FROM t),
-         |q AS (SELECT doc_id, floor(greatest(0.0, least(1.0,
-         |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
-         |   + least(swr * 5.0, 1.0) * 0.3
-         |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000 AS quality FROM m),
-         |s AS (SELECT doc_id,
-         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
-         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
-         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
-         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
-         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
-         | FROM t),
-         |l AS (SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
-         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
-         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
-         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
-         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
-         | ELSE 'zh' END AS lang_pred FROM s),
-         |g AS (SELECT q.doc_id FROM q JOIN l USING (doc_id)
-         | WHERE q.quality >= 0.5 AND l.lang_pred IN ('en')),
-         |f AS (SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents),
-         |cur AS (SELECT min(f.doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
-         | FROM g JOIN f USING (doc_id) GROUP BY f.fingerprint),
-         |kd AS (SELECT c.doc_id, c.dup_count, d.source,
-         |  CAST(len(t2.toks) AS BIGINT) AS n_tokens
-         | FROM cur c JOIN documents d USING (doc_id) JOIN t t2 ON t2.doc_id = c.doc_id),
-         |rkd AS (SELECT kd.*, row_number() OVER (PARTITION BY source ORDER BY
-         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
-         | FROM kd),
-         |sp AS (SELECT doc_id, dup_count, source, n_tokens,
-         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
-         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         | FROM rkd WHERE rk <= 30),
-         |pk AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
-         |  sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
-         | FROM sp WHERE split = 'train'),
-         |pk2 AS (SELECT doc_id, shard, CAST(floor(so / 512.0) AS BIGINT) AS pack_id FROM pk)
-         |SELECT sp.doc_id, sp.source, sp.split, sp.dup_count, sp.n_tokens,
-         | pk2.shard, pk2.pack_id
-         |FROM sp LEFT JOIN pk2 USING (doc_id)""".stripMargin,
-
-    // Both measures recomputed from the naive global window —
-    // independent of the Spark side's cell-histogram ranks.
-    "q156_percent_rank" ->
-      """WITH r AS (SELECT doc_id, n_chars,
-        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
-        |  count(*) OVER () AS n FROM documents),
-        |c AS (SELECT n_chars, max(rn) AS cum FROM r GROUP BY 1)
-        |SELECT r.doc_id, r.n_chars,
-        | ((r.rn - 1) * 10000) // (r.n - 1) AS pr_bp,
-        | (c.cum * 10000) // r.n AS cume_bp
-        |FROM r JOIN c ON c.n_chars = r.n_chars""".stripMargin,
-
-    "q158_split_balance" ->
-      """WITH b AS (SELECT doc_id, source,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
-        | FROM documents),
-        |sp AS (SELECT source,
-        |  CASE WHEN bucket < 80 THEN 'train'
-        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b),
-        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(count(*) FILTER (split = 'train') AS BIGINT) AS n_train,
-        |  CAST(count(*) FILTER (split = 'val') AS BIGINT) AS n_val,
-        |  CAST(count(*) FILTER (split = 'test') AS BIGINT) AS n_test
-        | FROM sp GROUP BY 1)
-        |SELECT source, n, n_train, n_val, n_test,
-        | (n_train * 10000) // n AS train_bp,
-        | abs((n_train * 10000) // n - 8000) AS dev_bp,
-        | abs((n_train * 10000) // n - 8000) <= 1500 AS balanced
-        |FROM a""".stripMargin,
-
-    // The q28 chain scored by label agreement.
-    "q159_knn_precision" ->
-      s"""WITH ${cosineTopKCtes("", "TRUE")},
-        |top5 AS (SELECT qid, nid FROM w WHERE rk <= 5),
-        |lab AS (SELECT vec_id, label FROM embeddings)
-        |SELECT t.qid AS query_id,
-        | CAST(sum(CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-        | (CAST(sum(CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END) AS BIGINT) * 10000) // 5 AS precision_bp
-        |FROM top5 t
-        |JOIN lab lq ON lq.vec_id = t.qid
-        |JOIN lab ln ON ln.vec_id = t.nid
-        |GROUP BY 1""".stripMargin,
-
-    // The q16 prediction chain joined to the truth column.
-    "q160_lang_confusion" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
-         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
-         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
-         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
-         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
-         | FROM t),
-         |p AS (SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
-         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
-         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
-         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
-         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
-         | ELSE 'zh' END AS lang_pred FROM s)
-         |SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n,
-         | d.lang = p.lang_pred AS correct
-         |FROM documents d JOIN p USING (doc_id)
-         |GROUP BY 1, 2""".stripMargin,
-
-    "q161_backfill_plan" ->
-      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
-        | FROM events),
-        |observed AS (SELECT DISTINCT event_type, day, day_idx FROM ev
-        | WHERE NOT (event_type = 'click' AND day_idx % 7 = 0)),
-        |days AS (SELECT DISTINCT day, day_idx FROM ev),
-        |types AS (SELECT DISTINCT event_type FROM ev)
-        |SELECT t.event_type, strftime(d.day, '%Y-%m-%d') AS day,
-        | CAST(d.day_idx AS BIGINT) AS day_idx
-        |FROM types t CROSS JOIN days d
-        |WHERE NOT EXISTS (SELECT 1 FROM observed o
-        | WHERE o.event_type = t.event_type AND o.day = d.day)""".stripMargin,
-
-    // Same merged-cell cumulative CDFs, same integer D; v_at_max ties
-    // break to the smallest value on both sides.
-    "q162_ks_drift" ->
-      """WITH a AS (SELECT n_chars AS v, count(*) AS ca FROM documents GROUP BY 1),
-        |b0 AS (SELECT CASE WHEN doc_id % 4 = 0 THEN n_chars + 40 ELSE n_chars END AS v
-        | FROM documents),
-        |b AS (SELECT v, count(*) AS cb FROM b0 GROUP BY 1),
-        |m AS (SELECT coalesce(a.v, b.v) AS v,
-        |  coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
-        | FROM a FULL OUTER JOIN b ON b.v = a.v),
-        |c AS (SELECT v, ca, cb,
-        |  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
-        |  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
-        |  sum(ca) OVER () AS tot_a, sum(cb) OVER () AS tot_b
-        | FROM m),
-        |dd AS (SELECT v, tot_a, tot_b,
-        |  abs((cum_a * 10000) // tot_a - (cum_b * 10000) // tot_b) AS d FROM c)
-        |SELECT CAST(max(tot_a) AS BIGINT) AS n_a, CAST(max(tot_b) AS BIGINT) AS n_b,
-        | CAST(max(d) AS BIGINT) AS ks_bp,
-        | CAST(min(v) FILTER (d = (SELECT max(d) FROM dd)) AS BIGINT) AS v_at_max
-        |FROM dd""".stripMargin,
-
-    "q163_source_terms" ->
-      s"""WITH t AS (SELECT source,
-         |  CASE WHEN lower($cleanSql) = '' THEN CAST([] AS VARCHAR[])
-         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
-         | FROM documents),
-         |tok AS (SELECT source, unnest(toks) AS term FROM t),
-         |bs AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_src
-         | FROM tok GROUP BY 1, 2),
-         |co AS (SELECT term, CAST(count(*) AS BIGINT) AS n_corpus
-         | FROM tok GROUP BY 1),
-         |sc AS (SELECT bs.source, bs.term, bs.n_src, co.n_corpus,
-         |  (bs.n_src * 10000) // co.n_corpus AS score_bp
-         | FROM bs JOIN co USING (term) WHERE bs.n_src >= 5),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY source
-         |  ORDER BY score_bp DESC, term) AS rank FROM sc)
-         |SELECT source, term, n_src, n_corpus, score_bp,
-         | CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 3""".stripMargin,
-
-    // The q62 chain grouped to packs.
-    "q164_pack_efficiency" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |n AS (SELECT doc_id, doc_id % 8 AS shard,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
-         |o AS (SELECT doc_id, shard, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
-         | FROM n)
-         |SELECT CAST(shard AS BIGINT) AS shard,
-         | CAST(floor(so / 512.0) AS BIGINT) AS pack_id,
-         | CAST(count(*) AS BIGINT) AS n_docs,
-         | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
-         | CAST(sum(n_tokens) AS BIGINT) > 512 AS over_budget
-         |FROM o GROUP BY 1, 2""".stripMargin,
-
-    // LSH chain (q25) and exact brute-force chain (q131, x-prefixed)
-    // side by side, reduced to recall/precision.
-    "q165_lsh_recall" ->
-      s"""WITH ${minhashLshCtes("TRUE", 1000L)},
-         |lshp AS (SELECT i.id_a, i.id_b FROM inter i
-         | JOIN sizes sa ON sa.id = i.id_a
-         | JOIN sizes sb ON sb.id = i.id_b
-         | WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7),
-         |xsh AS (SELECT id, h FROM sh),
-         |xinter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS m
-         | FROM xsh a JOIN xsh b ON b.h = a.h AND b.id > a.id GROUP BY 1, 2),
-         |exactp AS (SELECT i.id_a, i.id_b FROM xinter i
-         | JOIN sizes sa ON sa.id = i.id_a
-         | JOIN sizes sb ON sb.id = i.id_b
-         | WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7),
-         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exactp),
-         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lshp),
-         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common
-         | FROM exactp e JOIN lshp l ON l.id_a = e.id_a AND l.id_b = e.id_b)
-         |SELECT n_exact, n_lsh, n_common,
-         | (n_common * 10000) // n_exact AS recall_bp,
-         | (n_common * 10000) // n_lsh AS precision_bp
-         |FROM ne CROSS JOIN nl CROSS JOIN nc""".stripMargin
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val maps = modules.map(_._1)
+    val n = maps.map(_.size).sum
+    val merged = maps.reduce(_ ++ _)
+    require(merged.size == n, s"duplicate query names across modules: ${n - merged.size}")
+    merged
+  }
+
+  def oracleSql: Map[String, String] = modules.map(_._2).reduce(_ ++ _)
 }

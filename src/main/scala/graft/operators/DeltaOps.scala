@@ -65,6 +65,38 @@ object DeltaOps {
   def addCompleted(completed: DataFrame, newKeys: DataFrame, key: String): DataFrame =
     completed.select(key).union(newKeys.select(key)).distinct()
 
+  /** T5 upgrade — CHANGED-CONTENT delta. [[delta]] is insert-only on the
+    * key, exactly like the reference (delta_download.py:191 anti-joins on
+    * URL alone), so a document that changes at an unchanged URL is never
+    * refetched. This variant keys on (key, content hash): a row of
+    * `current` is returned iff its (key, hash) pair is absent from
+    * `existing`, labeled `change_type` = 'new' (key unseen) or 'changed'
+    * (key known, content differs). Unchanged rows — pair present — are
+    * NOT returned, so nothing already fetched is refetched.
+    *
+    * Scale shape: one anti-join on the composite key plus one left join
+    * against the distinct key set for the label — both state-sized
+    * equi-joins (broadcast under the threshold, shuffled hash beyond),
+    * identical to [[delta]]'s plan family. `existing` may carry a full
+    * hash HISTORY per key (several rows); re-seeing any previously stored
+    * content is then "unchanged", which makes replay/backfill idempotent.
+    *
+    * Null hashes: a null `hashCol` never equi-matches, so such rows are
+    * always returned (fail-open: a missing hash means we cannot prove the
+    * content unchanged).
+    */
+  def deltaByContent(current: DataFrame, existing: DataFrame, key: String,
+                     hashCol: String): DataFrame = {
+    val seenPairs = existing.select(col(key), col(hashCol)).distinct()
+    val knownKeys = existing.select(col(key)).distinct()
+      .withColumn("_known", lit(true))
+    current.join(seenPairs, Seq(key, hashCol), "left_anti")
+      .join(knownKeys, Seq(key), "left")
+      .withColumn("change_type",
+        when(col("_known"), lit("changed")).otherwise(lit("new")))
+      .drop("_known")
+  }
+
   /** J1 at the scale where `existing` outgrows broadcast: EXACT delta
     * via a bloom-filter pre-pass.
     *

@@ -70,8 +70,8 @@ object GraphOps {
     * both partial-aggregating equi-joins; the frontier shrinks as the
     * reachable set saturates. A fixed small `maxHops` unrolls into one
     * Catalyst plan (the [[pageRankFixedPoint]] pattern); deep traversals
-    * should switch to the RDD loop with lineage compaction that
-    * [[DedupOps.connectedComponents]] uses.
+    * use [[bfsDistancesDeep]], the RDD loop on the
+    * [[DedupOps.connectedComponents]] skeleton.
     */
   def bfsDistances(edges: DataFrame, sources: Seq[Long],
                    maxHops: Int = 4): DataFrame = {
@@ -93,6 +93,96 @@ object GraphOps {
         .groupBy("id").agg(min("dist").as("dist"))
     }
     dist
+  }
+
+  /** [[bfsDistances]] past the unrolled-plan regime: multi-source BFS as
+    * an RDD loop with one shared `HashPartitioner` — the deep-traversal
+    * path (supply chains, citation depth, long redirect chains) where a
+    * per-hop Catalyst plan would Janino-compile ~6 fresh codegen classes
+    * per hop and the lineage would grow a join per hop.
+    *
+    * Same skeleton as [[DedupOps.connectedComponentsWithRounds]]:
+    *  - the symmetric adjacency list is shuffled ONCE onto the shared
+    *    partitioner and persisted; every hop's `join` against it is then
+    *    NARROW (both sides co-partitioned), so a hop costs one shuffle
+    *    (the frontier expansion's `reduceByKey`) regardless of depth;
+    *  - the visited set and each new frontier are co-partitioned, so the
+    *    frontier dedupe (`subtractByKey`) and the visited merge
+    *    (`zipPartitions` concatenation — keys are disjoint by
+    *    construction) add no shuffle;
+    *  - one action per hop (the frontier count that also materializes the
+    *    persist); empty frontier = convergence, so the loop runs
+    *    diameter-many rounds and stops, `maxHops` merely a safety cap.
+    *
+    * Returns (id, dist) with dist = hop distance from the nearest seed;
+    * unreachable nodes are absent. Output is identical to
+    * [[bfsDistances]] wherever both run (spec-asserted).
+    */
+  def bfsDistancesDeep(edges: DataFrame, sources: Seq[Long],
+                       maxHops: Int = 64): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    require(sources.nonEmpty, "need at least one source node")
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val part = new HashPartitioner(
+      math.max(1, spark.sessionState.conf.numShufflePartitions))
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // undirected: symmetric view, shuffled onto the shared partitioner
+    // once — every hop joins narrowly against this
+    val adj = e0.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = sources.distinct.map(id => (id, 0L))
+    var visited: RDD[(Long, Long)] =
+      sc.parallelize(seeds).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier: RDD[(Long, Long)] = visited
+    var h = 0L
+    var done = frontier.count() == 0L
+    while (!done && h < maxHops) {
+      h += 1L
+      val hop = h
+      // expand: co-partitioned narrow join, then ONE shuffle dedupes the
+      // candidate frontier (map-side combine collapses fan-in before the
+      // wire); subtract the visited set narrowly (co-partitioned)
+      val next = frontier.join(adj)
+        .map { case (_, (_, v)) => (v, hop) }
+        .reduceByKey(part, (a, _) => a)
+        .subtractByKey(visited, part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = next.count() // the hop's one action; also materializes persist
+      if (n == 0L) { next.unpersist(false); done = true }
+      else {
+        // keys are disjoint (subtractByKey) and both sides share `part`,
+        // so per-partition concatenation IS the merged visited set
+        val merged = visited.zipPartitions(next, preservesPartitioning = true)(
+          (a, b) => a ++ b).persist(StorageLevel.MEMORY_AND_DISK)
+        merged.count() // materialize before releasing the parents
+        // merged now holds the data; parents recompute (if ever) narrowly
+        // from retained shuffle files, exactly like the CC rounds
+        val (oldVisited, oldFrontier) = (visited, frontier)
+        oldVisited.unpersist(false)
+        if (oldFrontier ne oldVisited) oldFrontier.unpersist(false)
+        visited = merged
+        frontier = next // stays persisted for the next hop's join
+      }
+    }
+    // released by the caller's GraftCache cycle; the returned frame stays
+    // recomputable afterwards (narrow chain over retained shuffle files)
+    graft.GraftCache.registerRdd(spark, visited)
+    if (frontier ne visited) graft.GraftCache.registerRdd(spark, frontier)
+    graft.GraftCache.registerRdd(spark, adj)
+    val out = visited.map { case (id, d) => org.apache.spark.sql.Row(id, d) }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Global triangle count (plus node/edge counts) over an undirected

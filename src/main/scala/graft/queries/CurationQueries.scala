@@ -1,0 +1,487 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Rounding => R, TextFunctions => T}
+import graft.operators._
+import graft.operators.ParsePipeline.PageHtml
+import graft.queries.Fixtures._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
+  *
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance.
+  * Moved verbatim from the pre-split SparkEntry.scala.
+  */
+object CurationQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus curation composition: one-pass quality+language profile →
+    // gates → exact dedup; only (fingerprint, id) pairs ever shuffle.
+    "q60_curate" -> ((s, d) =>
+      CurationOps.curate(Tables.documents(s, d), "doc_id", "text",
+        minQuality = 0.5, langs = Seq("en"))),
+
+
+    // Deterministic hash split (rows-only: xxhash64 has no DuckDB twin);
+    // per-split counts prove proportions and stability.
+    "q61_hash_split" -> ((s, d) =>
+      SampleOps.hashSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"))),
+
+
+    // Portable 60-bit-md5 split + sample flag: row-level assignment
+    // hash-checked against DuckDB computing the same md5 arithmetic —
+    // the cross-engine-auditable twin of xxhash64-based q61 (rows-only).
+    "q69_portable_split" -> ((s, d) =>
+      SampleOps.portableSplit(Tables.documents(s, d).select("doc_id"), "doc_id")
+        .withColumn("in_sample10",
+          pmod(SampleOps.portableHash(col("doc_id")), lit(100)) < 10)),
+
+
+    // Deterministic stratified sample (training-mix class balancing):
+    // per-source keep rates as a literal CASE over the portable hash
+    // bucket — a pure pushdown-eligible predicate, membership stable
+    // under appends and reproducible in any md5-bearing engine.
+    "q76_stratified_sample" -> ((s, d) =>
+      SampleOps.stratifiedSample(
+        Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id", "source",
+        percentByStratum = Map("src0" -> 100, "src1" -> 50, "src2" -> 10),
+        defaultPercent = 25)),
+
+
+    // Deterministic epoch shuffle: seed-stable training order, one
+    // hash-partition exchange + parallel in-shard sorts, no global sort.
+    "q78_epoch_shuffle" -> ((s, d) =>
+      SampleOps.epochShuffle(Tables.documents(s, d).select("doc_id"),
+        "doc_id", epoch = 3, nShards = 32)),
+
+
+    // Test-set decontamination (GPT-3/Pile n-gram rule): the benchmark
+    // slice's distinct 3-grams broadcast; corpus docs sharing >= 2 with
+    // any benchmark doc are flagged. Benchmark docs flag themselves —
+    // the expected fixed point.
+    "q79_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurationOps.decontaminate(docs, "doc_id", "text",
+        docs.where(pmod(did, lit(97)) === 0).select("text"), "text")
+    }),
+
+
+    // Domain-mixing weights (DoReMi-lite): whitespace-token mass per
+    // source vs target shares -> sampling multipliers for the mix.
+    "q80_mix_weights" -> ((s, d) => {
+      val counts = TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      CurationOps.mixWeights(counts, "source", "ws_tokens",
+        targetShares = Map("src0" -> 0.25, "src1" -> 0.15),
+        defaultTarget = 0.03)
+    }),
+
+
+    // Curriculum interleave (stride scheduling / weighted fair queueing):
+    // each doc gets virtual time vt = src_idx / weight using q80's mix
+    // weights; sorting by vt IS the weight-proportional training order.
+    // The sort key is emitted, not a global row_number — materializing a
+    // global index needs a single-partition window, while writing
+    // sorted-by-vt is a range-partitioned sort that scales.
+    // Skew bound: the per-source row_number window sorts one source per
+    // partition; for a few-huge-sources corpus swap src_idx for a
+    // deterministic hash rank (the q78 epochShuffle shape) to keep
+    // per-partition state bounded.
+    "q102_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val counts = TextAnalysisOps.tokenCounts(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val weights = CurationOps.mixWeights(counts, "source", "ws_tokens",
+          targetShares = Map("src0" -> 0.25, "src1" -> 0.15),
+          defaultTarget = 0.03)
+        .select(col("source"), col("weight"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("src_idx", row_number().over(w).cast("long"))
+        .join(broadcast(weights), "source")
+        .select(col("doc_id"), col("source"), col("src_idx"),
+          R.half4(col("src_idx").cast("double") / col("weight")).as("vt"))
+    }),
+
+
+    // Linear quality-classifier scoring (the fastText-style serving
+    // mechanism): top-200 corpus tokens get integer weights (md5-derived
+    // stand-ins — trained weights swap in unchanged), broadcast to a
+    // token join, per-doc logit = integer dot product. All-integer, so
+    // hash-exact; the vocabulary is bounded, so the weights side always
+    // broadcasts no matter the corpus size.
+    "q107_classifier_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clean = T.cleanText(col("text"))
+      val toks = docs.select(did.as("id"),
+        explode(when(clean === "", array().cast("array<string>"))
+          .otherwise(split(clean, " "))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(200)
+        .select(col("tok"),
+          (pmod(graft.functions.HashFunctions.portableHash60(col("tok")),
+            lit(2001L)) - 1000L).as("wt"))
+      val scored = toks.join(broadcast(vocab), "tok")
+        .groupBy("id").agg(count(lit(1)).as("n_scored"), sum("wt").as("logit"))
+      docs.select(did.as("id")).join(scored, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+          coalesce(col("logit"), lit(0L)).as("logit"),
+          (coalesce(col("logit"), lit(0L)) > 0L).as("positive"))
+    }),
+
+
+    // Cross-split NEAR-DUP leakage check — the contamination audit q79's
+    // exact n-gram rule misses: the test split (plus planted paraphrase
+    // twins of train docs) probed against the train split with the q86
+    // asymmetric LSH probe. Candidates scale with the test split; the
+    // train split never self-joins.
+    "q112_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bucket = pmod(SampleOps.portableHash(did), lit(100))
+      val train = docs.where(bucket < 80).select(did.as("id"), col("text"))
+      val test = docs.where(bucket >= 90).select(did.as("id"), col("text"))
+        .unionByName(docs.where(bucket < 80 && pmod(did, lit(25)) === 0)
+          .select((did + 1000000L).as("id"),
+            concat(col("text"), lit(" zzdup tail")).as("text")))
+      DedupOps.minhashProbe(train, test, "id", "text", threshold = 0.7)
+    }),
+
+
+    // Per-source document cap (domain balancing): at most 20 docs per
+    // source, picked by the portable md5 hash of the id — append-stable
+    // (new docs in other sources never change a source's picks) and
+    // engine-reproducible.
+    "q126_capped_sample" -> ((s, d) =>
+      SampleOps.cappedPerGroup(Tables.documents(s, d), "source", "doc_id",
+        cap = 20)),
+
+
+    // Weight-proportional sampling (integer priority sampling): 50 docs
+    // drawn with probability ~ n_chars, fully deterministic — priority
+    // = md5_hash div weight, k smallest win via TakeOrderedAndProject.
+    "q143_weighted_sample" -> ((s, d) =>
+      SampleOps.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 50)),
+
+
+    // Rendezvous-hash shard routing: every user to argmax over 8 shards
+    // of md5(user#shard) — the resize-minimal router (adding a shard
+    // moves ~1/9 of keys, all TO it; spec-asserted). Zero shuffles.
+    "q151_hrw_router" -> ((s, d) =>
+      SampleOps.hrwAssign(
+        Tables.events(s, d).select(col("user_id")).distinct(),
+        "user_id", shards = 8)),
+
+
+    // THE FLAGSHIP COMPOSITION — the full training-data manifest in one
+    // pipeline: quality+language curation with exact dedup (q60) →
+    // per-source domain cap (q126) → portable 80/10/10 split (q69) →
+    // token-budget packing of the train split (q62). One manifest row
+    // per surviving doc: its provenance, split, token count, and (for
+    // train) its pack assignment. Every stage is the already-audited
+    // operator; the oracle replays the identical chain in SQL.
+    "q157_training_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = CurationOps.curate(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), col("dup_count"))
+      val keptDocs = kept.join(docs.select(col("doc_id"), col("source"),
+        T.tokenCount(col("text")).as("n_tokens")), "doc_id")
+      val capped = SampleOps.cappedPerGroup(keptDocs, "source", "doc_id", cap = 30)
+        .select("doc_id")
+      val manifest = SampleOps.portableSplit(
+        capped.join(keptDocs, "doc_id"), "doc_id")
+      val packed = SampleOps.packByTokenBudget(
+        manifest.where(col("split") === "train"), "doc_id", "n_tokens",
+        budget = 512L, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pack_id"))
+      manifest.join(packed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("split"),
+          col("dup_count"), col("n_tokens"),
+          col("shard"), col("pack_id"))
+    }),
+
+
+    // Split-balance audit: the statistical check on the q69 splitter —
+    // per source, each split's share in basis points and the deviation
+    // from the 80% train target (hash splits are only balanced in
+    // expectation; this is the release gate that catches a bad bucket
+    // formula).
+    "q158_split_balance" -> ((s, d) => {
+      val sp = SampleOps.portableSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      sp.groupBy("source").agg(count(lit(1)).as("n"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .withColumn("train_bp", expr("(n_train * 10000) div n"))
+        .withColumn("dev_bp", abs(col("train_bp") - 8000L))
+        .withColumn("balanced", col("dev_bp") <= 1500L)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // Curation = q15's quality composite (rounded, gated at 0.5) ∘ q16's
+    // language argmax (gated to en) ∘ q13's fingerprint dedup.
+    "q60_curate" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
+         |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
+         |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
+         | FROM t),
+         |q AS (SELECT doc_id, floor(greatest(0.0, least(1.0,
+         |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |   + least(swr * 5.0, 1.0) * 0.3
+         |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000 AS quality FROM m),
+         |s AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
+         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
+         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
+         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
+         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
+         | FROM t),
+         |l AS (SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
+         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+         | ELSE 'zh' END AS lang_pred FROM s),
+         |g AS (SELECT q.doc_id FROM q JOIN l USING (doc_id)
+         | WHERE q.quality >= 0.5 AND l.lang_pred IN ('en')),
+         |f AS (SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents)
+         |SELECT f.fingerprint, min(f.doc_id) AS keep_id, count(*) AS dup_count
+         |FROM g JOIN f USING (doc_id) GROUP BY 1""".stripMargin,
+
+
+    // The portable-hash contract stated as SQL: first 15 md5 hex chars as
+    // a 60-bit unsigned int — DuckDB parses the 0x literal directly.
+    "q69_portable_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        | bucket < 10 AS in_sample10
+        |FROM b""".stripMargin,
+
+
+    "q76_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < (CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+        |  WHEN 'src2' THEN 10 ELSE 25 END)""".stripMargin,
+
+
+    "q78_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_e3'), 1, 15))::BIGINT AS hv
+        | FROM documents)
+        |SELECT doc_id, hv % 32 AS shard,
+        | CAST(row_number() OVER (PARTITION BY hv % 32 ORDER BY hv, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+
+
+    "q79_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' '))) END) AS gram
+         | FROM t),
+         |bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+         |hits AS (SELECT dg.doc_id, count(*) AS shared
+         | FROM dg JOIN bg ON bg.gram = dg.gram GROUP BY dg.doc_id)
+         |SELECT d.doc_id,
+         | coalesce(h.shared, 0) AS shared_ngrams,
+         | coalesce(h.shared, 0) >= 2 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin,
+
+
+    "q80_mix_weights" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok
+         | FROM documents),
+         |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         | FROM t GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps)
+         |SELECT source, n_docs, n_tokens,
+         | floor((n_tokens::DOUBLE / total_tokens) * 10000 + 0.5) / 10000 AS actual_share,
+         | (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE AS target_share,
+         | floor(((CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE
+         |   / (n_tokens::DOUBLE / total_tokens)) * 10000 + 0.5) / 10000 AS weight
+         |FROM ps CROSS JOIN tot""".stripMargin,
+
+
+    // The weight CTE is q80's formula verbatim (rounded weight), then
+    // vt divides by the ROUNDED weight — mirroring the Spark pipeline
+    // which joins mixWeights' emitted column.
+    "q102_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok
+         | FROM documents),
+         |ps AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens
+         | FROM t GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps),
+         |w AS (SELECT source,
+         |  floor(((CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.15 ELSE 0.03 END)::DOUBLE
+         |    / (n_tokens::DOUBLE / total_tokens)) * 10000 + 0.5) / 10000 AS weight
+         | FROM ps CROSS JOIN tot),
+         |idx AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS src_idx
+         | FROM documents)
+         |SELECT i.doc_id, i.source, i.src_idx,
+         | floor((i.src_idx::DOUBLE / w.weight) * 10000 + 0.5) / 10000 AS vt
+         |FROM idx i JOIN w ON w.source = i.source""".stripMargin,
+
+
+    // Same vocabulary (count desc, token asc, LIMIT 200 — deterministic
+    // tie-break both sides) and the same md5 weight formula.
+    "q107_classifier_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id AS id, unnest(toks) AS tok FROM t),
+         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         |vocab AS (SELECT tok,
+         |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS wt
+         | FROM counts ORDER BY cnt DESC, tok LIMIT 200),
+         |sc AS (SELECT tok.id, count(*) AS n_scored,
+         |  CAST(sum(v.wt) AS BIGINT) AS logit
+         | FROM tok JOIN vocab v ON v.tok = tok.tok GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         | coalesce(sc.n_scored, 0) AS n_scored,
+         | coalesce(sc.logit, 0) AS logit,
+         | coalesce(sc.logit, 0) > 0 AS positive
+         |FROM documents d LEFT JOIN sc ON sc.id = d.doc_id""".stripMargin,
+
+
+    // The q86 probe chain over the portable-split sides: 'c' = train
+    // (bucket < 80), 'b' = test (bucket >= 90) plus planted twins.
+    "q112_split_leakage" -> minhashProbeSql(
+      """  SELECT 'c' AS side, doc_id AS id, text FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+        |  UNION ALL
+        |  SELECT 'b', doc_id, text FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 90
+        |  UNION ALL
+        |  SELECT 'b', doc_id + 1000000, text || ' zzdup tail' FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+        |   AND doc_id % 25 = 0""".stripMargin),
+
+
+    // Same md5 ordering, same (hash, id) tie-break.
+    "q126_capped_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        | FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+        | FROM h)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS pick_rank
+        |FROM r WHERE rk <= 20""".stripMargin,
+
+
+    "q143_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    // CAST(n_chars AS BIGINT) AS priority
+        | FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, w, CAST(priority AS BIGINT) AS priority
+        |FROM p ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+
+
+    // Same argmax; hash ties (never in practice) break to the larger
+    // shard id on both sides.
+    "q151_hrw_router" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |h AS (SELECT u.user_id, ss.s,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT AS hv
+        | FROM u CROSS JOIN ss),
+        |r AS (SELECT user_id, s,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY hv DESC, s DESC) AS rk
+        | FROM h)
+        |SELECT user_id, CAST(s AS BIGINT) AS shard FROM r WHERE rk = 1""".stripMargin,
+
+
+    // The q60 curate chain verbatim, then cap (q126), split (q69), and
+    // pack (q62) replayed stage for stage.
+    "q157_training_manifest" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
+         |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
+         |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
+         | FROM t),
+         |q AS (SELECT doc_id, floor(greatest(0.0, least(1.0,
+         |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |   + least(swr * 5.0, 1.0) * 0.3
+         |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000 AS quality FROM m),
+         |s AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
+         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
+         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
+         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
+         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
+         | FROM t),
+         |l AS (SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
+         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+         | ELSE 'zh' END AS lang_pred FROM s),
+         |g AS (SELECT q.doc_id FROM q JOIN l USING (doc_id)
+         | WHERE q.quality >= 0.5 AND l.lang_pred IN ('en')),
+         |f AS (SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents),
+         |cur AS (SELECT min(f.doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+         | FROM g JOIN f USING (doc_id) GROUP BY f.fingerprint),
+         |kd AS (SELECT c.doc_id, c.dup_count, d.source,
+         |  CAST(len(t2.toks) AS BIGINT) AS n_tokens
+         | FROM cur c JOIN documents d USING (doc_id) JOIN t t2 ON t2.doc_id = c.doc_id),
+         |rkd AS (SELECT kd.*, row_number() OVER (PARTITION BY source ORDER BY
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
+         | FROM kd),
+         |sp AS (SELECT doc_id, dup_count, source, n_tokens,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM rkd WHERE rk <= 30),
+         |pk AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+         |  sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
+         | FROM sp WHERE split = 'train'),
+         |pk2 AS (SELECT doc_id, shard, CAST(floor(so / 512.0) AS BIGINT) AS pack_id FROM pk)
+         |SELECT sp.doc_id, sp.source, sp.split, sp.dup_count, sp.n_tokens,
+         | pk2.shard, pk2.pack_id
+         |FROM sp LEFT JOIN pk2 USING (doc_id)""".stripMargin,
+
+
+    "q158_split_balance" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        | FROM documents),
+        |sp AS (SELECT source,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (split = 'train') AS BIGINT) AS n_train,
+        |  CAST(count(*) FILTER (split = 'val') AS BIGINT) AS n_val,
+        |  CAST(count(*) FILTER (split = 'test') AS BIGINT) AS n_test
+        | FROM sp GROUP BY 1)
+        |SELECT source, n, n_train, n_val, n_test,
+        | (n_train * 10000) // n AS train_bp,
+        | abs((n_train * 10000) // n - 8000) AS dev_bp,
+        | abs((n_train * 10000) // n - 8000) <= 1500 AS balanced
+        |FROM a""".stripMargin,
+  )
+}

@@ -1,0 +1,764 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Rounding => R, TextFunctions => T}
+import graft.operators._
+import graft.operators.ParsePipeline.PageHtml
+import graft.queries.Fixtures._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication: exact, MinHash/SimHash LSH, fingerprints, connected components, semantic dedup, contamination, PPJoin, entity resolution.
+  *
+  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall.
+  * Moved verbatim from the pre-split SparkEntry.scala.
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X13-adjacent: md5 content fingerprint (oracle-checkable half).
+    "q12_fingerprints" -> ((s, d) =>
+      Tables.documents(s, d).select(did, T.fingerprint(col("text")).as("fingerprint"))),
+
+
+    // Exact dedup by content hash.
+    "q13_exact_dedup" -> ((s, d) =>
+      DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // n-gram Jaccard on explicit pairs.
+    "q24_pairwise_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.where(pmod(did, lit(5)) === 0)
+        .select(did.as("id_a"), (did + 1).as("id_b"))
+      DedupOps.pairwiseJaccard(docs, "doc_id", "text", pairs)
+    }),
+
+
+    // MinHash-LSH near-dups, portable md5 hashing end-to-end: candidate
+    // pairs AND Jaccard scores are hash-checked against a full DuckDB
+    // re-derivation (shingles → signatures → bands → verify). The
+    // xxhash64 fast path remains DedupOps.minhashNearDups.
+    "q25_minhash_neardups" -> ((s, d) =>
+      DedupOps.minhashNearDupsPortable(dupCorpus(Tables.documents(s, d)), "id", "text",
+        threshold = 0.7)),
+
+
+    // SimHash near-dups, portable 60-bit md5 sketches — oracle-checked;
+    // xxhash64 fast path remains DedupOps.simhashNearDups.
+    "q26_simhash_neardups" -> ((s, d) =>
+      DedupOps.simhashNearDupsPortable(dupCorpus(Tables.documents(s, d)), "id", "text")),
+
+
+    // Winnowing rolling-hash fingerprint overlap — hash-checked: the
+    // oracle expands the k=8 rolling hash to its closed-form 8-term
+    // polynomial per position (congruent mod 2^64 to the kernel's
+    // wrapping arithmetic) and replays the rightmost-min winnow with
+    // window functions.
+    "q50_fingerprint_overlap" -> ((s, d) =>
+      DedupOps.fingerprintOverlap(dupCorpus(Tables.documents(s, d)), "id", "text",
+        minContainment = 0.9)),
+
+
+    // Dedup cluster resolution: connected components (alternating
+    // large-star/small-star, O(log n) rounds) over the exact-dup edge
+    // graph. The oracle derives the same components directly from
+    // fingerprint groups — valid because on this graph a component IS a
+    // fingerprint group.
+    "q63_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val did = col("doc_id").cast("long")
+      val corpus = docs.select(did.as("id"), col("text"))
+        .unionByName(docs.select((did + 1000000L).as("id"), col("text")))
+      val fp = corpus.select(col("id"), T.fingerprint(col("text")).as("fp"))
+      val edges = fp.select(col("fp"), col("id").as("id_a"))
+        .join(fp.select(col("fp"), col("id").as("id_b")), "fp")
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      DedupOps.connectedComponents(edges, maxIter = 10)
+    }),
+
+
+    // End-to-end near-dup cluster resolution: portable MinHash pairs ->
+    // large-star/small-star components. Unlike q63 (whose oracle derives
+    // components from fingerprint groups), this oracle resolves the SAME
+    // pair graph with a recursive label closure — an independent
+    // cross-engine check of the components operator itself. Runs on a
+    // quarter slice (q25 already benches the full LSH; this prices the
+    // resolution step) with a collision-free +100000 dup-id offset.
+    "q81_neardup_clusters" -> ((s, d) => {
+      val base = Tables.documents(s, d).where(pmod(did, lit(4)) === 0)
+      val corpus = base.select(did.as("id"), col("text"))
+        .unionByName(base.select((did + 100000L).as("id"),
+          concat(col("text"), lit(" zzdup tail")).as("text")))
+      val pairs = DedupOps.minhashNearDupsPortable(corpus, "id", "text",
+        threshold = 0.7).select("id_a", "id_b")
+      DedupOps.connectedComponents(pairs)
+    }),
+
+
+    // Semantic dedup (SemDeDup shape): q27's embedding near-dup pair
+    // graph -> connected components -> keep the min-id representative
+    // per cluster; every vector gets a (cluster, keep) verdict,
+    // singletons keep themselves. The oracle resolves the same pair
+    // graph with a recursive label closure and left-joins it back to
+    // the corpus.
+    "q82_semantic_dedup" -> ((s, d) =>
+      DedupOps.semanticDedup(dupEmbeddings(Tables.embeddings(s, d)),
+        minCosine = 0.99)),
+
+
+    // Crawl-side URL canonicalization: four messy variants per doc
+    // (uppercase scheme/host + default port + tracking params + fragment;
+    // default https port + tracking; non-default port + trailing slash;
+    // scheme-less pass-through) normalize to stable dedup keys.
+    "q84_url_canon" -> ((s, d) => {
+      val messy = when(pmod(did, lit(4)) === 0,
+          concat(lit("HTTP://WWW.Ex.TEST:80/p"), sid, lit("/?utm_source=x&b=2&a=1#sec")))
+        .when(pmod(did, lit(4)) === 1,
+          concat(lit("https://Ex.Test:443/q"), sid, lit("?fbclid=abc&id="), sid))
+        .when(pmod(did, lit(4)) === 2,
+          concat(lit("https://cdn.ex.test:8443/r/"), sid, lit("/")))
+        .otherwise(concat(lit("files/data"), sid))
+      val canon = T.canonicalizeUrl(messy)
+      Tables.documents(s, d).select(did.as("doc_id"), messy.as("url"),
+        canon.as("canon_url"), T.urlHost(canon).as("host"))
+    }),
+
+
+    // Incremental ingest near-dup probe: a new batch (every 10th doc with
+    // a dup tail, plus genuinely novel docs) probed against the full
+    // corpus WITHOUT a corpus self-join. Each dup-arm doc must hit its
+    // origin; novel docs match nothing.
+    "q86_minhash_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tenth = docs.where(pmod(did, lit(10)) === 0)
+      val batch = tenth.select((did + 1000000L).as("id"),
+          concat(col("text"), lit(" zzdup tail")).as("text"))
+        .unionByName(tenth.select((did + 2000000L).as("id"),
+          concat(lit("totally novel content block number "), sid,
+            lit(" unseen tokens qqq www eee")).as("text")))
+      DedupOps.minhashProbe(docs.select(did.as("id"), col("text")), batch,
+        "id", "text", threshold = 0.7)
+    }),
+
+
+    // Canonical-document selection — the survivor policy that completes
+    // dedup: per exact-dup group (md5 of normalized text; every doc has
+    // a planted +1000000 twin), keep the highest-quality member, ties
+    // broken by lowest id. max_by over a (quality, -id) total order —
+    // partial-aggregating, no per-group window sort on the corpus.
+    "q111_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = docs.select(did.as("doc_id"), col("text"))
+        .unionByName(docs.select((did + 1000000L).as("doc_id"), col("text")))
+      val quality = TextAnalysisOps.qualityScore(c, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val ranked = c.select(col("doc_id"),
+          md5(lower(T.cleanText(col("text")))).as("fp"))
+        .join(quality, "doc_id")
+      val surv = ranked.groupBy("fp").agg(
+        max_by(col("doc_id"),
+          struct(col("quality"), (-col("doc_id")).as("negid"))).as("canonical_id"),
+        count(lit(1)).as("group_n"))
+      ranked.join(surv, "fp")
+        .select(col("doc_id"), col("canonical_id"), col("group_n"),
+          (col("doc_id") === col("canonical_id")).as("keep"))
+    }),
+
+
+    // Corpus-frequent n-gram exposure (repeated-span contamination, Lee
+    // et al. ACL 2022): every doc_id%4==0 doc gets a planted boilerplate
+    // footer, so its 5-grams are corpus-frequent (df ~ N/4) while
+    // organic 5-grams stay rare — the per-doc frequent fraction
+    // separates them. Shingles shuffle once; the frequent set is
+    // bounded by actual boilerplate volume.
+    "q123_ngram_contam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(did.as("doc_id"),
+        when(pmod(did, lit(4)) === 0,
+          concat(col("text"),
+            lit(" subscribe to our newsletter for daily updates today")))
+          .otherwise(col("text")).as("text"))
+      DedupOps.frequentShingleStats(corpus, "doc_id", "text",
+        shingleN = 5, minDf = 5)
+    }),
+
+
+    // EXACT similarity join via prefix filtering (PPJoin): candidates
+    // must share one of each doc's rarest (n - ceil(t*n) + 1) shingles
+    // — no LSH false negatives. The oracle knows nothing about prefixes
+    // (it joins ALL shared shingles), so a wrong prefix bound that
+    // drops a true pair cannot self-confirm.
+    "q131_prefix_join" -> ((s, d) =>
+      DedupOps.prefixFilterJoin(dupCorpus(Tables.documents(s, d)),
+        "id", "text", minJaccard = 0.7)),
+
+
+    // MinHash estimator-quality evaluation on the planted pairs: the
+    // fraction of matching signature positions (the LSH estimate)
+    // audited against exact Jaccard, all in integer basis points — the
+    // eval that justifies a numPerms/bands choice before trusting LSH
+    // at corpus scale (the q113-for-dedup).
+    "q135_minhash_eval" -> ((s, d) => {
+      val base = Tables.documents(s, d).where(pmod(did, lit(5)) === 0)
+      val corpus = base.select(did.as("id"), col("text"))
+        .unionByName(base.select((did + 1000L).as("id"),
+          concat(col("text"), lit(" zzdup tail")).as("text")))
+      val hs = DedupOps.hashedShingleRowsPortable(corpus, "id", "text", 3)
+      val sig = DedupOps.minhashSignatureRows(hs, 64)
+      val matches = sig.where(col("id") < 1000L)
+        .select(col("id").as("id_a"), col("i"), col("s").as("s_a"))
+        .join(sig.where(col("id") >= 1000L)
+          .select((col("id") - 1000L).as("id_a"), col("i"), col("s").as("s_b")),
+          Seq("id_a", "i"))
+        .groupBy("id_a")
+        .agg(sum(when(col("s_a") === col("s_b"), 1L).otherwise(0L)).as("n_match"))
+      val exact = hs.where(col("id") < 1000L)
+        .select(col("id").as("id_a"), col("hs").as("hs_a"))
+        .join(hs.where(col("id") >= 1000L)
+          .select((col("id") - 1000L).as("id_a"), col("hs").as("hs_b")), "id_a")
+        .select(col("id_a"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("m"),
+          size(col("hs_a")).cast("long").as("na"),
+          size(col("hs_b")).cast("long").as("nb"))
+      matches.join(exact, "id_a")
+        .select(col("id_a"), (col("id_a") + 1000L).as("id_b"), col("n_match"),
+          expr("(n_match * 10000) div 64").as("est_bp"),
+          expr("(m * 10000) div (na + nb - m)").as("exact_bp"),
+          abs(expr("(n_match * 10000) div 64") -
+            expr("(m * 10000) div (na + nb - m)")).as("err_bp"))
+    }),
+
+
+    // End-to-end entity resolution: blocked fuzzy pairs (q91 machinery)
+    // resolved to entity clusters by connected components (q63), each
+    // record labeled with its min-id canonical entity — the full record-
+    // linkage shape (block -> score -> cluster) in three composed
+    // operators. Singletons label themselves via the left join.
+    "q136_entity_resolution" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val all = sup.select(col("s_suppkey").as("id"), col("s_name").as("name"))
+        .unionByName(sup.select((col("s_suppkey") + 100000L).as("id"),
+          concat(substring(col("s_name"), 1, 9), lit("X"),
+            substring(col("s_name"), 11, 100)).as("name")))
+      val pairs = JoinOps.fuzzyJoin(all, all, "id", "name", "id", "name",
+          maxDist = 1, blockLen = 3)
+        .where(col("left_id") < col("right_id"))
+        .select(col("left_id").as("id_a"), col("right_id").as("id_b"))
+      val comps = DedupOps.connectedComponents(pairs)
+      all.select(col("id")).join(comps, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("entity"),
+          (coalesce(col("component"), col("id")) === col("id")).as("canonical"))
+    }),
+
+
+    // Telemetry dedup: keep the EARLIEST event per (user, type) within
+    // each 1-minute tumbling window — the batch twin of streaming
+    // ingest dedup for repeated beacons. One shuffle; per-window state
+    // bounded by the window.
+    "q138_event_dedup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")))
+        .orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+    }),
+
+
+    // Source-level overlap matrix: exact Jaccard between each source
+    // pair's 3-gram shingle SETS — the cross-dump redundancy check
+    // (CommonCrawl snapshots overlap heavily; this decides which dumps
+    // to keep) at source granularity: pairs are |sources|^2-bounded,
+    // never doc^2. Integer basis points.
+    "q155_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs0 = DedupOps.wordShingleRows(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", 3)
+      val srcSh = pairs0.join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .select(col("source"), explode(col("sh")).as("s"))
+        .select(col("source"),
+          graft.functions.HashFunctions.portableHash60(col("s")).as("h"))
+        .distinct()
+      val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = srcSh.select(col("source").as("src_a"), col("h"))
+        .join(srcSh.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("m"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("m"), col("na"), col("nb"),
+          expr("(m * 10000) div (na + nb - m)").as("jaccard_bp"))
+    }),
+
+
+    // LSH quality eval on the planted corpus: recall and precision of
+    // the q25 MinHash-LSH pairs against the EXACT prefix-filter join
+    // (q131) at the same threshold — the eval that justifies the
+    // banding choice (16 bands x 4 rows at t=0.7).
+    "q165_lsh_recall" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel
+      val corpus = dupCorpus(Tables.documents(s, d))
+      // ONE materialized shingle pass feeds both the exact join and
+      // the full LSH pipeline
+      val hs = graft.GraftCache.register(
+        DedupOps.hashedShingleRowsPortable(corpus, "id", "text", 3)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      // both pair sets feed two consumers (their count + the overlap
+      // count) — persist so neither pipeline runs twice
+      val exact = graft.GraftCache.register(
+        DedupOps.prefixFilterJoinFromHashes(hs, minJaccard = 0.7)
+          .select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK))
+      val cands = DedupOps.minhashCandidatesFromHashesPortable(hs)
+      val lsh = graft.GraftCache.register(cands
+        .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
+        .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
+        .where(graft.functions.HashFunctions.jaccard(col("sh_a"), col("sh_b")) >= 0.7)
+        .select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nC = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_common"))
+      nE.crossJoin(nL).crossJoin(nC)
+        .select(col("n_exact"), col("n_lsh"), col("n_common"),
+          expr("(n_common * 10000) div n_exact").as("recall_bp"),
+          expr("(n_common * 10000) div n_lsh").as("precision_bp"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q12_fingerprints" ->
+      s"""SELECT doc_id, md5(lower($cleanSql)) AS fingerprint FROM documents""",
+
+
+    "q13_exact_dedup" ->
+      s"""SELECT md5(lower($cleanSql)) AS fingerprint,
+         | min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1""".stripMargin,
+
+
+    // Full re-derivation of the portable MinHash-LSH pipeline: shingle
+    // hashes -> 64 affine permutations in 60-bit space -> 16 four-value
+    // band keys -> bucket-capped banded self-join -> exact Jaccard verify.
+    // Arithmetic parity: Spark computes (h*a+b) & (2^60-1) in wrapping
+    // 64-bit longs; low-bit truncation commutes with wraparound, so the
+    // HUGEINT mod-2^60 here produces identical values.
+    "q25_minhash_neardups" ->
+      s"""WITH ${minhashLshCtes("TRUE", 1000L)}
+         |SELECT i.id_a, i.id_b,
+         | floor((CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.id = i.id_a
+         |JOIN sizes sb ON sb.id = i.id_b
+         |WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7""".stripMargin,
+
+
+    // Portable 60-bit SimHash: per-token md5 hash votes on 60 counters,
+    // 4x15-bit bands, exact hamming verify. Tokenless docs sketch to
+    // all-ones (counter 0 >= 0 sets every bit) — mirrored by the
+    // coalesce.
+    "q26_simhash_neardups" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
+         |t AS (SELECT id, $toksSql AS toks FROM corpus),
+         |tok AS (SELECT id, unnest(toks) AS tk FROM t),
+         |th AS (SELECT id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+         |bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+         |votes AS (SELECT th.id, bits.b,
+         |  sum(CASE WHEN (th.h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         | FROM th, bits GROUP BY th.id, bits.b),
+         |sk0 AS (SELECT id,
+         |  CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+         | FROM votes GROUP BY id),
+         |sk AS (SELECT corpus.id, coalesce(sk0.sh, 1152921504606846975) AS sh
+         | FROM corpus LEFT JOIN sk0 ON corpus.id = sk0.id),
+         |b4 AS (SELECT unnest([0, 1, 2, 3]) AS band),
+         |banded AS (SELECT sk.id, sk.sh, b4.band,
+         |  (sk.sh >> (b4.band * 15)) & 32767 AS bk FROM sk, b4),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.sh AS sh_a, y.sh AS sh_b
+         | FROM banded x JOIN banded y ON x.band = y.band AND x.bk = y.bk
+         | WHERE x.id < y.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
+
+
+    "q24_pairwise_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+         | FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | floor((CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) END) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+         |WHERE a.doc_id % 5 = 0""".stripMargin,
+
+
+    // Winnowing re-derived: char codes -> closed-form degree-7 polynomial
+    // hash per position (coefficients are B^e mod 2^64 as SIGNED
+    // literals; products/sums in HUGEINT stay congruent mod 2^64, then
+    // reduce to the kernel's signed Long value), rolling 4-window min
+    // with the rightmost-min tie-break via max(position) at the window
+    // minimum, then the same posting-cap + containment math as the
+    // kernel. Window starts: every full window plus position 1 (the
+    // kernel's short-text case).
+    "q50_fingerprint_overlap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
+        |cl AS (SELECT id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM corpus),
+        |lens AS (SELECT id, t, len(t) AS L FROM cl WHERE len(t) >= 8),
+        |chars AS (SELECT id, i, ord(t[i:i]) AS c
+        |  FROM (SELECT id, t, unnest(range(1, L + 1)) AS i FROM lens)),
+        |poly AS (SELECT id, i,
+        |   c::HUGEINT * (-5522125492475424181)::HUGEINT
+        | + lead(c, 1) OVER w * (-7523229268483095719)::HUGEINT
+        | + lead(c, 2) OVER w * (-3993531167153147853)::HUGEINT
+        | + lead(c, 3) OVER w * (-4442925868394654895)::HUGEINT
+        | + lead(c, 4) OVER w * 1000009000027000027::HUGEINT
+        | + lead(c, 5) OVER w * 1000006000009::HUGEINT
+        | + lead(c, 6) OVER w * 1000003::HUGEINT
+        | + lead(c, 7) OVER w * 1::HUGEINT AS s
+        | FROM chars
+        | WINDOW w AS (PARTITION BY id ORDER BY i)),
+        |hs AS (SELECT id, i,
+        |  (CASE WHEN nn >= 9223372036854775808::HUGEINT THEN nn - 18446744073709551616::HUGEINT ELSE nn END)::BIGINT AS h
+        | FROM (SELECT id, i,
+        |   ((s % 18446744073709551616::HUGEINT) + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT AS nn
+        |  FROM poly WHERE s IS NOT NULL)),
+        |win AS (SELECT id, i,
+        |   min(h) OVER fr AS wmin, count(*) OVER fr AS wcnt
+        | FROM hs
+        | WINDOW fr AS (PARTITION BY id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+        |starts AS (SELECT id, i AS j, wmin FROM win WHERE wcnt = 4 OR i = 1),
+        |picks AS (SELECT s.id, s.j, max(p.i) AS pick FROM starts s JOIN hs p
+        |  ON p.id = s.id AND p.i >= s.j AND p.i <= s.j + 3 AND p.h = s.wmin GROUP BY s.id, s.j),
+        |fp AS (SELECT DISTINCT h.id, h.h AS fpv FROM picks JOIN hs h ON h.id = picks.id AND h.i = picks.pick),
+        |common AS (SELECT fpv FROM fp GROUP BY fpv HAVING count(*) > 100),
+        |rare AS (SELECT f.id, f.fpv FROM fp f WHERE f.fpv NOT IN (SELECT fpv FROM common)),
+        |sizes AS (SELECT id, count(*) AS nfp FROM rare GROUP BY id),
+        |shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fingerprints
+        |  FROM rare a JOIN rare b ON a.fpv = b.fpv AND a.id < b.id GROUP BY a.id, b.id),
+        |r AS (SELECT s.id_a, s.id_b, s.shared_fingerprints,
+        |  floor((s.shared_fingerprints::DOUBLE / least(sa.nfp, sb.nfp)) * 10000 + 0.5) / 10000 AS containment
+        | FROM shared s JOIN sizes sa ON sa.id = s.id_a JOIN sizes sb ON sb.id = s.id_b)
+        |SELECT id_a, id_b, shared_fingerprints, containment FROM r
+        |WHERE containment >= 0.9""".stripMargin,
+
+
+    // On the exact-dup graph every component equals its fingerprint
+    // group, so min-per-group is the expected label assignment.
+    "q63_components" ->
+      s"""WITH c AS (
+         | SELECT doc_id AS id, text FROM documents
+         | UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |f AS (SELECT id, md5(lower($cleanSql)) AS fp FROM c),
+         |g AS (SELECT fp, min(id) AS component, count(*) AS n
+         |      FROM f GROUP BY fp)
+         |SELECT f.id, g.component FROM f JOIN g USING (fp) WHERE g.n > 1""".stripMargin,
+
+
+    // q25's pair graph resolved to components by a monotone label
+    // closure: a label walks an edge only onto a larger node, so the
+    // closure is finite (UNION dedups states) and every node's min
+    // reachable label is its component min.
+    "q81_neardup_clusters" ->
+      s"""WITH RECURSIVE ${minhashLshCtes("doc_id % 4 = 0", 100000L)},
+         |jp AS (SELECT i.id_a, i.id_b
+         | FROM inter i
+         | JOIN sizes sa ON sa.id = i.id_a
+         | JOIN sizes sb ON sb.id = i.id_b
+         | WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7),
+         |symx AS (SELECT id_a AS a, id_b AS b FROM jp
+         |  UNION SELECT id_b, id_a FROM jp),
+         |nodesx AS (SELECT DISTINCT a AS id FROM symx),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodesx
+         |  UNION
+         |  SELECT s2.b AS id, r.lbl FROM reach r JOIN symx s2 ON s2.a = r.id
+         |  WHERE r.lbl < s2.b)
+         |SELECT id, min(lbl) AS component FROM reach GROUP BY id""".stripMargin,
+
+
+    // q27's pair graph resolved to semantic clusters by the same monotone
+    // label closure as q81, left-joined back to the full corpus so
+    // singletons label (and keep) themselves.
+    "q82_semantic_dedup" ->
+      s"""WITH RECURSIVE $embeddingPairCtes,
+         |jp AS (SELECT id_a, id_b FROM r WHERE sim >= 0.99),
+         |symx AS (SELECT id_a AS a, id_b AS b FROM jp
+         |  UNION SELECT id_b, id_a FROM jp),
+         |nodesx AS (SELECT DISTINCT a AS id FROM symx),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodesx
+         |  UNION
+         |  SELECT s2.b AS id, r2.lbl FROM reach r2 JOIN symx s2 ON s2.a = r2.id
+         |  WHERE r2.lbl < s2.b),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+         |SELECT c.id, coalesce(cp.component, c.id) AS cluster,
+         | (coalesce(cp.component, c.id) = c.id) AS keep
+         |FROM corpus c LEFT JOIN comp cp ON cp.id = c.id""".stripMargin,
+
+
+    // The same canon chain step by step: fragment strip, scheme/host
+    // lowercase, default-port drop, tracking-param filter + sort,
+    // non-root trailing-slash strip; scheme-less urls pass through.
+    "q84_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 4
+        |   WHEN 0 THEN 'HTTP://WWW.Ex.TEST:80/p' || CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=2&a=1#sec'
+        |   WHEN 1 THEN 'https://Ex.Test:443/q' || CAST(doc_id AS VARCHAR) || '?fbclid=abc&id=' || CAST(doc_id AS VARCHAR)
+        |   WHEN 2 THEN 'https://cdn.ex.test:8443/r/' || CAST(doc_id AS VARCHAR) || '/'
+        |   ELSE 'files/data' || CAST(doc_id AS VARCHAR) END AS url
+        | FROM documents),
+        |p AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |q AS (SELECT doc_id, url, nofrag,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p),
+        |h AS (SELECT doc_id, url, nofrag, scheme, rest,
+        |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        |  regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '(.)/$', '\1') AS path,
+        |  list_sort(list_filter(string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$'))) AS params
+        | FROM q),
+        |c AS (SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN url ELSE
+        |   scheme || '://' ||
+        |   (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |     ELSE hostport END) || path ||
+        |   (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
+        |  END AS canon_url
+        | FROM h)
+        |SELECT doc_id, url, canon_url,
+        | regexp_replace(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)', 1), '^www\.', '') AS host
+        |FROM c""".stripMargin,
+
+
+    // The asymmetric (side-tagged) variant of the q25 LSH chain: corpus
+    // and batch share one signature derivation; the bucket guard counts
+    // CORPUS rows only; candidates join corpus x batch, never self.
+    "q86_minhash_probe" -> minhashProbeSql(
+      s"""  SELECT 'c' AS side, doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT 'b', doc_id + 1000000, text || ' zzdup tail'
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT 'b', doc_id + 2000000,
+         |    'totally novel content block number ' || CAST(doc_id AS VARCHAR) || ' unseen tokens qqq www eee'
+         |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+
+
+    // Same survivor policy: rank within each fingerprint group by
+    // (quality desc, id asc); rk = 1 is the canonical member.
+    "q111_canonical" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |${qualityCtesFrom("corpus")},
+         |qs AS (SELECT doc_id, $qualityExprSql AS quality FROM m),
+         |f AS (SELECT c.doc_id, md5(lower($cleanSql)) AS fp, qs.quality
+         | FROM corpus c JOIN qs ON qs.doc_id = c.doc_id),
+         |r AS (SELECT doc_id, fp,
+         |  row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY fp) AS group_n FROM f),
+         |s AS (SELECT fp, doc_id AS canonical_id FROM r WHERE rk = 1)
+         |SELECT r.doc_id, s.canonical_id, CAST(r.group_n AS BIGINT) AS group_n,
+         | r.doc_id = s.canonical_id AS keep
+         |FROM r JOIN s ON s.fp = r.fp""".stripMargin,
+
+
+    // Same planted boilerplate, same 5-gram shingling as the minhash
+    // chain (1-based inclusive slices), integer basis points.
+    "q123_ngram_contam" ->
+      s"""WITH corpus AS (SELECT doc_id AS id,
+         |  CASE WHEN doc_id % 4 = 0
+         |   THEN text || ' subscribe to our newsletter for daily updates today'
+         |   ELSE text END AS text
+         | FROM documents),
+         |t AS (SELECT id, $toksSql AS toks FROM corpus),
+         |shl AS (SELECT id, CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(toks) - 3),
+         |    i -> array_to_string(toks[i:i+4], ' ')) END AS shs FROM t),
+         |sh AS (SELECT DISTINCT id, unnest(shs) AS s FROM shl),
+         |dfq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 5),
+         |tot AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY 1),
+         |nf AS (SELECT sh.id, count(*) AS n_frequent FROM sh
+         | JOIN dfq USING (s) GROUP BY 1)
+         |SELECT c.id,
+         | CAST(coalesce(tot.n_shingles, 0) AS BIGINT) AS n_shingles,
+         | CAST(coalesce(nf.n_frequent, 0) AS BIGINT) AS n_frequent,
+         | CAST(CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0
+         |  ELSE (coalesce(nf.n_frequent, 0) * 10000) // tot.n_shingles
+         |  END AS BIGINT) AS frequent_bp,
+         | CAST(CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0
+         |  ELSE (coalesce(nf.n_frequent, 0) * 10000) // tot.n_shingles
+         |  END AS BIGINT) >= 5000 AS flagged
+         |FROM corpus c
+         |LEFT JOIN tot ON tot.id = c.id
+         |LEFT JOIN nf ON nf.id = c.id""".stripMargin,
+
+
+    // Brute-force exact Jaccard over ALL shared-shingle pairs — no
+    // prefix logic, so the oracle independently certifies the prefix
+    // filter's no-false-negative guarantee on this corpus.
+    "q131_prefix_join" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' FROM documents),
+         |t AS (SELECT id, $toksSql AS toks FROM corpus),
+         |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' ')) END AS shs FROM t),
+         |sh AS (SELECT DISTINCT id,
+         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         | FROM (SELECT id, unnest(shs) AS s FROM shl)),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS m
+         | FROM sh a JOIN sh b ON b.h = a.h AND b.id > a.id GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         | floor((CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.id = i.id_a
+         |JOIN sizes sb ON sb.id = i.id_b
+         |WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7""".stripMargin,
+
+
+    // The q25 signature chain restricted to the planted pairs; the
+    // estimate (matching positions / 64) audited against exact Jaccard.
+    "q135_minhash_eval" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
+         |corpus AS (SELECT id, text FROM base
+         | UNION ALL SELECT id + 1000, text || ' zzdup tail' FROM base),
+         |t AS (SELECT id, $toksSql AS toks FROM corpus),
+         |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' ')) END AS shs FROM t),
+         |sh AS (SELECT DISTINCT id,
+         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         | FROM (SELECT id, unnest(shs) AS s FROM shl)),
+         |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |perms AS (SELECT i,
+         |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
+         |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
+         | FROM pidx),
+         |sig AS (SELECT sh.id, perms.i,
+         |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
+         | FROM sh, perms GROUP BY 1, 2),
+         |mm AS (SELECT a.id AS id_a,
+         |  CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         | FROM sig a JOIN sig b ON b.i = a.i AND b.id = a.id + 1000
+         | WHERE a.id < 1000 GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, CAST(count(*) AS BIGINT) AS m
+         | FROM sh a JOIN sh b ON b.h = a.h AND b.id = a.id + 1000
+         | WHERE a.id < 1000 GROUP BY 1),
+         |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+         |SELECT mm.id_a, mm.id_a + 1000 AS id_b, mm.n_match,
+         | (mm.n_match * 10000) // 64 AS est_bp,
+         | (coalesce(i.m, 0) * 10000) // (sa.n + sb.n - coalesce(i.m, 0)) AS exact_bp,
+         | abs((mm.n_match * 10000) // 64
+         |   - (coalesce(i.m, 0) * 10000) // (sa.n + sb.n - coalesce(i.m, 0))) AS err_bp
+         |FROM mm
+         |LEFT JOIN inter i ON i.id_a = mm.id_a
+         |JOIN sizes sa ON sa.id = mm.id_a
+         |JOIN sizes sb ON sb.id = mm.id_a + 1000""".stripMargin,
+
+
+    // Same blocking + distance (q91), then the q81 monotone label
+    // closure; singletons self-label through the left join.
+    "q136_entity_resolution" ->
+      """WITH RECURSIVE sup AS (
+        |  SELECT s_suppkey AS id, s_name AS name FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, substr(s_name, 1, 9) || 'X' || substr(s_name, 11)
+        |  FROM supplier),
+        |jp AS (SELECT a.id AS id_a, b.id AS id_b FROM sup a JOIN sup b
+        |  ON right(a.name, 3) = right(b.name, 3)
+        |  AND abs(len(a.name) - len(b.name)) <= 1
+        |  AND a.id < b.id
+        | WHERE levenshtein(a.name, b.name) <= 1),
+        |symx AS (SELECT id_a AS a, id_b AS b FROM jp
+        |  UNION SELECT id_b, id_a FROM jp),
+        |nodesx AS (SELECT DISTINCT a AS id FROM symx),
+        |reach AS (
+        |  SELECT id, id AS lbl FROM nodesx
+        |  UNION
+        |  SELECT s2.b AS id, r.lbl FROM reach r JOIN symx s2 ON s2.a = r.id
+        |  WHERE r.lbl < s2.b),
+        |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        |SELECT s.id, coalesce(c.component, s.id) AS entity,
+        | s.id = coalesce(c.component, s.id) AS canonical
+        |FROM sup s LEFT JOIN comp c ON c.id = s.id""".stripMargin,
+
+
+    "q138_event_dedup" ->
+      """WITH r AS (SELECT event_id, user_id, event_type, ts,
+        |  row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+        |    ORDER BY ts, event_id) AS rn
+        | FROM events)
+        |SELECT event_id, user_id, event_type,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+        |FROM r WHERE rn = 1""".stripMargin,
+
+
+    // Same 3-gram shingling (q25 chain), distinct per SOURCE, pairwise
+    // exact Jaccard over md5 hashes.
+    "q155_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |shl AS (SELECT doc_id, source,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |   ELSE list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs FROM t),
+         |sh AS (SELECT DISTINCT source,
+         |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         | FROM (SELECT source, unnest(shs) AS s FROM shl)),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS m
+         | FROM sh a JOIN sh b ON b.h = a.h AND b.source > a.source GROUP BY 1, 2)
+         |SELECT i.src_a, i.src_b, i.m, sa.n AS na, sb.n AS nb,
+         | (i.m * 10000) // (sa.n + sb.n - i.m) AS jaccard_bp
+         |FROM inter i
+         |JOIN sizes sa ON sa.source = i.src_a
+         |JOIN sizes sb ON sb.source = i.src_b""".stripMargin,
+
+
+    // LSH chain (q25) and exact brute-force chain (q131, x-prefixed)
+    // side by side, reduced to recall/precision.
+    "q165_lsh_recall" ->
+      s"""WITH ${minhashLshCtes("TRUE", 1000L)},
+         |lshp AS (SELECT i.id_a, i.id_b FROM inter i
+         | JOIN sizes sa ON sa.id = i.id_a
+         | JOIN sizes sb ON sb.id = i.id_b
+         | WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7),
+         |xsh AS (SELECT id, h FROM sh),
+         |xinter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS m
+         | FROM xsh a JOIN xsh b ON b.h = a.h AND b.id > a.id GROUP BY 1, 2),
+         |exactp AS (SELECT i.id_a, i.id_b FROM xinter i
+         | JOIN sizes sa ON sa.id = i.id_a
+         | JOIN sizes sb ON sb.id = i.id_b
+         | WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exactp),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lshp),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+         | FROM exactp e JOIN lshp l ON l.id_a = e.id_a AND l.id_b = e.id_b)
+         |SELECT n_exact, n_lsh, n_common,
+         | (n_common * 10000) // n_exact AS recall_bp,
+         | (n_common * 10000) // n_lsh AS precision_bp
+         |FROM ne CROSS JOIN nl CROSS JOIN nc""".stripMargin,
+  )
+}

@@ -1,0 +1,395 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.ParsePipeline.PageHtml
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared fixtures for the per-family query modules: deterministic
+  * synthetic-input builders (mirrored literally in the oracle SQL) and the
+  * DuckDB SQL fragments shared by multiple oracle entries. Moved verbatim
+  * from the pre-split SparkEntry.scala — entry/oracle text is unchanged.
+  */
+object Fixtures {
+
+
+  private[graft] def did = col("doc_id")
+  private[graft] def sid = col("doc_id").cast("string")
+
+  /** One materialized IVF index per sf dir per JVM (q58): the index is
+    * corpus state — building it inside every query run would charge the
+    * one-time build cost to every probe measurement.
+    */
+  private[graft] val ivfIndexCache =
+    scala.collection.mutable.Map.empty[String, (String, Seq[(Long, Seq[Double])])]
+
+  // ---- synthetic input builders (mirrored literally in the oracle SQL) ----
+
+  /** Deterministic URL variants exercising every filenameFromUrl branch. */
+  private[graft] def testUrl: Column =
+    when(pmod(did, lit(4)) === 0, concat(lit("https://x.test/docs/file_"), sid, lit(".pdf?x=1")))
+      .when(pmod(did, lit(4)) === 1, concat(lit("https://x.test/d/report "), sid, lit(".XLSX")))
+      .when(pmod(did, lit(4)) === 2, concat(lit("https://x.test/plain/"), sid))
+      .otherwise(concat(lit("files/data"), sid))
+
+  /** Deterministic URL variants exercising every extensionFromUrl branch. */
+  private[graft] def extUrl: Column =
+    when(pmod(did, lit(5)) === 0, concat(lit("https://x.test/a/file"), sid, lit(".pdf")))
+      .when(pmod(did, lit(5)) === 1, concat(lit("https://x.test/b/file"), sid, lit(".xlsx?v=2")))
+      .when(pmod(did, lit(5)) === 2, concat(lit("https://x.test/c/FILE"), sid, lit(".XLS")))
+      .when(pmod(did, lit(5)) === 3, lit("https://x.test/download?fmt=xlsheet"))
+      .otherwise(lit("https://x.test/download/plain"))
+
+  private[graft] def archSample: Column =
+    element_at(
+      array(lit("Archived Product"), lit("Non-Archived item"),
+        lit("non archived thing"), lit("Regular entry")),
+      (pmod(did, lit(4)) + 1).cast("int"))
+
+  /** documents ∪ near-duplicate copies (id+1000, two tokens appended) —
+    * gives the near-dup detectors a deterministic positive set.
+    */
+  private[graft] def dupCorpus(docs: DataFrame): DataFrame =
+    docs.select(did.as("id"), col("text"))
+      .unionByName(docs.select((did + 1000).as("id"),
+        concat(col("text"), lit(" zzdup tail")).as("text")))
+
+  /** embeddings ∪ scaled copies (id+1000, ×1.001) — cosine ≈ 1 pairs. */
+  private[graft] def dupEmbeddings(emb: DataFrame): DataFrame =
+    emb.unionByName(emb.select(
+      (col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"),
+      col("label")))
+
+  // ---- HTML round-trip fixtures: build a one-row page per document,
+  //      parse it back through the full G1-G4 + P* + F* pipeline ----
+
+  private[graft] def td(c: Column) = concat(lit("<td>"), c, lit("</td>"))
+
+  private[graft] def pageDs(s: SparkSession, cells: Seq[Column], productType: String,
+                     docs: DataFrame): Dataset[PageHtml] = {
+    val row = concat((lit("<tr>") +: cells.map(td)) :+ lit("</tr>"): _*)
+    val html = concat(lit("<table class='data table'><tbody>"), row,
+      lit("</tbody></table>"))
+    docs.select(lit(productType).as("productType"),
+        did.cast("int").as("page"), html.as("html"))
+      .as(Encoders.product[PageHtml])
+  }
+
+  private[graft] def lifePages(s: SparkSession, dir: String): Dataset[PageHtml] = {
+    val docs = Tables.documents(s, dir)
+    val cells = Seq(
+      lit("<input type='checkbox'/>"),
+      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
+      concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
+      concat(lit("Ins "), col("source")),
+      concat(lit("Prod "), sid),
+      concat(lit("UIN"), sid),
+      lit("TypeA"), lit(""), lit(""),
+      lit("P"), lit("Par"), lit("Ind"),
+      when(pmod(did, lit(3)) === 0, "").otherwise(concat(lit("rem "), sid)),
+      concat(lit("<a href='/documents/doc"), sid, lit(".pdf'>Doc "), sid, lit("</a>")))
+    pageDs(s, cells, "life", docs)
+  }
+
+  private[graft] def healthPages(s: SparkSession, dir: String): Dataset[PageHtml] = {
+    val docs = Tables.documents(s, dir)
+    val cells = Seq(
+      lit("<input type='checkbox'/>"),
+      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
+      concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
+      concat(lit("Ins "), col("source")),
+      concat(lit("HUIN"), sid),
+      concat(lit("HProd "), sid),
+      when(pmod(did, lit(4)) === 0, "").otherwise(lit("2020-01-15")),
+      when(pmod(did, lit(5)) === 0, lit(""))
+        .otherwise(concat(lit("<a href='/documents/h"), sid, lit(".pdf'>H</a>"))),
+      lit("TypeH"))
+    pageDs(s, cells, "health", docs)
+  }
+
+  private[graft] def nonlifePages(s: SparkSession, dir: String): Dataset[PageHtml] = {
+    val docs = Tables.documents(s, dir)
+    val cells = Seq(
+      lit("<input type='checkbox'/>"),
+      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
+      when(pmod(did, lit(6)) === 0, "").otherwise(sid),
+      concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
+      concat(lit("GIns "), col("source")),
+      concat(lit("NProd "), sid),
+      lit("Motor"),
+      concat(lit("NL-"), sid),
+      when(pmod(did, lit(4)) === 0, "").otherwise(lit("2021-03-31")),
+      concat(lit("<a href='/documents/n"), sid, lit(".xlsx'>NL Doc "), sid, lit("</a>")))
+    pageDs(s, cells, "nonlife", docs)
+  }
+
+  /** life_list pages exercising the X2 onclick fallback on every third row. */
+  private[graft] def lifeListPages(s: SparkSession, dir: String): Dataset[PageHtml] = {
+    val docs = Tables.documents(s, dir)
+    val linkCell = when(pmod(did, lit(3)) === 0,
+        concat(lit("<span onclick=\"window.open('/files/w"), sid, lit(".xlsx')\">view</span>")))
+      .otherwise(concat(lit("<a href='/documents/l"), sid, lit(".pdf'>List Doc "), sid, lit("</a>")))
+    val cells = Seq(
+      lit("<input type='checkbox'/>"),
+      when(pmod(did, lit(2)) === 0, "Non-Archived").otherwise("Archived"),
+      concat(lit("Product list "), sid),
+      when(pmod(did, lit(4)) === 0, "").otherwise(lit("01-01-2024")),
+      when(pmod(did, lit(5)) === 0, "").otherwise(concat(lit("sub "), sid)),
+      linkCell)
+    pageDs(s, cells, "life_list", docs)
+  }
+
+
+
+  // ---- DuckDB oracle SQL (same parquet tables registered by name) ----
+
+  /** Shared SQL fragments (DuckDB dialect; note regexp_replace needs 'g'). */
+  private[graft] val cleanSql = """trim(regexp_replace(text, '\s+', ' ', 'g'))"""
+  private[graft] val toksSql =
+    s"""CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+       | ELSE string_split($cleanSql, ' ') END""".stripMargin
+
+  /** q15's tokenize/measure CTE chain (`t`, `m`) and the rounded quality
+    * composite — shared by q15, the q96 per-source top-k, and q111's
+    * survivor selection (which scores a doubled corpus via `src`).
+    */
+  private[graft] def qualityCtesFrom(src: String): String =
+    s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
+       |m AS (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len(toks) = 0 THEN 0.0
+       |   ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks) END AS mtl,
+       |  CASE WHEN len(toks) = 0 THEN 0.0
+       |   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) END AS swr,
+       |  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
+       |   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS pr
+       | FROM t)""".stripMargin
+
+  private[graft] val qualityCtes: String = qualityCtesFrom("documents")
+
+  /** q28's brute-force cosine chain as CTEs `{pfx}q/{pfx}c/{pfx}s/
+    * {pfx}r/{pfx}w` — `{pfx}w` holds (qid, nid, sim, rk) ranked by the
+    * ROUNDED sim (matching the Spark operators' tie behavior). Shared
+    * by q28 (full corpus), q108 (filtered corpus), and q113 (exact
+    * ground-truth side, `e` prefix to avoid clashing with the IVF
+    * chain).
+    */
+  private[graft] def cosineTopKCtes(pfx: String, corpusWhere: String): String =
+    s"""${pfx}q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |${pfx}c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE $corpusWhere),
+       |${pfx}s AS (SELECT qid, nid,
+       |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
+       |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
+       |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
+       | FROM ${pfx}c CROSS JOIN ${pfx}q WHERE qid <> nid),
+       |${pfx}r AS (SELECT qid, nid,
+       |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM ${pfx}s),
+       |${pfx}w AS (SELECT qid, nid, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM ${pfx}r)""".stripMargin
+
+  /** q30's IVF chain (centroid assignment → nprobe probe → cosine →
+    * rank) as CTEs `cent/ad/a/pd/p/s/r/w` — shared by q30 and q113's
+    * approximate side.
+    */
+  private[graft] val ivfTopKCtes: String =
+    """cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      |ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
+      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |   list_sum(list_transform(list_zip(e.embedding, c.cv),
+      |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+      | FROM embeddings e CROSS JOIN cent c),
+      |a AS (SELECT nid, nv, cid FROM ad WHERE rn = 1),
+      |pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+      |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |   list_sum(list_transform(list_zip(q.embedding, c.cv),
+      |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+      | FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8),
+      |p AS (SELECT qid, qv, cid FROM pd WHERE rn <= 4),
+      |s AS (SELECT p.qid, a.nid,
+      |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
+      |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
+      |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
+      | FROM a JOIN p ON a.cid = p.cid WHERE p.qid <> a.nid),
+      |r AS (SELECT qid, nid,
+      |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
+      |w AS (SELECT qid, nid, sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)""".stripMargin
+
+  /** The asymmetric (side-tagged) LSH probe chain: one signature
+    * derivation over `allDocs` (must yield side 'c' = corpus / 'b' =
+    * batch with columns side, id, text), corpus-only bucket guard,
+    * corpus x batch candidates (never self), candidate-bounded Jaccard
+    * verify at 0.7. Shared by q86 (ingest batch vs corpus) and q112
+    * (test split vs train split).
+    */
+  private[graft] def minhashProbeSql(allDocs: String): String =
+    s"""WITH all_docs AS (
+       |$allDocs),
+       |t AS (SELECT side, id, $toksSql AS toks FROM all_docs),
+       |shl AS (SELECT side, id,
+       |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |   ELSE list_transform(range(1, len(toks) - 1),
+       |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs
+       | FROM t),
+       |shu AS (SELECT side, id, unnest(shs) AS s FROM shl),
+       |sh AS (SELECT DISTINCT side, id,
+       |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shu),
+       |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
+       |perms AS (SELECT i,
+       |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
+       |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
+       | FROM pidx),
+       |sig AS (SELECT sh.side, sh.id, perms.i,
+       |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
+       | FROM sh, perms GROUP BY sh.side, sh.id, perms.i),
+       |bandkey AS (SELECT side, id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
+       | FROM sig GROUP BY side, id, i // 4),
+       |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey WHERE side = 'c' GROUP BY band, bk),
+       |cand AS (SELECT DISTINCT y.id AS batch_id, x.id AS corpus_id
+       | FROM bandkey x
+       | JOIN bandkey y ON x.band = y.band AND x.bk = y.bk
+       | JOIN bsz ON bsz.band = x.band AND bsz.bk = x.bk
+       | WHERE x.side = 'c' AND y.side = 'b' AND bsz.n <= 1000),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.batch_id, c.corpus_id, count(*) AS m
+       | FROM cand c
+       | JOIN sh x ON x.id = c.corpus_id
+       | JOIN sh y ON y.id = c.batch_id AND y.h = x.h
+       | GROUP BY c.batch_id, c.corpus_id)
+       |SELECT i.batch_id, i.corpus_id,
+       | floor((CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
+       |FROM inter i
+       |JOIN sizes sb ON sb.id = i.batch_id
+       |JOIN sizes sc ON sc.id = i.corpus_id
+       |WHERE CAST(i.m AS DOUBLE) / (sb.n + sc.n - i.m) >= 0.7""".stripMargin
+
+  private[graft] val qualityExprSql: String =
+    """floor(greatest(0.0, least(1.0,
+      |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+      |   + least(swr * 5.0, 1.0) * 0.3
+      |   + (1.0 - least(pr * 10.0, 1.0)) * 0.2)) * 10000 + 0.5) / 10000""".stripMargin
+
+  /** q27's portable hyperplane-LSH embedding pipeline as a reusable CTE
+    * chain ending in `r(id_a, id_b, sim)` — q27 selects the pairs, q82
+    * resolves the same pair graph into semantic clusters. Also defines
+    * `corpus(id, v)`, which q82's final labeling joins back to.
+    */
+  private[graft] val embeddingPairCtes: String =
+    """corpus AS (
+      |  SELECT vec_id AS id, embedding AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000 AS id,
+      |    list_transform(embedding, x -> CAST(CAST(x AS REAL) * CAST(1.001 AS REAL) AS REAL)) AS v
+      |  FROM embeddings),
+      |pj AS (SELECT unnest(generate_series(0, 15)) AS j),
+      |pk AS (SELECT unnest(generate_series(0, 63)) AS k),
+      |pl AS (SELECT j, k,
+      |  (('0x' || substr(md5('graft_plane_' || CAST(j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+      |    / 576460752303423488.0 - 1.0 AS w
+      | FROM pj, pk),
+      |plv AS (SELECT j, list(w ORDER BY k) AS pv FROM pl GROUP BY j),
+      |dots AS (SELECT c.id, c.v, p.j,
+      |  list_sum(list_transform(list_zip(c.v, p.pv), q -> q[1]::DOUBLE * q[2]::DOUBLE)) AS dp
+      | FROM corpus c CROSS JOIN plv p),
+      |bk AS (SELECT id, any_value(v) AS v,
+      |  CAST(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+      | FROM dots GROUP BY id),
+      |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+      | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id),
+      |s AS (SELECT id_a, id_b,
+      |  list_sum(list_transform(list_zip(va, vb), q -> q[1]::DOUBLE * q[2]::DOUBLE)) AS dp,
+      |  sqrt(list_sum(list_transform(list_zip(va, va), q -> q[1]::DOUBLE * q[2]::DOUBLE))) AS na,
+      |  sqrt(list_sum(list_transform(list_zip(vb, vb), q -> q[1]::DOUBLE * q[2]::DOUBLE))) AS nb
+      | FROM pairs),
+      |r AS (SELECT id_a, id_b,
+      |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim
+      | FROM s)""".stripMargin
+
+  /** [[graft.functions.Bpe.ToyMerges]] as a DuckDB literal ('a b' strings
+    * in priority order; list_position = rank + 1).
+    */
+  private[graft] val bpeMergesLit: String =
+    graft.functions.Bpe.ToyMerges
+      .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
+
+  /** The portable MinHash-LSH pipeline as a CTE chain ending in
+    * `inter` (shared intersection counts) + `sizes` — q25 selects the
+    * verified pairs from it; q81 feeds those pairs into the component
+    * closure over a corpus SLICE (cheaper bench input; the +100000
+    * offset keeps dup ids collision-free within the slice). Arithmetic
+    * parity notes at the q25 entry.
+    */
+  private[graft] def minhashLshCtes(where: String, offset: Long): String =
+    s"""corpus AS (
+       |  SELECT doc_id AS id, text FROM documents WHERE $where
+       |  UNION ALL
+       |  SELECT doc_id + $offset AS id, text || ' zzdup tail' AS text
+       |  FROM documents WHERE $where),
+       |t AS (SELECT id, $toksSql AS toks FROM corpus),
+       |shl AS (SELECT id,
+       |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |   ELSE list_transform(range(1, len(toks) - 1),
+       |     i -> array_to_string(toks[i:i+2], ' ')) END AS shs
+       | FROM t),
+       |shu AS (SELECT id, unnest(shs) AS s FROM shl),
+       |sh AS (SELECT DISTINCT id,
+       |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shu),
+       |pidx AS (SELECT unnest(generate_series(0, 63)) AS i),
+       |perms AS (SELECT i,
+       |  ('0x' || substr(md5('graft_perm_a_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1 AS a,
+       |  ('0x' || substr(md5('graft_perm_b_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS b
+       | FROM pidx),
+       |sig AS (SELECT sh.id, perms.i,
+       |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
+       | FROM sh, perms GROUP BY sh.id, perms.i),
+       |bandkey AS (SELECT id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
+       | FROM sig GROUP BY id, i // 4),
+       |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey GROUP BY band, bk),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       | FROM bandkey x
+       | JOIN bandkey y ON x.band = y.band AND x.bk = y.bk
+       | JOIN bsz ON bsz.band = x.band AND bsz.bk = x.bk
+       | WHERE bsz.n <= 1000 AND x.id < y.id),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS m
+       | FROM cand c
+       | JOIN sh x ON x.id = c.id_a
+       | JOIN sh y ON y.id = c.id_b AND y.h = x.h
+       | GROUP BY c.id_a, c.id_b)""".stripMargin
+
+  /** The BPE encode loop as a recursive CTE over DISTINCT words: each
+    * step finds the best-ranked adjacent pair (999999 = "absent") and
+    * merges all its occurrences left-to-right via a list_reduce over
+    * singleton lists — the exact semantics of Bpe.Vocab.encode. `fin`
+    * keeps each word's terminal state; `cnt` joins counts back to word
+    * INSTANCES per doc.
+    */
+  private[graft] val bpeCtes: String =
+    s"""t AS (SELECT doc_id, CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+       |  ELSE string_split(lower($cleanSql), ' ') END AS toks FROM documents),
+       |inst AS (SELECT doc_id, unnest(toks) AS w FROM t),
+       |wd AS (SELECT DISTINCT w FROM inst),
+       |init AS (SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS tk FROM wd),
+       |bpe AS (
+       |  SELECT w, tk FROM init
+       |  UNION ALL
+       |  SELECT w, list_reduce(list_transform(tk, x -> [x]), (a, b) ->
+       |      CASE WHEN a[len(a)] || ' ' || b[1] = bp
+       |           THEN a[1:len(a)-1] || [a[len(a)] || b[1]]
+       |           ELSE a || b END) AS tk
+       |  FROM (SELECT w, tk, $bpeMergesLit[br] AS bp FROM (
+       |          SELECT w, tk, list_min(list_transform(range(1, len(tk)), i ->
+       |            coalesce(nullif(list_position($bpeMergesLit, tk[i] || ' ' || tk[i+1]), 0), 999999))) AS br
+       |          FROM bpe) s
+       |        WHERE br IS NOT NULL AND br < 999999) s2),
+       |fin AS (SELECT w, len(tk) AS n FROM (
+       |          SELECT w, tk, list_min(list_transform(range(1, len(tk)), i ->
+       |            coalesce(nullif(list_position($bpeMergesLit, tk[i] || ' ' || tk[i+1]), 0), 999999))) AS br
+       |          FROM bpe) s
+       |        WHERE br IS NULL OR br = 999999),
+       |cnt AS (SELECT i.doc_id, count(*) AS n_words, sum(f.n) AS n_bpe
+       |        FROM inst i JOIN fin f USING (w) GROUP BY i.doc_id)""".stripMargin
+
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Rounding => R, TextFunctions => T}
+import graft.operators._
+import graft.operators.ParsePipeline.PageHtml
+import graft.queries.Fixtures._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics: PageRank, triangle counting, BFS distances.
+  *
+  * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance, q167_bfs_deep.
+  * Moved verbatim from the pre-split SparkEntry.scala.
+  */
+object GraphQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Fixed-point PageRank (3 iterations, damping 0.85) over a
+    // deterministic literal link graph on doc ids — integer division
+    // everywhere, so the iteration is hash-exact cross-engine.
+    "q105_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 17L + 3L, lit(500L)).as("dst")))
+      GraphOps.pageRankFixedPoint(edges, iters = 3)
+    }),
+
+
+    // Degree-oriented triangle counting over a literal ring+chord link
+    // graph (i->i+1, i->i+2, i->31i+7 mod 500 — every consecutive
+    // triple plus chords closes triangles, so the zero answer can't
+    // pass vacuously): orientation caps every out-degree at O(sqrt(m)),
+    // so the wedge join stays O(m^1.5) on ANY graph — the oracle counts
+    // the same triangles via an independent a<b<c three-way self-join.
+    "q122_triangles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          pmod(did + 1L, lit(500L)).as("dst"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did + 2L, lit(500L)).as("dst")))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst")))
+      GraphOps.triangleCount(edges)
+    }),
+
+
+    // Multi-source BFS on the q122 link graph: hop distance from the
+    // nearest of three seed docs (the crawl-frontier / TrustRank-depth
+    // signal), 4 unrolled frontier expansions, min-dist union per hop.
+    "q141_bfs_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          pmod(did + 1L, lit(500L)).as("dst"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did + 2L, lit(500L)).as("dst")))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst")))
+      GraphOps.bfsDistances(edges, Seq(0L, 100L, 200L), maxHops = 4)
+    }),
+
+    // DEEP traversal: single-source BFS down a diameter-50 path
+    // (0-1-...-50) — past the 8-hop unrolled-plan cap, so this drives
+    // the RDD loop (one narrow co-partitioned join + one shuffle per
+    // hop, frontier-empty convergence). Every node is reached at
+    // dist = id, so a truncated traversal cannot pass vacuously.
+    "q167_bfs_deep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.where(did < 50)
+        .select(did.as("src"), (did + 1L).as("dst"))
+      GraphOps.bfsDistancesDeep(edges, Seq(0L), maxHops = 64)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // Three unrolled synchronous iterations, all-integer arithmetic
+    // (// is floor division; operands are non-negative, matching
+    // Spark's div). Dangling mass leaks identically in both engines.
+    "q105_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 7) % 500 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 17 + 3) % 500 FROM documents),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*) AS n_nodes FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1000000000000 // n_nodes AS r FROM nodes CROSS JOIN n),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(((r0.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
+        | FROM e JOIN r0 ON r0.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |r1 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c1.c, 0) AS r
+        | FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.id = nodes.id),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(((r1.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
+        | FROM e JOIN r1 ON r1.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |r2 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c2.c, 0) AS r
+        | FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.id = nodes.id),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(((r2.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
+        | FROM e JOIN r2 ON r2.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |r3 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c3.c, 0) AS r
+        | FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.id = nodes.id)
+        |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin,
+
+
+    // Independent formulation: canonical a<b edges, triangles counted
+    // by the ordered three-way self-join — no orientation trick, so a
+    // wrong orientation on the Spark side cannot self-confirm.
+    "q122_triangles" ->
+      """WITH e0 AS (SELECT doc_id AS src, (doc_id + 1) % 500 AS dst FROM documents
+        | UNION ALL
+        | SELECT doc_id, (doc_id + 2) % 500 FROM documents
+        | UNION ALL
+        | SELECT doc_id, (doc_id * 31 + 7) % 500 FROM documents),
+        |c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        | FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT a AS id FROM c UNION SELECT b FROM c),
+        |tri AS (SELECT count(*) AS t FROM c e1
+        |  JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+        | (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_edges,
+        | (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+
+    // Same 4 unrolled expansions: frontier = rows that first appeared
+    // last hop; min-dist after each union.
+    "q141_bfs_distance" ->
+      """WITH e0 AS (SELECT doc_id AS src, (doc_id + 1) % 500 AS dst FROM documents
+        | UNION ALL SELECT doc_id, (doc_id + 2) % 500 FROM documents
+        | UNION ALL SELECT doc_id, (doc_id * 31 + 7) % 500 FROM documents),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst
+        | UNION SELECT dst, src FROM e0 WHERE src <> dst),
+        |d0 AS (SELECT unnest([0, 100, 200]) AS id, 0 AS dist),
+        |f1 AS (SELECT e.dst AS id, 1 AS dist FROM d0 JOIN e ON e.src = d0.id
+        | WHERE d0.dist = 0),
+        |d1 AS (SELECT id, min(dist) AS dist FROM
+        | (SELECT * FROM d0 UNION ALL SELECT * FROM f1) GROUP BY 1),
+        |f2 AS (SELECT e.dst AS id, 2 AS dist FROM d1 JOIN e ON e.src = d1.id
+        | WHERE d1.dist = 1),
+        |d2 AS (SELECT id, min(dist) AS dist FROM
+        | (SELECT * FROM d1 UNION ALL SELECT * FROM f2) GROUP BY 1),
+        |f3 AS (SELECT e.dst AS id, 3 AS dist FROM d2 JOIN e ON e.src = d2.id
+        | WHERE d2.dist = 2),
+        |d3 AS (SELECT id, min(dist) AS dist FROM
+        | (SELECT * FROM d2 UNION ALL SELECT * FROM f3) GROUP BY 1),
+        |f4 AS (SELECT e.dst AS id, 4 AS dist FROM d3 JOIN e ON e.src = d3.id
+        | WHERE d3.dist = 3),
+        |d4 AS (SELECT id, min(dist) AS dist FROM
+        | (SELECT * FROM d3 UNION ALL SELECT * FROM f4) GROUP BY 1)
+        |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin,
+
+
+    // True recursion (DuckDB WITH RECURSIVE, UNION-deduped states): the
+    // walk explores (id, dist) states down the path; min(dist) per id is
+    // the BFS distance. On the 0..50 path the answer is dist = id.
+    "q167_bfs_deep" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id < 50),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |walk(id, dist) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, 0 AS dist
+        |  UNION
+        |  SELECT sym.dst AS id, walk.dist + 1 AS dist
+        |  FROM walk JOIN sym ON sym.src = walk.id WHERE walk.dist < 60)
+        |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id""".stripMargin,
+  )
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Rounding => R, TextFunctions => T}
+import graft.operators._
+import graft.operators.ParsePipeline.PageHtml
+import graft.queries.Fixtures._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
+  *
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract.
+  * Moved verbatim from the pre-split SparkEntry.scala.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multimodal: binary column + typed metadata projection.
+    "q31_media_meta" -> ((s, d) =>
+      MultimodalOps.asMediaTable(Tables.documents(s, d), "doc_id", "text")
+        .select(col("media_id"), col("meta.mediaType").as("media_type"),
+          col("meta.byteLen").as("byte_len"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.durationMs").as("duration_ms"))),
+
+
+    // Multimodal: REAL resize — synthesize PNGs, ImageIO-decode, downscale
+    // via Graphics2D, re-encode, then decode AGAIN: output dims and channel
+    // means come from the resized raster, not metadata.
+    "q32_media_resize" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.decodeImages(
+        MultimodalOps.resizeImages(
+          MultimodalOps.asImageTable(Tables.documents(s, d), "doc_id"),
+          maxW = 16, maxH = 12))
+        .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+    }),
+
+
+    // Multimodal: frame sampling (explode).
+    "q33_frame_sample" -> ((s, d) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.asMediaTable(Tables.documents(s, d), "doc_id", "text"),
+        everyMs = 1000L, maxFrames = 8)),
+
+
+    // Multimodal: REAL image decode — per-row PNG bytes through
+    // javax.imageio; dims and per-channel means read from the raster.
+    "q54_image_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.decodeImages(
+        MultimodalOps.asImageTable(Tables.documents(s, d), "doc_id"))
+        .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+    }),
+
+
+    // Multimodal: REAL video frame extraction — parse the length-prefixed
+    // frame container, decode every 2nd frame's PNG, emit per-frame stats.
+    "q55_video_frames" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.sampleVideoFrames(
+        MultimodalOps.asVideoTable(Tables.documents(s, d), "doc_id"), stride = 2)
+        .toDF("media_id", "frame_idx", "width", "height",
+          "mean_r", "mean_g", "mean_b")
+    }),
+
+
+    // Multimodal: REAL audio decode — WAV bytes through javax.sound;
+    // sample rate and frame count come from the parsed RIFF header, the
+    // stats from the decoded PCM frames.
+    "q59_audio_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.decodeAudio(
+        MultimodalOps.asAudioTable(Tables.documents(s, d), "doc_id"))
+        .toDF("media_id", "sample_rate_hz", "n_samples", "mean_abs", "peak")
+    }),
+
+
+    // Document-blob text extraction (the "PDF extraction" slot): parse a
+    // real compressed container, inflate every page through a genuine
+    // DEFLATE codec, verify the EXTRACTED text by md5 against the
+    // oracle's formula reconstruction. Narrow map over the blob scan,
+    // zero exchanges; per-row corrupt isolation.
+    "q73_doc_extract" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.extractDocText(
+        MultimodalOps.asDocTable(Tables.documents(s, d), "doc_id"))
+        .toDF("doc_id", "n_pages", "n_chars", "n_words", "text_md5")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q31_media_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | CAST(doc_id % 640 + 32 AS INTEGER) AS width,
+        | CAST(doc_id % 480 + 32 AS INTEGER) AS height,
+        | CAST(doc_id % 30000 + 1000 AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+
+    // Mirrors the synthetic-PNG formulas (MultimodalOps.dimsFor/channels)
+    // and the resize target-dim arithmetic; Spark derives the same values
+    // by actually decoding the resized PNG bytes.
+    "q32_media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        | CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+        | CAST(doc_id % 16 + 8 AS INTEGER) AS h FROM documents),
+        |sc AS (SELECT doc_id, w, h,
+        | least(16.0 / w, 12.0 / h, 1.0) AS scale FROM m)
+        |SELECT doc_id AS media_id,
+        | CAST(greatest(1, floor(w * scale)) AS INTEGER) AS width,
+        | CAST(greatest(1, floor(h * scale)) AS INTEGER) AS height,
+        | CAST((doc_id * 3 + 7) % 256 AS DOUBLE) AS mean_r,
+        | CAST((doc_id * 5 + 11) % 256 AS DOUBLE) AS mean_g,
+        | CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_b
+        |FROM sc""".stripMargin,
+
+
+    "q33_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        | unnest(generate_series(0, least(doc_id % 30000 + 1000, 7000), 1000)) AS frame_ts_ms
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+
+    // Mirrors MultimodalOps.dimsFor + channels: the Spark side derives
+    // these values by ImageIO-decoding real PNG bytes.
+    "q54_image_decode" ->
+      """SELECT doc_id AS media_id,
+        | CAST(doc_id % 24 + 8 AS INTEGER) AS width,
+        | CAST(doc_id % 16 + 8 AS INTEGER) AS height,
+        | CAST((doc_id * 3 + 7) % 256 AS DOUBLE) AS mean_r,
+        | CAST((doc_id * 5 + 11) % 256 AS DOUBLE) AS mean_g,
+        | CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
+
+
+    // Mirrors MultimodalOps.frameCountFor (doc_id % 5 + 2 frames) and the
+    // per-frame seed (doc_id * 1000 + frame); stride 2 samples 0, 2, 4.
+    "q55_video_frames" ->
+      """WITH fr AS (
+        | SELECT doc_id, unnest(generate_series(0, doc_id % 5 + 1, 2)) AS f
+        | FROM documents)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        | CAST(doc_id % 24 + 8 AS INTEGER) AS width,
+        | CAST(doc_id % 16 + 8 AS INTEGER) AS height,
+        | CAST(((doc_id * 1000 + f) * 3 + 7) % 256 AS DOUBLE) AS mean_r,
+        | CAST(((doc_id * 1000 + f) * 5 + 11) % 256 AS DOUBLE) AS mean_g,
+        | CAST(((doc_id * 1000 + f) * 7 + 13) % 256 AS DOUBLE) AS mean_b
+        |FROM fr""".stripMargin,
+
+
+    // Mirrors MultimodalOps.sampleAt/sampleCountFor; the Spark side reads
+    // these facts back out of real WAV bytes via javax.sound.
+    "q59_audio_decode" ->
+      """WITH idx AS (
+        | SELECT doc_id, unnest(generate_series(0, doc_id % 400 + 99)) AS i
+        | FROM documents),
+        |s AS (SELECT doc_id,
+        | abs(((doc_id * 31 + i * 17) % 20001) - 10000) AS a FROM idx)
+        |SELECT doc_id AS media_id,
+        | CAST(8000 AS INTEGER) AS sample_rate_hz,
+        | count(*) AS n_samples,
+        | CAST(sum(a) AS DOUBLE) / count(*) AS mean_abs,
+        | CAST(max(a) AS INTEGER) AS peak
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+
+    // Reconstruct each page's text by formula, join with newlines in
+    // page order, and mirror the kernel's stats INCLUDING the md5 of the
+    // full extracted text — if extraction (magic, lengths, inflate,
+    // UTF-8) dropped or altered one byte, the hash breaks.
+    "q73_doc_extract" ->
+      """WITH pg AS (SELECT doc_id, doc_id % 4 + 1 AS np, doc_id % 7 + 3 AS k
+        |  FROM documents),
+        |pp AS (SELECT doc_id, np, k, unnest(range(0, np)) AS p FROM pg),
+        |pages AS (SELECT doc_id, np, k, p,
+        |  'doc ' || doc_id || ' page ' || p || ' ' || rtrim(repeat('word ', CAST(k AS INTEGER))) AS ptext
+        | FROM pp),
+        |agg AS (SELECT doc_id,
+        |  any_value(np) AS np, any_value(k) AS k,
+        |  string_agg(ptext, chr(10) ORDER BY p) AS full_text
+        | FROM pages GROUP BY doc_id)
+        |SELECT doc_id,
+        | np AS n_pages,
+        | CAST(len(full_text) AS BIGINT) AS n_chars,
+        | np * (4 + k) AS n_words,
+        | md5(full_text) AS text_md5
+        |FROM agg""".stripMargin,
+  )
+}

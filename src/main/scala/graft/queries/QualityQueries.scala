@@ -1,0 +1,340 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Rounding => R, TextFunctions => T}
+import graft.operators._
+import graft.operators.ParsePipeline.PageHtml
+import graft.queries.Fixtures._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data quality, governance and CDC: profiling, constraints, k-anonymity, snapshot diff, SCD2, MERGE, CDC feeds, freshness, backfill, KS drift.
+  *
+  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift.
+  * Moved verbatim from the pre-split SparkEntry.scala.
+  */
+object QualityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Column profiling (the Deequ-style pre-ingest audit): one pass
+    // over the table computes every column's row/null/distinct counts
+    // and string min/max; the long-format explode happens on the 1-row
+    // aggregate. Long/string columns only, so the string rendering is
+    // engine-independent.
+    "q116_profile" -> ((s, d) => {
+      QualityOps.columnProfile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    }),
+
+
+    // Declarative constraint validation with PLANTED violations: rows
+    // with o_orderkey % 997 == 0 are re-appended with negated custkey
+    // (FK break), negated cents (domain break), and a now-duplicate key
+    // (pk break) — so every failing check has a known nonzero count and
+    // the all-zero degenerate output cannot pass. One row per check.
+    "q117_constraints" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dirty = o.unionByName(
+        o.where(pmod(col("o_orderkey"), lit(997L)) === 0L)
+          .select(col("o_orderkey"), (-col("o_custkey")).as("o_custkey"),
+            (-col("cents")).as("cents")))
+      QualityOps.checkViolations(Seq(
+        QualityOps.Check("orders_pk_unique",
+          QualityOps.duplicateKeys(dirty, "o_orderkey"), lit(true)),
+        QualityOps.Check("orders_fk_customer",
+          QualityOps.fkViolations(dirty, "o_custkey",
+            Tables.customer(s, d), "c_custkey"), lit(true)),
+        QualityOps.Check("orders_custkey_not_null", dirty,
+          col("o_custkey").isNull),
+        QualityOps.Check("orders_price_positive", dirty,
+          col("cents") <= 0L)))
+    }),
+
+
+    // Snapshot CDC diff: two deterministic snapshots of orders (A drops
+    // keys %11==3; B drops %13==5 and bumps %7==0 cents) diffed into
+    // added/removed/changed — ONLY differences ship, from one co-keyed
+    // full-outer join, and values compare as exact cents.
+    "q118_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val snapA = o.where(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
+      val snapB = o.where(pmod(col("o_orderkey"), lit(13L)) =!= 5L)
+        .select(col("o_orderkey"), when(pmod(col("o_orderkey"), lit(7L)) === 0L,
+          col("cents") + 100L).otherwise(col("cents")).as("cents"))
+      QualityOps.snapshotDiff(snapA, snapB, "o_orderkey", "cents")
+    }),
+
+
+    // SCD Type-2 dimension build from the event stream: each user's
+    // event_type history collapses no-op changes, then every surviving
+    // change opens a version [valid_from, valid_to). One shuffle on the
+    // key; all three windows reuse the (user, ts, event_id) ordering.
+    "q120_scd2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      CdcOps.scd2(ev, "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("attr"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          col("version"), col("is_current"))
+    }),
+
+
+    // MERGE (upsert + delete) application: a deterministic I/U/D batch
+    // (keys %5==4 insert, %5==0 update +7 cents, %5==1 delete) applied
+    // to the orders snapshot in ONE co-keyed full-outer join — the
+    // delta side stays broadcast-sized at scale, the snapshot never
+    // re-shuffles to take a day's changes.
+    "q121_merge_upsert" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val target = o.where(pmod(col("o_orderkey"), lit(5L)) =!= 4L)
+      val batch = o.where(pmod(col("o_orderkey"), lit(5L)) === 4L)
+        .select(col("o_orderkey"), col("cents"), lit("I").as("op"))
+        .unionByName(o.where(pmod(col("o_orderkey"), lit(5L)) === 0L)
+          .select(col("o_orderkey"), (col("cents") + 7L).as("cents"), lit("U").as("op")))
+        .unionByName(o.where(pmod(col("o_orderkey"), lit(5L)) === 1L)
+          .select(col("o_orderkey"), lit(null).cast("long").as("cents"), lit("D").as("op")))
+      CdcOps.mergeApply(target, batch, "o_orderkey", "cents", "op")
+    }),
+
+
+    // k-anonymity audit over (nation, segment) quasi-identifiers:
+    // combinations with fewer than 10 customers re-identify them — the
+    // governance gate before a dataset release. One row per occupied
+    // combination.
+    "q145_k_anonymity" -> ((s, d) =>
+      QualityOps.kAnonymityAudit(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+
+
+    // CDC feed generation — the inverse of q121: diff the q118
+    // snapshots into the I/U/D batch whose replay reproduces snapshot
+    // B exactly (round-trip law spec-asserted in CdcOpsSpec).
+    "q153_cdc_feed" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val snapA = o.where(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
+      val snapB = o.where(pmod(col("o_orderkey"), lit(13L)) =!= 5L)
+        .select(col("o_orderkey"), when(pmod(col("o_orderkey"), lit(7L)) === 0L,
+          col("cents") + 100L).otherwise(col("cents")).as("cents"))
+      CdcOps.cdcFeed(snapA, snapB, "o_orderkey", "cents")
+    }),
+
+
+    // Data-freshness monitoring: per-type newest event vs the global
+    // high-water mark, integer lag, staleness flag — the ops check a
+    // 100 TB ingest runs every cycle (tiny aggregates, 1-row
+    // broadcast).
+    "q154_freshness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val per = ev.groupBy("event_type")
+        .agg(max(unix_micros(col("ts"))).as("max_us"),
+          count(lit(1)).as("n"))
+      val glob = ev.agg(max(unix_micros(col("ts"))).as("global_us"))
+      per.crossJoin(broadcast(glob))
+        .select(col("event_type"), col("n"), col("max_us"),
+          (col("global_us") - col("max_us")).as("lag_us"),
+          (col("global_us") - col("max_us") > 3600000000L).as("stale"))
+    }),
+
+
+    // Backfill planner: the (type, day) partitions a complete calendar
+    // expects but the observed data lacks — with a PLANTED outage
+    // (click days with day_idx % 7 == 0 are dropped from "observed"),
+    // so the anti-join provably finds real gaps. Day dimension comes
+    // from the data itself; everything is tiny aggregates.
+    "q161_backfill_plan" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .withColumn("day_idx",
+          datediff(col("day"), lit("2024-01-01").cast("date")))
+      val observed = ev.distinct()
+        .where(!(col("event_type") === "click" && pmod(col("day_idx"), lit(7)) === 0))
+      val days = ev.select("day", "day_idx").distinct()
+      val types = ev.select("event_type").distinct()
+      types.crossJoin(days)
+        .join(observed, Seq("event_type", "day", "day_idx"), "left_anti")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_idx"))
+    }),
+
+
+    // KS drift detection: the distribution of n_chars vs a planted
+    // 25%-shifted copy (doc_id%4==0 gains +40 chars) — D = max
+    // |cdf_a - cdf_b| in integer basis points, the drift gate between
+    // two days/sources of the same feature. No transcendentals (KS,
+    // not PSI), so engine-exact.
+    "q162_ks_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("n_chars"))
+      val b = docs.select(
+        when(pmod(did, lit(4)) === 0, col("n_chars") + 40L)
+          .otherwise(col("n_chars")).as("n_chars"))
+      QualityOps.ksDrift(a, b, "n_chars")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // One UNION ALL arm per profiled column; long/string columns only,
+    // so CAST AS VARCHAR renders identically in both engines.
+    "q116_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      .map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | min(CAST($c AS VARCHAR)) AS min_s,
+           | max(CAST($c AS VARCHAR)) AS max_s FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+
+    // Same dirty corpus (planted pk/fk/domain violations), one arm per
+    // check.
+    "q117_constraints" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |dirty AS (SELECT * FROM o
+        | UNION ALL
+        | SELECT o_orderkey, -o_custkey, -cents FROM o WHERE o_orderkey % 997 = 0),
+        |pk AS (SELECT count(*) AS n FROM (
+        |  SELECT o_orderkey FROM dirty GROUP BY 1 HAVING count(*) > 1)),
+        |fk AS (SELECT count(*) AS n FROM dirty
+        | WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |nn AS (SELECT count(*) AS n FROM dirty WHERE o_custkey IS NULL),
+        |dom AS (SELECT count(*) AS n FROM dirty WHERE cents <= 0)
+        |SELECT 'orders_pk_unique' AS check_name, n AS n_violations, n = 0 AS passed FROM pk
+        |UNION ALL
+        |SELECT 'orders_fk_customer', n, n = 0 FROM fk
+        |UNION ALL
+        |SELECT 'orders_custkey_not_null', n, n = 0 FROM nn
+        |UNION ALL
+        |SELECT 'orders_price_positive', n, n = 0 FROM dom""".stripMargin,
+
+
+    "q118_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |a AS (SELECT k, cents AS old_v FROM o WHERE k % 11 <> 3),
+        |b AS (SELECT k, CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS new_v
+        | FROM o WHERE k % 13 <> 5)
+        |SELECT coalesce(a.k, b.k) AS o_orderkey,
+        | CASE WHEN a.k IS NULL THEN 'added'
+        |      WHEN b.k IS NULL THEN 'removed'
+        |      ELSE 'changed' END AS status,
+        | a.old_v, b.new_v
+        |FROM a FULL OUTER JOIN b ON b.k = a.k
+        |WHERE a.k IS NULL OR b.k IS NULL OR a.old_v <> b.new_v""".stripMargin,
+
+
+    // Same collapse-then-version window chain; (ts, event_id) totally
+    // orders each user's history on both sides.
+    "q120_scd2" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM o
+        | WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        | FROM c)
+        |SELECT user_id, event_type AS attr,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        | strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        | CAST(version AS BIGINT) AS version,
+        | valid_to IS NULL AS is_current
+        |FROM v""".stripMargin,
+
+
+    // Same I/U/D batch, applied via FULL OUTER + coalesce.
+    "q121_merge_upsert" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |t AS (SELECT k, cents FROM o WHERE k % 5 <> 4),
+        |b AS (SELECT k, cents AS v, 'I' AS op FROM o WHERE k % 5 = 4
+        | UNION ALL SELECT k, cents + 7, 'U' FROM o WHERE k % 5 = 0
+        | UNION ALL SELECT k, NULL, 'D' FROM o WHERE k % 5 = 1)
+        |SELECT coalesce(t.k, b.k) AS o_orderkey,
+        | coalesce(b.v, t.cents) AS cents
+        |FROM t FULL OUTER JOIN b ON b.k = t.k
+        |WHERE b.op IS NULL OR b.op <> 'D'""".stripMargin,
+
+
+    "q145_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        | count(*) < 10 AS violates
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+
+    // The q118 diff with status -> op; D rows carry NULL values on
+    // both sides.
+    "q153_cdc_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |a AS (SELECT k, cents AS old_v FROM o WHERE k % 11 <> 3),
+        |b AS (SELECT k, CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS new_v
+        | FROM o WHERE k % 13 <> 5),
+        |d AS (SELECT coalesce(a.k, b.k) AS o_orderkey,
+        |  CASE WHEN a.k IS NULL THEN 'I'
+        |       WHEN b.k IS NULL THEN 'D'
+        |       ELSE 'U' END AS op,
+        |  b.new_v AS cents
+        | FROM a FULL OUTER JOIN b ON b.k = a.k
+        | WHERE a.k IS NULL OR b.k IS NULL OR a.old_v <> b.new_v)
+        |SELECT o_orderkey, cents, op FROM d""".stripMargin,
+
+
+    "q154_freshness" ->
+      """WITH per AS (SELECT event_type, max(epoch_us(ts)) AS max_us,
+        |  count(*) AS n FROM events GROUP BY 1),
+        |g AS (SELECT max(epoch_us(ts)) AS global_us FROM events)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, max_us,
+        | global_us - max_us AS lag_us,
+        | global_us - max_us > 3600000000 AS stale
+        |FROM per CROSS JOIN g""".stripMargin,
+
+
+    "q161_backfill_plan" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+        | FROM events),
+        |observed AS (SELECT DISTINCT event_type, day, day_idx FROM ev
+        | WHERE NOT (event_type = 'click' AND day_idx % 7 = 0)),
+        |days AS (SELECT DISTINCT day, day_idx FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT t.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+        | CAST(d.day_idx AS BIGINT) AS day_idx
+        |FROM types t CROSS JOIN days d
+        |WHERE NOT EXISTS (SELECT 1 FROM observed o
+        | WHERE o.event_type = t.event_type AND o.day = d.day)""".stripMargin,
+
+
+    // Same merged-cell cumulative CDFs, same integer D; v_at_max ties
+    // break to the smallest value on both sides.
+    "q162_ks_drift" ->
+      """WITH a AS (SELECT n_chars AS v, count(*) AS ca FROM documents GROUP BY 1),
+        |b0 AS (SELECT CASE WHEN doc_id % 4 = 0 THEN n_chars + 40 ELSE n_chars END AS v
+        | FROM documents),
+        |b AS (SELECT v, count(*) AS cb FROM b0 GROUP BY 1),
+        |m AS (SELECT coalesce(a.v, b.v) AS v,
+        |  coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+        | FROM a FULL OUTER JOIN b ON b.v = a.v),
+        |c AS (SELECT v, ca, cb,
+        |  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+        |  sum(ca) OVER () AS tot_a, sum(cb) OVER () AS tot_b
+        | FROM m),
+        |dd AS (SELECT v, tot_a, tot_b,
+        |  abs((cum_a * 10000) // tot_a - (cum_b * 10000) // tot_b) AS d FROM c)
+        |SELECT CAST(max(tot_a) AS BIGINT) AS n_a, CAST(max(tot_b) AS BIGINT) AS n_b,
+        | CAST(max(d) AS BIGINT) AS ks_bp,
+        | CAST(min(v) FILTER (d = (SELECT max(d) FROM dd)) AS BIGINT) AS v_at_max
+        |FROM dd""".stripMargin,
+  )
+}

@@ -1,0 +1,305 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Rounding => R, TextFunctions => T}
+import graft.operators._
+import graft.operators.ParsePipeline.PageHtml
+import graft.queries.Fixtures._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own pipeline surface: HTML table parsing, URL/text functions, pagination, CSV metadata, branch split.
+  *
+  * Contract queries: q11_clean_text, q17_archive_status, q18_total_results, q19_sanitize_filename, q20_filename_from_url, q21_extension_from_url, q22_download_path, q23_url_hash, q35_parse_life, q36_parse_health, q39_count_scan, q42_r2_meta, q43_max_page, q44_parse_nonlife, q45_parse_life_list, q47_branch_split, q48_total_pages.
+  * Moved verbatim from the pre-split SparkEntry.scala.
+  */
+object ScrapeQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X1: clean text.
+    "q11_clean_text" -> ((s, d) =>
+      Tables.documents(s, d).select(did, T.cleanText(col("text")).as("clean"))),
+
+
+    // X4: archive-status detection over synthetic inputs.
+    "q17_archive_status" -> ((s, d) =>
+      Tables.documents(s, d).select(did, archSample.as("sample"),
+        T.archiveStatus(archSample).as("status"))),
+
+
+    // X5: "of N results" extraction; input built with format_number commas.
+    "q18_total_results" -> ((s, d) =>
+      Tables.documents(s, d).select(did,
+        T.totalResults(concat(lit("Total of "),
+          format_number(col("n_chars") * 7, 0), lit(" Results"))).as("total"))),
+
+
+    // X7: sanitize filename.
+    "q19_sanitize_filename" -> ((s, d) =>
+      Tables.documents(s, d).select(did,
+        T.sanitizeFilename(concat(col("source"), lit(": "),
+          substring(col("text"), 1, 50))).as("fname"))),
+
+
+    // X3: filename from URL (all branches).
+    "q20_filename_from_url" -> ((s, d) =>
+      Tables.documents(s, d).select(did, T.filenameFromUrl(testUrl).as("fname"))),
+
+
+    // X8: extension from URL (all branches).
+    "q21_extension_from_url" -> ((s, d) =>
+      Tables.documents(s, d).select(did, T.extensionFromUrl(extUrl).as("ext"))),
+
+
+    // X9: download path expression.
+    "q22_download_path" -> ((s, d) =>
+      Tables.documents(s, d).select(did,
+        T.downloadPath(lit("life"),
+          concat(lit("FY 20"), (lit(15) + pmod(did, lit(5))).cast("string")),
+          col("source"), concat(lit("UIN-"), sid),
+          substring(col("text"), 1, 20), lit(".pdf")).as("path"))),
+
+
+    // X13: portable (md5-derived) URL hash — oracle-checked; the xxhash64
+    // fast path stays available as TextFunctions.urlHash.
+    "q23_url_hash" -> ((s, d) =>
+      Tables.documents(s, d).select(did,
+        T.urlHashPortable(concat(lit("https://x.test/doc/"), sid, lit(".pdf"))).as("url_hash"))),
+
+
+    // G1-G4 + P1 + F1/F2/F4: full HTML parse round-trip (life).
+    "q35_parse_life" -> ((s, d) =>
+      ParsePipeline.life(ParsePipeline.explodeRows(lifePages(s, d)).toDF())),
+
+
+    // G1-G4 + P4 (prev-cell doc-link fallback): parse round-trip (health).
+    "q36_parse_health" -> ((s, d) =>
+      ParsePipeline.health(ParsePipeline.explodeRows(healthPages(s, d)).toDF())),
+
+
+    // S5/A2: count scan.
+    "q39_count_scan" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))),
+
+
+    // X10/X11: object-store key, public URL, content type.
+    "q42_r2_meta" -> ((s, d) => {
+      val ext = when(pmod(did, lit(3)) === 0, ".pdf")
+        .when(pmod(did, lit(3)) === 1, ".xlsx").otherwise(".bin")
+      val rel = concat(lit("\\docs\\"), col("source"), lit("\\f"), sid, ext)
+      val key = T.r2Key(lit("life"), rel)
+      Tables.documents(s, d).select(did, key.as("key"),
+        T.publicUrl(lit("bucket.r2.dev"), key).as("public_url"),
+        T.contentType(key).as("content_type"))
+    }),
+
+
+    // A5: max pagination cursor as a Catalyst expression over raw hrefs.
+    "q43_max_page" -> ((s, d) => {
+      val html = concat(
+        lit("<a href='?p_cur="), sid, lit("'>x</a><a href='?p_cur="),
+        pmod(did * 2, lit(97)).cast("string"), lit("'>y</a>"))
+      val cursors = transform(
+        regexp_extract_all(html, lit("_cur=(\\d+)"), lit(1)), x => x.cast("int"))
+      Tables.documents(s, d).select(did,
+        greatest(lit(1), array_max(cursors)).as("max_page"))
+    }),
+
+
+    // G1-G4 + P3: parse round-trip (nonlife, with optional s_no/date F4).
+    "q44_parse_nonlife" -> ((s, d) =>
+      ParsePipeline.nonlife(ParsePipeline.explodeRows(nonlifePages(s, d)).toDF())),
+
+
+    // G1-G4 + P2 + X2 onclick fallback: parse round-trip (life_list).
+    "q45_parse_life_list" -> ((s, d) =>
+      ParsePipeline.lifeList(ParsePipeline.explodeRows(lifeListPages(s, d)).toDF())),
+
+
+    // F5: success/failure branch counts in one pass.
+    "q47_branch_split" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("success", col("value") > 0.5)
+        .groupBy("event_type")
+        .agg(sum(when(col("success"), 1).otherwise(0)).as("n_ok"),
+          sum(when(!col("success"), 1).otherwise(0)).as("n_fail"))),
+
+
+    // S3: cardinality probe — "of N results" → ceil-div page count.
+    "q48_total_pages" -> ((s, d) => {
+      val total = T.totalResults(concat(lit("Showing 1 to 60 of "),
+        format_number(col("n_chars") * 3, 0), lit(" results")))
+      Tables.documents(s, d).select(did,
+        floor((total + 59) / 60).cast("int").as("total_pages"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q11_clean_text" ->
+      s"""SELECT doc_id, $cleanSql AS clean FROM documents""",
+
+
+    "q17_archive_status" ->
+      """SELECT doc_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'Archived Product' WHEN 1 THEN 'Non-Archived item'
+        |  WHEN 2 THEN 'non archived thing' ELSE 'Regular entry' END AS sample,
+        | CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 'Archived' ELSE 'Non-Archived' END AS status
+        |FROM documents""".stripMargin,
+
+
+    "q18_total_results" ->
+      """SELECT doc_id, CAST(n_chars * 7 AS INTEGER) AS total FROM documents""",
+
+
+    "q19_sanitize_filename" ->
+      """WITH r AS (SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   source || ': ' || substr(text, 1, 50),
+        |   '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '^-+|-+$', '', 'g') AS v
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN substr(v, 1, 100) IS NULL OR substr(v, 1, 100) = '' THEN 'unknown'
+        |  ELSE substr(v, 1, 100) END AS fname
+        |FROM r""".stripMargin,
+
+
+    "q20_filename_from_url" ->
+      """SELECT doc_id,
+        | CASE doc_id % 4
+        |  WHEN 0 THEN 'file_' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |  WHEN 1 THEN 'report ' || CAST(doc_id AS VARCHAR) || '.XLSX'
+        |  WHEN 2 THEN 'x.test'
+        |  ELSE CAST(NULL AS VARCHAR) END AS fname
+        |FROM documents""".stripMargin,
+
+
+    "q21_extension_from_url" ->
+      """SELECT doc_id,
+        | CASE doc_id % 5 WHEN 0 THEN '.pdf' WHEN 1 THEN '.xlsx' WHEN 2 THEN '.xls'
+        |  WHEN 3 THEN '.xlsx' ELSE '.pdf' END AS ext
+        |FROM documents""".stripMargin,
+
+
+    "q22_download_path" ->
+      """WITH n AS (SELECT doc_id, source,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   substr(text, 1, 20),
+        |   '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '^-+|-+$', '', 'g') AS name_s
+        | FROM documents)
+        |SELECT doc_id,
+        | 'downloads/life/FY-20' || CAST(15 + doc_id % 5 AS VARCHAR) || '/' || source
+        |  || '/UIN-' || CAST(doc_id AS VARCHAR) || '_'
+        |  || (CASE WHEN name_s = '' THEN 'unknown' ELSE substr(name_s, 1, 100) END)
+        |  || '.pdf' AS path
+        |FROM n""".stripMargin,
+
+
+    "q23_url_hash" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5('https://x.test/doc/' || CAST(doc_id AS VARCHAR) || '.pdf'), 1, 15))::BIGINT AS url_hash
+        |FROM documents""".stripMargin,
+
+
+    "q35_parse_life" ->
+      """SELECT 'life' AS product_type,
+        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
+        | 'FY 20' || CAST(15 + doc_id % 5 AS VARCHAR) AS financial_year,
+        | 'Ins ' || source AS insurer,
+        | 'Prod ' || CAST(doc_id AS VARCHAR) AS product_name,
+        | 'UIN' || CAST(doc_id AS VARCHAR) AS uin,
+        | 'TypeA' AS type_of_product,
+        | CAST(NULL AS VARCHAR) AS launch_modification_date,
+        | CAST(NULL AS VARCHAR) AS closing_withdrawal_date,
+        | 'P' AS protection_savings_retirement,
+        | 'Par' AS par_nonpar,
+        | 'Ind' AS individual_group,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(NULL AS VARCHAR)
+        |  ELSE 'rem ' || CAST(doc_id AS VARCHAR) END AS remarks,
+        | 'https://example.invalid/documents/doc' || CAST(doc_id AS VARCHAR) || '.pdf' AS document_url,
+        | 'Doc ' || CAST(doc_id AS VARCHAR) AS document_filename
+        |FROM documents""".stripMargin,
+
+
+    "q36_parse_health" ->
+      """SELECT 'health' AS product_type,
+        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
+        | 'FY 20' || CAST(15 + doc_id % 5 AS VARCHAR) AS financial_year,
+        | 'Ins ' || source AS insurer,
+        | 'HUIN' || CAST(doc_id AS VARCHAR) AS uin,
+        | 'HProd ' || CAST(doc_id AS VARCHAR) AS product_name,
+        | CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS VARCHAR) ELSE '2020-01-15' END AS date_of_approval,
+        | 'TypeH' AS type_of_product,
+        | CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
+        |  ELSE 'https://example.invalid/documents/h' || CAST(doc_id AS VARCHAR) || '.pdf' END AS document_url,
+        | CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
+        |  ELSE 'h' || CAST(doc_id AS VARCHAR) || '.pdf' END AS document_filename
+        |FROM documents""".stripMargin,
+
+
+    "q39_count_scan" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+
+    "q42_r2_meta" ->
+      """WITH e AS (SELECT doc_id, source,
+        | CASE doc_id % 3 WHEN 0 THEN '.pdf' WHEN 1 THEN '.xlsx' ELSE '.bin' END AS ext
+        | FROM documents)
+        |SELECT doc_id,
+        | 'life/docs/' || source || '/f' || CAST(doc_id AS VARCHAR) || ext AS key,
+        | 'https://bucket.r2.dev/life/docs/' || source || '/f' || CAST(doc_id AS VARCHAR) || ext AS public_url,
+        | CASE ext WHEN '.pdf' THEN 'application/pdf'
+        |  WHEN '.xlsx' THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+        |  ELSE 'application/octet-stream' END AS content_type
+        |FROM e""".stripMargin,
+
+
+    "q43_max_page" ->
+      """SELECT doc_id,
+        | CAST(greatest(1, doc_id, (doc_id * 2) % 97) AS INTEGER) AS max_page
+        |FROM documents""".stripMargin,
+
+
+    "q44_parse_nonlife" ->
+      """SELECT 'nonlife' AS product_type,
+        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
+        | CASE WHEN doc_id % 6 = 0 THEN CAST(NULL AS VARCHAR) ELSE CAST(doc_id AS VARCHAR) END AS s_no,
+        | 'FY 20' || CAST(15 + doc_id % 5 AS VARCHAR) AS financial_year,
+        | 'GIns ' || source AS insurer,
+        | 'NProd ' || CAST(doc_id AS VARCHAR) AS product_name,
+        | 'Motor' AS type_of_product,
+        | 'NL-' || CAST(doc_id AS VARCHAR) AS uin,
+        | CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS VARCHAR) ELSE '2021-03-31' END AS date_of_approval,
+        | 'https://example.invalid/documents/n' || CAST(doc_id AS VARCHAR) || '.xlsx' AS document_url,
+        | 'NL Doc ' || CAST(doc_id AS VARCHAR) AS document_filename
+        |FROM documents""".stripMargin,
+
+
+    "q45_parse_life_list" ->
+      """SELECT 'life_list' AS product_type,
+        | CASE WHEN doc_id % 2 = 0 THEN 'Non-Archived' ELSE 'Archived' END AS archive_status,
+        | 'Product list ' || CAST(doc_id AS VARCHAR) AS short_description,
+        | CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS VARCHAR) ELSE '01-01-2024' END AS last_updated,
+        | CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
+        |  ELSE 'sub ' || CAST(doc_id AS VARCHAR) END AS sub_title,
+        | CASE WHEN doc_id % 3 = 0
+        |  THEN 'https://example.invalid/files/w' || CAST(doc_id AS VARCHAR) || '.xlsx'
+        |  ELSE 'https://example.invalid/documents/l' || CAST(doc_id AS VARCHAR) || '.pdf' END AS document_url,
+        | CASE WHEN doc_id % 3 = 0 THEN 'w' || CAST(doc_id AS VARCHAR) || '.xlsx'
+        |  ELSE 'List Doc ' || CAST(doc_id AS VARCHAR) END AS document_filename
+        |FROM documents""".stripMargin,
+
+
+    "q47_branch_split" ->
+      """SELECT event_type,
+        | CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        | CAST(sum(CASE WHEN NOT (value > 0.5) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+        |FROM events GROUP BY event_type""".stripMargin,
+
+
+    "q48_total_pages" ->
+      """SELECT doc_id,
+        | CAST(floor((n_chars * 3 + 59) / 60.0) AS INTEGER) AS total_pages
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,417 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Rounding => R, TextFunctions => T}
+import graft.operators._
+import graft.operators.ParsePipeline.PageHtml
+import graft.queries.Fixtures._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
+  *
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision.
+  * Moved verbatim from the pre-split SparkEntry.scala.
+  */
+object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Embedding near-dups via hyperplane LSH with PORTABLE md5-derived
+    // planes — buckets and verified cosines hash-checked in DuckDB; the
+    // seeded-Gaussian fast path remains SimilarityOps.embeddingNearDups.
+    "q27_embedding_neardups" -> ((s, d) =>
+      SimilarityOps.embeddingNearDupsPortable(dupEmbeddings(Tables.embeddings(s, d)),
+        minCosine = 0.99)),
+
+
+    // Brute-force exact top-k ANN.
+    "q28_bruteforce_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
+    }),
+
+
+    // IVF assignment (literal-centroid argmin, no shuffle).
+    "q29_ivf_assign" -> ((s, d) =>
+      SimilarityOps.ivfAssign(Tables.embeddings(s, d), nlist = 16)
+        .select("vec_id", "centroid_id")),
+
+
+    // IVF probed top-k.
+    "q30_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+        nlist = 16, nprobe = 4)
+    }),
+
+
+    // IVF over a MATERIALIZED partition-pruned index — the 100 TB shape:
+    // index written partitionBy(centroid_id) once, probes read only the
+    // nprobe partition directories (PartitionFilters at the source,
+    // asserted by IvfIndexSpec). The build is memoized per sf dir: an
+    // index is corpus state, not query work, so under Bench's min-of-N
+    // reps the reported time is the PROBE-ONLY per-query cost (rep 1
+    // pays the one-time build; later reps reuse it).
+    "q58_ivf_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (idx, cents) = ivfIndexCache.synchronized {
+        ivfIndexCache.getOrElseUpdate(d, {
+          val p = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+          (p, SimilarityOps.writeIvfIndex(emb, p, nlist = 16))
+        })
+      }
+      SimilarityOps.ivfTopKIndexed(s, idx, cents,
+        emb.where(col("vec_id") < 8), k = 5, nprobe = 4)
+    }),
+
+
+    // Filtered vector search: ANN under a metadata predicate. The range
+    // predicate pushes to the corpus parquet scan (PushedFilters), so a
+    // selective filter prunes BEFORE any scoring — the vector-db
+    // "filtered search" shape, composed from the same bounded-heap
+    // partial top-k as q28.
+    "q108_filtered_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bruteForceTopK(
+        emb.where(col("vec_id") >= 100), emb.where(col("vec_id") < 8), k = 5)
+    }),
+
+
+    // ANN recall evaluation — the eval harness that justifies an index:
+    // recall@5 of the nprobe=4 IVF search against the brute-force ground
+    // truth, per query. Both sides are existing contract operators; the
+    // metric is an integer hit count over a k-sized join.
+    "q113_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 8)
+      val exact = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps.ivfTopK(emb, qs, k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      qs.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+          R.half4(coalesce(col("hits"), lit(0L)).cast("double") / 5.0)
+            .as("recall_at_5"))
+    }),
+
+
+    // Int8 scalar-quantized ANN — the 4x memory-bandwidth reduction a
+    // 100 TB vector store runs: global (min, scale) quantizes every
+    // vector to [-127, 127]; search ranks by the INTEGER dot product
+    // (exact, no float accumulation — ties broken by id, hash-exact
+    // cross-engine). Stats are a 1-row broadcast; the bounded-heap TopK
+    // aggregates partially as in q28.
+    "q114_quantized_ann" -> ((s, d) => {
+      import graft.functions.TopK
+      val emb = Tables.embeddings(s, d)
+      val stats = emb.agg(
+        min(array_min(col("embedding"))).cast("double").as("mn"),
+        max(array_max(col("embedding"))).cast("double").as("mx"))
+        .select(col("mn"),
+          when(col("mx") === col("mn"), lit(0.0))
+            .otherwise(lit(254.0) / (col("mx") - col("mn"))).as("sc"))
+      val qexpr = expr("transform(embedding, x -> " +
+        "CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INT) - 127)")
+      val corpus = emb.crossJoin(broadcast(stats))
+        .select(col("vec_id").as("neighbor_id"), qexpr.as("cq"))
+      val queries = emb.where(col("vec_id") < 8).crossJoin(broadcast(stats))
+        .select(col("vec_id").as("query_id"), qexpr.as("qq"))
+      val scored = corpus.join(broadcast(queries),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr("aggregate(zip_with(qq, cq, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dp"))
+      scored.groupBy("query_id")
+        .agg(TopK.topK(5)(col("dp").cast("double"), col("neighbor_id")).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")).as(Seq("rank0", "nb")))
+        .select(col("query_id"), col("nb.neighborId").as("neighbor_id"),
+          col("nb.sim").cast("long").as("dp"),
+          (col("rank0") + 1).cast("long").as("rank"))
+    }),
+
+
+    // Product-quantization ANN: vectors compress to 8 one-byte codes
+    // (the 64x memory shape of a 100 TB vector store); queries score by
+    // summing integer distance-table lookups over codes — raw vectors
+    // never shuffle. Sampled codebook + int8 affine make every step
+    // integer-exact, so the oracle re-derives codes and tables.
+    "q125_pq_ann" -> ((s, d) => {
+      SimilarityOps.pqTopK(Tables.embeddings(s, d))
+    }),
+
+
+    // IVF + PQ composed: centroid pruning cuts candidates to nprobe/
+    // nlist of the corpus, integer ADC scores only those candidates
+    // from codes — the full query path of a 100 TB vector store (with
+    // the q58 layout the probed lists also prune at the source).
+    "q127_ivfpq_ann" -> ((s, d) =>
+      SimilarityOps.ivfPqTopK(Tables.embeddings(s, d))),
+
+
+    // Achlioptas ±1 random projection (JL transform): 64-dim embeddings
+    // fold to 8 integer components against an md5-derived literal sign
+    // matrix — zero joins, zero shuffles, hash-exact.
+    "q150_jl_project" -> ((s, d) =>
+      SimilarityOps.jlProject(Tables.embeddings(s, d))),
+
+
+    // Retrieval quality vs GROUND-TRUTH labels: precision@5 of the q28
+    // exact cosine search, scored by label agreement — the eval that
+    // tells you whether the embedding space is any good at all.
+    "q159_knn_precision" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val topk = SimilarityOps.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 8), k = 5)
+      topk
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), "query_id")
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+        .groupBy("query_id")
+        .agg(sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+          .as("hits"))
+        .withColumn("precision_bp", expr("(hits * 10000) div 5"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // Portable hyperplane LSH re-derived end-to-end: md5-derived plane
+    // components in [-1,1), per-plane dots via ordered list_sum (the
+    // same sequential-sum parity q28 established), sign-bit bucket keys,
+    // bucketed self-join, exact cosine verify. The float×1.001 dup-arm
+    // multiply is safe cross-engine: a float product is exact in double,
+    // so double-then-round equals native float math.
+    "q27_embedding_neardups" ->
+      s"""WITH $embeddingPairCtes
+        |SELECT id_a, id_b, sim FROM r WHERE sim >= 0.99""".stripMargin,
+
+
+    "q28_bruteforce_topk" ->
+      s"""WITH ${cosineTopKCtes("", "TRUE")}
+        |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+
+    "q29_ivf_assign" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, c.cid,
+        |  list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |    p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS d2
+        | FROM embeddings e CROSS JOIN cent c),
+        |r AS (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+        |SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1""".stripMargin,
+
+
+    "q30_ivf_topk" ->
+      s"""WITH $ivfTopKCtes
+        |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+
+    // Identical semantics to q30 — the Spark side differs only in HOW
+    // (materialized partition-pruned index vs in-plan assignment).
+    "q58_ivf_indexed" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+        | FROM embeddings e CROSS JOIN cent c),
+        |a AS (SELECT nid, nv, cid FROM ad WHERE rn = 1),
+        |pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   list_sum(list_transform(list_zip(q.embedding, c.cv),
+        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+        | FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8),
+        |p AS (SELECT qid, qv, cid FROM pd WHERE rn <= 4),
+        |s AS (SELECT p.qid, a.nid,
+        |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
+        | FROM a JOIN p ON a.cid = p.cid WHERE p.qid <> a.nid),
+        |r AS (SELECT qid, nid,
+        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM s),
+        |w AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
+        |SELECT qid AS query_id, nid AS neighbor_id, sim, rk AS rank
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+
+    // q28's scoring chain with the corpus pre-filtered.
+    "q108_filtered_ann" ->
+      s"""WITH ${cosineTopKCtes("", "vec_id >= 100")}
+        |SELECT qid AS query_id, nid AS neighbor_id, sim, CAST(rk AS BIGINT) AS rank
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+
+    // Exact chain (q28, CTEs prefixed e*) + IVF chain (q30 verbatim) +
+    // the per-query hit count. Both chains rank by the ROUNDED sim
+    // (matching the Spark operators) so the rank-5 cut agrees exactly.
+    "q113_ann_recall" ->
+      s"""WITH ${cosineTopKCtes("e", "TRUE")},
+        |exact AS (SELECT qid, nid FROM ew WHERE rk <= 5),
+        |$ivfTopKCtes,
+        |approx AS (SELECT qid, nid FROM w WHERE rk <= 5),
+        |hits AS (SELECT e.qid, count(*) AS hits
+        | FROM exact e JOIN approx x ON x.qid = e.qid AND x.nid = e.nid GROUP BY 1)
+        |SELECT eq.qid AS query_id, coalesce(h.hits, 0) AS hits,
+        | floor((coalesce(h.hits, 0)::DOUBLE / 5) * 10000 + 0.5) / 10000 AS recall_at_5
+        |FROM eq LEFT JOIN hits h ON h.qid = eq.qid""".stripMargin,
+
+
+    // Identical (mn, sc) scalars, identical per-element quantization
+    // ((x - mn) * sc + 0.5 — same op order), integer dot products.
+    "q114_quantized_ann" ->
+      """WITH st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
+        |st AS (SELECT mn,
+        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
+        |cq AS (SELECT vec_id AS neighbor_id,
+        |  list_transform(embedding, x ->
+        |    CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
+        | FROM embeddings CROSS JOIN st),
+        |qq AS (SELECT vec_id AS qid,
+        |  list_transform(embedding, x ->
+        |    CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS qv
+        | FROM embeddings CROSS JOIN st WHERE vec_id < 8),
+        |sdp AS (SELECT qid, neighbor_id,
+        |  CAST(list_sum(list_transform(list_zip(qv, cv),
+        |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS dp
+        | FROM cq CROSS JOIN qq WHERE qid <> neighbor_id),
+        |w AS (SELECT qid, neighbor_id, dp,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dp DESC, neighbor_id) AS rk FROM sdp)
+        |SELECT qid AS query_id, neighbor_id, dp, CAST(rk AS BIGINT) AS rank
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+
+    // Identical int8 affine (q114), identical sampled codebook (entry
+    // (s, c) = subspace-s slice of vector s*16+c), argmin squared-L2
+    // with (dist, c) tie-break, ADC = sum of integer table lookups.
+    "q125_pq_ann" ->
+      """WITH st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
+        |st AS (SELECT mn,
+        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
+        |q AS (SELECT vec_id AS id, list_transform(embedding, x ->
+        |  CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
+        | FROM embeddings CROSS JOIN st),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |sub AS (SELECT q.id, ss.s, q.cv[ss.s*8+1 : ss.s*8+8] AS sv
+        | FROM q CROSS JOIN ss),
+        |cb AS (SELECT s, id % 16 AS c, sv AS cvec FROM sub
+        | WHERE id < 128 AND s = id // 16),
+        |enc AS (SELECT sub.id, sub.s, cb.c,
+        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
+        |    p -> CAST(p[1] - p[2] AS BIGINT) * CAST(p[1] - p[2] AS BIGINT)))
+        |   AS BIGINT) AS dist
+        | FROM sub JOIN cb ON cb.s = sub.s),
+        |codes AS (SELECT id, s, c FROM (
+        |  SELECT id, s, c,
+        |   row_number() OVER (PARTITION BY id, s ORDER BY dist, c) AS rk FROM enc)
+        | WHERE rk = 1),
+        |dt AS (SELECT sub.id AS qid, sub.s, cb.c,
+        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
+        |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS dot
+        | FROM sub JOIN cb ON cb.s = sub.s WHERE sub.id < 8),
+        |adc AS (SELECT dt.qid, codes.id AS nid, CAST(sum(dt.dot) AS BIGINT) AS adp
+        | FROM codes JOIN dt ON dt.s = codes.s AND dt.c = codes.c
+        | WHERE dt.qid <> codes.id GROUP BY 1, 2),
+        |w AS (SELECT qid, nid, adp,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adp DESC, nid) AS rk FROM adc)
+        |SELECT qid AS query_id, nid AS neighbor_id, adp, CAST(rk AS BIGINT) AS rank
+        |FROM w WHERE rk <= 5""".stripMargin,
+
+
+    // The q30 IVF pruning chain (a = assignments, p = probes) composed
+    // with the q125 PQ chain (codes, dt): ADC scores only probed pairs.
+    "q127_ivfpq_ann" ->
+      s"""WITH $ivfTopKCtes,
+        |st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
+        |st AS (SELECT mn,
+        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
+        |q AS (SELECT vec_id AS id, list_transform(embedding, x ->
+        |  CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
+        | FROM embeddings CROSS JOIN st),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |sub AS (SELECT q.id, ss.s, q.cv[ss.s*8+1 : ss.s*8+8] AS sv
+        | FROM q CROSS JOIN ss),
+        |cb AS (SELECT s, id % 16 AS c, sv AS cvec FROM sub
+        | WHERE id < 128 AND s = id // 16),
+        |enc AS (SELECT sub.id, sub.s, cb.c,
+        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
+        |    x -> CAST(x[1] - x[2] AS BIGINT) * CAST(x[1] - x[2] AS BIGINT)))
+        |   AS BIGINT) AS dist
+        | FROM sub JOIN cb ON cb.s = sub.s),
+        |codes AS (SELECT id, s, c FROM (
+        |  SELECT id, s, c,
+        |   row_number() OVER (PARTITION BY id, s ORDER BY dist, c) AS rk FROM enc)
+        | WHERE rk = 1),
+        |dt AS (SELECT sub.id AS qid, sub.s, cb.c,
+        |  CAST(list_sum(list_transform(list_zip(sub.sv, cb.cvec),
+        |    x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS BIGINT) AS dot
+        | FROM sub JOIN cb ON cb.s = sub.s WHERE sub.id < 8),
+        |pairs AS (SELECT p.qid, a.nid FROM a JOIN p ON a.cid = p.cid
+        | WHERE p.qid <> a.nid),
+        |adc AS (SELECT pr.qid, pr.nid, CAST(sum(dt.dot) AS BIGINT) AS adp
+        | FROM pairs pr
+        | JOIN codes ON codes.id = pr.nid
+        | JOIN dt ON dt.qid = pr.qid AND dt.s = codes.s AND dt.c = codes.c
+        | GROUP BY 1, 2),
+        |w2 AS (SELECT qid, nid, adp,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adp DESC, nid) AS rk FROM adc)
+        |SELECT qid AS query_id, nid AS neighbor_id, adp, CAST(rk AS BIGINT) AS rank
+        |FROM w2 WHERE rk <= 5""".stripMargin,
+
+
+    // Same int8 affine (q125 chain), same md5 sign matrix, integer
+    // folds pivoted to columns.
+    "q150_jl_project" ->
+      """WITH st0 AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+        |  CAST(max(list_max(embedding)) AS DOUBLE) AS mx FROM embeddings),
+        |st AS (SELECT mn,
+        |  CASE WHEN mx = mn THEN 0.0 ELSE 254.0 / (mx - mn) END AS sc FROM st0),
+        |q AS (SELECT vec_id AS id, list_transform(embedding, x ->
+        |  CAST(floor((CAST(x AS DOUBLE) - mn) * sc + 0.5) AS INTEGER) - 127) AS cv
+        | FROM embeddings CROSS JOIN st),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |ii AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |sgn AS (SELECT j, i,
+        |  CASE WHEN ('0x' || substr(md5('jl_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |   THEN 1 ELSE -1 END AS s
+        | FROM jj CROSS JOIN ii),
+        |proj AS (SELECT q.id, sgn.j,
+        |  CAST(sum(CAST(q.cv[sgn.i + 1] AS BIGINT) * sgn.s) AS BIGINT) AS p
+        | FROM q CROSS JOIN sgn GROUP BY 1, 2)
+        |SELECT id AS vec_id,
+        | CAST(sum(CASE WHEN j = 0 THEN p END) AS BIGINT) AS p0,
+        | CAST(sum(CASE WHEN j = 1 THEN p END) AS BIGINT) AS p1,
+        | CAST(sum(CASE WHEN j = 2 THEN p END) AS BIGINT) AS p2,
+        | CAST(sum(CASE WHEN j = 3 THEN p END) AS BIGINT) AS p3,
+        | CAST(sum(CASE WHEN j = 4 THEN p END) AS BIGINT) AS p4,
+        | CAST(sum(CASE WHEN j = 5 THEN p END) AS BIGINT) AS p5,
+        | CAST(sum(CASE WHEN j = 6 THEN p END) AS BIGINT) AS p6,
+        | CAST(sum(CASE WHEN j = 7 THEN p END) AS BIGINT) AS p7
+        |FROM proj GROUP BY 1""".stripMargin,
+
+
+    // The q28 chain scored by label agreement.
+    "q159_knn_precision" ->
+      s"""WITH ${cosineTopKCtes("", "TRUE")},
+        |top5 AS (SELECT qid, nid FROM w WHERE rk <= 5),
+        |lab AS (SELECT vec_id, label FROM embeddings)
+        |SELECT t.qid AS query_id,
+        | CAST(sum(CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        | (CAST(sum(CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END) AS BIGINT) * 10000) // 5 AS precision_bp
+        |FROM top5 t
+        |JOIN lab lq ON lq.vec_id = t.qid
+        |JOIN lab ln ON ln.vec_id = t.nid
+        |GROUP BY 1""".stripMargin,
+  )
+}

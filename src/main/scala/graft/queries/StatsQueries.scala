@@ -1,0 +1,425 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Rounding => R, TextFunctions => T}
+import graft.operators._
+import graft.operators.ParsePipeline.PageHtml
+import graft.queries.Fixtures._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe statistics: percentiles (cells/GK), NTILE, winsorize, quantile-norm, HLL/CMS sketches, range digests, join-cardinality estimation.
+  *
+  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank.
+  * Moved verbatim from the pre-split SparkEntry.scala.
+  */
+object StatsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // [gap] exact percentiles, linear interpolation — percentile_cont
+    // semantics via PercentileOps.exactQuantiles: IEEE-identical to the
+    // percentile() built-in, but the plan is spill-safe at any group
+    // size (distinct-cell shuffle + sort-window cumulative counts, no
+    // whole-group ObjectHashAggregate buffer). The former hot-group OOM
+    // bound is gone; histogramQuantiles (q56) and approxQuantiles (q57)
+    // remain for domain-bounded / sketch trade-offs.
+    "q51_percentiles" -> ((s, d) =>
+      PercentileOps.exactQuantiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .select(col("l_returnflag"),
+          R.half4(col("p25")).as("p25"),
+          R.half4(col("p50")).as("p50"),
+          R.half4(col("p75")).as("p75"))),
+
+
+    // Scale-safe percentiles #1: exact discrete quantiles over a
+    // cent-quantized domain — shuffle volume is distinct price cells,
+    // never raw rows (q51's 100 TB-safe twin).
+    "q56_hist_quantiles" -> ((s, d) =>
+      PercentileOps.histogramQuantiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), decimals = 2)),
+
+
+    // Scale-safe percentiles #2: Greenwald–Khanna sketch. At this SF the
+    // 1e6 accuracy bound (rank error < 1) makes it exactly the discrete
+    // quantile, so DuckDB's quantile_disc is a true oracle; at scale the
+    // same plan degrades gracefully to bounded-state approximation.
+    "q57_approx_percentiles" -> ((s, d) =>
+      PercentileOps.approxQuantiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), accuracy = 1000000)),
+
+
+    // Count-min sketch: mergeable fixed-size frequency summary, built
+    // and probed with the portable md5 hash so the oracle rebuilds the
+    // identical sketch. Estimates are exact here (5 hot keys, 1024
+    // buckets); the overestimate-only property is spec-asserted.
+    "q103_cms_counts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cms = SketchOps.cmsBuild(ev, "user_id")
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      SketchOps.cmsEstimate(cms, ev.select("user_id").distinct(), "user_id")
+        .join(exact, "user_id")
+        .select(col("user_id"), col("exact_n"), col("cms_n"))
+    }),
+
+
+    // HyperLogLog distinct sketch (mergeable by register max): integer-
+    // scaled harmonic sum makes the raw estimate bit-identical cross-
+    // engine; exact distinct alongside for the quality check.
+    "q104_hll_distinct" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = docs.agg(countDistinct("doc_id").as("n_exact"))
+      SketchOps.hllEstimate(docs, "doc_id")
+        .crossJoin(broadcast(exact))
+        .select(col("n_exact"), col("n_reg"), col("s_scaled"), col("hll_est"))
+    }),
+
+
+    // Windowed HLL: trailing-3-day distinct-user estimate per day by
+    // register merge — each day's registers CONTRIBUTE to 3 target days
+    // (bounded explode of tiny (day, bucket) rows), then max per
+    // (target day, bucket). The dashboard-at-scale shape: raw user ids
+    // shuffle once into per-day registers; the rolling merge never
+    // touches them again.
+    "q115_windowed_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val dreg = SketchOps.hllRegistersBy(ev, "user_id", Seq("day"))
+      val contrib = dreg.select(col("day"), col("bucket"), col("r"),
+          explode(array(lit(0), lit(1), lit(2))).as("o"))
+        .select(expr("date_add(day, o)").as("day"), col("bucket"), col("r"))
+      val days = ev.select("day").distinct()
+      val wreg = contrib.join(days, "day")
+        .groupBy("day", "bucket").agg(max("r").as("r"))
+      SketchOps.hllEstimateFromRegisters(wreg, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_reg"), col("s_scaled"), col("hll_est"))
+    }),
+
+
+    // Exact global NTILE(10) quality binning WITHOUT the global sort:
+    // ntile-over-everything is the canonical single-partition-window
+    // scale-killer; this derives each row's global rank from distinct-
+    // cell cumulative counts (the only unpartitioned window runs over
+    // cells, bounded by the n_chars domain) + a per-value row_number,
+    // then the bucket is integer arithmetic. Oracle = the naive window.
+    "q119_ntile_bins" -> ((s, d) => {
+      PercentileOps.ntileExact(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", k = 10)
+        .select(col("doc_id"), col("n_chars"), col("rank"), col("bin"))
+    }),
+
+
+    // Winsorization at per-source exact p05/p95 from the distinct-cell
+    // histogram (q56 machinery): group quantiles ride a cell-level
+    // shuffle, the bounded quantile frame broadcasts back onto the
+    // corpus — outlier clipping without ever sorting rows globally.
+    "q128_winsorize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val qs = PercentileOps.histogramQuantiles(docs, "source", "n_chars",
+        Seq("p05" -> 0.05, "p95" -> 0.95), decimals = 0)
+      docs.join(broadcast(qs), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("p05"), col("p95"),
+          least(greatest(col("n_chars").cast("double"), col("p05")),
+            col("p95")).cast("long").as("clipped"))
+    }),
+
+
+    // Join-cardinality estimation from two INDEPENDENT count-min
+    // sketches (the optimizer-statistics primitive): the CMS inner
+    // product upper-bounds |orders ⋈ customer| from two fixed-size
+    // artifacts without touching either table again; exact count
+    // alongside for the quality check. All-integer.
+    "q139_join_cardinality" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val est = SketchOps.cmsJoinCardinality(
+        SketchOps.cmsBuild(o, "k", width = 8192),
+        SketchOps.cmsBuild(c, "k", width = 8192))
+      val exact = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est_join_size"), col("exact_join_size"),
+          (col("est_join_size") >= col("exact_join_size")).as("overestimate"))
+    }),
+
+
+    // Merkle-style anti-entropy: two replicas (one with planted
+    // corruption on keys %5003==0) reduce to per-range (count, xor
+    // digest) pairs; only mismatched ranges would pay a row-level diff
+    // (q118) — reconciling 100 TB copies without shipping either.
+    "q140_range_digest" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val replicaB = o.select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(5003L)) === 0L, col("cents") + 1L)
+          .otherwise(col("cents")).as("cents"))
+      val da = QualityOps.rangeDigests(o, "o_orderkey", "cents", 1000L)
+        .select(col("bucket"), col("n").as("n_a"), col("digest").as("digest_a"))
+      val db = QualityOps.rangeDigests(replicaB, "o_orderkey", "cents", 1000L)
+        .select(col("bucket"), col("n").as("n_b"), col("digest").as("digest_b"))
+      da.join(db, Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          col("digest_a"), col("digest_b"),
+          ((col("n_a") <=> col("n_b")) &&
+            (col("digest_a") <=> col("digest_b"))).as("in_sync"))
+    }),
+
+
+    // Quantile normalization: each doc's n_chars maps onto the GLOBAL
+    // value at the same within-source percentile — batch-effect
+    // correction across sources. Rows shuffle once; the global side is
+    // cells + a 10000-row broadcast lookup built by the bucketed range
+    // join.
+    "q152_quantile_norm" -> ((s, d) =>
+      PercentileOps.quantileNormalize(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id")),
+
+
+    // Scale-safe percent_rank / cume_dist in integer basis points: the
+    // global rank comes from the q119 cell machinery (no global row
+    // sort); cume_dist joins the broadcast cell table. The oracle
+    // recomputes both from the naive global window's row_number —
+    // independent of the cell derivation.
+    "q156_percent_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val ranked = PercentileOps.ntileExact(docs, "n_chars", "doc_id", k = 1)
+      val cells = docs.groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = cells.withColumn("cum", sum("cnt").over(wCum))
+        .select(col("v").as("n_chars"), col("cum"))
+      val nTotal = docs.agg(count(lit(1)).as("n_total"))
+      ranked.join(broadcast(cum), "n_chars")
+        .crossJoin(broadcast(nTotal))
+        .select(col("doc_id"), col("n_chars"),
+          expr("((rank - 1) * 10000) div (n_total - 1)").as("pr_bp"),
+          expr("(cum * 10000) div n_total").as("cume_bp"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+        | floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        | floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000 AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+
+    // Same cell-quantize → cumulative-rank arithmetic as
+    // PercentileOps.histogramQuantiles (IEEE double ops are bit-exact in
+    // both engines).
+    "q56_hist_quantiles" ->
+      """WITH c AS (
+        | SELECT l_returnflag, floor(l_extendedprice * 100) / 100 AS qval, count(*) AS cnt
+        | FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        | SELECT l_returnflag, qval,
+        |  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qval
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+        | FROM c)
+        |SELECT l_returnflag,
+        | min(CASE WHEN cum >= ceil(total * 0.25) THEN qval END) AS p25,
+        | min(CASE WHEN cum >= ceil(total * 0.5) THEN qval END) AS p50,
+        | min(CASE WHEN cum >= ceil(total * 0.75) THEN qval END) AS p75
+        |FROM w GROUP BY l_returnflag""".stripMargin,
+
+
+    // Valid oracle because the Spark side's GK accuracy bound (1e6) keeps
+    // rank error < 1 at verify SFs → exactly the discrete quantile.
+    "q57_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_disc(l_extendedprice, 0.25) AS p25,
+        | quantile_disc(l_extendedprice, 0.5) AS p50,
+        | quantile_disc(l_extendedprice, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+
+    // Rebuilds the identical md5-hashed sketch grid, then probes it:
+    // depth 4 x width 1024, estimate = min over rows. The unnest of the
+    // hash-row index lives in its own CTE (DuckDB lateral rule).
+    "q103_cms_counts" ->
+      """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+        |hb AS (SELECT e.user_id, ks.k,
+        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
+        | FROM events e CROSS JOIN ks),
+        |cms AS (SELECT k, bucket, count(*) AS n FROM hb GROUP BY 1, 2),
+        |kh AS (SELECT DISTINCT user_id, k, bucket FROM hb),
+        |est AS (SELECT kh.user_id, min(coalesce(cms.n, 0)) AS cms_n
+        | FROM kh LEFT JOIN cms ON cms.k = kh.k AND cms.bucket = kh.bucket
+        | GROUP BY 1),
+        |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+        |SELECT x.user_id, x.exact_n, est.cms_n
+        |FROM exact x JOIN est ON est.user_id = x.user_id""".stripMargin,
+
+
+    // Identical HLL state: bucket = low 6 hash bits, rho from bin()
+    // (renders without leading zeros in both engines), registers = max,
+    // harmonic sum as integer 2^(55-r) units; the alpha*m^2*2^55
+    // constant is the 17-digit literal that round-trips to the same
+    // double both sides.
+    "q104_hll_distinct" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM documents),
+        |br AS (SELECT h & 63 AS bucket,
+        |  CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
+        | FROM h),
+        |reg AS (SELECT bucket, max(rho) AS r FROM br GROUP BY 1),
+        |agg AS (SELECT count(*) AS n_reg,
+        |  CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT) AS s_nonempty FROM reg),
+        |s AS (SELECT n_reg,
+        |  s_nonempty + (64 - n_reg) * (1::BIGINT << 55) AS s_scaled FROM agg)
+        |SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_exact,
+        | n_reg, s_scaled,
+        | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
+        |FROM s""".stripMargin,
+
+
+    // Identical per-day registers (q104 chain grouped by day), the same
+    // 3-day contribution explode, register max, integer harmonic sum.
+    "q115_windowed_hll" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |h AS (SELECT day,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM ev),
+        |br AS (SELECT day, h & 63 AS bucket,
+        |  CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
+        | FROM h),
+        |dreg AS (SELECT day, bucket, max(rho) AS r FROM br GROUP BY 1, 2),
+        |offs AS (SELECT unnest([0, 1, 2]) AS o),
+        |contrib AS (SELECT day + o AS tday, bucket, r FROM dreg CROSS JOIN offs),
+        |days AS (SELECT DISTINCT day FROM ev),
+        |wreg AS (SELECT c.tday AS day, c.bucket, max(c.r) AS r
+        | FROM contrib c JOIN days dy ON dy.day = c.tday GROUP BY 1, 2),
+        |agg AS (SELECT day, count(*) AS n_reg,
+        |  CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT) AS s_ne
+        | FROM wreg GROUP BY 1),
+        |s AS (SELECT day, n_reg,
+        |  s_ne + (64 - n_reg) * (1::BIGINT << 55) AS s_scaled FROM agg)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_reg, s_scaled,
+        | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
+        |FROM s""".stripMargin,
+
+
+    // The naive global window the Spark side deliberately avoids —
+    // fine in DuckDB at oracle SF, a scale-killer in a cluster.
+    "q119_ntile_bins" ->
+      """SELECT doc_id, n_chars,
+        | CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+        | CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
+
+
+    // The q56 cum/total cell chain at decimals=0, then clip.
+    "q128_winsorize" ->
+      """WITH c AS (SELECT source, floor(n_chars * 1.0) / 1.0 AS qval,
+        |  count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |w AS (SELECT source, qval,
+        |  sum(cnt) OVER (PARTITION BY source ORDER BY qval
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY source) AS total FROM c),
+        |q AS (SELECT source,
+        |  min(CASE WHEN cum >= ceil(total * 0.05) THEN qval END) AS p05,
+        |  min(CASE WHEN cum >= ceil(total * 0.95) THEN qval END) AS p95
+        | FROM w GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars, q.p05, q.p95,
+        | CAST(least(greatest(CAST(d.n_chars AS DOUBLE), q.p05), q.p95) AS BIGINT) AS clipped
+        |FROM documents d JOIN q ON q.source = d.source""".stripMargin,
+
+
+    // The q103 grid chain for both tables, then the row-wise inner
+    // product and the min — identical integer arithmetic.
+    "q139_join_cardinality" ->
+      """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+        |ga AS (SELECT ks.k,
+        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS na
+        | FROM orders CROSS JOIN ks GROUP BY 1, 2),
+        |gb AS (SELECT ks.k,
+        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS nb
+        | FROM customer CROSS JOIN ks GROUP BY 1, 2),
+        |dot AS (SELECT ga.k, CAST(sum(ga.na * gb.nb) AS BIGINT) AS d
+        | FROM ga JOIN gb ON gb.k = ga.k AND gb.bucket = ga.bucket GROUP BY 1),
+        |est AS (SELECT min(d) AS est_join_size FROM dot),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+        | FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+        |SELECT CAST(est_join_size AS BIGINT) AS est_join_size, exact_join_size,
+        | est_join_size >= exact_join_size AS overestimate
+        |FROM est CROSS JOIN ex""".stripMargin,
+
+
+    // Same fingerprints, same xor fold; bit_xor is order-independent
+    // in both engines.
+    "q140_range_digest" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |rb AS (SELECT k, CASE WHEN k % 5003 = 0 THEN cents + 1 ELSE cents END AS cents
+        | FROM o),
+        |fa AS (SELECT k // 1000 AS bucket,
+        |  ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 15))::BIGINT AS fp
+        | FROM o),
+        |fb AS (SELECT k // 1000 AS bucket,
+        |  ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 15))::BIGINT AS fp
+        | FROM rb),
+        |da AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+        |  CAST(bit_xor(fp) AS BIGINT) AS digest_a FROM fa GROUP BY 1),
+        |db AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+        |  CAST(bit_xor(fp) AS BIGINT) AS digest_b FROM fb GROUP BY 1)
+        |SELECT coalesce(da.bucket, db.bucket) AS bucket, n_a, n_b,
+        | digest_a, digest_b,
+        | n_a IS NOT DISTINCT FROM n_b
+        |  AND digest_a IS NOT DISTINCT FROM digest_b AS in_sync
+        |FROM da FULL OUTER JOIN db ON db.bucket = da.bucket""".stripMargin,
+
+
+    // Same rank quantization, same cell-interval lookup (the range
+    // join re-derived as an interval predicate).
+    "q152_quantile_norm" ->
+      """WITH rows_ AS (SELECT doc_id AS id, source AS g, n_chars AS v FROM documents),
+        |rk AS (SELECT id, g, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY v, id) AS r,
+        |  count(*) OVER (PARTITION BY g) AS n_g FROM rows_),
+        |rb AS (SELECT id, g, v,
+        |  greatest(1, (r * 10000) // n_g) AS rank_bp FROM rk),
+        |cells AS (SELECT v, count(*) AS cnt FROM rows_ GROUP BY 1),
+        |cum AS (SELECT v, cnt,
+        |  sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM cells),
+        |n AS (SELECT count(*) AS n_total FROM rows_),
+        |lv AS (SELECT unnest(generate_series(1, 10000)) AS bp),
+        |lvr AS (SELECT bp, (bp * n_total + 9999) // 10000 AS r_req FROM lv CROSS JOIN n),
+        |lut AS (SELECT lvr.bp, c.v AS norm_v FROM lvr
+        | JOIN cum c ON lvr.r_req >= c.cum - c.cnt + 1 AND lvr.r_req <= c.cum)
+        |SELECT rb.id AS doc_id, rb.g AS source, CAST(rb.v AS BIGINT) AS n_chars,
+        | CAST(rb.rank_bp AS BIGINT) AS rank_bp,
+        | CAST(l.norm_v AS BIGINT) AS normalized
+        |FROM rb JOIN lut l ON l.bp = rb.rank_bp""".stripMargin,
+
+
+    // Both measures recomputed from the naive global window —
+    // independent of the Spark side's cell-histogram ranks.
+    "q156_percent_rank" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER () AS n FROM documents),
+        |c AS (SELECT n_chars, max(rn) AS cum FROM r GROUP BY 1)
+        |SELECT r.doc_id, r.n_chars,
+        | ((r.rn - 1) * 10000) // (r.n - 1) AS pr_bp,
+        | (c.cum * 10000) // r.n AS cume_bp
+        |FROM r JOIN c ON c.n_chars = r.n_chars""".stripMargin,
+  )
+}

@@ -1,0 +1,387 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Rounding => R, TextFunctions => T}
+import graft.operators._
+import graft.operators.ParsePipeline.PageHtml
+import graft.queries.Fixtures._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis and tokenization: quality scores, lang-ID, BPE, packing, chunking, redaction, boilerplate, token rarity, bigram LM.
+  *
+  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency.
+  * Moved verbatim from the pre-split SparkEntry.scala.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting (whitespace + BPE-ish).
+    "q14_token_counts" -> ((s, d) =>
+      TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // Quality scoring.
+    "q15_quality_score" -> ((s, d) =>
+      TextAnalysisOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // Language ID.
+    "q16_lang_id" -> ((s, d) =>
+      TextAnalysisOps.languageId(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // Token-budget sequence packing within deterministic shards.
+    "q62_pack_budget" -> ((s, d) => {
+      val toks = TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens"))
+      SampleOps.packByTokenBudget(toks, "doc_id", "ws_tokens",
+        budget = 512L, nShards = 32)
+    }),
+
+
+    // PII scrub: deterministic synthetic PII injected from table columns
+    // (identical expression on the oracle side), then the redaction chain
+    // + per-category audit counts — a shuffle-free codegen'd scan.
+    "q68_redact" -> ((s, d) => {
+      val emailPart = when(pmod(did, lit(2)) === 0,
+        concat(lit(" user"), sid, lit("@example.com"))).otherwise(lit(""))
+      val phonePart = when(pmod(did, lit(3)) === 0,
+        concat(lit(" call +1 555-010-"), lpad(sid, 4, "0"))).otherwise(lit(""))
+      val ssnPart = when(pmod(did, lit(5)) === 0,
+        lit(" id 987-65-4321")).otherwise(lit(""))
+      val pii = concat(col("text"), emailPart, phonePart, ssnPart)
+      Tables.documents(s, d).select(
+        did.as("doc_id") +: T.redactPii(pii).as("redacted") +: T.piiCounts(pii): _*)
+    }),
+
+
+    // REAL BPE token counts (iterative best-pair merge over the toy
+    // vocab) — the counts training pipelines pack by. Oracle re-derives
+    // the encode loop as a recursive CTE over DISTINCT words.
+    "q72_bpe_tokens" -> ((s, d) =>
+      TextAnalysisOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // q62's packing on REAL BPE counts instead of whitespace words —
+    // same shard/window shape, corrected weights.
+    "q74_pack_bpe" -> ((s, d) =>
+      SampleOps.packByTokenBudget(
+        TextAnalysisOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("n_bpe_tokens")),
+        "doc_id", "n_bpe_tokens", budget = 512L, nShards = 32)),
+
+
+    // Intra-doc repetition (Gopher-rule family): top-bigram and
+    // duplicate-bigram fractions; the shuffle carries (id, gram) with
+    // map-side partial counts, never document text.
+    "q77_repetition" -> ((s, d) =>
+      TextAnalysisOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // CCNet-style boilerplate removal by line frequency: a per-source
+    // footer line planted in EVERY document of the source is detected
+    // and stripped; the per-document unique line survives. The original
+    // text lines stay (no real line repeats across >=50% of a source).
+    "q83_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("source"),
+        concat(col("text"), lit("\nFooter: "), col("source"),
+          lit("\nLine "), col("doc_id").cast("string")).as("text"))
+      CurationOps.stripBoilerplate(corpus, "doc_id", "source", "text")
+    }),
+
+
+    // Corpus-relative token rarity: every doc scored against the global
+    // unigram distribution with all-integer counting (no LM, no
+    // floating-accumulation hazard) — the CCNet-style quality signal
+    // that needs corpus statistics, not just row-local features.
+    "q85_token_rarity" -> ((s, d) =>
+      TextAnalysisOps.tokenRarity(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // RAG chunking: fixed-size token windows (64) with overlap (16);
+    // the tail-suppression rule keeps chunks that add new tokens only.
+    "q87_chunking" -> ((s, d) =>
+      TextAnalysisOps.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 64, overlap = 16)),
+
+
+    // Bigram-LM fluency scoring (the perplexity-filter slot): mean
+    // in-corpus bigram probability per doc, add-one smoothed, integer-
+    // quantized so the aggregate is order-independent and hash-exact.
+    "q100_bigram_lm" -> ((s, d) =>
+      TextAnalysisOps.bigramLmScore(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // Language-ID confusion matrix vs the GROUND-TRUTH lang column:
+    // one row per (truth, prediction) pair — the model-eval artifact
+    // behind the q16 classifier.
+    "q160_lang_confusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysisOps.languageId(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("correct", col("lang") === col("lang_pred"))
+    }),
+
+
+    // Packing-efficiency audit: per (shard, pack) doc and token counts
+    // plus the over-budget flag — the utilization check on the q62/q157
+    // packer (greedy offset packing intentionally lets the last doc of
+    // a pack spill past the budget; this measures by how much).
+    "q164_pack_efficiency" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
+      SampleOps.packByTokenBudget(docs, "doc_id", "n_tokens",
+          budget = 512L, nShards = 8)
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+        .withColumn("over_budget", col("pack_tokens") > 512L)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q14_token_counts" ->
+      s"""SELECT doc_id,
+         | CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
+         |   AS bpeish_tokens
+         |FROM documents""".stripMargin,
+
+
+    "q15_quality_score" ->
+      s"""WITH $qualityCtes
+         |SELECT doc_id, n_chars, n_tokens,
+         | floor(mtl * 10000 + 0.5) / 10000 AS mean_token_len,
+         | floor(swr * 10000 + 0.5) / 10000 AS stopword_ratio,
+         | floor(pr * 10000 + 0.5) / 10000 AS punct_ratio,
+         | $qualityExprSql AS quality
+         |FROM m""".stripMargin,
+
+
+    "q16_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
+         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
+         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
+         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
+         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
+         | FROM t)
+         |SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
+         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+         | ELSE 'zh' END AS lang_pred
+         |FROM s""".stripMargin,
+
+
+    // Same shard/window/floor arithmetic as SampleOps.packByTokenBudget
+    // (ws-token counts per q14's tokenizer).
+    "q62_pack_budget" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, doc_id % 32 AS shard,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
+         | FROM n)
+         |SELECT doc_id, shard, n_tokens,
+         | CAST(so AS BIGINT) AS start_offset,
+         | CAST(floor(so / 512.0) AS BIGINT) AS pack_id
+         |FROM o""".stripMargin,
+
+
+    "q68_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0
+        |   THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0
+        |   THEN ' call +1 555-010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' id 987-65-4321' ELSE '' END AS pii
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(pii,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |   '\d{3}-\d{2}-\d{4}', '<SSN>', 'g') AS redacted,
+        | CAST(len(regexp_extract_all(pii,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(pii,
+        |   '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(
+        |   regexp_replace(pii, '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |   '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssns
+        |FROM p""".stripMargin,
+
+
+    "q72_bpe_tokens" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT d.doc_id,
+         | coalesce(c.n_words, 0) AS n_words,
+         | CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin,
+
+
+    "q74_pack_bpe" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |n AS (SELECT d.doc_id, d.doc_id % 32 AS shard,
+         |  CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_tokens
+         | FROM documents d LEFT JOIN cnt c USING (doc_id)),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
+         | FROM n)
+         |SELECT doc_id, shard, n_tokens,
+         | CAST(so AS BIGINT) AS start_offset,
+         | CAST(floor(so / 512.0) AS BIGINT) AS pack_id
+         |FROM o""".stripMargin,
+
+
+    "q77_repetition" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
+         | FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+         | FROM t),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+         |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |  count(*) AS n_distinct, max(c) AS max_c FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | coalesce(p.n_grams, 0) AS n_bigrams,
+         | floor((CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+         |   ELSE p.max_c::DOUBLE / p.n_grams END) * 10000 + 0.5) / 10000 AS top_bigram_frac,
+         | floor((CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+         |   ELSE (p.n_grams - p.n_distinct)::DOUBLE / p.n_grams END) * 10000 + 0.5) / 10000 AS dup_bigram_frac
+         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+
+
+    // Line-frequency boilerplate: lines distinct per doc, counted per
+    // (source, line); lines in >= 50% (and >= 2) of a source's docs are
+    // stripped via an order-preserving list_filter.
+    "q83_boilerplate" ->
+      """WITH corpus AS (SELECT doc_id, source,
+        |  text || chr(10) || 'Footer: ' || source || chr(10) || 'Line ' || CAST(doc_id AS VARCHAR) AS text
+        | FROM documents),
+        |t AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM corpus),
+        |ln AS (SELECT source, unnest(list_distinct(ls)) AS line FROM t),
+        |dc AS (SELECT source, count(*) AS n_docs FROM corpus GROUP BY source),
+        |freq AS (SELECT source, line, count(*) AS n FROM ln GROUP BY source, line),
+        |bl AS (SELECT f.source, list(f.line) AS bl
+        | FROM freq f JOIN dc ON dc.source = f.source
+        | WHERE f.n >= 2 AND f.n >= dc.n_docs * 0.5 GROUP BY f.source),
+        |j AS (SELECT t.doc_id, t.ls, coalesce(bl.bl, CAST([] AS VARCHAR[])) AS bl
+        | FROM t LEFT JOIN bl ON bl.source = t.source),
+        |k AS (SELECT doc_id, ls, list_filter(ls, x -> NOT list_contains(bl, x)) AS kept FROM j)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        | CAST(len(ls) - len(kept) AS INTEGER) AS removed_lines FROM k""".stripMargin,
+
+
+    // Unigram counts over the whole corpus, rejoined to each doc's token
+    // stream; DuckDB sums of INTEGER are HUGEINT, so cast back to BIGINT.
+    "q85_token_rarity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |pd AS (SELECT tok.doc_id,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN c.cnt <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tokens,
+         |  CAST(sum(c.cnt) AS BIGINT) AS sum_counts
+         | FROM tok JOIN counts c ON c.tok = tok.tok GROUP BY tok.doc_id)
+         |SELECT d.doc_id AS id,
+         | coalesce(pd.n_tokens, 0) AS n_tokens,
+         | coalesce(pd.rare_tokens, 0) AS rare_tokens,
+         | CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+         |  ELSE floor((pd.rare_tokens::DOUBLE / pd.n_tokens) * 10000 + 0.5) / 10000 END AS rare_frac,
+         | CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+         |  ELSE floor((pd.sum_counts::DOUBLE / pd.n_tokens) * 10000 + 0.5) / 10000 END AS mean_count
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+
+    // Token-window chunking: stepped starts via generate_series (stop-
+    // inclusive both engines), tail suppression, 1-based inclusive list
+    // slices on both sides.
+    "q87_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |nz AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+         |st0 AS (SELECT doc_id, ts, n,
+         |  unnest(generate_series(0, CAST(n - 1 AS BIGINT), 48)) AS s FROM nz),
+         |st AS (SELECT * FROM st0 WHERE s = 0 OR s + 16 < n)
+         |SELECT doc_id AS id, s // 48 AS chunk_id,
+         | array_to_string(ts[s + 1 : s + 64], ' ') AS chunk_text,
+         | CAST(least(n - s, 64) AS INTEGER) AS n_tokens
+         |FROM st""".stripMargin,
+
+
+    // Division-then-multiply order mirrors the Spark expression exactly;
+    // p9 quantization keeps every aggregate an integer sum. range() is
+    // stop-exclusive, lists are 1-indexed, and the unnest lives in its
+    // own CTE (DuckDB can't combine unnest with formulas over it).
+    "q100_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |idx AS (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i FROM t),
+         |bg AS (SELECT doc_id, toks[i-1] AS prev, toks[i] AS tok FROM idx),
+         |cbg AS (SELECT prev, tok, count(*) AS cbg FROM bg GROUP BY 1, 2),
+         |cprev AS (SELECT prev, count(*) AS cprev FROM bg GROUP BY 1),
+         |u AS (SELECT unnest(toks) AS tok FROM t),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM u),
+         |scored AS (SELECT bg.doc_id,
+         |  CAST(floor((cbg.cbg + 1)::DOUBLE / (cprev.cprev + v.v) * 1000000000 + 0.5) AS BIGINT) AS p9
+         | FROM bg JOIN cbg ON cbg.prev = bg.prev AND cbg.tok = bg.tok
+         | JOIN cprev ON cprev.prev = bg.prev CROSS JOIN v),
+         |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(p9) AS BIGINT) AS sum_p9 FROM scored GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         | coalesce(pd.n_bigrams, 0) AS n_bigrams,
+         | coalesce(pd.sum_p9, 0) AS sum_p9,
+         | CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0.0
+         |  ELSE floor((pd.sum_p9::DOUBLE / pd.n_bigrams) * 100 + 0.5) / 100 END AS mean_p9
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+
+    // The q16 prediction chain joined to the truth column.
+    "q160_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
+         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
+         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
+         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
+         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
+         | FROM t),
+         |p AS (SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
+         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+         | ELSE 'zh' END AS lang_pred FROM s)
+         |SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n,
+         | d.lang = p.lang_pred AS correct
+         |FROM documents d JOIN p USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
+
+
+    // The q62 chain grouped to packs.
+    "q164_pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, doc_id % 8 AS shard,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
+         | FROM n)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         | CAST(floor(so / 512.0) AS BIGINT) AS pack_id,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         | CAST(sum(n_tokens) AS BIGINT) > 512 AS over_budget
+         |FROM o GROUP BY 1, 2""".stripMargin,
+  )
+}

@@ -77,6 +77,31 @@ class DeltaOpsSpec extends SparkSpec {
     assert(got.size == 2000 - 333)
   }
 
+  test("deltaByContent catches a planted same-URL changed doc; unchanged rows are not refetched (T5)") {
+    // state: u1 stored with the CURRENT hash (unchanged), u2 stored with a
+    // STALE hash (content changed at the same URL), u3 never seen (new).
+    val cur = Seq(("u1", "h1", "p1"), ("u2", "h2-new", "p2"), ("u3", "h3", "p3"))
+      .toDF("url", "content_hash", "payload")
+    val state = Seq(("u1", "h1"), ("u2", "h2-old")).toDF("url", "content_hash")
+    val out = DeltaOps.deltaByContent(cur, state, "url", "content_hash")
+    val byUrl = out.collect().map(r =>
+      r.getAs[String]("url") -> r.getAs[String]("change_type")).toMap
+    assert(byUrl == Map("u2" -> "changed", "u3" -> "new"))
+    // the URL-only delta is provably blind to the changed doc:
+    assert(DeltaOps.delta(cur, state.select("url"), "url")
+      .select("url").as[String].collect().toSeq == Seq("u3"))
+  }
+
+  test("deltaByContent: hash history makes replay idempotent; null hash fails open") {
+    // u1's current content matches an OLDER stored version -> unchanged.
+    val cur = Seq(("u1", Option("hA"), "p"), ("u2", Option.empty[String], "p"))
+      .toDF("url", "content_hash", "payload")
+    val hist = Seq(("u1", "hA"), ("u1", "hB"), ("u2", "h2")).toDF("url", "content_hash")
+    val out = DeltaOps.deltaByContent(cur, hist, "url", "content_hash").collect()
+    assert(out.length == 1 && out.head.getAs[String]("url") == "u2"
+      && out.head.getAs[String]("change_type") == "changed")
+  }
+
   test("bloomDelta keeps null keys, like the anti-join") {
     val cur = Seq(Option(1L), None, Option(5L)).toDF("k")
     val exist = Seq(1L).toDF("k")

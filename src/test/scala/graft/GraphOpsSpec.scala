@@ -72,6 +72,46 @@ class GraphOpsSpec extends SparkSpec {
     assert(multi == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("bfsDistancesDeep resolves a diameter-50 path and matches the unrolled variant") {
+    // 0-1-...-50 path: 50 hops from seed 0, far past the 8-hop unrolled cap
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.bfsDistancesDeep(chain, Seq(0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 50L).map(i => i -> i).toMap)
+    // identical output where both variants run (8-hop horizon)
+    val small = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val deep = GraphOps.bfsDistancesDeep(small, Seq(0L, 4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unrolled = GraphOps.bfsDistances(small, Seq(0L, 4L), maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deep == unrolled)
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("bfsDistancesDeep runs a bounded constant number of jobs per hop") {
+    // per hop: the frontier count + the merged-visited count — assert via
+    // job-start events that total jobs stay <= 2*hops + small constant
+    // (seed count, final collect), i.e. cost per hop does not grow with
+    // depth (the unrolled-plan form would re-run the whole prefix).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val chain = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+      val n = GraphOps.bfsDistancesDeep(chain, Seq(0L)).count()
+      assert(n == 31L)
+      Thread.sleep(500)
+      val j = jobs.get()
+      // 30 real hops + 1 empty-frontier confirm: <= 2/hop + 4 slack
+      assert(j <= 2 * 31 + 4, s"$j jobs for 30 hops — per-hop job count must be constant")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("triangleCount matches a naive all-triples count on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
