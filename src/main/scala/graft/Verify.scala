@@ -47,6 +47,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Rationale for every intentionally-oracle-less query, so a
+    // `no_oracle` row in the driver's correctness artifact is
+    // self-explaining rather than looking like missing coverage.
+    val notes = Map(
+      "q61_hash_split" -> ("rows-only BY DESIGN: xxhash64 is Spark-specific "
+        + "(no DuckDB twin exists). Cross-audited by q69_portable_split, "
+        + "which hash-checks the identical split logic over a portable "
+        + "60-bit md5 against DuckDB row-by-row."))
+    Files.writeString(Paths.get(s"$outDir/rows_only_notes.json"),
+      notes.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -60,6 +60,92 @@ object GraphOps {
     rank.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** [[pageRankFixedPoint]] past the 10-iteration unrolled-plan cap:
+    * the same integer recurrence as an RDD loop with one shared
+    * `HashPartitioner`, iterating to CONVERGENCE (total L1 rank change
+    * <= `tolFp` fixed-point units) instead of a fixed count.
+    *
+    * Same skeleton as [[bfsDistancesDeep]] / the CC rounds: the
+    * (src -> (dst, outdeg)) adjacency is shuffled onto the shared
+    * partitioner once and persisted; each iteration joins ranks to it
+    * narrowly (co-partitioned), and one `reduceByKey` shuffle sums the
+    * per-target contributions — the L1 delta that decides convergence is
+    * computed by the SAME action that materializes the iteration's
+    * persist (one job per iteration, nothing compiled per round).
+    * Bit-identical to the unrolled variant at equal iteration counts
+    * (spec-asserted): same integer division order, same dangling-mass
+    * leak.
+    */
+  def pageRankDeep(edges: DataFrame, tolFp: Long = 1000000L,
+                   maxIter: Int = 100,
+                   scale: Long = 1000000000000L): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(scale % 100L == 0L, "scale must be divisible by 100")
+    require(tolFp >= 0L, s"tolFp must be >= 0, got $tolFp")
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val part = new HashPartitioner(
+      math.max(1, spark.sessionState.conf.numShufflePartitions))
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val outdeg = e0.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    // src -> (dst, outdeg(src)): narrow join (both sides on `part`),
+    // persisted once — every iteration reads it without a shuffle
+    val adj = e0.partitionBy(part).join(outdeg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e0.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+      .reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0L) {
+      adj.unpersist(false); nodes.unpersist(false)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rank_fp",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+    val teleportPer = (scale / 100L * 15L) / n
+    var rank: RDD[(Long, Long)] = nodes.mapValues(_ => scale / n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rank.count()
+    var i = 0
+    var delta = Long.MaxValue
+    while (delta > tolFp && i < maxIter) {
+      // contributions: narrow join against the persisted adjacency, ONE
+      // shuffle sums per target (map-side combine collapses fan-in)
+      val contribs = rank.join(adj)
+        .map { case (_, (r, (dst, od))) => (dst, ((r * 85L) / 100L) / od) }
+        .reduceByKey(part, _ + _)
+      val next = nodes.leftOuterJoin(contribs) // narrow: both on `part`
+        .mapValues { case (_, c) => teleportPer + c.getOrElse(0L) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // the iteration's ONE action: materializes next AND sums |change|
+      delta = next.join(rank)
+        .treeAggregate(0L)(
+          { case (acc, (_, (a, b))) => acc + math.abs(a - b) }, _ + _)
+      rank.unpersist(false)
+      rank = next
+      i += 1
+    }
+    graft.GraftCache.registerRdd(spark, rank)
+    graft.GraftCache.registerRdd(spark, adj)
+    graft.GraftCache.registerRdd(spark, nodes)
+    val out = rank.map { case (id, r) => org.apache.spark.sql.Row(id, r) }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank_fp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Multi-source BFS distances over an undirected edge list, unrolled
     * to `maxHops` synchronous frontier expansions — hop distance from
     * the nearest seed (crawl frontier depth, link distance from trusted

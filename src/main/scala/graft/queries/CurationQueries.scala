@@ -24,8 +24,12 @@ object CurationQueries {
         minQuality = 0.5, langs = Seq("en"))),
 
 
-    // Deterministic hash split (rows-only: xxhash64 has no DuckDB twin);
-    // per-split counts prove proportions and stability.
+    // Deterministic hash split. INTENTIONALLY rows-only (the contract's
+    // one `no_oracle` row): xxhash64 has no DuckDB twin, so no SQL oracle
+    // can exist. Cross-audited by q69_portable_split, which runs the SAME
+    // split logic over a portable 60-bit-md5 hash and IS hash-checked
+    // row-by-row against DuckDB — see Verify's rows_only_notes.json.
+    // Per-split counts here prove proportions and run-to-run stability.
     "q61_hash_split" -> ((s, d) =>
       SampleOps.hashSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n"))),

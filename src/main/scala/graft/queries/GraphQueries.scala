@@ -8,9 +8,11 @@ import graft.queries.Fixtures._
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Graph analytics: PageRank, triangle counting, BFS distances.
+/** Graph analytics: PageRank (unrolled + RDD-loop deep), triangle
+  * counting, BFS distances (unrolled + RDD-loop deep).
   *
-  * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance, q167_bfs_deep.
+  * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance,
+  * q167_bfs_deep, q168_pagerank_deep.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object GraphQueries {
@@ -73,6 +75,19 @@ object GraphQueries {
         .select(did.as("src"), (did + 1L).as("dst"))
       GraphOps.bfsDistancesDeep(edges, Seq(0L), maxHops = 64)
     }),
+
+    // The RDD-loop PageRank pinned to 3 iterations (tolFp=0 so only
+    // exact convergence can stop it earlier, which changes nothing) —
+    // hash-checked against the SAME DuckDB oracle as the unrolled q105,
+    // proving the deep path is bit-identical to the Catalyst one.
+    "q168_pagerank_deep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 17L + 3L, lit(500L)).as("dst")))
+      GraphOps.pageRankDeep(edges, tolFp = 0L, maxIter = 3)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -80,29 +95,7 @@ object GraphQueries {
     // Three unrolled synchronous iterations, all-integer arithmetic
     // (// is floor division; operands are non-negative, matching
     // Spark's div). Dangling mass leaks identically in both engines.
-    "q105_pagerank" ->
-      """WITH e0 AS (
-        |  SELECT doc_id AS src, (doc_id * 31 + 7) % 500 AS dst FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id * 17 + 3) % 500 FROM documents),
-        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
-        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-        |n AS (SELECT count(*) AS n_nodes FROM nodes),
-        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-        |r0 AS (SELECT id, 1000000000000 // n_nodes AS r FROM nodes CROSS JOIN n),
-        |c1 AS (SELECT e.dst AS id, CAST(sum(((r0.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
-        | FROM e JOIN r0 ON r0.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
-        |r1 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c1.c, 0) AS r
-        | FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.id = nodes.id),
-        |c2 AS (SELECT e.dst AS id, CAST(sum(((r1.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
-        | FROM e JOIN r1 ON r1.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
-        |r2 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c2.c, 0) AS r
-        | FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.id = nodes.id),
-        |c3 AS (SELECT e.dst AS id, CAST(sum(((r2.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
-        | FROM e JOIN r2 ON r2.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
-        |r3 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c3.c, 0) AS r
-        | FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.id = nodes.id)
-        |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin,
+    "q105_pagerank" -> GraphOracleShared.pagerank3Iter,
 
 
     // Independent formulation: canonical a<b edges, triangles counted
@@ -166,5 +159,40 @@ object GraphQueries {
         |  SELECT sym.dst AS id, walk.dist + 1 AS dist
         |  FROM walk JOIN sym ON sym.src = walk.id WHERE walk.dist < 60)
         |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id""".stripMargin,
+
+
+    // Identical to the q105 oracle: the RDD-loop engine must reproduce
+    // the unrolled Catalyst iteration bit for bit.
+    "q168_pagerank_deep" -> GraphOracleShared.pagerank3Iter,
   )
+}
+
+/** Oracle SQL shared between the unrolled (q105) and RDD-loop (q168)
+  * PageRank queries — one text, so the two engines are held to the
+  * IDENTICAL bit-level answer.
+  */
+private[queries] object GraphOracleShared {
+  val pagerank3Iter: String =
+    """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 7) % 500 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 17 + 3) % 500 FROM documents),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*) AS n_nodes FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1000000000000 // n_nodes AS r FROM nodes CROSS JOIN n),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(((r0.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
+        | FROM e JOIN r0 ON r0.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |r1 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c1.c, 0) AS r
+        | FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.id = nodes.id),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(((r1.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
+        | FROM e JOIN r1 ON r1.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |r2 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c2.c, 0) AS r
+        | FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.id = nodes.id),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(((r2.r * 85) // 100) // od.outdeg) AS BIGINT) AS c
+        | FROM e JOIN r2 ON r2.id = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |r3 AS (SELECT nodes.id, (150000000000 // n_nodes) + coalesce(c3.c, 0) AS r
+        | FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.id = nodes.id)
+        |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin
 }

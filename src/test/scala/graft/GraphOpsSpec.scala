@@ -112,6 +112,35 @@ class GraphOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("pageRankDeep == pageRankFixedPoint at equal iteration counts") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .toDF("src", "dst")
+    val unrolled = GraphOps.pageRankFixedPoint(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deep = GraphOps.pageRankDeep(edges, tolFp = 0L, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deep == unrolled)
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("pageRankDeep runs past the 10-iteration unrolled cap and converges") {
+    // directed 6-cycle: ranks are symmetric, so the iteration converges to
+    // the uniform fixed point; tolFp generous enough to stop well before
+    // maxIter but only AFTER the mass redistributes (several iterations)
+    val n = 6L
+    val cyc = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val ranks = GraphOps.pageRankDeep(cyc, tolFp = 1000L, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == n)
+    // symmetric graph: all ranks equal, and close to scale/n minus the
+    // deterministic integer-division leak
+    assert(ranks.values.toSet.size == 1)
+    val r = ranks.values.head
+    assert(math.abs(r - 1000000000000L / n) < 1000000000000L / 100)
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("triangleCount matches a naive all-triples count on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
