@@ -86,12 +86,15 @@ object GraphOps {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
-    val part = new HashPartitioner(
-      math.max(1, spark.sessionState.conf.numShufflePartitions))
     val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // width follows the input's split count (capped at the session
+    // setting) — same rationale as [[bfsDistancesDeep]]: don't pay a
+    // 32-task scheduling floor per iteration on a small graph
+    val part = new HashPartitioner(math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, e0.getNumPartitions)))
     val outdeg = e0.mapValues(_ => 1L).reduceByKey(part, _ + _)
     // src -> (dst, outdeg(src)): narrow join (both sides on `part`),
     // persisted once — every iteration reads it without a shuffle
@@ -196,8 +199,9 @@ object GraphOps {
     *    frontier dedupe (`subtractByKey`) and the visited merge
     *    (`zipPartitions` concatenation — keys are disjoint by
     *    construction) add no shuffle;
-    *  - one action per hop (the frontier count that also materializes the
-    *    persist); empty frontier = convergence, so the loop runs
+    *  - ONE action per hop (the merged-visited count, which materializes
+    *    both persists and carries the new-frontier size in an
+    *    accumulator); empty frontier = convergence, so the loop runs
     *    diameter-many rounds and stops, `maxHops` merely a safety cap.
     *
     * Returns (id, dist) with dist = hop distance from the nearest seed;
@@ -213,12 +217,16 @@ object GraphOps {
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
     val sc = spark.sparkContext
-    val part = new HashPartitioner(
-      math.max(1, spark.sessionState.conf.numShufflePartitions))
     val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // Partitioner width follows the INPUT's width (capped at the session
+    // shuffle setting): a deep loop pays per-hop task-scheduling floor on
+    // every partition, so a small graph (few input splits) should not run
+    // 32 near-empty tasks per hop, while a big graph keeps full width.
+    val part = new HashPartitioner(math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, e0.getNumPartitions)))
     // undirected: symmetric view, shuffled onto the shared partitioner
     // once — every hop joins narrowly against this
     val adj = e0.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
@@ -240,14 +248,20 @@ object GraphOps {
         .reduceByKey(part, (a, _) => a)
         .subtractByKey(visited, part)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val n = next.count() // the hop's one action; also materializes persist
-      if (n == 0L) { next.unpersist(false); done = true }
-      else {
-        // keys are disjoint (subtractByKey) and both sides share `part`,
-        // so per-partition concatenation IS the merged visited set
-        val merged = visited.zipPartitions(next, preservesPartitioning = true)(
-          (a, b) => a ++ b).persist(StorageLevel.MEMORY_AND_DISK)
-        merged.count() // materialize before releasing the parents
+      // keys are disjoint (subtractByKey) and both sides share `part`,
+      // so per-partition concatenation IS the merged visited set. The
+      // new-frontier size rides along in an accumulator, so ONE action
+      // (merged.count) materializes next + merged AND decides
+      // convergence. Task retries can only OVERcount an accumulator,
+      // never undercount, so "0 = converged" stays safe.
+      val frontierSize = sc.longAccumulator(s"bfs_frontier_h$hop")
+      val merged = visited.zipPartitions(next, preservesPartitioning = true)(
+        (a, b) => a ++ b.map { e => frontierSize.add(1L); e })
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      merged.count() // the hop's ONE action
+      if (frontierSize.value == 0L) {
+        next.unpersist(false); merged.unpersist(false); done = true
+      } else {
         // merged now holds the data; parents recompute (if ever) narrowly
         // from retained shuffle files, exactly like the CC rounds
         val (oldVisited, oldFrontier) = (visited, frontier)

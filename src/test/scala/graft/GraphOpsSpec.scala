@@ -89,11 +89,12 @@ class GraphOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
-  test("bfsDistancesDeep runs a bounded constant number of jobs per hop") {
-    // per hop: the frontier count + the merged-visited count — assert via
-    // job-start events that total jobs stay <= 2*hops + small constant
-    // (seed count, final collect), i.e. cost per hop does not grow with
-    // depth (the unrolled-plan form would re-run the whole prefix).
+  test("bfsDistancesDeep runs ONE job per hop") {
+    // per hop: one merged-visited count (frontier size rides in an
+    // accumulator) — assert via job-start events that total jobs stay
+    // <= hops + small constant (seed count, final collect), i.e. cost
+    // per hop does not grow with depth (the unrolled-plan form would
+    // re-run the whole prefix).
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -106,8 +107,8 @@ class GraphOpsSpec extends SparkSpec {
       assert(n == 31L)
       Thread.sleep(500)
       val j = jobs.get()
-      // 30 real hops + 1 empty-frontier confirm: <= 2/hop + 4 slack
-      assert(j <= 2 * 31 + 4, s"$j jobs for 30 hops — per-hop job count must be constant")
+      // 30 real hops + 1 empty-frontier confirm: <= 1/hop + 6 slack
+      assert(j <= 31 + 6, s"$j jobs for 30 hops — the loop must run ONE action per hop")
     } finally spark.sparkContext.removeSparkListener(listener)
     graft.GraftCache.releaseAll(spark)
   }

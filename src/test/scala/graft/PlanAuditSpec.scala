@@ -40,6 +40,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
 
+  test("changed-content delta: broadcast anti + broadcast label joins, no sort-merge (q166)") {
+    val p = plan(q("q166_delta_content"))
+    assert(p.contains("LeftAnti"), s"expected composite-key anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"state side should broadcast at this size:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"state-sized joins must not sort-merge here:\n$p")
+  }
+
   test("top-k ANN aggregates partially — no Window, no full-corpus sort (q28)") {
     val p = plan(q("q28_bruteforce_topk"))
     assert(!p.contains("Window"), s"row_number window would shuffle QxN rows:\n$p")
