@@ -25,9 +25,12 @@ import org.apache.spark.sql.SparkSession
   *    steady state and hides run-to-run variance entirely.
   *  - Every artifact embeds the FULL evidence: per-query per-rep times
   *    ("reps_by_query"), per-rep JIT/GC deltas ("jit_ms"/"gc_ms"), the
-  *    /proc/loadavg at the start of each pass ("loadavg"), plus min and
-  *    cold (pass-1) maps — so an inflated number is attributable to
-  *    JVM costs vs ambient load vs real work from the artifact alone.
+  *    /proc/loadavg and a fixed CPU reference-kernel time at the start
+  *    of each pass ("loadavg"/"calib_sec" — divide two artifacts'
+  *    numbers by their calib ratio to compare across machine-speed
+  *    windows), plus min and cold (pass-1) maps — so an inflated number
+  *    is attributable to JVM costs vs ambient load vs machine drift vs
+  *    real work from the artifact alone.
   *  - The complete JSON line is also WRITTEN TO A FILE
   *    (SPARK_GRAFT_BENCH_OUT, default bench_full_latest.json in the cwd):
   *    the driver's recorded BENCH_r{N}.json artifacts were head-truncated
@@ -82,6 +85,28 @@ object Bench {
       try java.nio.file.Files.readString(
         java.nio.file.Path.of("/proc/loadavg")).trim.split(" ").head
       catch { case _: Throwable => "?" }
+    // Fixed CPU reference kernel, timed once per pass: on this host the
+    // effective machine speed drifts 1.4-1.8x across windows with zero
+    // steal and an idle box (observed round 7), so the artifact carries
+    // its own ruler — divide any two artifacts' per-query seconds by
+    // their calib ratio to compare windows. Pure integer mix, JIT-warmed
+    // once, single-threaded (drift observed uniform across cores).
+    def calibSec: Double = {
+      def mix(n: Long): Long = {
+        var z = 0L; var i = 0L
+        while (i < n) {
+          z += (i ^ (z >>> 13)) * 0x9E3779B97F4A7C15L
+          i += 1
+        }
+        z
+      }
+      mix(5000000L) // warm the JIT on the same code path
+      val t0 = System.nanoTime()
+      val sink = mix(50000000L)
+      val s = (System.nanoTime() - t0) / 1e9
+      if (sink == 42L) System.err.println("") // defeat DCE
+      s
+    }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
 
@@ -94,9 +119,12 @@ object Bench {
     val jitByQuery = scala.collection.mutable.Map.empty[String, Vector[Long]]
     val gcByQuery = scala.collection.mutable.Map.empty[String, Vector[Long]]
     val loadByPass = scala.collection.mutable.ArrayBuffer.empty[String]
+    val calibByPass = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to reps).foreach { rep =>
       loadByPass += loadAvg
-      if (diag) System.err.println(s"BENCHDIAG pass $rep loadavg=${loadByPass.last}")
+      calibByPass += calibSec
+      if (diag) System.err.println(
+        f"BENCHDIAG pass $rep loadavg=${loadByPass.last} calib=${calibByPass.last}%.3f s")
       selected.foreach { case (name, fn) =>
         val (j0, g0) = (jitMs, gcMs)
         val t0 = System.nanoTime()
@@ -145,11 +173,12 @@ object Bench {
     val jitJson = vecMap(selected.map { case (n, _) => n -> jitByQuery(n) })(_.toString)
     val gcJson = vecMap(selected.map { case (n, _) => n -> gcByQuery(n) })(_.toString)
     val loadJson = loadByPass.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
+    val calibJson = calibByPass.map(v => f"$v%.3f").mkString("[", ",", "]")
     val errJson = errors.map { case (k, m) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"agg":"median","min":$minJson,"cold":$cold,"reps":$reps,"reps_by_query":$repsJson,"jit_ms":$jitJson,"gc_ms":$gcJson,"loadavg":$loadJson,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"agg":"median","min":$minJson,"cold":$cold,"reps":$reps,"reps_by_query":$repsJson,"jit_ms":$jitJson,"gc_ms":$gcJson,"loadavg":$loadJson,"calib_sec":$calibJson,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     println(line)
     // Durable full artifact: the driver's recorded BENCH_r{N}.json was
     // head-truncated in rounds 5-6, so regression tracking reads this file.

@@ -437,4 +437,94 @@ object SimilarityOps {
       .groupBy("qid", "id").agg(sum("dot").as("adp"))
     rankAdc(adc, topK)
   }
+
+  /** K-MEANS TRAINING (Lloyd's algorithm) — the step that turns the
+    * deterministic lowest-id IVF seed centroids into DATA-ADAPTED ones
+    * (real IVF quality depends on trained centroids; everything
+    * downstream — [[ivfAssign]], the materialized index, IVF+PQ — can
+    * consume these instead of the seeds).
+    *
+    * All arithmetic is integer so the iteration is bit-reproducible in
+    * any engine: components quantize to `floor(x * quantScale + 0.5)`
+    * longs; assignment is squared-L2 argmin with ties to the lowest
+    * centroid index; the centroid update is the per-dimension truncating
+    * integer division `sum / count` — which DuckDB's integer `//` and
+    * Spark SQL's `div` both implement identically for ALL operands,
+    * negatives included. An empty cluster keeps its previous centroid.
+    *
+    * Distributed shape (the canonical scalable Lloyd): per iteration, ONE
+    * narrow pass assigns rows against the broadcast k×dim centroid array
+    * (tiny), and ONE map-side-combined `reduceByKey` shuffles only
+    * k × dim × partitions partial sums; the k×dim sum matrix comes to
+    * the driver (one action per iteration). The vectors themselves never
+    * shuffle. The loop runs on RDDs because centroids are data-dependent:
+    * a DataFrame loop would Janino-compile a fresh literal plan per
+    * iteration ([[graft.operators.DedupOps.connectedComponents]]
+    * doctrine).
+    *
+    * Returns the final assignment (id, centroid_id, dist) against the
+    * trained centroids, where dist is the squared L2 distance in the
+    * quantized space.
+    */
+  def kmeansFitAssign(emb: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    import org.apache.spark.storage.StorageLevel
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].rdd
+      .map { case (id, v) =>
+        (id, v.map(x => math.floor(x.toDouble * quantScale + 0.5).toLong).toArray)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def nearest(cs: Array[Array[Long]], v: Array[Long]): (Int, Long) = {
+      var best = 0; var bestD = Long.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0L; var i = 0
+        while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c } // strict <: ties keep lowest index
+        c += 1
+      }
+      (best, bestD)
+    }
+
+    // deterministic seed: the k lowest-id vectors, centroid index = rank
+    var cents: Array[Array[Long]] =
+      q.takeOrdered(k)(Ordering.by(_._1)).map(_._2)
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = q.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (_, v) => (nearest(cs, v)._1, (v, 1L)) }
+      }.reduceByKey { (x: (Array[Long], Long), y: (Array[Long], Long)) =>
+        val s = new Array[Long](x._1.length)
+        var i = 0; while (i < s.length) { s(i) = x._1(i) + y._1(i); i += 1 }
+        (s, x._2 + y._2)
+      }.collectAsMap() // the iteration's one action; k x dim longs only
+      cents = cents.indices.map { c =>
+        sums.get(c) match {
+          case Some((s, n)) => s.map(_ / n) // truncating, == DuckDB //
+          case None => cents(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+      bc.destroy()
+    }
+    val bcF = spark.sparkContext.broadcast(cents)
+    val out = q.map { case (id, v) =>
+      val (best, d) = nearest(bcF.value, v)
+      org.apache.spark.sql.Row(id, best, d)
+    }
+    graft.GraftCache.registerRdd(spark, q)
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

@@ -46,10 +46,11 @@ object TimeSeriesOps {
         var state = Long.MinValue
         it.map { case (_, _, seq, v) =>
           val prev = if (state == Long.MinValue) v else state
-          // floorDiv, not /: DuckDB's // floors toward -inf, JVM / truncates
-          // toward 0 — they agree only for non-negative operands, and
-          // nothing stops a caller feeding negative values.
-          state = Math.floorDiv(prev * (den - 1) + v, den)
+          // JVM / truncates toward 0, and so does DuckDB's integer //
+          // (verified: SELECT -7 // 2 = -3) — the two engines agree for
+          // ALL operands, negatives included. (Python's // floors; don't
+          // use it as the mental model for either engine.)
+          state = (prev * (den - 1) + v) / den
           (seq, key, v, prev, state, math.abs(v - prev) > threshold)
         }
       }(Encoders.product[(Long, Long, Long, Long, Long, Boolean)])

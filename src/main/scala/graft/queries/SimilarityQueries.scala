@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -176,7 +176,36 @@ object SimilarityQueries {
           .as("hits"))
         .withColumn("precision_bp", expr("(hits * 10000) div 5"))
     }),
+
+    // K-MEANS TRAINING: two Lloyd rounds from the k=4 lowest-id seed,
+    // all-integer (quantized components, floorDiv centroid means), then
+    // the final assignment — the oracle replays both rounds with the
+    // identical integer arithmetic, so the TRAINED centroids (not just
+    // the assignment) are hash-checked through the distances.
+    "q169_kmeans" -> ((s, d) =>
+      SimilarityOps.kmeansFitAssign(Tables.embeddings(s, d), k = 4, iters = 2)),
   )
+
+  /** One Lloyd round as DuckDB CTEs: assign `q` to `prev` centroids
+    * (squared-L2 argmin, ties to lowest cid), then per-cluster
+    * per-dimension floor-div means; empty clusters keep their previous
+    * centroid. Mirrors [[graft.operators.SimilarityOps.kmeansFitAssign]]
+    * exactly.
+    */
+  private def kmeansRoundSql(r: Int, prev: String, next: String): String =
+    s"""a${r}d AS (SELECT q.vec_id, $prev.cid,
+       |  CAST(list_sum(list_transform(list_zip(q.v, $prev.c),
+       |    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+       | FROM q CROSS JOIN $prev),
+       |a$r AS (SELECT vec_id, cid, d,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a${r}d),
+       |m$r AS (SELECT a.cid, unnest(q.v) AS x, unnest(range(1, len(q.v) + 1)) AS dim
+       | FROM a$r a JOIN q USING (vec_id) WHERE a.rn = 1),
+       |s$r AS (SELECT cid, dim, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+       | FROM m$r GROUP BY cid, dim),
+       |u$r AS (SELECT cid, list(sx // n ORDER BY dim) AS c FROM s$r GROUP BY cid),
+       |$next AS (SELECT p.cid, coalesce(u.c, p.c) AS c
+       | FROM $prev p LEFT JOIN u$r u USING (cid))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -413,5 +442,26 @@ object SimilarityQueries {
         |JOIN lab lq ON lq.vec_id = t.qid
         |JOIN lab ln ON ln.vec_id = t.nid
         |GROUP BY 1""".stripMargin,
+
+
+    // Both Lloyd rounds replayed in integer arithmetic (quantize ->
+    // argmin assign -> floorDiv means, twice), then the final argmin.
+    "q169_kmeans" ->
+      s"""WITH q AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS v
+        | FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        | FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 4)),
+        |${kmeansRoundSql(1, "c0", "c1")},
+        |${kmeansRoundSql(2, "c1", "c2")},
+        |fd AS (SELECT q.vec_id, c2.cid,
+        |  CAST(list_sum(list_transform(list_zip(q.v, c2.c),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+        | FROM q CROSS JOIN c2),
+        |f AS (SELECT vec_id, cid, d,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM fd)
+        |SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, d AS dist
+        |FROM f WHERE rn = 1""".stripMargin,
   )
 }

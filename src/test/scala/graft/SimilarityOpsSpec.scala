@@ -176,4 +176,47 @@ class SimilarityOpsSpec extends SparkSpec {
     // 8 queries x top-5 each (enough corpus in every probed list)
     assert(ivfpq.length == 40)
   }
+
+  test("kmeansFitAssign separates two planted blobs and is partitioning-invariant") {
+    // two tight blobs around (+1, ..., +1) and (-1, ..., -1): after any
+    // number of Lloyd rounds the assignment must split them exactly
+    val dim = 8
+    def v(center: Float, seed: Int): Seq[Float] = {
+      val rng = new scala.util.Random(seed)
+      Seq.fill(dim)(center + (rng.nextFloat() - 0.5f) * 0.1f)
+    }
+    val rows = (0L until 20L).map(i =>
+      (i, v(if (i % 2 == 0) 1.0f else -1.0f, i.toInt)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeansFitAssign(emb, k = 2, iters = 3)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    // seed centroids are vec_id 0 (blob +1 -> cluster 0) and 1 (blob -1 -> cluster 1)
+    rows.foreach { case (id, _) =>
+      assert(got(id) == (id % 2).toInt, s"vec $id in cluster ${got(id)}")
+    }
+    // repartitioning must not change a single assignment (integer sums
+    // are order-independent; floorDiv is deterministic)
+    val got13 = SimilarityOps.kmeansFitAssign(emb.repartition(13), k = 2, iters = 3)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(got13 == got)
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("kmeansFitAssign: empty cluster keeps its seed centroid; iters=0 assigns to seeds") {
+    // three identical points: seeds are two identical centroids; every
+    // point ties to centroid 0 (lowest index), cluster 1 goes empty and
+    // must keep its centroid without crashing or drifting
+    val emb = Seq.tabulate(3)(i => (i.toLong, Seq.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.kmeansFitAssign(emb, k = 2, iters = 2)
+      .select("vec_id", "centroid_id", "dist").as[(Long, Int, Long)].collect()
+    assert(out.forall(r => r._2 == 0 && r._3 == 0L))
+    // iters=0: pure assignment against the lowest-id seeds
+    val emb2 = Seq((0L, Seq(0f, 0f)), (1L, Seq(1f, 1f)), (2L, Seq(0.9f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val a0 = SimilarityOps.kmeansFitAssign(emb2, k = 2, iters = 0)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(a0 == Map(0L -> 0, 1L -> 1, 2L -> 1))
+    graft.GraftCache.releaseAll(spark)
+  }
 }
