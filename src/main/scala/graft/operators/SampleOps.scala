@@ -202,4 +202,41 @@ object SampleOps {
       .where(col("pick_rank") <= cap)
       .select(col(idCol), col(groupCol), col("pick_rank"))
   }
+
+  /** DETERMINISTIC NEGATIVE SAMPLING for contrastive training: for each
+    * query, the k pseudo-random corpus negatives, reproducible across
+    * runs, engines, and epochs (vary `seed` per epoch for fresh
+    * negatives).
+    *
+    * Candidates form only inside the query's hash bucket
+    * (`corpus_id % buckets == query_id % buckets`), so the candidate set
+    * per query is |corpus| / buckets — never all-pairs; the per-query
+    * ranking is [[portableHash]] of `seed || query_id || '_' || corpus_id`,
+    * so any md5-bearing engine re-derives the exact sample. The query
+    * itself is excluded; exclude known positives upstream by anti-joining
+    * the pair table before calling.
+    *
+    * Scale shape: one bucket-key equi-join (never a cross join) + a
+    * per-query top-k window over the bucket-bounded candidates. Returns
+    * (query_id, neg_id, neg_rank 1..k).
+    */
+  def negativeSample(queries: DataFrame, corpus: DataFrame,
+                     qIdCol: String, cIdCol: String,
+                     k: Int, buckets: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      pmod(col(qIdCol).cast("long"), lit(buckets.toLong)).as("_b"))
+    val c = corpus.select(col(cIdCol).cast("long").as("neg_id"),
+      pmod(col(cIdCol).cast("long"), lit(buckets.toLong)).as("_b"))
+    val w = Window.partitionBy("query_id").orderBy(col("_h"), col("neg_id"))
+    q.join(c, Seq("_b"))
+      .where(col("neg_id") =!= col("query_id"))
+      .withColumn("_h", graft.functions.HashFunctions.portableHash60(
+        concat(lit(seed), col("query_id").cast("string"), lit("_"),
+          col("neg_id").cast("string"))))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .where(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_id"), col("neg_rank"))
+  }
 }

@@ -438,6 +438,34 @@ object SimilarityOps {
     rankAdc(adc, topK)
   }
 
+  /** MEAN-POOL chunk embeddings into one embedding per group — the
+    * standard chunk→document aggregation of a retrieval pipeline (docs
+    * are embedded in chunks; search wants one vector per doc).
+    *
+    * Output is UNNESTED — (group, dim, pooled) rows with the pooled
+    * component as a quantized long (`floor(x*quantScale + 0.5)` per
+    * input, truncating integer mean) — so the result is exactly
+    * reproducible in any engine and every component is hash-checkable;
+    * re-assemble with `collect_list` over `dim` order when an array is
+    * needed.
+    *
+    * Scale shape: posexplode fans each chunk into dim (group, dim, x)
+    * longs and ONE partial-aggregated shuffle sums per (group, dim) —
+    * map-side combine collapses a group's local chunks before the wire,
+    * and no vector ever moves as a unit. Fully codegen (no UDFs).
+    */
+  def meanPoolEmbeddings(chunks: DataFrame, groupCol: String,
+                         vecCol: String = "embedding",
+                         quantScale: Long = 1000000L): DataFrame =
+    chunks
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col(groupCol), col("dim").cast("int").as("dim"),
+        floor(col("x").cast("double") * quantScale + 0.5).cast("long").as("xq"))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(sum("xq").as("sx"), count(lit(1)).as("n"))
+      .select(col(groupCol), col("dim"),
+        expr("sx div n").as("pooled")) // truncating, == DuckDB //
+
   /** K-MEANS TRAINING (Lloyd's algorithm) — the step that turns the
     * deterministic lowest-id IVF seed centroids into DATA-ADAPTED ones
     * (real IVF quality depends on trained centroids; everything

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
   *
-  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance.
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object CurationQueries {
@@ -227,6 +227,17 @@ object CurationQueries {
         .withColumn("train_bp", expr("(n_train * 10000) div n"))
         .withColumn("dev_bp", abs(col("train_bp") - 8000L))
         .withColumn("balanced", col("dev_bp") <= 1500L)
+    }),
+
+    // Contrastive-training negatives: per query, 4 deterministic
+    // pseudo-random corpus negatives from the query's hash bucket —
+    // reproducible across engines/epochs via the portable md5 ranking
+    // (vary the seed per epoch for fresh negatives).
+    "q171_negative_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      SampleOps.negativeSample(
+        docs.where(col("doc_id") < 20), docs, "doc_id", "doc_id",
+        k = 4, buckets = 5, seed = "graft_neg_e0_")
     }),
   )
 
@@ -487,5 +498,20 @@ object CurationQueries {
         | abs((n_train * 10000) // n - 8000) AS dev_bp,
         | abs((n_train * 10000) // n - 8000) <= 1500 AS balanced
         |FROM a""".stripMargin,
+
+
+    // Same bucket join + portable-md5 ranking, re-derived end to end.
+    "q171_negative_sample" ->
+      """WITH q AS (SELECT doc_id AS query_id, doc_id % 5 AS b
+        | FROM documents WHERE doc_id < 20),
+        |c AS (SELECT doc_id AS neg_id, doc_id % 5 AS b FROM documents),
+        |h AS (SELECT q.query_id, c.neg_id,
+        |  ('0x' || substr(md5('graft_neg_e0_' || CAST(q.query_id AS VARCHAR)
+        |    || '_' || CAST(c.neg_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+        | FROM q JOIN c USING (b) WHERE c.neg_id <> q.query_id),
+        |r AS (SELECT query_id, neg_id, hh,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY hh, neg_id) AS rn FROM h)
+        |SELECT query_id, neg_id, CAST(rn AS BIGINT) AS neg_rank
+        |FROM r WHERE rn <= 4""".stripMargin,
   )
 }

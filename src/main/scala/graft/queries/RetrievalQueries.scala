@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text retrieval: BM25, RRF hybrid, inverted index (+ incremental merge), phrase search, per-term and per-source statistics.
   *
-  * Contract queries: q53_rag_retrieve, q65_bm25, q70_term_topk, q71_hybrid_rrf, q129_inverted_index, q137_index_merge, q147_phrase_search, q163_source_terms.
+  * Contract queries: q53_rag_retrieve, q65_bm25, q70_term_topk, q71_hybrid_rrf, q129_inverted_index, q137_index_merge, q147_phrase_search, q163_source_terms, q172_rag_context.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object RetrievalQueries {
@@ -33,6 +33,27 @@ object RetrievalQueries {
     "q65_bm25" -> ((s, d) =>
       RetrievalOps.bm25(Tables.documents(s, d), "doc_id", "text",
         queryTerms = Seq("spark", "window", "hash"), topK = 20)),
+
+    // RAG CONTEXT ASSEMBLY (composition): BM25 top-20 (q65) -> join the
+    // per-doc token counts -> keep the rank-order prefix that fits the
+    // 600-token context budget (running sum over the top-k list; the
+    // unpartitioned window is safe ONLY because the input is already
+    // top-k sized — same bound as rrfFuse). Budget 600 cuts the 20-doc
+    // list roughly in half, so the gate checks a real truncation.
+    "q172_rag_context" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val hits = RetrievalOps.bm25(docs, "doc_id", "text",
+        queryTerms = Seq("spark", "window", "hash"), topK = 20)
+      val toks = docs.select(col("doc_id"),
+        size(T.tokens(lower(col("text")))).cast("long").as("n_tokens"))
+      val w = Window.orderBy(desc("bm25"), col("doc_id"))
+      hits.join(toks, "doc_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .where(col("cum_tokens") <= 600L)
+        .select("doc_id", "rank", "n_tokens", "cum_tokens", "bm25")
+    }),
 
 
     // Exact heavy hitters: corpus-wide term counts, top 20. Map-side
@@ -159,6 +180,34 @@ object RetrievalQueries {
          |FROM postings p JOIN dfreq USING (term) JOIN lens USING (doc_id)
          | CROSS JOIN stats
          |GROUP BY p.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+
+    // The q65 chain -> rank + running token sum -> budget-prefix cut.
+    "q172_rag_context" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
+         | FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |hits AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |postings AS (SELECT doc_id, term, count(*) AS tf FROM hits
+         |  WHERE term IN ('spark', 'window', 'hash') GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+         |top AS (SELECT p.doc_id,
+         |  floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))))
+         |    * 10000 + 0.5) / 10000 AS bm25
+         | FROM postings p JOIN dfreq USING (term) JOIN lens USING (doc_id)
+         |  CROSS JOIN stats
+         | GROUP BY p.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |ranked AS (SELECT t.doc_id, t.bm25, l.dl AS n_tokens,
+         |  CAST(row_number() OVER (ORDER BY t.bm25 DESC, t.doc_id) AS BIGINT) AS rank,
+         |  CAST(sum(l.dl) OVER (ORDER BY t.bm25 DESC, t.doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         | FROM top t JOIN lens l USING (doc_id))
+         |SELECT doc_id, rank, n_tokens, cum_tokens, bm25
+         |FROM ranked WHERE cum_tokens <= 600""".stripMargin,
 
 
     "q70_term_topk" ->

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -184,6 +184,14 @@ object SimilarityQueries {
     // the assignment) are hash-checked through the distances.
     "q169_kmeans" -> ((s, d) =>
       SimilarityOps.kmeansFitAssign(Tables.embeddings(s, d), k = 4, iters = 2)),
+
+    // CHUNK -> DOC mean pooling: vec_id % 100 groups ~5 chunks per doc;
+    // unnested quantized output so every pooled component hash-checks.
+    "q170_mean_pool" -> ((s, d) =>
+      SimilarityOps.meanPoolEmbeddings(
+        Tables.embeddings(s, d)
+          .select(pmod(col("vec_id"), lit(100L)).as("doc_id"), col("embedding")),
+        "doc_id")),
   )
 
   /** One Lloyd round as DuckDB CTEs: assign `q` to `prev` centroids
@@ -463,5 +471,17 @@ object SimilarityQueries {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM fd)
         |SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, d AS dist
         |FROM f WHERE rn = 1""".stripMargin,
+
+
+    // Same quantize -> per-(doc, dim) sum -> truncating integer mean.
+    "q170_mean_pool" ->
+      """WITH c AS (SELECT vec_id % 100 AS doc_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS v
+        | FROM embeddings),
+        |u AS (SELECT doc_id, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM c)
+        |SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+        | CAST(sum(x) AS BIGINT) // count(*) AS pooled
+        |FROM u GROUP BY doc_id, dim""".stripMargin,
   )
 }

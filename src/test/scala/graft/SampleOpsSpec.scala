@@ -163,4 +163,28 @@ class SampleOpsSpec extends SparkSpec {
     assert(!SampleOps.weightedSample(withZero, "id", "w", 400)
       .select("id").as[Long].collect().contains(9999L))
   }
+
+  test("negativeSample: k per query, bucket-bounded, self-excluded, epoch-varying, partition-invariant") {
+    val corpus = (0L until 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val queries = (0L until 10L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = SampleOps.negativeSample(queries, corpus, "doc_id", "doc_id",
+      k = 4, buckets = 5, seed = "e0_")
+      .as[(Long, Long, Long)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet && byQ.values.forall(_.length == 4))
+    out.foreach { case (q, n, r) =>
+      assert(n != q, s"query $q sampled itself")
+      assert(n % 5 == q % 5, s"negative $n outside query $q's bucket")
+      assert(r >= 1 && r <= 4)
+    }
+    // a different epoch seed draws a different sample (overwhelmingly)
+    val e1 = SampleOps.negativeSample(queries, corpus, "doc_id", "doc_id",
+      k = 4, buckets = 5, seed = "e1_").as[(Long, Long, Long)].collect()
+    assert(e1.map(t => (t._1, t._2)).toSet != out.map(t => (t._1, t._2)).toSet)
+    // repartitioning changes nothing (hash ranking is row-local)
+    val re = SampleOps.negativeSample(queries.repartition(7),
+      corpus.repartition(13), "doc_id", "doc_id", k = 4, buckets = 5,
+      seed = "e0_").as[(Long, Long, Long)].collect()
+    assert(re.sorted.toSeq == out.sorted.toSeq)
+  }
 }

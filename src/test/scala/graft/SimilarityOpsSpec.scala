@@ -177,6 +177,20 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ivfpq.length == 40)
   }
 
+  test("meanPoolEmbeddings: hand-computed mean, single-chunk identity, truncation") {
+    val chunks = Seq(
+      (1L, Seq(1.0f, -1.0f)), (1L, Seq(2.0f, -2.0f)), (1L, Seq(4.0f, -4.0f)),
+      (2L, Seq(0.5f, 0.25f))).toDF("doc_id", "embedding")
+    val got = SimilarityOps.meanPoolEmbeddings(chunks, "doc_id")
+      .select("doc_id", "dim", "pooled").as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // doc 1: (1+2+4)e6/3 = 2333333 (truncated); dim 1: (-7e6)/3 = -2333333
+    // (truncating division: toward zero, matching DuckDB //)
+    assert(got((1L, 0)) == 2333333L && got((1L, 1)) == -2333333L)
+    // single chunk: pooled == quantized input
+    assert(got((2L, 0)) == 500000L && got((2L, 1)) == 250000L)
+  }
+
   test("kmeansFitAssign separates two planted blobs and is partitioning-invariant") {
     // two tight blobs around (+1, ..., +1) and (-1, ..., -1): after any
     // number of Lloyd rounds the assignment must split them exactly
