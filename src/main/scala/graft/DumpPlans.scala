@@ -56,7 +56,9 @@ object DumpPlans {
     "q148_interval_overlap" -> "bucketed interval candidates + exact predicate (no NLJ)",
     "q149_cep_pattern" -> "pattern negation as a second as-of join, zero amplification",
     "q150_jl_project" -> "zero-exchange literal sign-matrix fold",
-    "q166_delta_content" -> "composite-key anti-join + known-key label join (both broadcast at state scale)")
+    "q166_delta_content" -> "composite-key anti-join + known-key label join (both broadcast at state scale)",
+    "q170_mean_pool" -> "posexplode + partial-aggregated (group, dim) sums — vectors never shuffle whole",
+    "q171_negative_sample" -> "bucket-key equi-join (never cross), per-query top-k window over bounded candidates")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
