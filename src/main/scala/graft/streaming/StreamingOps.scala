@@ -160,11 +160,13 @@ object StreamingOps {
           }
           // close exactly the sessions the watermark has finalized; keep
           // the rest (they may still grow from in-watermark late data)
-          // STRICT <: Spark only drops events with ts < watermark, so an
-          // event at ts == wm can still arrive in a later trigger — closing
-          // a session whose merge horizon touches wm exactly would lose it.
+          // <= is CORRECT at the boundary: Spark's late-row filter for
+          // flatMapGroupsWithState drops input rows with ts <= watermark
+          // (verified empirically on this engine — see StreamingOpsSpec
+          // "watermark-boundary" tests), so no event that could merge
+          // into a session with end + gap == wm can ever arrive.
           val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = merged.reverse.partition(_.end + gapMs < wm)
+          val (closed, open) = merged.reverse.partition(_.end + gapMs <= wm)
           if (open.nonEmpty) {
             state.update(OpenSessions(open))
             // next close point; must be strictly beyond the watermark
@@ -213,7 +215,7 @@ object StreamingOps {
     * on the key's full event PREFIX, an event is scored only once the
     * watermark guarantees nothing earlier can still arrive. Arriving
     * events buffer in state; each trigger finalizes the prefix with
-    * event time strictly below the watermark in (ts, seq) order through the same
+    * event time <= watermark in (ts, seq) order through the same
     * integer recurrence s_t = (s_{t-1}(den-1) + x) div den, emits its
     * flags (append-mode final), and carries the EWMA forward. An
     * event-time timeout drains a key's buffer even if the key never
@@ -237,11 +239,12 @@ object StreamingOps {
           val prev = state.getOption.getOrElse(EwmaState(false, 0L, Nil))
           val pending = prev.pending ++
             batch.map(e => EwmaPending(e.ts.getTime, e.seq, e.value))
-          // STRICT <: an event with ts == wm is NOT yet too-late for Spark
-          // (only ts < watermark is dropped), so finalizing it here could
-          // score the prefix out of order if an equal-ts event arrives later.
+          // <= is CORRECT at the boundary: Spark's late-row filter drops
+          // input rows with ts <= watermark (verified empirically — see
+          // StreamingOpsSpec "watermark-boundary" tests), so nothing with
+          // ts <= wm can still arrive and the prefix up to wm is final.
           val wm = state.getCurrentWatermarkMs()
-          val (ready, hold) = pending.partition(_.ts < wm)
+          val (ready, hold) = pending.partition(_.ts <= wm)
           var has = prev.hasEwma
           var s = prev.ewma
           val out = ready.sortBy(p => (p.ts, p.seq)).map { p =>

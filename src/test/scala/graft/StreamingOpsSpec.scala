@@ -323,4 +323,91 @@ class StreamingOpsSpec extends SparkSpec {
         s"streaming $streamed\nbatch $batch")
     } finally q.stop()
   }
+
+  test("watermark-boundary: Spark drops a flatMapGroupsWithState row with ts == watermark, " +
+    "so finalizing the <= prefix is exact") {
+    // Pins the engine semantics the EWMA finalization rule rests on: the
+    // late-row filter drops input rows with ts <= watermark (not only
+    // ts < watermark), so nothing at the boundary can arrive after the
+    // watermark reaches it and the <= prefix is final. If a Spark
+    // upgrade ever loosens the filter to strict <, the dropped-event
+    // assertion below fails and the comparisons in streamingEwma /
+    // streamingSessions must be revisited together with this test.
+    import graft.streaming.StreamingOps.{EwmaEvent, EwmaFlag}
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val input = MemoryStream[EwmaEvent]
+    val out = StreamingOps.streamingEwma(input.toDS(), den = 8L,
+      threshold = 100L, watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("ewma_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: key 1 starts; key 9 drives the watermark to exactly t(15)
+      input.addData(EwmaEvent(1L, t(0), 1L, 0L), EwmaEvent(9L, t(20), 90L, 1L))
+      q.processAllAvailable()
+      // batch 2: seq 3 lands at ts EXACTLY == wm == t(15) -> dropped by
+      // Spark's late filter; seq 4 at t(16) > wm is accepted and buffered
+      input.addData(EwmaEvent(1L, t(15), 3L, 800L), EwmaEvent(1L, t(16), 4L, 80L))
+      q.processAllAvailable()
+      // advance the watermark far past t(16), then drain the timeout
+      input.addData(EwmaEvent(9L, t(600), 91L, 1L))
+      q.processAllAvailable()
+      input.addData(EwmaEvent(9L, t(610), 92L, 1L))
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_boundary").as[EwmaFlag].collect()
+        .filter(_.key == 1L)
+        .map(f => (f.key, f.seq, f.value, f.ewmaPrev, f.ewma, f.spike)).toSet
+      // the boundary event (seq 3) is GONE — dropped by the engine, not us
+      assert(!streamed.exists(_._2 == 3L),
+        s"ts == watermark row was accepted — Spark's late filter changed: $streamed")
+      // and the surviving events are exactly batch-equivalent
+      val accepted = Seq(
+        EwmaEvent(1L, t(0), 1L, 0L), EwmaEvent(1L, t(16), 4L, 80L))
+      val batch = graft.operators.TimeSeriesOps.ewmaSpikes(
+        accepted.map(e => (e.key, e.ts.getTime, e.seq, e.value))
+          .toDF("key", "ts", "seq", "value"),
+        "key", "ts", "seq", "value", den = 8L, threshold = 100L)
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+        .map(r => (r._2, r._1, r._3, r._4, r._5, r._6)).toSet
+      assert(streamed == batch, s"streaming $streamed\nbatch $batch")
+    } finally q.stop()
+  }
+
+  test("watermark-boundary: a session whose close point sits exactly at the watermark " +
+    "closes safely (no mergeable event can arrive)") {
+    // Complement of the EWMA boundary pin for sessions: with the close
+    // rule end + gap <= wm, the only event that could have merged into
+    // the closing session would carry ts <= wm — which Spark's late
+    // filter drops (asserted above). So the early close loses nothing,
+    // and the boundary event opens NO new session either.
+    import graft.streaming.StreamingOps.{ClosedSession, Interaction}
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[Interaction]
+    val out = StreamingOps.streamingSessions(input.toDS(),
+      gapMinutes = 30, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 session [10:00, 10:00]; user 9 at 10:40 drives
+      // the watermark to exactly 10:30 == session end + 30-min gap
+      input.addData(Interaction(1L, t(10, 0)), Interaction(9L, t(10, 40)))
+      q.processAllAvailable()
+      // batch 2: user 1 event at ts == wm == 10:30 — gap-adjacent, but
+      // Spark drops it (ts <= wm); an event at 10:31 starts a NEW session
+      // (31 min after 10:00 > 30-min gap anyway)
+      input.addData(Interaction(1L, t(10, 30)), Interaction(1L, t(10, 31)))
+      q.processAllAvailable()
+      // flush everything
+      input.addData(Interaction(9L, t(20, 0)))
+      q.processAllAvailable()
+      input.addData(Interaction(9L, t(23, 0)))
+      q.processAllAvailable()
+      val got = spark.table("sessions_boundary").as[ClosedSession].collect()
+        .filter(_.userId == 1L)
+        .map(s => (s.sessionStart, s.sessionEnd, s.nEvents)).sortBy(_._1.getTime)
+      assert(got.toSeq == Seq((t(10, 0), t(10, 0), 1L), (t(10, 31), t(10, 31), 1L)),
+        s"expected the 10:00 session closed at 1 event and a new 10:31 session, got ${got.toSeq}")
+    } finally q.stop()
+  }
 }
