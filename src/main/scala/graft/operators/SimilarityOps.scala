@@ -466,6 +466,56 @@ object SimilarityOps {
       .select(col(groupCol), col("dim"),
         expr("sx div n").as("pooled")) // truncating, == DuckDB //
 
+  /** INCREMENTAL K-MEANS: one mini-batch's contribution to the centroid
+    * SUFFICIENT STATISTICS — per (centroid, dim) member sums and counts
+    * against a fixed centroid frame. The statistics are MERGEABLE
+    * (plain addition), so centroid maintenance over an unbounded corpus
+    * is: per batch, compute this; merge with the stored state
+    * ([[kmeansMergeStates]]); re-derive centroids
+    * ([[kmeansCentroidsFromState]]) — the same incremental algebra as
+    * the index merge (q137) and the HLL registers (q115), now for the
+    * ANN index's centroids. state(A) ⊕ state(B) == state(A ∪ B)
+    * exactly (integer sums), which the q173 oracle certifies
+    * cross-engine by computing the un-split answer directly.
+    *
+    * `centroids` is UNNESTED — (centroid_id INT, dim INT, c BIGINT)
+    * quantized rows — so assignment is declarative: explode the batch,
+    * join on dim (candidates = k rows per (row, dim)), partial-agg the
+    * squared distance per (row, centroid), argmin with ties to the
+    * lowest centroid id. Everything shuffles as longs.
+    */
+  def kmeansCentroidState(batch: DataFrame, centroids: DataFrame,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          quantScale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = batch
+      .select(col(idCol).as("_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("_id"), col("dim").cast("int").as("dim"),
+        floor(col("x").cast("double") * quantScale + 0.5).cast("long").as("xq"))
+    val d2 = q.join(broadcast(centroids), "dim")
+      .groupBy("_id", "centroid_id")
+      .agg(sum((col("xq") - col("c")) * (col("xq") - col("c"))).as("d"))
+    val w = Window.partitionBy("_id").orderBy(col("d"), col("centroid_id"))
+    val assign = d2.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).select("_id", "centroid_id")
+    q.join(assign, "_id")
+      .groupBy("centroid_id", "dim")
+      .agg(sum("xq").as("sx"), count(lit(1)).as("n"))
+  }
+
+  /** Merge two centroid sufficient-statistics frames by addition. */
+  def kmeansMergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("centroid_id", "dim")
+      .agg(sum("sx").as("sx"), sum("n").as("n"))
+
+  /** Centroids from merged statistics: truncating per-dim integer mean
+    * (== DuckDB `//`), plus the member count for monitoring.
+    */
+  def kmeansCentroidsFromState(state: DataFrame): DataFrame =
+    state.select(col("centroid_id"), col("dim"),
+      expr("sx div n").as("c"), col("n"))
+
   /** K-MEANS TRAINING (Lloyd's algorithm) — the step that turns the
     * deterministic lowest-id IVF seed centroids into DATA-ADAPTED ones
     * (real IVF quality depends on trained centroids; everything

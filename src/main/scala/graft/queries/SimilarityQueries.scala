@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -192,6 +192,30 @@ object SimilarityQueries {
         Tables.embeddings(s, d)
           .select(pmod(col("vec_id"), lit(100L)).as("doc_id"), col("embedding")),
         "doc_id")),
+
+    // INCREMENTAL k-means: the corpus arrives as two batches (even /
+    // odd ids); each contributes mergeable (centroid, dim) sufficient
+    // statistics against the seed centroids, states merge by addition,
+    // centroids re-derive from the merged state. The oracle computes
+    // the UN-SPLIT answer directly, so the hash match certifies
+    // state(A) ⊕ state(B) == state(A ∪ B) cross-engine.
+    "q173_kmeans_increment" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val w = Window.orderBy("vec_id")
+      val seeds = emb.orderBy("vec_id").limit(4)
+        .withColumn("centroid_id", (row_number().over(w) - 1).cast("int"))
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("centroid_id"), col("dim").cast("int").as("dim"),
+          floor(col("x").cast("double") * 1000000L + 0.5).cast("long").as("c"))
+      val a = SimilarityOps.kmeansCentroidState(
+        emb.where(pmod(col("vec_id"), lit(2L)) === 0), seeds)
+      val b = SimilarityOps.kmeansCentroidState(
+        emb.where(pmod(col("vec_id"), lit(2L)) === 1), seeds)
+      SimilarityOps.kmeansCentroidsFromState(
+        SimilarityOps.kmeansMergeStates(a, b))
+    }),
   )
 
   /** One Lloyd round as DuckDB CTEs: assign `q` to `prev` centroids
@@ -483,5 +507,27 @@ object SimilarityQueries {
         |SELECT doc_id, CAST(dim AS INTEGER) AS dim,
         | CAST(sum(x) AS BIGINT) // count(*) AS pooled
         |FROM u GROUP BY doc_id, dim""".stripMargin,
+
+
+    // Direct (un-split) computation of the same sufficient statistics:
+    // hash equality == the merge law holds.
+    "q173_kmeans_increment" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS v
+        | FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        | FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 4)),
+        |ad AS (SELECT q.vec_id, c0.cid,
+        |  CAST(list_sum(list_transform(list_zip(q.v, c0.c),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dd
+        | FROM q CROSS JOIN c0),
+        |a AS (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM ad),
+        |m AS (SELECT a.cid, unnest(q.v) AS x, unnest(range(0, len(q.v))) AS dim
+        | FROM a JOIN q USING (vec_id) WHERE a.rn = 1)
+        |SELECT CAST(cid AS INTEGER) AS centroid_id, CAST(dim AS INTEGER) AS dim,
+        | CAST(sum(x) AS BIGINT) // count(*) AS c, CAST(count(*) AS BIGINT) AS n
+        |FROM m GROUP BY cid, dim""".stripMargin,
   )
 }

@@ -191,6 +191,35 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got((2L, 0)) == 500000L && got((2L, 1)) == 250000L)
   }
 
+  test("kmeansCentroidState: merge law, assignment consistency with fitAssign(iters=0)") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 40L).map(i => (i, Seq.fill(6)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("vec_id")
+    val seeds = emb.orderBy("vec_id").limit(3)
+      .withColumn("centroid_id", (row_number().over(w) - 1).cast("int"))
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("centroid_id"), col("dim").cast("int").as("dim"),
+        floor(col("x").cast("double") * 1000000L + 0.5).cast("long").as("c"))
+    def stat(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.kmeansCentroidState(df, seeds)
+    // state(A) ⊕ state(B) == state(A ∪ B), element for element
+    val split = SimilarityOps.kmeansMergeStates(
+        stat(emb.where(col("vec_id") % 2 === 0)),
+        stat(emb.where(col("vec_id") % 2 === 1)))
+      .as[(Int, Int, Long, Long)].collect().sorted.toSeq
+    val whole = stat(emb).as[(Int, Int, Long, Long)].collect().sorted.toSeq
+    assert(split == whole)
+    // per-cluster member counts == the iters=0 assignment's cluster sizes
+    val sizes = whole.filter(_._2 == 0).map(t => t._1 -> t._4).toMap
+    val direct = SimilarityOps.kmeansFitAssign(emb, k = 3, iters = 0)
+      .groupBy("centroid_id").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes == direct, s"state sizes $sizes vs fitAssign $direct")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("kmeansFitAssign separates two planted blobs and is partitioning-invariant") {
     // two tight blobs around (+1, ..., +1) and (-1, ..., -1): after any
     // number of Lloyd rounds the assignment must split them exactly
