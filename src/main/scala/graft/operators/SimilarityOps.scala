@@ -171,11 +171,22 @@ object SimilarityOps {
                     idCol: String = "vec_id", vecCol: String = "embedding")
       : Seq[(Long, Seq[Double])] = {
     val cents = collectCentroids(corpus, nlist, idCol, vecCol)
+    writeIvfIndexWith(corpus, path, cents, idCol, vecCol)
+    cents
+  }
+
+  /** [[writeIvfIndex]] with EXPLICIT centroids — the production path once
+    * [[trainCentroids]] has run: trained centroids partition the index,
+    * seeds are only the cold-start fallback. Probing is unchanged
+    * ([[ivfTopKIndexed]] takes whatever centroids built the index).
+    */
+  def writeIvfIndexWith(corpus: DataFrame, path: String,
+                        cents: Seq[(Long, Seq[Double])],
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Unit =
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         nearestCentroid(col(vecCol), cents).as("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    cents
-  }
 
   /** Top-k probe against a materialized index: only the `nprobe` partition
     * directories per query batch are ever read.
@@ -547,6 +558,60 @@ object SimilarityOps {
   def kmeansFitAssign(emb: DataFrame, k: Int, iters: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       quantScale: Long = 1000000L): DataFrame = {
+    val spark = emb.sparkSession
+    val (q, cents) = lloydTrain(emb, k, iters, idCol, vecCol, quantScale)
+    val bcF = spark.sparkContext.broadcast(cents)
+    val out = q.map { case (id, v) =>
+      val (best, d) = nearestIdx(bcF.value, v)
+      org.apache.spark.sql.Row(id, best, d)
+    }
+    graft.GraftCache.registerRdd(spark, q)
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** [[kmeansFitAssign]]'s training loop, returning the TRAINED centroids
+    * in the `Seq[(id, vector)]` shape [[writeIvfIndexWith]] /
+    * [[ivfTopKIndexed]] consume (centroid id = cluster index, components
+    * de-quantized back to doubles) — so a production index build is
+    * `writeIvfIndexWith(corpus, path, trainCentroids(corpus, nlist, 5))`
+    * instead of the lowest-id seed fallback.
+    */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     quantScale: Long = 1000000L): Seq[(Long, Seq[Double])] = {
+    val (q, cents) = lloydTrain(emb, k, iters, idCol, vecCol, quantScale)
+    graft.GraftCache.registerRdd(emb.sparkSession, q)
+    cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toSeq.map(_.toDouble / quantScale))
+    }.toSeq
+  }
+
+  /** Squared-L2 argmin over the centroid array, ties to the lowest index. */
+  private def nearestIdx(cs: Array[Array[Long]], v: Array[Long]): (Int, Long) = {
+    var best = 0; var bestD = Long.MaxValue; var c = 0
+    while (c < cs.length) {
+      var d = 0L; var i = 0
+      while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c } // strict <: ties keep lowest index
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  /** The shared Lloyd loop: quantized corpus RDD (persisted — caller
+    * registers or unpersists it) plus the centroids after `iters`
+    * integer-exact update rounds from the lowest-id seeds.
+    */
+  private def lloydTrain(emb: DataFrame, k: Int, iters: Int,
+                         idCol: String, vecCol: String, quantScale: Long)
+      : (org.apache.spark.rdd.RDD[(Long, Array[Long])], Array[Array[Long]]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     import org.apache.spark.storage.StorageLevel
@@ -557,18 +622,6 @@ object SimilarityOps {
       .map { case (id, v) =>
         (id, v.map(x => math.floor(x.toDouble * quantScale + 0.5).toLong).toArray)
       }.persist(StorageLevel.MEMORY_AND_DISK)
-
-    def nearest(cs: Array[Array[Long]], v: Array[Long]): (Int, Long) = {
-      var best = 0; var bestD = Long.MaxValue; var c = 0
-      while (c < cs.length) {
-        var d = 0L; var i = 0
-        while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c } // strict <: ties keep lowest index
-        c += 1
-      }
-      (best, bestD)
-    }
-
     // deterministic seed: the k lowest-id vectors, centroid index = rank
     var cents: Array[Array[Long]] =
       q.takeOrdered(k)(Ordering.by(_._1)).map(_._2)
@@ -576,7 +629,7 @@ object SimilarityOps {
       val bc = spark.sparkContext.broadcast(cents)
       val sums = q.mapPartitions { it =>
         val cs = bc.value
-        it.map { case (_, v) => (nearest(cs, v)._1, (v, 1L)) }
+        it.map { case (_, v) => (nearestIdx(cs, v)._1, (v, 1L)) }
       }.reduceByKey { (x: (Array[Long], Long), y: (Array[Long], Long)) =>
         val s = new Array[Long](x._1.length)
         var i = 0; while (i < s.length) { s(i) = x._1(i) + y._1(i); i += 1 }
@@ -590,19 +643,6 @@ object SimilarityOps {
       }.toArray
       bc.destroy()
     }
-    val bcF = spark.sparkContext.broadcast(cents)
-    val out = q.map { case (id, v) =>
-      val (best, d) = nearest(bcF.value, v)
-      org.apache.spark.sql.Row(id, best, d)
-    }
-    graft.GraftCache.registerRdd(spark, q)
-    spark.createDataFrame(out,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(idCol,
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("centroid_id",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("dist",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    (q, cents)
   }
 }

@@ -191,6 +191,43 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got((2L, 0)) == 500000L && got((2L, 1)) == 250000L)
   }
 
+  test("trainCentroids fixes the adversarial seed layout and drives the materialized index") {
+    // both lowest-id seeds land in blob A (ids 0..9 around +1; blob B =
+    // ids 10..19 around -1): the seed fallback can NEVER separate the
+    // blobs; trained centroids must migrate and split them purely
+    val dim = 8
+    def v(center: Float, seed: Int): Seq[Float] = {
+      val rng = new scala.util.Random(seed)
+      Seq.fill(dim)(center + (rng.nextFloat() - 0.5f) * 0.1f)
+    }
+    val rows = (0L until 20L).map(i =>
+      (i, v(if (i < 10) 1.0f else -1.0f, i.toInt)))
+    val emb = rows.toDF("vec_id", "embedding")
+    // seed fallback: both centroids in blob A -> every blob-B vector
+    // lumps onto one of them (clusters impure by construction)
+    val seedAssign = SimilarityOps.kmeansFitAssign(emb, k = 2, iters = 0)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert((10L until 20L).map(seedAssign).toSet.size == 1,
+      "adversarial layout broken: blob B should lump under one seed")
+    // trained: clusters become exactly the blobs
+    val trained = SimilarityOps.trainCentroids(emb, k = 2, iters = 5)
+    assert(trained.length == 2)
+    val trainedAssign = SimilarityOps.kmeansFitAssign(emb, k = 2, iters = 5)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert((0L until 10L).map(trainedAssign).toSet.size == 1)
+    assert((10L until 20L).map(trainedAssign).toSet.size == 1)
+    assert(trainedAssign(0L) != trainedAssign(19L))
+    // trained centroids drive the partitioned index end to end: a blob-B
+    // query's neighbors all come from blob B
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-trained").toString
+    SimilarityOps.writeIvfIndexWith(emb, dir, trained)
+    val got = SimilarityOps.ivfTopKIndexed(spark, dir, trained,
+        emb.where(col("vec_id") === 15L), k = 3, nprobe = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.length == 3 && got.forall(_ >= 10L), s"got ${got.toSeq}")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("kmeansCentroidState: merge law, assignment consistency with fitAssign(iters=0)") {
     val rnd = new scala.util.Random(23)
     val emb = (0L until 40L).map(i => (i, Seq.fill(6)(rnd.nextFloat() * 2 - 1)))
