@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text retrieval: BM25, RRF hybrid, inverted index (+ incremental merge), phrase search, per-term and per-source statistics.
   *
-  * Contract queries: q53_rag_retrieve, q65_bm25, q70_term_topk, q71_hybrid_rrf, q129_inverted_index, q137_index_merge, q147_phrase_search, q163_source_terms, q172_rag_context.
+  * Contract queries: q53_rag_retrieve, q65_bm25, q70_term_topk, q71_hybrid_rrf, q129_inverted_index, q137_index_merge, q147_phrase_search, q163_source_terms, q172_rag_context, q174_context_dedup.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object RetrievalQueries {
@@ -51,6 +51,34 @@ object RetrievalQueries {
       hits.join(toks, "doc_id")
         .withColumn("rank", row_number().over(w).cast("long"))
         .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .where(col("cum_tokens") <= 600L)
+        .select("doc_id", "rank", "n_tokens", "cum_tokens", "bm25")
+    }),
+
+    // q172 + the DEDUPE step a real RAG context needs: identical-text
+    // twins PLANTED at doc_id+2000 tie their originals' BM25 scores and
+    // rank immediately after them (tie-break by id) — the fingerprint
+    // first-occurrence filter must drop every twin BEFORE the budget
+    // cut, or duplicates waste the context window. Rank/cum_tokens are
+    // recomputed over the deduped list.
+    "q174_context_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d)
+      val docs = base.select("doc_id", "text")
+        .unionByName(base.select((did + 2000L).as("doc_id"), col("text")))
+      val hits = RetrievalOps.bm25(docs, "doc_id", "text",
+        queryTerms = Seq("spark", "window", "hash"), topK = 20)
+      val toks = docs.select(col("doc_id"),
+        size(T.tokens(lower(col("text")))).cast("long").as("n_tokens"),
+        md5(T.cleanText(col("text"))).as("fp"))
+      val wFp = Window.partitionBy("fp").orderBy(desc("bm25"), col("doc_id"))
+      val deduped = hits.join(toks, "doc_id")
+        .withColumn("_fp_rn", row_number().over(wFp))
+        .where(col("_fp_rn") === 1) // first occurrence per fingerprint wins
+      val w1 = Window.orderBy(desc("bm25"), col("doc_id"))
+      deduped
+        .withColumn("rank", row_number().over(w1).cast("long"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w1))
         .where(col("cum_tokens") <= 600L)
         .select("doc_id", "rank", "n_tokens", "cum_tokens", "bm25")
     }),
@@ -206,6 +234,41 @@ object RetrievalQueries {
          |  CAST(sum(l.dl) OVER (ORDER BY t.bm25 DESC, t.doc_id
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          | FROM top t JOIN lens l USING (doc_id))
+         |SELECT doc_id, rank, n_tokens, cum_tokens, bm25
+         |FROM ranked WHERE cum_tokens <= 600""".stripMargin,
+
+
+    // q172's chain over the twin-doubled corpus, with the fingerprint
+    // first-occurrence filter between the top-k and the budget cut.
+    "q174_context_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 2000 AS doc_id, text FROM documents),
+         |tok AS (SELECT doc_id,
+         |  CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
+         | FROM docs),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |hits AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |postings AS (SELECT doc_id, term, count(*) AS tf FROM hits
+         |  WHERE term IN ('spark', 'window', 'hash') GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+         |top AS (SELECT p.doc_id,
+         |  floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))))
+         |    * 10000 + 0.5) / 10000 AS bm25
+         | FROM postings p JOIN dfreq USING (term) JOIN lens USING (doc_id)
+         |  CROSS JOIN stats
+         | GROUP BY p.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |fps AS (SELECT doc_id, md5($cleanSql) AS fp FROM docs),
+         |ded AS (SELECT t.doc_id, t.bm25, l.dl AS n_tokens,
+         |  row_number() OVER (PARTITION BY f.fp ORDER BY t.bm25 DESC, t.doc_id) AS fprn
+         | FROM top t JOIN lens l USING (doc_id) JOIN fps f USING (doc_id)),
+         |ranked AS (SELECT doc_id, bm25, n_tokens,
+         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank,
+         |  CAST(sum(n_tokens) OVER (ORDER BY bm25 DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         | FROM ded WHERE fprn = 1)
          |SELECT doc_id, rank, n_tokens, cum_tokens, bm25
          |FROM ranked WHERE cum_tokens <= 600""".stripMargin,
 
