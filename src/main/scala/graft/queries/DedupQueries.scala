@@ -204,27 +204,27 @@ object DedupQueries {
     "q135_minhash_eval" -> ((s, d) => {
       val base = Tables.documents(s, d).where(pmod(did, lit(5)) === 0)
       val corpus = base.select(did.as("id"), col("text"))
-        .unionByName(base.select((did + 1000L).as("id"),
+        .unionByName(base.select((did + 1000000000000L).as("id"),
           concat(col("text"), lit(" zzdup tail")).as("text")))
       val hs = DedupOps.hashedShingleRowsPortable(corpus, "id", "text", 3)
       val sig = DedupOps.minhashSignatureRows(hs, 64)
-      val matches = sig.where(col("id") < 1000L)
+      val matches = sig.where(col("id") < 1000000000000L)
         .select(col("id").as("id_a"), col("i"), col("s").as("s_a"))
-        .join(sig.where(col("id") >= 1000L)
-          .select((col("id") - 1000L).as("id_a"), col("i"), col("s").as("s_b")),
+        .join(sig.where(col("id") >= 1000000000000L)
+          .select((col("id") - 1000000000000L).as("id_a"), col("i"), col("s").as("s_b")),
           Seq("id_a", "i"))
         .groupBy("id_a")
         .agg(sum(when(col("s_a") === col("s_b"), 1L).otherwise(0L)).as("n_match"))
-      val exact = hs.where(col("id") < 1000L)
+      val exact = hs.where(col("id") < 1000000000000L)
         .select(col("id").as("id_a"), col("hs").as("hs_a"))
-        .join(hs.where(col("id") >= 1000L)
-          .select((col("id") - 1000L).as("id_a"), col("hs").as("hs_b")), "id_a")
+        .join(hs.where(col("id") >= 1000000000000L)
+          .select((col("id") - 1000000000000L).as("id_a"), col("hs").as("hs_b")), "id_a")
         .select(col("id_a"),
           size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("m"),
           size(col("hs_a")).cast("long").as("na"),
           size(col("hs_b")).cast("long").as("nb"))
       matches.join(exact, "id_a")
-        .select(col("id_a"), (col("id_a") + 1000L).as("id_b"), col("n_match"),
+        .select(col("id_a"), (col("id_a") + 1000000000000L).as("id_b"), col("n_match"),
           expr("(n_match * 10000) div 64").as("est_bp"),
           expr("(m * 10000) div (na + nb - m)").as("exact_bp"),
           abs(expr("(n_match * 10000) div 64") -
@@ -352,7 +352,7 @@ object DedupQueries {
     // 64-bit longs; low-bit truncation commutes with wraparound, so the
     // HUGEINT mod-2^60 here produces identical values.
     "q25_minhash_neardups" ->
-      s"""WITH ${minhashLshCtes("TRUE", 1000L)}
+      s"""WITH ${minhashLshCtes("TRUE", 1000000000000L)}
          |SELECT i.id_a, i.id_b,
          | floor((CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m)) * 10000 + 0.5) / 10000 AS jaccard
          |FROM inter i
@@ -369,7 +369,7 @@ object DedupQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id AS id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
+         |  SELECT doc_id + 1000000000000 AS id, text || ' zzdup tail' AS text FROM documents),
          |t AS (SELECT id, $toksSql AS toks FROM corpus),
          |tok AS (SELECT id, unnest(toks) AS tk FROM t),
          |th AS (SELECT id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
@@ -419,7 +419,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id AS id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' AS text FROM documents),
+        |  SELECT doc_id + 1000000000000 AS id, text || ' zzdup tail' AS text FROM documents),
         |cl AS (SELECT id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM corpus),
         |lens AS (SELECT id, t, len(t) AS L FROM cl WHERE len(t) >= 8),
         |chars AS (SELECT id, i, ord(t[i:i]) AS c
@@ -619,7 +619,7 @@ object DedupQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id AS id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000 AS id, text || ' zzdup tail' FROM documents),
+         |  SELECT doc_id + 1000000000000 AS id, text || ' zzdup tail' FROM documents),
          |t AS (SELECT id, $toksSql AS toks FROM corpus),
          |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
          |  ELSE list_transform(range(1, len(toks) - 1),
@@ -643,7 +643,7 @@ object DedupQueries {
     "q135_minhash_eval" ->
       s"""WITH base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
          |corpus AS (SELECT id, text FROM base
-         | UNION ALL SELECT id + 1000, text || ' zzdup tail' FROM base),
+         | UNION ALL SELECT id + 1000000000000, text || ' zzdup tail' FROM base),
          |t AS (SELECT id, $toksSql AS toks FROM corpus),
          |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
          |  ELSE list_transform(range(1, len(toks) - 1),
@@ -661,13 +661,13 @@ object DedupQueries {
          | FROM sh, perms GROUP BY 1, 2),
          |mm AS (SELECT a.id AS id_a,
          |  CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-         | FROM sig a JOIN sig b ON b.i = a.i AND b.id = a.id + 1000
-         | WHERE a.id < 1000 GROUP BY 1),
+         | FROM sig a JOIN sig b ON b.i = a.i AND b.id = a.id + 1000000000000
+         | WHERE a.id < 1000000000000 GROUP BY 1),
          |inter AS (SELECT a.id AS id_a, CAST(count(*) AS BIGINT) AS m
-         | FROM sh a JOIN sh b ON b.h = a.h AND b.id = a.id + 1000
-         | WHERE a.id < 1000 GROUP BY 1),
+         | FROM sh a JOIN sh b ON b.h = a.h AND b.id = a.id + 1000000000000
+         | WHERE a.id < 1000000000000 GROUP BY 1),
          |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1)
-         |SELECT mm.id_a, mm.id_a + 1000 AS id_b, mm.n_match,
+         |SELECT mm.id_a, mm.id_a + 1000000000000 AS id_b, mm.n_match,
          | (mm.n_match * 10000) // 64 AS est_bp,
          | (coalesce(i.m, 0) * 10000) // (sa.n + sb.n - coalesce(i.m, 0)) AS exact_bp,
          | abs((mm.n_match * 10000) // 64
@@ -675,7 +675,7 @@ object DedupQueries {
          |FROM mm
          |LEFT JOIN inter i ON i.id_a = mm.id_a
          |JOIN sizes sa ON sa.id = mm.id_a
-         |JOIN sizes sb ON sb.id = mm.id_a + 1000""".stripMargin,
+         |JOIN sizes sb ON sb.id = mm.id_a + 1000000000000""".stripMargin,
 
 
     // Same blocking + distance (q91), then the q81 monotone label
@@ -740,7 +740,7 @@ object DedupQueries {
     // LSH chain (q25) and exact brute-force chain (q131, x-prefixed)
     // side by side, reduced to recall/precision.
     "q165_lsh_recall" ->
-      s"""WITH ${minhashLshCtes("TRUE", 1000L)},
+      s"""WITH ${minhashLshCtes("TRUE", 1000000000000L)},
          |lshp AS (SELECT i.id_a, i.id_b FROM inter i
          | JOIN sizes sa ON sa.id = i.id_a
          | JOIN sizes sb ON sb.id = i.id_b

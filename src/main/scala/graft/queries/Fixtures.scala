@@ -46,18 +46,18 @@ object Fixtures {
         lit("non archived thing"), lit("Regular entry")),
       (pmod(did, lit(4)) + 1).cast("int"))
 
-  /** documents ∪ near-duplicate copies (id+1000, two tokens appended) —
+  /** documents ∪ near-duplicate copies (id + 10^12 — collision-free at any SF, two tokens appended) —
     * gives the near-dup detectors a deterministic positive set.
     */
   private[graft] def dupCorpus(docs: DataFrame): DataFrame =
     docs.select(did.as("id"), col("text"))
-      .unionByName(docs.select((did + 1000).as("id"),
+      .unionByName(docs.select((did + 1000000000000L).as("id"),
         concat(col("text"), lit(" zzdup tail")).as("text")))
 
-  /** embeddings ∪ scaled copies (id+1000, ×1.001) — cosine ≈ 1 pairs. */
+  /** embeddings ∪ scaled copies (id + 10^12, ×1.001) — cosine ≈ 1 pairs. */
   private[graft] def dupEmbeddings(emb: DataFrame): DataFrame =
     emb.unionByName(emb.select(
-      (col("vec_id") + 1000).as("vec_id"),
+      (col("vec_id") + 1000000000000L).as("vec_id"),
       transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"),
       col("label")))
 
@@ -280,7 +280,7 @@ object Fixtures {
     """corpus AS (
       |  SELECT vec_id AS id, embedding AS v FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 1000 AS id,
+      |  SELECT vec_id + 1000000000000 AS id,
       |    list_transform(embedding, x -> CAST(CAST(x AS REAL) * CAST(1.001 AS REAL) AS REAL)) AS v
       |  FROM embeddings),
       |pj AS (SELECT unnest(generate_series(0, 15)) AS j),

@@ -56,7 +56,7 @@ object RetrievalQueries {
     }),
 
     // q172 + the DEDUPE step a real RAG context needs: identical-text
-    // twins PLANTED at doc_id+2000 tie their originals' BM25 scores and
+    // twins PLANTED at doc_id + 10^12 tie their originals' BM25 scores and
     // rank immediately after them (tie-break by id) — the fingerprint
     // first-occurrence filter must drop every twin BEFORE the budget
     // cut, or duplicates waste the context window. Rank/cum_tokens are
@@ -65,7 +65,7 @@ object RetrievalQueries {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.documents(s, d)
       val docs = base.select("doc_id", "text")
-        .unionByName(base.select((did + 2000L).as("doc_id"), col("text")))
+        .unionByName(base.select((did + 1000000000000L).as("doc_id"), col("text")))
       val hits = RetrievalOps.bm25(docs, "doc_id", "text",
         queryTerms = Seq("spark", "window", "hash"), topK = 20)
       val toks = docs.select(col("doc_id"),
@@ -242,7 +242,7 @@ object RetrievalQueries {
     // first-occurrence filter between the top-k and the budget cut.
     "q174_context_dedup" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents
-         | UNION ALL SELECT doc_id + 2000 AS doc_id, text FROM documents),
+         | UNION ALL SELECT doc_id + 1000000000000 AS doc_id, text FROM documents),
          |tok AS (SELECT doc_id,
          |  CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
          |   ELSE string_split(lower($cleanSql), ' ') END AS toks
