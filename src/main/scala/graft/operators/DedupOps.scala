@@ -942,4 +942,79 @@ object DedupOps {
           .otherwise(expr("(n_frequent * 10000) div n_shingles")))
       .withColumn("flagged", col("frequent_bp") >= 5000L)
   }
+
+  /** (id, pos, h) portable window-hash rows: one row per w-token window
+    * occurrence, positions kept (unlike [[hashedShingleRowsPortable]],
+    * which dedups per doc — span dedup needs every occurrence).
+    * h = low-60-bit md5 of the space-joined window, the same portable
+    * convention as the shingle kernels.
+    */
+  def windowHashRowsPortable(docs: DataFrame, idCol: String, textCol: String,
+                             w: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          if (toks.length < w) Iterator.empty
+          else (0 to toks.length - w).iterator.map { i =>
+            (id, i.toLong, H.portableHash60JVM(md, toks.slice(i, i + w).mkString(" ")))
+          }
+        }
+      }.toDF("id", "pos", "h")
+  }
+
+  /** Exact duplicated-span dedup (the repeated-substring removal of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2021, on token windows): every w-token window occurrence is
+    * hashed; a hash seen more than once corpus-wide (across OR within
+    * documents) is a duplicated span; every occurrence except the
+    * canonical first one (minimum (id, pos)) marks its w token positions
+    * for removal, overlapping spans merging by position-set union.
+    * Documents are rewritten from the surviving tokens in order —
+    * whitespace-normalized, so untouched docs come back `\s+`-joined.
+    * Returns (id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: the window kernel is one narrow pass (no payload
+    * shuffle); duplicate detection is a partial-aggregated count+min on
+    * the 60-bit hash — never the window text; the removal join fans out
+    * per occurrence (linear, even on a span repeated 10^9 times, because
+    * the canonical representative is an aggregate, not a row list);
+    * positions-to-remove regroup on doc id, bounded per doc by its own
+    * token count. No stage is quadratic in corpus size.
+    */
+  def duplicatedSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
+    val occ = windowHashRowsPortable(base, "id", "text", w)
+    // Canonical occurrence per duplicated hash: min (id, pos). Kept as a
+    // struct min so it partial-aggregates map-side and never overflows,
+    // whatever the id range.
+    val canon = occ.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("pos"))).as("first"))
+      .where(col("cnt") > 1L)
+      .select(col("h"), col("first").getField("id").as("cid"),
+        col("first").getField("pos").as("cpos"))
+    val rmPositions = occ.join(canon, "h")
+      .where(!(col("id") === col("cid") && col("pos") === col("cpos")))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(w - 1L))).as("t"))
+      .groupBy("id").agg(collect_set(col("t")).as("rmpos"))
+    base.join(rmPositions, Seq("id"), "left")
+      .select(col("id"), col("text"),
+        coalesce(col("rmpos"), array().cast("array<long>")).as("rmpos"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, text, rmpos) =>
+        val toks = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+        val rm = rmpos.toSet
+        val kept = toks.iterator.zipWithIndex
+          .collect { case (tk, i) if !rm.contains(i.toLong) => tk }.toArray
+        (id, toks.length.toLong, (toks.length - kept.length).toLong, kept.mkString(" "))
+      }.toDF("id", "n_tokens", "n_removed", "clean_text")
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication: exact, MinHash/SimHash LSH, fingerprints, connected components, semantic dedup, contamination, PPJoin, entity resolution.
   *
-  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall.
+  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object DedupQueries {
@@ -330,6 +330,23 @@ object DedupQueries {
         .select(col("n_exact"), col("n_lsh"), col("n_common"),
           expr("(n_common * 10000) div n_exact").as("recall_bp"),
           expr("(n_common * 10000) div n_lsh").as("precision_bp"))
+    }),
+
+
+    // Exact duplicated-span dedup (Lee et al. 2021 on w=8 token
+    // windows): a 12-token boilerplate sentence PLANTED on every 7th
+    // doc makes the positive set deterministic and non-vacuous — every
+    // window inside it repeats corpus-wide, so the canonical occurrence
+    // (doc 0) keeps its text and every other planted doc loses exactly
+    // the boilerplate tokens. The REWRITTEN text itself is
+    // hash-checked, not just the removal counts.
+    "q175_span_dedup" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(did.as("id"),
+        when(pmod(did, lit(7)) === 0,
+          concat(col("text"), lit(" " + spanBoiler))).otherwise(col("text")).as("text"))
+      DedupOps.duplicatedSpanDedup(corpus, "id", "text", 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          col("clean_text"))
     }),
   )
 
@@ -760,5 +777,44 @@ object DedupQueries {
          | (n_common * 10000) // n_exact AS recall_bp,
          | (n_common * 10000) // n_lsh AS precision_bp
          |FROM ne CROSS JOIN nl CROSS JOIN nc""".stripMargin,
+
+
+    // Independent re-derivation of duplicated-span dedup: window
+    // occurrences with positions -> portable md5 window hashes ->
+    // duplicated = hash count > 1 -> canonical-first by row_number over
+    // (doc_id, pos) (the engine uses a partial-aggregated struct min;
+    // same ordering semantics) -> per-token coverage via the exploded
+    // 0..w-1 offsets -> rewrite by anti-joining removed positions.
+    "q175_span_dedup" ->
+      s"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |   THEN text || ' $spanBoiler'
+         |   ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |win AS (SELECT doc_id, toks,
+         |  CASE WHEN len(toks) < 8 THEN CAST([] AS STRUCT(pos BIGINT, s VARCHAR)[])
+         |   ELSE list_transform(range(1, len(toks) - 6),
+         |     i -> struct_pack(pos := i - 1, s := array_to_string(toks[i:i+7], ' '))) END AS ws
+         |  FROM t),
+         |wo AS (SELECT doc_id, unnest(ws) AS u FROM win),
+         |occ AS (SELECT doc_id, u.pos AS pos,
+         |  ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h FROM wo),
+         |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+         |rk AS (SELECT doc_id, pos, h,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM occ),
+         |rm AS (SELECT rk.doc_id, rk.pos FROM rk JOIN dup ON dup.h = rk.h WHERE rk.rn > 1),
+         |rmexp AS (SELECT doc_id, pos, unnest(range(0, 8)) AS i FROM rm),
+         |rmtok AS (SELECT DISTINCT doc_id, pos + i AS tpos FROM rmexp),
+         |tl AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |    i -> struct_pack(p := i - 1, tk := toks[i]))) AS u FROM t),
+         |tokpos AS (SELECT doc_id, u.p AS tpos, u.tk AS tk FROM tl),
+         |keep AS (SELECT tp.doc_id, tp.tpos, tp.tk FROM tokpos tp
+         |  LEFT JOIN rmtok r ON r.doc_id = tp.doc_id AND r.tpos = tp.tpos
+         |  WHERE r.doc_id IS NULL),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  array_to_string(list(tk ORDER BY tpos), ' ') AS clean_text FROM keep GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.toks) AS BIGINT) - coalesce(ag.n_kept, 0) AS n_removed,
+         |  coalesce(ag.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN ag ON ag.doc_id = t.doc_id""".stripMargin,
   )
 }

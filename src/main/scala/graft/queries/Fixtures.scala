@@ -46,6 +46,13 @@ object Fixtures {
         lit("non archived thing"), lit("Regular entry")),
       (pmod(did, lit(4)) + 1).cast("int"))
 
+  /** 12-token boilerplate planted on every 7th doc for duplicated-span
+    * dedup (q175) — long enough to contain five full 8-token windows, so
+    * span detection has a deterministic corpus-wide positive set.
+    */
+  private[graft] val spanBoiler =
+    "the quick brown fox jumps over the lazy dog again and again"
+
   /** documents ∪ near-duplicate copies (id + 10^12 — collision-free at any SF, two tokens appended) —
     * gives the near-dup detectors a deterministic positive set.
     */

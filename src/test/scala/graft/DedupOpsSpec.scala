@@ -337,4 +337,54 @@ class DedupOpsSpec extends SparkSpec {
       "planted exact pair must be present")
     graft.GraftCache.releaseAll(spark)
   }
+
+  test("duplicatedSpanDedup removes repeated spans, keeping the first occurrence") {
+    // span = 8 identical tokens planted in docs 1, 3 and twice in 4;
+    // doc 2 is clean; doc 5 is shorter than the window.
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"intro words here $span closing remarks"),
+      (2L, "a clean document with no repeated window of any kind at all really"),
+      (3L, s"other leading text $span trailing bits"),
+      (4L, s"$span middle filler tokens $span"),
+      (5L, "too short to window")
+    ).toDF("id", "text")
+    val out = DedupOps.duplicatedSpanDedup(corpus, "id", "text", 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // canonical first occurrence = (1, pos 3): doc 1 keeps everything
+    assert(out(1L)._3 == 0L && out(1L)._4 == s"intro words here $span closing remarks")
+    // doc 2 untouched, doc 5 below window size: untouched
+    assert(out(2L)._3 == 0L && out(5L)._3 == 0L && out(5L)._4 == "too short to window")
+    // docs 3 and 4 lose every planted-span token; doc 4 loses BOTH copies
+    assert(out(3L)._3 == 8L && out(3L)._4 == "other leading text trailing bits")
+    assert(out(4L)._3 == 16L && out(4L)._4 == "middle filler tokens")
+    // n_tokens reports the pre-removal token count
+    assert(out(4L)._2 == 19L)
+  }
+
+  test("duplicatedSpanDedup merges overlapping duplicated windows by position union") {
+    // docs share a 10-token run -> three overlapping 8-windows in each;
+    // the non-canonical doc must lose exactly the 10 covered tokens once.
+    val run = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (1L, s"$run tail_a unique_a"),
+      (2L, s"lead_b $run tail_b")
+    ).toDF("id", "text")
+    val out = DedupOps.duplicatedSpanDedup(corpus, "id", "text", 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 0L)
+    assert(out(2L)._3 == 10L && out(2L)._4 == "lead_b tail_b")
+  }
+
+  test("duplicatedSpanDedup whitespace-normalizes and handles empty/null text") {
+    val corpus = Seq((1L, "spaced   out    tokens"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = DedupOps.duplicatedSpanDedup(corpus, "id", "text", 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 0L, "spaced out tokens")))
+    assert(out(2L) == ((2L, 0L, 0L, "")))
+    assert(out(3L) == ((3L, 0L, 0L, "")))
+  }
 }
