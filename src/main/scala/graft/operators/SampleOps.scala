@@ -239,4 +239,38 @@ object SampleOps {
       .where(col("neg_rank") <= k)
       .select(col("query_id"), col("neg_id"), col("neg_rank"))
   }
+
+  /** Leakage-proof split: every connected cluster in a near-dup pair
+    * graph lands entirely on ONE side of the train/val/test cut. The
+    * pair graph resolves to components ([[DedupOps.connectedComponents]],
+    * O(log n) large-star/small-star rounds); each row's split key is its
+    * component representative (its own id for singletons), hashed with
+    * the portable 60-bit md5 — so the assignment is reproducible in any
+    * md5-bearing engine AND stable under appends: a new near-dup of an
+    * existing cluster joins that cluster's side instead of leaking its
+    * text across the cut (the failure q112 measures; this op prevents
+    * it by construction as long as the new edge is observed).
+    *
+    * Scale shape: the components loop shuffles (long, long) edges only;
+    * the assignment is one left equi-join docs×components on id (AQE
+    * broadcasts when the clustered subset is small — in a deduped
+    * corpus, most docs are singletons and never enter the join's build
+    * side) + a pure projection. Returns df + (cluster_key, split).
+    */
+  def clusterAwareSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                        names: Seq[String] = Seq("train", "val", "test"),
+                        boundaries: Seq[Int] = Seq(80, 90)): DataFrame = {
+    require(names.size == boundaries.size + 1, "need one more name than boundary")
+    val comp = DedupOps.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    val keyed = df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_key",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+    val bucket = pmod(portableHash(col("cluster_key")), lit(100))
+    val split = boundaries.zip(names).foldRight(lit(names.last): org.apache.spark.sql.Column) {
+      case ((b, n), rest) => when(bucket < b, n).otherwise(rest)
+    }
+    keyed.withColumn("split", split)
+  }
 }

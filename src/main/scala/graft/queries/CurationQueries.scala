@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
   *
-  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample.
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object CurationQueries {
@@ -238,6 +238,24 @@ object CurationQueries {
       SampleOps.negativeSample(
         docs.where(col("doc_id") < 20), docs, "doc_id", "doc_id",
         k = 4, buckets = 5, seed = "graft_neg_e0_")
+    }),
+
+
+    // Leakage-PROOF split — the prevention q112's audit only measures:
+    // q81's planted-twin corpus (every 4th doc + its near-dup at
+    // +100000) resolves to near-dup clusters, and each cluster splits
+    // as a UNIT by the portable hash of its representative. Twins can
+    // never straddle the train/test cut; the (id, cluster_key, split)
+    // triple is hash-checked, so a twin landing off-side diverges.
+    "q176_cluster_split" -> ((s, d) => {
+      val base = Tables.documents(s, d).where(pmod(did, lit(4)) === 0)
+      val corpus = base.select(did.as("id"), col("text"))
+        .unionByName(base.select((did + 100000L).as("id"),
+          concat(col("text"), lit(" zzdup tail")).as("text")))
+      val pairs = DedupOps.minhashNearDupsPortable(corpus, "id", "text",
+        threshold = 0.7).select("id_a", "id_b")
+      SampleOps.clusterAwareSplit(corpus.select("id"), "id", pairs)
+        .select(col("id"), col("cluster_key"), col("split"))
     }),
   )
 
@@ -513,5 +531,36 @@ object CurationQueries {
         |  row_number() OVER (PARTITION BY query_id ORDER BY hh, neg_id) AS rn FROM h)
         |SELECT query_id, neg_id, CAST(rn AS BIGINT) AS neg_rank
         |FROM r WHERE rn <= 4""".stripMargin,
+
+
+    // q81's LSH chain + monotone label closure resolves the clusters;
+    // each id then splits by the portable md5 of its cluster key
+    // (component min, or its own id for singletons) — the engine's
+    // large-star/small-star components + projection, re-derived.
+    "q176_cluster_split" ->
+      s"""WITH RECURSIVE ${minhashLshCtes("doc_id % 4 = 0", 100000L)},
+         |jp AS (SELECT i.id_a, i.id_b
+         | FROM inter i
+         | JOIN sizes sa ON sa.id = i.id_a
+         | JOIN sizes sb ON sb.id = i.id_b
+         | WHERE CAST(i.m AS DOUBLE) / (sa.n + sb.n - i.m) >= 0.7),
+         |symx AS (SELECT id_a AS a, id_b AS b FROM jp
+         |  UNION SELECT id_b, id_a FROM jp),
+         |nodesx AS (SELECT DISTINCT a AS id FROM symx),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodesx
+         |  UNION
+         |  SELECT s2.b AS id, r.lbl FROM reach r JOIN symx s2 ON s2.a = r.id
+         |  WHERE r.lbl < s2.b),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         |k AS (SELECT c.id, coalesce(cp.component, c.id) AS cluster_key
+         |  FROM corpus c LEFT JOIN comp cp ON cp.id = c.id),
+         |b AS (SELECT id, cluster_key,
+         |  ('0x' || substr(md5(CAST(cluster_key AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+         | FROM k)
+         |SELECT id, cluster_key,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin,
   )
 }

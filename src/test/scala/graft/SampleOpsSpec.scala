@@ -187,4 +187,33 @@ class SampleOpsSpec extends SparkSpec {
       seed = "e0_").as[(Long, Long, Long)].collect()
     assert(re.sorted.toSeq == out.sorted.toSeq)
   }
+
+  test("clusterAwareSplit keeps every near-dup cluster on one side of the cut") {
+    val docs = (1L to 200L).toDF("id")
+    // chain {1,2,3}, pair {10,11}, the rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = SampleOps.clusterAwareSplit(docs, "id", pairs)
+      .select("id", "cluster_key", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // clustered ids share their component min as key — and its split
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._3).distinct.size == 1)
+    assert(Seq(10L, 11L).map(out(_)._2).distinct == Seq(10L))
+    assert(Seq(10L, 11L).map(out(_)._3).distinct.size == 1)
+    // singleton: own id, split == plain portableSplit of the same id
+    assert(out(50L)._2 == 50L)
+    val plain = SampleOps.portableSplit(docs, "id")
+      .as[(Long, String)].collect().toMap
+    assert(out.values.filter(r => r._2 == r._1).forall(r => plain(r._1) == r._3))
+    // all three splits occur over 200 ids
+    assert(out.values.map(_._3).toSet == Set("train", "val", "test"))
+    // appending a NEW near-dup of doc 3 pulls it into cluster 1's side
+    val out2 = SampleOps.clusterAwareSplit((1L to 201L).toDF("id"), "id",
+      pairs.unionAll(Seq((3L, 201L)).toDF("id_a", "id_b")))
+      .select("id", "cluster_key", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out2(201L)._2 == 1L && out2(201L)._3 == out(1L)._3)
+    // and nobody else moved
+    assert((1L to 200L).forall(i => out2(i)._3 == out(i)._3))
+  }
 }
