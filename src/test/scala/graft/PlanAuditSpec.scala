@@ -379,4 +379,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!mt.contains("CartesianProduct"),
       s"touch join must be user-co-keyed, range applied as a filter:\n$mt")
   }
+
+  test("span dedup partial-aggregates window hashes; all joins stay equi (q175)") {
+    val p = plan(q("q175_span_dedup"))
+    // duplicate detection must map-side combine the (count, min-struct)
+    // agg below its exchange — the hash shuffle carries partial states,
+    // never one row per window occurrence (struct-min plans as a
+    // SortAggregate; the partial_* functions are what matter)
+    assert(p.contains("partial_min(struct") && p.contains("partial_count"),
+      s"expected map-side partial (count, min struct) aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"occurrence->canonical and rewrite joins must stay equi:\n$p")
+  }
+
+  test("cluster-aware split joins components by id — no quadratic shape (q176)") {
+    val p = plan(q("q176_cluster_split"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"component assignment must be an equi-join:\n$p")
+  }
 }
