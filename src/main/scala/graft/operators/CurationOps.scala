@@ -149,4 +149,46 @@ object CurationOps {
         array_join(col("kept"), "\n").as("clean_text"),
         (size(col("ls")) - size(col("kept"))).as("removed_lines"))
   }
+
+  /** Temperature-scaled mixture sampling (τ = 0.5): the standard
+    * multi-source rebalancing rule q_i ∝ p_i^τ — tail sources get
+    * relatively MORE of the mix than their raw token share, dominant
+    * sources less — realized as a deterministic per-document keep
+    * decision. Per source: weight w_i = floor(sqrt(n_tokens_i)) (IEEE
+    * sqrt is correctly rounded, so the floor is bit-identical in any
+    * IEEE engine — this is why τ is fixed at 0.5: general pow() is NOT
+    * correctly rounded and would diverge cross-engine); the per-source
+    * sampling rate normalizes q_i/p_i to 1 at the largest source, all
+    * in integer arithmetic:
+    *   raw_i = (w_i * 10^8) div n_i,  rate_bp_i = (raw_i * 10^4) div max_j raw_j.
+    * A doc stays iff its portable hash bucket < rate_bp — reproducible
+    * in any md5-bearing engine, and deterministic under partitioning.
+    * (Membership is stable across corpus appends only to the extent the
+    * per-source RATES are: appends shift a source's token mass, so docs
+    * whose hash bucket sits within the rate delta can flip — unlike
+    * [[SampleOps.portableSample]], whose rate is a constant.)
+    *
+    * Scale shape: one partial-aggregated count per source; the
+    * source→rate table is |sources|-sized and BROADCASTS back; the keep
+    * decision is a pure projection. The 1-row max side is a broadcast
+    * cross join, the same global-stats shape as q114.
+    */
+  def temperatureSample(docTokens: DataFrame, idCol: String, srcCol: String,
+                        tokCol: String): DataFrame = {
+    val bySrc = docTokens.groupBy(col(srcCol))
+      .agg(sum(col(tokCol)).cast("long").as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("raw", when(col("n_tokens") === 0L, lit(0L))
+        .otherwise(expr("(w * 100000000) div n_tokens")))
+    val m = bySrc.agg(max("raw").as("m"))
+    val rates = bySrc.crossJoin(broadcast(m))
+      .select(col(srcCol), col("n_tokens"),
+        expr("(raw * 10000) div m").as("rate_bp"))
+    docTokens.select(col(idCol), col(srcCol))
+      .join(broadcast(rates), Seq(srcCol))
+      .select(col(idCol), col(srcCol), col("n_tokens").as("src_tokens"),
+        col("rate_bp"),
+        (pmod(graft.functions.HashFunctions.portableHash60(col(idCol)),
+          lit(10000L)) < col("rate_bp")).as("keep"))
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
   *
-  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split.
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object CurationQueries {
@@ -238,6 +238,20 @@ object CurationQueries {
       SampleOps.negativeSample(
         docs.where(col("doc_id") < 20), docs, "doc_id", "doc_id",
         k = 4, buckets = 5, seed = "graft_neg_e0_")
+    }),
+
+
+    // Temperature-scaled mixture sampling (τ=0.5, the q80 sibling with
+    // COMPUTED targets): per-source sqrt-of-token-mass weights set
+    // deterministic per-doc keep rates — tail sources keep ~everything,
+    // the dominant source is downsampled. Integer-exact end to end
+    // (floor(sqrt) is the one IEEE-correctly-rounded step), so every
+    // per-doc keep bit hash-checks.
+    "q178_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val withTok = TextAnalysisOps.tokenCounts(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+      CurationOps.temperatureSample(withTok, "doc_id", "source", "ws_tokens")
     }),
 
 
@@ -531,6 +545,27 @@ object CurationQueries {
         |  row_number() OVER (PARTITION BY query_id ORDER BY hh, neg_id) AS rn FROM h)
         |SELECT query_id, neg_id, CAST(rn AS BIGINT) AS neg_rank
         |FROM r WHERE rn <= 4""".stripMargin,
+
+
+    // Same integer pipeline: token mass per source -> floor(sqrt) ->
+    // normalized integer rates -> md5-bucket keep bit per doc.
+    "q178_temperature_mix" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok
+         | FROM documents),
+         |ps AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens
+         | FROM t GROUP BY source),
+         |wr AS (SELECT source, n_tokens,
+         |  CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS w FROM ps),
+         |raws AS (SELECT source, n_tokens,
+         |  CASE WHEN n_tokens = 0 THEN 0 ELSE (w * 100000000) // n_tokens END AS raw
+         | FROM wr),
+         |mx AS (SELECT max(raw) AS m FROM raws),
+         |rates AS (SELECT source, n_tokens, (raw * 10000) // m AS rate_bp
+         | FROM raws CROSS JOIN mx)
+         |SELECT t.doc_id, t.source, r.n_tokens AS src_tokens, r.rate_bp,
+         | (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)
+         |   < r.rate_bp AS keep
+         |FROM t JOIN rates r ON r.source = t.source""".stripMargin,
 
 
     // q81's LSH chain + monotone label closure resolves the clusters;

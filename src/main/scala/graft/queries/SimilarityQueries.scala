@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -184,6 +184,19 @@ object SimilarityQueries {
     // the assignment) are hash-checked through the distances.
     "q169_kmeans" -> ((s, d) =>
       SimilarityOps.kmeansFitAssign(Tables.embeddings(s, d), k = 4, iters = 2)),
+
+    // Diversity sampling (cluster-balanced subset selection): q169's
+    // trained k-means assignment capped at 8 picks per cluster by the
+    // portable hash — the embedding-space analog of q126's per-source
+    // cap, keeping the sample spread across semantic clusters instead
+    // of letting the densest mode dominate. Deterministic, append-
+    // stable, cap binds at every SF (>= ~12 vectors/cluster at
+    // sf0.001), so the cut is never vacuous.
+    "q177_diverse_sample" -> ((s, d) => {
+      val asn = SimilarityOps.kmeansFitAssign(Tables.embeddings(s, d),
+        k = 4, iters = 2).select(col("vec_id"), col("centroid_id"))
+      SampleOps.cappedPerGroup(asn, "centroid_id", "vec_id", cap = 8)
+    }),
 
     // CHUNK -> DOC mean pooling: vec_id % 100 groups ~5 chunks per doc;
     // unnested quantized output so every pooled component hash-checks.
@@ -495,6 +508,33 @@ object SimilarityQueries {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM fd)
         |SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, d AS dist
         |FROM f WHERE rn = 1""".stripMargin,
+
+
+    // q169's trained assignment + the q126 portable-hash cap, per
+    // CLUSTER: the same two chains composed, re-derived end to end.
+    "q177_diverse_sample" ->
+      s"""WITH q AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS v
+        | FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        | FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 4)),
+        |${kmeansRoundSql(1, "c0", "c1")},
+        |${kmeansRoundSql(2, "c1", "c2")},
+        |fd AS (SELECT q.vec_id, c2.cid,
+        |  CAST(list_sum(list_transform(list_zip(q.v, c2.c),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+        | FROM q CROSS JOIN c2),
+        |f AS (SELECT vec_id, cid, d,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM fd),
+        |asn AS (SELECT vec_id, cid FROM f WHERE rn = 1),
+        |h AS (SELECT vec_id, cid,
+        |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh FROM asn),
+        |r AS (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY cid ORDER BY hh, vec_id) AS rn2 FROM h)
+        |SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id,
+        |  CAST(rn2 AS BIGINT) AS pick_rank
+        |FROM r WHERE rn2 <= 8""".stripMargin,
 
 
     // Same quantize -> per-(doc, dim) sum -> truncating integer mean.

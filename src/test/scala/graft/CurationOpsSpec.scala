@@ -105,4 +105,27 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(out == Map(1L -> 0, 2L -> 0))
   }
+
+  test("temperatureSample rebalances toward tail sources, deterministically") {
+    import spark.implicits._
+    // 100:1 token skew: big = 200 docs x 50 tok, tail = 10 docs x 10 tok
+    val docs = ((1L to 200L).map(i => (i, "big", 50L)) ++
+      (1001L to 1010L).map(i => (i, "tail", 10L))).toDF("id", "src", "tok")
+    val out = CurationOps.temperatureSample(docs, "id", "src", "tok")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    val bySrc = out.groupBy(_._2)
+    // rates: w_big = floor(sqrt(10000)) = 100 -> raw = 10^8*100/10^4 = 10^6
+    //        w_tail = floor(sqrt(100)) = 10  -> raw = 10^8*10/100 = 10^7 (max)
+    // -> tail keeps 100%, big keeps 10^6*10^4 div 10^7 = 1000 bp = 10%
+    assert(bySrc("tail").forall(r => r._4 == 10000L && r._5))
+    assert(bySrc("big").forall(_._4 == 1000L))
+    val keptBig = bySrc("big").count(_._5)
+    assert(keptBig > 0 && keptBig < 50, s"~10% of 200 expected, got $keptBig")
+    // at fixed rates the keep bit is a pure function of the id: a
+    // repartitioned re-run reproduces every decision bit-for-bit
+    val out2 = CurationOps.temperatureSample(docs.repartition(7),
+      "id", "src", "tok")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    assert(out2.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
 }
