@@ -181,4 +181,69 @@ object RetrievalOps {
             expr("slice(gb, 2, size(gb) - 1)"))).as("gaps"))
       .select(col("term"), col("df"), gapsCsv(col("gaps")).as("gaps_csv"))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * at λ = 1/2, integer arithmetic: from each query's candidate list,
+    * greedily pick the doc maximizing `rel_bp - maxsim_bp`, where
+    * maxsim_bp is the candidate's highest token-Jaccard (basis points,
+    * truncating div) against the already-picked set — relevance and
+    * diversity weighted equally (for λ=1/2 the argmax of
+    * λ·rel − (1−λ)·maxsim is the argmax of their difference, so the
+    * integer form is exact). First pick = highest rel_bp; all ties break
+    * to the lower id. Returns (qCol, pick_rank 1..k, idCol, rel_bp,
+    * maxsim_bp, mmr_bp).
+    *
+    * Scale shape: the greedy loop is inherently sequential PER QUERY but
+    * runs on a candidate list already cut to top-N by the retriever, so
+    * each group is O(k·N) set intersections over bounded token sets —
+    * `flatMapGroups` state is N candidate rows, never corpus-sized, and
+    * queries parallelize freely across the corpus of queries.
+    */
+  def mmrRerank(cands: DataFrame, qCol: String, idCol: String,
+                relBpCol: String, toksCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(col(qCol).cast("long"), col(idCol).cast("long"),
+        col(relBpCol).cast("long"), col(toksCol).cast("array<string>"))
+      .as[(Long, Long, Long, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val remaining = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Set[String])]
+        it.foreach(t => remaining += ((t._2, t._3, t._4.toSet)))
+        val pickedSets = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+        var rank = 1L
+        while (rank <= k && remaining.nonEmpty) {
+          var bestIdx = -1
+          var bestScore = Long.MinValue
+          var bestMs = 0L
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < remaining.length) {
+            val (id, rel, ts) = remaining(i)
+            var ms = 0L
+            var j = 0
+            while (j < pickedSets.length) {
+              val ps = pickedSets(j)
+              val inter = ts.count(ps.contains).toLong
+              val union = ts.size.toLong + ps.size.toLong - inter
+              val s = if (union == 0L) 0L else inter * 10000L / union
+              if (s > ms) ms = s
+              j += 1
+            }
+            val sc = rel - ms
+            if (sc > bestScore || (sc == bestScore && id < bestId)) {
+              bestIdx = i; bestScore = sc; bestMs = ms; bestId = id
+            }
+            i += 1
+          }
+          val (id, rel, ts) = remaining.remove(bestIdx)
+          pickedSets += ts
+          out += ((q, rank, id, rel, bestMs, rel - bestMs))
+          rank += 1L
+        }
+        out.iterator
+      }.toDF(qCol, "pick_rank", idCol, "rel_bp", "maxsim_bp", "mmr_bp")
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text retrieval: BM25, RRF hybrid, inverted index (+ incremental merge), phrase search, per-term and per-source statistics.
   *
-  * Contract queries: q53_rag_retrieve, q65_bm25, q70_term_topk, q71_hybrid_rrf, q129_inverted_index, q137_index_merge, q147_phrase_search, q163_source_terms, q172_rag_context, q174_context_dedup.
+  * Contract queries: q53_rag_retrieve, q65_bm25, q70_term_topk, q71_hybrid_rrf, q129_inverted_index, q137_index_merge, q147_phrase_search, q163_source_terms, q172_rag_context, q174_context_dedup, q179_mmr_rerank.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object RetrievalQueries {
@@ -53,6 +53,27 @@ object RetrievalQueries {
         .withColumn("cum_tokens", sum("n_tokens").over(w))
         .where(col("cum_tokens") <= 600L)
         .select("doc_id", "rank", "n_tokens", "cum_tokens", "bm25")
+    }),
+
+    // MMR diversification (Carbonell-Goldstein, λ=1/2) — the step
+    // between retrieval and the context budget: BM25 top-12 greedily
+    // re-ranked so each pick maximizes rel_bp - max-token-Jaccard-bp
+    // against the already-picked set. All-integer (bm25's half4 bp +
+    // truncating div), every pick's (rank, rel, maxsim, mmr) is
+    // hash-checked against a 4-step unrolled greedy in SQL.
+    "q179_mmr_rerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hits = RetrievalOps.bm25(docs, "doc_id", "text",
+        queryTerms = Seq("spark", "window", "hash"), topK = 12)
+      val toks = docs.select(col("doc_id"),
+        array_distinct(T.tokens(lower(col("text")))).as("toks"))
+      val cands = hits.join(toks, "doc_id")
+        .select(lit(0L).as("qid"), col("doc_id"),
+          floor(col("bm25") * 10000 + lit(0.5)).cast("long").as("rel_bp"),
+          col("toks"))
+      RetrievalOps.mmrRerank(cands, "qid", "doc_id", "rel_bp", "toks", k = 4)
+        .select(col("pick_rank"), col("doc_id"), col("rel_bp"),
+          col("maxsim_bp"), col("mmr_bp"))
     }),
 
     // q172 + the DEDUPE step a real RAG context needs: identical-text
@@ -208,6 +229,69 @@ object RetrievalQueries {
          |FROM postings p JOIN dfreq USING (term) JOIN lens USING (doc_id)
          | CROSS JOIN stats
          |GROUP BY p.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+
+    // The q65 chain cut to 12 -> pairwise token-Jaccard bp over the
+    // candidates -> the greedy MMR selection UNROLLED to its 4 picks
+    // (p1..p4), each step re-deriving maxsim against the picked set.
+    "q179_mmr_rerank" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  CASE WHEN $cleanSql = '' THEN CAST([] AS VARCHAR[])
+         |   ELSE string_split(lower($cleanSql), ' ') END AS toks
+         | FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |hits AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |postings AS (SELECT doc_id, term, count(*) AS tf FROM hits
+         |  WHERE term IN ('spark', 'window', 'hash') GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+         |sc AS (SELECT p.doc_id,
+         |  floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))))
+         |    * 10000 + 0.5) / 10000 AS bm25
+         | FROM postings p JOIN dfreq USING (term) JOIN lens USING (doc_id)
+         |  CROSS JOIN stats
+         | GROUP BY p.doc_id ORDER BY bm25 DESC, doc_id LIMIT 12),
+         |cand AS (SELECT doc_id, CAST(floor(bm25 * 10000 + 0.5) AS BIGINT) AS rel_bp
+         | FROM sc),
+         |ctr AS (SELECT doc_id, unnest(toks) AS tk FROM tok
+         | WHERE doc_id IN (SELECT doc_id FROM cand)),
+         |ctok AS (SELECT DISTINCT doc_id, tk FROM ctr),
+         |szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ctok GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS inter
+         | FROM ctok a JOIN ctok b ON b.tk = a.tk AND b.doc_id <> a.doc_id GROUP BY 1, 2),
+         |simbp AS (SELECT ia, ib, (inter * 10000) // (sa.n + sb.n - inter) AS s
+         | FROM pr JOIN szs sa ON sa.doc_id = pr.ia JOIN szs sb ON sb.doc_id = pr.ib),
+         |p1 AS (SELECT doc_id, rel_bp FROM cand ORDER BY rel_bp DESC, doc_id LIMIT 1),
+         |pk1 AS (SELECT doc_id FROM p1),
+         |ms2 AS (SELECT s.ia AS doc_id, max(s.s) AS ms FROM simbp s
+         | JOIN pk1 ON pk1.doc_id = s.ib GROUP BY 1),
+         |r2 AS (SELECT c.doc_id, c.rel_bp, coalesce(m.ms, 0) AS ms
+         | FROM cand c LEFT JOIN ms2 m ON m.doc_id = c.doc_id
+         | WHERE c.doc_id NOT IN (SELECT doc_id FROM pk1)),
+         |p2 AS (SELECT doc_id, rel_bp, ms FROM r2
+         | ORDER BY rel_bp - ms DESC, doc_id LIMIT 1),
+         |pk2 AS (SELECT doc_id FROM pk1 UNION ALL SELECT doc_id FROM p2),
+         |ms3 AS (SELECT s.ia AS doc_id, max(s.s) AS ms FROM simbp s
+         | JOIN pk2 ON pk2.doc_id = s.ib GROUP BY 1),
+         |r3 AS (SELECT c.doc_id, c.rel_bp, coalesce(m.ms, 0) AS ms
+         | FROM cand c LEFT JOIN ms3 m ON m.doc_id = c.doc_id
+         | WHERE c.doc_id NOT IN (SELECT doc_id FROM pk2)),
+         |p3 AS (SELECT doc_id, rel_bp, ms FROM r3
+         | ORDER BY rel_bp - ms DESC, doc_id LIMIT 1),
+         |pk3 AS (SELECT doc_id FROM pk2 UNION ALL SELECT doc_id FROM p3),
+         |ms4 AS (SELECT s.ia AS doc_id, max(s.s) AS ms FROM simbp s
+         | JOIN pk3 ON pk3.doc_id = s.ib GROUP BY 1),
+         |r4 AS (SELECT c.doc_id, c.rel_bp, coalesce(m.ms, 0) AS ms
+         | FROM cand c LEFT JOIN ms4 m ON m.doc_id = c.doc_id
+         | WHERE c.doc_id NOT IN (SELECT doc_id FROM pk3)),
+         |p4 AS (SELECT doc_id, rel_bp, ms FROM r4
+         | ORDER BY rel_bp - ms DESC, doc_id LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS pick_rank, doc_id, rel_bp,
+         | CAST(0 AS BIGINT) AS maxsim_bp, rel_bp AS mmr_bp FROM p1
+         |UNION ALL SELECT 2, doc_id, rel_bp, ms, rel_bp - ms FROM p2
+         |UNION ALL SELECT 3, doc_id, rel_bp, ms, rel_bp - ms FROM p3
+         |UNION ALL SELECT 4, doc_id, rel_bp, ms, rel_bp - ms FROM p4""".stripMargin,
 
 
     // The q65 chain -> rank + running token sum -> budget-prefix cut.

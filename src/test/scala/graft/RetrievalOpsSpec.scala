@@ -114,4 +114,33 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(merged.contains(("apple", 1L, "1")))
     assert(merged.contains(("egg", 1L, "20")))
   }
+
+  test("mmrRerank trades relevance for diversity, hand-checked") {
+    // doc 1: top relevance. doc 2: second by relevance but identical
+    // tokens to doc 1 (jaccard 10000). doc 3: lower relevance, disjoint
+    // tokens. MMR must pick 1, then 3 (8000 - 0 > 9000 - 10000), then 2.
+    val cands = Seq(
+      (0L, 1L, 10000L, Seq("a", "b", "c", "d")),
+      (0L, 2L, 9000L, Seq("a", "b", "c", "d")),
+      (0L, 3L, 8000L, Seq("x", "y", "z", "w"))
+    ).toDF("qid", "id", "rel_bp", "toks")
+    val out = RetrievalOps.mmrRerank(cands, "qid", "id", "rel_bp", "toks", k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(r => (r._2, r._3, r._5, r._6)).toSeq == Seq(
+      (1L, 1L, 0L, 10000L),      // rank 1: doc 1, maxsim 0
+      (2L, 3L, 0L, 8000L),       // rank 2: doc 3 beats doc 2 (-1000)
+      (3L, 2L, 10000L, -1000L))) // rank 3: doc 2, full overlap with pick 1
+    // ties in mmr score break to the lower id
+    val tie = Seq(
+      (0L, 5L, 7000L, Seq("p", "q")),
+      (0L, 4L, 7000L, Seq("r", "s"))
+    ).toDF("qid", "id", "rel_bp", "toks")
+    val t = RetrievalOps.mmrRerank(tie, "qid", "id", "rel_bp", "toks", k = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(t.length == 1 && t.head._3 == 4L)
+    // k beyond the candidate count returns every candidate, ranked
+    val all = RetrievalOps.mmrRerank(cands, "qid", "id", "rel_bp", "toks", k = 99)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(all.length == 3)
+  }
 }
