@@ -967,6 +967,109 @@ object DedupOps {
       }.toDF("id", "pos", "h")
   }
 
+  /** B^j for the content-defined-chunking polynomial (B = 257, w = 8):
+    * 257^7 < 2^60, so the per-term products are exact in a 64-bit long
+    * and the oracle's HUGEINT arithmetic reduces to the same values.
+    */
+  private val CdcPows: Array[Long] =
+    Iterator.iterate(1L)(_ * 257L).take(8).toArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** Content-defined chunking (the rsync/LBFS/storage-dedup primitive):
+    * whitespace-normalized text is cut wherever the 8-char polynomial
+    * rolling hash (base 257, mod 2^60) of the window ENDING at that
+    * character has its low 6 bits zero — expected chunk ≈ 64 chars —
+    * plus a final chunk to end-of-string. Because boundaries depend only
+    * on local content, a shared run between two documents re-synchronizes
+    * to IDENTICAL interior chunks regardless of how different their
+    * prefixes are — the property that lets chunk-hash dedup (and
+    * delta-sync) find shared content that whole-document hashing misses.
+    * Returns (id, chunk_idx 1.., start_pos 0-based, chunk_len,
+    * chunk_md5); empty documents emit no chunks.
+    *
+    * Scale shape: pure narrow kernel — one pass, no shuffle at all; the
+    * downstream chunk-level dedup is [[exactDedup]]'s (digest, id)
+    * shuffle on the chunk hashes.
+    */
+  def contentDefinedChunks(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = 8
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val t = Option(text).getOrElse("").trim.replaceAll("\\s+", " ")
+          val n = t.length
+          if (n == 0) Iterator.empty
+          else {
+            val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var i = w
+            while (i <= n) {
+              var h = 0L
+              var j = 0
+              while (j < w) { h += t.charAt(i - 1 - j).toLong * CdcPows(j); j += 1 }
+              h &= Mask60
+              if ((h & 63L) == 0L) ends += i
+              i += 1
+            }
+            if (ends.isEmpty || ends.last != n) ends += n
+            var start = 0
+            ends.iterator.zipWithIndex.map { case (e, k) =>
+              val s0 = start
+              start = e
+              (id, (k + 1).toLong, s0.toLong, (e - s0).toLong,
+                md5Hex(md, t.substring(s0, e)))
+            }
+          }
+        }
+      }.toDF("id", "chunk_idx", "start_pos", "chunk_len", "chunk_md5")
+  }
+
+  /** Per-document novelty score: the fraction (basis points, truncating
+    * div) of a doc's w-token window occurrences that are CANONICAL —
+    * i.e. the corpus-wide first occurrence (min (id, pos)) of their
+    * window hash. Docs ordered by id = arrival order, so this is "how
+    * much of this doc is first-seen content": the data-valuation signal
+    * that ranks a crawl batch before paying to train on it. A doc of
+    * pure boilerplate scores ~0; the doc that INTRODUCED the boilerplate
+    * still scores high. Returns (id, n_windows, n_novel, novelty_bp);
+    * docs with fewer than w tokens report 0 windows and novelty 10000
+    * (nothing repeated, by convention).
+    *
+    * Scale shape: same as [[duplicatedSpanDedup]] minus the rewrite —
+    * one narrow kernel pass, one partial-aggregated min on the hash,
+    * one equi-join back, one per-doc count. Nothing quadratic.
+    */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
+    val occ = windowHashRowsPortable(base, "id", "text", w)
+    val canon = occ.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+      .select(col("h"), col("first").getField("id").as("cid"),
+        col("first").getField("pos").as("cpos"))
+    val flagged = occ.join(canon, "h")
+      .groupBy("id").agg(count(lit(1)).as("n_windows"),
+        sum(when(col("id") === col("cid") && col("pos") === col("cpos"), 1L)
+          .otherwise(0L)).as("n_novel"))
+    base.select(col("id")).join(flagged, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp",
+        when(col("n_windows") === 0L, lit(10000L))
+          .otherwise(expr("(n_novel * 10000) div n_windows")))
+  }
+
   /** Exact duplicated-span dedup (the repeated-substring removal of
     * "Deduplicating Training Data Makes Language Models Better", Lee et
     * al. 2021, on token windows): every w-token window occurrence is

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication: exact, MinHash/SimHash LSH, fingerprints, connected components, semantic dedup, contamination, PPJoin, entity resolution.
   *
-  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup.
+  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object DedupQueries {
@@ -347,6 +347,35 @@ object DedupQueries {
       DedupOps.duplicatedSpanDedup(corpus, "id", "text", 8)
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
           col("clean_text"))
+    }),
+
+
+    // Per-doc novelty (data valuation before training on a crawl
+    // batch): q175's fixture again — doc 0 INTRODUCES the boilerplate
+    // (canonical, stays novel); every later planted doc scores lower by
+    // exactly its boilerplate windows. id order = arrival order.
+    "q180_novelty" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(did.as("id"),
+        when(pmod(did, lit(7)) === 0,
+          concat(col("text"), lit(" " + spanBoiler))).otherwise(col("text")).as("text"))
+      DedupOps.noveltyScore(corpus, "id", "text", 8)
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_novel"),
+          col("novelty_bp"))
+    }),
+
+
+    // Content-defined chunking (rsync/LBFS storage-dedup shape): a
+    // ~300-char run PLANTED on every 11th doc re-synchronizes to
+    // identical interior chunks across those docs whatever their
+    // prefixes — the non-vacuous positive chunk-hash dedup needs. Every
+    // chunk's (idx, start, len, md5) is hash-checked.
+    "q181_cdc_chunks" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(did.as("id"),
+        when(pmod(did, lit(11)) === 0,
+          concat(col("text"), lit(" " + cdcTail))).otherwise(col("text")).as("text"))
+      DedupOps.contentDefinedChunks(corpus, "id", "text")
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("start_pos"),
+          col("chunk_len"), col("chunk_md5"))
     }),
   )
 
@@ -816,5 +845,64 @@ object DedupQueries {
          |  CAST(len(t.toks) AS BIGINT) - coalesce(ag.n_kept, 0) AS n_removed,
          |  coalesce(ag.clean_text, '') AS clean_text
          |FROM t LEFT JOIN ag ON ag.doc_id = t.doc_id""".stripMargin,
+
+
+    // The q175 occurrence chain, reduced to the canonical-fraction per
+    // doc (rn = 1 over (doc_id, pos) == the engine's struct min).
+    "q180_novelty" ->
+      s"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |   THEN text || ' $spanBoiler'
+         |   ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |win AS (SELECT doc_id, toks,
+         |  CASE WHEN len(toks) < 8 THEN CAST([] AS STRUCT(pos BIGINT, s VARCHAR)[])
+         |   ELSE list_transform(range(1, len(toks) - 6),
+         |     i -> struct_pack(pos := i - 1, s := array_to_string(toks[i:i+7], ' '))) END AS ws
+         |  FROM t),
+         |wo AS (SELECT doc_id, unnest(ws) AS u FROM win),
+         |occ AS (SELECT doc_id, u.pos AS pos,
+         |  ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h FROM wo),
+         |rk AS (SELECT doc_id, pos, h,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM occ),
+         |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         | FROM rk GROUP BY 1)
+         |SELECT t.doc_id, coalesce(f.n_windows, 0) AS n_windows,
+         |  coalesce(f.n_novel, 0) AS n_novel,
+         |  CAST(CASE WHEN coalesce(f.n_windows, 0) = 0 THEN 10000
+         |   ELSE (f.n_novel * 10000) // f.n_windows END AS BIGINT) AS novelty_bp
+         |FROM t LEFT JOIN fl f ON f.doc_id = t.doc_id""".stripMargin,
+
+
+    // The rolling hash expanded per position (8-term polynomial, base
+    // 257 — 257^7 < 2^60 so the literal powers are exact; HUGEINT sum
+    // mod 2^60 == the kernel's wrapping-64 & mask, low bits commute),
+    // boundaries -> lag() chunk spans -> md5 per chunk.
+    "q181_cdc_chunks" ->
+      s"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         |   THEN text || ' $cdcTail'
+         |   ELSE text END AS text FROM documents),
+         |cl1 AS (SELECT doc_id, $cleanSql AS t FROM corpus),
+         |cl AS (SELECT doc_id, t FROM cl1 WHERE len(t) >= 1),
+         |posr AS (SELECT doc_id, t, unnest(range(8, len(t) + 1)) AS i FROM cl
+         | WHERE len(t) >= 8),
+         |hv AS (SELECT doc_id, i,
+         |  CAST(list_sum(list_transform(range(0, 8),
+         |    j -> CAST(ord(substr(t, CAST(i - j AS INTEGER), 1)) AS HUGEINT)
+         |      * CAST(([1, 257, 66049, 16974593, 4362470401, 1121154893057,
+         |          288136807515649, 74051159531521793])[CAST(j + 1 AS INTEGER)] AS HUGEINT)))
+         |    % 1152921504606846976 AS BIGINT) AS h
+         | FROM posr),
+         |bnd AS (SELECT doc_id, i AS e FROM hv WHERE h % 64 = 0),
+         |alle AS (SELECT doc_id, e FROM bnd
+         | UNION SELECT doc_id, CAST(len(t) AS BIGINT) AS e FROM cl),
+         |ch AS (SELECT doc_id, e,
+         |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
+         | FROM alle)
+         |SELECT c.doc_id,
+         | CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.e) AS BIGINT) AS chunk_idx,
+         | c.s AS start_pos, c.e - c.s AS chunk_len,
+         | md5(substr(cl.t, CAST(c.s + 1 AS INTEGER), CAST(c.e - c.s AS INTEGER))) AS chunk_md5
+         |FROM ch c JOIN cl ON cl.doc_id = c.doc_id""".stripMargin,
   )
 }

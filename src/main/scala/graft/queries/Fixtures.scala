@@ -53,6 +53,13 @@ object Fixtures {
   private[graft] val spanBoiler =
     "the quick brown fox jumps over the lazy dog again and again"
 
+  /** ~300-char shared run planted on every 11th doc for content-defined
+    * chunking (q181): long enough that the rolling-hash boundaries
+    * re-synchronize inside it, producing identical interior chunks
+    * across planted docs whatever their prefixes.
+    */
+  private[graft] val cdcTail: String = Seq.fill(5)(spanBoiler).mkString(" ")
+
   /** documents ∪ near-duplicate copies (id + 10^12 — collision-free at any SF, two tokens appended) —
     * gives the near-dup detectors a deterministic positive set.
     */

@@ -378,6 +378,53 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(2L)._3 == 10L && out(2L)._4 == "lead_b tail_b")
   }
 
+  test("noveltyScore: the doc that introduces a span stays novel, repeats lose it") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"first unique words here $span"),
+      (2L, s"second other tokens list $span"),
+      (3L, "short text")
+    ).toDF("id", "text")
+    val out = DedupOps.noveltyScore(corpus, "id", "text", 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 10000L, "doc 1 introduced everything")
+    assert(out(2L)._4 < 10000L && out(2L)._3 < out(2L)._2,
+      "doc 2 repeats doc 1's span windows")
+    assert(out(3L) == ((3L, 0L, 0L, 10000L)), "sub-window doc: 0 windows, novel by convention")
+  }
+
+  test("contentDefinedChunks re-synchronizes on shared runs and tiles the text") {
+    // non-periodic: a periodic run can legitimately contain no boundary
+    // window at all (1 period of windows decides the whole run)
+    val shared = (1 to 60).map(i => s"tok${i}word").mkString(" ")
+    val corpus = Seq(
+      (1L, s"prefix one differs $shared"),
+      (2L, s"a completely different and much longer opening phrase $shared"),
+      (3L, ""),
+      (4L, "tiny")
+    ).toDF("id", "text")
+    val out = DedupOps.contentDefinedChunks(corpus, "id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byDoc = out.groupBy(_._1)
+    // chunks tile each doc: starts contiguous, lengths sum to the text
+    for ((id, rows) <- byDoc) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3); case _ =>
+      }
+    }
+    // the shared run produces shared interior chunk hashes in docs 1 and 2
+    val h1 = byDoc(1L).map(_._5).toSet
+    val h2 = byDoc(2L).map(_._5).toSet
+    assert((h1 & h2).nonEmpty,
+      s"CDC must re-synchronize on the ${shared.length}-char shared run")
+    // empty doc: no chunks; sub-window doc: one whole-text chunk
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).toSeq == Seq((4L, 1L, 0L, 4L,
+      byDoc(4L).head._5)) && byDoc(4L).head._4 == 4L)
+  }
+
   test("duplicatedSpanDedup whitespace-normalizes and handles empty/null text") {
     val corpus = Seq((1L, "spaced   out    tokens"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("id", "text")
