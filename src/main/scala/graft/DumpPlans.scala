@@ -58,7 +58,12 @@ object DumpPlans {
     "q150_jl_project" -> "zero-exchange literal sign-matrix fold",
     "q166_delta_content" -> "composite-key anti-join + known-key label join (both broadcast at state scale)",
     "q170_mean_pool" -> "posexplode + partial-aggregated (group, dim) sums — vectors never shuffle whole",
-    "q171_negative_sample" -> "bucket-key equi-join (never cross), per-query top-k window over bounded candidates")
+    "q171_negative_sample" -> "bucket-key equi-join (never cross), per-query top-k window over bounded candidates",
+    "q175_span_dedup" -> "window kernel; partial (count, min-struct) agg on 60-bit hashes; equi joins only",
+    "q176_cluster_split" -> "star-CC components + one id equi-join; the split is a projection",
+    "q178_temperature_mix" -> "per-source partial agg; |sources|-row rate table broadcasts back",
+    "q179_mmr_rerank" -> "greedy over top-N candidates in flatMapGroups — bounded per-query state",
+    "q181_cdc_chunks" -> "shuffle-free rolling-hash kernel — chunks never leave their scan stage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
