@@ -1049,14 +1049,45 @@ object DedupOps {
     * one equi-join back, one per-doc count. Nothing quadratic.
     */
   def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int): DataFrame =
+    noveltyFromState(docs, idCol, textCol, w,
+      noveltyState(docs, idCol, textCol, w))
+
+  /** [[noveltyScore]]'s sufficient statistics, MERGEABLE across corpus
+    * batches: per window hash, (occurrence count, min (id, pos)). Both
+    * components merge by a commutative/associative op (sum, min), so
+    * state(A) ⊕ state(B) == state(A ∪ B) — an incremental corpus keeps
+    * one state table and folds each ingest batch in, never rescanning
+    * history (the q173 k-means pattern applied to dedup machinery).
+    */
+  def noveltyState(docs: DataFrame, idCol: String, textCol: String,
                    w: Int): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).cast("string").as("text"))
+    windowHashRowsPortable(base, "id", "text", w)
+      .groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("pos"))).as("first"))
+  }
+
+  /** Fold two [[noveltyState]]s: counts add, first occurrences take the
+    * struct min.
+    */
+  def noveltyMergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("h")
+      .agg(sum(col("cnt")).as("cnt"), min(col("first")).as("first"))
+
+  /** Derive per-doc novelty from a (possibly merged) [[noveltyState]]:
+    * one more window pass over the docs being scored, joined to the
+    * state on the hash.
+    */
+  def noveltyFromState(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int, state: DataFrame): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
     val occ = windowHashRowsPortable(base, "id", "text", w)
-    val canon = occ.groupBy("h")
-      .agg(min(struct(col("id"), col("pos"))).as("first"))
-      .select(col("h"), col("first").getField("id").as("cid"),
-        col("first").getField("pos").as("cpos"))
+    val canon = state.select(col("h"),
+      col("first").getField("id").as("cid"),
+      col("first").getField("pos").as("cpos"))
     val flagged = occ.join(canon, "h")
       .groupBy("id").agg(count(lit(1)).as("n_windows"),
         sum(when(col("id") === col("cid") && col("pos") === col("cpos"), 1L)

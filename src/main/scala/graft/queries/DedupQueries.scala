@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication: exact, MinHash/SimHash LSH, fingerprints, connected components, semantic dedup, contamination, PPJoin, entity resolution.
   *
-  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks.
+  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object DedupQueries {
@@ -364,6 +364,28 @@ object DedupQueries {
     }),
 
 
+    // INCREMENTAL novelty: the corpus arrives as two batches (even/odd
+    // ids); each contributes a mergeable (hash -> count, min-(id,pos))
+    // state, states fold by (sum, struct-min), novelty derives from the
+    // merged state. The oracle computes the UN-SPLIT q180 answer
+    // directly, so the hash match certifies state(A) ⊕ state(B) ==
+    // state(A ∪ B) cross-engine — q173's merge-law pattern applied to
+    // the dedup machinery.
+    "q182_novelty_increment" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(did.as("id"),
+        when(pmod(did, lit(7)) === 0,
+          concat(col("text"), lit(" " + spanBoiler))).otherwise(col("text")).as("text"))
+      val state = DedupOps.noveltyMergeStates(
+        DedupOps.noveltyState(corpus.where(pmod(col("id"), lit(2)) === 0),
+          "id", "text", 8),
+        DedupOps.noveltyState(corpus.where(pmod(col("id"), lit(2)) === 1),
+          "id", "text", 8))
+      DedupOps.noveltyFromState(corpus, "id", "text", 8, state)
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_novel"),
+          col("novelty_bp"))
+    }),
+
+
     // Content-defined chunking (rsync/LBFS storage-dedup shape): a
     // ~300-char run PLANTED on every 11th doc re-synchronizes to
     // identical interior chunks across those docs whatever their
@@ -378,6 +400,34 @@ object DedupQueries {
           col("chunk_len"), col("chunk_md5"))
     }),
   )
+
+  /** q180's full derivation — also the q182 oracle verbatim (there the
+    * engine side computes via split batches + merged state, so the
+    * match certifies the merge law against this direct computation).
+    */
+  private val noveltySql =
+    s"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+       |   THEN text || ' $spanBoiler'
+       |   ELSE text END AS text FROM documents),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |win AS (SELECT doc_id, toks,
+       |  CASE WHEN len(toks) < 8 THEN CAST([] AS STRUCT(pos BIGINT, s VARCHAR)[])
+       |   ELSE list_transform(range(1, len(toks) - 6),
+       |     i -> struct_pack(pos := i - 1, s := array_to_string(toks[i:i+7], ' '))) END AS ws
+       |  FROM t),
+       |wo AS (SELECT doc_id, unnest(ws) AS u FROM win),
+       |occ AS (SELECT doc_id, u.pos AS pos,
+       |  ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h FROM wo),
+       |rk AS (SELECT doc_id, pos, h,
+       |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM occ),
+       |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       | FROM rk GROUP BY 1)
+       |SELECT t.doc_id, coalesce(f.n_windows, 0) AS n_windows,
+       |  coalesce(f.n_novel, 0) AS n_novel,
+       |  CAST(CASE WHEN coalesce(f.n_windows, 0) = 0 THEN 10000
+       |   ELSE (f.n_novel * 10000) // f.n_windows END AS BIGINT) AS novelty_bp
+       |FROM t LEFT JOIN fl f ON f.doc_id = t.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -849,29 +899,13 @@ object DedupQueries {
 
     // The q175 occurrence chain, reduced to the canonical-fraction per
     // doc (rn = 1 over (doc_id, pos) == the engine's struct min).
-    "q180_novelty" ->
-      s"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
-         |   THEN text || ' $spanBoiler'
-         |   ELSE text END AS text FROM documents),
-         |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
-         |win AS (SELECT doc_id, toks,
-         |  CASE WHEN len(toks) < 8 THEN CAST([] AS STRUCT(pos BIGINT, s VARCHAR)[])
-         |   ELSE list_transform(range(1, len(toks) - 6),
-         |     i -> struct_pack(pos := i - 1, s := array_to_string(toks[i:i+7], ' '))) END AS ws
-         |  FROM t),
-         |wo AS (SELECT doc_id, unnest(ws) AS u FROM win),
-         |occ AS (SELECT doc_id, u.pos AS pos,
-         |  ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h FROM wo),
-         |rk AS (SELECT doc_id, pos, h,
-         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM occ),
-         |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-         | FROM rk GROUP BY 1)
-         |SELECT t.doc_id, coalesce(f.n_windows, 0) AS n_windows,
-         |  coalesce(f.n_novel, 0) AS n_novel,
-         |  CAST(CASE WHEN coalesce(f.n_windows, 0) = 0 THEN 10000
-         |   ELSE (f.n_novel * 10000) // f.n_windows END AS BIGINT) AS novelty_bp
-         |FROM t LEFT JOIN fl f ON f.doc_id = t.doc_id""".stripMargin,
+    "q180_novelty" -> noveltySql,
+
+
+    // IDENTICAL SQL to q180 — the oracle computes the un-split answer,
+    // so the match certifies the engine's batch-split + state-merge
+    // path reproduces it (the merge law).
+    "q182_novelty_increment" -> noveltySql,
 
 
     // The rolling hash expanded per position (8-term polynomial, base

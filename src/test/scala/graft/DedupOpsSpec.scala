@@ -393,6 +393,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 0L, 0L, 10000L)), "sub-window doc: 0 windows, novel by convention")
   }
 
+  test("noveltyState merge law: state(A) ⊕ state(B) == state(A ∪ B), element-wise") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"first doc $span"),
+      (2L, s"second doc also has $span"),
+      (3L, "unrelated content entirely different words"),
+      (4L, s"fourth one $span trailing")
+    ).toDF("id", "text")
+    val a = corpus.where($"id" % 2 === 0)
+    val b = corpus.where($"id" % 2 === 1)
+    val merged = DedupOps.noveltyMergeStates(
+      DedupOps.noveltyState(a, "id", "text", 8),
+      DedupOps.noveltyState(b, "id", "text", 8))
+      .selectExpr("h", "cnt", "first.id", "first.pos")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = DedupOps.noveltyState(corpus, "id", "text", 8)
+      .selectExpr("h", "cnt", "first.id", "first.pos")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(merged == direct && direct.nonEmpty)
+    // and the derived scores agree with the one-shot operator
+    val viaState = DedupOps.noveltyFromState(corpus, "id", "text", 8,
+      DedupOps.noveltyMergeStates(
+        DedupOps.noveltyState(a, "id", "text", 8),
+        DedupOps.noveltyState(b, "id", "text", 8)))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val oneShot = DedupOps.noveltyScore(corpus, "id", "text", 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaState == oneShot)
+  }
+
   test("contentDefinedChunks re-synchronizes on shared runs and tiles the text") {
     // non-periodic: a periodic run can legitimately contain no boundary
     // window at all (1 period of windows decides the whole run)
