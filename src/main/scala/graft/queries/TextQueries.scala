@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis and tokenization: quality scores, lang-ID, BPE, packing, chunking, redaction, boilerplate, token rarity, bigram LM.
   *
-  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency.
+  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object TextQueries {
@@ -20,6 +20,37 @@ object TextQueries {
     // Token counting (whitespace + BPE-ish).
     "q14_token_counts" -> ((s, d) =>
       TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // Per-source corpus DATASHEET (the "data card" a dataset release
+    // ships): docs, token mass, exact-dup rate, language mix, quality
+    // pass rate — one row per source, every cell integer/bp so the
+    // whole card hash-checks. Twins of every 9th doc are PLANTED so the
+    // dup-rate cell is non-vacuous.
+    "q183_data_card" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val corpus = base.unionByName(base.where(pmod(did, lit(9)) === 0)
+        .select((did + 1000000000000L).as("doc_id"), col("source"), col("text")))
+      val tok = TextAnalysisOps.tokenCounts(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens"))
+      val q = TextAnalysisOps.qualityScore(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val lang = TextAnalysisOps.languageId(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"))
+      val fp = corpus.select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+      corpus.select("doc_id", "source")
+        .join(tok, "doc_id").join(q, "doc_id").join(lang, "doc_id").join(fp, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("n_tokens"),
+          countDistinct("fp").as("n_distinct"),
+          sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_quality"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("((n_docs - n_distinct) * 10000) div n_docs").as("dup_bp"),
+          expr("(n_en * 10000) div n_docs").as("en_bp"),
+          expr("(n_quality * 10000) div n_docs").as("quality_pass_bp"))
+    }),
 
 
     // Quality scoring.
@@ -151,6 +182,45 @@ object TextQueries {
          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
          |   AS bpeish_tokens
          |FROM documents""".stripMargin,
+
+
+    // Every cell re-derived: q15's quality chain + q16's lang chain +
+    // q13's fingerprint over the twinned corpus, folded per source.
+    "q183_data_card" ->
+      s"""WITH corpus AS (SELECT doc_id, source, text FROM documents
+         | UNION ALL SELECT doc_id + 1000000000000, source, text
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |${qualityCtesFrom("corpus")},
+         |q AS (SELECT doc_id, $qualityExprSql AS quality FROM m),
+         |ls AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS DOUBLE) AS en,
+         | CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS DOUBLE) AS es,
+         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) AS fr,
+         | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) AS de,
+         | CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai'))) AS DOUBLE) AS zh
+         | FROM t),
+         |lp AS (SELECT doc_id, CASE WHEN greatest(en,es,fr,de,zh) <= 0 THEN 'und'
+         | WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+         | WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+         | WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+         | WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+         | ELSE 'zh' END AS lang_pred FROM ls),
+         |fp AS (SELECT doc_id, md5(lower($cleanSql)) AS f FROM corpus),
+         |tokc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok FROM t),
+         |j AS (SELECT c.source, c.doc_id, tokc.tok, q.quality, lp.lang_pred, fp.f
+         | FROM corpus c JOIN tokc USING (doc_id) JOIN q USING (doc_id)
+         |  JOIN lp USING (doc_id) JOIN fp USING (doc_id)),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT f) AS BIGINT) AS n_distinct,
+         |  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+         | FROM j GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         | ((n_docs - n_distinct) * 10000) // n_docs AS dup_bp,
+         | (n_en * 10000) // n_docs AS en_bp,
+         | (n_quality * 10000) // n_docs AS quality_pass_bp
+         |FROM a""".stripMargin,
 
 
     "q15_quality_score" ->
