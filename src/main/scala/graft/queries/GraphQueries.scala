@@ -12,12 +12,35 @@ import org.apache.spark.sql.functions._
   * counting, BFS distances (unrolled + RDD-loop deep).
   *
   * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance,
-  * q167_bfs_deep, q168_pagerank_deep.
+  * q167_bfs_deep, q168_pagerank_deep, q184_link_rank.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Crawl-to-rank COMPOSITION (scrape family × graph family): each
+    // doc renders a deterministic HTML page whose two <a href> targets
+    // are exactly q105's literal edges; the query extracts the link
+    // graph with codegen'd regexp_extract_all (no UDF) and ranks it.
+    // The oracle is q105's — it ranks the edges DIRECTLY, so any
+    // extraction slip (missed href, order, bad cast) changes the edge
+    // multiset and breaks the hash. This is the whole crawl-frontier
+    // pipeline: fetch -> parse links -> rank what to fetch next.
+    "q184_link_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val html = concat(lit("<ul><li><a href=\"/doc/"),
+        pmod(did * 31L + 7L, lit(500L)).cast("string"),
+        lit("\">a</a></li><li><a href=\"/doc/"),
+        pmod(did * 17L + 3L, lit(500L)).cast("string"),
+        lit("\">b</a></li></ul>"))
+      val edges = docs.select(did.as("src"), html.as("html"))
+        .select(col("src"), explode(
+          expr("regexp_extract_all(html, 'href=\"/doc/([0-9]+)\"', 1)")).as("dst"))
+        .select(col("src"), col("dst").cast("long").as("dst"))
+      GraphOps.pageRankFixedPoint(edges, iters = 3)
+    }),
+
 
     // Fixed-point PageRank (3 iterations, damping 0.85) over a
     // deterministic literal link graph on doc ids — integer division
@@ -96,6 +119,10 @@ object GraphQueries {
     // (// is floor division; operands are non-negative, matching
     // Spark's div). Dangling mass leaks identically in both engines.
     "q105_pagerank" -> GraphOracleShared.pagerank3Iter,
+
+    // Ranks the edges directly (no HTML round-trip): extraction parity
+    // is certified because a different edge multiset breaks the hash.
+    "q184_link_rank" -> GraphOracleShared.pagerank3Iter,
 
 
     // Independent formulation: canonical a<b edges, triangles counted
