@@ -166,4 +166,13 @@ object SketchOps {
       .groupBy("h").agg(sum(col("na") * col("nb")).as("dot"))
       .agg(min("dot").as("est_join_size"))
   }
+
+  /** Fold two [[hllRegisters]] frames: register-wise max. Because every
+    * register is a max over per-key rhos, max is the exact merge —
+    * state(A) ⊕ state(B) == state(A ∪ B), register for register, so
+    * shard sketches built independently estimate the union as if built
+    * in one pass (q186 certifies this against the direct oracle).
+    */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max(col("r")).as("r"))
 }

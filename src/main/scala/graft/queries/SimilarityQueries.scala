@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -176,6 +176,39 @@ object SimilarityQueries {
           .as("hits"))
         .withColumn("precision_bp", expr("(hits * 10000) div 5"))
     }),
+
+    // nDCG@5 vs ground-truth labels — q159's precision@5 upgraded with
+    // rank discounting (a hit at rank 1 is worth more than at rank 5).
+    // Each rank's 1/log2(r+1) discount is floored to integer
+    // micro-units BEFORE summing, so DCG/IDCG are order-free integer
+    // sums and the only cross-engine float ops are per-term ln()s on
+    // small integers (the q65 bm25 precedent).
+    "q185_ndcg" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val topk = SimilarityOps.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 8), k = 5)
+      val gainMicro =
+        "CAST(floor(1000000.0 * ln(2.0) / ln(CAST(rank AS DOUBLE) + 1.0) + 0.5) AS BIGINT)"
+      val agg = topk
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), "query_id")
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+        .withColumn("g", when(col("q_label") === col("n_label"),
+          expr(gainMicro)).otherwise(0L))
+        .groupBy("query_id")
+        .agg(sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L)).as("hits"),
+          sum(col("g")).as("dcg_micro"))
+      agg.withColumn("idcg_micro",
+          when(col("hits") === 0L, lit(0L)).otherwise(expr(
+            "aggregate(sequence(1, CAST(hits AS INT)), CAST(0 AS BIGINT), (acc, i) -> " +
+              "acc + CAST(floor(1000000.0 * ln(2.0) / ln(CAST(i AS DOUBLE) + 1.0) + 0.5) AS BIGINT))")))
+        .select(col("query_id"), col("hits"), col("dcg_micro"),
+          when(col("hits") === 0L, lit(0L))
+            .otherwise(expr("(dcg_micro * 10000) div idcg_micro")).as("ndcg_bp"))
+    }),
+
 
     // K-MEANS TRAINING: two Lloyd rounds from the k=4 lowest-id seed,
     // all-integer (quantized components, floorDiv centroid means), then
@@ -487,6 +520,33 @@ object SimilarityQueries {
         |JOIN lab lq ON lq.vec_id = t.qid
         |JOIN lab ln ON ln.vec_id = t.nid
         |GROUP BY 1""".stripMargin,
+
+
+    // The q159 chain with per-rank integer micro-discounts, IDCG from
+    // the same formula over 1..hits, integer division to bp.
+    "q185_ndcg" ->
+      s"""WITH ${cosineTopKCtes("", "TRUE")},
+        |top5 AS (SELECT qid, nid, rk FROM w WHERE rk <= 5),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |g AS (SELECT t.qid, t.rk,
+        |  CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END AS hit,
+        |  CASE WHEN lq.label = ln.label
+        |   THEN CAST(floor(1000000.0 * ln(2.0) / ln(CAST(t.rk AS DOUBLE) + 1.0) + 0.5) AS BIGINT)
+        |   ELSE 0 END AS gm
+        | FROM top5 t
+        | JOIN lab lq ON lq.vec_id = t.qid
+        | JOIN lab ln ON ln.vec_id = t.nid),
+        |a AS (SELECT qid AS query_id, CAST(sum(hit) AS BIGINT) AS hits,
+        |  CAST(sum(gm) AS BIGINT) AS dcg_micro FROM g GROUP BY 1),
+        |i AS (SELECT query_id, hits, dcg_micro,
+        |  CASE WHEN hits = 0 THEN 0
+        |   ELSE CAST(list_sum(list_transform(range(1, hits + 1),
+        |     x -> CAST(floor(1000000.0 * ln(2.0) / ln(CAST(x AS DOUBLE) + 1.0) + 0.5) AS BIGINT))) AS BIGINT)
+        |  END AS idcg_micro FROM a)
+        |SELECT query_id, hits, dcg_micro,
+        | CAST(CASE WHEN hits = 0 THEN 0
+        |  ELSE (dcg_micro * 10000) // idcg_micro END AS BIGINT) AS ndcg_bp
+        |FROM i""".stripMargin,
 
 
     // Both Lloyd rounds replayed in integer arithmetic (quantize ->

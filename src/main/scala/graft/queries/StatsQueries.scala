@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale-safe statistics: percentiles (cells/GK), NTILE, winsorize, quantile-norm, HLL/CMS sketches, range digests, join-cardinality estimation.
   *
-  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank.
+  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object StatsQueries {
@@ -74,6 +74,25 @@ object StatsQueries {
       val docs = Tables.documents(s, d)
       val exact = docs.agg(countDistinct("doc_id").as("n_exact"))
       SketchOps.hllEstimate(docs, "doc_id")
+        .crossJoin(broadcast(exact))
+        .select(col("n_exact"), col("n_reg"), col("s_scaled"), col("hll_est"))
+    }),
+
+
+    // HLL SHARD-MERGE LAW: two shards (even/odd ids) sketch
+    // independently, registers fold by max, the estimate derives from
+    // the merged state. The oracle computes the one-pass q104 answer
+    // directly, so the hash match certifies register-wise
+    // state(A) ⊕ state(B) == state(A ∪ B) — the property that lets a
+    // 1000-executor COUNT DISTINCT ship 64 registers per shard instead
+    // of re-shuffling keys.
+    "q186_hll_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = docs.agg(countDistinct("doc_id").as("n_exact"))
+      val merged = SketchOps.hllMergeRegisters(
+        SketchOps.hllRegisters(docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id"),
+        SketchOps.hllRegisters(docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id"))
+      SketchOps.hllEstimateFromRegisters(merged, Nil)
         .crossJoin(broadcast(exact))
         .select(col("n_exact"), col("n_reg"), col("s_scaled"), col("hll_est"))
     }),
@@ -209,6 +228,26 @@ object StatsQueries {
     }),
   )
 
+  /** q104's one-pass HLL derivation — also the q186 oracle verbatim
+    * (there the engine folds two shard register sets by max, so the
+    * match certifies the merge law against this direct computation).
+    */
+  private val hllDirectSql =
+    """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      | FROM documents),
+      |br AS (SELECT h & 63 AS bucket,
+      |  CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
+      | FROM h),
+      |reg AS (SELECT bucket, max(rho) AS r FROM br GROUP BY 1),
+      |agg AS (SELECT count(*) AS n_reg,
+      |  CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT) AS s_nonempty FROM reg),
+      |s AS (SELECT n_reg,
+      |  s_nonempty + (64 - n_reg) * (1::BIGINT << 55) AS s_scaled FROM agg)
+      |SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_exact,
+      | n_reg, s_scaled,
+      | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
+      |FROM s""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q51_percentiles" ->
@@ -272,21 +311,13 @@ object StatsQueries {
     // harmonic sum as integer 2^(55-r) units; the alpha*m^2*2^55
     // constant is the 17-digit literal that round-trips to the same
     // double both sides.
-    "q104_hll_distinct" ->
-      """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-        | FROM documents),
-        |br AS (SELECT h & 63 AS bucket,
-        |  CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
-        | FROM h),
-        |reg AS (SELECT bucket, max(rho) AS r FROM br GROUP BY 1),
-        |agg AS (SELECT count(*) AS n_reg,
-        |  CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT) AS s_nonempty FROM reg),
-        |s AS (SELECT n_reg,
-        |  s_nonempty + (64 - n_reg) * (1::BIGINT << 55) AS s_scaled FROM agg)
-        |SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_exact,
-        | n_reg, s_scaled,
-        | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
-        |FROM s""".stripMargin,
+    "q104_hll_distinct" -> hllDirectSql,
+
+
+    // IDENTICAL SQL to q104 — the oracle computes the one-pass sketch;
+    // the engine computes two shard sketches folded by register max,
+    // so the match certifies the merge law.
+    "q186_hll_merge" -> hllDirectSql,
 
 
     // Identical per-day registers (q104 chain grouped by day), the same

@@ -83,4 +83,16 @@ class SketchOpsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(narrow >= trueSize)
   }
+
+  test("hllMergeRegisters: shard merge equals the one-pass registers, element-wise") {
+    import spark.implicits._
+    val rows = (1L to 300L).toDF("k")
+    val merged = SketchOps.hllMergeRegisters(
+      SketchOps.hllRegisters(rows.where($"k" % 3 === 0), "k"),
+      SketchOps.hllRegisters(rows.where($"k" % 3 =!= 0), "k"))
+      .as[(Long, Int)].collect().toSet
+    val direct = SketchOps.hllRegisters(rows, "k")
+      .as[(Long, Int)].collect().toSet
+    assert(merged == direct && direct.nonEmpty)
+  }
 }
