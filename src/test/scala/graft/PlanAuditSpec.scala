@@ -397,4 +397,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"component assignment must be an equi-join:\n$p")
   }
+
+  test("CDC chunking is a shuffle-free kernel scan (q181)") {
+    val p = plan(q("q181_cdc_chunks"))
+    assert(!p.contains("Exchange"),
+      s"rolling-hash chunking must not shuffle — chunks stay in their scan stage:\n$p")
+  }
+
+  test("data card partial-aggregates per source; rate/profile sides stay equi (q183)") {
+    val p = plan(q("q183_data_card"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-source fold must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"profile joins must be id equi-joins:\n$p")
+  }
+
+  test("temperature mix broadcasts the rate table back onto the corpus (q178)") {
+    val p = plan(q("q178_temperature_mix"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"|sources|-row rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in this plan is big enough to sort-merge:\n$p")
+  }
 }
