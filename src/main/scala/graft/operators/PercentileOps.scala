@@ -40,11 +40,35 @@ object PercentileOps {
     */
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                          probs: Seq[(String, Double)],
-                         decimals: Int): DataFrame = {
-    require(probs.nonEmpty, "need at least one probability")
+                         decimals: Int): DataFrame =
+    histogramQuantilesFromCells(
+      histogramCellCounts(df, groupCol, valueCol, decimals), groupCol, probs)
+
+  /** [[histogramQuantiles]]'s sufficient statistics, MERGEABLE across
+    * shards: per (group, quantized cell), the row count. Counts add, so
+    * state(A) ⊕ state(B) == state(A ∪ B) — shards histogram
+    * independently and fold by [[histogramMergeCells]] (q187 certifies
+    * the law against the direct q56 oracle). This is how a
+    * 1000-executor cluster computes exact quantiles nightly: each
+    * partition ships its cells, never its rows, and yesterday's state
+    * folds with today's increment.
+    */
+  def histogramCellCounts(df: DataFrame, groupCol: String, valueCol: String,
+                          decimals: Int): DataFrame = {
     val f = math.pow(10, decimals)
     val qval = (floor(col(valueCol) * f) / f).as("qval")
-    val cells = df.groupBy(col(groupCol), qval).agg(count(lit(1)).as("cnt"))
+    df.groupBy(col(groupCol), qval).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold two [[histogramCellCounts]] frames: cell counts add. */
+  def histogramMergeCells(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(groupCol), col("qval"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Derive the quantiles from a (possibly merged) cell frame. */
+  def histogramQuantilesFromCells(cells: DataFrame, groupCol: String,
+                                  probs: Seq[(String, Double)]): DataFrame = {
+    require(probs.nonEmpty, "need at least one probability")
     val wCum = Window.partitionBy(groupCol).orderBy("qval")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(groupCol)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale-safe statistics: percentiles (cells/GK), NTILE, winsorize, quantile-norm, HLL/CMS sketches, range digests, join-cardinality estimation.
   *
-  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank.
+  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object StatsQueries {
@@ -41,6 +41,28 @@ object StatsQueries {
       PercentileOps.histogramQuantiles(Tables.lineitem(s, d),
         "l_returnflag", "l_extendedprice",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), decimals = 2)),
+
+
+    // PERCENTILE SHARD-MERGE LAW: two shards (even/odd orderkeys)
+    // build q56's cell histograms independently, cells fold by count
+    // addition, quantiles derive from the merged state. The oracle
+    // computes the one-pass q56 answer — the match certifies
+    // state(A) ⊕ state(B) == state(A ∪ B), completing the mergeable-
+    // state story across k-means (q173), novelty (q182), HLL (q186),
+    // and percentiles.
+    "q187_percentile_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cells = PercentileOps.histogramMergeCells(
+        PercentileOps.histogramCellCounts(
+          li.where(pmod(col("l_orderkey"), lit(2)) === 0),
+          "l_returnflag", "l_extendedprice", decimals = 2),
+        PercentileOps.histogramCellCounts(
+          li.where(pmod(col("l_orderkey"), lit(2)) === 1),
+          "l_returnflag", "l_extendedprice", decimals = 2),
+        "l_returnflag")
+      PercentileOps.histogramQuantilesFromCells(cells, "l_returnflag",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+    }),
 
 
     // Scale-safe percentiles #2: Greenwald–Khanna sketch. At this SF the
@@ -262,6 +284,26 @@ object StatsQueries {
     // PercentileOps.histogramQuantiles (IEEE double ops are bit-exact in
     // both engines).
     "q56_hist_quantiles" ->
+      """WITH c AS (
+        | SELECT l_returnflag, floor(l_extendedprice * 100) / 100 AS qval, count(*) AS cnt
+        | FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        | SELECT l_returnflag, qval,
+        |  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qval
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+        | FROM c)
+        |SELECT l_returnflag,
+        | min(CASE WHEN cum >= ceil(total * 0.25) THEN qval END) AS p25,
+        | min(CASE WHEN cum >= ceil(total * 0.5) THEN qval END) AS p50,
+        | min(CASE WHEN cum >= ceil(total * 0.75) THEN qval END) AS p75
+        |FROM w GROUP BY l_returnflag""".stripMargin,
+
+
+    // IDENTICAL SQL to q56 — the oracle is the one-pass histogram; the
+    // engine folds two shard histograms, so the match certifies the
+    // cell-merge law.
+    "q187_percentile_merge" ->
       """WITH c AS (
         | SELECT l_returnflag, floor(l_extendedprice * 100) / 100 AS qval, count(*) AS cnt
         | FROM lineitem GROUP BY 1, 2),
