@@ -376,4 +376,31 @@ object TextAnalysisOps {
             col("sum_counts").cast("double") / col("n_tokens").cast("double")))
           .as("mean_count"))
   }
+
+  /** Unicode NFC normalization — the canonicalization step that must
+    * run BEFORE any hash-based dedup on multilingual text: "é" as one
+    * codepoint and "e"+combining-acute are byte-different (so md5
+    * fingerprints, minhash shingles, and exact-dup groups all miss the
+    * duplicate) but canonically equivalent; NFC composes both to the
+    * same form. JDK `java.text.Normalizer` in a narrow kernel — Spark
+    * has no built-in NFC Column function — with DuckDB's
+    * `nfc_normalize` as the independent oracle (both implement UAX #15
+    * over the same stable composition tables). Returns (id, norm_text,
+    * changed).
+    *
+    * Scale shape: pure per-row kernel, zero shuffles.
+    */
+  def nfcNormalize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val t = Option(text).getOrElse("")
+          val n = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+          (id, n, n != t)
+        }
+      }.toDF("id", "norm_text", "changed")
+  }
 }

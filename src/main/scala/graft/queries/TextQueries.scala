@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis and tokenization: quality scores, lang-ID, BPE, packing, chunking, redaction, boilerplate, token rarity, bigram LM.
   *
-  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card.
+  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object TextQueries {
@@ -20,6 +20,21 @@ object TextQueries {
     // Token counting (whitespace + BPE-ish).
     "q14_token_counts" -> ((s, d) =>
       TextAnalysisOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // Unicode NFC normalization — the pre-dedup canonicalization:
+    // every 13th doc gets a PLANTED decomposed sequence ("cafe" + a
+    // combining acute, byte-different from composed "café"); the
+    // operator must compose it and flag the change, leaving pure-ASCII
+    // docs untouched. DuckDB's nfc_normalize is the independent UAX#15
+    // implementation on the identical planted input.
+    "q188_nfc_normalize" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(did.as("id"),
+        when(pmod(did, lit(13)) === 0,
+          concat(col("text"), lit(" cafe" + "\u0301"))).otherwise(col("text")).as("text"))
+      TextAnalysisOps.nfcNormalize(corpus, "id", "text")
+        .select(col("id").as("doc_id"), col("norm_text"), col("changed"))
+    }),
 
 
     // Per-source corpus DATASHEET (the "data card" a dataset release
@@ -182,6 +197,17 @@ object TextQueries {
          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
          |   AS bpeish_tokens
          |FROM documents""".stripMargin,
+
+
+    // The identical decomposed plant (chr(769) = U+0301), DuckDB's own
+    // UAX#15 nfc_normalize as the independent implementation.
+    "q188_nfc_normalize" ->
+      """WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |  THEN text || ' cafe' || chr(769) ELSE text END AS text
+        | FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS norm_text,
+        | nfc_normalize(text) <> text AS changed
+        |FROM corpus""".stripMargin,
 
 
     // Every cell re-derived: q15's quality chain + q16's lang chain +

@@ -107,4 +107,22 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0.0)))
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
+
+  test("nfcNormalize composes decomposed sequences, makes dedup see through them") {
+    import spark.implicits._
+    val decomposed = "cafe" + "\u0301"  // e + COMBINING ACUTE
+    val composed = "caf" + "\u00e9"     // precomposed
+    val docs = Seq(
+      (1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = TextAnalysisOps.nfcNormalize(docs, "id", "text")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == composed && out(1L)._3, "decomposed must compose + flag")
+    assert(out(2L)._2 == composed && !out(2L)._3, "already-NFC input untouched")
+    assert(out(3L) == ((3L, "plain ascii", false)))
+    assert(out(4L) == ((4L, "", false)) && out(5L) == ((5L, "", false)))
+    // the point of the op: byte-different inputs become dedup-equal
+    assert(decomposed != composed && out(1L)._2 == out(2L)._2)
+  }
 }
