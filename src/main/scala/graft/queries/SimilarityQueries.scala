@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -176,6 +176,33 @@ object SimilarityQueries {
           .as("hits"))
         .withColumn("precision_bp", expr("(hits * 10000) div 5"))
     }),
+
+    // HARD-negative mining — q171's random negatives upgraded to the
+    // ones that actually teach an embedding model: for each query, the
+    // top-4 most similar corpus vectors whose LABEL DIFFERS (a same-
+    // label neighbor is a presumed positive, not a negative). Exact
+    // top-k (k + label-filter headroom) then the anti-label cut +
+    // re-rank — the standard mining loop between training epochs.
+    "q189_hard_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val labels = emb.select(col("vec_id"), col("label"))
+      // headroom: top-12 similar, then drop same-label, keep 4
+      val topk = SimilarityOps.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 8), k = 12)
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+      topk
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), "query_id")
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+        .where(col("q_label") =!= col("n_label"))
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .where(col("neg_rank") <= 4)
+        .select(col("query_id"), col("neighbor_id").as("neg_id"),
+          col("sim"), col("neg_rank"))
+    }),
+
 
     // nDCG@5 vs ground-truth labels — q159's precision@5 upgraded with
     // rank discounting (a hit at rank 1 is worth more than at rank 5).
@@ -520,6 +547,22 @@ object SimilarityQueries {
         |JOIN lab lq ON lq.vec_id = t.qid
         |JOIN lab ln ON ln.vec_id = t.nid
         |GROUP BY 1""".stripMargin,
+
+
+    // The same cosine chain cut at 12, anti-label filter, re-rank to 4.
+    "q189_hard_negatives" ->
+      s"""WITH ${cosineTopKCtes("", "TRUE")},
+        |top12 AS (SELECT qid, nid, sim FROM w WHERE rk <= 12),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |neg AS (SELECT t.qid, t.nid, t.sim,
+        |  row_number() OVER (PARTITION BY t.qid ORDER BY t.sim DESC, t.nid) AS rn
+        | FROM top12 t
+        | JOIN lab lq ON lq.vec_id = t.qid
+        | JOIN lab ln ON ln.vec_id = t.nid
+        | WHERE lq.label <> ln.label)
+        |SELECT qid AS query_id, nid AS neg_id, sim,
+        | CAST(rn AS BIGINT) AS neg_rank
+        |FROM neg WHERE rn <= 4""".stripMargin,
 
 
     // The q159 chain with per-rank integer micro-discounts, IDCG from
