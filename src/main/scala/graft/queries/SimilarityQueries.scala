@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -177,6 +177,27 @@ object SimilarityQueries {
         .withColumn("precision_bp", expr("(hits * 10000) div 5"))
     }),
 
+    // IVF nprobe TUNING SWEEP — the recall-vs-cost curve that picks a
+    // probe budget before committing a 100 TB index config: recall@5
+    // of the q30 search at nprobe 1 / 2 / 4 against the brute-force
+    // ground truth, one integer hit count per setting. Monotone in
+    // nprobe by construction, so the curve shape itself is a law.
+    "q190_nprobe_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 8)
+      val exact = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      Seq(1, 2, 4).map { np =>
+        val approx = SimilarityOps.ivfTopK(emb, qs, k = 5, nlist = 16, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+        exact.join(approx, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(np.toLong).as("nprobe"), col("hits"))
+      }.reduce(_ unionByName _)
+        .withColumn("recall_bp", expr("(hits * 10000) div 40"))
+    }),
+
+
     // HARD-negative mining — q171's random negatives upgraded to the
     // ones that actually teach an embedding model: for each query, the
     // top-4 most similar corpus vectors whose LABEL DIFFERS (a same-
@@ -297,6 +318,36 @@ object SimilarityQueries {
     * centroid. Mirrors [[graft.operators.SimilarityOps.kmeansFitAssign]]
     * exactly.
     */
+  /** The q30 IVF chain (assign → probe nprobe lists → cosine → rank)
+    * with a CTE-name prefix and a PARAMETERIZED nprobe — q190
+    * instantiates it at nprobe 1/2/4 side by side. Semantics identical
+    * to Fixtures.ivfTopKCtes (which q30/q113 pin at nprobe = 4).
+    */
+  private def ivfChainSql(x: String, np: Int): String =
+    s"""${x}cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       |${x}ad AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |   list_sum(list_transform(list_zip(e.embedding, c.cv),
+       |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+       | FROM embeddings e CROSS JOIN ${x}cent c),
+       |${x}a AS (SELECT nid, nv, cid FROM ${x}ad WHERE rn = 1),
+       |${x}pd AS (SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+       |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |   list_sum(list_transform(list_zip(q.embedding, c.cv),
+       |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+       | FROM embeddings q CROSS JOIN ${x}cent c WHERE q.vec_id < 8),
+       |${x}p AS (SELECT qid, qv, cid FROM ${x}pd WHERE rn <= $np),
+       |${x}s AS (SELECT p.qid, a.nid,
+       |  list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dp,
+       |  sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS na,
+       |  sqrt(list_sum(list_transform(list_zip(a.nv, a.nv), x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nb
+       | FROM ${x}a a JOIN ${x}p p ON a.cid = p.cid WHERE p.qid <> a.nid),
+       |${x}r AS (SELECT qid, nid,
+       |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim FROM ${x}s),
+       |${x}w AS (SELECT qid, nid, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM ${x}r),
+       |${x}t AS (SELECT qid, nid FROM ${x}w WHERE rk <= 5)""".stripMargin
+
   private def kmeansRoundSql(r: Int, prev: String, next: String): String =
     s"""a${r}d AS (SELECT q.vec_id, $prev.cid,
        |  CAST(list_sum(list_transform(list_zip(q.v, $prev.c),
@@ -547,6 +598,22 @@ object SimilarityQueries {
         |JOIN lab lq ON lq.vec_id = t.qid
         |JOIN lab ln ON ln.vec_id = t.nid
         |GROUP BY 1""".stripMargin,
+
+
+    // Three prefixed instantiations of the parameterized IVF chain
+    // (nprobe 1/2/4) against the exact chain's top-5.
+    "q190_nprobe_sweep" ->
+      s"""WITH ${ivfChainSql("n1", 1)},
+        |${ivfChainSql("n2", 2)},
+        |${ivfChainSql("n4", 4)},
+        |${cosineTopKCtes("e", "TRUE")},
+        |et AS (SELECT qid, nid FROM ew WHERE rk <= 5),
+        |h1 AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM et JOIN n1t USING (qid, nid)),
+        |h2 AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM et JOIN n2t USING (qid, nid)),
+        |h4 AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM et JOIN n4t USING (qid, nid))
+        |SELECT CAST(1 AS BIGINT) AS nprobe, hits, (hits * 10000) // 40 AS recall_bp FROM h1
+        |UNION ALL SELECT 2, hits, (hits * 10000) // 40 FROM h2
+        |UNION ALL SELECT 4, hits, (hits * 10000) // 40 FROM h4""".stripMargin,
 
 
     // The same cosine chain cut at 12, anti-label filter, re-rank to 4.
