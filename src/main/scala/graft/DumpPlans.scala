@@ -63,7 +63,13 @@ object DumpPlans {
     "q176_cluster_split" -> "star-CC components + one id equi-join; the split is a projection",
     "q178_temperature_mix" -> "per-source partial agg; |sources|-row rate table broadcasts back",
     "q179_mmr_rerank" -> "greedy over top-N candidates in flatMapGroups — bounded per-query state",
-    "q181_cdc_chunks" -> "shuffle-free rolling-hash kernel — chunks never leave their scan stage")
+    "q181_cdc_chunks" -> "shuffle-free rolling-hash kernel — chunks never leave their scan stage",
+    "q182_novelty_increment" -> "two batch states + one merge shuffle — history is never rescanned",
+    "q183_data_card" -> "three one-pass profile kernels + per-source partial aggs",
+    "q186_hll_merge" -> "64-row register sets fold by max — a COUNT DISTINCT that ships sketches",
+    "q187_percentile_merge" -> "cell histograms fold by sum; quantiles derive from merged state",
+    "q189_hard_negatives" -> "bounded top-k agg + broadcast labels; the anti-label cut is a filter",
+    "q190_nprobe_sweep" -> "three probe budgets share one exact ground-truth side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
