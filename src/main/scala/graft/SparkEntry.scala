@@ -64,5 +64,16 @@ object SparkEntry {
     merged
   }
 
-  def oracleSql: Map[String, String] = modules.map(_._2).reduce(_ ++ _)
+  /** Union of every family module's oracle SQL, under the same
+    * disjoint-key guarantee as [[queries]] — a query name accidentally
+    * given oracle SQL in two modules must fail loudly, not be shadowed
+    * by module order.
+    */
+  def oracleSql: Map[String, String] = {
+    val maps = modules.map(_._2)
+    val n = maps.map(_.size).sum
+    val merged = maps.reduce(_ ++ _)
+    require(merged.size == n, s"duplicate oracle names across modules: ${n - merged.size}")
+    merged
+  }
 }

@@ -967,9 +967,16 @@ object DedupOps {
       }.toDF("id", "pos", "h")
   }
 
-  /** B^j for the content-defined-chunking polynomial (B = 257, w = 8):
-    * 257^7 < 2^60, so the per-term products are exact in a 64-bit long
-    * and the oracle's HUGEINT arithmetic reduces to the same values.
+  /** B^j for the content-defined-chunking polynomial (B = 257, w = 8).
+    * The powers themselves are exact (257^7 < 2^60), but a per-term
+    * product char * 257^7 can exceed Long range for non-ASCII chars (up
+    * to 0xFFFF * 257^7 ≈ 4.8e21): the Long arithmetic then wraps mod
+    * 2^64. The kernel is still correct because the final value is masked
+    * to 60 bits and 2^60 divides 2^64, so wrapped-mod-2^64 arithmetic
+    * masked to 60 bits is congruent to the exact polynomial mod 2^60 —
+    * which is what the oracle's HUGEINT arithmetic computes. A mask
+    * width that did NOT divide 64 would break this congruence; keep the
+    * mask a power of two ≤ 2^63 if it ever changes.
     */
   private val CdcPows: Array[Long] =
     Iterator.iterate(1L)(_ * 257L).take(8).toArray
@@ -1077,8 +1084,12 @@ object DedupOps {
       .agg(sum(col("cnt")).as("cnt"), min(col("first")).as("first"))
 
   /** Derive per-doc novelty from a (possibly merged) [[noveltyState]]:
-    * one more window pass over the docs being scored, joined to the
-    * state on the hash.
+    * one more window pass over the docs being scored, LEFT-joined to the
+    * state on the hash. A window absent from the state (scoring new docs
+    * against a history-only state that was never folded over them) is by
+    * definition a first occurrence and counts as novel — an inner join
+    * here would silently drop exactly the most-novel windows from both
+    * the numerator and the denominator.
     */
   def noveltyFromState(docs: DataFrame, idCol: String, textCol: String,
                        w: Int, state: DataFrame): DataFrame = {
@@ -1088,9 +1099,10 @@ object DedupOps {
     val canon = state.select(col("h"),
       col("first").getField("id").as("cid"),
       col("first").getField("pos").as("cpos"))
-    val flagged = occ.join(canon, "h")
+    val flagged = occ.join(canon, Seq("h"), "left")
       .groupBy("id").agg(count(lit(1)).as("n_windows"),
-        sum(when(col("id") === col("cid") && col("pos") === col("cpos"), 1L)
+        sum(when(col("cid").isNull ||
+            (col("id") === col("cid") && col("pos") === col("cpos")), 1L)
           .otherwise(0L)).as("n_novel"))
     base.select(col("id")).join(flagged, Seq("id"), "left")
       .select(col("id"),

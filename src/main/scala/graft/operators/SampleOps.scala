@@ -211,8 +211,11 @@ object SampleOps {
     * Candidates form only inside the query's hash bucket
     * (`corpus_id % buckets == query_id % buckets`), so the candidate set
     * per query is |corpus| / buckets — never all-pairs; the per-query
-    * ranking is [[portableHash]] of `seed || query_id || '_' || corpus_id`,
-    * so any md5-bearing engine re-derives the exact sample. The query
+    * ranking is [[portableHash]] of
+    * `seed || '_' || query_id || '_' || corpus_id` (delimited on both
+    * sides so distinct (seed, query_id) pairs can never concatenate to
+    * the same key and alias epochs), so any md5-bearing engine
+    * re-derives the exact sample. The query
     * itself is excluded; exclude known positives upstream by anti-joining
     * the pair table before calling.
     *
@@ -233,7 +236,7 @@ object SampleOps {
     q.join(c, Seq("_b"))
       .where(col("neg_id") =!= col("query_id"))
       .withColumn("_h", graft.functions.HashFunctions.portableHash60(
-        concat(lit(seed), col("query_id").cast("string"), lit("_"),
+        concat(lit(seed), lit("_"), col("query_id").cast("string"), lit("_"),
           col("neg_id").cast("string"))))
       .withColumn("neg_rank", row_number().over(w).cast("long"))
       .where(col("neg_rank") <= k)

@@ -237,7 +237,7 @@ object CurationQueries {
       val docs = Tables.documents(s, d)
       SampleOps.negativeSample(
         docs.where(col("doc_id") < 20), docs, "doc_id", "doc_id",
-        k = 4, buckets = 5, seed = "graft_neg_e0_")
+        k = 4, buckets = 5, seed = "graft_neg_e0")
     }),
 
 

@@ -187,6 +187,11 @@ object SimilarityQueries {
       val qs = emb.where(col("vec_id") < 8)
       val exact = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
         .select("query_id", "neighbor_id")
+      // recall denominator from the exact side's actual row count (a
+      // 1-row broadcast), never hardcoded: at a corpus too small for 8
+      // queries x 5 neighbors the ratio stays honest instead of
+      // silently misstating recall.
+      val denom = exact.agg(count(lit(1)).as("n_exact"))
       Seq(1, 2, 4).map { np =>
         val approx = SimilarityOps.ivfTopK(emb, qs, k = 5, nlist = 16, nprobe = np)
           .select(col("query_id"), col("neighbor_id"))
@@ -194,7 +199,9 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("hits"))
           .select(lit(np.toLong).as("nprobe"), col("hits"))
       }.reduce(_ unionByName _)
-        .withColumn("recall_bp", expr("(hits * 10000) div 40"))
+        .crossJoin(denom)
+        .withColumn("recall_bp", expr("(hits * 10000) div n_exact"))
+        .select("nprobe", "hits", "recall_bp")
     }),
 
 
@@ -608,12 +615,14 @@ object SimilarityQueries {
         |${ivfChainSql("n4", 4)},
         |${cosineTopKCtes("e", "TRUE")},
         |et AS (SELECT qid, nid FROM ew WHERE rk <= 5),
+        |en AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM et),
         |h1 AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM et JOIN n1t USING (qid, nid)),
         |h2 AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM et JOIN n2t USING (qid, nid)),
         |h4 AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM et JOIN n4t USING (qid, nid))
-        |SELECT CAST(1 AS BIGINT) AS nprobe, hits, (hits * 10000) // 40 AS recall_bp FROM h1
-        |UNION ALL SELECT 2, hits, (hits * 10000) // 40 FROM h2
-        |UNION ALL SELECT 4, hits, (hits * 10000) // 40 FROM h4""".stripMargin,
+        |SELECT CAST(1 AS BIGINT) AS nprobe, hits,
+        | (hits * 10000) // (SELECT n_exact FROM en) AS recall_bp FROM h1
+        |UNION ALL SELECT 2, hits, (hits * 10000) // (SELECT n_exact FROM en) FROM h2
+        |UNION ALL SELECT 4, hits, (hits * 10000) // (SELECT n_exact FROM en) FROM h4""".stripMargin,
 
 
     // The same cosine chain cut at 12, anti-label filter, re-rank to 4.

@@ -423,6 +423,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(viaState == oneShot)
   }
 
+  test("noveltyFromState: windows absent from a history-only state count as novel") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val history = Seq((1L, s"old corpus doc containing $span")).toDF("id", "text")
+    val fresh = Seq(
+      (100L, s"brand new tokens nothing shared whatsoever here today friends"),
+      (101L, s"repeat offender copying $span")
+    ).toDF("id", "text")
+    // state folded over HISTORY ONLY — the fresh docs' windows are
+    // mostly absent from it and must count as first occurrences
+    val out = DedupOps.noveltyFromState(fresh, "id", "text", 8,
+      DedupOps.noveltyState(history, "id", "text", 8))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(100L)._2 == 2L && out(100L)._4 == 10000L,
+      "all-new doc: every window unseen by the state => fully novel")
+    assert(out(101L)._3 < out(101L)._2 && out(101L)._4 < 10000L,
+      "the copied span's windows are in the state and are not novel")
+  }
+
   test("contentDefinedChunks re-synchronizes on shared runs and tiles the text") {
     // non-periodic: a periodic run can legitimately contain no boundary
     // window at all (1 period of windows decides the whole run)

@@ -186,6 +186,17 @@ class SampleOpsSpec extends SparkSpec {
       corpus.repartition(13), "doc_id", "doc_id", k = 4, buckets = 5,
       seed = "e0_").as[(Long, Long, Long)].collect()
     assert(re.sorted.toSeq == out.sorted.toSeq)
+    // seed/query_id concatenation cannot alias: (seed="s1", qid=2) and
+    // (seed="s", qid=12) rank with different keys, so the two epochs'
+    // samples for those queries are not forced-identical
+    val a = SampleOps.negativeSample(Seq(2L).toDF("doc_id"),
+      corpus.where($"doc_id" % 5 === 2), "doc_id", "doc_id",
+      k = 4, buckets = 1, seed = "s1").as[(Long, Long, Long)].collect()
+    val b = SampleOps.negativeSample(Seq(12L).toDF("doc_id"),
+      corpus.where($"doc_id" % 5 === 2), "doc_id", "doc_id",
+      k = 4, buckets = 1, seed = "s").as[(Long, Long, Long)].collect()
+    assert(a.map(_._2).toSeq != b.map(_._2).toSeq,
+      "delimited seed||qid keys should break the s1/2 vs s/12 alias")
   }
 
   test("clusterAwareSplit keeps every near-dup cluster on one side of the cut") {
