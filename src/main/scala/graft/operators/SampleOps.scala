@@ -203,6 +203,49 @@ object SampleOps {
       .select(col(idCol), col(groupCol), col("pick_rank"))
   }
 
+  /** PRIORITY SAMPLING with the Horvitz–Thompson subset-sum estimator
+    * (Duffield, Lund & Thorup, JACM 2007): an exact-n weighted sample
+    * WITHOUT replacement — priority q_i = w_i / u_i with
+    * u_i = portableHash(id)/2^60, keep the n largest — plus the
+    * unbiased total-weight estimator the sample alone supports:
+    * ŵ_i = max(w_i, τ) with τ = the (n+1)-th largest priority, and
+    * E[Σ ŵ_i] = Σ w_i. Sampling alone gives membership; the threshold
+    * gives the honest scale-up factor — the "sample 1000 docs,
+    * extrapolate corpus token mass" step of a 100 TB pipeline.
+    *
+    * Determinism: u_i derives from the portable md5 hash, so sample AND
+    * estimate re-derive in any md5-bearing engine (q192's oracle does).
+    * Priorities are IEEE doubles computed in ONE fixed op order
+    * (w · 2^60 / h, both factors exactly-representable), bit-identical
+    * cross-engine; ties break by id.
+    *
+    * Returns (pick_rank, id, w, w_hat); τ reaches the caller as
+    * w_hat = max(w, τ) per picked row.
+    */
+  def prioritySampleEstimate(df: DataFrame, idCol: String,
+                             weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val pri = df.select(col(idCol), col(weightCol).cast("long").as("w"),
+        graft.functions.HashFunctions.portableHash60(col(idCol)).as("_h"))
+      .where(col("w") > 0L)
+      .withColumn("priority",
+        col("w").cast("double") * lit(1152921504606846976L).cast("double")
+          / col("_h").cast("double"))
+    // ONE TakeOrderedAndProject top-(n+1) — no global sort, no window
+    // over the input; the unpartitioned window below ranks only the
+    // n+1 surviving rows.
+    val top = pri.orderBy(col("priority").desc, col(idCol)).limit(n + 1)
+    val w0 = Window.orderBy(col("priority").desc, col(idCol))
+    val ranked = top.withColumn("pick_rank", row_number().over(w0).cast("long"))
+    val tau = ranked.agg(
+        max(when(col("pick_rank") === (n + 1).toLong, col("priority"))).as("tau0"))
+      .select(coalesce(col("tau0"), lit(0.0)).as("tau"))
+    ranked.where(col("pick_rank") <= n.toLong)
+      .crossJoin(broadcast(tau))
+      .select(col("pick_rank"), col(idCol), col("w"),
+        greatest(col("w").cast("double"), col("tau")).as("w_hat"))
+  }
+
   /** DETERMINISTIC NEGATIVE SAMPLING for contrastive training: for each
     * query, the k pseudo-random corpus negatives, reproducible across
     * runs, engines, and epochs (vary `seed` per epoch for fresh

@@ -175,4 +175,47 @@ object SketchOps {
     */
   def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("bucket").agg(max(col("r")).as("r"))
+
+  /** KMV (k-minimum-values) distinct sketch (Bar-Yossef et al.,
+    * RANDOM 2002): keep the k smallest DISTINCT
+    * [[HashFunctions.portableHash60]] values of the key. Uniform hashes
+    * cut the 60-bit domain into n+1 near-equal gaps, so the k-th order
+    * statistic sits near k/n of the range — inverting gives the
+    * distinct count. HLL (q104/q186) estimates cheaper per byte; KMV's
+    * sketch is a SET of real hash values, so two sketches also support
+    * intersection/Jaccard estimates, which registers cannot.
+    *
+    * Scale shape: map-side-combinable distinct over hashes, then ONE
+    * TakeOrderedAndProject bottom-k — never a global sort; the shuffle
+    * carries at most one row per distinct hash per partition.
+    */
+  def kmvSketch(rows: DataFrame, keyCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    rows.select(HashFunctions.portableHash60(col(keyCol)).as("h"))
+      .distinct().orderBy("h").limit(k)
+  }
+
+  /** Merge KMV sketches built with the same k: union, re-take the
+    * bottom-k. Bottom-k is a monotone selector, so
+    * bottomK(bottomK(A) ∪ bottomK(B)) == bottomK(A ∪ B) exactly — the
+    * merge law q191 certifies against the direct one-pass oracle.
+    */
+  def kmvMerge(k: Int, sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _).distinct().orderBy("h").limit(k)
+
+  /** Estimate the distinct count from a KMV sketch: (k-1) · 2^60 / h_(k)
+    * when the sketch is full; a sketch holding fewer than k hashes has
+    * seen EVERY distinct value, so the count is exact there. Both
+    * factors of the full-sketch formula are exactly representable
+    * doubles ((k-1) ≤ 2^53/2^60 of the product's significand; 2^60 is a
+    * power of two), so one IEEE multiply + divide + floor is
+    * bit-identical in any engine evaluating the same ops.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_sketch"), max("h").as("kth_min"))
+      .select(col("n_sketch"), col("kth_min"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(floor(lit((k - 1).toDouble) *
+            lit(1152921504606846976L).cast("double") /
+            col("kth_min").cast("double")).cast("long")).as("kmv_est"))
 }

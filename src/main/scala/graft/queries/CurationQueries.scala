@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
   *
-  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix.
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object CurationQueries {
@@ -270,6 +270,31 @@ object CurationQueries {
         threshold = 0.7).select("id_a", "id_b")
       SampleOps.clusterAwareSplit(corpus.select("id"), "id", pairs)
         .select(col("id"), col("cluster_key"), col("split"))
+    }),
+
+
+    // Priority sampling + Horvitz–Thompson estimator: the 100 docs with
+    // the largest w/u priorities (u = portable-hash uniform), each
+    // re-weighted to ŵ = max(w, τ) by the (n+1)-th priority τ so that
+    // Σ ŵ over the SAMPLE estimates Σ w over the CORPUS unbiasedly —
+    // emitted beside the true total the oracle recomputes. Fixed-point
+    // e4 columns keep the hash compare integer; the only doubles are
+    // one fixed-op-order multiply/divide chain, bit-identical
+    // cross-engine. Plan: a narrow projection into one
+    // TakeOrderedAndProject top-101 — no global sort, no full-input
+    // window.
+    "q192_priority_estimate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val truth = docs.agg(sum(col("n_chars").cast("long")).as("true_total"))
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      SampleOps.prioritySampleEstimate(docs, "doc_id", "n_chars", n = 100)
+        .withColumn("w_hat_e4", floor(col("w_hat") * 10000 + 0.5).cast("long"))
+        .withColumn("total_est_e4", sum("w_hat_e4").over(wAll))
+        .crossJoin(broadcast(truth))
+        .select(col("pick_rank"), col("doc_id"), col("w"),
+          col("w_hat_e4"), col("total_est_e4"), col("true_total"))
     }),
   )
 
@@ -597,5 +622,29 @@ object CurationQueries {
          |  CASE WHEN bucket < 80 THEN 'train'
          |   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+
+    // Same fixed op order as the engine: priority = w · 2^60 / h (both
+    // factors exactly-representable doubles), τ = the 101st priority,
+    // ŵ = max(w, τ), fixed-point e4 before any summation so the totals
+    // compare as integers.
+    "q192_priority_estimate" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM documents WHERE n_chars > 0),
+        |p AS (SELECT doc_id, w,
+        |  CAST(w AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(h AS DOUBLE) AS priority
+        | FROM b),
+        |r AS (SELECT doc_id, w, priority,
+        |  CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT) AS pick_rank FROM p),
+        |t AS (SELECT coalesce(max(CASE WHEN pick_rank = 101 THEN priority END), 0.0) AS tau
+        | FROM r WHERE pick_rank <= 101),
+        |s AS (SELECT pick_rank, doc_id, w,
+        |  CAST(floor(greatest(CAST(w AS DOUBLE), (SELECT tau FROM t)) * 10000 + 0.5) AS BIGINT) AS w_hat_e4
+        | FROM r WHERE pick_rank <= 100)
+        |SELECT pick_rank, doc_id, w, w_hat_e4,
+        | (SELECT CAST(sum(w_hat_e4) AS BIGINT) FROM s) AS total_est_e4,
+        | (SELECT CAST(sum(w) AS BIGINT) FROM b) AS true_total
+        |FROM s""".stripMargin,
   )
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale-safe statistics: percentiles (cells/GK), NTILE, winsorize, quantile-norm, HLL/CMS sketches, range digests, join-cardinality estimation.
   *
-  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank.
+  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object StatsQueries {
@@ -117,6 +117,27 @@ object StatsQueries {
       SketchOps.hllEstimateFromRegisters(merged, Nil)
         .crossJoin(broadcast(exact))
         .select(col("n_exact"), col("n_reg"), col("s_scaled"), col("hll_est"))
+    }),
+
+
+    // KMV SHARD-MERGE LAW: two shards (even/odd ids) keep their k=64
+    // smallest distinct portable hashes; the merge is union + re-take-k
+    // (bottom-k is a monotone selector), and the k-th smallest inverts
+    // to the distinct-count estimate. The oracle computes the one-pass
+    // bottom-k directly — the hash match certifies
+    // bottomK(A) ⊕ bottomK(B) == bottomK(A ∪ B) AND the estimate
+    // arithmetic. Complements HLL (q186): registers count cheaper, but
+    // a KMV sketch is a set of REAL hash values, so shard sketches also
+    // support intersection/Jaccard estimates registers cannot.
+    "q191_kmv_sketch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = docs.agg(countDistinct("doc_id").as("n_exact"))
+      val merged = SketchOps.kmvMerge(64,
+        SketchOps.kmvSketch(docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id"),
+        SketchOps.kmvSketch(docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id"))
+      SketchOps.kmvEstimate(merged, 64)
+        .crossJoin(broadcast(exact))
+        .select(col("n_exact"), col("n_sketch"), col("kth_min"), col("kmv_est"))
     }),
 
 
@@ -360,6 +381,22 @@ object StatsQueries {
     // the engine computes two shard sketches folded by register max,
     // so the match certifies the merge law.
     "q186_hll_merge" -> hllDirectSql,
+
+
+    // Direct one-pass bottom-k — the engine folds two shard sketches,
+    // so the match certifies the KMV merge law and the estimate
+    // arithmetic (63 · 2^60 and the hash are exactly-representable
+    // doubles; one IEEE multiply + divide + floor each side).
+    "q191_kmv_sketch" ->
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM documents),
+        |b AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_min FROM b)
+        |SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents) AS n_exact,
+        | n_sketch, kth_min,
+        | CASE WHEN n_sketch < 64 THEN n_sketch
+        |  ELSE CAST(floor(63.0 * 1152921504606846976 / CAST(kth_min AS DOUBLE)) AS BIGINT) END AS kmv_est
+        |FROM s""".stripMargin,
 
 
     // Identical per-day registers (q104 chain grouped by day), the same

@@ -227,4 +227,30 @@ class SampleOpsSpec extends SparkSpec {
     // and nobody else moved
     assert((1L to 200L).forall(i => out2(i)._3 == out(i)._3))
   }
+
+  test("prioritySampleEstimate: population smaller than n is returned whole, ŵ = w") {
+    val df = (1L to 50L).map(i => (i, i * 10L)).toDF("id", "wt")
+    val out = SampleOps.prioritySampleEstimate(df, "id", "wt", n = 100)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 50)
+    // τ = 0 when the sample isn't full, so every ŵ is exactly w — the
+    // estimator degrades to the exact total
+    assert(out.forall { case (_, w, wHat) => wHat == w.toDouble })
+    assert(out.map(_._3).sum == (1L to 50L).map(_ * 10L).sum.toDouble)
+  }
+
+  test("prioritySampleEstimate: HT total lands near the true total, sample is exact-n") {
+    val df = (1L to 5000L).map(i => (i, i % 97L + 1L)).toDF("id", "wt")
+    val trueTotal = (1L to 5000L).map(_ % 97L + 1L).sum.toDouble
+    val out = SampleOps.prioritySampleEstimate(df, "id", "wt", n = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 400)
+    assert(out.map(_._1).sorted.toSeq == (1L to 400L).toSeq, "ranks must be 1..n")
+    val est = out.map(_._3).sum
+    // Var(Σŵ) ≤ W²/(n-1); at n=400 a ±20% band is ~many sigmas
+    assert(math.abs(est - trueTotal) / trueTotal < 0.2,
+      s"HT estimate $est vs true $trueTotal")
+    // every picked row's ŵ is at least its own weight (ŵ = max(w, τ))
+    assert(out.forall { case (_, w, wHat) => wHat >= w.toDouble })
+  }
 }

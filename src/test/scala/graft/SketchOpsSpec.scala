@@ -95,4 +95,34 @@ class SketchOpsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet
     assert(merged == direct && direct.nonEmpty)
   }
+
+  test("kmv merge law: bottomK(bottomK(A) ∪ bottomK(B)) == bottomK(A ∪ B)") {
+    val ids = spark.range(3000L).select(col("id"))
+    val a = ids.where(col("id") % 2 === 0)
+    val b = ids.where(col("id") % 2 === 1)
+    val merged = SketchOps.kmvMerge(64,
+        SketchOps.kmvSketch(a, "id"), SketchOps.kmvSketch(b, "id"))
+      .as[Long].collect().sorted.toSeq
+    val direct = SketchOps.kmvSketch(ids, "id").as[Long].collect().sorted.toSeq
+    assert(merged == direct && merged.size == 64)
+  }
+
+  test("kmv estimate: exact below k, inside the error band above, multiplicity-blind") {
+    // 40 distinct < k=64: the sketch holds everything, the count is exact
+    val small = spark.range(40L).select(col("id"))
+    val exactEst = SketchOps.kmvEstimate(SketchOps.kmvSketch(small, "id"), 64)
+      .collect().head
+    assert(exactEst.getLong(0) == 40L && exactEst.getLong(2) == 40L)
+    // 10000 distinct: (k-1)·2^60/h_(k) lands within the ~1/sqrt(k-1) band
+    val n = 10000L
+    val big = spark.range(n).select(col("id"))
+    val est = SketchOps.kmvEstimate(SketchOps.kmvSketch(big, "id"), 64)
+      .collect().head.getLong(2)
+    assert(est > n * 0.6 && est < n * 1.4, s"KMV(k=64) on $n ids estimated $est")
+    // distinct semantics: tripling rows changes nothing
+    val est3 = SketchOps.kmvEstimate(
+        SketchOps.kmvSketch(big.union(big).union(big), "id"), 64)
+      .collect().head.getLong(2)
+    assert(est3 == est, "KMV must be insensitive to multiplicity")
+  }
 }
