@@ -246,6 +246,50 @@ object SampleOps {
         greatest(col("w").cast("double"), col("tau")).as("w_hat"))
   }
 
+  /** WEIGHTED INTERLEAVE SCHEDULE (stride scheduling / weighted fair
+    * queueing — the data-loader mixture order): source s with integer
+    * weight w_s takes w_s slots per period of W = Σ w_s, spread as
+    * evenly as stride scheduling allows. Slot order is ascending
+    * virtual time vt(s, j) = (2j+1) / (2·w_s) — the j-th emission of s
+    * sits at the midpoint of its j-th 1/w_s stride — with ties broken
+    * by source name. Each slot binds to the (j+1)-th document of its
+    * source in portable-hash order, so the emitted training order is
+    * reproducible in any md5-bearing engine.
+    *
+    * Differs from curriculum ORDERING (q102, which sorts the whole
+    * corpus by virtual time): this materializes the SCHEDULE itself —
+    * the repeating slot pattern a streaming data-loader follows — and
+    * binds documents to it.
+    *
+    * Scale shape: the schedule is O(W · periods) rows, built
+    * driver-side and broadcast; documents reach it through one
+    * per-source row_number window (each source sorts independently) and
+    * a broadcast equi-join. vt doubles divide exactly-representable
+    * small integers — bit-identical cross-engine.
+    */
+  def interleaveSchedule(df: DataFrame, idCol: String, srcCol: String,
+                         weights: Map[String, Int], periods: Int): DataFrame = {
+    require(periods >= 1, s"periods must be >= 1, got $periods")
+    require(weights.nonEmpty && weights.values.forall(_ >= 1),
+      "weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slots = weights.toSeq.sortBy(_._1).flatMap { case (src, w) =>
+      (0 until w * periods).map { j =>
+        (src, j.toLong, (2.0 * j + 1.0) / (2.0 * w))
+      }
+    }.sortBy { case (src, _, vt) => (vt, src) }
+      .zipWithIndex
+      .map { case ((src, j, _), slot) => (slot.toLong, src, j) }
+    val sched = slots.toDF("slot", srcCol, "src_idx")
+    val wr = Window.partitionBy(srcCol).orderBy(
+      graft.functions.HashFunctions.portableHash60(col(idCol)), col(idCol))
+    val ranked = df.select(col(idCol), col(srcCol))
+      .withColumn("src_idx", row_number().over(wr).cast("long") - 1L)
+    broadcast(sched).join(ranked, Seq(srcCol, "src_idx"))
+      .select(col("slot"), col(srcCol), col("src_idx"), col(idCol))
+  }
+
   /** DETERMINISTIC NEGATIVE SAMPLING for contrastive training: for each
     * query, the k pseudo-random corpus negatives, reproducible across
     * runs, engines, and epochs (vary `seed` per epoch for fresh

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
   *
-  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate.
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object CurationQueries {
@@ -296,6 +296,20 @@ object CurationQueries {
         .select(col("pick_rank"), col("doc_id"), col("w"),
           col("w_hat_e4"), col("total_est_e4"), col("true_total"))
     }),
+
+
+    // Stride-scheduling interleave: the repeating slot pattern a
+    // data-loader follows for a 3:2:1 source mix, 8 periods deep, each
+    // slot bound to its source's next document in portable-hash order.
+    // q102 sorts the corpus by virtual time; this emits the SCHEDULE —
+    // the pattern itself is the operator's output, so mix drift is
+    // inspectable before any epoch runs.
+    "q193_interleave" -> ((s, d) =>
+      SampleOps.interleaveSchedule(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        weights = Map("src0" -> 3, "src1" -> 2, "src2" -> 1),
+        periods = 8)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -646,5 +660,24 @@ object CurationQueries {
         | (SELECT CAST(sum(w_hat_e4) AS BIGINT) FROM s) AS total_est_e4,
         | (SELECT CAST(sum(w) AS BIGINT) FROM b) AS true_total
         |FROM s""".stripMargin,
+
+
+    // The schedule from first principles: per-source stride midpoints
+    // (2j+1)/(2w) ordered globally (ties by source), then each slot
+    // joined to its source's j-th document in portable-md5 order.
+    // generate_series is stop-inclusive; the unnest sits alone in its
+    // CTE (formulas over the unnested value go in the next stage).
+    "q193_interleave" ->
+      """WITH w AS (SELECT * FROM (VALUES ('src0', 3), ('src1', 2), ('src2', 1)) AS t(source, wt)),
+        |js AS (SELECT source, wt, unnest(generate_series(0, wt * 8 - 1)) AS j FROM w),
+        |vt AS (SELECT source, CAST(j AS BIGINT) AS src_idx,
+        |  (2.0 * j + 1.0) / (2.0 * wt) AS vt FROM js),
+        |sched AS (SELECT CAST(row_number() OVER (ORDER BY vt, source) - 1 AS BIGINT) AS slot,
+        |  source, src_idx FROM vt),
+        |r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) - 1 AS BIGINT) AS src_idx
+        | FROM documents)
+        |SELECT slot, source, src_idx, doc_id FROM sched JOIN r USING (source, src_idx)""".stripMargin,
   )
 }

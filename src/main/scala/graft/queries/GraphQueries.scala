@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * counting, BFS distances (unrolled + RDD-loop deep).
   *
   * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance,
-  * q167_bfs_deep, q168_pagerank_deep, q184_link_rank.
+  * q167_bfs_deep, q168_pagerank_deep, q184_link_rank, q194_anchor_text.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object GraphQueries {
@@ -111,6 +111,34 @@ object GraphQueries {
           pmod(did * 17L + 3L, lit(500L)).as("dst")))
       GraphOps.pageRankDeep(edges, tolFp = 0L, maxIter = 3)
     }),
+
+
+    // Anchor-text aggregation — the web-graph signal a crawl pipeline
+    // attaches to every target: links reuse q105's edge fixture, each
+    // carrying an anchor term derived from its source; per target emit
+    // in-degree, distinct linking sources, and the plurality anchor.
+    // Top-anchor selection is min(struct(-cnt, term)) over per-
+    // (dst, term) counts — two map-side-combinable aggregations, never
+    // a window over raw links, so the plan carries (dst, term) partial
+    // counts, not link rows, into the shuffle.
+    "q194_anchor_text" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val links = docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst"),
+          concat(lit("term"), pmod(did, lit(20L))).as("anchor"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 17L + 3L, lit(500L)).as("dst"),
+          concat(lit("term"), pmod(did * 3L + 1L, lit(20L))).as("anchor")))
+      val perTerm = links.groupBy("dst", "anchor")
+        .agg(count(lit(1)).as("cnt"))
+      val top = perTerm.groupBy("dst").agg(
+        min(struct((-col("cnt")).as("neg"), col("anchor").as("term"))).as("m"),
+        sum("cnt").as("in_deg"))
+      val nsrc = links.groupBy("dst").agg(countDistinct("src").as("n_src"))
+      top.join(nsrc, "dst")
+        .select(col("dst"), col("in_deg"), col("n_src"),
+          col("m.term").as("top_anchor"), (-col("m.neg")).as("top_anchor_n"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -191,6 +219,26 @@ object GraphQueries {
     // Identical to the q105 oracle: the RDD-loop engine must reproduce
     // the unrolled Catalyst iteration bit for bit.
     "q168_pagerank_deep" -> GraphOracleShared.pagerank3Iter,
+
+
+    // Plurality anchor chosen by (count DESC, term ASC) row_number —
+    // an independent formulation of the engine's min(struct(-cnt,
+    // term)) selection, so an ordering bug on either side breaks the
+    // hash.
+    "q194_anchor_text" ->
+      """WITH l AS (
+        | SELECT doc_id AS src, (doc_id * 31 + 7) % 500 AS dst,
+        |  'term' || CAST(doc_id % 20 AS VARCHAR) AS anchor FROM documents
+        | UNION ALL
+        | SELECT doc_id, (doc_id * 17 + 3) % 500,
+        |  'term' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR) FROM documents),
+        |pt AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt FROM l GROUP BY 1, 2),
+        |agg AS (SELECT dst, CAST(sum(cnt) AS BIGINT) AS in_deg FROM pt GROUP BY 1),
+        |r AS (SELECT dst, anchor, cnt,
+        |  row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rk FROM pt),
+        |ns AS (SELECT dst, CAST(count(DISTINCT src) AS BIGINT) AS n_src FROM l GROUP BY 1)
+        |SELECT r.dst, agg.in_deg, ns.n_src, r.anchor AS top_anchor, r.cnt AS top_anchor_n
+        |FROM r JOIN agg USING (dst) JOIN ns USING (dst) WHERE r.rk = 1""".stripMargin,
   )
 }
 

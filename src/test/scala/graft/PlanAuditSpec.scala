@@ -419,4 +419,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"nothing in this plan is big enough to sort-merge:\n$p")
   }
+
+  test("anchor aggregation partial-aggregates term counts; no window over links (q194)") {
+    val p = plan(q("q194_anchor_text"))
+    // plurality-anchor selection must ride min(struct(-cnt, term)) with
+    // a map-side partial below the dst exchange — the shuffle carries
+    // (dst, term) partial counts, never raw link rows into a window
+    assert(p.contains("partial_min(struct"),
+      s"expected map-side partial min-struct selection:\n$p")
+    assert(!p.contains("Window"), s"no window over links:\n$p")
+  }
+
+  test("priority sampling is one TakeOrdered top-(n+1), never a global sort (q192)") {
+    val p = plan(q("q192_priority_estimate"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-(n+1) must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global range-sort of the corpus:\n$p")
+  }
+
+  test("interleave schedule broadcasts; documents rank inside their source (q193)") {
+    val p = plan(q("q193_interleave"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(W·periods) schedule must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

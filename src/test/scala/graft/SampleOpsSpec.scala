@@ -253,4 +253,25 @@ class SampleOpsSpec extends SparkSpec {
     // every picked row's ŵ is at least its own weight (ŵ = max(w, τ))
     assert(out.forall { case (_, w, wHat) => wHat >= w.toDouble })
   }
+
+  test("interleaveSchedule: every period carries exactly the weight mix; docs bind uniquely") {
+    val docs = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val weights = Map("s0" -> 3, "s1" -> 2, "s2" -> 1)
+    val out = SampleOps.interleaveSchedule(docs, "id", "src", weights, periods = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 60, "6 slots x 10 periods")
+    assert(out.map(_._1).sorted.toSeq == (0L until 60L).toSeq, "slots are 0..59 exactly once")
+    // fairness law: each period of W=6 slots carries each source w_s times
+    out.groupBy(t => t._1 / 6).foreach { case (period, slots) =>
+      val mix = slots.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(mix == Map("s0" -> 3, "s1" -> 2, "s2" -> 1),
+        s"period $period mix was $mix")
+    }
+    // a document appears at most once, and src_idx runs 0..n-1 per source
+    assert(out.map(_._4).distinct.length == out.length, "no doc repeats")
+    weights.foreach { case (s, w) =>
+      val idx = out.filter(_._2 == s).map(_._3).sorted.toSeq
+      assert(idx == (0L until (w * 10L)).toSeq, s"$s src_idx gapless")
+    }
+  }
 }
