@@ -191,4 +191,46 @@ object CurationOps {
         (pmod(graft.functions.HashFunctions.portableHash60(col(idCol)),
           lit(10000L)) < col("rate_bp")).as("keep"))
   }
+
+  /** DSIR-style IMPORTANCE RESAMPLING (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023, in an
+    * all-integer serving form): score every corpus document by how
+    * enriched its tokens are in a TARGET slice relative to the raw
+    * corpus, then keep the top-n by normalized enrichment. Token t's
+    * weight is its integer enrichment ratio
+    * (count_target(t) · 10⁴) div count_corpus(t) — the hash-exact
+    * stand-in for DSIR's bigram log-ratio (a trained estimator's
+    * weights swap in unchanged); a document scores the sum over its
+    * token INSTANCES, normalized per token so long documents aren't
+    * favored. All-integer, so any md5-bearing engine re-derives the
+    * exact selection (q195's oracle does).
+    *
+    * Scale shape: one token explode feeds a single (token → both
+    * counts) partial aggregation — the target count rides a
+    * conditional sum in the SAME pass, not a second scan — then one
+    * token equi-join back and a per-doc partial sum; selection is a
+    * TakeOrderedAndProject top-n. Never a window over instances,
+    * never a second tokenization.
+    *
+    * Returns (id, n_toks, score, imp_bp) for the n selected docs.
+    */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   isTarget: org.apache.spark.sql.Column, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val clean = graft.functions.TextFunctions.cleanText(col(textCol))
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        isTarget.cast("long").as("is_tgt"),
+        explode(when(clean === "", array().cast("array<string>"))
+          .otherwise(split(clean, " "))).as("tok"))
+    val wt = toks.groupBy("tok")
+      .agg(count(lit(1)).as("c_raw"), sum("is_tgt").as("c_tgt"))
+      .select(col("tok"), expr("(c_tgt * 10000) div c_raw").as("wt"))
+    toks.join(wt, "tok")
+      .groupBy("id").agg(count(lit(1)).as("n_toks"), sum("wt").as("score"))
+      .select(col("id"), col("n_toks"), col("score"),
+        expr("score div n_toks").as("imp_bp"),
+        graft.functions.HashFunctions.portableHash60(col("id")).as("_h"))
+      .orderBy(col("imp_bp").desc, col("_h"), col("id")).limit(n)
+      .select(col("id"), col("n_toks"), col("score"), col("imp_bp"))
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
   *
-  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave.
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave, q195_dsir_resample.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object CurationQueries {
@@ -310,6 +310,17 @@ object CurationQueries {
         "doc_id", "source",
         weights = Map("src0" -> 3, "src1" -> 2, "src2" -> 1),
         periods = 8)),
+
+
+    // DSIR-style importance resampling toward q79's benchmark slice
+    // (doc_id % 97 = 0) as the target distribution: per-token integer
+    // enrichment ratios, per-doc normalized scores, top-100 selection.
+    // The benchmark docs themselves rank highest — the expected fixed
+    // point (their tokens define the target) — and generic-token docs
+    // fall away.
+    "q195_dsir_resample" -> ((s, d) =>
+      CurationOps.dsirResample(Tables.documents(s, d), "doc_id", "text",
+        isTarget = pmod(col("doc_id"), lit(97L)) === 0L, n = 100)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -679,5 +690,24 @@ object CurationQueries {
         |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) - 1 AS BIGINT) AS src_idx
         | FROM documents)
         |SELECT slot, source, src_idx, doc_id FROM sched JOIN r USING (source, src_idx)""".stripMargin,
+
+
+    // One token pass, both counts in the same aggregation, integer
+    // enrichment weights, per-doc normalized score, top-100 with the
+    // portable-hash tiebreak — the engine's selection re-derived.
+    "q195_dsir_resample" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id AS id, unnest(toks) AS tok FROM t),
+         |w AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_raw,
+         |  CAST(sum(CASE WHEN id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+         | FROM tok GROUP BY 1),
+         |wt AS (SELECT tok, (c_tgt * 10000) // c_raw AS wt FROM w),
+         |sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(wt.wt) AS BIGINT) AS score
+         | FROM tok JOIN wt USING (tok) GROUP BY 1),
+         |r AS (SELECT id, n_toks, score, score // n_toks AS imp_bp,
+         |  ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h FROM sc)
+         |SELECT id, n_toks, score, imp_bp FROM r
+         |ORDER BY imp_bp DESC, h, id LIMIT 100""".stripMargin,
   )
 }

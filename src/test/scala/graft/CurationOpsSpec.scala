@@ -128,4 +128,23 @@ class CurationOpsSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Boolean)].collect()
     assert(out2.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
+
+  test("dsirResample: target-vocabulary docs outrank generic docs; targets self-select") {
+    // targets (ids 1-5) speak "rust tokio async"; planted lookalikes
+    // (ids 100-109) share that vocabulary; the noise floor (ids 200-299)
+    // shares none of it
+    val docs = ((1L to 5L).map(i => (i, "rust tokio async await spawn")) ++
+      (100L to 109L).map(i => (i, "rust tokio async runtime")) ++
+      (200L to 299L).map(i => (i, s"lorem ipsum dolor sit amet t$i"))).toDF("id", "text")
+    val out = CurationOps.dsirResample(docs, "id", "text",
+        isTarget = col("id") <= 5L, n = 15)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 15)
+    val picked = out.map(_._1).toSet
+    assert((1L to 5L).forall(picked), "the target slice defines the target — it must self-select")
+    assert((100L to 109L).forall(picked), "lookalikes share the enriched vocabulary")
+    // enrichment scores: every selected doc strictly outranks the noise floor
+    val floorScore = out.map(_._4).min
+    assert(floorScore > 0L, "noise-floor docs (imp_bp would be ~0) must not make the cut")
+  }
 }
