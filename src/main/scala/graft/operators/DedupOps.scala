@@ -190,6 +190,59 @@ object DedupOps {
     candidatesFromBandRows(keyed, maxBucketSize)
   }
 
+  /** Portable minhash SIGNATURE rows (id, sig: array[long]) — the
+    * shared state a band-parameter sweep reuses. Signatures are the
+    * dominant cost (numPerms multiply-mixes per shingle); computing
+    * them ONCE and deriving each (bands, rowsPerBand) config's keys
+    * with [[bandRowsFromSig]] keeps an N-config sweep at ~1× signature
+    * cost instead of N×.
+    */
+  def minhashSigRowsPortable(hashed: DataFrame, numPerms: Int): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    hashed.select(col("id").cast("long"), col("hs").cast("array<long>"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, hs) =>
+          if (hs.isEmpty) Iterator.empty
+          else {
+            val sig = Array.fill(numPerms)(Long.MaxValue)
+            hs.foreach { h =>
+              var i = 0
+              while (i < numPerms) {
+                val (a, b) = portablePerms(i)
+                val mixed = (h * a + b) & Mask60
+                if (mixed < sig(i)) sig(i) = mixed
+                i += 1
+              }
+            }
+            Iterator.single((id, sig))
+          }
+        }
+      }.toDF("id", "sig")
+  }
+
+  /** (id, band, bk) rows for ONE banding config over precomputed
+    * signatures — a narrow flatMap; composes with
+    * [[candidatesFromBandRows]] exactly like the fused
+    * [[minhashBandRowsPortable]] (equality spec-asserted).
+    */
+  def bandRowsFromSig(sigRows: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+    val spark = sigRows.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numPerms / bands
+    sigRows.select(col("id").cast("long"), col("sig").cast("array<long>"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, sig) =>
+          (0 until bands).iterator.map { b =>
+            (id, b, (b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(sig).mkString("_"))
+          }
+        }
+      }.toDF("id", "band", "bk")
+  }
+
   /** MinHash-LSH near-dup pairs, verified with exact n-gram Jaccard over
     * the candidate set only.
     */
@@ -332,8 +385,8 @@ object DedupOps {
   /** Candidate pairs from persisted band rows: degenerate-bucket guard +
     * banded self-join. Key type agnostic (long or string `bk`).
     */
-  private def candidatesFromBandRows(keyed: DataFrame,
-                                     maxBucketSize: Int): DataFrame = {
+  private[graft] def candidatesFromBandRows(keyed: DataFrame,
+                                            maxBucketSize: Int): DataFrame = {
     // Drop degenerate buckets before the self-join (skew guard). A window
     // count would shuffle every (id, band, bk) row once just to measure;
     // instead compute the (tiny) oversized-key set with a partially

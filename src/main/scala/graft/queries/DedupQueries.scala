@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication: exact, MinHash/SimHash LSH, fingerprints, connected components, semantic dedup, contamination, PPJoin, entity resolution.
   *
-  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment.
+  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment, q196_band_sweep.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object DedupQueries {
@@ -398,6 +398,45 @@ object DedupQueries {
       DedupOps.contentDefinedChunks(corpus, "id", "text")
         .select(col("id").as("doc_id"), col("chunk_idx"), col("start_pos"),
           col("chunk_len"), col("chunk_md5"))
+    }),
+
+
+    // LSH BAND-PARAMETER SWEEP — the tuning companion to q165's
+    // single-config eval: one shingle pass, one signature pass, then
+    // each (bands × rowsPerBand) config re-bands the SAME signatures
+    // (sig cost is the sweep's dominant term; re-banding is a narrow
+    // flatMap). Per config: candidate-pair volume (the verify-cost
+    // driver) and planted-twin recall (the quality floor) — never the
+    // exact all-pairs join, which q165 already measures once. More
+    // rows per band → sharper precision, fewer candidates, lower
+    // recall; the sweep quantifies that S-curve trade on real data.
+    "q196_band_sweep" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel
+      val corpus = dupCorpus(Tables.documents(s, d))
+      val hs = graft.GraftCache.register(
+        DedupOps.hashedShingleRowsPortable(corpus, "id", "text", 3)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      val sig = graft.GraftCache.register(
+        DedupOps.minhashSigRowsPortable(hs, 64)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      val planted = Tables.documents(s, d)
+        .select(did.as("id_a"), (did + 1000000000000L).as("id_b"))
+      val nPlanted = planted.agg(count(lit(1)).as("planted_total"))
+      Seq(32, 16, 8).map { bands =>
+        val cands = graft.GraftCache.register(
+          DedupOps.candidatesFromBandRows(
+            DedupOps.bandRowsFromSig(sig, 64, bands), maxBucketSize = 1000)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        val nC = cands.agg(count(lit(1)).as("n_cand"))
+        val nF = planted.join(cands, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("planted_found"))
+        nC.crossJoin(nF)
+          .select(lit((64 / bands).toLong).as("rows_per_band"),
+            lit(bands.toLong).as("bands"), col("n_cand"), col("planted_found"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nPlanted))
+        .withColumn("recall_bp", expr("(planted_found * 10000) div planted_total"))
+        .select("rows_per_band", "bands", "n_cand", "planted_found", "recall_bp")
     }),
   )
 
@@ -938,5 +977,24 @@ object DedupQueries {
          | c.s AS start_pos, c.e - c.s AS chunk_len,
          | md5(substr(cl.t, CAST(c.s + 1 AS INTEGER), CAST(c.e - c.s AS INTEGER))) AS chunk_md5
          |FROM ch c JOIN cl ON cl.doc_id = c.doc_id""".stripMargin,
+
+
+    // One signature derivation (the shared sig CTE), three band-config
+    // tails over it — the oracle re-derives every candidate set and the
+    // planted-twin hit counts with the same ≤1000 bucket guard.
+    "q196_band_sweep" ->
+      s"""WITH ${minhashSigCtes("TRUE", 1000000000000L)},
+         |pl AS (SELECT doc_id AS id_a, doc_id + 1000000000000 AS id_b FROM documents),
+         |${bandSweepTailSql("r2", 2)},
+         |${bandSweepTailSql("r4", 4)},
+         |${bandSweepTailSql("r8", 8)},
+         |pt AS (SELECT CAST(count(*) AS BIGINT) AS planted_total FROM pl)
+         |SELECT CAST(2 AS BIGINT) AS rows_per_band, CAST(32 AS BIGINT) AS bands,
+         | n_cand, planted_found,
+         | (planted_found * 10000) // planted_total AS recall_bp FROM r2m, pt
+         |UNION ALL SELECT 4, 16, n_cand, planted_found,
+         | (planted_found * 10000) // planted_total FROM r4m, pt
+         |UNION ALL SELECT 8, 8, n_cand, planted_found,
+         | (planted_found * 10000) // planted_total FROM r8m, pt""".stripMargin,
   )
 }

@@ -335,7 +335,11 @@ object Fixtures {
     * offset keeps dup ids collision-free within the slice). Arithmetic
     * parity notes at the q25 entry.
     */
-  private[graft] def minhashLshCtes(where: String, offset: Long): String =
+  /** The shared shingle→hash→permute→signature half of
+    * [[minhashLshCtes]] — reused alone by the q196 band-parameter
+    * sweep, whose per-config tails re-band the SAME `sig` CTE.
+    */
+  private[graft] def minhashSigCtes(where: String, offset: Long): String =
     s"""corpus AS (
        |  SELECT doc_id AS id, text FROM documents WHERE $where
        |  UNION ALL
@@ -357,7 +361,30 @@ object Fixtures {
        | FROM pidx),
        |sig AS (SELECT sh.id, perms.i,
        |  min(((sh.h::HUGEINT * perms.a + perms.b) % 1152921504606846976::HUGEINT)::BIGINT) AS s
-       | FROM sh, perms GROUP BY sh.id, perms.i),
+       | FROM sh, perms GROUP BY sh.id, perms.i)""".stripMargin
+
+  /** One banding config's CTE tail over the shared `sig` CTE of
+    * [[minhashSigCtes]] — band key grouping, the same ≤1000 bucket
+    * guard the engine applies, candidate pairs, and the planted-pair
+    * hit count (expects a `pl(id_a, id_b)` CTE). Prefixed so q196 can
+    * instantiate several configs in one statement.
+    */
+  private[graft] def bandSweepTailSql(pfx: String, rowsPerBand: Int): String =
+    s"""${pfx}bandkey AS (SELECT id, i // $rowsPerBand AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
+       | FROM sig GROUP BY id, i // $rowsPerBand),
+       |${pfx}bsz AS (SELECT band, bk, count(*) AS n FROM ${pfx}bandkey GROUP BY band, bk),
+       |${pfx}cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       | FROM ${pfx}bandkey x
+       | JOIN ${pfx}bandkey y ON x.band = y.band AND x.bk = y.bk
+       | JOIN ${pfx}bsz bz ON bz.band = x.band AND bz.bk = x.bk
+       | WHERE bz.n <= 1000 AND x.id < y.id),
+       |${pfx}m AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ${pfx}cand) AS n_cand,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ${pfx}cand c
+       |    JOIN pl ON pl.id_a = c.id_a AND pl.id_b = c.id_b) AS planted_found)""".stripMargin
+
+  private[graft] def minhashLshCtes(where: String, offset: Long): String =
+    s"""${minhashSigCtes(where, offset)},
        |bandkey AS (SELECT id, i // 4 AS band, string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bk
        | FROM sig GROUP BY id, i // 4),
        |bsz AS (SELECT band, bk, count(*) AS n FROM bandkey GROUP BY band, bk),

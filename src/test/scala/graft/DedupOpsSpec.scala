@@ -482,4 +482,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0L, "")))
     assert(out(3L) == ((3L, 0L, 0L, "")))
   }
+
+  test("bandRowsFromSig ∘ minhashSigRowsPortable == the fused band kernel, any config") {
+    val docs = (1L to 40L).map(i =>
+        (i, s"alpha beta gamma delta epsilon zeta token$i tail${i % 7}"))
+      .toDF("id", "text")
+    val hs = DedupOps.hashedShingleRowsPortable(docs, "id", "text", 3)
+    val sig = DedupOps.minhashSigRowsPortable(hs, 64)
+    for (bands <- Seq(32, 16, 8)) {
+      val composed = DedupOps.bandRowsFromSig(sig, 64, bands)
+        .as[(Long, Int, String)].collect().toSet
+      val fused = DedupOps.minhashBandRowsPortable(hs, 64, bands)
+        .as[(Long, Int, String)].collect().toSet
+      assert(composed == fused && composed.nonEmpty,
+        s"bands=$bands: sweep path must emit the exact fused band rows")
+    }
+  }
 }
