@@ -420,6 +420,51 @@ object SimilarityOps {
       .select(col(idCol) +: projections: _*)
   }
 
+  /** 1-BIT SIGN QUANTIZATION (binary hashing): a 64-d float vector
+    * compresses to its 64 sign bits packed into two BIGINT lanes of 32
+    * bits each. Two lanes, not one: bit 63 of a single lane would make
+    * the oracle engine's (overflow-checked) BIGINT arithmetic error,
+    * and 32-bit lanes keep every intermediate exactly representable
+    * everywhere. 16 bytes/vector — 16× smaller than float32 — with
+    * distances costing two XOR+popcounts; the cheapest filter of the
+    * memory-bound regime, below even PQ (q125).
+    *
+    * Each lane is a fold acc·2 + sign-bit from the lane's high index
+    * down, so element lo+j lands at bit j. One non-nested HOF per lane
+    * (nested HOF chains re-evaluate per element — the q25 lesson).
+    */
+  def binaryCodes(emb: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    def lane(lo: Int): Column =
+      aggregate(sequence(lit(lo + 31), lit(lo), lit(-1)), lit(0L),
+        (acc, j) => acc * 2 + when(element_at(col(vecCol), j + 1) > 0f, 1L)
+          .otherwise(0L))
+    emb.select(col(idCol), lane(0).as("c0"), lane(32).as("c1"))
+  }
+
+  /** Hamming top-k over [[binaryCodes]]: queries broadcast, distances
+    * are XOR+popcount on the lanes, ranking rides the bounded-heap
+    * [[TopK]] aggregator as (-hamming, id) — map-side partial top-k,
+    * never a window over scored pairs. Returns
+    * (query_id, neighbor_id, hamming, rank).
+    */
+  def binaryTopK(codes: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col("c0").as("q0"), col("c1").as("q1")))
+    val c = codes.select(col(idCol).as("neighbor_id"), col("c0"), col("c1"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        (bit_count(col("q0").bitwiseXOR(col("c0"))) +
+          bit_count(col("q1").bitwiseXOR(col("c1")))).cast("int"))
+    scored.groupBy("query_id")
+      .agg(TopK.topK(k)((-col("hamming")).cast("double"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("rank0", "nb")))
+      .select(col("query_id"), col("nb.neighborId").as("neighbor_id"),
+        (-col("nb.sim")).cast("int").as("hamming"),
+        (col("rank0") + 1).cast("long").as("rank"))
+  }
+
   /** IVF + PQ — the composition a real 100 TB vector store runs: IVF
     * pruning cuts the candidate set to the query's `nprobe` nearest
     * centroid lists (~nprobe/nlist of the corpus), and PQ's asymmetric

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep, q197_binary_ann.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -202,6 +202,21 @@ object SimilarityQueries {
         .crossJoin(denom)
         .withColumn("recall_bp", expr("(hits * 10000) div n_exact"))
         .select("nprobe", "hits", "recall_bp")
+    }),
+
+
+    // 1-bit sign-quantized ANN over the planted dup corpus: 64 sign
+    // bits in two 32-bit BIGINT lanes, Hamming ranking via XOR +
+    // popcount through the bounded-heap TopK aggregator. The ×1.001
+    // planted twin preserves every sign, so each query's twin sits at
+    // hamming 0 — the non-vacuous positive. The 16-bytes-per-vector
+    // regime below even PQ (q125): at 100 TB of vectors the binary
+    // filter pass touches 1/16th the bytes of a float scan and feeds
+    // survivors to an exact re-rank.
+    "q197_binary_ann" -> ((s, d) => {
+      val codes = SimilarityOps.binaryCodes(dupEmbeddings(Tables.embeddings(s, d)))
+      val qs = codes.where(col("vec_id") < 8)
+      SimilarityOps.binaryTopK(codes, qs, k = 5)
     }),
 
 
@@ -623,6 +638,33 @@ object SimilarityQueries {
         | (hits * 10000) // (SELECT n_exact FROM en) AS recall_bp FROM h1
         |UNION ALL SELECT 2, hits, (hits * 10000) // (SELECT n_exact FROM en) FROM h2
         |UNION ALL SELECT 4, hits, (hits * 10000) // (SELECT n_exact FROM en) FROM h4""".stripMargin,
+
+
+    // Sign bits re-derived positionally (1-indexed lists, bit j-1 from
+    // element j), Hamming by xor + bit_count per 32-bit lane — integer
+    // end to end, so the compare is exact. The ×1.001 dup arm cannot
+    // flip a sign, which is what makes the planted twins hamming-0.
+    "q197_binary_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000000 AS id,
+        |    list_transform(embedding, x -> CAST(CAST(x AS REAL) * CAST(1.001 AS REAL) AS REAL)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT id,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    j -> CASE WHEN v[j] > 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)) AS BIGINT) AS c0,
+        |  CAST(list_sum(list_transform(range(33, 65),
+        |    j -> CASE WHEN v[j] > 0 THEN (1::BIGINT << (j - 33)) ELSE 0 END)) AS BIGINT) AS c1
+        | FROM e),
+        |q AS (SELECT id, c0, c1 FROM c WHERE id < 8),
+        |d AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+        |  CAST(bit_count(xor(q.c0, c.c0)) + bit_count(xor(q.c1, c.c1)) AS INTEGER) AS hamming
+        | FROM q JOIN c ON c.id <> q.id),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+        | FROM d)
+        |SELECT query_id, neighbor_id, hamming, rank FROM r WHERE rank <= 5""".stripMargin,
 
 
     // The same cosine chain cut at 12, anti-label filter, re-rank to 4.

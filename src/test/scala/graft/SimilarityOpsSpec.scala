@@ -299,4 +299,34 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(a0 == Map(0L -> 0, 1L -> 1, 2L -> 1))
     graft.GraftCache.releaseAll(spark)
   }
+
+  test("binaryCodes packs element j into bit j of its 32-bit lane") {
+    // bit 0 and bit 5 set in lane 0; bit 0 (element 33) and bit 31
+    // (element 64) set in lane 1 — everything else non-positive,
+    // including an exact 0.0 (sign bit demands strictly > 0)
+    val v = Array.fill(64)(-1f)
+    v(0) = 2f; v(5) = 0.1f; v(32) = 3f; v(63) = 0.5f; v(1) = 0f
+    val out = SimilarityOps.binaryCodes(Seq((1L, v.toSeq)).toDF("vec_id", "embedding"))
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((1L, (1L << 0) | (1L << 5), (1L << 0) | (1L << 31))))
+  }
+
+  test("binaryTopK: sign-preserving twins land at hamming 0, rank 1; k bounds hold") {
+    val base = (0L until 30L).map { i =>
+      (i, (0 until 64).map(j =>
+        if (graft.functions.HashFunctions.portableHash60JVM(
+          java.security.MessageDigest.getInstance("MD5"), s"v${i}_$j") % 2 == 0) 1f else -1f))
+    }
+    // twins: positive scaling never flips a sign
+    val all = base ++ base.map { case (i, v) => (i + 1000L, v.map(_ * 0.5f)) }
+    val codes = SimilarityOps.binaryCodes(all.toDF("vec_id", "embedding"))
+    val out = SimilarityOps.binaryTopK(codes, codes.where(col("vec_id") < 5), k = 3)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(out.length == 15, "5 queries x k=3")
+    (0L until 5L).foreach { q =>
+      val top = out.filter(_._1 == q).minBy(_._4)
+      assert(top._2 == q + 1000L && top._3 == 0,
+        s"query $q must rank its sign-identical twin first at hamming 0, got $top")
+    }
+  }
 }
