@@ -60,6 +60,53 @@ object GraphOps {
     rank.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) in an all-integer
+    * L1-normalized form: authority(v) = Σ hub(u) over in-edges,
+    * hub(u) = Σ authority(v) over out-edges, each vector rescaled to
+    * L1 mass `scale` by integer division after every half-step (the
+    * classic formulation L2-normalizes; L1 keeps the arithmetic exact
+    * cross-engine, and normalization choice does not change the
+    * ranking). Complements PageRank: one score per node vs the
+    * hub/authority split a link-farm-resistant crawl ranker wants.
+    *
+    * Scale shape per half-step: one co-keyed edge⋈score join, one
+    * partial-aggregated sum by the opposite endpoint, and a 1-row
+    * global mass broadcast — the q105 iteration shape twice per round.
+    * Fixed `iters` unrolls into one Catalyst plan; deep counts would
+    * reuse the [[pageRankDeep]] RDD skeleton.
+    *
+    * Returns (id, hub_e6, auth_e6) at scale = 10^6.
+    */
+  def hitsFixedPoint(edges: DataFrame, iters: Int = 2,
+                     scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 5, s"iters must be in [1, 5], got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var hub = nodes.select(col("id"), lit(scale).as("h"))
+    var auth = nodes.select(col("id"), lit(0L).as("a"))
+    (1 to iters).foreach { _ =>
+      val ar = e.join(hub.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("h"))
+        .groupBy("id").agg(sum("h").as("raw"))
+      val asum = ar.agg(sum("raw").as("s"))
+      auth = nodes.join(ar, Seq("id"), "left").crossJoin(broadcast(asum))
+        .select(col("id"),
+          coalesce(expr(s"(raw * $scale) div s"), lit(0L)).as("a"))
+      val hr = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("a"))
+        .groupBy("id").agg(sum("a").as("raw"))
+      val hsum = hr.agg(sum("raw").as("s"))
+      hub = nodes.join(hr, Seq("id"), "left").crossJoin(broadcast(hsum))
+        .select(col("id"),
+          coalesce(expr(s"(raw * $scale) div s"), lit(0L)).as("h"))
+    }
+    hub.join(auth, "id")
+      .select(col("id"), col("h").as("hub_e6"), col("a").as("auth_e6"))
+  }
+
   /** [[pageRankFixedPoint]] past the 10-iteration unrolled-plan cap:
     * the same integer recurrence as an RDD loop with one shared
     * `HashPartitioner`, iterating to CONVERGENCE (total L1 rank change

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * counting, BFS distances (unrolled + RDD-loop deep).
   *
   * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance,
-  * q167_bfs_deep, q168_pagerank_deep, q184_link_rank, q194_anchor_text.
+  * q167_bfs_deep, q168_pagerank_deep, q184_link_rank, q194_anchor_text,
+  * q198_hits.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object GraphQueries {
@@ -139,6 +140,20 @@ object GraphQueries {
         .select(col("dst"), col("in_deg"), col("n_src"),
           col("m.term").as("top_anchor"), (-col("m.neg")).as("top_anchor_n"))
     }),
+
+
+    // HITS hubs & authorities on q105's edge fixture, 2 synchronous
+    // iterations, all-integer L1 normalization — the link-quality
+    // counterpart to PageRank's single score (a page can be a great
+    // directory and a poor destination; HITS separates the two).
+    "q198_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 17L + 3L, lit(500L)).as("dst")))
+      GraphOps.hitsFixedPoint(edges, iters = 2)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -239,6 +254,46 @@ object GraphQueries {
         |ns AS (SELECT dst, CAST(count(DISTINCT src) AS BIGINT) AS n_src FROM l GROUP BY 1)
         |SELECT r.dst, agg.in_deg, ns.n_src, r.anchor AS top_anchor, r.cnt AS top_anchor_n
         |FROM r JOIN agg USING (dst) JOIN ns USING (dst) WHERE r.rk = 1""".stripMargin,
+
+
+    // Two unrolled HITS iterations, integer arithmetic; every
+    // normalization divides by the iteration's global mass, so both
+    // engines truncate identically. coalesce(0) covers pure-source /
+    // pure-sink nodes exactly like the engine's left joins.
+    "q198_hits" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 7) % 500 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 17 + 3) % 500 FROM documents),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+        |ar1 AS (SELECT e.dst AS id, CAST(sum(h0.h) AS BIGINT) AS raw
+        | FROM e JOIN h0 ON h0.id = e.src GROUP BY 1),
+        |as1 AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM ar1),
+        |a1 AS (SELECT nodes.id,
+        |  coalesce((ar1.raw * 1000000) // (SELECT s FROM as1), 0) AS a
+        | FROM nodes LEFT JOIN ar1 ON ar1.id = nodes.id),
+        |hr1 AS (SELECT e.src AS id, CAST(sum(a1.a) AS BIGINT) AS raw
+        | FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+        |hs1 AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM hr1),
+        |h1 AS (SELECT nodes.id,
+        |  coalesce((hr1.raw * 1000000) // (SELECT s FROM hs1), 0) AS h
+        | FROM nodes LEFT JOIN hr1 ON hr1.id = nodes.id),
+        |ar2 AS (SELECT e.dst AS id, CAST(sum(h1.h) AS BIGINT) AS raw
+        | FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+        |as2 AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM ar2),
+        |a2 AS (SELECT nodes.id,
+        |  coalesce((ar2.raw * 1000000) // (SELECT s FROM as2), 0) AS a
+        | FROM nodes LEFT JOIN ar2 ON ar2.id = nodes.id),
+        |hr2 AS (SELECT e.src AS id, CAST(sum(a2.a) AS BIGINT) AS raw
+        | FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1),
+        |hs2 AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM hr2),
+        |h2 AS (SELECT nodes.id,
+        |  coalesce((hr2.raw * 1000000) // (SELECT s FROM hs2), 0) AS h
+        | FROM nodes LEFT JOIN hr2 ON hr2.id = nodes.id)
+        |SELECT h2.id, h2.h AS hub_e6, a2.a AS auth_e6
+        |FROM h2 JOIN a2 ON a2.id = h2.id""".stripMargin,
   )
 }
 

@@ -157,4 +157,29 @@ class GraphOpsSpec extends SparkSpec {
     val (n, m, t) = triCount(edges)
     assert((n, m, t) == ((nodes.size.toLong, canon.size.toLong, naive)))
   }
+
+  test("hitsFixedPoint separates hubs from authorities; mass stays ~scale") {
+    // 0 links to everything popular (pure hub); 1 is linked by everyone
+    // (pure authority); 8/9 are bystanders with one weak edge each
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (5L, 1L), (6L, 1L), (7L, 1L),
+      (8L, 9L)).toDF("src", "dst")
+    val out = GraphOps.hitsFixedPoint(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // 0 is the strongest hub (it cites the top authority AND the rest)
+    assert(out(0L)._1 == out.values.map(_._1).max && out(0L)._1 > 0L)
+    // 1 is the strongest authority, and a pure one (no out-edges -> hub 0)
+    assert(out(1L)._2 == out.values.map(_._2).max && out(1L)._2 > 0L)
+    assert(out(1L)._1 == 0L, "no out-edges means zero hub score")
+    assert(out(0L)._2 == 0L, "no in-edges means zero authority score")
+    // bystander scores are dominated by the principal pair
+    assert(out(8L)._1 < out(0L)._1 && out(9L)._2 < out(1L)._2)
+    // integer L1 normalization: each vector's mass is scale minus
+    // truncation (one unit per nonzero entry at most)
+    val hubMass = out.values.map(_._1).sum
+    val authMass = out.values.map(_._2).sum
+    assert(hubMass > 999990L && hubMass <= 1000000L, s"hub mass $hubMass")
+    assert(authMass > 999990L && authMass <= 1000000L, s"auth mass $authMass")
+  }
 }
