@@ -69,7 +69,13 @@ object DumpPlans {
     "q186_hll_merge" -> "64-row register sets fold by max — a COUNT DISTINCT that ships sketches",
     "q187_percentile_merge" -> "cell histograms fold by sum; quantiles derive from merged state",
     "q189_hard_negatives" -> "bounded top-k agg + broadcast labels; the anti-label cut is a filter",
-    "q190_nprobe_sweep" -> "three probe budgets share one exact ground-truth side")
+    "q190_nprobe_sweep" -> "three probe budgets share one exact ground-truth side",
+    "q191_kmv_sketch" -> "distinct-hash partial agg into bottom-k TakeOrdered — sketch merge without raw keys",
+    "q192_priority_estimate" -> "one TakeOrdered top-(n+1); the HT window ranks only the sample",
+    "q194_anchor_text" -> "(dst, term) partial counts + min-struct plurality — no window over links",
+    "q196_band_sweep" -> "one signature pass persisted; three narrow re-bandings + bucket-guarded self-joins",
+    "q197_binary_ann" -> "two-lane XOR+popcount distances through the bounded-heap TopK partial agg",
+    "q198_hits" -> "two unrolled half-step pairs: co-keyed edge joins + partial sums + 1-row mass broadcasts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
