@@ -465,6 +465,65 @@ object SimilarityOps {
         (col("rank0") + 1).cast("long").as("rank"))
   }
 
+  /** MUTUAL-kNN MINING with ratio-margin scores (the CCMatrix/LASER
+    * bitext-mining core, Schwenk et al. 2021): a pair (a, b) across a
+    * bounded batch A and a corpus B is mined when b is in a's top-k AND
+    * a is in b's top-k, scored by the margin
+    * sim(a,b) / ((avg top-k sim of a + avg top-k sim of b) / 2) —
+    * globally-hubby vectors that are "everyone's neighbor" get
+    * discounted, isolated reciprocal matches score high.
+    *
+    * All comparisons run on sim_e4 = floor(cos·10⁴ + 0.5) INTEGERS, so
+    * ranking, sums, and the margin are exact cross-engine; the margin
+    * is (2k · sim_e4 · 10⁴) div (Σtop-k(a) + Σtop-k(b)) in bp.
+    *
+    * Scale shape: ONE broadcast of the bounded batch side onto a single
+    * corpus scan; BOTH directions aggregate from that one scored frame
+    * (per-a top-kAb over b, per-b top-kBa over a) through the
+    * bounded-heap [[TopK]] — the corpus is never the broadcast side and
+    * never self-joins. `kBa` is typically smaller than `kAb`
+    * (reciprocity is only a filter if the reverse direction is
+    * competitive). Margin averages use each side's own k. Returns
+    * (a_id, b_id, sim_e4, rank_ab, rank_ba, margin_bp).
+    */
+  def mutualTopK(corpus: DataFrame, batch: DataFrame, kAb: Int, kBa: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kAb >= 1 && kBa >= 1, s"need kAb, kBa >= 1, got $kAb, $kBa")
+    val spark = corpus.sparkSession
+    val a = broadcast(batch.select(col(idCol).as("a_id"), col(vecCol).as("av")))
+    val b = corpus.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    val scored = b.join(a)
+      .withColumn("sim_e4",
+        floor(graft.GraftFunctions.cosine(spark, col("av"), col("bv"))
+          * 10000 + 0.5).cast("long"))
+      .select("a_id", "b_id", "sim_e4")
+    def explodeDir(g: DataFrame, keyCol: String, otherCol: String,
+                   rankName: String): DataFrame =
+      g.select(col(keyCol), posexplode(col("topk")).as(Seq("rank0", "nb")))
+        .select(col(keyCol), col("nb.neighborId").as(otherCol),
+          col("nb.sim").cast("long").as("sim_e4"),
+          (col("rank0") + 1).cast("long").as(rankName))
+    val dir1 = explodeDir(
+      scored.groupBy("a_id")
+        .agg(TopK.topK(kAb)(col("sim_e4").cast("double"), col("b_id")).as("topk")),
+      "a_id", "b_id", "rank_ab")
+    val dir2 = explodeDir(
+      scored.groupBy("b_id")
+        .agg(TopK.topK(kBa)(col("sim_e4").cast("double"), col("a_id")).as("topk")),
+      "b_id", "a_id", "rank_ba")
+    val sumA = dir1.groupBy("a_id").agg(sum("sim_e4").as("sum_a"))
+    val sumB = dir2.groupBy("b_id").agg(sum("sim_e4").as("sum_b"))
+    // margin denominator: each side's AVERAGE top-k sim (own k), kept
+    // integral by scaling with the opposite k: avgA + avgB =
+    // (kBa·sum_a + kAb·sum_b) / (kAb·kBa)
+    dir1.join(dir2.select("a_id", "b_id", "rank_ba"), Seq("a_id", "b_id"))
+      .join(sumA, "a_id").join(sumB, "b_id")
+      .select(col("a_id"), col("b_id"), col("sim_e4"),
+        col("rank_ab"), col("rank_ba"),
+        expr(s"(2 * $kAb * $kBa * sim_e4 * 10000) div ($kBa * sum_a + $kAb * sum_b)")
+          .as("margin_bp"))
+  }
+
   /** IVF + PQ — the composition a real 100 TB vector store runs: IVF
     * pruning cuts the candidate set to the query's `nprobe` nearest
     * centroid lists (~nprobe/nlist of the corpus), and PQ's asymmetric

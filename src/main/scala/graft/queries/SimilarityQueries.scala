@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep, q197_binary_ann.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep, q197_binary_ann, q199_mutual_knn.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -217,6 +217,22 @@ object SimilarityQueries {
       val codes = SimilarityOps.binaryCodes(dupEmbeddings(Tables.embeddings(s, d)))
       val qs = codes.where(col("vec_id") < 8)
       SimilarityOps.binaryTopK(codes, qs, k = 5)
+    }),
+
+
+    // Mutual-kNN bitext-style mining: batch side vec_id < 32 against
+    // the rest of the corpus, top-4 forward, top-1 reverse (a pair
+    // survives only if b's single best batch match is the a that
+    // ranked it — with a lenient reverse k the label-clustered corpus
+    // reciprocates everything and the filter is vacuous), ratio-margin
+    // scores. Reciprocity + margin is what separates true translation
+    // pairs from hub vectors — the pair table a contrastive trainer
+    // ingests.
+    "q199_mutual_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.mutualTopK(
+        emb.where(col("vec_id") >= 32), emb.where(col("vec_id") < 32),
+        kAb = 4, kBa = 1)
     }),
 
 
@@ -665,6 +681,37 @@ object SimilarityQueries {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
         | FROM d)
         |SELECT query_id, neighbor_id, hamming, rank FROM r WHERE rank <= 5""".stripMargin,
+
+
+    // Both kNN directions re-derived from one scored cross frame on
+    // integer sim_e4 (one rounding of the raw cosine — ranking, sums,
+    // and the margin are integer-exact end to end).
+    "q199_mutual_knn" ->
+      """WITH a AS (SELECT vec_id AS a_id, embedding AS av FROM embeddings WHERE vec_id < 32),
+        |b AS (SELECT vec_id AS b_id, embedding AS bv FROM embeddings WHERE vec_id >= 32),
+        |s0 AS (SELECT a_id, b_id,
+        |  list_sum(list_transform(list_zip(av, bv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(av, av), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(bv, bv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
+        | FROM b CROSS JOIN a),
+        |s AS (SELECT a_id, b_id,
+        |  CAST(floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) AS BIGINT) AS sim_e4
+        | FROM s0),
+        |r1 AS (SELECT a_id, b_id, sim_e4,
+        |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_e4 DESC, b_id) AS BIGINT) AS rank_ab FROM s),
+        |t1 AS (SELECT a_id, b_id, sim_e4, rank_ab FROM r1 WHERE rank_ab <= 4),
+        |g1 AS (SELECT a_id, CAST(sum(sim_e4) AS BIGINT) AS sum_a FROM t1 GROUP BY 1),
+        |r2 AS (SELECT a_id, b_id,
+        |  CAST(row_number() OVER (PARTITION BY b_id ORDER BY sim_e4 DESC, a_id) AS BIGINT) AS rank_ba FROM s),
+        |t2 AS (SELECT a_id, b_id, rank_ba FROM r2 WHERE rank_ba <= 1),
+        |g2 AS (SELECT t2.b_id, CAST(sum(s.sim_e4) AS BIGINT) AS sum_b
+        | FROM t2 JOIN s ON s.a_id = t2.a_id AND s.b_id = t2.b_id GROUP BY 1)
+        |SELECT t1.a_id, t1.b_id, t1.sim_e4, t1.rank_ab, t2.rank_ba,
+        | (2 * 4 * 1 * t1.sim_e4 * 10000) // (1 * g1.sum_a + 4 * g2.sum_b) AS margin_bp
+        |FROM t1
+        |JOIN t2 ON t2.a_id = t1.a_id AND t2.b_id = t1.b_id
+        |JOIN g1 ON g1.a_id = t1.a_id
+        |JOIN g2 ON g2.b_id = t1.b_id""".stripMargin,
 
 
     // The same cosine chain cut at 12, anti-label filter, re-rank to 4.

@@ -311,6 +311,30 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out == ((1L, (1L << 0) | (1L << 5), (1L << 0) | (1L << 31))))
   }
 
+  test("mutualTopK: reciprocal pairs survive, hub matches without reciprocity are cut") {
+    def v(xs: (Int, Float)*): Seq[Float] = {
+      val arr = Array.fill(64)(0f); xs.foreach { case (i, x) => arr(i) = x }
+      arr.toSeq
+    }
+    val batch = Seq((0L, v(0 -> 1f)), (1L, v(1 -> 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, v(0 -> 1f)),                          // a0's exact twin
+      (101L, v(1 -> 1f)),                          // a1's exact twin
+      (102L, v(0 -> 0.7071f, 1 -> 0.7071f))        // hub: near BOTH a's
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.mutualTopK(corpus, batch, kAb = 2, kBa = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    // twins are reciprocal at rank 1/1
+    assert(out.contains((0L, 100L)) && out.contains((1L, 101L)))
+    // the hub sits in BOTH a's top-2, but its own single best batch
+    // match is a0 (symmetric sims tie-break to the smaller id), so the
+    // (a1, hub) pair fails reciprocity and must be cut
+    assert(out.contains((0L, 102L)) && !out.contains((1L, 102L)))
+    // the exact twin outranks the hub pairing on margin
+    assert(out((0L, 100L)) > out((0L, 102L)))
+  }
+
   test("binaryTopK: sign-preserving twins land at hamming 0, rank 1; k bounds hold") {
     val base = (0L until 30L).map { i =>
       (i, (0 until 64).map(j =>
