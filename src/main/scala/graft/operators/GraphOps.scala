@@ -107,6 +107,51 @@ object GraphOps {
       .select(col("id"), col("h").as("hub_e6"), col("a").as("auth_e6"))
   }
 
+  /** SEMI-SUPERVISED LABEL PROPAGATION (Zhu & Ghahramani 2002, hard
+    * clamped form): seed nodes keep their labels; every other node
+    * adopts the plurality label of its (undirected) labeled neighbors
+    * each synchronous round, ties to the smaller label. A node with no
+    * labeled neighbor stays unlabeled (-1). The cheap transductive
+    * labeler for "we labeled 10%, spread it over the link graph".
+    *
+    * Deterministic: plurality = min(struct(-count, label)) — a
+    * map-side-combinable struct-min, no window over votes, identical
+    * tie-breaks in any engine.
+    *
+    * Scale shape per round: one labeled-node⋈edges equi-join + one
+    * partial-aggregated vote count keyed by (node, label) + the
+    * struct-min fold; seeds ride a broadcast-sized side if the seed
+    * fraction is small, but the plan never assumes it. Fixed `iters`
+    * unrolls into one Catalyst plan (deep counts → the [[pageRankDeep]]
+    * RDD skeleton).
+    *
+    * Returns (id, label) with -1 for never-reached nodes.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 5, s"iters must be in [1, 5], got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val s0 = seeds.select(col("id").cast("long").as("id"),
+      col("label").cast("long").as("label"))
+    var labeled = s0
+    (1 to iters).foreach { _ =>
+      val votes = sym.join(labeled.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val adopted = votes.groupBy("id")
+        .agg(min(struct((-col("c")).as("negc"), col("label").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("label"))
+        .join(s0.select("id"), Seq("id"), "left_anti")
+      labeled = s0.unionByName(adopted)
+    }
+    nodes.join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), lit(-1L)).as("label"))
+  }
+
   /** [[pageRankFixedPoint]] past the 10-iteration unrolled-plan cap:
     * the same integer recurrence as an RDD loop with one shared
     * `HashPartitioner`, iterating to CONVERGENCE (total L1 rank change

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance,
   * q167_bfs_deep, q168_pagerank_deep, q184_link_rank, q194_anchor_text,
-  * q198_hits.
+  * q198_hits, q200_label_prop.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object GraphQueries {
@@ -153,6 +153,24 @@ object GraphQueries {
         .unionByName(docs.select(did.as("src"),
           pmod(did * 17L + 3L, lit(500L)).as("dst")))
       GraphOps.hitsFixedPoint(edges, iters = 2)
+    }),
+
+
+    // Label propagation: every 10th embedding's label seeds its graph
+    // node (ids align 0..499 by fixture construction); two clamped
+    // synchronous rounds spread the labels over the undirected edge
+    // fixture. The transductive "label 10%, spread the rest" step of a
+    // taxonomy pipeline.
+    "q200_label_prop" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 17L + 3L, lit(500L)).as("dst")))
+      val seeds = Tables.embeddings(s, d)
+        .where(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id").as("id"), col("label"))
+      GraphOps.labelPropagation(edges, seeds, iters = 2)
     }),
   )
 
@@ -294,6 +312,38 @@ object GraphQueries {
         | FROM nodes LEFT JOIN hr2 ON hr2.id = nodes.id)
         |SELECT h2.id, h2.h AS hub_e6, a2.a AS auth_e6
         |FROM h2 JOIN a2 ON a2.id = h2.id""".stripMargin,
+
+
+    // Two unrolled clamped rounds; plurality via (count DESC, label
+    // ASC) row_number — an independent formulation of the engine's
+    // min(struct(-count, label)) fold.
+    "q200_label_prop" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 7) % 500 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 17 + 3) % 500 FROM documents),
+        |ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |sym AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |seeds AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+        | FROM embeddings WHERE vec_id % 10 = 0),
+        |v1 AS (SELECT s.dst AS id, l.label, count(*) AS c
+        | FROM sym s JOIN seeds l ON l.id = s.src GROUP BY 1, 2),
+        |a1 AS (SELECT id, label FROM (SELECT id, label,
+        |   row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rk FROM v1)
+        | WHERE rk = 1),
+        |l1 AS (SELECT id, label FROM seeds
+        | UNION ALL SELECT id, label FROM a1 WHERE id NOT IN (SELECT id FROM seeds)),
+        |v2 AS (SELECT s.dst AS id, l.label, count(*) AS c
+        | FROM sym s JOIN l1 l ON l.id = s.src GROUP BY 1, 2),
+        |a2 AS (SELECT id, label FROM (SELECT id, label,
+        |   row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rk FROM v2)
+        | WHERE rk = 1),
+        |l2 AS (SELECT id, label FROM seeds
+        | UNION ALL SELECT id, label FROM a2 WHERE id NOT IN (SELECT id FROM seeds))
+        |SELECT nodes.id, coalesce(l2.label, -1) AS label
+        |FROM nodes LEFT JOIN l2 ON l2.id = nodes.id""".stripMargin,
   )
 }
 

@@ -182,4 +182,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(hubMass > 999990L && hubMass <= 1000000L, s"hub mass $hubMass")
     assert(authMass > 999990L && authMass <= 1000000L, s"auth mass $authMass")
   }
+
+  test("labelPropagation: seeds clamp, plurality wins with smaller-label ties, 2-hop reach") {
+    // path 0—1—2—3—4 with seeds 0 (label 7) and 4 (label 3);
+    // node 9 has two label-7 neighbors vs one label-3: plurality 7;
+    // node 2 ties 7 vs 3 after round 1 → smaller label 3 wins;
+    // node 50—51 is an unreachable island
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (0L, 9L), (1L, 9L), (4L, 9L), (50L, 51L)).toDF("src", "dst")
+    val seeds = Seq((0L, 7L), (4L, 3L)).toDF("id", "label")
+    val out = GraphOps.labelPropagation(edges, seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 7L && out(4L) == 3L, "seeds stay clamped")
+    // round 2 recomputes every non-seed from the ROUND-1 labeling
+    // (synchronous): node 1 sees 0 (7) and 9 (3 from round 1) — a tie,
+    // which breaks to the smaller label; same for node 2 via 1 (7) / 3 (3)
+    assert(out(1L) == 3L && out(2L) == 3L,
+      s"ties must break to the smaller label, got ${(out(1L), out(2L))}")
+    // node 9 sees {7 (seed 0), 7 (node 1's round-1 label), 3 (seed 4)}
+    assert(out(9L) == 7L, "plurality must win over the single 3-vote")
+    assert(out(3L) == 3L)
+    assert(out(50L) == -1L && out(51L) == -1L, "islands stay unlabeled")
+    // one synchronous round reaches only seed-adjacent nodes, and a
+    // non-seed's round-1 label comes from seeds alone
+    val out1 = GraphOps.labelPropagation(edges, seeds, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out1(1L) == 7L && out1(2L) == -1L && out1(9L) == 3L,
+      s"round-1: ${(out1(1L), out1(2L), out1(9L))}")
+  }
 }
