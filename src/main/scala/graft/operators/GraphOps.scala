@@ -152,6 +152,51 @@ object GraphOps {
       .select(col("id"), coalesce(col("label"), lit(-1L)).as("label"))
   }
 
+  /** DETERMINISTIC RANDOM WALKS (the DeepWalk/node2vec corpus
+    * generator): from each start node, `steps` uniform steps where the
+    * "random" choice at (start, step, node) is the portable md5 hash of
+    * `"<seed>_<start>_<step>_<node>"` mod outdegree — every walk is
+    * reproducible across runs, partitionings, AND engines (q201's
+    * oracle replays the identical choices), which is what makes a
+    * walk corpus regenerable instead of stored.
+    *
+    * Out-edges are DISTINCT and ranked by destination id (multi-edges
+    * would make the rank nondeterministic); self-loops are dropped. A
+    * walk reaching a node with no out-edges ends there (inner join
+    * drops it from later steps).
+    *
+    * Scale shape: the ranked adjacency is built once (one src-keyed
+    * window); each step is one equi-join of the frontier against it —
+    * frontier rows never exceed |starts|. Returns
+    * (start, step, node) for steps 0..`steps`.
+    */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+                  seed: String): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps must be in [1, 8], got $steps")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val w = Window.partitionBy("src").orderBy("dst")
+    val adj = e.select(col("src"), col("dst"),
+      row_number().over(w).cast("long").as("rk"),
+      count(lit(1)).over(Window.partitionBy("src")).cast("long").as("outdeg"))
+    val w0 = starts.select(col("start").cast("long").as("start"),
+      lit(0L).as("step"), col("start").cast("long").as("node"))
+    var frontier = w0
+    val traces = scala.collection.mutable.ArrayBuffer(w0)
+    (1 to steps).foreach { t =>
+      val choice = pmod(graft.functions.HashFunctions.portableHash60(
+        concat(lit(s"${seed}_"), col("start").cast("string"),
+          lit(s"_${t}_"), col("node").cast("string"))), col("outdeg")) + 1L
+      frontier = frontier.join(adj, frontier("node") === adj("src"))
+        .where(col("rk") === choice)
+        .select(col("start"), lit(t.toLong).as("step"), col("dst").as("node"))
+      traces += frontier
+    }
+    traces.reduce(_ unionByName _)
+  }
+
   /** [[pageRankFixedPoint]] past the 10-iteration unrolled-plan cap:
     * the same integer recurrence as an RDD loop with one shared
     * `HashPartitioner`, iterating to CONVERGENCE (total L1 rank change

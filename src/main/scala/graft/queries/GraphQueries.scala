@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance,
   * q167_bfs_deep, q168_pagerank_deep, q184_link_rank, q194_anchor_text,
-  * q198_hits, q200_label_prop.
+  * q198_hits, q200_label_prop, q201_random_walks.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object GraphQueries {
@@ -171,6 +171,22 @@ object GraphQueries {
         .where(pmod(col("vec_id"), lit(10)) === 0)
         .select(col("vec_id").as("id"), col("label"))
       GraphOps.labelPropagation(edges, seeds, iters = 2)
+    }),
+
+
+    // DeepWalk-style corpus generation: 4-step deterministic walks from
+    // every 25th node over the edge fixture — the (start, step, node)
+    // traces a graph-embedding trainer consumes, regenerable from the
+    // seed instead of stored.
+    "q201_random_walks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          pmod(did * 31L + 7L, lit(500L)).as("dst"))
+        .unionByName(docs.select(did.as("src"),
+          pmod(did * 17L + 3L, lit(500L)).as("dst")))
+      GraphOps.randomWalks(edges,
+        docs.where(pmod(did, lit(25)) === 0).select(did.as("start")),
+        steps = 4, seed = "walk")
     }),
   )
 
@@ -344,6 +360,38 @@ object GraphQueries {
         | UNION ALL SELECT id, label FROM a2 WHERE id NOT IN (SELECT id FROM seeds))
         |SELECT nodes.id, coalesce(l2.label, -1) AS label
         |FROM nodes LEFT JOIN l2 ON l2.id = nodes.id""".stripMargin,
+
+
+    // The identical md5 choice arithmetic replayed per step over the
+    // same distinct ranked adjacency — four unrolled hops.
+    "q201_random_walks" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 7) % 500 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 17 + 3) % 500 FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |adj AS (SELECT src, dst,
+        |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg FROM e),
+        |w0 AS (SELECT doc_id AS start, CAST(0 AS BIGINT) AS step, doc_id AS node
+        | FROM documents WHERE doc_id % 25 = 0),
+        |w1 AS (SELECT w.start, CAST(1 AS BIGINT) AS step, a.dst AS node
+        | FROM w0 w JOIN adj a ON a.src = w.node
+        |  AND a.rk = ('0x' || substr(md5('walk_' || CAST(w.start AS VARCHAR) || '_1_' || CAST(w.node AS VARCHAR)), 1, 15))::BIGINT % a.outdeg + 1),
+        |w2 AS (SELECT w.start, CAST(2 AS BIGINT) AS step, a.dst AS node
+        | FROM w1 w JOIN adj a ON a.src = w.node
+        |  AND a.rk = ('0x' || substr(md5('walk_' || CAST(w.start AS VARCHAR) || '_2_' || CAST(w.node AS VARCHAR)), 1, 15))::BIGINT % a.outdeg + 1),
+        |w3 AS (SELECT w.start, CAST(3 AS BIGINT) AS step, a.dst AS node
+        | FROM w2 w JOIN adj a ON a.src = w.node
+        |  AND a.rk = ('0x' || substr(md5('walk_' || CAST(w.start AS VARCHAR) || '_3_' || CAST(w.node AS VARCHAR)), 1, 15))::BIGINT % a.outdeg + 1),
+        |w4 AS (SELECT w.start, CAST(4 AS BIGINT) AS step, a.dst AS node
+        | FROM w3 w JOIN adj a ON a.src = w.node
+        |  AND a.rk = ('0x' || substr(md5('walk_' || CAST(w.start AS VARCHAR) || '_4_' || CAST(w.node AS VARCHAR)), 1, 15))::BIGINT % a.outdeg + 1)
+        |SELECT start, step, node FROM w0
+        |UNION ALL SELECT start, step, node FROM w1
+        |UNION ALL SELECT start, step, node FROM w2
+        |UNION ALL SELECT start, step, node FROM w3
+        |UNION ALL SELECT start, step, node FROM w4""".stripMargin,
   )
 }
 

@@ -210,4 +210,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(out1(1L) == 7L && out1(2L) == -1L && out1(9L) == 3L,
       s"round-1: ${(out1(1L), out1(2L), out1(9L))}")
   }
+
+  test("randomWalks: edges respected, dead ends terminate, choices partition-invariant") {
+    // 0 and 1 fan out; 2 is a dead end; 3 only reaches the dead end
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (1L, 2L),
+      (3L, 2L)).toDF("src", "dst")
+    val starts = Seq(0L, 2L, 3L).toDF("start")
+    val adj = Map(0L -> Set(1L, 2L, 3L), 1L -> Set(0L, 2L), 3L -> Set(2L))
+    val out = GraphOps.randomWalks(edges, starts, steps = 3, seed = "s")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    // every emitted hop follows a real edge
+    out.groupBy(_._1).foreach { case (_, trace) =>
+      trace.sortBy(_._2).sliding(2).foreach {
+        case Array((_, t1, u), (_, t2, v)) if t2 == t1 + 1 =>
+          assert(adj(u).contains(v), s"step $u -> $v is not an edge")
+        case _ =>
+      }
+    }
+    // start 2 is a dead end: only its step-0 row exists
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq == Seq(0L))
+    // start 3 must hop to 2 and stop there
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq == Seq((0L, 3L), (1L, 2L)))
+    // deterministic under repartitioning
+    val out2 = GraphOps.randomWalks(edges.repartition(5), starts.repartition(3),
+        steps = 3, seed = "s")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(out2.toSeq == out.toSeq)
+    // a different seed takes a different path somewhere
+    val outSeed = GraphOps.randomWalks(edges, starts, steps = 3, seed = "other")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(outSeed.map(_._3).toSeq != out.map(_._3).toSeq ||
+      outSeed.length != out.length,
+      "seeds must steer choices (overwhelmingly likely on this graph)")
+  }
 }
