@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication: exact, MinHash/SimHash LSH, fingerprints, connected components, semantic dedup, contamination, PPJoin, entity resolution.
   *
-  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment, q196_band_sweep.
+  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment, q196_band_sweep, q202_dedup_report.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object DedupQueries {
@@ -437,6 +437,32 @@ object DedupQueries {
         .crossJoin(broadcast(nPlanted))
         .withColumn("recall_bp", expr("(planted_found * 10000) div planted_total"))
         .select("rows_per_band", "bands", "n_cand", "planted_found", "recall_bp")
+    }),
+
+
+    // Dedup data-card panel: exact-duplicate cluster-size histogram +
+    // storage savings. The fixture plants sizes 1/2/3 (odd ids stay
+    // unique, even ids get one copy, ids % 4 == 0 a second), so the
+    // histogram is non-degenerate at any SF. Everything derives from
+    // ONE (fingerprint → size) aggregation — fingerprints shuffle, rows
+    // don't, and the totals ride a 1-row broadcast.
+    "q202_dedup_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(did.as("id"), col("text"))
+        .unionByName(docs.where(pmod(did, lit(2)) === 0)
+          .select((did + 1000000L).as("id"), col("text")))
+        .unionByName(docs.where(pmod(did, lit(4)) === 0)
+          .select((did + 2000000L).as("id"), col("text")))
+      val clusters = corpus.select(T.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("cluster_size"))
+      val totals = clusters.agg(sum("cluster_size").as("total_rows"),
+        count(lit(1)).as("total_clusters"))
+      clusters.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(totals))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("rows_at_size"),
+          col("total_rows"), col("total_clusters"),
+          (col("total_rows") - col("total_clusters")).as("dup_rows"))
     }),
   )
 
@@ -996,5 +1022,24 @@ object DedupQueries {
          | (planted_found * 10000) // planted_total FROM r4m, pt
          |UNION ALL SELECT 8, 8, n_cand, planted_found,
          | (planted_found * 10000) // planted_total FROM r8m, pt""".stripMargin,
+
+
+    // Same fingerprint (md5 of lowercased cleaned text) as q63's
+    // oracle; histogram + totals from the one cluster-size aggregation.
+    "q202_dedup_report" ->
+      s"""WITH c AS (
+         | SELECT doc_id AS id, text FROM documents
+         | UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+         | UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 0),
+         |f AS (SELECT id, md5(lower($cleanSql)) AS fp FROM c),
+         |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size FROM f GROUP BY fp),
+         |t AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS total_rows,
+         |  CAST(count(*) AS BIGINT) AS total_clusters FROM g)
+         |SELECT g.cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         | g.cluster_size * CAST(count(*) AS BIGINT) AS rows_at_size,
+         | t.total_rows, t.total_clusters,
+         | t.total_rows - t.total_clusters AS dup_rows
+         |FROM g CROSS JOIN t
+         |GROUP BY g.cluster_size, t.total_rows, t.total_clusters""".stripMargin,
   )
 }
