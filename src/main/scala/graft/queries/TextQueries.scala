@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis and tokenization: quality scores, lang-ID, BPE, packing, chunking, redaction, boilerplate, token rarity, bigram LM.
   *
-  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize.
+  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object TextQueries {
@@ -108,6 +108,27 @@ object TextQueries {
     // the encode loop as a recursive CTE over DISTINCT words.
     "q72_bpe_tokens" -> ((s, d) =>
       TextAnalysisOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // Tokenizer-fertility report: per source, whitespace words vs real
+    // BPE tokens vs characters — fertility (BPE per 10⁴ words) and
+    // compression (chars per 100 BPE tokens) are THE tokenizer-fit
+    // numbers a corpus card reports (a source with outlier fertility is
+    // either non-target-language or junk). One kernel pass per doc, one
+    // partial-aggregated source rollup; all-integer ratios.
+    "q203_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = TextAnalysisOps.bpeTokenCounts(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("n_chars0")), "doc_id")
+      counts.groupBy("source").agg(
+          sum(col("n_words").cast("long")).as("words"),
+          sum("n_bpe_tokens").as("bpe_tokens"),
+          sum("n_chars0").as("chars"))
+        .select(col("source"), col("words"), col("bpe_tokens"), col("chars"),
+          expr("(bpe_tokens * 10000) div words").as("fertility_bp"),
+          expr("(chars * 100) div bpe_tokens").as("chars_per_bpe_e2"))
+    }),
 
 
     // q62's packing on REAL BPE counts instead of whitespace words —
@@ -322,6 +343,24 @@ object TextQueries {
          | coalesce(c.n_words, 0) AS n_words,
          | CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
          |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin,
+
+
+    // q72's per-doc BPE chain rolled up per source with the same
+    // integer ratio arithmetic as the engine.
+    "q203_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |j AS (SELECT d.doc_id, d.source,
+         |  CAST(length(d.text) AS BIGINT) AS n_chars0,
+         |  CAST(coalesce(c.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_bpe
+         | FROM documents d LEFT JOIN cnt c USING (doc_id))
+         |SELECT source,
+         | CAST(sum(n_words) AS BIGINT) AS words,
+         | CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+         | CAST(sum(n_chars0) AS BIGINT) AS chars,
+         | (CAST(sum(n_bpe) AS BIGINT) * 10000) // CAST(sum(n_words) AS BIGINT) AS fertility_bp,
+         | (CAST(sum(n_chars0) AS BIGINT) * 100) // CAST(sum(n_bpe) AS BIGINT) AS chars_per_bpe_e2
+         |FROM j GROUP BY source""".stripMargin,
 
 
     "q74_pack_bpe" ->
