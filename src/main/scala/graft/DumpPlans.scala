@@ -75,7 +75,10 @@ object DumpPlans {
     "q194_anchor_text" -> "(dst, term) partial counts + min-struct plurality — no window over links",
     "q196_band_sweep" -> "one signature pass persisted; three narrow re-bandings + bucket-guarded self-joins",
     "q197_binary_ann" -> "two-lane XOR+popcount distances through the bounded-heap TopK partial agg",
-    "q198_hits" -> "two unrolled half-step pairs: co-keyed edge joins + partial sums + 1-row mass broadcasts")
+    "q198_hits" -> "two unrolled half-step pairs: co-keyed edge joins + partial sums + 1-row mass broadcasts",
+    "q199_mutual_knn" -> "one batch broadcast onto one corpus scan; both kNN directions fold from the same scored frame",
+    "q200_label_prop" -> "per-round labeled⋈edges equi-join + partial vote counts + struct-min plurality",
+    "q201_random_walks" -> "ranked adjacency built once; each hop is a frontier equi-join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
