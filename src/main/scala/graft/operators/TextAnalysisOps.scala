@@ -403,4 +403,83 @@ object TextAnalysisOps {
         }
       }.toDF("id", "norm_text", "changed")
   }
+
+  /** Collocation mining (word2phrase / PMI-lift family): corpus-wide
+    * adjacent-bigram counts scored by integer lift
+    * `N·c(ab)·10⁴ div (c(a)·c(b))` — lift ≥ 10⁴ means the pair co-occurs
+    * more than independence predicts; phrase-merge pipelines join high-
+    * lift pairs into single tokens before embedding/BPE training.
+    *
+    * All-integer scoring (no log-PMI — `ln` is not cross-engine exact;
+    * lift ranks identically since log is monotone). The `minCount`
+    * filter runs BEFORE the two dictionary joins, so the join input is
+    * the (tiny) set of frequent bigrams, not the full bigram table; the
+    * shuffles carry (gram, partial-count) pairs only, never text.
+    * Long arithmetic holds while `N·c(ab)·10⁴ < 2⁶³` — c(ab) ≤ N gives
+    * the guard N < ~9.6e8 tokens per run; at larger corpora pre-scale N
+    * (lift is a ratio) or swap the expression to DecimalType.
+    *
+    * Returns (w1, w2, c_ab, c_a, c_b, lift_e4), filtered to
+    * `c_ab >= minCount` and `lift_e4 >= minLiftE4`.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 3L, minLiftE4: Long = 30000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val texts = docs.select(col(textCol).cast("string")).as[String]
+    val pairs = texts.mapPartitions { it =>
+      it.flatMap { raw =>
+        val ts = Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+        if (ts.length < 2) Iterator.empty
+        else (0 until ts.length - 1).iterator.map(i => (ts(i), ts(i + 1)))
+      }
+    }.toDF("w1", "w2")
+    val unis = texts.mapPartitions { it =>
+      it.flatMap(raw => Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty).iterator)
+    }.toDF("w")
+    val uc = unis.groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = unis.agg(count(lit(1)).as("n_total"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .join(uc.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(n_total * c_ab * 10000) div (c_a * c_b)").as("lift_e4"))
+      .where(col("lift_e4") >= minLiftE4)
+  }
+
+  /** Per-source vocabulary richness with the Chao1 estimate of TOTAL
+    * vocabulary size: `chao1 = D + f1·(f1−1) div (2·(f2+1))` where D is
+    * observed distinct tokens and f1/f2 are the singleton/doubleton
+    * counts (bias-corrected form — defined even when f2 = 0). A source
+    * whose chao1 far exceeds D has a long unseen-vocabulary tail — more
+    * data from it keeps adding new tokens; one whose chao1 ≈ D is
+    * saturated. The capture-recapture answer to "is this source mined
+    * out?" that a raw distinct count can't give.
+    *
+    * One (source, token) count shuffle, then a per-source fold of the
+    * count-of-counts — all-integer output (source, n_tokens, d_vocab,
+    * f1, f2, chao1).
+    */
+  def vocabRichness(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(srcCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (s, raw) =>
+          Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+            .iterator.map(w => (s, w))
+        }
+      }.toDF("source", "w")
+    toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("d_vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("d_vocab"), col("f1"), col("f2"),
+        (col("d_vocab") + expr("(f1 * (f1 - 1)) div (2 * (f2 + 1))")).as("chao1"))
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis and tokenization: quality scores, lang-ID, BPE, packing, chunking, redaction, boilerplate, token rarity, bigram LM.
   *
-  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility.
+  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object TextQueries {
@@ -207,6 +207,36 @@ object TextQueries {
         .groupBy("shard", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
         .withColumn("over_budget", col("pack_tokens") > 512L)
+    }),
+
+
+    // Collocation mining (word2phrase/PMI-lift): corpus bigrams whose
+    // integer lift N·c(ab)·10⁴/(c(a)·c(b)) clears 3× independence at
+    // count ≥ 3. Every 17th doc PLANTS the rare pair "zxqa zzcolloc"
+    // (each word occurs ONLY in the pair → lift ≈ N/c(ab), enormous),
+    // so the high-lift band is provably non-empty while common-word
+    // pairs ("of the") sit near lift 10⁴ and must NOT appear.
+    "q204_collocations" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(did.as("id"),
+        when(pmod(did, lit(17)) === 0,
+          concat(col("text"), lit(" zxqa zzcolloc"))).otherwise(col("text")).as("text"))
+      TextAnalysisOps.collocations(corpus, "text", minCount = 3L, minLiftE4 = 30000L)
+    }),
+
+
+    // Per-source Chao1 vocabulary-richness estimate: observed distinct
+    // tokens D plus the f1²/2f2 unseen-tail correction — the "is this
+    // source mined out?" cell of a corpus datasheet. All-integer
+    // (capture-recapture arithmetic in div), so the card hash-checks.
+    // The synthetic corpus's shared vocab has almost no singleton tail,
+    // so each doc PLANTS one unique token (uniqN → f1) and one id-pair
+    // token (pairN shared by ids 40k+s and 40k+20+s — the same source
+    // under the src{id%20} layout, so it counts twice there → f2) — the correction term is provably non-zero.
+    "q209_vocab_chao1" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(col("source"),
+        concat(col("text"), lit(" uniq"), sid, lit(" pair"),
+          expr("CAST(doc_id div 40 AS STRING)")).as("text"))
+      TextAnalysisOps.vocabRichness(corpus, "source", "text")
     }),
   )
 
@@ -518,5 +548,47 @@ object TextQueries {
          | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
          | CAST(sum(n_tokens) AS BIGINT) > 512 AS over_budget
          |FROM o GROUP BY 1, 2""".stripMargin,
+
+
+    // Same planted pair, same integer lift; the bigram stream is the
+    // q100-style unnest-range chain, the dictionaries re-derived from
+    // the unigram stream. The c_ab >= 3 filter and the lift threshold
+    // are applied on identical integer expressions.
+    "q204_collocations" ->
+      s"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+         |  THEN text || ' zxqa zzcolloc' ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |uni AS (SELECT unnest(toks) AS w FROM t),
+         |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM uni),
+         |idx AS (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i FROM t),
+         |bg AS (SELECT toks[i-1] AS w1, toks[i] AS w2 FROM idx),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2)
+         |SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, z.c AS c_b,
+         | (n.n_total * b.c_ab * 10000) // (a.c * z.c) AS lift_e4
+         |FROM bc b JOIN uc a ON a.w = b.w1 JOIN uc z ON z.w = b.w2 CROSS JOIN n
+         |WHERE b.c_ab >= 3
+         | AND (n.n_total * b.c_ab * 10000) // (a.c * z.c) >= 30000""".stripMargin,
+
+
+    // Count-of-counts per source; chao1 = D + f1(f1-1) // (2(f2+1)),
+    // the bias-corrected form (defined at f2 = 0) on both sides.
+    "q209_vocab_chao1" ->
+      s"""WITH corpus AS (SELECT source,
+         |  text || ' uniq' || CAST(doc_id AS VARCHAR) || ' pair' || CAST(doc_id // 40 AS VARCHAR) AS text
+         | FROM documents),
+         |t AS (SELECT source, $toksSql AS toks FROM corpus),
+         |tok AS (SELECT source, unnest(toks) AS w FROM t),
+         |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         | FROM tok GROUP BY source, w),
+         |a AS (SELECT source,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS d_vocab,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         | FROM wc GROUP BY source)
+         |SELECT source, n_tokens, d_vocab, f1, f2,
+         | d_vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1
+         |FROM a""".stripMargin,
   )
 }

@@ -125,4 +125,35 @@ class TextAnalysisOpsSpec extends SparkSpec {
     // the point of the op: byte-different inputs become dedup-equal
     assert(decomposed != composed && out(1L)._2 == out(2L)._2)
   }
+
+  test("collocations: a repeated pair clears count+lift gates; rare and common pairs do not") {
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "the cat the dog the fish")
+    ).toDF("id", "text")
+    val out = TextAnalysisOps.collocations(docs, "text", minCount = 3L, minLiftE4 = 30000L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // N = 12, c(new)=c(york)=c(new york)=3 -> lift = 12*3*1e4/9 = 40000
+    assert(out.toSeq == Seq(("new", "york", 3L, 3L, 3L, 40000L)), out.toSeq.toString)
+    // lower thresholds admit (york, new) (c=2) but the pair table never
+    // fabricates cross-document bigrams ("york the" must not exist)
+    val loose = TextAnalysisOps.collocations(docs, "text", minCount = 2L, minLiftE4 = 0L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(loose.exists(r => r._1 == "york" && r._2 == "new" && r._3 == 2L))
+    assert(!loose.exists(r => r._1 == "york" && r._2 == "the"),
+      "bigrams must not span documents")
+  }
+
+  test("vocabRichness: chao1 folds the singleton/doubleton tail per source") {
+    val docs = Seq(
+      ("A", "a a b c d"),   // D=4, f1=3 (b c d), f2=1 (a) -> chao1 = 4 + 6 div 4 = 5
+      ("B", "x x y y"),     // D=2, f1=0, f2=2 -> chao1 = 2
+      ("B", "")             // empty text contributes nothing
+    ).toDF("source", "text")
+    val out = TextAnalysisOps.vocabRichness(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 5L, 4L, 3L, 1L, 5L)), out("A").toString)
+    assert(out("B") == (("B", 4L, 2L, 0L, 2L, 2L)), out("B").toString)
+  }
 }
