@@ -233,4 +233,45 @@ object CurationOps {
       .orderBy(col("imp_bp").desc, col("_h"), col("id")).limit(n)
       .select(col("id"), col("n_toks"), col("score"), col("imp_bp"))
   }
+
+  /** Weak-supervision label resolution (the Snorkel-majority-vote slot):
+    * each row of `votes` is one labeling function's verdict on one doc —
+    * a label string, or NULL for abstain. Plurality wins; a tie for the
+    * top count (or zero non-abstain votes) resolves to 'abstain' so
+    * downstream training never sees an arbitrary winner.
+    *
+    * One (id, label) count shuffle plus a per-id fold. The winner comes
+    * from `min(struct(-count, label))` — partial-aggregatable map-side,
+    * deterministic on count ties (which the separate `n_top` count then
+    * flags as abstain anyway). The candidate-counts frame feeding the
+    * tie probe is O(ids × labels-per-id), bounded by the LF count.
+    *
+    * Returns (id, n_votes, n_abstain, label, is_tie, conf_bp) where
+    * conf_bp = winner-share of non-abstain votes in basis points.
+    */
+  def weakLabelVote(votes: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val ids = votes.select(col(idCol).cast("long").as("id")).distinct()
+    val counts = votes.where(col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(labelCol).as("label"))
+      .groupBy("id", "label").agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy("id").agg(
+      sum("c").as("n_votes"),
+      max("c").as("c_max"),
+      min(struct((-col("c")).as("neg"), col("label").as("l"))).as("win"))
+    val nTop = counts.join(agg.select(col("id"), col("c_max").as("cm")), "id")
+      .where(col("c") === col("cm"))
+      .groupBy("id").agg(count(lit(1)).as("n_top"))
+    val abst = votes.where(col(labelCol).isNull)
+      .groupBy(col(idCol).cast("long").as("id")).agg(count(lit(1)).as("n_abstain"))
+    ids.join(agg, Seq("id"), "left").join(nTop, Seq("id"), "left")
+      .join(abst, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
+        coalesce(col("n_abstain"), lit(0L)).as("n_abstain"),
+        when(col("n_votes").isNull || col("n_top") > 1L, lit("abstain"))
+          .otherwise(col("win").getField("l")).as("label"),
+        (coalesce(col("n_top"), lit(0L)) > 1L).as("is_tie"),
+        when(col("n_votes").isNull || col("n_top") > 1L, lit(0L))
+          .otherwise(expr("(c_max * 10000) div n_votes")).as("conf_bp"))
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
   *
-  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave, q195_dsir_resample.
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave, q195_dsir_resample, q205_weak_labels.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object CurationQueries {
@@ -321,6 +321,35 @@ object CurationQueries {
     "q195_dsir_resample" -> ((s, d) =>
       CurationOps.dsirResample(Tables.documents(s, d), "doc_id", "text",
         isTarget = pmod(col("doc_id"), lit(97L)) === 0L, n = 100)),
+
+
+    // Weak-supervision label resolution (Snorkel majority vote): three
+    // deterministic labeling functions — length (>=200 chars keep,
+    // <50 drop), digit ratio (>10% drop), stopword count (>=5 keep) —
+    // each voting or abstaining per doc; plurality wins, top-count ties
+    // resolve to 'abstain'. Every 23rd doc is REWRITTEN to a 270-char
+    // digit-heavy zero-stopword constant, forcing a PLANTED 1-1
+    // keep/drop tie so the tie path is provably exercised.
+    "q205_weak_labels" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(did.as("id"),
+        when(pmod(did, lit(23)) === 0, expr("repeat('data 123 ', 30)"))
+          .otherwise(col("text")).as("text"))
+      val clean = T.cleanText(col("text"))
+      val feats = corpus.select(col("id"),
+        length(col("text")).cast("long").as("nc"),
+        expr("CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS BIGINT)").as("nd"),
+        size(filter(
+          when(clean === "", array().cast("array<string>")).otherwise(split(clean, " ")),
+          x => x.isin("the", "and", "of", "is"))).cast("long").as("ns"))
+      val votes = feats.select(col("id"), expr(
+        """stack(3,
+          | 'lf_len', CASE WHEN nc >= 200 THEN 'keep' WHEN nc < 50 THEN 'drop' END,
+          | 'lf_digit', CASE WHEN nd * 10 > nc THEN 'drop' END,
+          | 'lf_stop', CASE WHEN ns >= 5 THEN 'keep' END) AS (lf, label)""".stripMargin))
+      CurationOps.weakLabelVote(votes, "id", "label")
+        .select(col("id").as("doc_id"), col("n_votes"), col("n_abstain"),
+          col("label"), col("is_tie"), col("conf_bp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -709,5 +738,43 @@ object CurationQueries {
          |  ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h FROM sc)
          |SELECT id, n_toks, score, imp_bp FROM r
          |ORDER BY imp_bp DESC, h, id LIMIT 100""".stripMargin,
+
+
+    // The three LF rules re-derived on the identical planted corpus,
+    // plurality via (count DESC, label) row_number, ties and the
+    // zero-vote case folded to 'abstain' with conf 0 — the engine's
+    // min-struct winner is the same label the ORDER BY picks.
+    "q205_weak_labels" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, CASE WHEN doc_id % 23 = 0
+         |  THEN repeat('data 123 ', 30) ELSE text END AS text FROM documents),
+         |f AS (SELECT id, CAST(length(text) AS BIGINT) AS nc,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS nd,
+         |  CAST(len(list_filter($toksSql, x -> x IN ('the','and','of','is'))) AS BIGINT) AS ns
+         | FROM corpus),
+         |votes AS (
+         | SELECT id, CASE WHEN nc >= 200 THEN 'keep' WHEN nc < 50 THEN 'drop' END AS label FROM f
+         | UNION ALL SELECT id, CASE WHEN nd * 10 > nc THEN 'drop' END FROM f
+         | UNION ALL SELECT id, CASE WHEN ns >= 5 THEN 'keep' END FROM f),
+         |v AS (SELECT id, label FROM votes WHERE label IS NOT NULL),
+         |counts AS (SELECT id, label, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+         |agg AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_votes, max(c) AS c_max
+         | FROM counts GROUP BY id),
+         |ntop AS (SELECT c.id, CAST(count(*) AS BIGINT) AS n_top
+         | FROM counts c JOIN agg USING (id) WHERE c.c = agg.c_max GROUP BY c.id),
+         |win AS (SELECT id, label AS wl FROM (
+         |  SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rk
+         |  FROM counts) s WHERE rk = 1),
+         |abst AS (SELECT id, CAST(count(*) AS BIGINT) AS n_abstain
+         | FROM votes WHERE label IS NULL GROUP BY id),
+         |ids AS (SELECT DISTINCT id FROM votes)
+         |SELECT i.id AS doc_id,
+         | coalesce(a.n_votes, 0) AS n_votes,
+         | coalesce(ab.n_abstain, 0) AS n_abstain,
+         | CASE WHEN a.n_votes IS NULL OR nt.n_top > 1 THEN 'abstain' ELSE w.wl END AS label,
+         | coalesce(nt.n_top, 0) > 1 AS is_tie,
+         | CASE WHEN a.n_votes IS NULL OR nt.n_top > 1 THEN 0
+         |  ELSE (a.c_max * 10000) // a.n_votes END AS conf_bp
+         |FROM ids i LEFT JOIN agg a USING (id) LEFT JOIN ntop nt USING (id)
+         | LEFT JOIN win w USING (id) LEFT JOIN abst ab USING (id)""".stripMargin,
   )
 }

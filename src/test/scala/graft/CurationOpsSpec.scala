@@ -147,4 +147,20 @@ class CurationOpsSpec extends SparkSpec {
     val floorScore = out.map(_._4).min
     assert(floorScore > 0L, "noise-floor docs (imp_bp would be ~0) must not make the cut")
   }
+
+  test("weakLabelVote: plurality, tie->abstain, all-abstain, unanimity") {
+    val votes = Seq(
+      (1L, "lf_a", "keep"), (1L, "lf_b", "keep"), (1L, "lf_c", "drop"),
+      (2L, "lf_a", "keep"), (2L, "lf_b", "drop"), (2L, "lf_c", null),
+      (3L, "lf_a", null), (3L, "lf_b", null), (3L, "lf_c", null),
+      (4L, "lf_a", "keep"), (4L, "lf_b", null), (4L, "lf_c", null)
+    ).toDF("id", "lf", "label")
+    val out = CurationOps.weakLabelVote(votes, "id", "label")
+      .as[(Long, Long, Long, String, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 0L, "keep", false, 6666L)), s"2-1 plurality: ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, 1L, "abstain", true, 0L)), s"1-1 tie: ${out(2L)}")
+    assert(out(3L) == ((3L, 0L, 3L, "abstain", false, 0L)), s"no votes: ${out(3L)}")
+    assert(out(4L) == ((4L, 1L, 2L, "keep", false, 10000L)), s"single vote: ${out(4L)}")
+  }
 }
