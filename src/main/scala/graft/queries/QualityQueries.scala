@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Data quality, governance and CDC: profiling, constraints, k-anonymity, snapshot diff, SCD2, MERGE, CDC feeds, freshness, backfill, KS drift.
   *
-  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift.
+  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift, q206_kappa.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object QualityQueries {
@@ -176,6 +176,33 @@ object QualityQueries {
           .otherwise(col("n_chars")).as("n_chars"))
       QualityOps.ksDrift(a, b, "n_chars")
     }),
+
+
+    // Cohen's kappa between two rule annotators — the inter-annotator-
+    // agreement gate a labeling pipeline reports before trusting labels.
+    // Annotator 1: q15's quality composite >= 0.5; annotator 2: token
+    // count >= 30. Kappa is EXACT in integers: with a = agreements and
+    // S = Σ_k row_k·col_k, kappa = (n·a − S)/(n² − S), emitted e4 via
+    // one truncating div (negative-safe: div truncates toward zero in
+    // both engines). Chance-perfect marginals (n² = S) pin 10⁴.
+    "q206_kappa" -> ((s, d) => {
+      val q = TextAnalysisOps.qualityScore(Tables.documents(s, d), "doc_id", "text")
+        .select(
+          when(col("quality") >= 0.5, 1L).otherwise(0L).as("a1"),
+          when(col("n_tokens") >= 30L, 1L).otherwise(0L).as("a2"))
+      q.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("a1") === col("a2"), 1L).otherwise(0L)).as("n_agree"),
+          sum("a1").as("n_pos_quality"),
+          sum("a2").as("n_pos_length"))
+        .select(col("n"), col("n_agree"), col("n_pos_quality"), col("n_pos_length"),
+          expr("""CASE WHEN n * n = n_pos_quality * n_pos_length
+            |  + (n - n_pos_quality) * (n - n_pos_length) THEN CAST(10000 AS BIGINT)
+            | ELSE ((n * n_agree - n_pos_quality * n_pos_length
+            |   - (n - n_pos_quality) * (n - n_pos_length)) * 10000)
+            |  div (n * n - n_pos_quality * n_pos_length
+            |   - (n - n_pos_quality) * (n - n_pos_length)) END""".stripMargin).as("kappa_e4"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -336,5 +363,26 @@ object QualityQueries {
         | CAST(max(d) AS BIGINT) AS ks_bp,
         | CAST(min(v) FILTER (d = (SELECT max(d) FROM dd)) AS BIGINT) AS v_at_max
         |FROM dd""".stripMargin,
+
+
+    // q15's quality CTEs feed annotator 1, m.n_tokens annotator 2; the
+    // 2x2 marginal identity S = n1·n2 + (n−n1)(n−n2) makes kappa one
+    // integer division on both sides.
+    "q206_kappa" ->
+      s"""WITH $qualityCtes,
+         |j AS (SELECT CASE WHEN $qualityExprSql >= 0.5 THEN 1 ELSE 0 END AS a1,
+         |  CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END AS a2 FROM m),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN a1 = a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST(sum(a1) AS BIGINT) AS n_pos_quality,
+         |  CAST(sum(a2) AS BIGINT) AS n_pos_length FROM j)
+         |SELECT n, n_agree, n_pos_quality, n_pos_length,
+         | CASE WHEN n * n = n_pos_quality * n_pos_length
+         |   + (n - n_pos_quality) * (n - n_pos_length) THEN CAST(10000 AS BIGINT)
+         |  ELSE ((n * n_agree - n_pos_quality * n_pos_length
+         |    - (n - n_pos_quality) * (n - n_pos_length)) * 10000)
+         |   // (n * n - n_pos_quality * n_pos_length
+         |    - (n - n_pos_quality) * (n - n_pos_length)) END AS kappa_e4
+         |FROM a""".stripMargin,
   )
 }
