@@ -66,7 +66,13 @@ object SimilarityOps {
     * (id, d2) struct with the smallest distance. Strict `<` keeps the
     * earliest (lowest-position) centroid on ties — deterministic.
     */
-  private def nearestCentroid(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
+  private def nearestCentroid(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    nearestCentroidWithD2(vec, centroids).getField("_1")
+
+  /** As [[nearestCentroid]], but keeps the winning (cid, d2) struct —
+    * the distance is what outlier pruning thresholds on.
+    */
+  private def nearestCentroidWithD2(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
     val lits = typedLit(centroids)
     aggregate(
       lits,
@@ -75,7 +81,7 @@ object SimilarityOps {
         val d2 = V.sqDist(vec, c.getField("_2"))
         when(d2 < acc.getField("_2"), struct(c.getField("_1").as("_1"), d2.as("_2")))
           .otherwise(acc)
-      }).getField("_1")
+      })
   }
 
   /** The `nprobe` nearest centroid ids for a query vector, as an array —
@@ -126,6 +132,39 @@ object SimilarityOps {
     */
   def assignTo(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column =
     nearestCentroid(vec.cast("array<double>"), centroids)
+
+  /** Embedding outlier pruning by distance to the assigned centroid —
+    * the SemDeDup-adjacent curation step that drops mis-embedded or
+    * off-manifold vectors BEFORE they poison ANN neighborhoods and
+    * k-means updates: a vector far from every centroid is noise, not a
+    * cluster member.
+    *
+    * Assignment is the [[nearestCentroid]] literal-argmin (zero joins,
+    * zero shuffles); the only exchange is the per-cluster mean-distance
+    * partial aggregation (nlist rows), broadcast back. Distances are
+    * quantized to integer e4 (`floor(sqrt(d2)·10⁴ + 0.5)` — IEEE sqrt is
+    * correctly rounded, so the quantized value is cross-engine exact)
+    * and the threshold is the all-integer rule
+    * `dist_e4 · ratioDen > mean_e4 · ratioNum` (default 3/2 = 1.5× the
+    * cluster's mean distance).
+    *
+    * Returns (vec_id, cid, dist_e4, mean_e4, is_outlier).
+    */
+  def centroidOutliers(corpus: DataFrame, nlist: Int = 16,
+                       ratioNum: Long = 3L, ratioDen: Long = 2L,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(corpus, nlist, idCol, vecCol)
+    val assigned = corpus.select(
+        col(idCol).as("vec_id"),
+        nearestCentroidWithD2(col(vecCol).cast("array<double>"), cents).as("best"))
+      .select(col("vec_id"), col("best").getField("_1").as("cid"),
+        floor(sqrt(col("best").getField("_2")) * 10000 + 0.5).cast("long").as("dist_e4"))
+    val means = assigned.groupBy("cid")
+      .agg(expr("sum(dist_e4) div count(1)").as("mean_e4"))
+    assigned.join(broadcast(means), "cid")
+      .select(col("vec_id"), col("cid"), col("dist_e4"), col("mean_e4"),
+        (col("dist_e4") * ratioDen > col("mean_e4") * ratioNum).as("is_outlier"))
+  }
 
   /** Lloyd's k-means over the corpus, returning k centroids.
     *

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep, q197_binary_ann, q199_mutual_knn.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep, q197_binary_ann, q199_mutual_knn, q207_centroid_outliers.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -347,6 +347,23 @@ object SimilarityQueries {
         emb.where(pmod(col("vec_id"), lit(2L)) === 1), seeds)
       SimilarityOps.kmeansCentroidsFromState(
         SimilarityOps.kmeansMergeStates(a, b))
+    }),
+
+
+    // Embedding outlier pruning: distance to the assigned centroid
+    // (q29's 16-centroid assignment) against an all-integer 1.5×-mean
+    // per-cluster gate. Every 13th embedding is PLANTED as a +2.0-per-
+    // dim displaced copy (id + 10^12) — far off the data manifold, so
+    // the flagged set is provably non-empty while the original corpus
+    // members mostly keep their clusters' mean distance.
+    "q207_centroid_outliers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(pmod(col("vec_id"), lit(13)) === 0)
+          .select((col("vec_id") + 1000000000000L).as("vec_id"),
+            transform(col("embedding"),
+              x => (x + lit(2.0f)).cast("float")).as("embedding")))
+      SimilarityOps.centroidOutliers(corpus, nlist = 16)
     }),
   )
 
@@ -837,5 +854,34 @@ object SimilarityQueries {
         |SELECT CAST(cid AS INTEGER) AS centroid_id, CAST(dim AS INTEGER) AS dim,
         | CAST(sum(x) AS BIGINT) // count(*) AS c, CAST(count(*) AS BIGINT) AS n
         |FROM m GROUP BY cid, dim""".stripMargin,
+
+
+    // Assignment is the ivf-chain argmin (d2 ties to lowest cid, the
+    // engine's strict-< fold); dist_e4 quantizes through the correctly-
+    // rounded IEEE sqrt, the cluster mean is one truncating div, and
+    // the 1.5× gate is the same integer inequality.
+    "q207_centroid_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(CAST(x AS REAL) + CAST(2.0 AS REAL) AS REAL)) AS v
+        |  FROM embeddings WHERE vec_id % 13 = 0),
+        |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |ad AS (SELECT e.vec_id, c.cid,
+        |  list_sum(list_transform(list_zip(e.v, c.cv),
+        |    p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS d2,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(list_zip(e.v, c.cv),
+        |     p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), c.cid) AS rn
+        | FROM e CROSS JOIN cent c),
+        |a AS (SELECT vec_id, cid,
+        |  CAST(floor(sqrt(d2) * 10000 + 0.5) AS BIGINT) AS dist_e4
+        | FROM ad WHERE rn = 1),
+        |mn AS (SELECT cid, CAST(sum(dist_e4) AS BIGINT) // count(*) AS mean_e4
+        | FROM a GROUP BY cid)
+        |SELECT a.vec_id, a.cid, a.dist_e4, mn.mean_e4,
+        | a.dist_e4 * 2 > mn.mean_e4 * 3 AS is_outlier
+        |FROM a JOIN mn USING (cid)""".stripMargin,
   )
 }

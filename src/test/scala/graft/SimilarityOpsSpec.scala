@@ -353,4 +353,24 @@ class SimilarityOpsSpec extends SparkSpec {
         s"query $q must rank its sign-identical twin first at hamming 0, got $top")
     }
   }
+
+  test("centroidOutliers: far-from-manifold vectors flag; cluster cores do not") {
+    // centroids = two lowest ids: (0,0) and (10,10); cluster 0 carries a
+    // planted far point (3,4) at dist 5 vs member dist 1
+    val emb = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)),
+      (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)), (5L, Seq(3.0, 4.0)),
+      (4L, Seq(10.0, 11.0)), (6L, Seq(10.0, 9.0)), (7L, Seq(11.0, 10.0))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.centroidOutliers(emb, nlist = 2)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // cluster 0: dists {0, 1, 1, 5} -> mean_e4 = 70000 div 4 = 17500
+    assert(out(5L) == ((5L, 0L, 50000L, 17500L, true)), s"planted outlier: ${out(5L)}")
+    assert(out(2L) == ((2L, 0L, 10000L, 17500L, false)), s"core member: ${out(2L)}")
+    assert(out(0L)._5 == false && out(0L)._3 == 0L, "a centroid is its own cluster core")
+    // cluster 1: dists {0, 1, 1, 1} -> mean_e4 = 7500; 1.0 is within 1.5x
+    assert(Seq(4L, 6L, 7L).forall(i => out(i)._2 == 1L && !out(i)._5),
+      s"cluster-1 members: $out")
+  }
 }
