@@ -471,4 +471,52 @@ object GraphOps {
     val nEdges = c.agg(count(lit(1)).as("n_edges"))
     nNodes.crossJoin(nEdges).crossJoin(tri)
   }
+
+  /** Newman modularity of a GIVEN node partition (the quality metric for
+    * q200's label-prop communities, Louvain outputs, or any taxonomy
+    * assignment): per community c, `Q_c = e_c/m − (d_c/2m)²` where e_c
+    * is the intra-community edge count and d_c the community degree sum.
+    * Emitted as the EXACT integer numerator `q_num_4m2 = 4·m·e_c − d_c²`
+    * over the common denominator 4m² — summing q_num_4m2/(4m²) across
+    * rows reconstructs Q with zero FP drift, so the whole report
+    * hash-checks.
+    *
+    * `edges` (src, dst) is canonicalized undirected (self-loops and
+    * duplicates dropped); `communities` is (id, community: long) — nodes
+    * absent from it land in community −1 rather than silently vanishing
+    * from the mass balance. Shape: one distinct-edge shuffle, one degree
+    * count, two broadcast-size community joins keyed by node, and a 1-row
+    * broadcast of m. Long-exact while 4m² < 2⁶³ (m < ~1.5e9 undirected
+    * edges; shard the edge set and merge counts beyond that).
+    *
+    * Returns (community, n_nodes, deg_sum, e_in, m, q_num_4m2).
+    */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val m = canon.agg(count(lit(1)).as("m"))
+    val com = communities.select(col("id").cast("long").as("id"),
+      col("community").cast("long").as("community"))
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val perCom = deg.join(com, Seq("id"), "left")
+      .select(coalesce(col("community"), lit(-1L)).as("community"), col("deg"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))
+    val eIn = canon
+      .join(com.select(col("id").as("a"), col("community").as("ca")), Seq("a"), "left")
+      .join(com.select(col("id").as("b"), col("community").as("cb")), Seq("b"), "left")
+      .where(coalesce(col("ca"), lit(-1L)) === coalesce(col("cb"), lit(-1L)))
+      .groupBy(coalesce(col("ca"), lit(-1L)).as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    perCom.join(eIn, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("m"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+          - col("deg_sum") * col("deg_sum")).as("q_num_4m2"))
+  }
 }

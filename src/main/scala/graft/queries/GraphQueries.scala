@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance,
   * q167_bfs_deep, q168_pagerank_deep, q184_link_rank, q194_anchor_text,
-  * q198_hits, q200_label_prop, q201_random_walks.
+  * q198_hits, q200_label_prop, q201_random_walks, q208_modularity.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object GraphQueries {
@@ -187,6 +187,27 @@ object GraphQueries {
       GraphOps.randomWalks(edges,
         docs.where(pmod(did, lit(25)) === 0).select(did.as("start")),
         steps = 4, seed = "walk")
+    }),
+
+
+    // Newman modularity of a known partition over a PLANTED community
+    // graph: intra edges stay inside each node's 125-block by
+    // construction ((id div 125)·125 + (31·id+7) mod 125), every 10th
+    // node adds a +137-mod-500 bridge that mostly crosses blocks — so
+    // Q is provably positive but below 1, and the bridge mass shows up
+    // in the per-community e_in/deg_sum imbalance. Exact integer
+    // numerators over 4m² (no FP), the quality gate for q200's
+    // label-prop output.
+    "q208_modularity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(did.as("src"),
+          expr("(doc_id div 125) * 125 + pmod(doc_id * 31 + 7, 125)").as("dst"))
+        .unionByName(docs.where(pmod(did, lit(10)) === 0)
+          .select(did.as("src"), pmod(did + 137L, lit(500L)).as("dst")))
+      val nodes = edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id"))).distinct()
+      val communities = nodes.select(col("id"), expr("id div 125").as("community"))
+      GraphOps.modularity(edges, communities)
     }),
   )
 
@@ -392,6 +413,33 @@ object GraphQueries {
         |UNION ALL SELECT start, step, node FROM w2
         |UNION ALL SELECT start, step, node FROM w3
         |UNION ALL SELECT start, step, node FROM w4""".stripMargin,
+
+
+    // The same planted graph canonicalized undirected; per-community
+    // degree sums and intra-edge counts feed the exact integer
+    // numerator 4·m·e_c − d_c² over the common 4m² denominator.
+    "q208_modularity" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id // 125) * 125 + (doc_id * 31 + 7) % 125 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 137) % 500 FROM documents WHERE doc_id % 10 = 0),
+        |canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        | FROM e0 WHERE src <> dst),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+        |ends AS (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon),
+        |com AS (SELECT DISTINCT id, id // 125 AS community FROM ends),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM ends GROUP BY id),
+        |percom AS (SELECT c.community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(d.deg) AS BIGINT) AS deg_sum
+        | FROM deg d JOIN com c USING (id) GROUP BY c.community),
+        |ein AS (SELECT ca.community, CAST(count(*) AS BIGINT) AS e_in FROM canon
+        | JOIN com ca ON ca.id = canon.a JOIN com cb ON cb.id = canon.b
+        | WHERE ca.community = cb.community GROUP BY ca.community)
+        |SELECT p.community, p.n_nodes, p.deg_sum,
+        | CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, m.m,
+        | 4 * m.m * CAST(coalesce(e.e_in, 0) AS BIGINT) - p.deg_sum * p.deg_sum AS q_num_4m2
+        |FROM percom p LEFT JOIN ein e USING (community) CROSS JOIN m""".stripMargin,
   )
 }
 

@@ -243,4 +243,37 @@ class GraphOpsSpec extends SparkSpec {
       outSeed.length != out.length,
       "seeds must steer choices (overwhelmingly likely on this graph)")
   }
+
+  test("modularity: two triangles + bridge, exact integer numerators, -1 bucket for unassigned") {
+    // triangles {0,1,2} and {3,4,5}, bridge (2,3), pendant (5,9) with 9
+    // unassigned; plus a duplicate edge and a self-loop that must drop
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (2L, 3L), (5L, 9L), (1L, 0L), (2L, 2L)).toDF("src", "dst")
+    val com = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("id", "community")
+    val out = GraphOps.modularity(edges, com)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // m = 8 canonical edges; deg sums: com0 = 2+2+3 = 7, com1 = 3+2+3 = 8
+    assert(out(0L) == ((0L, 3L, 7L, 3L, 8L, 4L * 8L * 3L - 49L)))
+    assert(out(1L) == ((1L, 3L, 8L, 3L, 8L, 4L * 8L * 3L - 64L)))
+    // node 9 has no community: lands in -1 with zero intra edges
+    assert(out(-1L) == ((-1L, 1L, 1L, 0L, 8L, -1L)))
+    // sanity: sum of numerators / 4m^2 is the classic Q, here ~0.305
+    val q = out.values.map(_._6).sum.toDouble / (4.0 * 8.0 * 8.0)
+    assert(q > 0.30 && q < 0.31, s"Q = $q")
+  }
+
+  test("modularity: a perfect 2-clique partition scores higher than a mixed one") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L))
+      .toDF("src", "dst")
+    def q(com: Seq[(Long, Long)]): Double =
+      GraphOps.modularity(edges, com.toDF("id", "community"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(_._6).sum.toDouble / (4.0 * 6.0 * 6.0)
+    val perfect = q(Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    val mixed = q(Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L), (4L, 0L), (5L, 1L)))
+    assert(perfect == 0.5, s"two disjoint triangles: Q = 1/2 exactly, got $perfect")
+    assert(mixed < perfect, s"shuffled labels must score lower: $mixed vs $perfect")
+  }
 }
