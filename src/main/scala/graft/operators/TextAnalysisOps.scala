@@ -482,4 +482,29 @@ object TextAnalysisOps {
       .select(col("source"), col("n_tokens"), col("d_vocab"), col("f1"), col("f2"),
         (col("d_vocab") + expr("(f1 * (f1 - 1)) div (2 * (f2 + 1))")).as("chao1"))
   }
+
+  /** The hashing trick (signed feature hashing): tokens fold into a
+    * fixed `nBuckets`-dimensional sparse vector via a portable md5 hash
+    * — bucket = h mod n, sign = parity of the next hash bit (the
+    * Weinberger et al. construction that keeps collision noise
+    * zero-mean). THE featurization that makes linear models scale:
+    * vocabulary-free (no dictionary build/broadcast), fixed width at
+    * any corpus size, and merge = vector addition, so per-shard
+    * features combine associatively.
+    *
+    * One tokenize pass, one (id, bucket) partial-agg shuffle — the
+    * bucket table never exceeds id × nBuckets. Returns the sparse rows
+    * (id, bucket, f) with f = signed collision-summed count.
+    */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int = 256): DataFrame = {
+    val clean = T.cleanText(col(textCol))
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(when(clean === "", array().cast("array<string>"))
+          .otherwise(split(clean, " "))).as("tok"))
+      .select(col("id"), graft.functions.HashFunctions.portableHash60(col("tok")).as("h"))
+      .select(col("id"), expr(s"pmod(h, $nBuckets)").as("bucket"),
+        expr(s"pmod(h div $nBuckets, 2) * 2 - 1").as("sign"))
+      .groupBy("id", "bucket").agg(sum("sign").as("f"))
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis and tokenization: quality scores, lang-ID, BPE, packing, chunking, redaction, boilerplate, token rarity, bigram LM.
   *
-  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1.
+  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1, q210_feature_hash.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object TextQueries {
@@ -237,6 +237,27 @@ object TextQueries {
         concat(col("text"), lit(" uniq"), sid, lit(" pair"),
           expr("CAST(doc_id div 40 AS STRING)")).as("text"))
       TextAnalysisOps.vocabRichness(corpus, "source", "text")
+    }),
+
+
+    // The hashing trick end-to-end: tokens fold into 256 signed buckets
+    // (portable md5 bucket + parity sign), then a FIXED hashed linear
+    // model scores each doc straight off the buckets — w(b) = b%21 − 10,
+    // the deterministic stand-in for trained weights. No vocabulary is
+    // ever built or broadcast; featurize + score is one pass + one
+    // (id, bucket) shuffle at any corpus size.
+    "q210_feature_hash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perDoc = TextAnalysisOps.featureHash(docs, "doc_id", "text", nBuckets = 256)
+        .groupBy("id").agg(
+          count(lit(1)).as("n_buckets"),
+          sum(abs(col("f"))).as("l1"),
+          sum(expr("f * (bucket % 21 - 10)")).as("score"))
+      docs.select(did.as("id")).join(perDoc, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+          coalesce(col("l1"), lit(0L)).as("l1"),
+          coalesce(col("score"), lit(0L)).as("score"))
     }),
   )
 
@@ -590,5 +611,21 @@ object TextQueries {
          |SELECT source, n_tokens, d_vocab, f1, f2,
          | d_vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1
          |FROM a""".stripMargin,
+
+
+    // Same md5 bucket/sign arithmetic (h >= 0, so % == pmod), same
+    // fixed bucket weights, zero-row docs kept by the left join.
+    "q210_feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+         |f AS (SELECT doc_id, h % 256 AS bucket,
+         |  CAST(sum((h // 256) % 2 * 2 - 1) AS BIGINT) AS f FROM h GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(abs(f)) AS BIGINT) AS l1,
+         |  CAST(sum(f * (bucket % 21 - 10)) AS BIGINT) AS score FROM f GROUP BY 1)
+         |SELECT d.doc_id, coalesce(pd.n_buckets, 0) AS n_buckets,
+         | coalesce(pd.l1, 0) AS l1, coalesce(pd.score, 0) AS score
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
   )
 }

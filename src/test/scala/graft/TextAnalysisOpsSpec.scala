@@ -156,4 +156,22 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(out("A") == (("A", 5L, 4L, 3L, 1L, 5L)), out("A").toString)
     assert(out("B") == (("B", 4L, 2L, 0L, 2L, 2L)), out("B").toString)
   }
+
+  test("featureHash: deterministic, text-identical docs collide, signed mass bounded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"),   // same text -> identical feature rows
+      (3L, "delta"), (4L, "")
+    ).toDF("id", "text")
+    val out = TextAnalysisOps.featureHash(docs, "id", "text", nBuckets = 16)
+      .as[(Long, Long, Long)].collect()
+    val by = out.groupBy(_._1)
+    assert(by(1L).map(r => (r._2, r._3)).toSet == by(2L).map(r => (r._2, r._3)).toSet,
+      "identical text must produce identical sparse vectors")
+    assert(!by.contains(4L), "empty doc emits no feature rows")
+    // signed counts: |sum of signs| per bucket <= token occurrences
+    assert(by(1L).map(r => math.abs(r._3)).sum <= 4L)
+    assert(by(1L).forall(r => r._2 >= 0L && r._2 < 16L), "buckets within range")
+    assert(by(3L).map(r => math.abs(r._3)).sum == 1L, "single token: one unit of mass")
+  }
 }
