@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Data quality, governance and CDC: profiling, constraints, k-anonymity, snapshot diff, SCD2, MERGE, CDC feeds, freshness, backfill, KS drift.
   *
-  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift, q206_kappa.
+  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift, q206_kappa, q211_calibration.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object QualityQueries {
@@ -203,6 +203,28 @@ object QualityQueries {
             |  div (n * n - n_pos_quality * n_pos_length
             |   - (n - n_pos_quality) * (n - n_pos_length)) END""".stripMargin).as("kappa_e4"))
     }),
+
+
+    // Calibration / reliability report (the per-bin body of ECE): the
+    // q15 quality composite read as a confidence for the "long doc"
+    // label, binned into confidence deciles; each bin reports count,
+    // mean confidence, accuracy, and |acc − conf| — the artifact that
+    // says WHERE a quality classifier over- or under-claims, which a
+    // single AUC number hides. All-integer (e4 means via truncating
+    // div), one tiny 10-row aggregate.
+    "q211_calibration" -> ((s, d) => {
+      val q = TextAnalysisOps.qualityScore(Tables.documents(s, d), "doc_id", "text")
+        .select(floor(col("quality") * 10000 + 0.5).cast("long").as("conf_e4"),
+          when(col("n_tokens") >= 30L, 1L).otherwise(0L).as("y"))
+      q.select(least(expr("conf_e4 div 1000"), lit(9L)).as("bin"),
+          col("conf_e4"), col("y"))
+        .groupBy("bin").agg(count(lit(1)).as("n"),
+          sum("conf_e4").as("sc"), sum("y").as("n_pos"))
+        .select(col("bin"), col("n"),
+          expr("sc div n").as("conf_e4"),
+          expr("(n_pos * 10000) div n").as("acc_e4"),
+          abs(expr("sc div n") - expr("(n_pos * 10000) div n")).as("gap_e4"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -384,5 +406,20 @@ object QualityQueries {
          |   // (n * n - n_pos_quality * n_pos_length
          |    - (n - n_pos_quality) * (n - n_pos_length)) END AS kappa_e4
          |FROM a""".stripMargin,
+
+
+    // The e4-rounded quality recovers the engine's integer confidence
+    // exactly; decile binning, per-bin means and gaps are all integer
+    // division on identical operands.
+    "q211_calibration" ->
+      s"""WITH $qualityCtes,
+         |s0 AS (SELECT CAST(floor($qualityExprSql * 10000 + 0.5) AS BIGINT) AS conf_e4,
+         |  CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END AS y FROM m),
+         |b AS (SELECT least(conf_e4 // 1000, 9) AS bin, conf_e4, y FROM s0),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(conf_e4) AS BIGINT) AS sc, CAST(sum(y) AS BIGINT) AS n_pos
+         | FROM b GROUP BY bin)
+         |SELECT bin, n, sc // n AS conf_e4, (n_pos * 10000) // n AS acc_e4,
+         | abs(sc // n - (n_pos * 10000) // n) AS gap_e4 FROM g""".stripMargin,
   )
 }
