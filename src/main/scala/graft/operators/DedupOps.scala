@@ -1216,4 +1216,42 @@ object DedupOps {
         (id, toks.length.toLong, (toks.length - kept.length).toLong, kept.mkString(" "))
       }.toDF("id", "n_tokens", "n_removed", "clean_text")
   }
+
+  /** Asymmetric shingle CONTAINMENT C(probe → host) =
+    * |S(probe) ∩ S(host)| / |S(probe)| — quote/plagiarism detection. A
+    * short passage lifted verbatim from a long document has containment
+    * ≈ 1 while its Jaccard is tiny (the union is dominated by the host),
+    * so the symmetric near-dup stack structurally misses it; containment
+    * is the right asymmetric measure for "is this snippet FROM that
+    * corpus".
+    *
+    * Shape: the [[hashedShingleRowsPortable]] kernel on both sides, then
+    * a shingle-hash equi-join guarded by corpus-side document frequency
+    * (shingles appearing in > maxDf hosts are boilerplate — joining them
+    * would square the candidate set; they still count in the probe
+    * denominator, so an all-boilerplate probe scores LOW, not high).
+    * Match counts partial-aggregate per (probe, host); only pairs
+    * clearing minBp survive.
+    *
+    * Returns (probe_id, host_id, n_match, n_probe, containment_bp).
+    */
+  def containmentScores(corpus: DataFrame, probes: DataFrame,
+                        idCol: String, textCol: String, shingleN: Int = 3,
+                        maxDf: Long = 1000L, minBp: Long = 8000L): DataFrame = {
+    val ch = hashedShingleRowsPortable(corpus, idCol, textCol, shingleN)
+      .select(col("id").as("host_id"), explode(col("hs")).as("h"))
+    val ph0 = hashedShingleRowsPortable(probes, idCol, textCol, shingleN)
+    val sizes = ph0.where(size(col("hs")) > 0)
+      .select(col("id").as("probe_id"), size(col("hs")).cast("long").as("n_probe"))
+    val ph = ph0.select(col("id").as("probe_id"), explode(col("hs")).as("h"))
+    val dfGuard = ch.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("h"))
+    ch.join(dfGuard, "h").join(ph, "h")
+      .where(col("probe_id") =!= col("host_id"))
+      .groupBy("probe_id", "host_id").agg(count(lit(1)).as("n_match"))
+      .join(sizes, "probe_id")
+      .select(col("probe_id"), col("host_id"), col("n_match"), col("n_probe"),
+        expr("(n_match * 10000) div n_probe").as("containment_bp"))
+      .where(col("containment_bp") >= minBp)
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication: exact, MinHash/SimHash LSH, fingerprints, connected components, semantic dedup, contamination, PPJoin, entity resolution.
   *
-  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment, q196_band_sweep, q202_dedup_report.
+  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment, q196_band_sweep, q202_dedup_report, q212_containment.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object DedupQueries {
@@ -463,6 +463,25 @@ object DedupQueries {
           (col("cluster_size") * col("n_clusters")).as("rows_at_size"),
           col("total_rows"), col("total_clusters"),
           (col("total_rows") - col("total_clusters")).as("dup_rows"))
+    }),
+
+
+    // Asymmetric shingle CONTAINMENT (quote/plagiarism detection): every
+    // 29th doc plants a PROBE (id + 3·10^12) holding only its host's
+    // first 12 tokens — containment 1.0 by construction while Jaccard
+    // vs the full host is tiny, the case the symmetric near-dup stack
+    // (q25/q26) structurally misses. Probes score against the whole
+    // corpus through the df-guarded shingle join; >= 0.8 survives.
+    "q212_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clean = T.cleanText(col("text"))
+      val toks = when(clean === "", array().cast("array<string>"))
+        .otherwise(split(clean, " "))
+      val probes = docs.where(pmod(did, lit(29)) === 0)
+        .select((did + 3000000000000L).as("id"),
+          array_join(slice(toks, 1, 12), " ").as("text"))
+      DedupOps.containmentScores(
+        docs.select(did.as("id"), col("text")), probes, "id", "text")
     }),
   )
 
@@ -1041,5 +1060,37 @@ object DedupQueries {
          | t.total_rows - t.total_clusters AS dup_rows
          |FROM g CROSS JOIN t
          |GROUP BY g.cluster_size, t.total_rows, t.total_clusters""".stripMargin,
+
+
+    // The same 3-token shingle md5 hashing on both sides (DISTINCT per
+    // doc), the same df <= 1000 corpus-side guard, integer containment
+    // in bp over the probe's shingle count.
+    "q212_containment" ->
+      s"""WITH probes AS (SELECT doc_id + 3000000000000 AS id,
+         |  array_to_string(($toksSql)[1:12], ' ') AS text
+         | FROM documents WHERE doc_id % 29 = 0),
+         |ct AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |csh0 AS (SELECT id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' ')) END) AS sh FROM ct),
+         |csh AS (SELECT DISTINCT id AS host_id,
+         |  ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM csh0),
+         |pt AS (SELECT id, $toksSql AS toks FROM probes),
+         |psh0 AS (SELECT id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' ')) END) AS sh FROM pt),
+         |psh AS (SELECT DISTINCT id AS probe_id,
+         |  ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM psh0),
+         |sizes AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_probe
+         | FROM psh GROUP BY probe_id),
+         |guard AS (SELECT h FROM (SELECT h, count(*) AS df FROM csh GROUP BY h)
+         | WHERE df <= 1000),
+         |m AS (SELECT p.probe_id, c.host_id, CAST(count(*) AS BIGINT) AS n_match
+         | FROM csh c JOIN guard g ON g.h = c.h JOIN psh p ON p.h = c.h
+         | WHERE p.probe_id <> c.host_id GROUP BY 1, 2)
+         |SELECT m.probe_id, m.host_id, m.n_match, s.n_probe,
+         | (m.n_match * 10000) // s.n_probe AS containment_bp
+         |FROM m JOIN sizes s USING (probe_id)
+         |WHERE (m.n_match * 10000) // s.n_probe >= 8000""".stripMargin,
   )
 }

@@ -498,4 +498,24 @@ class DedupOpsSpec extends SparkSpec {
         s"bands=$bands: sweep path must emit the exact fused band rows")
     }
   }
+
+  test("containmentScores: a verbatim quote scores 1.0 where Jaccard would miss it; df guard mutes boilerplate") {
+    val host = (1 to 40).map(i => s"w$i").mkString(" ")   // 40 unique tokens
+    val corpus = Seq(
+      (1L, host),
+      (2L, "totally different content about other things entirely now"),
+      (3L, "totally different content about other things entirely too")
+    ).toDF("id", "text")
+    val quote = (5 to 16).map(i => s"w$i").mkString(" ")  // 12-token span of host
+    val probes = Seq((100L, quote), (101L, "nothing shared with anyone here at all")).toDF("id", "text")
+    val out = DedupOps.containmentScores(corpus, probes, "id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((100L, 1L, 10L, 10L, 10000L)),
+      s"the quote is fully contained in host 1 only: ${out.toSeq}")
+    // df guard: a shingle shared by > maxDf hosts cannot create matches
+    val boiler = Seq((200L, "totally different content")).toDF("id", "text")
+    val muted = DedupOps.containmentScores(corpus, boiler, "id", "text", maxDf = 1L, minBp = 0L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(muted.isEmpty, s"df=2 shingle must be guarded out at maxDf=1: ${muted.toSeq}")
+  }
 }
