@@ -363,4 +363,35 @@ object SampleOps {
     }
     keyed.withColumn("split", split)
   }
+
+  /** Max-min fair budget allocation over keyed demands (water-filling):
+    * each round splits the remaining budget equally across still-
+    * unsatisfied keys and grants each `min(deficit, share)` — small
+    * demands saturate early and their leftover flows to heavy keys in
+    * later rounds. The crawl-frontier / ingest-quota shape: "fetch at
+    * most B pages this cycle, fairly across domains". Unrolled to
+    * `rounds` synchronous rounds (each = one tiny 1-row aggregate
+    * broadcast + one narrow map over keys), deterministic and
+    * all-integer, so the allocation hash-checks.
+    *
+    * Returns (key, pending, granted, starved = pending − granted).
+    */
+  def waterFillBudget(counts: DataFrame, keyCol: String, pendingCol: String,
+                      budget: Long, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && budget >= 0L)
+    var df = counts.select(col(keyCol).as("key"),
+      col(pendingCol).cast("long").as("pending"), lit(0L).as("granted"))
+    for (_ <- 1 to rounds) {
+      val stats = df.agg(
+        sum("granted").as("spent"),
+        sum(when(col("pending") > col("granted"), 1L).otherwise(0L)).as("unsat"))
+      df = df.crossJoin(broadcast(stats))
+        .select(col("key"), col("pending"),
+          (col("granted") + least(col("pending") - col("granted"),
+            when(col("unsat") > 0L,
+              expr(s"($budget - spent) div unsat")).otherwise(lit(0L)))).as("granted"))
+    }
+    df.select(col("key"), col("pending"), col("granted"),
+      (col("pending") - col("granted")).as("starved"))
+  }
 }

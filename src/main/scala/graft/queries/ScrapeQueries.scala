@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** The reference's own pipeline surface: HTML table parsing, URL/text functions, pagination, CSV metadata, branch split.
   *
-  * Contract queries: q11_clean_text, q17_archive_status, q18_total_results, q19_sanitize_filename, q20_filename_from_url, q21_extension_from_url, q22_download_path, q23_url_hash, q35_parse_life, q36_parse_health, q39_count_scan, q42_r2_meta, q43_max_page, q44_parse_nonlife, q45_parse_life_list, q47_branch_split, q48_total_pages.
+  * Contract queries: q11_clean_text, q17_archive_status, q18_total_results, q19_sanitize_filename, q20_filename_from_url, q21_extension_from_url, q22_download_path, q23_url_hash, q35_parse_life, q36_parse_health, q39_count_scan, q42_r2_meta, q43_max_page, q44_parse_nonlife, q45_parse_life_list, q47_branch_split, q48_total_pages, q213_crawl_budget, q214_politeness.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object ScrapeQueries {
@@ -132,6 +132,41 @@ object ScrapeQueries {
         format_number(col("n_chars") * 3, 0), lit(" results")))
       Tables.documents(s, d).select(did,
         floor((total + 59) / 60).cast("int").as("total_pages"))
+    }),
+
+
+    // Crawl-cycle budget allocation by max-min fair water-filling:
+    // 7 domains with SKEWED pending queues (domain k's doc count
+    // scaled ×(k+1)) share a 600-fetch budget over 3 rounds — light
+    // domains saturate in round 1 and their leftover flows to the heavy
+    // tail, so `granted` is provably non-uniform and some domains
+    // starve. The "don't let one domain eat the fetch cycle" scheduler.
+    "q213_crawl_budget" -> ((s, d) => {
+      val pending = Tables.documents(s, d)
+        .select(concat(lit("d"), pmod(did, lit(7)).cast("string")).as("domain"),
+          pmod(did, lit(7)).as("k"))
+        .groupBy("domain").agg((count(lit(1)) * (max(col("k")) + 1L)).as("pending"))
+      SampleOps.waterFillBudget(pending, "domain", "pending",
+          budget = 600L, rounds = 3)
+        .select(col("key").as("domain"), col("pending"), col("granted"), col("starved"))
+    }),
+
+
+    // Per-domain politeness schedule: frontier URLs rank inside their
+    // domain in portable-hash order (deterministic "random" priority)
+    // and each domain's crawl delay staggers them into fetch slots —
+    // fetch_ms = (rank−1)·delay. The emitted schedule is what a fetcher
+    // fleet consumes; one window shuffle keyed by domain.
+    "q214_politeness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.documents(s, d).select(did.as("url_id"),
+        concat(lit("d"), pmod(did, lit(7)).cast("string")).as("domain"),
+        (lit(500L) + pmod(did, lit(7)) * 250L).as("delay_ms"),
+        graft.functions.HashFunctions.portableHash60(did.cast("string")).as("h"))
+      f.withColumn("rk", row_number().over(
+          Window.partitionBy("domain").orderBy(col("h"), col("url_id"))).cast("long"))
+        .select(col("url_id"), col("domain"), col("rk"), col("delay_ms"),
+          ((col("rk") - 1L) * col("delay_ms")).as("fetch_ms"))
     }),
   )
 
@@ -301,5 +336,46 @@ object ScrapeQueries {
       """SELECT doc_id,
         | CAST(floor((n_chars * 3 + 59) / 60.0) AS INTEGER) AS total_pages
         |FROM documents""".stripMargin,
+
+
+    // Three water-fill rounds unrolled: each recomputes (spent, unsat)
+    // and grants min(deficit, remaining // unsat) — integer identical
+    // to the engine's broadcast-stats loop.
+    "q213_crawl_budget" ->
+      """WITH p AS (SELECT 'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+        |  CAST(count(*) * (max(doc_id % 7) + 1) AS BIGINT) AS pending
+        | FROM documents GROUP BY 1),
+        |r0 AS (SELECT domain, pending, CAST(0 AS BIGINT) AS granted FROM p),
+        |s1 AS (SELECT CAST(sum(granted) AS BIGINT) AS spent,
+        |  CAST(sum(CASE WHEN pending > granted THEN 1 ELSE 0 END) AS BIGINT) AS un FROM r0),
+        |r1 AS (SELECT domain, pending, granted + least(pending - granted,
+        |  CASE WHEN un > 0 THEN (600 - spent) // un ELSE 0 END) AS granted
+        | FROM r0 CROSS JOIN s1),
+        |s2 AS (SELECT CAST(sum(granted) AS BIGINT) AS spent,
+        |  CAST(sum(CASE WHEN pending > granted THEN 1 ELSE 0 END) AS BIGINT) AS un FROM r1),
+        |r2 AS (SELECT domain, pending, granted + least(pending - granted,
+        |  CASE WHEN un > 0 THEN (600 - spent) // un ELSE 0 END) AS granted
+        | FROM r1 CROSS JOIN s2),
+        |s3 AS (SELECT CAST(sum(granted) AS BIGINT) AS spent,
+        |  CAST(sum(CASE WHEN pending > granted THEN 1 ELSE 0 END) AS BIGINT) AS un FROM r2),
+        |r3 AS (SELECT domain, pending, granted + least(pending - granted,
+        |  CASE WHEN un > 0 THEN (600 - spent) // un ELSE 0 END) AS granted
+        | FROM r2 CROSS JOIN s3)
+        |SELECT domain, pending, CAST(granted AS BIGINT) AS granted,
+        | CAST(pending - granted AS BIGINT) AS starved FROM r3""".stripMargin,
+
+
+    // The same md5-priority window per domain; row_number is BIGINT in
+    // DuckDB, matching the engine's cast.
+    "q214_politeness" ->
+      """WITH f AS (SELECT doc_id AS url_id,
+        |  'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+        |  CAST(500 + (doc_id % 7) * 250 AS BIGINT) AS delay_ms,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM documents),
+        |r AS (SELECT url_id, domain, delay_ms,
+        |  row_number() OVER (PARTITION BY domain ORDER BY h, url_id) AS rk FROM f)
+        |SELECT url_id, domain, CAST(rk AS BIGINT) AS rk, delay_ms,
+        | CAST((rk - 1) * delay_ms AS BIGINT) AS fetch_ms FROM r""".stripMargin,
   )
 }

@@ -274,4 +274,18 @@ class SampleOpsSpec extends SparkSpec {
       assert(idx == (0L until (w * 10L)).toSeq, s"$s src_idx gapless")
     }
   }
+
+  test("waterFillBudget: light demands saturate, leftover water-fills the heavy tail") {
+    val demands = Seq(("a", 10L), ("b", 100L), ("c", 100L)).toDF("domain", "pending")
+    val out = SampleOps.waterFillBudget(demands, "domain", "pending", budget = 60L, rounds = 3)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // r1: share 20 -> a saturates at 10; r2: leftover 10 splits 5/5 to b,c
+    assert(out("a") == (("a", 10L, 10L, 0L)))
+    assert(out("b") == (("b", 100L, 25L, 75L)))
+    assert(out("c") == (("c", 100L, 25L, 75L)))
+    // abundant budget: everyone fully granted, nothing starves
+    val rich = SampleOps.waterFillBudget(demands, "domain", "pending", budget = 1000L, rounds = 3)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rich.forall(r => r._3 == r._2 && r._4 == 0L), rich.toSeq.toString)
+  }
 }
