@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
   *
-  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave, q195_dsir_resample, q205_weak_labels.
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave, q195_dsir_resample, q205_weak_labels, q215_vocab_order.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object CurationQueries {
@@ -349,6 +349,46 @@ object CurationQueries {
       CurationOps.weakLabelVote(votes, "id", "label")
         .select(col("id").as("doc_id"), col("n_votes"), col("n_abstain"),
           col("label"), col("is_tie"), col("conf_bp"))
+    }),
+
+
+    // Greedy marginal-vocabulary source ordering (the submodular
+    // max-coverage heuristic): pick the source with the largest vocab,
+    // then twice more the source adding the most UNSEEN tokens — the
+    // "which dump do I ingest next" ranking, unrolled to 3 explicit
+    // picks (MMR-style) so the whole greedy chain hash-checks. Each doc
+    // PLANTS one uniq<id> token so per-source vocabularies differ
+    // beyond the heavily-shared synthetic core and gains stay nonzero
+    // at every step.
+    "q215_vocab_order" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clean = T.cleanText(col("text"))
+      val vocab = docs.select(col("source"),
+          explode(when(clean === "", array().cast("array<string>"))
+            .otherwise(split(clean, " "))).as("tok"))
+        .unionByName(docs.select(col("source"),
+          concat(lit("uniq"), sid).as("tok")))
+        .distinct()
+      def pick(g: DataFrame): DataFrame =
+        g.orderBy(col("gain").desc, col("source")).limit(1)
+      val p1 = pick(vocab.groupBy("source").agg(count(lit(1)).as("gain")))
+      val c1 = vocab.join(broadcast(p1.select("source")), Seq("source"))
+        .select("tok").distinct()
+      val p2 = pick(vocab.crossJoin(broadcast(p1.select(col("source").as("s1"))))
+        .where(col("source") =!= col("s1"))
+        .join(c1, Seq("tok"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("gain")))
+      val c2 = c1.unionByName(
+        vocab.join(broadcast(p2.select("source")), Seq("source")).select("tok"))
+        .distinct()
+      val p3 = pick(vocab.crossJoin(broadcast(p1.select(col("source").as("s1"))))
+        .crossJoin(broadcast(p2.select(col("source").as("s2"))))
+        .where(col("source") =!= col("s1") && col("source") =!= col("s2"))
+        .join(c2, Seq("tok"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("gain")))
+      p1.select(lit(1L).as("step"), col("source"), col("gain"))
+        .unionByName(p2.select(lit(2L).as("step"), col("source"), col("gain")))
+        .unionByName(p3.select(lit(3L).as("step"), col("source"), col("gain")))
     }),
   )
 
@@ -776,5 +816,32 @@ object CurationQueries {
          |  ELSE (a.c_max * 10000) // a.n_votes END AS conf_bp
          |FROM ids i LEFT JOIN agg a USING (id) LEFT JOIN ntop nt USING (id)
          | LEFT JOIN win w USING (id) LEFT JOIN abst ab USING (id)""".stripMargin,
+
+
+    // Three greedy picks unrolled as CTEs (q179's pattern): each step's
+    // gain counts the source's tokens outside the union of previously
+    // covered vocabularies; ties break to the lexicographically first
+    // source on both sides.
+    "q215_vocab_order" ->
+      s"""WITH v0 AS (SELECT source, unnest($toksSql) AS tok FROM documents
+         | UNION ALL SELECT source, 'uniq' || CAST(doc_id AS VARCHAR) FROM documents),
+         |v AS (SELECT DISTINCT source, tok FROM v0),
+         |g1 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM v GROUP BY 1),
+         |p1 AS (SELECT source, gain FROM g1 ORDER BY gain DESC, source LIMIT 1),
+         |c1 AS (SELECT DISTINCT v.tok FROM v JOIN p1 USING (source)),
+         |g2 AS (SELECT v.source, CAST(count(*) AS BIGINT) AS gain FROM v
+         | WHERE v.source <> (SELECT source FROM p1)
+         |  AND v.tok NOT IN (SELECT tok FROM c1) GROUP BY 1),
+         |p2 AS (SELECT source, gain FROM g2 ORDER BY gain DESC, source LIMIT 1),
+         |c2 AS (SELECT tok FROM c1 UNION
+         | SELECT DISTINCT v.tok FROM v JOIN p2 USING (source)),
+         |g3 AS (SELECT v.source, CAST(count(*) AS BIGINT) AS gain FROM v
+         | WHERE v.source <> (SELECT source FROM p1)
+         |  AND v.source <> (SELECT source FROM p2)
+         |  AND v.tok NOT IN (SELECT tok FROM c2) GROUP BY 1),
+         |p3 AS (SELECT source, gain FROM g3 ORDER BY gain DESC, source LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS step, source, gain FROM p1
+         |UNION ALL SELECT 2, source, gain FROM p2
+         |UNION ALL SELECT 3, source, gain FROM p3""".stripMargin,
   )
 }
