@@ -444,4 +444,45 @@ class PlanAuditSpec extends SparkSpec {
       s"the O(W·periods) schedule must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("collocations: count gate precedes the dictionary joins; 1-row N broadcasts (q204)") {
+    val p = q("q204_collocations").queryExecution.optimizedPlan.toString
+    // the c_ab >= 3 filter must sit UNDER the joins (on the bigram agg),
+    // not above them — otherwise the join input is the full bigram table
+    val joinIdx = p.indexOf("Join Inner")
+    val filtIdx = p.indexOf("(c_ab")
+    assert(joinIdx >= 0 && filtIdx > joinIdx,
+      s"minCount gate must be below the first join in the optimized plan:\n$p")
+    assert(plan(q("q204_collocations")).contains("BroadcastNestedLoopJoin") ||
+      plan(q("q204_collocations")).contains("BroadcastExchange"),
+      "the 1-row totals frame must broadcast")
+  }
+
+  test("centroid outlier pruning: assignment never shuffles; means broadcast back (q207)") {
+    val p = plan(q("q207_centroid_outliers"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nlist-row means frame must broadcast onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in this query justifies a sort-merge:\n$p")
+  }
+
+  test("feature hashing: one partial-agg shuffle, no window, no join before the bucket agg (q210)") {
+    val p = plan(q("q210_feature_hash"))
+    assert(!p.contains("Window"), s"hashing-trick features must not window:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"bucket counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("containment: df guard and match counts stay equi-join shaped (q212)") {
+    val p = plan(q("q212_containment"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment must never all-pairs:\n$p")
+  }
+
+  test("water-filling rounds are 1-row broadcasts over the keys (q213)") {
+    val p = plan(q("q213_crawl_budget"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"per-round stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
