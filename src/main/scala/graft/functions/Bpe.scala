@@ -76,6 +76,47 @@ object Bpe {
     }
 
     def countTokens(word: String): Int = encode(word).length
+
+    /** Encode one word, returning the 0-based rank of every merge round
+      * APPLIED, in application order — the trace [[graft.operators
+      * .TextAnalysisOps.bpeMergeUsage]] aggregates into per-merge usage
+      * counts. Same loop as [[encode]] (one entry per round; a round
+      * merges ALL occurrences of its pair).
+      */
+    def encodeTrace(word: String): Array[Int] = {
+      if (word.isEmpty) return Array.empty
+      var toks: ArrayBuffer[String] =
+        ArrayBuffer.tabulate(word.length)(i => word.substring(i, i + 1))
+      val out = new ArrayBuffer[Int]()
+      var done = false
+      while (!done && toks.length > 1) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < toks.length - 1) {
+          val r = rk.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          out += best
+          val (a, b) = merges(best)
+          val next = new ArrayBuffer[String](toks.length)
+          var j = 0
+          while (j < toks.length) {
+            if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+              next += a + b
+              j += 2
+            } else {
+              next += toks(j)
+              j += 1
+            }
+          }
+          toks = next
+        }
+      }
+      out.toArray
+    }
   }
 
   lazy val toyVocab: Vocab = new Vocab(ToyMerges)

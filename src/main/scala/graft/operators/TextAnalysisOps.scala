@@ -507,4 +507,41 @@ object TextAnalysisOps {
         expr(s"pmod(h div $nBuckets, 2) * 2 - 1").as("sign"))
       .groupBy("id", "bucket").agg(sum("sign").as("f"))
   }
+
+  /** BPE merge-usage statistics — tokenizer introspection: for every
+    * merge rule, how many encode rounds applied it across the corpus,
+    * both over distinct words (`n_words`) and weighted by word frequency
+    * (`n_instances`). The vocabulary-pruning signal: a merge that never
+    * fires on the target corpus is dead weight in the vocab, and a
+    * frequency-weighted usage ranking is exactly what retraining a
+    * tokenizer on in-domain data would reorder.
+    *
+    * Shape: one word-count shuffle (the Zipf-collapsed distinct-word
+    * table), then the encode-trace kernel runs once per DISTINCT word
+    * and the per-rank rollup partial-aggregates. Ranks are emitted
+    * 1-based to match the oracle's `list_position` convention.
+    *
+    * Returns (rank, pair, n_words, n_instances).
+    */
+  def bpeMergeUsage(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: graft.functions.Bpe.Vocab = graft.functions.Bpe.toyVocab): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val clean = lower(T.cleanText(col(textCol)))
+    val wcnt = docs.select(
+        explode(when(clean === "", array().cast("array<string>"))
+          .otherwise(split(clean, " "))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_inst"))
+    val traces = wcnt.as[(String, Long)].mapPartitions { it =>
+      it.flatMap { case (w, n) =>
+        vocab.encodeTrace(Option(w).getOrElse("")).iterator.map(r => (r + 1, n))
+      }
+    }.toDF("rank", "n_inst")
+    val pairLit = typedLit(vocab.merges.map { case (a, b) => s"$a $b" })
+    traces.groupBy("rank").agg(
+        count(lit(1)).as("n_words"), sum("n_inst").as("n_instances"))
+      .select(col("rank").cast("long").as("rank"),
+        element_at(pairLit, col("rank").cast("int")).as("pair"),
+        col("n_words"), col("n_instances"))
+  }
 }

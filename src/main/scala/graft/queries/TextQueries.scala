@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis and tokenization: quality scores, lang-ID, BPE, packing, chunking, redaction, boilerplate, token rarity, bigram LM.
   *
-  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1, q210_feature_hash.
+  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1, q210_feature_hash, q218_distinct_n, q219_merge_usage.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object TextQueries {
@@ -259,6 +259,47 @@ object TextQueries {
           coalesce(col("l1"), lit(0L)).as("l1"),
           coalesce(col("score"), lit(0L)).as("score"))
     }),
+
+
+    // distinct-1/distinct-2 diversity per source — the mode-collapse
+    // check run on generated/synthetic corpora (low distinct-2 = the
+    // generator loops the same phrases): unigram and bigram instance
+    // vs distinct counts, ratios in basis points. The countDistinct
+    // shuffle carries (source, gram) partials only.
+    "q218_distinct_n" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val rows = Tables.documents(s, d)
+        .select(col("source").cast("string"), col("text").cast("string"))
+        .as[(String, String)]
+      val uni = rows.mapPartitions(_.flatMap { case (src, raw) =>
+        Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          .iterator.map(w => (src, w))
+      }).toDF("source", "w")
+      val bi = rows.mapPartitions(_.flatMap { case (src, raw) =>
+        val ts = Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+        if (ts.length < 2) Iterator.empty
+        else (0 until ts.length - 1).iterator.map(i => (src, ts(i) + " " + ts(i + 1)))
+      }).toDF("source", "g")
+      val u = uni.groupBy("source").agg(count(lit(1)).as("n_uni"),
+        countDistinct("w").as("d_uni"))
+      val b = bi.groupBy("source").agg(count(lit(1)).as("n_bi"),
+        countDistinct("g").as("d_bi"))
+      u.join(b, "source")
+        .select(col("source"), col("n_uni"), col("d_uni"), col("n_bi"), col("d_bi"),
+          expr("(d_uni * 10000) div n_uni").as("distinct1_bp"),
+          expr("(d_bi * 10000) div n_bi").as("distinct2_bp"))
+    }),
+
+
+    // BPE merge-usage report — tokenizer introspection: every merge
+    // rule's applied-round counts over distinct words and weighted by
+    // word frequency. Dead merges (never fire on this corpus) simply
+    // don't appear; the frequency-weighted ranking is the vocab-pruning
+    // order. The oracle re-derives every encode round from the q72
+    // recursive CTE's intermediate states.
+    "q219_merge_usage" -> ((s, d) =>
+      TextAnalysisOps.bpeMergeUsage(Tables.documents(s, d), "doc_id", "text")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -627,5 +668,41 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(pd.n_buckets, 0) AS n_buckets,
          | coalesce(pd.l1, 0) AS l1, coalesce(pd.score, 0) AS score
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+
+    // The q77-style adjacency bigrams grouped per source; distinct and
+    // instance counts with integer bp ratios.
+    "q218_distinct_n" ->
+      s"""WITH t AS (SELECT source, doc_id, $toksSql AS toks FROM documents),
+         |u AS (SELECT source, unnest(toks) AS w FROM t),
+         |idx AS (SELECT source, doc_id, toks, unnest(range(2, len(toks) + 1)) AS i FROM t),
+         |bg AS (SELECT source, toks[i-1] || ' ' || toks[i] AS g FROM idx),
+         |ua AS (SELECT source, CAST(count(*) AS BIGINT) AS n_uni,
+         |  CAST(count(DISTINCT w) AS BIGINT) AS d_uni FROM u GROUP BY source),
+         |ba AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bi,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS d_bi FROM bg GROUP BY source)
+         |SELECT ua.source, ua.n_uni, ua.d_uni, ba.n_bi, ba.d_bi,
+         | (ua.d_uni * 10000) // ua.n_uni AS distinct1_bp,
+         | (ba.d_bi * 10000) // ba.n_bi AS distinct2_bp
+         |FROM ua JOIN ba USING (source)""".stripMargin,
+
+
+    // Every intermediate state of the q72 recursive encode carries the
+    // rank it applies NEXT (999999 = terminal); counting those rows per
+    // rank — over distinct words, and weighted by instance counts —
+    // replays the engine's encode-trace kernel exactly.
+    "q219_merge_usage" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |app AS (SELECT w, br FROM (
+         |   SELECT w, list_min(list_transform(range(1, len(tk)), i ->
+         |     coalesce(nullif(list_position($bpeMergesLit, tk[i] || ' ' || tk[i+1]), 0), 999999))) AS br
+         |   FROM bpe) s
+         | WHERE br IS NOT NULL AND br < 999999),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_inst FROM inst GROUP BY w),
+         |g AS (SELECT a.br AS rank, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(wc.n_inst) AS BIGINT) AS n_instances
+         | FROM app a JOIN wc USING (w) GROUP BY a.br)
+         |SELECT CAST(rank AS BIGINT) AS rank, $bpeMergesLit[rank] AS pair,
+         | n_words, n_instances FROM g""".stripMargin,
   )
 }

@@ -61,4 +61,22 @@ class BpeSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L)))
     assert(out(4L) == ((0L, 0L)))
   }
+
+  test("encodeTrace: applied ranks replay encode exactly on known words") {
+    val v = graft.functions.Bpe.toyVocab
+    // "the": (t,h) rank 0 then (th,e) rank 1
+    assert(v.encodeTrace("the").toSeq == Seq(0, 1))
+    assert(v.encode("the").toSeq == Seq("the"))
+    // "and": (a,n) rank 3 then (an,d) rank 4
+    assert(v.encodeTrace("and").toSeq == Seq(3, 4))
+    // one round merges ALL occurrences: three (i,n) pairs, one trace entry
+    assert(v.encodeTrace("ininin").toSeq == Seq(2))
+    assert(v.encode("ininin").toSeq == Seq("in", "in", "in"))
+    // no applicable merge: empty trace, character tokens
+    assert(v.encodeTrace("xyz").isEmpty && v.encode("xyz").length == 3)
+    assert(v.encodeTrace("").isEmpty)
+    // law: every round shrinks the token count by at least one
+    for (w <- Seq("the", "and", "ininin", "together", "punctuation"))
+      assert(v.encode(w).length <= w.length - v.encodeTrace(w).length, w)
+  }
 }

@@ -174,4 +174,16 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(by(1L).forall(r => r._2 >= 0L && r._2 < 16L), "buckets within range")
     assert(by(3L).map(r => math.abs(r._3)).sum == 1L, "single token: one unit of mass")
   }
+
+  test("bpeMergeUsage: per-rank rounds over distinct words, weighted by instances") {
+    val docs = Seq((1L, "the the and")).toDF("id", "text")
+    val out = TextAnalysisOps.bpeMergeUsage(docs, "id", "text")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "the" (2 instances): ranks 1,2 (1-based); "and" (1): ranks 4,5
+    assert(out(1L) == ((1L, "t h", 1L, 2L)))
+    assert(out(2L) == ((2L, "th e", 1L, 2L)))
+    assert(out(4L) == ((4L, "a n", 1L, 1L)))
+    assert(out(5L) == ((5L, "an d", 1L, 1L)))
+    assert(out.size == 4, s"dead merges must not appear: $out")
+  }
 }
