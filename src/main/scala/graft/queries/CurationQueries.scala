@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
   *
-  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave, q195_dsir_resample, q205_weak_labels, q215_vocab_order.
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave, q195_dsir_resample, q205_weak_labels, q215_vocab_order, q216_rebalance.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object CurationQueries {
@@ -389,6 +389,24 @@ object CurationQueries {
       p1.select(lit(1L).as("step"), col("source"), col("gain"))
         .unionByName(p2.select(lit(2L).as("step"), col("source"), col("gain")))
         .unionByName(p3.select(lit(3L).as("step"), col("source"), col("gain")))
+    }),
+
+
+    // Elastic-rescale audit for q151's rendezvous routing: the
+    // (shard8, shard9) transition matrix when the fleet grows 8 → 9.
+    // HRW's contract is that ONLY keys whose new shard-8 entry wins
+    // move — every moved row must land on the new shard and the moved
+    // mass is ~1/9 — versus mod-hashing, which would reshuffle ~8/9 of
+    // all keys. The matrix makes that contract inspectable per cell.
+    "q216_rebalance" -> ((s, d) => {
+      val keys = Tables.documents(s, d).select(did.as("key"))
+      val a = SampleOps.hrwAssign(keys, "key", 8)
+        .select(col("key"), col("shard").as("shard8"))
+      val b = SampleOps.hrwAssign(keys, "key", 9)
+        .select(col("key"), col("shard").as("shard9"))
+      a.join(b, "key").groupBy("shard8", "shard9")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
     }),
   )
 
@@ -843,5 +861,24 @@ object CurationQueries {
          |SELECT CAST(1 AS BIGINT) AS step, source, gain FROM p1
          |UNION ALL SELECT 2, source, gain FROM p2
          |UNION ALL SELECT 3, source, gain FROM p3""".stripMargin,
+
+
+    // Both assignments re-derived from the same md5 rendezvous weights;
+    // the engine's array_max over struct(h, s) ties to the larger s,
+    // matching ORDER BY h DESC, s DESC.
+    "q216_rebalance" ->
+      """WITH k AS (SELECT doc_id AS key FROM documents),
+        |e AS (SELECT key, unnest(generate_series(0, 8)) AS s FROM k),
+        |h AS (SELECT key, s, ('0x' || substr(md5(CAST(key AS VARCHAR) || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM e),
+        |a8 AS (SELECT key, s AS shard8 FROM (
+        |  SELECT key, s, row_number() OVER (PARTITION BY key ORDER BY h DESC, s DESC) AS rn
+        |  FROM h WHERE s < 8) t WHERE rn = 1),
+        |a9 AS (SELECT key, s AS shard9 FROM (
+        |  SELECT key, s, row_number() OVER (PARTITION BY key ORDER BY h DESC, s DESC) AS rn
+        |  FROM h) t WHERE rn = 1)
+        |SELECT a8.shard8, a9.shard9, CAST(count(*) AS BIGINT) AS n,
+        | a8.shard8 <> a9.shard9 AS moved
+        |FROM a8 JOIN a9 USING (key) GROUP BY 1, 2""".stripMargin,
   )
 }

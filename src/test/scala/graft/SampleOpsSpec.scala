@@ -288,4 +288,18 @@ class SampleOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     assert(rich.forall(r => r._3 == r._2 && r._4 == 0L), rich.toSeq.toString)
   }
+
+  test("hrwAssign rescale law: growing the fleet moves keys ONLY onto the new shard") {
+    val keys = (0L until 400L).toDF("key")
+    val a = SampleOps.hrwAssign(keys, "key", 4)
+      .select(col("key"), col("shard").as("s4"))
+    val b = SampleOps.hrwAssign(keys, "key", 5)
+      .select(col("key"), col("shard").as("s5"))
+    val j = a.join(b, "key").as[(Long, Long, Long)].collect()
+    val moved = j.filter(r => r._2 != r._3)
+    assert(moved.nonEmpty && moved.forall(_._3 == 4L),
+      s"every moved key must land on the new shard: ${moved.take(5).toSeq}")
+    // expected churn ~1/5; mod-hashing would move ~4/5
+    assert(moved.length < 400 / 3, s"moved ${moved.length} of 400 — too many for HRW")
+  }
 }
