@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale-safe statistics: percentiles (cells/GK), NTILE, winsorize, quantile-norm, HLL/CMS sketches, range digests, join-cardinality estimation.
   *
-  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank.
+  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object StatsQueries {
@@ -268,6 +268,23 @@ object StatsQueries {
         .select(col("doc_id"), col("n_chars"),
           expr("((rank - 1) * 10000) div (n_total - 1)").as("pr_bp"),
           expr("(cum * 10000) div n_total").as("cume_bp"))
+    }),
+
+
+    // Smoothed target encoding (the leakage-prone feature done right at
+    // corpus scale): per-category positive rate shrunk toward the global
+    // prior with pseudo-count m = 10 — enc = (pos·10⁴ + m·prior)/(n+m),
+    // all integer. Small categories pull hard to the prior, large ones
+    // trust their own rate; one tiny aggregate + a 1-row broadcast.
+    "q217_target_encoding" -> ((s, d) => {
+      val y = Tables.documents(s, d).select(col("source"),
+        when(col("n_chars") >= 300L, 1L).otherwise(0L).as("y"))
+      val glob = y.agg(count(lit(1)).as("n_all"), sum("y").as("pos_all"))
+        .select(expr("(pos_all * 10000) div n_all").as("prior_bp"))
+      y.groupBy("source").agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+        .crossJoin(broadcast(glob))
+        .select(col("source"), col("n"), col("n_pos"), col("prior_bp"),
+          expr("(n_pos * 10000 + 10 * prior_bp) div (n + 10)").as("enc_bp"))
     }),
   )
 
@@ -531,5 +548,18 @@ object StatsQueries {
         | ((r.rn - 1) * 10000) // (r.n - 1) AS pr_bp,
         | (c.cum * 10000) // r.n AS cume_bp
         |FROM r JOIN c ON c.n_chars = r.n_chars""".stripMargin,
+
+    // Identical integer shrinkage arithmetic on the same binary target.
+    "q217_target_encoding" ->
+      """WITH y AS (SELECT source, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+        | FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(sum(y) AS BIGINT) AS pos_all FROM y),
+        |p AS (SELECT (pos_all * 10000) // n_all AS prior_bp FROM g),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos FROM y GROUP BY source)
+        |SELECT c.source, c.n, c.n_pos, p.prior_bp,
+        | (c.n_pos * 10000 + 10 * p.prior_bp) // (c.n + 10) AS enc_bp
+        |FROM c CROSS JOIN p""".stripMargin,
   )
 }
