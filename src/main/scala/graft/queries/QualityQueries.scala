@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Data quality, governance and CDC: profiling, constraints, k-anonymity, snapshot diff, SCD2, MERGE, CDC feeds, freshness, backfill, KS drift.
   *
-  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift, q206_kappa, q211_calibration.
+  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift, q206_kappa, q211_calibration, q220_corpus_diff.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object QualityQueries {
@@ -225,6 +225,42 @@ object QualityQueries {
           expr("(n_pos * 10000) div n").as("acc_e4"),
           abs(expr("sc div n") - expr("(n_pos * 10000) div n")).as("gap_e4"))
     }),
+
+
+    // Dataset-release changelog card: two corpus snapshots (A drops
+    // id%11==3; B drops id%13==5 and REWRITES id%7==0 with appended
+    // text) diffed per source into added/removed/changed doc counts and
+    // the token-mass delta — the "what changed since v1" datasheet cell.
+    // One co-keyed full-outer join; only per-source aggregates leave it.
+    "q220_corpus_diff" -> ((s, d) => {
+      def ws(c: Column): Column = {
+        val cl = T.cleanText(c)
+        when(cl === "", 0L).otherwise(size(split(cl, " ")).cast("long"))
+      }
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val a = base.where(pmod(did, lit(11)) =!= 3)
+        .select(did.as("id"), col("source").as("source_a"),
+          col("text").as("ta"), ws(col("text")).as("tok_a"))
+      val btext = when(pmod(did, lit(7)) === 0,
+        concat(col("text"), lit(" appended v2 tokens"))).otherwise(col("text"))
+      val b = base.where(pmod(did, lit(13)) =!= 5)
+        .select(did.as("id"), col("source").as("source_b"),
+          btext.as("tb"), ws(btext).as("tok_b"))
+      a.join(b, Seq("id"), "full_outer")
+        .select(coalesce(col("source_a"), col("source_b")).as("source"),
+          col("ta").isNotNull.as("in_a"), col("tb").isNotNull.as("in_b"),
+          (col("ta").isNotNull && col("tb").isNotNull
+            && col("ta") =!= col("tb")).as("chg"),
+          coalesce(col("tok_a"), lit(0L)).as("tok_a"),
+          coalesce(col("tok_b"), lit(0L)).as("tok_b"))
+        .groupBy("source").agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("in_b"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("in_b") && !col("in_a"), 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("in_a") && !col("in_b"), 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("chg"), 1L).otherwise(0L)).as("n_changed"),
+          (sum("tok_b") - sum("tok_a")).as("tok_delta"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -421,5 +457,30 @@ object QualityQueries {
          | FROM b GROUP BY bin)
          |SELECT bin, n, sc // n AS conf_e4, (n_pos * 10000) // n AS acc_e4,
          | abs(sc // n - (n_pos * 10000) // n) AS gap_e4 FROM g""".stripMargin,
+
+
+    // The same planted snapshot pair; DuckDB's full outer join and
+    // identical whitespace token counts on the REWRITTEN B text.
+    "q220_corpus_diff" ->
+      s"""WITH a AS (SELECT doc_id AS id, source, text,
+         |  CAST(len($toksSql) AS BIGINT) AS tok
+         | FROM documents WHERE doc_id % 11 <> 3),
+         |b0 AS (SELECT doc_id AS id, source,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || ' appended v2 tokens' ELSE text END AS text
+         | FROM documents WHERE doc_id % 13 <> 5),
+         |b AS (SELECT id, source, text, CAST(len($toksSql) AS BIGINT) AS tok FROM b0),
+         |j AS (SELECT coalesce(a.source, b.source) AS source,
+         |  a.id IS NOT NULL AS in_a, b.id IS NOT NULL AS in_b,
+         |  a.id IS NOT NULL AND b.id IS NOT NULL AND a.text <> b.text AS chg,
+         |  coalesce(a.tok, 0) AS tok_a, coalesce(b.tok, 0) AS tok_b
+         | FROM a FULL OUTER JOIN b ON b.id = a.id)
+         |SELECT source,
+         | CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         | CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         | CAST(sum(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         | CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         | CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         | CAST(sum(tok_b) - sum(tok_a) AS BIGINT) AS tok_delta
+         |FROM j GROUP BY source""".stripMargin,
   )
 }
