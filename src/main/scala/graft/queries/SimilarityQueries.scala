@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep, q197_binary_ann, q199_mutual_knn, q207_centroid_outliers.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep, q197_binary_ann, q199_mutual_knn, q207_centroid_outliers, q221_semantic_contam.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -364,6 +364,25 @@ object SimilarityQueries {
             transform(col("embedding"),
               x => (x + lit(2.0f)).cast("float")).as("embedding")))
       SimilarityOps.centroidOutliers(corpus, nlist = 16)
+    }),
+
+
+    // SEMANTIC eval-set contamination check — n-gram decontamination
+    // (q79) misses paraphrases; this catches them in embedding space:
+    // each eval vector's single nearest train neighbor, flagged at
+    // cosine >= 0.995. Eval is half PLANTED contamination (×1.001
+    // copies of train vectors — sim 1.0) and half reversed vectors
+    // (decorrelated controls), so both flag states provably occur.
+    "q221_semantic_contam" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val eval = emb.where(col("vec_id") < 8)
+        .select((col("vec_id") + 1000000000000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"))
+        .unionByName(emb.where(col("vec_id") >= 100 && col("vec_id") < 108)
+          .select((col("vec_id") + 2000000000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+      SimilarityOps.bruteForceTopK(emb, eval, k = 1)
+        .withColumn("contaminated", col("sim") >= 0.995)
     }),
   )
 
@@ -883,5 +902,31 @@ object SimilarityQueries {
         |SELECT a.vec_id, a.cid, a.dist_e4, mn.mean_e4,
         | a.dist_e4 * 2 > mn.mean_e4 * 3 AS is_outlier
         |FROM a JOIN mn USING (cid)""".stripMargin,
+
+
+    // The same planted eval split scored by the q28 cosine chain at
+    // k = 1; the flag is the same rounded-sim threshold.
+    "q221_semantic_contam" ->
+      """WITH ev AS (
+        |  SELECT vec_id + 1000000000000 AS qid,
+        |    list_transform(embedding, x -> CAST(CAST(x AS REAL) * CAST(1.001 AS REAL) AS REAL)) AS qv
+        |  FROM embeddings WHERE vec_id < 8
+        |  UNION ALL
+        |  SELECT vec_id + 2000000000000, list_reverse(embedding)
+        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 108),
+        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+        |sc AS (SELECT qid, nid,
+        |  list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS nb
+        | FROM c CROSS JOIN ev WHERE qid <> nid),
+        |r AS (SELECT qid, nid,
+        |  floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END) * 10000 + 0.5) / 10000 AS sim
+        | FROM sc),
+        |w AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM r)
+        |SELECT qid AS query_id, nid AS neighbor_id, sim,
+        | CAST(rk AS BIGINT) AS rank, sim >= 0.995 AS contaminated
+        |FROM w WHERE rk = 1""".stripMargin,
   )
 }
