@@ -544,4 +544,99 @@ object TextAnalysisOps {
         element_at(pairLit, col("rank").cast("int")).as("pair"),
         col("n_words"), col("n_instances"))
   }
+
+  private def bigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, raw) =>
+        val ts = Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+        if (ts.length < 2) Iterator.empty
+        else (0 until ts.length - 1).iterator.map(i => (id, ts(i), ts(i + 1)))
+      }).toDF("id", "w1", "w2")
+  }
+
+  private def unigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, raw) =>
+        Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          .iterator.map(w => (id, w))
+      }).toDF("id", "w")
+  }
+
+  /** Stupid Backoff bigram scoring (Brants et al. 2007 — THE web-scale
+    * LM: no discounting, no normalization, just back off to the unigram
+    * with a fixed 0.4 penalty): eval docs score their bigrams against
+    * counts from the TRAIN side only, so genuinely novel continuations
+    * hit the backoff path. All-integer e6 scores:
+    * seen → c(w1w2)·10⁶ div c(w1); unseen → c(w2)·400000 div N.
+    *
+    * q100's add-one bigram LM smooths everything toward the vocabulary
+    * size; backoff instead PRESERVES the seen-bigram ML estimate and
+    * prices novelty via the unigram — the standard perplexity-filter
+    * scorer when the count tables come from a different (larger) corpus.
+    *
+    * Shape: count shuffles keyed by gram, two broadcast-friendly
+    * dictionary joins on the eval side, 1-row N broadcast.
+    * Returns (id, n_bigrams, backoff_hits, mean_e6) for each eval doc.
+    */
+  def stupidBackoffScore(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    val cab = bigramRows(train, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val uni = unigramRows(train, idCol, textCol)
+    val cw = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(count(lit(1)).as("n_total"))
+    val scored = bigramRows(eval, idCol, textCol)
+      .join(cab, Seq("w1", "w2"), "left")
+      .join(cw.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"), "left")
+      .join(cw.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        when(col("c_ab").isNotNull, expr("(c_ab * 1000000) div c_a"))
+          .otherwise(expr("(coalesce(c_b, 0) * 400000) div n_total")).as("s_e6"),
+        when(col("c_ab").isNull, 1L).otherwise(0L).as("backoff"))
+    val perDoc = scored.groupBy("id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum("backoff").as("backoff_hits"),
+      expr("sum(s_e6) div count(1)").as("mean_e6"))
+    eval.select(col(idCol).cast("long").as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("backoff_hits"), lit(0L)).as("backoff_hits"),
+        coalesce(col("mean_e6"), lit(0L)).as("mean_e6"))
+  }
+
+  /** Deterministic token-dropout augmentation: position i of doc id is
+    * dropped iff `portable_hash('aug_<id>_<i>') mod 10 == 0` (~10%) —
+    * the contrastive/denoising augmentation a training pipeline emits,
+    * made a pure function of (id, position) so every epoch, engine, and
+    * replica regenerates the identical augmented corpus instead of
+    * storing it. Pure per-row kernel, zero shuffles.
+    *
+    * Returns (id, aug_text, n_tokens, n_dropped); positions are 1-based
+    * (matching the oracle's `range(1, len+1)` replay).
+    */
+  def tokenDropout(docs: DataFrame, idCol: String, textCol: String,
+                   seed: String = "aug"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, raw) =>
+          val ts = Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          val kept = ts.iterator.zipWithIndex.collect {
+            case (w, i0) if graft.functions.HashFunctions
+              .portableHash60JVM(md, s"${seed}_${id}_${i0 + 1}") % 10L != 0L => w
+          }.toArray
+          (id, kept.mkString(" "), ts.length.toLong, (ts.length - kept.length).toLong)
+        }
+      }.toDF("id", "aug_text", "n_tokens", "n_dropped")
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis and tokenization: quality scores, lang-ID, BPE, packing, chunking, redaction, boilerplate, token rarity, bigram LM.
   *
-  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1, q210_feature_hash, q218_distinct_n, q219_merge_usage.
+  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1, q210_feature_hash, q218_distinct_n, q219_merge_usage, q222_stupid_backoff, q223_token_dropout.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object TextQueries {
@@ -300,6 +300,36 @@ object TextQueries {
     // recursive CTE's intermediate states.
     "q219_merge_usage" -> ((s, d) =>
       TextAnalysisOps.bpeMergeUsage(Tables.documents(s, d), "doc_id", "text")),
+
+
+    // Stupid Backoff perplexity-filter scoring: count tables from the
+    // 80% train split (id%5 != 0), scores for the held-out 20% — novel
+    // continuations hit the 0.4-penalty unigram backoff instead of
+    // q100's uniform add-one smear. The synthetic corpus repeats a tiny
+    // shared vocabulary (every eval bigram occurs in train), so every
+    // 15th doc — an eval doc by construction — PLANTS an unseen
+    // "qqnovelN qqtail" continuation, making the backoff path provably
+    // taken (c_b = 0 and the 0.4·c(w2)/N price both exercised).
+    "q222_stupid_backoff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(did, col("source"),
+        when(pmod(did, lit(15)) === 0,
+          concat(col("text"), lit(" qqnovel"), sid, lit(" qqtail")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.stupidBackoffScore(
+          docs.where(pmod(did, lit(5)) =!= 0),
+          docs.where(pmod(did, lit(5)) === 0), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("backoff_hits"), col("mean_e6"))
+    }),
+
+
+    // Deterministic token-dropout augmentation: ~10% of positions drop
+    // by portable (id, position) hash — the denoising augmentation
+    // regenerated identically every epoch/engine instead of stored.
+    "q223_token_dropout" -> ((s, d) =>
+      TextAnalysisOps.tokenDropout(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("aug_text"),
+          col("n_tokens"), col("n_dropped"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -704,5 +734,58 @@ object TextQueries {
          | FROM app a JOIN wc USING (w) GROUP BY a.br)
          |SELECT CAST(rank AS BIGINT) AS rank, $bpeMergesLit[rank] AS pair,
          | n_words, n_instances FROM g""".stripMargin,
+
+
+    // Train-side count tables, eval-side bigrams through the same
+    // seen/backoff integer arithmetic; zero-bigram docs kept at 0.
+    "q222_stupid_backoff" ->
+      s"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 15 = 0
+         |  THEN text || ' qqnovel' || CAST(doc_id AS VARCHAR) || ' qqtail'
+         |  ELSE text END AS text FROM documents),
+         |tr AS (SELECT doc_id, $toksSql AS toks FROM corpus WHERE doc_id % 5 <> 0),
+         |ev AS (SELECT doc_id, $toksSql AS toks FROM corpus WHERE doc_id % 5 = 0),
+         |tu AS (SELECT unnest(toks) AS w FROM tr),
+         |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tu GROUP BY w),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tu),
+         |ti AS (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i FROM tr),
+         |tb AS (SELECT toks[i-1] AS w1, toks[i] AS w2 FROM ti),
+         |cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM tb GROUP BY 1, 2),
+         |ei AS (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i FROM ev),
+         |eb AS (SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2 FROM ei),
+         |sc AS (SELECT eb.doc_id,
+         |  CASE WHEN cab.c_ab IS NOT NULL THEN (cab.c_ab * 1000000) // ca.c
+         |   ELSE (coalesce(cb.c, 0) * 400000) // n.n_total END AS s_e6,
+         |  CASE WHEN cab.c_ab IS NULL THEN 1 ELSE 0 END AS backoff
+         | FROM eb
+         | LEFT JOIN cab ON cab.w1 = eb.w1 AND cab.w2 = eb.w2
+         | LEFT JOIN cw ca ON ca.w = eb.w1
+         | LEFT JOIN cw cb ON cb.w = eb.w2
+         | CROSS JOIN n),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(backoff) AS BIGINT) AS backoff_hits,
+         |  CAST(sum(s_e6) AS BIGINT) // count(*) AS mean_e6
+         | FROM sc GROUP BY doc_id)
+         |SELECT e.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+         | coalesce(pd.backoff_hits, 0) AS backoff_hits,
+         | coalesce(pd.mean_e6, 0) AS mean_e6
+         |FROM (SELECT DISTINCT doc_id FROM ev) e LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+
+    // Positions replayed 1-based through the same md5 gate; kept tokens
+    // re-join in order.
+    "q223_token_dropout" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+         |k AS (SELECT doc_id, i, toks[i] AS w,
+         |  ('0x' || substr(md5('aug_' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 10 <> 0 AS keep
+         | FROM idx),
+         |agg AS (SELECT doc_id,
+         |  string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY i) AS aug_text,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         | FROM k GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.aug_text, '') AS aug_text,
+         | coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.n_dropped, 0) AS n_dropped
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
   )
 }

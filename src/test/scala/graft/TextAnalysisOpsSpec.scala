@@ -186,4 +186,34 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(out(5L) == ((5L, "an d", 1L, 1L)))
     assert(out.size == 4, s"dead merges must not appear: $out")
   }
+
+  test("stupidBackoffScore: seen bigrams take the ML estimate, unseen back off through the unigram") {
+    val train = Seq((1L, "a b a b c")).toDF("id", "text")   // N=5; c(a b)=2, c(a)=2, c(c)=1
+    val eval = Seq((10L, "a b x"), (11L, "a c"), (12L, "z")).toDF("id", "text")
+    val out = TextAnalysisOps.stupidBackoffScore(train, eval, "id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // (a,b) seen: 2e6/2 = 1e6; (b,x): x unseen entirely -> 0. mean = 5e5
+    assert(out(10L) == ((10L, 2L, 1L, 500000L)), out(10L).toString)
+    // (a,c) unseen bigram, c(c)=1: 400000*1/5 = 80000
+    assert(out(11L) == ((11L, 1L, 1L, 80000L)), out(11L).toString)
+    assert(out(12L) == ((12L, 0L, 0L, 0L)), "no bigrams -> zeros")
+  }
+
+  test("tokenDropout: deterministic ~10% subsequence, seed-steered") {
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "")).toDF("id", "text")
+    def run(seed: String) = TextAnalysisOps.tokenDropout(docs, "id", "text", seed)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val a = run("aug")
+    assert(a == run("aug"), "pure function of (id, position, seed)")
+    val (_, aug, n, dropped) = a(1L)
+    assert(n == 200L && dropped > 5L && dropped < 50L, s"~10% of 200: $dropped")
+    val keptToks = aug.split(" ").toSeq
+    assert(keptToks.length == 200 - dropped)
+    // kept tokens preserve original order (subsequence law)
+    val orig = text.split(" ").toSeq
+    assert(keptToks == orig.filter(keptToks.toSet), "order-preserving subsequence")
+    assert(a(2L) == ((2L, "", 0L, 0L)))
+    assert(run("other")(1L)._2 != aug, "seed must steer the mask")
+  }
 }
