@@ -78,7 +78,14 @@ object DumpPlans {
     "q198_hits" -> "two unrolled half-step pairs: co-keyed edge joins + partial sums + 1-row mass broadcasts",
     "q199_mutual_knn" -> "one batch broadcast onto one corpus scan; both kNN directions fold from the same scored frame",
     "q200_label_prop" -> "per-round labeled⋈edges equi-join + partial vote counts + struct-min plurality",
-    "q201_random_walks" -> "ranked adjacency built once; each hop is a frontier equi-join")
+    "q201_random_walks" -> "ranked adjacency built once; each hop is a frontier equi-join",
+    "q204_collocations" -> "minCount gate BELOW the dictionary joins; 1-row N broadcast",
+    "q207_centroid_outliers" -> "zero-shuffle literal-argmin assignment; nlist-row means broadcast back",
+    "q210_feature_hash" -> "one (id, bucket) partial-agg shuffle — no vocabulary, no window",
+    "q212_containment" -> "df-guarded shingle equi-join, partial-agg match counts, never all-pairs",
+    "q213_crawl_budget" -> "three unrolled 1-row stats broadcasts over the domain keys",
+    "q219_merge_usage" -> "Zipf-collapsed distinct-word trace kernel + per-rank partial rollup",
+    "q222_stupid_backoff" -> "train-side count tables joined onto eval bigrams; 1-row N broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
