@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale-safe statistics: percentiles (cells/GK), NTILE, winsorize, quantile-norm, HLL/CMS sketches, range digests, join-cardinality estimation.
   *
-  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding.
+  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding, q224_correlation.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object StatsQueries {
@@ -285,6 +285,37 @@ object StatsQueries {
         .crossJoin(broadcast(glob))
         .select(col("source"), col("n"), col("n_pos"), col("prior_bp"),
           expr("(n_pos * 10000 + 10 * prior_bp) div (n + 10)").as("enc_bp"))
+    }),
+
+
+    // Feature-correlation audit: Pearson corr(value_cents, props.k) per
+    // event type, from EXACT integer sufficient statistics (n, Σx, Σy,
+    // Σxy, Σx², Σy² — order-independent sums of quantized longs); only
+    // the final closed-form expression runs in doubles, and both
+    // engines evaluate the IDENTICAL expression tree on identical
+    // integer inputs, so the e4 result hash-checks. The feature-
+    // selection/drift cell a training datasheet reports.
+    "q224_correlation" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("x"),
+        get_json_object(col("props"), "$.k").cast("long").as("y"))
+      ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          expr("""CAST(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+            |   (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0 THEN 0
+            | ELSE floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 10000 + 0.5)
+            |END AS BIGINT)""".stripMargin).as("corr_e4"))
     }),
   )
 
@@ -561,5 +592,34 @@ object StatsQueries {
         |SELECT c.source, c.n, c.n_pos, p.prior_bp,
         | (c.n_pos * 10000 + 10 * p.prior_bp) // (c.n + 10) AS enc_bp
         |FROM c CROSS JOIN p""".stripMargin,
+
+
+    // Identical integer sufficient statistics, identical final double
+    // expression tree (products of exact longs, correctly-rounded IEEE
+    // sqrt) — deterministic cross-engine.
+    "q224_correlation" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        | FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy
+        | FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        | CAST(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0 THEN 0
+        |  ELSE floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 10000 + 0.5)
+        | END AS BIGINT) AS corr_e4
+        |FROM g""".stripMargin,
   )
 }
