@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Join algorithms beyond equi-join: as-of, range, interval overlap, fuzzy (blocked Levenshtein), salted skew joins.
   *
-  * Contract queries: q64_asof_state, q66_range_join, q75_salted_join, q91_fuzzy_match, q148_interval_overlap.
+  * Contract queries: q64_asof_state, q66_range_join, q75_salted_join, q91_fuzzy_match, q148_interval_overlap, q225_skew_report.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object JoinsQueries {
@@ -92,6 +92,27 @@ object JoinsQueries {
         .withColumn("b_end", col("b_start") + 28800000000L)
       JoinOps.intervalOverlapJoin(act, outages, bucketSize = 21600000000L)
     }),
+
+
+    // Join-key skew audit — the diagnostic that DECIDES when q75's
+    // salting is worth its shuffle: per-key counts vs the mean, keys
+    // over 4× flagged with the salt factor ceil(cnt/mean) a salted
+    // join should use. A PLANTED hot key (custkey 7 re-receives every
+    // 3rd order) guarantees a flagged row; uniform TPC-H keys stay
+    // unflagged. Counts-only shuffle + a 1-row stats broadcast.
+    "q225_skew_report" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val keys = o.select(col("o_custkey").as("key"))
+        .unionByName(o.where(pmod(col("o_orderkey"), lit(3L)) === 0L)
+          .select(lit(7L).as("key")))
+      val counts = keys.groupBy("key").agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+        .select(expr("total div n_keys").as("mean_cnt"))
+      counts.crossJoin(broadcast(stats))
+        .where(col("cnt") > col("mean_cnt") * 4L)
+        .select(col("key"), col("cnt"), col("mean_cnt"),
+          expr("(cnt + mean_cnt - 1) div mean_cnt").as("salt_factor"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -154,5 +175,16 @@ object JoinsQueries {
         |SELECT a_id, CAST(b_id AS BIGINT) AS b_id,
         | CAST(least(a_end, b_end) - greatest(a_start, b_start) AS BIGINT) AS overlap
         |FROM act JOIN o ON a_start < b_end AND b_start < a_end""".stripMargin,
+
+
+    // Same planted hot key, same integer mean/threshold/ceil-div.
+    "q225_skew_report" ->
+      """WITH k AS (SELECT o_custkey AS key FROM orders
+        | UNION ALL SELECT 7 FROM orders WHERE o_orderkey % 3 = 0),
+        |c AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY key),
+        |st AS (SELECT CAST(sum(cnt) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_cnt FROM c)
+        |SELECT c.key, c.cnt, st.mean_cnt,
+        | (c.cnt + st.mean_cnt - 1) // st.mean_cnt AS salt_factor
+        |FROM c CROSS JOIN st WHERE c.cnt > st.mean_cnt * 4""".stripMargin,
   )
 }
