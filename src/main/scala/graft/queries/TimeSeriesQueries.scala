@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Event-time analytics: sessionization, windows, funnels, attribution, EWMA spikes, Markov chains, CEP patterns, rolling aggregates.
   *
-  * Contract queries: q34_event_hourly, q49_sessionize, q97_hopping_window, q98_funnel, q99_cohort_retention, q110_attribution, q124_ewma_spikes, q130_trend, q132_event_paths, q133_markov, q134_rolling_7d, q142_funnel_latency, q146_multi_touch, q149_cep_pattern.
+  * Contract queries: q34_event_hourly, q49_sessionize, q97_hopping_window, q98_funnel, q99_cohort_retention, q110_attribution, q124_ewma_spikes, q130_trend, q132_event_paths, q133_markov, q134_rolling_7d, q142_funnel_latency, q146_multi_touch, q149_cep_pattern, q226_covisitation.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object TimeSeriesQueries {
@@ -236,6 +236,28 @@ object TimeSeriesQueries {
           unix_micros(col("ts")) - col("c_us") <= 86400000000L &&
           (col("e_us").isNull || col("e_us") <= col("c_us"))).as("converted"))
     }),
+
+
+    // Co-visitation counts at skip distance <= 2 — the recommender
+    // candidate-generation table ("users who did A soon do B"): per
+    // user in (ts, event_id) order, pairs with the next AND
+    // next-but-one event fold into one count table. q133's Markov is
+    // the distance-1 slice; the skip pair catches the A→x→B pattern an
+    // adjacent-only transition matrix misses. One user-keyed window
+    // shuffle, count partials only.
+    "q226_covisitation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("n1", lead(col("event_type"), 1).over(w))
+        .withColumn("n2", lead(col("event_type"), 2).over(w))
+      ev.where(col("n1").isNotNull)
+        .select(col("event_type").as("a"), col("n1").as("b"), lit(1L).as("d"))
+        .unionByName(ev.where(col("n2").isNotNull)
+          .select(col("event_type").as("a"), col("n2").as("b"), lit(2L).as("d")))
+        .groupBy("a", "b", "d").agg(count(lit(1)).as("n"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -430,5 +452,19 @@ object TimeSeriesQueries {
         | c_us IS NOT NULL AND epoch_us(ts) - c_us <= 86400000000
         |  AND (e_us IS NULL OR e_us <= c_us) AS converted
         |FROM j2""".stripMargin,
+
+
+    // The same (ts, event_id)-ordered leads per user, distances tagged.
+    "q226_covisitation" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n1,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n2
+        | FROM events),
+        |pairs AS (
+        | SELECT event_type AS a, n1 AS b, CAST(1 AS BIGINT) AS d FROM e WHERE n1 IS NOT NULL
+        | UNION ALL
+        | SELECT event_type, n2, 2 FROM e WHERE n2 IS NOT NULL)
+        |SELECT a, b, d, CAST(count(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1, 2, 3""".stripMargin,
   )
 }
