@@ -31,11 +31,14 @@ import org.apache.spark.sql.SparkSession
   *    windows), plus min and cold (pass-1) maps — so an inflated number
   *    is attributable to JVM costs vs ambient load vs machine drift vs
   *    real work from the artifact alone.
-  *  - The complete JSON line is also WRITTEN TO A FILE
-  *    (SPARK_GRAFT_BENCH_OUT, default bench_full_latest.json in the cwd):
-  *    the driver's recorded BENCH_r{N}.json artifacts were head-truncated
-  *    in rounds 5-6 (q01-q21 invisible, "parsed": null), so the committed
-  *    file is the durable regression-tracking record.
+  *  - stdout gets a COMPACT summary line (total + slowest queries,
+  *    greedily packed under the driver recorder's measured 2000-char
+  *    stdout tail buffer — all seven BENCH_r{1..7}.json artifacts were
+  *    head-truncated to "parsed": null before this fix). The complete
+  *    evidence line is WRITTEN TO A FILE (SPARK_GRAFT_BENCH_OUT, default
+  *    bench_full_latest.json in the cwd), named in the stdout line's
+  *    "full" field — the committed file is the durable
+  *    regression-tracking record.
   *
   * SPARK_GRAFT_BENCH_ONLY=qNN,qMM filters queries for local iteration;
   * SPARK_GRAFT_BENCH_DIAG=1 additionally prints per-rep lines to stderr.
@@ -179,10 +182,32 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"agg":"median","min":$minJson,"cold":$cold,"reps":$reps,"reps_by_query":$repsJson,"jit_ms":$jitJson,"gc_ms":$gcJson,"loadavg":$loadJson,"calib_sec":$calibJson,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
-    println(line)
-    // Durable full artifact: the driver's recorded BENCH_r{N}.json was
-    // head-truncated in rounds 5-6, so regression tracking reads this file.
+    // STDOUT LINE MUST FIT THE DRIVER'S 2000-CHAR TAIL BUFFER. Every
+    // BENCH_r{1..7}.json artifact has "parsed": null because the recorder
+    // keeps only the last 2000 chars of stdout (measured: tail_len=2000 in
+    // all seven artifacts) and our full-evidence line is ~10 KB, so its
+    // head — including the "metric"/"value" keys — was cut off every
+    // round. Fix: stdout gets a COMPACT line (summary + the slowest
+    // queries, greedily packed to a ~1700-byte cap that leaves room for
+    // sbt's trailing "[success] Total time" line inside the buffer); the
+    // FULL evidence line goes to the committed bench_full artifact, which
+    // the compact line names in "full". Errored queries (negative median)
+    // are force-included ahead of slow ones so a failure is never pushed
+    // out of the visible window by packing.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
+    val ranked = results.sortBy { case (n, v) => (if (v < 0) 0 else 1, -v.abs) }
+    val budget = 1700
+    val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","agg":"median","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"full":"${esc(outPath)}","sf":"${esc(sfDir)}","queries":{"""
+    val suffix = "}}"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = prefix.length + suffix.length
+    ranked.foreach { case (n, v) =>
+      val e = "\"" + esc(n) + "\":" + f"$v%.3f"
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    println(prefix + entries.mkString(",") + suffix)
+    // Durable full artifact: regression tracking reads this committed file
+    // (per-rep times, jit/gc deltas, loadavg, calib ruler — see scaladoc).
     try java.nio.file.Files.writeString(java.nio.file.Path.of(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

@@ -30,13 +30,24 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  /** events.ts arrives as long nanoseconds (see load); surface it as a
-    * proper TimestampType column (microsecond precision, like Spark's
-    * native timestamps).
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (read as long nanoseconds via the
+    * nanosAsLong conf in [[load]]) and plain timestamp[us] (read as
+    * TIMESTAMP_NTZ). Normalize both to the same session-zone
+    * TimestampType column (microsecond precision, UTC session zone set by
+    * every entrypoint) so downstream queries and the DuckDB oracle —
+    * which reads either encoding as a naive timestamp — see identical
+    * wall-clock values regardless of generation.
     */
-  def events(spark: SparkSession, d: String): DataFrame =
-    load(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val df = load(spark, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }
