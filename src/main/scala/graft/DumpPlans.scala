@@ -85,7 +85,10 @@ object DumpPlans {
     "q212_containment" -> "df-guarded shingle equi-join, partial-agg match counts, never all-pairs",
     "q213_crawl_budget" -> "three unrolled 1-row stats broadcasts over the domain keys",
     "q219_merge_usage" -> "Zipf-collapsed distinct-word trace kernel + per-rank partial rollup",
-    "q222_stupid_backoff" -> "train-side count tables joined onto eval bigrams; 1-row N broadcast")
+    "q222_stupid_backoff" -> "train-side count tables joined onto eval bigrams; 1-row N broadcast",
+    "q227_tv_divergence" -> "vocab-keyed counts join; totals broadcast; absent mass in closed form",
+    "q230_fingerprint" -> "order-independent digest lanes as plain partial aggs — no window, no join",
+    "q232_pareto_front" -> "per-x maxima + tiny prefix-max window + broadcast dominance join — never all-pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

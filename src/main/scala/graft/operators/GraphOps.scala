@@ -519,4 +519,83 @@ object GraphOps {
         (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
           - col("deg_sum") * col("deg_sum")).as("q_num_4m2"))
   }
+
+  /** Nodes of the k-core — the maximal subgraph where every node keeps
+    * degree >= k — with their degree inside the core. The standard
+    * link-farm / spam-cluster density filter in web-graph curation
+    * (a retained page must have k surviving mutual neighbors, however
+    * large its raw degree was before weak neighbors peeled away).
+    *
+    * Matula–Beck peeling run as an RDD fixpoint loop in the
+    * [[graft.operators.DedupOps.connectedComponents]] /
+    * [[bfsDistancesDeep]] style: canonical undirected edges land on ONE
+    * shared HashPartitioner; every round recomputes degrees with a
+    * map-side-combined `reduceByKey`, drops nodes below k, and filters
+    * the edge set through two co-partitioned joins (by src, re-key, by
+    * dst). Peeling is monotone — the surviving edge set only shrinks —
+    * so the loop converges in at most (peeling-depth) rounds, each a
+    * bounded number of co-partitioned shuffles, and ONE action per
+    * round (the surviving-edge count) decides convergence. DataFrame
+    * unrolling would Janino-compile fresh codegen classes per round
+    * (the documented q63 pathology); the RDD loop compiles nothing.
+    *
+    * Returns (id, core_deg) for k-core members only: core_deg is the
+    * degree within the final core (>= k by construction).
+    */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val e0 = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new HashPartitioner(math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, e0.getNumPartitions)))
+    // symmetric view keyed by endpoint, on the shared partitioner: the
+    // canonical pair rides along as the value so filtered rounds can
+    // re-key without touching the other direction
+    var alive: RDD[(Long, (Long, Long))] = e0
+      .flatMap { case (a, b) => Iterator((a, (a, b)), (b, (a, b))) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var nAlive = alive.count() // 2x canonical edge count
+    var done = nAlive == 0L
+    val kk = k.toLong
+    while (!done) {
+      // degrees of the surviving subgraph; survivors keep deg >= k
+      val deg = alive.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      val survivors = deg.filter(_._2 >= kk)
+      // keep edges whose BOTH endpoints survive: the symmetric view is
+      // keyed by one endpoint per copy, so one co-partitioned join
+      // checks this copy's key and a re-key + second join checks the
+      // other endpoint. Both joins are narrow (shared partitioner).
+      // each copy checks its own key endpoint, re-keys to the OTHER
+      // endpoint for the second check, then re-keys back — so the
+      // symmetric-view invariant (each copy keyed by its endpoint)
+      // holds for the next round, and both joins stay co-partitioned.
+      val next = alive.join(survivors)
+        .map { case (x, ((a, b), _)) => (if (x == a) b else a, (a, b)) }
+        .partitionBy(part)
+        .join(survivors)
+        .map { case (y, ((a, b), _)) => (if (y == a) b else a, (a, b)) }
+        .partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNext = next.count() // the round's ONE action
+      done = nNext == nAlive || nNext == 0L
+      val old = alive; alive = next; old.unpersist(false)
+      nAlive = nNext
+    }
+    graft.GraftCache.registerRdd(spark, alive)
+    val coreDeg = alive.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      .map { case (id, d) => org.apache.spark.sql.Row(id, d) }
+    spark.createDataFrame(coreDeg,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("core_deg",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

@@ -639,4 +639,61 @@ object TextAnalysisOps {
         }
       }.toDF("id", "aug_text", "n_tokens", "n_dropped")
   }
+
+  /** Per-source total-variation distance from the corpus-wide unigram
+    * distribution — the domain-shift cell of a training datasheet
+    * (which sources pull the token mix away from the blend the model
+    * will actually see). TV = ½ Σ_w |p_s(w) − p(w)| ∈ [0, 1], reported
+    * in exact basis points.
+    *
+    * Deliberately TV and not KL: every term is EXACT integer
+    * arithmetic — |c_sw·N − c_w·N_s| over common denominator N_s·N —
+    * so the cross-engine hash check is deterministic (KL's log is not
+    * correctly-rounded IEEE and may differ between libm builds in the
+    * last ulp). Words absent from a source are folded in closed form:
+    *   Σ_{w∉s} c_w·N_s = N_s·(N − Σ_{w∈s} c_w),
+    * so the plan only materializes (source, word) pairs that EXIST —
+    * the join is source-vocab-sized, never |vocab|×|sources|.
+    *
+    * Shape: one tokenize kernel → one (source, w) partial-agg shuffle;
+    * corpus counts re-aggregate FROM those counts (no second pass);
+    * the w-keyed join carries counts only; per-source and corpus
+    * totals ride as broadcasts. Long bounds: each |term| <= N_s·N
+    * (~2.5e12 at sf0.1); the summed numerator <= 2·N_s·N — overflow
+    * needs N_s·N > 4.6e18, i.e. beyond ~2e9 tokens per side; shard the
+    * sum mod-free by splitting sources before that.
+    */
+  def tvDivergence(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs
+      .select(col(srcCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (src, raw) =>
+        Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          .iterator.map(w => (src, w))
+      }).toDF("source", "w")
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val srcTot = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val corpus = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val n = corpus.agg(sum("c_w").as("n"))
+    sw.join(corpus, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(
+        max("n_s").as("n_tokens"),
+        max("n").as("corpus_tokens"),
+        sum(abs(col("c_sw") * col("n") - col("c_w") * col("n_s"))).as("present_abs"),
+        sum(col("c_w")).as("present_cw"))
+      .select(col("source"), col("n_tokens"), col("corpus_tokens"),
+        // numerator = Σ_present |c_sw·N − c_w·N_s| + N_s·(N − Σ_present c_w);
+        // TV = numerator / (2·N_s·N), e4 via the identical double tree
+        expr("""CAST(floor(
+          |  (CAST(present_abs AS DOUBLE)
+          |   + CAST(n_tokens AS DOUBLE) *
+          |     (CAST(corpus_tokens AS DOUBLE) - CAST(present_cw AS DOUBLE)))
+          |  / (CAST(n_tokens AS DOUBLE) * CAST(corpus_tokens AS DOUBLE))
+          |  * 5000.0 + 0.5) AS BIGINT)""".stripMargin).as("tv_bp"))
+  }
 }

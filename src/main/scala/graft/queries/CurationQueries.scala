@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation: curate gates, splits, stratified/weighted/capped sampling, epoch shuffle, HRW routing, the flagship training-manifest pipeline.
   *
-  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave, q195_dsir_resample, q205_weak_labels, q215_vocab_order, q216_rebalance.
+  * Contract queries: q60_curate, q61_hash_split, q69_portable_split, q76_stratified_sample, q78_epoch_shuffle, q79_decontaminate, q80_mix_weights, q102_curriculum, q107_classifier_score, q112_split_leakage, q126_capped_sample, q143_weighted_sample, q151_hrw_router, q157_training_manifest, q158_split_balance, q171_negative_sample, q176_cluster_split, q178_temperature_mix, q192_priority_estimate, q193_interleave, q195_dsir_resample, q205_weak_labels, q215_vocab_order, q216_rebalance, q232_pareto_front.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object CurationQueries {
@@ -407,6 +407,42 @@ object CurationQueries {
       a.join(b, "key").groupBy("shard8", "shard9")
         .agg(count(lit(1)).as("n"))
         .withColumn("moved", col("shard8") =!= col("shard9"))
+    }),
+
+
+    // Pareto-frontier document selection over (n_tokens, lexical
+    // diversity): the multi-objective "keep the docs nothing strictly
+    // beats" cut a curation pipeline makes when two quality axes
+    // shouldn't collapse into one weighted score. Scale shape: the
+    // dominance test NEVER goes all-pairs — per-x maxima (distinct
+    // token-count values, corpus-cardinality-bounded) get an exclusive
+    // prefix max over x-descending, and each doc joins that tiny frame
+    // by its own x (broadcast). Dominated iff a strictly-higher-x doc
+    // reaches its y (M_excl >= y) or a same-x doc strictly beats y.
+    // The single-partition window runs over per-x rows only.
+    "q232_pareto_front" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val stats = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("string"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, raw) =>
+          val ts = Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+          (id, ts.length.toLong, ts.distinct.length.toLong)
+        }).toDF("doc_id", "x", "d_tok")
+        .where(col("x") > 0)
+        .select(col("doc_id"), col("x"),
+          expr("(d_tok * 10000) div x").as("y"))
+      val perx = stats.groupBy("x").agg(max("y").as("mx"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("x").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val pm = perx.withColumn("m_excl",
+        coalesce(max("mx").over(w), lit(-1L)))
+      stats.join(broadcast(pm), "x")
+        .where(!(col("m_excl") >= col("y") || col("mx") > col("y")))
+        .select(col("doc_id"), col("x").as("n_tokens"),
+          col("y").as("diversity_bp"))
     }),
   )
 
@@ -880,5 +916,21 @@ object CurationQueries {
         |SELECT a8.shard8, a9.shard9, CAST(count(*) AS BIGINT) AS n,
         | a8.shard8 <> a9.shard9 AS moved
         |FROM a8 JOIN a9 USING (key) GROUP BY 1, 2""".stripMargin,
+
+
+    // Same per-x maxima + exclusive prefix max + dominance filter.
+    "q232_pareto_front" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS x,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS d_tok FROM t
+         | WHERE len(toks) > 0),
+         |s2 AS (SELECT doc_id, x, (d_tok * 10000) // x AS y FROM st),
+         |perx AS (SELECT x, CAST(max(y) AS BIGINT) AS mx FROM s2 GROUP BY x),
+         |pm AS (SELECT x, mx, coalesce(max(mx) OVER (ORDER BY x DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS m_excl
+         | FROM perx)
+         |SELECT s2.doc_id, s2.x AS n_tokens, s2.y AS diversity_bp
+         |FROM s2 JOIN pm USING (x)
+         |WHERE NOT (pm.m_excl >= s2.y OR pm.mx > s2.y)""".stripMargin,
   )
 }

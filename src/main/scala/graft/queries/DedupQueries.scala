@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication: exact, MinHash/SimHash LSH, fingerprints, connected components, semantic dedup, contamination, PPJoin, entity resolution.
   *
-  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment, q196_band_sweep, q202_dedup_report, q212_containment.
+  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment, q196_band_sweep, q202_dedup_report, q212_containment, q231_blocking_eval.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object DedupQueries {
@@ -482,6 +482,49 @@ object DedupQueries {
           array_join(slice(toks, 1, 12), " ").as("text"))
       DedupOps.containmentScores(
         docs.select(did.as("id"), col("text")), probes, "id", "text")
+    }),
+
+
+    // Blocking-quality evaluation — the record-linkage design gate that
+    // decides whether q136's blocking key is safe to trust at scale:
+    // reduction ratio (pairs pruned vs all-pairs) AND pairs
+    // completeness (planted truth pairs surviving the block), both in
+    // basis points. The twin corpus plants a known truth pair per
+    // supplier; every 10th twin's edit lands in the LAST character, so
+    // the right-3 blocking key provably MISSES it — completeness is
+    // 9000, not a vacuous 10000. All four counts are 1-row aggregates
+    // cross-joined as broadcasts; nothing is collected.
+    "q231_blocking_eval" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val twin = when(pmod(col("s_suppkey"), lit(10)) === 0,
+          concat(col("s_name"), lit("Q")))
+        .otherwise(concat(substring(col("s_name"), 1, 9), lit("X"),
+          substring(col("s_name"), 11, 100)))
+      val all = sup.select(col("s_suppkey").as("id"), col("s_name").as("name"))
+        .unionByName(sup.select((col("s_suppkey") + 100000L).as("id"),
+          twin.as("name")))
+      val cand = all.select(col("id").as("id_a"), col("name").as("name_a"),
+          expr("right(name, 3)").as("bk"))
+        .join(all.select(col("id").as("id_b"), col("name").as("name_b"),
+          expr("right(name, 3)").as("bk")), Seq("bk"))
+        .where(col("id_a") < col("id_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 1)
+        .select(col("id_a"), col("id_b"))
+      val truth = sup.select(col("s_suppkey").as("id_a"),
+        (col("s_suppkey") + 100000L).as("id_b"))
+      val nRec = all.agg(count(lit(1)).as("n_records"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nFound = truth.join(cand, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("truth_found"))
+      nRec.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTruth))
+        .crossJoin(broadcast(nFound))
+        .select(col("n_records"),
+          expr("n_records * (n_records - 1) div 2").as("n_total_pairs"),
+          col("n_cand"), col("n_truth"), col("truth_found"),
+          expr("10000 - (n_cand * 10000) div (n_records * (n_records - 1) div 2)")
+            .as("rr_bp"),
+          expr("(truth_found * 10000) div n_truth").as("pc_bp"))
     }),
   )
 
@@ -1092,5 +1135,33 @@ object DedupQueries {
          | (m.n_match * 10000) // s.n_probe AS containment_bp
          |FROM m JOIN sizes s USING (probe_id)
          |WHERE (m.n_match * 10000) // s.n_probe >= 8000""".stripMargin,
+
+
+    // Same twin plant (every 10th edit in the last char defeats the
+    // right-3 key), same blocking join, same four 1-row counts.
+    "q231_blocking_eval" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey AS id, s_name AS name FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000,
+        |   CASE WHEN s_suppkey % 10 = 0 THEN s_name || 'Q'
+        |    ELSE substr(s_name, 1, 9) || 'X' || substr(s_name, 11) END
+        |  FROM supplier),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b FROM sup a JOIN sup b
+        |  ON right(a.name, 3) = right(b.name, 3)
+        |  AND abs(len(a.name) - len(b.name)) <= 1
+        |  AND a.id < b.id),
+        |truth AS (SELECT s_suppkey AS id_a, s_suppkey + 100000 AS id_b FROM supplier),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM sup),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS truth_found
+        | FROM truth JOIN cand USING (id_a, id_b))
+        |SELECT n_records,
+        | n_records * (n_records - 1) // 2 AS n_total_pairs,
+        | n_cand, n_truth, truth_found,
+        | 10000 - (n_cand * 10000) // (n_records * (n_records - 1) // 2) AS rr_bp,
+        | (truth_found * 10000) // n_truth AS pc_bp
+        |FROM nr CROSS JOIN nc CROSS JOIN nt CROSS JOIN nf""".stripMargin,
   )
 }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance,
   * q167_bfs_deep, q168_pagerank_deep, q184_link_rank, q194_anchor_text,
-  * q198_hits, q200_label_prop, q201_random_walks, q208_modularity.
+  * q198_hits, q200_label_prop, q201_random_walks, q208_modularity,
+  * q229_kcore.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object GraphQueries {
@@ -209,7 +210,72 @@ object GraphQueries {
       val communities = nodes.select(col("id"), expr("id div 125").as("community"))
       GraphOps.modularity(edges, communities)
     }),
+
+
+    // k-core decomposition (k = 2) over a planted peel-cascade graph:
+    // per 16-id block, an 8-node circulant (offsets ±1, ±2 — degree 4,
+    // survives), a 4-node pendant chain hung off the block head (peels
+    // back one node per round — the cascade the one-shot degree filter
+    // can't see), and an isolated pair (peels round 1). The engine runs
+    // the RDD peeling loop to FIXPOINT; the oracle unrolls 8 peel
+    // rounds — peeling is idempotent at fixpoint, so any unroll >= the
+    // true peel depth (5 on full blocks) matches exactly.
+    "q229_kcore" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val r = pmod(did, lit(16L))
+      val base = expr("(doc_id div 16) * 16")
+      val circ = docs.where(r < 8)
+      val e1 = circ.select(did.as("src"),
+        (base + pmod(r + 1L, lit(8L))).as("dst"))
+      val e2 = circ.select(did.as("src"),
+        (base + pmod(r + 2L, lit(8L))).as("dst"))
+      val e3 = docs.where(r >= 8L && r <= 10L)
+        .select(did.as("src"), (did + 1L).as("dst"))
+      val e4 = docs.where(r === 0L)
+        .select(did.as("src"), (did + 8L).as("dst"))
+      val e5 = docs.where(r === 12L)
+        .select(did.as("src"), (did + 1L).as("dst"))
+      GraphOps.kCore(
+        e1.unionByName(e2).unionByName(e3).unionByName(e4).unionByName(e5),
+        k = 2)
+    }),
   )
+
+  /** q229's oracle: the same planted edge set, then `rounds` unrolled
+    * Matula–Beck peel rounds (degree → survivors → both-endpoint edge
+    * filter). Generated text so the unroll depth is one constant.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED: each e{i} is referenced three times by round i+1 —
+    // inlined CTEs would expand the reference tree exponentially in the
+    // unroll depth (observed as thousands of parquet re-opens).
+    val peel = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg
+         | FROM (SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         | GROUP BY id),
+         |s$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         | JOIN s$i sa ON sa.id = e.a JOIN s$i sb ON sb.id = e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e_raw AS (
+       |  SELECT doc_id AS src, (doc_id // 16) * 16 + (doc_id % 16 + 1) % 8 AS dst
+       |  FROM documents WHERE doc_id % 16 < 8
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id // 16) * 16 + (doc_id % 16 + 2) % 8
+       |  FROM documents WHERE doc_id % 16 < 8
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 16 BETWEEN 8 AND 10
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 8 FROM documents WHERE doc_id % 16 = 0
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 16 = 12),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       | FROM e_raw WHERE src <> dst),
+       |$peel
+       |SELECT id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM (SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY id""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -440,6 +506,11 @@ object GraphQueries {
         | CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, m.m,
         | 4 * m.m * CAST(coalesce(e.e_in, 0) AS BIGINT) - p.deg_sum * p.deg_sum AS q_num_4m2
         |FROM percom p LEFT JOIN ein e USING (community) CROSS JOIN m""".stripMargin,
+
+
+    // Unrolled peel of the same planted graph; 8 rounds >= the true
+    // peel depth, and peeling past fixpoint is a no-op.
+    "q229_kcore" -> kcoreOracleSql(k = 2, rounds = 8),
   )
 }
 

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
 
 /** Data quality, governance and CDC: profiling, constraints, k-anonymity, snapshot diff, SCD2, MERGE, CDC feeds, freshness, backfill, KS drift.
   *
-  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift, q206_kappa, q211_calibration, q220_corpus_diff.
+  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift, q206_kappa, q211_calibration, q220_corpus_diff, q230_fingerprint,
+  * q233_benford, q234_fingerprint_merge.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object QualityQueries {
@@ -261,6 +262,106 @@ object QualityQueries {
           sum(when(col("chg"), 1L).otherwise(0L)).as("n_changed"),
           (sum("tok_b") - sum("tok_a")).as("tok_delta"))
     }),
+
+
+    // Dataset content fingerprint — the reproducibility manifest a
+    // 100 TB pipeline publishes per snapshot so replicas/reruns can
+    // certify "same bytes" WITHOUT shipping rows: per source and
+    // globally ('*'), an order-independent row-hash digest (bit_xor —
+    // overflow-free and commutative at any scale), a mod-p checksum
+    // lane (p = 1000003; distinct failure modes from xor: xor misses
+    // even-multiplicity swaps, sum-mod misses xor-canceling pairs —
+    // together they pin content), row count, and the hash extrema.
+    // Text folds in via md5 so the hashed row string stays bounded.
+    // Pure partial-agg shuffles; nothing wide, nothing collected.
+    "q230_fingerprint" -> ((s, d) => {
+      val h = graft.functions.HashFunctions.portableHash60(
+        concat_ws("|", col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text"))))
+      val rows = Tables.documents(s, d).select(col("source"), h.as("h"))
+      def digest(df: DataFrame, key: Column) = df.groupBy(key.as("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor60"),
+          (sum(pmod(col("h"), lit(1000003L))) % 1000003L).as("sum_mod"),
+          min("h").as("h_min"), max("h").as("h_max"))
+      digest(rows, col("source")).unionByName(digest(rows, lit("*")))
+    }),
+
+
+    // Benford first-digit audit over l_extendedprice — the classic
+    // fabricated-numbers screen run on ingested numeric feeds. The
+    // expected Benford mass log10(1+1/d) is baked in as e6 INTEGER
+    // constants (they sum to exactly 1,000,000), so no runtime log and
+    // no cross-libm drift; observed mass is integer-div e6. One
+    // 9-group aggregation; the digit extraction is a pure projection.
+    "q233_benford" -> ((s, d) => {
+      val be6 = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+        8 -> 51153L, 9 -> 45757L)
+      val expected = be6.toSeq.sortBy(_._1)
+        .map { case (dg, e) => struct(lit(dg).as("digit"), lit(e).as("expected_e6")) }
+      val exp = Tables.lineitem(s, d).sparkSession
+        .range(1).select(explode(array(expected: _*)).as("s"))
+        .select(col("s.digit").as("digit"), col("s.expected_e6").as("expected_e6"))
+      val digits = Tables.lineitem(s, d)
+        .select(substring(floor(col("l_extendedprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("cnt"))
+      val tot = digits.agg(sum("cnt").as("total"))
+      exp.join(digits, Seq("digit"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+          col("total"), col("expected_e6"),
+          expr("(coalesce(cnt, 0) * 1000000) div total").as("obs_e6"),
+          abs(expr("(coalesce(cnt, 0) * 1000000) div total")
+            - col("expected_e6")).as("dev_e6"))
+    }),
+
+
+    // FINGERPRINT SHARD-MERGE LAW: two shards (even/odd doc ids) build
+    // q230's digests independently; digests fold lane-wise (counts
+    // add, xor lanes xor, mod-p lanes add mod p, extrema min/max) per
+    // source, and the global '*' row folds AGAIN from the per-source
+    // merged digests — two levels of merge. The oracle computes q230's
+    // un-split answer directly, so the hash match certifies
+    // state(A) ⊕ state(B) == state(A ∪ B) end to end — extending the
+    // oracle-certified mergeable-state family (k-means q173, novelty
+    // q182, HLL q186, percentiles q187) to the reproducibility
+    // manifest: per-day/per-shard digests roll up without raw rows.
+    "q234_fingerprint_merge" -> ((s, d) => {
+      val h = graft.functions.HashFunctions.portableHash60(
+        concat_ws("|", col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text"))))
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), h.as("h"))
+      def digest(df: DataFrame) = df.groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor60"),
+          (sum(pmod(col("h"), lit(1000003L))) % 1000003L).as("sum_mod"),
+          min("h").as("h_min"), max("h").as("h_max"))
+      val a = digest(rows.where(pmod(col("doc_id"), lit(2)) === 0))
+      val b = digest(rows.where(pmod(col("doc_id"), lit(2)) === 1))
+      val lanes = Seq("n_rows", "xor60", "sum_mod", "h_min", "h_max")
+      // per-lane identities for a shard missing the source: 0 for the
+      // additive and xor lanes; least/greatest skip nulls natively
+      def z(c: String) = coalesce(col(c), lit(0L))
+      val perSource = a.select(col("source") +: lanes.map(c => col(c).as(c + "_a")): _*)
+        .join(b.select(col("source") +: lanes.map(c => col(c).as(c + "_b")): _*),
+          Seq("source"), "full_outer")
+        .select(col("source"),
+          (z("n_rows_a") + z("n_rows_b")).as("n_rows"),
+          z("xor60_a").bitwiseXOR(z("xor60_b")).as("xor60"),
+          ((z("sum_mod_a") + z("sum_mod_b")) % 1000003L).as("sum_mod"),
+          least(col("h_min_a"), col("h_min_b")).as("h_min"),
+          greatest(col("h_max_a"), col("h_max_b")).as("h_max"))
+      val global = perSource.agg(
+        sum("n_rows").as("n_rows"), expr("bit_xor(xor60)").as("xor60"),
+        (sum("sum_mod") % 1000003L).as("sum_mod"),
+        min("h_min").as("h_min"), max("h_max").as("h_max"))
+        .select(lit("*").as("source"), col("n_rows"), col("xor60"),
+          col("sum_mod"), col("h_min"), col("h_max"))
+      perSource.unionByName(global)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -482,5 +583,66 @@ object QualityQueries {
          | CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
          | CAST(sum(tok_b) - sum(tok_a) AS BIGINT) AS tok_delta
          |FROM j GROUP BY source""".stripMargin,
+
+
+    // Same row-string → md5-60bit hash, same four digest lanes; the
+    // global row re-aggregates under source = '*'.
+    "q230_fingerprint" ->
+      """WITH h AS (SELECT source,
+        |  ('0x' || substr(md5(
+        |     CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
+        |     CAST(n_chars AS VARCHAR) || '|' || md5(text)), 1, 15))::BIGINT AS h
+        | FROM documents),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor60,
+        |  CAST(sum(h % 1000003) % 1000003 AS BIGINT) AS sum_mod,
+        |  CAST(min(h) AS BIGINT) AS h_min, CAST(max(h) AS BIGINT) AS h_max
+        | FROM h GROUP BY source),
+        |tot AS (SELECT '*' AS source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor60,
+        |  CAST(sum(h % 1000003) % 1000003 AS BIGINT) AS sum_mod,
+        |  CAST(min(h) AS BIGINT) AS h_min, CAST(max(h) AS BIGINT) AS h_max
+        | FROM h)
+        |SELECT * FROM per UNION ALL SELECT * FROM tot""".stripMargin,
+
+
+    // Same e6 Benford constants (they sum to exactly 1e6), same
+    // integer-div observed mass.
+    "q233_benford" ->
+      """WITH exp AS (SELECT * FROM (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |  AS t(digit, expected_e6)),
+        |dg AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        | FROM lineitem),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM dg GROUP BY digit),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT e.digit, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt, tt.total,
+        | CAST(e.expected_e6 AS BIGINT) AS expected_e6,
+        | (coalesce(c.cnt, 0) * 1000000) // tt.total AS obs_e6,
+        | abs((coalesce(c.cnt, 0) * 1000000) // tt.total - e.expected_e6) AS dev_e6
+        |FROM exp e LEFT JOIN c USING (digit) CROSS JOIN tt""".stripMargin,
+
+
+    // The ORACLE is q230's direct un-split computation — the engine
+    // answers from two shard digests folded lane-wise (then folded
+    // again for '*'), so the hash match IS the merge-law certificate.
+    "q234_fingerprint_merge" ->
+      """WITH h AS (SELECT source,
+        |  ('0x' || substr(md5(
+        |     CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
+        |     CAST(n_chars AS VARCHAR) || '|' || md5(text)), 1, 15))::BIGINT AS h
+        | FROM documents),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor60,
+        |  CAST(sum(h % 1000003) % 1000003 AS BIGINT) AS sum_mod,
+        |  CAST(min(h) AS BIGINT) AS h_min, CAST(max(h) AS BIGINT) AS h_max
+        | FROM h GROUP BY source),
+        |tot AS (SELECT '*' AS source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor60,
+        |  CAST(sum(h % 1000003) % 1000003 AS BIGINT) AS sum_mod,
+        |  CAST(min(h) AS BIGINT) AS h_min, CAST(max(h) AS BIGINT) AS h_max
+        | FROM h)
+        |SELECT * FROM per UNION ALL SELECT * FROM tot""".stripMargin,
   )
 }

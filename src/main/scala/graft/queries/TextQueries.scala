@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis and tokenization: quality scores, lang-ID, BPE, packing, chunking, redaction, boilerplate, token rarity, bigram LM.
   *
-  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1, q210_feature_hash, q218_distinct_n, q219_merge_usage, q222_stupid_backoff, q223_token_dropout.
+  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1, q210_feature_hash, q218_distinct_n, q219_merge_usage, q222_stupid_backoff, q223_token_dropout, q227_tv_divergence, q228_vocab_gini.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object TextQueries {
@@ -330,6 +330,51 @@ object TextQueries {
       TextAnalysisOps.tokenDropout(Tables.documents(s, d), "doc_id", "text")
         .select(col("id").as("doc_id"), col("aug_text"),
           col("n_tokens"), col("n_dropped"))),
+
+
+    // Per-source total-variation distance from the corpus unigram mix —
+    // the domain-shift cell of a training datasheet. TV instead of KL
+    // on purpose: every term is exact integer arithmetic over a common
+    // denominator (log is not correctly-rounded IEEE), so the basis-
+    // point result hash-checks cross-engine. Absent-word mass folds in
+    // closed form; only EXISTING (source, word) pairs materialize.
+    "q227_tv_divergence" -> ((s, d) =>
+      TextAnalysisOps.tvDivergence(Tables.documents(s, d), "source", "text")),
+
+
+    // Vocabulary-concentration Gini per source: rank words by count
+    // ascending, Gini = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc). Rank ties
+    // (equal counts) can break arbitrarily — Σ i·c_i over a block of
+    // equal counts is invariant to their internal order — so the
+    // cross-engine hash check doesn't ride on string collation. High
+    // Gini = a few tokens dominate (templated/boilerplate source); low
+    // = flat vocabulary. Window shuffles (source, word, count) rows
+    // only — vocab-sized, never corpus-sized.
+    "q228_vocab_gini" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val wc = Tables.documents(s, d)
+        .select(col("source").cast("string"), col("text").cast("string"))
+        .as[(String, String)]
+        .mapPartitions(_.flatMap { case (src, raw) =>
+          Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+            .iterator.map(w => (src, w))
+        }).toDF("source", "w")
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("c"), col("w"))
+      wc.withColumn("i", row_number().over(win).cast("long"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_vocab"),
+          sum("c").as("n_tokens"),
+          sum(col("i") * col("c")).as("sic"))
+        .select(col("source"), col("n_vocab"), col("n_tokens"),
+          expr("""CAST(floor(
+            |  (2.0 * CAST(sic AS DOUBLE)
+            |   - (CAST(n_vocab AS DOUBLE) + 1.0) * CAST(n_tokens AS DOUBLE))
+            |  / (CAST(n_vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+            |  * 10000.0 + 0.5) AS BIGINT)""".stripMargin).as("gini_e4"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -787,5 +832,55 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(a.aug_text, '') AS aug_text,
          | coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.n_dropped, 0) AS n_dropped
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+
+    // Same integer numerator (present |c_sw·N − c_w·N_s| + closed-form
+    // absent mass), same final double expression tree.
+    "q227_tv_divergence" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |tok AS (SELECT source, unnest(toks) AS w FROM t),
+         |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+         | FROM tok GROUP BY source, w),
+         |st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+         |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+         |nn AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw),
+         |j AS (SELECT sw.source,
+         |  CAST(max(st.n_s) AS BIGINT) AS n_tokens,
+         |  CAST(max(nn.n) AS BIGINT) AS corpus_tokens,
+         |  CAST(sum(abs(sw.c_sw * nn.n - cw.c_w * st.n_s)) AS BIGINT) AS present_abs,
+         |  CAST(sum(cw.c_w) AS BIGINT) AS present_cw
+         | FROM sw JOIN cw USING (w) JOIN st USING (source) CROSS JOIN nn
+         | GROUP BY sw.source)
+         |SELECT source, n_tokens, corpus_tokens,
+         | CAST(floor(
+         |  (CAST(present_abs AS DOUBLE)
+         |   + CAST(n_tokens AS DOUBLE) *
+         |     (CAST(corpus_tokens AS DOUBLE) - CAST(present_cw AS DOUBLE)))
+         |  / (CAST(n_tokens AS DOUBLE) * CAST(corpus_tokens AS DOUBLE))
+         |  * 5000.0 + 0.5) AS BIGINT) AS tv_bp
+         |FROM j""".stripMargin,
+
+
+    // Same count-ascending ranks; the Σ i·c_i sum is invariant to how
+    // equal-count ties break, so row_number's tie order is free.
+    "q228_vocab_gini" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |tok AS (SELECT source, unnest(toks) AS w FROM t),
+         |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         | FROM tok GROUP BY source, w),
+         |r AS (SELECT source, c,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY c, w) AS BIGINT) AS i
+         | FROM wc),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(i * c) AS BIGINT) AS sic
+         | FROM r GROUP BY source)
+         |SELECT source, n_vocab, n_tokens,
+         | CAST(floor(
+         |  (2.0 * CAST(sic AS DOUBLE)
+         |   - (CAST(n_vocab AS DOUBLE) + 1.0) * CAST(n_tokens AS DOUBLE))
+         |  / (CAST(n_vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+         |  * 10000.0 + 0.5) AS BIGINT) AS gini_e4
+         |FROM a""".stripMargin,
   )
 }

@@ -276,4 +276,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(perfect == 0.5, s"two disjoint triangles: Q = 1/2 exactly, got $perfect")
     assert(mixed < perfect, s"shuffled labels must score lower: $mixed vs $perfect")
   }
+
+  test("kCore: pendant chain cascades off a triangle core; k above max degree empties") {
+    // triangle {0,1,2} + chain 2-3-4-5: the chain peels back one node
+    // per round (5, then 4, then 3) — the cascade a single-pass degree
+    // filter would miss (3 and 4 start with degree 2)
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core2 = GraphOps.kCore(g, k = 2).as[(Long, Long)].collect().toMap
+    assert(core2 == Map(0L -> 2L, 1L -> 2L, 2L -> 2L),
+      s"2-core is exactly the triangle with in-core degree 2: $core2")
+    // idempotence at fixpoint: re-running on the surviving subgraph is a no-op
+    val again = GraphOps.kCore(
+      Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst"), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again == core2)
+    // k exceeding every degree: empty core, empty frame (not a crash)
+    assert(GraphOps.kCore(g, k = 3).isEmpty)
+    // duplicate/reversed/self-loop edges canonicalize away
+    val noisy = Seq((1L, 0L), (0L, 1L), (1L, 2L), (2L, 0L), (2L, 2L))
+      .toDF("src", "dst")
+    val c = GraphOps.kCore(noisy, k = 2).as[(Long, Long)].collect().toMap
+    assert(c == Map(0L -> 2L, 1L -> 2L, 2L -> 2L), s"canonicalized: $c")
+  }
+
+  test("kCore: two nested cores — k=2 keeps the 4-cycle bridge, k=3 only the clique") {
+    // K4 clique {0..3} joined by a 4-cycle {3,10,11,12}: cycle nodes
+    // have degree 2, clique nodes degree >= 3
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val cyc = Seq((3L, 10L), (10L, 11L), (11L, 12L), (12L, 3L))
+    val g = (k4 ++ cyc).toDF("src", "dst")
+    val c2 = GraphOps.kCore(g, k = 2).as[(Long, Long)].collect().toMap
+    assert(c2.keySet == Set(0L, 1L, 2L, 3L, 10L, 11L, 12L),
+      s"2-core keeps the cycle: $c2")
+    assert(c2(3L) == 5L, s"shared node counts both structures: ${c2(3L)}")
+    val c3 = GraphOps.kCore(g, k = 3).as[(Long, Long)].collect().toMap
+    assert(c3 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"3-core strips the cycle and the shared node's degree drops: $c3")
+  }
 }

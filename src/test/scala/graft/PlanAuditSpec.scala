@@ -485,4 +485,31 @@ class PlanAuditSpec extends SparkSpec {
       s"per-round stats must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("TV divergence: totals broadcast; no cartesian, no sort-merge (q227)") {
+    val p = plan(q("q227_tv_divergence"))
+    assert(p.contains("BroadcastExchange"),
+      s"per-source totals and the 1-row N must broadcast:\n$p")
+    // the 1-row corpus-N frame rides a broadcast nested-loop CROSS —
+    // that's the intended 1-row stats broadcast (q213 shape); what the
+    // closed-form absent-mass trick must prevent is a CartesianProduct
+    // or sort-merge over (source × vocab)
+    assert(!p.contains("CartesianProduct"),
+      s"the absent-mass closed form must keep joins equi-shaped:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("fingerprint manifest never windows and partial-aggregates its digests (q230)") {
+    val p = plan(q("q230_fingerprint"))
+    assert(!p.contains("Window"), s"digest lanes are plain aggregates:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("blocking eval: the four count frames broadcast; candidate join is key-equi (q231)") {
+    val p = plan(q("q231_blocking_eval"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"1-row aggregates must broadcast into the report row:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the blocking join itself must stay equi-shaped on the key:\n$p")
+  }
 }

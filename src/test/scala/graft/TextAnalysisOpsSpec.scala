@@ -216,4 +216,28 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(a(2L) == ((2L, "", 0L, 0L)))
     assert(run("other")(1L)._2 != aug, "seed must steer the mask")
   }
+
+  test("tvDivergence: hand-computed corpus, zero-distance and disjoint-vocab laws") {
+    // s1 = corpus restricted to {a: 2, b: 2} (N_1 = 4); s2 = {a: 2, c: 2}
+    // (N_2 = 4); corpus: a 4, b 2, c 2 (N = 8).
+    // TV(s1) = 1/2 (|2/4-4/8| + |2/4-2/8| + |0-2/8|) = 1/4 -> 2500 bp
+    val docs = Seq(("s1", "a b a b"), ("s2", "a c a c")).toDF("source", "text")
+    val out = TextAnalysisOps.tvDivergence(docs, "source", "text")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("s1") == (("s1", 4L, 8L, 2500L)), out("s1").toString)
+    assert(out("s2") == (("s2", 4L, 8L, 2500L)), out("s2").toString)
+
+    // single source: its distribution IS the corpus -> TV = 0
+    val solo = TextAnalysisOps.tvDivergence(
+      Seq(("only", "x y z x")).toDF("source", "text"), "source", "text")
+      .as[(String, Long, Long, Long)].collect()
+    assert(solo.toSeq == Seq(("only", 4L, 4L, 0L)))
+
+    // two disjoint-vocab sources of equal size: each TV = 1/2 -> 5000 bp
+    val disj = TextAnalysisOps.tvDivergence(
+      Seq(("l", "p p q"), ("r", "u v w")).toDF("source", "text"),
+      "source", "text")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(disj == Map("l" -> 5000L, "r" -> 5000L), disj.toString)
+  }
 }
