@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * Measurement protocol (round-7 rework — the round-3 and round-6 verdicts
   * both flagged 3-8x swings on UNCHANGED code in the recorded artifact):
   *
+  *  - Round-9 additions, closing the round-8 verdict's "JIT-churn" finding
+  *    (the r8 gate artifact overstated the contract ~40% and single queries
+  *    up to 5x): (a) `spark.sql.codegen.cache.maxEntries` is raised from
+  *    its default 100 to 20000 — with 234 queries the bounded generated-
+  *    class cache evicted every query's compiled stages between its own
+  *    interleaved reps, forcing full Janino recompilation per rep; (b) one
+  *    UNTIMED compile pass over all queries runs before the timed reps
+  *    (SPARK_GRAFT_BENCH_WARM=0 disables), so every timed rep is
+  *    steady-state. jit_ms stays in the artifact as proof.
   *  - Each query runs SPARK_GRAFT_BENCH_REPS times (default 3), and reps
   *    are INTERLEAVED as full passes over the query list: a transient
   *    machine-load window (CPU contention from a co-resident process,
@@ -56,6 +65,15 @@ object Bench {
       // shuffling both sides — standard production setting for executors
       // with this much memory (local[32]/128 GiB here)
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // ROOT CAUSE of the round-8 bench inflation: the generated-class
+      // cache (CodeGenerator.cache) is bounded by this STATIC conf,
+      // default 100 entries. The contract has 234 queries x several
+      // codegen stages each, so with interleaved reps EVERY query's
+      // compiled stages were evicted between its own reps and re-Janino'd
+      // on each pass (q165: 10-31 s of JIT per rep in the r8 artifact).
+      // 20k entries keeps every stage resident across passes, so rep 1
+      // pays compilation once and reps 2+ measure steady state.
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
@@ -67,6 +85,11 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // All JSON numbers go through Locale.ROOT: the f"" interpolator uses
+    // the JVM default locale, which under e.g. de_DE emits comma decimal
+    // separators — invalid JSON in the driver's parsed stdout line.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
     // Untimed warmup: JIT the parquet reader, codegen, and noop-sink paths
     // so the first timed query doesn't absorb one-time JVM costs.
@@ -112,6 +135,13 @@ object Bench {
     }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // One untimed compile pass before the timed reps (round-8 verdict ask):
+    // together with the enlarged codegen cache above, it moves ALL Janino /
+    // C2 compilation of every query's stages ahead of the first timed rep,
+    // so all timed reps are steady-state and the median stops carrying a
+    // 1-in-3 compile outlier. Disable with SPARK_GRAFT_BENCH_WARM=0 for
+    // quick local iteration.
+    val warm = !sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("0")
 
     var errors = List.empty[(String, String)]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -123,6 +153,19 @@ object Bench {
     val gcByQuery = scala.collection.mutable.Map.empty[String, Vector[Long]]
     val loadByPass = scala.collection.mutable.ArrayBuffer.empty[String]
     val calibByPass = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var warmSec = 0.0
+    if (warm) {
+      val w0 = System.nanoTime()
+      selected.foreach { case (name, fn) =>
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () } // errors re-surface in the timed reps
+        GraftCache.releaseAll(spark)
+        spark.catalog.clearCache()
+      }
+      warmSec = (System.nanoTime() - w0) / 1e9
+      if (diag) System.err.println(
+        "BENCHDIAG warm pass " + num(warmSec) + " s (untimed, compile-only)")
+    }
     (1 to reps).foreach { rep =>
       loadByPass += loadAvg
       calibByPass += calibSec
@@ -165,23 +208,23 @@ object Bench {
     val coldTimes = selected.map { case (name, _) => name -> timesByQuery(name).head }
 
     def numMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + esc(k) + "\":" + num(v) }.mkString("{", ",", "}")
     def vecMap[T](m: Seq[(String, Vector[T])])(fmt: T => String): String =
       m.map { case (k, vs) => "\"" + esc(k) + "\":" + vs.map(fmt).mkString("[", ",", "]") }
         .mkString("{", ",", "}")
     val qs = numMap(results)
     val minJson = numMap(mins)
     val cold = numMap(coldTimes)
-    val repsJson = vecMap(selected.map { case (n, _) => n -> timesByQuery(n) })(v => f"$v%.3f")
+    val repsJson = vecMap(selected.map { case (n, _) => n -> timesByQuery(n) })(num)
     val jitJson = vecMap(selected.map { case (n, _) => n -> jitByQuery(n) })(_.toString)
     val gcJson = vecMap(selected.map { case (n, _) => n -> gcByQuery(n) })(_.toString)
     val loadJson = loadByPass.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
-    val calibJson = calibByPass.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val calibJson = calibByPass.map(num).mkString("[", ",", "]")
     val errJson = errors.map { case (k, m) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"agg":"median","min":$minJson,"cold":$cold,"reps":$reps,"reps_by_query":$repsJson,"jit_ms":$jitJson,"gc_ms":$gcJson,"loadavg":$loadJson,"calib_sec":$calibJson,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"agg":"median","min":$minJson,"cold":$cold,"reps":$reps,"warm_pass":$warm,"warm_sec":${num(warmSec)},"reps_by_query":$repsJson,"jit_ms":$jitJson,"gc_ms":$gcJson,"loadavg":$loadJson,"calib_sec":$calibJson,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     // STDOUT LINE MUST FIT THE DRIVER'S 2000-CHAR TAIL BUFFER. Every
     // BENCH_r{1..7}.json artifact has "parsed": null because the recorder
     // keeps only the last 2000 chars of stdout (measured: tail_len=2000 in
@@ -197,12 +240,12 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
     val ranked = results.sortBy { case (n, v) => (if (v < 0) 0 else 1, -v.abs) }
     val budget = 1700
-    val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","agg":"median","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"full":"${esc(outPath)}","sf":"${esc(sfDir)}","queries":{"""
+    val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","agg":"median","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"full":"${esc(outPath)}","sf":"${esc(sfDir)}","queries":{"""
     val suffix = "}}"
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = prefix.length + suffix.length
     ranked.foreach { case (n, v) =>
-      val e = "\"" + esc(n) + "\":" + f"$v%.3f"
+      val e = "\"" + esc(n) + "\":" + num(v)
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
     }
     println(prefix + entries.mkString(",") + suffix)

@@ -87,7 +87,9 @@ object DumpPlans {
     "q219_merge_usage" -> "Zipf-collapsed distinct-word trace kernel + per-rank partial rollup",
     "q222_stupid_backoff" -> "train-side count tables joined onto eval bigrams; 1-row N broadcast",
     "q227_tv_divergence" -> "vocab-keyed counts join; totals broadcast; absent mass in closed form",
+    "q215_vocab_order" -> "one token-keyed shuffle into a (mask, cnt) histogram; greedy steps are broadcast nested-loops over it",
     "q230_fingerprint" -> "order-independent digest lanes as plain partial aggs — no window, no join",
+    "q235_normalize_date" -> "shuffle-free multi-format date normalization scan (codegen'd try_to_date chain)",
     "q232_pareto_front" -> "per-x maxima + tiny prefix-max window + broadcast dominance join — never all-pairs")
 
   def main(args: Array[String]): Unit = {

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * (write it out, e.g. to the state store) BEFORE the enrichment join
   * (SURVEY §7.4). Parallelism is capped by repartitioning to
   * `maxConcurrent` partitions (reference semaphore ≤10); the rate limiter
-  * is per-JVM — on a real cluster pass `ratePerSec / numExecutors`.
+  * is per-JVM, and [[download]]'s `numExecutors` parameter splits the
+  * cluster-global `ratePerSec` budget across executors (each JVM's bucket
+  * enforces `ratePerSec / numExecutors`).
   *
   * `fetch` is pluggable (url → bytes) so tests and the zero-egress harness
   * stub it; [[httpFetch]] is the production java.net.http implementation.
@@ -70,11 +72,24 @@ object Downloader {
     * destination file already exists, the fetch is skipped and reported as
     * success — re-executed partitions (task retry, AQE replan) do not
     * re-download.
+    *
+    * `ratePerSec` is the CLUSTER-GLOBAL budget: the per-JVM token bucket
+    * enforces `ratePerSec / numExecutors`, so with E executors each
+    * running its share of the partitions the aggregate request rate stays
+    * ≤ the budget (SURVEY §7.4 — the reference's limiter is per-process
+    * because it IS one process; a distributed fetch must split the
+    * budget). Default `numExecutors = 1` is exact on local mode. The
+    * static split is deliberately simple — a coordination-free upper
+    * bound; executors that finish early leave their share unused rather
+    * than rebalancing (no cross-executor token traffic).
     */
   def download(tasks: Dataset[DownloadTask], fetch: String => Array[Byte],
                maxConcurrent: Int = 10, ratePerSec: Double = 10.0,
                retryAttempts: Int = 3, retryDelayMs: Long = 2000,
-               skipExisting: Boolean = true): Dataset[DownloadResult] = {
+               skipExisting: Boolean = true,
+               numExecutors: Int = 1): Dataset[DownloadResult] = {
+    require(numExecutors >= 1, s"numExecutors must be >= 1, got $numExecutors")
+    val perJvmRate = ratePerSec / numExecutors
     implicit val enc = Encoders.product[DownloadResult]
     tasks
       .repartition(maxConcurrent)
@@ -92,7 +107,7 @@ object Downloader {
               attempt += 1
               result =
                 try {
-                  RateLimiter.acquire(ratePerSec)
+                  RateLimiter.acquire(perJvmRate)
                   val bytes = fetch(task.url)
                   if (dest.getParent != null) java.nio.file.Files.createDirectories(dest.getParent)
                   java.nio.file.Files.write(dest, bytes)

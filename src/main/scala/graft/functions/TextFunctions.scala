@@ -112,6 +112,58 @@ object TextFunctions {
     */
   def urlHashPortable(url: Column): Column = HashFunctions.portableHash60(url)
 
+  /** Multi-format date normalization — the derived layer SURVEY §1.5
+    * recommends over the reference's raw-string dates (models.py:30-31,
+    * 55, 65 keep `launch_modification_date` / `date_of_approval`
+    * unparsed because the scraped corpus mixes formats; FIXTURES.md
+    * catalogues `06-05-2022` dd-MM-yyyy, `2018-06-04` ISO, and the
+    * double-stamped `2018-06-04 04-06-2018` — the same date twice in two
+    * formats).
+    *
+    * Rule: clean the string, split on whitespace, and for the first two
+    * tokens try `yyyy-MM-dd` (unambiguous ISO first), then `dd-MM-yyyy`,
+    * then `dd/MM/yyyy` — first parse wins; everything else → NULL. Uses
+    * `try_to_date`, so malformed input never throws, and Spark's
+    * CORRECTED-mode parser rejects impossible dates (31-02-…) instead of
+    * rolling them over. Two-digit day/month expected (the corpus's
+    * form). Pure Catalyst expression — stays in whole-stage codegen.
+    */
+  def normalizeDate(c: Column): Column = {
+    val toks = split(cleanText(c), " ")
+    def parse(t: Column): Column = coalesce(
+      try_to_date(t, "yyyy-MM-dd"),
+      try_to_date(t, "dd-MM-yyyy"),
+      try_to_date(t, "dd/MM/yyyy"))
+    coalesce(parse(element_at(toks, 1)),
+      when(size(toks) >= 2, parse(element_at(toks, 2))))
+  }
+
+  /** Financial-year canonicalization to `YYYY-YY` (`2018-19`). Accepted
+    * inputs (FIXTURES.md's observed variants): `FY 2018-19`, `2018-2019`,
+    * `2014-15`, `13-14` (two-digit years → 20xx). A candidate only
+    * normalizes when the end year is exactly start+1 (mod 100), so junk
+    * leaked into the FY column (`GEN4734` in nonlife) and impossible
+    * spans (`2018-17`) come out NULL rather than masquerading as a
+    * valid year.
+    */
+  def normalizeFy(c: Column): Column = {
+    val t = regexp_replace(cleanText(c), "(?i)^FY\\s*", "")
+    val a44 = regexp_extract(t, "^(\\d{4})-(\\d{4})$", 1)
+    val b44 = regexp_extract(t, "^(\\d{4})-(\\d{4})$", 2)
+    val a42 = regexp_extract(t, "^(\\d{4})-(\\d{2})$", 1)
+    val b42 = regexp_extract(t, "^(\\d{4})-(\\d{2})$", 2)
+    val a22 = regexp_extract(t, "^(\\d{2})-(\\d{2})$", 1)
+    val b22 = regexp_extract(t, "^(\\d{2})-(\\d{2})$", 2)
+    def consecutive(startYear: Column, endYY: Column): Column =
+      pmod(startYear.cast("int") + 1, lit(100)) === endYY.cast("int")
+    when(a44 =!= "" && consecutive(a44, substring(b44, 3, 2)),
+        concat(a44, lit("-"), substring(b44, 3, 2)))
+      .when(a42 =!= "" && consecutive(a42, b42), concat(a42, lit("-"), b42))
+      .when(a22 =!= "" && consecutive(a22, b22),
+        concat(lit("20"), a22, lit("-"), b22))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** X10: object-store key from a local relative path — backslashes →
     * slashes, leading slashes stripped, prefixed with the product type
     * (r2_uploader.py:172-183).

@@ -564,7 +564,9 @@ object GraphOps {
     var nAlive = alive.count() // 2x canonical edge count
     var done = nAlive == 0L
     val kk = k.toLong
+    var round = 0
     while (!done) {
+      round += 1
       // degrees of the surviving subgraph; survivors keep deg >= k
       val deg = alive.mapValues(_ => 1L).reduceByKey(part, _ + _)
       val survivors = deg.filter(_._2 >= kk)
@@ -583,9 +585,17 @@ object GraphOps {
         .map { case (y, ((a, b), _)) => (if (y == a) b else a, (a, b)) }
         .partitionBy(part)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // A deep peel cascade can run many rounds: localCheckpoint every
+      // 10th round truncates the per-round join-pair lineage chain
+      // (driver stack-depth risk on pathological graphs), and the
+      // BLOCKING unpersist keeps the previous round from coexisting
+      // with the next while its lineage is still referenced — without
+      // it, MEMORY_AND_DISK blocks of every peeled round could pile up
+      // transiently (round-8 advice).
+      if (round % 10 == 0) next.localCheckpoint()
       val nNext = next.count() // the round's ONE action
       done = nNext == nAlive || nNext == 0L
-      val old = alive; alive = next; old.unpersist(false)
+      val old = alive; alive = next; old.unpersist(blocking = true)
       nAlive = nNext
     }
     graft.GraftCache.registerRdd(spark, alive)

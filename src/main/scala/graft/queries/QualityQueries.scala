@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object QualityQueries {
 
+  /** Row-string for the q230/q234 content fingerprint. Every field is
+    * NULL-coalesced to a NUL-prefixed sentinel BEFORE concat_ws:
+    * concat_ws silently skips NULL fields (and their separator), so rows
+    * differing only in WHICH field is null would otherwise hash
+    * identically — and DuckDB's `||` propagates NULL instead, so the two
+    * engines would diverge the moment any column is null (round-8
+    * advice). The sentinel keeps null positions distinguishable and both
+    * engines byte-identical; U+0000 cannot appear in the data columns.
+    */
+  private def fpRowString: Column = {
+    val nullS = "\u0000NULL"
+    concat_ws("|",
+      coalesce(col("doc_id").cast("string"), lit(nullS)),
+      coalesce(col("lang"), lit(nullS)),
+      coalesce(col("source"), lit(nullS)),
+      coalesce(col("n_chars").cast("string"), lit(nullS)),
+      coalesce(md5(col("text")), lit(nullS)))
+  }
+
+  /** The DuckDB twin of [[fpRowString]] — chr(0) spelled at runtime. */
+  private val fpRowSql: String =
+    """coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'NULL') || '|' ||
+      |     coalesce(lang, chr(0) || 'NULL') || '|' ||
+      |     coalesce(source, chr(0) || 'NULL') || '|' ||
+      |     coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'NULL') || '|' ||
+      |     coalesce(md5(text), chr(0) || 'NULL')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Column profiling (the Deequ-style pre-ingest audit): one pass
@@ -275,9 +302,7 @@ object QualityQueries {
     // Text folds in via md5 so the hashed row string stays bounded.
     // Pure partial-agg shuffles; nothing wide, nothing collected.
     "q230_fingerprint" -> ((s, d) => {
-      val h = graft.functions.HashFunctions.portableHash60(
-        concat_ws("|", col("doc_id"), col("lang"), col("source"),
-          col("n_chars"), md5(col("text"))))
+      val h = graft.functions.HashFunctions.portableHash60(fpRowString)
       val rows = Tables.documents(s, d).select(col("source"), h.as("h"))
       def digest(df: DataFrame, key: Column) = df.groupBy(key.as("source"))
         .agg(count(lit(1)).as("n_rows"),
@@ -329,9 +354,7 @@ object QualityQueries {
     // q182, HLL q186, percentiles q187) to the reproducibility
     // manifest: per-day/per-shard digests roll up without raw rows.
     "q234_fingerprint_merge" -> ((s, d) => {
-      val h = graft.functions.HashFunctions.portableHash60(
-        concat_ws("|", col("doc_id"), col("lang"), col("source"),
-          col("n_chars"), md5(col("text"))))
+      val h = graft.functions.HashFunctions.portableHash60(fpRowString)
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), h.as("h"))
       def digest(df: DataFrame) = df.groupBy("source")
@@ -588,10 +611,8 @@ object QualityQueries {
     // Same row-string → md5-60bit hash, same four digest lanes; the
     // global row re-aggregates under source = '*'.
     "q230_fingerprint" ->
-      """WITH h AS (SELECT source,
-        |  ('0x' || substr(md5(
-        |     CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
-        |     CAST(n_chars AS VARCHAR) || '|' || md5(text)), 1, 15))::BIGINT AS h
+      s"""WITH h AS (SELECT source,
+        |  ('0x' || substr(md5($fpRowSql), 1, 15))::BIGINT AS h
         | FROM documents),
         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(bit_xor(h) AS BIGINT) AS xor60,
@@ -628,10 +649,8 @@ object QualityQueries {
     // answers from two shard digests folded lane-wise (then folded
     // again for '*'), so the hash match IS the merge-law certificate.
     "q234_fingerprint_merge" ->
-      """WITH h AS (SELECT source,
-        |  ('0x' || substr(md5(
-        |     CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
-        |     CAST(n_chars AS VARCHAR) || '|' || md5(text)), 1, 15))::BIGINT AS h
+      s"""WITH h AS (SELECT source,
+        |  ('0x' || substr(md5($fpRowSql), 1, 15))::BIGINT AS h
         | FROM documents),
         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(bit_xor(h) AS BIGINT) AS xor60,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** The reference's own pipeline surface: HTML table parsing, URL/text functions, pagination, CSV metadata, branch split.
   *
-  * Contract queries: q11_clean_text, q17_archive_status, q18_total_results, q19_sanitize_filename, q20_filename_from_url, q21_extension_from_url, q22_download_path, q23_url_hash, q35_parse_life, q36_parse_health, q39_count_scan, q42_r2_meta, q43_max_page, q44_parse_nonlife, q45_parse_life_list, q47_branch_split, q48_total_pages, q213_crawl_budget, q214_politeness.
+  * Contract queries: q11_clean_text, q17_archive_status, q18_total_results, q19_sanitize_filename, q20_filename_from_url, q21_extension_from_url, q22_download_path, q23_url_hash, q35_parse_life, q36_parse_health, q39_count_scan, q42_r2_meta, q43_max_page, q44_parse_nonlife, q45_parse_life_list, q47_branch_split, q48_total_pages, q213_crawl_budget, q214_politeness, q235_normalize_date, q236_normalize_fy.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object ScrapeQueries {
@@ -167,6 +167,52 @@ object ScrapeQueries {
           Window.partitionBy("domain").orderBy(col("h"), col("url_id"))).cast("long"))
         .select(col("url_id"), col("domain"), col("rk"), col("delay_ms"),
           ((col("rk") - 1L) * col("delay_ms")).as("fetch_ms"))
+    }),
+
+
+    // Multi-format date normalization (SURVEY §1.5's derived layer over
+    // the reference's raw-string dates). Fixture cycles the corpus's
+    // observed shapes: ISO, dd-MM-yyyy, the double-stamped "both at
+    // once" (models.py keeps these unparsed), an FY string, and junk —
+    // the last two must come out NULL, the first three recover the
+    // SAME underlying date. Oracle asserts the expected date directly.
+    "q235_normalize_date" -> ((s, d) => {
+      val base = date_add(lit("2020-01-01").cast("date"),
+        pmod(did, lit(1000)).cast("int"))
+      val iso = date_format(base, "yyyy-MM-dd")
+      val dmy = date_format(base, "dd-MM-yyyy")
+      val raw = when(pmod(did, lit(5)) === 0, iso)
+        .when(pmod(did, lit(5)) === 1, dmy)
+        .when(pmod(did, lit(5)) === 2, concat(iso, lit(" "), dmy))
+        .when(pmod(did, lit(5)) === 3, lit("FY 2018-19"))
+        .otherwise(lit("garbage 31-02-2022"))
+      // DateType renders as ISO text for the compare (pandas coerces a
+      // DuckDB DATE to Timestamp — date-typed cells never hash-match);
+      // the operator itself returns a real DateType column.
+      Tables.documents(s, d).select(did, raw.as("raw"),
+        date_format(T.normalizeDate(raw), "yyyy-MM-dd").as("norm_date"))
+    }),
+
+
+    // FY canonicalization: every observed variant (FY-prefixed,
+    // full-full, full-short, short-short) canonicalizes to YYYY-YY;
+    // leaked junk and non-consecutive spans → NULL.
+    "q236_normalize_fy" -> ((s, d) => {
+      val y = (lit(2000) + pmod(did, lit(20))).cast("int")
+      val yy2 = lpad(pmod(y + 1, lit(100)).cast("string"), 2, "0")
+      val raw = when(pmod(did, lit(6)) === 0,
+          concat(lit("FY "), y.cast("string"), lit("-"), yy2))
+        .when(pmod(did, lit(6)) === 1,
+          concat(y.cast("string"), lit("-"), (y + 1).cast("string")))
+        .when(pmod(did, lit(6)) === 2,
+          concat(y.cast("string"), lit("-"), yy2))
+        .when(pmod(did, lit(6)) === 3,
+          concat(lpad(pmod(y, lit(100)).cast("string"), 2, "0"), lit("-"), yy2))
+        .when(pmod(did, lit(6)) === 4, lit("GEN4734"))
+        .otherwise(concat(y.cast("string"), lit("-"),
+          lpad(pmod(y + 2, lit(100)).cast("string"), 2, "0")))
+      Tables.documents(s, d).select(did, raw.as("raw"),
+        T.normalizeFy(raw).as("norm_fy"))
     }),
   )
 
@@ -377,5 +423,43 @@ object ScrapeQueries {
         |  row_number() OVER (PARTITION BY domain ORDER BY h, url_id) AS rk FROM f)
         |SELECT url_id, domain, CAST(rk AS BIGINT) AS rk, delay_ms,
         | CAST((rk - 1) * delay_ms AS BIGINT) AS fetch_ms FROM r""".stripMargin,
+
+
+    // The oracle asserts the EXPECTED date directly (parseable variants
+    // must recover the planted date, the FY/junk variants NULL) — a
+    // stronger check than mirroring the parse chain.
+    "q235_normalize_date" ->
+      """WITH b AS (SELECT doc_id,
+        |  DATE '2020-01-01' + CAST(doc_id % 1000 AS INTEGER) AS d FROM documents)
+        |SELECT doc_id,
+        | CASE doc_id % 5
+        |  WHEN 0 THEN strftime(d, '%Y-%m-%d')
+        |  WHEN 1 THEN strftime(d, '%d-%m-%Y')
+        |  WHEN 2 THEN strftime(d, '%Y-%m-%d') || ' ' || strftime(d, '%d-%m-%Y')
+        |  WHEN 3 THEN 'FY 2018-19'
+        |  ELSE 'garbage 31-02-2022' END AS raw,
+        | CASE WHEN doc_id % 5 IN (0, 1, 2) THEN strftime(d, '%Y-%m-%d')
+        |  ELSE NULL END AS norm_date
+        |FROM b""".stripMargin,
+
+
+    // y ∈ [2000, 2019], so every accepted variant canonicalizes to
+    // CAST(y)||'-'||yy2; junk and the non-consecutive span are NULL.
+    "q236_normalize_fy" ->
+      """WITH b AS (SELECT doc_id, CAST(2000 + doc_id % 20 AS INTEGER) AS y FROM documents),
+        |v AS (SELECT doc_id, y,
+        |  lpad(CAST((y + 1) % 100 AS VARCHAR), 2, '0') AS yy2 FROM b)
+        |SELECT doc_id,
+        | CASE doc_id % 6
+        |  WHEN 0 THEN 'FY ' || CAST(y AS VARCHAR) || '-' || yy2
+        |  WHEN 1 THEN CAST(y AS VARCHAR) || '-' || CAST(y + 1 AS VARCHAR)
+        |  WHEN 2 THEN CAST(y AS VARCHAR) || '-' || yy2
+        |  WHEN 3 THEN lpad(CAST(y % 100 AS VARCHAR), 2, '0') || '-' || yy2
+        |  WHEN 4 THEN 'GEN4734'
+        |  ELSE CAST(y AS VARCHAR) || '-' || lpad(CAST((y + 2) % 100 AS VARCHAR), 2, '0')
+        | END AS raw,
+        | CASE WHEN doc_id % 6 IN (0, 1, 2, 3)
+        |  THEN CAST(y AS VARCHAR) || '-' || yy2 ELSE NULL END AS norm_fy
+        |FROM v""".stripMargin,
   )
 }

@@ -114,6 +114,50 @@ class TextFunctionsSpec extends SparkSpec {
     assert(row.getLong(3) == 0L)
   }
 
+  test("normalizeDate: every catalogued corpus format, incl. double-stamped") {
+    def nd(s: String) =
+      run1(date_format(T.normalizeDate(col("s")), "yyyy-MM-dd"), s)
+    assert(nd("2018-06-04") == "2018-06-04")            // ISO
+    assert(nd("06-05-2022") == "2022-05-06")            // dd-MM-yyyy
+    assert(nd("06/05/2022") == "2022-05-06")            // dd/MM/yyyy
+    assert(nd("2018-06-04 04-06-2018") == "2018-06-04") // double-stamped
+    assert(nd("  2018-06-04\t04-06-2018 ") == "2018-06-04") // + messy ws
+    assert(nd("junk 04-06-2018") == "2018-06-04")       // 2nd token rescues
+    assert(nd("31-02-2022") == null)                    // impossible date
+    assert(nd("FY 2018-19") == null)
+    assert(nd("") == null)
+    assert(nd("GEN4734") == null)
+  }
+
+  test("normalizeDate is idempotent: re-normalizing its ISO render is a fixed point") {
+    val dates = Seq("2018-06-04", "06-05-2022", "2018-06-04 04-06-2018",
+      "01-01-2000", "29-02-2020")
+    val once = dates.toDF("s")
+      .select(date_format(T.normalizeDate(col("s")), "yyyy-MM-dd").as("c"))
+      .as[String].collect().toSeq
+    val twice = once.toDF("c")
+      .select(date_format(T.normalizeDate(col("c")), "yyyy-MM-dd").as("c2"))
+      .as[String].collect().toSeq
+    assert(once == twice && once.forall(_ != null))
+  }
+
+  test("normalizeFy: observed variants canonicalize; junk and bad spans NULL") {
+    def fy(s: String) = run1(T.normalizeFy(col("s")), s)
+    assert(fy("FY 2018-19") == "2018-19")
+    assert(fy("2018-2019") == "2018-19")
+    assert(fy("2014-15") == "2014-15")
+    assert(fy("13-14") == "2013-14")
+    assert(fy("fy2018-19") == "2018-19")  // case-insensitive, no space
+    assert(fy(" FY  1999-2000 ") == "1999-00") // century rollover
+    assert(fy("GEN4734") == null)         // nonlife column leak
+    assert(fy("2018-17") == null)         // non-consecutive span
+    assert(fy("2018-2020") == null)
+    assert(fy("") == null)
+    // idempotence: the canonical form is itself an accepted input
+    val canon = Seq("2018-19", "2013-14", "1999-00")
+    assert(canon.forall(c => fy(c) == c))
+  }
+
   test("canonicalizeUrl is idempotent: canonical forms are fixed points") {
     // re-canonicalizing must change nothing — the property that makes
     // the canon a valid dedup KEY (mixed crawl inputs converge)
