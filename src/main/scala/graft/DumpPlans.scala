@@ -110,7 +110,10 @@ object DumpPlans {
     Interesting.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name — $why\n\n```\n")
-      sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+      // plan text can embed non-printable literal bytes (e.g. the q230
+      // NUL-prefixed null sentinel) — escape them so the dump stays text
+      sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim
+        .flatMap(c => if (c < ' ' && c != '\n' && c != '\t') f"\\u${c.toInt}%04x" else c.toString))
       sb.append("\n```\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
