@@ -25,7 +25,7 @@ object QualityQueries {
     * advice). The sentinel keeps null positions distinguishable and both
     * engines byte-identical; U+0000 cannot appear in the data columns.
     */
-  private def fpRowString: Column = {
+  private[graft] def fpRowString: Column = {
     val nullS = "\u0000NULL"
     concat_ws("|",
       coalesce(col("doc_id").cast("string"), lit(nullS)),

@@ -86,6 +86,24 @@ class QualityOpsSpec extends SparkSpec {
     assert(cd(5L)._1 == base(5L)._1 && cd(5L)._2 != base(5L)._2)
   }
 
+  test("fingerprint row-string distinguishes WHICH field is null (q230/q234 sentinel)") {
+    // concat_ws silently skips NULL fields: without the NUL sentinel,
+    // (lang=null, source="x") and (lang="x", source=null) would
+    // concatenate to the SAME string and the content fingerprint would
+    // certify two different datasets as byte-identical.
+    val rows = Seq(
+      (1L, null.asInstanceOf[String], "x", 10L, "t"),
+      (1L, "x", null.asInstanceOf[String], 10L, "t"),
+      (1L, "x", "x", 10L, "t"),
+      (1L, null.asInstanceOf[String], null.asInstanceOf[String], 10L, null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val strs = rows.select(graft.queries.QualityQueries.fpRowString.as("s"))
+      .collect().map(_.getString(0))
+    assert(strs.forall(_ != null), "sentinel must keep the row-string non-null")
+    assert(strs.distinct.length == strs.length,
+      s"null positions must stay distinguishable: ${strs.toSeq}")
+  }
+
   test("snapshotDiff emits only added/removed/changed") {
     val a = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "v")
     val b = Seq((2L, 200L), (3L, 333L), (4L, 400L)).toDF("k", "v")
