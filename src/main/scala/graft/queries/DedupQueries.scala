@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication: exact, MinHash/SimHash LSH, fingerprints, connected components, semantic dedup, contamination, PPJoin, entity resolution.
   *
-  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment, q196_band_sweep, q202_dedup_report, q212_containment, q231_blocking_eval.
+  * Contract queries: q12_fingerprints, q13_exact_dedup, q24_pairwise_jaccard, q25_minhash_neardups, q26_simhash_neardups, q50_fingerprint_overlap, q63_components, q81_neardup_clusters, q82_semantic_dedup, q84_url_canon, q86_minhash_probe, q111_canonical, q123_ngram_contam, q131_prefix_join, q135_minhash_eval, q136_entity_resolution, q138_event_dedup, q155_source_overlap, q165_lsh_recall, q175_span_dedup, q180_novelty, q181_cdc_chunks, q182_novelty_increment, q196_band_sweep, q202_dedup_report, q212_containment, q231_blocking_eval, q237_cc_increment.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object DedupQueries {
@@ -77,6 +77,35 @@ object DedupQueries {
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
       DedupOps.connectedComponents(edges, maxIter = 10)
+    }),
+
+
+    // INCREMENTAL component merge law (the q234 pattern applied to
+    // GRAPH state): the exact-dup edge graph over a TRIPLED corpus
+    // (ids, +1e6, +2e6 — every text a 3-clique at minimum) arrives as
+    // two batches chosen so every component STRADDLES them (batch A =
+    // edges landing below +2e6, batch B = edges reaching the +2e6
+    // copies); each batch resolves to CC state independently and the
+    // states fold via ccMergeStates — CC over star edges, raw batch
+    // edges never re-read. The oracle computes the UN-SPLIT q63-style
+    // answer directly, so the hash match certifies
+    // state(A) ⊕ state(B) == state(A ∪ B) for the clustering family.
+    "q237_cc_increment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idL = col("doc_id").cast("long")
+      val corpus = docs.select(idL.as("id"), col("text"))
+        .unionByName(docs.select((idL + 1000000L).as("id"), col("text")))
+        .unionByName(docs.select((idL + 2000000L).as("id"), col("text")))
+      val fp = corpus.select(col("id"), T.fingerprint(col("text")).as("fp"))
+      val edges = fp.select(col("fp"), col("id").as("id_a"))
+        .join(fp.select(col("fp"), col("id").as("id_b")), "fp")
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val batchA = edges.where(col("id_b") < 2000000L)
+      val batchB = edges.where(col("id_b") >= 2000000L)
+      DedupOps.ccMergeStates(
+        DedupOps.connectedComponents(batchA),
+        DedupOps.connectedComponents(batchB))
     }),
 
 
@@ -689,6 +718,21 @@ object DedupQueries {
       s"""WITH c AS (
          | SELECT doc_id AS id, text FROM documents
          | UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |f AS (SELECT id, md5(lower($cleanSql)) AS fp FROM c),
+         |g AS (SELECT fp, min(id) AS component, count(*) AS n
+         |      FROM f GROUP BY fp)
+         |SELECT f.id, g.component FROM f JOIN g USING (fp) WHERE g.n > 1""".stripMargin,
+
+
+    // The ORACLE is the un-split direct computation over the tripled
+    // corpus (components == fingerprint groups, min id per group);
+    // the engine answers from two batch CC states folded through
+    // ccMergeStates, so the hash match IS the merge-law certificate.
+    "q237_cc_increment" ->
+      s"""WITH c AS (
+         | SELECT doc_id AS id, text FROM documents
+         | UNION ALL SELECT doc_id + 1000000, text FROM documents
+         | UNION ALL SELECT doc_id + 2000000, text FROM documents),
          |f AS (SELECT id, md5(lower($cleanSql)) AS fp FROM c),
          |g AS (SELECT fp, min(id) AS component, count(*) AS n
          |      FROM f GROUP BY fp)

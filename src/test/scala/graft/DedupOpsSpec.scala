@@ -110,6 +110,37 @@ class DedupOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("ccMergeStates: adversarial alternating chain split == direct CC; fold order irrelevant") {
+    // chain 0-1-2-...-12 split so NEITHER batch connects anything beyond
+    // pairs: A gets the even-index edges, B the odd-index ones. Only the
+    // star-edge merge can bridge the pairs back into one component.
+    val all = (0L until 12L).map(i => (i, i + 1))
+    val a = all.zipWithIndex.collect { case (e, i) if i % 2 == 0 => e }.toDF("id_a", "id_b")
+    val b = all.zipWithIndex.collect { case (e, i) if i % 2 == 1 => e }.toDF("id_a", "id_b")
+    val direct = DedupOps.connectedComponents(all.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sa = DedupOps.connectedComponents(a)
+    val sb = DedupOps.connectedComponents(b)
+    val ab = DedupOps.ccMergeStates(sa, sb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ba = DedupOps.ccMergeStates(sb, sa)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ab == direct, s"merged $ab != direct $direct")
+    assert(ba == direct, "merge must be commutative")
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("ccMergeStates: disjoint batches pass through; shared nodes bridge") {
+    // A: pair {1,2}; B: pair {50,51} (disjoint) plus pair {2,3} (bridges A)
+    val sa = DedupOps.connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b"))
+    val sb = DedupOps.connectedComponents(
+      Seq((50L, 51L), (2L, 3L)).toDF("id_a", "id_b"))
+    val m = DedupOps.ccMergeStates(sa, sb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 50L -> 50L, 51L -> 50L))
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("connectedComponents converges on a long path within diameter rounds") {
     // path 0-1-2-...-15: worst case for label propagation (diameter 15)
     val edges = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
