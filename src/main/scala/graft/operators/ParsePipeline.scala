@@ -146,6 +146,28 @@ object ParsePipeline {
   def withScrapedAt(df: DataFrame): DataFrame =
     df.withColumn("scraped_at", current_timestamp())
 
+  /** SURVEY §1.5's normalized derived layer: for every raw-string date /
+    * financial-year column present in `df`, add a `<col>_norm` sibling —
+    * `DateType` via [[graft.functions.TextFunctions.normalizeDate]]
+    * (multi-format + the corpus's double-stamped form), canonical
+    * `YYYY-YY` via [[graft.functions.TextFunctions.normalizeFy]]. The
+    * reference deliberately keeps these columns unparsed
+    * (models.py:30-31, 55, 65) because the scraped formats are
+    * inconsistent; this derives the analyst-facing typed columns WITHOUT
+    * touching ingest parity — raw strings stay, un-normalizable values
+    * yield NULL siblings. Pure projection: shuffle-free, codegen'd.
+    */
+  def withNormalizedDates(df: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val dateCols = Seq("launch_modification_date", "closing_withdrawal_date",
+      "date_of_approval", "last_updated").filter(df.columns.contains)
+    val fyCols = Seq("financial_year").filter(df.columns.contains)
+    val withDates = dateCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"${c}_norm", T.normalizeDate(col(c))))
+    fyCols.foldLeft(withDates)((d, c) =>
+      d.withColumn(s"${c}_norm", T.normalizeFy(col(c))))
+  }
+
   /** Convenience: full page→product pipeline for one product type. */
   def parse(spark: SparkSession, pages: Dataset[PageHtml], productType: String,
             baseUrl: String = "https://example.invalid"): DataFrame = {

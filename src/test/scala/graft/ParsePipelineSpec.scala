@@ -35,6 +35,25 @@ class ParsePipelineSpec extends SparkSpec {
     assert(r.getAs[String]("document_filename") == "Policy One")
   }
 
+  test("withNormalizedDates derives typed siblings; raw strings stay (SURVEY §1.5)") {
+    val row = tds("<input/>", "Non-Archived", "FY 2020-21", "Acme Life", "Super Plan",
+      "UIN123", "Term", "2020-04-01 01-04-2020", "31-02-2021", "Protection",
+      "Par", "Individual", "note", "<a href='/documents/p1.pdf'>Policy One</a>")
+    val out = ParsePipeline.withNormalizedDates(
+      ParsePipeline.life(ParsePipeline.explodeRows(page("life", row)).toDF()))
+    val r = out.collect().head
+    // raw columns untouched (ingest parity)
+    assert(r.getAs[String]("launch_modification_date") == "2020-04-01 01-04-2020")
+    assert(r.getAs[String]("financial_year") == "FY 2020-21")
+    // double-stamped date resolves to one DateType value
+    assert(r.getAs[java.sql.Date]("launch_modification_date_norm").toString == "2020-04-01")
+    // impossible date (Feb 31) → NULL, not a rolled-over date
+    assert(r.isNullAt(r.fieldIndex("closing_withdrawal_date_norm")))
+    assert(r.getAs[String]("financial_year_norm") == "2020-21")
+    import org.apache.spark.sql.types.DateType
+    assert(out.schema("launch_modification_date_norm").dataType == DateType)
+  }
+
   test("arity guard (F1) and empty-key filter (F2) drop bad rows") {
     val short = tds("<input/>", "x", "y") // too few cells
     val emptyKey = tds("<input/>", "Non-Archived", "FY", "Ins", "Name",
