@@ -382,16 +382,22 @@ object CurationQueries {
             .otherwise(split(clean, " "))).as("tok"))
         .unionByName(docs.select(col("source"),
           concat(lit("uniq"), sid).as("tok")))
+      // idx > 62 would silently WRAP shiftleft (JVM shift is mod 64) and
+      // corrupt masks, so the guard is part of the bit expression itself:
+      // a 64th source fails loudly at runtime instead of mis-clustering.
       val srcIdx = docs.select(col("source")).distinct()
         .withColumn("idx", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("source")) - 1)
-      val bit = expr("shiftleft(CAST(1 AS BIGINT), idx)")
+      val bitSql = "CASE WHEN idx > 62 THEN CAST(raise_error(" +
+        "'q215_vocab_order: > 63 sources; one-long mask would wrap') AS BIGINT) " +
+        "ELSE shiftleft(CAST(1 AS BIGINT), idx) END"
+      val bit = expr(bitSql)
       // one shuffle: per-token membership mask, then the tiny histogram;
       // persisted (rows = distinct masks) because three gain passes and
       // two pick frames all derive from it
       val hist = graft.GraftCache.register(
         pairs.join(broadcast(srcIdx), "source")
-          .groupBy("tok").agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mask"))
+          .groupBy("tok").agg(bit_or(bit).as("mask"))
           .groupBy("mask").agg(count(lit(1)).as("cnt"))
           .persist())
       def pick(g: DataFrame): DataFrame =
@@ -405,8 +411,7 @@ object CurationQueries {
                  (col("mask").bitwiseAND(col("mcov")) === 0))
           .groupBy("source").agg(sum("cnt").as("gain"))
       def coveredBy(picked: DataFrame): DataFrame =
-        picked.join(srcIdx, "source")
-          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mcov"))
+        picked.join(srcIdx, "source").agg(bit_or(bit).as("mcov"))
       val p1 = pick(gains(s.range(1).select(lit(0L).as("mcov"))))
       val p2 = pick(gains(coveredBy(p1)))
       val p3 = pick(gains(coveredBy(p1.unionByName(p2))))

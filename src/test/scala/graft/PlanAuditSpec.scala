@@ -512,4 +512,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"the blocking join itself must stay equi-shaped on the key:\n$p")
   }
+
+  test("vocab ordering: ONE cached mask histogram feeds every greedy step; no corpus anti-joins (q215)") {
+    val p = plan(q("q215_vocab_order"))
+    // the round-9 rework's contract: the tokenize+mask pass is computed
+    // once into the persisted histogram — each greedy branch scans the
+    // InMemoryRelation, never the corpus
+    assert(p.contains("InMemoryTableScan"),
+      s"greedy steps must read the cached (mask, cnt) histogram:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"the covered-token cut must be a mask test, not a corpus anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join in the greedy is broadcast-sized:\n$p")
+    graft.GraftCache.releaseAll(spark)
+  }
 }
