@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale-safe statistics: percentiles (cells/GK), NTILE, winsorize, quantile-norm, HLL/CMS sketches, range digests, join-cardinality estimation.
   *
-  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding, q224_correlation.
+  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding, q224_correlation, q238_cms_merge.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object StatsQueries {
@@ -84,6 +84,27 @@ object StatsQueries {
       val cms = SketchOps.cmsBuild(ev, "user_id")
       val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
       SketchOps.cmsEstimate(cms, ev.select("user_id").distinct(), "user_id")
+        .join(exact, "user_id")
+        .select(col("user_id"), col("exact_n"), col("cms_n"))
+    }),
+
+
+    // CMS SHARD-MERGE LAW (completing the sketch-merge family: HLL
+    // q186, KMV q191, percentiles q187, fingerprints q234, CC q237):
+    // two event shards (even/odd event ids — a ROW split, so both
+    // shards count the same hot keys partially) build count-min grids
+    // independently; grids fold cell-wise by SUM (cmsMerge), estimates
+    // derive from the merged grid. The oracle computes the un-split
+    // q103 answer directly, so the hash match certifies
+    // state(A) ⊕ state(B) == state(A ∪ B) for the counting sketch —
+    // the per-shard/per-day heavy-hitter roll-up shape.
+    "q238_cms_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val merged = SketchOps.cmsMerge(
+        SketchOps.cmsBuild(ev.where(pmod(col("event_id"), lit(2)) === 0), "user_id"),
+        SketchOps.cmsBuild(ev.where(pmod(col("event_id"), lit(2)) === 1), "user_id"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      SketchOps.cmsEstimate(merged, ev.select("user_id").distinct(), "user_id")
         .join(exact, "user_id")
         .select(col("user_id"), col("exact_n"), col("cms_n"))
     }),
@@ -403,6 +424,24 @@ object StatsQueries {
     // depth 4 x width 1024, estimate = min over rows. The unnest of the
     // hash-row index lives in its own CTE (DuckDB lateral rule).
     "q103_cms_counts" ->
+      """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+        |hb AS (SELECT e.user_id, ks.k,
+        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
+        | FROM events e CROSS JOIN ks),
+        |cms AS (SELECT k, bucket, count(*) AS n FROM hb GROUP BY 1, 2),
+        |kh AS (SELECT DISTINCT user_id, k, bucket FROM hb),
+        |est AS (SELECT kh.user_id, min(coalesce(cms.n, 0)) AS cms_n
+        | FROM kh LEFT JOIN cms ON cms.k = kh.k AND cms.bucket = kh.bucket
+        | GROUP BY 1),
+        |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+        |SELECT x.user_id, x.exact_n, est.cms_n
+        |FROM exact x JOIN est ON est.user_id = x.user_id""".stripMargin,
+
+
+    // IDENTICAL SQL to q103 — the oracle computes the one-pass grid; the
+    // engine folds two shard grids cell-wise, so the match certifies the
+    // CMS merge law.
+    "q238_cms_merge" ->
       """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
         |hb AS (SELECT e.user_id, ks.k,
         |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
