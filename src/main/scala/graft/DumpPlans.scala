@@ -90,6 +90,7 @@ object DumpPlans {
     "q215_vocab_order" -> "one token-keyed shuffle into a (mask, cnt) histogram; greedy steps are broadcast nested-loops over it",
     "q230_fingerprint" -> "order-independent digest lanes as plain partial aggs — no window, no join",
     "q235_normalize_date" -> "shuffle-free multi-format date normalization scan (codegen'd try_to_date chain)",
+    "q238_cms_merge" -> "two shard grids partial-agg then fold cell-wise — sketches shuffle, rows don't",
     "q232_pareto_front" -> "per-x maxima + tiny prefix-max window + broadcast dominance join — never all-pairs")
 
   def main(args: Array[String]): Unit = {
