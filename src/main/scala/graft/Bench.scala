@@ -18,13 +18,25 @@ import org.apache.spark.sql.SparkSession
   *    UNTIMED compile pass over all queries runs before the timed reps
   *    (SPARK_GRAFT_BENCH_WARM=0 disables), so every timed rep is
   *    steady-state. jit_ms stays in the artifact as proof.
-  *  - Each query runs SPARK_GRAFT_BENCH_REPS times (default 3), and reps
-  *    are INTERLEAVED as full passes over the query list: a transient
-  *    machine-load window (CPU contention from a co-resident process,
-  *    page-cache eviction) spans a contiguous time window, and
-  *    back-to-back reps would both land inside it — interleaving puts a
-  *    query's reps minutes apart, so at most ONE rep of a query is
-  *    inflated by any window shorter than a full pass.
+  *  - Each query runs SPARK_GRAFT_BENCH_REPS times (default 5 from
+  *    round 10; was 3), and reps are INTERLEAVED as full passes over the
+  *    query list: a transient machine-load window (CPU contention from a
+  *    co-resident process, page-cache eviction) spans a contiguous time
+  *    window, and back-to-back reps would both land inside it —
+  *    interleaving puts a query's reps minutes apart, so at most ONE rep
+  *    of a query is inflated by any window shorter than a full pass.
+  *  - Round-10 addition, closing the round-9 verdict's residual finding
+  *    (ambient-load windows SPANNING most of a pass hit the same
+  *    time-contiguous query block — q172..q224 — in 2 of 3 passes, so
+  *    the median kept the inflated value: q215 reps [2.1, 18.0, 16.9]):
+  *    the query ORDER IS ROTATED each pass by a deterministic cyclic
+  *    shift of `(pass-1) * N / reps` positions. A slow wall-clock window
+  *    now lands on a DIFFERENT contiguous block of query IDENTITIES each
+  *    pass, so no single query collects two inflated reps from one
+  *    recurring window; combined with 5 reps the lower-middle median
+  *    (3rd smallest of 5) tolerates two inflated reps per query. The
+  *    shift is a pure function of (pass, N, reps) — runs remain
+  *    reproducible and per-query rep vectors stay chronological.
   *  - The headline per-query number is the MEDIAN of the reps (lower
   *    middle for even N). With 3+ interleaved reps the median discards
   *    both the one-time-cost outlier (Janino codegen compilation, C2 JIT
@@ -37,7 +49,8 @@ import org.apache.spark.sql.SparkSession
   *    /proc/loadavg and a fixed CPU reference-kernel time at the start
   *    of each pass ("loadavg"/"calib_sec" — divide two artifacts'
   *    numbers by their calib ratio to compare across machine-speed
-  *    windows), plus min and cold (pass-1) maps — so an inflated number
+  *    windows), plus min and pass-1 maps (key "first_rep" when the warm
+  *    pass ran — post-compile — or "cold" when it didn't) — so an inflated number
   *    is attributable to JVM costs vs ambient load vs machine drift vs
   *    real work from the artifact alone.
   *  - stdout gets a COMPACT summary line (total + slowest queries,
@@ -134,7 +147,7 @@ object Bench {
       s
     }
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt.max(1)
     // One untimed compile pass before the timed reps (round-8 verdict ask):
     // together with the enlarged codegen cache above, it moves ALL Janino /
     // C2 compilation of every query's stages ahead of the first timed rep,
@@ -169,9 +182,15 @@ object Bench {
     (1 to reps).foreach { rep =>
       loadByPass += loadAvg
       calibByPass += calibSec
+      // Deterministic per-pass rotation (see scaladoc): pass p runs the
+      // query list cyclically shifted by (p-1)*N/reps, so a recurring
+      // ambient-load window that occupies the same WALL-CLOCK stretch of
+      // every pass hits a different block of query identities each time.
+      val shift = if (selected.isEmpty) 0 else ((rep - 1) * selected.size / reps) % selected.size
+      val passOrder = selected.drop(shift) ++ selected.take(shift)
       if (diag) System.err.println(
-        f"BENCHDIAG pass $rep loadavg=${loadByPass.last} calib=${calibByPass.last}%.3f s")
-      selected.foreach { case (name, fn) =>
+        f"BENCHDIAG pass $rep loadavg=${loadByPass.last} calib=${calibByPass.last}%.3f s shift=$shift")
+      passOrder.foreach { case (name, fn) =>
         val (j0, g0) = (jitMs, gcMs)
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column;
@@ -205,7 +224,13 @@ object Bench {
     def median(ts: Vector[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
     val results = selected.map { case (name, _) => name -> agg(name, median) }
     val mins = selected.map { case (name, _) => name -> agg(name, _.min) }
+    // Pass-1 per-query times. Field name depends on the protocol: with the
+    // untimed warm pass enabled (round 9+) pass 1 is already post-compile,
+    // so calling it "cold" would silently compare different quantities
+    // across rounds (r8 "cold" included Janino/C2 compilation; r9+ does
+    // not). warm=true -> "first_rep"; warm=false -> genuine "cold".
     val coldTimes = selected.map { case (name, _) => name -> timesByQuery(name).head }
+    val firstRepKey = if (warm) "first_rep" else "cold"
 
     def numMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + esc(k) + "\":" + num(v) }.mkString("{", ",", "}")
@@ -224,7 +249,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"agg":"median","min":$minJson,"cold":$cold,"reps":$reps,"warm_pass":$warm,"warm_sec":${num(warmSec)},"reps_by_query":$repsJson,"jit_ms":$jitJson,"gc_ms":$gcJson,"loadavg":$loadJson,"calib_sec":$calibJson,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"agg":"median","min":$minJson,"$firstRepKey":$cold,"reps":$reps,"warm_pass":$warm,"warm_sec":${num(warmSec)},"reps_by_query":$repsJson,"jit_ms":$jitJson,"gc_ms":$gcJson,"loadavg":$loadJson,"calib_sec":$calibJson,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     // STDOUT LINE MUST FIT THE DRIVER'S 2000-CHAR TAIL BUFFER. Every
     // BENCH_r{1..7}.json artifact has "parsed": null because the recorder
     // keeps only the last 2000 chars of stdout (measured: tail_len=2000 in
