@@ -1,24 +1,38 @@
 package graft
 
 import graft.functions.expressions.CosineSimilarity
+import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.graftbridge.ColumnExprBridge.{toColumn, toExpression}
 
-/** Session extensions registering graft's native expressions for SQL use:
+/** Session extensions registering graft's function library for SQL use:
   *
   * {{{
   *   spark.sql.extensions=graft.GraftExtensions
   *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
+  *   SELECT graft_normalize_date(launch_modification_date) FROM ...
   * }}}
   *
-  * [[GraftFunctions.cosine]] is the Column-API route and self-registers on
-  * first use in a session, so library callers need no configuration.
+  * Two kinds of entries share one registry path:
+  *  - `graft_cosine` is a native Catalyst [[CosineSimilarity]] expression
+  *    (its own `doGenCode`);
+  *  - the text/URL functions are the existing `Column` combinators from
+  *    [[graft.functions.TextFunctions]], registered by converting the
+  *    registry's child expressions to Columns, applying the combinator,
+  *    and converting back (see `org.apache.spark.sql.graftbridge`). The
+  *    substitution happens at ANALYSIS time, so SQL callers get the
+  *    exact same Catalyst tree — and the same whole-stage codegen — as
+  *    Column-API callers; nothing is wrapped in a UDF.
+  *
+  * [[GraftFunctions.register]] is the no-configuration route (idempotent,
+  * used by the Column helpers on first call in a session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.cosineDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
@@ -30,12 +44,40 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
-  /** Idempotent per-session registration. */
+  /** Registry descriptor for a unary Column combinator. The builder
+    * rejects wrong arity with the function name in the message (surfaces
+    * as an AnalysisException to SQL callers).
+    */
+  private def unary(name: String, f: Column => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(GraftFunctions.getClass.getName, name),
+    (children: Seq[Expression]) => {
+      if (children.size != 1)
+        throw new IllegalArgumentException(
+          s"$name expects exactly 1 argument, got ${children.size}")
+      toExpression(f(toColumn(children.head)))
+    })
+
+  /** Every SQL-callable graft function (SURVEY §2.4 scalar layer +
+    * the curation-derived normalizers). One list drives BOTH
+    * registration paths: `spark.sql.extensions=graft.GraftExtensions`
+    * and the in-session [[register]].
+    */
+  private[graft] val descriptors: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    cosineDescriptor,
+    unary("graft_clean_text", T.cleanText),
+    unary("graft_sanitize_filename", T.sanitizeFilename),
+    unary("graft_normalize_date", T.normalizeDate),
+    unary("graft_normalize_fy", T.normalizeFy),
+    unary("graft_url_canon", T.canonicalizeUrl))
+
+  /** Idempotent per-session registration of the full library. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(CosineName))) {
-      val (id, info, builder) = cosineDescriptor
-      registry.registerFunction(id, info, builder)
+    descriptors.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
   }
 

@@ -197,7 +197,14 @@ object ScrapeQueries {
     // FY canonicalization: every observed variant (FY-prefixed,
     // full-full, full-short, short-short) canonicalizes to YYYY-YY;
     // leaked junk and non-consecutive spans → NULL.
+    // DELIBERATELY routed through the SQL-registered surface
+    // (graft_normalize_fy via GraftFunctions.register + call_function)
+    // rather than the direct Column combinator: the oracle hash-match
+    // then certifies that the FunctionRegistry substitution path is
+    // value-identical to the Column API (q235 keeps the direct path, so
+    // both routes stay contract-covered).
     "q236_normalize_fy" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
       val y = (lit(2000) + pmod(did, lit(20))).cast("int")
       val yy2 = lpad(pmod(y + 1, lit(100)).cast("string"), 2, "0")
       val raw = when(pmod(did, lit(6)) === 0,
@@ -212,7 +219,7 @@ object ScrapeQueries {
         .otherwise(concat(y.cast("string"), lit("-"),
           lpad(pmod(y + 2, lit(100)).cast("string"), 2, "0")))
       Tables.documents(s, d).select(did, raw.as("raw"),
-        T.normalizeFy(raw).as("norm_fy"))
+        call_function("graft_normalize_fy", raw).as("norm_fy"))
     }),
   )
 

