@@ -35,7 +35,10 @@ object GraftCache {
   /** Register an operator-persisted RDD (iterative operators like
     * connected components persist their per-round state as RDDs, not
     * frames). Results derived from it stay recomputable after release:
-    * lineage re-reads the final round's shuffle files.
+    * lineage re-reads the final round's shuffle files. EXCEPTION:
+    * [[graft.operators.GraphOps.kCore]] on deep (>= 10 round) peels
+    * localCheckpoints its state, so ITS result must be consumed before
+    * release — see the consumption contract in its scaladoc.
     */
   private[graft] def registerRdd[T](spark: SparkSession,
                                     rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {

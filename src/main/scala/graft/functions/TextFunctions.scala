@@ -156,7 +156,9 @@ object TextFunctions {
     val b22 = regexp_extract(t, "^(\\d{2})-(\\d{2})$", 2)
     def consecutive(startYear: Column, endYY: Column): Column =
       pmod(startYear.cast("int") + 1, lit(100)) === endYY.cast("int")
-    when(a44 =!= "" && consecutive(a44, substring(b44, 3, 2)),
+    // Full-full spans compare FULL years: mod-100 alone would accept
+    // century-crossing junk ('2018-2119' → '2018-19').
+    when(a44 =!= "" && b44.cast("int") === a44.cast("int") + 1,
         concat(a44, lit("-"), substring(b44, 3, 2)))
       .when(a42 =!= "" && consecutive(a42, b42), concat(a42, lit("-"), b42))
       .when(a22 =!= "" && consecutive(a22, b22),

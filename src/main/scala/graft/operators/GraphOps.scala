@@ -541,6 +541,16 @@ object GraphOps {
     *
     * Returns (id, core_deg) for k-core members only: core_deg is the
     * degree within the final core (>= k by construction).
+    *
+    * CONSUMPTION CONTRACT (differs from connectedComponents/BFS): a peel
+    * that runs >= 10 rounds localCheckpoints its state every 10th round
+    * to bound lineage depth, which TRUNCATES the lineage — after
+    * [[graft.GraftCache.releaseAll]] unpersists the registered state the
+    * returned frame is NOT recomputable (re-execution would look for
+    * deleted checkpoint blocks). Fully consume (write/collect/count) the
+    * result BEFORE releasing caches — the discipline Bench/Verify follow
+    * for every query. Shallow peels (< 10 rounds) keep the usual
+    * recomputable-after-release property.
     */
   def kCore(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

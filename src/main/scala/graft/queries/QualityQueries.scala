@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Data quality, governance and CDC: profiling, constraints, k-anonymity, snapshot diff, SCD2, MERGE, CDC feeds, freshness, backfill, KS drift.
   *
-  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift, q206_kappa, q211_calibration, q220_corpus_diff, q230_fingerprint,
+  * Contract queries: q116_profile, q117_constraints, q118_snapshot_diff, q120_scd2, q121_merge_upsert, q145_k_anonymity, q153_cdc_feed, q154_freshness, q161_backfill_plan, q162_ks_drift, q206_kappa, q211_calibration, q220_corpus_diff, q230_fingerprint, q239_fingerprint_nulls,
   * q233_benford, q234_fingerprint_merge.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
@@ -310,6 +310,48 @@ object QualityQueries {
           (sum(pmod(col("h"), lit(1000003L))) % 1000003L).as("sum_mod"),
           min("h").as("h_min"), max("h").as("h_max"))
       digest(rows, col("source")).unionByName(digest(rows, lit("*")))
+    }),
+
+
+    // NUL-sentinel certification for the fingerprint row-string (round-9
+    // advice): the driver fixture has no NULL lang/source/text, so the
+    // chr(0) null-position sentinel in fpRowString/fpRowSql was only
+    // hand-checked. This query UNIONS five synthetic rows — one per null
+    // position plus all-null — into documents (negative doc_ids cannot
+    // collide with the corpus) and emits each synthetic row's individual
+    // digest lanes plus the global '*' digest over corpus+synthetics.
+    // The DuckDB hash-match therefore certifies, every round, that both
+    // engines agree byte-for-byte on EVERY null position — a mismatch
+    // pinpoints which position diverged. Same shuffle shape as q230
+    // (digest-only partial aggs; text folds in via md5 before grouping).
+    "q239_fingerprint_nulls" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      def synth(id: Long, text: Column, lang: Column,
+                source: Column, nChars: Column): DataFrame =
+        s.range(1).select(lit(id).as("doc_id"), text.as("text"),
+          lang.as("lang"), source.as("source"), nChars.cast("long").as("n_chars"))
+      val nullS = lit(null).cast("string")
+      val nullL = lit(null).cast("long")
+      val pats = Seq(
+        synth(-1L, nullS, lit("en"), lit("synth"), lit(7L)),
+        synth(-2L, lit("t2"), nullS, lit("synth"), lit(7L)),
+        synth(-3L, lit("t3"), lit("en"), nullS, lit(7L)),
+        synth(-4L, lit("t4"), lit("en"), lit("synth"), nullL),
+        synth(-5L, nullS, nullS, nullS, nullL)).reduce(_ unionByName _)
+      val all = docs.unionByName(pats)
+      val h = graft.functions.HashFunctions.portableHash60(fpRowString)
+      val rows = all.select(col("doc_id"), h.as("h"))
+      val per = rows.where(col("doc_id") < 0)
+        .select(concat(lit("null_pat_"), (-col("doc_id")).cast("string")).as("source"),
+          lit(1L).as("n_rows"), col("h").as("xor60"),
+          pmod(col("h"), lit(1000003L)).as("sum_mod"),
+          col("h").as("h_min"), col("h").as("h_max"))
+      val tot = rows.groupBy(lit("*").as("source"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor60"),
+          (sum(pmod(col("h"), lit(1000003L))) % 1000003L).as("sum_mod"),
+          min("h").as("h_min"), max("h").as("h_max"))
+      per.unionByName(tot)
     }),
 
 
@@ -619,6 +661,37 @@ object QualityQueries {
         |  CAST(sum(h % 1000003) % 1000003 AS BIGINT) AS sum_mod,
         |  CAST(min(h) AS BIGINT) AS h_min, CAST(max(h) AS BIGINT) AS h_max
         | FROM h GROUP BY source),
+        |tot AS (SELECT '*' AS source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor60,
+        |  CAST(sum(h % 1000003) % 1000003 AS BIGINT) AS sum_mod,
+        |  CAST(min(h) AS BIGINT) AS h_min, CAST(max(h) AS BIGINT) AS h_max
+        | FROM h)
+        |SELECT * FROM per UNION ALL SELECT * FROM tot""".stripMargin,
+
+
+    // Same synthetic null rows UNION'd in via VALUES; the hash-match is
+    // the cross-engine certificate for every chr(0) null position.
+    "q239_fingerprint_nulls" ->
+      s"""WITH all_rows AS (
+        | SELECT doc_id, text, lang, source, n_chars FROM documents
+        | UNION ALL
+        | SELECT CAST(v.doc_id AS BIGINT), CAST(v.text AS VARCHAR),
+        |   CAST(v.lang AS VARCHAR), CAST(v.source AS VARCHAR),
+        |   CAST(v.n_chars AS BIGINT)
+        | FROM (VALUES
+        |   (-1, NULL, 'en', 'synth', 7),
+        |   (-2, 't2', NULL, 'synth', 7),
+        |   (-3, 't3', 'en', NULL, 7),
+        |   (-4, 't4', 'en', 'synth', NULL),
+        |   (-5, NULL, NULL, NULL, NULL)) AS v(doc_id, text, lang, source, n_chars)),
+        |h AS (SELECT doc_id,
+        |  ('0x' || substr(md5($fpRowSql), 1, 15))::BIGINT AS h
+        | FROM all_rows),
+        |per AS (SELECT 'null_pat_' || CAST(-doc_id AS VARCHAR) AS source,
+        |  CAST(1 AS BIGINT) AS n_rows, CAST(h AS BIGINT) AS xor60,
+        |  CAST(h % 1000003 AS BIGINT) AS sum_mod,
+        |  CAST(h AS BIGINT) AS h_min, CAST(h AS BIGINT) AS h_max
+        | FROM h WHERE doc_id < 0),
         |tot AS (SELECT '*' AS source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(bit_xor(h) AS BIGINT) AS xor60,
         |  CAST(sum(h % 1000003) % 1000003 AS BIGINT) AS sum_mod,

@@ -40,6 +40,8 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(sql1("SELECT graft_normalize_fy('13-14')") == "2013-14")
     assert(sql1("SELECT graft_normalize_fy('GEN4734')") == null)
     assert(sql1("SELECT graft_normalize_fy('2018-17')") == null)
+    // full-full spans must be consecutive as FULL years, not just mod 100
+    assert(sql1("SELECT graft_normalize_fy('2018-2119')") == null)
   }
 
   test("graft_url_canon via SQL") {
