@@ -260,6 +260,12 @@ object QualityQueries {
     // text) diffed per source into added/removed/changed doc counts and
     // the token-mass delta — the "what changed since v1" datasheet cell.
     // One co-keyed full-outer join; only per-source aggregates leave it.
+    // SCALE SHAPE (round-10 rework): text is reduced to (md5 digest,
+    // token count) MAP-SIDE, before the exchange — the full-outer join
+    // shuffles four narrow columns per row, never document bodies.
+    // Change detection compares digests; equality semantics are
+    // identical (md5 collision odds are negligible at any corpus size)
+    // and the per-source aggregate output is byte-for-byte unchanged.
     "q220_corpus_diff" -> ((s, d) => {
       def ws(c: Column): Column = {
         val cl = T.cleanText(c)
@@ -268,17 +274,17 @@ object QualityQueries {
       val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
       val a = base.where(pmod(did, lit(11)) =!= 3)
         .select(did.as("id"), col("source").as("source_a"),
-          col("text").as("ta"), ws(col("text")).as("tok_a"))
+          md5(col("text")).as("ha"), ws(col("text")).as("tok_a"))
       val btext = when(pmod(did, lit(7)) === 0,
         concat(col("text"), lit(" appended v2 tokens"))).otherwise(col("text"))
       val b = base.where(pmod(did, lit(13)) =!= 5)
         .select(did.as("id"), col("source").as("source_b"),
-          btext.as("tb"), ws(btext).as("tok_b"))
+          md5(btext).as("hb"), ws(btext).as("tok_b"))
       a.join(b, Seq("id"), "full_outer")
         .select(coalesce(col("source_a"), col("source_b")).as("source"),
-          col("ta").isNotNull.as("in_a"), col("tb").isNotNull.as("in_b"),
-          (col("ta").isNotNull && col("tb").isNotNull
-            && col("ta") =!= col("tb")).as("chg"),
+          col("ha").isNotNull.as("in_a"), col("hb").isNotNull.as("in_b"),
+          (col("ha").isNotNull && col("hb").isNotNull
+            && col("ha") =!= col("hb")).as("chg"),
           coalesce(col("tok_a"), lit(0L)).as("tok_a"),
           coalesce(col("tok_b"), lit(0L)).as("tok_b"))
         .groupBy("source").agg(
