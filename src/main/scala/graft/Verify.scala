@@ -54,7 +54,10 @@ object Verify {
       "q61_hash_split" -> ("rows-only BY DESIGN: xxhash64 is Spark-specific "
         + "(no DuckDB twin exists). Cross-audited by q69_portable_split, "
         + "which hash-checks the identical split logic over a portable "
-        + "60-bit md5 against DuckDB row-by-row."))
+        + "60-bit md5 against DuckDB row-by-row, and by "
+        + "q240_split_invariants, which hash-checks the xxhash64 split's "
+        + "contract (full assignment, 3 splits, in-tolerance fractions) "
+        + "directly against DuckDB."))
     Files.writeString(Paths.get(s"$outDir/rows_only_notes.json"),
       notes.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
