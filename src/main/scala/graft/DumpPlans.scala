@@ -88,6 +88,7 @@ object DumpPlans {
     "q222_stupid_backoff" -> "train-side count tables joined onto eval bigrams; 1-row N broadcast",
     "q227_tv_divergence" -> "vocab-keyed counts join; totals broadcast; absent mass in closed form",
     "q215_vocab_order" -> "one token-keyed shuffle into a (mask, cnt) histogram; greedy steps are broadcast nested-loops over it",
+    "q220_corpus_diff" -> "map-side (md5, token-count) reduction — the snapshot full-outer join shuffles digests, never text",
     "q230_fingerprint" -> "order-independent digest lanes as plain partial aggs — no window, no join",
     "q235_normalize_date" -> "shuffle-free multi-format date normalization scan (codegen'd try_to_date chain)",
     "q238_cms_merge" -> "two shard grids partial-agg then fold cell-wise — sketches shuffle, rows don't",

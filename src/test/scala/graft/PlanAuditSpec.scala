@@ -513,6 +513,22 @@ class PlanAuditSpec extends SparkSpec {
       s"the blocking join itself must stay equi-shaped on the key:\n$p")
   }
 
+  test("corpus diff: document bodies never cross the snapshot join (q220)") {
+    // round-10 rework contract: text reduces to (md5, token count)
+    // map-side, so the full-outer join's output — everything that
+    // crossed the exchange — is digests and counts, never text
+    val lp = q("q220_corpus_diff").queryExecution.optimizedPlan
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, s"q220 must diff via a join:\n$lp")
+    joins.foreach { j =>
+      val names = j.output.map(_.name).toSet
+      assert(names.intersect(Set("text", "ta", "tb")).isEmpty,
+        s"join must carry digests, not document bodies: $names")
+    }
+  }
+
   test("vocab ordering: ONE cached mask histogram feeds every greedy step; no corpus anti-joins (q215)") {
     val p = plan(q("q215_vocab_order"))
     // the round-9 rework's contract: the tokenize+mask pass is computed
