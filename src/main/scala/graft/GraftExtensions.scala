@@ -59,6 +59,20 @@ object GraftFunctions {
       toExpression(f(toColumn(children.head)))
     })
 
+  /** Registry descriptor for a binary Column combinator (same
+    * analysis-time substitution as [[unary]]).
+    */
+  private def binary(name: String, f: (Column, Column) => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(GraftFunctions.getClass.getName, name),
+    (children: Seq[Expression]) => {
+      if (children.size != 2)
+        throw new IllegalArgumentException(
+          s"$name expects exactly 2 arguments, got ${children.size}")
+      toExpression(f(toColumn(children(0)), toColumn(children(1))))
+    })
+
   /** Every SQL-callable graft function (SURVEY §2.4 scalar layer +
     * the curation-derived normalizers). One list drives BOTH
     * registration paths: `spark.sql.extensions=graft.GraftExtensions`
@@ -71,7 +85,21 @@ object GraftFunctions {
     unary("graft_sanitize_filename", T.sanitizeFilename),
     unary("graft_normalize_date", T.normalizeDate),
     unary("graft_normalize_fy", T.normalizeFy),
-    unary("graft_url_canon", T.canonicalizeUrl))
+    unary("graft_url_canon", T.canonicalizeUrl),
+    // the rest of the reference's scalar layer (X3/X4/X5/X8/X10/X11/X13)
+    unary("graft_filename_from_url", T.filenameFromUrl),
+    unary("graft_extension_from_url", T.extensionFromUrl),
+    unary("graft_archive_status", (c: Column) => T.archiveStatus(c)),
+    unary("graft_total_results", T.totalResults),
+    unary("graft_content_type", T.contentType),
+    binary("graft_r2_key", T.r2Key),
+    binary("graft_public_url", T.publicUrl),
+    // curation/hygiene helpers and the portable lineage hash
+    unary("graft_fingerprint", T.fingerprint),
+    unary("graft_token_count", T.tokenCount),
+    unary("graft_redact_pii", T.redactPii),
+    unary("graft_url_host", T.urlHost),
+    unary("graft_hash60", graft.functions.HashFunctions.portableHash60))
 
   /** Idempotent per-session registration of the full library. */
   def register(spark: SparkSession): Unit = {

@@ -74,6 +74,39 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(viaSql.toSeq == viaCol.toSeq)
   }
 
+  test("scalar-layer functions via SQL: filename, extension, archive, results, content type") {
+    assert(sql1("SELECT graft_filename_from_url('https://x.in/docs/Life_List.pdf?v=2')")
+      == "Life_List.pdf")
+    assert(sql1("SELECT graft_extension_from_url('https://x.in/d/file.XLSX')") == ".xlsx")
+    assert(sql1("SELECT graft_extension_from_url('https://x.in/d/report')") == ".pdf")
+    // reference bug-for-bug: 'non-archived' contains 'archived'
+    assert(sql1("SELECT graft_archive_status('non-archived')") == "Archived")
+    assert(sql1("SELECT graft_archive_status('something else')") == "Non-Archived")
+    assert(sql1("SELECT graft_total_results('Showing 1-10 of 1,234 results')") == 1234)
+    assert(sql1("SELECT graft_content_type('a/b.xls')") == "application/vnd.ms-excel")
+    assert(sql1("SELECT graft_content_type('a/b.bin')") == "application/octet-stream")
+  }
+
+  test("binary functions via SQL: r2 key and public URL") {
+    assert(sql1("SELECT graft_r2_key('life', '\\\\dir\\\\f.pdf')") == "life/dir/f.pdf")
+    assert(sql1("SELECT graft_public_url('cdn.example.com', 'life/f.pdf')")
+      == "https://cdn.example.com/life/f.pdf")
+    val e = intercept[Exception](spark.sql("SELECT graft_r2_key('a')").collect())
+    assert(e.getMessage.contains("graft_r2_key"))
+  }
+
+  test("hygiene + lineage functions via SQL match their Column twins") {
+    assert(sql1("SELECT graft_fingerprint('  A  b ')") ==
+      sql1("SELECT md5('a b')"))
+    assert(sql1("SELECT graft_token_count(' x  y z ')") == 3L)
+    assert(sql1("SELECT graft_redact_pii('mail a@b.co or +91 123-456-7890')")
+      == "mail <EMAIL> or <PHONE>")
+    assert(sql1("SELECT graft_url_host('https://www.irdai.gov.in/x')") == "irdai.gov.in")
+    // the portable 60-bit hash IS the documented md5-prefix arithmetic
+    assert(sql1("SELECT graft_hash60('42')") ==
+      sql1("SELECT CAST(conv(substring(md5('42'), 1, 15), 16, 10) AS BIGINT)"))
+  }
+
   test("spark.sql.extensions injection path registers every descriptor") {
     // The production route applies GraftExtensions to the builder's
     // SparkSessionExtensions at session construction; with the suite's
