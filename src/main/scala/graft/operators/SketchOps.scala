@@ -176,6 +176,59 @@ object SketchOps {
   def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("bucket").agg(max(col("r")).as("r"))
 
+  /** Misra–Gries heavy-hitter summary (Misra & Gries, Sci. Comput.
+    * Program. 1982) in its deterministic BATCH form: reduce exact
+    * (key, est) counter rows to at most `k` survivors by subtracting
+    * the (k+1)-th largest counter value t from every counter and
+    * dropping the non-positive remainder. At most k values can exceed
+    * t, and (k+1) counters ≥ t sum to ≤ n, so t ≤ n/(k+1) — every
+    * surviving estimate satisfies f(x) ≥ est(x) ≥ f(x) − n/(k+1), the
+    * classic MG guarantee, while the state stays O(k) regardless of
+    * input size. Unlike the streaming formulation this batch reduce is
+    * arrival-order-free: t is a pure function of the count multiset,
+    * so any engine derives the identical summary (q241's oracle does).
+    *
+    * Summaries MERGE (Agarwal et al., PODS 2012, "Mergeable
+    * Summaries", thm. 1): sum counters key-wise across shards, then
+    * re-reduce with the same k. Errors add — the merged summary is a
+    * valid MG summary of the union with error ≤ n_total/(k+1) — which
+    * is exactly the per-shard/per-day heavy-hitter roll-up a 100 TB
+    * deployment ships: O(k) rows per shard instead of a full key
+    * re-shuffle.
+    *
+    * Scale shape: one map-side-combinable count shuffle, then a
+    * bounded TakeOrderedAndProject over k+1 rows whose (count, min)
+    * folds to the 1-row threshold t broadcast back over the counter
+    * frame — no global sort, no driver-side data. The min over the
+    * top-(k+1) counts is tie-order-independent (the top-(k+1) count
+    * MULTISET is unique even when key order among ties is not).
+    */
+  def mgReduce(counts: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val thresh = counts.orderBy(col("est").desc).limit(k + 1)
+      .agg(count(lit(1)).as("n_top"), min("est").as("min_top"))
+      .select(when(col("n_top") === k + 1, col("min_top"))
+        .otherwise(lit(0L)).as("t"))
+    counts.crossJoin(broadcast(thresh))
+      .where(col("est") > col("t"))
+      .select(col(keyCol), (col("est") - col("t")).as("est"))
+  }
+
+  /** Build the ≤ k-counter MG summary of a key column: exact counts
+    * (map-side combinable) reduced by [[mgReduce]].
+    */
+  def mgSummary(rows: DataFrame, keyCol: String, k: Int): DataFrame =
+    mgReduce(rows.groupBy(keyCol).agg(count(lit(1)).as("est")), keyCol, k)
+
+  /** Fold two MG summaries built with the same k: key-wise counter sum
+    * (missing key = 0), then one re-reduce. q241 certifies the merged
+    * estimates and the n/(k+1) error bound against the direct oracle.
+    */
+  def mgMerge(a: DataFrame, b: DataFrame, keyCol: String, k: Int): DataFrame =
+    mgReduce(
+      a.unionByName(b).groupBy(keyCol).agg(sum("est").as("est")),
+      keyCol, k)
+
   /** KMV (k-minimum-values) distinct sketch (Bar-Yossef et al.,
     * RANDOM 2002): keep the k smallest DISTINCT
     * [[HashFunctions.portableHash60]] values of the key. Uniform hashes

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale-safe statistics: percentiles (cells/GK), NTILE, winsorize, quantile-norm, HLL/CMS sketches, range digests, join-cardinality estimation.
   *
-  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding, q224_correlation, q238_cms_merge.
+  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding, q224_correlation, q238_cms_merge, q241_mg_merge.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object StatsQueries {
@@ -107,6 +107,38 @@ object StatsQueries {
       SketchOps.cmsEstimate(merged, ev.select("user_id").distinct(), "user_id")
         .join(exact, "user_id")
         .select(col("user_id"), col("exact_n"), col("cms_n"))
+    }),
+
+
+    // MISRA-GRIES HEAVY-HITTER MERGE LAW: two document shards (even/odd
+    // doc_id — a ROW split, so every hot token counts partially in
+    // both) build O(k) counter summaries independently; counters fold
+    // key-wise and re-reduce (mgMerge). Tokens are the Zipfian column
+    // this summary exists for: at 100 TB the exact vocabulary count is
+    // shuffle-heavy, while each shard ships k+1=17 rows. The oracle
+    // replays the identical deterministic batch reduce (t = (k+1)-th
+    // largest count — arrival-order-free, see SketchOps.mgReduce), so
+    // the hash match certifies both the merged estimates AND the
+    // err*(k+1) <= n_total guarantee cross-engine.
+    "q241_mg_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val k = 16
+      def toks(shard: Column => Column) =
+        docs.where(shard(col("doc_id")))
+          .select(explode(T.tokens(col("text"))).as("w"))
+      val merged = SketchOps.mgMerge(
+        SketchOps.mgSummary(toks(pmod(_, lit(2)) === 0), "w", k),
+        SketchOps.mgSummary(toks(pmod(_, lit(2)) === 1), "w", k),
+        "w", k)
+      val all = docs.select(explode(T.tokens(col("text"))).as("w"))
+      val exact = all.groupBy("w").agg(count(lit(1)).as("exact_n"))
+      val total = all.agg(count(lit(1)).as("n_total"))
+      merged.join(exact, "w")
+        .crossJoin(broadcast(total))
+        .select(col("w"), col("exact_n"), col("est").as("mg_est"),
+          (col("exact_n") - col("est")).as("err"),
+          when((col("exact_n") - col("est")) * lit((k + 1).toLong)
+            <= col("n_total"), lit(1)).otherwise(lit(0)).as("in_bound"))
     }),
 
 
@@ -454,6 +486,45 @@ object StatsQueries {
         |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
         |SELECT x.user_id, x.exact_n, est.cms_n
         |FROM exact x JOIN est ON est.user_id = x.user_id""".stripMargin,
+
+
+    // The identical deterministic batch reduce, replayed: per-shard
+    // t = min over the top-17 counts (the top-(k+1) count multiset is
+    // unique, so the ORDER BY tie order among keys is free), survivors
+    // est = count - t, merged counters re-reduced the same way. The
+    // hash match certifies the MG merge law and the n/(k+1) bound.
+    "q241_mg_merge" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |ca AS (SELECT w, CAST(count(*) AS BIGINT) AS est FROM tok
+         | WHERE doc_id % 2 = 0 GROUP BY w),
+         |ta AS (SELECT CASE WHEN count(*) = 17 THEN min(est)
+         |  ELSE CAST(0 AS BIGINT) END AS t
+         | FROM (SELECT est FROM ca ORDER BY est DESC LIMIT 17)),
+         |sa AS (SELECT w, ca.est - ta.t AS est FROM ca CROSS JOIN ta
+         | WHERE ca.est > ta.t),
+         |cb AS (SELECT w, CAST(count(*) AS BIGINT) AS est FROM tok
+         | WHERE doc_id % 2 = 1 GROUP BY w),
+         |tb AS (SELECT CASE WHEN count(*) = 17 THEN min(est)
+         |  ELSE CAST(0 AS BIGINT) END AS t
+         | FROM (SELECT est FROM cb ORDER BY est DESC LIMIT 17)),
+         |sb AS (SELECT w, cb.est - tb.t AS est FROM cb CROSS JOIN tb
+         | WHERE cb.est > tb.t),
+         |m AS (SELECT coalesce(sa.w, sb.w) AS w,
+         |  coalesce(sa.est, 0) + coalesce(sb.est, 0) AS est
+         | FROM sa FULL OUTER JOIN sb ON sa.w = sb.w),
+         |tm AS (SELECT CASE WHEN count(*) = 17 THEN min(est)
+         |  ELSE CAST(0 AS BIGINT) END AS t
+         | FROM (SELECT est FROM m ORDER BY est DESC LIMIT 17)),
+         |mg AS (SELECT w, m.est - tm.t AS est FROM m CROSS JOIN tm
+         | WHERE m.est > tm.t),
+         |ex AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY w),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+         |SELECT mg.w, ex.exact_n, mg.est AS mg_est,
+         | ex.exact_n - mg.est AS err,
+         | CAST(CASE WHEN (ex.exact_n - mg.est) * 17 <= nn.n
+         |  THEN 1 ELSE 0 END AS INT) AS in_bound
+         |FROM mg JOIN ex USING (w) CROSS JOIN nn""".stripMargin,
 
 
     // Identical HLL state: bucket = low 6 hash bits, rho from bin()

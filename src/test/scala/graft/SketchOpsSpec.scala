@@ -125,4 +125,60 @@ class SketchOpsSpec extends SparkSpec {
       .collect().head.getLong(2)
     assert(est3 == est, "KMV must be insensitive to multiplicity")
   }
+
+  test("mg summary: ≤ k counters, underestimates only, within n/(k+1)") {
+    // Zipf-ish: key i appears ceil(600/i) times, i = 1..60
+    val rows = (1 to 60).flatMap(i => Seq.fill((600 + i - 1) / i)(i.toLong)).toDF("k")
+    val n = rows.count()
+    val k = 8
+    val exact = rows.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    val st = SketchOps.mgSummary(rows, "k", k)
+      .join(exact, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(st.length <= k && st.nonEmpty)
+    assert(st.forall { case (_, est, ex) => est >= 1 && est <= ex },
+      s"MG estimates must be positive underestimates: ${st.toSeq}")
+    assert(st.forall { case (_, est, ex) => (ex - est) * (k + 1) <= n },
+      s"MG error must stay within n/(k+1): ${st.toSeq}")
+    // the true top-1 key must survive any k >= 1 summary
+    assert(st.exists(_._1 == 1L), "heaviest key lost from the summary")
+  }
+
+  test("mg merge law: shard summaries fold to a valid summary of the union") {
+    val rows = (1 to 60).flatMap(i => Seq.fill((600 + i - 1) / i)(i.toLong))
+      .zipWithIndex.map { case (key, i) => (i.toLong, key) }.toDF("id", "k")
+    val n = rows.count()
+    val k = 8
+    val merged = SketchOps.mgMerge(
+        SketchOps.mgSummary(rows.where(col("id") % 2 === 0), "k", k),
+        SketchOps.mgSummary(rows.where(col("id") % 2 === 1), "k", k),
+        "k", k)
+    val exact = rows.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    val st = merged.join(exact, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(st.length <= k && st.nonEmpty)
+    assert(st.forall { case (_, est, ex) => est >= 1 && est <= ex },
+      "merged MG estimates must remain underestimates")
+    assert(st.forall { case (_, est, ex) => (ex - est) * (k + 1) <= n },
+      s"merged MG error must stay within n_total/(k+1): ${st.toSeq}")
+    // determinism: the fold is symmetric in its inputs
+    val swapped = SketchOps.mgMerge(
+        SketchOps.mgSummary(rows.where(col("id") % 2 === 1), "k", k),
+        SketchOps.mgSummary(rows.where(col("id") % 2 === 0), "k", k),
+        "k", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(swapped == st.map(t => (t._1, t._2)).toSet, "mgMerge must commute")
+  }
+
+  test("mg reduce: t = 0 below k+1 keys (state exact), tie multiset determinism") {
+    // 5 distinct keys, k = 8: nothing is subtracted — the summary IS the counts
+    val small = Seq(1L, 1L, 2L, 2L, 3L, 4L, 5L).toDF("k")
+    val st = SketchOps.mgSummary(small, "k", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(st == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // all-ties at the threshold: 10 keys count 3 each, k = 4 → t = 3,
+    // nothing survives (a valid — vacuous — summary; bound still holds)
+    val ties = (1 to 10).flatMap(i => Seq.fill(3)(i.toLong)).toDF("k")
+    assert(SketchOps.mgSummary(ties, "k", 4).count() == 0L)
+  }
 }
