@@ -51,6 +51,7 @@ object SparkEntry {
     JoinsQueries.queries -> JoinsQueries.oracleSql,
     GraphQueries.queries -> GraphQueries.oracleSql,
     TimeSeriesQueries.queries -> TimeSeriesQueries.oracleSql,
+    LayoutQueries.queries -> LayoutQueries.oracleSql,
   )
 
   /** Union of every family module's contract queries. Family maps have

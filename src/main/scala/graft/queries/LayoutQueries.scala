@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.LayoutOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical data-layout planning: Z-order clustering with a min/max
+  * data-skipping audit, and small-file compaction (bin-packing) plans.
+  *
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan.
+  */
+object LayoutQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Z-ORDER DATA-SKIPPING AUDIT: the write-side layout decision that
+    // dominates 100 TB scan cost. Rows are assigned to 256 "files" two
+    // ways — linear (top 8 bits of partkey: what a sort-by-partkey
+    // writer produces) and Z-order (4+4 bit Morton interleave of
+    // partkey x suppkey cells) — and each layout's per-file min/max
+    // footer stats are audited against the same 2-D range predicate
+    // (middle quarter of each dimension, 1/16 selectivity). The linear
+    // layout prunes on partkey only and must scan ~1/4 of all rows;
+    // the Z-layout keeps BOTH envelopes narrow per file and scans
+    // ~1/16 — the multiplicative skipping that justifies Z-ordering a
+    // table. Grid cells stand in for files so the oracle replays the
+    // assignment exactly; a production writer range-partitions on the
+    // same zkey. All-integer (cells, Morton bits, envelope tests), so
+    // the audit numbers hash-match cross-engine.
+    "q242_zorder_skipping" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+      val dims = li.agg((max("a") + 1).as("dim_a"), (max("b") + 1).as("dim_b"))
+      val rows = li.crossJoin(broadcast(dims))
+        .withColumn("ca", expr("(a * 16) div dim_a"))
+        .withColumn("cb", expr("(b * 16) div dim_b"))
+      val aLo = expr("dim_a div 4"); val aHi = expr("(dim_a div 2) - 1")
+      val bLo = expr("dim_b div 4"); val bHi = expr("(dim_b div 2) - 1")
+      def audit(withFile: DataFrame, label: String) =
+        LayoutOps.skippingAudit(
+          LayoutOps.fileStats(withFile, col("file_id"), "a", "b")
+            .crossJoin(broadcast(dims)),
+          aLo, aHi, bLo, bHi)
+          .select(lit(label).as("layout"), col("n_files"),
+            col("files_hit"), col("rows_scanned"))
+      val z = audit(rows.withColumn("file_id",
+        LayoutOps.zOrderKey(col("ca"), col("cb"), 4)), "zorder")
+      val lin = audit(rows.withColumn("file_id",
+        expr("(a * 256) div dim_a")), "linear")
+      val selected = rows
+        .where(col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+        .agg(count(lit(1)).as("rows_selected"))
+      z.unionByName(lin).crossJoin(broadcast(selected))
+    }),
+
+
+    // SMALL-FILE COMPACTION PLAN: the manifest-level maintenance job
+    // every long-lived table needs — streaming/incremental writers
+    // leave thousands of small files per partition, and scan/open cost
+    // is per-file. Documents stand in for the file manifest (size =
+    // n_chars); per source the plan packs files into 2 KiB-target bins
+    // by deterministic next-fit-decreasing (size-desc order, running
+    // cumsum div target — LayoutOps.compactionBins). The window is
+    // partitioned by source and runs over MANIFEST rows, not data
+    // rows, so the plan costs O(files log files) per partition at any
+    // table size. All-integer; the oracle replays the identical pass.
+    "q243_compaction_plan" -> ((s, d) =>
+      LayoutOps.compactionBins(
+        Tables.documents(s, d).select("source", "doc_id", "n_chars"),
+        "source", "doc_id", "n_chars", target = 2048L)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // The identical integer pipeline: 16-cell quantization per
+    // dimension, explicit Morton bit interleave, per-file min/max
+    // envelopes, conservative box-intersection pruning. DuckDB `//`
+    // truncates exactly like Spark `div` on the non-negative operands
+    // used here.
+    "q242_zorder_skipping" ->
+      """WITH d AS (SELECT CAST(max(l_partkey) + 1 AS BIGINT) AS max_a,
+        |  CAST(max(l_suppkey) + 1 AS BIGINT) AS max_b FROM lineitem),
+        |r AS (SELECT l_partkey AS a, l_suppkey AS b,
+        |  (l_partkey * 16) // max_a AS ca, (l_suppkey * 16) // max_b AS cb,
+        |  (l_partkey * 256) // max_a AS lin
+        | FROM lineitem CROSS JOIN d),
+        |z AS (SELECT a, b,
+        |  ((ca & 1) << 0) | ((cb & 1) << 1)
+        |  | (((ca >> 1) & 1) << 2) | (((cb >> 1) & 1) << 3)
+        |  | (((ca >> 2) & 1) << 4) | (((cb >> 2) & 1) << 5)
+        |  | (((ca >> 3) & 1) << 6) | (((cb >> 3) & 1) << 7) AS file_id
+        | FROM r),
+        |zs AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
+        | FROM z GROUP BY 1),
+        |ls AS (SELECT lin AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
+        | FROM r GROUP BY 1),
+        |box AS (SELECT max_a // 4 AS a_lo, (max_a // 2) - 1 AS a_hi,
+        |  max_b // 4 AS b_lo, (max_b // 2) - 1 AS b_hi FROM d),
+        |za AS (SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN s.min_a <= box.a_hi AND s.max_a >= box.a_lo
+        |   AND s.min_b <= box.b_hi AND s.max_b >= box.b_lo THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |  CAST(sum(CASE WHEN s.min_a <= box.a_hi AND s.max_a >= box.a_lo
+        |   AND s.min_b <= box.b_hi AND s.max_b >= box.b_lo THEN s.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        | FROM zs s CROSS JOIN box),
+        |la AS (SELECT 'linear' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN s.min_a <= box.a_hi AND s.max_a >= box.a_lo
+        |   AND s.min_b <= box.b_hi AND s.max_b >= box.b_lo THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |  CAST(sum(CASE WHEN s.min_a <= box.a_hi AND s.max_a >= box.a_lo
+        |   AND s.min_b <= box.b_hi AND s.max_b >= box.b_lo THEN s.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        | FROM ls s CROSS JOIN box),
+        |sel AS (SELECT CAST(count(*) AS BIGINT) AS rows_selected
+        | FROM r CROSS JOIN box
+        | WHERE a BETWEEN box.a_lo AND box.a_hi AND b BETWEEN box.b_lo AND box.b_hi)
+        |SELECT u.layout, u.n_files, u.files_hit, u.rows_scanned, sel.rows_selected
+        |FROM (SELECT * FROM za UNION ALL SELECT * FROM la) u CROSS JOIN sel""".stripMargin,
+
+
+    // The identical deterministic next-fit-decreasing pass: size-desc
+    // (doc_id tiebreak) running cumsum per source, bin = exclusive
+    // prefix sum div 2048.
+    "q243_compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS sz FROM documents),
+        |c AS (SELECT source, sz,
+        |  sum(sz) OVER (PARTITION BY source ORDER BY sz DESC, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+        | FROM f)
+        |SELECT source, (csum - sz) // 2048 AS bin_id,
+        | CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(sz) AS BIGINT) AS bin_bytes
+        |FROM c GROUP BY 1, 2""".stripMargin,
+  )
+}

@@ -542,4 +542,28 @@ class PlanAuditSpec extends SparkSpec {
       s"every join in the greedy is broadcast-sized:\n$p")
     graft.GraftCache.releaseAll(spark)
   }
+
+  test("z-order skipping audit: stats-sized frames broadcast, no sort-merge, no window (q242)") {
+    val p = plan(q("q242_zorder_skipping"))
+    // the only joins are 1-row dims/selected broadcasts onto row- or
+    // file-stats frames; the data passes are plain partial aggregations
+    assert(!p.contains("SortMergeJoin"),
+      s"dims/selected are 1-row frames and must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no global ordering is needed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bounds must arrive by broadcast:\n$p")
+  }
+
+  test("compaction plan: the window is partitioned by source — never a global sort (q243)") {
+    val lp = q("q243_compaction_plan").queryExecution.optimizedPlan
+    val windows = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, s"the cumsum must be a window:\n$lp")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"manifest cumsum must partition by the group column:\n$w")
+    }
+    assert(!plan(q("q243_compaction_plan")).contains("SortMergeJoin"))
+  }
 }
