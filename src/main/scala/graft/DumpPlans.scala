@@ -92,7 +92,10 @@ object DumpPlans {
     "q230_fingerprint" -> "order-independent digest lanes as plain partial aggs — no window, no join",
     "q235_normalize_date" -> "shuffle-free multi-format date normalization scan (codegen'd try_to_date chain)",
     "q238_cms_merge" -> "two shard grids partial-agg then fold cell-wise — sketches shuffle, rows don't",
-    "q232_pareto_front" -> "per-x maxima + tiny prefix-max window + broadcast dominance join — never all-pairs")
+    "q232_pareto_front" -> "per-x maxima + tiny prefix-max window + broadcast dominance join — never all-pairs",
+    "q241_mg_merge" -> "O(k) counter states from bounded TakeOrdered thresholds; merge is a k-row fold",
+    "q242_zorder_skipping" -> "codegen'd Morton key; file-stats partial aggs; 1-row bounds broadcast — no window, no SMJ",
+    "q243_compaction_plan" -> "manifest-sized cumsum window, partitioned by source — never a global sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
