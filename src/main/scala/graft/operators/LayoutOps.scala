@@ -17,23 +17,17 @@ import org.apache.spark.sql.functions._
   * columns' value ranges locally narrow in every file, so 2-D
   * predicates skip multiplicatively instead of on one dimension.
   *
-  * Everything here is pure integer column arithmetic (codegen'd; no
-  * UDFs) so q242/q243's DuckDB oracles replay it bit-for-bit.
+  * The Morton key itself is [[graft.functions.ZOrder.zValue]] (the
+  * kernel q101 hash-checks bit-exactly); this module adds the AUDIT
+  * layer over any layout — per-file envelope stats and the
+  * conservative pruning rule — plus manifest-level bin-packing plans
+  * (complementing [[graft.sources.Compaction.compactParquet]], which
+  * physically rewrites one directory: the plan here decides WHICH
+  * files co-locate, per group, before any rewrite runs). Everything is
+  * pure integer column arithmetic (codegen'd; no UDFs) so q242/q243's
+  * DuckDB oracles replay it bit-for-bit.
   */
 object LayoutOps {
-
-  /** Morton (Z-order) key: interleave the low `bits` bits of two
-    * non-negative integer cell columns — a's bit i lands at position
-    * 2i, b's at 2i+1. Unrolled shift/mask/or chain: one codegen'd
-    * expression, no shuffle, no UDF.
-    */
-  def zOrderKey(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
-  }
 
   /** Per-file min/max statistics — the footer metadata a lakehouse
     * table format keeps per data file: row count plus min/max of each

@@ -18,8 +18,10 @@ object LayoutQueries {
     // dominates 100 TB scan cost. Rows are assigned to 256 "files" two
     // ways — linear (top 8 bits of partkey: what a sort-by-partkey
     // writer produces) and Z-order (4+4 bit Morton interleave of
-    // partkey x suppkey cells) — and each layout's per-file min/max
-    // footer stats are audited against the same 2-D range predicate
+    // partkey x suppkey cells via ZOrder.zValue — the kernel q101
+    // hash-checks; q144 materializes its manifest, THIS query closes
+    // the loop by pricing the scan) — and each layout's per-file
+    // min/max footer stats are audited against the same 2-D range predicate
     // (middle quarter of each dimension, 1/16 selectivity). The linear
     // layout prunes on partkey only and must scan ~1/4 of all rows;
     // the Z-layout keeps BOTH envelopes narrow per file and scans
@@ -45,7 +47,7 @@ object LayoutQueries {
           .select(lit(label).as("layout"), col("n_files"),
             col("files_hit"), col("rows_scanned"))
       val z = audit(rows.withColumn("file_id",
-        LayoutOps.zOrderKey(col("ca"), col("cb"), 4)), "zorder")
+        graft.functions.ZOrder.zValue(col("ca"), col("cb"), 4)), "zorder")
       val lin = audit(rows.withColumn("file_id",
         expr("(a * 256) div dim_a")), "linear")
       val selected = rows

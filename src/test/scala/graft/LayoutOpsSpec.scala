@@ -1,34 +1,31 @@
 package graft
 
+import graft.functions.ZOrder
 import graft.operators.LayoutOps
 import org.apache.spark.sql.functions._
 
 class LayoutOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("zOrderKey: hand-computed Morton interleave, bijective on the grid") {
+  // the Morton kernel itself (ZOrder.zValue) is hand-checked in
+  // ZOrderSpec; here: bijectivity over a full grid, which the
+  // file-assignment story relies on (distinct cells → distinct files)
+  test("zValue is bijective cell → file over the full grid") {
     val cells = (0 until 8).flatMap(a => (0 until 8).map(b => (a.toLong, b.toLong)))
       .toDF("a", "b")
     val keys = cells
-      .select(col("a"), col("b"), LayoutOps.zOrderKey(col("a"), col("b"), 3).as("z"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    def morton(a: Long, b: Long): Long =
-      (0 until 3).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
-    assert(keys.forall { case ((a, b), z) => z == morton(a, b) })
-    // bijective over the 8x8 grid → 64 distinct keys covering [0, 63]
-    assert(keys.values.toSet == (0L until 64L).toSet)
-    // spot checks: (1,0) -> 1, (0,1) -> 2, (3,3) -> 15, (7,7) -> 63
-    assert(keys((1L, 0L)) == 1L && keys((0L, 1L)) == 2L &&
-      keys((3L, 3L)) == 15L && keys((7L, 7L)) == 63L)
+      .select(ZOrder.zValue(col("a"), col("b"), 3).as("z"))
+      .collect().map(_.getLong(0))
+    assert(keys.toSet == (0L until 64L).toSet)
   }
 
-  test("zOrderKey files skip a 2-D box the single-column sort cannot") {
+  test("z-ordered files skip a 2-D box the single-column sort cannot") {
     // 32x32 uniform grid, 4-bit cells = the raw coords' low bits scaled:
     // quantize to 16 cells per dim (cell = v div 2)
     val rows = (0 until 32).flatMap(a => (0 until 32).map(b => (a.toLong, b.toLong)))
       .toDF("a", "b")
       .withColumn("ca", expr("a div 2")).withColumn("cb", expr("b div 2"))
-    val z = rows.withColumn("file_id", LayoutOps.zOrderKey(col("ca"), col("cb"), 4))
+    val z = rows.withColumn("file_id", ZOrder.zValue(col("ca"), col("cb"), 4))
     val lin = rows.withColumn("file_id", expr("a * 8")) // 256 files by a only
     def scanned(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
       val audit = LayoutOps.skippingAudit(
