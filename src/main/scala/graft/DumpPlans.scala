@@ -95,7 +95,8 @@ object DumpPlans {
     "q232_pareto_front" -> "per-x maxima + tiny prefix-max window + broadcast dominance join — never all-pairs",
     "q241_mg_merge" -> "O(k) counter states from bounded TakeOrdered thresholds; merge is a k-row fold",
     "q242_zorder_skipping" -> "codegen'd Morton key; file-stats partial aggs; 1-row bounds broadcast — no window, no SMJ",
-    "q243_compaction_plan" -> "manifest-sized cumsum window, partitioned by source — never a global sort")
+    "q243_compaction_plan" -> "manifest-sized cumsum window, partitioned by source — never a global sort",
+    "q244_range_split" -> "ONE persisted domain-bounded cell histogram feeds cuts + assignment; ranges fold from cells, not rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1,14 +1,14 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.LayoutOps
+import graft.operators.{LayoutOps, PercentileOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data-layout planning: Z-order clustering with a min/max
   * data-skipping audit, and small-file compaction (bin-packing) plans.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split.
   */
 object LayoutQueries {
 
@@ -71,6 +71,44 @@ object LayoutQueries {
       LayoutOps.compactionBins(
         Tables.documents(s, d).select("source", "doc_id", "n_chars"),
         "source", "doc_id", "n_chars", target = 2048L)),
+
+
+    // RANGE-PARTITION SPLIT PLANNING: the primitive behind every global
+    // sort / range-partitioned write at 100 TB — rows can't shuffle to
+    // one sorter, so the engine derives N−1 split points from a
+    // MERGEABLE quantile state and range-partitions against them
+    // (Spark's repartitionByRange does this by sampling; this plan does
+    // it exactly from the q56/q187 histogram cells, which per-shard
+    // partials already roll up into). Seven octile cuts over
+    // INTEGER-DOLLAR price cells — split planning needs domain
+    // resolution, not row resolution, and dollar cells are bounded by
+    // the PRICE DOMAIN (~105k values) at any row count, where cent
+    // cells would grow row-scale. Every cell is assigned by counted cut
+    // comparisons (never a per-row sort), and the plan's balance is the
+    // audited output: per-range row counts and share_bp (10000/8 = 1250
+    // would be perfect; dollar granularity leaves real ±bp deviations,
+    // so the audit is non-vacuous). The cumulative window runs over the
+    // domain-bounded cell frame only.
+    "q244_range_split" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(lit(0).as("g"), col("l_extendedprice"))
+      // ONE pass folds the corpus into the domain-bounded histogram;
+      // both the cut derivation and the assignment read the persisted
+      // cells (the sketch-sized-cache case)
+      val cells = graft.GraftCache.register(
+        PercentileOps.histogramCellCounts(li, "g", "l_extendedprice", decimals = 0))
+      val cuts = PercentileOps.histogramQuantilesFromCells(cells, "g",
+        (1 to 7).map(i => (s"c$i", i / 8.0)))
+      val assigned = cells.crossJoin(broadcast(cuts.drop("g")))
+        .select(col("cnt"),
+          (1 to 7).map(i => when(col("qval") > col(s"c$i"), 1L).otherwise(0L))
+            .reduce(_ + _).as("range_id"))
+      val ranges = assigned.groupBy("range_id").agg(sum("cnt").as("n_rows"))
+      val total = ranges.agg(sum("n_rows").as("total"))
+      ranges.crossJoin(broadcast(total))
+        .select(col("range_id"), col("n_rows"),
+          expr("(n_rows * 10000) div total").as("share_bp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -133,5 +171,43 @@ object LayoutQueries {
         | CAST(count(*) AS BIGINT) AS n_files,
         | CAST(sum(sz) AS BIGINT) AS bin_bytes
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+
+    // The q56 histogram-cell pipeline at dollar granularity (same
+    // cum >= ceil(total*p) cut rule), then each cell counts the cuts
+    // strictly below it — the identical integer assignment.
+    "q244_range_split" ->
+      """WITH c AS (
+        | SELECT floor(l_extendedprice) AS qval,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM lineitem GROUP BY 1),
+        |w AS (
+        | SELECT qval, cnt,
+        |  sum(cnt) OVER (ORDER BY qval
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER () AS total
+        | FROM c),
+        |k AS (SELECT
+        | min(CASE WHEN cum >= ceil(total * 0.125) THEN qval END) AS c1,
+        | min(CASE WHEN cum >= ceil(total * 0.25) THEN qval END) AS c2,
+        | min(CASE WHEN cum >= ceil(total * 0.375) THEN qval END) AS c3,
+        | min(CASE WHEN cum >= ceil(total * 0.5) THEN qval END) AS c4,
+        | min(CASE WHEN cum >= ceil(total * 0.625) THEN qval END) AS c5,
+        | min(CASE WHEN cum >= ceil(total * 0.75) THEN qval END) AS c6,
+        | min(CASE WHEN cum >= ceil(total * 0.875) THEN qval END) AS c7
+        | FROM w),
+        |a AS (SELECT c.cnt, CAST(
+        |  (CASE WHEN c.qval > k.c1 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN c.qval > k.c2 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN c.qval > k.c3 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN c.qval > k.c4 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN c.qval > k.c5 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN c.qval > k.c6 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN c.qval > k.c7 THEN 1 ELSE 0 END) AS BIGINT) AS range_id
+        | FROM c CROSS JOIN k),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT a.range_id, CAST(sum(a.cnt) AS BIGINT) AS n_rows,
+        | (CAST(sum(a.cnt) AS BIGINT) * 10000) // t.total AS share_bp
+        |FROM a CROSS JOIN t GROUP BY a.range_id, t.total""".stripMargin,
   )
 }
