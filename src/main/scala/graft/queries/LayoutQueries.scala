@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data-layout planning: Z-order clustering with a min/max
-  * data-skipping audit, and small-file compaction (bin-packing) plans.
+  * data-skipping audit, small-file compaction (bin-packing) plans, and
+  * range-partition split planning from mergeable quantile state.
   *
   * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split.
   */
