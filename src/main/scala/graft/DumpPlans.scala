@@ -96,7 +96,8 @@ object DumpPlans {
     "q241_mg_merge" -> "O(k) counter states from bounded TakeOrdered thresholds; merge is a k-row fold",
     "q242_zorder_skipping" -> "codegen'd Morton key; file-stats partial aggs; 1-row bounds broadcast — no window, no SMJ",
     "q243_compaction_plan" -> "manifest-sized cumsum window, partitioned by source — never a global sort",
-    "q244_range_split" -> "ONE persisted domain-bounded cell histogram feeds cuts + assignment; ranges fold from cells, not rows")
+    "q244_range_split" -> "ONE persisted domain-bounded cell histogram feeds cuts + assignment; ranges fold from cells, not rows",
+    "q245_zorder_maintenance" -> "file-stats partial aggs per scenario; batch cells broadcast into a left-semi envelope probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

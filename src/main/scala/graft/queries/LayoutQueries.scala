@@ -2,14 +2,14 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{LayoutOps, PercentileOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data-layout planning: Z-order clustering with a min/max
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance.
   */
 object LayoutQueries {
 
@@ -109,6 +109,51 @@ object LayoutQueries {
       ranges.crossJoin(broadcast(total))
         .select(col("range_id"), col("n_rows"),
           expr("(n_rows * 10000) div total").as("share_bp"))
+    }),
+
+
+    // INCREMENTAL Z-ORDER MAINTENANCE (rewrite-set selection): the
+    // OPTIMIZE-after-append decision — when a new batch lands on a
+    // z-clustered table, only the files whose z-range the batch's cells
+    // touch need rewriting; everything else stays byte-stable. Two
+    // append scenarios over 64 files of 4 z-cells each: a UNIFORM batch
+    // (every 20th orderkey — rows spread over the whole key space)
+    // whose cells touch EVERY file, and a CLUSTERED batch (the top
+    // partkey cell — a new-keys append) that touches only the files
+    // overlapping its z-region. The audit prices each merge: files
+    // touched, rows rewritten, write amplification in bp (rewritten
+    // rows per appended row) — the comparison IS the decision rule:
+    // uniform appends stay an unclustered delta, clustered appends
+    // merge-on-write cheaply. File stats join the ≤256-row distinct
+    // batch-cell set by broadcast; nothing row-scale crosses an
+    // exchange after the groupBys.
+    "q245_zorder_maintenance" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey").as("a"), col("l_suppkey").as("b"))
+      val dims = li.agg((max("a") + 1).as("dim_a"), (max("b") + 1).as("dim_b"))
+      val rows = li.crossJoin(broadcast(dims))
+        .withColumn("ca", expr("(a * 16) div dim_a"))
+        .withColumn("z", graft.functions.ZOrder.zValue(
+          col("ca"), expr("(b * 16) div dim_b"), 4))
+      def audit(label: String, isBatch: Column) = {
+        val stats = rows.where(!isBatch)
+          .withColumn("file_id", expr("z div 4"))
+          .groupBy("file_id").agg(count(lit(1)).as("n_rows"),
+            min("z").as("min_z"), max("z").as("max_z"))
+        val touched = stats.join(broadcast(rows.where(isBatch).select("z").distinct()),
+          col("z").between(col("min_z"), col("max_z")), "left_semi")
+        stats.agg(count(lit(1)).as("n_files"))
+          .crossJoin(broadcast(touched.agg(
+            count(lit(1)).as("files_touched"),
+            sum("n_rows").as("rows_rewritten"))))
+          .crossJoin(broadcast(
+            rows.where(isBatch).agg(count(lit(1)).as("batch_rows"))))
+          .select(lit(label).as("scenario"), col("n_files"),
+            col("files_touched"), col("rows_rewritten"), col("batch_rows"),
+            expr("(rows_rewritten * 10000) div batch_rows").as("amplification_bp"))
+      }
+      audit("uniform", pmod(col("l_orderkey"), lit(20)) === 0)
+        .unionByName(audit("clustered", col("ca") === 15))
     }),
   )
 
@@ -210,5 +255,53 @@ object LayoutQueries {
         |SELECT a.range_id, CAST(sum(a.cnt) AS BIGINT) AS n_rows,
         | (CAST(sum(a.cnt) AS BIGINT) * 10000) // t.total AS share_bp
         |FROM a CROSS JOIN t GROUP BY a.range_id, t.total""".stripMargin,
+
+
+    // Same z-key pipeline as q242, 64 4-cell files over each scenario's
+    // base, EXISTS against the batch's distinct cells, and the
+    // write-amplification division — all integer; the two scenarios
+    // (uniform orderkey slice vs top-partkey-cell append) UNION ALL.
+    "q245_zorder_maintenance" ->
+      """WITH d AS (SELECT CAST(max(l_partkey) + 1 AS BIGINT) AS dim_a,
+        |  CAST(max(l_suppkey) + 1 AS BIGINT) AS dim_b FROM lineitem),
+        |r AS (SELECT l_orderkey,
+        |  (l_partkey * 16) // dim_a AS ca, (l_suppkey * 16) // dim_b AS cb
+        | FROM lineitem CROSS JOIN d),
+        |z AS (SELECT l_orderkey, ca,
+        |  ((ca & 1) << 0) | ((cb & 1) << 1)
+        |  | (((ca >> 1) & 1) << 2) | (((cb >> 1) & 1) << 3)
+        |  | (((ca >> 2) & 1) << 4) | (((cb >> 2) & 1) << 5)
+        |  | (((ca >> 3) & 1) << 6) | (((cb >> 3) & 1) << 7) AS z
+        | FROM r),
+        |su AS (SELECT z // 4 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(z) AS min_z, max(z) AS max_z
+        | FROM z WHERE l_orderkey % 20 <> 0 GROUP BY 1),
+        |bu AS (SELECT DISTINCT z FROM z WHERE l_orderkey % 20 = 0),
+        |tu AS (SELECT CAST(count(*) AS BIGINT) AS files_touched,
+        |  CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_rewritten
+        | FROM su WHERE EXISTS (SELECT 1 FROM bu
+        |  WHERE bu.z BETWEEN su.min_z AND su.max_z)),
+        |uu AS (SELECT 'uniform' AS scenario,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM su) AS n_files,
+        |  tu.files_touched, tu.rows_rewritten,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM z
+        |   WHERE l_orderkey % 20 = 0) AS batch_rows
+        | FROM tu),
+        |sc AS (SELECT z // 4 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(z) AS min_z, max(z) AS max_z
+        | FROM z WHERE ca <> 15 GROUP BY 1),
+        |bc AS (SELECT DISTINCT z FROM z WHERE ca = 15),
+        |tc AS (SELECT CAST(count(*) AS BIGINT) AS files_touched,
+        |  CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_rewritten
+        | FROM sc WHERE EXISTS (SELECT 1 FROM bc
+        |  WHERE bc.z BETWEEN sc.min_z AND sc.max_z)),
+        |cc AS (SELECT 'clustered' AS scenario,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sc) AS n_files,
+        |  tc.files_touched, tc.rows_rewritten,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM z WHERE ca = 15) AS batch_rows
+        | FROM tc)
+        |SELECT scenario, n_files, files_touched, rows_rewritten, batch_rows,
+        | (rows_rewritten * 10000) // batch_rows AS amplification_bp
+        |FROM (SELECT * FROM uu UNION ALL SELECT * FROM cc)""".stripMargin,
   )
 }
