@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth.
   */
 object LayoutQueries {
 
@@ -154,6 +154,43 @@ object LayoutQueries {
       }
       audit("uniform", pmod(col("l_orderkey"), lit(20)) === 0)
         .unionByName(audit("clustered", col("ca") === 15))
+    }),
+
+
+    // CLUSTERING-DEPTH HEALTH METRIC: the predicate-free "how clustered
+    // is this table NOW" number that schedules re-optimization (q242
+    // prices one predicate; depth summarizes them all). For every
+    // occupied z-cell, depth = how many file envelopes contain it —
+    // the files ANY point lookup in that cell must open. The z-ordered
+    // write (64 files of 4 consecutive cells) keeps envelopes disjoint
+    // → depth 1 everywhere; a round-robin parallel writer (file =
+    // orderkey mod 64, the naive no-clustering default) gives every
+    // file the full z-range → depth = 64 everywhere. Cells (≤256) and
+    // file stats (64) are both bounded frames — the depth join is a
+    // broadcast probe, nothing row-scale after the groupBys.
+    "q246_clustering_depth" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey").as("a"), col("l_suppkey").as("b"))
+      val dims = li.agg((max("a") + 1).as("dim_a"), (max("b") + 1).as("dim_b"))
+      val rows = li.crossJoin(broadcast(dims))
+        .withColumn("z", graft.functions.ZOrder.zValue(
+          expr("(a * 16) div dim_a"), expr("(b * 16) div dim_b"), 4))
+      val cells = rows.select("z").distinct()
+      def depth(fileId: Column, label: String) = {
+        val stats = rows.withColumn("file_id", fileId)
+          .groupBy("file_id").agg(min("z").as("min_z"), max("z").as("max_z"))
+        val perCell = stats.join(broadcast(cells),
+            col("z").between(col("min_z"), col("max_z")))
+          .groupBy("z").agg(count(lit(1)).as("depth"))
+        perCell.agg(count(lit(1)).as("n_cells"),
+          sum("depth").as("sum_depth"), max("depth").as("max_depth"))
+          .crossJoin(broadcast(stats.agg(count(lit(1)).as("n_files"))))
+          .select(lit(label).as("layout"), col("n_files"), col("n_cells"),
+            expr("(sum_depth * 100) div n_cells").as("avg_depth_e2"),
+            col("max_depth"))
+      }
+      depth(expr("z div 4"), "zorder")
+        .unionByName(depth(pmod(col("l_orderkey"), lit(64)), "roundrobin"))
     }),
   )
 
@@ -303,5 +340,45 @@ object LayoutQueries {
         |SELECT scenario, n_files, files_touched, rows_rewritten, batch_rows,
         | (rows_rewritten * 10000) // batch_rows AS amplification_bp
         |FROM (SELECT * FROM uu UNION ALL SELECT * FROM cc)""".stripMargin,
+
+
+    // Same z pipeline; per-layout envelopes, cell-containment counts,
+    // integer depth summary — UNION ALL of the two writer disciplines.
+    "q246_clustering_depth" ->
+      """WITH d AS (SELECT CAST(max(l_partkey) + 1 AS BIGINT) AS dim_a,
+        |  CAST(max(l_suppkey) + 1 AS BIGINT) AS dim_b FROM lineitem),
+        |r AS (SELECT l_orderkey,
+        |  (l_partkey * 16) // dim_a AS ca, (l_suppkey * 16) // dim_b AS cb
+        | FROM lineitem CROSS JOIN d),
+        |z AS (SELECT l_orderkey,
+        |  ((ca & 1) << 0) | ((cb & 1) << 1)
+        |  | (((ca >> 1) & 1) << 2) | (((cb >> 1) & 1) << 3)
+        |  | (((ca >> 2) & 1) << 4) | (((cb >> 2) & 1) << 5)
+        |  | (((ca >> 3) & 1) << 6) | (((cb >> 3) & 1) << 7) AS z
+        | FROM r),
+        |cells AS (SELECT DISTINCT z FROM z),
+        |sz AS (SELECT z // 4 AS file_id, min(z) AS min_z, max(z) AS max_z
+        | FROM z GROUP BY 1),
+        |dz AS (SELECT cells.z, CAST(count(*) AS BIGINT) AS depth
+        | FROM sz JOIN cells ON cells.z BETWEEN sz.min_z AND sz.max_z
+        | GROUP BY 1),
+        |az AS (SELECT 'zorder' AS layout,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sz) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  (CAST(sum(depth) AS BIGINT) * 100) // CAST(count(*) AS BIGINT) AS avg_depth_e2,
+        |  max(depth) AS max_depth
+        | FROM dz),
+        |sr AS (SELECT l_orderkey % 64 AS file_id, min(z) AS min_z, max(z) AS max_z
+        | FROM z GROUP BY 1),
+        |dr AS (SELECT cells.z, CAST(count(*) AS BIGINT) AS depth
+        | FROM sr JOIN cells ON cells.z BETWEEN sr.min_z AND sr.max_z
+        | GROUP BY 1),
+        |ar AS (SELECT 'roundrobin' AS layout,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sr) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  (CAST(sum(depth) AS BIGINT) * 100) // CAST(count(*) AS BIGINT) AS avg_depth_e2,
+        |  max(depth) AS max_depth
+        | FROM dr)
+        |SELECT * FROM az UNION ALL SELECT * FROM ar""".stripMargin,
   )
 }
