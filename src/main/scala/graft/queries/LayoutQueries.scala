@@ -95,9 +95,14 @@ object LayoutQueries {
         .select(lit(0).as("g"), col("l_extendedprice"))
       // ONE pass folds the corpus into the domain-bounded histogram;
       // both the cut derivation and the assignment read the persisted
-      // cells (the sketch-sized-cache case)
+      // cells (the sketch-sized-cache case). At sf0.1 the persist
+      // measures ~0.3 s SLOWER than recomputing (materialization
+      // dominates two narrow single-column scans), but it halves the
+      // full-table scans — the 100 TB-correct trade, pinned by
+      // PlanAuditSpec so it can't silently regress to a double scan.
       val cells = graft.GraftCache.register(
-        PercentileOps.histogramCellCounts(li, "g", "l_extendedprice", decimals = 0))
+        PercentileOps.histogramCellCounts(li, "g", "l_extendedprice", decimals = 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val cuts = PercentileOps.histogramQuantilesFromCells(cells, "g",
         (1 to 7).map(i => (s"c$i", i / 8.0)))
       val assigned = cells.crossJoin(broadcast(cuts.drop("g")))

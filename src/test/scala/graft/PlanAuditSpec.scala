@@ -566,4 +566,24 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(!plan(q("q243_compaction_plan")).contains("SortMergeJoin"))
   }
+
+  test("range-split plan: ONE cached cell histogram feeds cuts + assignment; no SMJ (q244)") {
+    val p = plan(q("q244_range_split"))
+    assert(p.contains("InMemoryTableScan"),
+      s"cuts and assignment must both read the persisted cell histogram:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row cuts/total frames must broadcast:\n$p")
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("z-order maintenance + depth: batch cells / envelopes broadcast, no SMJ, no window (q245, q246)") {
+    Seq("q245_zorder_maintenance", "q246_clustering_depth").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: bounded probe frames must broadcast:\n$p")
+      assert(!p.contains("Window"), s"$name: no ordering window is needed:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$name: the envelope probe must arrive by broadcast:\n$p")
+    }
+  }
 }
