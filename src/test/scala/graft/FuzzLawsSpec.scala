@@ -135,4 +135,104 @@ class FuzzLawsSpec extends SparkSpec {
       assert(again.sortBy(r => (r._1, r._2)).toSeq == out.sortBy(r => (r._1, r._2)).toSeq)
     }
   }
+
+  test("mgSummary/mgMerge == brute-force batch reduce on random skewed multisets") {
+    import graft.operators.SketchOps
+    def bruteReduce(counts: Map[Long, Long], k: Int): Map[Long, Long] = {
+      val t = counts.values.toSeq.sorted(Ordering[Long].reverse)
+        .drop(k).headOption.getOrElse(0L)
+      counts.collect { case (key, c) if c > t => key -> (c - t) }
+    }
+    for (round <- 1 to 4) {
+      val k = 2 + rng.nextInt(8)
+      // skewed: key i drawn with weight ~ 1/(i+1)
+      val keys = Seq.fill(300 + rng.nextInt(500)) {
+        math.floor(math.pow(30, rng.nextDouble()) - 1).toLong
+      }
+      val df = keys.zipWithIndex.map { case (key, i) => (i.toLong, key) }.toDF("id", "k")
+      val exact = keys.groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+      val got = SketchOps.mgSummary(df.select("k"), "k", k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteReduce(exact, k), s"round $round k=$k: summary != brute force")
+      // merge law vs brute force: reduce(sum of reduced shard states)
+      val (ea, eb) = (
+        keys.zipWithIndex.collect { case (key, i) if i % 2 == 0 => key }
+          .groupBy(identity).map { case (key, v) => key -> v.size.toLong },
+        keys.zipWithIndex.collect { case (key, i) if i % 2 == 1 => key }
+          .groupBy(identity).map { case (key, v) => key -> v.size.toLong })
+      val (ra, rb) = (bruteReduce(ea, k), bruteReduce(eb, k))
+      val summed = (ra.keySet ++ rb.keySet)
+        .map(key => key -> (ra.getOrElse(key, 0L) + rb.getOrElse(key, 0L))).toMap
+      val merged = SketchOps.mgMerge(
+        SketchOps.mgSummary(df.where(col("id") % 2 === 0).select("k"), "k", k),
+        SketchOps.mgSummary(df.where(col("id") % 2 === 1).select("k"), "k", k),
+        "k", k).as[(Long, Long)].collect().toMap
+      assert(merged == bruteReduce(summed, k), s"round $round k=$k: merge != brute force")
+      // the MG guarantee on the merged state
+      val n = keys.size.toLong
+      assert(merged.forall { case (key, est) =>
+        est <= exact(key) && (exact(key) - est) * (k + 1) <= n })
+    }
+  }
+
+  test("compactionBins laws on random manifests: conservation, stripe bound, determinism") {
+    import graft.operators.LayoutOps
+    for (round <- 1 to 4) {
+      val target = 50L + rng.nextInt(200)
+      val maxSz = 1L + rng.nextInt(80)
+      val files = (1 to 150 + rng.nextInt(200)).map { i =>
+        (s"g${i % 3}", i.toLong, 1L + rng.nextInt(maxSz.toInt))
+      }
+      val df = files.toDF("grp", "id", "bytes")
+      val bins = LayoutOps.compactionBins(df, "grp", "id", "bytes", target)
+        .as[(String, Long, Long, Long)].collect()
+      // conservation per group
+      val byGrp = files.groupBy(_._1)
+      bins.groupBy(_._1).foreach { case (g, rows) =>
+        assert(rows.map(_._3).sum == byGrp(g).size.toLong, s"$g: file count drift")
+        assert(rows.map(_._4).sum == byGrp(g).map(_._3).sum, s"$g: byte drift")
+      }
+      // stripe bound: every non-tail bin within one file of target
+      bins.groupBy(_._1).foreach { case (g, rows) =>
+        val tail = rows.map(_._2).max
+        rows.filter(_._2 != tail).foreach { case (_, bin, _, bytes) =>
+          assert(bytes > target - maxSz && bytes < target + maxSz,
+            s"$g bin $bin: $bytes outside (${target - maxSz}, ${target + maxSz})")
+        }
+      }
+      // determinism under repartition
+      val again = LayoutOps.compactionBins(df.repartition(7), "grp", "id", "bytes", target)
+        .as[(String, Long, Long, Long)].collect()
+      assert(again.sortBy(r => (r._1, r._2)).toSeq == bins.sortBy(r => (r._1, r._2)).toSeq)
+    }
+  }
+
+  test("skippingAudit is conservative and exact on random layouts and boxes") {
+    import graft.operators.LayoutOps
+    for (round <- 1 to 4) {
+      val pts = (1 to 400).map(i =>
+        (i.toLong % 16, rng.nextInt(100).toLong, rng.nextInt(100).toLong))
+      val df = pts.toDF("f", "a", "b")
+      val (aLo, bLo) = (rng.nextInt(80).toLong, rng.nextInt(80).toLong)
+      val (aHi, bHi) = (aLo + rng.nextInt(20), bLo + rng.nextInt(20))
+      val audit = LayoutOps.skippingAudit(
+        LayoutOps.fileStats(df, col("f"), "a", "b"),
+        lit(aLo), lit(aHi), lit(bLo), lit(bHi)).collect().head
+      val (filesHit, rowsScanned) = (audit.getLong(1), audit.getLong(2))
+      // brute force: which files hold matching rows, how many rows those files hold
+      val matching = pts.filter(p => p._2 >= aLo && p._2 <= aHi && p._3 >= bLo && p._3 <= bHi)
+      val mustScan = matching.map(_._1).toSet
+      val byFile = pts.groupBy(_._1)
+      // conservative: every file holding a match is hit; scan covers them
+      assert(mustScan.forall(f =>
+        rowsScanned >= mustScan.toSeq.map(byFile(_).size).sum), "lost a matching file")
+      assert(rowsScanned >= matching.size.toLong)
+      // exact under envelope semantics: hit files == files whose envelope intersects
+      val expectHit = byFile.count { case (_, rows) =>
+        rows.map(_._2).min <= aHi && rows.map(_._2).max >= aLo &&
+          rows.map(_._3).min <= bHi && rows.map(_._3).max >= bLo
+      }
+      assert(filesHit == expectHit.toLong, s"round $round: $filesHit != $expectHit")
+    }
+  }
 }
