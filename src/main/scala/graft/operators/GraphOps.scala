@@ -618,4 +618,54 @@ object GraphOps {
         org.apache.spark.sql.types.StructField("core_deg",
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
+
+  /** Subtree rollup over a parent-pointer hierarchy (account trees,
+    * category taxonomies, org charts): for every node, the count and
+    * value sum of its whole subtree (descendants + self) plus its depth
+    * from the root — the recursive-CTE aggregation a warehouse runs on
+    * chart-of-accounts tables, expressed without recursion.
+    *
+    * Shape: the ancestor CLOSURE is materialized by `maxDepth` unrolled
+    * co-keyed equi-joins against the parent map (each round advances
+    * every node's chain one ancestor; chains stop at roots, whose NULL
+    * parent never enters the map). The closure holds ≤ n·(height+1)
+    * (node, anc) long pairs — tree height, not row count, bounds the
+    * blow-up — and both outputs (per-ancestor subtree aggregates,
+    * per-node depth) are partial-aggregable group-bys over it. The
+    * caller must pass maxDepth ≥ tree height (for the q247 contract
+    * tree, height = ceil(log4 maxKey)) — a truncated chain would
+    * under-aggregate, which q247's INDEPENDENT recursive oracle and
+    * GraphOpsSpec's truncation test both catch. Trees deeper than the
+    * unrolled-plan regime (~12) take the [[bfsDistancesDeep]] RDD-loop
+    * skeleton instead.
+    *
+    * `nodes` must carry (idCol, parentCol nullable for roots, valueCol);
+    * returns (id, depth, n_desc, subtree_sum) — all LongType.
+    */
+  def subtreeRollup(nodes: DataFrame, idCol: String, parentCol: String,
+                    valueCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 12,
+      s"maxDepth must be in [1, 12] (deeper trees take the RDD loop), got $maxDepth")
+    val pm = nodes
+      .select(col(idCol).cast("long").as("c"), col(parentCol).cast("long").as("p"))
+      .where(col("p").isNotNull)
+    val self = nodes.select(col(idCol).cast("long").as("node"),
+      col(idCol).cast("long").as("anc"))
+    var cur = self
+    var acc = self
+    (1 to maxDepth).foreach { _ =>
+      cur = cur.join(pm, col("anc") === col("c"))
+        .select(col("node"), col("p").as("anc"))
+      acc = acc.unionByName(cur)
+    }
+    val vals = nodes.select(col(idCol).cast("long").as("node"),
+      col(valueCol).cast("long").as("v"))
+    val perAnc = acc.join(vals, "node")
+      .groupBy(col("anc").as("id"))
+      .agg(count(lit(1)).as("n_desc"), sum("v").as("subtree_sum"))
+    val depth = acc.groupBy(col("node").as("id"))
+      .agg((count(lit(1)) - 1L).as("depth"))
+    perAnc.join(depth, "id")
+      .select(col("id"), col("depth"), col("n_desc"), col("subtree_sum"))
+  }
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance,
   * q167_bfs_deep, q168_pagerank_deep, q184_link_rank, q194_anchor_text,
   * q198_hits, q200_label_prop, q201_random_walks, q208_modularity,
-  * q229_kcore.
+  * q229_kcore, q247_hierarchy_rollup.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object GraphQueries {
@@ -238,6 +238,26 @@ object GraphQueries {
       GraphOps.kCore(
         e1.unionByName(e2).unionByName(e3).unionByName(e4).unionByName(e5),
         k = 2)
+    }),
+
+
+    // HIERARCHY SUBTREE ROLLUP: the recursive-CTE aggregation of a
+    // chart-of-accounts / category-taxonomy table — per node, the
+    // descendant count, subtree balance, and depth. Customers form a
+    // deterministic 4-ary tree (parent = custkey div 4, root 0);
+    // balances roll up in binary-deterministic cents. The ENGINE runs
+    // the generic parent-TABLE closure (GraphOps.subtreeRollup — 8
+    // unrolled co-keyed joins, works on arbitrary parent pointers);
+    // the ORACLE exploits the arithmetic parent in a WITH RECURSIVE —
+    // two INDEPENDENT formulations, so the hash match checks the
+    // closure construction itself, not a shared derivation.
+    "q247_hierarchy_rollup" -> ((s, d) => {
+      val nodes = Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("id"),
+        when(col("c_custkey") > 0, expr("c_custkey div 4")).as("parent"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+      GraphOps.subtreeRollup(nodes, "id", "parent", "cents", maxDepth = 8)
+        .withColumnRenamed("subtree_sum", "subtree_cents")
     }),
   )
 
@@ -511,6 +531,30 @@ object GraphQueries {
     // Unrolled peel of the same planted graph; 8 rounds >= the true
     // peel depth, and peeling past fixpoint is a no-op.
     "q229_kcore" -> kcoreOracleSql(k = 2, rounds = 8),
+
+
+    // INDEPENDENT formulation: where the engine materializes the
+    // closure from the parent TABLE by unrolled joins, the oracle
+    // recurses on the arithmetic parent (anc // 4 until root 0) — a
+    // truncated or duplicated closure row on either side flips the
+    // hash. floor(x*100 + 0.5) is the binary-deterministic cents rule
+    // used across the contract (negative balances floor identically in
+    // both engines).
+    "q247_hierarchy_rollup" ->
+      """WITH RECURSIVE anc AS (
+        | SELECT c_custkey AS node, c_custkey AS anc FROM customer
+        | UNION ALL
+        | SELECT node, anc // 4 FROM anc WHERE anc > 0
+        |),
+        |v AS (SELECT c_custkey AS node,
+        |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
+        |g1 AS (SELECT anc.anc AS id, CAST(count(*) AS BIGINT) AS n_desc,
+        |  CAST(sum(v.cents) AS BIGINT) AS subtree_cents
+        | FROM anc JOIN v USING (node) GROUP BY anc.anc),
+        |g2 AS (SELECT node AS id, CAST(count(*) - 1 AS BIGINT) AS depth
+        | FROM anc GROUP BY node)
+        |SELECT g1.id, g2.depth, g1.n_desc, g1.subtree_cents
+        |FROM g1 JOIN g2 ON g1.id = g2.id""".stripMargin,
   )
 }
 

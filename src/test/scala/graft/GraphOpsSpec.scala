@@ -314,4 +314,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(c3 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
       s"3-core strips the cycle and the shared node's degree drops: $c3")
   }
+
+  test("subtreeRollup: hand-computed tree, root totals, truncation detectable") {
+    // tree: 0 -> (1, 2); 1 -> (3, 4); 4 -> 5   (values = 10*id + 1)
+    val nodes = Seq(
+      (0L, Option.empty[Long], 1L), (1L, Some(0L), 11L), (2L, Some(0L), 21L),
+      (3L, Some(1L), 31L), (4L, Some(1L), 41L), (5L, Some(4L), 51L))
+      .toDF("id", "parent", "v")
+    val got = GraphOps.subtreeRollup(nodes, "id", "parent", "v", maxDepth = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      0L -> ((0L, 6L, 156L)),  // whole tree
+      1L -> ((1L, 4L, 134L)),  // {1,3,4,5}
+      2L -> ((1L, 1L, 21L)),
+      3L -> ((2L, 1L, 31L)),
+      4L -> ((2L, 2L, 92L)),   // {4,5}
+      5L -> ((3L, 1L, 51L))), s"rollup mismatch: $got")
+    // truncation is LOUD, not silent: maxDepth below the tree height
+    // drops deep descendants from shallow ancestors' subtrees
+    val cut = GraphOps.subtreeRollup(nodes, "id", "parent", "v", maxDepth = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(cut(0L) == 5L, s"depth-2 closure must miss node 5 under the root: $cut")
+    // values sum law: the root's subtree sum equals the table total
+    assert(got(0L)._3 == Seq(1L, 11L, 21L, 31L, 41L, 51L).sum)
+  }
 }
