@@ -73,10 +73,6 @@ object SketchOps {
   def hllRegisters(rows: DataFrame, keyCol: String, p: Int = 6): DataFrame =
     hllRegistersBy(rows, keyCol, Nil, p)
 
-  /** [[hllRegisters]] with extra grouping columns — one register set per
-    * group (per day, per shard, ...), ready for windowed or rolled-up
-    * merges by register max.
-    */
   /** The row-local HLL projection: (bucket, rho) columns for a key —
     * exposed so streaming aggregations ([[graft.streaming.StreamingOps
     * .streamingDistinct]]) can reuse the exact same sketch math.
@@ -92,6 +88,10 @@ object SketchOps {
     (h.bitwiseAND(lit((1L << p) - 1)), rho)
   }
 
+  /** [[hllRegisters]] with extra grouping columns — one register set per
+    * group (per day, per shard, ...), ready for windowed or rolled-up
+    * merges by register max.
+    */
   def hllRegistersBy(rows: DataFrame, keyCol: String,
                      groupCols: Seq[String], p: Int = 6): DataFrame = {
     val (bucket, rho) = hllBucketRho(col(keyCol), p)
@@ -156,15 +156,24 @@ object SketchOps {
     * on different clusters on different days) predict a join's size
     * without touching either table again.
     *
+    * A depth row whose occupied buckets don't overlap at all has inner
+    * product 0 — the tightest possible estimate — so every k in
+    * [0, depth) anchors the min with a coalesced 0 default rather than
+    * silently dropping out of the inner join (disjoint-key sketches
+    * must estimate 0, not the smallest colliding row).
+    *
     * Returns one row (est_join_size). All-integer, so the oracle
     * reproduces it exactly.
     */
-  def cmsJoinCardinality(cmsA: DataFrame, cmsB: DataFrame): DataFrame = {
+  def cmsJoinCardinality(cmsA: DataFrame, cmsB: DataFrame,
+                         depth: Int = 4): DataFrame = {
     val a = cmsA.select(col("h"), col("bucket"), col("n").as("na"))
     val b = cmsB.select(col("h"), col("bucket"), col("n").as("nb"))
-    a.join(b, Seq("h", "bucket"))
+    val dots = a.join(b, Seq("h", "bucket"))
       .groupBy("h").agg(sum(col("na") * col("nb")).as("dot"))
-      .agg(min("dot").as("est_join_size"))
+    cmsA.sparkSession.range(depth).select(col("id").cast("int").as("h"))
+      .join(dots, Seq("h"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_size"))
   }
 
   /** Fold two [[hllRegisters]] frames: register-wise max. Because every

@@ -620,8 +620,9 @@ object StatsQueries {
         |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bucket,
         |  CAST(count(*) AS BIGINT) AS nb
         | FROM customer CROSS JOIN ks GROUP BY 1, 2),
-        |dot AS (SELECT ga.k, CAST(sum(ga.na * gb.nb) AS BIGINT) AS d
-        | FROM ga JOIN gb ON gb.k = ga.k AND gb.bucket = ga.bucket GROUP BY 1),
+        |dot AS (SELECT ks.k, CAST(coalesce(sum(ga.na * gb.nb), 0) AS BIGINT) AS d
+        | FROM ks LEFT JOIN ga ON ga.k = ks.k
+        |  LEFT JOIN gb ON gb.k = ga.k AND gb.bucket = ga.bucket GROUP BY 1),
         |est AS (SELECT min(d) AS est_join_size FROM dot),
         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_size
         | FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)

@@ -543,15 +543,18 @@ class PlanAuditSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
-  test("z-order skipping audit: stats-sized frames broadcast, no sort-merge, no window (q242)") {
+  test("z-order skipping audit: ONE cached cell pass feeds every audit branch (q242)") {
     val p = plan(q("q242_zorder_skipping"))
-    // the only joins are 1-row dims/selected broadcasts onto row- or
-    // file-stats frames; the data passes are plain partial aggregations
+    // every branch (both layouts' stats + rows_selected) folds from the
+    // persisted ≤4096-cell frame — the row-scale scan happens once
+    assert(p.contains("InMemoryTableScan"),
+      s"audit branches must read the cached cell frame:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"dims/selected are 1-row frames and must broadcast:\n$p")
     assert(!p.contains("Window"), s"no global ordering is needed:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"bounds must arrive by broadcast:\n$p")
+    graft.GraftCache.releaseAll(spark)
   }
 
   test("compaction plan: the window is partitioned by source — never a global sort (q243)") {

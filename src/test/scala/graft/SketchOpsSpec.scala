@@ -82,6 +82,15 @@ class SketchOpsSpec extends SparkSpec {
       SketchOps.cmsBuild(b, "k", width = 4))
       .collect().head.getLong(0)
     assert(narrow >= trueSize)
+    // disjoint key sets in a wide grid: some depth row has NO occupied-
+    // bucket overlap, and that row's 0 inner product must anchor the
+    // min — the estimate is 0, not the smallest colliding row's sum
+    val c = (101 to 120).map(_.toLong).toDF("k")
+    val disjoint = SketchOps.cmsJoinCardinality(
+      SketchOps.cmsBuild(a, "k", width = 4096),
+      SketchOps.cmsBuild(c, "k", width = 4096))
+      .collect().head.getLong(0)
+    assert(disjoint == 0L, s"disjoint sketches must estimate 0, got $disjoint")
   }
 
   test("hllMergeRegisters: shard merge equals the one-pass registers, element-wise") {
