@@ -176,7 +176,7 @@ object CurationQueries {
       val train = docs.where(bucket < 80).select(did.as("id"), col("text"))
       val test = docs.where(bucket >= 90).select(did.as("id"), col("text"))
         .unionByName(docs.where(bucket < 80 && pmod(did, lit(25)) === 0)
-          .select((did + 1000000L).as("id"),
+          .select((did + 1000000000000L).as("id"),
             concat(col("text"), lit(" zzdup tail")).as("text")))
       DedupOps.minhashProbe(train, test, "id", "text", threshold = 0.7)
     }),
@@ -289,7 +289,7 @@ object CurationQueries {
     "q176_cluster_split" -> ((s, d) => {
       val base = Tables.documents(s, d).where(pmod(did, lit(4)) === 0)
       val corpus = base.select(did.as("id"), col("text"))
-        .unionByName(base.select((did + 100000L).as("id"),
+        .unionByName(base.select((did + 1000000000000L).as("id"),
           concat(col("text"), lit(" zzdup tail")).as("text")))
       val pairs = DedupOps.minhashNearDupsPortable(corpus, "id", "text",
         threshold = 0.7).select("id_a", "id_b")
@@ -657,7 +657,7 @@ object CurationQueries {
         |  SELECT 'b', doc_id, text FROM documents
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 90
         |  UNION ALL
-        |  SELECT 'b', doc_id + 1000000, text || ' zzdup tail' FROM documents
+        |  SELECT 'b', doc_id + 1000000000000, text || ' zzdup tail' FROM documents
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
         |   AND doc_id % 25 = 0""".stripMargin),
 
@@ -811,7 +811,7 @@ object CurationQueries {
     // (component min, or its own id for singletons) — the engine's
     // large-star/small-star components + projection, re-derived.
     "q176_cluster_split" ->
-      s"""WITH RECURSIVE ${minhashLshCtes("doc_id % 4 = 0", 100000L)},
+      s"""WITH RECURSIVE ${minhashLshCtes("doc_id % 4 = 0", 1000000000000L)},
          |jp AS (SELECT i.id_a, i.id_b
          | FROM inter i
          | JOIN sizes sa ON sa.id = i.id_a

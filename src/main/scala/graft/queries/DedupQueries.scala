@@ -70,7 +70,7 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
       val did = col("doc_id").cast("long")
       val corpus = docs.select(did.as("id"), col("text"))
-        .unionByName(docs.select((did + 1000000L).as("id"), col("text")))
+        .unionByName(docs.select((did + 1000000000000L).as("id"), col("text")))
       val fp = corpus.select(col("id"), T.fingerprint(col("text")).as("fp"))
       val edges = fp.select(col("fp"), col("id").as("id_a"))
         .join(fp.select(col("fp"), col("id").as("id_b")), "fp")
@@ -94,15 +94,15 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
       val idL = col("doc_id").cast("long")
       val corpus = docs.select(idL.as("id"), col("text"))
-        .unionByName(docs.select((idL + 1000000L).as("id"), col("text")))
-        .unionByName(docs.select((idL + 2000000L).as("id"), col("text")))
+        .unionByName(docs.select((idL + 1000000000000L).as("id"), col("text")))
+        .unionByName(docs.select((idL + 2000000000000L).as("id"), col("text")))
       val fp = corpus.select(col("id"), T.fingerprint(col("text")).as("fp"))
       val edges = fp.select(col("fp"), col("id").as("id_a"))
         .join(fp.select(col("fp"), col("id").as("id_b")), "fp")
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
-      val batchA = edges.where(col("id_b") < 2000000L)
-      val batchB = edges.where(col("id_b") >= 2000000L)
+      val batchA = edges.where(col("id_b") < 2000000000000L)
+      val batchB = edges.where(col("id_b") >= 2000000000000L)
       DedupOps.ccMergeStates(
         DedupOps.connectedComponents(batchA),
         DedupOps.connectedComponents(batchB))
@@ -119,7 +119,7 @@ object DedupQueries {
     "q81_neardup_clusters" -> ((s, d) => {
       val base = Tables.documents(s, d).where(pmod(did, lit(4)) === 0)
       val corpus = base.select(did.as("id"), col("text"))
-        .unionByName(base.select((did + 100000L).as("id"),
+        .unionByName(base.select((did + 1000000000000L).as("id"),
           concat(col("text"), lit(" zzdup tail")).as("text")))
       val pairs = DedupOps.minhashNearDupsPortable(corpus, "id", "text",
         threshold = 0.7).select("id_a", "id_b")
@@ -163,9 +163,9 @@ object DedupQueries {
     "q86_minhash_probe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tenth = docs.where(pmod(did, lit(10)) === 0)
-      val batch = tenth.select((did + 1000000L).as("id"),
+      val batch = tenth.select((did + 1000000000000L).as("id"),
           concat(col("text"), lit(" zzdup tail")).as("text"))
-        .unionByName(tenth.select((did + 2000000L).as("id"),
+        .unionByName(tenth.select((did + 2000000000000L).as("id"),
           concat(lit("totally novel content block number "), sid,
             lit(" unseen tokens qqq www eee")).as("text")))
       DedupOps.minhashProbe(docs.select(did.as("id"), col("text")), batch,
@@ -181,7 +181,7 @@ object DedupQueries {
     "q111_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val c = docs.select(did.as("doc_id"), col("text"))
-        .unionByName(docs.select((did + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.select((did + 1000000000000L).as("doc_id"), col("text")))
       val quality = TextAnalysisOps.qualityScore(c, "doc_id", "text")
         .select(col("doc_id"), col("quality"))
       val ranked = c.select(col("doc_id"),
@@ -269,7 +269,7 @@ object DedupQueries {
     "q136_entity_resolution" -> ((s, d) => {
       val sup = Tables.supplier(s, d)
       val all = sup.select(col("s_suppkey").as("id"), col("s_name").as("name"))
-        .unionByName(sup.select((col("s_suppkey") + 100000L).as("id"),
+        .unionByName(sup.select((col("s_suppkey") + 1000000000000L).as("id"),
           concat(substring(col("s_name"), 1, 9), lit("X"),
             substring(col("s_name"), 11, 100)).as("name")))
       val pairs = JoinOps.fuzzyJoin(all, all, "id", "name", "id", "name",
@@ -479,9 +479,9 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
       val corpus = docs.select(did.as("id"), col("text"))
         .unionByName(docs.where(pmod(did, lit(2)) === 0)
-          .select((did + 1000000L).as("id"), col("text")))
+          .select((did + 1000000000000L).as("id"), col("text")))
         .unionByName(docs.where(pmod(did, lit(4)) === 0)
-          .select((did + 2000000L).as("id"), col("text")))
+          .select((did + 2000000000000L).as("id"), col("text")))
       val clusters = corpus.select(T.fingerprint(col("text")).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("cluster_size"))
       val totals = clusters.agg(sum("cluster_size").as("total_rows"),
@@ -530,7 +530,7 @@ object DedupQueries {
         .otherwise(concat(substring(col("s_name"), 1, 9), lit("X"),
           substring(col("s_name"), 11, 100)))
       val all = sup.select(col("s_suppkey").as("id"), col("s_name").as("name"))
-        .unionByName(sup.select((col("s_suppkey") + 100000L).as("id"),
+        .unionByName(sup.select((col("s_suppkey") + 1000000000000L).as("id"),
           twin.as("name")))
       val cand = all.select(col("id").as("id_a"), col("name").as("name_a"),
           expr("right(name, 3)").as("bk"))
@@ -540,7 +540,7 @@ object DedupQueries {
           abs(length(col("name_a")) - length(col("name_b"))) <= 1)
         .select(col("id_a"), col("id_b"))
       val truth = sup.select(col("s_suppkey").as("id_a"),
-        (col("s_suppkey") + 100000L).as("id_b"))
+        (col("s_suppkey") + 1000000000000L).as("id_b"))
       val nRec = all.agg(count(lit(1)).as("n_records"))
       val nCand = cand.agg(count(lit(1)).as("n_cand"))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
@@ -717,7 +717,7 @@ object DedupQueries {
     "q63_components" ->
       s"""WITH c AS (
          | SELECT doc_id AS id, text FROM documents
-         | UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         | UNION ALL SELECT doc_id + 1000000000000, text FROM documents),
          |f AS (SELECT id, md5(lower($cleanSql)) AS fp FROM c),
          |g AS (SELECT fp, min(id) AS component, count(*) AS n
          |      FROM f GROUP BY fp)
@@ -731,8 +731,8 @@ object DedupQueries {
     "q237_cc_increment" ->
       s"""WITH c AS (
          | SELECT doc_id AS id, text FROM documents
-         | UNION ALL SELECT doc_id + 1000000, text FROM documents
-         | UNION ALL SELECT doc_id + 2000000, text FROM documents),
+         | UNION ALL SELECT doc_id + 1000000000000, text FROM documents
+         | UNION ALL SELECT doc_id + 2000000000000, text FROM documents),
          |f AS (SELECT id, md5(lower($cleanSql)) AS fp FROM c),
          |g AS (SELECT fp, min(id) AS component, count(*) AS n
          |      FROM f GROUP BY fp)
@@ -744,7 +744,7 @@ object DedupQueries {
     // closure is finite (UNION dedups states) and every node's min
     // reachable label is its component min.
     "q81_neardup_clusters" ->
-      s"""WITH RECURSIVE ${minhashLshCtes("doc_id % 4 = 0", 100000L)},
+      s"""WITH RECURSIVE ${minhashLshCtes("doc_id % 4 = 0", 1000000000000L)},
          |jp AS (SELECT i.id_a, i.id_b
          | FROM inter i
          | JOIN sizes sa ON sa.id = i.id_a
@@ -822,10 +822,10 @@ object DedupQueries {
     "q86_minhash_probe" -> minhashProbeSql(
       s"""  SELECT 'c' AS side, doc_id AS id, text FROM documents
          |  UNION ALL
-         |  SELECT 'b', doc_id + 1000000, text || ' zzdup tail'
+         |  SELECT 'b', doc_id + 1000000000000, text || ' zzdup tail'
          |  FROM documents WHERE doc_id % 10 = 0
          |  UNION ALL
-         |  SELECT 'b', doc_id + 2000000,
+         |  SELECT 'b', doc_id + 2000000000000,
          |    'totally novel content block number ' || CAST(doc_id AS VARCHAR) || ' unseen tokens qqq www eee'
          |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
 
@@ -834,7 +834,7 @@ object DedupQueries {
     // (quality desc, id asc); rk = 1 is the canonical member.
     "q111_canonical" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
-         | UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         | UNION ALL SELECT doc_id + 1000000000000, text FROM documents),
          |${qualityCtesFrom("corpus")},
          |qs AS (SELECT doc_id, $qualityExprSql AS quality FROM m),
          |f AS (SELECT c.doc_id, md5(lower($cleanSql)) AS fp, qs.quality
@@ -951,7 +951,7 @@ object DedupQueries {
       """WITH RECURSIVE sup AS (
         |  SELECT s_suppkey AS id, s_name AS name FROM supplier
         |  UNION ALL
-        |  SELECT s_suppkey + 100000, substr(s_name, 1, 9) || 'X' || substr(s_name, 11)
+        |  SELECT s_suppkey + 1000000000000, substr(s_name, 1, 9) || 'X' || substr(s_name, 11)
         |  FROM supplier),
         |jp AS (SELECT a.id AS id_a, b.id AS id_b FROM sup a JOIN sup b
         |  ON right(a.name, 3) = right(b.name, 3)
@@ -1135,8 +1135,8 @@ object DedupQueries {
     "q202_dedup_report" ->
       s"""WITH c AS (
          | SELECT doc_id AS id, text FROM documents
-         | UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
-         | UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 0),
+         | UNION ALL SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 2 = 0
+         | UNION ALL SELECT doc_id + 2000000000000, text FROM documents WHERE doc_id % 4 = 0),
          |f AS (SELECT id, md5(lower($cleanSql)) AS fp FROM c),
          |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size FROM f GROUP BY fp),
          |t AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS total_rows,
@@ -1187,7 +1187,7 @@ object DedupQueries {
       """WITH sup AS (
         |  SELECT s_suppkey AS id, s_name AS name FROM supplier
         |  UNION ALL
-        |  SELECT s_suppkey + 100000,
+        |  SELECT s_suppkey + 1000000000000,
         |   CASE WHEN s_suppkey % 10 = 0 THEN s_name || 'Q'
         |    ELSE substr(s_name, 1, 9) || 'X' || substr(s_name, 11) END
         |  FROM supplier),
@@ -1195,7 +1195,7 @@ object DedupQueries {
         |  ON right(a.name, 3) = right(b.name, 3)
         |  AND abs(len(a.name) - len(b.name)) <= 1
         |  AND a.id < b.id),
-        |truth AS (SELECT s_suppkey AS id_a, s_suppkey + 100000 AS id_b FROM supplier),
+        |truth AS (SELECT s_suppkey AS id_a, s_suppkey + 1000000000000 AS id_b FROM supplier),
         |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM sup),
         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),

@@ -67,7 +67,7 @@ object JoinsQueries {
     // the block differs by >= 2 edits).
     "q91_fuzzy_match" -> ((s, d) => {
       val sup = Tables.supplier(s, d)
-      val variants = sup.select((col("s_suppkey") + 100000L).as("vid"),
+      val variants = sup.select((col("s_suppkey") + 1000000000000L).as("vid"),
         concat(substring(col("s_name"), 1, 9), lit("X"),
           substring(col("s_name"), 11, 100)).as("vname"))
       JoinOps.fuzzyJoin(sup, variants, "s_suppkey", "s_name", "vid", "vname",
@@ -151,7 +151,7 @@ object JoinsQueries {
 
     "q91_fuzzy_match" ->
       """WITH l AS (SELECT s_suppkey AS left_id, s_name AS left_name FROM supplier),
-        |r AS (SELECT s_suppkey + 100000 AS right_id,
+        |r AS (SELECT s_suppkey + 1000000000000 AS right_id,
         |  substr(s_name, 1, 9) || 'X' || substr(s_name, 11) AS right_name FROM supplier)
         |SELECT l.left_id, r.right_id, l.left_name, r.right_name,
         | CAST(levenshtein(l.left_name, r.right_name) AS INTEGER) AS dist

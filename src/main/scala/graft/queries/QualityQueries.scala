@@ -272,19 +272,26 @@ object QualityQueries {
         when(cl === "", 0L).otherwise(size(split(cl, " ")).cast("long"))
       }
       val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      // presence is an EXPLICIT per-side flag, never the nullable
+      // digest: a present row with NULL text must count in n_a/n_b
+      // (the oracle keys presence on id), and chg inherits SQL
+      // three-valued semantics — a NULL-text comparison is not a
+      // change, exactly as the oracle's a.text <> b.text evaluates
       val a = base.where(pmod(did, lit(11)) =!= 3)
         .select(did.as("id"), col("source").as("source_a"),
-          md5(col("text")).as("ha"), ws(col("text")).as("tok_a"))
+          md5(col("text")).as("ha"), ws(col("text")).as("tok_a"),
+          lit(true).as("pa"))
       val btext = when(pmod(did, lit(7)) === 0,
         concat(col("text"), lit(" appended v2 tokens"))).otherwise(col("text"))
       val b = base.where(pmod(did, lit(13)) =!= 5)
         .select(did.as("id"), col("source").as("source_b"),
-          md5(btext).as("hb"), ws(btext).as("tok_b"))
+          md5(btext).as("hb"), ws(btext).as("tok_b"),
+          lit(true).as("pb"))
       a.join(b, Seq("id"), "full_outer")
         .select(coalesce(col("source_a"), col("source_b")).as("source"),
-          col("ha").isNotNull.as("in_a"), col("hb").isNotNull.as("in_b"),
-          (col("ha").isNotNull && col("hb").isNotNull
-            && col("ha") =!= col("hb")).as("chg"),
+          coalesce(col("pa"), lit(false)).as("in_a"),
+          coalesce(col("pb"), lit(false)).as("in_b"),
+          (col("pa") && col("pb") && col("ha") =!= col("hb")).as("chg"),
           coalesce(col("tok_a"), lit(0L)).as("tok_a"),
           coalesce(col("tok_b"), lit(0L)).as("tok_b"))
         .groupBy("source").agg(
@@ -373,8 +380,7 @@ object QualityQueries {
         8 -> 51153L, 9 -> 45757L)
       val expected = be6.toSeq.sortBy(_._1)
         .map { case (dg, e) => struct(lit(dg).as("digit"), lit(e).as("expected_e6")) }
-      val exp = Tables.lineitem(s, d).sparkSession
-        .range(1).select(explode(array(expected: _*)).as("s"))
+      val exp = s.range(1).select(explode(array(expected: _*)).as("s"))
         .select(col("s.digit").as("digit"), col("s.expected_e6").as("expected_e6"))
       val digits = Tables.lineitem(s, d)
         .select(substring(floor(col("l_extendedprice")).cast("long")
