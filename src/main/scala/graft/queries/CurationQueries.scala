@@ -282,7 +282,7 @@ object CurationQueries {
 
     // Leakage-PROOF split — the prevention q112's audit only measures:
     // q81's planted-twin corpus (every 4th doc + its near-dup at
-    // +100000) resolves to near-dup clusters, and each cluster splits
+    // +10^12) resolves to near-dup clusters, and each cluster splits
     // as a UNIT by the portable hash of its representative. Twins can
     // never straddle the train/test cut; the (id, cluster_key, split)
     // triple is hash-checked, so a twin landing off-side diverges.

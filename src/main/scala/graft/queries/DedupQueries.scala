@@ -115,7 +115,7 @@ object DedupQueries {
     // pair graph with a recursive label closure — an independent
     // cross-engine check of the components operator itself. Runs on a
     // quarter slice (q25 already benches the full LSH; this prices the
-    // resolution step) with a collision-free +100000 dup-id offset.
+    // resolution step) with a collision-free +10^12 dup-id offset.
     "q81_neardup_clusters" -> ((s, d) => {
       val base = Tables.documents(s, d).where(pmod(did, lit(4)) === 0)
       val corpus = base.select(did.as("id"), col("text"))
@@ -175,7 +175,7 @@ object DedupQueries {
 
     // Canonical-document selection — the survivor policy that completes
     // dedup: per exact-dup group (md5 of normalized text; every doc has
-    // a planted +1000000 twin), keep the highest-quality member, ties
+    // a planted +10^12 twin), keep the highest-quality member, ties
     // broken by lowest id. max_by over a (quality, -id) total order —
     // partial-aggregating, no per-group window sort on the corpus.
     "q111_canonical" -> ((s, d) => {
@@ -185,7 +185,7 @@ object DedupQueries {
       val quality = TextAnalysisOps.qualityScore(c, "doc_id", "text")
         .select(col("doc_id"), col("quality"))
       val ranked = c.select(col("doc_id"),
-          md5(lower(T.cleanText(col("text")))).as("fp"))
+          T.fingerprint(col("text")).as("fp"))
         .join(quality, "doc_id")
       val surv = ranked.groupBy("fp").agg(
         max_by(col("doc_id"),
@@ -482,8 +482,13 @@ object DedupQueries {
           .select((did + 1000000000000L).as("id"), col("text")))
         .unionByName(docs.where(pmod(did, lit(4)) === 0)
           .select((did + 2000000000000L).as("id"), col("text")))
-      val clusters = corpus.select(T.fingerprint(col("text")).as("fp"))
-        .groupBy("fp").agg(count(lit(1)).as("cluster_size"))
+      // persist the (fp, size) frame so the md5 pass over the 1.75×
+      // corpus runs ONCE for both the histogram and the totals —
+      // otherwise the comment's one-pass claim is false at runtime
+      val clusters = graft.GraftCache.register(
+        corpus.select(T.fingerprint(col("text")).as("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("cluster_size"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val totals = clusters.agg(sum("cluster_size").as("total_rows"),
         count(lit(1)).as("total_clusters"))
       clusters.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
@@ -503,9 +508,7 @@ object DedupQueries {
     // corpus through the df-guarded shingle join; >= 0.8 survives.
     "q212_containment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val clean = T.cleanText(col("text"))
-      val toks = when(clean === "", array().cast("array<string>"))
-        .otherwise(split(clean, " "))
+      val toks = T.tokens(col("text"))
       val probes = docs.where(pmod(did, lit(29)) === 0)
         .select((did + 3000000000000L).as("id"),
           array_join(slice(toks, 1, 12), " ").as("text"))

@@ -185,8 +185,13 @@ object SimilarityQueries {
     "q190_nprobe_sweep" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qs = emb.where(col("vec_id") < 8)
-      val exact = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
-        .select("query_id", "neighbor_id")
+      // the exact ground truth feeds all three settings' joins plus the
+      // denominator — persist the (tiny: ≤40-row) frame so the full
+      // corpus × query scan runs once, not four times
+      val exact = graft.GraftCache.register(
+        SimilarityOps.bruteForceTopK(emb, qs, k = 5)
+          .select("query_id", "neighbor_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // recall denominator from the exact side's actual row count (a
       // 1-row broadcast), never hardcoded: at a corpus too small for 8
       // queries x 5 neighbors the ratio stays honest instead of

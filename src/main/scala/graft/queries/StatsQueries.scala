@@ -392,6 +392,41 @@ object StatsQueries {
       | floor((1.0462993238608057e+20 / s_scaled::DOUBLE) * 100 + 0.5) / 100 AS hll_est
       |FROM s""".stripMargin
 
+    /** q56's direct histogram-quantile SQL — SHARED with q187 so the
+    * merge-law twin can never drift from the one-pass oracle it
+    * certifies against (the hllDirectSql pattern).
+    */
+  private val histDirectSql =
+    """WITH c AS (
+        | SELECT l_returnflag, floor(l_extendedprice * 100) / 100 AS qval, count(*) AS cnt
+        | FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        | SELECT l_returnflag, qval,
+        |  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qval
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+        | FROM c)
+        |SELECT l_returnflag,
+        | min(CASE WHEN cum >= ceil(total * 0.25) THEN qval END) AS p25,
+        | min(CASE WHEN cum >= ceil(total * 0.5) THEN qval END) AS p50,
+        | min(CASE WHEN cum >= ceil(total * 0.75) THEN qval END) AS p75
+        |FROM w GROUP BY l_returnflag""".stripMargin
+
+  /** q103's direct CMS-grid SQL — SHARED with q238 (same rationale). */
+  private val cmsDirectSql =
+    """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+        |hb AS (SELECT e.user_id, ks.k,
+        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
+        | FROM events e CROSS JOIN ks),
+        |cms AS (SELECT k, bucket, count(*) AS n FROM hb GROUP BY 1, 2),
+        |kh AS (SELECT DISTINCT user_id, k, bucket FROM hb),
+        |est AS (SELECT kh.user_id, min(coalesce(cms.n, 0)) AS cms_n
+        | FROM kh LEFT JOIN cms ON cms.k = kh.k AND cms.bucket = kh.bucket
+        | GROUP BY 1),
+        |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+        |SELECT x.user_id, x.exact_n, est.cms_n
+        |FROM exact x JOIN est ON est.user_id = x.user_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q51_percentiles" ->
@@ -406,40 +441,14 @@ object StatsQueries {
     // PercentileOps.histogramQuantiles (IEEE double ops are bit-exact in
     // both engines).
     "q56_hist_quantiles" ->
-      """WITH c AS (
-        | SELECT l_returnflag, floor(l_extendedprice * 100) / 100 AS qval, count(*) AS cnt
-        | FROM lineitem GROUP BY 1, 2),
-        |w AS (
-        | SELECT l_returnflag, qval,
-        |  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qval
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  sum(cnt) OVER (PARTITION BY l_returnflag) AS total
-        | FROM c)
-        |SELECT l_returnflag,
-        | min(CASE WHEN cum >= ceil(total * 0.25) THEN qval END) AS p25,
-        | min(CASE WHEN cum >= ceil(total * 0.5) THEN qval END) AS p50,
-        | min(CASE WHEN cum >= ceil(total * 0.75) THEN qval END) AS p75
-        |FROM w GROUP BY l_returnflag""".stripMargin,
+      histDirectSql,
 
 
     // IDENTICAL SQL to q56 — the oracle is the one-pass histogram; the
     // engine folds two shard histograms, so the match certifies the
     // cell-merge law.
     "q187_percentile_merge" ->
-      """WITH c AS (
-        | SELECT l_returnflag, floor(l_extendedprice * 100) / 100 AS qval, count(*) AS cnt
-        | FROM lineitem GROUP BY 1, 2),
-        |w AS (
-        | SELECT l_returnflag, qval,
-        |  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qval
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  sum(cnt) OVER (PARTITION BY l_returnflag) AS total
-        | FROM c)
-        |SELECT l_returnflag,
-        | min(CASE WHEN cum >= ceil(total * 0.25) THEN qval END) AS p25,
-        | min(CASE WHEN cum >= ceil(total * 0.5) THEN qval END) AS p50,
-        | min(CASE WHEN cum >= ceil(total * 0.75) THEN qval END) AS p75
-        |FROM w GROUP BY l_returnflag""".stripMargin,
+      histDirectSql,
 
 
     // Valid oracle because the Spark side's GK accuracy bound (1e6) keeps
@@ -456,36 +465,14 @@ object StatsQueries {
     // depth 4 x width 1024, estimate = min over rows. The unnest of the
     // hash-row index lives in its own CTE (DuckDB lateral rule).
     "q103_cms_counts" ->
-      """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
-        |hb AS (SELECT e.user_id, ks.k,
-        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
-        | FROM events e CROSS JOIN ks),
-        |cms AS (SELECT k, bucket, count(*) AS n FROM hb GROUP BY 1, 2),
-        |kh AS (SELECT DISTINCT user_id, k, bucket FROM hb),
-        |est AS (SELECT kh.user_id, min(coalesce(cms.n, 0)) AS cms_n
-        | FROM kh LEFT JOIN cms ON cms.k = kh.k AND cms.bucket = kh.bucket
-        | GROUP BY 1),
-        |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
-        |SELECT x.user_id, x.exact_n, est.cms_n
-        |FROM exact x JOIN est ON est.user_id = x.user_id""".stripMargin,
+      cmsDirectSql,
 
 
     // IDENTICAL SQL to q103 — the oracle computes the one-pass grid; the
     // engine folds two shard grids cell-wise, so the match certifies the
     // CMS merge law.
     "q238_cms_merge" ->
-      """WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
-        |hb AS (SELECT e.user_id, ks.k,
-        |  ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
-        | FROM events e CROSS JOIN ks),
-        |cms AS (SELECT k, bucket, count(*) AS n FROM hb GROUP BY 1, 2),
-        |kh AS (SELECT DISTINCT user_id, k, bucket FROM hb),
-        |est AS (SELECT kh.user_id, min(coalesce(cms.n, 0)) AS cms_n
-        | FROM kh LEFT JOIN cms ON cms.k = kh.k AND cms.bucket = kh.bucket
-        | GROUP BY 1),
-        |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
-        |SELECT x.user_id, x.exact_n, est.cms_n
-        |FROM exact x JOIN est ON est.user_id = x.user_id""".stripMargin,
+      cmsDirectSql,
 
 
     // The identical deterministic batch reduce, replayed: per-shard
