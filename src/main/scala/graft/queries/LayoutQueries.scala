@@ -280,7 +280,7 @@ object LayoutQueries {
         |  sum(sz) OVER (PARTITION BY source ORDER BY sz DESC, doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
         | FROM f)
-        |SELECT source, (csum - sz) // 2048 AS bin_id,
+        |SELECT source, CAST((csum - sz) // 2048 AS BIGINT) AS bin_id,
         | CAST(count(*) AS BIGINT) AS n_files,
         | CAST(sum(sz) AS BIGINT) AS bin_bytes
         |FROM c GROUP BY 1, 2""".stripMargin,

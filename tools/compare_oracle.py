@@ -86,6 +86,27 @@ def main() -> int:
             print(f"{name}: ROWCOUNT_MISMATCH spark={len(s)} oracle={len(o)}")
             n_fail += 1
             continue
+        # Dtype strictness: the driver hashes rendered values, so a Spark
+        # int64 column vs an oracle float64 column (e.g. DuckDB HUGEINT from
+        # a windowed sum(BIGINT), pandas-rendered as 3.0 vs Spark's 3) is a
+        # driver-level FAIL even when isclose says the values match. Enforce
+        # the CAST-to-BIGINT convention here so it can't reach the driver.
+        dt_bad = None
+        for c in s.columns:
+            si = pd.api.types.is_integer_dtype(s[c])
+            oi = pd.api.types.is_integer_dtype(o[c])
+            sf = pd.api.types.is_float_dtype(s[c])
+            of = pd.api.types.is_float_dtype(o[c])
+            if (si and of) or (sf and oi):
+                dt_bad = (c, s[c].dtype, o[c].dtype)
+                break
+        if dt_bad:
+            c, sd, od = dt_bad
+            print(f"{name}: DTYPE_MISMATCH col={c} spark={sd} oracle={od}"
+                  " (int-vs-float: the driver hash WILL differ; CAST the"
+                  " oracle column to BIGINT)")
+            n_fail += 1
+            continue
         bad = None
         for c in s.columns:
             sv, ov = s[c].tolist(), o[c].tolist()
