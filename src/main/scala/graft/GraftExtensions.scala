@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, ParseHtmlTable}
 import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -37,6 +37,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
   val CosineName = "graft_cosine"
+
+  val ParseTableName = "graft_parse_table"
+
+  /** The one table-GENERATING entry (SURVEY §2.11's SQL surface): 1 or 2
+    * args (html[, base_url]); used as `LATERAL VIEW graft_parse_table(h) t`.
+    */
+  private[graft] val parseTableDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(ParseTableName),
+    new ExpressionInfo(classOf[ParseHtmlTable].getName, ParseTableName),
+    (children: Seq[Expression]) => children match {
+      case Seq(h) => ParseHtmlTable(h,
+        org.apache.spark.sql.catalyst.expressions.Literal("https://example.invalid"))
+      case Seq(h, b) => ParseHtmlTable(h, b)
+      case _ => throw new IllegalArgumentException(
+        s"$ParseTableName expects 1 or 2 arguments, got ${children.size}")
+    })
 
   private[graft] val cosineDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -81,6 +98,7 @@ object GraftFunctions {
   private[graft] val descriptors: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     cosineDescriptor,
+    parseTableDescriptor,
     unary("graft_clean_text", T.cleanText),
     unary("graft_sanitize_filename", T.sanitizeFilename),
     unary("graft_normalize_date", T.normalizeDate),

@@ -28,6 +28,7 @@ object Verify {
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (sys.env.contains("SPARK_GRAFT_VERIFY_TRACE")) e.printStackTrace()
       }
       GraftCache.releaseAll(spark)
       spark.catalog.clearCache()

@@ -636,8 +636,8 @@ object GraphOps {
     * tree, height = ceil(log4 maxKey)) — a truncated chain would
     * under-aggregate, which q247's INDEPENDENT recursive oracle and
     * GraphOpsSpec's truncation test both catch. Trees deeper than the
-    * unrolled-plan regime (~12) take the [[bfsDistancesDeep]] RDD-loop
-    * skeleton instead.
+    * unrolled-plan regime (~12) take [[subtreeRollupDeep]], the RDD
+    * leaf-peeling loop with O(n) state per round.
     *
     * `nodes` must carry (idCol, parentCol nullable for roots, valueCol);
     * returns (id, depth, n_desc, subtree_sum) — all LongType.
@@ -645,7 +645,7 @@ object GraphOps {
   def subtreeRollup(nodes: DataFrame, idCol: String, parentCol: String,
                     valueCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 12,
-      s"maxDepth must be in [1, 12] (deeper trees take the RDD loop), got $maxDepth")
+      s"maxDepth must be in [1, 12] (deeper trees take subtreeRollupDeep), got $maxDepth")
     val pm = nodes
       .select(col(idCol).cast("long").as("c"), col(parentCol).cast("long").as("p"))
       .where(col("p").isNotNull)
@@ -667,5 +667,186 @@ object GraphOps {
       .agg((count(lit(1)) - 1L).as("depth"))
     perAnc.join(depth, "id")
       .select(col("id"), col("depth"), col("n_desc"), col("subtree_sum"))
+  }
+
+  /** Deep-hierarchy variant of [[subtreeRollup]]: the same
+    * (id, depth, n_desc, subtree_sum) contract, but computed by TWO
+    * O(height)-round RDD fixpoint loops with O(n) state per round
+    * instead of materializing the n·(height+1) ancestor closure — the
+    * path for 100-deep org charts / bill-of-materials trees where the
+    * unrolled plan would blow up in both closure size and join count.
+    *
+    * Pass 1 (bottom-up leaf peeling, the Matula–Beck shape [[kCore]]
+    * uses): every node starts with (n=1, sum=value, remaining=#children).
+    * Each round, nodes with remaining == 0 FINALIZE — their accumulated
+    * (n, sum) IS their subtree aggregate — and flush one combined
+    * (n, sum, flushedChildren) record to their parent (map-side combined
+    * by reduceByKey, so a million-leaf fan-in crosses the wire as one
+    * record per parent per partition). All joins run on one shared
+    * HashPartitioner, so only the child→parent key change shuffles.
+    * Round count = tree height + 1; each round runs ONE job.
+    *
+    * Pass 2 (top-down depth walk): seed the roots, descend one level
+    * per round over the co-partitioned child adjacency. A forest needs
+    * no visited-set subtraction — each node has exactly one parent and
+    * is reached exactly once.
+    *
+    * Semantics match [[subtreeRollup]] exactly, including its phantom-
+    * parent behavior (a parentCol id absent from the table: the child
+    * still counts that hop in its depth, and the phantom's own
+    * aggregate group is dropped) — so the two variants share one oracle
+    * text, q105/q168-style. Stricter on malformed input: a parent CYCLE
+    * makes the unrolled closure silently loop chains, while this loop
+    * detects the stall (no node finalizes, pending nodes remain) and
+    * throws. `maxRounds` bounds both loops against adversarial input.
+    * Node ids must be non-negative (−1 is the internal NULL-parent
+    * sentinel).
+    */
+  def subtreeRollupDeep(nodes: DataFrame, idCol: String, parentCol: String,
+                        valueCol: String, maxRounds: Int = 256): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = nodes.sparkSession
+    val sc = spark.sparkContext
+    val base0 = nodes.select(col(idCol).cast("long").as("id"),
+        col(parentCol).cast("long").as("p"), col(valueCol).cast("long").as("v"))
+      .rdd.map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))))
+    val part = new HashPartitioner(math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, base0.getNumPartitions)))
+    val base = base0.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // Split parent pointers into real (parent id present in the table)
+    // and phantom: contributions to phantoms vanish, but the hop still
+    // counts one depth level — [[subtreeRollup]]'s exact closure
+    // semantics. parentExists rides the child→parent shuffle once.
+    val idSet: RDD[(Long, Unit)] = base.mapValues(_ => ())
+    val byParent = base.filter(_._2._1 != -1L)
+      .map { case (c, (p, _)) => (p, c) }.partitionBy(part)
+    val resolved = byParent.leftOuterJoin(idSet, part)
+      .map { case (p, (c, exists)) => (c, (p, exists.isDefined)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // real child→parent map (flatMapValues PRESERVES the partitioner —
+    // co-partitioned with everything else, no per-round shuffle)
+    val parentOf: RDD[(Long, Long)] = resolved
+      .flatMapValues { case (p, ex) => if (ex) Iterator.single(p) else Iterator.empty }
+    val childCnt = parentOf.map { case (_, p) => (p, 1L) }.reduceByKey(part, _ + _)
+    // state: (id, (n, sum, remainingChildren)); finalized: (id, (n, sum))
+    var pending: RDD[(Long, (Long, Long, Long))] = base
+      .leftOuterJoin(childCnt, part)
+      .mapValues { case ((_, v), c) => (1L, v, c.getOrElse(0L)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var finalized: RDD[(Long, (Long, Long))] =
+      sc.emptyRDD[(Long, (Long, Long))].partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    var nPending = pending.count()
+    var round = 0
+    while (nPending > 0L) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"subtreeRollupDeep: $nPending nodes unresolved after $maxRounds " +
+          "rounds — tree deeper than maxRounds, or a parent cycle")
+      val ready = pending.filter(_._2._3 == 0L)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // finalized ∪ ready: disjoint keys, both on `part`, so per-partition
+      // concatenation merges; the ready count rides an accumulator so ONE
+      // action materializes ready + the merge AND decides progress.
+      val readyCount = sc.longAccumulator(s"rollup_ready_r$round")
+      val merged = finalized.zipPartitions(
+          ready.mapValues { case (n, s, _) => (n, s) },
+          preservesPartitioning = true)(
+          (a, b) => a ++ b.map { e => readyCount.add(1L); e })
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (round % 10 == 0) merged.localCheckpoint()
+      // flush: each finalized node sends ONE (n, sum, 1) to its real
+      // parent; reduceByKey map-side combines the sibling fan-in.
+      val contrib = ready.join(parentOf)
+        .map { case (_, ((n, s, _), p)) => (p, (n, s, 1L)) }
+        .reduceByKey(part, (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      val stillPending = pending.filter(_._2._3 > 0L)
+      val nextPending = stillPending.leftOuterJoin(contrib, part)
+        .mapValues {
+          case ((n, s, r), Some((cn, cs, ck))) => (n + cn, s + cs, r - ck)
+          case ((n, s, r), None) => (n, s, r)
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+      // the PENDING chain is the lineage that deepens one join per round
+      // — truncate it periodically or task serialization stack-overflows
+      // around round ~90 (observed on the depth-100 chain test)
+      if (round % 10 == 0) nextPending.localCheckpoint()
+      // The round's ONE job must materialize BOTH merged and nextPending
+      // before the old round's blocks go away: the previous pending was
+      // checkpoint-truncated every 10th round, so a later lazy recompute
+      // through it would die with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+      // (observed). Draining both iterators in one zipPartitions
+      // populates both caches in a single job.
+      merged.zipPartitions(nextPending, preservesPartitioning = false)(
+        (a, b) => Iterator.single(a.length + b.length)).count()
+      if (readyCount.value == 0L) throw new IllegalStateException(
+        s"subtreeRollupDeep: stalled with $nPending pending nodes at " +
+          s"round $round — parent cycle in the input")
+      val (oldPending, oldFinalized) = (pending, finalized)
+      pending = nextPending
+      finalized = merged
+      nPending -= readyCount.value
+      oldPending.unpersist(blocking = true)
+      oldFinalized.unpersist(blocking = false)
+      ready.unpersist(blocking = false)
+    }
+    // Pass 2: depth. Seeds: null-parent roots at 0, phantom-parent
+    // roots at 1 (the phantom hop). Descend the real child adjacency.
+    val childAdj = parentOf.map { case (c, p) => (p, c) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val nullRoots = base.filter(_._2._1 == -1L).mapValues(_ => 0L)
+    val phantomRoots = resolved
+      .flatMapValues { case (_, ex) => if (ex) Iterator.empty else Iterator.single(1L) }
+    var depths: RDD[(Long, Long)] = nullRoots
+      .zipPartitions(phantomRoots, preservesPartitioning = true)(_ ++ _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = depths
+    var level = 0
+    var frontierN = depths.count()
+    while (frontierN > 0L && level <= maxRounds) {
+      level += 1
+      val next = frontier.join(childAdj)
+        .map { case (_, (d, c)) => (c, d + 1L) }
+        .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      // same lineage-depth guard as the peel loop: the frontier chain
+      // grows one join per level
+      if (level % 10 == 0) next.localCheckpoint()
+      val levelSize = sc.longAccumulator(s"rollup_depth_l$level")
+      val mergedD = depths.zipPartitions(next, preservesPartitioning = true)(
+          (a, b) => a ++ b.map { e => levelSize.add(1L); e })
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (level % 10 == 0) mergedD.localCheckpoint()
+      mergedD.count() // the level's ONE job
+      val (oldDepths, oldFrontier) = (depths, frontier)
+      depths = mergedD
+      frontier = next
+      frontierN = levelSize.value
+      oldDepths.unpersist(blocking = true)
+      if (oldFrontier ne oldDepths) oldFrontier.unpersist(blocking = false)
+    }
+    graft.GraftCache.registerRdd(spark, base)
+    graft.GraftCache.registerRdd(spark, resolved)
+    graft.GraftCache.registerRdd(spark, childAdj)
+    graft.GraftCache.registerRdd(spark, finalized)
+    graft.GraftCache.registerRdd(spark, pending)
+    graft.GraftCache.registerRdd(spark, depths)
+    if (frontier ne depths) graft.GraftCache.registerRdd(spark, frontier)
+    // co-partitioned narrow join: every real node has a depth (forest
+    // reachability from the seeded roots) and a finalized aggregate
+    val out = finalized.join(depths)
+      .map { case (id, ((n, s), d)) => org.apache.spark.sql.Row(id, d, n, s) }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("depth",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_desc",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("subtree_sum",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

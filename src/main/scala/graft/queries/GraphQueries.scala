@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * Contract queries: q105_pagerank, q122_triangles, q141_bfs_distance,
   * q167_bfs_deep, q168_pagerank_deep, q184_link_rank, q194_anchor_text,
   * q198_hits, q200_label_prop, q201_random_walks, q208_modularity,
-  * q229_kcore, q247_hierarchy_rollup.
+  * q229_kcore, q247_hierarchy_rollup, q248_hierarchy_rollup_deep.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object GraphQueries {
@@ -252,11 +252,30 @@ object GraphQueries {
     // two INDEPENDENT formulations, so the hash match checks the
     // closure construction itself, not a shared derivation.
     "q247_hierarchy_rollup" -> ((s, d) => {
+      // maxDepth 12 (the unrolled ceiling) covers custkey < 4^12 ≈ 16.7M,
+      // i.e. every SF this engine targets — 8 only reached custkey < 65536
+      // and would silently truncate the closure past sf ≈ 0.44.
       val nodes = Tables.customer(s, d).select(
         col("c_custkey").cast("long").as("id"),
         when(col("c_custkey") > 0, expr("c_custkey div 4")).as("parent"),
         floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
-      GraphOps.subtreeRollup(nodes, "id", "parent", "cents", maxDepth = 8)
+      GraphOps.subtreeRollup(nodes, "id", "parent", "cents", maxDepth = 12)
+        .withColumnRenamed("subtree_sum", "subtree_cents")
+    }),
+
+
+    // The SAME hierarchy through the RDD leaf-peeling loop
+    // (subtreeRollupDeep) — the deep-tree path a 100-level
+    // bill-of-materials would take. Shares q247's oracle text verbatim
+    // (the q105/q168 pattern), so the unrolled closure and the O(n)-state
+    // fixpoint are held to the identical bit-level answer, including the
+    // phantom-root depth hop at custkey 1..3.
+    "q248_hierarchy_rollup_deep" -> ((s, d) => {
+      val nodes = Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("id"),
+        when(col("c_custkey") > 0, expr("c_custkey div 4")).as("parent"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+      GraphOps.subtreeRollupDeep(nodes, "id", "parent", "cents")
         .withColumnRenamed("subtree_sum", "subtree_cents")
     }),
   )
@@ -540,21 +559,13 @@ object GraphQueries {
     // hash. floor(x*100 + 0.5) is the binary-deterministic cents rule
     // used across the contract (negative balances floor identically in
     // both engines).
-    "q247_hierarchy_rollup" ->
-      """WITH RECURSIVE anc AS (
-        | SELECT c_custkey AS node, c_custkey AS anc FROM customer
-        | UNION ALL
-        | SELECT node, anc // 4 FROM anc WHERE anc > 0
-        |),
-        |v AS (SELECT c_custkey AS node,
-        |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
-        |g1 AS (SELECT anc.anc AS id, CAST(count(*) AS BIGINT) AS n_desc,
-        |  CAST(sum(v.cents) AS BIGINT) AS subtree_cents
-        | FROM anc JOIN v USING (node) GROUP BY anc.anc),
-        |g2 AS (SELECT node AS id, CAST(count(*) - 1 AS BIGINT) AS depth
-        | FROM anc GROUP BY node)
-        |SELECT g1.id, g2.depth, g1.n_desc, g1.subtree_cents
-        |FROM g1 JOIN g2 ON g1.id = g2.id""".stripMargin,
+    "q247_hierarchy_rollup" -> GraphOracleShared.hierarchyRollup,
+
+
+    // ONE oracle text for both engines (the q105/q168 pattern): the
+    // unrolled closure (q247) and the RDD leaf-peel loop (q248) must
+    // produce the identical bit-level answer.
+    "q248_hierarchy_rollup_deep" -> GraphOracleShared.hierarchyRollup,
   )
 }
 
@@ -563,6 +574,29 @@ object GraphQueries {
   * IDENTICAL bit-level answer.
   */
 private[queries] object GraphOracleShared {
+  /** q247/q248's shared oracle. INDEPENDENT formulation: where the
+    * engines build the closure from the parent TABLE (unrolled joins /
+    * leaf-peeling fixpoint), the oracle recurses on the arithmetic
+    * parent (anc // 4 until root 0) — a truncated or duplicated closure
+    * row on either side flips the hash. floor(x*100 + 0.5) is the
+    * binary-deterministic cents rule used across the contract.
+    */
+  val hierarchyRollup: String =
+    """WITH RECURSIVE anc AS (
+      | SELECT c_custkey AS node, c_custkey AS anc FROM customer
+      | UNION ALL
+      | SELECT node, anc // 4 FROM anc WHERE anc > 0
+      |),
+      |v AS (SELECT c_custkey AS node,
+      |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
+      |g1 AS (SELECT anc.anc AS id, CAST(count(*) AS BIGINT) AS n_desc,
+      |  CAST(sum(v.cents) AS BIGINT) AS subtree_cents
+      | FROM anc JOIN v USING (node) GROUP BY anc.anc),
+      |g2 AS (SELECT node AS id, CAST(count(*) - 1 AS BIGINT) AS depth
+      | FROM anc GROUP BY node)
+      |SELECT g1.id, g2.depth, g1.n_desc, g1.subtree_cents
+      |FROM g1 JOIN g2 ON g1.id = g2.id""".stripMargin
+
   val pagerank3Iter: String =
     """WITH e0 AS (
         |  SELECT doc_id AS src, (doc_id * 31 + 7) % 500 AS dst FROM documents

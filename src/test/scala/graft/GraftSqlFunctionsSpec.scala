@@ -132,4 +132,62 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT graft_clean_text('a', 'b')").collect())
     assert(e.getMessage.contains("graft_clean_text"))
   }
+
+  test("graft_parse_table: the q35-shaped life parse runs entirely in SQL," +
+      " result-equal to ParsePipeline.life") {
+    import graft.operators.ParsePipeline
+    import graft.operators.ParsePipeline.PageHtml
+    GraftFunctions.register(spark)
+    def tds(cells: String*): String =
+      "<tr>" + cells.map(c => s"<td>$c</td>").mkString + "</tr>"
+    val good = tds("<input/>", "Non-Archived", "FY 2020-21", "Acme Life",
+      "Super Plan", "UIN123", "Term", "01-04-2020", "", "Protection", "Par",
+      "Individual", "note", "<a href='/documents/p1.pdf'>Policy One</a>")
+    val onclick = tds("<input/>", "Archived", "FY 2019-20", "Beta Life",
+      "Old Plan", "UIN456", "Endow", "", "30-06-2020", "Savings", "Non-Par",
+      "Group", "", "<a onclick=\"window.open('/documents/p2.pdf')\">Two</a>")
+    val short = tds("<input/>", "x", "y")                    // F1 arity guard
+    val emptyKey = tds("<input/>", "Non-Archived", "FY", "I", "N", "", "T",
+      "", "", "P", "Par", "Ind", "", "no link")              // F2 key filter
+    val pages = Seq(
+      PageHtml("life", 1, "<div class='portlet'><table class='iq-table'>" +
+        s"<tbody>$good$short</tbody></table></div>"),
+      PageHtml("life", 2, "<div class='portlet'><table class='iq-table'>" +
+        s"<tbody>$onclick$emptyKey</tbody></table></div>"),
+      PageHtml("life", 3, "<p>no table on this page</p>"))
+    implicit val enc = org.apache.spark.sql.Encoders.product[PageHtml]
+    val ds = spark.createDataset(pages)
+    ds.createOrReplaceTempView("pages")
+    val sqlOut = spark.sql(
+      """SELECT 'life' AS product_type,
+        | element_at(t.cells, 2) AS archive_status,
+        | element_at(t.cells, 3) AS financial_year,
+        | element_at(t.cells, 4) AS insurer,
+        | element_at(t.cells, 5) AS product_name,
+        | element_at(t.cells, 6) AS uin,
+        | element_at(t.cells, 7) AS type_of_product,
+        | nullif(element_at(t.cells, 8), '') AS launch_modification_date,
+        | nullif(element_at(t.cells, 9), '') AS closing_withdrawal_date,
+        | nullif(element_at(t.cells, 10), '') AS protection_savings_retirement,
+        | nullif(element_at(t.cells, 11), '') AS par_nonpar,
+        | nullif(element_at(t.cells, 12), '') AS individual_group,
+        | nullif(element_at(t.cells, 13), '') AS remarks,
+        | t.doc_url_last AS document_url,
+        | t.doc_filename_last AS document_filename
+        |FROM pages
+        |LATERAL VIEW graft_parse_table(html) t
+        |WHERE size(t.cells) >= 13 AND element_at(t.cells, 6) <> ''""".stripMargin)
+    val dsOut = ParsePipeline.life(ParsePipeline.explodeRows(ds).toDF())
+    assert(sqlOut.schema == dsOut.schema,
+      s"schemas differ:\n${sqlOut.schema}\n${dsOut.schema}")
+    val (s, d) = (sqlOut.collect().toSet, dsOut.collect().toSet)
+    assert(s == d, s"sql=$s dataset=$d")
+    assert(s.size == 2, s"expected the 2 good rows, got $s") // guards dropped 2
+    // 2-arg form resolves relative hrefs against the caller's base
+    val based = spark.sql("SELECT t.doc_url_last FROM pages " +
+      "LATERAL VIEW graft_parse_table(html, 'https://irdai.example') t " +
+      "WHERE t.doc_url_last IS NOT NULL").collect().map(_.getString(0)).toSet
+    assert(based == Set("https://irdai.example/documents/p1.pdf",
+      "https://irdai.example/documents/p2.pdf"), based.toString)
+  }
 }

@@ -340,4 +340,52 @@ class GraphOpsSpec extends SparkSpec {
     // values sum law: the root's subtree sum equals the table total
     assert(got(0L)._3 == Seq(1L, 11L, 21L, 31L, 41L, 51L).sum)
   }
+
+  test("subtreeRollupDeep: matches the unrolled variant on a shallow tree" +
+      " (incl. phantom parent)") {
+    // same tree as the unrolled test, PLUS node 6 whose parent 99 is
+    // absent from the table — the phantom-hop quirk both variants must
+    // agree on (depth counts the hop; 99 itself emits no row)
+    val nodes = Seq(
+      (0L, Option.empty[Long], 1L), (1L, Some(0L), 11L), (2L, Some(0L), 21L),
+      (3L, Some(1L), 31L), (4L, Some(1L), 41L), (5L, Some(4L), 51L),
+      (6L, Some(99L), 61L))
+      .toDF("id", "parent", "v")
+    val unrolled = GraphOps.subtreeRollup(nodes, "id", "parent", "v", maxDepth = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val deep = GraphOps.subtreeRollupDeep(nodes, "id", "parent", "v")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(deep == unrolled, s"deep=$deep unrolled=$unrolled")
+    assert(deep.contains((6L, 1L, 1L, 61L)), s"phantom-parent row: $deep")
+  }
+
+  test("subtreeRollupDeep: depth-100 chain — the regime the unrolled guard refuses") {
+    // chain 0 <- 1 <- 2 <- ... <- 100, value = id; closed forms:
+    // depth(i) = i, n_desc(i) = 101 - i, subtree_sum(i) = sum(i..100)
+    val n = 100L
+    val rows = (0L to n).map(i =>
+      (i, if (i == 0L) Option.empty[Long] else Some(i - 1L), i))
+    val nodes = rows.toDF("id", "parent", "v")
+    intercept[IllegalArgumentException] {
+      GraphOps.subtreeRollup(nodes, "id", "parent", "v", maxDepth = 100)
+    }
+    val got = GraphOps.subtreeRollupDeep(nodes, "id", "parent", "v")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == n + 1, s"rows: ${got.size}")
+    (0L to n).foreach { i =>
+      val expect = (i, n + 1 - i, (i to n).sum)
+      assert(got(i) == expect, s"node $i: got ${got(i)}, expect $expect")
+    }
+  }
+
+  test("subtreeRollupDeep: parent cycle throws instead of silently looping") {
+    val nodes = Seq(
+      (0L, Option.empty[Long], 1L), (1L, Some(2L), 2L), (2L, Some(1L), 3L))
+      .toDF("id", "parent", "v")
+    val e = intercept[IllegalStateException] {
+      GraphOps.subtreeRollupDeep(nodes, "id", "parent", "v")
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
 }
