@@ -23,6 +23,12 @@ object Fixtures {
   private[graft] val ivfIndexCache =
     scala.collection.mutable.Map.empty[String, (String, Seq[(Long, Seq[Double])])]
 
+  /** q249's twin of [[ivfIndexCache]] for the TRAINED-centroid index
+    * (the writeIvfIndexWith(…, trainCentroids(…)) production path).
+    */
+  private[graft] val trainedIvfIndexCache =
+    scala.collection.mutable.Map.empty[String, (String, Seq[(Long, Seq[Double])])]
+
   // ---- synthetic input builders (mirrored literally in the oracle SQL) ----
 
   /** Deterministic URL variants exercising every filenameFromUrl branch. */
