@@ -157,23 +157,31 @@ object SketchOps {
     * without touching either table again.
     *
     * A depth row whose occupied buckets don't overlap at all has inner
-    * product 0 — the tightest possible estimate — so every k in
-    * [0, depth) anchors the min with a coalesced 0 default rather than
-    * silently dropping out of the inner join (disjoint-key sketches
-    * must estimate 0, not the smallest colliding row).
+    * product 0 — the tightest possible estimate — so every anchor row
+    * enters the min with a coalesced 0 default rather than silently
+    * dropping out of the inner join (disjoint-key sketches must
+    * estimate 0, not the smallest colliding row).
+    *
+    * The anchor rows are DERIVED from the sketches (the h values
+    * present in both — a non-empty CMS populates every one of its
+    * depth rows, since each key hashes into each row), so the estimate
+    * can never be poisoned by a depth argument that disagrees with how
+    * the sketches were built: mismatched depths fall back to the
+    * common rows (each still a valid upper bound), and an EMPTY sketch
+    * — an empty table — estimates 0 via the outer coalesce.
     *
     * Returns one row (est_join_size). All-integer, so the oracle
     * reproduces it exactly.
     */
-  def cmsJoinCardinality(cmsA: DataFrame, cmsB: DataFrame,
-                         depth: Int = 4): DataFrame = {
+  def cmsJoinCardinality(cmsA: DataFrame, cmsB: DataFrame): DataFrame = {
     val a = cmsA.select(col("h"), col("bucket"), col("n").as("na"))
     val b = cmsB.select(col("h"), col("bucket"), col("n").as("nb"))
     val dots = a.join(b, Seq("h", "bucket"))
       .groupBy("h").agg(sum(col("na") * col("nb")).as("dot"))
-    cmsA.sparkSession.range(depth).select(col("id").cast("int").as("h"))
-      .join(dots, Seq("h"), "left")
-      .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_size"))
+    val anchors = cmsA.select("h").intersect(cmsB.select("h"))
+    anchors.join(dots, Seq("h"), "left")
+      .agg(coalesce(min(coalesce(col("dot"), lit(0L))), lit(0L))
+        .as("est_join_size"))
   }
 
   /** Fold two [[hllRegisters]] frames: register-wise max. Because every

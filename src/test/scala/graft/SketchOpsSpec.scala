@@ -91,6 +91,19 @@ class SketchOpsSpec extends SparkSpec {
       SketchOps.cmsBuild(c, "k", width = 4096))
       .collect().head.getLong(0)
     assert(disjoint == 0L, s"disjoint sketches must estimate 0, got $disjoint")
+    // anchors derive from the sketches, so a depth mismatch can't poison
+    // the min: rows 0-3 are common, each a valid upper bound
+    val mixed = SketchOps.cmsJoinCardinality(
+      SketchOps.cmsBuild(a, "k", depth = 4, width = 4096),
+      SketchOps.cmsBuild(b, "k", depth = 6, width = 4096))
+      .collect().head.getLong(0)
+    assert(mixed == trueSize, s"common-row min must stay exact, got $mixed")
+    // an empty sketch is an empty table: the join size is 0, not null
+    val empty = SketchOps.cmsJoinCardinality(
+      SketchOps.cmsBuild(a, "k", width = 4096),
+      SketchOps.cmsBuild(spark.emptyDataset[Long].toDF("k"), "k", width = 4096))
+      .collect().head.getLong(0)
+    assert(empty == 0L, s"empty sketch must estimate 0, got $empty")
   }
 
   test("hllMergeRegisters: shard merge equals the one-pass registers, element-wise") {
