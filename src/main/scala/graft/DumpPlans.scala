@@ -99,7 +99,8 @@ object DumpPlans {
     "q244_range_split" -> "ONE persisted domain-bounded cell histogram feeds cuts + assignment; ranges fold from cells, not rows",
     "q245_zorder_maintenance" -> "file-stats partial aggs per scenario; batch cells broadcast into a left-semi envelope probe",
     "q246_clustering_depth" -> "two bounded frames (64 envelopes x 256 cells) broadcast-probed — depth never touches row-scale data",
-    "q247_hierarchy_rollup" -> "height-bounded unrolled closure joins; both rollup outputs are partial-agg group-bys over (node, anc) longs")
+    "q247_hierarchy_rollup" -> "height-bounded unrolled closure joins; both rollup outputs are partial-agg group-bys over (node, anc) longs",
+    "q249_ivf_trained_recall" -> "trained-centroid index probed via PartitionFilters; seed arm, exact side, and list-balance audits all fold from partial aggs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -33,4 +33,25 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(out.collect().map(_.toString).sorted.toSeq == mem)
   }
+
+  test("trained-centroid index (q249's production path): assignment parity + pruning") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-tr").toString + "/index"
+    val cents = SimilarityOps.trainCentroids(corpus, k = 8, iters = 2)
+    assert(cents.map(_._1) == (0L until 8L), "centroid ids are the cluster indices")
+    SimilarityOps.writeIvfIndexWith(corpus, path, cents)
+    // every corpus row lands in exactly the list assignTo picks
+    val idx = spark.read.parquet(path)
+      .select(col("neighbor_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val expect = corpus.select(col("vec_id"),
+        SimilarityOps.assignTo(col("embedding"), cents))
+      .as[(Long, Long)].collect().toSet
+    assert(idx == expect, s"index lists != trained assignment")
+    val out = SimilarityOps.ivfTopKIndexed(spark, path, cents,
+      corpus.where(col("vec_id") < 2), k = 3, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"trained probe scan should carry partition filters:\n$plan")
+    assert(out.collect().length == 2 * 3)
+  }
 }
