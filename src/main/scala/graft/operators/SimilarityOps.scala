@@ -719,6 +719,51 @@ object SimilarityOps {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Assign rows to FIXED centroids in the integer-quantized space
+    * [[trainCentroids]] trained in: each vector re-quantizes by
+    * `floor(x·quantScale + 0.5)` and the centroids (exact /quantScale
+    * representations of their quantized longs) re-quantize back
+    * losslessly, so (id, centroid_id, dist) is integer-exact — the
+    * distances can be SUMMED across rows deterministically (IEEE double
+    * sums are partitioning-order-dependent; these are longs). This is
+    * the assignment half of [[kmeansFitAssign]] decoupled from its
+    * training half: train on one frame, assign ANY frame — the primitive
+    * index maintenance needs (q250 assigns a new batch against the BASE
+    * corpus's centroids to decide whether to retrain).
+    *
+    * Broadcast k×dim longs per executor; zero joins, zero shuffles
+    * (one mapPartitions over the input scan).
+    */
+  def assignQuantized(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      quantScale: Long = 1000000L): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centsQ: Array[Array[Long]] = cents.sortBy(_._1).map(_._2.map(x =>
+      math.floor(x * quantScale + 0.5).toLong).toArray).toArray
+    val cids: Array[Long] = cents.sortBy(_._1).map(_._1).toArray
+    val bc = spark.sparkContext.broadcast((cids, centsQ))
+    val out = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].rdd
+      .mapPartitions { it =>
+        val (ids, cs) = bc.value
+        it.map { case (id, v) =>
+          val q = v.map(x => math.floor(x.toDouble * quantScale + 0.5).toLong).toArray
+          val (best, d) = nearestIdx(cs, q)
+          org.apache.spark.sql.Row(id, ids(best), d)
+        }
+      }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** [[kmeansFitAssign]]'s training loop, returning the TRAINED centroids
     * in the `Seq[(id, vector)]` shape [[writeIvfIndexWith]] /
     * [[ivfTopKIndexed]] consume (centroid id = cluster index, components

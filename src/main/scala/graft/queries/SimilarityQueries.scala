@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity / ANN: brute-force and IVF top-k, materialized IVF index, PQ / IVF+PQ, quantized and filtered ANN, JL projection, recall evals.
   *
-  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep, q197_binary_ann, q199_mutual_knn, q207_centroid_outliers, q221_semantic_contam, q249_ivf_trained_recall.
+  * Contract queries: q27_embedding_neardups, q28_bruteforce_topk, q29_ivf_assign, q30_ivf_topk, q58_ivf_indexed, q108_filtered_ann, q113_ann_recall, q114_quantized_ann, q125_pq_ann, q127_ivfpq_ann, q150_jl_project, q159_knn_precision, q169_kmeans, q170_mean_pool, q173_kmeans_increment, q177_diverse_sample, q185_ndcg, q189_hard_negatives, q190_nprobe_sweep, q197_binary_ann, q199_mutual_knn, q207_centroid_outliers, q221_semantic_contam, q249_ivf_trained_recall, q250_ivf_drift.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object SimilarityQueries {
@@ -262,6 +262,48 @@ object SimilarityQueries {
         .crossJoin(denom)
         .withColumn("recall_bp", expr("(hits * 10000) div n_exact"))
         .select("variant", "hits", "recall_bp", "max_list")
+    }),
+
+
+    // IVF INDEX DRIFT / retrain signal — the q245 merge-on-write
+    // decision rule's ANN analog: the index's centroids were trained on
+    // the BASE corpus (vec_id % 5 != 0); a NEW batch (% 5 == 0) is
+    // assigned against those fixed centroids in the integer-quantized
+    // space (assignQuantized — distances are longs, so the error sums
+    // are partitioning-order-deterministic, unlike IEEE double sums).
+    // Output per centroid: base/batch member counts and list-share in
+    // bp, the absolute share shift, plus the global batch-vs-base
+    // quantization-error ratio (scaled integer avg of d//64) and the
+    // retrain flag (ratio > 1.2×). A drifted batch concentrates in few
+    // lists and pays higher error — the signal that schedules
+    // re-training WITHOUT rescanning the base corpus (one pass over
+    // base+batch, k×dim broadcast, zero joins before the k-row agg).
+    "q250_ivf_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(pmod(col("vec_id"), lit(5L)) =!= 0L)
+      val cents = SimilarityOps.trainCentroids(base, k = 8, iters = 2)
+      val assigned = SimilarityOps.assignQuantized(emb, cents)
+        .withColumn("arm",
+          when(pmod(col("vec_id"), lit(5L)) === 0L, lit("batch"))
+            .otherwise(lit("base")))
+      val per = assigned.groupBy("centroid_id").agg(
+        sum(when(col("arm") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("arm") === "batch", 1L).otherwise(0L)).as("n_batch"))
+      val tot = assigned.agg(
+        sum(when(col("arm") === "base", 1L).otherwise(0L)).as("t_base"),
+        sum(when(col("arm") === "batch", 1L).otherwise(0L)).as("t_batch"),
+        sum(when(col("arm") === "base", expr("dist div 64")).otherwise(0L)).as("d_base"),
+        sum(when(col("arm") === "batch", expr("dist div 64")).otherwise(0L)).as("d_batch"))
+      per.crossJoin(broadcast(tot))
+        .select(col("centroid_id"), col("n_base"), col("n_batch"),
+          expr("n_base * 10000 div t_base").as("base_share_bp"),
+          expr("n_batch * 10000 div t_batch").as("batch_share_bp"),
+          expr("abs(n_base * 10000 div t_base - n_batch * 10000 div t_batch)")
+            .as("shift_bp"),
+          expr("((d_batch div t_batch) * 10000) div (d_base div t_base)")
+            .as("err_ratio_bp"),
+          expr("((d_batch div t_batch) * 10000) div (d_base div t_base) > 12000")
+            .as("retrain"))
     }),
 
 
@@ -770,6 +812,50 @@ object SimilarityQueries {
         |UNION ALL SELECT 'trained', hits,
         | (hits * 10000) // (SELECT n_exact FROM den),
         | (SELECT max_list FROM tm) FROM th""".stripMargin,
+
+
+    // q250: train on the base arm only (the kmeans CTEs' `q` is the
+    // base), then assign EVERY row integer-exactly against c2 and fold
+    // the per-centroid shares and the scaled error ratio — the same //
+    // truncation chain as the engine, term for term.
+    "q250_ivf_drift" ->
+      s"""WITH qa AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS v,
+        |  CASE WHEN vec_id % 5 = 0 THEN 'batch' ELSE 'base' END AS arm
+        | FROM embeddings),
+        |q AS (SELECT vec_id, v FROM qa WHERE arm = 'base'),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        | FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+        |${kmeansRoundSql(1, "c0", "c1")},
+        |${kmeansRoundSql(2, "c1", "c2")},
+        |fad AS (SELECT a.vec_id, a.arm, c2.cid,
+        |  CAST(list_sum(list_transform(list_zip(a.v, c2.c),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+        | FROM qa a CROSS JOIN c2),
+        |fas AS (SELECT vec_id, arm, cid, d,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM fad),
+        |f AS (SELECT vec_id, arm, cid, d // 64 AS ds FROM fas WHERE rn = 1),
+        |tot AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS t_base,
+        |  CAST(sum(CASE WHEN arm = 'batch' THEN 1 ELSE 0 END) AS BIGINT) AS t_batch,
+        |  CAST(sum(CASE WHEN arm = 'base' THEN ds ELSE 0 END) AS BIGINT) AS d_base,
+        |  CAST(sum(CASE WHEN arm = 'batch' THEN ds ELSE 0 END) AS BIGINT) AS d_batch
+        | FROM f),
+        |per AS (SELECT cid AS centroid_id,
+        |  CAST(sum(CASE WHEN arm = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN arm = 'batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+        | FROM f GROUP BY cid)
+        |SELECT per.centroid_id, per.n_base, per.n_batch,
+        | per.n_base * 10000 // tot.t_base AS base_share_bp,
+        | per.n_batch * 10000 // tot.t_batch AS batch_share_bp,
+        | abs(per.n_base * 10000 // tot.t_base
+        |   - per.n_batch * 10000 // tot.t_batch) AS shift_bp,
+        | ((tot.d_batch // tot.t_batch) * 10000) // (tot.d_base // tot.t_base)
+        |   AS err_ratio_bp,
+        | ((tot.d_batch // tot.t_batch) * 10000) // (tot.d_base // tot.t_base) > 12000
+        |   AS retrain
+        |FROM per CROSS JOIN tot""".stripMargin,
 
 
     "q190_nprobe_sweep" ->

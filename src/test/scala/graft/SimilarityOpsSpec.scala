@@ -228,6 +228,39 @@ class SimilarityOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("assignQuantized == kmeansFitAssign on the training frame; assigns foreign rows") {
+    val dim = 8
+    def v(center: Float, seed: Int): Seq[Float] = {
+      val rng = new scala.util.Random(seed + 7)
+      Seq.fill(dim)(center + (rng.nextFloat() - 0.5f) * 0.2f)
+    }
+    val rows = (0L until 24L).map(i =>
+      (i, v(if (i % 2 == 0) 1.0f else -1.0f, i.toInt)))
+    val emb = rows.toDF("vec_id", "embedding")
+    // decoupled assignment against the trained centroids must equal the
+    // fused train+assign path, row for row and DISTANCE for distance
+    // (both integer-quantized, so exact equality is required)
+    val fused = SimilarityOps.kmeansFitAssign(emb, k = 3, iters = 2)
+      .select(col("vec_id"), col("centroid_id").cast("long"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    val decoupled = SimilarityOps
+      .assignQuantized(emb, SimilarityOps.trainCentroids(emb, k = 3, iters = 2))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(decoupled == fused, s"decoupled=$decoupled fused=$fused")
+    // rows the training never saw assign to the geometrically right list
+    val foreign = Seq((100L, v(1.0f, 999)), (101L, v(-1.0f, 998)))
+      .toDF("vec_id", "embedding")
+    val cents = SimilarityOps.trainCentroids(emb, k = 2, iters = 3)
+    val fa = SimilarityOps.assignQuantized(foreign, cents)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val ref = SimilarityOps.assignQuantized(emb, cents)
+      .as[(Long, Long, Long)].collect()
+    val plusList = ref.filter(_._1 % 2 == 0).map(_._2).head
+    val minusList = ref.filter(_._1 % 2 == 1).map(_._2).head
+    assert(fa(100L) == plusList && fa(101L) == minusList, s"$fa")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("kmeansCentroidState: merge law, assignment consistency with fitAssign(iters=0)") {
     val rnd = new scala.util.Random(23)
     val emb = (0L until 40L).map(i => (i, Seq.fill(6)(rnd.nextFloat() * 2 - 1)))
