@@ -288,4 +288,44 @@ object SketchOps {
           .otherwise(floor(lit((k - 1).toDouble) *
             lit(1152921504606846976L).cast("double") /
             col("kth_min").cast("double")).cast("long")).as("kmv_est"))
+
+  /** KMV multiset-operation estimates (Beyer et al., SIGMOD 2007): from
+    * two bottom-k sketches ALONE — never the raw tables — estimate
+    * |A ∪ B|, the Jaccard similarity, and |A ∩ B|.
+    *
+    * L = bottomK(KMV(A) ∪ KMV(B)) is exactly the KMV sketch of A ∪ B
+    * (bottom-k is a monotone selector — the q191-certified merge law),
+    * so its k-th minimum gives the union estimate by the [[kmvEstimate]]
+    * formula. Within L, a hash present in BOTH input sketches is a
+    * uniform sample member of A ∩ B (every h ∈ L is below both sketches'
+    * thresholds), so matches/|L| estimates Jaccard and
+    * matches·D_union/|L| estimates the intersection. A non-full L has
+    * seen every distinct hash, and all three estimates are exact.
+    *
+    * This is the cross-dataset overlap primitive (corpus contamination /
+    * coverage audits between snapshots built on different days): two
+    * k-row synopses answer what would otherwise be a join of two full
+    * key sets. All arithmetic is integer or the kmvEstimate bit-exact
+    * double formula, so any engine reproduces it.
+    */
+  def kmvIntersect(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val merged = kmvMerge(k, a, b)
+    val flagged = merged
+      .join(a.select(col("h"), lit(1L).as("in_a")), Seq("h"), "left")
+      .join(b.select(col("h"), lit(1L).as("in_b")), Seq("h"), "left")
+    flagged
+      .agg(count(lit(1)).as("n_union_sketch"), max("h").as("kth_min"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+          .as("matches"))
+      .select(col("n_union_sketch"), col("kth_min"), col("matches"),
+        when(col("n_union_sketch") < k, col("n_union_sketch"))
+          .otherwise(floor(lit((k - 1).toDouble) *
+            lit(1152921504606846976L).cast("double") /
+            col("kth_min").cast("double")).cast("long")).as("union_est"))
+      .select(col("n_union_sketch"), col("kth_min"), col("matches"),
+        col("union_est"),
+        expr("matches * 10000 div n_union_sketch").as("jaccard_bp"),
+        expr("(matches * union_est) div n_union_sketch").as("intersect_est"))
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale-safe statistics: percentiles (cells/GK), NTILE, winsorize, quantile-norm, HLL/CMS sketches, range digests, join-cardinality estimation.
   *
-  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding, q224_correlation, q238_cms_merge, q241_mg_merge.
+  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding, q224_correlation, q238_cms_merge, q241_mg_merge, q251_kmv_intersect.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object StatsQueries {
@@ -191,6 +191,37 @@ object StatsQueries {
       SketchOps.kmvEstimate(merged, 64)
         .crossJoin(broadcast(exact))
         .select(col("n_exact"), col("n_sketch"), col("kth_min"), col("kmv_est"))
+    }),
+
+
+    // KMV MULTISET OPS (Beyer et al. 2007) — the capability q191's
+    // comment promises and HLL registers cannot deliver: |A ∪ B|,
+    // Jaccard, and |A ∩ B| of two key sets from their two k-row
+    // sketches ALONE. The arms plant a NON-trivial overlap (custkey
+    // % 3 != 0 vs % 2 == 0 → true Jaccard 2/5), so the sampled-match
+    // estimator is exercised away from the 0/1 endpoints — the raw
+    // orders-vs-customer overlap is degenerate (every customer has an
+    // order at gate SFs, Jaccard exactly 1). This is the cross-dataset
+    // contamination / coverage primitive: at 100 TB the two snapshots
+    // are sketched independently (possibly on different days, different
+    // clusters) and the overlap question costs 2k rows, not a join of
+    // two full key sets. Exact sides alongside for the quality check.
+    "q251_kmv_intersect" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val o = cust.where(pmod(col("c_custkey"), lit(3)) =!= 0)
+        .select(col("c_custkey").as("key"))
+      val c = cust.where(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey").as("key"))
+      val est = SketchOps.kmvIntersect(
+        SketchOps.kmvSketch(o, "key", k = 256),
+        SketchOps.kmvSketch(c, "key", k = 256), k = 256)
+      val oa = o.distinct()
+      val cb = c.distinct()
+      val exact = oa.join(cb, Seq("key"))
+        .agg(count(lit(1)).as("exact_intersect"))
+        .crossJoin(oa.unionByName(cb).distinct()
+          .agg(count(lit(1)).as("exact_union")))
+      est.crossJoin(broadcast(exact))
     }),
 
 
@@ -532,6 +563,37 @@ object StatsQueries {
     // so the match certifies the KMV merge law and the estimate
     // arithmetic (63 · 2^60 and the hash are exactly-representable
     // doubles; one IEEE multiply + divide + floor each side).
+    // q251: the identical bottom-k / flag / estimate chain re-derived —
+    // L = bottom-256 of the two sketches' union IS the union's sketch
+    // (monotone selector), matches = L rows present in BOTH inputs,
+    // then the q191 estimate formula and integer // ratios.
+    "q251_kmv_intersect" ->
+      """WITH ha AS (SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM customer WHERE c_custkey % 3 <> 0),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |hb AS (SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM customer WHERE c_custkey % 2 = 0),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+        |fl AS (SELECT u.h,
+        |  CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL THEN 1 ELSE 0 END AS m
+        | FROM u LEFT JOIN ka ON ka.h = u.h LEFT JOIN kb ON kb.h = u.h),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_union_sketch, max(h) AS kth_min,
+        |  CAST(sum(m) AS BIGINT) AS matches FROM fl),
+        |e AS (SELECT n_union_sketch, kth_min, matches,
+        |  CASE WHEN n_union_sketch < 256 THEN n_union_sketch
+        |   ELSE CAST(floor(255.0 * 1152921504606846976 / CAST(kth_min AS DOUBLE)) AS BIGINT)
+        |   END AS union_est FROM s)
+        |SELECT n_union_sketch, kth_min, matches, union_est,
+        | matches * 10000 // n_union_sketch AS jaccard_bp,
+        | (matches * union_est) // n_union_sketch AS intersect_est,
+        | (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |   WHERE c_custkey % 3 <> 0 AND c_custkey % 2 = 0) AS exact_intersect,
+        | (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |   WHERE c_custkey % 3 <> 0 OR c_custkey % 2 = 0) AS exact_union
+        |FROM e""".stripMargin,
+
+
     "q191_kmv_sketch" ->
       """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
         | FROM documents),

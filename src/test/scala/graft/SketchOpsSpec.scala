@@ -106,6 +106,45 @@ class SketchOpsSpec extends SparkSpec {
     assert(empty == 0L, s"empty sketch must estimate 0, got $empty")
   }
 
+  test("kmvIntersect: exact below k; self-intersection is identity; full-sketch consistency") {
+    import spark.implicits._
+    val a = (1L to 20L).toDF("k")
+    val b = (11L to 30L).toDF("k")
+    def sk(df: org.apache.spark.sql.DataFrame, k: Int) =
+      SketchOps.kmvSketch(df, "k", k)
+    // k=64 > |A ∪ B| = 30: the union sketch saw everything — all three
+    // estimates are EXACT (union 30, matches = intersection 10,
+    // Jaccard 10/30)
+    val exact = SketchOps.kmvIntersect(sk(a, 64), sk(b, 64), k = 64)
+      .collect().head
+    assert(exact.getAs[Long]("n_union_sketch") == 30L)
+    assert(exact.getAs[Long]("matches") == 10L)
+    assert(exact.getAs[Long]("union_est") == 30L)
+    assert(exact.getAs[Long]("jaccard_bp") == 3333L)
+    assert(exact.getAs[Long]("intersect_est") == 10L)
+    // A vs A: Jaccard is exactly 1 and the intersection estimate IS the
+    // union estimate, full sketch or not
+    val self = SketchOps.kmvIntersect(sk(a, 8), sk(a, 8), k = 8)
+      .collect().head
+    assert(self.getAs[Long]("jaccard_bp") == 10000L)
+    assert(self.getAs[Long]("intersect_est") == self.getAs[Long]("union_est"))
+    // disjoint sets: zero matches, zero intersection
+    val c = (100L to 119L).toDF("k")
+    val dis = SketchOps.kmvIntersect(sk(a, 8), sk(c, 8), k = 8)
+      .collect().head
+    assert(dis.getAs[Long]("matches") == 0L && dis.getAs[Long]("intersect_est") == 0L)
+    // full-sketch internal consistency on a real partial overlap
+    val big = (1L to 500L).toDF("k")
+    val big2 = (251L to 750L).toDF("k")
+    val r = SketchOps.kmvIntersect(sk(big, 32), sk(big2, 32), k = 32)
+      .collect().head
+    val (n, m, u) = (r.getAs[Long]("n_union_sketch"), r.getAs[Long]("matches"),
+      r.getAs[Long]("union_est"))
+    assert(n == 32L)
+    assert(r.getAs[Long]("jaccard_bp") == m * 10000L / n)
+    assert(r.getAs[Long]("intersect_est") == m * u / n)
+  }
+
   test("hllMergeRegisters: shard merge equals the one-pass registers, element-wise") {
     import spark.implicits._
     val rows = (1L to 300L).toDF("k")
