@@ -710,13 +710,27 @@ object GraphOps {
     import org.apache.spark.storage.StorageLevel
     val spark = nodes.sparkSession
     val sc = spark.sparkContext
+    // every persisted RDD registers with GraftCache AT CREATION, so the
+    // designed throw paths (cycle stall, maxRounds) leak nothing — the
+    // caller's releaseAll sweep reaps them (unpersist is idempotent for
+    // the ones the loop already released)
+    def pin[T](rdd: RDD[T]): RDD[T] = graft.GraftCache.registerRdd(spark,
+      rdd.persist(StorageLevel.MEMORY_AND_DISK))
     val base0 = nodes.select(col(idCol).cast("long").as("id"),
         col(parentCol).cast("long").as("p"), col(valueCol).cast("long").as("v"))
-      .rdd.map(r => (r.getLong(0),
-        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))))
+      .rdd.map { r =>
+        val id = r.getLong(0)
+        val p = if (r.isNullAt(1)) -1L else r.getLong(1)
+        // task-side guard: −1 is the internal NULL-parent sentinel, so a
+        // negative id/parent would silently alias it — fail loudly instead
+        // (the unrolled subtreeRollup handles negative ids; route there)
+        require(id >= 0L && (r.isNullAt(1) || p >= 0L),
+          s"subtreeRollupDeep requires non-negative ids (got id=$id, parent=$p)")
+        (id, (p, r.getLong(2)))
+      }
     val part = new HashPartitioner(math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions, base0.getNumPartitions)))
-    val base = base0.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val base = pin(base0.partitionBy(part))
     // Split parent pointers into real (parent id present in the table)
     // and phantom: contributions to phantoms vanish, but the hop still
     // counts one depth level — [[subtreeRollup]]'s exact closure
@@ -724,22 +738,20 @@ object GraphOps {
     val idSet: RDD[(Long, Unit)] = base.mapValues(_ => ())
     val byParent = base.filter(_._2._1 != -1L)
       .map { case (c, (p, _)) => (p, c) }.partitionBy(part)
-    val resolved = byParent.leftOuterJoin(idSet, part)
+    val resolved = pin(byParent.leftOuterJoin(idSet, part)
       .map { case (p, (c, exists)) => (c, (p, exists.isDefined)) }
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(part))
     // real child→parent map (flatMapValues PRESERVES the partitioner —
     // co-partitioned with everything else, no per-round shuffle)
     val parentOf: RDD[(Long, Long)] = resolved
       .flatMapValues { case (p, ex) => if (ex) Iterator.single(p) else Iterator.empty }
     val childCnt = parentOf.map { case (_, p) => (p, 1L) }.reduceByKey(part, _ + _)
     // state: (id, (n, sum, remainingChildren)); finalized: (id, (n, sum))
-    var pending: RDD[(Long, (Long, Long, Long))] = base
+    var pending: RDD[(Long, (Long, Long, Long))] = pin(base
       .leftOuterJoin(childCnt, part)
-      .mapValues { case ((_, v), c) => (1L, v, c.getOrElse(0L)) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .mapValues { case ((_, v), c) => (1L, v, c.getOrElse(0L)) })
     var finalized: RDD[(Long, (Long, Long))] =
-      sc.emptyRDD[(Long, (Long, Long))].partitionBy(part)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      pin(sc.emptyRDD[(Long, (Long, Long))].partitionBy(part))
     var nPending = pending.count()
     var round = 0
     while (nPending > 0L) {
@@ -747,17 +759,15 @@ object GraphOps {
       if (round > maxRounds) throw new IllegalStateException(
         s"subtreeRollupDeep: $nPending nodes unresolved after $maxRounds " +
           "rounds — tree deeper than maxRounds, or a parent cycle")
-      val ready = pending.filter(_._2._3 == 0L)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ready = pin(pending.filter(_._2._3 == 0L))
       // finalized ∪ ready: disjoint keys, both on `part`, so per-partition
       // concatenation merges; the ready count rides an accumulator so ONE
       // action materializes ready + the merge AND decides progress.
       val readyCount = sc.longAccumulator(s"rollup_ready_r$round")
-      val merged = finalized.zipPartitions(
+      val merged = pin(finalized.zipPartitions(
           ready.mapValues { case (n, s, _) => (n, s) },
           preservesPartitioning = true)(
-          (a, b) => a ++ b.map { e => readyCount.add(1L); e })
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          (a, b) => a ++ b.map { e => readyCount.add(1L); e }))
       if (round % 10 == 0) merged.localCheckpoint()
       // flush: each finalized node sends ONE (n, sum, 1) to its real
       // parent; reduceByKey map-side combines the sibling fan-in.
@@ -765,11 +775,11 @@ object GraphOps {
         .map { case (_, ((n, s, _), p)) => (p, (n, s, 1L)) }
         .reduceByKey(part, (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
       val stillPending = pending.filter(_._2._3 > 0L)
-      val nextPending = stillPending.leftOuterJoin(contrib, part)
+      val nextPending = pin(stillPending.leftOuterJoin(contrib, part)
         .mapValues {
           case ((n, s, r), Some((cn, cs, ck))) => (n + cn, s + cs, r - ck)
           case ((n, s, r), None) => (n, s, r)
-        }.persist(StorageLevel.MEMORY_AND_DISK)
+        })
       // the PENDING chain is the lineage that deepens one join per round
       // — truncate it periodically or task serialization stack-overflows
       // around round ~90 (observed on the depth-100 chain test)
@@ -795,29 +805,27 @@ object GraphOps {
     }
     // Pass 2: depth. Seeds: null-parent roots at 0, phantom-parent
     // roots at 1 (the phantom hop). Descend the real child adjacency.
-    val childAdj = parentOf.map { case (c, p) => (p, c) }
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val childAdj = pin(parentOf.map { case (c, p) => (p, c) }
+      .partitionBy(part))
     val nullRoots = base.filter(_._2._1 == -1L).mapValues(_ => 0L)
     val phantomRoots = resolved
       .flatMapValues { case (_, ex) => if (ex) Iterator.empty else Iterator.single(1L) }
-    var depths: RDD[(Long, Long)] = nullRoots
-      .zipPartitions(phantomRoots, preservesPartitioning = true)(_ ++ _)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var depths: RDD[(Long, Long)] = pin(nullRoots
+      .zipPartitions(phantomRoots, preservesPartitioning = true)(_ ++ _))
     var frontier = depths
     var level = 0
     var frontierN = depths.count()
     while (frontierN > 0L && level <= maxRounds) {
       level += 1
-      val next = frontier.join(childAdj)
+      val next = pin(frontier.join(childAdj)
         .map { case (_, (d, c)) => (c, d + 1L) }
-        .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+        .partitionBy(part))
       // same lineage-depth guard as the peel loop: the frontier chain
       // grows one join per level
       if (level % 10 == 0) next.localCheckpoint()
       val levelSize = sc.longAccumulator(s"rollup_depth_l$level")
-      val mergedD = depths.zipPartitions(next, preservesPartitioning = true)(
-          (a, b) => a ++ b.map { e => levelSize.add(1L); e })
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val mergedD = pin(depths.zipPartitions(next, preservesPartitioning = true)(
+          (a, b) => a ++ b.map { e => levelSize.add(1L); e }))
       if (level % 10 == 0) mergedD.localCheckpoint()
       mergedD.count() // the level's ONE job
       val (oldDepths, oldFrontier) = (depths, frontier)
@@ -827,13 +835,7 @@ object GraphOps {
       oldDepths.unpersist(blocking = true)
       if (oldFrontier ne oldDepths) oldFrontier.unpersist(blocking = false)
     }
-    graft.GraftCache.registerRdd(spark, base)
-    graft.GraftCache.registerRdd(spark, resolved)
-    graft.GraftCache.registerRdd(spark, childAdj)
-    graft.GraftCache.registerRdd(spark, finalized)
-    graft.GraftCache.registerRdd(spark, pending)
-    graft.GraftCache.registerRdd(spark, depths)
-    if (frontier ne depths) graft.GraftCache.registerRdd(spark, frontier)
+    // (everything is already registered via pin at creation)
     // co-partitioned narrow join: every real node has a depth (forest
     // reachability from the seeded roots) and a finalized aggregate
     val out = finalized.join(depths)

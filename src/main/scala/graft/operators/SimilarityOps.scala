@@ -740,9 +740,10 @@ object SimilarityOps {
     require(cents.nonEmpty, "need at least one centroid")
     val spark = emb.sparkSession
     import spark.implicits._
-    val centsQ: Array[Array[Long]] = cents.sortBy(_._1).map(_._2.map(x =>
+    val sorted = cents.sortBy(_._1) // ONE sort: cids(i) must pair centsQ(i)
+    val centsQ: Array[Array[Long]] = sorted.map(_._2.map(x =>
       math.floor(x * quantScale + 0.5).toLong).toArray).toArray
-    val cids: Array[Long] = cents.sortBy(_._1).map(_._1).toArray
+    val cids: Array[Long] = sorted.map(_._1).toArray
     val bc = spark.sparkContext.broadcast((cids, centsQ))
     val out = emb.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])].rdd

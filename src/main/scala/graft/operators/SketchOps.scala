@@ -281,13 +281,23 @@ object SketchOps {
     * power of two), so one IEEE multiply + divide + floor is
     * bit-identical in any engine evaluating the same ops.
     */
+  /** The bit-exactness-critical KMV estimate expression, shared by
+    * [[kmvEstimate]] and [[kmvIntersect]] so the formula can never
+    * desynchronize between the two estimators: exact when the sketch
+    * holds fewer than k hashes, else (k−1)·2^60/h_(k) floored.
+    */
+  private def kmvEstCol(n: org.apache.spark.sql.Column,
+                        kthMin: org.apache.spark.sql.Column,
+                        k: Int): org.apache.spark.sql.Column =
+    when(n < k, n)
+      .otherwise(floor(lit((k - 1).toDouble) *
+        lit(1152921504606846976L).cast("double") /
+        kthMin.cast("double")).cast("long"))
+
   def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
     sketch.agg(count(lit(1)).as("n_sketch"), max("h").as("kth_min"))
       .select(col("n_sketch"), col("kth_min"),
-        when(col("n_sketch") < k, col("n_sketch"))
-          .otherwise(floor(lit((k - 1).toDouble) *
-            lit(1152921504606846976L).cast("double") /
-            col("kth_min").cast("double")).cast("long")).as("kmv_est"))
+        kmvEstCol(col("n_sketch"), col("kth_min"), k).as("kmv_est"))
 
   /** KMV multiset-operation estimates (Beyer et al., SIGMOD 2007): from
     * two bottom-k sketches ALONE — never the raw tables — estimate
@@ -319,10 +329,7 @@ object SketchOps {
         sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
           .as("matches"))
       .select(col("n_union_sketch"), col("kth_min"), col("matches"),
-        when(col("n_union_sketch") < k, col("n_union_sketch"))
-          .otherwise(floor(lit((k - 1).toDouble) *
-            lit(1152921504606846976L).cast("double") /
-            col("kth_min").cast("double")).cast("long")).as("union_est"))
+        kmvEstCol(col("n_union_sketch"), col("kth_min"), k).as("union_est"))
       .select(col("n_union_sketch"), col("kth_min"), col("matches"),
         col("union_est"),
         expr("matches * 10000 div n_union_sketch").as("jaccard_bp"),

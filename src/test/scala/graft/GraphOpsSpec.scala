@@ -379,6 +379,15 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("subtreeRollupDeep: negative ids fail loudly (sentinel aliasing), not silently") {
+    val nodes = Seq((-1L, Option.empty[Long], 10L), (5L, Some(-1L), 7L))
+      .toDF("id", "parent", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      GraphOps.subtreeRollupDeep(nodes, "id", "parent", "v").collect()
+    }
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+  }
+
   test("subtreeRollupDeep: parent cycle throws instead of silently looping") {
     val nodes = Seq(
       (0L, Option.empty[Long], 1L), (1L, Some(2L), 2L), (2L, Some(1L), 3L))
