@@ -299,6 +299,61 @@ object SketchOps {
       .select(col("n_sketch"), col("kth_min"),
         kmvEstCol(col("n_sketch"), col("kth_min"), k).as("kmv_est"))
 
+  /** The k bit positions of a key in an m-bit Bloom filter, as
+    * (original columns…, lane, mask) rows — one per hash. Kirsch–
+    * Mitzenmacher double hashing over the 60-bit portable md5 hash:
+    * pos_j = (h₁ + j·h₂) mod m with h₂ forced odd, so any md5-bearing
+    * engine derives the identical positions. Shared by build and probe
+    * so the two sides can never disagree on the position function.
+    */
+  private def bloomPositions(df: DataFrame, keyCol: String,
+                             mBits: Int, hashes: Int): DataFrame = {
+    df.withColumn("_h", HashFunctions.portableHash60(col(keyCol)))
+      .withColumn("_h1", col("_h") % mBits)
+      .withColumn("_h2", expr(s"(_h div $mBits) % $mBits").bitwiseOR(1))
+      .withColumn("_j", explode(array((0 until hashes).map(lit): _*)))
+      .withColumn("_pos", (col("_h1") + col("_j") * col("_h2")) % mBits)
+      .withColumn("lane", expr("_pos div 64"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"))
+      .drop("_h", "_h1", "_h2", "_j", "_pos")
+  }
+
+  /** Portable Bloom filter build: m bits in m/64 BIGINT lanes —
+    * (lane, bits) rows, only non-empty lanes present. The membership
+    * synopsis completing the sketch family (CMS counts, HLL distincts,
+    * KMV set ops, MG heavy hitters): at 100 TB a decontamination /
+    * known-key pass ships m/64 rows per shard instead of the key set,
+    * and shards MERGE by lane-wise OR ([[bloomMerge]]) — bit_or is
+    * idempotent/associative/commutative, so
+    * state(A) ⊕ state(B) == state(A ∪ B) exactly (q252 certifies).
+    * No false negatives ever; the false-positive rate is the classic
+    * (1 − e^(−kn/m))^k, measured rather than assumed by q252.
+    */
+  def bloomBuild(rows: DataFrame, keyCol: String,
+                 mBits: Int = 32768, hashes: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
+    require(hashes >= 1, s"hashes must be >= 1, got $hashes")
+    bloomPositions(rows.select(col(keyCol)).distinct(), keyCol, mBits, hashes)
+      .groupBy("lane").agg(bit_or(col("mask")).as("bits"))
+  }
+
+  /** Merge Bloom filters built with the same (mBits, hashes): lane-wise OR. */
+  def bloomMerge(blooms: DataFrame*): DataFrame =
+    blooms.reduce(_ unionByName _).groupBy("lane").agg(bit_or(col("bits")).as("bits"))
+
+  /** Probe: `keys` + a `member` flag (1 = possibly present, 0 =
+    * DEFINITELY absent). The filter is ≤ m/64 rows, so the lane join
+    * broadcasts; keys shuffle only for the per-key all-bits-set fold.
+    */
+  def bloomProbe(bloom: DataFrame, keys: DataFrame, keyCol: String,
+                 mBits: Int = 32768, hashes: Int = 3): DataFrame =
+    bloomPositions(keys.select(col(keyCol)).distinct(), keyCol, mBits, hashes)
+      .join(broadcast(bloom), Seq("lane"), "left")
+      .withColumn("_hit",
+        when(col("bits").isNotNull && (col("bits").bitwiseAND(col("mask"))) =!= 0L, 1)
+          .otherwise(0))
+      .groupBy(keyCol).agg(min("_hit").as("member"))
+
   /** KMV multiset-operation estimates (Beyer et al., SIGMOD 2007): from
     * two bottom-k sketches ALONE — never the raw tables — estimate
     * |A ∪ B|, the Jaccard similarity, and |A ∩ B|.

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale-safe statistics: percentiles (cells/GK), NTILE, winsorize, quantile-norm, HLL/CMS sketches, range digests, join-cardinality estimation.
   *
-  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding, q224_correlation, q238_cms_merge, q241_mg_merge, q251_kmv_intersect.
+  * Contract queries: q51_percentiles, q56_hist_quantiles, q57_approx_percentiles, q103_cms_counts, q104_hll_distinct, q186_hll_merge, q187_percentile_merge, q191_kmv_sketch, q115_windowed_hll, q119_ntile_bins, q128_winsorize, q139_join_cardinality, q140_range_digest, q152_quantile_norm, q156_percent_rank, q217_target_encoding, q224_correlation, q238_cms_merge, q241_mg_merge, q251_kmv_intersect, q252_bloom_filter.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object StatsQueries {
@@ -191,6 +191,41 @@ object StatsQueries {
       SketchOps.kmvEstimate(merged, 64)
         .crossJoin(broadcast(exact))
         .select(col("n_exact"), col("n_sketch"), col("kth_min"), col("kmv_est"))
+    }),
+
+
+    // PORTABLE BLOOM FILTER + SHARD-MERGE LAW — the membership synopsis
+    // completing the sketch family (CMS counts, HLL distincts, KMV set
+    // ops, MG heavy hitters): the known-keys / decontamination pass
+    // that at 100 TB ships m/64 = 512 BIGINT lanes per shard instead of
+    // the key set. The ENGINE builds two shard filters over the planted
+    // member set (doc_id % 4 != 0, split even/odd) and folds them by
+    // lane-wise OR (bloomMerge); the ORACLE builds the un-split filter
+    // directly — the hash match certifies state(A) ⊕ state(B) ==
+    // state(A ∪ B) for the bit-OR merge AND the Kirsch–Mitzenmacher
+    // position function cross-engine. Probing all doc_ids measures the
+    // contract: members_hit == n_members (NO false negatives, ever) and
+    // the false-positive rate is measured, not assumed.
+    "q252_bloom_filter" -> ((s, d) => {
+      val keys = Tables.documents(s, d).select("doc_id").distinct()
+      val members = keys.where(pmod(col("doc_id"), lit(4)) =!= 0)
+      val bloom = SketchOps.bloomMerge(
+        SketchOps.bloomBuild(members.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id"),
+        SketchOps.bloomBuild(members.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id"))
+      val stats = bloom.agg(count(lit(1)).as("lanes_used"),
+        sum(bit_count(col("bits"))).cast("long").as("bits_set"))
+      SketchOps.bloomProbe(bloom, keys, "doc_id")
+        .withColumn("is_member",
+          when(pmod(col("doc_id"), lit(4)) =!= 0, 1).otherwise(0))
+        .agg(
+          sum(when(col("is_member") === 1, 1L).otherwise(0L)).as("n_members"),
+          sum(when(col("is_member") === 1 && col("member") === 1, 1L)
+            .otherwise(0L)).as("members_hit"),
+          sum(when(col("is_member") === 0, 1L).otherwise(0L)).as("n_nonmembers"),
+          sum(when(col("is_member") === 0 && col("member") === 1, 1L)
+            .otherwise(0L)).as("false_positives"))
+        .crossJoin(broadcast(stats))
+        .withColumn("fpr_bp", expr("false_positives * 10000 div n_nonmembers"))
     }),
 
 
@@ -563,6 +598,43 @@ object StatsQueries {
     // so the match certifies the KMV merge law and the estimate
     // arithmetic (63 · 2^60 and the hash are exactly-representable
     // doubles; one IEEE multiply + divide + floor each side).
+    // q252: position function re-derived from md5 (h%m, double-hash
+    // step (h//m % m)|1, j in 0..2), the DIRECT un-split build (engine
+    // merges shards — the match IS the OR merge-law certificate), and
+    // the same probe/threshold fold.
+    "q252_bloom_filter" ->
+      """WITH keys AS (SELECT DISTINCT doc_id FROM documents),
+        |mem AS (SELECT doc_id FROM keys WHERE doc_id % 4 <> 0),
+        |hp AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM keys),
+        |pos AS (SELECT doc_id,
+        |  (h % 32768 + j * (((h // 32768) % 32768) | 1)) % 32768 AS p
+        | FROM hp CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+        |pl AS (SELECT doc_id, p // 64 AS lane,
+        |  CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1)
+        |       ELSE 1::BIGINT << CAST(p % 64 AS INTEGER) END AS mask FROM pos),
+        |bloom AS (SELECT lane, bit_or(mask) AS bits
+        | FROM pl JOIN mem USING (doc_id) GROUP BY lane),
+        |pr AS (SELECT pl.doc_id,
+        |  min(CASE WHEN b.bits IS NOT NULL AND (b.bits & pl.mask) <> 0
+        |      THEN 1 ELSE 0 END) AS member
+        | FROM pl LEFT JOIN bloom b USING (lane) GROUP BY pl.doc_id),
+        |fl AS (SELECT doc_id, member,
+        |  CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS is_member FROM pr),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS lanes_used,
+        |  CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set FROM bloom)
+        |SELECT CAST(sum(is_member) AS BIGINT) AS n_members,
+        | CAST(sum(CASE WHEN is_member = 1 AND member = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS members_hit,
+        | CAST(sum(1 - is_member) AS BIGINT) AS n_nonmembers,
+        | CAST(sum(CASE WHEN is_member = 0 AND member = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS false_positives,
+        | st.lanes_used, st.bits_set,
+        | CAST(sum(CASE WHEN is_member = 0 AND member = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   * 10000 // CAST(sum(1 - is_member) AS BIGINT) AS fpr_bp
+        |FROM fl CROSS JOIN st GROUP BY st.lanes_used, st.bits_set""".stripMargin,
+
+
     // q251: the identical bottom-k / flag / estimate chain re-derived —
     // L = bottom-256 of the two sketches' union IS the union's sketch
     // (monotone selector), matches = L rows present in BOTH inputs,

@@ -106,6 +106,29 @@ class SketchOpsSpec extends SparkSpec {
     assert(empty == 0L, s"empty sketch must estimate 0, got $empty")
   }
 
+  test("bloom: no false negatives; OR merge law; absent keys mostly rejected") {
+    import spark.implicits._
+    val members = (1L to 300L).toDF("k")
+    // shard build + OR fold == direct build, lane for lane (the merge law)
+    val direct = SketchOps.bloomBuild(members, "k")
+      .as[(Long, Long)].collect().toMap
+    val merged = SketchOps.bloomMerge(
+        SketchOps.bloomBuild(members.where($"k" % 2 === 0), "k"),
+        SketchOps.bloomBuild(members.where($"k" % 2 === 1), "k"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == direct, "shard OR-merge must equal the direct build")
+    // membership contract: every member hits (NEVER a false negative)
+    val hits = SketchOps.bloomProbe(direct.toSeq.toDF("lane", "bits"), members, "k")
+      .as[(Long, Int)].collect().toMap
+    assert(hits.values.forall(_ == 1), "false negative!")
+    // absent keys: overwhelmingly rejected at this load (900 bits of
+    // 32768 set -> per-probe FPR ~ (900/32768)^3 ~ 2e-5)
+    val absent = (100000L to 100299L).toDF("k")
+    val fp = SketchOps.bloomProbe(direct.toSeq.toDF("lane", "bits"), absent, "k")
+      .as[(Long, Int)].collect().count(_._2 == 1)
+    assert(fp <= 2, s"implausibly many false positives: $fp/300")
+  }
+
   test("kmvIntersect: exact below k; self-intersection is identity; full-sketch consistency") {
     import spark.implicits._
     val a = (1L to 20L).toDF("k")
