@@ -1,0 +1,165 @@
+package graft.sources.v2
+
+import graft.sources.PageSource
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 surface for the paginated page source (SURVEY §7's
+  * optional `spark.read.format(...)` ergonomics over S1/S2/O1/O2 —
+  * the [[graft.sources.PageSource]] Dataset builder remains the
+  * programmatic path; this wraps the SAME semantics for SQL/reader
+  * users):
+  *
+  * {{{
+  *   spark.read.format("graft-pages")
+  *     .option("dir", "/fixtures/life")      // fixture mode: page_N.html
+  *     .option("productType", "life")
+  *     .option("pages", "1-12")
+  *     .load()
+  *     .where($"page" <= 3)                   // pruned at the SOURCE
+  * }}}
+  *
+  * Shape: one InputPartition per page — the fetch parallelism unit the
+  * reference's asyncio gather loop had (base.py:119-133), here as
+  * independent Spark tasks with per-page error isolation (a throwing
+  * fetch yields an empty-HTML row, parity with `continue`-on-error).
+  * Page-range predicates (`page =/</<=/>/>=`) PUSH DOWN into partition
+  * planning, so a pruned scan never schedules the excluded pages at
+  * all — O2 enforced below the optimizer, visible as fewer input
+  * partitions rather than a post-scan filter.
+  *
+  * Modes: `dir` reads `${dir}/page_${n}.html` fixtures (offline,
+  * test-driven); otherwise `baseUrl`/`urlPath`/`portletId` fetch over
+  * HTTP via the S2 URL builder. Fixture mode is the only one the test
+  * environment can exercise; the HTTP branch reuses buildPageUrl and
+  * plain java.net I/O.
+  */
+class PageTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-pages"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PageTableProvider.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new PageTable(new CaseInsensitiveStringMap(properties))
+}
+
+object PageTableProvider {
+  val Schema: StructType = StructType(Seq(
+    StructField("product_type", StringType, nullable = false),
+    StructField("page", IntegerType, nullable = false),
+    StructField("html", StringType, nullable = false)))
+
+  private[v2] def parsePages(s: String): (Int, Int) = s.split("-", 2) match {
+    case Array(a, b) => (a.trim.toInt, b.trim.toInt)
+    case Array(a) => (a.trim.toInt, a.trim.toInt)
+  }
+}
+
+private[v2] class PageTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft_pages"
+  override def schema(): StructType = PageTableProvider.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    // merge table properties with read options (read options win)
+    val merged = new java.util.HashMap[String, String]()
+    merged.putAll(options)
+    merged.putAll(caseInsensitiveOptions)
+    new PageScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch with SupportsPushDownFilters {
+
+  private val (optLo, optHi) =
+    PageTableProvider.parsePages(options.getOrDefault("pages", "1-1"))
+  private var lo = optLo
+  private var hi = optHi
+  private var pushed: Array[Filter] = Array.empty
+
+  /** O2 below the optimizer: page-range predicates tighten [lo, hi]
+    * before partitions are planned. Accepted filters are fully applied
+    * (the range IS the predicate), so they are not re-evaluated above.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("page", v: Int) => lo = math.max(lo, v); hi = math.min(hi, v); true
+      case GreaterThan("page", v: Int) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("page", v: Int) => lo = math.max(lo, v); true
+      case LessThan("page", v: Int) => hi = math.min(hi, v - 1); true
+      case LessThanOrEqual("page", v: Int) => hi = math.min(hi, v); true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = PageTableProvider.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-pages [$lo, $hi] ${options.getOrDefault("productType", "")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (lo to hi).map(p => PagePartition(p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val productType = options.getOrDefault("productType", "unknown")
+    val dir = options.get("dir")
+    val baseUrl = options.get("baseUrl")
+    val urlPath = options.getOrDefault("urlPath", "")
+    val portletId = options.getOrDefault("portletId", "")
+    val perPage = options.getOrDefault("itemsPerPage", "60").toInt
+    PageReaderFactory(productType, Option(dir), Option(baseUrl),
+      urlPath, portletId, perPage)
+  }
+}
+
+private[v2] case class PagePartition(page: Int) extends InputPartition
+
+private[v2] case class PageReaderFactory(
+    productType: String, dir: Option[String], baseUrl: Option[String],
+    urlPath: String, portletId: String, itemsPerPage: Int)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val page = partition.asInstanceOf[PagePartition].page
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted
+      override def get(): InternalRow = {
+        emitted = true
+        // per-page error isolation: a throwing fetch yields "" (the
+        // downstream parse treats a missing table as zero rows)
+        val html = try fetchPage(page) catch { case _: Exception => "" }
+        InternalRow(UTF8String.fromString(productType), page,
+          UTF8String.fromString(html))
+      }
+      override def close(): Unit = ()
+    }
+  }
+
+  private def fetchPage(page: Int): String = dir match {
+    case Some(d) =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d, s"page_$page.html")), "UTF-8")
+    case None =>
+      val url = PageSource.buildPageUrl(
+        baseUrl.getOrElse(throw new IllegalArgumentException(
+          "graft-pages needs either dir (fixture mode) or baseUrl")),
+        urlPath, portletId, page, itemsPerPage)
+      val in = new java.net.URI(url).toURL.openStream()
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+}
