@@ -589,4 +589,33 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: the envelope probe must arrive by broadcast:\n$p")
     }
   }
+
+  test("IVF drift: no row-scale joins — assignment is a kernel, stats broadcast (q250)") {
+    val p = plan(q("q250_ivf_drift"))
+    assert(!p.contains("SortMergeJoin"),
+      s"the only joins are 1-row stat broadcasts:\n$p")
+    assert(!p.contains("Window"), s"no ordering is needed anywhere:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals must arrive by broadcast:\n$p")
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("KMV sketches plan as TakeOrdered, never a global sort (q251)") {
+    val p = plan(q("q251_kmv_intersect"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k must fuse into TakeOrdered (no full sort):\n$p")
+    // a Sort outside TakeOrdered would mean a global ordering of the
+    // distinct-hash frame — the thing bottom-k exists to avoid
+    assert(!p.contains("SortMergeJoin"),
+      s"k-row sketch joins must broadcast:\n$p")
+  }
+
+  test("bloom probe broadcasts the 512-row filter; keys never sort-merge (q252)") {
+    val p = plan(q("q252_bloom_filter"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the lane join must broadcast the filter:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge lane join would shuffle every key row:\n$p")
+    assert(!p.contains("Window"), s"no ordering is needed:\n$p")
+  }
 }
