@@ -341,9 +341,11 @@ object SketchOps {
   def bloomMerge(blooms: DataFrame*): DataFrame =
     blooms.reduce(_ unionByName _).groupBy("lane").agg(bit_or(col("bits")).as("bits"))
 
-  /** Probe: `keys` + a `member` flag (1 = possibly present, 0 =
-    * DEFINITELY absent). The filter is ≤ m/64 rows, so the lane join
-    * broadcasts; keys shuffle only for the per-key all-bits-set fold.
+  /** Probe: one row per DISTINCT key value — (keyCol, member) with
+    * member 1 = possibly present, 0 = DEFINITELY absent. Other input
+    * columns are not carried (join the flag back by keyCol if needed).
+    * The filter is ≤ m/64 rows, so the lane join broadcasts; keys
+    * shuffle only for the per-key all-bits-set fold.
     */
   def bloomProbe(bloom: DataFrame, keys: DataFrame, keyCol: String,
                  mBits: Int = 32768, hashes: Int = 3): DataFrame =

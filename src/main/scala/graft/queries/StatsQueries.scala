@@ -209,9 +209,13 @@ object StatsQueries {
     "q252_bloom_filter" -> ((s, d) => {
       val keys = Tables.documents(s, d).select("doc_id").distinct()
       val members = keys.where(pmod(col("doc_id"), lit(4)) =!= 0)
-      val bloom = SketchOps.bloomMerge(
-        SketchOps.bloomBuild(members.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id"),
-        SketchOps.bloomBuild(members.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id"))
+      // the merged filter feeds TWO branches (stats agg + probe
+      // broadcast) — persist the ≤512-row frame so the shard builds and
+      // their documents scans run once, not per branch
+      val bloom = graft.GraftCache.register(SketchOps.bloomMerge(
+          SketchOps.bloomBuild(members.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id"),
+          SketchOps.bloomBuild(members.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val stats = bloom.agg(count(lit(1)).as("lanes_used"),
         sum(bit_count(col("bits"))).cast("long").as("bits_set"))
       SketchOps.bloomProbe(bloom, keys, "doc_id")

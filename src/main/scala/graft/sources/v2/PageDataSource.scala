@@ -94,9 +94,12 @@ private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case EqualTo("page", v: Int) => lo = math.max(lo, v); hi = math.min(hi, v); true
-      case GreaterThan("page", v: Int) => lo = math.max(lo, v + 1); true
+      // the strict comparisons adjust by one; at Int boundary values that
+      // would overflow and silently UNtighten an accepted (= removed from
+      // post-scan evaluation) filter — leave those to Spark instead
+      case GreaterThan("page", v: Int) if v < Int.MaxValue => lo = math.max(lo, v + 1); true
       case GreaterThanOrEqual("page", v: Int) => lo = math.max(lo, v); true
-      case LessThan("page", v: Int) => hi = math.min(hi, v - 1); true
+      case LessThan("page", v: Int) if v > Int.MinValue => hi = math.min(hi, v - 1); true
       case LessThanOrEqual("page", v: Int) => hi = math.min(hi, v); true
       case _ => false
     }
@@ -118,6 +121,12 @@ private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
     val productType = options.getOrDefault("productType", "unknown")
     val dir = options.get("dir")
     val baseUrl = options.get("baseUrl")
+    // config validation happens HERE, driver-side: the per-page catch in
+    // the reader exists to isolate genuine fetch failures and would
+    // otherwise swallow this misconfiguration into empty-HTML rows
+    if (dir == null && baseUrl == null)
+      throw new IllegalArgumentException(
+        "graft-pages needs either dir (fixture mode) or baseUrl (HTTP mode)")
     val urlPath = options.getOrDefault("urlPath", "")
     val portletId = options.getOrDefault("portletId", "")
     val perPage = options.getOrDefault("itemsPerPage", "60").toInt
@@ -151,14 +160,10 @@ private[v2] case class PageReaderFactory(
   }
 
   private def fetchPage(page: Int): String = dir match {
-    case Some(d) =>
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(d, s"page_$page.html")), "UTF-8")
+    case Some(d) => PageSource.readFixture(d, page)
     case None =>
-      val url = PageSource.buildPageUrl(
-        baseUrl.getOrElse(throw new IllegalArgumentException(
-          "graft-pages needs either dir (fixture mode) or baseUrl")),
-        urlPath, portletId, page, itemsPerPage)
+      val url = PageSource.buildPageUrl(baseUrl.get, urlPath, portletId,
+        page, itemsPerPage)
       val in = new java.net.URI(url).toURL.openStream()
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }

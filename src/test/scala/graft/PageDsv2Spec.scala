@@ -59,6 +59,15 @@ class PageDsv2Spec extends SparkSpec {
     assert(one.select("page").as[Int].collect().toSeq == Seq(7))
   }
 
+  test("neither dir nor baseUrl fails loudly driver-side, never as silent empty rows") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-pages").option("pages", "1-3").load().collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("graft-pages needs either dir")), e.toString)
+  }
+
   test("a missing page is an empty-HTML row, not a failed scan (error isolation)") {
     val dir = writeFixtures(2) // pages 1-2 exist; page 3 does not
     val rows = spark.read.format("graft-pages")
