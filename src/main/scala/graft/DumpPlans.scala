@@ -100,7 +100,9 @@ object DumpPlans {
     "q245_zorder_maintenance" -> "file-stats partial aggs per scenario; batch cells broadcast into a left-semi envelope probe",
     "q246_clustering_depth" -> "two bounded frames (64 envelopes x 256 cells) broadcast-probed — depth never touches row-scale data",
     "q247_hierarchy_rollup" -> "height-bounded unrolled closure joins; both rollup outputs are partial-agg group-bys over (node, anc) longs",
-    "q249_ivf_trained_recall" -> "trained-centroid index probed via PartitionFilters; seed arm, exact side, and list-balance audits all fold from partial aggs")
+    "q249_ivf_trained_recall" -> "trained-centroid index probed via PartitionFilters; seed arm, exact side, and list-balance audits all fold from partial aggs",
+    "q251_kmv_intersect" -> "bottom-k sketches fuse into TakeOrderedAndProject — never a global sort; k-row joins broadcast",
+    "q252_bloom_filter" -> "512-lane filter broadcast into the probe join; bit positions are a codegen'd projection, counts partial-agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
