@@ -387,18 +387,21 @@ object DedupOps {
     */
   private[graft] def candidatesFromBandRows(keyed: DataFrame,
                                             maxBucketSize: Int): DataFrame = {
-    // Drop degenerate buckets before the self-join (skew guard). A window
-    // count would shuffle every (id, band, bk) row once just to measure;
-    // instead compute the (tiny) oversized-key set with a partially
-    // aggregated groupBy and broadcast-anti-join it back.
-    val oversized = keyed
-      .groupBy("band", "bk").agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") > maxBucketSize)
-      .select("band", "bk")
-    val sized = keyed.join(broadcast(oversized), Seq("band", "bk"), "left_anti")
-    val a = sized.select(col("band"), col("bk"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("bk"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bk"))
+    // ONE partial-aggregated shuffle builds every bucket's member list
+    // with state hard-capped at maxBucketSize+1 (graft.functions
+    // .CappedList) — an overflowing (degenerate) bucket is detected by
+    // size and dropped without ever being held, and the pair explosion
+    // runs over the surviving ≤cap arrays in place. The previous shape
+    // (oversized-key groupBy + broadcast-anti + a/b self-join) shuffled
+    // `keyed` twice AND collected the oversized set to the driver; the
+    // 100× scale probe showed that set is DATA-dependent (identical
+    // cross-copy texts → every bucket oversized → >1 GiB broadcast →
+    // maxResultSize abort). This form never involves the driver.
+    keyed.groupBy("band", "bk")
+      .agg(graft.functions.CappedList.cappedIds(maxBucketSize)(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -454,11 +457,14 @@ object DedupOps {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val ck = minhashBandRowsPortable(ch, numPerms, bands)
     val bk = minhashBandRowsPortable(bh, numPerms, bands)
-    val oversized = ck.groupBy("band", "bk").agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") > maxBucketSize)
-      .select("band", "bk")
-    val sized = ck.join(broadcast(oversized), Seq("band", "bk"), "left_anti")
-    val cands = sized.select(col("band"), col("bk"), col("id").as("corpus_id"))
+    // corpus-side bucket guard via the capped-list aggregation (see
+    // candidatesFromBandRows): one shuffle, O(cap) state, no driver-
+    // collected oversized set. Singleton corpus buckets survive — a
+    // lone corpus doc can still match a batch row.
+    val cands = ck.groupBy("band", "bk")
+      .agg(graft.functions.CappedList.cappedIds(maxBucketSize)(col("id")).as("ids"))
+      .where(size(col("ids")) <= maxBucketSize)
+      .select(col("band"), col("bk"), explode(col("ids")).as("corpus_id"))
       .join(bk.select(col("band"), col("bk"), col("id").as("batch_id")),
         Seq("band", "bk"))
       .select("batch_id", "corpus_id")
@@ -664,13 +670,17 @@ object DedupOps {
       winnowingFingerprints(docs, idCol, textCol, k, w)
         .select(col("id"), explode(col("fingerprints")).as("fp"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val common = fp.groupBy("fp").agg(count(lit(1)).as("n"))
-      .where(col("n") > maxPostings).select("fp")
     // containment numerator AND denominator both use the post-cap (rare)
     // sets — mixing the two underestimates containment for docs rich in
-    // boilerplate fingerprints
+    // boilerplate fingerprints. Capped-list aggregation (see
+    // candidatesFromBandRows): the boilerplate-fp set is DATA-dependent,
+    // so it must never ride a driver-collected broadcast; surviving
+    // posting lists (≤ maxPostings) explode back in place.
     val rare = GraftCache.register(
-      fp.join(broadcast(common), Seq("fp"), "left_anti")
+      fp.groupBy("fp")
+        .agg(graft.functions.CappedList.cappedIds(maxPostings)(col("id")).as("ids"))
+        .where(size(col("ids")) <= maxPostings)
+        .select(col("fp"), explode(col("ids")).as("id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val sizes = rare.groupBy("id").agg(count(lit(1)).as("nfp"))
     val a = rare.select(col("fp"), col("id").as("id_a"))

@@ -82,8 +82,24 @@ object ScaleGen {
       val base = docs.withColumn("doc_id", col("doc_id") + lit(k * Offset))
       if (k == 0) base
       else base
+        // drop ~1/3 of token positions in a per-copy pattern that is
+        // PAIRWISE distinct across copies: the old `(i + k) % 3` cycle
+        // made copies 3 apart keep IDENTICAL positions, so at factor
+        // 100 every text had ~33 exact twins and the planted dup
+        // structure grew quadratically — the 100× probe drove q25's
+        // candidate set (and any broadcast AQE chose for it) to
+        // gigabytes. Prime modulus 101 > max factor ⇒ the 37k offsets
+        // are distinct per copy; the i·53 spread (53 invertible mod
+        // 101) keeps the dropped set scattered over EVERY position —
+        // a contiguous `i + 37k` window can sit entirely past a
+        // ~50-token doc and hand ~18 of 100 copies the ORIGINAL text
+        // verbatim (observed: 549M exact-dup edges at 100×). Any two
+        // copies share ~(2/3)² of kept positions, so cross-copy shingle
+        // Jaccard stays ~0.5 — below the 0.7 near-dup threshold, as
+        // the scaladoc promises.
         .withColumn("text", array_join(
-          filter(split(col("text"), " "), (x, i) => pmod(i + lit(k), lit(3)) =!= 0),
+          filter(split(col("text"), " "),
+            (x, i) => pmod(i * 53 + lit(k * 37), lit(101)) >= 34),
           " "))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
@@ -96,9 +112,18 @@ object ScaleGen {
       val base = emb.withColumn("vec_id", col("vec_id") + lit(k * Offset))
       if (k == 0) base
       else base.withColumn("embedding",
+        // The old `(vec_id·31 + 7i + 13k) mod 11` jitter CANCELLED its
+        // copy dependence: the id shift contributes 31k·(1e8 mod 11 = 1)
+        // and 31k + 13k ≡ 0 (mod 11), so every copy carried IDENTICAL
+        // jitter and cross-copy cosine was exactly 1 — quadratic planted
+        // dup structure, violating this generator's own contract. Prime
+        // modulus 101 > max factor with an explicit 37k term (net copy
+        // coefficient 68, invertible mod 101) makes the per-copy jitter
+        // pairwise distinct; amplitude ±0.4 pushes cross-copy cosine out
+        // of the near-dup band while within-copy geometry is preserved.
         transform(col("embedding"), (x, i) =>
-          (x + (pmod(col("vec_id") * 31L + i * 7L + lit(k * 13L), lit(11L)) - 5L)
-            .cast("float") * 0.07f).cast("float")))
+          (x + (pmod(col("vec_id") * 31L + i * 7L + lit(k * 37L), lit(101L)) - 50L)
+            .cast("float") * 0.008f).cast("float")))
     }
     write("embeddings", embCopies.reduce(_ unionByName _))
 

