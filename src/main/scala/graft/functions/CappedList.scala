@@ -6,9 +6,9 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** Size-capped id-list aggregation: collect a group's Long members with
-  * aggregation state HARD-bounded at cap+1 elements — one element past
-  * the cap is enough to DETECT overflow (`size > cap`) without ever
-  * holding the overflowing group.
+  * aggregation state HARD-bounded at cap+1 members (cap+2 buffer
+  * slots) — one member past the cap is enough to DETECT overflow
+  * (`size > cap`) without ever holding the overflowing group.
   *
   * This is the scale-safe form of the LSH degenerate-bucket guard. The
   * previous shape computed the oversized-key set with a groupBy and
@@ -31,16 +31,45 @@ import org.apache.spark.sql.functions.udaf
   */
 object CappedList {
 
+  /** Buffer layout: slot 0 = member count n, slots 1..n = members;
+    * allocation grows geometrically (capped at cap+2 slots), so reduce
+    * is amortized O(1) — a naive immutable `buf :+ a` copies the whole
+    * array per input row, ~cap²/2 element copies per overflowing bucket
+    * (at cap 1000 that is ~500k Long copies per bucket per partition on
+    * exactly the adversarial data this aggregator exists for). Unused
+    * tail slots ride partial serialization as garbage (≤ 2× exact size);
+    * merge re-packs to exact.
+    */
   class CappedListAggregator(cap: Int)
       extends Aggregator[Long, Array[Long], Seq[Long]] {
-    def zero: Array[Long] = Array.empty
-    def reduce(buf: Array[Long], a: Long): Array[Long] =
-      if (buf.length > cap) buf else buf :+ a
-    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-      val m = b1 ++ b2
-      if (m.length > cap + 1) m.take(cap + 1) else m
+    def zero: Array[Long] = Array(0L)
+    def reduce(buf: Array[Long], a: Long): Array[Long] = {
+      val n = buf(0).toInt
+      if (n > cap) buf // sentinel reached: appends are no-ops
+      else {
+        val need = n + 2 // count slot + the n existing + the new member
+        val out =
+          if (buf.length >= need) buf
+          else java.util.Arrays.copyOf(buf,
+            math.min(math.max(buf.length * 2, need), cap + 2))
+        out(n + 1) = a
+        out(0) = n + 1
+        out
+      }
     }
-    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      val n1 = b1(0).toInt
+      val n2 = b2(0).toInt
+      val n = math.min(n1 + n2, cap + 1)
+      val out = new Array[Long](n + 1)
+      out(0) = n
+      val take1 = math.min(n1, n)
+      System.arraycopy(b1, 1, out, 1, take1)
+      if (take1 < n) System.arraycopy(b2, 1, out, 1 + take1, n - take1)
+      out
+    }
+    def finish(buf: Array[Long]): Seq[Long] =
+      buf.iterator.slice(1, buf(0).toInt + 1).toSeq
     // native array<bigint> buffer encoding (~8 B/element): the Kryo
     // encoder measured ~1.4 KB per partial row on the same data
     def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()

@@ -167,14 +167,12 @@ object DedupOps {
   def minhashCandidatesFromHashes(hashed: DataFrame,
                                   numPerms: Int = 64, bands: Int = 16,
                                   maxBucketSize: Int = 1000): DataFrame = {
-    // The band rows feed three plan branches (bucket-size guard + both
-    // sides of the self-join); persist the tiny (long,int,long) sketch
-    // table so the signature kernel runs once, not three times. This is
-    // the table a 100 TB pipeline would materialize to storage anyway.
-    val keyed = GraftCache.register(
-      minhashBandRowsFromHashes(hashed, numPerms, bands)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    candidatesFromBandRows(keyed, maxBucketSize)
+    // The capped bucket aggregation consumes the band rows exactly ONCE
+    // (the pre-r11 shape fed three branches and persisted them; that
+    // persist is now dead weight that would evict genuinely shared
+    // caches like the hashed-shingle table).
+    candidatesFromBandRows(
+      minhashBandRowsFromHashes(hashed, numPerms, bands), maxBucketSize)
   }
 
   /** [[minhashCandidatesFromHashes]] with the PORTABLE md5-derived
@@ -183,12 +181,10 @@ object DedupOps {
     */
   def minhashCandidatesFromHashesPortable(hashed: DataFrame,
                                           numPerms: Int = 64, bands: Int = 16,
-                                          maxBucketSize: Int = 1000): DataFrame = {
-    val keyed = GraftCache.register(
-      minhashBandRowsPortable(hashed, numPerms, bands)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    candidatesFromBandRows(keyed, maxBucketSize)
-  }
+                                          maxBucketSize: Int = 1000): DataFrame =
+    // single consumer — see minhashCandidatesFromHashes
+    candidatesFromBandRows(
+      minhashBandRowsPortable(hashed, numPerms, bands), maxBucketSize)
 
   /** Portable minhash SIGNATURE rows (id, sig: array[long]) — the
     * shared state a band-parameter sweep reuses. Signatures are the
@@ -418,10 +414,10 @@ object DedupOps {
     val hs = GraftCache.register(
       hashedShingleRowsPortable(docs, idCol, textCol, shingleN)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val keyed = GraftCache.register(
-      minhashBandRowsPortable(hs, numPerms, bands)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val cands = candidatesFromBandRows(keyed, maxBucketSize)
+    // band rows have a single consumer since the capped aggregation;
+    // only the 3-consumer shingle table (hs) stays persisted
+    val cands = candidatesFromBandRows(
+      minhashBandRowsPortable(hs, numPerms, bands), maxBucketSize)
     cands
       .join(hs.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "sh_a"), "id_a")
       .join(hs.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "sh_b"), "id_b")
@@ -666,10 +662,10 @@ object DedupOps {
   def fingerprintOverlap(docs: DataFrame, idCol: String, textCol: String,
                          minContainment: Double = 0.9, maxPostings: Int = 100,
                          k: Int = 8, w: Int = 4): DataFrame = {
-    val fp = GraftCache.register(
-      winnowingFingerprints(docs, idCol, textCol, k, w)
-        .select(col("id"), explode(col("fingerprints")).as("fp"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // fp has a single consumer since the capped aggregation (rare, the
+    // 3-consumer frame, stays persisted below)
+    val fp = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col("id"), explode(col("fingerprints")).as("fp"))
     // containment numerator AND denominator both use the post-cap (rare)
     // sets — mixing the two underestimates containment for docs rich in
     // boilerplate fingerprints. Capped-list aggregation (see

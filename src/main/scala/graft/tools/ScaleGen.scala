@@ -17,14 +17,21 @@ import org.apache.spark.sql.functions._
   *    fan-outs and selectivities are IDENTICAL per copy — a 10× corpus
   *    does 10× the join work, not 100×;
   *  - copy 0 is byte-identical to the source; for copies k > 0, document
-  *    text drops every ((pos + k) % 3 == 0)-th token, so cross-copy
-  *    shingle Jaccard lands ~0.5 — BELOW the 0.7 near-dup threshold —
-  *    and the planted dup structure grows linearly (10× clusters), not
-  *    quadratically (10-wide cross-copy clusters);
-  *  - embeddings get a deterministic per-copy, per-dimension jitter for
-  *    the same reason: cross-copy cosine falls out of the near-dup band
-  *    while within-copy geometry (centroid structure, label clusters) is
-  *    preserved up to the jitter;
+  *    text drops ~1/3 of token positions chosen by a per-(position,
+  *    copy) HASH (xxhash64(pos, k) % 3 == 0) — a PRF, because every
+  *    arithmetic pattern tried before it leaked: the original
+  *    `(pos + k) % 3` cycle made copies 3 apart identical, and even a
+  *    "pairwise distinct" affine pattern mod a prime collides for copy
+  *    deltas whose offset is ±1 mod the modulus (near-identical drop
+  *    masks → verbatim twins, found by review). Hashed drops give
+  *    cross-copy shingle Jaccard ~0.45 for EVERY copy pair — below the
+  *    0.7 near-dup threshold — so the planted dup structure grows
+  *    linearly (10× clusters), not quadratically;
+  *  - embeddings get a per-(id, dimension, copy) HASHED jitter for the
+  *    same reason (the arithmetic version's copy term cancelled mod its
+  *    modulus, leaving cross-copy cosine at 1.0): cross-copy cosine
+  *    falls out of the near-dup band while within-copy geometry
+  *    (centroid structure, label clusters) is preserved up to jitter;
   *  - events.ts stays LONG NANOS on disk (the driver's convention —
   *    [[graft.Tables.events]] converts on read), with user_id/event_id
   *    offset so per-user series repeat per copy over the same time range.
@@ -82,24 +89,22 @@ object ScaleGen {
       val base = docs.withColumn("doc_id", col("doc_id") + lit(k * Offset))
       if (k == 0) base
       else base
-        // drop ~1/3 of token positions in a per-copy pattern that is
-        // PAIRWISE distinct across copies: the old `(i + k) % 3` cycle
-        // made copies 3 apart keep IDENTICAL positions, so at factor
-        // 100 every text had ~33 exact twins and the planted dup
-        // structure grew quadratically — the 100× probe drove q25's
-        // candidate set (and any broadcast AQE chose for it) to
-        // gigabytes. Prime modulus 101 > max factor ⇒ the 37k offsets
-        // are distinct per copy; the i·53 spread (53 invertible mod
-        // 101) keeps the dropped set scattered over EVERY position —
-        // a contiguous `i + 37k` window can sit entirely past a
-        // ~50-token doc and hand ~18 of 100 copies the ORIGINAL text
-        // verbatim (observed: 549M exact-dup edges at 100×). Any two
-        // copies share ~(2/3)² of kept positions, so cross-copy shingle
-        // Jaccard stays ~0.5 — below the 0.7 near-dup threshold, as
-        // the scaladoc promises.
+        // Drop ~1/3 of token positions by a per-(position, copy) PRF.
+        // History of this line (each version numerically falsified):
+        // `(i + k) % 3` made copies 3 apart IDENTICAL (quadratic dups,
+        // >1 GiB q25 broadcast at 100×); a contiguous window mod 101
+        // missed ~50-token docs entirely for ~18/100 copies (549M
+        // exact-dup edges); an affine spread `(53i + 37k) mod 101`
+        // still gave near-identical masks for copy deltas with offset
+        // ±1 mod 101 (byte-identical twins at deltas 30/71 — caught in
+        // review). Only a hash decorrelates every pair: xxhash64 mixes
+        // position and copy, so any two copies disagree independently
+        // per position and cross-copy shingle Jaccard sits ~0.45 for
+        // ALL pairs. Generator-side only — never oracle-checked — so a
+        // Spark-specific hash is fine.
         .withColumn("text", array_join(
           filter(split(col("text"), " "),
-            (x, i) => pmod(i * 53 + lit(k * 37), lit(101)) >= 34),
+            (x, i) => pmod(xxhash64(i, lit(k)), lit(3)) =!= 0),
           " "))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
@@ -112,17 +117,17 @@ object ScaleGen {
       val base = emb.withColumn("vec_id", col("vec_id") + lit(k * Offset))
       if (k == 0) base
       else base.withColumn("embedding",
-        // The old `(vec_id·31 + 7i + 13k) mod 11` jitter CANCELLED its
-        // copy dependence: the id shift contributes 31k·(1e8 mod 11 = 1)
-        // and 31k + 13k ≡ 0 (mod 11), so every copy carried IDENTICAL
-        // jitter and cross-copy cosine was exactly 1 — quadratic planted
-        // dup structure, violating this generator's own contract. Prime
-        // modulus 101 > max factor with an explicit 37k term (net copy
-        // coefficient 68, invertible mod 101) makes the per-copy jitter
-        // pairwise distinct; amplitude ±0.4 pushes cross-copy cosine out
-        // of the near-dup band while within-copy geometry is preserved.
+        // Per-(id, dimension, copy) HASHED jitter. The arithmetic
+        // versions failed twice: `(vec_id·31 + 7i + 13k) mod 11`'s copy
+        // term CANCELLED (id-shift contributes 31k, 31k + 13k ≡ 0 mod
+        // 11 — identical jitter on every copy, cosine exactly 1), and
+        // the affine mod-101 retry still gave cosine ~0.9996 for copy
+        // deltas whose net coefficient is ±1 mod 101 (caught in
+        // review). xxhash64 mixing (id, dim, copy) decorrelates every
+        // pair; amplitude ±0.4 pushes cross-copy cosine out of the
+        // near-dup band while within-copy geometry is preserved.
         transform(col("embedding"), (x, i) =>
-          (x + (pmod(col("vec_id") * 31L + i * 7L + lit(k * 37L), lit(101L)) - 50L)
+          (x + (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(101L)) - 50L)
             .cast("float") * 0.008f).cast("float")))
     }
     write("embeddings", embCopies.reduce(_ unionByName _))

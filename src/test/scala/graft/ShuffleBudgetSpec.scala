@@ -54,15 +54,24 @@ class ShuffleBudgetSpec extends SparkSpec {
     // 16-band key table rivals the text, while at production doc sizes
     // the identical sketch cost is ≪ payload.
     val lsh = shuffleBytes(q("q25_minhash_neardups"))
+    // (shingleN, numPerms, bands) mirror minhashNearDupsPortable's
+    // defaults — q25 calls it with defaults, so these must track them
     val keyed = graft.operators.DedupOps.minhashBandRowsPortable(
       graft.operators.DedupOps.hashedShingleRowsPortable(
         graft.queries.Fixtures.dupCorpus(Tables.documents(spark, sf)),
         "id", "text", 3), 64, 16)
     val sketchBytes = keyed
       .agg(sum(length(col("bk")) + lit(16))).collect().head.getLong(0)
-    assert(lsh < 2 * sketchBytes,
-      s"q25 shuffled $lsh bytes — more than the $sketchBytes-byte band-key" +
-        " sketch table shuffled once (+ pair rows); payloads are leaking")
+    // TIGHT bound: the sketch table crosses the wire once (the capped
+    // bucket aggregation) plus pair/verify rows ≪ textBytes/3. A
+    // regression that widens any pre-exchange projection to include
+    // the text column adds ≥ textBytes and fails. (2·sketchBytes was
+    // briefly used here and would have masked exactly that leak —
+    // these fixture docs are ~300 B, so the 16-band key table is
+    // ~4× the text; at production doc sizes the same sketch is ≪ it.)
+    assert(lsh < sketchBytes + textBytes / 3,
+      s"q25 shuffled $lsh bytes vs $sketchBytes-byte band-key sketch " +
+        s"+ ${textBytes / 3} slack; document payloads are leaking into an exchange")
     GraftCache.releaseAll(spark)
     spark.catalog.clearCache()
   }
