@@ -29,6 +29,24 @@ object Fixtures {
   private[graft] val trainedIvfIndexCache =
     scala.collection.mutable.Map.empty[String, (String, Seq[(Long, Seq[Double])])]
 
+  /** Temp directory for a per-JVM materialized index (q58/q249),
+    * recursively deleted on JVM exit so Verify/Bench runs leave no
+    * `graft-ivf-*` residue in /tmp. The index caches above hold these
+    * for the JVM's whole lifetime by design (corpus state, built once),
+    * so a shutdown hook — not eager deletion — is the correct scope.
+    */
+  private[graft] def scratchIndexDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   // ---- synthetic input builders (mirrored literally in the oracle SQL) ----
 
   /** Deterministic URL variants exercising every filenameFromUrl branch. */

@@ -57,7 +57,7 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, d)
       val (idx, cents) = ivfIndexCache.synchronized {
         ivfIndexCache.getOrElseUpdate(d, {
-          val p = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+          val p = scratchIndexDir("graft-ivf-idx")
           (p, SimilarityOps.writeIvfIndex(emb, p, nlist = 16))
         })
       }
@@ -238,7 +238,7 @@ object SimilarityQueries {
         .select("query_id", "neighbor_id")
       val (idx, trained) = trainedIvfIndexCache.synchronized {
         trainedIvfIndexCache.getOrElseUpdate(d, {
-          val p = java.nio.file.Files.createTempDirectory("graft-ivf-trained").toString
+          val p = scratchIndexDir("graft-ivf-trained")
           val cents = SimilarityOps.trainCentroids(emb, k = 16, iters = 2)
           SimilarityOps.writeIvfIndexWith(emb, p, cents)
           (p, cents)

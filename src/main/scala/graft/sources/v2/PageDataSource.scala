@@ -3,7 +3,7 @@ package graft.sources.v2
 import graft.sources.PageSource
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -30,16 +30,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's asyncio gather loop had (base.py:119-133), here as
   * independent Spark tasks with per-page error isolation (a throwing
   * fetch yields an empty-HTML row, parity with `continue`-on-error).
-  * Page-range predicates (`page =/</<=/>/>=`) PUSH DOWN into partition
-  * planning, so a pruned scan never schedules the excluded pages at
-  * all — O2 enforced below the optimizer, visible as fewer input
-  * partitions rather than a post-scan filter.
+  * Two pushdowns run below the optimizer:
+  *
+  *  - '''Partition pruning''' — page-range predicates
+  *    (`page =/</<=/>/>=`) tighten the planned page range, so a pruned
+  *    scan never schedules the excluded pages at all (O2 enforced at
+  *    the source, visible as fewer input partitions rather than a
+  *    post-scan filter).
+  *  - '''Column pruning''' — `SupportsPushDownRequiredColumns`: the one
+  *    heavy column is `html`, and a scan that does not read it
+  *    (`select("page")`, `count()`) never performs the fixture read or
+  *    HTTP GET at all. This is the DSv2 analog of the reference's
+  *    deliberate metadata-only probe (base.py:58-72 fetches ONE page to
+  *    count, never the corpus) and of Spark file sources pruning
+  *    columns at the scan.
   *
   * Modes: `dir` reads `${dir}/page_${n}.html` fixtures (offline,
   * test-driven); otherwise `baseUrl`/`urlPath`/`portletId` fetch over
-  * HTTP via the S2 URL builder. Fixture mode is the only one the test
-  * environment can exercise; the HTTP branch reuses buildPageUrl and
-  * plain java.net I/O.
+  * HTTP via the S2 URL builder. The HTTP branch uses `java.net.http`
+  * with an explicit per-page deadline — `pageTimeoutSec` option,
+  * default 60, parity with the reference's `REQUEST_TIMEOUT = 60`
+  * (config.py:36) and with [[graft.fetch.Downloader.httpFetch]]'s
+  * client. A bare `URL.openStream()` (JDK default = infinite
+  * connect/read timeout) would let ONE hung page server stall a Spark
+  * task — and therefore the whole scan — forever; a timed-out page is
+  * instead an empty-HTML row like any other per-page failure.
   */
 class PageTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-pages"
@@ -79,13 +94,15 @@ private[v2] class PageTable(options: CaseInsensitiveStringMap)
 }
 
 private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with Scan with Batch with SupportsPushDownFilters {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private val (optLo, optHi) =
     PageTableProvider.parsePages(options.getOrDefault("pages", "1-1"))
   private var lo = optLo
   private var hi = optHi
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = PageTableProvider.Schema
 
   /** O2 below the optimizer: page-range predicates tighten [lo, hi]
     * before partitions are planned. Accepted filters are fully applied
@@ -108,11 +125,20 @@ private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Column pruning: Spark hands down the columns the query actually
+    * reads (possibly none, for `count()`); the readers emit exactly
+    * those and — the point — skip the page fetch entirely when `html`
+    * is not among them.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
   override def build(): Scan = this
-  override def readSchema(): StructType = PageTableProvider.Schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-pages [$lo, $hi] ${options.getOrDefault("productType", "")}"
+    s"graft-pages [$lo, $hi] ${options.getOrDefault("productType", "")} " +
+      s"cols=[${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     (lo to hi).map(p => PagePartition(p): InputPartition).toArray
@@ -130,8 +156,10 @@ private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
     val urlPath = options.getOrDefault("urlPath", "")
     val portletId = options.getOrDefault("portletId", "")
     val perPage = options.getOrDefault("itemsPerPage", "60").toInt
+    val timeoutSec = options.getOrDefault("pageTimeoutSec", "60").toLong
+    require(timeoutSec > 0, s"pageTimeoutSec must be positive, got $timeoutSec")
     PageReaderFactory(productType, Option(dir), Option(baseUrl),
-      urlPath, portletId, perPage)
+      urlPath, portletId, perPage, timeoutSec, required.fieldNames.toSeq)
   }
 }
 
@@ -139,8 +167,18 @@ private[v2] case class PagePartition(page: Int) extends InputPartition
 
 private[v2] case class PageReaderFactory(
     productType: String, dir: Option[String], baseUrl: Option[String],
-    urlPath: String, portletId: String, itemsPerPage: Int)
+    urlPath: String, portletId: String, itemsPerPage: Int,
+    pageTimeoutSec: Long, requiredCols: Seq[String])
     extends PartitionReaderFactory {
+
+  // one HTTP client per executor-side factory instance (it is not
+  // serializable, so it cannot ride along from the driver); connect
+  // deadline here, per-request deadline on each GET below
+  @transient private lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(pageTimeoutSec))
+      .build()
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[PagePartition].page
@@ -149,11 +187,17 @@ private[v2] case class PageReaderFactory(
       override def next(): Boolean = !emitted
       override def get(): InternalRow = {
         emitted = true
-        // per-page error isolation: a throwing fetch yields "" (the
-        // downstream parse treats a missing table as zero rows)
-        val html = try fetchPage(page) catch { case _: Exception => "" }
-        InternalRow(UTF8String.fromString(productType), page,
-          UTF8String.fromString(html))
+        InternalRow.fromSeq(requiredCols.map {
+          case "product_type" => UTF8String.fromString(productType)
+          case "page" => page
+          case "html" =>
+            // per-page error isolation: a throwing fetch — including an
+            // HTTP timeout — yields "" (the downstream parse treats a
+            // missing table as zero rows); reached ONLY when the query
+            // reads html, so pruned scans never pay the fetch
+            val html = try fetchPage(page) catch { case _: Exception => "" }
+            UTF8String.fromString(html)
+        })
       }
       override def close(): Unit = ()
     }
@@ -164,7 +208,13 @@ private[v2] case class PageReaderFactory(
     case None =>
       val url = PageSource.buildPageUrl(baseUrl.get, urlPath, portletId,
         page, itemsPerPage)
-      val in = new java.net.URI(url).toURL.openStream()
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(pageTimeoutSec)).GET().build()
+      val resp = httpClient.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString(
+          java.nio.charset.StandardCharsets.UTF_8))
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
+      resp.body()
   }
 }

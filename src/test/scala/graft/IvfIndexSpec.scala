@@ -15,7 +15,7 @@ class IvfIndexSpec extends SparkSpec {
   private val corpus = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
 
   test("probes prune index partitions at the source") {
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    val path = graft.queries.Fixtures.scratchIndexDir("graft-ivf") + "/index"
     val cents = SimilarityOps.writeIvfIndex(corpus, path, nlist = 8)
     // index layout: one directory per centroid
     val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
@@ -35,7 +35,7 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("trained-centroid index (q249's production path): assignment parity + pruning") {
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf-tr").toString + "/index"
+    val path = graft.queries.Fixtures.scratchIndexDir("graft-ivf-tr") + "/index"
     val cents = SimilarityOps.trainCentroids(corpus, k = 8, iters = 2)
     assert(cents.map(_._1) == (0L until 8L), "centroid ids are the cluster indices")
     SimilarityOps.writeIvfIndexWith(corpus, path, cents)

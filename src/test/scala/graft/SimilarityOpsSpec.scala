@@ -219,7 +219,7 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(trainedAssign(0L) != trainedAssign(19L))
     // trained centroids drive the partitioned index end to end: a blob-B
     // query's neighbors all come from blob B
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-trained").toString
+    val dir = graft.queries.Fixtures.scratchIndexDir("graft-ivf-trained")
     SimilarityOps.writeIvfIndexWith(emb, dir, trained)
     val got = SimilarityOps.ivfTopKIndexed(spark, dir, trained,
         emb.where(col("vec_id") === 15L), k = 3, nprobe = 1)
