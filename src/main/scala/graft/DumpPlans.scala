@@ -101,8 +101,55 @@ object DumpPlans {
     "q246_clustering_depth" -> "two bounded frames (64 envelopes x 256 cells) broadcast-probed — depth never touches row-scale data",
     "q247_hierarchy_rollup" -> "height-bounded unrolled closure joins; both rollup outputs are partial-agg group-bys over (node, anc) longs",
     "q249_ivf_trained_recall" -> "trained-centroid index probed via PartitionFilters; seed arm, exact side, and list-balance audits all fold from partial aggs",
+    "q250_ivf_drift" -> "fixed-centroid quantized assignment: k x dim literal broadcast, one corpus pass, zero joins before the k-row agg",
     "q251_kmv_intersect" -> "bottom-k sketches fuse into TakeOrderedAndProject — never a global sort; k-row joins broadcast",
     "q252_bloom_filter" -> "512-lane filter broadcast into the probe join; bit positions are a codegen'd projection, counts partial-agg")
+
+  /** Narrated per-round job shapes for the RDD fixpoint operators —
+    * `explain` can't see inside an RDD loop, so the scale contract is
+    * stated here the same way the Catalyst dumps state theirs.
+    */
+  private val Narratives = Seq(
+    ("q248_hierarchy_rollup_deep",
+      "two O(height)-round co-partitioned RDD fixpoints — O(n) state per round, ONE job per round, no closure materialization",
+      """`GraphOps.subtreeRollupDeep` (GraphOps.scala) computes the same
+(id, depth, n_desc, subtree_sum) contract as unrolled q247, for trees
+deeper than the closure plan can afford (q247's n·(height+1) ancestor
+closure and per-level join both grow with height; this loop's state is
+O(n) at EVERY height). Per-round shape, pass 1 (bottom-up leaf peel):
+
+- Every RDD lives on ONE shared `HashPartitioner` (numShufflePartitions
+  capped by input partitions). `flatMapValues`/`mapValues` preserve it,
+  so the only per-round exchange is the child→parent key change in the
+  flush — and that flush is `reduceByKey` with map-side combine: a
+  million-leaf sibling fan-in crosses the wire as one (n, sum, k)
+  record per parent per map partition.
+- Each round runs exactly ONE job: finalized ∪ ready and the next
+  pending state are drained together through a single `zipPartitions`
+  action, with the ready count riding an accumulator so progress is
+  decided by the same job that materializes the round (no second pass,
+  and no lazy recompute through checkpoint-truncated lineage — the
+  in-code comment documents the CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+  failure this prevents).
+- Lineage is `localCheckpoint`-truncated every 10 rounds (task
+  serialization stack-overflows around round ~90 otherwise; pinned by
+  the depth-100 chain test), and every persisted RDD registers with
+  GraftCache AT CREATION so the designed throw paths leak nothing.
+- Malformed input fails LOUDLY: a parent cycle stalls the peel (no node
+  finalizes) and throws IllegalStateException; `maxRounds` bounds both
+  loops against adversarial depth.
+
+Pass 2 (top-down depth walk) descends the co-partitioned child
+adjacency one level per round, same one-job/round + checkpoint cadence;
+a forest needs no visited-set subtraction since every node has exactly
+one parent. Final join (finalized ⋈ depths) is co-partitioned and
+narrow.
+
+At 100× (SCALING.md): 1.60 s → 14.68 s, and the ratio is ROUNDS — the
+key-offset corpus deepens the parent chains ~16 levels vs 7 at sf0.1 —
+times the per-job scheduling floor, not data volume. On a 1000-executor
+cluster the same loop runs height-many barriers over hash-partitioned
+(long, long) state; nothing in it is driver-resident or closure-sized."""))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -127,6 +174,13 @@ object DumpPlans {
       sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim
         .flatMap(c => if (c < ' ' && c != '\n' && c != '\t') f"\\u${c.toInt}%04x" else c.toString))
       sb.append("\n```\n")
+    }
+    // RDD fixpoint operators have no Catalyst plan to dump; their
+    // "plan you'd want at 100×" contract is narrated instead.
+    Narratives.foreach { case (name, why, text) =>
+      sb.append(s"\n## $name — $why\n\n")
+      sb.append(text.trim)
+      sb.append("\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
     println(s"wrote $out")

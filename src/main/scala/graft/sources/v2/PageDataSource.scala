@@ -26,11 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .where($"page" <= 3)                   // pruned at the SOURCE
   * }}}
   *
-  * Shape: one InputPartition per page — the fetch parallelism unit the
-  * reference's asyncio gather loop had (base.py:119-133), here as
-  * independent Spark tasks with per-page error isolation (a throwing
-  * fetch yields an empty-HTML row, parity with `continue`-on-error).
-  * Two pushdowns run below the optimizer:
+  * Shape: one InputPartition per page by default — the fetch
+  * parallelism unit the reference's asyncio gather loop had
+  * (base.py:119-133), here as independent Spark tasks with per-page
+  * error isolation (a throwing fetch yields an empty-HTML row, parity
+  * with `continue`-on-error). For large page ranges the per-TASK
+  * scheduling floor dominates a per-page split (measured: a 10k-page
+  * fixture scan spent ~5 s on task scheduling alone — SCALING.md), so
+  * `pagesPerPartition` batches consecutive pages into one task; error
+  * isolation stays per page either way, since rows are emitted page by
+  * page inside the reader. Two pushdowns run below the optimizer:
   *
   *  - '''Partition pruning''' — page-range predicates
   *    (`page =/</<=/>/>=`) tighten the planned page range, so a pruned
@@ -140,8 +145,12 @@ private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
     s"graft-pages [$lo, $hi] ${options.getOrDefault("productType", "")} " +
       s"cols=[${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    (lo to hi).map(p => PagePartition(p): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = options.getOrDefault("pagesPerPartition", "1").toInt
+    require(per >= 1, s"pagesPerPartition must be >= 1, got $per")
+    (lo to hi).grouped(per)
+      .map(g => PagePartition(g.head, g.last): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val productType = options.getOrDefault("productType", "unknown")
@@ -163,7 +172,7 @@ private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
   }
 }
 
-private[v2] case class PagePartition(page: Int) extends InputPartition
+private[v2] case class PagePartition(lo: Int, hi: Int) extends InputPartition
 
 private[v2] case class PageReaderFactory(
     productType: String, dir: Option[String], baseUrl: Option[String],
@@ -181,12 +190,11 @@ private[v2] case class PageReaderFactory(
       .build()
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val page = partition.asInstanceOf[PagePartition].page
+    val part = partition.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = !emitted
-      override def get(): InternalRow = {
-        emitted = true
+      private var page = part.lo - 1
+      override def next(): Boolean = { page += 1; page <= part.hi }
+      override def get(): InternalRow =
         InternalRow.fromSeq(requiredCols.map {
           case "product_type" => UTF8String.fromString(productType)
           case "page" => page
@@ -198,7 +206,6 @@ private[v2] case class PageReaderFactory(
             val html = try fetchPage(page) catch { case _: Exception => "" }
             UTF8String.fromString(html)
         })
-      }
       override def close(): Unit = ()
     }
   }

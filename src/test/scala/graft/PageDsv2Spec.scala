@@ -127,6 +127,20 @@ class PageDsv2Spec extends SparkSpec {
     assert(rows(0)._2.nonEmpty && rows(1)._2.nonEmpty)
   }
 
+  test("pagesPerPartition batches tasks; pushdown still prunes; isolation stays per page") {
+    val dir = writeFixtures(7) // pages 1-7 exist; page 8 does not
+    def scan = spark.read.format("graft-pages")
+      .option("dir", dir).option("productType", "life").option("pages", "1-8")
+      .option("pagesPerPartition", "3").load()
+    assert(scan.rdd.getNumPartitions == 3, "ceil(8/3) page batches")
+    // range pushdown composes: [4,6] under batch=3 → one surviving batch
+    assert(scan.where($"page".between(4, 6)).rdd.getNumPartitions == 1)
+    val rows = scan.select("page", "html").as[(Int, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 8))
+    assert(rows(7)._2.isEmpty, "missing page 8 fails alone inside its batch")
+    assert(rows.take(7).forall(_._2.nonEmpty))
+  }
+
   test("HTTP mode fetches each page through the S2 URL builder (loopback stub)") {
     PageDsv2Spec.hits.set(0)
     withHttpStub((page, ex) => {
