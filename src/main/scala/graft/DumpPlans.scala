@@ -101,7 +101,7 @@ object DumpPlans {
     "q246_clustering_depth" -> "two bounded frames (64 envelopes x 256 cells) broadcast-probed — depth never touches row-scale data",
     "q247_hierarchy_rollup" -> "height-bounded unrolled closure joins; both rollup outputs are partial-agg group-bys over (node, anc) longs",
     "q249_ivf_trained_recall" -> "trained-centroid index probed via PartitionFilters; seed arm, exact side, and list-balance audits all fold from partial aggs",
-    "q250_ivf_drift" -> "fixed-centroid quantized assignment: k x dim literal broadcast, one corpus pass, zero joins before the k-row agg",
+    "q250_ivf_drift" -> "fixed-centroid quantized assignment: k x dim literal broadcast, ONE corpus pass, totals fold via a k-row window (no second scan, no join)",
     "q251_kmv_intersect" -> "bottom-k sketches fuse into TakeOrderedAndProject — never a global sort; k-row joins broadcast",
     "q252_bloom_filter" -> "512-lane filter broadcast into the probe join; bit positions are a codegen'd projection, counts partial-agg")
 

@@ -286,15 +286,25 @@ object SimilarityQueries {
         .withColumn("arm",
           when(pmod(col("vec_id"), lit(5L)) === 0L, lit("batch"))
             .otherwise(lit("base")))
+      // ONE corpus pass: the per-centroid frame carries the error sums
+      // too, and the global totals FOLD from those k rows via a window
+      // over the k-row aggregate — `assigned` is an ExistingRDD-backed
+      // frame (no cache, no Catalyst subtree sharing), so the previous
+      // shape (a SEPARATE global agg crossJoined back) re-ran the whole
+      // quantized-assignment scan a second time; the single-subtree
+      // window keeps the corpus scan unique without a cache barrier
+      // (the window moves k rows, not data)
       val per = assigned.groupBy("centroid_id").agg(
         sum(when(col("arm") === "base", 1L).otherwise(0L)).as("n_base"),
-        sum(when(col("arm") === "batch", 1L).otherwise(0L)).as("n_batch"))
-      val tot = assigned.agg(
-        sum(when(col("arm") === "base", 1L).otherwise(0L)).as("t_base"),
-        sum(when(col("arm") === "batch", 1L).otherwise(0L)).as("t_batch"),
-        sum(when(col("arm") === "base", expr("dist div 64")).otherwise(0L)).as("d_base"),
-        sum(when(col("arm") === "batch", expr("dist div 64")).otherwise(0L)).as("d_batch"))
-      per.crossJoin(broadcast(tot))
+        sum(when(col("arm") === "batch", 1L).otherwise(0L)).as("n_batch"),
+        sum(when(col("arm") === "base", expr("dist div 64")).otherwise(0L)).as("e_base"),
+        sum(when(col("arm") === "batch", expr("dist div 64")).otherwise(0L)).as("e_batch"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      per
+        .withColumn("t_base", sum("n_base").over(w))
+        .withColumn("t_batch", sum("n_batch").over(w))
+        .withColumn("d_base", sum("e_base").over(w))
+        .withColumn("d_batch", sum("e_batch").over(w))
         .select(col("centroid_id"), col("n_base"), col("n_batch"),
           expr("n_base * 10000 div t_base").as("base_share_bp"),
           expr("n_batch * 10000 div t_batch").as("batch_share_bp"),

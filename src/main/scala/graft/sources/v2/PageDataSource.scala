@@ -182,7 +182,12 @@ private[v2] case class PageReaderFactory(
 
   // one HTTP client per executor-side factory instance (it is not
   // serializable, so it cannot ride along from the driver); connect
-  // deadline here, per-request deadline on each GET below
+  // deadline here, per-request deadline on each GET below. JDK
+  // semantics: HttpRequest.timeout covers connect + time-to-response;
+  // a server that answers headers and then trickles the body is not
+  // bounded by it — same trade [[graft.fetch.Downloader.httpFetch]]
+  // makes, and the hang mode actually observed (dead server, stalled
+  // connect) is covered.
   @transient private lazy val httpClient: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)

@@ -10,6 +10,9 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def occurrences(haystack: String, needle: String): Int =
+    haystack.sliding(needle.length).count(_ == needle)
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
 
   test("scalar scans prune to the referenced columns (ReadSchema)") {
@@ -590,13 +593,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("IVF drift: no row-scale joins — assignment is a kernel, stats broadcast (q250)") {
+  test("IVF drift: ONE corpus scan, zero joins — totals fold via the k-row window (q250)") {
     val p = plan(q("q250_ivf_drift"))
-    assert(!p.contains("SortMergeJoin"),
-      s"the only joins are 1-row stat broadcasts:\n$p")
-    assert(!p.contains("Window"), s"no ordering is needed anywhere:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"totals must arrive by broadcast:\n$p")
+    // the round-12 shape: the quantized-assignment RDD is scanned ONCE
+    // (the earlier tot-crossJoin shape re-ran the corpus scan — an
+    // ExistingRDD subtree is never shared by Catalyst), and the global
+    // totals come from a window over the k-row aggregate, so there is
+    // no join at all and no second pass
+    assert(!p.contains("Join"), s"no join of any kind — totals fold in-plan:\n$p")
+    assert(occurrences(p, "Scan ExistingRDD") == 1,
+      s"the assignment kernel must be scanned exactly once:\n$p")
+    assert(p.contains("Window"), s"totals must fold via the k-row window:\n$p")
     graft.GraftCache.releaseAll(spark)
   }
 
