@@ -144,8 +144,10 @@ object LayoutQueries {
           (1 to 7).map(i => when(col("qval") > col(s"c$i"), 1L).otherwise(0L))
             .reduce(_ + _).as("range_id"))
       val ranges = assigned.groupBy("range_id").agg(sum("cnt").as("n_rows"))
-      val total = ranges.agg(sum("n_rows").as("total"))
-      ranges.crossJoin(broadcast(total))
+      // total folds from the 8-row range frame -- the separate agg
+      // branch re-aggregated the (cached) cell histogram a second time
+      ranges.withColumn("total", sum("n_rows").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
         .select(col("range_id"), col("n_rows"),
           expr("(n_rows * 10000) div total").as("share_bp"))
     }),

@@ -162,8 +162,11 @@ object QualityQueries {
       val per = ev.groupBy("event_type")
         .agg(max(unix_micros(col("ts"))).as("max_us"),
           count(lit(1)).as("n"))
-      val glob = ev.agg(max(unix_micros(col("ts"))).as("global_us"))
-      per.crossJoin(broadcast(glob))
+      // the global high-water mark FOLDS from the per-type maxes — a
+      // separate ev.agg(max) branch would scan the events table twice
+      // (q250 lesson); the window moves |event_type| rows, not data
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      per.withColumn("global_us", max("max_us").over(w))
         .select(col("event_type"), col("n"), col("max_us"),
           (col("global_us") - col("max_us")).as("lag_us"),
           (col("global_us") - col("max_us") > 3600000000L).as("stale"))
@@ -386,9 +389,12 @@ object QualityQueries {
         .select(substring(floor(col("l_extendedprice")).cast("long")
           .cast("string"), 1, 1).cast("int").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("cnt"))
-      val tot = digits.agg(sum("cnt").as("total"))
+      // total FOLDS from the 9-row joined frame (coalesced, so a digit
+      // absent from the data still gets the global total) — a separate
+      // agg branch would scan lineitem twice (q250 lesson)
       exp.join(digits, Seq("digit"), "left")
-        .crossJoin(broadcast(tot))
+        .withColumn("total", sum(coalesce(col("cnt"), lit(0L))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
         .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("cnt"),
           col("total"), col("expected_e6"),
           expr("(coalesce(cnt, 0) * 1000000) div total").as("obs_e6"),

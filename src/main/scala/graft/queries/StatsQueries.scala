@@ -132,7 +132,13 @@ object StatsQueries {
         "w", k)
       val all = docs.select(explode(T.tokens(col("text"))).as("w"))
       val exact = all.groupBy("w").agg(count(lit(1)).as("exact_n"))
-      val total = all.agg(count(lit(1)).as("n_total"))
+      // n_total folds from the exact vocab counts instead of a second
+      // count over the raw token explode: this `exact` subtree is
+      // canonically identical to the join branch's, so AQE reuses ONE
+      // shuffle stage and the tokenize+explode pass runs once (q250
+      // lesson; a window here would serialize the vocab into a single
+      // partition, so the fold is an agg over the reused exchange)
+      val total = exact.agg(sum("exact_n").as("n_total"))
       merged.join(exact, "w")
         .crossJoin(broadcast(total))
         .select(col("w"), col("exact_n"), col("est").as("mg_est"),
@@ -402,10 +408,14 @@ object StatsQueries {
     "q217_target_encoding" -> ((s, d) => {
       val y = Tables.documents(s, d).select(col("source"),
         when(col("n_chars") >= 300L, 1L).otherwise(0L).as("y"))
-      val glob = y.agg(count(lit(1)).as("n_all"), sum("y").as("pos_all"))
-        .select(expr("(pos_all * 10000) div n_all").as("prior_bp"))
+      // the global prior FOLDS from the per-source aggregate -- a
+      // separate y.agg branch would scan documents twice (q250 lesson);
+      // the window moves |sources| rows, not data
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
       y.groupBy("source").agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
-        .crossJoin(broadcast(glob))
+        .withColumn("n_all", sum("n").over(w))
+        .withColumn("pos_all", sum("n_pos").over(w))
+        .withColumn("prior_bp", expr("(pos_all * 10000) div n_all"))
         .select(col("source"), col("n"), col("n_pos"), col("prior_bp"),
           expr("(n_pos * 10000 + 10 * prior_bp) div (n + 10)").as("enc_bp"))
     }),

@@ -13,6 +13,15 @@ class PlanAuditSpec extends SparkSpec {
 
   private def occurrences(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
+
+  /** Execute the query and return its FINAL adaptive plan string —
+    * stage-reuse nodes (ReusedQueryStage / ReusedExchange) only appear
+    * once AQE has actually run the stages.
+    */
+  private def executedPlanString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.execute().count()
+    df.queryExecution.executedPlan.toString
+  }
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
 
   test("scalar scans prune to the referenced columns (ReadSchema)") {
@@ -571,6 +580,15 @@ class PlanAuditSpec extends SparkSpec {
         s"manifest cumsum must partition by the group column:\n$w")
     }
     assert(!plan(q("q243_compaction_plan")).contains("SortMergeJoin"))
+  }
+
+  test("MG merge: n_total folds from the REUSED exact-vocab exchange — one extra tokenize, not two (q241)") {
+    // the total branch aggregates `exact`, whose exchange subtree is
+    // canonically identical to the join branch's — AQE must run that
+    // shuffle stage once and reuse it, or the fold buys nothing
+    val p = executedPlanString(q("q241_mg_merge"))
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"),
+      s"the exact-vocab exchange was not reused — n_total is re-tokenizing:\n$p")
   }
 
   test("range-split plan: ONE cached cell histogram feeds cuts + assignment; no SMJ (q244)") {
