@@ -211,7 +211,10 @@ object PercentileOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cells.withColumn("cum", sum("cnt").over(wCum))
       .withColumn("lo", col("cum") - col("cnt") + 1L)
-    val nTotal = rows.agg(count(lit(1)).as("n_total"))
+    // n_total folds from the domain-bounded cell frame, not a second
+    // scan of the input rows; this `cells` subtree is canonically
+    // identical to cum's, so AQE reuses one shuffle stage
+    val nTotal = cells.agg(sum("cnt").as("n_total"))
     val levelsDf = df.sparkSession.range(1, levels + 1)
       .select(col("id").as("bp"))
       .crossJoin(broadcast(nTotal))

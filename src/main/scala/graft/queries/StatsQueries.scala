@@ -389,11 +389,15 @@ object StatsQueries {
       val wCum = org.apache.spark.sql.expressions.Window.orderBy("v")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      val cum = cells.withColumn("cum", sum("cnt").over(wCum))
-        .select(col("v").as("n_chars"), col("cum"))
-      val nTotal = docs.agg(count(lit(1)).as("n_total"))
+      // n_total FOLDS from the domain-bounded cell frame (sum of cell
+      // counts) — a separate docs.agg branch was a THIRD scan of the
+      // table (q250 lesson); both windows move cells, not rows
+      val cum = cells
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n_total", sum("cnt").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .select(col("v").as("n_chars"), col("cum"), col("n_total"))
       ranked.join(broadcast(cum), "n_chars")
-        .crossJoin(broadcast(nTotal))
         .select(col("doc_id"), col("n_chars"),
           expr("((rank - 1) * 10000) div (n_total - 1)").as("pr_bp"),
           expr("(cum * 10000) div n_total").as("cume_bp"))
