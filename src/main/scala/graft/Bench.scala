@@ -89,6 +89,11 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // catalog-table queries (q253/q254 bucketed layouts) use explicit
+      // external paths, but pin the warehouse to a temp dir anyway so no
+      // spark-warehouse/ directory ever appears in the repo cwd
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -103,7 +103,9 @@ object DumpPlans {
     "q249_ivf_trained_recall" -> "trained-centroid index probed via PartitionFilters; seed arm, exact side, and list-balance audits all fold from partial aggs",
     "q250_ivf_drift" -> "fixed-centroid quantized assignment: k x dim literal broadcast, ONE corpus pass, totals fold via a k-row window (no second scan, no join)",
     "q251_kmv_intersect" -> "bottom-k sketches fuse into TakeOrderedAndProject — never a global sort; k-row joins broadcast",
-    "q252_bloom_filter" -> "512-lane filter broadcast into the probe join; bit positions are a codegen'd projection, counts partial-agg")
+    "q252_bloom_filter" -> "512-lane filter broadcast into the probe join; bit positions are a codegen'd projection, counts partial-agg",
+    "q253_bucketed_join" -> "catalog-bucketed fact x fact SMJ: ZERO exchanges under the join — both scans read co-located buckets (the write-time shuffle is amortized over every orderkey join)",
+    "q254_bucket_pruning" -> "SelectedBucketsCount scan pruning from the IN predicate; the groupBy reuses the bucket partitioning — no exchange anywhere")
 
   /** Narrated per-round job shapes for the RDD fixpoint operators —
     * `explain` can't see inside an RDD loop, so the scale contract is

@@ -47,6 +47,31 @@ object Fixtures {
     p.toString
   }
 
+  /** Per-JVM bucketed lineitem/orders tables for q253/q254 (corpus
+    * state, like the IVF indexes above): both sides hash-bucketed on
+    * their join key into the same bucket count, so every subsequent
+    * orderkey join is exchange-free and orderkey equality predicates
+    * prune buckets at the scan. Registered in the session catalog once
+    * per sf dir (idempotent via tableExists); data lives under a
+    * shutdown-deleted scratch dir, never the warehouse.
+    */
+  private[graft] def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val buckets = 8
+    val li = graft.sources.BucketedLayout.ensureBucketed(
+      s, s"graft_bkt_lineitem_$tag", buckets, "l_orderkey", "l_orderkey") {
+      (scratchIndexDir("graft-bkt-li"),
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
+          "l_extendedprice", "l_discount"))
+    }
+    val ord = graft.sources.BucketedLayout.ensureBucketed(
+      s, s"graft_bkt_orders_$tag", buckets, "o_orderkey", "o_orderkey") {
+      (scratchIndexDir("graft-bkt-ord"),
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))
+    }
+    (li, ord)
+  }
+
   // ---- synthetic input builders (mirrored literally in the oracle SQL) ----
 
   /** Deterministic URL variants exercising every filenameFromUrl branch. */

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Join algorithms beyond equi-join: as-of, range, interval overlap, fuzzy (blocked Levenshtein), salted skew joins.
   *
-  * Contract queries: q64_asof_state, q66_range_join, q75_salted_join, q91_fuzzy_match, q148_interval_overlap, q225_skew_report.
+  * Contract queries: q64_asof_state, q66_range_join, q75_salted_join, q91_fuzzy_match, q148_interval_overlap, q225_skew_report, q253_bucketed_join.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object JoinsQueries {
@@ -113,6 +113,29 @@ object JoinsQueries {
         .select(col("key"), col("cnt"), col("mean_cnt"),
           expr("(cnt + mean_cnt - 1) div mean_cnt").as("salt_factor"))
     }),
+
+
+    // Bucketed co-located join — the write-once/shuffle-never pattern
+    // for the repeated fact⋈fact join: lineitem and orders persisted
+    // hash-bucketed on their join key (Fixtures.bucketedTables — 8
+    // buckets each, built once per JVM as corpus state, like the IVF
+    // indexes), so the orderkey join reads bucket i of both sides into
+    // the same task with NO exchange under the join (asserted
+    // structurally in BucketedJoinSpec). The merge hint forces the
+    // SortMergeJoin a 100 TB fact⋈fact join plans anyway — at that
+    // scale neither side broadcasts, which is the case bucketing
+    // exists for. The oracle runs the same join over the UNBUCKETED
+    // parquet: the hash match certifies the layout changes cost, not
+    // answers.
+    "q253_bucketed_join" -> ((s, d) => {
+      val (li, ord) = bucketedTables(s, d)
+      li.hint("merge").join(ord.hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          R.half2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -186,5 +209,13 @@ object JoinsQueries {
         |SELECT c.key, c.cnt, st.mean_cnt,
         | (c.cnt + st.mean_cnt - 1) // st.mean_cnt AS salt_factor
         |FROM c CROSS JOIN st WHERE c.cnt > st.mean_cnt * 4""".stripMargin,
+
+
+    // Same join over the unbucketed parquet — layout-invariance check.
+    "q253_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
   )
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning.
   */
 object LayoutQueries {
 
@@ -224,6 +224,28 @@ object LayoutQueries {
       depth(expr("z div 4"), "zorder")
         .unionByName(depth(pmod(col("l_orderkey"), lit(64)), "roundrobin"))
     }),
+
+
+    // Bucket pruning — the catalog twin of q242's file skipping: the
+    // bucketed lineitem table (Fixtures.bucketedTables, shared with
+    // q253) carries its hash-bucket spec as table metadata, so an IN
+    // predicate on the bucket column cuts the scan to the matching
+    // buckets BEFORE any row is decoded (SelectedBucketsCount in the
+    // scan node — asserted in BucketedJoinSpec). Probe keys are the 3
+    // smallest orderkeys: a 3-row TakeOrdered collect (the nlist-scale
+    // plan-literal pattern — bucket pruning only fires on literals);
+    // the oracle recomputes the same keys with ORDER BY/LIMIT over the
+    // unbucketed parquet.
+    "q254_bucket_pruning" -> ((s, d) => {
+      val (li, ord) = Fixtures.bucketedTables(s, d)
+      val keys = ord.select("o_orderkey").orderBy("o_orderkey").limit(3)
+        .collect().map(_.getLong(0))
+      li.where(col("l_orderkey").isin(keys.map(Long.box): _*))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"),
+          graft.functions.Rounding.half2(sum("l_extendedprice")).as("sum_base"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -412,5 +434,16 @@ object LayoutQueries {
         |  max(depth) AS max_depth
         | FROM dr)
         |SELECT * FROM az UNION ALL SELECT * FROM ar""".stripMargin,
+
+
+    // Same keys (3 smallest orderkeys) and aggregates over the
+    // unbucketed parquet — certifies the pruned scan loses no rows.
+    "q254_bucket_pruning" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+        |GROUP BY l_orderkey""".stripMargin,
   )
 }

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Hash-bucketed table layout — the write-side contract that makes the
+  * read-side join shuffle-free.
+  *
+  * Why this is a first-class 100 TB concern: a fact⋈fact equi-join
+  * (lineitem ⋈ orders on orderkey) shuffles BOTH inputs every time it
+  * runs. At 100 TB that shuffle — not the join kernel — is the cost:
+  * every executor rewrites its share of both tables across the network
+  * per query. Bucketing moves that shuffle to WRITE time, once: each
+  * table is persisted pre-hash-partitioned on its join key into a fixed
+  * number of buckets (and sorted within each bucket), the bucket spec is
+  * recorded in the catalog, and every subsequent join on that key reads
+  * bucket i of each side into the same task — Catalyst's
+  * EnsureRequirements sees matching `HashPartitioning` on both children
+  * and plans a SortMergeJoin with NO Exchange under either side (and,
+  * with `sortBy` on the key, no per-task Sort either). The same catalog
+  * metadata also powers bucket pruning: an equality predicate on the
+  * bucket column reads 1 of N buckets (`SelectedBucketsCount` in the
+  * scan node), a 1/N I/O cut before any row is decoded.
+  *
+  * Both behaviors are asserted structurally in BucketedJoinSpec (no
+  * ShuffleExchange in the join subtree; SelectedBucketsCount in the
+  * pruned scan) and certified end-to-end by q253/q254, whose DuckDB
+  * oracles run the same joins on the UNBUCKETED parquet — the hash
+  * match proves layout-invariance of the results.
+  *
+  * Spark requires bucketed data to live in a catalog table (the bucket
+  * spec is table metadata, not file metadata), so the writer goes
+  * through `saveAsTable` with an explicit external `path`; the catalog
+  * entry is session-scoped (in-memory catalog), the files live where
+  * the caller says.
+  */
+object BucketedLayout {
+
+  /** Write `df` as an external bucketed+sorted table at `path`,
+    * replacing any previous catalog entry of the same name.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    numBuckets: Int, bucketCol: String,
+                    sortCol: String): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE `$table`")
+    // Pre-shuffle onto the bucket key so each write task owns exactly one
+    // bucket: without this every write task emits a file PER bucket —
+    // tasks × buckets small files, the q243 compaction disease seeded at
+    // write time. (The read side still plans a per-task Sort before a
+    // merge join either way: since 3.0 Spark only trusts bucket sort
+    // metadata behind spark.sql.legacy.bucketedTableScan.outputOrdering.
+    // That Sort is narrow — one bucket per task, spill-safe — and the
+    // join still runs with zero exchanges, which is the 100 TB win.)
+    df.repartition(numBuckets, df.col(bucketCol))
+      .write.format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(sortCol)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+  }
+
+  /** Idempotent ensure: build + register the bucketed table only if this
+    * session's catalog doesn't already have it (the bucketed layout is
+    * corpus state — built once per corpus, amortized over every join
+    * that reads it, exactly like an index). The builder is by-name and
+    * returns (path, rows) so the scratch path is only allocated when a
+    * write actually happens. Returns the table DataFrame, whose scan
+    * carries the bucket spec.
+    */
+  def ensureBucketed(spark: SparkSession, table: String,
+                     numBuckets: Int, bucketCol: String, sortCol: String)
+                    (build: => (String, DataFrame)): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val (path, rows) = build
+      writeBucketed(rows, table, path, numBuckets, bucketCol, sortCol)
+    }
+    spark.table(table)
+  }
+}

@@ -1,58 +1,131 @@
 package graft
 
+import graft.sources.BucketedLayout
 import org.apache.spark.sql.functions._
 
 /** Bucketing: the co-located-join pattern for repeated large-x-large
   * joins at 100 TB. Both sides written `bucketBy(N, key)` agree on
   * partitioning at READ time, so the join plans with ZERO exchanges —
   * the shuffle is paid once at write time, then amortized over every
-  * subsequent join on the bucket key.
+  * subsequent join on the bucket key. The same catalog metadata powers
+  * bucket pruning: an equality/IN predicate on the bucket column reads
+  * only the matching buckets (SelectedBucketsCount in the scan node).
   */
 class BucketedJoinSpec extends SparkSpec {
 
-  test("joins on the bucket key plan with no Exchange on either side") {
+  private def withBucketedTables[A](body: => A): A = {
     // explicit external-table paths: the (static) warehouse dir is never
     // touched, and the temp dir vanishes with the test host
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val sf = "/root/testdata/sf0.001"
-    Tables.orders(spark, sf).write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
-    Tables.lineitem(spark, sf).write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
-    // at test scale the optimizer would broadcast the small side and the
-    // bucketing would never be exercised; a 100 TB fact-fact join has no
-    // broadcastable side, which is the case bucketing exists for
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val joined = spark.table("orders_b")
-        .join(spark.table("lineitem_b"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"))
-      val p = joined.queryExecution.executedPlan.toString
-      // the join itself must not shuffle: the only allowed exchange is
-      // the one feeding the final aggregation
-      assert(p.contains("Join"), s"expected a join node in the plan:\n$p")
-      val joinPart = p.substring(p.indexOf("Join"))
-      assert(!joinPart.contains("Exchange"),
-        s"bucketed join must read co-located buckets, not shuffle:\n$p")
-      // and it still returns the right answer
-      val viaPlain = Tables.orders(spark, sf)
-        .join(Tables.lineitem(spark, sf),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val viaBucketed = joined.collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(viaBucketed == viaPlain)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    BucketedLayout.writeBucketed(Tables.orders(spark, sf),
+      "orders_b", s"$wh/orders_b", 8, "o_orderkey", "o_orderkey")
+    BucketedLayout.writeBucketed(Tables.lineitem(spark, sf),
+      "lineitem_b", s"$wh/lineitem_b", 8, "l_orderkey", "l_orderkey")
+    try body
+    finally {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
       // the external-table data dirs survive DROP TABLE; remove them
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    }
+  }
+
+  test("joins on the bucket key plan with no Exchange on either side") {
+    withBucketedTables {
+      // at test scale the optimizer would broadcast the small side and the
+      // bucketing would never be exercised; a 100 TB fact-fact join has no
+      // broadcastable side, which is the case bucketing exists for
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("orders_b")
+          .join(spark.table("lineitem_b"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        val p = joined.queryExecution.executedPlan.toString
+        // the join itself must not shuffle: the only allowed exchange is
+        // the one feeding the final aggregation
+        assert(p.contains("Join"), s"expected a join node in the plan:\n$p")
+        val joinPart = p.substring(p.indexOf("Join"))
+        assert(!joinPart.contains("Exchange"),
+          s"bucketed join must read co-located buckets, not shuffle:\n$p")
+        // and it still returns the right answer
+        val sf = "/root/testdata/sf0.001"
+        val viaPlain = Tables.orders(spark, sf)
+          .join(Tables.lineitem(spark, sf),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val viaBucketed = joined.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(viaBucketed == viaPlain)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    }
+  }
+
+  test("q253 shape: merge hint alone keeps the bucketed join exchange-free") {
+    // the contract query can't flip session confs (Bench runs 252 queries
+    // in one session), so it relies on hint("merge") to force the SMJ a
+    // scale join plans anyway — verify the hint + bucket spec suffice
+    // under the DEFAULT broadcast threshold
+    withBucketedTables {
+      val joined = spark.table("lineitem_b").hint("merge")
+        .join(spark.table("orders_b").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"merge hint must force a sort-merge join:\n$p")
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"hinted bucketed join must not shuffle either side:\n$p")
+    }
+  }
+
+  test("q254 shape: bucket-key predicate prunes buckets, agg is exchange-free") {
+    // Spark 4's DisableUnnecessaryBucketedScan drops the bucketed scan
+    // (and with it the pruning) when NOTHING downstream wants the
+    // partitioning — a bare filter reads all 8 buckets. q254's shape
+    // (filter + groupBy BOTH on the bucket column) keeps the scan
+    // bucketed, so the IN predicate prunes buckets at the source AND
+    // the aggregation reuses the bucket partitioning with no exchange.
+    withBucketedTables {
+      val key = spark.table("orders_b").agg(min("o_orderkey")).head.getLong(0)
+      val pruned = spark.table("lineitem_b").where(col("l_orderkey") === key)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      val p = pruned.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"expected bucket pruning in the scan node:\n$p")
+      assert(m.get.group(1).toInt == 1,
+        s"a single-key equality must read exactly 1 of 8 buckets:\n$p")
+      assert(!p.contains("Exchange"),
+        s"groupBy on the bucket column must reuse the bucket partitioning:\n$p")
+      // pruning must lose no rows
+      val sf = "/root/testdata/sf0.001"
+      val expected = Tables.lineitem(spark, sf)
+        .where(col("l_orderkey") === key).count()
+      assert(pruned.head.getLong(1) == expected)
+    }
+  }
+
+  test("ensureBucketed builds once and reuses the catalog entry after") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    var builds = 0
+    def get() = BucketedLayout.ensureBucketed(
+      spark, "ensure_b", 4, "k", "k") {
+      builds += 1
+      (s"$wh/ensure_b", spark.range(100).selectExpr("id AS k", "id * 2 AS v"))
+    }
+    try {
+      assert(get().count() == 100)
+      assert(get().count() == 100)
+      assert(builds == 1, "second call must reuse the catalog entry")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ensure_b")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
     }
   }
