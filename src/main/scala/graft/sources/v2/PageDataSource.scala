@@ -4,6 +4,7 @@ import graft.sources.PageSource
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -50,6 +51,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    count, never the corpus) and of Spark file sources pruning
   *    columns at the scan.
   *
+  * The same table also supports `spark.readStream` (MICRO_BATCH_READ):
+  * offsets are page numbers, `maxPagesPerTrigger` rate-limits a
+  * backlog, and the checkpoint replaces the reference's hand-rolled
+  * scan-progress state — see [[PageMicroBatchStream]].
+  *
   * Modes: `dir` reads `${dir}/page_${n}.html` fixtures (offline,
   * test-driven); otherwise `baseUrl`/`urlPath`/`portletId` fetch over
   * HTTP via the S2 URL builder. The HTTP branch uses `java.net.http`
@@ -87,7 +93,8 @@ private[v2] class PageTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_pages"
   override def schema(): StructType = PageTableProvider.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
       : ScanBuilder = {
     // merge table properties with read options (read options win)
@@ -152,6 +159,21 @@ private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
       .map(g => PagePartition(g.head, g.last): InputPartition).toArray
   }
 
+  /** T1/T2 over the same source: `spark.readStream.format("graft-pages")`
+    * turns the paginated scrape into a resumable micro-batch stream —
+    * the reference's incremental re-scrape loop (run N picks up where
+    * run N−1 stopped) expressed as Structured Streaming offsets. The
+    * offset IS the last ingested page number, so the checkpoint replaces
+    * the reference's hand-rolled state file for scan progress. Reuses
+    * this builder's pruned range, reader factory, and per-page error
+    * isolation unchanged.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val per = options.getOrDefault("pagesPerPartition", "1").toInt
+    require(per >= 1, s"pagesPerPartition must be >= 1, got $per")
+    new PageMicroBatchStream(options, lo, hi, per, () => createReaderFactory())
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val productType = options.getOrDefault("productType", "unknown")
     val dir = options.get("dir")
@@ -173,6 +195,91 @@ private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
 }
 
 private[v2] case class PagePartition(lo: Int, hi: Int) extends InputPartition
+
+/** Stream position = highest page already ingested ("page 0" = nothing
+  * yet). Monotone, dense, and human-readable in the checkpoint.
+  */
+private[v2] case class PageStreamOffset(page: Int) extends Offset {
+  override def json(): String = s"""{"page":$page}"""
+}
+
+/** Micro-batch stream over the page range: each trigger ingests the
+  * pages that became available since the last committed offset,
+  * optionally capped by `maxPagesPerTrigger` (admission control — the
+  * streaming twin of the batch side's `pagesPerPartition` task-floor
+  * fix: a huge backlog drains in bounded batches instead of one
+  * monster micro-batch).
+  *
+  * "Available" is mode-specific: fixture mode discovers the highest
+  * `page_N.html` present on each trigger (the scrape-in-progress case —
+  * new pages appear between triggers and are picked up incrementally,
+  * like a file-source directory listing); HTTP mode treats the
+  * configured range end as available (the reference scrapes a range it
+  * sized via the S3 cardinality probe; the probe stays a batch-side
+  * concern so the stream never issues speculative GETs past the range).
+  *
+  * Restart semantics come from the engine: the checkpointed offset is
+  * handed back via [[deserializeOffset]] and planning resumes at
+  * offset+1 — exactly-once page ingestion with no source-side state
+  * (T2's kill-and-resume contract, pinned in PageStreamSpec).
+  */
+private[v2] class PageMicroBatchStream(
+    options: CaseInsensitiveStringMap, lo: Int, hi: Int, pagesPerPartition: Int,
+    mkFactory: () => PartitionReaderFactory)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val maxPerTrigger: Option[Int] =
+    Option(options.get("maxPagesPerTrigger")).map { s =>
+      val m = s.toInt
+      require(m >= 1, s"maxPagesPerTrigger must be >= 1, got $m")
+      m
+    }
+  private val fixtureDir: Option[String] = Option(options.get("dir"))
+
+  /** Highest page currently available, clamped to the configured range. */
+  private def available(): Int = fixtureDir match {
+    case Some(d) =>
+      val names = Option(new java.io.File(d).list()).getOrElse(Array.empty)
+      val pages = names.flatMap(n =>
+        "^page_(\\d+)\\.html$".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      math.min(hi, if (pages.isEmpty) lo - 1 else pages.max)
+    case None => hi
+  }
+
+  override def initialOffset(): Offset = PageStreamOffset(lo - 1)
+
+  override def deserializeOffset(json: String): Offset =
+    PageStreamOffset("\"page\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a graft-pages offset: $json"))
+      .group(1).toInt)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.fold(ReadLimit.allAvailable())(ReadLimit.maxRows(_))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "SupportsAdmissionControl: latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[PageStreamOffset].page
+    val avail = available()
+    PageStreamOffset(maxPerTrigger.fold(avail)(m => math.min(avail, from + m)))
+  }
+
+  override def reportLatestOffset(): Offset = PageStreamOffset(available())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageStreamOffset].page
+    val e = end.asInstanceOf[PageStreamOffset].page
+    ((s + 1) to e).grouped(pagesPerPartition)
+      .map(g => PagePartition(g.head, g.last): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = mkFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[v2] case class PageReaderFactory(
     productType: String, dir: Option[String], baseUrl: Option[String],
