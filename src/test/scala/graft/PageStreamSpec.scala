@@ -66,6 +66,50 @@ class PageStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the whole scrape pipeline runs as ONE streaming query: pages -> rows -> life projection") {
+    // the reference's end-to-end loop (fetch page, parse table, project
+    // fields, append) as a single incremental query — G2/P1 stages are
+    // narrow (flatMap/filter/select), so they stream unchanged
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    def tds(cells: String*): String =
+      "<tr>" + cells.map(c => s"<td>$c</td>").mkString + "</tr>"
+    def writeProductPages(pages: Range): Unit = pages.foreach { p =>
+      val row = tds("<input/>", "Non-Archived", s"FY 202$p", s"Ins$p", s"Plan$p",
+        s"UIN$p", "Term", "", "", "P", "Par", "Ind", "",
+        s"<a href='/documents/p$p.pdf'>Doc $p</a>")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"page_$p.html"),
+        s"<div class='portlet'><table class='iq-table'><tbody>$row</tbody></table></div>")
+    }
+    writeProductPages(1 to 3)
+    val pages = spark.readStream.format("graft-pages")
+      .option("dir", dir).option("productType", "life")
+      .option("pages", "1-1000").load()
+      .select($"product_type".as("productType"), $"page", $"html")
+      .as[graft.operators.ParsePipeline.PageHtml]
+    val projected = graft.operators.ParsePipeline.life(
+      graft.operators.ParsePipeline.explodeRows(pages).toDF())
+    val q = projected.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val first = spark.read.parquet(out)
+      assert(first.count() == 3)
+      assert(first.select("uin").as[String].collect().sorted.toSeq ==
+        Seq("UIN1", "UIN2", "UIN3"))
+      // the scrape advances; the SAME query picks up and projects page 4
+      writeProductPages(4 to 4)
+      q.processAllAvailable()
+      val after = spark.read.parquet(out)
+      assert(after.count() == 4)
+      assert(after.where($"uin" === "UIN4")
+        .select("document_url").as[String].head.endsWith("/documents/p4.pdf"))
+    } finally q.stop()
+  }
+
   test("restart resumes from the checkpointed page offset, no re-ingest") {
     // the memory sink cannot recover from a checkpoint — the restart
     // contract needs a real sink, so this test goes through parquet
