@@ -15,8 +15,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * recorded in the catalog, and every subsequent join on that key reads
   * bucket i of each side into the same task — Catalyst's
   * EnsureRequirements sees matching `HashPartitioning` on both children
-  * and plans a SortMergeJoin with NO Exchange under either side (and,
-  * with `sortBy` on the key, no per-task Sort either). The same catalog
+  * and plans a SortMergeJoin with NO Exchange under either side (a
+  * narrow per-task Sort remains — see the note in [[writeBucketed]] on
+  * why modern Spark re-sorts even `sortBy` buckets). The same catalog
   * metadata also powers bucket pruning: an equality predicate on the
   * bucket column reads 1 of N buckets (`SelectedBucketsCount` in the
   * scan node), a 1/N I/O cut before any row is decoded.

@@ -643,4 +643,29 @@ class PlanAuditSpec extends SparkSpec {
       s"a sort-merge lane join would shuffle every key row:\n$p")
     assert(!p.contains("Window"), s"no ordering is needed:\n$p")
   }
+
+  // The two bucketed-layout audits run the CONTRACT queries (through
+  // Fixtures.bucketedTables), not spec-local tables — so a refactor
+  // that silently drops the bucketing from the shared fixture fails
+  // HERE even though the results would stay hash-identical.
+
+  test("the contract bucketed join reads co-located buckets, zero exchanges under the SMJ (q253)") {
+    val p = plan(q("q253_bucketed_join"))
+    assert(p.contains("SortMergeJoin"), s"expected the hinted SMJ:\n$p")
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange"),
+      s"the bucketed fact-fact join must not shuffle either side:\n$p")
+    assert(occurrences(p, "Bucketed: true") == 2,
+      s"both sides must scan as bucketed tables:\n$p")
+  }
+
+  test("the contract bucket-pruned scan reads a strict subset of buckets, zero exchanges (q254)") {
+    val p = plan(q("q254_bucket_pruning"))
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"expected bucket pruning in the scan:\n$p")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"the IN predicate must prune at least one bucket:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the groupBy on the bucket column must reuse the bucket partitioning:\n$p")
+  }
 }
