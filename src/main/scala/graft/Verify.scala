@@ -16,10 +16,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // catalog-table queries (q253/q254 bucketed layouts) use explicit
-      // external paths, but pin the warehouse to a temp dir anyway so no
-      // spark-warehouse/ directory ever appears in the repo cwd
+      // external paths, but pin the warehouse to a scratch dir anyway so
+      // no spark-warehouse/ directory ever appears in the repo cwd
+      // (scratchIndexDir registers the JVM-exit delete — no /tmp residue)
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        graft.queries.Fixtures.scratchIndexDir("graft-warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -56,7 +56,12 @@ object Fixtures {
     * shutdown-deleted scratch dir, never the warehouse.
     */
   private[graft] def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    // sanitized path + hash of the RAW path: sanitation alone can
+    // collide ("/x/sf0.1" vs "/x/sf0_1" both sanitize to x_sf0_1), and a
+    // collision would silently serve the first corpus's buckets to the
+    // second via the tableExists short-circuit
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
+      "_" + java.lang.Integer.toHexString(d.hashCode)
     val buckets = 8
     val li = graft.sources.BucketedLayout.ensureBucketed(
       s, s"graft_bkt_lineitem_$tag", buckets, "l_orderkey", "l_orderkey") {

@@ -236,13 +236,23 @@ private[v2] class PageMicroBatchStream(
     }
   private val fixtureDir: Option[String] = Option(options.get("dir"))
 
-  /** Highest page currently available, clamped to the configured range. */
+  /** Highest page currently available, clamped to the configured range.
+    * Fixture mode returns the CONTIGUOUS prefix end, not the raw max:
+    * if page_5.html exists while page_4.html is still being written, a
+    * max-based answer would plan page 4 now, ingest it as an empty row
+    * (the per-page catch), commit the offset past it, and never look
+    * back — silent permanent loss. The prefix rule waits at the gap, so
+    * a page is only ever ingested once it (and everything before it)
+    * actually exists.
+    */
   private def available(): Int = fixtureDir match {
     case Some(d) =>
       val names = Option(new java.io.File(d).list()).getOrElse(Array.empty)
       val pages = names.flatMap(n =>
-        "^page_(\\d+)\\.html$".r.findFirstMatchIn(n).map(_.group(1).toInt))
-      math.min(hi, if (pages.isEmpty) lo - 1 else pages.max)
+        "^page_(\\d+)\\.html$".r.findFirstMatchIn(n).map(_.group(1).toInt)).toSet
+      var p = lo - 1
+      while (p < hi && pages.contains(p + 1)) p += 1
+      p
     case None => hi
   }
 
@@ -263,8 +273,20 @@ private[v2] class PageMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[PageStreamOffset].page
-    val avail = available()
-    PageStreamOffset(maxPerTrigger.fold(avail)(m => math.min(avail, from + m)))
+    // honor the ENGINE's limit, not the captured option: the engine
+    // passes our getDefaultReadLimit on normal triggers but explicitly
+    // overrides it (ReadAllAvailable) for single-batch runs — using the
+    // captured cap there would terminate a Trigger-Once drain after one
+    // capped batch, silently stranding the rest of the backlog
+    val capped = limit match {
+      case rows: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(available().toLong, from + rows.maxRows()).toInt
+      case _ => available()
+    }
+    // never regress below the committed start: a transient unlistable /
+    // empty fixture dir would otherwise hand back lo-1, commit it, and
+    // make the next healthy trigger re-ingest (duplicate) every page
+    PageStreamOffset(math.max(from, capped))
   }
 
   override def reportLatestOffset(): Offset = PageStreamOffset(available())

@@ -66,6 +66,68 @@ class PageStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a gap in the fixture pages stalls ingestion at the gap instead of skipping it") {
+    // page_5 landing before page_4 (mid-write race) must NOT advance the
+    // offset past 4 — a max-based availability would ingest 4 as an
+    // empty row and permanently lose it once the offset commits
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    writePages(dir, 1 to 2)
+    writePages(dir, 5 to 5) // gap: 3 and 4 missing
+    val q = startStream(dir, "pages_gap", ckpt)
+    try {
+      q.processAllAvailable()
+      assert(sunkPages("pages_gap").sorted == (1 to 2),
+        "ingestion must wait at the gap, not jump to the max page")
+      writePages(dir, 3 to 4) // the gap fills
+      q.processAllAvailable()
+      assert(sunkPages("pages_gap").sorted == (1 to 5),
+        "filled gap pages must arrive with real content, exactly once")
+    } finally q.stop()
+  }
+
+  test("a transient empty fixture dir never regresses the offset (no re-ingest)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    writePages(dir, 1 to 2)
+    val q = startStream(dir, "pages_transient", ckpt)
+    try {
+      q.processAllAvailable()
+      assert(sunkPages("pages_transient").sorted == (1 to 2))
+      // every fixture vanishes for a trigger (the NFS-hiccup shape);
+      // available() sees nothing, but the offset must hold at 2
+      (1 to 2).foreach(p => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir, s"page_$p.html")))
+      q.processAllAvailable()
+      assert(sunkPages("pages_transient").sorted == (1 to 2))
+      // dir comes back with one NEW page: only page 3 may arrive —
+      // a regressed offset would re-ingest 1-2 as duplicates here
+      writePages(dir, 1 to 3)
+      q.processAllAvailable()
+      assert(sunkPages("pages_transient").sorted == (1 to 3),
+        "recovery must ingest exactly the new page, no duplicates")
+    } finally q.stop()
+  }
+
+  test("Trigger.Once overrides maxPagesPerTrigger (engine ReadLimit wins)") {
+    // the engine passes ReadAllAvailable for single-batch runs; using
+    // the captured cap instead would drain 3 of 7 pages and terminate
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    writePages(dir, 1 to 7)
+    val q = spark.readStream.format("graft-pages")
+      .option("dir", dir).option("productType", "life")
+      .option("pages", "1-1000").option("maxPagesPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName("pages_once")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    q.awaitTermination(60000)
+    assert(sunkPages("pages_once").sorted == (1 to 7),
+      "a single-batch run must drain the whole backlog")
+  }
+
   test("the whole scrape pipeline runs as ONE streaming query: pages -> rows -> life projection") {
     // the reference's end-to-end loop (fetch page, parse table, project
     // fields, append) as a single incremental query — G2/P1 stages are

@@ -17,7 +17,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        graft.queries.Fixtures.scratchIndexDir("graft-warehouse"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
