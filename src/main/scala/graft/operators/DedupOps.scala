@@ -790,7 +790,7 @@ object DedupOps {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     val spark = edges.sparkSession
-    val part = new HashPartitioner(
+    var part = new HashPartitioner(
       math.max(1, spark.sessionState.conf.numShufflePartitions))
     // Routes a ((src, dst), _) pair key by src's hash alone while
     // comparing equal to HashPartitioner(n) — the equality contract
@@ -802,12 +802,13 @@ object DedupOps {
     // real HashPartitioner, the claimed equality would skip a needed
     // shuffle (hash(src) != hash((src, dst))) and silently mis-co-
     // partition. Only the Long-keyed output leaves this function.
-    val srcPart: HashPartitioner = new HashPartitioner(part.numPartitions) {
+    def mkSrcPart(n: Int): HashPartitioner = new HashPartitioner(n) {
       override def getPartition(key: Any): Int = key match {
         case (s, _) => super.getPartition(s)
         case k => super.getPartition(k)
       }
     }
+    var srcPart: HashPartitioner = mkSrcPart(part.numPartitions)
 
     // splitmix64 avalanche — XOR over the edge set gives an order-
     // independent set checksum; (count, checksum) equality across rounds
@@ -846,6 +847,26 @@ object DedupOps {
 
     var e = init.persist(StorageLevel.MEMORY_AND_DISK)
     var (prevN, prevChk) = stats(e)
+    // Right-size the round partitioner to the DEDUPED edge count (known
+    // for free from the same stats action that seeded the fixpoint
+    // test) — the subtreeRollupDeep rule applied here. Every round is 3
+    // stages over `part`, so a small graph on the full conf width pays
+    // rounds × stages × numShufflePartitions empty-task floors: measured
+    // at sf0.1, q237's three CC runs spent ~2 of 3.3 s on ~2300 mostly
+    // idle tasks. ~64k (long, long) edges per partition keeps per-task
+    // work trivially small; at crawl scale the cap never binds (60M
+    // edges already want more partitions than the conf provides) so the
+    // 100 TB shape — conf-wide co-partitioned rounds — is unchanged.
+    val rightSized = math.min(part.numPartitions,
+      math.max(1, math.ceil(prevN / 65536.0).toInt))
+    if (rightSized < part.numPartitions) {
+      part = new HashPartitioner(rightSized)
+      srcPart = mkSrcPart(rightSized)
+      val resized = e.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      resized.count() // materialize before dropping the wide parent
+      e.unpersist(false)
+      e = resized // same edge SET: prevN/prevChk stay valid
+    }
     var converged = prevN == 0L
     var i = 0
     while (!converged && i < maxIter) {
