@@ -195,6 +195,23 @@ class DedupOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("connectedComponents right-sizes the round partitioner to the edge count") {
+    // small graphs must not run every round at full conf width (rounds x
+    // stages x width empty-task floors — the q237 BENCH_DIAG finding);
+    // the output RDD carries the loop's partitioner, so its partition
+    // count is the observable. 30 edges => 1 partition at the ~64k/
+    // partition target, regardless of spark.sql.shuffle.partitions.
+    val small = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(small, maxIter = 20)
+    assert(labels.rdd.getNumPartitions == 1,
+      s"a 30-edge graph must collapse to 1 round partition, " +
+        s"got ${labels.rdd.getNumPartitions}")
+    // and correctness is unaffected by the resize
+    val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 31 && comp.values.forall(_ == 0L))
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("connectedComponents runs one action (SQL execution) per round") {
     // The round-3 weakness was 3 driver actions per round (persist-count,
     // join-agg, changed-count). The rewrite folds convergence detection
