@@ -240,7 +240,7 @@ object LayoutQueries {
       val (li, ord) = Fixtures.bucketedTables(s, d)
       val keys = ord.select("o_orderkey").orderBy("o_orderkey").limit(3)
         .collect().map(_.getLong(0))
-      li.where(col("l_orderkey").isin(keys.map(Long.box): _*))
+      li.where(col("l_orderkey").isin(keys.toIndexedSeq.map(Long.box): _*))
         .groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_items"),
           graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"),
