@@ -859,7 +859,9 @@ object DedupOps {
     // 100 TB shape — conf-wide co-partitioned rounds — is unchanged.
     val rightSized = math.min(part.numPartitions,
       math.max(1, math.ceil(prevN / 65536.0).toInt))
-    if (rightSized < part.numPartitions) {
+    // prevN == 0 means the loop below never runs — skip the resize too,
+    // or an empty edge set pays a pointless partitionBy + count job
+    if (prevN > 0 && rightSized < part.numPartitions) {
       part = new HashPartitioner(rightSized)
       srcPart = mkSrcPart(rightSized)
       val resized = e.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)

@@ -171,10 +171,22 @@ private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     val per = options.getOrDefault("pagesPerPartition", "1").toInt
     require(per >= 1, s"pagesPerPartition must be >= 1, got $per")
-    new PageMicroBatchStream(options, lo, hi, per, () => createReaderFactory())
+    // streaming readers PROPAGATE fetch failures (failOnFetchError):
+    // the batch side's swallow-to-empty-row isolation is safe there
+    // because the caller sees the empty row in the same result it reads
+    // — but a micro-batch COMMITS its end offset, so an empty-row page
+    // would be permanently lost (the offset moves past it and no later
+    // trigger ever replans it). Failing the task instead fails the
+    // micro-batch before the commit, and the retriggered batch refetches
+    // the same page range — at-least-once planning, exactly-once commit.
+    new PageMicroBatchStream(options, lo, hi, per,
+      () => mkReaderFactory(failOnFetchError = true))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    mkReaderFactory(failOnFetchError = false)
+
+  private def mkReaderFactory(failOnFetchError: Boolean): PartitionReaderFactory = {
     val productType = options.getOrDefault("productType", "unknown")
     val dir = options.get("dir")
     val baseUrl = options.get("baseUrl")
@@ -190,7 +202,8 @@ private[v2] class PageScanBuilder(options: CaseInsensitiveStringMap)
     val timeoutSec = options.getOrDefault("pageTimeoutSec", "60").toLong
     require(timeoutSec > 0, s"pageTimeoutSec must be positive, got $timeoutSec")
     PageReaderFactory(productType, Option(dir), Option(baseUrl),
-      urlPath, portletId, perPage, timeoutSec, required.fieldNames.toSeq)
+      urlPath, portletId, perPage, timeoutSec, required.fieldNames.toSeq,
+      failOnFetchError)
   }
 }
 
@@ -239,11 +252,14 @@ private[v2] class PageMicroBatchStream(
   /** Highest page currently available, clamped to the configured range.
     * Fixture mode returns the CONTIGUOUS prefix end, not the raw max:
     * if page_5.html exists while page_4.html is still being written, a
-    * max-based answer would plan page 4 now, ingest it as an empty row
-    * (the per-page catch), commit the offset past it, and never look
-    * back — silent permanent loss. The prefix rule waits at the gap, so
-    * a page is only ever ingested once it (and everything before it)
-    * actually exists.
+    * max-based answer would plan page 4 now — and since streaming
+    * readers propagate fetch failures (failOnFetchError), the trigger
+    * would fail-loop on the gap until the writer catches up. The prefix
+    * rule waits at the gap instead, so a page is only ever planned once
+    * it (and everything before it) actually exists. HTTP mode has no
+    * listing to probe, so the configured range end is "available" and
+    * the propagate-on-failure readers are the loss guard there: a
+    * failed GET fails the micro-batch BEFORE the offset commits.
     */
   private def available(): Int = fixtureDir match {
     case Some(d) =>
@@ -306,7 +322,8 @@ private[v2] class PageMicroBatchStream(
 private[v2] case class PageReaderFactory(
     productType: String, dir: Option[String], baseUrl: Option[String],
     urlPath: String, portletId: String, itemsPerPage: Int,
-    pageTimeoutSec: Long, requiredCols: Seq[String])
+    pageTimeoutSec: Long, requiredCols: Seq[String],
+    failOnFetchError: Boolean)
     extends PartitionReaderFactory {
 
   // one HTTP client per executor-side factory instance (it is not
@@ -333,11 +350,16 @@ private[v2] case class PageReaderFactory(
           case "product_type" => UTF8String.fromString(productType)
           case "page" => page
           case "html" =>
-            // per-page error isolation: a throwing fetch — including an
-            // HTTP timeout — yields "" (the downstream parse treats a
-            // missing table as zero rows); reached ONLY when the query
-            // reads html, so pruned scans never pay the fetch
-            val html = try fetchPage(page) catch { case _: Exception => "" }
+            // per-page error isolation (BATCH ONLY): a throwing fetch —
+            // including an HTTP timeout — yields "" (the downstream parse
+            // treats a missing table as zero rows); reached ONLY when the
+            // query reads html, so pruned scans never pay the fetch.
+            // STREAMING readers propagate instead (failOnFetchError): an
+            // empty row under a committed offset is a silently lost page,
+            // so the micro-batch must fail before the commit and retry.
+            val html =
+              if (failOnFetchError) fetchPage(page)
+              else try fetchPage(page) catch { case _: Exception => "" }
             UTF8String.fromString(html)
         })
       override def close(): Unit = ()

@@ -1,5 +1,7 @@
 package graft
 
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.{InetAddress, InetSocketAddress}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming read of the DSv2 page source: the reference's incremental
@@ -123,9 +125,12 @@ class PageStreamSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.Once())
       .start()
-    q.awaitTermination(60000)
-    assert(sunkPages("pages_once").sorted == (1 to 7),
-      "a single-batch run must drain the whole backlog")
+    try {
+      assert(q.awaitTermination(60000),
+        "the single-batch drain must terminate within the deadline")
+      assert(sunkPages("pages_once").sorted == (1 to 7),
+        "a single-batch run must drain the whole backlog")
+    } finally q.stop() // a hung drain must not leak into later tests
   }
 
   test("the whole scrape pipeline runs as ONE streaming query: pages -> rows -> life projection") {
@@ -170,6 +175,73 @@ class PageStreamSpec extends SparkSpec {
       assert(after.where($"uin" === "UIN4")
         .select("document_url").as[String].head.endsWith("/documents/p4.pdf"))
     } finally q.stop()
+  }
+
+  test("HTTP streaming: a failed fetch fails the micro-batch BEFORE the offset commits — no silent page loss") {
+    // the batch scan's swallow-to-empty-row isolation would be a silent
+    // PERMANENT loss here: the micro-batch commits its end offset, so an
+    // empty-row page is never replanned. Streaming readers propagate the
+    // failure instead; the retriggered (here: restarted) query refetches
+    // the same page and delivers the real content exactly once.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val broken = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val server = HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        val page = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+          .collectFirst { case s if s.startsWith("_pp_cur=") =>
+            s.stripPrefix("_pp_cur=").toInt }.getOrElse(-1)
+        val body =
+          if (page == 2 && broken.get()) Array.empty[Byte]
+          else s"<html>page $page</html>".getBytes("UTF-8")
+        val code = if (page == 2 && broken.get()) 500 else 200
+        ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+        if (body.nonEmpty) { val os = ex.getResponseBody; os.write(body); os.close() }
+      } finally ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2,
+      r => { val t = new Thread(r); t.setDaemon(true); t }))
+    server.start()
+    try {
+      val base = s"http://${server.getAddress.getAddress.getHostAddress}:${server.getAddress.getPort}"
+      // parquet sink: the memory sink cannot recover from a checkpoint,
+      // and the restart-after-heal IS the contract under test
+      val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+      def start(): StreamingQuery = spark.readStream
+        .format("graft-pages")
+        .option("baseUrl", base).option("urlPath", "/list")
+        .option("portletId", "pp").option("productType", "life")
+        .option("pages", "1-3").option("pageTimeoutSec", "10")
+        .option("maxPagesPerTrigger", "1") // page-per-batch: page 1 commits before 2 fails
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      def delivered(): Seq[(Int, String)] = spark.read.parquet(out)
+        .select("page", "html").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      val q1 = start()
+      val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+        q1.stop() // unreachable when the batch failed; keeps the happy path clean
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(failure).exists(_.contains("500")),
+        s"the 500 fetch must surface, not become an empty row: $failure")
+      assert(delivered().map(_._1).sorted == Seq(1),
+        s"only the page-1 batch may commit; got ${delivered().map(_._1).sorted}")
+      // the server heals; a restart from the SAME checkpoint must refetch
+      // page 2 (its offset never committed) and finish the range
+      broken.set(false)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val resumed = delivered()
+      assert(resumed.map(_._1).sorted == Seq(1, 2, 3),
+        s"restart must plan exactly the uncommitted pages: ${resumed.map(_._1).sorted}")
+      assert(resumed.forall(_._2.nonEmpty),
+        "the refetched pages must carry REAL content — the failed fetch never became an empty row")
+    } finally server.stop(0)
   }
 
   test("restart resumes from the checkpointed page offset, no re-ingest") {
