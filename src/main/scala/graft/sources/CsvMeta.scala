@@ -108,8 +108,16 @@ object CsvMeta {
     * O(total history) per batch through one driver thread, but crash-safe
     * (readers see old or new, never half). For high-frequency appends at
     * scale prefer [[appendParts]], which keeps everything distributed.
+    *
+    * `atomicReplace = true` forces the copy-merge path even where
+    * `fs.append` works: a crashed in-place append can leave a torn
+    * partial batch in the file, while the rename commits all-or-nothing.
+    * The streaming sink's replay-idempotence protocol
+    * ([[graft.streaming.StreamingOps.idempotentCsvAppend]]) depends on
+    * the target only ever being observed in pre- or post-batch state.
     */
-  def append(df: DataFrame, productType: String, csvPath: String): Unit = {
+  def append(df: DataFrame, productType: String, csvPath: String,
+             atomicReplace: Boolean = false): Unit = {
     val spark = df.sparkSession
     val cols = columns(productType)
     val ordered = df.select(cols.map(c =>
@@ -127,7 +135,7 @@ object CsvMeta {
     val parts = fs.listStatus(partsDir).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
 
-    val appended = exists && appendInPlace(fs, target, parts)
+    val appended = !atomicReplace && exists && appendInPlace(fs, target, parts)
     if (!appended) {
       // Copy-merge fallback: stream history + new parts into a temp file,
       // atomic rename over the target.
@@ -139,11 +147,31 @@ object CsvMeta {
         else out.write((cols.mkString(",") + "\n").getBytes("UTF-8"))
         parts.foreach(p => streamCopy(fs, p, out, buf))
       } finally out.close()
-      if (fs.exists(target)) fs.delete(target, false)
-      fs.rename(merged, target)
+      renameOver(spark.sparkContext.hadoopConfiguration, fs, merged, target)
     }
     fs.delete(partsDir, true)
     ()
+  }
+
+  /** Rename `src` over `dst`, preferring the ATOMIC overwrite rename
+    * (FileContext + Options.Rename.OVERWRITE — java.nio REPLACE_EXISTING
+    * on the local FS, a single namespace op on HDFS). The delete+rename
+    * fallback leaves a crash window where `dst` is briefly missing, so
+    * it is only used where the FileContext API itself is unavailable.
+    */
+  private[graft] def renameOver(conf: org.apache.hadoop.conf.Configuration,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                src: Path, dst: Path): Unit = {
+    val (qSrc, qDst) = (fs.makeQualified(src), fs.makeQualified(dst))
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(qDst.toUri, conf)
+        .rename(qSrc, qDst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.FileNotFoundException =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        fs.rename(src, dst)
+        ()
+    }
   }
 
   /** K1 at scale: directory-of-parts append — each batch lands as new

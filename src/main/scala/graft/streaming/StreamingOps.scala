@@ -287,16 +287,84 @@ object StreamingOps {
 
   /** K1 streaming: append each micro-batch to the single-file CSV sink via
     * foreachBatch — exactly the reference's per-page append loop
-    * (cli.py:223), driven by the streaming engine.
+    * (cli.py:223), driven by the streaming engine — made REPLAY-
+    * IDEMPOTENT through [[idempotentCsvAppend]]: a crash between the CSV
+    * append and the checkpoint commit replays the batch on restart
+    * (foreachBatch is at-least-once), and without the batchId guard the
+    * replay double-appends its rows. The reference has the same window
+    * (SURVEY §7.4); this closes it.
     */
   def csvAppendSink(stream: DataFrame, productType: String, csvPath: String,
                     checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.CsvMeta.append(batch.toDF(), productType, csvPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        idempotentCsvAppend(batch.toDF(), productType, csvPath, batchId)
       }
+
+  /** Exactly-once delivery for the single-file CSV sink under
+    * foreachBatch's at-least-once replay: the last DELIVERED batchId is
+    * persisted next to the sink (`<csv>.delivered`, the StateStore
+    * atomic-commit pattern) and a replayed batch is skipped.
+    *
+    * The marker trails the data write, so there is one ambiguous window
+    * — crash after the data committed but before the marker moved. The
+    * marker therefore records `(batchId, resulting file length)` and the
+    * data write goes through CsvMeta's ATOMIC replace (rename, never
+    * `fs.append` — a torn in-place append would leave the target at a
+    * length belonging to neither state). Single-writer protocol on
+    * replay of batch N against marker (M, L):
+    *
+    *  - N <= M: delivered in a prior incarnation — skip.
+    *  - N == M+1 and target length == L: the crash (if any) happened
+    *    BEFORE the data rename — append, then move the marker.
+    *  - N == M+1 and target length != L: the data rename committed but
+    *    the marker move didn't — the target already carries batch N, so
+    *    move the marker and skip the rows.
+    *
+    * First contact writes a baseline marker `(-1, current length)`
+    * BEFORE any append, so even a crash inside batch 0 lands in one of
+    * the three cases above. The empty-batch corner (length unchanged by
+    * design) resolves to a harmless no-op re-append. Assumes this sink
+    * is the file's only writer — same contract as the reference's
+    * exclusive csv_writer.
+    */
+  private[graft] def idempotentCsvAppend(df: DataFrame, productType: String,
+                                         csvPath: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(csvPath)
+    val marker = new org.apache.hadoop.fs.Path(csvPath + ".delivered")
+    val fs = target.getFileSystem(conf)
+    def targetLen: Long =
+      if (fs.exists(target)) fs.getFileStatus(target).getLen else -1L
+    def writeMarker(id: Long, len: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(csvPath + ".delivered.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$id,$len".getBytes("UTF-8")) finally out.close()
+      graft.sources.CsvMeta.renameOver(conf, fs, tmp, marker)
+    }
+    val (lastId, lastLen) =
+      if (!fs.exists(marker)) {
+        val baseline = (-1L, targetLen)
+        writeMarker(baseline._1, baseline._2) // pin BEFORE the first append
+        baseline
+      } else {
+        val in = fs.open(marker)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val Array(id, len) = txt.trim.split(",", 2)
+        (id.toLong, len.toLong)
+      }
+    if (batchId <= lastId) return // replayed: already delivered
+    if (batchId == lastId + 1 && targetLen != lastLen) {
+      writeMarker(batchId, targetLen) // data committed; finish bookkeeping
+      return
+    }
+    graft.sources.CsvMeta.append(df, productType, csvPath, atomicReplace = true)
+    writeMarker(batchId, targetLen)
+  }
 
   /** §3.2 END-TO-END streaming delta pipeline: watch `pagesDir` for page
     * HTML files, parse them to typed product rows (G1-G4/P*), drop

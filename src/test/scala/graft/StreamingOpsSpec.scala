@@ -236,6 +236,83 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotentCsvAppend: replayed batches are skipped in BOTH crash windows") {
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("graft-idem").toString
+    val csv = s"$dir/m.csv"
+    def lines() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(csv)).asScala.toSeq
+    }
+    def batch(uin: String) = spark.range(1).toDF()
+      .withColumn("uin", lit(uin)).withColumn("product_type", lit("life"))
+      .select("uin", "product_type")
+    StreamingOps.idempotentCsvAppend(batch("U1"), "life", csv, 0L)
+    val afterB0 = lines()
+    assert(afterB0.size == 2, s"header + one row: $afterB0")
+    // window 1 — crash AFTER the append, BEFORE the checkpoint commit:
+    // the engine replays batch 0 verbatim; the sink marker must skip it
+    StreamingOps.idempotentCsvAppend(batch("U1"), "life", csv, 0L)
+    assert(lines() == afterB0, "replayed batch 0 must not double-append")
+    // normal progress
+    StreamingOps.idempotentCsvAppend(batch("U2"), "life", csv, 1L)
+    val afterB1 = lines()
+    assert(afterB1.size == 3)
+    // window 2 — the data rename committed but the MARKER move was lost:
+    // roll the marker back by hand (data stays at the post-batch-1
+    // state) and replay batch 1; the length disagreement must resolve
+    // to "already delivered", fixing the marker without touching rows
+    val marker = java.nio.file.Paths.get(s"$csv.delivered")
+    val headerLen = afterB0.map(_.length + 1L).sum // batch-0 state length
+    java.nio.file.Files.writeString(marker, s"0,$headerLen")
+    // the raw rewrite bypassed Hadoop's checksummed local FS — drop the
+    // now-stale .crc sidecar so the sink can read the rolled-back marker
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".m.csv.delivered.crc"))
+    StreamingOps.idempotentCsvAppend(batch("U2"), "life", csv, 1L)
+    assert(lines() == afterB1, "a marker-lost replay must not re-append the rows")
+    // and the recovered marker lets the NEXT batch through normally
+    StreamingOps.idempotentCsvAppend(batch("U3"), "life", csv, 2L)
+    assert(lines().size == 4)
+    val uins = lines().drop(1).map(_.split(",", -1)(CsvMeta.columns("life").indexOf("uin")))
+    assert(uins == Seq("U1", "U2", "U3"), s"exactly-once per batch: $uins")
+  }
+
+  test("csvAppendSink survives an engine-level batch replay (crash before checkpoint commit)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val csv = s"$dir/m.csv"
+    val ckpt = s"$dir/ckpt"
+    val input = MemoryStream[(String, String)]
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = input.toDF().toDF("uin", "product_name")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        StreamingOps.idempotentCsvAppend(b.toDF(), "life", csv, id)
+        // the crash window under test: the rows are DELIVERED but the
+        // engine dies before committing the batch to the checkpoint
+        if (crashOnce.getAndSet(false)) throw new RuntimeException("injected crash")
+      }.start()
+    input.addData(("U1", "A"))
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.stop()
+    }
+    // restart from the same checkpoint: the engine REPLAYS batch 0
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      input.addData(("U2", "B"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val rows = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(csv))
+      .asScala.toSeq.drop(1)
+    val uins = rows.map(_.split(",", -1)(CsvMeta.columns("life").indexOf("uin")))
+    assert(uins.sorted == Seq("U1", "U2"),
+      s"the replayed batch must deliver exactly once: $uins")
+  }
+
   test("csvAppendSink appends each micro-batch through the K1 sink") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
