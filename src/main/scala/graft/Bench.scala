@@ -37,6 +37,24 @@ import org.apache.spark.sql.SparkSession
   *    (3rd smallest of 5) tolerates two inflated reps per query. The
   *    shift is a pure function of (pass, N, reps) — runs remain
   *    reproducible and per-query rep vectors stay chronological.
+  *  - Round-13 additions, closing the round-12 verdict's contaminated-
+  *    record finding (11 queries in one contiguous wall-clock block ran
+  *    2-6x their own in-run min in the official artifact): (a) a
+  *    VARIANCE GUARD — after the main passes, any query whose median
+  *    exceeds 2x its own min gets extra full reps (up to
+  *    SPARK_GRAFT_BENCH_GUARD extra passes, default 3, each over just
+  *    the still-unstable queries) appended to its rep vector; minutes
+  *    separate the guard reps from the contaminated window, so the
+  *    recomputed median sheds the inflation. The artifact records
+  *    per-query median/min "health", "guard_passes", and
+  *    "guard_requeried"; a record where the guard gave up says so
+  *    ("n_unstable" > 0 in the compact line) instead of shipping a
+  *    silently inflated number. (b) a second per-pass ruler
+  *    "calib_mem_sec" — a 1 GB sequential sweep over a 256 MB buffer —
+  *    because the r12 drift audit showed the int-mix calib
+  *    under-measures the bandwidth dimension that dominates sub-second
+  *    scan/shuffle queries (they moved 15-20% between windows whose int
+  *    calib agreed; see SCALING.md "Round-13 drift audit").
   *  - The headline per-query number is the MEDIAN of the reps (lower
   *    middle for even N). With 3+ interleaved reps the median discards
   *    both the one-time-cost outlier (Janino codegen compilation, C2 JIT
@@ -152,7 +170,33 @@ object Bench {
       if (sink == 42L) System.err.println("") // defeat DCE
       s
     }
+    // Second ruler, round 13: MEMORY-BANDWIDTH reference kernel. The r12
+    // drift audit showed the int-mix calib under-measures the drift that
+    // matters to Spark: sub-second scan/shuffle queries moved 15-20%
+    // between windows whose int calib agreed — their cost is DRAM
+    // traffic, not ALU. A strided pass over a 256 MB long array (far
+    // past LLC) exposes that dimension; divide artifacts by the ratio
+    // of whichever ruler matches the queries being compared.
+    val calibMemBuf = new Array[Long](32 << 20) // 256 MB, allocated once
+    def calibMemSec: Double = {
+      var warm = 0L
+      var i = 0
+      while (i < calibMemBuf.length) { warm += calibMemBuf(i); i += 1 }
+      val t0 = System.nanoTime()
+      var sink = 0L
+      var p = 0
+      while (p < 4) { // 4 sequential sweeps = ~1 GB of traffic
+        var j = 0
+        while (j < calibMemBuf.length) { sink += calibMemBuf(j); j += 1 }
+        p += 1
+      }
+      val s = (System.nanoTime() - t0) / 1e9
+      if ((sink | warm) == 42L) System.err.println("") // defeat DCE
+      s
+    }
 
+    // lower-middle median: reps=3 -> 2nd smallest, reps=2 -> min, reps=1 -> the value
+    def median(ts: Vector[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt.max(1)
     // One untimed compile pass before the timed reps (round-8 verdict ask):
     // together with the enlarged codegen cache above, it moves ALL Janino /
@@ -172,6 +216,7 @@ object Bench {
     val gcByQuery = scala.collection.mutable.Map.empty[String, Vector[Long]]
     val loadByPass = scala.collection.mutable.ArrayBuffer.empty[String]
     val calibByPass = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibMemByPass = scala.collection.mutable.ArrayBuffer.empty[Double]
     var warmSec = 0.0
     if (warm) {
       val w0 = System.nanoTime()
@@ -185,9 +230,37 @@ object Bench {
       if (diag) System.err.println(
         "BENCHDIAG warm pass " + num(warmSec) + " s (untimed, compile-only)")
     }
-    (1 to reps).foreach { rep =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                repLabel: String): Unit = {
+      val (j0, g0) = (jitMs, gcMs)
+      val t0 = System.nanoTime()
+      // noop sink forces full materialization of every output column;
+      // count() would let Catalyst prune the very expressions under test.
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable =>
+        errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        false
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (jd, gd) = (jitMs - j0, gcMs - g0)
+      if (diag)
+        System.err.println(f"BENCHDIAG $name%-28s $repLabel ${sec}%7.3f s  jit=+${jd}%5d ms  gc=+${gd}%4d ms")
+      // operators persist their sketch tables; release them between
+      // runs so caches don't accumulate across 160+ queries and every
+      // rep measures the same cold-cache plan
+      GraftCache.releaseAll(spark)
+      spark.catalog.clearCache()
+      timesByQuery(name) = timesByQuery.getOrElse(name, Vector.empty) :+ (if (ok) sec else -sec)
+      jitByQuery(name) = jitByQuery.getOrElse(name, Vector.empty) :+ jd
+      gcByQuery(name) = gcByQuery.getOrElse(name, Vector.empty) :+ gd
+    }
+    def recordPassRulers(): Unit = {
       loadByPass += loadAvg
       calibByPass += calibSec
+      calibMemByPass += calibMemSec
+    }
+    (1 to reps).foreach { rep =>
+      recordPassRulers()
       // Deterministic per-pass rotation (see scaladoc): pass p runs the
       // query list cyclically shifted by (p-1)*N/reps, so a recurring
       // ambient-load window that occupies the same WALL-CLOCK stretch of
@@ -195,30 +268,37 @@ object Bench {
       val shift = if (selected.isEmpty) 0 else ((rep - 1) * selected.size / reps) % selected.size
       val passOrder = selected.drop(shift) ++ selected.take(shift)
       if (diag) System.err.println(
-        f"BENCHDIAG pass $rep loadavg=${loadByPass.last} calib=${calibByPass.last}%.3f s shift=$shift")
-      passOrder.foreach { case (name, fn) =>
-        val (j0, g0) = (jitMs, gcMs)
-        val t0 = System.nanoTime()
-        // noop sink forces full materialization of every output column;
-        // count() would let Catalyst prune the very expressions under test.
-        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-          false
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        val (jd, gd) = (jitMs - j0, gcMs - g0)
-        if (diag)
-          System.err.println(f"BENCHDIAG $name%-28s rep$rep ${sec}%7.3f s  jit=+${jd}%5d ms  gc=+${gd}%4d ms")
-        // operators persist their sketch tables; release them between
-        // runs so caches don't accumulate across 160+ queries and every
-        // rep measures the same cold-cache plan
-        GraftCache.releaseAll(spark)
-        spark.catalog.clearCache()
-        timesByQuery(name) = timesByQuery.getOrElse(name, Vector.empty) :+ (if (ok) sec else -sec)
-        jitByQuery(name) = jitByQuery.getOrElse(name, Vector.empty) :+ jd
-        gcByQuery(name) = gcByQuery.getOrElse(name, Vector.empty) :+ gd
-      }
+        f"BENCHDIAG pass $rep loadavg=${loadByPass.last} calib=${calibByPass.last}%.3f s calib_mem=${calibMemByPass.last}%.3f s shift=$shift")
+      passOrder.foreach { case (name, fn) => timeOne(name, fn, s"rep$rep") }
+    }
+    // ---- VARIANCE GUARD (round 13; the r12 gate record was contaminated
+    // by a multi-minute host-interference window that inflated 11
+    // queries' medians 2-6x their own in-run min). A query whose median
+    // exceeds 2x its min after the main passes gets extra full reps —
+    // run minutes later, far from the window — appended to its rep
+    // vector until the (recomputed) median settles under the bound or
+    // the guard budget runs out. The artifact records per-query
+    // median/min health plus which queries the guard re-ran, so a
+    // record where the guard gave up is self-describing.
+    def health(name: String): Double = {
+      val ts = timesByQuery(name)
+      if (ts.exists(_ < 0)) 1.0 // errored: the negative marker is the signal
+      else median(ts) / math.max(ts.min, 1e-9)
+    }
+    val guardMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_GUARD", "3").toInt
+    val healthBound = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEALTH", "2.0").toDouble
+    var guardPasses = 0
+    var guarded = Set.empty[String]
+    var offenders = selected.filter { case (n, _) => health(n) > healthBound }
+    while (guardPasses < guardMax && offenders.nonEmpty) {
+      recordPassRulers()
+      guardPasses += 1
+      guarded ++= offenders.map(_._1)
+      if (diag) System.err.println(
+        f"BENCHDIAG guard pass $guardPasses loadavg=${loadByPass.last} calib=${calibByPass.last}%.3f s: " +
+          offenders.map(_._1).mkString(","))
+      offenders.foreach { case (name, fn) => timeOne(name, fn, s"guard$guardPasses") }
+      offenders = offenders.filter { case (n, _) => health(n) > healthBound }
     }
     // An errored rep is negative; if ANY rep errored the query's headline
     // stays negative (error marker), else aggregate over the good reps.
@@ -226,8 +306,6 @@ object Bench {
       val ts = timesByQuery(name)
       if (ts.exists(_ < 0)) ts.min else f(ts)
     }
-    // lower-middle median: reps=3 -> 2nd smallest, reps=2 -> min, reps=1 -> the value
-    def median(ts: Vector[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
     val results = selected.map { case (name, _) => name -> agg(name, median) }
     val mins = selected.map { case (name, _) => name -> agg(name, _.min) }
     // Pass-1 per-query times. Field name depends on the protocol: with the
@@ -251,11 +329,18 @@ object Bench {
     val gcJson = vecMap(selected.map { case (n, _) => n -> gcByQuery(n) })(_.toString)
     val loadJson = loadByPass.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
     val calibJson = calibByPass.map(num).mkString("[", ",", "]")
+    val calibMemJson = calibMemByPass.map(num).mkString("[", ",", "]")
+    // Per-query median/min health AFTER the guard: 1.0 = perfectly
+    // stable; >2.0 = the guard ran out of budget with the query still
+    // inflated (the record says so instead of hiding it).
+    val healthJson = numMap(selected.map { case (n, _) => n -> health(n) })
+    val guardedJson = guarded.toSeq.sorted
+      .map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
     val errJson = errors.map { case (k, m) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"agg":"median","min":$minJson,"$firstRepKey":$cold,"reps":$reps,"warm_pass":$warm,"warm_sec":${num(warmSec)},"reps_by_query":$repsJson,"jit_ms":$jitJson,"gc_ms":$gcJson,"loadavg":$loadJson,"calib_sec":$calibJson,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"agg":"median","min":$minJson,"$firstRepKey":$cold,"reps":$reps,"warm_pass":$warm,"warm_sec":${num(warmSec)},"guard_passes":$guardPasses,"guard_requeried":$guardedJson,"health":$healthJson,"reps_by_query":$repsJson,"jit_ms":$jitJson,"gc_ms":$gcJson,"loadavg":$loadJson,"calib_sec":$calibJson,"calib_mem_sec":$calibMemJson,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     // STDOUT LINE MUST FIT THE DRIVER'S 2000-CHAR TAIL BUFFER. Every
     // BENCH_r{1..7}.json artifact has "parsed": null because the recorder
     // keeps only the last 2000 chars of stdout (measured: tail_len=2000 in
@@ -271,7 +356,8 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
     val ranked = results.sortBy { case (n, v) => (if (v < 0) 0 else 1, -v.abs) }
     val budget = 1700
-    val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","agg":"median","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"full":"${esc(outPath)}","sf":"${esc(sfDir)}","queries":{"""
+    val nUnstable = selected.count { case (n, _) => health(n) > healthBound }
+    val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","agg":"median","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"guard_passes":$guardPasses,"n_unstable":$nUnstable,"full":"${esc(outPath)}","sf":"${esc(sfDir)}","queries":{"""
     val suffix = "}}"
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = prefix.length + suffix.length
