@@ -4,7 +4,7 @@ import graft.sources.PageSource
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -239,7 +239,8 @@ private[v2] case class PageStreamOffset(page: Int) extends Offset {
 private[v2] class PageMicroBatchStream(
     options: CaseInsensitiveStringMap, lo: Int, hi: Int, pagesPerPartition: Int,
     mkFactory: () => PartitionReaderFactory)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val maxPerTrigger: Option[Int] =
     Option(options.get("maxPagesPerTrigger")).map { s =>
@@ -272,6 +273,19 @@ private[v2] class PageMicroBatchStream(
     case None => hi
   }
 
+  // Trigger.AvailableNow contract: snapshot the backlog end ONCE at
+  // query start, then drain up to it in maxPagesPerTrigger-capped
+  // micro-batches and stop. Without this interface Spark wraps the
+  // source and drains the whole backlog as ONE batch, silently
+  // discarding admission control (measured: a 10k-page drain at
+  // cap=100 ran 1 batch, not 100); pages appearing AFTER the snapshot
+  // are deliberately left for the next run — that is the semantics
+  // that makes AvailableNow restart-safe.
+  private var availableNowEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(available())
+  private def availableEnd(): Int = availableNowEnd.getOrElse(available())
+
   override def initialOffset(): Offset = PageStreamOffset(lo - 1)
 
   override def deserializeOffset(json: String): Offset =
@@ -296,8 +310,8 @@ private[v2] class PageMicroBatchStream(
     // capped batch, silently stranding the rest of the backlog
     val capped = limit match {
       case rows: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        math.min(available().toLong, from + rows.maxRows()).toInt
-      case _ => available()
+        math.min(availableEnd().toLong, from + rows.maxRows()).toInt
+      case _ => availableEnd()
     }
     // never regress below the committed start: a transient unlistable /
     // empty fixture dir would otherwise hand back lo-1, commit it, and

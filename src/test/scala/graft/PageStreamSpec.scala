@@ -177,6 +177,33 @@ class PageStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in CAPPED micro-batches, then stops") {
+    // Trigger.Once ignores admission control by design (one batch);
+    // AvailableNow is the drain that respects it — which requires the
+    // source to implement SupportsTriggerAvailableNow, or Spark's
+    // wrapper silently collapses the drain into one uncapped batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    writePages(dir, 1 to 10)
+    val q = spark.readStream.format("graft-pages")
+      .option("dir", dir).option("productType", "life")
+      .option("pages", "1-1000").option("maxPagesPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName("pages_availnow")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000), "the drain must terminate on its own")
+      assert(sunkPages("pages_availnow").sorted == (1 to 10))
+      val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batchSizes.forall(_ <= 3),
+        s"every micro-batch must respect the cap: ${batchSizes.mkString(",")}")
+      assert(batchSizes.length >= 4, // ceil(10/3)
+        s"a 10-page backlog at cap 3 needs >= 4 batches: ${batchSizes.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("HTTP streaming: a failed fetch fails the micro-batch BEFORE the offset commits — no silent page loss") {
     // the batch scan's swallow-to-empty-row isolation would be a silent
     // PERMANENT loss here: the micro-batch commits its end offset, so an
