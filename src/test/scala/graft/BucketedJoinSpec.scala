@@ -185,6 +185,52 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("power-of-two layouts coalesce: an 8-bucket x 4-bucket join stays exchange-free") {
+    // the empirical justification for sizeBuckets' power-of-two floor:
+    // Spark's coalesceBucketsInJoin can co-locate two DIFFERENTLY
+    // bucketed tables only when one count divides the other — the
+    // larger side's buckets coalesce pairwise onto the smaller count
+    // and the join still runs with zero exchanges. Any-two layouts
+    // built by the sizing rule therefore join shuffle-free even when
+    // built at different corpus sizes.
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    val sf = "/root/testdata/sf0.001"
+    BucketedLayout.writeBucketed(Tables.lineitem(spark, sf),
+      "lineitem_b8", s"$wh/lineitem_b8", 8, "l_orderkey", "l_orderkey")
+    BucketedLayout.writeBucketed(Tables.orders(spark, sf),
+      "orders_b4", s"$wh/orders_b4", 4, "o_orderkey", "o_orderkey")
+    val prev = spark.conf.getOption(
+      "spark.sql.bucketing.coalesceBucketsInJoin.enabled")
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    try {
+      val joined = spark.table("lineitem_b8").hint("merge")
+        .join(spark.table("orders_b4").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected an SMJ:\n$p")
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"divisible bucket counts must coalesce, not shuffle:\n$p")
+      assert(p.contains("Coalesced"),
+        s"the 8-bucket side must read coalesced onto 4:\n$p")
+      // and it still returns the right answer
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", v)
+        case None => spark.conf.unset("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
+      }
+      spark.sql("DROP TABLE IF EXISTS lineitem_b8")
+      spark.sql("DROP TABLE IF EXISTS orders_b4")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    }
+  }
+
   test("ensureBucketed builds once and reuses the catalog entry after") {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     var builds = 0
