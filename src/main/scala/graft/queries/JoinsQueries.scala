@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Join algorithms beyond equi-join: as-of, range, interval overlap, fuzzy (blocked Levenshtein), salted skew joins.
   *
-  * Contract queries: q64_asof_state, q66_range_join, q75_salted_join, q91_fuzzy_match, q148_interval_overlap, q225_skew_report, q253_bucketed_join.
+  * Contract queries: q64_asof_state, q66_range_join, q75_salted_join, q91_fuzzy_match, q148_interval_overlap, q225_skew_report, q253_bucketed_join, q255_mixed_bucket_join.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object JoinsQueries {
@@ -136,6 +136,30 @@ object JoinsQueries {
           R.half2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("revenue"))
     }),
+
+
+    // MIXED bucketed⋈unbucketed join — the commonest production shape:
+    // the bucketed fact (corpus state) joined to a fresh unbucketed
+    // delta batch straight off parquet. EnsureRequirements keeps the
+    // bucketed scan exchange-free and shuffles ONLY the delta, onto
+    // exactly numBuckets partitions — half the shuffle of the plain
+    // join for free when numBuckets >= the join's target parallelism,
+    // and the parallelism collapse the BucketedLayout decision rule
+    // guards when it is not (BucketedJoinSpec pins both arms; the
+    // PlanAuditSpec audit asserts the one-sided exchange on THIS
+    // query). The oracle replays the join over unbucketed parquet —
+    // layout-invariance of the answers, certified by hash.
+    "q255_mixed_bucket_join" -> ((s, d) => {
+      val (li, _) = bucketedTables(s, d)
+      val delta = Tables.orders(s, d)
+        .where(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select("o_orderkey", "o_orderpriority")
+      li.hint("merge").join(delta.hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          R.half2(sum("l_quantity")).as("sum_qty"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -216,6 +240,16 @@ object JoinsQueries {
       """SELECT o_orderpriority, count(*) AS n_items,
         | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+
+    // The mixed shape over unbucketed parquet — the delta is the same
+    // deterministic orderkey slice.
+    "q255_mixed_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 10 = 0
         |GROUP BY o_orderpriority""".stripMargin,
   )
 }

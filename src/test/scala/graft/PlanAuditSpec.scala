@@ -659,6 +659,19 @@ class PlanAuditSpec extends SparkSpec {
       s"both sides must scan as bucketed tables:\n$p")
   }
 
+  test("the contract mixed join shuffles ONLY the unbucketed delta, onto the bucket count (q255)") {
+    val p = plan(q("q255_mixed_bucket_join"))
+    assert(p.contains("SortMergeJoin"), s"expected the hinted SMJ:\n$p")
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(joinPart).toList
+    assert(exchanges.length == 1,
+      s"exactly one side (the delta) may shuffle under the join, got $exchanges:\n$p")
+    assert(exchanges.head.contains("o_orderkey"),
+      s"the shuffled side must be the unbucketed delta: ${exchanges.head}")
+    assert(occurrences(p, "Bucketed: true") == 1,
+      s"exactly the fact side must scan as a bucketed table:\n$p")
+  }
+
   test("the contract bucket-pruned scan reads a strict subset of buckets, zero exchanges (q254)") {
     val p = plan(q("q254_bucket_pruning"))
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
