@@ -177,7 +177,11 @@ object Bench {
     // traffic, not ALU. A strided pass over a 256 MB long array (far
     // past LLC) exposes that dimension; divide artifacts by the ratio
     // of whichever ruler matches the queries being compared.
-    val calibMemBuf = new Array[Long](32 << 20) // 256 MB, allocated once
+    // 256 MB, allocated ONCE and pinned for the run: 3% of the forked
+    // JVM's -Xmx8g (build.sbt), a constant old-gen resident — strictly
+    // less timing perturbation than a per-pass alloc/free cycle, whose
+    // 256 MB of garbage would get collected DURING someone's timed rep.
+    val calibMemBuf = new Array[Long](32 << 20)
     def calibMemSec: Double = {
       var warm = 0L
       var i = 0
@@ -282,7 +286,10 @@ object Bench {
     // record where the guard gave up is self-describing.
     def health(name: String): Double = {
       val ts = timesByQuery(name)
-      if (ts.exists(_ < 0)) 1.0 // errored: the negative marker is the signal
+      // errored: distinct sentinel (-1), NOT 1.0 — an errored query must
+      // never read as "perfectly stable" in the health map; it stays out
+      // of the guard/n_unstable (the negative median is its own flag)
+      if (ts.exists(_ < 0)) -1.0
       else median(ts) / math.max(ts.min, 1e-9)
     }
     val guardMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_GUARD", "3").toInt
@@ -332,7 +339,8 @@ object Bench {
     val calibMemJson = calibMemByPass.map(num).mkString("[", ",", "]")
     // Per-query median/min health AFTER the guard: 1.0 = perfectly
     // stable; >2.0 = the guard ran out of budget with the query still
-    // inflated (the record says so instead of hiding it).
+    // inflated (the record says so instead of hiding it); -1 = the
+    // query ERRORED (unmeasured, see "errors"/negative median).
     val healthJson = numMap(selected.map { case (n, _) => n -> health(n) })
     val guardedJson = guarded.toSeq.sorted
       .map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")

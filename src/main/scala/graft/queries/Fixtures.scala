@@ -65,18 +65,17 @@ object Fixtures {
     val liTable = s"graft_bkt_lineitem_$tag"
     val ordTable = s"graft_bkt_orders_$tag"
     // Bucket count from the measured sizing law (BucketedLayout.
-    // sizeBuckets), derived once per corpus at build time from the fact
-    // side's row count (parquet count = footer metadata only) — both
-    // tables share the fact's count so the join stays co-bucketed.
-    // Floored at 8: the contract corpora are tiny (sf0.001-0.1) and a
-    // multi-bucket layout IS the point of the q253/q254 demonstrations;
-    // at sf0.1 the helper's own dust floor answers 8 anyway, and at
-    // real scale the helper governs (64+ at 30x - see SCALING.md).
-    val needBuild = !s.catalog.tableExists(liTable) || !s.catalog.tableExists(ordTable)
-    val buckets =
-      if (!needBuild) -1 // both ensure calls short-circuit; never read
-      else math.max(8, graft.sources.BucketedLayout.sizeBuckets(
-        Tables.lineitem(s, d).count(), s.sparkContext.defaultParallelism))
+    // sizeBuckets), derived at most once per corpus (lazy + by-name
+    // ensureBucketed param: the count job runs only when a build
+    // actually happens) from the fact side's row count (parquet count =
+    // footer metadata only) — both tables share the fact's count so the
+    // join stays co-bucketed. Floored at 8: the contract corpora are
+    // tiny (sf0.001-0.1) and a multi-bucket layout IS the point of the
+    // q253/q254 demonstrations; at sf0.1 the helper's own dust floor
+    // answers 8 anyway, and at real scale the helper governs (64+ at
+    // 30x - see SCALING.md).
+    lazy val buckets = math.max(8, graft.sources.BucketedLayout.sizeBuckets(
+      Tables.lineitem(s, d).count(), s.sparkContext.defaultParallelism))
     val li = graft.sources.BucketedLayout.ensureBucketed(
       s, liTable, buckets, "l_orderkey", "l_orderkey") {
       (scratchIndexDir("graft-bkt-li"),

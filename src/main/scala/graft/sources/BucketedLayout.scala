@@ -84,13 +84,16 @@ object BucketedLayout {
     *     is orders of magnitude over task memory turns the one-time
     *     build into a spill storm. This raises the count past the 2×
     *     cap for genuinely huge tables (a trillion-row fact on 8000
-    *     cores gets 65536 buckets, not 16k).
+    *     cores gets 131072 buckets, not 16k).
     *
-    * The result is floored to a power of two: Spark's
-    * `coalesceBucketsInJoin` can co-locate two bucketed tables only
-    * when one bucket count divides the other, and power-of-two counts
-    * keep every pair of layouts built by this rule mutually
-    * join-compatible without a re-bucket.
+    * The result is a power of two: Spark's `coalesceBucketsInJoin` can
+    * co-locate two bucketed tables only when one bucket count divides
+    * the other, and power-of-two counts keep every pair of layouts
+    * built by this rule mutually join-compatible without a re-bucket.
+    * The occupancy-driven value rounds DOWN (a soft target — 8 not 16
+    * for sf0.1's 9-ish dust-floor buckets) while the memory-driven
+    * value rounds UP: constraint 3 is a hard ceiling, and flooring it
+    * would hand each write task up to 2× the documented max rows.
     *
     * Reproduces the probe's verdict from the rule alone (pinned in
     * BucketedJoinSpec): 600k rows / 32 cores → 8; 18M and 60M rows /
@@ -105,11 +108,17 @@ object BucketedLayout {
     require(minRowsPerBucket >= 1 && maxRowsPerBucket >= minRowsPerBucket,
       s"need 1 <= minRowsPerBucket <= maxRowsPerBucket, " +
         s"got $minRowsPerBucket/$maxRowsPerBucket")
+    def clampInt(n: Long): Int = math.min(n, Int.MaxValue / 2).toInt
+    def floorPow2(n: Long): Int = Integer.highestOneBit(math.max(1, clampInt(n)))
+    def ceilPow2(n: Long): Int = {
+      val f = floorPow2(n)
+      if (f >= n) f else f << 1
+    }
     val bySize = math.max(1L, rowCount / minRowsPerBucket)
     val byParallelism = 2L * targetParallelism
     val byTaskMemory = (rowCount + maxRowsPerBucket - 1) / maxRowsPerBucket
-    val raw = math.max(math.min(bySize, byParallelism), math.max(1L, byTaskMemory))
-    Integer.highestOneBit(math.min(raw, Int.MaxValue / 2).toInt)
+    math.max(floorPow2(math.min(bySize, byParallelism)),
+      ceilPow2(math.max(1L, byTaskMemory)))
   }
 
   /** Write `df` as an external bucketed+sorted table at `path`,
@@ -141,13 +150,15 @@ object BucketedLayout {
   /** Idempotent ensure: build + register the bucketed table only if this
     * session's catalog doesn't already have it (the bucketed layout is
     * corpus state — built once per corpus, amortized over every join
-    * that reads it, exactly like an index). The builder is by-name and
-    * returns (path, rows) so the scratch path is only allocated when a
-    * write actually happens. Returns the table DataFrame, whose scan
-    * carries the bucket spec.
+    * that reads it, exactly like an index). The builder AND the bucket
+    * count are by-name and only evaluated when a write actually
+    * happens — so a [[sizeBuckets]]-derived count (which needs a row
+    * count) costs nothing on the short-circuit path, and the scratch
+    * path is only allocated for a real build. Returns the table
+    * DataFrame, whose scan carries the bucket spec.
     */
   def ensureBucketed(spark: SparkSession, table: String,
-                     numBuckets: Int, bucketCol: String, sortCol: String)
+                     numBuckets: => Int, bucketCol: String, sortCol: String)
                     (build: => (String, DataFrame)): DataFrame = {
     if (!spark.catalog.tableExists(table)) {
       val (path, rows) = build

@@ -157,7 +157,16 @@ object CsvMeta {
     * (FileContext + Options.Rename.OVERWRITE — java.nio REPLACE_EXISTING
     * on the local FS, a single namespace op on HDFS). The delete+rename
     * fallback leaves a crash window where `dst` is briefly missing, so
-    * it is only used where the FileContext API itself is unavailable.
+    * it is only used where the FileContext path itself fails — which
+    * includes `UnsupportedFileSystemException` (an IOException, NOT an
+    * UnsupportedOperationException: thrown when the scheme has no
+    * AbstractFileSystem binding, the s3a-style case this fallback
+    * exists for). A failed FileContext rename leaves src and dst intact
+    * (the op is all-or-nothing), so attempting the fallback after ANY
+    * failure is safe; the fallback itself checks every step's boolean —
+    * a discarded `false` from `fs.rename` would silently destroy the
+    * just-deleted dst (the sink's entire history) while reporting
+    * success.
     */
   private[graft] def renameOver(conf: org.apache.hadoop.conf.Configuration,
                                 fs: org.apache.hadoop.fs.FileSystem,
@@ -167,10 +176,12 @@ object CsvMeta {
       org.apache.hadoop.fs.FileContext.getFileContext(qDst.toUri, conf)
         .rename(qSrc, qDst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      case _: UnsupportedOperationException | _: java.io.FileNotFoundException =>
-        if (fs.exists(dst)) fs.delete(dst, false)
-        fs.rename(src, dst)
-        ()
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        if (fs.exists(dst) && !fs.delete(dst, false))
+          throw new java.io.IOException(s"renameOver: could not delete $dst")
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"renameOver: rename $src -> $dst returned false (dst was deleted; src still holds the data)")
     }
   }
 

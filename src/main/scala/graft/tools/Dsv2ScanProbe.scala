@@ -147,20 +147,28 @@ object PageStreamProbe {
         // size partitions so each micro-batch still fills the cores
         val per = math.max(1, cap / par)
         val ckpt = java.nio.file.Files.createTempDirectory("graft-probe-ckpt")
-        val stream = pipeline(spark.readStream.format("graft-pages")
-          .option("dir", dir.toString).option("productType", "life")
-          .option("pages", s"1-$pages")
-          .option("maxPagesPerTrigger", cap.toString)
-          .option("pagesPerPartition", per.toString).load())
-        val t0 = System.nanoTime()
-        val q = stream.writeStream.format("noop")
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-        (cap, sec, batches)
+        try {
+          val stream = pipeline(spark.readStream.format("graft-pages")
+            .option("dir", dir.toString).option("productType", "life")
+            .option("pages", s"1-$pages")
+            .option("maxPagesPerTrigger", cap.toString)
+            .option("pagesPerPartition", per.toString).load())
+          val t0 = System.nanoTime()
+          val q = stream.writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+          (cap, sec, batches)
+        } finally {
+          // the offset/commit logs are per-run scratch, not resume state
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(ckpt.toFile)
+        }
       }
       val capJson = perCap.map { case (cap, sec, n) =>
         f""""cap_$cap":{"wall_sec":$sec%.3f,"batches":$n,"sec_per_batch":${sec / math.max(1, n)}%.4f,"trigger_overhead_sec":${(sec - batchSec) / math.max(1, n)}%.4f}"""

@@ -123,9 +123,13 @@ class BucketedJoinSpec extends SparkSpec {
     assert(BucketedLayout.sizeBuckets(10_000L, 1024) == 1)
     // task-memory ceiling overrides the 2×-parallelism cap: a
     // trillion-row fact on 8000 cores needs bucket sorts that fit a
-    // task, not 16k buckets of 60M rows each
+    // task, not 16k buckets of 60M rows each. The ceiling rounds UP to
+    // the next power of two — flooring 119,210 needed buckets to 65,536
+    // would hand each write task ~15M rows, 2x the documented max
     val huge = BucketedLayout.sizeBuckets(1_000_000_000_000L, 8000)
-    assert(huge == 65536, s"got $huge")
+    assert(huge == 131072, s"got $huge")
+    assert(1_000_000_000_000L / huge <= (8L << 20),
+      "the memory ceiling must HOLD after pow2 rounding")
     // power-of-two counts keep any two layouts coalesceBucketsInJoin-
     // compatible (one count divides the other)
     for (rows <- Seq(1L, 500_000L, 5_000_000L, 123_456_789L);
