@@ -52,17 +52,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * back door: EnsureRequirements keeps the bucketed side exchange-free
   * and shuffles the UNBUCKETED side onto exactly `numBuckets`
   * partitions to match, so the whole join runs at bucket-count
-  * parallelism (asserted structurally in BucketedJoinSpec). That is
-  * the right trade when numBuckets ≥ cluster parallelism — half the
-  * shuffle for free — and the parallelism-collapse trap when it is
-  * not: an 8-bucket table throttles every delta join to 8 tasks.
-  * DECISION RULE: when the table's numBuckets < the parallelism the
-  * join should run at (cores available to the query), do NOT take the
-  * half-shuffle discount — disable the bucketed scan for that query
-  * (`spark.sql.sources.bucketing.enabled=false`, session-local) so
-  * both sides shuffle at conf width like a plain join. A layout whose
-  * bucket count came from [[sizeBuckets]] never needs the escape
-  * hatch at its design parallelism (the helper floors at it).
+  * parallelism (asserted structurally in BucketedJoinSpec; q255 is the
+  * oracle-gated contract query). DECISION RULE, as MEASURED
+  * (MixedJoinProbe, SCALING.md round 13): for the mixed join itself
+  * the half-shuffle discount (only the delta moves) beat the
+  * idle-core loss at every probed size — an 8-bucket fact joined
+  * faster than both the plain join and the escape hatch up to 60M
+  * rows — so keep the bucketed scan for delta joins even on a
+  * low-bucket legacy table. The low count instead throttles the
+  * one-time BUILD (one write task per bucket: 48.7 s vs 6.0 s at 100×)
+  * and the both-sides-sorted fact⋈fact join (the round-12 table, where
+  * 8 buckets LOST to plain at 30×). Reach for the escape hatch
+  * (`spark.sql.sources.bucketing.enabled=false`, session-local — both
+  * sides then shuffle at conf width) only when per-bucket work is
+  * heavy: wide rows, fact⋈fact, or a downstream aggregation chained on
+  * the bucket key (it inherits the bucket-count task width for its
+  * whole stage). A layout whose count came from [[sizeBuckets]] never
+  * faces the choice at its design parallelism.
   */
 object BucketedLayout {
 
