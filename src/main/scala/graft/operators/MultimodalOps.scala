@@ -6,7 +6,7 @@ import javax.imageio.ImageIO
 
 import scala.util.Try
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: images/audio/video as opaque `binary`
@@ -101,6 +101,64 @@ object MultimodalOps {
     }
   }
 
+  /** 8-bit pattern mixer behind the gradient fixtures — the ONLY place
+    * the row patterns are defined; oracle SQL mirrors the formula as
+    * `((v * 2654435761) // 128) % 256` (all values positive, so shift,
+    * integer division, and modulo agree across engines).
+    */
+  private[graft] def mix8(v: Long): Int = (((v * 2654435761L) >> 7) & 0xFF).toInt
+
+  /** A real PNG with SPATIAL STRUCTURE for perceptual hashing: 9×8
+    * grayscale, each row a luminance walk from 128 stepping ±8 per
+    * column so the horizontal gradient directions — exactly what a
+    * dHash reads — encode a deterministic 8-bit pattern per row.
+    * Rows 0–6 depend only on `id / 3` (the planted near-dup family);
+    * row 7 XORs in `id % 3`, so the three family members' 64-bit
+    * hashes differ by 1–2 bits: true near-duplicates, resolvable in
+    * closed form by the oracle. A solid fill (syntheticPng) would
+    * dHash to all-zeros — structurally useless for this operator.
+    */
+  def syntheticGradientPng(id: Long): Array[Byte] = {
+    imageIoInMemory
+    val img = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    val family = id / 3
+    val variant = (id % 3).toInt
+    var y = 0
+    while (y < 8) {
+      val bits = mix8(family * 8 + y) ^ (if (y == 7) variant else 0)
+      var lum = 128
+      img.setRGB(0, y, (lum << 16) | (lum << 8) | lum)
+      var x = 0
+      while (x < 8) {
+        lum += (if (((bits >> x) & 1) == 1) 8 else -8) // range stays [64, 192]
+        img.setRGB(x + 1, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Gradient-image table for the perceptual-hash family (executors
+    * generate the blobs, the driver never sees one — same contract as
+    * [[asImageTable]]).
+    */
+  def asGradientImageTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => ImageRow(id, syntheticGradientPng(id)))
+    }
+  }
+
+  /** One image's dHash, split into four 16-bit bands (kept as 4 ints
+    * instead of one packed long: band values are the LSH join keys
+    * downstream, and 16-bit ints sidestep the sign bit a 64-bit pack
+    * would hit — DuckDB and the JVM disagree on nothing this way).
+    */
+  case class ImageHash(mediaId: Long, band0: Int, band1: Int, band2: Int, band3: Int)
+
   // ---------------------------------------------------------------------
   // Real image kernels (javax.imageio)
   // ---------------------------------------------------------------------
@@ -137,6 +195,78 @@ object MultimodalOps {
     images.mapPartitions { it =>
       it.flatMap(row => readImage(row.content).map(imageStats(row.mediaId, _)))
     }
+  }
+
+  /** REAL PERCEPTUAL HASH (dHash): decode the blob, read the 9×8 raster,
+    * and set bit (y·8 + x) when luminance increases left→right —
+    * classic difference hashing, robust to uniform brightness shifts
+    * because only gradient DIRECTIONS are kept. Emitted as four 16-bit
+    * bands (rows 2b, 2b+1 → band b) — the LSH banding for the Hamming
+    * join in [[imageNearDups]]. Blobs ≥ 9×8 are hashed on their
+    * top-left window; smaller or undecodable blobs are dropped
+    * (per-row isolation, never a failed task). Scale shape: the hash
+    * is computed SCAN-SIDE in one pass over the blob — only
+    * (id, 4 ints) ever shuffles, the 100 TB rule for multimodal
+    * columns (blobs never shuffle).
+    */
+  def imageDHash(images: Dataset[ImageRow])(implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.flatMap { row =>
+        readImage(row.content).filter(i => i.getWidth >= 9 && i.getHeight >= 8).map { img =>
+          def lum(x: Int, y: Int): Int = img.getRGB(x, y) & 0xFF
+          val bands = new Array[Int](4)
+          var y = 0
+          while (y < 8) {
+            var rowBits = 0
+            var x = 0
+            while (x < 8) {
+              if (lum(x + 1, y) > lum(x, y)) rowBits |= 1 << x
+              x += 1
+            }
+            bands(y / 2) |= rowBits << (8 * (y % 2))
+            y += 1
+          }
+          ImageHash(row.mediaId, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }
+  }
+
+  /** IMAGE NEAR-DUP via banded Hamming LSH over [[imageDHash]] bands:
+    * candidate pairs share at least one 16-bit band (4 equi-joins via
+    * one explode — never an all-pairs product; per-bucket fan-out is
+    * bounded by hash diversity, the same guarantee as the MinHash
+    * bucket join), then the TRUE Hamming distance over all 64 bits
+    * keeps pairs within `maxDist`. Standard LSH recall trade, stated:
+    * a pair differing in every band is never proposed — with 16-bit
+    * bands that requires ≥4 differing bits, so all pairs with
+    * distance ≤ 3 are found exactly, and the planted fixtures (≤2)
+    * are complete.
+    */
+  def imageNearDups(hashes: Dataset[ImageHash], maxDist: Int = 2)
+                   (implicit spark: SparkSession): DataFrame = {
+    val bands = hashes.toDF()
+    val exploded = bands.select(col("mediaId"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("band_idx", "band_val")))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.mediaId") < col("b.mediaId"))
+      .select(col("a.mediaId").as("id_a"), col("b.mediaId").as("id_b"))
+      .distinct()
+    def dist: Column =
+      (bit_count(col("a.band0").bitwiseXOR(col("x.band0"))) +
+        bit_count(col("a.band1").bitwiseXOR(col("x.band1"))) +
+        bit_count(col("a.band2").bitwiseXOR(col("x.band2"))) +
+        bit_count(col("a.band3").bitwiseXOR(col("x.band3")))).cast("int")
+    cand
+      .join(bands.as("a"), col("id_a") === col("a.mediaId"))
+      .join(bands.as("x"), col("id_b") === col("x.mediaId"))
+      .select(col("id_a"), col("id_b"), dist.as("hamming"))
+      .where(col("hamming") <= maxDist)
   }
 
   /** REAL RESIZE: decode → aspect-preserving downscale (never upscale)

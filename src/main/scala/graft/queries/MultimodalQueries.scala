@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
   *
-  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract.
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object MultimodalQueries {
@@ -88,6 +88,37 @@ object MultimodalQueries {
       MultimodalOps.extractDocText(
         MultimodalOps.asDocTable(Tables.documents(s, d), "doc_id"))
         .toDF("doc_id", "n_pages", "n_chars", "n_words", "text_md5")
+    }),
+
+
+    // IMAGE PERCEPTUAL HASH (dHash): decode a REAL gradient PNG per doc
+    // and read the 64 horizontal luminance comparisons off the raster,
+    // emitted as four 16-bit LSH bands. The fixture's gradient
+    // directions encode a closed-form per-row pattern, so the oracle
+    // reconstructs every band from doc_id arithmetic — certifying the
+    // entire decode→raster→hash kernel bit-for-bit. Hash is computed
+    // scan-side; blobs never shuffle.
+    "q256_image_dhash" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.imageDHash(
+        MultimodalOps.asGradientImageTable(Tables.documents(s, d), "doc_id"))
+        .toDF("media_id", "band0", "band1", "band2", "band3")
+    }),
+
+
+    // IMAGE NEAR-DUP via banded Hamming LSH over the dHash: candidates
+    // share a 16-bit band (explode + equi-join — never all pairs), the
+    // true 64-bit Hamming distance filters to <= 2. The fixtures plant
+    // 3-member families (id/3) whose hashes differ only in row 7 by
+    // 1-2 bits; the oracle recomputes bands, candidates, and distances
+    // in SQL. Banding guarantee stated in the scaladoc: every pair
+    // with distance <= 3 is found (4 bands can't all differ).
+    "q257_image_neardup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.imageNearDups(
+        MultimodalOps.imageDHash(
+          MultimodalOps.asGradientImageTable(Tables.documents(s, d), "doc_id")),
+        maxDist = 2)
     }),
   )
 
@@ -191,5 +222,57 @@ object MultimodalQueries {
         | np * (4 + k) AS n_words,
         | md5(full_text) AS text_md5
         |FROM agg""".stripMargin,
+
+
+    // Mirrors MultimodalOps.mix8 + the gradient construction: bits_y =
+    // ((family*8+y) * 2654435761 // 128) % 256, row 7 XORs doc_id % 3;
+    // band b packs rows 2b (low byte) and 2b+1 (high byte). The Spark
+    // side derives the same values by ImageIO-decoding real PNGs.
+    "q256_image_dhash" ->
+      """WITH r AS (
+        | SELECT doc_id, y,
+        |  CASE WHEN y = 7
+        |   THEN xor(((doc_id // 3 * 8 + y) * 2654435761 // 128) % 256, doc_id % 3)
+        |   ELSE ((doc_id // 3 * 8 + y) * 2654435761 // 128) % 256 END AS bits
+        | FROM documents, range(8) t(y))
+        |SELECT doc_id AS media_id,
+        | CAST(max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256 AS INTEGER) AS band0,
+        | CAST(max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256 AS INTEGER) AS band1,
+        | CAST(max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256 AS INTEGER) AS band2,
+        | CAST(max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256 AS INTEGER) AS band3
+        |FROM r GROUP BY doc_id""".stripMargin,
+
+
+    // Same banding + Hamming filter as the Spark composition, over the
+    // closed-form bands.
+    "q257_image_neardup" ->
+      """WITH r AS (
+        | SELECT doc_id, y,
+        |  CASE WHEN y = 7
+        |   THEN xor(((doc_id // 3 * 8 + y) * 2654435761 // 128) % 256, doc_id % 3)
+        |   ELSE ((doc_id // 3 * 8 + y) * 2654435761 // 128) % 256 END AS bits
+        | FROM documents, range(8) t(y)),
+        |b AS (
+        | SELECT doc_id AS media_id,
+        |  max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256 AS band0,
+        |  max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256 AS band1,
+        |  max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256 AS band2,
+        |  max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256 AS band3
+        | FROM r GROUP BY doc_id),
+        |e AS (
+        | SELECT media_id, 0 AS bi, band0 AS bv FROM b
+        | UNION ALL SELECT media_id, 1, band1 FROM b
+        | UNION ALL SELECT media_id, 2, band2 FROM b
+        | UNION ALL SELECT media_id, 3, band3 FROM b),
+        |c AS (
+        | SELECT DISTINCT a.media_id AS id_a, bb.media_id AS id_b
+        | FROM e a JOIN e bb ON a.bi = bb.bi AND a.bv = bb.bv
+        |  AND a.media_id < bb.media_id),
+        |p AS (
+        | SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(x.band0, z.band0)) + bit_count(xor(x.band1, z.band1))
+        |     + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) AS INTEGER) AS hamming
+        | FROM c JOIN b x ON x.media_id = c.id_a JOIN b z ON z.media_id = c.id_b)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2""".stripMargin,
   )
 }

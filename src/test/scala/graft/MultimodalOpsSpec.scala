@@ -146,6 +146,56 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(d.textMd5 == hex)
   }
 
+  test("imageDHash reads gradient directions off the DECODED raster (known-value)") {
+    // id 6 -> family 2, variant 0: every row's bits are mix8(16+y); the
+    // hash must equal the closed-form bands even though the kernel only
+    // ever sees PNG bytes
+    def mix8(v: Long): Int = (((v * 2654435761L) >> 7) & 0xFF).toInt
+    val ids = Seq(6L, 7L, 8L) // one full family
+    val hashed = MultimodalOps.imageDHash(
+      ids.map(id => ImageRow(id, MultimodalOps.syntheticGradientPng(id))).toDS())
+      .collect().map(h => h.mediaId -> h).toMap
+    ids.foreach { id =>
+      val bits = (0 until 8).map(y => mix8(id / 3 * 8 + y) ^ (if (y == 7) (id % 3).toInt else 0))
+      val h = hashed(id)
+      assert(Seq(h.band0, h.band1, h.band2, h.band3) ==
+        (0 until 4).map(b => bits(2 * b) | (bits(2 * b + 1) << 8)),
+        s"id $id decoded hash != closed form")
+    }
+    // the planted family structure: variants differ ONLY in band3, by
+    // the variant xor (1-2 bits)
+    assert(hashed(6L).band0 == hashed(7L).band0 && hashed(6L).band2 == hashed(8L).band2)
+    assert(Integer.bitCount(hashed(6L).band3 ^ hashed(7L).band3) == 1)
+    assert(Integer.bitCount(hashed(7L).band3 ^ hashed(8L).band3) == 2)
+  }
+
+  test("imageDHash drops undecodable and too-small blobs per-row") {
+    val rows = Seq(
+      ImageRow(1L, MultimodalOps.syntheticGradientPng(1L)),
+      ImageRow(2L, "junk".getBytes("UTF-8")),
+      ImageRow(3L, MultimodalOps.syntheticPng(3L, 4, 4)) // < 9x8 window
+    ).toDS()
+    assert(MultimodalOps.imageDHash(rows).collect().map(_.mediaId).toSet == Set(1L))
+  }
+
+  test("imageNearDups finds exactly the planted families; banding guarantee holds to distance 3") {
+    val ids = (0L until 30L)
+    val hashes = MultimodalOps.imageDHash(
+      ids.map(id => ImageRow(id, MultimodalOps.syntheticGradientPng(id))).toDS())
+    val pairs = MultimodalOps.imageNearDups(hashes, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every intra-family pair present with the constructed distance...
+    val expected = ids.groupBy(_ / 3).values.flatMap { fam =>
+      val s = fam.sorted
+      Seq((s(0), s(1), 1), (s(0), s(2), 1), (s(1), s(2), 2))
+    }.toSet
+    assert(pairs.toSet.filter(p => p._1 / 3 == p._2 / 3) == expected)
+    // ...and any cross-family survivor is a genuine hash near-collision
+    pairs.filterNot(p => p._1 / 3 == p._2 / 3).foreach { case (_, _, d) =>
+      assert(d <= 2)
+    }
+  }
+
   test("extractDocText: corrupt containers are dropped per-row, not fatal") {
     val good = MultimodalOps.syntheticDoc(1L)
     val truncated = good.take(good.length - 3) // valid magic, short page bytes

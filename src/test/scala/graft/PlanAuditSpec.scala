@@ -659,6 +659,13 @@ class PlanAuditSpec extends SparkSpec {
       s"both sides must scan as bucketed tables:\n$p")
   }
 
+  test("image near-dup candidates come from band equi-joins, never an all-pairs product (q257)") {
+    val p = plan(q("q257_image_neardup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the Hamming filter must ride banded equi-join candidates, not a cross product:\n$p")
+    assert(p.contains("Join"), s"expected the band self-join:\n$p")
+  }
+
   test("the contract mixed join shuffles ONLY the unbucketed delta, onto the bucket count (q255)") {
     val p = plan(q("q255_mixed_bucket_join"))
     assert(p.contains("SortMergeJoin"), s"expected the hinted SMJ:\n$p")
