@@ -106,7 +106,8 @@ object DumpPlans {
     "q252_bloom_filter" -> "512-lane filter broadcast into the probe join; bit positions are a codegen'd projection, counts partial-agg",
     "q253_bucketed_join" -> "catalog-bucketed fact x fact SMJ: ZERO exchanges under the join — both scans read co-located buckets (the write-time shuffle is amortized over every orderkey join)",
     "q254_bucket_pruning" -> "SelectedBucketsCount scan pruning from the IN predicate; the groupBy reuses the bucket partitioning — no exchange anywhere",
-    "q255_mixed_bucket_join" -> "mixed bucketed fact x unbucketed delta: exactly ONE exchange under the SMJ — the delta shuffles onto the bucket count, the fact side reads exchange-free")
+    "q255_mixed_bucket_join" -> "mixed bucketed fact x unbucketed delta: exactly ONE exchange under the SMJ — the delta shuffles onto the bucket count, the fact side reads exchange-free",
+    "q257_image_neardup" -> "banded Hamming LSH over scan-side dHash: band equi-join candidates (no cartesian), only (id, 4 ints) ever shuffles — blobs stay in the scan")
 
   /** Narrated per-round job shapes for the RDD fixpoint operators —
     * `explain` can't see inside an RDD loop, so the scale contract is
