@@ -102,11 +102,23 @@ object MultimodalOps {
   }
 
   /** 8-bit pattern mixer behind the gradient fixtures — the ONLY place
-    * the row patterns are defined; oracle SQL mirrors the formula as
-    * `((v * 2654435761) // 128) % 256` (all values positive, so shift,
-    * integer division, and modulo agree across engines).
+    * the row patterns are defined; oracle SQL mirrors it with `w = v %
+    * 999983` then `(w³ mod 999983 · 69069) mod 999983 mod 256`. Two
+    * properties matter and were both MEASURED (round 13): the cubic
+    * makes it NON-affine — the first version (`(v·M)>>7 & 0xFF`) was
+    * affine in v, so consecutive families produced correlated row
+    * patterns and 500k images collapsed onto 5,760 distinct hashes
+    * (597M candidate pairs, a degenerate near-dup corpus); the cubic
+    * yields 499,982 distinct hashes and 1.5M candidates on the same
+    * ids. And every intermediate stays below 10¹² — wrap-free in
+    * DuckDB's overflow-checked BIGINT arithmetic for ANY doc id, where
+    * a 64-bit multiply would error (the oracle's engine does not wrap).
     */
-  private[graft] def mix8(v: Long): Int = (((v * 2654435761L) >> 7) & 0xFF).toInt
+  private[graft] def mix8(v: Long): Int = {
+    val p = 999983L
+    val w = v % p
+    ((((w * w % p) * w % p) * 69069L % p) % 256L).toInt
+  }
 
   /** A real PNG with SPATIAL STRUCTURE for perceptual hashing: 9×8
     * grayscale, each row a luminance walk from 128 stepping ±8 per
@@ -234,22 +246,44 @@ object MultimodalOps {
   }
 
   /** IMAGE NEAR-DUP via banded Hamming LSH over [[imageDHash]] bands:
-    * candidate pairs share at least one 16-bit band (4 equi-joins via
-    * one explode — never an all-pairs product; per-bucket fan-out is
-    * bounded by hash diversity, the same guarantee as the MinHash
-    * bucket join), then the TRUE Hamming distance over all 64 bits
-    * keeps pairs within `maxDist`. Standard LSH recall trade, stated:
-    * a pair differing in every band is never proposed — with 16-bit
-    * bands that requires ≥4 differing bits, so all pairs with
-    * distance ≤ 3 are found exactly, and the planted fixtures (≤2)
-    * are complete.
+    * equi-join candidates (never an all-pairs product), then the TRUE
+    * Hamming distance over all 64 bits keeps pairs within `maxDist`.
+    *
+    * BAND-KEY WIDTH is the saturation dial, and the 100× probe
+    * measured it (SCALING.md): single 16-bit bands saturate — expected
+    * bucket size is n/65536 per band, so candidate generation turned
+    * quadratic by 500k images (q257 77.8 s at 100×). For `maxDist ≤ 2`
+    * the keys are therefore PAIRS of bands (6 keys of 32 bits per
+    * image): ≤2 differing bits damage at most 2 of the 4 bands, so at
+    * least one band PAIR is intact — recall for distance ≤ 2 stays
+    * EXACT (the post-filter output is provably identical to
+    * single-band candidates ∩ the distance ball) while the key
+    * alphabet grows 65536-fold, pushing saturation from ~10⁵ to ~10¹⁰
+    * images. For `maxDist` 3 (3 damaged bands can leave no intact
+    * pair) it falls back to single 16-bit bands, whose recall is exact
+    * to distance 3; beyond that an LSH would need a longer hash.
     */
   def imageNearDups(hashes: Dataset[ImageHash], maxDist: Int = 2)
                    (implicit spark: SparkSession): DataFrame = {
-    val bands = hashes.toDF()
+    require(maxDist >= 0 && maxDist <= 3,
+      s"exact-recall banding over a 64-bit/4-band dHash covers maxDist <= 3, got $maxDist")
+    // The hash frame feeds FIVE consumers (both sides of the candidate
+    // self-join + two distance rejoins + the explode) and its lineage
+    // re-decodes every blob per branch; the frame itself is (id, 4
+    // ints) — the persist-when-small-vs-recompute rule (measured at
+    // 100×/500k images: 51.6 → 9.8 s). Released by the caller's
+    // GraftCache cycle.
+    val bands = graft.GraftCache.register(
+      hashes.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bandKeys: Seq[Column] =
+      if (maxDist <= 2)
+        Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).map { case (i, j) =>
+          col(s"band$i").cast("long") * 65536L + col(s"band$j")
+        }
+      else Seq(col("band0"), col("band1"), col("band2"), col("band3"))
+        .map(_.cast("long"))
     val exploded = bands.select(col("mediaId"),
-      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
-        .as(Seq("band_idx", "band_val")))
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_val")))
     val cand = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

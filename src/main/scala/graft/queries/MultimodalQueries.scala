@@ -224,17 +224,21 @@ object MultimodalQueries {
         |FROM agg""".stripMargin,
 
 
-    // Mirrors MultimodalOps.mix8 + the gradient construction: bits_y =
-    // ((family*8+y) * 2654435761 // 128) % 256, row 7 XORs doc_id % 3;
+    // Mirrors MultimodalOps.mix8 (w = v % 999983; (w^3 mod p * 69069)
+    // mod p mod 256 -- cubic, non-affine, wrap-free in checked BIGINT
+    // arithmetic) + the gradient construction: row 7 XORs doc_id % 3;
     // band b packs rows 2b (low byte) and 2b+1 (high byte). The Spark
     // side derives the same values by ImageIO-decoding real PNGs.
     "q256_image_dhash" ->
-      """WITH r AS (
+      """WITH w AS (
+        | SELECT doc_id, y, (doc_id // 3 * 8 + y) % 999983 AS w
+        | FROM documents, range(8) t(y)),
+        |r AS (
         | SELECT doc_id, y,
         |  CASE WHEN y = 7
-        |   THEN xor(((doc_id // 3 * 8 + y) * 2654435761 // 128) % 256, doc_id % 3)
-        |   ELSE ((doc_id // 3 * 8 + y) * 2654435761 // 128) % 256 END AS bits
-        | FROM documents, range(8) t(y))
+        |   THEN xor((w * w % 999983 * w % 999983 * 69069) % 999983 % 256, doc_id % 3)
+        |   ELSE (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 END AS bits
+        | FROM w)
         |SELECT doc_id AS media_id,
         | CAST(max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256 AS INTEGER) AS band0,
         | CAST(max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256 AS INTEGER) AS band1,
@@ -246,12 +250,15 @@ object MultimodalQueries {
     // Same banding + Hamming filter as the Spark composition, over the
     // closed-form bands.
     "q257_image_neardup" ->
-      """WITH r AS (
+      """WITH w AS (
+        | SELECT doc_id, y, (doc_id // 3 * 8 + y) % 999983 AS w
+        | FROM documents, range(8) t(y)),
+        |r AS (
         | SELECT doc_id, y,
         |  CASE WHEN y = 7
-        |   THEN xor(((doc_id // 3 * 8 + y) * 2654435761 // 128) % 256, doc_id % 3)
-        |   ELSE ((doc_id // 3 * 8 + y) * 2654435761 // 128) % 256 END AS bits
-        | FROM documents, range(8) t(y)),
+        |   THEN xor((w * w % 999983 * w % 999983 * 69069) % 999983 % 256, doc_id % 3)
+        |   ELSE (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 END AS bits
+        | FROM w),
         |b AS (
         | SELECT doc_id AS media_id,
         |  max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256 AS band0,

@@ -150,7 +150,10 @@ class MultimodalOpsSpec extends SparkSpec {
     // id 6 -> family 2, variant 0: every row's bits are mix8(16+y); the
     // hash must equal the closed-form bands even though the kernel only
     // ever sees PNG bytes
-    def mix8(v: Long): Int = (((v * 2654435761L) >> 7) & 0xFF).toInt
+    def mix8(v: Long): Int = {
+      val p = 999983L; val w = v % p
+      ((((w * w % p) * w % p) * 69069L % p) % 256L).toInt
+    }
     val ids = Seq(6L, 7L, 8L) // one full family
     val hashed = MultimodalOps.imageDHash(
       ids.map(id => ImageRow(id, MultimodalOps.syntheticGradientPng(id))).toDS())
@@ -178,7 +181,7 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(MultimodalOps.imageDHash(rows).collect().map(_.mediaId).toSet == Set(1L))
   }
 
-  test("imageNearDups finds exactly the planted families; banding guarantee holds to distance 3") {
+  test("imageNearDups finds exactly the planted families; pair-band recall exact to distance 2") {
     val ids = (0L until 30L)
     val hashes = MultimodalOps.imageDHash(
       ids.map(id => ImageRow(id, MultimodalOps.syntheticGradientPng(id))).toDS())
