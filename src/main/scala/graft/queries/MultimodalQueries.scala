@@ -107,12 +107,13 @@ object MultimodalQueries {
 
 
     // IMAGE NEAR-DUP via banded Hamming LSH over the dHash: candidates
-    // share a 16-bit band (explode + equi-join — never all pairs), the
-    // true 64-bit Hamming distance filters to <= 2. The fixtures plant
-    // 3-member families (id/3) whose hashes differ only in row 7 by
-    // 1-2 bits; the oracle recomputes bands, candidates, and distances
-    // in SQL. Banding guarantee stated in the scaladoc: every pair
-    // with distance <= 3 is found (4 bands can't all differ).
+    // share a band-PAIR key (6 x 32-bit keys; explode + equi-join —
+    // never all pairs), the true 64-bit Hamming distance filters to
+    // <= 2. Recall is exact at this threshold (<= 2 damaged bits leave
+    // >= 1 intact pair), so the oracle — which generates candidates
+    // from SINGLE bands — provably produces the identical post-filter
+    // output. The fixtures plant 3-member families (id/3) whose hashes
+    // differ only in row 7 by 1-2 bits.
     "q257_image_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
       MultimodalOps.imageNearDups(
