@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
   *
-  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup.
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object MultimodalQueries {
@@ -120,6 +120,31 @@ object MultimodalQueries {
         MultimodalOps.imageDHash(
           MultimodalOps.asGradientImageTable(Tables.documents(s, d), "doc_id")),
         maxDist = 2)
+    }),
+
+
+    // IMAGE SEMDEDUP: the full image-dedup treatment — dHash pairs →
+    // star-CC clusters → keep the min-id representative per cluster
+    // (the SemDeDup shape of q82, applied to the visual modality).
+    // Every image gets a row: singletons are their own cluster and
+    // kept. The oracle resolves the SAME clusters from the closed-form
+    // pair set via a recursive reachability CTE — true CC, no
+    // clique-structure assumption, so a cross-family hash coincidence
+    // merges clusters identically in both engines.
+    "q258_image_dedup_keep" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"))
+      val pairs = MultimodalOps.imageNearDups(
+        MultimodalOps.imageDHash(
+          MultimodalOps.asGradientImageTable(Tables.documents(s, d), "doc_id")),
+        maxDist = 2).select("id_a", "id_b")
+      val cc = DedupOps.connectedComponents(pairs, maxIter = 10)
+      docs.join(cc, docs("media_id") === cc("id"), "left")
+        .select(col("media_id"),
+          coalesce(col("component"), col("media_id")).as("cluster"),
+          (coalesce(col("component"), col("media_id")) === col("media_id"))
+            .as("is_kept"))
     }),
   )
 
@@ -282,5 +307,53 @@ object MultimodalQueries {
         |     + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) AS INTEGER) AS hamming
         | FROM c JOIN b x ON x.media_id = c.id_a JOIN b z ON z.media_id = c.id_b)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2""".stripMargin,
+
+
+    // TRUE connected components over the closed-form pair set via a
+    // recursive reachability CTE (min reachable id = the cluster label,
+    // matching the Spark star-CC's min-id convention) — no assumption
+    // that clusters are single families, so hash coincidences merge
+    // identically in both engines. Singletons cluster to themselves.
+    "q258_image_dedup_keep" ->
+      """WITH RECURSIVE w AS (
+        | SELECT doc_id, y, (doc_id // 3 * 8 + y) % 999983 AS w
+        | FROM documents, range(8) t(y)),
+        |r AS (
+        | SELECT doc_id, y,
+        |  CASE WHEN y = 7
+        |   THEN xor((w * w % 999983 * w % 999983 * 69069) % 999983 % 256, doc_id % 3)
+        |   ELSE (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 END AS bits
+        | FROM w),
+        |b AS (
+        | SELECT doc_id AS media_id,
+        |  max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256 AS band0,
+        |  max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256 AS band1,
+        |  max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256 AS band2,
+        |  max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256 AS band3
+        | FROM r GROUP BY doc_id),
+        |e AS (
+        | SELECT media_id, 0 AS bi, band0 AS bv FROM b
+        | UNION ALL SELECT media_id, 1, band1 FROM b
+        | UNION ALL SELECT media_id, 2, band2 FROM b
+        | UNION ALL SELECT media_id, 3, band3 FROM b),
+        |c AS (
+        | SELECT DISTINCT a.media_id AS id_a, bb.media_id AS id_b
+        | FROM e a JOIN e bb ON a.bi = bb.bi AND a.bv = bb.bv
+        |  AND a.media_id < bb.media_id),
+        |p AS (
+        | SELECT id_a, id_b FROM (
+        |  SELECT c.id_a, c.id_b,
+        |   bit_count(xor(x.band0, z.band0)) + bit_count(xor(x.band1, z.band1))
+        |   + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) AS hamming
+        |  FROM c JOIN b x ON x.media_id = c.id_a JOIN b z ON z.media_id = c.id_b)
+        | WHERE hamming <= 2),
+        |sym AS (SELECT id_a AS a, id_b AS nbr FROM p
+        |        UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        | SELECT doc_id AS id, doc_id AS root FROM documents
+        | UNION
+        | SELECT sym.nbr AS id, reach.root FROM reach JOIN sym ON sym.a = reach.id)
+        |SELECT id AS media_id, min(root) AS cluster, min(root) = id AS is_kept
+        |FROM reach GROUP BY id""".stripMargin,
   )
 }
