@@ -139,7 +139,11 @@ object MultimodalQueries {
         MultimodalOps.imageDHash(
           MultimodalOps.asGradientImageTable(Tables.documents(s, d), "doc_id")),
         maxDist = 2).select("id_a", "id_b")
-      val cc = DedupOps.connectedComponents(pairs, maxIter = 10)
+      // default maxIter: the loop exits at the checksum fixpoint anyway
+      // (planted cliques converge in 2-3 rounds), and a lower cap would
+      // only let a pathological long-chain graph return non-converged
+      // labels silently
+      val cc = DedupOps.connectedComponents(pairs)
       docs.join(cc, docs("media_id") === cc("id"), "left")
         .select(col("media_id"),
           coalesce(col("component"), col("media_id")).as("cluster"),
