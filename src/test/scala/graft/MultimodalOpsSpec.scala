@@ -199,6 +199,38 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("imageDHash streams: scan-side hashing + exactly-once per VISUAL CONTENT across micro-batches") {
+    // the ingest shape for a streaming image corpus: blobs hash in the
+    // narrow map stage (never buffered as state), and dropDuplicates on
+    // the 4 band columns keeps one row per visual content — a re-crawled
+    // byte-identical image in a later micro-batch is dropped by state,
+    // not re-emitted
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[ImageRow]
+    val uniq = MultimodalOps.imageDHash(input.toDS())
+      .dropDuplicates("band0", "band1", "band2", "band3")
+    val q = uniq.writeStream.format("memory").queryName("img_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ImageRow(0L, MultimodalOps.syntheticGradientPng(0L)),
+        ImageRow(1L, MultimodalOps.syntheticGradientPng(1L))) // same family, different hash
+      q.processAllAvailable()
+      assert(spark.table("img_stream").select("mediaId")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+      // a later batch re-ingests image 0's content and adds a new family
+      input.addData(
+        ImageRow(100L, MultimodalOps.syntheticGradientPng(0L)), // duplicate content, new id
+        ImageRow(3L, MultimodalOps.syntheticGradientPng(3L)))
+      q.processAllAvailable()
+      val ids = spark.table("img_stream").select("mediaId")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(0L, 1L, 3L),
+        s"the re-crawled content must be dropped by hash state, got $ids")
+    } finally q.stop()
+  }
+
   test("extractDocText: corrupt containers are dropped per-row, not fatal") {
     val good = MultimodalOps.syntheticDoc(1L)
     val truncated = good.take(good.length - 3) // valid magic, short page bytes
