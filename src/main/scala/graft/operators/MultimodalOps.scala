@@ -249,6 +249,35 @@ object MultimodalOps {
     * equi-join candidates (never an all-pairs product), then the TRUE
     * Hamming distance over all 64 bits keeps pairs within `maxDist`.
     *
+    * OUTPUT IS A SPARSE CERTIFICATE of the near-dup graph, not the
+    * all-pairs relation: identical 64-bit hashes are pre-grouped to
+    * one representative (min id), members attach to it by STAR edges
+    * at distance 0, and the band join runs over DISTINCT hashes only,
+    * emitting one representative↔representative edge per close hash
+    * pair. Connected components over the certificate are provably
+    * identical to components over the full pair set (a full-graph edge
+    * (a∈A, b∈B) maps to the path a–rep(A)–rep(B)–b), so every
+    * clustering consumer — q258's SemDeDup keep-list included — gets
+    * the exact answer, while output and shuffle stay LINEAR where
+    * all-pairs is quadratic. A web-crawl corpus with B byte-identical
+    * copies of one logo (or B solid fills — the dHash of ANY uniform
+    * image is all-zeros) previously put B ids on each of its band
+    * keys: ~6·B²/2 candidate rows through a distinct() on a maximally
+    * skewed key. Pre-grouping admits ONE row per distinct hash to the
+    * band join and emits B−1 star edges instead — the same
+    * identical-content reasoning the text path applies (exact dedup
+    * owns dist-0 en masse; LSH owns the near misses).
+    *
+    * Near-identical pileups (many DISTINCT hashes crowding one band
+    * key) are the residual degenerate case, and get the text path's
+    * guard verbatim ([[graft.functions.CappedList]], the
+    * `DedupOps.candidatesFromBandRows` shape): each band bucket's
+    * member list is hard-capped at `maxBucketSize+1` during ONE
+    * partial-aggregated shuffle, overflowing buckets are detected by
+    * size and dropped without ever being held, and a genuinely close
+    * pair still surfaces through any of its other ≤5 intact band
+    * buckets.
+    *
     * BAND-KEY WIDTH is the saturation dial, and the 100× probe
     * measured it (SCALING.md): single 16-bit bands saturate — expected
     * bucket size is n/65536 per band, so candidate generation turned
@@ -263,18 +292,33 @@ object MultimodalOps {
     * pair) it falls back to single 16-bit bands, whose recall is exact
     * to distance 3; beyond that an LSH would need a longer hash.
     */
-  def imageNearDups(hashes: Dataset[ImageHash], maxDist: Int = 2)
+  def imageNearDups(hashes: Dataset[ImageHash], maxDist: Int = 2,
+                    maxBucketSize: Int = 1000)
                    (implicit spark: SparkSession): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"exact-recall banding over a 64-bit/4-band dHash covers maxDist <= 3, got $maxDist")
-    // The hash frame feeds FIVE consumers (both sides of the candidate
-    // self-join + two distance rejoins + the explode) and its lineage
-    // re-decodes every blob per branch; the frame itself is (id, 4
-    // ints) — the persist-when-small-vs-recompute rule (measured at
-    // 100×/500k images: 51.6 → 9.8 s). Released by the caller's
-    // GraftCache cycle.
-    val bands = graft.GraftCache.register(
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val bandCols = Seq("band0", "band1", "band2", "band3")
+    // The hash frame feeds the pre-grouping AND the star join, and its
+    // lineage re-decodes every blob per branch; the frame itself is
+    // (id, 4 ints) — the persist-when-small-vs-recompute rule
+    // (measured at 100×/500k images: 51.6 → 9.8 s). Released by the
+    // caller's GraftCache cycle.
+    val h = graft.GraftCache.register(
       hashes.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // One representative per DISTINCT 64-bit hash: a single shuffle
+    // keyed by the hash itself (map-side partial min), the only stage
+    // where a degenerate identical block concentrates — and min() state
+    // is O(1) per key, so it cannot blow up.
+    val groups = graft.GraftCache.register(
+      h.groupBy(bandCols.map(col): _*).agg(min("mediaId").as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // dist-0 star edges: B byte-identical images become B−1 edges.
+    val starPairs = h.join(groups, bandCols)
+      .where(col("mediaId") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("mediaId").as("id_b"),
+        lit(0).as("hamming"))
+    val reps = groups.select((col("rep").as("mediaId") +: bandCols.map(col)): _*)
     val bandKeys: Seq[Column] =
       if (maxDist <= 2)
         Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).map { case (i, j) =>
@@ -282,25 +326,31 @@ object MultimodalOps {
         }
       else Seq(col("band0"), col("band1"), col("band2"), col("band3"))
         .map(_.cast("long"))
-    val exploded = bands.select(col("mediaId"),
+    val exploded = reps.select(col("mediaId"),
       posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_val")))
-    val cand = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.mediaId") < col("b.mediaId"))
-      .select(col("a.mediaId").as("id_a"), col("b.mediaId").as("id_b"))
+    // Capped-bucket candidate generation (the DedupOps pattern): one
+    // partial-aggregated shuffle, state bounded at maxBucketSize+1,
+    // overflowing buckets dropped by size — never held, never collected.
+    val cand = exploded.groupBy("band_idx", "band_val")
+      .agg(graft.functions.CappedList.cappedIds(maxBucketSize)(col("mediaId")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
       .distinct()
     def dist: Column =
       (bit_count(col("a.band0").bitwiseXOR(col("x.band0"))) +
         bit_count(col("a.band1").bitwiseXOR(col("x.band1"))) +
         bit_count(col("a.band2").bitwiseXOR(col("x.band2"))) +
         bit_count(col("a.band3").bitwiseXOR(col("x.band3")))).cast("int")
-    cand
-      .join(bands.as("a"), col("id_a") === col("a.mediaId"))
-      .join(bands.as("x"), col("id_b") === col("x.mediaId"))
+    // Distinct hashes have Hamming >= 1 by construction, so rep↔rep
+    // edges never duplicate a star edge.
+    val repPairs = cand
+      .join(reps.as("a"), col("id_a") === col("a.mediaId"))
+      .join(reps.as("x"), col("id_b") === col("x.mediaId"))
       .select(col("id_a"), col("id_b"), dist.as("hamming"))
       .where(col("hamming") <= maxDist)
+    starPairs.unionAll(repPairs)
   }
 
   /** REAL RESIZE: decode → aspect-preserving downscale (never upscale)

@@ -106,14 +106,20 @@ object MultimodalQueries {
     }),
 
 
-    // IMAGE NEAR-DUP via banded Hamming LSH over the dHash: candidates
-    // share a band-PAIR key (6 x 32-bit keys; explode + equi-join —
-    // never all pairs), the true 64-bit Hamming distance filters to
-    // <= 2. Recall is exact at this threshold (<= 2 damaged bits leave
-    // >= 1 intact pair), so the oracle — which generates candidates
-    // from SINGLE bands — provably produces the identical post-filter
-    // output. The fixtures plant 3-member families (id/3) whose hashes
-    // differ only in row 7 by 1-2 bits.
+    // IMAGE NEAR-DUP via banded Hamming LSH over the dHash: identical
+    // hashes pre-group to one representative (star edges at dist 0 —
+    // B byte-identical crawl copies are B-1 edges, never B²), then
+    // DISTINCT hashes band-join on band-PAIR keys (6 x 32-bit keys;
+    // explode + capped-bucket aggregation — never all pairs, degenerate
+    // buckets dropped by the CappedList guard), and the true 64-bit
+    // Hamming distance filters rep pairs to <= 2. Recall is exact at
+    // this threshold (<= 2 damaged bits leave >= 1 intact pair), so
+    // the oracle — which generates rep candidates from SINGLE bands —
+    // provably produces the identical post-filter output. The output
+    // is a sparse CERTIFICATE: connected components over it equal
+    // components over the all-pairs relation (see the operator's
+    // scaladoc). The fixtures plant 3-member families (id/3) whose
+    // hashes differ only in row 7 by 1-2 bits.
     "q257_image_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
       MultimodalOps.imageNearDups(
@@ -123,9 +129,13 @@ object MultimodalQueries {
     }),
 
 
-    // IMAGE SEMDEDUP: the full image-dedup treatment — dHash pairs →
-    // star-CC clusters → keep the min-id representative per cluster
-    // (the SemDeDup shape of q82, applied to the visual modality).
+    // IMAGE SEMDEDUP: the full image-dedup treatment — dHash certificate
+    // pairs → star-CC clusters → keep the min-id representative per
+    // cluster (the SemDeDup shape of q82, applied to the visual
+    // modality). The near-dup certificate spans exactly the all-pairs
+    // connectivity (identical hashes pre-grouped to a representative),
+    // so the oracle's TRUE-CC over the closed-form ALL-pairs set
+    // resolves the same clusters — the hash match is itself the proof.
     // Every image gets a row: singletons are their own cluster and
     // kept. The oracle resolves the SAME clusters from the closed-form
     // pair set via a recursive reachability CTE — true CC, no
@@ -277,8 +287,12 @@ object MultimodalQueries {
         |FROM r GROUP BY doc_id""".stripMargin,
 
 
-    // Same banding + Hamming filter as the Spark composition, over the
-    // closed-form bands.
+    // Same certificate semantics as the Spark composition, over the
+    // closed-form bands: identical hashes pre-group to a min-id
+    // representative (star edges at dist 0), then single-band
+    // candidates over DISTINCT hashes + the Hamming filter (recall to
+    // dist 2 is a superset of the engine's band-pair candidates, and
+    // the post-filter outputs are provably equal).
     "q257_image_neardup" ->
       """WITH w AS (
         | SELECT doc_id, y, (doc_id // 3 * 8 + y) % 999983 AS w
@@ -296,21 +310,30 @@ object MultimodalQueries {
         |  max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256 AS band2,
         |  max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256 AS band3
         | FROM r GROUP BY doc_id),
+        |g AS (
+        | SELECT band0, band1, band2, band3, min(media_id) AS rep
+        | FROM b GROUP BY band0, band1, band2, band3),
+        |star AS (
+        | SELECT g.rep AS id_a, b.media_id AS id_b, CAST(0 AS INTEGER) AS hamming
+        | FROM b JOIN g USING (band0, band1, band2, band3)
+        | WHERE b.media_id <> g.rep),
         |e AS (
-        | SELECT media_id, 0 AS bi, band0 AS bv FROM b
-        | UNION ALL SELECT media_id, 1, band1 FROM b
-        | UNION ALL SELECT media_id, 2, band2 FROM b
-        | UNION ALL SELECT media_id, 3, band3 FROM b),
+        | SELECT rep, 0 AS bi, band0 AS bv FROM g
+        | UNION ALL SELECT rep, 1, band1 FROM g
+        | UNION ALL SELECT rep, 2, band2 FROM g
+        | UNION ALL SELECT rep, 3, band3 FROM g),
         |c AS (
-        | SELECT DISTINCT a.media_id AS id_a, bb.media_id AS id_b
+        | SELECT DISTINCT a.rep AS id_a, bb.rep AS id_b
         | FROM e a JOIN e bb ON a.bi = bb.bi AND a.bv = bb.bv
-        |  AND a.media_id < bb.media_id),
+        |  AND a.rep < bb.rep),
         |p AS (
         | SELECT c.id_a, c.id_b,
         |  CAST(bit_count(xor(x.band0, z.band0)) + bit_count(xor(x.band1, z.band1))
         |     + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) AS INTEGER) AS hamming
-        | FROM c JOIN b x ON x.media_id = c.id_a JOIN b z ON z.media_id = c.id_b)
-        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2""".stripMargin,
+        | FROM c JOIN g x ON x.rep = c.id_a JOIN g z ON z.rep = c.id_b)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2
+        |UNION ALL
+        |SELECT id_a, id_b, hamming FROM star""".stripMargin,
 
 
     // TRUE connected components over the closed-form pair set via a

@@ -663,7 +663,16 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(q("q257_image_neardup"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the Hamming filter must ride banded equi-join candidates, not a cross product:\n$p")
-    assert(p.contains("Join"), s"expected the band self-join:\n$p")
+    assert(p.contains("Join"), s"expected the star/rejoin equi-joins:\n$p")
+    // round-14 degenerate guards, pinned IN THE CONTRACT PATH: the
+    // identical-hash pre-grouping (min-id representative per distinct
+    // 64-bit hash) and the CappedList band-bucket aggregation — a
+    // regression to the uncapped exploded self-join re-opens the B²
+    // blowup ImageDegenerateBucketSpec measures
+    assert(p.toLowerCase.contains("cappedlistaggregator"),
+      s"band buckets must aggregate through the CappedList guard:\n$p")
+    assert(p.contains("min(mediaId"),
+      s"expected the identical-hash pre-grouping (min-id rep):\n$p")
   }
 
   test("the contract mixed join shuffles ONLY the unbucketed delta, onto the bucket count (q255)") {
