@@ -155,18 +155,17 @@ object CsvMeta {
 
   /** Rename `src` over `dst`, preferring the ATOMIC overwrite rename
     * (FileContext + Options.Rename.OVERWRITE — java.nio REPLACE_EXISTING
-    * on the local FS, a single namespace op on HDFS). The delete+rename
-    * fallback leaves a crash window where `dst` is briefly missing, so
-    * it is only used where the FileContext path itself fails — which
-    * includes `UnsupportedFileSystemException` (an IOException, NOT an
-    * UnsupportedOperationException: thrown when the scheme has no
-    * AbstractFileSystem binding, the s3a-style case this fallback
+    * on the local FS, a single namespace op on HDFS). The non-atomic
+    * fallback is only used where the FileContext path itself fails —
+    * which includes `UnsupportedFileSystemException` (an IOException,
+    * NOT an UnsupportedOperationException: thrown when the scheme has
+    * no AbstractFileSystem binding, the s3a-style case this fallback
     * exists for). A failed FileContext rename leaves src and dst intact
     * (the op is all-or-nothing), so attempting the fallback after ANY
-    * failure is safe; the fallback itself checks every step's boolean —
-    * a discarded `false` from `fs.rename` would silently destroy the
-    * just-deleted dst (the sink's entire history) while reporting
-    * success.
+    * failure is safe — but the failure may also mean src is MISSING or
+    * the FS is transiently down, and the fallback must never pay for
+    * that with dst (the sink's entire history). See
+    * [[renameOverFallback]] for the invariant.
     */
   private[graft] def renameOver(conf: org.apache.hadoop.conf.Configuration,
                                 fs: org.apache.hadoop.fs.FileSystem,
@@ -176,13 +175,52 @@ object CsvMeta {
       org.apache.hadoop.fs.FileContext.getFileContext(qDst.toUri, conf)
         .rename(qSrc, qDst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      case _: UnsupportedOperationException | _: java.io.IOException =>
-        if (fs.exists(dst) && !fs.delete(dst, false))
-          throw new java.io.IOException(s"renameOver: could not delete $dst")
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(
-            s"renameOver: rename $src -> $dst returned false (dst was deleted; src still holds the data)")
+      case e @ (_: UnsupportedOperationException | _: java.io.IOException) =>
+        renameOverFallback(fs, src, dst, e)
     }
+  }
+
+  /** Non-atomic replace with the HISTORY-SURVIVES-EVERYTHING invariant:
+    * at every step some complete copy of dst's prior content exists on
+    * disk (as `dst` or as `dst.bak`), and the method only reports
+    * success once the NEW data is at dst. The earlier form deleted dst
+    * before renaming src over it — if the triggering failure was
+    * actually a missing/unreadable src or a transient FS error (not
+    * the unsupported-scheme case this path targets), the delete
+    * destroyed the sink's entire history and the follow-up rename had
+    * nothing to install. Now: (1) a missing src rethrows the original
+    * failure with dst untouched; (2) dst is set ASIDE to a `.bak`
+    * sidecar, never deleted; (3) a failed src→dst rename restores the
+    * sidecar; (4) the sidecar is removed only after the new data is in
+    * place (best-effort — a stale sidecar is cleared on the next call).
+    * Every `fs.rename`/`fs.delete` boolean is checked — a discarded
+    * `false` would report success while the data sits under the wrong
+    * name.
+    */
+  private[graft] def renameOverFallback(fs: org.apache.hadoop.fs.FileSystem,
+                                        src: Path, dst: Path,
+                                        cause: Throwable = null): Unit = {
+    if (!fs.exists(src))
+      throw new java.io.IOException(
+        s"renameOver: atomic rename failed and $src does not exist — " +
+          s"$dst left untouched", cause)
+    val bak = new Path(dst.toString + ".bak")
+    if (fs.exists(bak) && !fs.delete(bak, false))
+      throw new java.io.IOException(s"renameOver: could not clear stale $bak")
+    val hadDst = fs.exists(dst)
+    if (hadDst && !fs.rename(dst, bak))
+      throw new java.io.IOException(
+        s"renameOver: could not set $dst aside to $bak — history intact at $dst")
+    if (!fs.rename(src, dst)) {
+      if (hadDst && !fs.rename(bak, dst))
+        throw new java.io.IOException(
+          s"renameOver: rename $src -> $dst returned false AND the restore " +
+            s"failed — history preserved at $bak")
+      throw new java.io.IOException(
+        s"renameOver: rename $src -> $dst returned false" +
+          (if (hadDst) s" — $dst restored from $bak" else ""))
+    }
+    if (hadDst) { fs.delete(bak, false); () } // best-effort cleanup
   }
 
   /** K1 at scale: directory-of-parts append — each batch lands as new

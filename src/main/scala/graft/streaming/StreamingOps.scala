@@ -329,11 +329,30 @@ object StreamingOps {
     * design) resolves to a harmless no-op re-append. Assumes this sink
     * is the file's only writer — same contract as the reference's
     * exclusive csv_writer.
+    *
+    * The marker also records the STREAMING QUERY ID (the checkpoint-
+    * stable UUID Spark publishes to the stream-execution thread as the
+    * `sql.streaming.queryId` local property): batchIds are only
+    * monotonic WITHIN one checkpoint lineage, so a query restarted
+    * against a FRESH checkpoint restarts them at 0 — compared against
+    * a stale high-water mark, every early batch would be "already
+    * delivered" and silently dropped (data LOSS, strictly worse than
+    * the duplicate the guard exists to stop). A query-id change
+    * therefore RE-BASELINES the marker at the current file length and
+    * delivers from batch 0. Discarding a checkpoint also discards
+    * source offsets, so the new incarnation may re-deliver data the old
+    * one already appended — at-least-once is the correct (and only
+    * achievable) semantics once the batchId lineage is lost; markers
+    * from pre-query-id versions carry no id and are adopted into the
+    * current lineage unchanged.
     */
   private[graft] def idempotentCsvAppend(df: DataFrame, productType: String,
                                          csvPath: String, batchId: Long): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse("")
     val target = new org.apache.hadoop.fs.Path(csvPath)
     val marker = new org.apache.hadoop.fs.Path(csvPath + ".delivered")
     val fs = target.getFileSystem(conf)
@@ -342,20 +361,26 @@ object StreamingOps {
     def writeMarker(id: Long, len: Long): Unit = {
       val tmp = new org.apache.hadoop.fs.Path(csvPath + ".delivered.tmp")
       val out = fs.create(tmp, true)
-      try out.write(s"$id,$len".getBytes("UTF-8")) finally out.close()
+      try out.write(s"$id,$len,$queryId".getBytes("UTF-8")) finally out.close()
       graft.sources.CsvMeta.renameOver(conf, fs, tmp, marker)
     }
+    def baseline(): (Long, Long) = {
+      val b = (-1L, targetLen)
+      writeMarker(b._1, b._2) // pin BEFORE the first append
+      b
+    }
     val (lastId, lastLen) =
-      if (!fs.exists(marker)) {
-        val baseline = (-1L, targetLen)
-        writeMarker(baseline._1, baseline._2) // pin BEFORE the first append
-        baseline
-      } else {
+      if (!fs.exists(marker)) baseline()
+      else {
         val in = fs.open(marker)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        val Array(id, len) = txt.trim.split(",", 2)
-        (id.toLong, len.toLong)
+        // v1 markers: "id,len"; v2: "id,len,queryId" (queryId may be
+        // empty outside a streaming thread)
+        val parts = txt.trim.split(",", 3)
+        val markerQueryId = if (parts.length >= 3) parts(2) else queryId
+        if (markerQueryId != queryId) baseline() // new checkpoint lineage
+        else (parts(0).toLong, parts(1).toLong)
       }
     if (batchId <= lastId) return // replayed: already delivered
     if (batchId == lastId + 1 && targetLen != lastLen) {

@@ -67,4 +67,57 @@ class CsvAppendSpec extends SparkSpec {
     val rems = back.select("remarks").collect().map(_.getString(0)).toSet
     assert(rems == Set(""))
   }
+
+  test("renameOverFallback: history survives every failure mode (never delete-then-hope)") {
+    // the non-atomic replace path must keep a complete copy of dst's
+    // prior content on disk at all times: a missing src (the trigger
+    // may be a transient FS error, not the unsupported-scheme case)
+    // must rethrow with dst untouched, and the happy path must go
+    // through a .bak sidecar that is only removed after the new data
+    // is in place
+    val fs = new RawLocalFileSystem()
+    fs.initialize(URI.create("file:///"), new Configuration())
+    val dir = tmpDir()
+    val dst = new Path(s"$dir/history.csv")
+    val out = fs.create(dst)
+    out.write("h\nold\n".getBytes("UTF-8")); out.close()
+
+    // (1) src missing: rethrow, dst intact — the old code deleted dst
+    // here and left NO recoverable copy
+    intercept[java.io.IOException] {
+      CsvMeta.renameOverFallback(fs, new Path(s"$dir/nope.tmp"), dst)
+    }
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/history.csv")), "UTF-8") == "h\nold\n",
+      "a missing src must not cost the sink its history")
+
+    // (2) normal replace: new content lands, sidecar cleaned up
+    val src = new Path(s"$dir/new.tmp")
+    val sOut = fs.create(src)
+    sOut.write("h\nnew\n".getBytes("UTF-8")); sOut.close()
+    CsvMeta.renameOverFallback(fs, src, dst)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/history.csv")), "UTF-8") == "h\nnew\n")
+    assert(!fs.exists(new Path(s"$dir/history.csv.bak")),
+      "the sidecar is removed once the new data is in place")
+
+    // (3) a stale sidecar from a crashed prior call is cleared, not fatal
+    val bOut = fs.create(new Path(s"$dir/history.csv.bak"))
+    bOut.write("stale".getBytes("UTF-8")); bOut.close()
+    val src2 = new Path(s"$dir/new2.tmp")
+    val s2 = fs.create(src2)
+    s2.write("h\nnewer\n".getBytes("UTF-8")); s2.close()
+    CsvMeta.renameOverFallback(fs, src2, dst)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/history.csv")), "UTF-8") == "h\nnewer\n")
+
+    // (4) first contact (no dst yet): plain rename, no sidecar involved
+    val fresh = new Path(s"$dir/fresh.csv")
+    val src3 = new Path(s"$dir/new3.tmp")
+    val s3 = fs.create(src3)
+    s3.write("h\nfirst\n".getBytes("UTF-8")); s3.close()
+    CsvMeta.renameOverFallback(fs, src3, fresh)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/fresh.csv")), "UTF-8") == "h\nfirst\n")
+  }
 }

@@ -278,6 +278,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(uins == Seq("U1", "U2", "U3"), s"exactly-once per batch: $uins")
   }
 
+  test("idempotentCsvAppend: a FRESH checkpoint lineage re-baselines, never silently skips") {
+    import org.apache.spark.sql.functions.lit
+    val key = org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY
+    val dir = java.nio.file.Files.createTempDirectory("graft-lineage").toString
+    val csv = s"$dir/m.csv"
+    def lines() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(csv)).asScala.toSeq
+    }
+    def batch(uin: String) = spark.range(1).toDF()
+      .withColumn("uin", lit(uin)).withColumn("product_type", lit("life"))
+      .select("uin", "product_type")
+    try {
+      // incarnation 1 delivers batches 0 and 1
+      spark.sparkContext.setLocalProperty(key, "query-incarnation-1")
+      StreamingOps.idempotentCsvAppend(batch("U1"), "life", csv, 0L)
+      StreamingOps.idempotentCsvAppend(batch("U2"), "life", csv, 1L)
+      assert(lines().size == 3, "header + two rows")
+      // the user deletes the checkpoint and restarts: a NEW query id,
+      // batchIds restart at 0. Against the stale high-water mark (1) the
+      // old marker logic judged batch 0 "already delivered" and dropped
+      // it — data loss. The id mismatch must re-baseline and deliver.
+      spark.sparkContext.setLocalProperty(key, "query-incarnation-2")
+      StreamingOps.idempotentCsvAppend(batch("U3"), "life", csv, 0L)
+      val uins = lines().drop(1).map(_.split(",", -1)(CsvMeta.columns("life").indexOf("uin")))
+      assert(uins == Seq("U1", "U2", "U3"),
+        s"the new lineage's batch 0 must append, not vanish: $uins")
+      // and WITHIN the new lineage the replay guard still holds
+      StreamingOps.idempotentCsvAppend(batch("U3"), "life", csv, 0L)
+      assert(lines().size == 4, "replayed batch 0 of the new lineage must be skipped")
+    } finally spark.sparkContext.setLocalProperty(key, null)
+  }
+
   test("csvAppendSink survives an engine-level batch replay (crash before checkpoint commit)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
