@@ -56,14 +56,7 @@ object Fixtures {
     * shutdown-deleted scratch dir, never the warehouse.
     */
   private[graft] def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    // sanitized path + hash of the RAW path: sanitation alone can
-    // collide ("/x/sf0.1" vs "/x/sf0_1" both sanitize to x_sf0_1), and a
-    // collision would silently serve the first corpus's buckets to the
-    // second via the tableExists short-circuit
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
-      "_" + java.lang.Integer.toHexString(d.hashCode)
-    val liTable = s"graft_bkt_lineitem_$tag"
-    val ordTable = s"graft_bkt_orders_$tag"
+    val (liTable, ordTable) = bucketedTableNames(d)
     // Bucket count from the measured sizing law (BucketedLayout.
     // sizeBuckets), derived at most once per corpus (lazy + by-name
     // ensureBucketed param: the count job runs only when a build
@@ -88,6 +81,36 @@ object Fixtures {
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))
     }
     (li, ord)
+  }
+
+  /** Catalog names for the per-corpus bucketed tables: sanitized path +
+    * hash of the RAW path — sanitation alone can collide ("/x/sf0.1" vs
+    * "/x/sf0_1" both sanitize to x_sf0_1), and a collision would
+    * silently serve the first corpus's buckets to the second via the
+    * tableExists short-circuit.
+    */
+  private def bucketedTableNames(d: String): (String, String) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
+      "_" + java.lang.Integer.toHexString(d.hashCode)
+    (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+  }
+
+  /** The decision rule's ESCAPE-HATCH arm as corpus state (q259): the
+    * SAME bucketed files as [[bucketedTables]], read with
+    * `spark.sql.sources.bucketing.enabled=false`. The conf is read at
+    * PLANNING time, not DataFrame-construction time, and the driver
+    * materializes contract results long after the query lambda returns —
+    * so the toggle lives in a SIBLING session (`newSession`: own
+    * SQLConf, shared SparkContext + catalog), where it holds for the
+    * frame's whole lifetime without leaking into any other query's
+    * planning.
+    */
+  private[graft] def escapeHatchTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    bucketedTables(s, d) // ensure built + registered in the shared catalog
+    val (liTable, ordTable) = bucketedTableNames(d)
+    val hatch = s.newSession()
+    hatch.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    (hatch.table(liTable), hatch.table(ordTable))
   }
 
   // ---- synthetic input builders (mirrored literally in the oracle SQL) ----

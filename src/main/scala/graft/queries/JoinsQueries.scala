@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Join algorithms beyond equi-join: as-of, range, interval overlap, fuzzy (blocked Levenshtein), salted skew joins.
   *
-  * Contract queries: q64_asof_state, q66_range_join, q75_salted_join, q91_fuzzy_match, q148_interval_overlap, q225_skew_report, q253_bucketed_join, q255_mixed_bucket_join.
+  * Contract queries: q64_asof_state, q66_range_join, q75_salted_join, q91_fuzzy_match, q148_interval_overlap, q225_skew_report, q253_bucketed_join, q255_mixed_bucket_join, q259_bucket_escape.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object JoinsQueries {
@@ -160,6 +160,29 @@ object JoinsQueries {
         .agg(count(lit(1)).as("n_items"),
           R.half2(sum("l_quantity")).as("sum_qty"))
     }),
+
+
+    // The BUCKETING ESCAPE HATCH under the oracle gate — q253's
+    // deliberate twin (same join, same aggregates, same oracle answer,
+    // the q23/q61 cross-audit pattern): the SAME bucketed files read
+    // with `spark.sql.sources.bucketing.enabled=false` via a sibling
+    // session (Fixtures.escapeHatchTables), the decision rule's second
+    // arm for wide-row/fact⋈fact legacy low-bucket tables. Both sides
+    // shuffle at conf width again (PlanAuditSpec asserts the exchanges
+    // RETURN — the structural inverse of q253's zero-exchange audit),
+    // and the hash match certifies config-invariance: flipping the
+    // layout OFF changes cost, never answers. Previously this arm was
+    // probe/spec-only, so a Spark-upgrade regression in the disabled-
+    // bucketing read path would never surface on the correctness board.
+    "q259_bucket_escape" -> ((s, d) => {
+      val (li, ord) = Fixtures.escapeHatchTables(s, d)
+      li.hint("merge").join(ord.hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          R.half2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -250,6 +273,16 @@ object JoinsQueries {
         | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey % 10 = 0
+        |GROUP BY o_orderpriority""".stripMargin,
+
+
+    // Identical to q253's oracle BY DESIGN: the escape hatch reads the
+    // same data through a different physical path, and the shared
+    // answer is the config-invariance certificate.
+    "q259_bucket_escape" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
   )
 }

@@ -162,6 +162,14 @@ object BucketedLayout {
     * count) costs nothing on the short-circuit path, and the scratch
     * path is only allocated for a real build. Returns the table
     * DataFrame, whose scan carries the bucket spec.
+    *
+    * A pre-EXISTING table (the legacy arm of the decision rule) is
+    * audited ONCE per JVM against [[sizeBuckets]]: a count off by more
+    * than 4× from the rule's answer prints a WARN naming the compliant
+    * count — the operator no longer has to know to read SCALING.md to
+    * learn their 8-bucket 60M-row table throttles builds and fact⋈fact
+    * joins 8×. The audit costs one footer-metadata count() per table
+    * per JVM, never per call.
     */
   def ensureBucketed(spark: SparkSession, table: String,
                      numBuckets: => Int, bucketCol: String, sortCol: String)
@@ -169,7 +177,42 @@ object BucketedLayout {
     if (!spark.catalog.tableExists(table)) {
       val (path, rows) = build
       writeBucketed(rows, table, path, numBuckets, bucketCol, sortCol)
+      audited.add(table) // a fresh build is the caller's explicit choice
+    } else if (audited.add(table)) {
+      auditBucketCount(spark, table).foreach(w => println(s"WARN $w"))
     }
     spark.table(table)
+  }
+
+  private val audited = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Compare an existing bucketed table's count against the
+    * [[sizeBuckets]] rule at the session's default parallelism; returns
+    * the warning text when the count is off by more than `tolerance`×
+    * in either direction (too few buckets throttle writes and
+    * bucket-width joins; too many shatter the table into dust files).
+    * Reads the count from `DESCRIBE FORMATTED` (public API — the
+    * bucket spec is catalog metadata) and the row count from parquet
+    * footers. None when compliant or when the table has no bucket spec.
+    */
+  private[graft] def auditBucketCount(spark: SparkSession, table: String,
+                                      tolerance: Int = 4): Option[String] = {
+    import org.apache.spark.sql.functions.col
+    val actual = spark.sql(s"DESCRIBE FORMATTED `$table`")
+      .where(col("col_name") === "Num Buckets")
+      .select("data_type").collect()
+      .headOption.map(_.getString(0).trim.toInt)
+    actual.flatMap { n =>
+      val rows = spark.table(table).count()
+      val want = sizeBuckets(rows, spark.sparkContext.defaultParallelism)
+      if (n.toLong * tolerance < want || want.toLong * tolerance < n)
+        Some(s"bucketed table `$table` has $n buckets for $rows rows; " +
+          s"the sizing rule answers $want at parallelism " +
+          s"${spark.sparkContext.defaultParallelism} — off by >${tolerance}x. " +
+          "Too few buckets throttle writes and cap join parallelism; too " +
+          "many shatter the table into dust files. Consider rebuilding " +
+          "with BucketedLayout.sizeBuckets (see SCALING.md, bucketed layout).")
+      else None
+    }
   }
 }

@@ -139,6 +139,24 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("auditBucketCount warns past the 4x rule violation, stays quiet within tolerance") {
+    withBucketedTables {
+      // 8 buckets for sf0.001's ~6k lineitem rows: the dust floor
+      // answers 1 — an 8x violation, exactly the legacy-table arm the
+      // warn exists for (the operator previously had to read SCALING.md
+      // to learn their count throttles builds and fact⋈fact joins)
+      val warn = BucketedLayout.auditBucketCount(spark, "lineitem_b")
+      assert(warn.isDefined && warn.get.contains("lineitem_b") &&
+        warn.get.contains("8 buckets"), s"expected a sizing warn, got $warn")
+      // the same table under a relaxed tolerance: quiet
+      assert(BucketedLayout.auditBucketCount(spark, "lineitem_b", tolerance = 8).isEmpty)
+      // an unbucketed table: no spec, no opinion
+      spark.range(10).write.mode("overwrite").saveAsTable("plain_t")
+      try assert(BucketedLayout.auditBucketCount(spark, "plain_t").isEmpty)
+      finally spark.sql("DROP TABLE IF EXISTS plain_t")
+    }
+  }
+
   test("mixed join: the unbucketed side shuffles onto numBuckets partitions — the collapse the decision rule guards") {
     // bucketed fact ⋈ fresh unbucketed delta, the commonest production
     // shape: EnsureRequirements keeps the bucketed scan exchange-free

@@ -688,6 +688,20 @@ class PlanAuditSpec extends SparkSpec {
       s"exactly the fact side must scan as a bucketed table:\n$p")
   }
 
+  test("the contract escape hatch reads the bucketed files as plain parquet: both exchanges return (q259)") {
+    val p = plan(q("q259_bucket_escape"))
+    assert(p.contains("SortMergeJoin"), s"expected the hinted SMJ:\n$p")
+    // the structural INVERSE of the q253 audit: with bucketing disabled
+    // in the sibling session, neither scan carries the bucket spec and
+    // EnsureRequirements shuffles BOTH sides at conf width
+    assert(!p.contains("Bucketed: true"),
+      s"the escape hatch must not scan as a bucketed table:\n$p")
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(joinPart).length
+    assert(exchanges == 2,
+      s"both sides must shuffle under the escape-hatch join, got $exchanges:\n$p")
+  }
+
   test("the contract bucket-pruned scan reads a strict subset of buckets, zero exchanges (q254)") {
     val p = plan(q("q254_bucket_pruning"))
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
