@@ -319,15 +319,8 @@ object MultimodalOps {
       .select(col("rep").as("id_a"), col("mediaId").as("id_b"),
         lit(0).as("hamming"))
     val reps = groups.select((col("rep").as("mediaId") +: bandCols.map(col)): _*)
-    val bandKeys: Seq[Column] =
-      if (maxDist <= 2)
-        Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).map { case (i, j) =>
-          col(s"band$i").cast("long") * 65536L + col(s"band$j")
-        }
-      else Seq(col("band0"), col("band1"), col("band2"), col("band3"))
-        .map(_.cast("long"))
     val exploded = reps.select(col("mediaId"),
-      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_val")))
+      posexplode(array(bandKeyCols(maxDist): _*)).as(Seq("band_idx", "band_val")))
     // Capped-bucket candidate generation (the DedupOps pattern): one
     // partial-aggregated shuffle, state bounded at maxBucketSize+1,
     // overflowing buckets dropped by size — never held, never collected.
@@ -351,6 +344,84 @@ object MultimodalOps {
       .select(col("id_a"), col("id_b"), dist.as("hamming"))
       .where(col("hamming") <= maxDist)
     starPairs.unionAll(repPairs)
+  }
+
+  /** Band-pair (maxDist ≤ 2) or single-band (maxDist = 3) LSH keys over
+    * the four 16-bit dHash bands — the saturation/recall analysis is in
+    * [[imageNearDups]]'s scaladoc.
+    */
+  private def bandKeyCols(maxDist: Int): Seq[Column] =
+    if (maxDist <= 2)
+      Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).map { case (i, j) =>
+        col(s"band$i").cast("long") * 65536L + col(s"band$j")
+      }
+    else Seq(col("band0"), col("band1"), col("band2"), col("band3"))
+      .map(_.cast("long"))
+
+  /** INCREMENTAL image near-dup: probe a fresh BATCH of image hashes
+    * against an existing CORPUS — the admission question every
+    * streaming/delta ingest asks ("is this new image a near-dup of
+    * anything we already hold?") — without ever self-joining the
+    * corpus. The [[DedupOps.minhashProbe]] shape applied to the visual
+    * modality:
+    *
+    *  - the corpus pre-groups identical hashes to a min-id
+    *    representative (one row per distinct hash enters the band
+    *    join; B byte-identical corpus copies answer as ONE rep — the
+    *    round-14 degenerate guard, batch-side output stays linear);
+    *  - corpus band buckets aggregate through the CappedList guard
+    *    with SINGLETON buckets surviving (a lone corpus image must
+    *    still answer a probe — the `>= 2` floor of the self-join form
+    *    would drop it), degenerate buckets dropped by size;
+    *  - the batch side is banded RAW: batch ids never join each other,
+    *    so a degenerate batch (1,000 identical new images) costs 1,000
+    *    linear output rows, never a quadratic candidate set.
+    *
+    * Returns (batch_id, corpus_id, hamming) with corpus_id the
+    * representative and hamming ≤ maxDist; exact-content matches
+    * surface naturally at distance 0 through the band join. Recall for
+    * maxDist ≤ 2 is exact by the intact-band-pair argument (see
+    * [[imageNearDups]]).
+    */
+  def imageNearDupProbe(corpus: Dataset[ImageHash], batch: Dataset[ImageHash],
+                        maxDist: Int = 2, maxBucketSize: Int = 1000)
+                       (implicit spark: SparkSession): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"exact-recall banding over a 64-bit/4-band dHash covers maxDist <= 3, got $maxDist")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val bandCols = Seq("band0", "band1", "band2", "band3")
+    // one representative per distinct corpus hash (re-decoding the
+    // corpus per consumer branch is the expensive part — persist the
+    // compact (rep, 4 ints) frame, released by the caller's GraftCache
+    // cycle)
+    val reps = graft.GraftCache.register(
+      corpus.toDF().groupBy(bandCols.map(col): _*).agg(min("mediaId").as("rep"))
+        .select((col("rep").as("mediaId") +: bandCols.map(col)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bh = graft.GraftCache.register(
+      batch.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val corpusBuckets = reps
+      .select(col("mediaId"), posexplode(array(bandKeyCols(maxDist): _*))
+        .as(Seq("band_idx", "band_val")))
+      .groupBy("band_idx", "band_val")
+      .agg(graft.functions.CappedList.cappedIds(maxBucketSize)(col("mediaId")).as("ids"))
+      .where(size(col("ids")) <= maxBucketSize) // singletons SURVIVE
+      .select(col("band_idx"), col("band_val"), explode(col("ids")).as("corpus_id"))
+    val batchKeyed = bh.select(col("mediaId").as("batch_id"),
+      posexplode(array(bandKeyCols(maxDist): _*)).as(Seq("band_idx", "band_val")))
+    val cand = batchKeyed.join(corpusBuckets, Seq("band_idx", "band_val"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    def dist: Column =
+      (bit_count(col("b.band0").bitwiseXOR(col("x.band0"))) +
+        bit_count(col("b.band1").bitwiseXOR(col("x.band1"))) +
+        bit_count(col("b.band2").bitwiseXOR(col("x.band2"))) +
+        bit_count(col("b.band3").bitwiseXOR(col("x.band3")))).cast("int")
+    cand
+      .join(bh.as("b"), col("batch_id") === col("b.mediaId"))
+      .join(reps.as("x"), col("corpus_id") === col("x.mediaId"))
+      .select(col("batch_id"), col("corpus_id"), dist.as("hamming"))
+      .where(col("hamming") <= maxDist)
   }
 
   /** REAL RESIZE: decode → aspect-preserving downscale (never upscale)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
   *
-  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep.
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object MultimodalQueries {
@@ -159,6 +159,30 @@ object MultimodalQueries {
           coalesce(col("component"), col("media_id")).as("cluster"),
           (coalesce(col("component"), col("media_id")) === col("media_id"))
             .as("is_kept"))
+    }),
+
+
+    // INCREMENTAL image near-dup (the admission question): every 37th
+    // document "re-crawled" under a shifted id with IDENTICAL content
+    // probes the full corpus — exact-content matches answer at dist 0
+    // through the band join, family siblings at dist 1-2. The corpus
+    // side pre-groups identical hashes and runs through the CappedList
+    // guard with singleton buckets SURVIVING (a lone corpus image must
+    // answer a probe); the batch never joins itself. The oracle
+    // replays the probe from the closed-form hashes with single-band
+    // candidates over corpus reps — recall to dist 2 is a superset of
+    // the engine's band-pair keys, post-filter outputs provably equal.
+    "q260_image_probe" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = MultimodalOps.imageDHash(
+        MultimodalOps.asGradientImageTable(docs, "doc_id"))
+      val batch = MultimodalOps.imageDHash(
+        MultimodalOps.asGradientImageTable(
+          docs.where(col("doc_id") % 37 === 0), "doc_id"))
+        .map(h => h.copy(mediaId = h.mediaId + 1000000000L))
+      MultimodalOps.imageNearDupProbe(corpus, batch, maxDist = 2)
     }),
   )
 
@@ -382,5 +406,53 @@ object MultimodalQueries {
         | SELECT sym.nbr AS id, reach.root FROM reach JOIN sym ON sym.a = reach.id)
         |SELECT id AS media_id, min(root) AS cluster, min(root) = id AS is_kept
         |FROM reach GROUP BY id""".stripMargin,
+
+
+    // The probe replayed from the closed-form hashes: corpus reps =
+    // identical-hash groups' min ids; batch = the % 37 slice under
+    // shifted ids with the SAME hash; single-band candidates
+    // batch × reps, then the true Hamming filter.
+    "q260_image_probe" ->
+      """WITH w AS (
+        | SELECT doc_id, y, (doc_id // 3 * 8 + y) % 999983 AS w
+        | FROM documents, range(8) t(y)),
+        |r AS (
+        | SELECT doc_id, y,
+        |  CASE WHEN y = 7
+        |   THEN xor((w * w % 999983 * w % 999983 * 69069) % 999983 % 256, doc_id % 3)
+        |   ELSE (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 END AS bits
+        | FROM w),
+        |b AS (
+        | SELECT doc_id AS media_id,
+        |  max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256 AS band0,
+        |  max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256 AS band1,
+        |  max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256 AS band2,
+        |  max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256 AS band3
+        | FROM r GROUP BY doc_id),
+        |g AS (
+        | SELECT band0, band1, band2, band3, min(media_id) AS rep
+        | FROM b GROUP BY band0, band1, band2, band3),
+        |bt AS (
+        | SELECT media_id + 1000000000 AS batch_id, band0, band1, band2, band3
+        | FROM b WHERE media_id % 37 = 0),
+        |e AS (
+        | SELECT rep, 0 AS bi, band0 AS bv FROM g
+        | UNION ALL SELECT rep, 1, band1 FROM g
+        | UNION ALL SELECT rep, 2, band2 FROM g
+        | UNION ALL SELECT rep, 3, band3 FROM g),
+        |eb AS (
+        | SELECT batch_id, 0 AS bi, band0 AS bv FROM bt
+        | UNION ALL SELECT batch_id, 1, band1 FROM bt
+        | UNION ALL SELECT batch_id, 2, band2 FROM bt
+        | UNION ALL SELECT batch_id, 3, band3 FROM bt),
+        |c AS (
+        | SELECT DISTINCT eb.batch_id, e.rep AS corpus_id
+        | FROM eb JOIN e ON eb.bi = e.bi AND eb.bv = e.bv),
+        |p AS (
+        | SELECT c.batch_id, c.corpus_id,
+        |  CAST(bit_count(xor(x.band0, z.band0)) + bit_count(xor(x.band1, z.band1))
+        |     + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) AS INTEGER) AS hamming
+        | FROM c JOIN bt x ON x.batch_id = c.batch_id JOIN g z ON z.rep = c.corpus_id)
+        |SELECT batch_id, corpus_id, hamming FROM p WHERE hamming <= 2""".stripMargin,
   )
 }

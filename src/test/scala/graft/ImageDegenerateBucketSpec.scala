@@ -158,6 +158,46 @@ class ImageDegenerateBucketSpec extends SparkSpec {
     }
   }
 
+  test("probe admission: a degenerate corpus block answers as ONE representative row") {
+    // 3,000 byte-identical corpus images + unique background; a batch
+    // re-crawl of the block's content must get exactly one answer (the
+    // min-id rep at dist 0), not 3,000 rows — and the probe plan never
+    // self-joins the corpus, so the block cannot go quadratic either
+    val dupPng = MultimodalOps.syntheticGradientPng(0L)
+    val corpus = MultimodalOps.imageDHash(
+      ((0L until 3000L).map(i => ImageRow(i, dupPng)) ++
+        (0 until 100).map(i =>
+          ImageRow(30000L + 3L * i, MultimodalOps.syntheticGradientPng(30000L + 3L * i)))
+      ).toDS())
+    val batch = MultimodalOps.imageDHash(Seq(
+      ImageRow(50000L, dupPng), // re-crawl of the degenerate block
+      ImageRow(50001L, MultimodalOps.syntheticGradientPng(30000L)) // exact match of a singleton
+    ).toDS())
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "4") {
+      try {
+        val nd = MultimodalOps.imageNearDupProbe(corpus, batch, maxDist = 2, maxBucketSize = 50)
+        val qe = nd.queryExecution
+        qe.executedPlan.execute().count()
+        val out = nd.as[(Long, Long, Int)].collect()
+        val blockAnswers = out.filter(_._2 < 3000L)
+        assert(blockAnswers.toSeq == Seq((50000L, 0L, 0)),
+          s"the identical block must answer as its single rep: ${blockAnswers.toSeq}")
+        // singleton corpus buckets survive the cap — the lone image answers
+        assert(out.filter(_._1 == 50001L).map(p => (p._2, p._3)).toSet
+          .contains((30000L, 0)),
+          s"a singleton corpus image must answer its exact probe: ${out.toSeq}")
+        val shuffled = shuffledBytes(qe.executedPlan)
+        assert(shuffled < (1L << 20),
+          s"shuffled $shuffled bytes — the corpus block is leaking into the probe join")
+      } finally {
+        GraftCache.releaseAll(spark)
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("near-identical pileup: capped band buckets drop it; intact band pairs keep recall") {
     // 1,500 DISTINCT hashes crowding ONE band-pair key — (band0, band1)
     // = (7, 9) — with unique band2/band3, so pre-grouping cannot help:

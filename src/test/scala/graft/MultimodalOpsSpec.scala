@@ -199,6 +199,24 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("imageNearDupProbe: batch answers against corpus reps; never a corpus self-join") {
+    val corpusIds = (0L until 30L)
+    val corpus = MultimodalOps.imageDHash(
+      corpusIds.map(id => ImageRow(id, MultimodalOps.syntheticGradientPng(id))).toDS())
+    // re-crawl image 4 (family 1, variant 1) under a new id: the probe
+    // must answer its exact match at dist 0 and its two family
+    // siblings at the constructed distances — and nothing else unless
+    // it is a genuine hash near-collision
+    val batch = MultimodalOps.imageDHash(
+      Seq(ImageRow(1000L, MultimodalOps.syntheticGradientPng(4L))).toDS())
+    val out = MultimodalOps.imageNearDupProbe(corpus, batch, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val family = out.filter(p => p._2 / 3 == 1L).toSet
+    assert(family == Set((1000L, 3L, 1), (1000L, 4L, 0), (1000L, 5L, 2)),
+      s"expected the family answers, got $family")
+    out.filterNot(p => p._2 / 3 == 1L).foreach { case (_, _, d) => assert(d <= 2) }
+  }
+
   test("imageDHash streams: scan-side hashing + exactly-once per VISUAL CONTENT across micro-batches") {
     // the ingest shape for a streaming image corpus: blobs hash in the
     // narrow map stage (never buffered as state), and dropDuplicates on

@@ -675,6 +675,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the identical-hash pre-grouping (min-id rep):\n$p")
   }
 
+  test("image probe joins batch to capped corpus buckets — no corpus self-join, no cartesian (q260)") {
+    val p = plan(q("q260_image_probe"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the probe must ride banded equi-join candidates:\n$p")
+    assert(p.toLowerCase.contains("cappedlistaggregator"),
+      s"corpus buckets must aggregate through the CappedList guard:\n$p")
+    assert(p.contains("min(mediaId"),
+      s"expected the corpus identical-hash pre-grouping:\n$p")
+  }
+
   test("the contract mixed join shuffles ONLY the unbucketed delta, onto the bucket count (q255)") {
     val p = plan(q("q255_mixed_bucket_join"))
     assert(p.contains("SortMergeJoin"), s"expected the hinted SMJ:\n$p")
