@@ -68,6 +68,17 @@ object ImageDegenProbe {
     def nearDup(corpus: () => Dataset[ImageRow]): DataFrame =
       MultimodalOps.imageNearDups(MultimodalOps.imageDHash(corpus()), maxDist = 2)
 
+    // the q260 admission shape: a 1% fresh batch (re-crawled content
+    // under shifted ids — every 100th image's content) probed against
+    // the full corpus
+    def probe(corpus: () => Dataset[ImageRow]): DataFrame = {
+      val batch = corpus().filter(_.mediaId % 100L == 0L)
+        .map(r => r.copy(mediaId = r.mediaId + 1000000000L))
+      MultimodalOps.imageNearDupProbe(
+        MultimodalOps.imageDHash(corpus()),
+        MultimodalOps.imageDHash(batch), maxDist = 2)
+    }
+
     def dedup(corpus: () => Dataset[ImageRow]): DataFrame = {
       val pairs = nearDup(corpus).select("id_a", "id_b")
       val cc = DedupOps.connectedComponents(pairs)
@@ -101,10 +112,12 @@ object ImageDegenProbe {
     val degenNd = medianOf(() => nearDup(() => degenCorpus))
     val cleanDd = medianOf(() => dedup(() => cleanCorpus))
     val degenDd = medianOf(() => dedup(() => degenCorpus))
+    val cleanPr = medianOf(() => probe(() => cleanCorpus))
+    val degenPr = medianOf(() => probe(() => degenCorpus))
     val cleanPairs = pairCount(() => nearDup(() => cleanCorpus))
     val degenPairs = pairCount(() => nearDup(() => degenCorpus))
 
-    println(f"""{"n":$n,"reps":$reps,"clean_neardup_sec":$cleanNd%.3f,"degen_neardup_sec":$degenNd%.3f,"clean_dedup_sec":$cleanDd%.3f,"degen_dedup_sec":$degenDd%.3f,"clean_pairs":$cleanPairs,"degen_pairs":$degenPairs}""")
+    println(f"""{"n":$n,"reps":$reps,"clean_neardup_sec":$cleanNd%.3f,"degen_neardup_sec":$degenNd%.3f,"clean_dedup_sec":$cleanDd%.3f,"degen_dedup_sec":$degenDd%.3f,"clean_probe_sec":$cleanPr%.3f,"degen_probe_sec":$degenPr%.3f,"clean_pairs":$cleanPairs,"degen_pairs":$degenPairs}""")
     spark.stop()
   }
 }
