@@ -533,25 +533,115 @@ object MultimodalOps {
   /** Deterministic sample count for an id. */
   private[graft] def sampleCountFor(id: Long): Int = (id % 400 + 100).toInt
 
-  /** A real WAV file: 16-bit mono little-endian PCM with seed-derived
-    * samples, written through `AudioSystem` (proper RIFF header).
+  /** Encode signed-16-bit mono little-endian PCM samples as a real WAV
+    * through `AudioSystem` (proper RIFF header).
     */
-  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Float = 8000f): Array[Byte] = {
-    val data = new Array[Byte](nSamples * 2)
+  private def wavBytes(samples: Array[Int], sampleRate: Float): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
     var i = 0
-    while (i < nSamples) {
-      val s = sampleAt(seed, i)
+    while (i < samples.length) {
+      val s = samples(i)
       data(2 * i) = (s & 0xff).toByte
       data(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
     val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(data), fmt, nSamples.toLong)
+      new ByteArrayInputStream(data), fmt, samples.length.toLong)
     val bos = new ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** A real WAV file: 16-bit mono little-endian PCM with seed-derived
+    * samples, written through `AudioSystem` (proper RIFF header).
+    */
+  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Float = 8000f): Array[Byte] =
+    wavBytes(Array.tabulate(nSamples)(i => sampleAt(seed, i)), sampleRate)
+
+  /** A WAV with PLANTED NEAR-DUP STRUCTURE for audio fingerprinting:
+    * 3-member families (`id / 3`) share the family seed's samples and
+    * length, and only the LAST of the fingerprint's 65 windows (the
+    * samples with `i * 65 / n == 64`) is shifted by `3000 · (id % 3)`.
+    * Bits 0–62 of [[audioFingerprint]] compare windows that are
+    * byte-identical within a family, so members' hashes differ in AT
+    * MOST bit 63 — distance 0 or 1, resolvable in closed form by the
+    * oracle (which recomputes the true energies either way; nothing
+    * about the construction is assumed). Max sample magnitude
+    * 10000 + 6000 stays inside 16-bit PCM.
+    */
+  def syntheticWavFamily(id: Long): Array[Byte] = {
+    val family = id / 3
+    val variant = (id % 3).toInt
+    val n = (family % 400 + 100).toInt // family-shared length → shared windows
+    wavBytes(Array.tabulate(n) { i =>
+      val base = sampleAt(family, i)
+      if (i.toLong * 65L / n == 64L) base + 3000 * variant else base
+    }, 8000f)
+  }
+
+  /** Audio table with planted fingerprint families (executors generate
+    * the blobs — same contract as [[asAudioTable]]).
+    */
+  def asAudioFamilyTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => ImageRow(id, syntheticWavFamily(id)))
+    }
+  }
+
+  /** 64-bit AUDIO FINGERPRINT — the dHash idea on the time axis: decode
+    * the WAV (rate/frames from the RIFF header, never metadata), assign
+    * sample i of n to window `i·65/n` (65 windows, all non-empty for
+    * n ≥ 65), reduce each window to its mean-|sample| energy, and set
+    * bit w when energy RISES window w → w+1. Only energy-delta
+    * DIRECTIONS are kept, so the print is robust to uniform gain — the
+    * audio analog of dHash's brightness invariance. The comparison is
+    * cross-multiplied (`sum(w+1)·cnt(w) > sum(w)·cnt(w+1)`), integer-
+    * exact end to end: the oracle reproduces every bit in DuckDB
+    * BIGINT arithmetic with no float rounding (max product ≈ 4e6·400,
+    * far inside 64 bits). Emitted as the same four 16-bit bands as
+    * [[imageDHash]] — [[imageNearDups]] and [[imageNearDupProbe]] are
+    * modality-agnostic over (id, 4 bands) and are REUSED AS-IS, guards
+    * included. Scale shape: computed scan-side in one pass over the
+    * blob; only (id, 4 ints) ever shuffles. Undecodable or sub-65-
+    * sample blobs are dropped per-row, never failing the task.
+    */
+  def audioFingerprint(audio: Dataset[ImageRow])(implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      it.flatMap { row =>
+        Try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(row.content))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unsupported PCM layout: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / fmt.getFrameSize
+          require(n >= 65, s"need >= 65 samples for 65 windows, got $n")
+          val sums = new Array[Long](65)
+          val cnts = new Array[Long](65)
+          var i = 0
+          while (i < n) {
+            val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            val w = (i.toLong * 65L / n).toInt
+            sums(w) += math.abs(s)
+            cnts(w) += 1
+            i += 1
+          }
+          val bands = new Array[Int](4)
+          var w = 0
+          while (w < 64) {
+            if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1))
+              bands(w / 16) |= 1 << (w % 16)
+            w += 1
+          }
+          ImageHash(row.mediaId, bands(0), bands(1), bands(2), bands(3))
+        }.toOption
+      }
+    }
   }
 
   /** Synthesize an audio table: one real WAV per id, built on the

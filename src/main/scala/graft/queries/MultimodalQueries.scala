@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
   *
-  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe.
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object MultimodalQueries {
@@ -183,6 +183,38 @@ object MultimodalQueries {
           docs.where(col("doc_id") % 37 === 0), "doc_id"))
         .map(h => h.copy(mediaId = h.mediaId + 1000000000L))
       MultimodalOps.imageNearDupProbe(corpus, batch, maxDist = 2)
+    }),
+
+
+    // AUDIO FINGERPRINT (the dHash idea on the time axis): decode a
+    // REAL WAV per doc, 65 windows of mean-|sample| energy, bit w set
+    // when energy rises w → w+1 — integer-exact via cross-multiplied
+    // comparison, so the oracle reproduces every bit from the sample
+    // formula in BIGINT arithmetic. The fixture plants 3-member
+    // families sharing all windows but the last, so member prints
+    // differ in at most bit 63. Computed scan-side; blobs never
+    // shuffle.
+    "q261_audio_fingerprint" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.audioFingerprint(
+        MultimodalOps.asAudioFamilyTable(Tables.documents(s, d), "doc_id"))
+        .toDF("media_id", "band0", "band1", "band2", "band3")
+    }),
+
+
+    // AUDIO NEAR-DUP: the guarded banded-Hamming join is MODALITY-
+    // AGNOSTIC over (id, 4 bands) — imageNearDups is reused AS-IS on
+    // the audio fingerprints, identical-hash pre-grouping and
+    // CappedList bucket guard included. Family members land at
+    // distance 0 (star edges) or 1 depending on whether the planted
+    // last-window shift flips bit 63 — the oracle recomputes the true
+    // energies and resolves the same certificate either way.
+    "q262_audio_neardup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.imageNearDups(
+        MultimodalOps.audioFingerprint(
+          MultimodalOps.asAudioFamilyTable(Tables.documents(s, d), "doc_id")),
+        maxDist = 2)
     }),
   )
 
@@ -454,5 +486,93 @@ object MultimodalQueries {
         |     + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) AS INTEGER) AS hamming
         | FROM c JOIN bt x ON x.batch_id = c.batch_id JOIN g z ON z.rep = c.corpus_id)
         |SELECT batch_id, corpus_id, hamming FROM p WHERE hamming <= 2""".stripMargin,
+
+
+    // Mirrors syntheticWavFamily + audioFingerprint bit for bit: sample
+    // i of n lands in window i*65//n, the last window carries the
+    // variant shift, energies compare cross-multiplied in BIGINT.
+    "q261_audio_fingerprint" ->
+      """WITH d AS (
+        | SELECT doc_id, doc_id // 3 AS family, doc_id % 3 AS v,
+        |  (doc_id // 3) % 400 + 100 AS n
+        | FROM documents),
+        |idx AS (SELECT doc_id, family, v, n, unnest(range(0, n)) AS i FROM d),
+        |s AS (
+        | SELECT doc_id, i * 65 // n AS w,
+        |  abs(CASE WHEN i * 65 // n = 64
+        |   THEN ((family * 31 + i * 17) % 20001) - 10000 + 3000 * v
+        |   ELSE ((family * 31 + i * 17) % 20001) - 10000 END) AS a
+        | FROM idx),
+        |e AS (
+        | SELECT doc_id, w, CAST(sum(a) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        | FROM s GROUP BY doc_id, w),
+        |bits AS (
+        | SELECT lo.doc_id, lo.w AS b,
+        |  CASE WHEN hi.s * lo.c > lo.s * hi.c THEN 1 ELSE 0 END AS bit
+        | FROM e lo JOIN e hi ON hi.doc_id = lo.doc_id AND hi.w = lo.w + 1
+        | WHERE lo.w < 64)
+        |SELECT doc_id AS media_id,
+        | CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS band0,
+        | CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS band1,
+        | CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS band2,
+        | CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS band3
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+
+    // The q257 certificate SQL over the closed-form audio bands:
+    // identical prints pre-group to a min-id rep (star edges at dist
+    // 0), single-band candidates over DISTINCT prints, true Hamming
+    // filter.
+    "q262_audio_neardup" ->
+      """WITH d AS (
+        | SELECT doc_id, doc_id // 3 AS family, doc_id % 3 AS v,
+        |  (doc_id // 3) % 400 + 100 AS n
+        | FROM documents),
+        |idx AS (SELECT doc_id, family, v, n, unnest(range(0, n)) AS i FROM d),
+        |s AS (
+        | SELECT doc_id, i * 65 // n AS w,
+        |  abs(CASE WHEN i * 65 // n = 64
+        |   THEN ((family * 31 + i * 17) % 20001) - 10000 + 3000 * v
+        |   ELSE ((family * 31 + i * 17) % 20001) - 10000 END) AS a
+        | FROM idx),
+        |en AS (
+        | SELECT doc_id, w, CAST(sum(a) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        | FROM s GROUP BY doc_id, w),
+        |bits AS (
+        | SELECT lo.doc_id, lo.w AS b,
+        |  CASE WHEN hi.s * lo.c > lo.s * hi.c THEN 1 ELSE 0 END AS bit
+        | FROM en lo JOIN en hi ON hi.doc_id = lo.doc_id AND hi.w = lo.w + 1
+        | WHERE lo.w < 64),
+        |bnd AS (
+        | SELECT doc_id AS media_id,
+        |  sum(CASE WHEN b // 16 = 0 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS band0,
+        |  sum(CASE WHEN b // 16 = 1 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS band1,
+        |  sum(CASE WHEN b // 16 = 2 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS band2,
+        |  sum(CASE WHEN b // 16 = 3 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS band3
+        | FROM bits GROUP BY doc_id),
+        |g AS (
+        | SELECT band0, band1, band2, band3, min(media_id) AS rep
+        | FROM bnd GROUP BY band0, band1, band2, band3),
+        |star AS (
+        | SELECT g.rep AS id_a, bnd.media_id AS id_b, CAST(0 AS INTEGER) AS hamming
+        | FROM bnd JOIN g USING (band0, band1, band2, band3)
+        | WHERE bnd.media_id <> g.rep),
+        |e AS (
+        | SELECT rep, 0 AS bi, band0 AS bv FROM g
+        | UNION ALL SELECT rep, 1, band1 FROM g
+        | UNION ALL SELECT rep, 2, band2 FROM g
+        | UNION ALL SELECT rep, 3, band3 FROM g),
+        |c AS (
+        | SELECT DISTINCT a.rep AS id_a, bb.rep AS id_b
+        | FROM e a JOIN e bb ON a.bi = bb.bi AND a.bv = bb.bv
+        |  AND a.rep < bb.rep),
+        |p AS (
+        | SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(x.band0, z.band0)) + bit_count(xor(x.band1, z.band1))
+        |     + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) AS INTEGER) AS hamming
+        | FROM c JOIN g x ON x.rep = c.id_a JOIN g z ON z.rep = c.id_b)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2
+        |UNION ALL
+        |SELECT id_a, id_b, hamming FROM star""".stripMargin,
   )
 }

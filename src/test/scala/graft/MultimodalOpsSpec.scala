@@ -217,6 +217,51 @@ class MultimodalOpsSpec extends SparkSpec {
     out.filterNot(p => p._2 / 3 == 1L).foreach { case (_, _, d) => assert(d <= 2) }
   }
 
+  test("audioFingerprint reads energy deltas off REAL decoded PCM (known-value vs closed form)") {
+    // mirror the construction: sample i of n in window i*65/n, last
+    // window shifted by 3000*variant, bit w = cross-multiplied energy
+    // rise — the kernel must reproduce this from actual WAV bytes
+    def expected(id: Long): Seq[Int] = {
+      val family = id / 3; val v = (id % 3).toInt
+      val n = (family % 400 + 100).toInt
+      val sums = new Array[Long](65); val cnts = new Array[Long](65)
+      (0 until n).foreach { i =>
+        val base = MultimodalOps.sampleAt(family, i)
+        val s = if (i.toLong * 65L / n == 64L) base + 3000 * v else base
+        val w = (i.toLong * 65L / n).toInt
+        sums(w) += math.abs(s); cnts(w) += 1
+      }
+      val bands = new Array[Int](4)
+      (0 until 64).foreach { w =>
+        if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1)) bands(w / 16) |= 1 << (w % 16)
+      }
+      bands.toSeq
+    }
+    val ids = Seq(9L, 10L, 11L, 30L) // one full family + a stranger
+    val prints = MultimodalOps.audioFingerprint(
+      ids.map(id => ImageRow(id, MultimodalOps.syntheticWavFamily(id))).toDS())
+      .collect().map(h => h.mediaId -> h).toMap
+    ids.foreach { id =>
+      val h = prints(id)
+      assert(Seq(h.band0, h.band1, h.band2, h.band3) == expected(id),
+        s"id $id decoded fingerprint != closed form")
+    }
+    // the planted structure: family members share every window but the
+    // last, so prints differ in at most bit 63 (band3's top bit)
+    assert(prints(9L).band0 == prints(10L).band0 &&
+      prints(10L).band1 == prints(11L).band1 && prints(9L).band2 == prints(11L).band2)
+    Seq((9L, 10L), (9L, 11L), (10L, 11L)).foreach { case (a, b) =>
+      val d = Integer.bitCount(prints(a).band3 ^ prints(b).band3)
+      assert(d <= 1, s"family prints must differ in at most bit 63, got $d for ($a,$b)")
+    }
+    // sub-65-sample and undecodable blobs drop per-row
+    val edge = Seq(
+      ImageRow(100L, MultimodalOps.syntheticWav(1L, 30)),
+      ImageRow(101L, "junk".getBytes("UTF-8")),
+      ImageRow(102L, MultimodalOps.syntheticWavFamily(0L))).toDS()
+    assert(MultimodalOps.audioFingerprint(edge).collect().map(_.mediaId).toSet == Set(102L))
+  }
+
   test("imageDHash streams: scan-side hashing + exactly-once per VISUAL CONTENT across micro-batches") {
     // the ingest shape for a streaming image corpus: blobs hash in the
     // narrow map stage (never buffered as state), and dropDuplicates on
