@@ -534,24 +534,84 @@ object MultimodalOps {
   private[graft] def sampleCountFor(id: Long): Int = (id % 400 + 100).toInt
 
   /** Encode signed-16-bit mono little-endian PCM samples as a real WAV
-    * through `AudioSystem` (proper RIFF header).
+    * (canonical 44-byte RIFF/WAVE/fmt/data header).
+    *
+    * LOCK-FREE BY DESIGN, and that matters: `AudioSystem.write` (and
+    * `getAudioInputStream`) route every call through
+    * `JDK13Services.getProviders`, which synchronizes on the
+    * `JSSecurityManager` class — a JVM-GLOBAL lock. A 32-thread scan
+    * generating or parsing WAVs serializes on it: the round-14 probe
+    * measured 31/32 executor threads BLOCKED on that monitor and 150k
+    * clips took 44 s where the PNG path took 2.3 s. This writer emits
+    * the canonical header directly; [[decodeAudio]] (q59) still reads
+    * these bytes through the JDK codec — the standing cross-check that
+    * they are real WAVs — and the MultimodalOpsSpec interop test pins
+    * byte-level agreement between the two decode paths.
     */
   private def wavBytes(samples: Array[Int], sampleRate: Float): Array[Byte] = {
-    val data = new Array[Byte](samples.length * 2)
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate.toInt)
+      .putInt(sampleRate.toInt * 2) // byte rate
+      .putShort(2)  // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < samples.length) {
-      val s = samples(i)
-      data(2 * i) = (s & 0xff).toByte
-      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
+    while (i < samples.length) { buf.putShort(samples(i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Minimal RIFF/WAVE chunk walker for 16-bit mono little-endian PCM —
+    * the lock-free decode twin of [[wavBytes]] for the HOT fingerprint
+    * path (see the provider-lock note there). A genuine parser, not a
+    * fixture shortcut: it walks the chunk list (tolerating extra
+    * chunks like LIST/fact), validates the fmt block, and returns the
+    * data chunk's samples; anything malformed throws (callers isolate
+    * per-row). [[decodeAudio]] stays on `AudioSystem` — the two paths
+    * must agree, and the spec pins that.
+    */
+  private[graft] def parseWavPcm16Mono(bytes: Array[Byte]): Array[Int] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
     }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(data), fmt, samples.length.toLong)
-    val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    require(buf.remaining() >= 12 && fourCC() == "RIFF", "not RIFF")
+    buf.getInt // riff payload length (unchecked: trailing garbage tolerated)
+    require(fourCC() == "WAVE", "not WAVE")
+    var fmtOk = false
+    while (buf.remaining() >= 8) {
+      val id = fourCC()
+      val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining(), s"bad chunk length $len for $id")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "short fmt chunk")
+          val p = buf.position()
+          require(buf.getShort == 1, "not PCM")
+          require(buf.getShort == 1, "not mono")
+          buf.getInt // sample rate (not needed by the fingerprint)
+          buf.getInt; buf.getShort
+          require(buf.getShort == 16, "not 16-bit")
+          buf.position(p + len + (len & 1)) // chunks are word-aligned
+          fmtOk = true
+        case "data" =>
+          require(fmtOk, "data chunk before fmt")
+          val n = len / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) { out(i) = buf.getShort.toInt; i += 1 }
+          return out
+        case _ =>
+          buf.position(buf.position() + len + (len & 1))
+      }
+    }
+    throw new IllegalArgumentException("no data chunk")
   }
 
   /** A real WAV file: 16-bit mono little-endian PCM with seed-derived
@@ -560,24 +620,40 @@ object MultimodalOps {
   def syntheticWav(seed: Long, nSamples: Int, sampleRate: Float = 8000f): Array[Byte] =
     wavBytes(Array.tabulate(nSamples)(i => sampleAt(seed, i)), sampleRate)
 
+  /** Per-window amplitude for the fingerprint fixture — the ONLY place
+    * it is defined; oracle SQL mirrors the formula. Driven through the
+    * NON-AFFINE cubic mixer [[mix8]] on `(family·65 + window)`: the
+    * first draft derived window energies from [[sampleAt]]'s linear
+    * ramp, whose |·|-mean over a window barely depends on the family
+    * offset — 5,000 clips collapsed onto ~400 distinct prints (one per
+    * length), the EXACT affine-degeneracy trap the round-13 image
+    * fixture already documented and fixed (the pair-count invariant
+    * `clean_pairs == n + const` in AudioScaleProbe was the tell). The
+    * cubic mixer decorrelates windows across families; the last
+    * window additionally carries `3000 · variant`. Max amplitude
+    * 40·256 + 6000 stays inside 16-bit PCM.
+    */
+  private[graft] def windowAmp(family: Long, w: Int, variant: Int): Int =
+    40 * (mix8(family * 65L + w) + 1) + (if (w == 64) 3000 * variant else 0)
+
   /** A WAV with PLANTED NEAR-DUP STRUCTURE for audio fingerprinting:
-    * 3-member families (`id / 3`) share the family seed's samples and
-    * length, and only the LAST of the fingerprint's 65 windows (the
-    * samples with `i * 65 / n == 64`) is shifted by `3000 · (id % 3)`.
-    * Bits 0–62 of [[audioFingerprint]] compare windows that are
-    * byte-identical within a family, so members' hashes differ in AT
-    * MOST bit 63 — distance 0 or 1, resolvable in closed form by the
-    * oracle (which recomputes the true energies either way; nothing
-    * about the construction is assumed). Max sample magnitude
-    * 10000 + 6000 stays inside 16-bit PCM.
+    * 3-member families (`id / 3`) share length and the amplitudes of
+    * the first 64 of [[audioFingerprint]]'s 65 windows; only the LAST
+    * window's amplitude carries the variant term. Samples in window w
+    * are an alternating ±[[windowAmp]] square wave, so every window's
+    * mean-|sample| energy is EXACTLY its amplitude and the kernel's
+    * cross-multiplied comparison reduces to `amp(w+1) > amp(w)` —
+    * members' prints differ in AT MOST bit 63 (distance 0 or 1), and
+    * the oracle reproduces every bit from 65 amplitude rows per doc,
+    * no per-sample reconstruction.
     */
   def syntheticWavFamily(id: Long): Array[Byte] = {
     val family = id / 3
     val variant = (id % 3).toInt
     val n = (family % 400 + 100).toInt // family-shared length → shared windows
     wavBytes(Array.tabulate(n) { i =>
-      val base = sampleAt(family, i)
-      if (i.toLong * 65L / n == 64L) base + 3000 * variant else base
+      val a = windowAmp(family, (i.toLong * 65L / n).toInt, variant)
+      if (i % 2 == 0) a else -a
     }, 8000f)
   }
 
@@ -613,21 +689,18 @@ object MultimodalOps {
     audio.mapPartitions { it =>
       it.flatMap { row =>
         Try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new ByteArrayInputStream(row.content))
-          val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-            !fmt.isBigEndian, s"unsupported PCM layout: $fmt")
-          val bytes = ais.readAllBytes()
-          val n = bytes.length / fmt.getFrameSize
+          // lock-free RIFF parse — AudioSystem's provider lookup holds a
+          // JVM-global lock that serializes a 32-thread scan (measured;
+          // see wavBytes). decodeAudio keeps the JDK codec as interop proof.
+          val samples = parseWavPcm16Mono(row.content)
+          val n = samples.length
           require(n >= 65, s"need >= 65 samples for 65 windows, got $n")
           val sums = new Array[Long](65)
           val cnts = new Array[Long](65)
           var i = 0
           while (i < n) {
-            val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
             val w = (i.toLong * 65L / n).toInt
-            sums(w) += math.abs(s)
+            sums(w) += math.abs(samples(i))
             cnts(w) += 1
             i += 1
           }

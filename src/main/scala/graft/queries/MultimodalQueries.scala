@@ -488,28 +488,24 @@ object MultimodalQueries {
         |SELECT batch_id, corpus_id, hamming FROM p WHERE hamming <= 2""".stripMargin,
 
 
-    // Mirrors syntheticWavFamily + audioFingerprint bit for bit: sample
-    // i of n lands in window i*65//n, the last window carries the
-    // variant shift, energies compare cross-multiplied in BIGINT.
+    // Mirrors syntheticWavFamily + audioFingerprint bit for bit: window
+    // w's energy is exactly windowAmp (alternating-sign square wave),
+    // reconstructed from the cubic mixer; bit w = amp rises w -> w+1.
     "q261_audio_fingerprint" ->
       """WITH d AS (
-        | SELECT doc_id, doc_id // 3 AS family, doc_id % 3 AS v,
-        |  (doc_id // 3) % 400 + 100 AS n
+        | SELECT doc_id, doc_id // 3 AS family, doc_id % 3 AS v
         | FROM documents),
-        |idx AS (SELECT doc_id, family, v, n, unnest(range(0, n)) AS i FROM d),
-        |s AS (
-        | SELECT doc_id, i * 65 // n AS w,
-        |  abs(CASE WHEN i * 65 // n = 64
-        |   THEN ((family * 31 + i * 17) % 20001) - 10000 + 3000 * v
-        |   ELSE ((family * 31 + i * 17) % 20001) - 10000 END) AS a
-        | FROM idx),
-        |e AS (
-        | SELECT doc_id, w, CAST(sum(a) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
-        | FROM s GROUP BY doc_id, w),
+        |wv AS (SELECT doc_id, family, v, unnest(range(0, 65)) AS w FROM d),
+        |m AS (SELECT doc_id, v, w, (family * 65 + w) % 999983 AS m FROM wv),
+        |amp AS (
+        | SELECT doc_id, w,
+        |  40 * ((m * m % 999983 * m % 999983 * 69069) % 999983 % 256 + 1)
+        |   + CASE WHEN w = 64 THEN 3000 * v ELSE 0 END AS a
+        | FROM m),
         |bits AS (
         | SELECT lo.doc_id, lo.w AS b,
-        |  CASE WHEN hi.s * lo.c > lo.s * hi.c THEN 1 ELSE 0 END AS bit
-        | FROM e lo JOIN e hi ON hi.doc_id = lo.doc_id AND hi.w = lo.w + 1
+        |  CASE WHEN hi.a > lo.a THEN 1 ELSE 0 END AS bit
+        | FROM amp lo JOIN amp hi ON hi.doc_id = lo.doc_id AND hi.w = lo.w + 1
         | WHERE lo.w < 64)
         |SELECT doc_id AS media_id,
         | CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS band0,
@@ -525,23 +521,19 @@ object MultimodalQueries {
     // filter.
     "q262_audio_neardup" ->
       """WITH d AS (
-        | SELECT doc_id, doc_id // 3 AS family, doc_id % 3 AS v,
-        |  (doc_id // 3) % 400 + 100 AS n
+        | SELECT doc_id, doc_id // 3 AS family, doc_id % 3 AS v
         | FROM documents),
-        |idx AS (SELECT doc_id, family, v, n, unnest(range(0, n)) AS i FROM d),
-        |s AS (
-        | SELECT doc_id, i * 65 // n AS w,
-        |  abs(CASE WHEN i * 65 // n = 64
-        |   THEN ((family * 31 + i * 17) % 20001) - 10000 + 3000 * v
-        |   ELSE ((family * 31 + i * 17) % 20001) - 10000 END) AS a
-        | FROM idx),
-        |en AS (
-        | SELECT doc_id, w, CAST(sum(a) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
-        | FROM s GROUP BY doc_id, w),
+        |wv AS (SELECT doc_id, family, v, unnest(range(0, 65)) AS w FROM d),
+        |mm AS (SELECT doc_id, v, w, (family * 65 + w) % 999983 AS m FROM wv),
+        |amp AS (
+        | SELECT doc_id, w,
+        |  40 * ((m * m % 999983 * m % 999983 * 69069) % 999983 % 256 + 1)
+        |   + CASE WHEN w = 64 THEN 3000 * v ELSE 0 END AS a
+        | FROM mm),
         |bits AS (
         | SELECT lo.doc_id, lo.w AS b,
-        |  CASE WHEN hi.s * lo.c > lo.s * hi.c THEN 1 ELSE 0 END AS bit
-        | FROM en lo JOIN en hi ON hi.doc_id = lo.doc_id AND hi.w = lo.w + 1
+        |  CASE WHEN hi.a > lo.a THEN 1 ELSE 0 END AS bit
+        | FROM amp lo JOIN amp hi ON hi.doc_id = lo.doc_id AND hi.w = lo.w + 1
         | WHERE lo.w < 64),
         |bnd AS (
         | SELECT doc_id AS media_id,

@@ -218,22 +218,16 @@ class MultimodalOpsSpec extends SparkSpec {
   }
 
   test("audioFingerprint reads energy deltas off REAL decoded PCM (known-value vs closed form)") {
-    // mirror the construction: sample i of n in window i*65/n, last
-    // window shifted by 3000*variant, bit w = cross-multiplied energy
-    // rise — the kernel must reproduce this from actual WAV bytes
+    // mirror the construction: window w's energy is exactly
+    // windowAmp(family, w, variant), so bit w = amp rises w → w+1 —
+    // the kernel must reproduce this from actual WAV bytes through the
+    // cross-multiplied sum/count comparison
     def expected(id: Long): Seq[Int] = {
       val family = id / 3; val v = (id % 3).toInt
-      val n = (family % 400 + 100).toInt
-      val sums = new Array[Long](65); val cnts = new Array[Long](65)
-      (0 until n).foreach { i =>
-        val base = MultimodalOps.sampleAt(family, i)
-        val s = if (i.toLong * 65L / n == 64L) base + 3000 * v else base
-        val w = (i.toLong * 65L / n).toInt
-        sums(w) += math.abs(s); cnts(w) += 1
-      }
       val bands = new Array[Int](4)
       (0 until 64).foreach { w =>
-        if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1)) bands(w / 16) |= 1 << (w % 16)
+        if (MultimodalOps.windowAmp(family, w + 1, v) > MultimodalOps.windowAmp(family, w, v))
+          bands(w / 16) |= 1 << (w % 16)
       }
       bands.toSeq
     }
@@ -260,6 +254,30 @@ class MultimodalOpsSpec extends SparkSpec {
       ImageRow(101L, "junk".getBytes("UTF-8")),
       ImageRow(102L, MultimodalOps.syntheticWavFamily(0L))).toDS()
     assert(MultimodalOps.audioFingerprint(edge).collect().map(_.mediaId).toSet == Set(102L))
+  }
+
+  test("WAV interop: the lock-free RIFF writer/parser and the JDK codec agree byte-for-byte") {
+    // the hot fingerprint path parses WAVs without AudioSystem (whose
+    // provider lookup holds a JVM-global lock — 31/32 executor threads
+    // measured BLOCKED on it); the two decode paths must agree on the
+    // same bytes, and the JDK reader accepting our writer's output is
+    // the proof the bytes are real WAVs
+    val samples = Array.tabulate(200)(i => MultimodalOps.sampleAt(7L, i))
+    val wav = MultimodalOps.syntheticWav(7L, 200)
+    assert(MultimodalOps.parseWavPcm16Mono(wav).toSeq == samples.toSeq)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    val pcm = ais.readAllBytes()
+    val viaJdk = (0 until pcm.length / 2).map(i =>
+      (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff))
+    assert(viaJdk == samples.toSeq, "JDK codec must decode the raw writer's bytes identically")
+    // malformed inputs throw (callers isolate per-row): truncated data,
+    // wrong channel count, missing data chunk
+    intercept[Exception] { MultimodalOps.parseWavPcm16Mono(wav.take(30)) }
+    intercept[Exception] { MultimodalOps.parseWavPcm16Mono("RIFFxxxxWAVE".getBytes("US-ASCII")) }
   }
 
   test("imageDHash streams: scan-side hashing + exactly-once per VISUAL CONTENT across micro-batches") {
