@@ -131,13 +131,24 @@ object MultimodalOps {
     * dHash to all-zeros — structurally useless for this operator.
     */
   def syntheticGradientPng(id: Long): Array[Byte] = {
-    imageIoInMemory
-    val img = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
     val family = id / 3
     val variant = (id % 3).toInt
+    gradientPng(y => mix8(family * 8 + y) ^ (if (y == 7) variant else 0))
+  }
+
+  /** The shared 9×8 gradient painter: row y's luminance walk encodes
+    * `rowBits(y)` as gradient DIRECTIONS (start 128, step ±8 per
+    * column), so a dHash of the decoded raster reads back exactly those
+    * 8 bits per row. [[syntheticGradientPng]] (images, q256 family) and
+    * [[syntheticVideoFamily]] (video frames, q263 family) are both this
+    * painter under different row-bit formulas.
+    */
+  private[graft] def gradientPng(rowBits: Int => Int): Array[Byte] = {
+    imageIoInMemory
+    val img = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < 8) {
-      val bits = mix8(family * 8 + y) ^ (if (y == 7) variant else 0)
+      val bits = rowBits(y)
       var lum = 128
       img.setRGB(0, y, (lum << 16) | (lum << 8) | lum)
       var x = 0
@@ -225,25 +236,32 @@ object MultimodalOps {
     import spark.implicits._
     images.mapPartitions { it =>
       it.flatMap { row =>
-        readImage(row.content).filter(i => i.getWidth >= 9 && i.getHeight >= 8).map { img =>
-          def lum(x: Int, y: Int): Int = img.getRGB(x, y) & 0xFF
-          val bands = new Array[Int](4)
-          var y = 0
-          while (y < 8) {
-            var rowBits = 0
-            var x = 0
-            while (x < 8) {
-              if (lum(x + 1, y) > lum(x, y)) rowBits |= 1 << x
-              x += 1
-            }
-            bands(y / 2) |= rowBits << (8 * (y % 2))
-            y += 1
-          }
-          ImageHash(row.mediaId, bands(0), bands(1), bands(2), bands(3))
-        }
+        dHashBands(row.content).map(b => ImageHash(row.mediaId, b(0), b(1), b(2), b(3)))
       }
     }
   }
+
+  /** One blob's dHash as the four 16-bit bands (None for undecodable or
+    * sub-9×8 blobs) — the per-image kernel [[imageDHash]] maps over the
+    * scan and [[videoFingerprint]] applies per FRAME.
+    */
+  private[graft] def dHashBands(bytes: Array[Byte]): Option[Array[Int]] =
+    readImage(bytes).filter(i => i.getWidth >= 9 && i.getHeight >= 8).map { img =>
+      def lum(x: Int, y: Int): Int = img.getRGB(x, y) & 0xFF
+      val bands = new Array[Int](4)
+      var y = 0
+      while (y < 8) {
+        var rowBits = 0
+        var x = 0
+        while (x < 8) {
+          if (lum(x + 1, y) > lum(x, y)) rowBits |= 1 << x
+          x += 1
+        }
+        bands(y / 2) |= rowBits << (8 * (y % 2))
+        y += 1
+      }
+      bands
+    }
 
   /** IMAGE NEAR-DUP via banded Hamming LSH over [[imageDHash]] bands:
     * equi-join candidates (never an all-pairs product), then the TRUE
@@ -463,12 +481,19 @@ object MultimodalOps {
     */
   def syntheticVideo(id: Long, frames: Int): Array[Byte] = {
     val (w, h) = dimsFor(id)
+    videoContainer((0 until frames).map(f => syntheticPng(id * 1000 + f, w, h)))
+  }
+
+  /** Wrap encoded frames in the length-prefixed container — the one
+    * place the byte layout is defined (writer for every video fixture;
+    * [[sampleVideoFrames]] / [[videoFingerprint]] are the readers).
+    */
+  private[graft] def videoContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(VideoMagic)
-    out.writeInt(frames)
-    (0 until frames).foreach { f =>
-      val png = syntheticPng(id * 1000 + f, w, h)
+    out.writeInt(frames.length)
+    frames.foreach { png =>
       out.writeInt(png.length)
       out.write(png)
     }
@@ -516,6 +541,88 @@ object MultimodalOps {
             else None
           }
         }.toOption.getOrElse(Seq.empty) // corrupt container → skip row, keep task
+      }
+    }
+  }
+
+  /** Row-bit pattern for the video family's frame `f`, row `y` — the
+    * single closed form the q263/q264 oracles replay: the cubic mixer
+    * ([[mix8]], the q256 decorrelation fix carried over) over a
+    * (family, frame, row) seed, with ONLY frame 3's bottom row XOR-ing
+    * the variant. Family members therefore share frames 0–2
+    * bit-for-bit and differ in 1–2 gradient directions of the last
+    * frame — true near-duplicate videos (a re-encode with a changed
+    * end card), resolvable in closed form.
+    */
+  private[graft] def videoFrameBits(family: Long, f: Int, y: Int, variant: Int): Int =
+    mix8(family * 32L + f * 8L + y) ^ (if (f == 3 && y == 7) variant else 0)
+
+  /** A video with PLANTED NEAR-DUP STRUCTURE for temporal fingerprinting:
+    * 3-member families (`id / 3`), four 9×8 gradient-PNG frames per
+    * video ([[gradientPng]] under [[videoFrameBits]]). See
+    * [[videoFingerprint]] for why the members' prints land at Hamming
+    * distance 1–2, all inside one band.
+    */
+  def syntheticVideoFamily(id: Long): Array[Byte] = {
+    val family = id / 3
+    val variant = (id % 3).toInt
+    videoContainer((0 until 4).map(f =>
+      gradientPng(y => videoFrameBits(family, f, y, variant))))
+  }
+
+  /** Video table with planted fingerprint families (executors generate
+    * the blobs — same contract as [[asVideoTable]]).
+    */
+  def asVideoFamilyTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => ImageRow(id, syntheticVideoFamily(id)))
+    }
+  }
+
+  /** 64-bit VIDEO FINGERPRINT — the dHash idea on the frame axis: parse
+    * the container, dHash every decoded frame ([[dHashBands]], one
+    * frame in memory at a time), fold each frame's four 16-bit bands
+    * into a 16-bit frame signature by XOR (bit positions are preserved
+    * mod 16, so a frame pair differing in k dHash bits differs in at
+    * most k signature bits), and place frame f's signature in band
+    * `f % 4`. The print is TEMPORAL-ORDER-AWARE — the same frames in a
+    * different order land in different bands and produce a different
+    * print (spec-asserted) — while re-encodes that perturb a single
+    * frame damage a single band by a few bits.
+    *
+    * Emitted as the same (id, 4 × 16-bit bands) shape as [[imageDHash]]
+    * and [[audioFingerprint]]: [[imageNearDups]] / [[imageNearDupProbe]]
+    * are modality-agnostic over it and are REUSED AS-IS — identical-hash
+    * pre-grouping, CappedList bucket guard and the exact-recall
+    * band-pair analysis included. Scale shape: computed scan-side in
+    * one pass over the blob (memory is one decoded frame, not one
+    * video); only (id, 4 ints) ever shuffles. Corrupt containers or
+    * videos with no decodable ≥9×8 frame are dropped per-row, never
+    * failing the task.
+    */
+  def videoFingerprint(videos: Dataset[ImageRow])(implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    videos.mapPartitions { it =>
+      it.flatMap { row =>
+        Try {
+          val in = new DataInputStream(new ByteArrayInputStream(row.content))
+          require(in.readInt() == VideoMagic, "bad magic")
+          val n = in.readInt()
+          val bands = new Array[Int](4)
+          var decoded = 0
+          (0 until n).foreach { f =>
+            val len = in.readInt()
+            val png = new Array[Byte](len)
+            in.readFully(png)
+            dHashBands(png).foreach { b =>
+              bands(f % 4) ^= b(0) ^ b(1) ^ b(2) ^ b(3)
+              decoded += 1
+            }
+          }
+          require(decoded > 0, "no decodable frame")
+          ImageHash(row.mediaId, bands(0), bands(1), bands(2), bands(3))
+        }.toOption
       }
     }
   }

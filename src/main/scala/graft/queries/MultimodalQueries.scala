@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
   *
-  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup.
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object MultimodalQueries {
@@ -214,6 +214,35 @@ object MultimodalQueries {
       MultimodalOps.imageNearDups(
         MultimodalOps.audioFingerprint(
           MultimodalOps.asAudioFamilyTable(Tables.documents(s, d), "doc_id")),
+        maxDist = 2)
+    }),
+
+
+    // VIDEO FINGERPRINT: four REAL PNG frames per container, each frame
+    // dHashed off its decoded raster, XOR-folded to a 16-bit frame
+    // signature placed in band frameIdx % 4 — temporal-order-aware.
+    // The planted families share frames 0-2 and differ in 1-2 gradient
+    // directions of frame 3, so the oracle replays every band from the
+    // (family, frame, row) closed form. Computed scan-side; blobs never
+    // shuffle.
+    "q263_video_fingerprint" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.videoFingerprint(
+        MultimodalOps.asVideoFamilyTable(Tables.documents(s, d), "doc_id"))
+        .toDF("media_id", "band0", "band1", "band2", "band3")
+    }),
+
+
+    // VIDEO NEAR-DUP: the third modality through the SAME guarded
+    // banded-Hamming core — imageNearDups reused AS-IS on the video
+    // prints (identical-hash pre-grouping + CappedList bucket guard).
+    // Family members differ in at most 2 bits of band 3, so at least
+    // one band PAIR is intact and recall at maxDist 2 stays exact.
+    "q264_video_neardup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.imageNearDups(
+        MultimodalOps.videoFingerprint(
+          MultimodalOps.asVideoFamilyTable(Tables.documents(s, d), "doc_id")),
         maxDist = 2)
     }),
   )
@@ -542,6 +571,92 @@ object MultimodalQueries {
         |  sum(CASE WHEN b // 16 = 2 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS band2,
         |  sum(CASE WHEN b // 16 = 3 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS band3
         | FROM bits GROUP BY doc_id),
+        |g AS (
+        | SELECT band0, band1, band2, band3, min(media_id) AS rep
+        | FROM bnd GROUP BY band0, band1, band2, band3),
+        |star AS (
+        | SELECT g.rep AS id_a, bnd.media_id AS id_b, CAST(0 AS INTEGER) AS hamming
+        | FROM bnd JOIN g USING (band0, band1, band2, band3)
+        | WHERE bnd.media_id <> g.rep),
+        |e AS (
+        | SELECT rep, 0 AS bi, band0 AS bv FROM g
+        | UNION ALL SELECT rep, 1, band1 FROM g
+        | UNION ALL SELECT rep, 2, band2 FROM g
+        | UNION ALL SELECT rep, 3, band3 FROM g),
+        |c AS (
+        | SELECT DISTINCT a.rep AS id_a, bb.rep AS id_b
+        | FROM e a JOIN e bb ON a.bi = bb.bi AND a.bv = bb.bv
+        |  AND a.rep < bb.rep),
+        |p AS (
+        | SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(x.band0, z.band0)) + bit_count(xor(x.band1, z.band1))
+        |     + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) AS INTEGER) AS hamming
+        | FROM c JOIN g x ON x.rep = c.id_a JOIN g z ON z.rep = c.id_b)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2
+        |UNION ALL
+        |SELECT id_a, id_b, hamming FROM star""".stripMargin,
+
+
+    // Mirrors syntheticVideoFamily + videoFingerprint bit for bit: frame
+    // f row y's gradient directions are videoFrameBits (the cubic mixer
+    // over family*32 + f*8 + y, frame 3 row 7 XORs the variant); the
+    // frame's four dHash bands (rows 2b, 2b+1 -> band b) XOR-fold to a
+    // 16-bit signature; video band f = frame f's signature. The Spark
+    // side derives the same values by ImageIO-decoding every real frame.
+    "q263_video_fingerprint" ->
+      """WITH fy AS (
+        | SELECT doc_id, f, y, (doc_id // 3 * 32 + f * 8 + y) % 999983 AS w
+        | FROM documents, range(4) tf(f), range(8) ty(y)),
+        |r AS (
+        | SELECT doc_id, f, y,
+        |  CASE WHEN f = 3 AND y = 7
+        |   THEN xor((w * w % 999983 * w % 999983 * 69069) % 999983 % 256, doc_id % 3)
+        |   ELSE (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 END AS bits
+        | FROM fy),
+        |fb AS (
+        | SELECT doc_id, f,
+        |  xor(xor(max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256,
+        |          max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256),
+        |      xor(max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256,
+        |          max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256)) AS sig
+        | FROM r GROUP BY doc_id, f)
+        |SELECT doc_id AS media_id,
+        | CAST(max(CASE WHEN f=0 THEN sig END) AS INTEGER) AS band0,
+        | CAST(max(CASE WHEN f=1 THEN sig END) AS INTEGER) AS band1,
+        | CAST(max(CASE WHEN f=2 THEN sig END) AS INTEGER) AS band2,
+        | CAST(max(CASE WHEN f=3 THEN sig END) AS INTEGER) AS band3
+        |FROM fb GROUP BY doc_id""".stripMargin,
+
+
+    // The q257/q262 certificate SQL over the closed-form video prints:
+    // identical prints pre-group to a min-id rep (star edges at dist 0),
+    // single-band candidates over DISTINCT prints (a recall superset of
+    // the engine's band-pair keys; post-filter outputs provably equal),
+    // true Hamming filter.
+    "q264_video_neardup" ->
+      """WITH fy AS (
+        | SELECT doc_id, f, y, (doc_id // 3 * 32 + f * 8 + y) % 999983 AS w
+        | FROM documents, range(4) tf(f), range(8) ty(y)),
+        |r AS (
+        | SELECT doc_id, f, y,
+        |  CASE WHEN f = 3 AND y = 7
+        |   THEN xor((w * w % 999983 * w % 999983 * 69069) % 999983 % 256, doc_id % 3)
+        |   ELSE (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 END AS bits
+        | FROM fy),
+        |fb AS (
+        | SELECT doc_id, f,
+        |  xor(xor(max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256,
+        |          max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256),
+        |      xor(max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256,
+        |          max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256)) AS sig
+        | FROM r GROUP BY doc_id, f),
+        |bnd AS (
+        | SELECT doc_id AS media_id,
+        |  max(CASE WHEN f=0 THEN sig END) AS band0,
+        |  max(CASE WHEN f=1 THEN sig END) AS band1,
+        |  max(CASE WHEN f=2 THEN sig END) AS band2,
+        |  max(CASE WHEN f=3 THEN sig END) AS band3
+        | FROM fb GROUP BY doc_id),
         |g AS (
         | SELECT band0, band1, band2, band3, min(media_id) AS rep
         | FROM bnd GROUP BY band0, band1, band2, band3),

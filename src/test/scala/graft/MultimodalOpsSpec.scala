@@ -312,6 +312,71 @@ class MultimodalOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("videoFingerprint reads per-frame dHashes off REAL decoded frames (known-value vs closed form)") {
+    // mirror the construction: frame f row y's gradient directions are
+    // videoFrameBits, the frame's dHash bands (rows 2b, 2b+1 → band b)
+    // XOR-fold to a 16-bit signature, video band f = frame f's
+    // signature — the kernel must reproduce this from actual container
+    // bytes through ImageIO decodes of every frame
+    def expected(id: Long): Seq[Int] = {
+      val family = id / 3; val v = (id % 3).toInt
+      (0 until 4).map { f =>
+        val bands = new Array[Int](4)
+        (0 until 8).foreach { y =>
+          bands(y / 2) |= MultimodalOps.videoFrameBits(family, f, y, v) << (8 * (y % 2))
+        }
+        bands(0) ^ bands(1) ^ bands(2) ^ bands(3)
+      }
+    }
+    val ids = Seq(9L, 10L, 11L, 30L) // one full family + a stranger
+    val prints = MultimodalOps.videoFingerprint(
+      ids.map(id => ImageRow(id, MultimodalOps.syntheticVideoFamily(id))).toDS())
+      .collect().map(h => h.mediaId -> h).toMap
+    ids.foreach { id =>
+      val h = prints(id)
+      assert(Seq(h.band0, h.band1, h.band2, h.band3) == expected(id),
+        s"id $id decoded video fingerprint != closed form")
+    }
+    // the planted structure: family members share frames 0–2, so bands
+    // 0–2 agree and band 3 differs in popcount(variant_a ^ variant_b)
+    // (1–2) bits — within imageNearDups' exact-recall radius
+    Seq((9L, 10L), (9L, 11L), (10L, 11L)).foreach { case (a, b) =>
+      assert(prints(a).band0 == prints(b).band0 && prints(a).band1 == prints(b).band1 &&
+        prints(a).band2 == prints(b).band2)
+      val d = Integer.bitCount(prints(a).band3 ^ prints(b).band3)
+      val want = Integer.bitCount((a % 3).toInt ^ (b % 3).toInt)
+      assert(d == want, s"family prints must differ in exactly the variant bits, got $d for ($a,$b)")
+    }
+  }
+
+  test("videoFingerprint is temporal-order-aware; corrupt containers drop per-row") {
+    // the same frames in a different order land in different bands —
+    // a shot-shuffled re-cut is NOT the same video
+    val frames = (0 until 4).map(f =>
+      MultimodalOps.gradientPng(y => MultimodalOps.videoFrameBits(5L, f, y, 0)))
+    val fwd = MultimodalOps.videoContainer(frames)
+    val rev = MultimodalOps.videoContainer(frames.reverse)
+    val out = MultimodalOps.videoFingerprint(Seq(
+      ImageRow(1L, fwd), ImageRow(2L, rev),
+      ImageRow(3L, "not a video".getBytes("UTF-8")),
+      ImageRow(4L, fwd.take(10)), // valid magic, truncated frame bytes
+      ImageRow(5L, MultimodalOps.videoContainer(Seq("bad png".getBytes("UTF-8"))))
+    ).toDS()).collect().map(h => h.mediaId -> h).toMap
+    // corrupt rows 3–5 drop (row 5: container parses but no frame decodes)
+    assert(out.keySet == Set(1L, 2L))
+    val a = out(1L); val b = out(2L)
+    assert(Seq(a.band0, a.band1, a.band2, a.band3).reverse ==
+      Seq(b.band0, b.band1, b.band2, b.band3), "reversal permutes the bands")
+    assert((a.band0, a.band1, a.band2, a.band3) != (b.band0, b.band1, b.band2, b.band3),
+      "order must change the print (fixture frames are pairwise distinct)")
+    // and the guarded near-dup core treats the re-cut as FAR apart: no
+    // pair within maxDist 2 (bands disagree in many bits)
+    val pairs = MultimodalOps.imageNearDups(
+      MultimodalOps.videoFingerprint(Seq(ImageRow(1L, fwd), ImageRow(2L, rev)).toDS()),
+      maxDist = 2).collect()
+    assert(pairs.isEmpty, s"re-ordered frames must not register as near-dups, got ${pairs.toSeq}")
+  }
+
   test("extractDocText: corrupt containers are dropped per-row, not fatal") {
     val good = MultimodalOps.syntheticDoc(1L)
     val truncated = good.take(good.length - 3) // valid magic, short page bytes
