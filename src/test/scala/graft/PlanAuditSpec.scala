@@ -675,6 +675,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the identical-hash pre-grouping (min-id rep):\n$p")
   }
 
+  test("video near-dup rides the SAME guarded core: pre-grouping + CappedList in the contract path (q264)") {
+    // the modality-agnostic claim made structural: the video family's
+    // contract plan must carry the identical guards q257 pins — a
+    // query-side rewrite that bypassed imageNearDups would lose them
+    // silently while correctness stayed green
+    val p = plan(q("q264_video_neardup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the Hamming filter must ride banded equi-join candidates, not a cross product:\n$p")
+    assert(p.toLowerCase.contains("cappedlistaggregator"),
+      s"band buckets must aggregate through the CappedList guard:\n$p")
+    assert(p.contains("min(mediaId"),
+      s"expected the identical-print pre-grouping (min-id rep):\n$p")
+  }
+
   test("image probe joins batch to capped corpus buckets — no corpus self-join, no cartesian (q260)") {
     val p = plan(q("q260_image_probe"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
