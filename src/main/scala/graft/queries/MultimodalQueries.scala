@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
   *
-  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup.
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup, q265_asset_dedup.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object MultimodalQueries {
@@ -244,6 +244,41 @@ object MultimodalQueries {
         MultimodalOps.videoFingerprint(
           MultimodalOps.asVideoFamilyTable(Tables.documents(s, d), "doc_id")),
         maxDist = 2)
+    }),
+
+
+    // CROSS-MODAL ASSET DEDUP: each asset carries an image, an audio and
+    // a video rendition; a pair is a duplicate-SUSPECT only when it is
+    // near-dup in >= 2 of the 3 modalities — single-modality hash
+    // coincidences (the false-positive mode of any 64-bit LSH at corpus
+    // scale) are outvoted instead of trusted. Three guarded certificate
+    // joins (one per modality, the SAME core) feed one pair-keyed
+    // partial-aggregated vote; each certificate is linear in the corpus,
+    // and the vote shuffles only (id_a, id_b, tag) rows. The oracle
+    // replays all three closed-form fingerprint chains and the identical
+    // vote.
+    "q265_asset_dedup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.functions.{count, lit, max, when}
+      val docs = Tables.documents(s, d)
+      def tagged(pairs: org.apache.spark.sql.DataFrame, tag: String) =
+        pairs.select(col("id_a"), col("id_b"), lit(tag).as("m"))
+      val img = MultimodalOps.imageNearDups(
+        MultimodalOps.imageDHash(
+          MultimodalOps.asGradientImageTable(docs, "doc_id")), maxDist = 2)
+      val aud = MultimodalOps.imageNearDups(
+        MultimodalOps.audioFingerprint(
+          MultimodalOps.asAudioFamilyTable(docs, "doc_id")), maxDist = 2)
+      val vid = MultimodalOps.imageNearDups(
+        MultimodalOps.videoFingerprint(
+          MultimodalOps.asVideoFamilyTable(docs, "doc_id")), maxDist = 2)
+      tagged(img, "image").unionAll(tagged(aud, "audio")).unionAll(tagged(vid, "video"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).cast("int").as("n_modalities"),
+          max(when(col("m") === "image", 1).otherwise(0)).as("image_hit"),
+          max(when(col("m") === "audio", 1).otherwise(0)).as("audio_hit"),
+          max(when(col("m") === "video", 1).otherwise(0)).as("video_hit"))
+        .where(col("n_modalities") >= 2)
     }),
   )
 
@@ -681,5 +716,107 @@ object MultimodalQueries {
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2
         |UNION ALL
         |SELECT id_a, id_b, hamming FROM star""".stripMargin,
+
+
+    // All three closed-form fingerprint chains (q257 image, q262 audio,
+    // q264 video CTEs verbatim, prefixed), each reduced to its
+    // certificate pair set, then the identical pair-keyed vote: a pair
+    // survives only with near-dup evidence in >= 2 modalities.
+    "q265_asset_dedup" ->
+      """WITH iw AS (
+        | SELECT doc_id, y, (doc_id // 3 * 8 + y) % 999983 AS w
+        | FROM documents, range(8) t(y)),
+        |ir AS (
+        | SELECT doc_id, y,
+        |  CASE WHEN y = 7
+        |   THEN xor((w * w % 999983 * w % 999983 * 69069) % 999983 % 256, doc_id % 3)
+        |   ELSE (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 END AS bits
+        | FROM iw),
+        |ib AS (
+        | SELECT doc_id AS media_id,
+        |  max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256 AS band0,
+        |  max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256 AS band1,
+        |  max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256 AS band2,
+        |  max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256 AS band3
+        | FROM ir GROUP BY doc_id),
+        |ad AS (
+        | SELECT doc_id, doc_id // 3 AS family, doc_id % 3 AS v
+        | FROM documents),
+        |awv AS (SELECT doc_id, family, v, unnest(range(0, 65)) AS w FROM ad),
+        |amm AS (SELECT doc_id, v, w, (family * 65 + w) % 999983 AS m FROM awv),
+        |aamp AS (
+        | SELECT doc_id, w,
+        |  40 * ((m * m % 999983 * m % 999983 * 69069) % 999983 % 256 + 1)
+        |   + CASE WHEN w = 64 THEN 3000 * v ELSE 0 END AS a
+        | FROM amm),
+        |abits AS (
+        | SELECT lo.doc_id, lo.w AS b,
+        |  CASE WHEN hi.a > lo.a THEN 1 ELSE 0 END AS bit
+        | FROM aamp lo JOIN aamp hi ON hi.doc_id = lo.doc_id AND hi.w = lo.w + 1
+        | WHERE lo.w < 64),
+        |ab AS (
+        | SELECT doc_id AS media_id,
+        |  CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS band0,
+        |  CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS band1,
+        |  CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS band2,
+        |  CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS band3
+        | FROM abits GROUP BY doc_id),
+        |vfy AS (
+        | SELECT doc_id, f, y, (doc_id // 3 * 32 + f * 8 + y) % 999983 AS w
+        | FROM documents, range(4) tf(f), range(8) ty(y)),
+        |vr AS (
+        | SELECT doc_id, f, y,
+        |  CASE WHEN f = 3 AND y = 7
+        |   THEN xor((w * w % 999983 * w % 999983 * 69069) % 999983 % 256, doc_id % 3)
+        |   ELSE (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 END AS bits
+        | FROM vfy),
+        |vfb AS (
+        | SELECT doc_id, f,
+        |  xor(xor(max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256,
+        |          max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256),
+        |      xor(max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256,
+        |          max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256)) AS sig
+        | FROM vr GROUP BY doc_id, f),
+        |vb AS (
+        | SELECT doc_id AS media_id,
+        |  max(CASE WHEN f=0 THEN sig END) AS band0,
+        |  max(CASE WHEN f=1 THEN sig END) AS band1,
+        |  max(CASE WHEN f=2 THEN sig END) AS band2,
+        |  max(CASE WHEN f=3 THEN sig END) AS band3
+        | FROM vfb GROUP BY doc_id),
+        |mb AS (
+        | SELECT 'image' AS m, * FROM ib
+        | UNION ALL SELECT 'audio', * FROM ab
+        | UNION ALL SELECT 'video', * FROM vb),
+        |g AS (
+        | SELECT m, band0, band1, band2, band3, min(media_id) AS rep
+        | FROM mb GROUP BY m, band0, band1, band2, band3),
+        |star AS (
+        | SELECT mb.m, g.rep AS id_a, mb.media_id AS id_b
+        | FROM mb JOIN g USING (m, band0, band1, band2, band3)
+        | WHERE mb.media_id <> g.rep),
+        |e AS (
+        | SELECT m, rep, 0 AS bi, band0 AS bv FROM g
+        | UNION ALL SELECT m, rep, 1, band1 FROM g
+        | UNION ALL SELECT m, rep, 2, band2 FROM g
+        | UNION ALL SELECT m, rep, 3, band3 FROM g),
+        |c AS (
+        | SELECT DISTINCT a.m, a.rep AS id_a, bb.rep AS id_b
+        | FROM e a JOIN e bb ON a.m = bb.m AND a.bi = bb.bi AND a.bv = bb.bv
+        |  AND a.rep < bb.rep),
+        |p AS (
+        | SELECT c.m, c.id_a, c.id_b
+        | FROM c JOIN g x ON x.m = c.m AND x.rep = c.id_a
+        |        JOIN g z ON z.m = c.m AND z.rep = c.id_b
+        | WHERE bit_count(xor(x.band0, z.band0)) + bit_count(xor(x.band1, z.band1))
+        |     + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) <= 2),
+        |u AS (SELECT m, id_a, id_b FROM p UNION ALL SELECT m, id_a, id_b FROM star)
+        |SELECT id_a, id_b,
+        | CAST(count(*) AS INTEGER) AS n_modalities,
+        | CAST(max(CASE WHEN m = 'image' THEN 1 ELSE 0 END) AS INTEGER) AS image_hit,
+        | CAST(max(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS INTEGER) AS audio_hit,
+        | CAST(max(CASE WHEN m = 'video' THEN 1 ELSE 0 END) AS INTEGER) AS video_hit
+        |FROM u GROUP BY id_a, id_b
+        |HAVING count(*) >= 2""".stripMargin,
   )
 }

@@ -377,6 +377,40 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(pairs.isEmpty, s"re-ordered frames must not register as near-dups, got ${pairs.toSeq}")
   }
 
+  test("cross-modal vote outvotes a single-modality coincidence (the q265 composition, non-vacuous)") {
+    // the contract fixtures are engineered for hash diversity, so no
+    // vote-1 pair exists at any tested SF — this plants the case the
+    // HAVING clause exists for: id 100 re-uses id 0's IMAGE bytes
+    // verbatim (the re-served thumbnail) while its audio and video come
+    // from its own far-away family — image evidence alone must NOT make
+    // it an asset-dup suspect, while a true family pair votes 3/3
+    val ids = Seq(0L, 1L, 2L, 100L)
+    def row(id: Long, mk: Long => Array[Byte], content: Long): ImageRow =
+      ImageRow(id, mk(content))
+    val images = ids.map(id => row(id, MultimodalOps.syntheticGradientPng,
+      if (id == 100L) 0L else id)).toDS()
+    val audio = ids.map(id => row(id, MultimodalOps.syntheticWavFamily, id)).toDS()
+    val video = ids.map(id => row(id, MultimodalOps.syntheticVideoFamily, id)).toDS()
+    def tagged(pairs: org.apache.spark.sql.DataFrame, tag: String) =
+      pairs.select(col("id_a"), col("id_b"), lit(tag).as("m"))
+    val votes = tagged(MultimodalOps.imageNearDups(MultimodalOps.imageDHash(images)), "image")
+      .unionAll(tagged(MultimodalOps.imageNearDups(MultimodalOps.audioFingerprint(audio)), "audio"))
+      .unionAll(tagged(MultimodalOps.imageNearDups(MultimodalOps.videoFingerprint(video)), "video"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the coincidence pair exists — in exactly one modality
+    assert(votes.get((0L, 100L)).contains(1L),
+      s"planted byte-identical image must pair in the image modality alone, got $votes")
+    // true family pairs carry all three modalities (audio may certificate
+    // via a star edge — still one row per modality)
+    assert(votes((0L, 1L)) == 3L && votes((0L, 2L)) == 3L || votes((1L, 2L)) == 3L,
+      s"family pairs must corroborate across modalities, got $votes")
+    val suspects = votes.filter(_._2 >= 2L).keySet
+    assert(!suspects.contains((0L, 100L)), "the single-modality coincidence must be outvoted")
+    assert(suspects.exists(p => Set((0L, 1L), (0L, 2L), (1L, 2L)).contains(p)),
+      "family pairs must survive the vote")
+  }
+
   test("extractDocText: corrupt containers are dropped per-row, not fatal") {
     val good = MultimodalOps.syntheticDoc(1L)
     val truncated = good.take(good.length - 3) // valid magic, short page bytes
