@@ -627,6 +627,131 @@ object MultimodalOps {
     }
   }
 
+  /** Row-bit pattern for the CLIP fixture's content-frame `cf`, row `y`
+    * (no variant — clip pairs share frames verbatim): the cubic mixer
+    * over a (family, content-frame, row) seed with room for content
+    * frames 0–4.
+    */
+  private[graft] def clipFrameBits(family: Long, cf: Int, y: Int): Int =
+    mix8(family * 40L + cf * 8L + y)
+
+  /** A video table with PLANTED CLIP STRUCTURE: ids pair up (`id / 2`),
+    * the even id carries content frames 0–3 of its family, the odd id
+    * carries content frames 1–4 — the odd video is the even one with
+    * its first frame clipped and a new end frame appended (the
+    * "re-upload minus the intro" shape). The pair shares 3 of 4 frames
+    * IN SEQUENCE but at shifted positions, so the order-aware
+    * [[videoFingerprint]] print differs in every band and q264-style
+    * near-dup rightly misses it — [[videoClipMatches]] exists for
+    * exactly this case.
+    */
+  def asVideoClipTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val family = id / 2
+        val shift = (id % 2).toInt
+        ImageRow(id, videoContainer((0 until 4).map(f =>
+          gradientPng(y => clipFrameBits(family, f + shift, y)))))
+      }
+    }
+  }
+
+  /** One video's frame-shingle row: `sigKey` is the full frame-signature
+    * sequence (the video's perceptual identity — byte-level re-encodes
+    * with identical rasters collapse onto it), `shingles` the DISTINCT
+    * consecutive signature pairs.
+    */
+  case class VideoShingles(mediaId: Long, sigKey: String, shingles: Array[Long])
+
+  /** Scan-side frame shingling for [[videoClipMatches]]: parse the
+    * container, dHash each decoded frame, XOR-fold to the 16-bit frame
+    * signature (the [[videoFingerprint]] kernel), and emit every
+    * DISTINCT consecutive signature pair as a 32-bit shingle
+    * (`sig_f · 2¹⁶ + sig_{f+1}`) — n-gram shingling on the TIME axis,
+    * the video analog of the text path's token shingles. One decoded
+    * frame in memory at a time; blobs never shuffle. Videos with < 2
+    * decodable frames have no shingles and never match (dropped here).
+    */
+  def videoShingleRows(videos: Dataset[ImageRow])(implicit spark: SparkSession): Dataset[VideoShingles] = {
+    import spark.implicits._
+    videos.mapPartitions { it =>
+      it.flatMap { row =>
+        Try {
+          val in = new DataInputStream(new ByteArrayInputStream(row.content))
+          require(in.readInt() == VideoMagic, "bad magic")
+          val n = in.readInt()
+          val sigs = (0 until n).flatMap { _ =>
+            val len = in.readInt()
+            val png = new Array[Byte](len)
+            in.readFully(png)
+            dHashBands(png).map(b => b(0) ^ b(1) ^ b(2) ^ b(3))
+          }
+          require(sigs.length >= 2, "need >= 2 decodable frames for a shingle")
+          val shingles = sigs.sliding(2).map(w => w(0).toLong * 65536L + w(1))
+            .toArray.distinct
+          VideoShingles(row.mediaId, sigs.mkString(","), shingles)
+        }.toOption
+      }
+    }
+  }
+
+  /** CLIPPED-VIDEO DETECTION: find video pairs sharing at least
+    * `minShared` consecutive-frame shingles — re-uploads that clip an
+    * intro, append an end card, or splice a segment, which shift every
+    * frame position and therefore defeat the order-aware
+    * [[videoFingerprint]] print (by design; spec-asserted both ways).
+    *
+    * The guarded certificate shape carried from [[imageNearDups]]:
+    * videos with an IDENTICAL signature sequence (perceptual re-encodes
+    * — the degenerate B-identical block) pre-group onto a min-id
+    * representative by `sigKey` and attach as star edges sharing ALL
+    * their shingles, so B byte-identical uploads cost B−1 edges, never
+    * a B² shingle join. Distinct representatives then equi-join per
+    * shingle through the CappedList bucket guard (degenerate shingle
+    * buckets — a title card shared by half the corpus — are dropped by
+    * size, never held), and surviving pairs keep an exact
+    * shared-shingle count. Output (id_a, id_b, shared_shingles) with
+    * id_a < id_b. Scale shape: shingles are computed scan-side; only
+    * (id, sigKey, ~frames-sized shingle array) rows shuffle, buckets
+    * are hard-capped, and the pair count is candidate-bounded.
+    */
+  def videoClipMatches(videos: Dataset[ImageRow], minShared: Int = 2,
+                       maxBucketSize: Int = 1000)
+                      (implicit spark: SparkSession): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val rows = graft.GraftCache.register(
+      videoShingleRows(videos).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val groups = graft.GraftCache.register(
+      rows.groupBy("sigKey").agg(min("mediaId").as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val starPairs = rows.join(groups, "sigKey")
+      .where(col("mediaId") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("mediaId").as("id_b"),
+        size(col("shingles")).as("shared_shingles"))
+    val reps = rows.join(groups, rows("mediaId") === groups("rep"))
+      .select(col("rep"), col("shingles"))
+    val exploded = reps.select(col("rep"), explode(col("shingles")).as("shingle"))
+    // shared-shingle counting rides the SAME capped buckets: each intact
+    // bucket contributes one (a, b) row per shared shingle, so the
+    // count after the pair groupBy is exact for pairs whose shingles
+    // all sit in intact buckets; a dropped degenerate bucket (corpus-
+    // wide title card) removes only that shingle's vote — the guard
+    // trade the text path documents
+    val cand = exploded.groupBy("shingle")
+      .agg(graft.functions.CappedList.cappedIds(maxBucketSize)(col("rep")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+    val repPairs = cand.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("int").as("shared_shingles"))
+      .where(col("shared_shingles") >= minShared)
+    starPairs.unionAll(repPairs)
+  }
+
   // ---------------------------------------------------------------------
   // Real audio kernels (javax.sound.sampled — WAV, in the JDK)
   // ---------------------------------------------------------------------

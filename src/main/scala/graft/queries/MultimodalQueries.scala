@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
   *
-  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup, q265_asset_dedup.
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup, q265_asset_dedup, q266_video_clip_match.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object MultimodalQueries {
@@ -279,6 +279,25 @@ object MultimodalQueries {
           max(when(col("m") === "audio", 1).otherwise(0)).as("audio_hit"),
           max(when(col("m") === "video", 1).otherwise(0)).as("video_hit"))
         .where(col("n_modalities") >= 2)
+    }),
+
+
+    // CLIPPED-VIDEO DETECTION: consecutive frame-signature pairs as
+    // LSH keys (n-gram shingling on the TIME axis). The fixture pairs
+    // ids (id/2): the odd id is the even video with its first frame
+    // clipped and a new end frame appended — every frame position
+    // shifts, the order-aware q264 print differs in all four bands and
+    // misses the pair BY DESIGN; the shingle join catches the 2 shared
+    // consecutive pairs. Identical signature sequences pre-group to a
+    // min-id rep (star edges share all shingles); distinct reps join
+    // per shingle through the CappedList guard. The oracle replays the
+    // frame signatures from the (family, content-frame, row) closed
+    // form and the identical certificate.
+    "q266_video_clip_match" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.videoClipMatches(
+        MultimodalOps.asVideoClipTable(Tables.documents(s, d), "doc_id"),
+        minShared = 2)
     }),
   )
 
@@ -818,5 +837,51 @@ object MultimodalQueries {
         | CAST(max(CASE WHEN m = 'video' THEN 1 ELSE 0 END) AS INTEGER) AS video_hit
         |FROM u GROUP BY id_a, id_b
         |HAVING count(*) >= 2""".stripMargin,
+
+
+    // Mirrors asVideoClipTable + videoClipMatches: frame f of doc d
+    // shows CONTENT frame f + d%2 of family d//2 (the clip shift);
+    // signatures fold as in q263; shingles are consecutive signature
+    // pairs; identical signature sequences pre-group to a min-id rep
+    // (star edges share all shingles), distinct reps pair per shared
+    // shingle with an exact count, threshold 2.
+    "q266_video_clip_match" ->
+      """WITH fy AS (
+        | SELECT doc_id, f, y,
+        |  (doc_id // 2 * 40 + (f + doc_id % 2) * 8 + y) % 999983 AS w
+        | FROM documents, range(4) tf(f), range(8) ty(y)),
+        |r AS (
+        | SELECT doc_id, f, y,
+        |  (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 AS bits
+        | FROM fy),
+        |fb AS (
+        | SELECT doc_id, f,
+        |  xor(xor(max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256,
+        |          max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256),
+        |      xor(max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256,
+        |          max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256)) AS sig
+        | FROM r GROUP BY doc_id, f),
+        |keyed AS (
+        | SELECT doc_id, string_agg(CAST(sig AS VARCHAR), ',' ORDER BY f) AS sig_key
+        | FROM fb GROUP BY doc_id),
+        |sh AS (
+        | SELECT DISTINCT a.doc_id, a.sig * 65536 + b.sig AS shingle
+        | FROM fb a JOIN fb b ON b.doc_id = a.doc_id AND b.f = a.f + 1),
+        |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |g AS (SELECT sig_key, min(doc_id) AS rep FROM keyed GROUP BY sig_key),
+        |star AS (
+        | SELECT g.rep AS id_a, keyed.doc_id AS id_b, CAST(nsh.n AS INTEGER) AS shared_shingles
+        | FROM keyed JOIN g USING (sig_key) JOIN nsh ON nsh.doc_id = keyed.doc_id
+        | WHERE keyed.doc_id <> g.rep),
+        |rsh AS (
+        | SELECT sh.* FROM sh JOIN g ON g.rep = sh.doc_id),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS INTEGER) AS shared_shingles
+        | FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING count(*) >= 2)
+        |SELECT id_a, id_b, shared_shingles FROM p
+        |UNION ALL
+        |SELECT id_a, id_b, shared_shingles FROM star""".stripMargin,
   )
 }

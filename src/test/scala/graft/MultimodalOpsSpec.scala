@@ -411,6 +411,61 @@ class MultimodalOpsSpec extends SparkSpec {
       "family pairs must survive the vote")
   }
 
+  test("videoClipMatches catches the clipped re-upload the order-aware print misses (both directions)") {
+    // ids 0/1 are a planted clip pair (frames 1-3 shared at shifted
+    // positions), ids 2/3 another family's pair; no cross-family match
+    val docs4 = Seq(0L, 1L, 2L, 3L).map(id => (id, s"doc$id")).toDF("doc_id", "text")
+    val clips = MultimodalOps.asVideoClipTable(docs4, "doc_id")
+    val matches = MultimodalOps.videoClipMatches(clips, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(matches == Map((0L, 1L) -> 2, (2L, 3L) -> 2),
+      s"each clip pair shares exactly its 2 surviving consecutive-frame shingles, got $matches")
+    // the order-aware fingerprint rightly misses the SAME pairs: every
+    // frame position shifted, all four bands differ
+    val ordered = MultimodalOps.imageNearDups(
+      MultimodalOps.videoFingerprint(clips), maxDist = 2).collect()
+    assert(ordered.isEmpty,
+      s"the positional print must not match shifted clips, got ${ordered.toSeq}")
+  }
+
+  test("videoClipMatches pre-groups identical videos (star edges) and caps degenerate shingle buckets") {
+    // 40 byte-identical re-uploads of one video + its clip partner:
+    // the identical block must become 39 star edges to the min id —
+    // never a 40² shingle self-join — and the clip match must still
+    // surface through the representative
+    val base = MultimodalOps.asVideoClipTable(
+      Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"), "doc_id").collect()
+    val even = base.find(_.mediaId == 0L).get.content
+    val odd = base.find(_.mediaId == 1L).get.content
+    val corpus = (Seq(MultimodalOps.ImageRow(1000L, odd)) ++
+      (0 until 40).map(i => MultimodalOps.ImageRow(i.toLong, even))).toDS()
+    val out = MultimodalOps.videoClipMatches(corpus, minShared = 2).collect()
+    val stars = out.filter(r => r.getLong(0) == 0L && r.getLong(1) != 1000L)
+    assert(stars.length == 39 && stars.forall(_.getInt(2) == 3),
+      s"identical videos must attach as star edges sharing all 3 shingles, got ${out.toSeq}")
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1000L && r.getInt(2) == 2),
+      "the clip match must surface through the identical block's representative")
+    assert(out.length == 40, s"no other pairs expected, got ${out.toSeq}")
+    // a corpus-wide title SEQUENCE (40 DISTINCT videos opening with the
+    // same 3 frames — degenerate shingle buckets the pre-grouping
+    // cannot collapse): uncapped they pair quadratically (C(40,2)
+    // candidates through both title shingles); the cap drops the two
+    // degenerate buckets by size and the output is bounded instead
+    def titled(id: Long): MultimodalOps.ImageRow = MultimodalOps.ImageRow(id,
+      MultimodalOps.videoContainer(
+        (0 until 3).map(f => MultimodalOps.gradientPng(y =>
+          MultimodalOps.clipFrameBits(900000L, f, y))) :+
+          MultimodalOps.gradientPng(y =>
+            MultimodalOps.clipFrameBits(900100L + id, 0, y))))
+    val titledCorpus = (0 until 40).map(i => titled(i.toLong)).toDS()
+    val uncapped = MultimodalOps.videoClipMatches(titledCorpus, minShared = 2)
+    assert(uncapped.count() == 40L * 39 / 2,
+      "distinct videos sharing the title sequence pair quadratically without the cap")
+    val capped = MultimodalOps.videoClipMatches(titledCorpus, minShared = 2, maxBucketSize = 10)
+    assert(capped.count() == 0L,
+      "the cap must drop the degenerate title-shingle buckets instead of materializing B² pairs")
+  }
+
   test("extractDocText: corrupt containers are dropped per-row, not fatal") {
     val good = MultimodalOps.syntheticDoc(1L)
     val truncated = good.take(good.length - 3) // valid magic, short page bytes
