@@ -263,6 +263,111 @@ object MultimodalOps {
       bands
     }
 
+  /** REAL HORIZONTAL FLIP: decode, mirror the raster column-wise,
+    * re-encode PNG — the fixture-side twin of a mirrored re-upload
+    * (same real-image-op precedent as [[resizeImages]]).
+    */
+  private[graft] def flipHorizontal(bytes: Array[Byte]): Array[Byte] = {
+    imageIoInMemory
+    val img = readImage(bytes).getOrElse(sys.error("flipHorizontal: undecodable"))
+    val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        out.setRGB(img.getWidth - 1 - x, y, img.getRGB(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Both orientations' dHash bands from ONE raster pass: `_1` is the
+    * image's own dHash, `_2` the dHash its horizontal mirror would
+    * produce — read off the same pixels by index reflection
+    * (`flipped(x) = orig(W−1−x)`), never by materializing a second
+    * image. None for undecodable or sub-9×8 blobs.
+    */
+  private[graft] def dHashOrientedBands(bytes: Array[Byte]): Option[(Array[Int], Array[Int])] =
+    readImage(bytes).filter(i => i.getWidth >= 9 && i.getHeight >= 8).map { img =>
+      def lum(x: Int, y: Int): Int = img.getRGB(x, y) & 0xFF
+      val a = new Array[Int](4)
+      val b = new Array[Int](4)
+      var y = 0
+      while (y < 8) {
+        var rowA = 0
+        var rowB = 0
+        var x = 0
+        while (x < 8) {
+          if (lum(x + 1, y) > lum(x, y)) rowA |= 1 << x
+          if (lum(7 - x, y) > lum(8 - x, y)) rowB |= 1 << x
+          x += 1
+        }
+        a(y / 2) |= rowA << (8 * (y % 2))
+        b(y / 2) |= rowB << (8 * (y % 2))
+        y += 1
+      }
+      (a, b)
+    }
+
+  /** ORIENTATION-CANONICAL dHash: a horizontally mirrored re-upload
+    * (profile shots, product images, meme flips) produces a dHash that
+    * differs from the original in up to all 64 bits — plain [[imageDHash]]
+    * dedup is provably blind to it (spec-pinned). The canonical hash is
+    * the lexicographically smaller of the image's own dHash and its
+    * mirror's dHash (both read off ONE raster pass): since
+    * mirror(mirror(h)) = h, an image and its flip reach the SAME
+    * canonical value by construction, so exact grouping — and every
+    * downstream LSH consumer — becomes orientation-invariant for free.
+    * The dihedral trick classic perceptual-hash pipelines apply, kept
+    * to the horizontal flip (the only orientation a web re-upload
+    * commonly takes). Scale shape identical to [[imageDHash]]:
+    * scan-side, only (id, 4 ints) shuffles.
+    */
+  def imageDHashCanonical(images: Dataset[ImageRow])(implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.flatMap { row =>
+        dHashOrientedBands(row.content).map { case (a, b) =>
+          val c = if (lexLe(a, b)) a else b
+          ImageHash(row.mediaId, c(0), c(1), c(2), c(3))
+        }
+      }
+    }
+  }
+
+  /** Lexicographic ≤ over equal-length band arrays (non-negative ints —
+    * the same comparison the oracle writes as nested CASEs).
+    */
+  private def lexLe(a: Array[Int], b: Array[Int]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      if (a(i) < b(i)) return true
+      if (a(i) > b(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Gradient-image table with PLANTED MIRROR PAIRS: ids pair up
+    * (`id / 2`) — the even id carries a gradient pattern of its own,
+    * the odd id carries the REAL horizontal flip of its partner's PNG
+    * ([[flipHorizontal]] — decoded, mirrored, re-encoded bytes). Plain
+    * dHash separates every pair; [[imageDHashCanonical]] unites them.
+    */
+  def asMirrorImageTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val base = gradientPng(y => mix8(id / 2 * 8 + y))
+        ImageRow(id, if (id % 2 == 0) base else flipHorizontal(base))
+      }
+    }
+  }
+
   /** IMAGE NEAR-DUP via banded Hamming LSH over [[imageDHash]] bands:
     * equi-join candidates (never an all-pairs product), then the TRUE
     * Hamming distance over all 64 bits keeps pairs within `maxDist`.

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
   *
-  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup, q265_asset_dedup, q266_video_clip_match.
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup, q265_asset_dedup, q266_video_clip_match, q267_mirror_dedup.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object MultimodalQueries {
@@ -298,6 +298,29 @@ object MultimodalQueries {
       MultimodalOps.videoClipMatches(
         MultimodalOps.asVideoClipTable(Tables.documents(s, d), "doc_id"),
         minShared = 2)
+    }),
+
+
+    // ORIENTATION-CANONICAL IMAGE DEDUP: the fixture pairs ids (id/2) —
+    // the odd id is a REAL horizontal flip (decode → mirror raster →
+    // re-encode) of its even partner. Plain dHash is blind to the flip
+    // (spec-pinned); the canonical hash takes the lexicographically
+    // smaller of both orientations' hashes — read off ONE raster pass
+    // by index reflection — so mirror pairs group exactly. The oracle
+    // replays both orientations in closed form: the mirror's row bits
+    // are the reverse-complement of the original's (the ±8 gradient
+    // walk has no ties), then the identical lexicographic pick and
+    // min-id clustering.
+    "q267_mirror_dedup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val h = MultimodalOps.imageDHashCanonical(
+        MultimodalOps.asMirrorImageTable(Tables.documents(s, d), "doc_id"))
+        .toDF("media_id", "band0", "band1", "band2", "band3")
+      val bands = Seq("band0", "band1", "band2", "band3")
+      val g = h.groupBy(bands.map(col): _*).agg(min("media_id").as("cluster"))
+      h.join(g, bands)
+        .select(col("media_id"), col("cluster"),
+          (col("cluster") === col("media_id")).as("is_kept"))
     }),
   )
 
@@ -883,5 +906,61 @@ object MultimodalQueries {
         |SELECT id_a, id_b, shared_shingles FROM p
         |UNION ALL
         |SELECT id_a, id_b, shared_shingles FROM star""".stripMargin,
+
+
+    // Mirrors asMirrorImageTable + imageDHashCanonical: the even id's
+    // raster encodes the cubic-mixer row bits; the odd id's raster is
+    // its horizontal flip, whose dHash row bits are the
+    // reverse-complement (255 - rev8) of the partner's — no ties exist
+    // in the +/-8 gradient walk. Both orientations' bands assemble per
+    // doc, the lexicographically smaller tuple is canonical, clusters
+    // are min-id groups over it.
+    "q267_mirror_dedup" ->
+      """WITH src AS (
+        | SELECT doc_id, doc_id // 2 AS pair, doc_id % 2 AS mir FROM documents),
+        |w AS (
+        | SELECT doc_id, mir, y, (pair * 8 + y) % 999983 AS w
+        | FROM src, range(8) t(y)),
+        |eb AS (
+        | SELECT doc_id, mir, y,
+        |  (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 AS ebits
+        | FROM w),
+        |rv AS (
+        | SELECT doc_id, mir, y, ebits,
+        |  CAST(sum(((ebits >> (7 - x)) & 1) * (1 << x)) AS BIGINT) AS rev
+        | FROM eb, range(8) rx(x)
+        | GROUP BY doc_id, mir, y, ebits),
+        |rb AS (
+        | SELECT doc_id, y,
+        |  CASE WHEN mir = 0 THEN ebits ELSE 255 - rev END AS abits,
+        |  CASE WHEN mir = 0 THEN 255 - rev ELSE ebits END AS bbits
+        | FROM rv),
+        |ba AS (
+        | SELECT doc_id,
+        |  max(CASE WHEN y=0 THEN abits END) + max(CASE WHEN y=1 THEN abits END)*256 AS a0,
+        |  max(CASE WHEN y=2 THEN abits END) + max(CASE WHEN y=3 THEN abits END)*256 AS a1,
+        |  max(CASE WHEN y=4 THEN abits END) + max(CASE WHEN y=5 THEN abits END)*256 AS a2,
+        |  max(CASE WHEN y=6 THEN abits END) + max(CASE WHEN y=7 THEN abits END)*256 AS a3,
+        |  max(CASE WHEN y=0 THEN bbits END) + max(CASE WHEN y=1 THEN bbits END)*256 AS b0,
+        |  max(CASE WHEN y=2 THEN bbits END) + max(CASE WHEN y=3 THEN bbits END)*256 AS b1,
+        |  max(CASE WHEN y=4 THEN bbits END) + max(CASE WHEN y=5 THEN bbits END)*256 AS b2,
+        |  max(CASE WHEN y=6 THEN bbits END) + max(CASE WHEN y=7 THEN bbits END)*256 AS b3
+        | FROM rb GROUP BY doc_id),
+        |canon AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN ale THEN a0 ELSE b0 END AS INTEGER) AS c0,
+        |  CAST(CASE WHEN ale THEN a1 ELSE b1 END AS INTEGER) AS c1,
+        |  CAST(CASE WHEN ale THEN a2 ELSE b2 END AS INTEGER) AS c2,
+        |  CAST(CASE WHEN ale THEN a3 ELSE b3 END AS INTEGER) AS c3
+        | FROM (SELECT *,
+        |   a0 < b0 OR (a0 = b0 AND (a1 < b1 OR (a1 = b1 AND
+        |    (a2 < b2 OR (a2 = b2 AND a3 <= b3))))) AS ale
+        |  FROM ba)),
+        |g AS (
+        | SELECT c0, c1, c2, c3, min(doc_id) AS rep
+        | FROM canon GROUP BY c0, c1, c2, c3)
+        |SELECT canon.doc_id AS media_id, g.rep AS cluster,
+        | g.rep = canon.doc_id AS is_kept
+        |FROM canon JOIN g USING (c0, c1, c2, c3)""".stripMargin,
   )
 }

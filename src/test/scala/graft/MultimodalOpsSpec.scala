@@ -466,6 +466,32 @@ class MultimodalOpsSpec extends SparkSpec {
       "the cap must drop the degenerate title-shingle buckets instead of materializing B² pairs")
   }
 
+  test("imageDHashCanonical unites mirror pairs that plain dHash provably separates") {
+    val table = MultimodalOps.asMirrorImageTable(
+      Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("doc_id", "text"), "doc_id")
+    // plain dHash: every mirror pair hashes APART (the blindness the
+    // canonical form exists to fix)
+    val plain = MultimodalOps.imageDHash(table).collect()
+      .map(h => h.mediaId -> (h.band0, h.band1, h.band2, h.band3)).toMap
+    assert(plain(0L) != plain(1L) && plain(2L) != plain(3L),
+      s"plain dHash must separate a flip from its original, got $plain")
+    // canonical: each pair reaches the SAME hash; different pairs stay apart
+    val canon = MultimodalOps.imageDHashCanonical(table).collect()
+      .map(h => h.mediaId -> (h.band0, h.band1, h.band2, h.band3)).toMap
+    assert(canon(0L) == canon(1L) && canon(2L) == canon(3L),
+      s"canonical hash must unite mirror pairs, got $canon")
+    assert(canon(0L) != canon(2L), "different pairs must not collide")
+    // the canonical value is one of the two orientations (min pick), so
+    // it agrees with plain dHash on whichever orientation won
+    assert(canon(0L) == plain(0L) || canon(0L) == plain(1L))
+    // involution sanity on REAL bytes: flipping twice restores the raster
+    val base = table.collect().find(_.mediaId == 0L).get.content
+    val twice = MultimodalOps.flipHorizontal(MultimodalOps.flipHorizontal(base))
+    assert(MultimodalOps.dHashBands(twice).get.toSeq ==
+      MultimodalOps.dHashBands(base).get.toSeq,
+      "double flip must restore the original raster's hash")
+  }
+
   test("extractDocText: corrupt containers are dropped per-row, not fatal") {
     val good = MultimodalOps.syntheticDoc(1L)
     val truncated = good.take(good.length - 3) // valid magic, short page bytes
