@@ -111,7 +111,8 @@ object DumpPlans {
     "q259_bucket_escape" -> "the bucketing escape hatch: q253's bucketed files read with bucketing disabled in a sibling session — no bucketed scan, BOTH exchanges return under the SMJ (the structural inverse of q253), answers hash-identical",
     "q260_image_probe" -> "incremental image near-dup: batch banded against capped corpus buckets (singletons survive) over pre-grouped corpus reps — no corpus self-join, no cartesian; the admission shape for streaming ingest",
     "q262_audio_neardup" -> "the SAME guarded banded-Hamming join over audio energy-delta fingerprints — one modality-agnostic LSH core for text/image/audio; prints computed scan-side, blobs never shuffle",
-    "q264_video_neardup" -> "the guarded banded-Hamming join over temporal video fingerprints (per-frame dHash XOR-folded into band frameIdx % 4) — the fourth modality on the one LSH core; four frame decodes per blob stay in the scan, only (id, 4 ints) shuffles")
+    "q264_video_neardup" -> "the guarded banded-Hamming join over temporal video fingerprints (per-frame dHash XOR-folded into band frameIdx % 4) — the fourth modality on the one LSH core; four frame decodes per blob stay in the scan, only (id, 4 ints) shuffles",
+    "q266_video_clip_match" -> "frame-axis shingle join for clipped re-uploads: identical signature sequences pre-group to a min-id rep (star edges), distinct reps equi-join per consecutive-frame shingle through the CappedList bucket guard, exact shared-shingle counts partial-agg — never an all-pairs product, shingles computed scan-side")
 
   /** Narrated per-round job shapes for the RDD fixpoint operators —
     * `explain` can't see inside an RDD loop, so the scale contract is

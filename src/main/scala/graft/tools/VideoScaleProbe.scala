@@ -76,12 +76,43 @@ object VideoScaleProbe {
       c
     }
 
+    // clip-matching arms (q266): clean = planted clip pairs; degen adds
+    // 5% of the corpus opening with ONE shared title sequence — the
+    // degenerate shingle bucket the CappedList guard exists for (the
+    // pre-grouping CANNOT collapse these: every video is distinct)
+    def clipClean: Dataset[ImageRow] =
+      MultimodalOps.asVideoClipTable(
+        spark.range(n).toDF("doc_id"), "doc_id")
+    def clipDegen: Dataset[ImageRow] =
+      spark.range(n).mapPartitions(_.map { i =>
+        if (i % 20 == 0L)
+          ImageRow(i, MultimodalOps.videoContainer(
+            (0 until 3).map(f => MultimodalOps.gradientPng(y =>
+              MultimodalOps.clipFrameBits(900000000L, f, y))) :+
+              MultimodalOps.gradientPng(y =>
+                MultimodalOps.clipFrameBits(900001000L + i, 0, y))))
+        else {
+          val family = i / 2
+          val shift = (i % 2).toInt
+          ImageRow(i, MultimodalOps.videoContainer((0 until 4).map(f =>
+            MultimodalOps.gradientPng(y =>
+              MultimodalOps.clipFrameBits(family, f + shift, y)))))
+        }
+      })
+
+    def clipMatch(corpus: () => Dataset[ImageRow]): DataFrame =
+      MultimodalOps.videoClipMatches(corpus(), minShared = 2)
+
     val clean = medianOf(() => nearDup(() => cleanCorpus))
     val degen = medianOf(() => nearDup(() => degenCorpus))
     val cleanPairs = pairCount(() => nearDup(() => cleanCorpus))
     val degenPairs = pairCount(() => nearDup(() => degenCorpus))
+    val clipCleanSec = medianOf(() => clipMatch(() => clipClean))
+    val clipDegenSec = medianOf(() => clipMatch(() => clipDegen))
+    val clipCleanPairs = pairCount(() => clipMatch(() => clipClean))
+    val clipDegenPairs = pairCount(() => clipMatch(() => clipDegen))
 
-    println(f"""{"n":$n,"reps":$reps,"clean_neardup_sec":$clean%.3f,"degen_neardup_sec":$degen%.3f,"clean_pairs":$cleanPairs,"degen_pairs":$degenPairs}""")
+    println(f"""{"n":$n,"reps":$reps,"clean_neardup_sec":$clean%.3f,"degen_neardup_sec":$degen%.3f,"clean_pairs":$cleanPairs,"degen_pairs":$degenPairs,"clip_clean_sec":$clipCleanSec%.3f,"clip_degen_sec":$clipDegenSec%.3f,"clip_clean_pairs":$clipCleanPairs,"clip_degen_pairs":$clipDegenPairs}""")
     spark.stop()
   }
 }
