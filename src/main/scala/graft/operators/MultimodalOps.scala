@@ -767,7 +767,7 @@ object MultimodalOps {
     * with identical rasters collapse onto it), `shingles` the DISTINCT
     * consecutive signature pairs.
     */
-  case class VideoShingles(mediaId: Long, sigKey: String, shingles: Array[Long])
+  case class MediaShingles(mediaId: Long, sigKey: String, shingles: Array[Long])
 
   /** Scan-side frame shingling for [[videoClipMatches]]: parse the
     * container, dHash each decoded frame, XOR-fold to the 16-bit frame
@@ -778,7 +778,7 @@ object MultimodalOps {
     * frame in memory at a time; blobs never shuffle. Videos with < 2
     * decodable frames have no shingles and never match (dropped here).
     */
-  def videoShingleRows(videos: Dataset[ImageRow])(implicit spark: SparkSession): Dataset[VideoShingles] = {
+  def videoShingleRows(videos: Dataset[ImageRow])(implicit spark: SparkSession): Dataset[MediaShingles] = {
     import spark.implicits._
     videos.mapPartitions { it =>
       it.flatMap { row =>
@@ -795,7 +795,7 @@ object MultimodalOps {
           require(sigs.length >= 2, "need >= 2 decodable frames for a shingle")
           val shingles = sigs.sliding(2).map(w => w(0).toLong * 65536L + w(1))
             .toArray.distinct
-          VideoShingles(row.mediaId, sigs.mkString(","), shingles)
+          MediaShingles(row.mediaId, sigs.mkString(","), shingles)
         }.toOption
       }
     }
@@ -823,11 +823,22 @@ object MultimodalOps {
     */
   def videoClipMatches(videos: Dataset[ImageRow], minShared: Int = 2,
                        maxBucketSize: Int = 1000)
-                      (implicit spark: SparkSession): DataFrame = {
+                      (implicit spark: SparkSession): DataFrame =
+    shingleMatches(videoShingleRows(videos), minShared, maxBucketSize)
+
+  /** The guarded shingle-match core behind [[videoClipMatches]] (frame
+    * shingles) and [[audioClipMatches]] (energy-window shingles) —
+    * MODALITY-AGNOSTIC over [[MediaShingles]] rows, exactly as
+    * [[imageNearDups]] is over (id, 4 bands). See [[videoClipMatches]]
+    * for the certificate semantics and guard analysis.
+    */
+  def shingleMatches(shingleRows: Dataset[MediaShingles], minShared: Int = 2,
+                     maxBucketSize: Int = 1000)
+                    (implicit spark: SparkSession): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val rows = graft.GraftCache.register(
-      videoShingleRows(videos).toDF()
+      shingleRows.toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val groups = graft.GraftCache.register(
       rows.groupBy("sigKey").agg(min("mediaId").as("rep"))
@@ -1053,6 +1064,107 @@ object MultimodalOps {
       }
     }
   }
+
+  /** Amplitude of the CLIP fixture's content window `cw` — the cubic
+    * mixer over a (pair, content-window) seed with room for content
+    * windows 0–79 (see [[syntheticWavClipFamily]]).
+    */
+  private[graft] def clipWindowAmp(pair: Long, cw: Int): Int =
+    40 * (mix8(pair * 80L + cw) + 1)
+
+  /** A WAV with PLANTED CLIP STRUCTURE: ids pair up (`id / 2`) — both
+    * members are 72 × 50-sample windows (3,600 samples); the even id
+    * shows content windows 0–71, the odd id the SAME content shifted by
+    * 8 windows (8–79): the re-upload with its first 0.05 s clipped and
+    * fresh material appended. Every window position moves, so the
+    * LENGTH-relative [[audioFingerprint]] print (65 windows stretched
+    * over whatever the clip length is) differs broadly and q262-style
+    * near-dup rightly misses the pair — [[audioClipMatches]] exists for
+    * exactly this case. Samples alternate ±amp, so each ABSOLUTE
+    * 50-sample window's energy is exactly its amplitude and the oracle
+    * replays every bit.
+    */
+  def syntheticWavClipFamily(id: Long): Array[Byte] = {
+    val pair = id / 2
+    val shift = (id % 2).toInt * 8
+    wavBytes(Array.tabulate(72 * 50) { i =>
+      val a = clipWindowAmp(pair, i / 50 + shift)
+      if (i % 2 == 0) a else -a
+    }, 8000f)
+  }
+
+  /** Audio table with planted clip pairs (executors generate the blobs —
+    * same contract as [[asAudioTable]]).
+    */
+  def asAudioClipTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => ImageRow(id, syntheticWavClipFamily(id)))
+    }
+  }
+
+  /** Scan-side energy shingling for [[audioClipMatches]]: ABSOLUTE
+    * `windowSamples`-sample windows (trailing partial dropped — equal
+    * window sizes make the integer energy-sum comparison exact with no
+    * cross-multiplication), bit w set when energy rises window
+    * w → w+1, and 32-bit shingles packed from bit runs [i, i+32) at
+    * stride 8. The design trade vs [[audioFingerprint]] is deliberate
+    * and documented: the fingerprint's LENGTH-relative windows are
+    * robust to uniform time-stretch but every boundary moves when the
+    * clip is CUT; absolute windows are the converse — a cut shifts the
+    * bit sequence whole, and stride-8 shingles re-align as long as the
+    * cut is a multiple of 8 windows (finer cuts re-align at the next
+    * shingle boundary, costing recall, never precision). sigKey is the
+    * full bit string (the clip's absolute-energy identity). Clips with
+    * < 33 full windows have no shingle and are dropped per-row.
+    */
+  def audioShingleRows(audio: Dataset[ImageRow], windowSamples: Int = 50)
+                      (implicit spark: SparkSession): Dataset[MediaShingles] = {
+    import spark.implicits._
+    require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    audio.mapPartitions { it =>
+      it.flatMap { row =>
+        Try {
+          val samples = parseWavPcm16Mono(row.content)
+          val nW = samples.length / windowSamples
+          require(nW >= 33, s"need >= 33 full windows for one 32-bit shingle, got $nW")
+          val sums = new Array[Long](nW)
+          var i = 0
+          while (i < nW * windowSamples) {
+            sums(i / windowSamples) += math.abs(samples(i))
+            i += 1
+          }
+          val nBits = nW - 1
+          val bits = new Array[Int](nBits)
+          var w = 0
+          while (w < nBits) {
+            if (sums(w + 1) > sums(w)) bits(w) = 1
+            w += 1
+          }
+          val shingles = (0 to nBits - 32 by 8).map { off =>
+            var v = 0L
+            var k = 0
+            while (k < 32) {
+              if (bits(off + k) == 1) v |= 1L << k
+              k += 1
+            }
+            v
+          }.toArray.distinct
+          MediaShingles(row.mediaId, bits.mkString, shingles)
+        }.toOption
+      }
+    }
+  }
+
+  /** CLIPPED-AUDIO DETECTION: [[shingleMatches]] over
+    * [[audioShingleRows]] — the audio sibling of [[videoClipMatches]],
+    * guards included (identical bit strings pre-group to a min-id rep,
+    * degenerate shingle buckets drop through the CappedList cap).
+    */
+  def audioClipMatches(audio: Dataset[ImageRow], minShared: Int = 3,
+                       maxBucketSize: Int = 1000)
+                      (implicit spark: SparkSession): DataFrame =
+    shingleMatches(audioShingleRows(audio), minShared, maxBucketSize)
 
   /** Synthesize an audio table: one real WAV per id, built on the
     * executors.

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
   *
-  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup, q265_asset_dedup, q266_video_clip_match, q267_mirror_dedup.
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup, q265_asset_dedup, q266_video_clip_match, q267_mirror_dedup, q268_audio_clip_match.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object MultimodalQueries {
@@ -298,6 +298,23 @@ object MultimodalQueries {
       MultimodalOps.videoClipMatches(
         MultimodalOps.asVideoClipTable(Tables.documents(s, d), "doc_id"),
         minShared = 2)
+    }),
+
+
+    // CLIPPED-AUDIO DETECTION: the audio sibling of q266 through the
+    // SAME guarded shingle-match core. Absolute 50-sample energy
+    // windows (a cut shifts the bit sequence whole — unlike the
+    // length-relative q261 print, which a cut defeats by moving every
+    // window boundary; spec pins both directions), 32-bit bit-run
+    // shingles at stride 8. The fixture's odd id is the even clip with
+    // its first 8 windows cut and fresh content appended: 4 of its 5
+    // shingles re-align, minShared = 3. The oracle replays amplitudes,
+    // bits, shingle packing and the counted certificate in closed form.
+    "q268_audio_clip_match" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      MultimodalOps.audioClipMatches(
+        MultimodalOps.asAudioClipTable(Tables.documents(s, d), "doc_id"),
+        minShared = 3)
     }),
 
 
@@ -903,6 +920,56 @@ object MultimodalQueries {
         | FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         | GROUP BY a.doc_id, b.doc_id
         | HAVING count(*) >= 2)
+        |SELECT id_a, id_b, shared_shingles FROM p
+        |UNION ALL
+        |SELECT id_a, id_b, shared_shingles FROM star""".stripMargin,
+
+
+    // Mirrors syntheticWavClipFamily + audioShingleRows bit for bit:
+    // window w of doc d holds content window w + 8*(d%2) whose energy
+    // is exactly clipWindowAmp; bit w = amp rises w -> w+1 (71 bits
+    // from 72 windows); 32-bit shingles pack bits [off, off+32) at
+    // offsets 0/8/16/24/32; sig_key is the bit string; then the q266
+    // certificate (pre-group identical bit strings, star edges share
+    // all shingles, rep pairs count shared values, threshold 3).
+    "q268_audio_clip_match" ->
+      """WITH d AS (
+        | SELECT doc_id, doc_id // 2 AS pair, doc_id % 2 * 8 AS shift
+        | FROM documents),
+        |wv AS (SELECT doc_id, pair, shift, unnest(range(0, 72)) AS w FROM d),
+        |mm AS (SELECT doc_id, w, (pair * 80 + w + shift) % 999983 AS m FROM wv),
+        |amp AS (
+        | SELECT doc_id, w,
+        |  40 * ((m * m % 999983 * m % 999983 * 69069) % 999983 % 256 + 1) AS a
+        | FROM mm),
+        |bits AS (
+        | SELECT lo.doc_id, lo.w AS b,
+        |  CASE WHEN hi.a > lo.a THEN 1 ELSE 0 END AS bit
+        | FROM amp lo JOIN amp hi ON hi.doc_id = lo.doc_id AND hi.w = lo.w + 1
+        | WHERE lo.w < 71),
+        |keyed AS (
+        | SELECT doc_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS sig_key
+        | FROM bits GROUP BY doc_id),
+        |offs AS (SELECT unnest([0, 8, 16, 24, 32]) AS off),
+        |shv AS (
+        | SELECT doc_id, off,
+        |  CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b - off AS INTEGER))) AS BIGINT) AS shingle
+        | FROM bits, offs
+        | WHERE b >= off AND b <= off + 31
+        | GROUP BY doc_id, off),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM shv),
+        |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |g AS (SELECT sig_key, min(doc_id) AS rep FROM keyed GROUP BY sig_key),
+        |star AS (
+        | SELECT g.rep AS id_a, keyed.doc_id AS id_b, CAST(nsh.n AS INTEGER) AS shared_shingles
+        | FROM keyed JOIN g USING (sig_key) JOIN nsh ON nsh.doc_id = keyed.doc_id
+        | WHERE keyed.doc_id <> g.rep),
+        |rsh AS (SELECT sh.* FROM sh JOIN g ON g.rep = sh.doc_id),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS INTEGER) AS shared_shingles
+        | FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING count(*) >= 3)
         |SELECT id_a, id_b, shared_shingles FROM p
         |UNION ALL
         |SELECT id_a, id_b, shared_shingles FROM star""".stripMargin,

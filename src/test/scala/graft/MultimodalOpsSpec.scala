@@ -492,6 +492,40 @@ class MultimodalOpsSpec extends SparkSpec {
       "double flip must restore the original raster's hash")
   }
 
+  test("audioClipMatches catches the cut re-upload the length-relative print misses (both directions)") {
+    // ids 0/1: the odd clip is the even one with its first 8 windows cut
+    // and fresh content appended; ids 2/3 a second pair
+    val docs4 = Seq(0L, 1L, 2L, 3L).map(id => (id, s"doc$id")).toDF("doc_id", "text")
+    val clips = MultimodalOps.asAudioClipTable(docs4, "doc_id")
+    val out = MultimodalOps.audioClipMatches(clips, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // 4 of the odd clip's 5 stride-8 shingles re-align with the even's
+    assert(out == Map((0L, 1L) -> 4, (2L, 3L) -> 4),
+      s"each clip pair re-aligns exactly 4 shingles, got $out")
+    // the length-relative fingerprint (65 windows stretched over the
+    // clip) rightly misses the SAME pairs: the cut moves every window
+    // boundary, so energy deltas land in different windows
+    val relative = MultimodalOps.imageNearDups(
+      MultimodalOps.audioFingerprint(clips), maxDist = 2).collect()
+    assert(relative.isEmpty,
+      s"the relative-window print must not match cut clips, got ${relative.toSeq}")
+    // engine bits match the closed form (the oracle's contract): replay
+    // window amplitudes for id 1 and re-derive its shingle values
+    val rows = MultimodalOps.audioShingleRows(clips).collect()
+      .map(r => r.mediaId -> r).toMap
+    val expectedBits = (0 until 71).map { w =>
+      if (MultimodalOps.clipWindowAmp(0L, w + 8 + 1) > MultimodalOps.clipWindowAmp(0L, w + 8)) 1 else 0
+    }
+    assert(rows(1L).sigKey == expectedBits.mkString, "bit string must replay from the amp formula")
+    // identical blobs pre-group through the shared core: 10 re-uploads
+    // of clip 0 become 9 star edges sharing all 5 shingles
+    val block = (Seq(MultimodalOps.ImageRow(0L, MultimodalOps.syntheticWavClipFamily(0L))) ++
+      (1 to 9).map(i => MultimodalOps.ImageRow(100L + i, MultimodalOps.syntheticWavClipFamily(0L)))).toDS()
+    val stars = MultimodalOps.audioClipMatches(block, minShared = 3).collect()
+    assert(stars.length == 9 && stars.forall(r => r.getLong(0) == 0L && r.getInt(2) == 5),
+      s"identical clips must attach as star edges sharing all 5 shingles, got ${stars.toSeq}")
+  }
+
   test("extractDocText: corrupt containers are dropped per-row, not fatal") {
     val good = MultimodalOps.syntheticDoc(1L)
     val truncated = good.take(good.length - 3) // valid magic, short page bytes
