@@ -620,6 +620,30 @@ object MultimodalOps {
   case class VideoFrame(mediaId: Long, frameIdx: Int, width: Int, height: Int,
                         meanR: Double, meanG: Double, meanB: Double)
 
+  /** Walk a container's frames, yielding (frameIdx, pngBytes) — the ONE
+    * reader behind [[sampleVideoFrames]], [[videoFingerprint]] and
+    * [[videoShingleRows]]. Every declared length is validated against
+    * the REMAINING bytes before allocation: a corrupt length field in a
+    * crawled container must fail the row's `Try`, never allocate
+    * gigabytes — `OutOfMemoryError` is fatal and would kill the scan
+    * task straight through any per-row isolation.
+    */
+  private def videoFrames(content: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+    val in = new DataInputStream(new ByteArrayInputStream(content))
+    require(in.readInt() == VideoMagic, "bad magic")
+    val n = in.readInt()
+    require(n >= 0 && n.toLong * 4 <= content.length,
+      s"implausible frame count $n for ${content.length} bytes")
+    (0 until n).iterator.map { f =>
+      val len = in.readInt()
+      require(len >= 0 && len <= in.available(),
+        s"frame length $len exceeds remaining bytes")
+      val png = new Array[Byte](len)
+      in.readFully(png)
+      (f, png)
+    }
+  }
+
   /** REAL FRAME SAMPLING: parse the container, decode every `stride`-th
     * frame's PNG bytes, emit decoded stats per sampled frame. Frames are
     * decoded one at a time — memory is one frame, not one video.
@@ -631,20 +655,14 @@ object MultimodalOps {
     videos.mapPartitions { it =>
       it.flatMap { row =>
         Try {
-          val in = new DataInputStream(new ByteArrayInputStream(row.content))
-          require(in.readInt() == VideoMagic, "bad magic")
-          val n = in.readInt()
-          (0 until n).flatMap { f =>
-            val len = in.readInt()
-            val png = new Array[Byte](len)
-            in.readFully(png)
+          videoFrames(row.content).flatMap { case (f, png) =>
             if (f % stride == 0)
               readImage(png).map { img =>
                 val s = imageStats(row.mediaId, img)
                 VideoFrame(row.mediaId, f, s.width, s.height, s.meanR, s.meanG, s.meanB)
               }
             else None
-          }
+          }.toVector
         }.toOption.getOrElse(Seq.empty) // corrupt container → skip row, keep task
       }
     }
@@ -711,15 +729,9 @@ object MultimodalOps {
     videos.mapPartitions { it =>
       it.flatMap { row =>
         Try {
-          val in = new DataInputStream(new ByteArrayInputStream(row.content))
-          require(in.readInt() == VideoMagic, "bad magic")
-          val n = in.readInt()
           val bands = new Array[Int](4)
           var decoded = 0
-          (0 until n).foreach { f =>
-            val len = in.readInt()
-            val png = new Array[Byte](len)
-            in.readFully(png)
+          videoFrames(row.content).foreach { case (f, png) =>
             dHashBands(png).foreach { b =>
               bands(f % 4) ^= b(0) ^ b(1) ^ b(2) ^ b(3)
               decoded += 1
@@ -783,15 +795,9 @@ object MultimodalOps {
     videos.mapPartitions { it =>
       it.flatMap { row =>
         Try {
-          val in = new DataInputStream(new ByteArrayInputStream(row.content))
-          require(in.readInt() == VideoMagic, "bad magic")
-          val n = in.readInt()
-          val sigs = (0 until n).flatMap { _ =>
-            val len = in.readInt()
-            val png = new Array[Byte](len)
-            in.readFully(png)
+          val sigs = videoFrames(row.content).flatMap { case (_, png) =>
             dHashBands(png).map(b => b(0) ^ b(1) ^ b(2) ^ b(3))
-          }
+          }.toVector
           require(sigs.length >= 2, "need >= 2 decodable frames for a shingle")
           val shingles = sigs.sliding(2).map(w => w(0).toLong * 65536L + w(1))
             .toArray.distinct

@@ -360,9 +360,20 @@ class MultimodalOpsSpec extends SparkSpec {
       ImageRow(1L, fwd), ImageRow(2L, rev),
       ImageRow(3L, "not a video".getBytes("UTF-8")),
       ImageRow(4L, fwd.take(10)), // valid magic, truncated frame bytes
-      ImageRow(5L, MultimodalOps.videoContainer(Seq("bad png".getBytes("UTF-8"))))
+      ImageRow(5L, MultimodalOps.videoContainer(Seq("bad png".getBytes("UTF-8")))),
+      // allocation bomb: valid magic, frame count 1, declared frame
+      // length 2 GB with no bytes behind it — the length guard must
+      // fail the row BEFORE allocating (an OutOfMemoryError would kill
+      // the task straight through the per-row Try)
+      ImageRow(6L, {
+        val bos = new java.io.ByteArrayOutputStream()
+        val o = new java.io.DataOutputStream(bos)
+        o.writeInt(0x47564944); o.writeInt(1); o.writeInt(Int.MaxValue - 8)
+        o.flush(); bos.toByteArray
+      })
     ).toDS()).collect().map(h => h.mediaId -> h).toMap
-    // corrupt rows 3–5 drop (row 5: container parses but no frame decodes)
+    // corrupt rows 3–6 drop (row 5: container parses but no frame
+    // decodes; row 6: the declared length exceeds the remaining bytes)
     assert(out.keySet == Set(1L, 2L))
     val a = out(1L); val b = out(2L)
     assert(Seq(a.band0, a.band1, a.band2, a.band3).reverse ==
