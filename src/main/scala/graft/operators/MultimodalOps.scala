@@ -1302,10 +1302,21 @@ object MultimodalOps {
           val in = new DataInputStream(new ByteArrayInputStream(row.content))
           require(in.readInt() == DocMagic, "bad magic")
           val n = in.readInt()
+          require(n >= 0 && n.toLong * 8 <= row.content.length,
+            s"implausible page count $n for ${row.content.length} bytes")
           val sb = new StringBuilder
           (0 until n).foreach { p =>
             val ulen = in.readInt()
             val clen = in.readInt()
+            // both declared lengths are untrusted: clen must fit the
+            // remaining bytes, and ulen is a zip-bomb claim unless it
+            // respects DEFLATE's maximum expansion (~1032:1) — either
+            // way the row fails BEFORE the allocation, because an
+            // OutOfMemoryError would kill the task through the Try
+            require(clen >= 0 && clen <= in.available(),
+              s"page length $clen exceeds remaining bytes")
+            require(ulen >= 0 && ulen.toLong <= math.max(1024L, clen.toLong * 1032L),
+              s"implausible inflate target $ulen for $clen compressed bytes")
             val comp = new Array[Byte](clen)
             in.readFully(comp)
             val inflater = new java.util.zip.Inflater()

@@ -540,10 +540,21 @@ class MultimodalOpsSpec extends SparkSpec {
   test("extractDocText: corrupt containers are dropped per-row, not fatal") {
     val good = MultimodalOps.syntheticDoc(1L)
     val truncated = good.take(good.length - 3) // valid magic, short page bytes
+    // zip-bomb claim: 4-byte DEFLATE payload declaring a 1.5 GB inflate
+    // target — the expansion-bound guard must fail the row before the
+    // allocation, not OOM the task
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeInt(0x47444F43); o.writeInt(1)
+      o.writeInt(1500000000); o.writeInt(4); o.write(Array[Byte](1, 2, 3, 4))
+      o.flush(); bos.toByteArray
+    }
     val blobs = Seq(
       ImageRow(1L, good),
       ImageRow(2L, "not a container".getBytes("UTF-8")),
-      ImageRow(3L, truncated)
+      ImageRow(3L, truncated),
+      ImageRow(4L, bomb)
     ).toDS()
     val out = MultimodalOps.extractDocText(blobs).collect()
     assert(out.map(_.docId).toSet == Set(1L))
