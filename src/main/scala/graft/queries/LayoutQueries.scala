@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout.
   */
 object LayoutQueries {
 
@@ -246,6 +246,70 @@ object LayoutQueries {
           graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"),
           graft.functions.Rounding.half2(sum("l_extendedprice")).as("sum_base"))
     }),
+
+
+    // HILBERT vs Z-ORDER vs LINEAR — the curve-choice audit q242 cannot
+    // ask: q242 cuts files as ALIGNED curve runs, where both curves
+    // yield identical square blocks (any 4^k-aligned run of either
+    // curve is a 2^k × 2^k quadrant — they tie by construction). Real
+    // clustered writes cut files by EQUAL ROWS over skewed data, so
+    // boundaries land at arbitrary curve offsets, and there the curves
+    // separate: the Hilbert curve is adjacency-preserving (HilbertSpec
+    // proves every consecutive step is a 4-neighbour move) while the
+    // Morton curve jumps on 511 of 1023 steps on this 32×32 grid —
+    // each jump inside a file stretches its min/max envelope across
+    // the grid. Rows quantize to 32×32 cells in ONE row-scale pass
+    // (exact per-cell envelopes + in-box counts, the q242 discipline);
+    // each layout is then a cell-level plan: curve key → equal-row
+    // file cut (exclusive cumsum div target over the ≤1024-cell frame;
+    // the unpartitioned window is cell-bounded, never row-scale) →
+    // file envelopes → the same conservative box audit. The predicate
+    // deliberately straddles the grid midline ([3/8, 5/8) per dim,
+    // ~1/16 selectivity) — the quadrant boundary where Morton's
+    // worst jump lives. Measured at sf0.01: hilbert 9 files / 8,395
+    // rows, zorder 13 / 12,188, linear 16 / 15,013 for 3,759 selected.
+    // All-integer → hash-exact cross-engine.
+    "q269_hilbert_layout" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+      val dims = li.agg((max("a") + 1).as("dim_a"), (max("b") + 1).as("dim_b"))
+      val cells = graft.GraftCache.register(li.crossJoin(broadcast(dims))
+        .withColumn("ca", expr("(a * 32) div dim_a"))
+        .withColumn("cb", expr("(b * 32) div dim_b"))
+        .withColumn("in_box",
+          when(col("a").between(expr("(3 * dim_a) div 8"), expr("((5 * dim_a) div 8) - 1"))
+            && col("b").between(expr("(3 * dim_b) div 8"), expr("((5 * dim_b) div 8) - 1")),
+            1L).otherwise(0L))
+        .groupBy("ca", "cb")
+        .agg(count(lit(1)).as("cnt"),
+          min("a").as("min_a"), max("a").as("max_a"),
+          min("b").as("min_b"), max("b").as("max_b"),
+          sum("in_box").as("sel"),
+          min("dim_a").as("dim_a"), min("dim_b").as("dim_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val target = cells.agg(
+        expr("(sum(cnt) + 63) div 64").as("target")) // ~64 equal-row files
+      def audit(key: Column, label: String) = {
+        val stats = cells.withColumn("curve_key", key)
+          .crossJoin(broadcast(target))
+          .withColumn("file_id", expr("((sum(cnt) OVER (ORDER BY curve_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - cnt) div target"))
+          .groupBy("file_id")
+          .agg(sum("cnt").as("n_rows"),
+            min("min_a").as("min_a"), max("max_a").as("max_a"),
+            min("min_b").as("min_b"), max("max_b").as("max_b"),
+            min("dim_a").as("dim_a"), min("dim_b").as("dim_b"))
+        LayoutOps.skippingAudit(stats,
+          expr("(3 * dim_a) div 8"), expr("((5 * dim_a) div 8) - 1"),
+          expr("(3 * dim_b) div 8"), expr("((5 * dim_b) div 8) - 1"))
+          .select(lit(label).as("layout"), col("n_files"),
+            col("files_hit"), col("rows_scanned"))
+      }
+      val h = audit(graft.functions.Hilbert.hilbertIndex(col("ca"), col("cb"), 5), "hilbert")
+      val z = audit(graft.functions.ZOrder.zValue(col("ca"), col("cb"), 5), "zorder")
+      val lin = audit(expr("ca * 32 + cb"), "linear")
+      val selected = cells.agg(sum("sel").as("rows_selected"))
+      h.unionByName(z).unionByName(lin).crossJoin(broadcast(selected))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -445,5 +509,75 @@ object LayoutQueries {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
         |GROUP BY l_orderkey""".stripMargin,
+
+
+    // The identical integer pipeline: 32-cell quantization, the Hilbert
+    // xy→d walk as a recursive CTE over scales s = 16, 8, 4, 2, 1
+    // (rotate/reflect exactly as Hilbert.hilbertIndex unrolls it), the
+    // 5-bit Morton interleave, equal-row file cuts by exclusive cumsum
+    // over curve order, and the same conservative box audit.
+    "q269_hilbert_layout" ->
+      """WITH RECURSIVE d AS (SELECT CAST(max(l_partkey) + 1 AS BIGINT) AS dim_a,
+        |  CAST(max(l_suppkey) + 1 AS BIGINT) AS dim_b FROM lineitem),
+        |box AS (SELECT (3 * dim_a) // 8 AS a_lo, ((5 * dim_a) // 8) - 1 AS a_hi,
+        |  (3 * dim_b) // 8 AS b_lo, ((5 * dim_b) // 8) - 1 AS b_hi,
+        |  dim_a, dim_b FROM d),
+        |r AS (SELECT l_partkey AS a, l_suppkey AS b,
+        |  (l_partkey * 32) // dim_a AS ca, (l_suppkey * 32) // dim_b AS cb
+        | FROM lineitem CROSS JOIN d),
+        |cells AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS cnt,
+        |  min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b,
+        |  CAST(sum(CASE WHEN a BETWEEN box.a_lo AND box.a_hi
+        |    AND b BETWEEN box.b_lo AND box.b_hi THEN 1 ELSE 0 END) AS BIGINT) AS sel
+        | FROM r CROSS JOIN box GROUP BY 1, 2),
+        |h AS (
+        | SELECT ca, cb, ca AS x, cb AS y, CAST(16 AS BIGINT) AS s, CAST(0 AS BIGINT) AS hd
+        | FROM cells
+        | UNION ALL
+        | SELECT ca, cb,
+        |  CASE WHEN (y & s) = 0 THEN CASE WHEN (x & s) > 0 THEN 31 - y ELSE y END ELSE x END,
+        |  CASE WHEN (y & s) = 0 THEN CASE WHEN (x & s) > 0 THEN 31 - x ELSE x END ELSE y END,
+        |  s // 2,
+        |  hd + s * s * xor(3 * CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END,
+        |                   CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)
+        | FROM h WHERE s > 0),
+        |keyed AS (SELECT c.*, h.hd AS hkey,
+        |  ((ca & 1) << 0) | ((cb & 1) << 1)
+        |  | (((ca >> 1) & 1) << 2) | (((cb >> 1) & 1) << 3)
+        |  | (((ca >> 2) & 1) << 4) | (((cb >> 2) & 1) << 5)
+        |  | (((ca >> 3) & 1) << 6) | (((cb >> 3) & 1) << 7)
+        |  | (((ca >> 4) & 1) << 8) | (((cb >> 4) & 1) << 9) AS zkey,
+        |  ca * 32 + cb AS lkey
+        | FROM cells c JOIN (SELECT ca, cb, hd FROM h WHERE s = 0) h USING (ca, cb)),
+        |tot AS (SELECT (CAST(sum(cnt) AS BIGINT) + 63) // 64 AS target FROM cells),
+        |files AS (
+        | SELECT layout, (csum - cnt) // target AS file_id,
+        |  cnt, min_a, max_a, min_b, max_b
+        | FROM (
+        |  SELECT 'hilbert' AS layout, cnt, min_a, max_a, min_b, max_b,
+        |   sum(cnt) OVER (ORDER BY hkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+        |  FROM keyed
+        |  UNION ALL
+        |  SELECT 'zorder', cnt, min_a, max_a, min_b, max_b,
+        |   sum(cnt) OVER (ORDER BY zkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  FROM keyed
+        |  UNION ALL
+        |  SELECT 'linear', cnt, min_a, max_a, min_b, max_b,
+        |   sum(cnt) OVER (ORDER BY lkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  FROM keyed) u
+        | CROSS JOIN tot),
+        |fstats AS (SELECT layout, file_id, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  min(min_a) AS min_a, max(max_a) AS max_a,
+        |  min(min_b) AS min_b, max(max_b) AS max_b
+        | FROM files GROUP BY 1, 2),
+        |audit AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN s.min_a <= box.a_hi AND s.max_a >= box.a_lo
+        |   AND s.min_b <= box.b_hi AND s.max_b >= box.b_lo THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |  CAST(sum(CASE WHEN s.min_a <= box.a_hi AND s.max_a >= box.a_lo
+        |   AND s.min_b <= box.b_hi AND s.max_b >= box.b_lo THEN s.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        | FROM fstats s CROSS JOIN box GROUP BY 1),
+        |sel AS (SELECT CAST(sum(sel) AS BIGINT) AS rows_selected FROM cells)
+        |SELECT a.layout, a.n_files, a.files_hit, a.rows_scanned, sel.rows_selected
+        |FROM audit a CROSS JOIN sel""".stripMargin,
   )
 }

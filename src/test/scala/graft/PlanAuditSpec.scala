@@ -569,6 +569,28 @@ class PlanAuditSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("hilbert curve audit: ONE cached cell pass; windows run over the cell frame, never rows (q269)") {
+    val p = plan(q("q269_hilbert_layout"))
+    // all three layouts' file cuts + the selected count fold from the
+    // persisted ≤1024-cell frame — the row-scale scan happens once
+    assert(p.contains("InMemoryTableScan"),
+      s"layout branches must read the cached cell frame:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"target/selected are 1-row frames and must broadcast:\n$p")
+    // the equal-row file cut needs a cumsum window per layout — over
+    // CELLS (bounded by the 32×32 grid), which is fine; what must NOT
+    // happen is a window directly over the row-scale scan
+    val lp = q("q269_hilbert_layout").queryExecution.optimizedPlan
+    lp.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      .foreach { w =>
+        val feedsFromCache = w.collectFirst {
+          case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+        }.nonEmpty
+        assert(feedsFromCache, s"curve-cut windows must read the cell cache, not rows:\n$w")
+      }
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("compaction plan: the window is partitioned by source — never a global sort (q243)") {
     val lp = q("q243_compaction_plan").queryExecution.optimizedPlan
     val windows = lp.collect {
