@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary columns: image/video/audio/document metadata, decode, resize, frame sampling kernels.
   *
-  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup, q265_asset_dedup, q266_video_clip_match, q267_mirror_dedup, q268_audio_clip_match.
+  * Contract queries: q31_media_meta, q32_media_resize, q33_frame_sample, q54_image_decode, q55_video_frames, q59_audio_decode, q73_doc_extract, q256_image_dhash, q257_image_neardup, q258_image_dedup_keep, q260_image_probe, q261_audio_fingerprint, q262_audio_neardup, q263_video_fingerprint, q264_video_neardup, q265_asset_dedup, q266_video_clip_match, q267_mirror_dedup, q268_audio_clip_match, q270_audio_probe, q271_video_probe.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object MultimodalQueries {
@@ -338,6 +338,47 @@ object MultimodalQueries {
       h.join(g, bands)
         .select(col("media_id"), col("cluster"),
           (col("cluster") === col("media_id")).as("is_kept"))
+    }),
+
+
+    // INCREMENTAL AUDIO ADMISSION: q260's probe question asked of the
+    // audio modality — the guarded probe core (imageNearDupProbe) is
+    // modality-agnostic over (id, 4 bands), so a fresh batch of audio
+    // fingerprints (every 41st doc "re-ingested" under a shifted id
+    // with identical samples) bands against capped corpus buckets over
+    // pre-grouped reps, never a corpus self-join. Exact-content
+    // re-ingests answer at dist 0, family siblings at dist ≤ 1. Same
+    // recall proof as q260: dist ≤ 2 leaves an intact band PAIR.
+    "q270_audio_probe" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = MultimodalOps.audioFingerprint(
+        MultimodalOps.asAudioFamilyTable(docs, "doc_id"))
+      val batch = MultimodalOps.audioFingerprint(
+        MultimodalOps.asAudioFamilyTable(docs.where(col("doc_id") % 41 === 0), "doc_id"))
+        .map(h => h.copy(mediaId = h.mediaId + 1000000000L))
+      MultimodalOps.imageNearDupProbe(corpus, batch, maxDist = 2)
+    }),
+
+
+    // INCREMENTAL VIDEO ADMISSION: the fourth modality closes the
+    // probe family — every 43rd container re-ingested under a shifted
+    // id probes the corpus prints through the same pre-grouped,
+    // capped, never-self-joined core. With this, every fingerprint
+    // family (image q260, audio q270, video q271) supports the
+    // streaming admission question its batch dedup (q257/q262/q264)
+    // answers offline.
+    "q271_video_probe" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = MultimodalOps.videoFingerprint(
+        MultimodalOps.asVideoFamilyTable(docs, "doc_id"))
+      val batch = MultimodalOps.videoFingerprint(
+        MultimodalOps.asVideoFamilyTable(docs.where(col("doc_id") % 43 === 0), "doc_id"))
+        .map(h => h.copy(mediaId = h.mediaId + 1000000000L))
+      MultimodalOps.imageNearDupProbe(corpus, batch, maxDist = 2)
     }),
   )
 
@@ -1029,5 +1070,112 @@ object MultimodalQueries {
         |SELECT canon.doc_id AS media_id, g.rep AS cluster,
         | g.rep = canon.doc_id AS is_kept
         |FROM canon JOIN g USING (c0, c1, c2, c3)""".stripMargin,
+
+
+    // q261's closed-form audio bands + q260's probe certificate:
+    // corpus reps = identical-print groups' min ids; batch = the % 41
+    // slice under shifted ids; single-band candidates (a superset of
+    // the engine's band-pair keys), true Hamming filter.
+    "q270_audio_probe" ->
+      """WITH d AS (
+        | SELECT doc_id, doc_id // 3 AS family, doc_id % 3 AS v
+        | FROM documents),
+        |wv AS (SELECT doc_id, family, v, unnest(range(0, 65)) AS w FROM d),
+        |m AS (SELECT doc_id, v, w, (family * 65 + w) % 999983 AS m FROM wv),
+        |amp AS (
+        | SELECT doc_id, w,
+        |  40 * ((m * m % 999983 * m % 999983 * 69069) % 999983 % 256 + 1)
+        |   + CASE WHEN w = 64 THEN 3000 * v ELSE 0 END AS a
+        | FROM m),
+        |bits AS (
+        | SELECT lo.doc_id, lo.w AS b,
+        |  CASE WHEN hi.a > lo.a THEN 1 ELSE 0 END AS bit
+        | FROM amp lo JOIN amp hi ON hi.doc_id = lo.doc_id AND hi.w = lo.w + 1
+        | WHERE lo.w < 64),
+        |b AS (
+        | SELECT doc_id AS media_id,
+        |  CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS band0,
+        |  CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS band1,
+        |  CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS band2,
+        |  CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS band3
+        | FROM bits GROUP BY doc_id),
+        |g AS (
+        | SELECT band0, band1, band2, band3, min(media_id) AS rep
+        | FROM b GROUP BY band0, band1, band2, band3),
+        |bt AS (
+        | SELECT media_id + 1000000000 AS batch_id, band0, band1, band2, band3
+        | FROM b WHERE media_id % 41 = 0),
+        |e AS (
+        | SELECT rep, 0 AS bi, band0 AS bv FROM g
+        | UNION ALL SELECT rep, 1, band1 FROM g
+        | UNION ALL SELECT rep, 2, band2 FROM g
+        | UNION ALL SELECT rep, 3, band3 FROM g),
+        |eb AS (
+        | SELECT batch_id, 0 AS bi, band0 AS bv FROM bt
+        | UNION ALL SELECT batch_id, 1, band1 FROM bt
+        | UNION ALL SELECT batch_id, 2, band2 FROM bt
+        | UNION ALL SELECT batch_id, 3, band3 FROM bt),
+        |c AS (
+        | SELECT DISTINCT eb.batch_id, e.rep AS corpus_id
+        | FROM eb JOIN e ON eb.bi = e.bi AND eb.bv = e.bv),
+        |p AS (
+        | SELECT c.batch_id, c.corpus_id,
+        |  CAST(bit_count(xor(x.band0, z.band0)) + bit_count(xor(x.band1, z.band1))
+        |     + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) AS INTEGER) AS hamming
+        | FROM c JOIN bt x ON x.batch_id = c.batch_id JOIN g z ON z.rep = c.corpus_id)
+        |SELECT batch_id, corpus_id, hamming FROM p WHERE hamming <= 2""".stripMargin,
+
+
+    // q263's closed-form video prints + the same probe certificate
+    // over the % 43 batch slice.
+    "q271_video_probe" ->
+      """WITH fy AS (
+        | SELECT doc_id, f, y, (doc_id // 3 * 32 + f * 8 + y) % 999983 AS w
+        | FROM documents, range(4) tf(f), range(8) ty(y)),
+        |r AS (
+        | SELECT doc_id, f, y,
+        |  CASE WHEN f = 3 AND y = 7
+        |   THEN xor((w * w % 999983 * w % 999983 * 69069) % 999983 % 256, doc_id % 3)
+        |   ELSE (w * w % 999983 * w % 999983 * 69069) % 999983 % 256 END AS bits
+        | FROM fy),
+        |fb AS (
+        | SELECT doc_id, f,
+        |  xor(xor(max(CASE WHEN y=0 THEN bits END) + max(CASE WHEN y=1 THEN bits END)*256,
+        |          max(CASE WHEN y=2 THEN bits END) + max(CASE WHEN y=3 THEN bits END)*256),
+        |      xor(max(CASE WHEN y=4 THEN bits END) + max(CASE WHEN y=5 THEN bits END)*256,
+        |          max(CASE WHEN y=6 THEN bits END) + max(CASE WHEN y=7 THEN bits END)*256)) AS sig
+        | FROM r GROUP BY doc_id, f),
+        |b AS (
+        | SELECT doc_id AS media_id,
+        |  CAST(max(CASE WHEN f=0 THEN sig END) AS INTEGER) AS band0,
+        |  CAST(max(CASE WHEN f=1 THEN sig END) AS INTEGER) AS band1,
+        |  CAST(max(CASE WHEN f=2 THEN sig END) AS INTEGER) AS band2,
+        |  CAST(max(CASE WHEN f=3 THEN sig END) AS INTEGER) AS band3
+        | FROM fb GROUP BY doc_id),
+        |g AS (
+        | SELECT band0, band1, band2, band3, min(media_id) AS rep
+        | FROM b GROUP BY band0, band1, band2, band3),
+        |bt AS (
+        | SELECT media_id + 1000000000 AS batch_id, band0, band1, band2, band3
+        | FROM b WHERE media_id % 43 = 0),
+        |e AS (
+        | SELECT rep, 0 AS bi, band0 AS bv FROM g
+        | UNION ALL SELECT rep, 1, band1 FROM g
+        | UNION ALL SELECT rep, 2, band2 FROM g
+        | UNION ALL SELECT rep, 3, band3 FROM g),
+        |eb AS (
+        | SELECT batch_id, 0 AS bi, band0 AS bv FROM bt
+        | UNION ALL SELECT batch_id, 1, band1 FROM bt
+        | UNION ALL SELECT batch_id, 2, band2 FROM bt
+        | UNION ALL SELECT batch_id, 3, band3 FROM bt),
+        |c AS (
+        | SELECT DISTINCT eb.batch_id, e.rep AS corpus_id
+        | FROM eb JOIN e ON eb.bi = e.bi AND eb.bv = e.bv),
+        |p AS (
+        | SELECT c.batch_id, c.corpus_id,
+        |  CAST(bit_count(xor(x.band0, z.band0)) + bit_count(xor(x.band1, z.band1))
+        |     + bit_count(xor(x.band2, z.band2)) + bit_count(xor(x.band3, z.band3)) AS INTEGER) AS hamming
+        | FROM c JOIN bt x ON x.batch_id = c.batch_id JOIN g z ON z.rep = c.corpus_id)
+        |SELECT batch_id, corpus_id, hamming FROM p WHERE hamming <= 2""".stripMargin,
   )
 }

@@ -217,6 +217,28 @@ class MultimodalOpsSpec extends SparkSpec {
     out.filterNot(p => p._2 / 3 == 1L).foreach { case (_, _, d) => assert(d <= 2) }
   }
 
+  test("the probe core is modality-agnostic: audio and video re-ingests answer admission (q270/q271 shape)") {
+    // identical-content re-ingests under fresh ids must answer at
+    // dist 0 through the corpus rep for EVERY fingerprint modality —
+    // the probe core never sees which kernel produced the bands
+    val corpusIds = (0L until 30L)
+    def check(label: String, print: Long => Array[Byte],
+              fingerprint: org.apache.spark.sql.Dataset[ImageRow] => org.apache.spark.sql.Dataset[MultimodalOps.ImageHash]): Unit = {
+      val corpus = fingerprint(corpusIds.map(id => ImageRow(id, print(id))).toDS())
+      val batch = fingerprint(Seq(ImageRow(1000L, print(7L))).toDS())
+      val out = MultimodalOps.imageNearDupProbe(corpus, batch, maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val exact = out.filter(_._3 == 0)
+      assert(exact.nonEmpty && exact.forall { case (b, c, _) => b == 1000L && c <= 7L },
+        s"$label: exact re-ingest must answer at dist 0 via a rep <= its id, got ${exact.toSeq}")
+      out.foreach { case (_, _, dist) => assert(dist <= 2, s"$label leaked dist $dist") }
+    }
+    check("audio", MultimodalOps.syntheticWavFamily,
+      ds => MultimodalOps.audioFingerprint(ds))
+    check("video", MultimodalOps.syntheticVideoFamily,
+      ds => MultimodalOps.videoFingerprint(ds))
+  }
+
   test("audioFingerprint reads energy deltas off REAL decoded PCM (known-value vs closed form)") {
     // mirror the construction: window w's energy is exactly
     // windowAmp(family, w, variant), so bit w = amp rises w → w+1 —
