@@ -107,7 +107,7 @@ object DumpPlans {
     "q253_bucketed_join" -> "catalog-bucketed fact x fact SMJ: ZERO exchanges under the join — both scans read co-located buckets (the write-time shuffle is amortized over every orderkey join)",
     "q254_bucket_pruning" -> "SelectedBucketsCount scan pruning from the IN predicate; the groupBy reuses the bucket partitioning — no exchange anywhere",
     "q255_mixed_bucket_join" -> "mixed bucketed fact x unbucketed delta: exactly ONE exchange under the SMJ — the delta shuffles onto the bucket count, the fact side reads exchange-free",
-    "q269_hilbert_layout" -> "codegen'd unrolled Hilbert walk; ONE cached cell pass feeds all three layouts; curve-cut windows run over the <=1024-cell cache, never rows",
+    "q269_hilbert_layout" -> "native HilbertIndex expression (plan size independent of bits); ONE cached cell pass feeds all three layouts; the curve-cut window is partitioned by layout over the <=1024-cell cache, never rows",
     "q257_image_neardup" -> "banded Hamming LSH over scan-side dHash: identical-hash pre-grouping (min-id rep) + CappedList band buckets over DISTINCT hashes — no cartesian, no uncapped self-join; only (id, 4 ints) ever shuffles, blobs stay in the scan",
     "q259_bucket_escape" -> "the bucketing escape hatch: q253's bucketed files read with bucketing disabled in a sibling session — no bucketed scan, BOTH exchanges return under the SMJ (the structural inverse of q253), answers hash-identical",
     "q260_image_probe" -> "incremental image near-dup: batch banded against capped corpus buckets (singletons survive) over pre-grouped corpus reps — no corpus self-join, no cartesian; the admission shape for streaming ingest",

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnExprBridge.{toColumn, toExpression}
 
 /** Hilbert-curve index: map a point on a 2^bits × 2^bits grid to its
   * position along the Hilbert space-filling curve.
@@ -18,59 +18,40 @@ import org.apache.spark.sql.functions._
   * arbitrary curve offsets — and every Morton jump inside a file
   * stretches that file's min/max envelope across the grid, admitting
   * box predicates it should have excluded. Measured on lineitem
-  * (q269_hilbert_layout, sf0.01, 64 equal-row files, a
-  * quadrant-straddling 1/16-selectivity box): hilbert scans 8,395 rows
-  * in 9 files where z-order scans 12,188 in 13 and a linear (a, b) sort
-  * 15,013 in 16 — the Hilbert layout reads ~31% less than Z-order for
-  * the predicates Z-order is worst at, and never reads more (aligned
-  * boxes tie; HilbertSpec pins the sweep).
+  * (q269_hilbert_layout, sf0.1, 64 equal-row files, a
+  * quadrant-straddling 1/16-selectivity box): hilbert scans 47,082 rows
+  * in 5 files where z-order scans 94,101 in 10 and a linear (a, b) sort
+  * 159,338 in 17 — the Hilbert layout reads HALF of what Z-order reads
+  * for the predicates Z-order is worst at, and never reads more
+  * (aligned boxes tie; HilbertSpec pins both directions).
   *
   * Algorithm: the classic iterative xy→d conversion (Wikipedia,
   * "Hilbert curve — converting between (x, y) and d"): walk bit planes
   * from the top; at each scale `s` add the sub-quadrant's curve offset
   * `s²·((3·rx) XOR ry)` and rotate/reflect the frame so the next level
-  * sees its quadrant in canonical orientation. Here the loop is
-  * UNROLLED into a fixed `Column` expression tree — like
-  * [[ZOrder.zValue]] it stays inside whole-stage codegen, no UDF. The
-  * rotate step rewrites x and y in terms of both previous values, so
-  * the tree doubles per level: `bits` is capped at 8 (a 256×256 cell
-  * grid — far beyond what file-level skipping stats can resolve) to
-  * keep the generated code small. Layout callers quantize to coarse
-  * cells first anyway (see q269: 32×32).
+  * sees its quadrant in canonical orientation. The Column surface is a
+  * native Catalyst expression
+  * ([[graft.functions.expressions.HilbertIndex]]) whose generated code
+  * is one static call into [[hilbertIndexLocal]] — an unrolled
+  * `when`-combinator tree was measured to DOUBLE per bit plane (the
+  * rotate rewrites x and y in terms of both previous values), costing
+  * 4–7 s of Janino/C2 work per fresh plan at bits = 5; the expression
+  * keeps plan size and codegen cost independent of `bits`.
   */
 object Hilbert {
 
   /** Hilbert position of (`x`, `y`) on the 2^bits-per-side grid.
     * Inputs must be in [0, 2^bits); callers quantize first (e.g.
-    * `(col * 32) div dim` with bits = 5). Pure integer shift/mask/add
-    * arithmetic — the same closed form an oracle replays exactly.
+    * `(col * 32) div dim` with bits = 5). Codegen'd native expression —
+    * no UDF, no per-plan tree growth.
     */
-  def hilbertIndex(x0: Column, y0: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 8, s"bits must be in [1, 8], got $bits")
-    val n = 1L << bits
-    var x: Column = x0.cast("long")
-    var y: Column = y0.cast("long")
-    var d: Column = lit(0L)
-    var s = n >> 1
-    while (s > 0) {
-      val rx = when(x.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
-      val ry = when(y.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
-      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
-      // rotate: when ry == 0, reflect (if rx == 1) then swap x and y
-      val xr = when(rx === lit(1L), lit(n - 1) - x).otherwise(x)
-      val yr = when(rx === lit(1L), lit(n - 1) - y).otherwise(y)
-      val nx = when(ry === lit(0L), yr).otherwise(x)
-      val ny = when(ry === lit(0L), xr).otherwise(y)
-      x = nx
-      y = ny
-      s >>= 1
-    }
-    d
-  }
+  def hilbertIndex(x: Column, y: Column, bits: Int): Column =
+    toColumn(graft.functions.expressions.HilbertIndex(
+      toExpression(x.cast("long")), toExpression(y.cast("long")), bits))
 
-  /** The same conversion as a plain JVM function — the per-element
-    * kernel for driver-side planning helpers and the independent
-    * cross-check HilbertSpec verifies the Column tree against.
+  /** The per-point kernel both the expression's `eval` and its generated
+    * code call — and the driver-side planner helper. Plain JVM loop,
+    * C2-compiled once per executor.
     */
   def hilbertIndexLocal(n: Int, x0: Int, y0: Int): Long = {
     var (x, y, d) = (x0, y0, 0L)

@@ -289,26 +289,43 @@ object LayoutQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val target = cells.agg(
         expr("(sum(cnt) + 63) div 64").as("target")) // ~64 equal-row files
-      def audit(key: Column, label: String) = {
-        val stats = cells.withColumn("curve_key", key)
-          .crossJoin(broadcast(target))
-          .withColumn("file_id", expr("((sum(cnt) OVER (ORDER BY curve_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - cnt) div target"))
-          .groupBy("file_id")
-          .agg(sum("cnt").as("n_rows"),
-            min("min_a").as("min_a"), max("max_a").as("max_a"),
-            min("min_b").as("min_b"), max("max_b").as("max_b"),
-            min("dim_a").as("dim_a"), min("dim_b").as("dim_b"))
-        LayoutOps.skippingAudit(stats,
-          expr("(3 * dim_a) div 8"), expr("((5 * dim_a) div 8) - 1"),
-          expr("(3 * dim_b) div 8"), expr("((5 * dim_b) div 8) - 1"))
-          .select(lit(label).as("layout"), col("n_files"),
-            col("files_hit"), col("rows_scanned"))
-      }
-      val h = audit(graft.functions.Hilbert.hilbertIndex(col("ca"), col("cb"), 5), "hilbert")
-      val z = audit(graft.functions.ZOrder.zValue(col("ca"), col("cb"), 5), "zorder")
-      val lin = audit(expr("ca * 32 + cb"), "linear")
+      // ONE pipeline for all three layouts: each cell fans out to
+      // (layout, curve_key) rows, the equal-row cut is a single window
+      // PARTITIONED by layout (3 × ≤1024 rows — never a global
+      // single-partition sort, never row-scale), and one grouped audit
+      // prices every layout together. Three branch pipelines measured
+      // 2.66 s at sf0.1 from per-stage overhead alone; this shape is
+      // one window + two aggs.
+      val keyed = cells.crossJoin(broadcast(target))
+        .select(explode(array(
+          struct(lit("hilbert").as("layout"),
+            graft.functions.Hilbert.hilbertIndex(col("ca"), col("cb"), 5).as("curve_key")),
+          struct(lit("zorder").as("layout"),
+            graft.functions.ZOrder.zValue(col("ca"), col("cb"), 5).cast("long").as("curve_key")),
+          struct(lit("linear").as("layout"),
+            expr("CAST(ca * 32 + cb AS BIGINT)").as("curve_key")))).as("lk"),
+          col("cnt"), col("min_a"), col("max_a"), col("min_b"), col("max_b"),
+          col("dim_a"), col("dim_b"), col("target"))
+        .select(col("lk.layout").as("layout"), col("lk.curve_key").as("curve_key"),
+          col("cnt"), col("min_a"), col("max_a"), col("min_b"), col("max_b"),
+          col("dim_a"), col("dim_b"), col("target"))
+      val stats = keyed
+        .withColumn("file_id", expr("((sum(cnt) OVER (PARTITION BY layout ORDER BY curve_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - cnt) div target"))
+        .groupBy("layout", "file_id")
+        .agg(sum("cnt").as("n_rows"),
+          min("min_a").as("min_a"), max("max_a").as("max_a"),
+          min("min_b").as("min_b"), max("max_b").as("max_b"),
+          min("dim_a").as("dim_a"), min("dim_b").as("dim_b"))
+      val hit = col("min_a") <= expr("((5 * dim_a) div 8) - 1") &&
+        col("max_a") >= expr("(3 * dim_a) div 8") &&
+        col("min_b") <= expr("((5 * dim_b) div 8) - 1") &&
+        col("max_b") >= expr("(3 * dim_b) div 8")
       val selected = cells.agg(sum("sel").as("rows_selected"))
-      h.unionByName(z).unionByName(lin).crossJoin(broadcast(selected))
+      stats.groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+          sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+        .crossJoin(broadcast(selected))
     }),
   )
 

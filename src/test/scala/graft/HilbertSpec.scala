@@ -29,21 +29,63 @@ class HilbertSpec extends SparkSpec {
       .select(expr(s"id div $n").as("x"), pmod(col("id"), lit(n.toLong)).as("y"))
   }
 
-  test("hilbertIndex: Column tree == local walk, bijective, for bits 1..6") {
+  /** INDEPENDENT witness: the same xy→d walk unrolled into a `when`
+    * Column tree — different mechanics from the expression's generated
+    * static call (this is the implementation the engine USED before the
+    * native expression replaced it for plan-size reasons; kept here as
+    * the cross-check that `eval`, codegen, and the unrolled tree all
+    * compute one function).
+    */
+  private def unrolledTree(x0: org.apache.spark.sql.Column,
+                           y0: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    val n = 1L << bits
+    var x = x0.cast("long"); var y = y0.cast("long")
+    var d: org.apache.spark.sql.Column = lit(0L)
+    var s = n >> 1
+    while (s > 0) {
+      val rx = when(x.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val xr = when(rx === lit(1L), lit(n - 1) - x).otherwise(x)
+      val yr = when(rx === lit(1L), lit(n - 1) - y).otherwise(y)
+      val nx = when(ry === lit(0L), yr).otherwise(x)
+      val ny = when(ry === lit(0L), xr).otherwise(y)
+      x = nx; y = ny
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertIndex: native expression == independent unrolled tree, bijective, for bits 1..6") {
     for (bits <- 1 to 6) {
       val n = 1 << bits
       val rows = gridDf(bits)
-        .select(col("x"), col("y"), Hilbert.hilbertIndex(col("x"), col("y"), bits).as("d"))
+        .select(col("x"), col("y"),
+          Hilbert.hilbertIndex(col("x"), col("y"), bits).as("d"),
+          unrolledTree(col("x"), col("y"), bits).as("dTree"))
         .collect()
       assert(rows.length == n * n)
       rows.foreach { r =>
-        val (x, y, d) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+        val (x, y, d, dTree) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2), r.getLong(3))
+        assert(d == dTree, s"bits=$bits ($x,$y): expression=$d unrolled=$dTree")
         assert(d == Hilbert.hilbertIndexLocal(n, x, y),
-          s"bits=$bits ($x,$y): column=$d local=${Hilbert.hilbertIndexLocal(n, x, y)}")
+          s"bits=$bits ($x,$y): codegen=$d eval-kernel=${Hilbert.hilbertIndexLocal(n, x, y)}")
       }
       val ds = rows.map(_.getLong(2)).sorted
       assert(ds.head == 0L && ds.last == n.toLong * n - 1 && ds.distinct.length == n * n,
         s"bits=$bits: not a bijection onto [0, n^2)")
+    }
+  }
+
+  test("hilbertIndex: the canonical 4x4 path, hand-pinned") {
+    // the published orientation of the Wikipedia xy2d walk: d = 0 starts
+    // at the origin, first quadrant is traversed transposed
+    val expected = Seq(
+      (0, 0), (1, 0), (1, 1), (0, 1), (0, 2), (0, 3), (1, 3), (1, 2),
+      (2, 2), (2, 3), (3, 3), (3, 2), (3, 1), (2, 1), (2, 0), (3, 0))
+    expected.zipWithIndex.foreach { case ((x, y), d) =>
+      assert(Hilbert.hilbertIndexLocal(4, x, y) == d.toLong,
+        s"($x,$y) must sit at curve position $d")
     }
   }
 
