@@ -61,6 +61,33 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
+  val HilbertName = "graft_hilbert"
+
+  /** `graft_hilbert(x, y, bits)` — the layout curve key for SQL writers
+    * (`INSERT ... SELECT ... ORDER BY graft_hilbert(a_cell, b_cell, 5)`).
+    * `bits` must be a literal: it sizes the grid at PLAN time (the
+    * expression's generated code bakes it in).
+    */
+  private[graft] val hilbertDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(HilbertName),
+    new ExpressionInfo(classOf[graft.functions.expressions.HilbertIndex].getName, HilbertName),
+    (children: Seq[Expression]) => children match {
+      case Seq(x, y, org.apache.spark.sql.catalyst.expressions.Literal(b, _)) =>
+        val bits = b match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"$HilbertName: bits must be an integer literal, got $other")
+        }
+        graft.functions.expressions.HilbertIndex(
+          org.apache.spark.sql.catalyst.expressions.Cast(x, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(y, org.apache.spark.sql.types.LongType),
+          bits)
+      case _ => throw new IllegalArgumentException(
+        s"$HilbertName expects (x, y, bits-literal), got ${children.size} arguments")
+    })
+
   /** Registry descriptor for a unary Column combinator. The builder
     * rejects wrong arity with the function name in the message (surfaces
     * as an AnalysisException to SQL callers).
@@ -98,6 +125,7 @@ object GraftFunctions {
   private[graft] val descriptors: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     cosineDescriptor,
+    hilbertDescriptor,
     parseTableDescriptor,
     unary("graft_clean_text", T.cleanText),
     unary("graft_sanitize_filename", T.sanitizeFilename),

@@ -55,6 +55,20 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(math.abs(v.asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("graft_hilbert via SQL: canonical positions, int-column casts, literal-bits contract") {
+    // the hand-pinned 4x4 path's corners (HilbertSpec)
+    assert(sql1("SELECT graft_hilbert(0L, 0L, 2)") == 0L)
+    assert(sql1("SELECT graft_hilbert(3L, 0L, 2)") == 15L)
+    // INT inputs cast at registration (SQL writers pass int cells)
+    assert(sql1("SELECT graft_hilbert(1, 1, 2)") == 2L)
+    // bits must be a literal — it sizes the grid at plan time
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hilbert(1L, 1L, id) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("bits"), s"non-literal bits must be rejected: ${e.getMessage}")
+  }
+
   test("SQL path is value-identical to the Column path over a corpus sample") {
     GraftFunctions.register(spark)
     import spark.implicits._
