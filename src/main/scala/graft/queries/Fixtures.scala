@@ -95,6 +95,32 @@ object Fixtures {
     (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
   }
 
+  /** Per-JVM bloom-filtered lineitem layout for q272 (corpus state,
+    * like [[bucketedTables]]): one write with a split-block bloom on
+    * l_orderkey in every row group (dictionary off for the key — the
+    * high-cardinality regime blooms exist for), plus the stats-only
+    * control twin BloomLayoutSpec measures against. Row groups shrunk
+    * to 256 KiB so even sf0.001 has several groups to skip; built once
+    * per corpus dir (ConcurrentHashMap computeIfAbsent), files under
+    * shutdown-deleted scratch dirs.
+    */
+  private val bloomDirs = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def bloomTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (bloomDir, plainDir) = bloomDirs.computeIfAbsent(d, _ => {
+      val bd = scratchIndexDir("graft-bloomli")
+      val pd = scratchIndexDir("graft-plainli")
+      val df = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val ndv = df.count() // safe NDV upper bound, footer-only count
+      graft.sources.BloomLayout.writeWithBloom(
+        df.coalesce(1), bd, "l_orderkey", ndv, rowGroupBytes = 256L * 1024)
+      graft.sources.BloomLayout.writePlain(
+        df.coalesce(1), pd, "l_orderkey", rowGroupBytes = 256L * 1024)
+      (bd, pd)
+    })
+    (s.read.parquet(bloomDir), s.read.parquet(plainDir))
+  }
+
   /** The decision rule's ESCAPE-HATCH arm as corpus state (q259): the
     * SAME bucketed files as [[bucketedTables]], read with
     * `spark.sql.sources.bucketing.enabled=false`. The conf is read at

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup.
   */
 object LayoutQueries {
 
@@ -327,6 +327,35 @@ object LayoutQueries {
           sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
         .crossJoin(broadcast(selected))
     }),
+
+
+    // PARQUET COLUMN BLOOM FILTERS — the point-lookup skipping lever
+    // for keys min/max stats cannot prune (an unsorted fact's row
+    // groups each span most of the key domain, so an equality probe
+    // decodes EVERYTHING without them) and dictionaries stop covering
+    // (high-cardinality keys fall back to plain encoding — exactly the
+    // regime the fixture models). The layout is corpus state
+    // (Fixtures.bloomTables: one write, bloom on l_orderkey per row
+    // group); the query answers point lookups for the 3 LARGEST
+    // orderkeys (plan literals, the q254 pattern with DESC keys so the
+    // two queries don't share a result) through the bloom files and
+    // must hash-match the plain-parquet oracle — layout-invariance,
+    // the q253/q259 discipline. The skip behavior itself (absent key:
+    // 0 rows decoded vs a full row group) is pinned in BloomLayoutSpec;
+    // NOT the engine-level Bloom sketch (q252/q67) — this is file
+    // metadata the parquet READER consults before decoding.
+    "q272_bloom_point_lookup" -> ((s, d) => {
+      val (bloomLi, _) = Fixtures.bloomTables(s, d)
+      val keys = Tables.orders(s, d).select("o_orderkey")
+        .orderBy(col("o_orderkey").desc).limit(3)
+        .collect().map(_.getLong(0))
+      bloomLi.where(col("l_orderkey").isin(keys.toIndexedSeq.map(Long.box): _*))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"),
+          graft.functions.Rounding.half2(min("l_extendedprice")).as("min_price"),
+          graft.functions.Rounding.half2(max("l_extendedprice")).as("max_price"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -596,5 +625,17 @@ object LayoutQueries {
         |sel AS (SELECT CAST(sum(sel) AS BIGINT) AS rows_selected FROM cells)
         |SELECT a.layout, a.n_files, a.files_hit, a.rows_scanned, sel.rows_selected
         |FROM audit a CROSS JOIN sel""".stripMargin,
+
+
+    // Same keys (3 largest orderkeys) and aggregates over the plain
+    // parquet — certifies the bloom layout loses no rows.
+    "q272_bloom_point_lookup" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        | floor(min(l_extendedprice) * 100 + 0.5) / 100 AS min_price,
+        | floor(max(l_extendedprice) * 100 + 0.5) / 100 AS max_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 3)
+        |GROUP BY l_orderkey""".stripMargin,
   )
 }
