@@ -111,9 +111,13 @@ object Fixtures {
       val pd = scratchIndexDir("graft-plainli")
       val df = Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_extendedprice")
-      val ndv = df.count() // safe NDV upper bound, footer-only count
+      // NDV hint = distinct keys PER ROW GROUP, not per table (the
+      // saturation trap in BloomLayout's scaladoc): 256 KiB groups hold
+      // ~10-16k 3-column rows, so 32k covers every group with 2× margin
+      // while keeping the filters group-sized
       graft.sources.BloomLayout.writeWithBloom(
-        df.coalesce(1), bd, "l_orderkey", ndv, rowGroupBytes = 256L * 1024)
+        df.coalesce(1), bd, "l_orderkey", expectedNdv = 32768L,
+        rowGroupBytes = 256L * 1024)
       graft.sources.BloomLayout.writePlain(
         df.coalesce(1), pd, "l_orderkey", rowGroupBytes = 256L * 1024)
       (bd, pd)

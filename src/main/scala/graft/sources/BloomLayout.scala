@@ -56,9 +56,16 @@ object BloomLayout {
     * the reader skip via the dictionary instead, hiding what the bloom
     * does; other columns keep their dictionaries.
     *
-    * `expectedNdv` sizes the filter (parquet allocates bits for the
-    * target FPP at that cardinality) — pass the key's distinct count or
-    * any upper bound (the row count is always safe). `rowGroupBytes`
+    * `expectedNdv` sizes each row group's filter (parquet allocates
+    * bits for the target FPP at that cardinality) and it must cover the
+    * key's distinct count PER ROW GROUP — for unique keys, the rows per
+    * group. The asymmetry matters and was MEASURED (BloomScaleProbe):
+    * an UNDER-estimate saturates the filter and silently stops skipping
+    * (a 400k hint on 1.25M-key groups left 11/16 groups passing
+    * absent-key probes — no error, no warning, just full decodes),
+    * while an over-estimate only costs footer bytes (the table row
+    * count is a safe ceiling, but on small groups it multiplies file
+    * size: 3.2× at 62k-row groups with a 2M hint). `rowGroupBytes`
     * bounds the granularity of skipping: smaller groups = finer skips =
     * more filters; production defaults (128 MB) are fine at real scale,
     * the contract fixtures shrink it so small SFs still have several
