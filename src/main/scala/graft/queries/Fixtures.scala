@@ -125,6 +125,49 @@ object Fixtures {
     (s.read.parquet(bloomDir), s.read.parquet(plainDir))
   }
 
+  /** Per-JVM versioned snapshot table for q273/q274/q275 (corpus
+    * state, like [[bloomTables]]): a deterministic 5-commit history
+    * over lineitem through [[graft.sources.SnapshotTable]] —
+    * v1 create (orderkey%4==0), v2 append (%4==1), v3 append (%4 in
+    * 2,3 — the table now holds ALL of lineitem), v4 copy-on-write
+    * deleteWhere(orderkey in [max/5, 3·max/10]), v5 compact. Each
+    * commit writes range-partitioned files on the stats column so the
+    * delete's file-envelope pruning has files to carry. The commit
+    * CHAIN is deterministic (predicates over table columns; the
+    * delete range derives from max(l_orderkey)), so every oracle
+    * states the expected content in closed form even though file
+    * names/boundaries are layout-free.
+    */
+  private val snapshotRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def snapshotTable(s: SparkSession, d: String): String = {
+    snapshotRoots.computeIfAbsent(d, _ => {
+      val root = scratchIndexDir("graft-snap")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      def commitSlice(p: Column) =
+        li.where(p).repartitionByRange(4, col("l_orderkey"))
+      graft.sources.SnapshotTable.create(
+        s, root, commitSlice(col("l_orderkey") % 4 === 0), "l_orderkey")
+      graft.sources.SnapshotTable.append(
+        s, root, commitSlice(col("l_orderkey") % 4 === 1))
+      graft.sources.SnapshotTable.append(
+        s, root, commitSlice(col("l_orderkey") % 4 >= 2))
+      val (lo, hi) = snapshotDeleteRange(s, d)
+      graft.sources.SnapshotTable.deleteWhere(s, root, lo, hi)
+      graft.sources.SnapshotTable.compact(s, root)
+      root
+    })
+  }
+
+  /** The v4 delete range, derived from data so it is identical in the
+    * oracle: [max/5, 3·max/10] (integer division, non-negative keys).
+    */
+  private[graft] def snapshotDeleteRange(s: SparkSession, d: String): (Long, Long) = {
+    val mx = Tables.lineitem(s, d).agg(max("l_orderkey")).head.getLong(0)
+    (mx / 5, 3 * mx / 10)
+  }
+
   /** The decision rule's ESCAPE-HATCH arm as corpus state (q259): the
     * SAME bucketed files as [[bucketedTables]], read with
     * `spark.sql.sources.bucketing.enabled=false`. The conf is read at

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest.
   */
 object LayoutQueries {
 
@@ -356,6 +356,61 @@ object LayoutQueries {
           graft.functions.Rounding.half2(min("l_extendedprice")).as("min_price"),
           graft.functions.Rounding.half2(max("l_extendedprice")).as("max_price"))
     }),
+
+
+    // SNAPSHOT TABLE FORMAT — the table-format layer over immutable
+    // parquet (SnapshotTable: manifest-per-version atomic commits,
+    // no mutable pointer to tear). q273 is TIME TRAVEL: read the table
+    // AS OF version 2 (create + first append) long after two more
+    // commits deleted and compacted it — a snapshot's files are
+    // immutable, so the v2 frame is stable forever. The oracle states
+    // v2's content in closed form from the fixture's deterministic
+    // commit predicates (orderkey%4 in 0,1); the hash match certifies
+    // the whole commit chain put exactly the right rows in the right
+    // snapshots, independent of file layout.
+    "q273_snapshot_travel" -> ((s, d) => {
+      val root = Fixtures.snapshotTable(s, d)
+      graft.sources.SnapshotTable.read(s, root, Some(2))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"),
+          graft.functions.Rounding.half2(sum("l_extendedprice")).as("sum_price"))
+    }),
+
+    // SNAPSHOT CDC — keyed diff between manifests, reading ONLY the
+    // files that changed (a carried file contributes no change by
+    // construction, so diff cost ∝ changed files, never table size).
+    // v1→v2 is a pure append (all inserts); v3→v4 is the copy-on-write
+    // delete: the rewrite re-emits surviving rows into NEW files, and
+    // the keyed anti-join must cancel them — only the genuinely
+    // deleted range may surface. The oracle restates both legs from
+    // the commit predicates.
+    "q274_snapshot_cdc" -> ((s, d) => {
+      val root = Fixtures.snapshotTable(s, d)
+      val keys = Seq("l_orderkey", "l_linenumber")
+      graft.sources.SnapshotTable.diff(s, root, 1, 2, keys)
+        .unionByName(graft.sources.SnapshotTable.diff(s, root, 3, 4, keys))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"),
+          graft.functions.Rounding.half2(sum("l_extendedprice")).as("sum_price"))
+    }),
+
+    // SNAPSHOT CURRENT-STATE — the latest version after the full
+    // history (create, two appends, copy-on-write delete, compaction):
+    // one scan certifies that the delete removed exactly the stats
+    // range (and nothing else) AND that compaction was lossless, in
+    // the same layout-invariance discipline as q253/q259/q272.
+    "q275_snapshot_latest" -> ((s, d) => {
+      val root = Fixtures.snapshotTable(s, d)
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"),
+          graft.functions.Rounding.half2(sum("l_extendedprice")).as("sum_price"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -637,5 +692,45 @@ object LayoutQueries {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 3)
         |GROUP BY l_orderkey""".stripMargin,
+
+
+    // Version 2 = create (%4==0) + first append (%4==1), stated
+    // directly from the commit predicates.
+    "q273_snapshot_travel" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM lineitem WHERE l_orderkey % 4 <= 1
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // v1→v2 inserts are the append batch; v3→v4 deletes are exactly
+    // the [max/5, 3*max/10] stats range (v3 holds ALL of lineitem).
+    "q274_snapshot_cdc" ->
+      """WITH rng AS (SELECT max(l_orderkey) // 5 AS lo,
+        |  (3 * max(l_orderkey)) // 10 AS hi FROM lineitem)
+        |SELECT 'insert' AS change_type, count(*) AS n_rows,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM lineitem WHERE l_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT 'delete' AS change_type, count(*) AS n_rows,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM lineitem CROSS JOIN rng
+        |WHERE l_orderkey BETWEEN rng.lo AND rng.hi""".stripMargin,
+
+    // Latest = everything minus the deleted stats range; compaction
+    // must not change a single row.
+    "q275_snapshot_latest" ->
+      """WITH rng AS (SELECT max(l_orderkey) // 5 AS lo,
+        |  (3 * max(l_orderkey)) // 10 AS hi FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM lineitem CROSS JOIN rng
+        |WHERE l_orderkey NOT BETWEEN rng.lo AND rng.hi
+        |GROUP BY l_returnflag""".stripMargin,
   )
 }

@@ -1,0 +1,372 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.annotation.tailrec
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** A versioned snapshot table over immutable parquet files — the
+  * table-format layer (Iceberg/Delta-shaped, built from scratch on the
+  * Hadoop FS API) that turns a directory of parquet into something a
+  * 100 TB pipeline can actually operate: atomic commits, time travel,
+  * copy-on-write deletes that rewrite ONLY intersecting files, keyed
+  * snapshot-to-snapshot CDC whose cost is proportional to the files
+  * that CHANGED (never the table), lossless compaction, and optimistic
+  * concurrency for racing writers.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<uuid>.parquet            immutable data files
+  *   <root>/meta/v00000001.manifest        one manifest per snapshot
+  * }}}
+  *
+  * A snapshot IS its manifest: a text file listing the data files that
+  * make up the version, with per-file row counts and min/max of one
+  * declared long-typed stats column (a real format records per-column
+  * stats; one keyed column is enough to carry the pruning and
+  * copy-on-write semantics, and keeps the manifest trivially
+  * parseable). The CURRENT version is simply the highest manifest
+  * number present — there is no mutable "latest" pointer to tear, so
+  * no reader can ever observe a half-committed state: data files are
+  * written first (invisible until referenced), then the manifest
+  * appears atomically or not at all.
+  *
+  * Commit protocol (optimistic): a writer computes its manifest against
+  * the latest version it can see, writes it to a temp name, and
+  * installs it with a no-overwrite rename to `v<N+1>`. If another
+  * writer won the race the rename FAILS (on HDFS atomically; on the
+  * local FS via FileContext's exists-check — the narrow check-then-act
+  * window is a local-testing artifact, not a design property), and the
+  * loser re-derives against the new tip and tries again. An append
+  * retry is cheap — the new data files are already in place and stay
+  * valid; only the parent file list is re-read. A delete/compact retry
+  * must re-derive its rewrite (its inputs changed); the orphaned files
+  * of the failed attempt stay invisible until [[vacuum]].
+  *
+  * Crash windows, all benign: die before the manifest rename → new
+  * files are unreferenced orphans, readers see the old version,
+  * [[vacuum]] reclaims; die after → the commit happened. Nothing is
+  * ever overwritten or appended in place.
+  *
+  * Scale shape: stats collection reads back only the batch just
+  * written (cost ∝ batch, never the table); [[deleteWhere]] carries
+  * every file whose [min,max] envelope misses the predicate verbatim
+  * (file-level copy-on-write — the manifest diff proves which files
+  * were untouched); [[diff]] reads ONLY the files added/removed
+  * between the two manifests, so CDC on a 10k-file table with a
+  * 3-file delta costs 3 files. Manifests are O(files) text read by
+  * the driver — at 100 TB with 128 MB files that is ~800k lines, the
+  * same cost class as the q144 skipping manifest and far below any
+  * data-side cost; a real deployment would shard manifests per commit
+  * (Iceberg's manifest-list indirection) before this became the
+  * bottleneck.
+  */
+object SnapshotTable {
+
+  /** One immutable data file: path relative to the table root, row
+    * count, byte size, and the min/max envelope of the stats column
+    * (meaningless when rows == 0; such files are never written).
+    */
+  case class DataFileMeta(path: String, rows: Long, bytes: Long,
+                          minKey: Long, maxKey: Long)
+
+  case class Manifest(version: Int, parent: Int, op: String,
+                      statsCol: String, schemaJson: String,
+                      files: Seq[DataFileMeta]) {
+    def totalRows: Long = files.map(_.rows).sum
+  }
+
+  private val Header = "graft-snapshot-manifest v1"
+
+  private def metaDir(root: Path) = new Path(root, "meta")
+  private def dataDir(root: Path) = new Path(root, "data")
+  private def manifestPath(root: Path, version: Int) =
+    new Path(metaDir(root), f"v$version%08d.manifest")
+
+  private def fsOf(spark: SparkSession, root: Path): FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed version, 0 if the table does not exist yet. */
+  def latestVersion(fs: FileSystem, root: Path): Int = {
+    val md = metaDir(root)
+    if (!fs.exists(md)) 0
+    else fs.listStatus(md).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{8}\\.manifest") =>
+        n.substring(1, 9).toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  def readManifest(fs: FileSystem, root: Path, version: Int): Manifest = {
+    val in = fs.open(manifestPath(root, version))
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 64 * 1024, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    val lines = text.split('\n').iterator.filter(_.nonEmpty).toVector
+    require(lines.headOption.contains(Header),
+      s"not a snapshot manifest: ${manifestPath(root, version)}")
+    val kv = lines.tail.takeWhile(!_.startsWith("file\t"))
+      .map { l => val i = l.indexOf(": "); l.substring(0, i) -> l.substring(i + 2) }
+      .toMap
+    val files = lines.dropWhile(!_.startsWith("file\t")).map { l =>
+      val p = l.split('\t')
+      DataFileMeta(p(1), p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong)
+    }
+    Manifest(kv("version").toInt, kv("parent").toInt, kv("op"),
+      kv("statsCol"), kv("schema"), files)
+  }
+
+  private def renderManifest(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb ++= Header += '\n'
+    sb ++= s"version: ${m.version}\n"
+    sb ++= s"parent: ${m.parent}\n"
+    sb ++= s"op: ${m.op}\n"
+    sb ++= s"statsCol: ${m.statsCol}\n"
+    sb ++= s"schema: ${m.schemaJson}\n"
+    m.files.foreach { f =>
+      sb ++= s"file\t${f.path}\t${f.rows}\t${f.bytes}\t${f.minKey}\t${f.maxKey}\n"
+    }
+    sb.toString
+  }
+
+  /** Install `m` as version `m.version` iff nobody else has. The
+    * manifest is fully written under a temp name first, so the
+    * no-overwrite rename is the single commit point.
+    */
+  private def tryCommit(spark: SparkSession, root: Path, m: Manifest): Boolean = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(metaDir(root))
+    val tmp = new Path(metaDir(root), s".tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
+    val dst = manifestPath(root, m.version)
+    val qTmp = fs.makeQualified(tmp)
+    val qDst = fs.makeQualified(dst)
+    try {
+      // Options.Rename.NONE: fail (never clobber) if dst exists — the
+      // losing racer's rename throws and the loser retries.
+      FileContext.getFileContext(qDst.toUri,
+        spark.sparkContext.hadoopConfiguration).rename(qTmp, qDst)
+      true
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException) =>
+        fs.delete(tmp, false)
+        if (fs.exists(dst)) false // lost the race; caller re-derives
+        else throw new java.io.IOException(
+          s"manifest commit failed for reasons other than a race: $dst", e)
+    }
+  }
+
+  /** Write `df` under data/ and return the new files' metadata. The
+    * stats read-back touches only the staged batch (one scan of the
+    * new data — cost ∝ batch size, never table size). Empty partitions
+    * produce zero-row part files which are dropped, not referenced.
+    */
+  private def writeDataFiles(spark: SparkSession, root: Path, df: DataFrame,
+                             statsCol: String): Seq[DataFileMeta] = {
+    val fs = fsOf(spark, root)
+    val staging = new Path(root, s".staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val stats = spark.read.parquet(staging.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(statsCol).cast("long")).as("lo"),
+        max(col(statsCol).cast("long")).as("hi"))
+      .collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).getName ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    fs.mkdirs(dataDir(root))
+    val metas = fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .toSeq.sortBy(_.getPath.getName)
+      .flatMap { st =>
+        stats.get(st.getPath.getName).collect { case (rows, lo, hi) if rows > 0 =>
+          val name = s"${UUID.randomUUID()}.parquet"
+          val dst = new Path(dataDir(root), name)
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"staging move failed: ${st.getPath} -> $dst")
+          DataFileMeta(s"data/$name", rows, st.getLen, lo, hi)
+        }
+      }
+    fs.delete(staging, true)
+    metas
+  }
+
+  private def schemaJson(df: DataFrame): String =
+    df.schema.json.replaceAll("[\\n\\r]", " ")
+
+  /** Create the table at `root` as version 1. `statsCol` must be an
+    * integral column; its per-file min/max envelope drives
+    * [[deleteWhere]]'s copy-on-write pruning.
+    */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+             statsCol: String): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    require(latestVersion(fs, rp) == 0, s"table already exists at $root")
+    val files = writeDataFiles(spark, rp, df, statsCol)
+    val m = Manifest(1, 0, "create", statsCol, schemaJson(df), files)
+    if (!tryCommit(spark, rp, m))
+      throw new java.io.IOException(s"concurrent create at $root")
+    1
+  }
+
+  /** Append `df` as a new snapshot; returns the committed version.
+    * Retries on commit races — the data files written once stay valid
+    * across retries, only the parent file list is re-derived.
+    */
+  def append(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val base = readManifest(fs, rp, latestVersion(fs, rp))
+    require(schemaJson(df) == base.schemaJson,
+      s"append schema mismatch at $root")
+    val newFiles = writeDataFiles(spark, rp, df, base.statsCol)
+    @tailrec def attempt(): Int = {
+      val parent = latestVersion(fs, rp)
+      val parentFiles = readManifest(fs, rp, parent).files
+      val m = Manifest(parent + 1, parent, "append", base.statsCol,
+        base.schemaJson, parentFiles ++ newFiles)
+      if (tryCommit(spark, rp, m)) m.version else attempt()
+    }
+    attempt()
+  }
+
+  /** Delete all rows with statsCol in [lo, hi], copy-on-write at file
+    * granularity: files whose envelope misses the range are carried
+    * into the new manifest VERBATIM (same path — never read, never
+    * rewritten); intersecting files are read, filtered, and their
+    * survivors written as new files. Returns the committed version.
+    * A commit race re-derives the whole rewrite (the losing attempt's
+    * files become vacuum-able orphans).
+    */
+  def deleteWhere(spark: SparkSession, root: String, lo: Long, hi: Long): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    @tailrec def attempt(): Int = {
+      val parent = latestVersion(fs, rp)
+      val base = readManifest(fs, rp, parent)
+      val (touched, carried) =
+        base.files.partition(f => f.minKey <= hi && f.maxKey >= lo)
+      val rewritten =
+        if (touched.isEmpty) Nil
+        else {
+          val survivors = readFiles(spark, rp, base, touched)
+            .where(col(base.statsCol).cast("long") < lo ||
+                   col(base.statsCol).cast("long") > hi)
+          writeDataFiles(spark, rp, survivors, base.statsCol)
+        }
+      val m = Manifest(parent + 1, parent, "delete", base.statsCol,
+        base.schemaJson, carried ++ rewritten)
+      if (tryCommit(spark, rp, m)) m.version else attempt()
+    }
+    attempt()
+  }
+
+  /** Rewrite the current snapshot into ~targetBytes files (the
+    * [[Compaction]] op under snapshot isolation: readers of any
+    * existing version are untouched; the compacted content commits as
+    * a NEW version whose logical rows are identical).
+    */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    @tailrec def attempt(): Int = {
+      val parent = latestVersion(fs, rp)
+      val base = readManifest(fs, rp, parent)
+      val totalBytes = base.files.map(_.bytes).sum
+      val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      val files = writeDataFiles(spark, rp,
+        read(spark, root, Some(parent)).coalesce(n), base.statsCol)
+      val m = Manifest(parent + 1, parent, "compact", base.statsCol,
+        base.schemaJson, files)
+      if (tryCommit(spark, rp, m)) m.version else attempt()
+    }
+    attempt()
+  }
+
+  private def readFiles(spark: SparkSession, root: Path, m: Manifest,
+                        files: Seq[DataFileMeta]): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[StructType]
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(files.map(f => new Path(root, f.path).toString): _*)
+  }
+
+  /** Time-travel read: the table as of `version` (default: latest).
+    * A snapshot's files are immutable, so this frame is stable no
+    * matter what commits after.
+    */
+  def read(spark: SparkSession, root: String,
+           version: Option[Int] = None): DataFrame = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val v = version.getOrElse(latestVersion(fs, rp))
+    val m = readManifest(fs, rp, v)
+    readFiles(spark, rp, m, m.files)
+  }
+
+  /** Keyed CDC between two snapshots: rows whose key appears in vTo
+    * but not vFrom tagged `insert`, the converse tagged `delete`.
+    * Reads ONLY the files that differ between the two manifests — a
+    * carried file (same path both sides) can contribute no change, so
+    * the cost is ∝ changed files. Keys must be unique per row (the
+    * caller's contract, as in any keyed CDC feed); a copy-on-write
+    * rewrite re-emits surviving rows into new files, which the keyed
+    * anti-join cancels out.
+    */
+  def diff(spark: SparkSession, root: String, vFrom: Int, vTo: Int,
+           keyCols: Seq[String]): DataFrame = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val from = readManifest(fs, rp, vFrom)
+    val to = readManifest(fs, rp, vTo)
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    val added = to.files.filterNot(f => fromPaths.contains(f.path))
+    val removed = from.files.filterNot(f => toPaths.contains(f.path))
+    val addedDf = readFiles(spark, rp, to, added)
+    val removedDf = readFiles(spark, rp, from, removed)
+    val keys = keyCols.map(col)
+    addedDf.join(removedDf.select(keys: _*), keyCols, "left_anti")
+      .withColumn("change_type", lit("insert"))
+      .unionByName(
+        removedDf.join(addedDf.select(keys: _*), keyCols, "left_anti")
+          .withColumn("change_type", lit("delete")))
+  }
+
+  /** Delete data files referenced by NO manifest (failed-commit and
+    * crash orphans). Maintenance-window only: a commit IN FLIGHT has
+    * staged files that look orphaned — real formats age-gate
+    * candidates before reclaiming; here the caller quiesces writers
+    * instead. Returns the number of files removed.
+    */
+  def vacuum(spark: SparkSession, root: String): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val referenced = (1 to latestVersion(fs, rp)).iterator
+      .flatMap(v => readManifest(fs, rp, v).files.map(_.path)).toSet
+    val dd = dataDir(rp)
+    if (!fs.exists(dd)) 0
+    else fs.listStatus(dd).iterator
+      .filter(s => s.isFile && !referenced.contains(s"data/${s.getPath.getName}"))
+      .map { s =>
+        if (!fs.delete(s.getPath, false))
+          throw new java.io.IOException(s"vacuum failed to delete ${s.getPath}")
+        1
+      }.sum
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+import graft.sources.SnapshotTable.{latestVersion, readManifest}
+
+/** The snapshot table format's operational guarantees — the properties
+  * the q273/q274/q275 hash checks cannot see because they hold even
+  * when the guarantees are violated on a quiet single-writer run:
+  * torn commits stay invisible, racing writers serialize without data
+  * loss, copy-on-write deletes carry non-intersecting files verbatim,
+  * CDC reads only changed files, and vacuum reclaims exactly the
+  * unreferenced.
+  */
+class SnapshotTableSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    graft.queries.Fixtures.scratchIndexDir("snap-spec")
+
+  private def rows(n: Long, offset: Long = 0L): DataFrame =
+    spark.range(n).select((col("id") + offset).as("k"),
+      (col("id") % 7).cast("long").as("v"))
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("create + append + time travel: each version is a stable closed set") {
+    val root = freshRoot()
+    assert(SnapshotTable.create(spark, root, rows(100), "k") == 1)
+    assert(SnapshotTable.append(spark, root, rows(50, offset = 100)) == 2)
+    assert(SnapshotTable.read(spark, root, Some(1)).count() == 100)
+    assert(SnapshotTable.read(spark, root, Some(2)).count() == 150)
+    assert(SnapshotTable.read(spark, root).count() == 150)
+    // v1 is immutable: still 100 after another commit
+    SnapshotTable.append(spark, root, rows(7, offset = 150))
+    assert(SnapshotTable.read(spark, root, Some(1)).count() == 100)
+  }
+
+  test("torn commit is invisible: data files without a manifest do not exist") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")
+    // simulate a writer that died after staging data but before the
+    // manifest rename: drop a parquet file straight into data/
+    rows(999, offset = 5000).coalesce(1).write.parquet(s"$root/orphan")
+    val f = fs(root)
+    val orphan = f.listStatus(new Path(s"$root/orphan"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    f.rename(orphan, new Path(s"$root/data/${orphan.getName}"))
+    f.delete(new Path(s"$root/orphan"), true)
+    assert(SnapshotTable.read(spark, root).count() == 100,
+      "an unreferenced data file must never surface in a read")
+    // vacuum reclaims exactly the orphan, not any referenced file
+    assert(SnapshotTable.vacuum(spark, root) == 1)
+    assert(SnapshotTable.read(spark, root).count() == 100)
+    assert(SnapshotTable.vacuum(spark, root) == 0)
+  }
+
+  test("racing appends both commit, in distinct versions, with no loss") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(10), "k")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future(SnapshotTable.append(spark, root, rows(20, offset = 100)))
+    val b = Future(SnapshotTable.append(spark, root, rows(30, offset = 200)))
+    val (va, vb) = (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+    assert(Set(va, vb) == Set(2, 3), s"racers must serialize to v2/v3, got $va/$vb")
+    assert(SnapshotTable.read(spark, root).count() == 60,
+      "both racers' rows must be present at the tip")
+  }
+
+  test("deleteWhere is file-granular copy-on-write: out-of-range files carried verbatim") {
+    val root = freshRoot()
+    // range-partitioned on k → files have disjoint envelopes
+    SnapshotTable.create(spark, root,
+      rows(1000).repartitionByRange(8, col("k")), "k")
+    val before = readManifest(fs(root), new Path(root), 1)
+    SnapshotTable.deleteWhere(spark, root, 0L, 200L)
+    val after = readManifest(fs(root), new Path(root), 2)
+    val beforePaths = before.files.map(_.path).toSet
+    val carried = after.files.filter(f => beforePaths.contains(f.path))
+    assert(carried.nonEmpty, "files whose envelope misses [0,200] must be carried, not rewritten")
+    assert(carried.forall(f => f.minKey > 200L),
+      "a carried file must provably contain no deleted key")
+    assert(SnapshotTable.read(spark, root).count() == 1000 - 201)
+    assert(SnapshotTable.read(spark, root).agg(min("k")).head.getLong(0) == 201L)
+  }
+
+  test("diff reads only changed files and cancels copy-on-write re-emits") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(1000).repartitionByRange(8, col("k")), "k")
+    SnapshotTable.append(spark, root,
+      rows(100, offset = 1000).repartitionByRange(2, col("k")))
+    SnapshotTable.deleteWhere(spark, root, 0L, 50L)
+    // v1→v2 append: pure inserts
+    val d12 = SnapshotTable.diff(spark, root, 1, 2, Seq("k"))
+    val byType12 = d12.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType12 == Map("insert" -> 100L))
+    // the append diff must not read any carried v1 file
+    val v1Files = readManifest(fs(root), new Path(root), 1).files.map(_.path).toSet
+    assert(!d12.inputFiles.exists(f => v1Files.exists(f.endsWith)),
+      "CDC of an append must touch only the appended files")
+    // v2→v3 delete: the rewrite re-emitted survivors into new files;
+    // the keyed anti-join must cancel them, surfacing ONLY the range
+    val d23 = SnapshotTable.diff(spark, root, 2, 3, Seq("k"))
+    val del = d23.where(col("change_type") === "delete")
+    assert(d23.where(col("change_type") === "insert").count() == 0)
+    assert(del.count() == 51)
+    assert(del.agg(max("k")).head.getLong(0) == 50L)
+  }
+
+  test("compact is lossless and leaves prior versions readable; vacuum keeps every referenced file") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(500).repartitionByRange(8, col("k")), "k")
+    val sumBefore = SnapshotTable.read(spark, root).agg(sum("v")).head.getLong(0)
+    val v = SnapshotTable.compact(spark, root, targetBytes = 64L * 1024 * 1024)
+    assert(v == 2)
+    val m = readManifest(fs(root), new Path(root), 2)
+    assert(m.files.size < 8, s"compaction must shrink the file count, got ${m.files.size}")
+    assert(SnapshotTable.read(spark, root).agg(sum("v")).head.getLong(0) == sumBefore)
+    assert(SnapshotTable.read(spark, root, Some(1)).count() == 500,
+      "readers of the pre-compaction snapshot are untouched")
+    assert(SnapshotTable.vacuum(spark, root) == 0,
+      "v1's files are still referenced by v1's manifest — vacuum must keep them")
+  }
+
+  test("append rejects a mismatched schema; empty batches reference no files") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(10), "k")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root,
+        spark.range(5).select(col("id").as("k"))) // missing column v
+    }
+    val v = SnapshotTable.append(spark, root, rows(10).where(col("k") < 0))
+    assert(readManifest(fs(root), new Path(root), v).files ==
+      readManifest(fs(root), new Path(root), 1).files,
+      "an empty append commits a manifest with the parent's exact file set")
+    assert(SnapshotTable.read(spark, root).count() == 10)
+  }
+}
