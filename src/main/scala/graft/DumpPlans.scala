@@ -108,6 +108,7 @@ object DumpPlans {
     "q254_bucket_pruning" -> "SelectedBucketsCount scan pruning from the IN predicate; the groupBy reuses the bucket partitioning — no exchange anywhere",
     "q255_mixed_bucket_join" -> "mixed bucketed fact x unbucketed delta: exactly ONE exchange under the SMJ — the delta shuffles onto the bucket count, the fact side reads exchange-free",
     "q269_hilbert_layout" -> "native HilbertIndex expression (plan size independent of bits); ONE cached cell pass feeds all three layouts; the curve-cut window is partitioned by layout over the <=1024-cell cache, never rows",
+    "q274_snapshot_cdc" -> "snapshot CDC scans ONLY the files that changed between the two manifests (carried files absent from both join sides); keyed anti-joins cancel copy-on-write re-emits",
     "q257_image_neardup" -> "banded Hamming LSH over scan-side dHash: identical-hash pre-grouping (min-id rep) + CappedList band buckets over DISTINCT hashes — no cartesian, no uncapped self-join; only (id, 4 ints) ever shuffles, blobs stay in the scan",
     "q259_bucket_escape" -> "the bucketing escape hatch: q253's bucketed files read with bucketing disabled in a sibling session — no bucketed scan, BOTH exchanges return under the SMJ (the structural inverse of q253), answers hash-identical",
     "q260_image_probe" -> "incremental image near-dup: batch banded against capped corpus buckets (singletons survive) over pre-grouped corpus reps — no corpus self-join, no cartesian; the admission shape for streaming ingest",

@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** SCALING.md probe for the snapshot table format (q273–q275): does
+  * each operation's cost track the thing it claims to track as the
+  * table grows?
+  *
+  *  - append: cost ∝ the BATCH (data write + one stats read-back of
+  *    the staged files + an O(files) manifest rewrite), not the table;
+  *  - deleteWhere: cost ∝ the files whose [min,max] envelope
+  *    intersects the range (copy-on-write), with the carried-file
+  *    count reported so the pruning is visible;
+  *  - diff: cost ∝ the files that CHANGED between the two manifests —
+  *    measured against a full-table scan of the same snapshot as the
+  *    in-run ruler;
+  *  - vacuum: a driver-side listing + per-orphan delete.
+  *
+  * Corpus: (k, v, pad) rows range-partitioned on k into ~64 files per
+  * commit, so envelope pruning has real file boundaries to work with
+  * (the layout a range-clustered ingest produces; an unclustered
+  * ingest degrades deleteWhere to a full rewrite — the same honesty
+  * note as q242's linear-vs-clustered comparison).
+  *
+  * Usage: runMain graft.tools.SnapshotScaleProbe [nRows...] [reps=N]
+  * Defaults: 2000000 20000000 60000000, reps=3.
+  */
+object SnapshotScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val reps = args.find(_.startsWith("reps=")).map(_.drop(5).toInt).getOrElse(3)
+    val sizes = args.filterNot(_.startsWith("reps=")).map(_.toLong) match {
+      case Array() => Seq(2000000L, 20000000L, 60000000L)
+      case xs => xs.toSeq
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    def rows(n: Long, offset: Long) =
+      spark.range(n).select((col("id") + offset).as("k"),
+        (col("id") % 997).as("v"),
+        md5(col("id").cast("string")).as("pad"))
+
+    // warm the write/read paths once, untimed
+    {
+      val w = graft.queries.Fixtures.scratchIndexDir("snapprobe-warm")
+      SnapshotTable.create(spark, s"$w/t", rows(10000, 0).repartitionByRange(4, col("k")), "k")
+      SnapshotTable.read(spark, s"$w/t").count()
+    }
+
+    println("%8s %9s %9s %9s %7s %9s %9s %9s %9s  carried/total"
+      .format("rows", "create_s", "append_s", "delete_s", "diff_s", "diffap_s", "scan_s", "vacuum_s", "files"))
+    sizes.foreach { n =>
+      val root = graft.queries.Fixtures.scratchIndexDir("snapprobe") + "/t"
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (_, tCreate) = timed(SnapshotTable.create(spark, root,
+        rows(n, 0).repartitionByRange(64, col("k")), "k"))
+      // append 1% of the table — cost should track the 1%, not the n
+      val batch = math.max(10000L, n / 100)
+      val (_, tAppend) = timed(SnapshotTable.append(spark, root,
+        rows(batch, n).repartitionByRange(2, col("k"))))
+      // delete a ~3% mid-table range: with 64 range files expect ~2-3
+      // rewritten, ~61 carried
+      val lo = n / 2
+      val hi = lo + n * 3 / 100
+      val (_, tDelete) = timed(SnapshotTable.deleteWhere(spark, root, lo, hi))
+      val m2 = SnapshotTable.readManifest(fs, new Path(root), 2)
+      val m3 = SnapshotTable.readManifest(fs, new Path(root), 3)
+      val carried = m3.files.map(_.path).toSet
+        .intersect(m2.files.map(_.path).toSet).size
+      val tDiffDel = median((1 to reps).map { _ =>
+        timed(SnapshotTable.diff(spark, root, 2, 3, Seq("k")).count())._2
+      })
+      val tDiffApp = median((1 to reps).map { _ =>
+        timed(SnapshotTable.diff(spark, root, 1, 2, Seq("k")).count())._2
+      })
+      // ruler: a full scan+count of the same tip snapshot
+      val tScan = median((1 to reps).map { _ =>
+        timed(SnapshotTable.read(spark, root).agg(sum("v")).collect())._2
+      })
+      val (nVac, tVacuum) = timed(SnapshotTable.vacuum(spark, root))
+      println(f"$n%8d $tCreate%9.2f $tAppend%9.2f $tDelete%9.2f $tDiffDel%7.2f $tDiffApp%9.2f $tScan%9.2f $tVacuum%9.2f ${m3.files.size}%9d  $carried/${m2.files.size} orphans=$nVac")
+    }
+    spark.stop()
+  }
+}
