@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental.
   */
 object LayoutQueries {
 
@@ -411,6 +411,37 @@ object LayoutQueries {
           graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"),
           graft.functions.Rounding.half2(sum("l_extendedprice")).as("sum_price"))
     }),
+
+    // INCREMENTAL VIEW MAINTENANCE OVER SNAPSHOT CDC — the reason CDC
+    // exists at 100 TB: refresh a materialized aggregate by applying
+    // the delta, never rescanning the table. Base = the aggregate at
+    // v3 (full lineitem); delta = diff(3,4) (the copy-on-write
+    // delete), applied with signed increments. The oracle replays the
+    // same base-minus-delta arithmetic in closed form — and all
+    // quantities go through BIGINT so incremental and direct
+    // summation cannot diverge in floating point (l_quantity is
+    // integral; FP base+delta vs direct-sum would differ in the last
+    // bits). Distinct output from q275 (delta columns included), same
+    // final-state invariant.
+    "q276_snapshot_incremental" -> ((s, d) => {
+      val root = Fixtures.snapshotTable(s, d)
+      val base = graft.sources.SnapshotTable.read(s, root, Some(3))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("b_rows"),
+          sum(col("l_quantity").cast("long")).as("b_qty"))
+      val delta = graft.sources.SnapshotTable
+        .diff(s, root, 3, 4, Seq("l_orderkey", "l_linenumber"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(col("change_type") === "insert", 1L).otherwise(-1L)).as("d_rows"),
+          sum(when(col("change_type") === "insert", col("l_quantity").cast("long"))
+            .otherwise(-col("l_quantity").cast("long"))).as("d_qty"),
+          sum(when(col("change_type") === "delete", 1L).otherwise(0L)).as("n_deleted"))
+      base.join(delta, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"),
+          (col("b_rows") + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          (col("b_qty") + coalesce(col("d_qty"), lit(0L))).as("sum_qty"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -732,5 +763,23 @@ object LayoutQueries {
         |FROM lineitem CROSS JOIN rng
         |WHERE l_orderkey NOT BETWEEN rng.lo AND rng.hi
         |GROUP BY l_returnflag""".stripMargin,
+
+    // The same base-minus-delta arithmetic in closed form: base = all
+    // of lineitem (v3), delta = the deleted stats range, all-BIGINT.
+    "q276_snapshot_incremental" ->
+      """WITH rng AS (SELECT max(l_orderkey) // 5 AS lo,
+        |  (3 * max(l_orderkey)) // 10 AS hi FROM lineitem),
+        |base AS (SELECT l_returnflag, count(*) AS b_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS b_qty
+        | FROM lineitem GROUP BY l_returnflag),
+        |del AS (SELECT l_returnflag, count(*) AS d_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d_qty
+        | FROM lineitem CROSS JOIN rng
+        | WHERE l_orderkey BETWEEN rng.lo AND rng.hi GROUP BY l_returnflag)
+        |SELECT base.l_returnflag,
+        | base.b_rows - coalesce(del.d_rows, 0) AS n_rows,
+        | coalesce(del.d_rows, 0) AS n_deleted,
+        | base.b_qty - coalesce(del.d_qty, 0) AS sum_qty
+        |FROM base LEFT JOIN del USING (l_returnflag)""".stripMargin,
   )
 }

@@ -74,9 +74,21 @@ object SnapshotTable {
   case class DataFileMeta(path: String, rows: Long, bytes: Long,
                           minKey: Long, maxKey: Long)
 
+  /** `streamId`/`streamBatch` are the streaming-delivery watermark:
+    * the id of the last streaming query to commit and its last
+    * delivered batchId (empty/-1 when no stream has written). They
+    * ride IN the manifest, so the watermark and the data it guards
+    * commit in the same atomic rename — the snapshot table has no
+    * marker-trails-data ambiguity window at all (contrast
+    * StreamingOps.idempotentCsvAppend, which needs a
+    * (batchId, length) protocol to disambiguate a crash between the
+    * data rename and the marker move). Non-streaming commits carry
+    * their parent's watermark forward unchanged.
+    */
   case class Manifest(version: Int, parent: Int, op: String,
                       statsCol: String, schemaJson: String,
-                      files: Seq[DataFileMeta]) {
+                      files: Seq[DataFileMeta],
+                      streamId: String = "", streamBatch: Long = -1L) {
     def totalRows: Long = files.map(_.rows).sum
   }
 
@@ -119,7 +131,8 @@ object SnapshotTable {
       DataFileMeta(p(1), p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong)
     }
     Manifest(kv("version").toInt, kv("parent").toInt, kv("op"),
-      kv("statsCol"), kv("schema"), files)
+      kv("statsCol"), kv("schema"), files,
+      kv.getOrElse("streamId", ""), kv.getOrElse("streamBatch", "-1").toLong)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -129,6 +142,8 @@ object SnapshotTable {
     sb ++= s"parent: ${m.parent}\n"
     sb ++= s"op: ${m.op}\n"
     sb ++= s"statsCol: ${m.statsCol}\n"
+    sb ++= s"streamId: ${m.streamId}\n"
+    sb ++= s"streamBatch: ${m.streamBatch}\n"
     sb ++= s"schema: ${m.schemaJson}\n"
     m.files.foreach { f =>
       sb ++= s"file\t${f.path}\t${f.rows}\t${f.bytes}\t${f.minKey}\t${f.maxKey}\n"
@@ -233,13 +248,69 @@ object SnapshotTable {
     val newFiles = writeDataFiles(spark, rp, df, base.statsCol)
     @tailrec def attempt(): Int = {
       val parent = latestVersion(fs, rp)
-      val parentFiles = readManifest(fs, rp, parent).files
+      val pm = readManifest(fs, rp, parent)
       val m = Manifest(parent + 1, parent, "append", base.statsCol,
-        base.schemaJson, parentFiles ++ newFiles)
+        base.schemaJson, pm.files ++ newFiles, pm.streamId, pm.streamBatch)
       if (tryCommit(spark, rp, m)) m.version else attempt()
     }
     attempt()
   }
+
+  /** Exactly-once streaming delivery into the snapshot table (the
+    * foreachBatch sink body): the (queryId, batchId) watermark commits
+    * INSIDE the manifest, atomically with the data it guards, so the
+    * marker-trails-data crash window of file-sink protocols does not
+    * exist here — a crash anywhere before the manifest rename delivers
+    * nothing (the replay re-delivers); after it, the replay is
+    * detected and skipped. Returns the committed version, or -1 for a
+    * skipped replay.
+    *
+    * Lineage rule (the idempotentCsvAppend lesson): batchIds are
+    * monotonic only within one checkpoint lineage. The watermark
+    * records the streaming QUERY ID; a different id (fresh checkpoint,
+    * batchIds restart at 0) re-baselines instead of treating early
+    * batches as already-delivered — at-least-once across a discarded
+    * checkpoint is the only achievable semantics, and silently
+    * dropping data would be strictly worse than a duplicate.
+    */
+  def streamingAppend(spark: SparkSession, root: String, df: DataFrame,
+                      batchId: Long): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse("")
+    def replayed(m: Manifest): Boolean =
+      m.streamId.nonEmpty && m.streamId == queryId && batchId <= m.streamBatch
+    val base = readManifest(fs, rp, latestVersion(fs, rp))
+    if (replayed(base)) return -1
+    require(schemaJson(df) == base.schemaJson,
+      s"streaming append schema mismatch at $root")
+    val newFiles = writeDataFiles(spark, rp, df, base.statsCol)
+    @tailrec def attempt(): Int = {
+      val parent = latestVersion(fs, rp)
+      val pm = readManifest(fs, rp, parent)
+      if (replayed(pm)) -1 // a racer of the same lineage delivered it
+      else {
+        val m = Manifest(parent + 1, parent, "append", base.statsCol,
+          base.schemaJson, pm.files ++ newFiles, queryId, batchId)
+        if (tryCommit(spark, rp, m)) m.version else attempt()
+      }
+    }
+    attempt()
+  }
+
+  /** `writeStream` terminal for a snapshot-table sink:
+    * {{{ snapshotSink(stream, root, ckpt).trigger(...).start() }}}
+    */
+  def snapshotSink(stream: DataFrame, root: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        streamingAppend(batch.sparkSession, root, batch.toDF(), batchId): Unit
+      }
 
   /** Delete all rows with statsCol in [lo, hi], copy-on-write at file
     * granularity: files whose envelope misses the range are carried
@@ -266,7 +337,7 @@ object SnapshotTable {
           writeDataFiles(spark, rp, survivors, base.statsCol)
         }
       val m = Manifest(parent + 1, parent, "delete", base.statsCol,
-        base.schemaJson, carried ++ rewritten)
+        base.schemaJson, carried ++ rewritten, base.streamId, base.streamBatch)
       if (tryCommit(spark, rp, m)) m.version else attempt()
     }
     attempt()
@@ -289,7 +360,7 @@ object SnapshotTable {
       val files = writeDataFiles(spark, rp,
         read(spark, root, Some(parent)).coalesce(n), base.statsCol)
       val m = Manifest(parent + 1, parent, "compact", base.statsCol,
-        base.schemaJson, files)
+        base.schemaJson, files, base.streamId, base.streamBatch)
       if (tryCommit(spark, rp, m)) m.version else attempt()
     }
     attempt()
