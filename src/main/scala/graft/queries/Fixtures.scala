@@ -130,7 +130,8 @@ object Fixtures {
     * over lineitem through [[graft.sources.SnapshotTable]] —
     * v1 create (orderkey%4==0), v2 append (%4==1), v3 append (%4 in
     * 2,3 — the table now holds ALL of lineitem), v4 copy-on-write
-    * deleteWhere(orderkey in [max/5, 3·max/10]), v5 compact. Each
+    * deleteWhere(orderkey in [max/5, 3·max/10]), v5 compact,
+    * v6 cluster (range-repartition + in-file sort on the key). Each
     * commit writes range-partitioned files on the stats column so the
     * delete's file-envelope pruning has files to carry. The commit
     * CHAIN is deterministic (predicates over table columns; the
@@ -156,6 +157,7 @@ object Fixtures {
       val (lo, hi) = snapshotDeleteRange(s, d)
       graft.sources.SnapshotTable.deleteWhere(s, root, lo, hi)
       graft.sources.SnapshotTable.compact(s, root)
+      graft.sources.SnapshotTable.cluster(s, root)
       root
     })
   }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range.
   */
 object LayoutQueries {
 
@@ -398,10 +398,11 @@ object LayoutQueries {
     }),
 
     // SNAPSHOT CURRENT-STATE — the latest version after the full
-    // history (create, two appends, copy-on-write delete, compaction):
-    // one scan certifies that the delete removed exactly the stats
-    // range (and nothing else) AND that compaction was lossless, in
-    // the same layout-invariance discipline as q253/q259/q272.
+    // history (create, two appends, copy-on-write delete, compaction,
+    // re-clustering): one scan certifies that the delete removed
+    // exactly the stats range (and nothing else) AND that both
+    // rewrites (compact, cluster) were lossless, in the same
+    // layout-invariance discipline as q253/q259/q272.
     "q275_snapshot_latest" -> ((s, d) => {
       val root = Fixtures.snapshotTable(s, d)
       graft.sources.SnapshotTable.read(s, root)
@@ -441,6 +442,27 @@ object LayoutQueries {
           (col("b_rows") + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
           coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
           (col("b_qty") + coalesce(col("d_qty"), lit(0L))).as("sum_qty"))
+    }),
+
+    // MANIFEST-ENVELOPE RANGE READ — the q144 skipping manifest as a
+    // table-format primitive: readRange opens only files whose
+    // [min,max] intersects the probe range (driver-side pruning from
+    // O(files) metadata, before Spark lists a single footer), valid
+    // here because v6 re-clustered the table on the key. The probe
+    // range [6·max/10, 7·max/10] sits clear of the deleted range, and
+    // the oracle answers from plain lineitem with both predicates —
+    // correctness is layout-invariant, the file skipping is pinned in
+    // SnapshotTableSpec via inputFiles on clustered vs unclustered
+    // layouts.
+    "q277_snapshot_range" -> ((s, d) => {
+      val root = Fixtures.snapshotTable(s, d)
+      val mx = Tables.lineitem(s, d).agg(max("l_orderkey")).head.getLong(0)
+      graft.sources.SnapshotTable.readRange(s, root, 6 * mx / 10, 7 * mx / 10)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          min("l_orderkey").as("min_key"),
+          max("l_orderkey").as("max_key"))
     }),
   )
 
@@ -781,5 +803,18 @@ object LayoutQueries {
         | coalesce(del.d_rows, 0) AS n_deleted,
         | base.b_qty - coalesce(del.d_qty, 0) AS sum_qty
         |FROM base LEFT JOIN del USING (l_returnflag)""".stripMargin,
+
+    // The probe range [6·max/10, 7·max/10] is disjoint from the
+    // deleted [max/5, 3·max/10], so plain lineitem with the range
+    // predicate states the answer directly.
+    "q277_snapshot_range" ->
+      """WITH rng AS (SELECT (6 * max(l_orderkey)) // 10 AS rlo,
+        |  (7 * max(l_orderkey)) // 10 AS rhi FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem CROSS JOIN rng
+        |WHERE l_orderkey BETWEEN rng.rlo AND rng.rhi""".stripMargin,
   )
 }

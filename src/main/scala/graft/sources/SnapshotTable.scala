@@ -256,6 +256,49 @@ object SnapshotTable {
     attempt()
   }
 
+  /** Append with SCHEMA EVOLUTION: new columns are admitted (forced
+    * nullable — files from before the evolution read them as null via
+    * parquet's clipped-schema semantics), type changes are rejected,
+    * and columns the batch lacks are null-filled. The manifest's
+    * schema widens to the union, with every field nullable from then
+    * on — so the strict [[append]] (exact-schema, nullability
+    * included) will reject pre-evolution writers until they pick up
+    * the widened schema: loud, not silent. Time travel is unaffected
+    * — each version's manifest keeps the schema the version was
+    * committed under.
+    */
+  def appendEvolved(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val base = readManifest(fs, rp, latestVersion(fs, rp))
+    val baseSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[StructType]
+    val baseByName = baseSchema.fields.map(f => f.name -> f).toMap
+    df.schema.fields.foreach { f =>
+      baseByName.get(f.name).foreach { bf =>
+        require(bf.dataType == f.dataType,
+          s"schema evolution cannot change the type of ${f.name}: ${bf.dataType} -> ${f.dataType}")
+      }
+    }
+    val newFields = df.schema.fields
+      .filterNot(f => baseByName.contains(f.name)).map(_.copy(nullable = true))
+    val merged = StructType(baseSchema.fields.map(_.copy(nullable = true)) ++ newFields)
+    val aligned = df.select(merged.fields.toIndexedSeq.map { f =>
+      (if (df.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }: _*)
+    val mergedJson = merged.json.replaceAll("[\\n\\r]", " ")
+    val newFiles = writeDataFiles(spark, rp, aligned, base.statsCol)
+    @tailrec def attempt(): Int = {
+      val parent = latestVersion(fs, rp)
+      val pm = readManifest(fs, rp, parent)
+      val m = Manifest(parent + 1, parent, "append", base.statsCol,
+        mergedJson, pm.files ++ newFiles, pm.streamId, pm.streamBatch)
+      if (tryCommit(spark, rp, m)) m.version else attempt()
+    }
+    attempt()
+  }
+
   /** Exactly-once streaming delivery into the snapshot table (the
     * foreachBatch sink body): the (queryId, batchId) watermark commits
     * INSIDE the manifest, atomically with the data it guards, so the
@@ -364,6 +407,53 @@ object SnapshotTable {
       if (tryCommit(spark, rp, m)) m.version else attempt()
     }
     attempt()
+  }
+
+  /** Re-cluster the current snapshot on the stats column
+    * (range-partition + in-file sort) as a new version: the remedy for
+    * an unclustered ingest, whose full-domain file envelopes defeat
+    * both [[deleteWhere]]'s copy-on-write pruning and [[readRange]]'s
+    * file skipping. Logical content is unchanged (same invariance
+    * contract as [[compact]]).
+    */
+  def cluster(spark: SparkSession, root: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    @tailrec def attempt(): Int = {
+      val parent = latestVersion(fs, rp)
+      val base = readManifest(fs, rp, parent)
+      val totalBytes = base.files.map(_.bytes).sum
+      val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      val clustered = read(spark, root, Some(parent))
+        .repartitionByRange(n, col(base.statsCol))
+        .sortWithinPartitions(base.statsCol)
+      val files = writeDataFiles(spark, rp, clustered, base.statsCol)
+      val m = Manifest(parent + 1, parent, "cluster", base.statsCol,
+        base.schemaJson, files, base.streamId, base.streamBatch)
+      if (tryCommit(spark, rp, m)) m.version else attempt()
+    }
+    attempt()
+  }
+
+  /** Range read with manifest-envelope file skipping: only files whose
+    * [min,max] intersects [lo, hi] are opened (the q144 skipping
+    * manifest as a table-format primitive — the driver prunes from
+    * O(files) metadata before Spark lists a single footer), then the
+    * row-level predicate finishes the job inside the survivors.
+    * Correct on ANY layout; fast on a clustered one — an unclustered
+    * table's envelopes all intersect and the read degrades to a full
+    * scan plus filter, never to a wrong answer.
+    */
+  def readRange(spark: SparkSession, root: String, lo: Long, hi: Long,
+                version: Option[Int] = None): DataFrame = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val v = version.getOrElse(latestVersion(fs, rp))
+    val m = readManifest(fs, rp, v)
+    val hit = m.files.filter(f => f.minKey <= hi && f.maxKey >= lo)
+    readFiles(spark, rp, m, hit)
+      .where(col(m.statsCol).cast("long").between(lo, hi))
   }
 
   private def readFiles(spark: SparkSession, root: Path, m: Manifest,

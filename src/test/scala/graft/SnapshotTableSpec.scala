@@ -130,6 +130,27 @@ class SnapshotTableSpec extends SparkSpec {
       "v1's files are still referenced by v1's manifest — vacuum must keep them")
   }
 
+  test("cluster restores envelope pruning: readRange opens only intersecting files") {
+    val root = freshRoot()
+    // deliberately UNCLUSTERED ingest: hash-scrambled order gives every
+    // file a full-domain [min,max] envelope
+    SnapshotTable.create(spark, root, rows(2000).repartition(8), "k")
+    val all = SnapshotTable.readRange(spark, root, 100L, 199L)
+    assert(all.count() == 100)
+    assert(all.inputFiles.length == 8,
+      "full-domain envelopes defeat skipping — correct, just unpruned")
+    val sumBefore = SnapshotTable.read(spark, root).agg(sum("k")).head.getLong(0)
+    SnapshotTable.cluster(spark, root, targetBytes = 4096)
+    val m = readManifest(fs(root), new Path(root), 2)
+    assert(m.files.size > 1, s"cluster must produce several files, got ${m.files.size}")
+    val pruned = SnapshotTable.readRange(spark, root, 100L, 199L)
+    assert(pruned.count() == 100)
+    assert(pruned.inputFiles.length < m.files.size,
+      s"clustered envelopes must skip files: opened ${pruned.inputFiles.length} of ${m.files.size}")
+    assert(SnapshotTable.read(spark, root).agg(sum("k")).head.getLong(0) == sumBefore,
+      "cluster is a lossless rewrite")
+  }
+
   test("streamingAppend: replay skipped, next batch delivered, fresh lineage re-baselines") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, rows(10), "k")
@@ -189,6 +210,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 180)
     assert(SnapshotTable.read(spark, root).select("k").distinct().count() == 180,
       "every key exactly once — no drop, no duplicate, by CONTENT")
+  }
+
+  test("appendEvolved widens the schema; old files read null; time travel keeps each version's schema") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(10), "k")
+    val v = SnapshotTable.appendEvolved(spark, root,
+      rows(5, 100).withColumn("lang", lit("en")))
+    assert(v == 2)
+    val tip = SnapshotTable.read(spark, root)
+    assert(tip.columns.toSeq == Seq("k", "v", "lang"))
+    assert(tip.where(col("lang").isNull).count() == 10,
+      "pre-evolution files must read the new column as null")
+    assert(tip.where(col("lang") === "en").count() == 5)
+    assert(SnapshotTable.read(spark, root, Some(1)).columns.toSeq == Seq("k", "v"),
+      "time travel reads each version under the schema it committed with")
+    // a batch MISSING the new column is null-filled, not rejected
+    assert(SnapshotTable.appendEvolved(spark, root, rows(3, 200)) == 3)
+    assert(SnapshotTable.read(spark, root).where(col("lang").isNull).count() == 13)
+    // a type CHANGE is rejected even under evolution
+    intercept[IllegalArgumentException] {
+      SnapshotTable.appendEvolved(spark, root,
+        rows(2, 300).withColumn("lang", lit(7)))
+    }
+    // rewrites preserve the evolved schema and its null backfill
+    SnapshotTable.compact(spark, root)
+    val compacted = SnapshotTable.read(spark, root)
+    assert(compacted.columns.toSeq == Seq("k", "v", "lang"))
+    assert(compacted.where(col("lang").isNull).count() == 13)
   }
 
   test("append rejects a mismatched schema; empty batches reference no files") {
