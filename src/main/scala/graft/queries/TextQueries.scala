@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis and tokenization: quality scores, lang-ID, BPE, packing, chunking, redaction, boilerplate, token rarity, bigram LM.
   *
-  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1, q210_feature_hash, q218_distinct_n, q219_merge_usage, q222_stupid_backoff, q223_token_dropout, q227_tv_divergence, q228_vocab_gini.
+  * Contract queries: q14_token_counts, q15_quality_score, q16_lang_id, q62_pack_budget, q68_redact, q72_bpe_tokens, q74_pack_bpe, q77_repetition, q83_boilerplate, q85_token_rarity, q87_chunking, q100_bigram_lm, q160_lang_confusion, q164_pack_efficiency, q183_data_card, q188_nfc_normalize, q203_tokenizer_fertility, q204_collocations, q209_vocab_chao1, q210_feature_hash, q218_distinct_n, q219_merge_usage, q222_stupid_backoff, q223_token_dropout, q227_tv_divergence, q228_vocab_gini, q278_frequent_pairs.
   * Moved verbatim from the pre-split SparkEntry.scala.
   */
 object TextQueries {
@@ -221,6 +221,28 @@ object TextQueries {
         when(pmod(did, lit(17)) === 0,
           concat(col("text"), lit(" zxqa zzcolloc"))).otherwise(col("text")).as("text"))
       TextAnalysisOps.collocations(corpus, "text", minCount = 3L, minLiftE4 = 30000L)
+    }),
+
+
+    // APRIORI FREQUENT PAIRS (market-basket over token sets): which
+    // tokens co-occur in >= minSupport DOCUMENTS (set semantics —
+    // q204's collocations count adjacent OCCURRENCES; this counts
+    // documents and ignores order/distance). The base corpus's shared
+    // vocabulary co-occurs everywhere (its pairs are background), so
+    // the fixture PLANTS residue structure: mb{id%8} x mc{id%12}
+    // co-occur only when the residues align mod lcm(8,12)=24 — exactly
+    // 24 of the 96 cross pairs exist at support n/24, the other 72
+    // have both legs frequent (n/8, n/12 docs) but ZERO co-occurrence,
+    // so the pair COUNT pass, not item pruning alone, must separate
+    // them. minSupport = n/30+1 sits between n/24 and the noise floor.
+    "q278_frequent_pairs" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(did.as("doc_id"),
+        concat(col("text"),
+          lit(" mb"), expr("CAST(doc_id % 8 AS STRING)"),
+          lit(" mc"), expr("CAST(doc_id % 12 AS STRING)")).as("text"))
+      val n = Tables.documents(s, d).count()
+      ItemsetOps.frequentPairs(corpus, "doc_id", "text",
+        minSupport = n / 30 + 1)
     }),
 
 
@@ -706,6 +728,32 @@ object TextQueries {
          |FROM bc b JOIN uc a ON a.w = b.w1 JOIN uc z ON z.w = b.w2 CROSS JOIN n
          |WHERE b.c_ab >= 3
          | AND (n.n_total * b.c_ab * 10000) // (a.c * z.c) >= 30000""".stripMargin,
+
+
+    // The same Apriori chain in closed form: per-doc DISTINCT tokens,
+    // item counts filtered at minSupport, pairs generated among
+    // frequent items only (binary order), pair counts filtered again.
+    "q278_frequent_pairs" ->
+      s"""WITH corpus AS (SELECT doc_id,
+         |  text || ' mb' || CAST(doc_id % 8 AS VARCHAR)
+         |       || ' mc' || CAST(doc_id % 12 AS VARCHAR) AS text
+         | FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) // 30 + 1 AS BIGINT) AS ms FROM documents),
+         |t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM corpus),
+         |i AS (SELECT doc_id, unnest(toks) AS t FROM t),
+         |ic AS (SELECT t, CAST(count(*) AS BIGINT) AS item_docs FROM i
+         |  GROUP BY t HAVING count(*) >= (SELECT ms FROM n)),
+         |ki AS (SELECT i.doc_id, i.t FROM i JOIN ic ON ic.t = i.t),
+         |pc AS (SELECT a.t AS t1, b.t AS t2,
+         |  CAST(count(*) AS BIGINT) AS pair_docs
+         | FROM ki a JOIN ki b ON a.doc_id = b.doc_id AND a.t < b.t
+         | GROUP BY 1, 2 HAVING count(*) >= (SELECT ms FROM n))
+         |SELECT pc.t1, pc.t2, pc.pair_docs,
+         | a.item_docs AS t1_docs, b.item_docs AS t2_docs,
+         | (n.n_docs * pc.pair_docs * 10000) // (a.item_docs * b.item_docs) AS lift_e4
+         |FROM pc JOIN ic a ON a.t = pc.t1 JOIN ic b ON b.t = pc.t2
+         |CROSS JOIN n""".stripMargin,
 
 
     // Count-of-counts per source; chao1 = D + f1(f1-1) // (2(f2+1)),
