@@ -157,7 +157,16 @@ object Fixtures {
       val (lo, hi) = snapshotDeleteRange(s, d)
       graft.sources.SnapshotTable.deleteWhere(s, root, lo, hi)
       graft.sources.SnapshotTable.compact(s, root)
-      graft.sources.SnapshotTable.cluster(s, root)
+      // target = tableBytes/8 so the re-cluster yields ~8 range files
+      // at EVERY sf — q277's envelope pruning needs files to skip
+      // (PlanAuditSpec pins the strict subset), and a fixed byte
+      // target either under-splits sf0.001 or shatters sf0.1
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tip = graft.sources.SnapshotTable.readManifest(fs, rp,
+        graft.sources.SnapshotTable.latestVersion(fs, rp))
+      graft.sources.SnapshotTable.cluster(s, root,
+        targetBytes = math.max(1L, tip.files.map(_.bytes).sum / 8))
       root
     })
   }
@@ -168,6 +177,35 @@ object Fixtures {
   private[graft] def snapshotDeleteRange(s: SparkSession, d: String): (Long, Long) = {
     val mx = Tables.lineitem(s, d).agg(max("l_orderkey")).head.getLong(0)
     (mx / 5, 3 * mx / 10)
+  }
+
+  /** Per-JVM MERGE-demo snapshot table for q279 (separate root from
+    * [[snapshotTable]] so the 5-commit fixture's versions stay
+    * stable): v1 = orders range-clustered on o_orderkey; v2 = ONE
+    * merge whose batch mixes updates (keys in [max/2, 6·max/10] with
+    * doubled price — replaced in place, count unchanged) and inserts
+    * (keys shifted by +max for o_orderkey%100==3 — genuinely new).
+    * The batch's stats range [max/2, 2·max] leaves the low-key files
+    * carried, so the merge exercises envelope pruning too.
+    */
+  private val mergeRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def mergeSnapshotTable(s: SparkSession, d: String): String = {
+    mergeRoots.computeIfAbsent(d, _ => {
+      val root = scratchIndexDir("graft-snapmerge")
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.sources.SnapshotTable.create(s, root,
+        ord.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+      val mx = Tables.orders(s, d).agg(max("o_orderkey")).head.getLong(0)
+      val updates = ord
+        .where(col("o_orderkey").between(mx / 2, 6 * mx / 10))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = ord.where(col("o_orderkey") % 100 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + mx)
+      graft.sources.SnapshotTable.merge(s, root,
+        updates.unionByName(inserts), Seq("o_orderkey"))
+      root
+    })
   }
 
   /** The decision rule's ESCAPE-HATCH arm as corpus state (q259): the

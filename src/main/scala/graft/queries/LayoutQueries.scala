@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge.
   */
 object LayoutQueries {
 
@@ -464,6 +464,24 @@ object LayoutQueries {
           min("l_orderkey").as("min_key"),
           max("l_orderkey").as("max_key"))
     }),
+
+    // SNAPSHOT MERGE (upsert) — one commit mixing in-place updates
+    // (doubled price for keys in [max/2, 6·max/10]: replaced, count
+    // UNCHANGED) and inserts (+max-shifted keys for %100==3). The
+    // anti-join survivors come only from files intersecting the
+    // batch's stats range — low-key files are carried verbatim
+    // (pinned in SnapshotTableSpec). The oracle restates the merged
+    // state in closed form: CASE for the update band, UNION ALL for
+    // the inserts — the hash certifies replace-not-duplicate
+    // semantics per key.
+    "q279_snapshot_merge" -> ((s, d) => {
+      val root = Fixtures.mergeSnapshotTable(s, d)
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -816,5 +834,22 @@ object LayoutQueries {
         | min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
         |FROM lineitem CROSS JOIN rng
         |WHERE l_orderkey BETWEEN rng.rlo AND rng.rhi""".stripMargin,
+
+    // The merged state in closed form: updates replace in place
+    // (CASE on the band), inserts append shifted keys.
+    "q279_snapshot_merge" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |merged AS (
+        | SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10
+        |   THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        | FROM orders CROSS JOIN mx
+        | UNION ALL
+        | SELECT o_orderkey + mx.m, o_orderstatus, o_totalprice
+        | FROM orders CROSS JOIN mx WHERE o_orderkey % 100 = 3)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
+        |FROM merged GROUP BY o_orderstatus""".stripMargin,
   )
 }

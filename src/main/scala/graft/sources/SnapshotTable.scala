@@ -386,6 +386,45 @@ object SnapshotTable {
     attempt()
   }
 
+  /** MERGE (upsert) a batch by key: rows whose key matches an existing
+    * row replace it; new keys insert — one commit, copy-on-write at
+    * file granularity. The stats column must be part of the key: a
+    * matched row then provably lives in a file whose [min,max]
+    * envelope contains its stats value, so only files intersecting
+    * the batch's stats range are read and rewritten (their non-matched
+    * rows survive via an anti-join against the batch's keys — cost
+    * ∝ touched files × batch, never the table); everything else is
+    * carried verbatim. A commit race re-derives the rewrite (the
+    * losing attempt's files become vacuum-able orphans).
+    */
+  def merge(spark: SparkSession, root: String, batch: DataFrame,
+            keyCols: Seq[String]): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val tip = readManifest(fs, rp, latestVersion(fs, rp))
+    require(keyCols.contains(tip.statsCol),
+      s"merge requires the stats column ${tip.statsCol} in the key (envelope pruning is key-driven)")
+    require(schemaJson(batch) == tip.schemaJson, s"merge schema mismatch at $root")
+    val range = batch.agg(
+      min(col(tip.statsCol).cast("long")), max(col(tip.statsCol).cast("long"))).head()
+    if (range.isNullAt(0)) return latestVersion(fs, rp) // empty batch: no-op
+    val (blo, bhi) = (range.getLong(0), range.getLong(1))
+    @tailrec def attempt(): Int = {
+      val parent = latestVersion(fs, rp)
+      val base = readManifest(fs, rp, parent)
+      val (touched, carried) =
+        base.files.partition(f => f.minKey <= bhi && f.maxKey >= blo)
+      val survivors = readFiles(spark, rp, base, touched)
+        .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val newFiles = writeDataFiles(spark, rp,
+        survivors.unionByName(batch), base.statsCol)
+      val m = Manifest(parent + 1, parent, "merge", base.statsCol,
+        base.schemaJson, carried ++ newFiles, base.streamId, base.streamBatch)
+      if (tryCommit(spark, rp, m)) m.version else attempt()
+    }
+    attempt()
+  }
+
   /** Rewrite the current snapshot into ~targetBytes files (the
     * [[Compaction]] op under snapshot isolation: readers of any
     * existing version are untouched; the compacted content commits as

@@ -757,4 +757,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"the groupBy on the bucket column must reuse the bucket partitioning:\n$p")
   }
+
+  test("snapshot CDC reads only changed files; the range read opens only envelope hits (q274, q277)") {
+    // the delete-leg diff (q274's second arm) is built from the
+    // added/removed file lists — a file CARRIED through the delete
+    // (same path in v3 and v4) must appear in NEITHER scan, so the
+    // CDC touches the delta, never the table. (q274's append leg
+    // diff(1,2) legitimately opens v2's added files, some of which
+    // are later carried — so the pin is on the delete leg alone.)
+    q("q274_snapshot_cdc").collect() // build the contract fixture
+    val root = graft.queries.Fixtures.snapshotTable(spark, sf)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val m3 = graft.sources.SnapshotTable.readManifest(fs, rp, 3)
+    val m4 = graft.sources.SnapshotTable.readManifest(fs, rp, 4)
+    val carried = m3.files.map(_.path).toSet.intersect(m4.files.map(_.path).toSet)
+    assert(carried.nonEmpty, "fixture must carry files through the delete")
+    val deleteLeg = graft.sources.SnapshotTable.diff(spark, root, 3, 4,
+      Seq("l_orderkey", "l_linenumber"))
+    assert(!deleteLeg.inputFiles.exists(f => carried.exists(f.endsWith)),
+      "CDC of the delete must never open a carried file")
+    // q277: the v6 re-clustered table serves the range read from a
+    // strict subset of its files (driver-side envelope pruning)
+    val d277 = q("q277_snapshot_range")
+    val tip = graft.sources.SnapshotTable.readManifest(fs, rp,
+      graft.sources.SnapshotTable.latestVersion(fs, rp))
+    assert(d277.inputFiles.nonEmpty &&
+      d277.inputFiles.length < tip.files.size,
+      s"range read opened ${d277.inputFiles.length} of ${tip.files.size} files — expected envelope pruning")
+  }
+
+  test("apriori pairs: frequent vocabulary broadcasts, pair stage is partial-aggregated (q278)") {
+    val p = plan(q("q278_frequent_pairs"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the domain-bounded frequent vocabulary must broadcast, never shuffle with tokens:\n$p")
+    // pair generation is the basket flatMap kernel, never a join
+    // product (the only nested-loop join allowed is the 1-row n_docs
+    // cross — the q196 totals pattern)
+    assert(p.contains("MapPartitions graft.operators.ItemsetOps"),
+      s"expected the basket pair-expansion kernel:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must be the basket flatMap, not a product:\n$p")
+    // map-side combine on the (t1, t2) counts: partial then final
+    assert(occurrences(p, "HashAggregate") >= 2,
+      s"expected partial+final aggregation on the pair counts:\n$p")
+  }
 }

@@ -130,6 +130,37 @@ class SnapshotTableSpec extends SparkSpec {
       "v1's files are still referenced by v1's manifest — vacuum must keep them")
   }
 
+  test("merge upserts by key: replace-not-duplicate, inserts land, low-key files carried") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(1000).repartitionByRange(8, col("k")), "k")
+    val m1 = readManifest(fs(root), new Path(root), 1)
+    // batch: update keys 300-349 (v := 999), insert keys 2000-2009
+    val batch = rows(50, 300).withColumn("v", lit(999L))
+      .unionByName(rows(10, 2000))
+    val v = SnapshotTable.merge(spark, root, batch, Seq("k"))
+    assert(v == 2)
+    val tip = SnapshotTable.read(spark, root)
+    assert(tip.count() == 1010, "updates replace, inserts add")
+    assert(tip.where(col("v") === 999L).count() == 50)
+    assert(tip.where(col("k").between(300, 349) && col("v") =!= 999L).count() == 0,
+      "no stale pre-update row may survive next to its replacement")
+    assert(tip.where(col("k") >= 2000).count() == 10)
+    // files below the batch's stats range [300, 2009] are carried
+    val m2 = readManifest(fs(root), new Path(root), 2)
+    val carried = m2.files.map(_.path).toSet
+      .intersect(m1.files.map(_.path).toSet)
+    assert(carried.nonEmpty, "low-key files must be carried, not rewritten")
+    assert(m1.files.filter(f => carried.contains(f.path)).forall(_.maxKey < 300))
+    // statsCol not in the key is rejected (envelope pruning is key-driven)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, root, batch, Seq("v"))
+    }
+    // empty batch is a no-op, not a corrupted commit
+    assert(SnapshotTable.merge(spark, root,
+      rows(5).where(col("k") < 0), Seq("k")) == 2)
+  }
+
   test("cluster restores envelope pruning: readRange opens only intersecting files") {
     val root = freshRoot()
     // deliberately UNCLUSTERED ingest: hash-scrambled order gives every
