@@ -85,6 +85,17 @@ object SnapshotScaleProbe {
       val m3 = SnapshotTable.readManifest(fs, new Path(root), 3)
       val carried = m3.files.map(_.path).toSet
         .intersect(m2.files.map(_.path).toSet).size
+      // merge: a 2% update band + 0.5% fresh keys — the upsert's cost
+      // must track its touched slice like the delete's does
+      val ulo = n * 7 / 10
+      val mergeBatch = rows(n * 2 / 100, ulo)
+        .unionByName(rows(math.max(1000L, n / 200), 2 * n))
+      val (_, tMerge) = timed(
+        SnapshotTable.merge(spark, root, mergeBatch, Seq("k")))
+      val m3b = SnapshotTable.readManifest(fs, new Path(root), 3)
+      val m4b = SnapshotTable.readManifest(fs, new Path(root), 4)
+      val mergeCarried = m4b.files.map(_.path).toSet
+        .intersect(m3b.files.map(_.path).toSet).size
       val tDiffDel = median((1 to reps).map { _ =>
         timed(SnapshotTable.diff(spark, root, 2, 3, Seq("k")).count())._2
       })
@@ -96,7 +107,8 @@ object SnapshotScaleProbe {
         timed(SnapshotTable.read(spark, root).agg(sum("v")).collect())._2
       })
       val (nVac, tVacuum) = timed(SnapshotTable.vacuum(spark, root))
-      println(f"$n%8d $tCreate%9.2f $tAppend%9.2f $tDelete%9.2f $tDiffDel%7.2f $tDiffApp%9.2f $tScan%9.2f $tVacuum%9.2f ${m3.files.size}%9d  $carried/${m2.files.size} orphans=$nVac")
+      println(f"$n%8d $tCreate%9.2f $tAppend%9.2f $tDelete%9.2f $tDiffDel%7.2f $tDiffApp%9.2f $tScan%9.2f $tVacuum%9.2f ${m3.files.size}%9d  $carried/${m2.files.size} orphans=$nVac " +
+        f"merge=$tMerge%.2fs carried=$mergeCarried/${m3b.files.size}")
     }
     spark.stop()
   }

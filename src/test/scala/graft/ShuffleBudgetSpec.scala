@@ -85,4 +85,32 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(ann < embBytes / 10,
       s"q28 shuffled $ann bytes vs $embBytes of embeddings — heap aggregation lost?")
   }
+
+  test("snapshot CDC shuffles the changed files' slice, never the table") {
+    // the fixture table holds ALL of lineitem across its versions; the
+    // q274 diff (one appended quarter + the deleted ~10% range through
+    // keyed anti-joins + the group-by) must cost a fraction of a
+    // whole-table exchange
+    val tableBytes = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag")
+      .agg(sum(lit(8L * 3) + lit(8L) + length(col("l_returnflag"))))
+      .collect().head.getLong(0)
+    val cdc = shuffleBytes(q("q274_snapshot_cdc"))
+    assert(cdc < tableBytes,
+      s"q274 shuffled $cdc bytes vs ~$tableBytes of table payload — " +
+        "the diff is reading carried files or joining unpruned sides")
+  }
+
+  test("apriori pairs shuffle tokens and pair keys, never document text") {
+    val textBytes = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).collect().head.getLong(0)
+    // the token/count passes shuffle (token, count) and the basket
+    // stage shuffles (doc, frequent-token set); the text column itself
+    // must never reach an exchange
+    val pairs = shuffleBytes(q("q278_frequent_pairs"))
+    assert(pairs < textBytes,
+      s"q278 shuffled $pairs bytes vs $textBytes of text — " +
+        "document payloads are leaking into an exchange")
+  }
 }
