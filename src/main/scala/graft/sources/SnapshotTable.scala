@@ -390,12 +390,16 @@ object SnapshotTable {
     * row replace it; new keys insert — one commit, copy-on-write at
     * file granularity. The stats column must be part of the key: a
     * matched row then provably lives in a file whose [min,max]
-    * envelope contains its stats value, so only files intersecting
-    * the batch's stats range are read and rewritten (their non-matched
-    * rows survive via an anti-join against the batch's keys — cost
-    * ∝ touched files × batch, never the table); everything else is
-    * carried verbatim. A commit race re-derives the rewrite (the
-    * losing attempt's files become vacuum-able orphans).
+    * envelope contains its stats value, so the touched set is EXACT —
+    * a file is rewritten iff its envelope contains at least one actual
+    * batch key (interval stabbing over the broadcast envelope table,
+    * one narrow pass over the batch — NOT the batch's [min,max] range,
+    * which a scattered batch blows up to most of the table: a 2%
+    * update band plus far-key inserts touches only the band's files
+    * here). Non-matched rows of touched files survive via an anti-join
+    * against the batch's keys; everything else is carried verbatim.
+    * A commit race re-derives the rewrite (the losing attempt's files
+    * become vacuum-able orphans).
     */
   def merge(spark: SparkSession, root: String, batch: DataFrame,
             keyCols: Seq[String]): Int = {
@@ -405,15 +409,13 @@ object SnapshotTable {
     require(keyCols.contains(tip.statsCol),
       s"merge requires the stats column ${tip.statsCol} in the key (envelope pruning is key-driven)")
     require(schemaJson(batch) == tip.schemaJson, s"merge schema mismatch at $root")
-    val range = batch.agg(
-      min(col(tip.statsCol).cast("long")), max(col(tip.statsCol).cast("long"))).head()
-    if (range.isNullAt(0)) return latestVersion(fs, rp) // empty batch: no-op
-    val (blo, bhi) = (range.getLong(0), range.getLong(1))
+    if (batch.isEmpty) return latestVersion(fs, rp) // no-op
     @tailrec def attempt(): Int = {
       val parent = latestVersion(fs, rp)
       val base = readManifest(fs, rp, parent)
+      val touchedPaths = stabbedFiles(spark, base, batch)
       val (touched, carried) =
-        base.files.partition(f => f.minKey <= bhi && f.maxKey >= blo)
+        base.files.partition(f => touchedPaths.contains(f.path))
       val survivors = readFiles(spark, rp, base, touched)
         .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
       val newFiles = writeDataFiles(spark, rp,
@@ -423,6 +425,49 @@ object SnapshotTable {
       if (tryCommit(spark, rp, m)) m.version else attempt()
     }
     attempt()
+  }
+
+  /** The paths of files whose envelope contains at least one batch
+    * key. Envelopes (O(files) driver metadata) broadcast sorted by
+    * minKey with a prefix-max of maxKey; each batch key binary-searches
+    * its stab point and walks left only while the prefix-max proves a
+    * container can still exist — O(log F + overlap) per key on a
+    * clustered layout, degrading gracefully (never wrongly pruning)
+    * when envelopes overlap. Output is ≤ F file indices per partition,
+    * so the collect is envelope-sized, not batch-sized.
+    */
+  private def stabbedFiles(spark: SparkSession, base: Manifest,
+                           batch: DataFrame): Set[String] = {
+    val files = base.files.toArray
+    if (files.isEmpty) return Set.empty
+    val order = files.indices.sortBy(files(_).minKey).toArray
+    val mins = order.map(files(_).minKey)
+    val maxs = order.map(files(_).maxKey)
+    val prefMax = maxs.clone()
+    for (i <- 1 until prefMax.length)
+      prefMax(i) = math.max(prefMax(i - 1), prefMax(i))
+    val bc = spark.sparkContext.broadcast((mins, maxs, prefMax))
+    import spark.implicits._
+    val hit = batch.select(col(base.statsCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val (mn, mx, pm) = bc.value
+        val seen = new java.util.BitSet(mn.length)
+        it.foreach { k =>
+          // last index with minKey <= k
+          var lo = 0; var hi = mn.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (mn(mid) <= k) lo = mid + 1 else hi = mid
+          }
+          var i = lo - 1
+          while (i >= 0 && pm(i) >= k) {
+            if (mx(i) >= k) seen.set(i)
+            i -= 1
+          }
+        }
+        Iterator.range(0, mn.length).filter(seen.get)
+      }.distinct().collect()
+    hit.map(i => files(order(i)).path).toSet
   }
 
   /** Rewrite the current snapshot into ~targetBytes files (the

@@ -146,12 +146,18 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tip.where(col("k").between(300, 349) && col("v") =!= 999L).count() == 0,
       "no stale pre-update row may survive next to its replacement")
     assert(tip.where(col("k") >= 2000).count() == 10)
-    // files below the batch's stats range [300, 2009] are carried
+    // the touched set is EXACT: despite the batch's [300, 2009] key
+    // SPREAD (far inserts), only the file(s) whose envelope contains
+    // an actual update key [300, 349] are rewritten — a range-based
+    // pruner would have touched every file from 300 up
     val m2 = readManifest(fs(root), new Path(root), 2)
     val carried = m2.files.map(_.path).toSet
       .intersect(m1.files.map(_.path).toSet)
-    assert(carried.nonEmpty, "low-key files must be carried, not rewritten")
-    assert(m1.files.filter(f => carried.contains(f.path)).forall(_.maxKey < 300))
+    val touched = m1.files.filterNot(f => carried.contains(f.path))
+    assert(touched.forall(f => f.minKey <= 349 && f.maxKey >= 300),
+      s"only update-band files may be rewritten, got $touched")
+    assert(touched.size <= 2 && carried.size >= m1.files.size - 2,
+      s"expected ~1 touched file of ${m1.files.size}, got ${touched.size}")
     // statsCol not in the key is rejected (envelope pruning is key-driven)
     intercept[IllegalArgumentException] {
       SnapshotTable.merge(spark, root, batch, Seq("v"))
