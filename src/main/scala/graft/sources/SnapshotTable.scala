@@ -560,6 +560,7 @@ object SnapshotTable {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
     val v = version.getOrElse(latestVersion(fs, rp))
+    require(v > 0, s"no committed snapshot at $root")
     val m = readManifest(fs, rp, v)
     readFiles(spark, rp, m, m.files)
   }
@@ -586,11 +587,15 @@ object SnapshotTable {
     val addedDf = readFiles(spark, rp, to, added)
     val removedDf = readFiles(spark, rp, from, removed)
     val keys = keyCols.map(col)
+    // allowMissingColumns: across a schema-evolution boundary the two
+    // snapshots' schemas differ — the older side's missing columns
+    // read as null rather than failing the union
     addedDf.join(removedDf.select(keys: _*), keyCols, "left_anti")
       .withColumn("change_type", lit("insert"))
       .unionByName(
         removedDf.join(addedDf.select(keys: _*), keyCols, "left_anti")
-          .withColumn("change_type", lit("delete")))
+          .withColumn("change_type", lit("delete")),
+        allowMissingColumns = true)
   }
 
   /** Delete data files referenced by NO manifest (failed-commit and

@@ -275,6 +275,11 @@ class SnapshotTableSpec extends SparkSpec {
     val compacted = SnapshotTable.read(spark, root)
     assert(compacted.columns.toSeq == Seq("k", "v", "lang"))
     assert(compacted.where(col("lang").isNull).count() == 13)
+    // CDC across the evolution boundary: the older side's missing
+    // column reads null instead of failing the union
+    val d = SnapshotTable.diff(spark, root, 1, 2, Seq("k"))
+    assert(d.where(col("change_type") === "insert").count() == 5)
+    assert(d.columns.contains("lang"))
   }
 
   test("append rejects a mismatched schema; empty batches reference no files") {
