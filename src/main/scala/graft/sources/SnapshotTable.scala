@@ -2,8 +2,6 @@ package graft.sources
 
 import java.util.UUID
 
-import scala.annotation.tailrec
-
 import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -93,6 +91,60 @@ object SnapshotTable {
   }
 
   private val Header = "graft-snapshot-manifest v1"
+
+  /** Commit-retry policy (the house retry convention, same shape as the
+    * fetch layer's 3-attempts-linear-backoff): a writer that keeps
+    * losing the optimistic-commit race re-derives at most `MaxCommitAttempts`
+    * times with linear backoff, then fails LOUDLY naming the versions it
+    * lost to — an unbounded retry loop under sustained contention would
+    * spin forever re-running data-side rewrites.
+    */
+  private val MaxCommitAttempts = 5
+  private val CommitBackoffMs = 50L
+
+  /** Test-only injection point: invoked with (op, table root) once per
+    * commit attempt, after the attempt has read its parent manifest and
+    * before it derives its candidate — the exact window a racing writer
+    * exploits. Specs use it to deterministically interleave a competing
+    * committer (racing evolutions, compact-vs-merge, permanent
+    * contention), filtering on their own root so concurrent suites are
+    * untouched; production code never sets it.
+    */
+  @volatile private[graft] var onCommitAttempt: (String, Path) => Unit = (_, _) => ()
+
+  /** The optimistic-commit driver shared by every multi-attempt writer:
+    * read the tip, let `build` derive a candidate manifest against it
+    * (None = the caller detected a replay/no-op — surfaced as -1),
+    * install with the no-overwrite rename; on a lost race, back off
+    * linearly and re-derive against the NEW tip, up to
+    * [[MaxCommitAttempts]]. `build` must re-derive EVERYTHING
+    * parent-dependent inside itself (file list, schema merge, rewrite) —
+    * the appendEvolved stale-schema race was exactly a value computed
+    * outside this loop and reused across retries.
+    */
+  private def commitLoop(spark: SparkSession, fs: FileSystem, rp: Path,
+                         what: String)
+                        (build: Manifest => Option[Manifest]): Int = {
+    var attemptN = 1
+    while (true) {
+      val pm = readManifest(fs, rp, latestVersion(fs, rp))
+      onCommitAttempt(what, rp)
+      build(pm) match {
+        case None => return -1
+        case Some(m) =>
+          if (tryCommit(spark, rp, m)) return m.version
+      }
+      if (attemptN >= MaxCommitAttempts)
+        throw new java.io.IOException(
+          s"$what at $rp gave up after $MaxCommitAttempts lost commit races " +
+          s"(last derived against v${pm.version}; tip is now " +
+          s"v${latestVersion(fs, rp)}) — sustained writer contention; " +
+          "retry when the table quiesces")
+      Thread.sleep(CommitBackoffMs * attemptN)
+      attemptN += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def metaDir(root: Path) = new Path(root, "meta")
   private def dataDir(root: Path) = new Path(root, "data")
@@ -190,14 +242,32 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     val staging = new Path(root, s".staging-${UUID.randomUUID()}")
     df.write.parquet(staging.toString)
-    val stats = spark.read.parquet(staging.toString)
+    val statRows = spark.read.parquet(staging.toString)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("rows"),
+        count(col(statsCol).cast("long")).as("nonnull"),
         min(col(statsCol).cast("long")).as("lo"),
         max(col(statsCol).cast("long")).as("hi"))
       .collect()
+    // Null stats values have no place in an envelope: min/max ignore
+    // them (a file's [lo,hi] would silently exclude its null rows, so
+    // deleteWhere's survivor predicate and readRange's skipping would
+    // both silently drop them), and an all-null file has no envelope at
+    // all. Reject at write time — the one choke point every commit path
+    // (create/append/merge/delete-rewrite/compact/cluster) goes through
+    // — so no committed file ever carries a null key.
+    val nullRows = statRows.iterator.map(r => r.getLong(1) - r.getLong(2)).sum
+    if (nullRows > 0) {
+      fs.delete(staging, true)
+      throw new IllegalArgumentException(
+        s"stats column $statsCol is null (or not castable to long) on " +
+        s"$nullRows row(s) of the staged batch — the file-envelope " +
+        "contract requires a non-null integral key on every row; filter " +
+        "or fill those rows before writing")
+    }
+    val stats = statRows.iterator
       .map(r => new Path(new java.net.URI(r.getString(0))).getName ->
-        (r.getLong(1), r.getLong(2), r.getLong(3)))
+        (r.getLong(1), r.getLong(3), r.getLong(4)))
       .toMap
     fs.mkdirs(dataDir(root))
     val metas = fs.listStatus(staging)
@@ -219,6 +289,43 @@ object SnapshotTable {
   private def schemaJson(df: DataFrame): String =
     df.schema.json.replaceAll("[\\n\\r]", " ")
 
+  private def schemaJsonOf(st: StructType): String =
+    st.json.replaceAll("[\\n\\r]", " ")
+
+  private def parseSchema(json: String): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+
+  /** The evolution rules, factored so every evolving writer (entry AND
+    * retry — a lost commit race must re-merge against the new parent,
+    * never reuse a merge computed against a stale one) applies the same
+    * law: same-named fields keep their type (else loud), every field
+    * goes nullable from then on, genuinely new fields append in
+    * `incoming` order.
+    */
+  private def mergeSchemas(base: StructType, incoming: StructType): StructType = {
+    val baseByName = base.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      baseByName.get(f.name).foreach { bf =>
+        require(bf.dataType == f.dataType,
+          s"schema evolution cannot change the type of ${f.name}: ${bf.dataType} -> ${f.dataType}")
+      }
+    }
+    val newFields = incoming.fields
+      .filterNot(f => baseByName.contains(f.name)).map(_.copy(nullable = true))
+    StructType(base.fields.map(_.copy(nullable = true)) ++ newFields)
+  }
+
+  /** Project `df` onto `target`: present columns cast to the target
+    * type, absent ones null-filled — the column-alignment half of the
+    * evolution rules. Identity when `df` already matches (Catalyst
+    * collapses the no-op projection).
+    */
+  private def alignTo(df: DataFrame, target: StructType): DataFrame =
+    df.select(target.fields.toIndexedSeq.map { f =>
+      (if (df.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }: _*)
+
   /** Create the table at `root` as version 1. `statsCol` must be an
     * integral column; its per-file min/max envelope drives
     * [[deleteWhere]]'s copy-on-write pruning.
@@ -236,8 +343,13 @@ object SnapshotTable {
   }
 
   /** Append `df` as a new snapshot; returns the committed version.
-    * Retries on commit races — the data files written once stay valid
-    * across retries, only the parent file list is re-derived.
+    * Retries (bounded) on commit races — the data files written once
+    * stay valid across retries, only the parent file list is re-read.
+    * A retry that finds the tip schema CHANGED (a schema evolution won
+    * the race) fails loudly rather than committing a manifest that
+    * silently reverts the widening — the strict-append contract is
+    * "validated against this exact schema", and that validation must
+    * hold against the parent actually committed under.
     */
   def append(spark: SparkSession, root: String, df: DataFrame): Int = {
     val rp = new Path(root)
@@ -246,14 +358,15 @@ object SnapshotTable {
     require(schemaJson(df) == base.schemaJson,
       s"append schema mismatch at $root")
     val newFiles = writeDataFiles(spark, rp, df, base.statsCol)
-    @tailrec def attempt(): Int = {
-      val parent = latestVersion(fs, rp)
-      val pm = readManifest(fs, rp, parent)
-      val m = Manifest(parent + 1, parent, "append", base.statsCol,
-        base.schemaJson, pm.files ++ newFiles, pm.streamId, pm.streamBatch)
-      if (tryCommit(spark, rp, m)) m.version else attempt()
+    commitLoop(spark, fs, rp, "append") { pm =>
+      if (pm.schemaJson != base.schemaJson)
+        throw new IllegalStateException(
+          s"append at $root lost a race to a schema evolution (validated " +
+          s"against v${base.version}'s schema; tip v${pm.version} differs) — " +
+          "re-read the tip and use appendEvolved")
+      Some(Manifest(pm.version + 1, pm.version, "append", base.statsCol,
+        base.schemaJson, pm.files ++ newFiles, pm.streamId, pm.streamBatch))
     }
-    attempt()
   }
 
   /** Append with SCHEMA EVOLUTION: new columns are admitted (forced
@@ -271,32 +384,20 @@ object SnapshotTable {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
     val base = readManifest(fs, rp, latestVersion(fs, rp))
-    val baseSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
-      .asInstanceOf[StructType]
-    val baseByName = baseSchema.fields.map(f => f.name -> f).toMap
-    df.schema.fields.foreach { f =>
-      baseByName.get(f.name).foreach { bf =>
-        require(bf.dataType == f.dataType,
-          s"schema evolution cannot change the type of ${f.name}: ${bf.dataType} -> ${f.dataType}")
-      }
+    val merged = mergeSchemas(parseSchema(base.schemaJson), df.schema)
+    val newFiles = writeDataFiles(spark, rp, alignTo(df, merged), base.statsCol)
+    commitLoop(spark, fs, rp, "appendEvolved") { pm =>
+      // Racing evolutions: the parent this attempt actually commits
+      // under may have widened SINCE entry (another appendEvolved won a
+      // race). Re-merge against the NEW parent's schema — committing the
+      // entry-time merge here would silently NARROW the tip schema (the
+      // racer's column stays in its data files but vanishes from the
+      // projection). The data files written above conform to the
+      // entry-time merge, a subset of this union, so reads null-fill.
+      val finalJson = schemaJsonOf(mergeSchemas(parseSchema(pm.schemaJson), merged))
+      Some(Manifest(pm.version + 1, pm.version, "append", base.statsCol,
+        finalJson, pm.files ++ newFiles, pm.streamId, pm.streamBatch))
     }
-    val newFields = df.schema.fields
-      .filterNot(f => baseByName.contains(f.name)).map(_.copy(nullable = true))
-    val merged = StructType(baseSchema.fields.map(_.copy(nullable = true)) ++ newFields)
-    val aligned = df.select(merged.fields.toIndexedSeq.map { f =>
-      (if (df.columns.contains(f.name)) col(f.name) else lit(null))
-        .cast(f.dataType).as(f.name)
-    }: _*)
-    val mergedJson = merged.json.replaceAll("[\\n\\r]", " ")
-    val newFiles = writeDataFiles(spark, rp, aligned, base.statsCol)
-    @tailrec def attempt(): Int = {
-      val parent = latestVersion(fs, rp)
-      val pm = readManifest(fs, rp, parent)
-      val m = Manifest(parent + 1, parent, "append", base.statsCol,
-        mergedJson, pm.files ++ newFiles, pm.streamId, pm.streamBatch)
-      if (tryCommit(spark, rp, m)) m.version else attempt()
-    }
-    attempt()
   }
 
   /** Exactly-once streaming delivery into the snapshot table (the
@@ -330,17 +431,16 @@ object SnapshotTable {
     require(schemaJson(df) == base.schemaJson,
       s"streaming append schema mismatch at $root")
     val newFiles = writeDataFiles(spark, rp, df, base.statsCol)
-    @tailrec def attempt(): Int = {
-      val parent = latestVersion(fs, rp)
-      val pm = readManifest(fs, rp, parent)
-      if (replayed(pm)) -1 // a racer of the same lineage delivered it
-      else {
-        val m = Manifest(parent + 1, parent, "append", base.statsCol,
-          base.schemaJson, pm.files ++ newFiles, queryId, batchId)
-        if (tryCommit(spark, rp, m)) m.version else attempt()
-      }
+    commitLoop(spark, fs, rp, "streamingAppend") { pm =>
+      if (replayed(pm)) None // a racer of the same lineage delivered it
+      else if (pm.schemaJson != base.schemaJson)
+        throw new IllegalStateException(
+          s"streamingAppend at $root lost a race to a schema evolution " +
+          s"(validated against v${base.version}'s schema; tip v${pm.version} " +
+          "differs) — restart the stream against the widened schema")
+      else Some(Manifest(pm.version + 1, pm.version, "append", base.statsCol,
+        base.schemaJson, pm.files ++ newFiles, queryId, batchId))
     }
-    attempt()
   }
 
   /** `writeStream` terminal for a snapshot-table sink:
@@ -366,24 +466,23 @@ object SnapshotTable {
   def deleteWhere(spark: SparkSession, root: String, lo: Long, hi: Long): Int = {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
-    @tailrec def attempt(): Int = {
-      val parent = latestVersion(fs, rp)
-      val base = readManifest(fs, rp, parent)
+    commitLoop(spark, fs, rp, "deleteWhere") { base =>
       val (touched, carried) =
         base.files.partition(f => f.minKey <= hi && f.maxKey >= lo)
       val rewritten =
         if (touched.isEmpty) Nil
         else {
+          // writeDataFiles rejects null stats keys at every commit, so
+          // no touched file can hold a null-key row for the survivor
+          // predicate's three-valued logic to silently drop
           val survivors = readFiles(spark, rp, base, touched)
             .where(col(base.statsCol).cast("long") < lo ||
                    col(base.statsCol).cast("long") > hi)
           writeDataFiles(spark, rp, survivors, base.statsCol)
         }
-      val m = Manifest(parent + 1, parent, "delete", base.statsCol,
-        base.schemaJson, carried ++ rewritten, base.streamId, base.streamBatch)
-      if (tryCommit(spark, rp, m)) m.version else attempt()
+      Some(Manifest(base.version + 1, base.version, "delete", base.statsCol,
+        base.schemaJson, carried ++ rewritten, base.streamId, base.streamBatch))
     }
-    attempt()
   }
 
   /** MERGE (upsert) a batch by key: rows whose key matches an existing
@@ -399,7 +498,9 @@ object SnapshotTable {
     * here). Non-matched rows of touched files survive via an anti-join
     * against the batch's keys; everything else is carried verbatim.
     * A commit race re-derives the rewrite (the losing attempt's files
-    * become vacuum-able orphans).
+    * become vacuum-able orphans). The batch's keys must be UNIQUE
+    * (checked, loud) and its schema either the tip's or a widening of
+    * it under the [[appendEvolved]] evolution rules.
     */
   def merge(spark: SparkSession, root: String, batch: DataFrame,
             keyCols: Seq[String]): Int = {
@@ -408,23 +509,47 @@ object SnapshotTable {
     val tip = readManifest(fs, rp, latestVersion(fs, rp))
     require(keyCols.contains(tip.statsCol),
       s"merge requires the stats column ${tip.statsCol} in the key (envelope pruning is key-driven)")
-    require(schemaJson(batch) == tip.schemaJson, s"merge schema mismatch at $root")
+    // The upsert and evolution paths COMPOSE: a batch whose schema is
+    // the tip's exactly merges under the tip schema unchanged; a batch
+    // that widens it (new columns, or missing ones to null-fill) goes
+    // through the same rules as appendEvolved — type changes stay loud.
+    // A CDC consumer whose upstream adds a column no longer needs a
+    // dummy appendEvolved first.
+    val evolving = schemaJson(batch) != tip.schemaJson
+    val entryMerged =
+      if (evolving) mergeSchemas(parseSchema(tip.schemaJson), batch.schema)
+      else parseSchema(tip.schemaJson)
+    val alignedBatch = if (evolving) alignTo(batch, entryMerged) else batch
     if (batch.isEmpty) return latestVersion(fs, rp) // no-op
-    @tailrec def attempt(): Int = {
-      val parent = latestVersion(fs, rp)
-      val base = readManifest(fs, rp, parent)
-      val touchedPaths = stabbedFiles(spark, base, batch)
+    // Unique-key contract: duplicate batch keys would all survive the
+    // anti-join union and commit as duplicate table keys, silently
+    // breaking replace-not-duplicate AND the keyed contract diff()
+    // relies on. One aggregation pass over the batch, loud failure.
+    val uniq = batch.agg(count(lit(1)).as("n"),
+      count_distinct(struct(keyCols.map(col): _*)).as("k")).head
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"merge batch has duplicate keys: ${uniq.getLong(0)} rows over " +
+      s"${uniq.getLong(1)} distinct ${keyCols.mkString("(", ",", ")")} — " +
+      "deduplicate (e.g. keep-latest per key) before merging")
+    commitLoop(spark, fs, rp, "merge") { base =>
+      // Re-derive the final schema against THIS parent (a racing
+      // evolution may have widened it since entry — same rule as
+      // appendEvolved's retry); survivors and batch both align to it.
+      val finalJson =
+        if (!evolving && base.schemaJson == tip.schemaJson) base.schemaJson
+        else schemaJsonOf(mergeSchemas(parseSchema(base.schemaJson), entryMerged))
+      val finalSchema = parseSchema(finalJson)
+      val touchedPaths = stabbedFiles(spark, base, alignedBatch)
       val (touched, carried) =
         base.files.partition(f => touchedPaths.contains(f.path))
       val survivors = readFiles(spark, rp, base, touched)
-        .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .join(alignedBatch.select(keyCols.map(col): _*), keyCols, "left_anti")
       val newFiles = writeDataFiles(spark, rp,
-        survivors.unionByName(batch), base.statsCol)
-      val m = Manifest(parent + 1, parent, "merge", base.statsCol,
-        base.schemaJson, carried ++ newFiles, base.streamId, base.streamBatch)
-      if (tryCommit(spark, rp, m)) m.version else attempt()
+        alignTo(survivors, finalSchema)
+          .unionByName(alignTo(alignedBatch, finalSchema)), base.statsCol)
+      Some(Manifest(base.version + 1, base.version, "merge", base.statsCol,
+        finalJson, carried ++ newFiles, base.streamId, base.streamBatch))
     }
-    attempt()
   }
 
   /** The paths of files whose envelope contains at least one batch
@@ -436,7 +561,7 @@ object SnapshotTable {
     * when envelopes overlap. Output is ≤ F file indices per partition,
     * so the collect is envelope-sized, not batch-sized.
     */
-  private def stabbedFiles(spark: SparkSession, base: Manifest,
+  private[graft] def stabbedFiles(spark: SparkSession, base: Manifest,
                            batch: DataFrame): Set[String] = {
     val files = base.files.toArray
     if (files.isEmpty) return Set.empty
@@ -479,18 +604,14 @@ object SnapshotTable {
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
-    @tailrec def attempt(): Int = {
-      val parent = latestVersion(fs, rp)
-      val base = readManifest(fs, rp, parent)
+    commitLoop(spark, fs, rp, "compact") { base =>
       val totalBytes = base.files.map(_.bytes).sum
       val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
       val files = writeDataFiles(spark, rp,
-        read(spark, root, Some(parent)).coalesce(n), base.statsCol)
-      val m = Manifest(parent + 1, parent, "compact", base.statsCol,
-        base.schemaJson, files, base.streamId, base.streamBatch)
-      if (tryCommit(spark, rp, m)) m.version else attempt()
+        read(spark, root, Some(base.version)).coalesce(n), base.statsCol)
+      Some(Manifest(base.version + 1, base.version, "compact", base.statsCol,
+        base.schemaJson, files, base.streamId, base.streamBatch))
     }
-    attempt()
   }
 
   /** Re-cluster the current snapshot on the stats column
@@ -504,20 +625,16 @@ object SnapshotTable {
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
-    @tailrec def attempt(): Int = {
-      val parent = latestVersion(fs, rp)
-      val base = readManifest(fs, rp, parent)
+    commitLoop(spark, fs, rp, "cluster") { base =>
       val totalBytes = base.files.map(_.bytes).sum
       val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-      val clustered = read(spark, root, Some(parent))
+      val clustered = read(spark, root, Some(base.version))
         .repartitionByRange(n, col(base.statsCol))
         .sortWithinPartitions(base.statsCol)
       val files = writeDataFiles(spark, rp, clustered, base.statsCol)
-      val m = Manifest(parent + 1, parent, "cluster", base.statsCol,
-        base.schemaJson, files, base.streamId, base.streamBatch)
-      if (tryCommit(spark, rp, m)) m.version else attempt()
+      Some(Manifest(base.version + 1, base.version, "cluster", base.statsCol,
+        base.schemaJson, files, base.streamId, base.streamBatch))
     }
-    attempt()
   }
 
   /** Range read with manifest-envelope file skipping: only files whose
@@ -566,13 +683,22 @@ object SnapshotTable {
   }
 
   /** Keyed CDC between two snapshots: rows whose key appears in vTo
-    * but not vFrom tagged `insert`, the converse tagged `delete`.
-    * Reads ONLY the files that differ between the two manifests — a
-    * carried file (same path both sides) can contribute no change, so
-    * the cost is ∝ changed files. Keys must be unique per row (the
-    * caller's contract, as in any keyed CDC feed); a copy-on-write
-    * rewrite re-emits surviving rows into new files, which the keyed
-    * anti-join cancels out.
+    * but not vFrom tagged `insert`, the converse tagged `delete`, and
+    * keys present on BOTH sides whose non-key content changed emitted
+    * as an `update_preimage`/`update_postimage` PAIR (the public
+    * change-data-feed convention) — so a [[merge]] that changes non-key
+    * columns surfaces its updates instead of the two anti-joins
+    * silently cancelling them, and signed incremental maintenance
+    * (+post/−pre, +insert/−delete) stays exact across every commit
+    * kind. Reads ONLY the files that differ between the two manifests —
+    * a carried file (same path both sides) can contribute no change, so
+    * the cost is ∝ changed files. Keys should be unique per row (the
+    * caller's contract, enforced by [[merge]] on its batch); a key
+    * duplicated on either side degrades to membership semantics for
+    * that key (insert/delete/cancel, never an update pair — pairing
+    * siblings would fabricate changes). A copy-on-write rewrite
+    * re-emits surviving rows into new files, which the keyed
+    * anti-joins and the null-safe content comparison cancel out.
     */
   def diff(spark: SparkSession, root: String, vFrom: Int, vTo: Int,
            keyCols: Seq[String]): DataFrame = {
@@ -587,22 +713,63 @@ object SnapshotTable {
     val addedDf = readFiles(spark, rp, to, added)
     val removedDf = readFiles(spark, rp, from, removed)
     val keys = keyCols.map(col)
+    val inserts = addedDf.join(removedDf.select(keys: _*), keyCols, "left_anti")
+      .withColumn("change_type", lit("insert"))
+    val deletes = removedDf.join(addedDf.select(keys: _*), keyCols, "left_anti")
+      .withColumn("change_type", lit("delete"))
+    // Updates: same key on both sides, different non-key content. A
+    // copy-on-write re-emit of an untouched row is identical on EVERY
+    // column (null-safely), so it contributes nothing; across a
+    // schema-evolution boundary a column one side lacks reads as null
+    // on that side (changed iff the other side is non-null). Update
+    // PAIRING is only well-defined when the key identifies one row per
+    // side — keys duplicated on either side (a table whose caller bent
+    // the unique-key contract; the testdata lineitem duplicates
+    // (orderkey, linenumber)) would cross-match every dup against every
+    // other, fabricating update pairs out of sibling rows. Such keys
+    // keep the pure membership semantics (insert/delete/cancel) the
+    // anti-joins above already give them, and never pair.
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    def singletons(df: DataFrame): DataFrame =
+      df.withColumn("_kn", count(lit(1)).over(wKey))
+        .where(col("_kn") === 1L).drop("_kn")
+    val n = singletons(addedDf).alias("n")
+    val o = singletons(removedDf).alias("o")
+    val keyEq = keyCols.map(k => col(s"n.$k") === col(s"o.$k")).reduce(_ && _)
+    val newCols = addedDf.columns.filterNot(keyCols.contains)
+    val oldCols = removedDf.columns.filterNot(keyCols.contains)
+    val sameExprs =
+      newCols.toSeq.map { c =>
+        if (oldCols.contains(c)) col(s"n.$c") <=> col(s"o.$c")
+        else col(s"n.$c").isNull
+      } ++ oldCols.toSeq.filterNot(newCols.contains).map(c => col(s"o.$c").isNull)
+    val changed =
+      if (sameExprs.isEmpty) lit(false) else !sameExprs.reduce(_ && _)
+    val pairs = n.join(o, keyEq, "inner").where(changed)
+    val post = pairs.select(addedDf.columns.toSeq.map(c => col(s"n.$c")): _*)
+      .withColumn("change_type", lit("update_postimage"))
+    val pre = pairs.select(removedDf.columns.toSeq.map(c => col(s"o.$c")): _*)
+      .withColumn("change_type", lit("update_preimage"))
     // allowMissingColumns: across a schema-evolution boundary the two
     // snapshots' schemas differ — the older side's missing columns
     // read as null rather than failing the union
-    addedDf.join(removedDf.select(keys: _*), keyCols, "left_anti")
-      .withColumn("change_type", lit("insert"))
-      .unionByName(
-        removedDf.join(addedDf.select(keys: _*), keyCols, "left_anti")
-          .withColumn("change_type", lit("delete")),
-        allowMissingColumns = true)
+    inserts
+      .unionByName(deletes, allowMissingColumns = true)
+      .unionByName(post, allowMissingColumns = true)
+      .unionByName(pre, allowMissingColumns = true)
   }
 
   /** Delete data files referenced by NO manifest (failed-commit and
-    * crash orphans). Maintenance-window only: a commit IN FLIGHT has
-    * staged files that look orphaned — real formats age-gate
-    * candidates before reclaiming; here the caller quiesces writers
-    * instead. Returns the number of files removed.
+    * crash orphans), plus `.staging-<uuid>` directories left by writers
+    * that died between the parquet write and the staging→data renames —
+    * without this the crash debris of every torn write accumulates
+    * unboundedly under the table root. Maintenance-window only: a
+    * commit IN FLIGHT has staged files that look orphaned — real
+    * formats age-gate candidates before reclaiming; here the caller
+    * quiesces writers instead (the documented contract, which is also
+    * what makes deleting ALL staging dirs safe). Returns the number of
+    * files/directories removed.
     */
   def vacuum(spark: SparkSession, root: String): Int = {
     val rp = new Path(root)
@@ -610,13 +777,24 @@ object SnapshotTable {
     val referenced = (1 to latestVersion(fs, rp)).iterator
       .flatMap(v => readManifest(fs, rp, v).files.map(_.path)).toSet
     val dd = dataDir(rp)
-    if (!fs.exists(dd)) 0
-    else fs.listStatus(dd).iterator
-      .filter(s => s.isFile && !referenced.contains(s"data/${s.getPath.getName}"))
-      .map { s =>
-        if (!fs.delete(s.getPath, false))
-          throw new java.io.IOException(s"vacuum failed to delete ${s.getPath}")
-        1
-      }.sum
+    val orphans =
+      if (!fs.exists(dd)) 0
+      else fs.listStatus(dd).iterator
+        .filter(s => s.isFile && !referenced.contains(s"data/${s.getPath.getName}"))
+        .map { s =>
+          if (!fs.delete(s.getPath, false))
+            throw new java.io.IOException(s"vacuum failed to delete ${s.getPath}")
+          1
+        }.sum
+    val staging =
+      if (!fs.exists(rp)) 0
+      else fs.listStatus(rp).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-"))
+        .map { s =>
+          if (!fs.delete(s.getPath, true))
+            throw new java.io.IOException(s"vacuum failed to delete ${s.getPath}")
+          1
+        }.sum
+    orphans + staging
   }
 }

@@ -282,6 +282,234 @@ class SnapshotTableSpec extends SparkSpec {
     assert(d.columns.contains("lang"))
   }
 
+  /** Run `body` with a deterministic racer injected into the commit
+    * window: `racer` fires once (reentrancy-guarded), on the first
+    * commit attempt matching `op` at `root` — after that attempt read
+    * its parent, before its rename — so the attempt provably loses and
+    * must re-derive. Restores the hook afterwards.
+    */
+  private def withInjectedRace(root: String, op: String, once: Boolean = true)
+                              (racer: () => Unit)(body: => Unit): Unit = {
+    val rp = new Path(root)
+    val fs0 = fs(root)
+    var fired = false
+    var inRacer = false
+    SnapshotTable.onCommitAttempt = (what, at) => {
+      if (!inRacer && what == op && fs0.makeQualified(at) == fs0.makeQualified(rp)
+          && (!once || !fired)) {
+        fired = true
+        inRacer = true
+        try racer() finally inRacer = false
+      }
+    }
+    try body finally SnapshotTable.onCommitAttempt = (_, _) => ()
+  }
+
+  test("racing evolutions: a lost commit race never narrows the tip schema") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(10), "k")
+    // writer A evolves with column `a`; in A's commit window a racer
+    // commits a DIFFERENT evolution (column `b`). A's retry must
+    // re-merge against the racer's schema: the tip is the UNION —
+    // the pre-fix code committed A's entry-time merge and silently
+    // dropped `b` from the projection (its data stranded on disk).
+    withInjectedRace(root, "appendEvolved")(() =>
+      SnapshotTable.appendEvolved(spark, root,
+        rows(5, 100).withColumn("b", lit(7L)))) {
+      SnapshotTable.appendEvolved(spark, root,
+        rows(5, 200).withColumn("a", lit("x")))
+    }
+    val tip = SnapshotTable.read(spark, root)
+    assert(tip.columns.toSet == Set("k", "v", "a", "b"),
+      s"tip schema must be the union of both evolutions, got ${tip.columns.toSeq}")
+    assert(tip.where(col("b") === 7L).count() == 5,
+      "the racer's column must stay readable after the loser's commit")
+    assert(tip.where(col("a") === "x").count() == 5)
+    assert(tip.count() == 20)
+  }
+
+  test("strict append that loses to a schema evolution fails loudly, never reverts the widening") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(10), "k")
+    withInjectedRace(root, "append")(() =>
+      SnapshotTable.appendEvolved(spark, root,
+        rows(3, 500).withColumn("lang", lit("en")))) {
+      val e = intercept[IllegalStateException] {
+        SnapshotTable.append(spark, root, rows(5, 100))
+      }
+      assert(e.getMessage.contains("appendEvolved"),
+        s"the failure must name the remedy, got: ${e.getMessage}")
+    }
+    val tip = SnapshotTable.read(spark, root)
+    assert(tip.columns.contains("lang"), "the racer's widening must survive")
+    assert(tip.count() == 13, "only the racer's rows landed")
+  }
+
+  test("merge composes with schema evolution: widened batches land, type changes stay loud") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(100).repartitionByRange(4, col("k")), "k")
+    // batch widens with `score` AND updates v for keys 10-19
+    val batch = rows(10, 10).withColumn("v", lit(999L))
+      .withColumn("score", col("k") * 2)
+    assert(SnapshotTable.merge(spark, root, batch, Seq("k")) == 2)
+    val tip = SnapshotTable.read(spark, root)
+    assert(tip.columns.toSeq == Seq("k", "v", "score"))
+    assert(tip.count() == 100, "pure updates: count unchanged")
+    assert(tip.where(col("score").isNotNull).count() == 10,
+      "only the batch's rows carry the new column")
+    assert(tip.where(col("v") === 999L).count() == 10)
+    // a batch MISSING a column is null-filled (evolution rules), and a
+    // later strict read still sees the widened schema
+    assert(SnapshotTable.merge(spark, root,
+      rows(5, 200), Seq("k")) == 3)
+    assert(SnapshotTable.read(spark, root).count() == 105)
+    // type change rejected even through merge
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, root,
+        rows(2, 300).withColumn("score", lit("oops")), Seq("k"))
+    }
+  }
+
+  test("racing compact vs merge: the loser re-derives; no resurrected deletes, no lost updates") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(1000).repartitionByRange(8, col("k")), "k")
+    SnapshotTable.deleteWhere(spark, root, 0L, 99L) // v2: 900 rows
+    val batch = rows(50, 500).withColumn("v", lit(777L))
+      .unionByName(rows(5, 5000))
+    // compact commits from the same parent DURING merge's commit window
+    withInjectedRace(root, "merge")(() =>
+      SnapshotTable.compact(spark, root): Unit) {
+      val v = SnapshotTable.merge(spark, root, batch, Seq("k"))
+      assert(v == 4, s"merge must retry past the racing compact (v3), got v$v")
+    }
+    val tip = SnapshotTable.read(spark, root)
+    assert(tip.count() == 905, "900 survivors + 5 inserts")
+    assert(tip.select("k").distinct().count() == 905,
+      "replace-not-duplicate must hold across the race")
+    assert(tip.where(col("k") < 100).count() == 0,
+      "the racing rewrite must not resurrect deleted keys")
+    assert(tip.where(col("v") === 777L).count() == 50,
+      "the merge's updates must not be dropped by the racing compact")
+  }
+
+  test("commit retries are bounded: permanent contention fails loudly, not an infinite spin") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(100).repartitionByRange(2, col("k")), "k")
+    // a racer that beats EVERY attempt: deleteWhere on an empty range
+    // commits a metadata-only version each time the appender looks
+    withInjectedRace(root, "append", once = false)(() =>
+      SnapshotTable.deleteWhere(spark, root, -10L, -1L): Unit) {
+      val e = intercept[java.io.IOException] {
+        SnapshotTable.append(spark, root, rows(5, 1000))
+      }
+      assert(e.getMessage.contains("gave up") &&
+        e.getMessage.contains("commit races"),
+        s"bounded-retry failure must name the contention, got: ${e.getMessage}")
+    }
+    // the table is undamaged: all racer versions committed, no appended rows
+    assert(SnapshotTable.read(spark, root).count() == 100)
+    assert(SnapshotTable.vacuum(spark, root) > 0,
+      "the failed appender's staged files are reclaimable orphans")
+  }
+
+  test("null stats keys are rejected at write time, not silently dropped by deleteWhere") {
+    val root = freshRoot()
+    val withNull = spark.range(10)
+      .select(when(col("id") === 3, lit(null)).otherwise(col("id")).cast("long").as("k"),
+        col("id").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.create(spark, root, withNull, "k")
+    }
+    assert(e.getMessage.contains("filter or fill"),
+      s"the rejection must carry the remedy, got: ${e.getMessage}")
+    // nothing committed, nothing referenced
+    assert(latestVersion(fs(root), new Path(root)) == 0)
+    // and the valid subset commits fine
+    SnapshotTable.create(spark, root, withNull.where(col("k").isNotNull), "k")
+    assert(SnapshotTable.read(spark, root).count() == 9)
+  }
+
+  test("merge rejects duplicate batch keys loudly") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")
+    val dup = rows(5, 10).unionByName(rows(5, 10).withColumn("v", lit(42L)))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, root, dup, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate keys"),
+      s"got: ${e.getMessage}")
+    assert(SnapshotTable.read(spark, root).count() == 100, "nothing committed")
+  }
+
+  test("diff surfaces merge updates as pre/post image pairs; unchanged re-emits still cancel") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(1000).repartitionByRange(8, col("k")), "k")
+    // one commit mixing updates (keys 300-349, v := 999), inserts
+    // (2000-2009), and — via the copy-on-write rewrite — hundreds of
+    // unchanged survivor re-emits that must NOT surface
+    val batch = rows(50, 300).withColumn("v", lit(999L))
+      .unionByName(rows(10, 2000))
+    SnapshotTable.merge(spark, root, batch, Seq("k"))
+    val d = SnapshotTable.diff(spark, root, 1, 2, Seq("k"))
+    val byType = d.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 10L, "update_preimage" -> 50L,
+      "update_postimage" -> 50L),
+      s"got $byType — survivors re-emitted by the rewrite must cancel")
+    assert(d.where(col("change_type") === "update_postimage")
+      .agg(min("v"), max("v")).head.toSeq == Seq(999L, 999L))
+    assert(d.where(col("change_type") === "update_preimage" && col("v") === 999L)
+      .count() == 0, "preimages carry the OLD values")
+    // signed incremental maintenance stays exact across the merge:
+    // +post/−pre, +insert/−delete applied to the v1 aggregate == v2
+    val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val deltaSum = d.agg(sum(col("v") * sign), sum(sign)).head
+    val v1 = SnapshotTable.read(spark, root, Some(1))
+      .agg(sum("v"), count(lit(1))).head
+    val v2 = SnapshotTable.read(spark, root, Some(2))
+      .agg(sum("v"), count(lit(1))).head
+    assert(v1.getLong(0) + deltaSum.getLong(0) == v2.getLong(0),
+      "an incremental view refreshed via diff must not go stale across merge")
+    assert(v1.getLong(1) + deltaSum.getLong(1) == v2.getLong(1))
+  }
+
+  test("diff: duplicate keys keep membership semantics, never fabricate update pairs") {
+    val root = freshRoot()
+    // two rows per key with DIFFERENT content — the caller bent the
+    // unique-key contract (the testdata lineitem does exactly this on
+    // (orderkey, linenumber)). Survivor re-emits must still cancel:
+    // pairing sibling rows would fabricate update events.
+    val dup = spark.range(100).select((col("id") % 50).as("k"), col("id").as("v"))
+    SnapshotTable.create(spark, root,
+      dup.repartitionByRange(4, col("k")), "k")
+    SnapshotTable.deleteWhere(spark, root, 0L, 9L)
+    val d = SnapshotTable.diff(spark, root, 1, 2, Seq("k"))
+    val byType = d.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 20L),
+      s"dup-key survivors must cancel, dup-key deletes must all surface; got $byType")
+  }
+
+  test("vacuum reclaims crash-orphaned staging directories") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")
+    // a writer that died between df.write.parquet(staging) and the
+    // staging→data renames leaves the whole directory behind
+    rows(7, 9000).coalesce(1).write
+      .parquet(s"$root/.staging-deadbeef-0000-0000-0000-000000000000")
+    assert(SnapshotTable.vacuum(spark, root) == 1,
+      "the staging dir counts as one reclaimed unit")
+    assert(!fs(root).exists(
+      new Path(s"$root/.staging-deadbeef-0000-0000-0000-000000000000")))
+    assert(SnapshotTable.read(spark, root).count() == 100)
+    assert(SnapshotTable.vacuum(spark, root) == 0)
+  }
+
   test("append rejects a mismatched schema; empty batches reference no files") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, rows(10), "k")
