@@ -208,6 +208,38 @@ object Fixtures {
     })
   }
 
+  /** Per-JVM MERGE×EVOLUTION snapshot table for q280 (separate root
+    * from [[mergeSnapshotTable]] so q279's two-version history stays
+    * stable): v1 = orders range-clustered on o_orderkey; v2 = ONE
+    * merge whose batch both upserts (the q279 update band + inserts)
+    * AND widens the schema with `o_band` (= key % 5) — the
+    * upsert-and-evolve composition the two paths previously rejected.
+    * Deterministic like its siblings: every value derives from orders
+    * columns and max(o_orderkey), so the oracle restates the merged
+    * state in closed form.
+    */
+  private val mergeEvolveRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def mergeEvolveSnapshotTable(s: SparkSession, d: String): String = {
+    mergeEvolveRoots.computeIfAbsent(d, _ => {
+      val root = scratchIndexDir("graft-snapevolve")
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.sources.SnapshotTable.create(s, root,
+        ord.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+      val mx = Tables.orders(s, d).agg(max("o_orderkey")).head.getLong(0)
+      val updates = ord
+        .where(col("o_orderkey").between(mx / 2, 6 * mx / 10))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = ord.where(col("o_orderkey") % 100 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + mx)
+      graft.sources.SnapshotTable.merge(s, root,
+        updates.unionByName(inserts)
+          .withColumn("o_band", col("o_orderkey") % 5),
+        Seq("o_orderkey"))
+      root
+    })
+  }
+
   /** The decision rule's ESCAPE-HATCH arm as corpus state (q259): the
     * SAME bucketed files as [[bucketedTables]], read with
     * `spark.sql.sources.bucketing.enabled=false`. The conf is read at

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge.
   */
 object LayoutQueries {
 
@@ -482,6 +482,72 @@ object LayoutQueries {
           countDistinct("o_orderkey").as("n_orders"),
           graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
     }),
+
+    // MERGE × SCHEMA EVOLUTION — the composition a CDC consumer hits
+    // the day its upstream adds a column: ONE merge commit that both
+    // upserts (q279's update band + inserts) and widens the schema
+    // with o_band. Pre-merge files are carried/rewritten under the old
+    // schema and must read the new column as null; only the batch's
+    // rows carry it. The oracle restates the merged state in closed
+    // form — n_banded/sum_band certify exactly which rows got the
+    // column, sum_price that the upsert semantics survived the
+    // evolution.
+    "q280_snapshot_merge_evolve" -> ((s, d) => {
+      val root = Fixtures.mergeEvolveSnapshotTable(s, d)
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_band")).as("n_banded"),
+          sum("o_band").as("sum_band"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
+    }),
+
+    // CDC UPDATE EVENTS — diff across the q279 merge commit. The two
+    // anti-join legs alone would CANCEL every updated key (present on
+    // both sides), so an incremental view maintained from diff went
+    // silently stale across any merge that changes non-key columns.
+    // Updates now surface Delta-CDF style as pre/post image pairs:
+    // postimage rows carry the doubled price, preimages the original,
+    // inserts the shifted new keys — and the copy-on-write rewrite's
+    // unchanged survivor re-emits still cancel (nothing else appears).
+    "q281_snapshot_cdc_update" -> ((s, d) => {
+      val root = Fixtures.mergeSnapshotTable(s, d)
+      graft.sources.SnapshotTable.diff(s, root, 1, 2, Seq("o_orderkey"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE ACROSS MERGE — q276's pattern, now
+    // exact across an upsert: refresh the v1 aggregate with signed
+    // increments (+insert/+postimage, −delete/−preimage) and land on
+    // the v2 state without rescanning the table. All money goes
+    // through integer cents (floor(p·100 + 0.5)) so incremental and
+    // direct summation cannot diverge in floating point; the oracle
+    // states the v2 aggregate directly — the hash match proves
+    // base ⊕ delta ≡ direct.
+    "q282_snapshot_incremental_merge" -> ((s, d) => {
+      val root = Fixtures.mergeSnapshotTable(s, d)
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = graft.sources.SnapshotTable.read(s, root, Some(1))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("b_rows"), sum(cents).as("b_cents"))
+      val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      val delta = graft.sources.SnapshotTable
+        .diff(s, root, 1, 2, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(sum(sign).as("d_rows"),
+          sum(sign * cents).as("d_cents"),
+          sum(when(col("change_type") === "update_postimage", 1L)
+            .otherwise(0L)).as("n_updated"))
+      base.join(delta, Seq("o_orderstatus"), "left")
+        .select(col("o_orderstatus"),
+          (col("b_rows") + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+          coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+          (col("b_cents") + coalesce(col("d_cents"), lit(0L))).as("sum_cents"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -834,6 +900,71 @@ object LayoutQueries {
         | min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
         |FROM lineitem CROSS JOIN rng
         |WHERE l_orderkey BETWEEN rng.rlo AND rng.rhi""".stripMargin,
+
+    // Merged state + evolution in closed form: CASE doubles the band's
+    // price, the band and the shifted inserts carry o_band = key % 5,
+    // everything else reads it null.
+    "q280_snapshot_merge_evolve" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |merged AS (
+        | SELECT o_orderstatus,
+        |  CASE WHEN o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10
+        |   THEN o_totalprice * 2 ELSE o_totalprice END AS p,
+        |  CASE WHEN o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10
+        |   THEN o_orderkey % 5 END AS band
+        | FROM orders CROSS JOIN mx
+        | UNION ALL
+        | SELECT o_orderstatus, o_totalprice, (o_orderkey + mx.m) % 5
+        | FROM orders CROSS JOIN mx WHERE o_orderkey % 100 = 3)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        | count(band) AS n_banded,
+        | CAST(sum(band) AS BIGINT) AS sum_band,
+        | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
+        |FROM merged GROUP BY o_orderstatus""".stripMargin,
+
+    // The merge commit's change feed in closed form: inserts are the
+    // shifted %100==3 keys at the original price, the update band
+    // appears twice — postimage doubled, preimage original. Built as a
+    // UNION ALL + GROUP BY so an empty leg vanishes instead of
+    // emitting a zero row the engine side wouldn't produce.
+    "q281_snapshot_cdc_update" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |ev AS (
+        | SELECT 'insert' AS change_type, o_orderkey + mx.m AS k,
+        |  o_totalprice AS p
+        | FROM orders CROSS JOIN mx WHERE o_orderkey % 100 = 3
+        | UNION ALL
+        | SELECT 'update_postimage', o_orderkey, o_totalprice * 2
+        | FROM orders CROSS JOIN mx
+        | WHERE o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10
+        | UNION ALL
+        | SELECT 'update_preimage', o_orderkey, o_totalprice
+        | FROM orders CROSS JOIN mx
+        | WHERE o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10)
+        |SELECT change_type, count(*) AS n_rows,
+        | count(DISTINCT k) AS n_orders,
+        | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
+        |FROM ev GROUP BY change_type""".stripMargin,
+
+    // The v2 aggregate stated directly (integer cents): the engine
+    // side reaches it as base(v1) ⊕ signed delta — the hash match
+    // proves incremental ≡ direct across the upsert.
+    "q282_snapshot_incremental_merge" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |merged AS (
+        | SELECT o_orderstatus,
+        |  CASE WHEN o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10
+        |   THEN o_totalprice * 2 ELSE o_totalprice END AS p,
+        |  CASE WHEN o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10
+        |   THEN 1 ELSE 0 END AS upd
+        | FROM orders CROSS JOIN mx
+        | UNION ALL
+        | SELECT o_orderstatus, o_totalprice, 0
+        | FROM orders CROSS JOIN mx WHERE o_orderkey % 100 = 3)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        | CAST(sum(upd) AS BIGINT) AS n_updated,
+        | CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY o_orderstatus""".stripMargin,
 
     // The merged state in closed form: updates replace in place
     // (CASE on the band), inserts append shifted keys.
