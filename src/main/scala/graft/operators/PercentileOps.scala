@@ -146,16 +146,24 @@ object PercentileOps {
     *     exactly the SQL NTILE contract.
     *
     * Returns (idCol, valueCol, rank, bin), rank 1-based, bin in [1, k].
+    *
+    * The "bounded by the value domain" premise of step 1 is ENFORCED,
+    * not assumed: past `maxCells` distinct values the query raises at
+    * execution with the quantize-first remedy ([[CellGuard]]) instead
+    * of silently collapsing a row-scale column onto one task.
     */
   def ntileExact(df: DataFrame, valueCol: String, idCol: String,
-                 k: Int): DataFrame = {
+                 k: Int, maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val rows = df.select(col(idCol), col(valueCol).as("v"))
     val cells = rows.groupBy("v").agg(count(lit(1)).as("cnt"))
     val wCum = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val starts = cells.withColumn("cum", sum("cnt").over(wCum))
-      .select(col("v"), (col("cum") - col("cnt")).as("below"))
+      .withColumn("_cell_rn", row_number().over(Window.orderBy("v")))
+      .select(col("v"),
+        (CellGuard.guarded(col("cum"), col("_cell_rn"), maxCells, "ntileExact")
+          - col("cnt")).as("below"))
     val nTotal = rows.agg(count(lit(1)).as("n_total"))
     val wIn = Window.partitionBy("v").orderBy(idCol)
     val ranked = rows.withColumn("rn_in", row_number().over(wIn))
@@ -195,7 +203,8 @@ object PercentileOps {
     * levels, and broadcasts.
     */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
-                        idCol: String, levels: Int = 10000): DataFrame = {
+                        idCol: String, levels: Int = 10000,
+                        maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     require(levels >= 1, s"levels must be >= 1, got $levels")
     val rows = df.select(col(groupCol).as("g"),
       col(valueCol).cast("long").as("v"), col(idCol).as("_id"))
@@ -210,6 +219,12 @@ object PercentileOps {
     val wCum = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cells.withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("_cell_rn", row_number().over(Window.orderBy("v")))
+      // step 2's domain-bound, enforced (CellGuard): a row-scale value
+      // column fails loudly instead of one-task-ing the cell window
+      .withColumn("cum",
+        CellGuard.guarded(col("cum"), col("_cell_rn"), maxCells, "quantileNormalize"))
+      .drop("_cell_rn")
       .withColumn("lo", col("cum") - col("cnt") + 1L)
     // n_total folds from the domain-bounded cell frame, not a second
     // scan of the input rows; this `cells` subtree is canonically

@@ -102,10 +102,13 @@ object QualityOps {
     *
     * Scale shape: each side partial-aggregates to distinct-value
     * cells; the cumulative window runs over the merged cell set
-    * (bounded by the value domain, the q56 argument), and the max
-    * reduces to one row.
+    * (bounded by the value domain, the q56 argument — ENFORCED via
+    * [[CellGuard]]: past `maxCells` distinct values the query raises
+    * with the quantize-first remedy instead of one-task-ing a
+    * row-scale column), and the max reduces to one row.
     */
-  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String,
+              maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     def cells(df: DataFrame, n: String) =
       df.select(col(valueCol).cast("long").as("v"))
         .groupBy("v").agg(count(lit(1)).as(n))
@@ -120,6 +123,10 @@ object QualityOps {
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     merged
       .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("_cell_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")))
+      .withColumn("cum_a",
+        CellGuard.guarded(col("cum_a"), col("_cell_rn"), maxCells, "ksDrift"))
       .withColumn("cum_b", sum("cb").over(w))
       .withColumn("tot_a", sum("ca").over(wAll))
       .withColumn("tot_b", sum("cb").over(wAll))

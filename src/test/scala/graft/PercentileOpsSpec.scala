@@ -145,4 +145,30 @@ class PercentileOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rowWindows.contains("windowspecdefinition(v"),
       s"row_number window must be value-partitioned:\n$plan")
   }
+
+  test("ntileExact and quantileNormalize enforce the cell-frame bound loudly on row-scale columns") {
+    def rootMsg(t: Throwable): String = {
+      var m = ""; var c: Throwable = t
+      while (c != null) { m += Option(c.getMessage).getOrElse("") + " | "; c = c.getCause }
+      m
+    }
+    // unique-id-like value column: every row is its own cell
+    val rowScale = spark.range(1000).selectExpr("id AS k", "id AS v")
+    val e1 = intercept[Throwable] {
+      PercentileOps.ntileExact(rowScale, "v", "k", 4, maxCells = 100).collect()
+    }
+    assert(rootMsg(e1).contains("quantize"),
+      s"the failure must carry the remedy, got: ${rootMsg(e1)}")
+    val grouped = spark.range(1000).selectExpr("id AS k", "id AS v",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g")
+    val e2 = intercept[Throwable] {
+      PercentileOps.quantileNormalize(grouped, "g", "v", "k", levels = 10,
+        maxCells = 100).collect()
+    }
+    assert(rootMsg(e2).contains("quantize"), s"got: ${rootMsg(e2)}")
+    // below the bound: results are untouched by the guard (same rank law)
+    val ok = PercentileOps.ntileExact(rowScale, "v", "k", 4, maxCells = 2000)
+    assert(ok.count() == 1000)
+    assert(ok.where(expr("bin = 1")).count() == 250)
+  }
 }

@@ -113,4 +113,22 @@ class QualityOpsSpec extends SparkSpec {
     // unchanged key 2 must NOT appear
     assert(!d.contains(2L))
   }
+
+  test("ksDrift enforces the cell-frame bound loudly on row-scale columns") {
+    def rootMsg(t: Throwable): String = {
+      var m = ""; var c: Throwable = t
+      while (c != null) { m += Option(c.getMessage).getOrElse("") + " | "; c = c.getCause }
+      m
+    }
+    val a = spark.range(1000).selectExpr("id AS x")
+    val b = spark.range(1000).selectExpr("id + 500 AS x")
+    val e = intercept[Throwable] {
+      QualityOps.ksDrift(a, b, "x", maxCells = 100).collect()
+    }
+    assert(rootMsg(e).contains("quantize"),
+      s"the failure must carry the remedy, got: ${rootMsg(e)}")
+    // below the bound the guard is inert: the 500-shift gives D = 5000 bp
+    val ok = QualityOps.ksDrift(a, b, "x", maxCells = 5000).head
+    assert(ok.getAs[Long]("ks_bp") == 5000L)
+  }
 }
