@@ -207,7 +207,7 @@ object SnapshotTable {
     * manifest is fully written under a temp name first, so the
     * no-overwrite rename is the single commit point.
     */
-  private def tryCommit(spark: SparkSession, root: Path, m: Manifest): Boolean = {
+  private[graft] def tryCommit(spark: SparkSession, root: Path, m: Manifest): Boolean = {
     val fs = fsOf(spark, root)
     fs.mkdirs(metaDir(root))
     val tmp = new Path(metaDir(root), s".tmp-${UUID.randomUUID()}")

@@ -32,8 +32,12 @@ import graft.sources.SnapshotTable
 object SnapshotScaleProbe {
   def main(args: Array[String]): Unit = {
     val reps = args.find(_.startsWith("reps=")).map(_.drop(5).toInt).getOrElse(3)
-    val sizes = args.filterNot(_.startsWith("reps=")).map(_.toLong) match {
-      case Array() => Seq(2000000L, 20000000L, 60000000L)
+    // bare numbers = row-count arms; "rows=none" skips them (so the
+    // files= metadata arm can run alone)
+    val sizes = args.filterNot(a => a.startsWith("reps=") ||
+        a.startsWith("files=") || a == "rows=none").map(_.toLong) match {
+      case Array() if !args.contains("rows=none") =>
+        Seq(2000000L, 20000000L, 60000000L)
       case xs => xs.toSeq
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -109,6 +113,68 @@ object SnapshotScaleProbe {
       val (nVac, tVacuum) = timed(SnapshotTable.vacuum(spark, root))
       println(f"$n%8d $tCreate%9.2f $tAppend%9.2f $tDelete%9.2f $tDiffDel%7.2f $tDiffApp%9.2f $tScan%9.2f $tVacuum%9.2f ${m3.files.size}%9d  $carried/${m2.files.size} orphans=$nVac " +
         f"merge=$tMerge%.2fs carried=$mergeCarried/${m3b.files.size}")
+    }
+
+    // ----- high-FILE-count arm (files=F1,F2,...) -------------------
+    // The row-count arms above stress the DATA side; the format's real
+    // 100 TB risk is the METADATA side: each version is ONE manifest
+    // listing every live file, read/written whole on the driver per
+    // commit, and stabbedFiles sorts/broadcasts every envelope. At
+    // 128 MB files, 10^5 files ≈ 12.8 TB and 10^6 ≈ 128 TB — this arm
+    // measures the driver-side cost of a commit (render+write+rename),
+    // a manifest read+parse, latestVersion's directory listing under
+    // accumulated versions, and an exact merge touched-set derivation
+    // (100k scattered batch keys against F envelopes), with synthetic
+    // DataFileMeta so the measurement is purely the metadata path.
+    args.find(_.startsWith("files=")).foreach { arg =>
+      val fileCounts = arg.drop(6).split(',').map(_.toLong)
+      println()
+      println("%9s %9s %9s %9s %9s %9s %9s  (metadata path only)"
+        .format("files", "mani_mb", "commit_s", "read_s", "latest_s", "stab_s", "touched"))
+      fileCounts.foreach { fc =>
+        val f = fc.toInt
+        val root = new Path(
+          graft.queries.Fixtures.scratchIndexDir("snapprobe-files") + "/t")
+        val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val schema = spark.range(1).select(col("id").as("k"),
+          col("id").as("v")).schema.json
+        // clustered layout: file i covers [i*1000, i*1000+999]
+        def files(tag: Long) = (0 until f).map { i =>
+          SnapshotTable.DataFileMeta(
+            s"data/$tag-${i}.parquet", 1000L, 128L * 1024 * 1024,
+            i * 1000L, i * 1000L + 999L)
+        }
+        val (_, tCommit) = timed {
+          SnapshotTable.tryCommit(spark, root,
+            SnapshotTable.Manifest(1, 0, "create", "k", schema, files(0)))
+        }
+        // a few more versions so latestVersion lists a real directory
+        (2 to 5).foreach { v =>
+          SnapshotTable.tryCommit(spark, root,
+            SnapshotTable.Manifest(v, v - 1, "append", "k", schema, files(v.toLong)))
+        }
+        val maniBytes = hfs.getFileStatus(
+          new Path(root, f"meta/v${5}%08d.manifest")).getLen
+        val tRead = median((1 to reps).map { _ =>
+          timed(SnapshotTable.readManifest(hfs, root, 5))._2
+        })
+        val tLatest = median((1 to reps).map { _ =>
+          timed(SnapshotTable.latestVersion(hfs, root))._2
+        })
+        val tip = SnapshotTable.readManifest(hfs, root, 5)
+        // 100k batch keys: 2% clustered update band + scattered far keys
+        val span = f * 1000L
+        val batch = spark.range(100000).select(
+          when(col("id") % 2 === 0, col("id") % (span / 50) + span * 7 / 10)
+            .otherwise((col("id") * 2654435761L) % span).as("k"))
+        var touched = 0
+        val tStab = median((1 to reps).map { _ =>
+          val (hit, t) = timed(SnapshotTable.stabbedFiles(spark, tip, batch))
+          touched = hit.size
+          t
+        })
+        println(f"$f%9d ${maniBytes / 1e6}%9.1f $tCommit%9.3f $tRead%9.3f $tLatest%9.3f $tStab%9.2f $touched%9d")
+      }
     }
     spark.stop()
   }
