@@ -803,4 +803,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(occurrences(p, "HashAggregate") >= 2,
       s"expected partial+final aggregation on the pair counts:\n$p")
   }
+
+  test("merge CDC with update pairing still reads only changed files, never a product (q281, q282)") {
+    // the update inner-join and its singleton guard windows are built
+    // from the SAME added/removed file lists as the anti-join legs —
+    // a file carried through the merge must appear in NO scan of the
+    // diff, update detection included
+    q("q281_snapshot_cdc_update").collect() // build the merge fixture
+    val root = graft.queries.Fixtures.mergeSnapshotTable(spark, sf)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = graft.sources.SnapshotTable.readManifest(fs, rp, 1)
+    val m2 = graft.sources.SnapshotTable.readManifest(fs, rp, 2)
+    val carried = m1.files.map(_.path).toSet.intersect(m2.files.map(_.path).toSet)
+    assert(carried.nonEmpty, "fixture must carry low-key files through the merge")
+    val d = graft.sources.SnapshotTable.diff(spark, root, 1, 2, Seq("o_orderkey"))
+    assert(!d.inputFiles.exists(f => carried.exists(f.endsWith)),
+      "CDC of the merge must never open a carried file")
+    // pre/post pairing is a keyed equi-join over the changed files —
+    // never a product, and the signed-delta refresh (q282) adds only
+    // aggregations and a keyed join on top
+    Seq("q281_snapshot_cdc_update", "q282_snapshot_incremental_merge").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay keyed, never a product:\n$p")
+    }
+  }
 }
