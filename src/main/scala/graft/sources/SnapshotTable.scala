@@ -728,36 +728,44 @@ object SnapshotTable {
     // (orderkey, linenumber)) would cross-match every dup against every
     // other, fabricating update pairs out of sibling rows. Such keys
     // keep the pure membership semantics (insert/delete/cancel) the
-    // anti-joins above already give them, and never pair.
-    val wKey = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-    def singletons(df: DataFrame): DataFrame =
-      df.withColumn("_kn", count(lit(1)).over(wKey))
-        .where(col("_kn") === 1L).drop("_kn")
-    val n = singletons(addedDf).alias("n")
-    val o = singletons(removedDf).alias("o")
-    val keyEq = keyCols.map(k => col(s"n.$k") === col(s"o.$k")).reduce(_ && _)
-    val newCols = addedDf.columns.filterNot(keyCols.contains)
-    val oldCols = removedDf.columns.filterNot(keyCols.contains)
-    val sameExprs =
-      newCols.toSeq.map { c =>
-        if (oldCols.contains(c)) col(s"n.$c") <=> col(s"o.$c")
-        else col(s"n.$c").isNull
-      } ++ oldCols.toSeq.filterNot(newCols.contains).map(c => col(s"o.$c").isNull)
-    val changed =
-      if (sameExprs.isEmpty) lit(false) else !sameExprs.reduce(_ && _)
-    val pairs = n.join(o, keyEq, "inner").where(changed)
-    val post = pairs.select(addedDf.columns.toSeq.map(c => col(s"n.$c")): _*)
-      .withColumn("change_type", lit("update_postimage"))
-    val pre = pairs.select(removedDf.columns.toSeq.map(c => col(s"o.$c")): _*)
-      .withColumn("change_type", lit("update_preimage"))
+    // anti-joins above already give them, and never pair. A diff with
+    // NO files on one side (pure append, pure delete-of-whole-files)
+    // provably has no key on both sides, so the pairing machinery —
+    // two key-windows and an inner join — is dropped from the plan
+    // entirely, not left for AQE to no-op at runtime.
+    val updateLegs: Seq[DataFrame] =
+      if (added.isEmpty || removed.isEmpty) Nil
+      else {
+        val wKey = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+        def singletons(df: DataFrame): DataFrame =
+          df.withColumn("_kn", count(lit(1)).over(wKey))
+            .where(col("_kn") === 1L).drop("_kn")
+        val n = singletons(addedDf).alias("n")
+        val o = singletons(removedDf).alias("o")
+        val keyEq = keyCols.map(k => col(s"n.$k") === col(s"o.$k")).reduce(_ && _)
+        val newCols = addedDf.columns.filterNot(keyCols.contains)
+        val oldCols = removedDf.columns.filterNot(keyCols.contains)
+        val sameExprs =
+          newCols.toSeq.map { c =>
+            if (oldCols.contains(c)) col(s"n.$c") <=> col(s"o.$c")
+            else col(s"n.$c").isNull
+          } ++ oldCols.toSeq.filterNot(newCols.contains).map(c => col(s"o.$c").isNull)
+        val changed =
+          if (sameExprs.isEmpty) lit(false) else !sameExprs.reduce(_ && _)
+        val pairs = n.join(o, keyEq, "inner").where(changed)
+        Seq(
+          pairs.select(addedDf.columns.toSeq.map(c => col(s"n.$c")): _*)
+            .withColumn("change_type", lit("update_postimage")),
+          pairs.select(removedDf.columns.toSeq.map(c => col(s"o.$c")): _*)
+            .withColumn("change_type", lit("update_preimage")))
+      }
     // allowMissingColumns: across a schema-evolution boundary the two
     // snapshots' schemas differ — the older side's missing columns
     // read as null rather than failing the union
-    inserts
-      .unionByName(deletes, allowMissingColumns = true)
-      .unionByName(post, allowMissingColumns = true)
-      .unionByName(pre, allowMissingColumns = true)
+    updateLegs.foldLeft(
+      inserts.unionByName(deletes, allowMissingColumns = true))(
+      (acc, leg) => acc.unionByName(leg, allowMissingColumns = true))
   }
 
   /** Delete data files referenced by NO manifest (failed-commit and
