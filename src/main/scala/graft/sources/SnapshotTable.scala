@@ -768,6 +768,23 @@ object SnapshotTable {
       (acc, leg) => acc.unionByName(leg, allowMissingColumns = true))
   }
 
+  /** The table's commit log, oldest first: one row per version with
+    * its op, parent, file count, row count, total bytes, and streaming
+    * watermark — the operational `DESCRIBE HISTORY` every table format
+    * grows, driven entirely from the O(versions) manifest directory.
+    * Driver-side metadata (like [[latestVersion]]); cost ∝ versions ×
+    * files, the same class as one commit's manifest read.
+    */
+  def history(spark: SparkSession, root: String): Seq[(Int, String, Int, Int, Long, Long, String, Long)] = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    (1 to latestVersion(fs, rp)).map { v =>
+      val m = readManifest(fs, rp, v)
+      (m.version, m.op, m.parent, m.files.size, m.totalRows,
+        m.files.map(_.bytes).sum, m.streamId, m.streamBatch)
+    }
+  }
+
   /** Delete data files referenced by NO manifest (failed-commit and
     * crash orphans), plus `.staging-<uuid>` directories left by writers
     * that died between the parquet write and the staging→data renames —

@@ -495,6 +495,21 @@ class SnapshotTableSpec extends SparkSpec {
       s"dup-key survivors must cancel, dup-key deletes must all surface; got $byType")
   }
 
+  test("history lists every commit with its op, counts, and watermark") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")
+    SnapshotTable.append(spark, root, rows(50, 100))
+    SnapshotTable.deleteWhere(spark, root, 0L, 9L)
+    SnapshotTable.merge(spark, root,
+      rows(5, 20).withColumn("v", lit(1L)), Seq("k"))
+    val h = SnapshotTable.history(spark, root)
+    assert(h.map(r => (r._1, r._2)) ==
+      Seq((1, "create"), (2, "append"), (3, "delete"), (4, "merge")))
+    assert(h.map(_._3) == Seq(0, 1, 2, 3), "parent chain is linear")
+    assert(h.map(_._5) == Seq(100L, 150L, 140L, 140L),
+      "per-version row counts track the commits")
+  }
+
   test("vacuum reclaims crash-orphaned staging directories") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, rows(100), "k")
