@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge.
   */
 object LayoutQueries {
 
@@ -548,6 +548,41 @@ object LayoutQueries {
           coalesce(col("n_updated"), lit(0L)).as("n_updated"),
           (col("b_cents") + coalesce(col("d_cents"), lit(0L))).as("sum_cents"))
     }),
+
+    // MATERIALIZED CHANGE FEED — the Delta-CDF architecture: delete/
+    // merge commits write their change events to cdc/ files AT COMMIT
+    // TIME (old and new rows already in hand), appends' inserts ARE
+    // their added data files, rewrites contribute nothing — so reading
+    // the feed is a JOIN-FREE file scan (pinned in SnapshotTableSpec),
+    // streamable and ∝ the commits' deltas. Unlike diff's net-of-
+    // interval semantics this is PER-COMMIT: q283 replays the whole
+    // 6-commit lineitem log, so the insert leg is ALL of lineitem
+    // (create + both appends) and the delete leg the full deleted
+    // range — even though compact and cluster rewrote every file twice
+    // after v4.
+    "q283_snapshot_changes" -> ((s, d) => {
+      val root = Fixtures.snapshotTable(s, d)
+      graft.sources.SnapshotTable.changes(s, root, 0, 6)
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"))
+    }),
+
+    // The same feed across a MERGE: create's inserts (all orders),
+    // the merge's inserts (shifted keys), and the update band as
+    // materialized pre/post pairs — identical-content matches emit
+    // nothing, mirroring diff's cancellation. The oracle replays all
+    // four legs in closed form; the hash match certifies the commit
+    // wrote exactly the right events, independent of file layout.
+    "q284_snapshot_changes_merge" -> ((s, d) => {
+      val root = Fixtures.mergeSnapshotTable(s, d)
+      graft.sources.SnapshotTable.changes(s, root, 0, 2)
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -965,6 +1000,46 @@ object LayoutQueries {
         | CAST(sum(upd) AS BIGINT) AS n_updated,
         | CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY o_orderstatus""".stripMargin,
+
+    // Per-commit feed over the whole 6-commit log: every lineitem row
+    // inserted once (create + two appends), the v4 range deleted;
+    // compact/cluster contribute nothing.
+    "q283_snapshot_changes" ->
+      """WITH rng AS (SELECT max(l_orderkey) // 5 AS lo,
+        |  (3 * max(l_orderkey)) // 10 AS hi FROM lineitem),
+        |ev AS (
+        | SELECT 'insert' AS change_type, l_orderkey, l_quantity FROM lineitem
+        | UNION ALL
+        | SELECT 'delete', l_orderkey, l_quantity
+        | FROM lineitem CROSS JOIN rng
+        | WHERE l_orderkey BETWEEN rng.lo AND rng.hi)
+        |SELECT change_type, count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM ev GROUP BY change_type""".stripMargin,
+
+    // create inserts + merge inserts + the update band's materialized
+    // pre/post pairs, all in closed form.
+    "q284_snapshot_changes_merge" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |ev AS (
+        | SELECT 'insert' AS change_type, o_orderkey AS k,
+        |  o_totalprice AS p FROM orders
+        | UNION ALL
+        | SELECT 'insert', o_orderkey + mx.m, o_totalprice
+        | FROM orders CROSS JOIN mx WHERE o_orderkey % 100 = 3
+        | UNION ALL
+        | SELECT 'update_postimage', o_orderkey, o_totalprice * 2
+        | FROM orders CROSS JOIN mx
+        | WHERE o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10
+        | UNION ALL
+        | SELECT 'update_preimage', o_orderkey, o_totalprice
+        | FROM orders CROSS JOIN mx
+        | WHERE o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10)
+        |SELECT change_type, count(*) AS n_rows,
+        | count(DISTINCT k) AS n_orders,
+        | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
+        |FROM ev GROUP BY change_type""".stripMargin,
 
     // The merged state in closed form: updates replace in place
     // (CASE on the band), inserts append shifted keys.

@@ -72,6 +72,13 @@ object SnapshotTable {
   case class DataFileMeta(path: String, rows: Long, bytes: Long,
                           minKey: Long, maxKey: Long)
 
+  /** One immutable CHANGE file under cdc/: the change events a
+    * delete/merge commit materialized at write time (table schema +
+    * `change_type`). Change files are feed data, not table data — they
+    * are never part of any version's logical content.
+    */
+  case class CdcFileMeta(path: String, rows: Long)
+
   /** `streamId`/`streamBatch` are the streaming-delivery watermark:
     * the id of the last streaming query to commit and its last
     * delivered batchId (empty/-1 when no stream has written). They
@@ -83,10 +90,19 @@ object SnapshotTable {
     * data rename and the marker move). Non-streaming commits carry
     * their parent's watermark forward unchanged.
     */
+  /** `cdc` lists the commit's materialized change files (delete/merge
+    * only — an append's inserts ARE its added data files, so
+    * materializing them would double every ingest's write volume for
+    * nothing; rewrite commits change no logical row). Written at
+    * commit time, where the old and new rows are already in hand, so
+    * the change feed costs a JOIN-FREE file scan at read time — the
+    * Delta-CDF architecture, vs [[diff]]'s compute-on-read joins.
+    */
   case class Manifest(version: Int, parent: Int, op: String,
                       statsCol: String, schemaJson: String,
                       files: Seq[DataFileMeta],
-                      streamId: String = "", streamBatch: Long = -1L) {
+                      streamId: String = "", streamBatch: Long = -1L,
+                      cdc: Seq[CdcFileMeta] = Nil) {
     def totalRows: Long = files.map(_.rows).sum
   }
 
@@ -175,16 +191,24 @@ object SnapshotTable {
     val lines = text.split('\n').iterator.filter(_.nonEmpty).toVector
     require(lines.headOption.contains(Header),
       s"not a snapshot manifest: ${manifestPath(root, version)}")
-    val kv = lines.tail.takeWhile(!_.startsWith("file\t"))
+    val kv = lines.tail
+      .takeWhile(l => !l.startsWith("file\t") && !l.startsWith("cdc\t"))
       .map { l => val i = l.indexOf(": "); l.substring(0, i) -> l.substring(i + 2) }
       .toMap
-    val files = lines.dropWhile(!_.startsWith("file\t")).map { l =>
+    val files = lines.filter(_.startsWith("file\t")).map { l =>
       val p = l.split('\t')
       DataFileMeta(p(1), p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong)
     }
+    // cdc lines are absent from pre-materialization manifests — they
+    // parse as an empty feed, never as an error
+    val cdc = lines.filter(_.startsWith("cdc\t")).map { l =>
+      val p = l.split('\t')
+      CdcFileMeta(p(1), p(2).toLong)
+    }
     Manifest(kv("version").toInt, kv("parent").toInt, kv("op"),
       kv("statsCol"), kv("schema"), files,
-      kv.getOrElse("streamId", ""), kv.getOrElse("streamBatch", "-1").toLong)
+      kv.getOrElse("streamId", ""), kv.getOrElse("streamBatch", "-1").toLong,
+      cdc)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -199,6 +223,9 @@ object SnapshotTable {
     sb ++= s"schema: ${m.schemaJson}\n"
     m.files.foreach { f =>
       sb ++= s"file\t${f.path}\t${f.rows}\t${f.bytes}\t${f.minKey}\t${f.maxKey}\n"
+    }
+    m.cdc.foreach { c =>
+      sb ++= s"cdc\t${c.path}\t${c.rows}\n"
     }
     sb.toString
   }
@@ -280,6 +307,41 @@ object SnapshotTable {
           if (!fs.rename(st.getPath, dst))
             throw new java.io.IOException(s"staging move failed: ${st.getPath} -> $dst")
           DataFileMeta(s"data/$name", rows, st.getLen, lo, hi)
+        }
+      }
+    fs.delete(staging, true)
+    metas
+  }
+
+  private def cdcDir(root: Path) = new Path(root, "cdc")
+
+  /** Write a commit's change events under cdc/ and return their
+    * metadata ([[writeDataFiles]]'s staging discipline, minus the
+    * stats envelope — change files are feed data, never pruned by
+    * key). Empty frames produce no files; cost ∝ the commit's delta.
+    */
+  private def writeCdcFiles(spark: SparkSession, root: Path,
+                            df: DataFrame): Seq[CdcFileMeta] = {
+    val fs = fsOf(spark, root)
+    val staging = new Path(root, s".staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val counts = spark.read.parquet(staging.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).getName -> r.getLong(1))
+      .toMap
+    fs.mkdirs(cdcDir(root))
+    val metas = fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .toSeq.sortBy(_.getPath.getName)
+      .flatMap { st =>
+        counts.get(st.getPath.getName).collect { case rows if rows > 0 =>
+          val name = s"${UUID.randomUUID()}.parquet"
+          val dst = new Path(cdcDir(root), name)
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"staging move failed: ${st.getPath} -> $dst")
+          CdcFileMeta(s"cdc/$name", rows)
         }
       }
     fs.delete(staging, true)
@@ -469,19 +531,27 @@ object SnapshotTable {
     commitLoop(spark, fs, rp, "deleteWhere") { base =>
       val (touched, carried) =
         base.files.partition(f => f.minKey <= hi && f.maxKey >= lo)
-      val rewritten =
-        if (touched.isEmpty) Nil
+      val (rewritten, cdcFiles) =
+        if (touched.isEmpty) (Nil, Nil)
         else {
           // writeDataFiles rejects null stats keys at every commit, so
           // no touched file can hold a null-key row for the survivor
           // predicate's three-valued logic to silently drop
-          val survivors = readFiles(spark, rp, base, touched)
+          val touchedRows = readFiles(spark, rp, base, touched)
+          val survivors = touchedRows
             .where(col(base.statsCol).cast("long") < lo ||
                    col(base.statsCol).cast("long") > hi)
-          writeDataFiles(spark, rp, survivors, base.statsCol)
+          // materialize the commit's change events while the touched
+          // rows are in hand: the feed then costs a plain file scan
+          val deleted = touchedRows
+            .where(col(base.statsCol).cast("long").between(lo, hi))
+            .withColumn("change_type", lit("delete"))
+          (writeDataFiles(spark, rp, survivors, base.statsCol),
+           writeCdcFiles(spark, rp, deleted))
         }
       Some(Manifest(base.version + 1, base.version, "delete", base.statsCol,
-        base.schemaJson, carried ++ rewritten, base.streamId, base.streamBatch))
+        base.schemaJson, carried ++ rewritten, base.streamId, base.streamBatch,
+        cdcFiles))
     }
   }
 
@@ -542,13 +612,41 @@ object SnapshotTable {
       val touchedPaths = stabbedFiles(spark, base, alignedBatch)
       val (touched, carried) =
         base.files.partition(f => touchedPaths.contains(f.path))
-      val survivors = readFiles(spark, rp, base, touched)
+      val touchedRows = readFiles(spark, rp, base, touched)
+      val survivors = touchedRows
         .join(alignedBatch.select(keyCols.map(col): _*), keyCols, "left_anti")
       val newFiles = writeDataFiles(spark, rp,
         alignTo(survivors, finalSchema)
           .unionByName(alignTo(alignedBatch, finalSchema)), base.statsCol)
+      // Materialize the commit's change events at write time, where
+      // the matched old rows and the batch are both in hand (the
+      // Delta-CDF architecture): the feed then costs a join-free file
+      // scan at read time, vs diff()'s compute-on-read joins. The
+      // stats column rides in the key, so every matched old row lives
+      // in a touched file — the inner join below provably sees every
+      // match. Identical-content matches emit nothing (a no-op upsert
+      // is not a change), mirroring diff()'s null-safe cancellation.
+      val oldAligned = alignTo(touchedRows, finalSchema)
+      val newAligned = alignTo(alignedBatch, finalSchema)
+      val keyEq = keyCols.map(k => col(s"n.$k") === col(s"o.$k")).reduce(_ && _)
+      val pairs = newAligned.alias("n").join(oldAligned.alias("o"), keyEq, "inner")
+      val nonKey = finalSchema.fieldNames.filterNot(keyCols.contains).toSeq
+      val changed = nonKey.map(c => col(s"n.$c") <=> col(s"o.$c"))
+        .reduceOption(_ && _).map(!_).getOrElse(lit(false))
+      val outCols = finalSchema.fieldNames.toSeq
+      val events = newAligned
+        .join(oldAligned.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .withColumn("change_type", lit("insert"))
+        .unionByName(pairs.where(changed)
+          .select(outCols.map(c => col(s"o.$c")): _*)
+          .withColumn("change_type", lit("update_preimage")))
+        .unionByName(pairs.where(changed)
+          .select(outCols.map(c => col(s"n.$c")): _*)
+          .withColumn("change_type", lit("update_postimage")))
+      val cdcFiles = writeCdcFiles(spark, rp, events)
       Some(Manifest(base.version + 1, base.version, "merge", base.statsCol,
-        finalJson, carried ++ newFiles, base.streamId, base.streamBatch))
+        finalJson, carried ++ newFiles, base.streamId, base.streamBatch,
+        cdcFiles))
     }
   }
 
@@ -768,6 +866,60 @@ object SnapshotTable {
       (acc, leg) => acc.unionByName(leg, allowMissingColumns = true))
   }
 
+  /** The MATERIALIZED change feed over (vFrom, vTo]: per-commit change
+    * events as a JOIN-FREE file scan — the streamable CDC read that
+    * [[diff]] (compute-on-read, net-of-interval) is the fallback for.
+    * Per commit kind:
+    *
+    *  - create/append: the inserts ARE the commit's added data files
+    *    (read directly, tagged `insert` — appends never double-write);
+    *  - delete/merge: the commit's cdc/ files, written at commit time
+    *    with the old and new rows already in hand (`delete`, or
+    *    `insert` + `update_preimage`/`update_postimage` pairs);
+    *  - compact/cluster: no logical change, contributes nothing.
+    *
+    * Unlike diff's net semantics, this feed is PER-COMMIT: a row
+    * inserted at v2 and deleted at v4 appears in both legs (exactly
+    * what an incremental consumer replaying the log wants). Cost ∝ the
+    * commits' deltas, never the table. Tables whose delete/merge
+    * commits predate change-file materialization read those commits as
+    * empty — use [[diff]] for them.
+    */
+  def changes(spark: SparkSession, root: String, vFrom: Int, vTo: Int): DataFrame = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    require(vFrom <= vTo, s"changes($vFrom, $vTo): vFrom must be <= vTo")
+    val frames = ((vFrom + 1) to vTo).flatMap { v =>
+      val m = readManifest(fs, rp, v)
+      m.op match {
+        case "create" | "append" =>
+          val parentPaths =
+            if (m.parent == 0) Set.empty[String]
+            else readManifest(fs, rp, m.parent).files.map(_.path).toSet
+          val added = m.files.filterNot(f => parentPaths.contains(f.path))
+          if (added.isEmpty) None
+          else Some(readFiles(spark, rp, m, added)
+            .withColumn("change_type", lit("insert")))
+        case "delete" | "merge" =>
+          if (m.cdc.isEmpty) None
+          else {
+            val schema = parseSchema(m.schemaJson)
+              .add("change_type", org.apache.spark.sql.types.StringType)
+            Some(spark.read.schema(schema)
+              .parquet(m.cdc.map(c => new Path(rp, c.path).toString): _*))
+          }
+        case _ => None // compact/cluster: lossless rewrites change nothing
+      }
+    }
+    frames match {
+      case Seq() =>
+        val schema = parseSchema(readManifest(fs, rp, vTo).schemaJson)
+          .add("change_type", org.apache.spark.sql.types.StringType)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case fs0 => fs0.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
   /** The table's commit log, oldest first: one row per version with
     * its op, parent, file count, row count, total bytes, and streaming
     * watermark — the operational `DESCRIBE HISTORY` every table format
@@ -799,18 +951,19 @@ object SnapshotTable {
   def vacuum(spark: SparkSession, root: String): Int = {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
-    val referenced = (1 to latestVersion(fs, rp)).iterator
-      .flatMap(v => readManifest(fs, rp, v).files.map(_.path)).toSet
-    val dd = dataDir(rp)
-    val orphans =
-      if (!fs.exists(dd)) 0
-      else fs.listStatus(dd).iterator
-        .filter(s => s.isFile && !referenced.contains(s"data/${s.getPath.getName}"))
+    val manifests = (1 to latestVersion(fs, rp)).map(v => readManifest(fs, rp, v))
+    val referenced = manifests.iterator.flatMap(_.files.map(_.path)).toSet ++
+      manifests.iterator.flatMap(_.cdc.map(_.path))
+    def sweep(dir: Path, prefix: String): Int =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).iterator
+        .filter(s => s.isFile && !referenced.contains(s"$prefix/${s.getPath.getName}"))
         .map { s =>
           if (!fs.delete(s.getPath, false))
             throw new java.io.IOException(s"vacuum failed to delete ${s.getPath}")
           1
         }.sum
+    val orphans = sweep(dataDir(rp), "data") + sweep(cdcDir(rp), "cdc")
     val staging =
       if (!fs.exists(rp)) 0
       else fs.listStatus(rp).iterator

@@ -510,6 +510,65 @@ class SnapshotTableSpec extends SparkSpec {
       "per-version row counts track the commits")
   }
 
+  test("materialized change feed: per-commit events as a join-free file scan") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(1000).repartitionByRange(8, col("k")), "k")                // v1
+    SnapshotTable.append(spark, root, rows(100, 1000))                // v2
+    SnapshotTable.deleteWhere(spark, root, 0L, 49L)                   // v3
+    val batch = rows(20, 500).withColumn("v", lit(999L))              // updates
+      .unionByName(rows(5, 5000))                                     // inserts
+    SnapshotTable.merge(spark, root, batch, Seq("k"))                 // v4
+    SnapshotTable.compact(spark, root)                                // v5
+    // per-commit granularity over the whole log
+    val feed = SnapshotTable.changes(spark, root, 0, 5)
+    val byType = feed.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map(
+      "insert" -> (1000L + 100L + 5L), // create + append + merge inserts
+      "delete" -> 50L,
+      "update_preimage" -> 20L, "update_postimage" -> 20L), s"got $byType")
+    // the rewrite commit contributes nothing
+    assert(SnapshotTable.changes(spark, root, 4, 5).count() == 0)
+    // the merge leg reads ONLY cdc files + the commit's added data
+    // files — never a carried file, and NO join anywhere in the plan
+    val mergeLeg = SnapshotTable.changes(spark, root, 3, 4)
+    assert(!mergeLeg.queryExecution.executedPlan.toString.contains("Join"),
+      "the materialized feed must be a join-free scan")
+    val m3 = readManifest(fs(root), new Path(root), 3)
+    val m4 = readManifest(fs(root), new Path(root), 4)
+    val carried = m3.files.map(_.path).toSet.intersect(m4.files.map(_.path).toSet)
+    assert(carried.nonEmpty && !mergeLeg.inputFiles.exists(f => carried.exists(f.endsWith)))
+    // per-commit vs net: a row inserted at v2 and deleted at v3 shows
+    // in BOTH legs of the feed, while diff(1, 3) nets it out
+    SnapshotTable.deleteWhere(spark, root, 1050L, 1059L)              // v6
+    val perCommit = SnapshotTable.changes(spark, root, 1, 6)
+      .where(col("k").between(1050, 1059))
+    assert(perCommit.where(col("change_type") === "insert").count() == 10)
+    assert(perCommit.where(col("change_type") === "delete").count() == 10)
+    // update events match the computed diff exactly (same pre/post)
+    val fromDiff = SnapshotTable.diff(spark, root, 3, 4, Seq("k"))
+      .where(col("change_type").startsWith("update"))
+      .select("k", "v", "change_type")
+    val fromFeed = SnapshotTable.changes(spark, root, 3, 4)
+      .where(col("change_type").startsWith("update"))
+      .select("k", "v", "change_type")
+    assert(fromDiff.exceptAll(fromFeed).isEmpty && fromFeed.exceptAll(fromDiff).isEmpty,
+      "materialized updates must equal the computed diff's")
+    // vacuum keeps referenced cdc files, reclaims orphaned ones
+    assert(SnapshotTable.vacuum(spark, root) == 0)
+    rows(3, 7000).coalesce(1).write.parquet(s"$root/orphancdc")
+    val f0 = fs(root)
+    val orphan = f0.listStatus(new Path(s"$root/orphancdc"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    f0.rename(orphan, new Path(s"$root/cdc/${orphan.getName}"))
+    f0.delete(new Path(s"$root/orphancdc"), true)
+    assert(SnapshotTable.vacuum(spark, root) == 1,
+      "an unreferenced cdc file is an orphan")
+    assert(SnapshotTable.changes(spark, root, 3, 4).count() == 45,
+      "referenced change files survive vacuum (5 inserts + 2x20 updates)")
+  }
+
   test("vacuum reclaims crash-orphaned staging directories") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, rows(100), "k")
