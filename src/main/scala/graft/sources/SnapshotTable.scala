@@ -128,6 +128,14 @@ object SnapshotTable {
     */
   @volatile private[graft] var onCommitAttempt: (String, Path) => Unit = (_, _) => ()
 
+  /** Probe-only A/B knob: when false, delete/merge skip change-file
+    * materialization (manifest carries an empty feed). Exists so
+    * SnapshotScaleProbe can measure the feed's write overhead
+    * same-JVM/same-ambient (cross-run comparison is hostage to host
+    * drift); production code never touches it.
+    */
+  @volatile private[graft] var materializeChanges: Boolean = true
+
   /** The optimistic-commit driver shared by every multi-attempt writer:
     * read the tip, let `build` derive a candidate manifest against it
     * (None = the caller detected a replay/no-op — surfaced as -1),
@@ -269,13 +277,34 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     val staging = new Path(root, s".staging-${UUID.randomUUID()}")
     df.write.parquet(staging.toString)
-    val statRows = spark.read.parquet(staging.toString)
-      .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("rows"),
-        count(col(statsCol).cast("long")).as("nonnull"),
-        min(col(statsCol).cast("long")).as("lo"),
-        max(col(statsCol).cast("long")).as("hi"))
-      .collect()
+    val parts = fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .toSeq.sortBy(_.getPath.getName)
+    // Stats come from the parquet FOOTERS the write already produced —
+    // driver-side metadata, O(files) — so no commit pays a second full
+    // scan of its batch. Fallback (stats disabled / non-integral
+    // physical type): one Spark aggregation pass, the original path.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val viaFooter: Option[Seq[(Long, Long, Long, Long)]] = {
+      val all = parts.map(st =>
+        try footerStats(conf, st.getPath, statsCol) catch { case _: Exception => None })
+      if (all.forall(_.isDefined)) Some(all.map(_.get)) else None
+    }
+    val stats: Map[String, (Long, Long, Long, Long)] = viaFooter match {
+      case Some(fstats) =>
+        parts.map(_.getPath.getName).zip(fstats).toMap
+      case None =>
+        spark.read.parquet(staging.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("rows"),
+            count(col(statsCol).cast("long")).as("nonnull"),
+            min(col(statsCol).cast("long")).as("lo"),
+            max(col(statsCol).cast("long")).as("hi"))
+          .collect()
+          .map(r => new Path(new java.net.URI(r.getString(0))).getName ->
+            (r.getLong(1), r.getLong(1) - r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toMap
+    }
     // Null stats values have no place in an envelope: min/max ignore
     // them (a file's [lo,hi] would silently exclude its null rows, so
     // deleteWhere's survivor predicate and readRange's skipping would
@@ -283,7 +312,7 @@ object SnapshotTable {
     // all. Reject at write time — the one choke point every commit path
     // (create/append/merge/delete-rewrite/compact/cluster) goes through
     // — so no committed file ever carries a null key.
-    val nullRows = statRows.iterator.map(r => r.getLong(1) - r.getLong(2)).sum
+    val nullRows = stats.valuesIterator.map(_._2).sum
     if (nullRows > 0) {
       fs.delete(staging, true)
       throw new IllegalArgumentException(
@@ -292,28 +321,70 @@ object SnapshotTable {
         "contract requires a non-null integral key on every row; filter " +
         "or fill those rows before writing")
     }
-    val stats = statRows.iterator
-      .map(r => new Path(new java.net.URI(r.getString(0))).getName ->
-        (r.getLong(1), r.getLong(3), r.getLong(4)))
-      .toMap
     fs.mkdirs(dataDir(root))
-    val metas = fs.listStatus(staging)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .toSeq.sortBy(_.getPath.getName)
-      .flatMap { st =>
-        stats.get(st.getPath.getName).collect { case (rows, lo, hi) if rows > 0 =>
-          val name = s"${UUID.randomUUID()}.parquet"
-          val dst = new Path(dataDir(root), name)
-          if (!fs.rename(st.getPath, dst))
-            throw new java.io.IOException(s"staging move failed: ${st.getPath} -> $dst")
-          DataFileMeta(s"data/$name", rows, st.getLen, lo, hi)
-        }
+    val metas = parts.flatMap { st =>
+      stats.get(st.getPath.getName).collect { case (rows, _, lo, hi) if rows > 0 =>
+        val name = s"${UUID.randomUUID()}.parquet"
+        val dst = new Path(dataDir(root), name)
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"staging move failed: ${st.getPath} -> $dst")
+        DataFileMeta(s"data/$name", rows, st.getLen, lo, hi)
       }
+    }
     fs.delete(staging, true)
     metas
   }
 
   private def cdcDir(root: Path) = new Path(root, "cdc")
+
+  /** Per-file (rows, nullCount, min, max) of `statsCol`, read from the
+    * parquet FOOTER — row-group statistics the writer already
+    * computed, so the stats read-back that used to re-SCAN the staged
+    * batch (a full second pass of every commit's data) becomes
+    * driver-side metadata, O(files). Returns None when any row group
+    * lacks statistics for the column (stats disabled, unsupported
+    * physical type) — the caller falls back to the scan path rather
+    * than guessing.
+    */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          file: Path, statsCol: String): Option[(Long, Long, Long, Long)] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val md = reader.getFooter.getBlocks
+      var rows = 0L; var nulls = 0L
+      var lo = Long.MaxValue; var hi = Long.MinValue
+      val it = md.iterator()
+      while (it.hasNext) {
+        val block = it.next()
+        rows += block.getRowCount
+        val colOpt = block.getColumns.iterator()
+        var found = false
+        while (colOpt.hasNext) {
+          val c = colOpt.next()
+          if (c.getPath.toDotString == statsCol) {
+            found = true
+            val st = c.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            nulls += st.getNumNulls
+            if (st.getNumNulls < block.getRowCount) {
+              if (!st.hasNonNullValue) return None
+              val (mn, mx) = st.genericGetMin match {
+                case i: java.lang.Integer =>
+                  (i.longValue, st.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
+                case l: java.lang.Long =>
+                  (l.longValue, st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+                case _ => return None // non-integral physical type
+              }
+              lo = math.min(lo, mn); hi = math.max(hi, mx)
+            }
+          }
+        }
+        if (!found) return None
+      }
+      Some((rows, nulls, lo, hi))
+    } finally reader.close()
+  }
 
   /** Write a commit's change events under cdc/ and return their
     * metadata ([[writeDataFiles]]'s staging discipline, minus the
@@ -325,24 +396,23 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     val staging = new Path(root, s".staging-${UUID.randomUUID()}")
     df.write.parquet(staging.toString)
-    val counts = spark.read.parquet(staging.toString)
-      .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("rows"))
-      .collect()
-      .map(r => new Path(new java.net.URI(r.getString(0))).getName -> r.getLong(1))
-      .toMap
+    // row counts from the footers' block metadata — no re-scan
+    val conf = spark.sparkContext.hadoopConfiguration
     fs.mkdirs(cdcDir(root))
     val metas = fs.listStatus(staging)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .toSeq.sortBy(_.getPath.getName)
       .flatMap { st =>
-        counts.get(st.getPath.getName).collect { case rows if rows > 0 =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        val rows = try reader.getRecordCount finally reader.close()
+        if (rows > 0) {
           val name = s"${UUID.randomUUID()}.parquet"
           val dst = new Path(cdcDir(root), name)
           if (!fs.rename(st.getPath, dst))
             throw new java.io.IOException(s"staging move failed: ${st.getPath} -> $dst")
-          CdcFileMeta(s"cdc/$name", rows)
-        }
+          Some(CdcFileMeta(s"cdc/$name", rows))
+        } else None
       }
     fs.delete(staging, true)
     metas
@@ -536,18 +606,25 @@ object SnapshotTable {
         else {
           // writeDataFiles rejects null stats keys at every commit, so
           // no touched file can hold a null-key row for the survivor
-          // predicate's three-valued logic to silently drop
+          // predicate's three-valued logic to silently drop. The
+          // touched rows feed BOTH writes (survivor rewrite + change
+          // events), so they persist once — delta-sized, the
+          // cache-discipline win case.
           val touchedRows = readFiles(spark, rp, base, touched)
-          val survivors = touchedRows
-            .where(col(base.statsCol).cast("long") < lo ||
-                   col(base.statsCol).cast("long") > hi)
-          // materialize the commit's change events while the touched
-          // rows are in hand: the feed then costs a plain file scan
-          val deleted = touchedRows
-            .where(col(base.statsCol).cast("long").between(lo, hi))
-            .withColumn("change_type", lit("delete"))
-          (writeDataFiles(spark, rp, survivors, base.statsCol),
-           writeCdcFiles(spark, rp, deleted))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val survivors = touchedRows
+              .where(col(base.statsCol).cast("long") < lo ||
+                     col(base.statsCol).cast("long") > hi)
+            // materialize the commit's change events while the touched
+            // rows are in hand: the feed then costs a plain file scan
+            val deleted = touchedRows
+              .where(col(base.statsCol).cast("long").between(lo, hi))
+              .withColumn("change_type", lit("delete"))
+            (writeDataFiles(spark, rp, survivors, base.statsCol),
+             if (materializeChanges) writeCdcFiles(spark, rp, deleted)
+             else Nil)
+          } finally touchedRows.unpersist(false)
         }
       Some(Manifest(base.version + 1, base.version, "delete", base.statsCol,
         base.schemaJson, carried ++ rewritten, base.streamId, base.streamBatch,
@@ -612,41 +689,56 @@ object SnapshotTable {
       val touchedPaths = stabbedFiles(spark, base, alignedBatch)
       val (touched, carried) =
         base.files.partition(f => touchedPaths.contains(f.path))
+      // The rewrite and the change-event derivation consume the
+      // touched rows and the batch several times each (survivor
+      // anti-join, match inner join, insert anti-join, two writes).
+      // Both frames are DELTA-sized — the persist-wins case of the
+      // cache discipline: without it every consumer re-reads the
+      // touched parquet and re-runs the caller's batch pipeline
+      // (SnapshotScaleProbe's cdc= arm measures the materialization
+      // trade same-JVM; SCALING.md round-15 section).
       val touchedRows = readFiles(spark, rp, base, touched)
-      val survivors = touchedRows
-        .join(alignedBatch.select(keyCols.map(col): _*), keyCols, "left_anti")
-      val newFiles = writeDataFiles(spark, rp,
-        alignTo(survivors, finalSchema)
-          .unionByName(alignTo(alignedBatch, finalSchema)), base.statsCol)
-      // Materialize the commit's change events at write time, where
-      // the matched old rows and the batch are both in hand (the
-      // Delta-CDF architecture): the feed then costs a join-free file
-      // scan at read time, vs diff()'s compute-on-read joins. The
-      // stats column rides in the key, so every matched old row lives
-      // in a touched file — the inner join below provably sees every
-      // match. Identical-content matches emit nothing (a no-op upsert
-      // is not a change), mirroring diff()'s null-safe cancellation.
-      val oldAligned = alignTo(touchedRows, finalSchema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newAligned = alignTo(alignedBatch, finalSchema)
-      val keyEq = keyCols.map(k => col(s"n.$k") === col(s"o.$k")).reduce(_ && _)
-      val pairs = newAligned.alias("n").join(oldAligned.alias("o"), keyEq, "inner")
-      val nonKey = finalSchema.fieldNames.filterNot(keyCols.contains).toSeq
-      val changed = nonKey.map(c => col(s"n.$c") <=> col(s"o.$c"))
-        .reduceOption(_ && _).map(!_).getOrElse(lit(false))
-      val outCols = finalSchema.fieldNames.toSeq
-      val events = newAligned
-        .join(oldAligned.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .withColumn("change_type", lit("insert"))
-        .unionByName(pairs.where(changed)
-          .select(outCols.map(c => col(s"o.$c")): _*)
-          .withColumn("change_type", lit("update_preimage")))
-        .unionByName(pairs.where(changed)
-          .select(outCols.map(c => col(s"n.$c")): _*)
-          .withColumn("change_type", lit("update_postimage")))
-      val cdcFiles = writeCdcFiles(spark, rp, events)
-      Some(Manifest(base.version + 1, base.version, "merge", base.statsCol,
-        finalJson, carried ++ newFiles, base.streamId, base.streamBatch,
-        cdcFiles))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val survivors = touchedRows
+          .join(alignedBatch.select(keyCols.map(col): _*), keyCols, "left_anti")
+        val newFiles = writeDataFiles(spark, rp,
+          alignTo(survivors, finalSchema).unionByName(newAligned), base.statsCol)
+        // Materialize the commit's change events at write time, where
+        // the matched old rows and the batch are both in hand (the
+        // Delta-CDF architecture): the feed then costs a join-free file
+        // scan at read time, vs diff()'s compute-on-read joins. The
+        // stats column rides in the key, so every matched old row lives
+        // in a touched file — the inner join below provably sees every
+        // match. Identical-content matches emit nothing (a no-op upsert
+        // is not a change), mirroring diff()'s null-safe cancellation.
+        val oldAligned = alignTo(touchedRows, finalSchema)
+        val keyEq = keyCols.map(k => col(s"n.$k") === col(s"o.$k")).reduce(_ && _)
+        val pairs = newAligned.alias("n").join(oldAligned.alias("o"), keyEq, "inner")
+        val nonKey = finalSchema.fieldNames.filterNot(keyCols.contains).toSeq
+        val changed = nonKey.map(c => col(s"n.$c") <=> col(s"o.$c"))
+          .reduceOption(_ && _).map(!_).getOrElse(lit(false))
+        val outCols = finalSchema.fieldNames.toSeq
+        val events = newAligned
+          .join(oldAligned.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .withColumn("change_type", lit("insert"))
+          .unionByName(pairs.where(changed)
+            .select(outCols.map(c => col(s"o.$c")): _*)
+            .withColumn("change_type", lit("update_preimage")))
+          .unionByName(pairs.where(changed)
+            .select(outCols.map(c => col(s"n.$c")): _*)
+            .withColumn("change_type", lit("update_postimage")))
+        val cdcFiles =
+          if (materializeChanges) writeCdcFiles(spark, rp, events) else Nil
+        Some(Manifest(base.version + 1, base.version, "merge", base.statsCol,
+          finalJson, carried ++ newFiles, base.streamId, base.streamBatch,
+          cdcFiles))
+      } finally {
+        touchedRows.unpersist(false)
+        newAligned.unpersist(false)
+      }
     }
   }
 

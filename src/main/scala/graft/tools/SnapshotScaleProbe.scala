@@ -35,7 +35,8 @@ object SnapshotScaleProbe {
     // bare numbers = row-count arms; "rows=none" skips them (so the
     // files= metadata arm can run alone)
     val sizes = args.filterNot(a => a.startsWith("reps=") ||
-        a.startsWith("files=") || a == "rows=none").map(_.toLong) match {
+        a.startsWith("files=") || a.startsWith("cdc=") ||
+        a == "rows=none").map(_.toLong) match {
       case Array() if !args.contains("rows=none") =>
         Seq(2000000L, 20000000L, 60000000L)
       case xs => xs.toSeq
@@ -113,6 +114,39 @@ object SnapshotScaleProbe {
       val (nVac, tVacuum) = timed(SnapshotTable.vacuum(spark, root))
       println(f"$n%8d $tCreate%9.2f $tAppend%9.2f $tDelete%9.2f $tDiffDel%7.2f $tDiffApp%9.2f $tScan%9.2f $tVacuum%9.2f ${m3.files.size}%9d  $carried/${m2.files.size} orphans=$nVac " +
         f"merge=$tMerge%.2fs carried=$mergeCarried/${m3b.files.size}")
+    }
+
+    // ----- CDC-materialization overhead arm (cdc=N) ----------------
+    // Cross-run comparison of merge/delete timings is hostage to host
+    // drift (create — UNCHANGED code — measured 13.7 s vs 41–127 s for
+    // the same 60M build on different days), so the feed's write cost
+    // is measured SAME-JVM: alternating merges of a flipping 2%-band
+    // batch (every rep a genuine update of the same volume) with
+    // materialization off/on, plus one off/on delete pair. The delta
+    // between the arms is the honest number.
+    args.find(_.startsWith("cdc=")).foreach { arg =>
+      val n = arg.drop(4).toLong
+      val root = graft.queries.Fixtures.scratchIndexDir("snapprobe-cdc") + "/t"
+      SnapshotTable.create(spark, root,
+        rows(n, 0).repartitionByRange(64, col("k")), "k")
+      val ulo = n * 7 / 10
+      def flipBatch(i: Int) = rows(n * 2 / 100, ulo)
+        .withColumn("v", col("v") + i) // every rep genuinely updates
+        .unionByName(rows(math.max(1000L, n / 200), 2 * n + i * 10))
+      val (off, on) = (collection.mutable.Buffer[Double](),
+                       collection.mutable.Buffer[Double]())
+      (0 until 2 * reps).foreach { i =>
+        SnapshotTable.materializeChanges = i % 2 == 1
+        val (_, t) = timed(SnapshotTable.merge(spark, root, flipBatch(i), Seq("k")))
+        (if (i % 2 == 1) on else off) += t
+      }
+      SnapshotTable.materializeChanges = false
+      val (_, delOff) = timed(SnapshotTable.deleteWhere(spark, root, n / 3, n / 3 + n / 100))
+      SnapshotTable.materializeChanges = true
+      val (_, delOn) = timed(SnapshotTable.deleteWhere(spark, root, n / 2, n / 2 + n / 100))
+      println(f"cdc-overhead n=$n merge: off=${median(off.toSeq)}%.2f s on=${median(on.toSeq)}%.2f s " +
+        f"(+${(median(on.toSeq) / median(off.toSeq) - 1) * 100}%.0f%%)  " +
+        f"delete: off=$delOff%.2f s on=$delOn%.2f s")
     }
 
     // ----- high-FILE-count arm (files=F1,F2,...) -------------------
