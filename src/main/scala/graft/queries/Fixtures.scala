@@ -175,7 +175,7 @@ object Fixtures {
     * oracle: [max/5, 3·max/10] (integer division, non-negative keys).
     */
   private[graft] def snapshotDeleteRange(s: SparkSession, d: String): (Long, Long) = {
-    val mx = Tables.lineitem(s, d).agg(max("l_orderkey")).head.getLong(0)
+    val mx = Tables.lineitem(s, d).agg(max("l_orderkey")).head().getLong(0)
     (mx / 5, 3 * mx / 10)
   }
 
@@ -196,7 +196,7 @@ object Fixtures {
         col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
       graft.sources.SnapshotTable.create(s, root,
         ord.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
-      val mx = Tables.orders(s, d).agg(max("o_orderkey")).head.getLong(0)
+      val mx = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0)
       val updates = ord
         .where(col("o_orderkey").between(mx / 2, 6 * mx / 10))
         .withColumn("o_totalprice", col("o_totalprice") * 2)
@@ -226,7 +226,7 @@ object Fixtures {
         col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
       graft.sources.SnapshotTable.create(s, root,
         ord.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
-      val mx = Tables.orders(s, d).agg(max("o_orderkey")).head.getLong(0)
+      val mx = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0)
       val updates = ord
         .where(col("o_orderkey").between(mx / 2, 6 * mx / 10))
         .withColumn("o_totalprice", col("o_totalprice") * 2)

@@ -456,7 +456,7 @@ object LayoutQueries {
     // layouts.
     "q277_snapshot_range" -> ((s, d) => {
       val root = Fixtures.snapshotTable(s, d)
-      val mx = Tables.lineitem(s, d).agg(max("l_orderkey")).head.getLong(0)
+      val mx = Tables.lineitem(s, d).agg(max("l_orderkey")).head().getLong(0)
       graft.sources.SnapshotTable.readRange(s, root, 6 * mx / 10, 7 * mx / 10)
         .agg(count(lit(1)).as("n_rows"),
           countDistinct("l_orderkey").as("n_orders"),
