@@ -285,11 +285,30 @@ object SnapshotTable {
     // scan of its batch. Fallback (stats disabled / non-integral
     // physical type): one Spark aggregation pass, the original path.
     val conf = spark.sparkContext.hadoopConfiguration
-    val viaFooter: Option[Seq[(Long, Long, Long, Long)]] = {
-      val all = parts.map(st =>
-        try footerStats(conf, st.getPath, statsCol) catch { case _: Exception => None })
-      if (all.forall(_.isDefined)) Some(all.map(_.get)) else None
-    }
+    // The footer path is gated on the stats column's SPARK type being
+    // integral (byte/short/int/long): every envelope consumer compares
+    // against cast(statsCol as long), and for a DecimalType(p, s>0)
+    // (unscaled-int physical) or TimestampType (micros physical vs
+    // cast-to-long SECONDS) the raw footer min/max is in different
+    // UNITS than the predicates — pruning built from it would silently
+    // skip or keep the wrong files. The scan fallback applies the same
+    // cast on both sides, so non-integral stats columns keep working
+    // exactly as they did before the footer fast path existed.
+    val statsColIntegral = df.schema.fields.find(_.name == statsCol)
+      .exists(_.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })
+    val viaFooter: Option[Seq[(Long, Long, Long, Long)]] =
+      if (!statsColIntegral) None
+      else {
+        val all = parts.map(st =>
+          try footerStats(conf, st.getPath, statsCol) catch { case _: Exception => None })
+        if (all.forall(_.isDefined)) Some(all.map(_.get)) else None
+      }
     val stats: Map[String, (Long, Long, Long, Long)] = viaFooter match {
       case Some(fstats) =>
         parts.map(_.getPath.getName).zip(fstats).toMap
@@ -686,9 +705,6 @@ object SnapshotTable {
         if (!evolving && base.schemaJson == tip.schemaJson) base.schemaJson
         else schemaJsonOf(mergeSchemas(parseSchema(base.schemaJson), entryMerged))
       val finalSchema = parseSchema(finalJson)
-      val touchedPaths = stabbedFiles(spark, base, alignedBatch)
-      val (touched, carried) =
-        base.files.partition(f => touchedPaths.contains(f.path))
       // The rewrite and the change-event derivation consume the
       // touched rows and the batch several times each (survivor
       // anti-join, match inner join, insert anti-join, two writes).
@@ -696,14 +712,22 @@ object SnapshotTable {
       // cache discipline: without it every consumer re-reads the
       // touched parquet and re-runs the caller's batch pipeline
       // (SnapshotScaleProbe's cdc= arm measures the materialization
-      // trade same-JVM; SCALING.md round-15 section).
-      val touchedRows = readFiles(spark, rp, base, touched)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // trade same-JVM; SCALING.md round-15 section). Every downstream
+      // key source — stabbedFiles, the survivor anti-join, the insert
+      // leg — reads the PERSISTED newAligned, never alignedBatch: with
+      // a non-deterministic caller batch, keys recomputed from the
+      // unpersisted lineage could disagree with the rows actually
+      // written, silently breaking replace-not-duplicate.
       val newAligned = alignTo(alignedBatch, finalSchema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val touchedPaths = stabbedFiles(spark, base, newAligned)
+      val (touched, carried) =
+        base.files.partition(f => touchedPaths.contains(f.path))
+      val touchedRows = readFiles(spark, rp, base, touched)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val survivors = touchedRows
-          .join(alignedBatch.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .join(newAligned.select(keyCols.map(col): _*), keyCols, "left_anti")
         val newFiles = writeDataFiles(spark, rp,
           alignTo(survivors, finalSchema).unionByName(newAligned), base.statsCol)
         // Materialize the commit's change events at write time, where
@@ -889,9 +913,18 @@ object SnapshotTable {
     * siblings would fabricate changes). A copy-on-write rewrite
     * re-emits surviving rows into new files, which the keyed
     * anti-joins and the null-safe content comparison cancel out.
+    *
+    * `pairUpdates = false` is the MEMBERSHIP fast path: consumers that
+    * only need insert/delete semantics (a signed row-count/sum refresh
+    * over commits known to be append/delete, the q274/q276 pattern)
+    * skip the pairing machinery — two key-windows and an inner join —
+    * entirely. The two anti-join legs are unchanged; a key present on
+    * both sides with changed content simply cancels, exactly the
+    * pre-round-15 semantics, so the flag must only be dropped when the
+    * consumer provably does not need updates surfaced.
     */
   def diff(spark: SparkSession, root: String, vFrom: Int, vTo: Int,
-           keyCols: Seq[String]): DataFrame = {
+           keyCols: Seq[String], pairUpdates: Boolean = true): DataFrame = {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
     val from = readManifest(fs, rp, vFrom)
@@ -924,7 +957,7 @@ object SnapshotTable {
     // two key-windows and an inner join — is dropped from the plan
     // entirely, not left for AQE to no-op at runtime.
     val updateLegs: Seq[DataFrame] =
-      if (added.isEmpty || removed.isEmpty) Nil
+      if (!pairUpdates || added.isEmpty || removed.isEmpty) Nil
       else {
         val wKey = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)

@@ -135,18 +135,24 @@ object SnapshotScaleProbe {
         .unionByName(rows(math.max(1000L, n / 200), 2 * n + i * 10))
       val (off, on) = (collection.mutable.Buffer[Double](),
                        collection.mutable.Buffer[Double]())
-      (0 until 2 * reps).foreach { i =>
-        SnapshotTable.materializeChanges = i % 2 == 1
-        val (_, t) = timed(SnapshotTable.merge(spark, root, flipBatch(i), Seq("k")))
-        (if (i % 2 == 1) on else off) += t
-      }
-      SnapshotTable.materializeChanges = false
-      val (_, delOff) = timed(SnapshotTable.deleteWhere(spark, root, n / 3, n / 3 + n / 100))
-      SnapshotTable.materializeChanges = true
-      val (_, delOn) = timed(SnapshotTable.deleteWhere(spark, root, n / 2, n / 2 + n / 100))
-      println(f"cdc-overhead n=$n merge: off=${median(off.toSeq)}%.2f s on=${median(on.toSeq)}%.2f s " +
-        f"(+${(median(on.toSeq) / median(off.toSeq) - 1) * 100}%.0f%%)  " +
-        f"delete: off=$delOff%.2f s on=$delOn%.2f s")
+      // try/finally: the flag is JVM-global — an off-arm merge/delete
+      // that throws would otherwise leave it false for the rest of the
+      // JVM, and every later delete/merge commit would silently write
+      // an empty change feed (permanently unreadable via changes())
+      try {
+        (0 until 2 * reps).foreach { i =>
+          SnapshotTable.materializeChanges = i % 2 == 1
+          val (_, t) = timed(SnapshotTable.merge(spark, root, flipBatch(i), Seq("k")))
+          (if (i % 2 == 1) on else off) += t
+        }
+        SnapshotTable.materializeChanges = false
+        val (_, delOff) = timed(SnapshotTable.deleteWhere(spark, root, n / 3, n / 3 + n / 100))
+        SnapshotTable.materializeChanges = true
+        val (_, delOn) = timed(SnapshotTable.deleteWhere(spark, root, n / 2, n / 2 + n / 100))
+        println(f"cdc-overhead n=$n merge: off=${median(off.toSeq)}%.2f s on=${median(on.toSeq)}%.2f s " +
+          f"(+${(median(on.toSeq) / median(off.toSeq) - 1) * 100}%.0f%%)  " +
+          f"delete: off=$delOff%.2f s on=$delOn%.2f s")
+      } finally SnapshotTable.materializeChanges = true
     }
 
     // ----- high-FILE-count arm (files=F1,F2,...) -------------------
