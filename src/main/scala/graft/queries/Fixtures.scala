@@ -240,6 +240,39 @@ object Fixtures {
     })
   }
 
+  /** Per-JVM RETENTION-demo snapshot table for q285 (separate root so
+    * the sibling fixtures' full histories stay stable): v1 = create
+    * (l_orderkey%4<=1), v2 = append (the rest — table is all of
+    * lineitem), v3 = copy-on-write delete of [max/5, 3·max/10], v4 =
+    * compact; then `expire(keepLast=2)` drops v1/v2 and `vacuum`
+    * reclaims the files only they referenced. Deterministic end state:
+    * retained versions are exactly {3, 4}, both holding lineitem minus
+    * the deleted range — so the oracle states the post-retention table
+    * in closed form, and the hash match certifies vacuum reclaimed NO
+    * live file.
+    */
+  private val expireRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def expireSnapshotTable(s: SparkSession, d: String): String = {
+    expireRoots.computeIfAbsent(d, _ => {
+      val root = scratchIndexDir("graft-snapexpire")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      def commitSlice(p: Column) =
+        li.where(p).repartitionByRange(4, col("l_orderkey"))
+      graft.sources.SnapshotTable.create(
+        s, root, commitSlice(col("l_orderkey") % 4 <= 1), "l_orderkey")
+      graft.sources.SnapshotTable.append(
+        s, root, commitSlice(col("l_orderkey") % 4 >= 2))
+      val (lo, hi) = snapshotDeleteRange(s, d)
+      graft.sources.SnapshotTable.deleteWhere(s, root, lo, hi)
+      graft.sources.SnapshotTable.compact(s, root)
+      graft.sources.SnapshotTable.expire(s, root, keepLast = 2)
+      graft.sources.SnapshotTable.vacuum(s, root)
+      root
+    })
+  }
+
   /** The decision rule's ESCAPE-HATCH arm as corpus state (q259): the
     * SAME bucketed files as [[bucketedTables]], read with
     * `spark.sql.sources.bucketing.enabled=false`. The conf is read at

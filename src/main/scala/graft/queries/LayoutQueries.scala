@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge, q285_snapshot_expire, q287_snapshot_changes_versioned, q288_snapshot_history.
   */
 object LayoutQueries {
 
@@ -597,6 +597,68 @@ object LayoutQueries {
           countDistinct("o_orderkey").as("n_orders"),
           graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
     }),
+
+    // VERSION EXPIRY + RETENTION GC — the operability half of the
+    // format: without it every compact/cluster/merge/delete retains
+    // its superseded files FOREVER (a daily-compacting 100 TB table
+    // doubles its dead storage every cycle). The fixture runs the
+    // 4-commit history, expires to keepLast=2, vacuums. The query
+    // certifies the three retention contracts at once: the boundary is
+    // exactly {3,4} (earliest/latest), a read below it fails LOUDLY
+    // (expired_read_fails — caught NoSuchElementException naming the
+    // boundary), and the retained content is bit-identical to the
+    // closed form — i.e. vacuum reclaimed no live file.
+    "q285_snapshot_expire" -> ((s, d) => {
+      val root = Fixtures.expireSnapshotTable(s, d)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val hfs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vs = graft.sources.SnapshotTable.versions(hfs, rp)
+      val expiredFails =
+        try { graft.sources.SnapshotTable.read(s, root, Some(1)); false }
+        catch { case e: NoSuchElementException => e.getMessage.contains("expire") }
+      graft.sources.SnapshotTable.read(s, root, Some(vs.max))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"))
+        .select(lit(vs.min.toLong).as("earliest_version"),
+          lit(vs.max.toLong).as("latest_version"),
+          lit(expiredFails).as("expired_read_fails"),
+          col("n_rows"), col("n_orders"), col("sum_qty"))
+    }),
+
+    // CHANGE-FEED COMMIT ATTRIBUTION — the feed's _commit_version
+    // column (the Delta-CDF convention): a multi-commit consumer can
+    // order and attribute events per commit. Over the merge fixture
+    // the attribution is closed-form: v1 = create's inserts (all of
+    // orders), v2 = the merge's inserts + update pre/post pairs — the
+    // hash certifies both the stamping and that no event leaked into
+    // the wrong commit.
+    "q287_snapshot_changes_versioned" -> ((s, d) => {
+      val root = Fixtures.mergeSnapshotTable(s, d)
+      graft.sources.SnapshotTable.changes(s, root, 0, 2)
+        .groupBy("_commit_version", "change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
+        .withColumnRenamed("_commit_version", "commit_version")
+    }),
+
+    // COMMIT-LOG HISTORY — the operational DESCRIBE HISTORY surface,
+    // O(versions) via the manifest header summary (never parsing the
+    // O(files) body — the probe measures 10³ versions × 10⁵ files
+    // under a second). Over the 6-commit lineitem fixture every
+    // version's op and row count is closed-form: the hash certifies
+    // the whole commit chain's accounting (create/append grow, delete
+    // shrinks by exactly the range, compact/cluster are lossless).
+    "q288_snapshot_history" -> ((s, d) => {
+      val root = Fixtures.snapshotTable(s, d)
+      val h = graft.sources.SnapshotTable.history(s, root)
+      import s.implicits._
+      h.toDF("version", "op", "parent", "n_files", "n_rows", "n_bytes",
+          "stream_id", "stream_batch")
+        .select(col("version").cast("long").as("version"), col("op"),
+          col("n_rows"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1054,6 +1116,65 @@ object LayoutQueries {
         | count(DISTINCT k) AS n_orders,
         | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
         |FROM ev GROUP BY change_type""".stripMargin,
+
+    // Post-retention state in closed form: the boundary literals and
+    // the loud-failure flag are fixed by the fixture's keepLast=2;
+    // the retained content is lineitem minus the deleted range (and
+    // the engine reads it AFTER vacuum — a reclaimed live file would
+    // break the hash).
+    "q285_snapshot_expire" ->
+      """WITH rng AS (SELECT max(l_orderkey) // 5 AS lo,
+        |  (3 * max(l_orderkey)) // 10 AS hi FROM lineitem)
+        |SELECT CAST(3 AS BIGINT) AS earliest_version,
+        | CAST(4 AS BIGINT) AS latest_version,
+        | TRUE AS expired_read_fails,
+        | count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem CROSS JOIN rng
+        |WHERE l_orderkey NOT BETWEEN rng.lo AND rng.hi""".stripMargin,
+
+    // q284's event legs, now attributed per commit: v1 carries
+    // create's inserts, v2 the merge's inserts and update pairs.
+    "q287_snapshot_changes_versioned" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |ev AS (
+        | SELECT CAST(1 AS BIGINT) AS commit_version,
+        |  'insert' AS change_type, o_orderkey AS k, o_totalprice AS p
+        | FROM orders
+        | UNION ALL
+        | SELECT 2, 'insert', o_orderkey + mx.m, o_totalprice
+        | FROM orders CROSS JOIN mx WHERE o_orderkey % 100 = 3
+        | UNION ALL
+        | SELECT 2, 'update_postimage', o_orderkey, o_totalprice * 2
+        | FROM orders CROSS JOIN mx
+        | WHERE o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10
+        | UNION ALL
+        | SELECT 2, 'update_preimage', o_orderkey, o_totalprice
+        | FROM orders CROSS JOIN mx
+        | WHERE o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10)
+        |SELECT commit_version, change_type, count(*) AS n_rows,
+        | count(DISTINCT k) AS n_orders,
+        | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
+        |FROM ev GROUP BY commit_version, change_type""".stripMargin,
+
+    // The 6-commit log's accounting in closed form: create (%4==0),
+    // append (+%4==1), append (rest), delete (minus the range), then
+    // two lossless rewrites.
+    "q288_snapshot_history" ->
+      """WITH rng AS (SELECT max(l_orderkey) // 5 AS lo,
+        |  (3 * max(l_orderkey)) // 10 AS hi FROM lineitem),
+        |v1 AS (SELECT count(*) AS n FROM lineitem WHERE l_orderkey % 4 = 0),
+        |v2 AS (SELECT count(*) AS n FROM lineitem WHERE l_orderkey % 4 <= 1),
+        |v3 AS (SELECT count(*) AS n FROM lineitem),
+        |v4 AS (SELECT count(*) AS n FROM lineitem CROSS JOIN rng
+        |  WHERE l_orderkey NOT BETWEEN rng.lo AND rng.hi)
+        |SELECT CAST(1 AS BIGINT) AS version, 'create' AS op, n AS n_rows FROM v1
+        |UNION ALL SELECT 2, 'append', n FROM v2
+        |UNION ALL SELECT 3, 'append', n FROM v3
+        |UNION ALL SELECT 4, 'delete', n FROM v4
+        |UNION ALL SELECT 5, 'compact', n FROM v4
+        |UNION ALL SELECT 6, 'cluster', n FROM v4""".stripMargin,
 
     // The merged state in closed form: updates replace in place
     // (CASE on the band), inserts append shifted keys.

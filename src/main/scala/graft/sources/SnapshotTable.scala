@@ -97,14 +97,43 @@ object SnapshotTable {
     * commit time, where the old and new rows are already in hand, so
     * the change feed costs a JOIN-FREE file scan at read time — the
     * Delta-CDF architecture, vs [[diff]]'s compute-on-read joins.
+    *
+    * `addedPaths` records which of `files` were WRITTEN BY this commit
+    * (vs carried from the parent) — rendered as a per-file a/c flag, so
+    * [[changes]] derives an append's insert leg without reading the
+    * parent manifest at all. That self-containedness is what makes
+    * [[expire]] safe: the feed over the retained range never needs an
+    * expired parent. `None` = legacy manifest written before the flag
+    * existed (changes falls back to the parent-diff for those).
+    *
+    * `cdcDone` records, on delete/merge commits, whether change
+    * materialization was ON when the commit ran — the capability flag
+    * that disambiguates "this commit had zero change events" (cdcDone
+    * true, cdc empty) from "this commit's events were never written"
+    * (cdcDone false, or None on a pre-flag manifest with no cdc files).
+    * [[changes]] fails LOUDLY on the latter instead of silently
+    * reading an understated feed.
     */
   case class Manifest(version: Int, parent: Int, op: String,
                       statsCol: String, schemaJson: String,
                       files: Seq[DataFileMeta],
                       streamId: String = "", streamBatch: Long = -1L,
-                      cdc: Seq[CdcFileMeta] = Nil) {
+                      cdc: Seq[CdcFileMeta] = Nil,
+                      addedPaths: Option[Set[String]] = None,
+                      cdcDone: Option[Boolean] = None) {
     def totalRows: Long = files.map(_.rows).sum
   }
+
+  /** The O(1)-per-version slice of a manifest: everything [[history]]
+    * reports, parseable from the HEADER lines alone (the summary keys
+    * ride above the file list), so the commit log of a 1,000-version ×
+    * 10⁶-file table costs 1,000 small header reads, not 10⁹ parsed
+    * file lines.
+    */
+  case class ManifestSummary(version: Int, parent: Int, op: String,
+                             fileCount: Int, totalRows: Long,
+                             totalBytes: Long,
+                             streamId: String, streamBatch: Long)
 
   private val Header = "graft-snapshot-manifest v1"
 
@@ -178,19 +207,46 @@ object SnapshotTable {
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest committed version, 0 if the table does not exist yet. */
-  def latestVersion(fs: FileSystem, root: Path): Int = {
+  /** The versions whose manifests are PRESENT, ascending — after
+    * [[expire]] this is a suffix of the commit history, so every
+    * whole-table walk (history, vacuum) iterates this, never an
+    * assumed 1..latest.
+    */
+  def versions(fs: FileSystem, root: Path): Seq[Int] = {
     val md = metaDir(root)
-    if (!fs.exists(md)) 0
+    if (!fs.exists(md)) Nil
     else fs.listStatus(md).iterator
       .map(_.getPath.getName)
       .collect { case n if n.matches("v\\d{8}\\.manifest") =>
         n.substring(1, 9).toInt }
-      .foldLeft(0)(math.max)
+      .toSeq.sorted
   }
 
+  /** Highest committed version, 0 if the table does not exist yet. */
+  def latestVersion(fs: FileSystem, root: Path): Int =
+    versions(fs, root).lastOption.getOrElse(0)
+
+  /** Open a manifest, failing LOUDLY when the version is gone: after
+    * [[expire]] a missing low version is the retention boundary, not a
+    * bug, and the error must say so (naming the earliest retained
+    * version) instead of surfacing a bare FileNotFoundException.
+    */
+  private def openManifest(fs: FileSystem, root: Path, version: Int) =
+    try fs.open(manifestPath(root, version)) catch {
+      case e: java.io.FileNotFoundException =>
+        val vs = versions(fs, root)
+        throw new NoSuchElementException(
+          s"snapshot version $version is not available at $root — " +
+          (if (vs.isEmpty) "the table has no committed versions"
+           else if (version < vs.min)
+             s"it was removed by expire(); the retention boundary is " +
+             s"v${vs.min} (retained: v${vs.min}..v${vs.max})"
+           else s"it was never committed (retained: v${vs.min}..v${vs.max})"),
+          e)
+    }
+
   def readManifest(fs: FileSystem, root: Path, version: Int): Manifest = {
-    val in = fs.open(manifestPath(root, version))
+    val in = openManifest(fs, root, version)
     val text = try {
       val buf = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 64 * 1024, false)
@@ -203,10 +259,19 @@ object SnapshotTable {
       .takeWhile(l => !l.startsWith("file\t") && !l.startsWith("cdc\t"))
       .map { l => val i = l.indexOf(": "); l.substring(0, i) -> l.substring(i + 2) }
       .toMap
-    val files = lines.filter(_.startsWith("file\t")).map { l =>
-      val p = l.split('\t')
+    val fileParts = lines.filter(_.startsWith("file\t")).map(_.split('\t'))
+    val files = fileParts.map { p =>
       DataFileMeta(p(1), p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong)
     }
+    // 7th field (a = added by this commit, c = carried from the
+    // parent) — absent on legacy manifests, which parse to
+    // addedPaths = None and keep the parent-diff read path
+    val addedPaths: Option[Set[String]] =
+      if (fileParts.nonEmpty && fileParts.forall(_.length >= 7))
+        Some(fileParts.collect { case p if p(6) == "a" => p(1) }.toSet)
+      else if (fileParts.isEmpty && kv.contains("fileCount"))
+        Some(Set.empty)
+      else None
     // cdc lines are absent from pre-materialization manifests — they
     // parse as an empty feed, never as an error
     val cdc = lines.filter(_.startsWith("cdc\t")).map { l =>
@@ -216,7 +281,40 @@ object SnapshotTable {
     Manifest(kv("version").toInt, kv("parent").toInt, kv("op"),
       kv("statsCol"), kv("schema"), files,
       kv.getOrElse("streamId", ""), kv.getOrElse("streamBatch", "-1").toLong,
-      cdc)
+      cdc, addedPaths, kv.get("cdcDone").map(_.toBoolean))
+  }
+
+  /** Header-only manifest read for [[history]]: stream lines until the
+    * first file/cdc entry and stop — O(1) I/O per version regardless
+    * of file count. Legacy manifests (no summary keys) fall back to a
+    * full [[readManifest]] parse.
+    */
+  def readManifestSummary(fs: FileSystem, root: Path, version: Int): ManifestSummary = {
+    val in = openManifest(fs, root, version)
+    val br = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    val kv = scala.collection.mutable.Map[String, String]()
+    try {
+      require(Option(br.readLine()).contains(Header),
+        s"not a snapshot manifest: ${manifestPath(root, version)}")
+      var line = br.readLine()
+      while (line != null && !line.startsWith("file\t") && !line.startsWith("cdc\t")) {
+        if (line.nonEmpty) {
+          val i = line.indexOf(": ")
+          kv(line.substring(0, i)) = line.substring(i + 2)
+        }
+        line = br.readLine()
+      }
+    } finally br.close()
+    if (kv.contains("fileCount") && kv.contains("totalRows") && kv.contains("totalBytes"))
+      ManifestSummary(kv("version").toInt, kv("parent").toInt, kv("op"),
+        kv("fileCount").toInt, kv("totalRows").toLong, kv("totalBytes").toLong,
+        kv.getOrElse("streamId", ""), kv.getOrElse("streamBatch", "-1").toLong)
+    else {
+      val m = readManifest(fs, root, version)
+      ManifestSummary(m.version, m.parent, m.op, m.files.size, m.totalRows,
+        m.files.map(_.bytes).sum, m.streamId, m.streamBatch)
+    }
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -228,9 +326,19 @@ object SnapshotTable {
     sb ++= s"statsCol: ${m.statsCol}\n"
     sb ++= s"streamId: ${m.streamId}\n"
     sb ++= s"streamBatch: ${m.streamBatch}\n"
+    // per-version summary ABOVE the file list: history() reads these
+    // three keys and stops, never parsing the O(files) body
+    sb ++= s"fileCount: ${m.files.size}\n"
+    sb ++= s"totalRows: ${m.totalRows}\n"
+    sb ++= s"totalBytes: ${m.files.map(_.bytes).sum}\n"
+    m.cdcDone.foreach(d => sb ++= s"cdcDone: $d\n")
     sb ++= s"schema: ${m.schemaJson}\n"
+    val flag: String => String = m.addedPaths match {
+      case Some(set) => p => if (set.contains(p)) "\ta" else "\tc"
+      case None => _ => ""
+    }
     m.files.foreach { f =>
-      sb ++= s"file\t${f.path}\t${f.rows}\t${f.bytes}\t${f.minKey}\t${f.maxKey}\n"
+      sb ++= s"file\t${f.path}\t${f.rows}\t${f.bytes}\t${f.minKey}\t${f.maxKey}${flag(f.path)}\n"
     }
     m.cdc.foreach { c =>
       sb ++= s"cdc\t${c.path}\t${c.rows}\n"
@@ -487,7 +595,8 @@ object SnapshotTable {
     val fs = fsOf(spark, rp)
     require(latestVersion(fs, rp) == 0, s"table already exists at $root")
     val files = writeDataFiles(spark, rp, df, statsCol)
-    val m = Manifest(1, 0, "create", statsCol, schemaJson(df), files)
+    val m = Manifest(1, 0, "create", statsCol, schemaJson(df), files,
+      addedPaths = Some(files.map(_.path).toSet))
     if (!tryCommit(spark, rp, m))
       throw new java.io.IOException(s"concurrent create at $root")
     1
@@ -516,7 +625,8 @@ object SnapshotTable {
           s"against v${base.version}'s schema; tip v${pm.version} differs) — " +
           "re-read the tip and use appendEvolved")
       Some(Manifest(pm.version + 1, pm.version, "append", base.statsCol,
-        base.schemaJson, pm.files ++ newFiles, pm.streamId, pm.streamBatch))
+        base.schemaJson, pm.files ++ newFiles, pm.streamId, pm.streamBatch,
+        addedPaths = Some(newFiles.map(_.path).toSet)))
     }
   }
 
@@ -547,7 +657,8 @@ object SnapshotTable {
       // entry-time merge, a subset of this union, so reads null-fill.
       val finalJson = schemaJsonOf(mergeSchemas(parseSchema(pm.schemaJson), merged))
       Some(Manifest(pm.version + 1, pm.version, "append", base.statsCol,
-        finalJson, pm.files ++ newFiles, pm.streamId, pm.streamBatch))
+        finalJson, pm.files ++ newFiles, pm.streamId, pm.streamBatch,
+        addedPaths = Some(newFiles.map(_.path).toSet)))
     }
   }
 
@@ -590,7 +701,8 @@ object SnapshotTable {
           s"(validated against v${base.version}'s schema; tip v${pm.version} " +
           "differs) — restart the stream against the widened schema")
       else Some(Manifest(pm.version + 1, pm.version, "append", base.statsCol,
-        base.schemaJson, pm.files ++ newFiles, queryId, batchId))
+        base.schemaJson, pm.files ++ newFiles, queryId, batchId,
+        addedPaths = Some(newFiles.map(_.path).toSet)))
     }
   }
 
@@ -618,6 +730,10 @@ object SnapshotTable {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
     commitLoop(spark, fs, rp, "deleteWhere") { base =>
+      // capture the probe knob ONCE per attempt: the cdc files written
+      // and the cdcDone capability flag recorded must agree even if
+      // the global flips mid-commit
+      val doCdc = materializeChanges
       val (touched, carried) =
         base.files.partition(f => f.minKey <= hi && f.maxKey >= lo)
       val (rewritten, cdcFiles) =
@@ -641,13 +757,14 @@ object SnapshotTable {
               .where(col(base.statsCol).cast("long").between(lo, hi))
               .withColumn("change_type", lit("delete"))
             (writeDataFiles(spark, rp, survivors, base.statsCol),
-             if (materializeChanges) writeCdcFiles(spark, rp, deleted)
+             if (doCdc) writeCdcFiles(spark, rp, deleted)
              else Nil)
           } finally touchedRows.unpersist(false)
         }
       Some(Manifest(base.version + 1, base.version, "delete", base.statsCol,
         base.schemaJson, carried ++ rewritten, base.streamId, base.streamBatch,
-        cdcFiles))
+        cdcFiles, addedPaths = Some(rewritten.map(_.path).toSet),
+        cdcDone = Some(doCdc)))
     }
   }
 
@@ -698,6 +815,7 @@ object SnapshotTable {
       s"${uniq.getLong(1)} distinct ${keyCols.mkString("(", ",", ")")} — " +
       "deduplicate (e.g. keep-latest per key) before merging")
     commitLoop(spark, fs, rp, "merge") { base =>
+      val doCdc = materializeChanges // capture once per attempt
       // Re-derive the final schema against THIS parent (a racing
       // evolution may have widened it since entry — same rule as
       // appendEvolved's retry); survivors and batch both align to it.
@@ -755,10 +873,11 @@ object SnapshotTable {
             .select(outCols.map(c => col(s"n.$c")): _*)
             .withColumn("change_type", lit("update_postimage")))
         val cdcFiles =
-          if (materializeChanges) writeCdcFiles(spark, rp, events) else Nil
+          if (doCdc) writeCdcFiles(spark, rp, events) else Nil
         Some(Manifest(base.version + 1, base.version, "merge", base.statsCol,
           finalJson, carried ++ newFiles, base.streamId, base.streamBatch,
-          cdcFiles))
+          cdcFiles, addedPaths = Some(newFiles.map(_.path).toSet),
+          cdcDone = Some(doCdc)))
       } finally {
         touchedRows.unpersist(false)
         newAligned.unpersist(false)
@@ -824,7 +943,8 @@ object SnapshotTable {
       val files = writeDataFiles(spark, rp,
         read(spark, root, Some(base.version)).coalesce(n), base.statsCol)
       Some(Manifest(base.version + 1, base.version, "compact", base.statsCol,
-        base.schemaJson, files, base.streamId, base.streamBatch))
+        base.schemaJson, files, base.streamId, base.streamBatch,
+        addedPaths = Some(files.map(_.path).toSet)))
     }
   }
 
@@ -847,7 +967,8 @@ object SnapshotTable {
         .sortWithinPartitions(base.statsCol)
       val files = writeDataFiles(spark, rp, clustered, base.statsCol)
       Some(Manifest(base.version + 1, base.version, "cluster", base.statsCol,
-        base.schemaJson, files, base.streamId, base.streamBatch))
+        base.schemaJson, files, base.streamId, base.streamBatch,
+        addedPaths = Some(files.map(_.path).toSet)))
     }
   }
 
@@ -1016,22 +1137,55 @@ object SnapshotTable {
     require(vFrom <= vTo, s"changes($vFrom, $vTo): vFrom must be <= vTo")
     val frames = ((vFrom + 1) to vTo).flatMap { v =>
       val m = readManifest(fs, rp, v)
+      // every leg carries its commit version (the Delta-CDF
+      // _commit_version convention): a multi-commit consumer can order
+      // and attribute events — insert-at-v2 then delete-at-v4 would
+      // otherwise arrive indistinguishable from the reverse history
+      def stamped(df: DataFrame): DataFrame =
+        df.withColumn("_commit_version", lit(v.toLong))
       m.op match {
         case "create" | "append" =>
-          val parentPaths =
-            if (m.parent == 0) Set.empty[String]
-            else readManifest(fs, rp, m.parent).files.map(_.path).toSet
-          val added = m.files.filterNot(f => parentPaths.contains(f.path))
+          val added = m.addedPaths match {
+            case Some(ap) => m.files.filter(f => ap.contains(f.path))
+            case None =>
+              // legacy manifest without per-file added flags: derive
+              // from the parent's file list (requires the parent to
+              // still be retained — readManifest is loud if expired)
+              val parentPaths =
+                if (m.parent == 0) Set.empty[String]
+                else readManifest(fs, rp, m.parent).files.map(_.path).toSet
+              m.files.filterNot(f => parentPaths.contains(f.path))
+          }
           if (added.isEmpty) None
-          else Some(readFiles(spark, rp, m, added)
-            .withColumn("change_type", lit("insert")))
+          else Some(stamped(readFiles(spark, rp, m, added)
+            .withColumn("change_type", lit("insert"))))
         case "delete" | "merge" =>
+          // Capability check, loud (the CellGuard convention — enforced
+          // bounds, not documented ones): an empty cdc list is only a
+          // provably-empty feed when the manifest RECORDS that
+          // materialization was on. cdcDone=false (probe's A/B arm) and
+          // a pre-flag manifest with no cdc files both mean the events
+          // were never written — reading them as "no changes" would
+          // silently understate the feed.
+          m.cdcDone match {
+            case Some(false) => throw new IllegalStateException(
+              s"changes($vFrom, $vTo) at $root: v$v (${m.op}) committed " +
+              "with change materialization OFF — its events were never " +
+              s"written; recover them with diff(root, ${v - 1}, $v, keys)")
+            case None if m.cdc.isEmpty =>
+              throw new IllegalStateException(
+                s"changes($vFrom, $vTo) at $root: v$v (${m.op}) predates " +
+                "change-file materialization (no cdc capability recorded), " +
+                "so an empty feed is indistinguishable from unwritten " +
+                s"events; recover them with diff(root, ${v - 1}, $v, keys)")
+            case _ => () // Some(true), or legacy with cdc files present
+          }
           if (m.cdc.isEmpty) None
           else {
             val schema = parseSchema(m.schemaJson)
               .add("change_type", org.apache.spark.sql.types.StringType)
-            Some(spark.read.schema(schema)
-              .parquet(m.cdc.map(c => new Path(rp, c.path).toString): _*))
+            Some(stamped(spark.read.schema(schema)
+              .parquet(m.cdc.map(c => new Path(rp, c.path).toString): _*)))
           }
         case _ => None // compact/cluster: lossless rewrites change nothing
       }
@@ -1040,26 +1194,65 @@ object SnapshotTable {
       case Seq() =>
         val schema = parseSchema(readManifest(fs, rp, vTo).schemaJson)
           .add("change_type", org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.LongType)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case fs0 => fs0.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
-  /** The table's commit log, oldest first: one row per version with
-    * its op, parent, file count, row count, total bytes, and streaming
-    * watermark — the operational `DESCRIBE HISTORY` every table format
-    * grows, driven entirely from the O(versions) manifest directory.
-    * Driver-side metadata (like [[latestVersion]]); cost ∝ versions ×
-    * files, the same class as one commit's manifest read.
+  /** The table's commit log, oldest RETAINED first: one row per
+    * version with its op, parent, file count, row count, total bytes,
+    * and streaming watermark — the operational `DESCRIBE HISTORY`
+    * every table format grows. O(versions), not O(versions × files):
+    * each row comes from [[readManifestSummary]]'s header-only read
+    * (the summary keys ride above the file list), so a 1,000-version
+    * table with 10⁶-file manifests pays 1,000 small reads, not ~6
+    * minutes of full manifest parses. Expired versions are simply
+    * absent (the [[versions]] listing is the source of truth).
     */
   def history(spark: SparkSession, root: String): Seq[(Int, String, Int, Int, Long, Long, String, Long)] = {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
-    (1 to latestVersion(fs, rp)).map { v =>
-      val m = readManifest(fs, rp, v)
-      (m.version, m.op, m.parent, m.files.size, m.totalRows,
-        m.files.map(_.bytes).sum, m.streamId, m.streamBatch)
+    versions(fs, rp).map { v =>
+      val m = readManifestSummary(fs, rp, v)
+      (m.version, m.op, m.parent, m.fileCount, m.totalRows,
+        m.totalBytes, m.streamId, m.streamBatch)
     }
+  }
+
+  /** RETENTION: drop every manifest older than the last `keepLast`
+    * versions, so the data/cdc files those versions exclusively
+    * referenced become unreferenced and [[vacuum]] can reclaim them —
+    * without this, every compact/cluster/merge/delete retains its
+    * superseded files FOREVER (a table that compacts daily doubles its
+    * dead storage every rewrite cycle; at 100 TB that is the first
+    * operational wall a long-lived deployment hits — Iceberg's
+    * `expireSnapshots`, Delta's `VACUUM ... RETAIN`). Returns the
+    * number of versions expired.
+    *
+    * Time travel, [[diff]], or [[changes]] into the expired range fail
+    * LOUDLY naming the retention boundary (see [[openManifest]]); the
+    * retained range keeps working because every post-flag manifest is
+    * self-contained (per-file added flags — no parent reads). Like
+    * [[vacuum]], expiry is a maintenance operation: choose `keepLast`
+    * to exceed the longest-running reader's lookback, since a reader
+    * holding an already-parsed manifest keeps working (data files
+    * survive until vacuum) but one about to OPEN an expiring manifest
+    * races with the delete.
+    */
+  def expire(spark: SparkSession, root: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"expire: keepLast must be >= 1, got $keepLast")
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val tip = latestVersion(fs, rp)
+    require(tip > 0, s"no committed snapshot at $root")
+    val expired = versions(fs, rp).filter(_ <= tip - keepLast)
+    expired.foreach { v =>
+      if (!fs.delete(manifestPath(rp, v), false))
+        throw new java.io.IOException(
+          s"expire failed to delete manifest v$v at $root")
+    }
+    expired.size
   }
 
   /** Delete data files referenced by NO manifest (failed-commit and
@@ -1076,7 +1269,10 @@ object SnapshotTable {
   def vacuum(spark: SparkSession, root: String): Int = {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
-    val manifests = (1 to latestVersion(fs, rp)).map(v => readManifest(fs, rp, v))
+    // RETAINED manifests only (versions(), never 1..latest — expired
+    // manifests are gone): files referenced exclusively by an expired
+    // version are exactly what expire() made reclaimable here
+    val manifests = versions(fs, rp).map(v => readManifest(fs, rp, v))
     val referenced = manifests.iterator.flatMap(_.files.map(_.path)).toSet ++
       manifests.iterator.flatMap(_.cdc.map(_.path))
     def sweep(dir: Path, prefix: String): Int =

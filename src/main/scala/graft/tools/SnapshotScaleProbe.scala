@@ -36,6 +36,7 @@ object SnapshotScaleProbe {
     // files= metadata arm can run alone)
     val sizes = args.filterNot(a => a.startsWith("reps=") ||
         a.startsWith("files=") || a.startsWith("cdc=") ||
+        a.startsWith("history=") ||
         a == "rows=none").map(_.toLong) match {
       case Array() if !args.contains("rows=none") =>
         Seq(2000000L, 20000000L, 60000000L)
@@ -215,6 +216,43 @@ object SnapshotScaleProbe {
         })
         println(f"$f%9d ${maniBytes / 1e6}%9.1f $tCommit%9.3f $tRead%9.3f $tLatest%9.3f $tStab%9.2f $touched%9d")
       }
+    }
+
+    // ----- deep-history arm (history=V,F) --------------------------
+    // history() is the ops API a 1,000-version table consults daily;
+    // pre-summary it re-parsed every manifest BODY (O(versions×files)
+    // — ~6 min at 10³ versions × 10⁶ files at the measured 0.34 s/
+    // read). The header summary makes it O(versions): this arm pins
+    // the number. Manifests are synthetic (the files= discipline) so
+    // the measurement is purely the metadata path; expire+vacuum run
+    // at the end to exercise retention at version depth.
+    args.find(_.startsWith("history=")).foreach { arg =>
+      val Array(nv, nf) = arg.drop(8).split(',').map(_.toInt)
+      val root = new Path(
+        graft.queries.Fixtures.scratchIndexDir("snapprobe-history") + "/t")
+      val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val schema = spark.range(1).select(col("id").as("k"),
+        col("id").as("v")).schema.json
+      def files(tag: Long) = (0 until nf).map { i =>
+        SnapshotTable.DataFileMeta(
+          s"data/$tag-${i}.parquet", 1000L, 128L * 1024 * 1024,
+          i * 1000L, i * 1000L + 999L)
+      }
+      val (_, tBuild) = timed {
+        (1 to nv).foreach { v =>
+          SnapshotTable.tryCommit(spark, root,
+            SnapshotTable.Manifest(v, v - 1,
+              if (v == 1) "create" else "append", "k", schema, files(v.toLong),
+              addedPaths = Some(Set.empty)))
+        }
+      }
+      val tHist = median((1 to reps).map { _ =>
+        timed(SnapshotTable.history(spark, root.toString))._2
+      })
+      val (nExpired, tExpire) = timed(
+        SnapshotTable.expire(spark, root.toString, keepLast = 10))
+      println(f"history versions=$nv files/manifest=$nf build=$tBuild%.1f s " +
+        f"history()=$tHist%.3f s expire(keep 10)=$tExpire%.2f s ($nExpired dropped)")
     }
     spark.stop()
   }

@@ -584,6 +584,164 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.vacuum(spark, root) == 0)
   }
 
+  /** Rewrite a manifest file in place (spec-only: simulates legacy /
+    * probe-written manifests). Deletes the checksummed LocalFileSystem's
+    * .crc sidecar, which would otherwise fail the next Hadoop read.
+    */
+  private def rewriteManifest(root: String, v: Int)(f: String => String): Unit = {
+    val p = java.nio.file.Paths.get(f"$root/meta/v$v%08d.manifest")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    java.nio.file.Files.write(p, f(txt).getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      p.getParent.resolve(s".${p.getFileName}.crc"))
+  }
+
+  /** Strip everything the round-16 manifest format added (summary
+    * keys, cdcDone, per-file a/c flags) — the on-disk shape every
+    * pre-flag table has.
+    */
+  private def downgradeToLegacy(txt: String): String =
+    txt.split('\n').filter(_.nonEmpty).collect {
+      case l if l.startsWith("fileCount: ") || l.startsWith("totalRows: ") ||
+                l.startsWith("totalBytes: ") || l.startsWith("cdcDone: ") =>
+        null
+      case l if l.startsWith("file\t") =>
+        l.replaceAll("\t[ac]$", "")
+      case l => l
+    }.filter(_ != null).mkString("", "\n", "\n")
+
+  test("expire drops old versions; vacuum reclaims their exclusive files; expired reads fail loudly") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(1000).repartitionByRange(8, col("k")), "k")            // v1
+    SnapshotTable.append(spark, root, rows(200, 1000))            // v2
+    SnapshotTable.deleteWhere(spark, root, 0L, 99L)               // v3: rewrites low files
+    SnapshotTable.compact(spark, root)                            // v4: supersedes all
+    val f0 = fs(root)
+    val dataBefore = f0.listStatus(new Path(s"$root/data")).count(_.isFile)
+    assert(SnapshotTable.vacuum(spark, root) == 0,
+      "pre-expire, every file is still referenced by SOME manifest")
+    assert(SnapshotTable.expire(spark, root, keepLast = 2) == 2)
+    assert(SnapshotTable.versions(f0, new Path(root)) == Seq(3, 4))
+    // surviving versions read identically after expiry + vacuum
+    assert(SnapshotTable.read(spark, root, Some(3)).count() == 1100)
+    val reclaimed = SnapshotTable.vacuum(spark, root)
+    assert(reclaimed > 0,
+      "the files only v1/v2 referenced (pre-delete images of the " +
+      "rewritten files) must become reclaimable")
+    assert(f0.listStatus(new Path(s"$root/data")).count(_.isFile)
+      == dataBefore - reclaimed)
+    assert(SnapshotTable.read(spark, root, Some(3)).count() == 1100)
+    assert(SnapshotTable.read(spark, root, Some(4)).count() == 1100)
+    assert(SnapshotTable.read(spark, root, Some(3))
+      .agg(sum("k")).head().getLong(0) ==
+      SnapshotTable.read(spark, root, Some(4)).agg(sum("k")).head().getLong(0))
+    // reads into the expired range name the retention boundary
+    val e = intercept[NoSuchElementException] {
+      SnapshotTable.read(spark, root, Some(1))
+    }
+    assert(e.getMessage.contains("expire") && e.getMessage.contains("v3"),
+      s"got: ${e.getMessage}")
+    intercept[NoSuchElementException] {
+      SnapshotTable.diff(spark, root, 1, 3, Seq("k"))
+    }
+    intercept[NoSuchElementException] {
+      SnapshotTable.changes(spark, root, 0, 4)
+    }
+    // the retained range stays fully operational: post-flag manifests
+    // are self-contained, so the feed never needs the expired parents
+    assert(SnapshotTable.changes(spark, root, 2, 4)
+      .where(col("change_type") === "delete").count() == 100)
+    assert(SnapshotTable.history(spark, root).map(r => (r._1, r._2)) ==
+      Seq((3, "delete"), (4, "compact")))
+    // expire keeps working incrementally; keepLast=1 leaves only the tip
+    SnapshotTable.append(spark, root, rows(10, 5000))             // v5
+    assert(SnapshotTable.expire(spark, root, keepLast = 1) == 2)
+    assert(SnapshotTable.versions(f0, new Path(root)) == Seq(5))
+    assert(SnapshotTable.read(spark, root).count() == 1110)
+  }
+
+  test("changes fails loudly when a commit's events were never materialized") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(100).repartitionByRange(4, col("k")), "k")             // v1
+    SnapshotTable.deleteWhere(spark, root, 0L, 9L)                // v2
+    assert(SnapshotTable.changes(spark, root, 1, 2).count() == 10)
+    // a commit that recorded materialization OFF (the probe's A/B arm
+    // shape) must not read as an empty feed
+    rewriteManifest(root, 2)(_.replace("cdcDone: true", "cdcDone: false"))
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.changes(spark, root, 1, 2)
+    }
+    assert(e.getMessage.contains("materialization OFF")
+      && e.getMessage.contains("diff"), s"got: ${e.getMessage}")
+    // a pre-flag manifest with no cdc files is AMBIGUOUS ("no events"
+    // vs "events never written") — loud, never silently empty
+    rewriteManifest(root, 2)(txt => downgradeToLegacy(txt)
+      .split('\n').filterNot(_.startsWith("cdc\t")).mkString("", "\n", "\n"))
+    val e2 = intercept[IllegalStateException] {
+      SnapshotTable.changes(spark, root, 1, 2)
+    }
+    assert(e2.getMessage.contains("predates")
+      && e2.getMessage.contains("diff"), s"got: ${e2.getMessage}")
+    // diff, the documented recovery path, still answers exactly
+    assert(SnapshotTable.diff(spark, root, 1, 2, Seq("k"))
+      .where(col("change_type") === "delete").count() == 10)
+  }
+
+  test("legacy manifests (no flags/summary/cdcDone) read via fallbacks") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")             // v1
+    SnapshotTable.append(spark, root, rows(50, 100))              // v2
+    SnapshotTable.deleteWhere(spark, root, 0L, 9L)                // v3
+    (1 to 3).foreach(v => rewriteManifest(root, v)(downgradeToLegacy))
+    // reads, history (full-parse fallback), and the feed's append legs
+    // (parent-diff fallback) all still work
+    assert(SnapshotTable.read(spark, root).count() == 140)
+    assert(SnapshotTable.history(spark, root).map(r => (r._1, r._2, r._5)) ==
+      Seq((1, "create", 100L), (2, "append", 150L), (3, "delete", 140L)))
+    val inserts = SnapshotTable.changes(spark, root, 0, 2)
+    assert(inserts.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 100L, 2L -> 50L),
+      "legacy append legs derive their insert sets from the parent diff")
+    // v3 kept its cdc files through the downgrade → still readable
+    assert(SnapshotTable.changes(spark, root, 2, 3).count() == 10)
+  }
+
+  test("changes stamps each leg with its commit version") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(100).repartitionByRange(4, col("k")), "k")             // v1
+    SnapshotTable.append(spark, root, rows(10, 100))              // v2
+    SnapshotTable.deleteWhere(spark, root, 0L, 4L)                // v3
+    val got = SnapshotTable.changes(spark, root, 0, 3)
+      .groupBy("_commit_version", "change_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, "insert") -> 100L, (2L, "insert") -> 10L,
+      (3L, "delete") -> 5L), s"got $got")
+  }
+
+  test("history summaries match full-manifest accounting on every op kind") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")
+    SnapshotTable.append(spark, root, rows(50, 100))
+    SnapshotTable.deleteWhere(spark, root, 0L, 9L)
+    SnapshotTable.merge(spark, root,
+      rows(5, 20).withColumn("v", lit(7L)), Seq("k"))
+    SnapshotTable.compact(spark, root)
+    val f0 = fs(root)
+    val rp = new Path(root)
+    SnapshotTable.history(spark, root).foreach {
+      case (v, op, parent, nFiles, nRows, nBytes, sid, sb) =>
+        val m = readManifest(f0, rp, v)
+        assert((op, parent, nFiles, nRows, nBytes, sid, sb) ==
+          (m.op, m.parent, m.files.size, m.totalRows,
+            m.files.map(_.bytes).sum, m.streamId, m.streamBatch),
+          s"summary for v$v must equal the full manifest's accounting")
+    }
+  }
+
   test("append rejects a mismatched schema; empty batches reference no files") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, rows(10), "k")
