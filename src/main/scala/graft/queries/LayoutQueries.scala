@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge, q285_snapshot_expire, q287_snapshot_changes_versioned, q288_snapshot_history.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge, q285_snapshot_expire, q286_snapshot_dsv2, q287_snapshot_changes_versioned, q288_snapshot_history.
   */
 object LayoutQueries {
 
@@ -626,6 +626,29 @@ object LayoutQueries {
           col("n_rows"), col("n_orders"), col("sum_qty"))
     }),
 
+    // DSv2 READ SURFACE — spark.read.format("graft-snapshot") over the
+    // same table: versionAsOf pins v1 (pre-merge orders), and the
+    // o_orderkey range predicate is pushed BELOW the optimizer into
+    // partition planning (files whose manifest envelope misses
+    // [m/4, m/2] are never scheduled — SnapshotDsv2Spec pins the
+    // partition-count subset; the predicate stays residual so row
+    // filtering is exact on any layout). The oracle answers from plain
+    // orders with the same predicates — correctness is layout- and
+    // surface-invariant, the q253/q259 discipline applied to the
+    // provider path.
+    "q286_snapshot_dsv2" -> ((s, d) => {
+      val root = Fixtures.mergeSnapshotTable(s, d)
+      val mx = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0)
+      s.read.format("graft-snapshot")
+        .option("path", root).option("versionAsOf", 1)
+        .load()
+        .where(col("o_orderkey").between(mx / 4, mx / 2))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
+    }),
+
     // CHANGE-FEED COMMIT ATTRIBUTION — the feed's _commit_version
     // column (the Delta-CDF convention): a multi-commit consumer can
     // order and attribute events per commit. Over the merge fixture
@@ -1133,6 +1156,17 @@ object LayoutQueries {
         | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem CROSS JOIN rng
         |WHERE l_orderkey NOT BETWEEN rng.lo AND rng.hi""".stripMargin,
+
+    // v1 = plain orders; the provider must answer exactly like a
+    // direct scan with the same range predicate.
+    "q286_snapshot_dsv2" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM orders CROSS JOIN mx
+        |WHERE o_orderkey BETWEEN mx.m // 4 AND mx.m // 2
+        |GROUP BY o_orderstatus""".stripMargin,
 
     // q284's event legs, now attributed per commit: v1 carries
     // create's inserts, v2 the merge's inserts and update pairs.

@@ -1,0 +1,577 @@
+package graft.sources.v2
+
+import graft.sources.SnapshotTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 surface for the snapshot table format — the
+  * `spark.read.format(...)`/SQL ergonomics over [[SnapshotTable]]'s
+  * Scala API (the same split as graft-pages vs PageSource: the
+  * programmatic path stays; this wraps identical semantics for reader
+  * users):
+  *
+  * {{{
+  *   spark.read.format("graft-snapshot")
+  *     .option("path", root)
+  *     .option("versionAsOf", 3)          // time travel; default tip
+  *     .load()
+  *     .where($"o_orderkey".between(lo, hi)) // files pruned at the SOURCE
+  *
+  *   spark.read.format("graft-snapshot")
+  *     .option("path", root).option("mode", "changes")
+  *     .option("changesFrom", 0).option("changesTo", 2)
+  *     .load()                            // the materialized feed
+  *
+  *   spark.readStream.format("graft-snapshot")
+  *     .option("path", root).option("mode", "changes")
+  *     .load()                            // feed as a micro-batch stream
+  * }}}
+  *
+  * The version is PINNED when the table object is created (explicit
+  * `versionAsOf`, else the tip at `load()` time): a snapshot's files
+  * are immutable, so the frame stays stable no matter what commits
+  * after — the same isolation [[SnapshotTable.read]] gives, now
+  * holding across Spark's own re-planning.
+  *
+  * Three pushdowns run below the optimizer, each the table-format
+  * analog of a graft-pages lever:
+  *
+  *  - '''Envelope pruning into partition planning''' — stats-column
+  *    range predicates (`=/</<=/>/>=`) intersect each file's manifest
+  *    [min,max] envelope, so a pruned file is never scheduled as an
+  *    input partition at all (q277's readRange semantics, now below
+  *    the DataFrame API). The predicates stay residual — file-level
+  *    pruning is conservative, Spark still filters rows — so accepted
+  *    vs applied never diverges.
+  *  - '''Column pruning to the parquet projection''' — required
+  *    columns become the parquet read schema; unprojected columns are
+  *    never decoded. A scan that needs NO file column (`count()`)
+  *    reads only footer row counts and emits constant rows.
+  *  - '''Schema evolution null-fill''' — a required column missing
+  *    from an old file (pre-evolution) reads as null, mirroring
+  *    [[SnapshotTable.read]]'s clipped-schema semantics.
+  *
+  * `mode=changes` reads the materialized change feed
+  * ([[SnapshotTable.changes]] exactly: appends' inserts ARE their
+  * added data files — the per-file a/c manifest flags make each leg
+  * self-contained — and delete/merge legs are their cdc/ files, with
+  * the same LOUD capability check for commits whose events were never
+  * written). Each leg carries constant `change_type`/`_commit_version`
+  * columns synthesized in the reader, never joined. The same table
+  * supports `readStream` (MICRO_BATCH_READ): offsets are COMMIT
+  * VERSIONS, each trigger plans the legs of `(lastCommitted, tip]`,
+  * `maxVersionsPerTrigger` rate-limits a backlog — the
+  * ingest → merge → live-incremental-view loop (q282's signed-refresh
+  * pattern) closed with checkpointed exactly-once version delivery.
+  *
+  * Scale shape: one input partition per data/cdc file — files are
+  * written at the ~128 MB compaction target, so this is the same task
+  * granularity Spark's own parquet source plans, without a driver-side
+  * listing (the manifest IS the listing). Readers decode via the
+  * parquet example Group API per file — plumbing-level row
+  * materialization (no whole-stage codegen inside the reader), the
+  * DSv2 trade graft-pages also makes; supported leaf types are the
+  * table format's (boolean/integrals/float/double/string/binary/
+  * date/timestamp/decimal), loud on anything else.
+  */
+class SnapshotTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotV2Table.resolve(options).readSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new SnapshotV2Table(SnapshotV2Table.resolve(
+      new CaseInsensitiveStringMap(properties)))
+}
+
+private[v2] object SnapshotV2Table {
+  /** Everything the scan needs, resolved ONCE per load(): the pinned
+    * manifest (data mode) or the pinned change range (changes mode).
+    */
+  case class Resolved(root: String, mode: String,
+                      manifest: SnapshotTable.Manifest,
+                      changesFrom: Int, changesTo: Int) {
+    def tableSchema: StructType = {
+      val st = DataType.fromJson(manifest.schemaJson).asInstanceOf[StructType]
+      // file-source convention (and SnapshotTable.read's observable
+      // behavior): everything nullable on read — schema evolution
+      // null-fills, and a reader never trusts file-level nullability
+      StructType(st.fields.map(_.copy(nullable = true)))
+    }
+    def readSchema: StructType =
+      if (mode == "changes")
+        tableSchema.add("change_type", StringType)
+          .add("_commit_version", LongType)
+      else tableSchema
+  }
+
+  def resolve(options: CaseInsensitiveStringMap): Resolved = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-snapshot needs option path=<table root>"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tip = SnapshotTable.latestVersion(fs, rp)
+    require(tip > 0, s"no committed snapshot at $root")
+    val mode = options.getOrDefault("mode", "data")
+    mode match {
+      case "data" =>
+        val v = Option(options.get("versionAsOf")).map(_.toInt).getOrElse(tip)
+        Resolved(root, mode, SnapshotTable.readManifest(fs, rp, v), 0, 0)
+      case "changes" =>
+        val from = options.getOrDefault("changesFrom", "0").toInt
+        val to = Option(options.get("changesTo")).map(_.toInt).getOrElse(tip)
+        require(from <= to, s"changesFrom ($from) must be <= changesTo ($to)")
+        // schema comes from the END of the range (widest under the
+        // evolution rules — older legs null-fill)
+        Resolved(root, mode, SnapshotTable.readManifest(fs, rp, to), from, to)
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot mode must be data or changes, got $other")
+    }
+  }
+
+  /** The feed legs of one commit as input partitions — the partition-
+    * planning twin of [[SnapshotTable.changes]]'s per-commit frames,
+    * INCLUDING its loud capability check. Driver-side, O(manifest).
+    */
+  def changeLegs(spark: org.apache.spark.sql.SparkSession, root: String,
+                 vFrom: Int, vTo: Int): Seq[SnapshotFilePartition] = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ((vFrom + 1) to vTo).flatMap { v =>
+      val m = SnapshotTable.readManifest(fs, rp, v)
+      m.op match {
+        case "create" | "append" =>
+          val added = m.addedPaths match {
+            case Some(ap) => m.files.filter(f => ap.contains(f.path))
+            case None =>
+              val parentPaths =
+                if (m.parent == 0) Set.empty[String]
+                else SnapshotTable.readManifest(fs, rp, m.parent).files.map(_.path).toSet
+              m.files.filterNot(f => parentPaths.contains(f.path))
+          }
+          added.map(f => SnapshotFilePartition(
+            new Path(rp, f.path).toString, m.schemaJson,
+            constChangeType = Some("insert"), commitVersion = Some(v.toLong)))
+        case "delete" | "merge" =>
+          m.cdcDone match {
+            case Some(false) => throw new IllegalStateException(
+              s"graft-snapshot changes($vFrom, $vTo) at $root: v$v (${m.op}) " +
+              "committed with change materialization OFF — its events were " +
+              s"never written; recover them with SnapshotTable.diff(root, ${v - 1}, $v, keys)")
+            case None if m.cdc.isEmpty => throw new IllegalStateException(
+              s"graft-snapshot changes($vFrom, $vTo) at $root: v$v (${m.op}) " +
+              "predates change-file materialization; recover with " +
+              s"SnapshotTable.diff(root, ${v - 1}, $v, keys)")
+            case _ => ()
+          }
+          m.cdc.map(c => SnapshotFilePartition(
+            new Path(rp, c.path).toString,
+            // cdc files persist change_type themselves
+            schemaWithChangeType(m.schemaJson),
+            constChangeType = None, commitVersion = Some(v.toLong)))
+        case _ => Nil // compact/cluster: lossless rewrites
+      }
+    }
+  }
+
+  def schemaWithChangeType(schemaJson: String): String =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      .add("change_type", StringType).json
+}
+
+private[v2] class SnapshotV2Table(resolved: SnapshotV2Table.Resolved)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft_snapshot_${new Path(resolved.root).getName}_v${resolved.manifest.version}"
+  override def schema(): StructType = resolved.readSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(resolved, options)
+}
+
+private[v2] class SnapshotScanBuilder(resolved: SnapshotV2Table.Resolved,
+                                      options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val statsCol = resolved.manifest.statsCol
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = resolved.readSchema
+
+  /** Envelope pruning below the optimizer: stats-column range
+    * predicates tighten [lo, hi] before partitions are planned. ALL
+    * filters stay residual (returned for Spark to re-evaluate) — the
+    * envelope prunes FILES, not rows; `pushedFilters` reports the
+    * range ones so the pruning is visible in the plan.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    pushed = filters.filter {
+      case EqualTo(c, v) if c == statsCol && asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get); true
+      case GreaterThan(c, v) if c == statsCol && asLong(v).exists(_ < Long.MaxValue) =>
+        lo = math.max(lo, asLong(v).get + 1); true
+      case GreaterThanOrEqual(c, v) if c == statsCol && asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); true
+      case LessThan(c, v) if c == statsCol && asLong(v).exists(_ > Long.MinValue) =>
+        hi = math.min(hi, asLong(v).get - 1); true
+      case LessThanOrEqual(c, v) if c == statsCol && asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get); true
+      case _ => false
+    }
+    filters // all residual: file-level pruning is conservative
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private def prunedFiles: Seq[SnapshotTable.DataFileMeta] =
+    resolved.manifest.files.filter(f => f.minKey <= hi && f.maxKey >= lo)
+
+  override def description(): String =
+    if (resolved.mode == "changes")
+      s"graft-snapshot changes (${resolved.changesFrom}, ${resolved.changesTo}] " +
+        s"${resolved.root} cols=[${required.fieldNames.mkString(",")}]"
+    else
+      s"graft-snapshot ${resolved.root} v${resolved.manifest.version} " +
+        s"files=${prunedFiles.size}/${resolved.manifest.files.size} " +
+        s"range=[$lo,$hi] cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (resolved.mode == "changes")
+      SnapshotV2Table.changeLegs(org.apache.spark.sql.SparkSession.active,
+        resolved.root, resolved.changesFrom, resolved.changesTo).toArray
+    else
+      prunedFiles.map(f => SnapshotFilePartition(
+        new Path(new Path(resolved.root), f.path).toString,
+        resolved.manifest.schemaJson, None, None): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotReaderFactory(required.json)
+
+  /** The change feed as a resumable micro-batch stream: the offset is
+    * the last commit version whose legs were delivered, so the
+    * checkpoint gives exactly-once PER-COMMIT delivery (a version's
+    * legs are planned in one micro-batch, and a micro-batch commits
+    * its end offset only after its partitions succeed).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // loud, not silent: a stream IS the change feed, and its schema
+    // (change_type/_commit_version) only exists under mode=changes —
+    // a data-mode readStream would bind the wrong schema
+    require(resolved.mode == "changes",
+      "graft-snapshot streaming reads are the change feed — " +
+      "set .option(\"mode\", \"changes\") on readStream")
+    new SnapshotChangesStream(resolved.root,
+      options.getOrDefault("startingVersion",
+        // stream default: replay the whole retained log (Delta's
+        // startingVersion=0 convention); data-mode default is moot
+        "0").toInt,
+      Option(options.get("maxVersionsPerTrigger")).map { s =>
+        val m = s.toInt
+        require(m >= 1, s"maxVersionsPerTrigger must be >= 1, got $m")
+        m
+      },
+      () => SnapshotReaderFactory(required.json))
+  }
+}
+
+/** One data/cdc file (plus the leg's constant columns) — the unit of
+  * scan parallelism. Files are written at the compaction byte target,
+  * so one-file-one-task is the same granularity Spark's parquet
+  * source plans.
+  */
+private[v2] case class SnapshotFilePartition(
+    absPath: String, fileSchemaJson: String,
+    constChangeType: Option[String], commitVersion: Option[Long])
+    extends InputPartition
+
+private[v2] case class SnapshotStreamOffset(version: Int) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** Micro-batch stream over commit versions: each trigger plans the
+  * change legs of `(lastCommitted, available]`, rate-limited by
+  * `maxVersionsPerTrigger` ([[SupportsTriggerAvailableNow]] so
+  * AvailableNow drains a snapshot of the backlog in capped batches —
+  * the PageMicroBatchStream admission-control discipline).
+  */
+private[v2] class SnapshotChangesStream(
+    root: String, startingVersion: Int, maxPerTrigger: Option[Int],
+    mkFactory: () => PartitionReaderFactory)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private def tip(): Int = {
+    val rp = new Path(root)
+    SnapshotTable.latestVersion(
+      rp.getFileSystem(spark.sparkContext.hadoopConfiguration), rp)
+  }
+
+  private var availableNowEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(tip())
+  private def availableEnd(): Int = availableNowEnd.getOrElse(tip())
+
+  override def initialOffset(): Offset = SnapshotStreamOffset(startingVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotStreamOffset("\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a graft-snapshot offset: $json"))
+      .group(1).toInt)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.fold(ReadLimit.allAvailable())(ReadLimit.maxRows(_))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "SupportsAdmissionControl: latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[SnapshotStreamOffset].version
+    // honor the ENGINE's limit argument (Trigger.Once passes
+    // ReadAllAvailable over the source's own default — the
+    // PageMicroBatchStream lesson)
+    val capped = limit match {
+      case rows: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(availableEnd().toLong, from + rows.maxRows()).toInt
+      case _ => availableEnd()
+    }
+    SnapshotStreamOffset(math.max(from, capped))
+  }
+
+  override def reportLatestOffset(): Offset = SnapshotStreamOffset(tip())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotStreamOffset].version
+    val e = end.asInstanceOf[SnapshotStreamOffset].version
+    SnapshotV2Table.changeLegs(spark, root, s, e)
+      .map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = mkFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Executor-side parquet → InternalRow readers over the example Group
+  * API. Column pruning reaches the parquet projection (unprojected
+  * columns are never decoded); a partition whose required columns are
+  * ALL constants/absent skips row decoding entirely and emits
+  * footer-counted constant rows.
+  */
+private[v2] case class SnapshotReaderFactory(requiredJson: String)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[SnapshotFilePartition]
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fileSchema = DataType.fromJson(part.fileSchemaJson).asInstanceOf[StructType]
+    val hPath = new Path(part.absPath)
+
+    // the columns that must come from the FILE (present there and not
+    // synthesized): everything else is a constant or a null-fill
+    val fromFile = required.fields.filter { f =>
+      fileSchema.fieldNames.contains(f.name) &&
+        !(f.name == "change_type" && part.constChangeType.isDefined) &&
+        f.name != "_commit_version"
+    }
+
+    val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf)
+    if (fromFile.isEmpty) {
+      // count()-style scan: no decoded column — footer row count only
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(input)
+      val n = try fr.getRecordCount finally fr.close()
+      val row = InternalRow.fromSeq(required.fields.toIndexedSeq.map(f =>
+        constOrNull(f, part)))
+      new PartitionReader[InternalRow] {
+        private var i = 0L
+        override def next(): Boolean = { i += 1; i <= n }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    } else {
+      // projection = the needed subset of the file's own schema (same
+      // Type objects, so the parquet compatibility check always holds)
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(input)
+      val pqSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val wanted = fromFile.map(_.name).toSet
+      val projFields = pqSchema.getFields.iterator()
+      val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
+      while (projFields.hasNext) {
+        val t = projFields.next()
+        if (wanted.contains(t.getName)) kept.add(t)
+      }
+      val projection = new org.apache.parquet.schema.MessageType("graft_projection", kept)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projection.toString)
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), hPath)
+        .withConf(conf).build()
+      // one converter per REQUIRED field: file-backed fields decode,
+      // the rest are constants (change_type/_commit_version) or null
+      // (schema evolution: the column postdates this file)
+      val convs: Array[org.apache.parquet.example.data.Group => Any] =
+        required.fields.map { f =>
+          if (projection.containsField(f.name) &&
+              fromFile.exists(_.name == f.name)) {
+            val idx = projection.getFieldIndex(f.name)
+            val pq = projection.getFields.get(idx)
+            val prim = SnapshotGroupConverters.converterFor(f, pq, part.absPath)
+            (g: org.apache.parquet.example.data.Group) =>
+              if (g.getFieldRepetitionCount(idx) == 0) null else prim(g, idx)
+          } else {
+            val const = constOrNull(f, part)
+            (_: org.apache.parquet.example.data.Group) => const
+          }
+        }
+      new PartitionReader[InternalRow] {
+        private var current: org.apache.parquet.example.data.Group = _
+        override def next(): Boolean = { current = reader.read(); current != null }
+        override def get(): InternalRow =
+          InternalRow.fromSeq(convs.toIndexedSeq.map(_(current)))
+        override def close(): Unit = reader.close()
+      }
+    }
+  }
+
+  private def constOrNull(f: StructField, part: SnapshotFilePartition): Any =
+    f.name match {
+      case "change_type" if part.constChangeType.isDefined =>
+        UTF8String.fromString(part.constChangeType.get)
+      case "_commit_version" if part.commitVersion.isDefined =>
+        part.commitVersion.get
+      case _ => null // column absent from this file (schema evolution)
+    }
+}
+
+/** Parquet example-Group → Catalyst value converters for the leaf
+  * types the table format supports. Driven by the SPARK field type,
+  * validated against the parquet physical type — loud on any
+  * combination outside the table format's contract.
+  */
+private[v2] object SnapshotGroupConverters {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+
+  def converterFor(f: StructField, pq: org.apache.parquet.schema.Type,
+                   file: String): (Group, Int) => Any = {
+    require(pq.isPrimitive,
+      s"graft-snapshot reader: ${f.name} in $file is a nested parquet type — " +
+      "only leaf columns are supported")
+    val prim = pq.asPrimitiveType().getPrimitiveTypeName
+    def bad() = throw new IllegalArgumentException(
+      s"graft-snapshot reader: ${f.name} is ${f.dataType.simpleString} in the " +
+      s"table schema but $prim in $file — unsupported combination")
+    f.dataType match {
+      case LongType => prim match {
+        case INT64 => (g, i) => g.getLong(i, 0)
+        case INT32 => (g, i) => g.getInteger(i, 0).toLong
+        case _ => bad()
+      }
+      case IntegerType => prim match {
+        case INT32 => (g, i) => g.getInteger(i, 0)
+        case _ => bad()
+      }
+      case ShortType => prim match {
+        case INT32 => (g, i) => g.getInteger(i, 0).toShort
+        case _ => bad()
+      }
+      case ByteType => prim match {
+        case INT32 => (g, i) => g.getInteger(i, 0).toByte
+        case _ => bad()
+      }
+      case DoubleType => prim match {
+        case DOUBLE => (g, i) => g.getDouble(i, 0)
+        case FLOAT => (g, i) => g.getFloat(i, 0).toDouble
+        case _ => bad()
+      }
+      case FloatType => prim match {
+        case FLOAT => (g, i) => g.getFloat(i, 0)
+        case _ => bad()
+      }
+      case BooleanType => prim match {
+        case BOOLEAN => (g, i) => g.getBoolean(i, 0)
+        case _ => bad()
+      }
+      case StringType => prim match {
+        case BINARY => (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+        case _ => bad()
+      }
+      case BinaryType => prim match {
+        case BINARY | FIXED_LEN_BYTE_ARRAY => (g, i) => g.getBinary(i, 0).getBytes
+        case _ => bad()
+      }
+      case DateType => prim match {
+        case INT32 => (g, i) => g.getInteger(i, 0) // days since epoch
+        case _ => bad()
+      }
+      case TimestampType => prim match {
+        case INT64 =>
+          val micros = pq.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => true // unannotated int64: assume micros
+          }
+          if (micros) (g, i) => g.getLong(i, 0)
+          else (g, i) => g.getLong(i, 0) * 1000L // millis → micros
+        case INT96 => (g, i) => {
+          // 12 bytes LE: 8-byte nanos-of-day + 4-byte julian day
+          val b = java.nio.ByteBuffer.wrap(g.getInt96(i, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanos = b.getLong
+          val julian = b.getInt
+          (julian - 2440588L) * 86400L * 1000000L + nanos / 1000L
+        }
+        case _ => bad()
+      }
+      case d: DecimalType => prim match {
+        case INT32 => (g, i) =>
+          org.apache.spark.sql.types.Decimal(
+            g.getInteger(i, 0).toLong, d.precision, d.scale)
+        case INT64 => (g, i) =>
+          org.apache.spark.sql.types.Decimal(
+            g.getLong(i, 0), d.precision, d.scale)
+        case BINARY | FIXED_LEN_BYTE_ARRAY => (g, i) =>
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(
+              new java.math.BigInteger(g.getBinary(i, 0).getBytes), d.scale),
+            d.precision, d.scale)
+        case _ => bad()
+      }
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot reader: unsupported Spark type ${other.simpleString} " +
+        s"for ${f.name} — the table format's leaf-type contract")
+    }
+  }
+}

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** The DSv2 read surface over the snapshot table format
+  * (`spark.read.format("graft-snapshot")`): version pinning, envelope
+  * pruning visible in partition planning, column pruning down to the
+  * parquet projection, schema-evolution null-fill, the changes-mode
+  * feed (batch + micro-batch stream), and the loud capability check —
+  * each asserted against the Scala-API twin it must agree with.
+  */
+class SnapshotDsv2Spec extends SparkSpec {
+
+  private def freshRoot(): String =
+    graft.queries.Fixtures.scratchIndexDir("snap-dsv2")
+
+  private def rows(n: Long, offset: Long = 0L): DataFrame =
+    spark.range(n).select((col("id") + offset).as("k"),
+      (col("id") % 7).cast("long").as("v"))
+
+  private def load(root: String, opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.read.format("graft-snapshot").option("path", root))(
+      (r, kv) => r.option(kv._1, kv._2)).load()
+
+  test("batch read: tip by default, versionAsOf pins a snapshot") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")
+    SnapshotTable.append(spark, root, rows(50, 100))
+    assert(load(root).count() == 150)
+    assert(load(root, "versionAsOf" -> "1").count() == 100)
+    // pinned at load(): a commit AFTER load must not leak in
+    val pinned = load(root)
+    SnapshotTable.append(spark, root, rows(25, 200))
+    assert(pinned.count() == 150, "the table object pins its version")
+    assert(load(root).count() == 175)
+    // agrees with the Scala API row-for-row
+    val a = load(root, "versionAsOf" -> "2")
+    val b = SnapshotTable.read(spark, root, Some(2))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("envelope pruning reaches partition planning; filters stay residual") {
+    val root = freshRoot()
+    // range-clustered: 8 files with disjoint [min,max] envelopes
+    SnapshotTable.create(spark, root,
+      rows(1000).repartitionByRange(8, col("k")), "k")
+    val total = SnapshotTable.readManifest(fs(root), new Path(root), 1).files.size
+    assert(total >= 6, s"fixture needs real file boundaries, got $total")
+    val all = load(root)
+    assert(all.rdd.getNumPartitions == total, "one partition per data file")
+    val pruned = load(root).where(col("k").between(200, 299))
+    assert(pruned.rdd.getNumPartitions < total,
+      "a range predicate must prune files out of the planned partitions")
+    // pruning is conservative AND the residual filter still applies:
+    // exact agreement with the unpruned computation
+    assert(pruned.count() == 100)
+    assert(pruned.agg(sum("k")).head().getLong(0) == (200L to 299L).sum)
+    // the pushed range is visible in the scan description
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("graft-snapshot"), s"plan must show the scan: $desc")
+  }
+
+  test("column pruning: count() decodes no column; projections match the Scala API") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(500).repartitionByRange(4, col("k")), "k")
+    assert(load(root).count() == 500) // footer-count path (no file columns)
+    val proj = load(root).select("v")
+    assert(proj.schema.fieldNames.toSeq == Seq("v"))
+    assert(proj.agg(sum("v")).head().getLong(0) ==
+      SnapshotTable.read(spark, root).agg(sum("v")).head().getLong(0))
+  }
+
+  test("full leaf-type surface round-trips through the DSv2 reader") {
+    val root = freshRoot()
+    val typed = spark.range(50).select(
+      col("id").as("k"),
+      col("id").cast("int").as("i"),
+      col("id").cast("short").as("sh"),
+      col("id").cast("byte").as("by"),
+      (col("id") * 1.5).as("d"),
+      (col("id") * 0.5).cast("float").as("f"),
+      (col("id") % 2 === 0).as("b"),
+      concat(lit("s"), col("id")).as("s"),
+      col("id").cast("string").cast("binary").as("bin"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int")).as("dt"),
+      timestamp_seconds(col("id") * 3600).as("ts"),
+      (col("id") * 100).cast("decimal(12,2)").as("dec"),
+      (col("id") * 100000).cast("decimal(28,4)").as("bigdec"))
+      // null stripes exercise the repetition-count null path per type
+      .select(struct(col("*")).as("r"))
+      .select(when(col("r.k") % 7 =!= 0, col("r")).otherwise(
+        struct(col("r.k"), lit(null).cast("int").as("i"),
+          lit(null).cast("short").as("sh"), lit(null).cast("byte").as("by"),
+          lit(null).cast("double").as("d"), lit(null).cast("float").as("f"),
+          lit(null).cast("boolean").as("b"), lit(null).cast("string").as("s"),
+          lit(null).cast("binary").as("bin"), lit(null).cast("date").as("dt"),
+          lit(null).cast("timestamp").as("ts"),
+          lit(null).cast("decimal(12,2)").as("dec"),
+          lit(null).cast("decimal(28,4)").as("bigdec"))).as("r"))
+      .select("r.*")
+    SnapshotTable.create(spark, root, typed, "k")
+    val viaDsv2 = load(root)
+    val viaApi = SnapshotTable.read(spark, root)
+    assert(viaDsv2.schema == viaApi.schema)
+    assert(viaDsv2.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaDsv2).isEmpty,
+      "every leaf type must round-trip bit-identically")
+  }
+
+  test("schema evolution: pre-evolution files null-fill through the provider") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")
+    SnapshotTable.appendEvolved(spark, root,
+      rows(10, 100).withColumn("w", col("k") * 2))
+    val got = load(root)
+    assert(got.where(col("w").isNull).count() == 100,
+      "pre-evolution rows read the new column as null")
+    assert(got.where(col("w") === col("k") * 2).count() == 10)
+  }
+
+  test("changes mode agrees with SnapshotTable.changes, including commit stamps") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(200).repartitionByRange(4, col("k")), "k")          // v1
+    SnapshotTable.append(spark, root, rows(30, 200))           // v2
+    SnapshotTable.deleteWhere(spark, root, 0L, 9L)             // v3
+    SnapshotTable.merge(spark, root,
+      rows(5, 100).withColumn("v", lit(42L)), Seq("k"))        // v4
+    val viaDsv2 = load(root, "mode" -> "changes")
+    val viaApi = SnapshotTable.changes(spark, root, 0, 4)
+    assert(viaDsv2.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaDsv2).isEmpty,
+      "the DSv2 feed must equal the Scala-API feed event-for-event")
+    // sub-range + join-free plan
+    val sub = load(root, "mode" -> "changes",
+      "changesFrom" -> "2", "changesTo" -> "3")
+    assert(sub.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("delete" -> 10L))
+    assert(!sub.queryExecution.executedPlan.toString.contains("Join"))
+    // the loud capability check holds through this surface too
+    val mPath = f"$root/meta/v${3}%08d.manifest"
+    val p = java.nio.file.Paths.get(mPath)
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    java.nio.file.Files.write(p,
+      txt.replace("cdcDone: true", "cdcDone: false").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      p.getParent.resolve(s".${p.getFileName}.crc"))
+    val e = intercept[IllegalStateException] {
+      load(root, "mode" -> "changes", "changesFrom" -> "2", "changesTo" -> "3")
+        .count()
+    }
+    assert(e.getMessage.contains("materialization OFF"), s"got: ${e.getMessage}")
+  }
+
+  test("streaming changes: capped drain, then restart picks up only new commits") {
+    val root = freshRoot()
+    val out = graft.queries.Fixtures.scratchIndexDir("snap-dsv2-out")
+    val ckpt = graft.queries.Fixtures.scratchIndexDir("snap-dsv2-ckpt")
+    SnapshotTable.create(spark, root,
+      rows(100).repartitionByRange(2, col("k")), "k")          // v1
+    SnapshotTable.append(spark, root, rows(20, 100))           // v2
+    SnapshotTable.deleteWhere(spark, root, 0L, 4L)             // v3
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", root).option("mode", "changes")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "AvailableNow drain must terminate")
+    }
+    drain()
+    val after1 = spark.read.parquet(out)
+    assert(after1.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("insert" -> 120L, "delete" -> 5L))
+    assert(after1.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "maxVersionsPerTrigger=1 must still deliver every version")
+    // new commits after the first drain: the checkpoint resumes at v3
+    SnapshotTable.append(spark, root, rows(7, 500))            // v4
+    drain()
+    val after2 = spark.read.parquet(out)
+    assert(after2.count() == 132, "restart delivers v4 ONCE, replays nothing")
+    assert(after2.where(col("_commit_version") === 4L).count() == 7)
+  }
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+}
