@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -189,6 +191,61 @@ class SnapshotDsv2Spec extends SparkSpec {
     val after2 = spark.read.parquet(out)
     assert(after2.count() == 132, "restart delivers v4 ONCE, replays nothing")
     assert(after2.where(col("_commit_version") === 4L).count() == 7)
+  }
+
+  test("streamed incremental view: signed refresh over the feed converges across restarts") {
+    // the q282 pattern as a STREAMING job: the feed drives a
+    // materialized (group, n, sum) view via signed increments —
+    // +insert/+postimage, −delete/−preimage — and after every drain
+    // the view must equal a direct aggregate of the tip, including
+    // across a merge, a delete, and a checkpointed restart.
+    val root = freshRoot()
+    val ckpt = graft.queries.Fixtures.scratchIndexDir("snap-view-ckpt")
+    val view = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+    SnapshotTable.create(spark, root,
+      rows(300).repartitionByRange(4, col("k")), "k")            // v1
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", root).option("mode", "changes")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.withColumn("sign",
+              when(col("change_type").isin("insert", "update_postimage"), 1L)
+                .otherwise(-1L))
+            .groupBy("v")
+            .agg(sum(col("sign")).as("dn"), sum(col("sign") * col("k")).as("dk"))
+            .collect().foreach { r =>
+              view.merge(r.getLong(0), (r.getLong(1), r.getLong(2)),
+                (a, b) => (a._1 + b._1, a._2 + b._2))
+            }
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    def direct(): Map[Long, (Long, Long)] =
+      SnapshotTable.read(spark, root).groupBy("v")
+        .agg(count(lit(1)).as("n"), sum("k").as("sk")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    drain()
+    assert(view.asScala.toMap == direct(), "view == tip after the initial load")
+    // an upsert (update band + inserts) and a delete land; the RESTART
+    // resumes from the checkpointed version offset — each commit's
+    // events apply exactly once or the counts drift
+    SnapshotTable.merge(spark, root,
+      rows(30, 100).withColumn("v", lit(42L)), Seq("k"))         // v2
+    SnapshotTable.deleteWhere(spark, root, 200L, 249L)           // v3
+    drain()
+    assert(view.asScala.toMap.filter(_._2 != (0L, 0L)) == direct(),
+      "signed refresh over the streamed feed must converge to the tip")
+    // idempotence: a drain with nothing new must not move the view
+    val before = view.asScala.toMap
+    drain()
+    assert(view.asScala.toMap == before, "an empty drain applies nothing")
   }
 
   private def fs(root: String) =
