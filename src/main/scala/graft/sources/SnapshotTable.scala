@@ -20,7 +20,16 @@ import org.apache.spark.sql.types.StructType
   * {{{
   *   <root>/data/<uuid>.parquet            immutable data files
   *   <root>/meta/v00000001.manifest        one manifest per snapshot
+  *   <root>/cdc/<uuid>.parquet             materialized change files
   * }}}
+  *
+  * Lifecycle: [[expire]] drops manifests outside the retention window
+  * (reads into the expired range fail loudly naming the boundary) and
+  * [[vacuum]] then reclaims the data/cdc files no RETAINED manifest
+  * references — without the pair, every rewrite retains its
+  * superseded files forever. The DSv2 twin of the read surface is
+  * `spark.read.format("graft-snapshot")`
+  * ([[graft.sources.v2.SnapshotTableProvider]]).
   *
   * A snapshot IS its manifest: a text file listing the data files that
   * make up the version, with per-file row counts and min/max of one

@@ -238,6 +238,14 @@ private[v2] class SnapshotScanBuilder(resolved: SnapshotV2Table.Resolved,
         hi = math.min(hi, asLong(v).get - 1); true
       case LessThanOrEqual(c, v) if c == statsCol && asLong(v).isDefined =>
         hi = math.min(hi, asLong(v).get); true
+      // IN is a disjunction — its conservative envelope is
+      // [min(values), max(values)], AND-able with the other bounds
+      // (the q254 point-lookup shape: a 3-key IN prunes to the files
+      // whose envelopes cover the key span)
+      case org.apache.spark.sql.sources.In(c, vs)
+          if c == statsCol && vs.nonEmpty && vs.forall(asLong(_).isDefined) =>
+        val longs = vs.map(asLong(_).get)
+        lo = math.max(lo, longs.min); hi = math.min(hi, longs.max); true
       case _ => false
     }
     filters // all residual: file-level pruning is conservative

@@ -64,6 +64,12 @@ class SnapshotDsv2Spec extends SparkSpec {
     // the pushed range is visible in the scan description
     val desc = pruned.queryExecution.executedPlan.toString
     assert(desc.contains("graft-snapshot"), s"plan must show the scan: $desc")
+    // IN prunes via its conservative [min,max] envelope (point-lookup
+    // shape): 3 clustered keys land in far fewer files than the table
+    val inPruned = load(root).where(col("k").isin(500L, 510L, 520L))
+    assert(inPruned.rdd.getNumPartitions < total,
+      "an IN predicate must prune through its value span")
+    assert(inPruned.count() == 3)
   }
 
   test("column pruning: count() decodes no column; projections match the Scala API") {
