@@ -273,6 +273,33 @@ object Fixtures {
     })
   }
 
+  /** Per-JVM DSv2-WRITE-demo snapshot table for q289: v1 = create
+    * (o_orderkey%3==0, the one-time bootstrap that declares the stats
+    * column), v2 = the REST of orders appended through
+    * `df.write.format("graft-snapshot").mode("append")` — executor
+    * tasks writing parquet with on-the-fly stats envelopes, the
+    * driver committing through the optimistic manifest protocol. The
+    * tip is exactly all of orders, so the oracle states it directly —
+    * the hash certifies the whole write path (task files, stats,
+    * commit) produced precisely the right table.
+    */
+  private val dsv2WriteRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def dsv2WriteSnapshotTable(s: SparkSession, d: String): String = {
+    dsv2WriteRoots.computeIfAbsent(d, _ => {
+      val root = scratchIndexDir("graft-snapdsv2w")
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.sources.SnapshotTable.create(s, root,
+        ord.where(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+      ord.where(col("o_orderkey") % 3 =!= 0)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-snapshot").option("path", root)
+        .mode("append").save()
+      root
+    })
+  }
+
   /** The decision rule's ESCAPE-HATCH arm as corpus state (q259): the
     * SAME bucketed files as [[bucketedTables]], read with
     * `spark.sql.sources.bucketing.enabled=false`. The conf is read at

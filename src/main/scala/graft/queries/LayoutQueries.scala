@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge, q285_snapshot_expire, q286_snapshot_dsv2, q287_snapshot_changes_versioned, q288_snapshot_history.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge, q285_snapshot_expire, q286_snapshot_dsv2, q287_snapshot_changes_versioned, q288_snapshot_history, q289_snapshot_dsv2_write.
   */
 object LayoutQueries {
 
@@ -666,6 +666,24 @@ object LayoutQueries {
         .withColumnRenamed("_commit_version", "commit_version")
     }),
 
+    // DSv2 WRITE PATH — df.write.format("graft-snapshot") as the
+    // ingest surface: v2 of the fixture was appended by executor
+    // tasks writing parquet files with ON-THE-FLY stats envelopes
+    // (rows in hand — no footer read-back, no second scan), committed
+    // by the driver through the same optimistic commitLoop as the
+    // Scala append. The tip is exactly all of orders, stated directly
+    // by the oracle — the hash certifies task files + stats + commit
+    // end-to-end, and SnapshotDsv2Spec pins the envelope exactness,
+    // racing appends, and loud failure modes.
+    "q289_snapshot_dsv2_write" -> ((s, d) => {
+      val root = Fixtures.dsv2WriteSnapshotTable(s, d)
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
+    }),
+
     // COMMIT-LOG HISTORY — the operational DESCRIBE HISTORY surface,
     // O(versions) via the manifest header summary (never parsing the
     // O(files) body — the probe measures 10³ versions × 10⁵ files
@@ -1191,6 +1209,13 @@ object LayoutQueries {
         | count(DISTINCT k) AS n_orders,
         | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
         |FROM ev GROUP BY commit_version, change_type""".stripMargin,
+
+    // The tip after the DSv2 append is exactly all of orders.
+    "q289_snapshot_dsv2_write" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // The 6-commit log's accounting in closed form: create (%4==0),
     // append (+%4==1), append (rest), delete (minus the range), then

@@ -671,6 +671,33 @@ object SnapshotTable {
     }
   }
 
+  /** Commit already-written data files as a strict append — the
+    * driver-side half of the DSv2 WRITE path
+    * ([[graft.sources.v2.SnapshotTableProvider]]): executor tasks have
+    * produced `metas`' files under data/ with their stats computed
+    * on the fly, and this installs them under the same optimistic
+    * commitLoop, schema race check, and bounded retry as [[append]].
+    * `boundSchemaJson` is the tip schema the write was planned
+    * against — a racing evolution fails loudly, never silently
+    * narrows.
+    */
+  private[graft] def appendFiles(spark: SparkSession, root: String,
+                                 metas: Seq[DataFileMeta],
+                                 boundSchemaJson: String): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    commitLoop(spark, fs, rp, "append") { pm =>
+      if (pm.schemaJson != boundSchemaJson)
+        throw new IllegalStateException(
+          s"DSv2 append at $root lost a race to a schema evolution " +
+          s"(planned against a different schema than tip v${pm.version}'s) — " +
+          "re-plan the write against the widened schema")
+      Some(Manifest(pm.version + 1, pm.version, "append", pm.statsCol,
+        pm.schemaJson, pm.files ++ metas, pm.streamId, pm.streamBatch,
+        addedPaths = Some(metas.map(_.path).toSet)))
+    }
+  }
+
   /** Exactly-once streaming delivery into the snapshot table (the
     * foreachBatch sink body): the (queryId, batchId) watermark commits
     * INSIDE the manifest, atomically with the data it guards, so the

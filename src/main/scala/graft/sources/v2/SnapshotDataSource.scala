@@ -191,15 +191,173 @@ private[v2] object SnapshotV2Table {
 }
 
 private[v2] class SnapshotV2Table(resolved: SnapshotV2Table.Resolved)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft_snapshot_${new Path(resolved.root).getName}_v${resolved.manifest.version}"
   override def schema(): StructType = resolved.readSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(resolved, options)
+
+  /** The WRITE half of the surface:
+    * `df.write.format("graft-snapshot").option("path", root)
+    * .mode("append").save()` — executor tasks stream rows straight
+    * into parquet files under a staging dir, computing each file's
+    * stats envelope ON THE FLY (rows in hand — no footer read-back,
+    * no second scan), and the driver installs the staged files
+    * through the same optimistic commitLoop as [[SnapshotTable
+    * .append]] (bounded retries, loud schema-race check, null stats
+    * keys rejected at the task). mode("append") only: overwrite is a
+    * table-format DELETE/compaction decision, not a save mode
+    * (SupportsTruncate deliberately unimplemented, so Spark rejects
+    * it loudly); the table must already exist (create() is the
+    * one-time bootstrap that declares the stats column).
+    */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(resolved.mode == "data",
+      "graft-snapshot writes go to the table, not the change feed — drop mode=changes")
+    val tableSchema = resolved.tableSchema
+    val in = info.schema()
+    // Path-based save() resolves columns BY NAME against the table
+    // schema (spec-pinned: a column-swapped frame lands un-transposed)
+    // and Spark checks arity/compatibility before rows reach the
+    // writer. This require is the invariant net for any write path
+    // that reaches here without that normalization.
+    require(in.fields.map(f => (f.name, f.dataType)).toSeq ==
+      tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"strict append: the written schema must match the tip's " +
+      s"(${tableSchema.simpleString}), got ${in.simpleString} — use " +
+      "SnapshotTable.appendEvolved for widenings")
+    new SnapshotWriteBuilder(resolved.root, resolved.manifest, in)
+  }
+}
+
+private[v2] class SnapshotWriteBuilder(root: String,
+                                       tip: SnapshotTable.Manifest,
+                                       schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      private val stagingName = s".staging-${java.util.UUID.randomUUID()}"
+
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        SnapshotWriterFactory(s"$root/$stagingName", schema.json, tip.statsCol)
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val rp = new Path(root)
+        val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // install ONLY the files named by committed tasks (speculative
+        // or failed attempts' files stay in staging and die with it),
+        // under fresh UUID names in data/ — the writeDataFiles
+        // discipline, minus the stats read-back the tasks already did
+        val metas = messages.toSeq.map(_.asInstanceOf[SnapshotWriteCommit])
+          .filter(_.rows > 0)
+          .map { m =>
+            val name = s"${java.util.UUID.randomUUID()}.parquet"
+            fs.mkdirs(new Path(rp, "data"))
+            val src = new Path(s"$root/$stagingName/${m.name}")
+            val dst = new Path(rp, s"data/$name")
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(s"staging move failed: $src -> $dst")
+            SnapshotTable.DataFileMeta(s"data/$name", m.rows,
+              fs.getFileStatus(dst).getLen, m.lo, m.hi)
+          }
+        fs.delete(new Path(s"$root/$stagingName"), true)
+        SnapshotTable.appendFiles(spark, root, metas, tip.schemaJson): Unit
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val rp = new Path(root)
+        val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(s"$root/$stagingName"), true): Unit
+      }
+    }
+  }
+}
+
+private[v2] case class SnapshotWriteCommit(name: String, rows: Long,
+                                           lo: Long, hi: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Executor-side InternalRow → parquet writers (example Group API,
+  * the write twin of [[SnapshotReaderFactory]]): one file per task
+  * attempt under the staging dir — distinct names per attempt, so
+  * retries/speculation never collide and only committed attempts'
+  * files are installed. The stats column's envelope and null check
+  * happen per row while writing.
+  */
+private[v2] case class SnapshotWriterFactory(stagingDir: String,
+                                             schemaJson: String,
+                                             statsCol: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val statsIdx = schema.fieldIndex(statsCol)
+    schema.fields(statsIdx).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"DSv2 write requires an integral stats column, $statsCol is ${other.simpleString}")
+    }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val pqSchema = SnapshotGroupConverters.toParquetSchema(schema)
+    val name = f"part-$partitionId%05d-$taskId.parquet"
+    val path = new Path(s"$stagingDir/$name")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf))
+      .withType(pqSchema)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(pqSchema)
+    val setters = schema.fields.map(SnapshotGroupConverters.setterFor)
+
+    new DataWriter[InternalRow] {
+      private var rows = 0L
+      private var lo = Long.MaxValue
+      private var hi = Long.MinValue
+
+      override def write(row: InternalRow): Unit = {
+        if (row.isNullAt(statsIdx))
+          throw new IllegalArgumentException(
+            s"stats column $statsCol is null on a written row — the " +
+            "file-envelope contract requires a non-null integral key " +
+            "on every row; filter or fill before writing")
+        val k = schema.fields(statsIdx).dataType match {
+          case LongType => row.getLong(statsIdx)
+          case IntegerType => row.getInt(statsIdx).toLong
+          case ShortType => row.getShort(statsIdx).toLong
+          case ByteType => row.getByte(statsIdx).toLong
+          case _ => throw new IllegalStateException("unreachable: gated above")
+        }
+        lo = math.min(lo, k); hi = math.max(hi, k)
+        val g = factory.newGroup()
+        var i = 0
+        while (i < setters.length) {
+          if (!row.isNullAt(i)) setters(i)(g, row, i)
+          i += 1
+        }
+        writer.write(g)
+        rows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        SnapshotWriteCommit(name, rows, lo, hi)
+      }
+
+      override def abort(): Unit = writer.close()
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[v2] class SnapshotScanBuilder(resolved: SnapshotV2Table.Resolved,
@@ -491,6 +649,85 @@ private[v2] object SnapshotGroupConverters {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   import org.apache.parquet.schema.LogicalTypeAnnotation
+
+  /** Spark schema → parquet MessageType for the write path, with the
+    * logical annotations Spark's OWN parquet reader expects — so files
+    * the DSv2 writer produces read identically through
+    * [[SnapshotTable.read]] (Spark's vectorized reader) and through
+    * [[SnapshotReaderFactory]]. All fields optional; same leaf-type
+    * contract as the read side, loud otherwise.
+    */
+  def toParquetSchema(st: StructType): org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.Types
+    val b = Types.buildMessage()
+    st.fields.foreach { f =>
+      val fb = f.dataType match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case ShortType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(16, true))
+        case ByteType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(8, true))
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.optional(BINARY)
+        case DateType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType())
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case d: DecimalType if d.precision <= 18 => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case d: DecimalType => Types.optional(FIXED_LEN_BYTE_ARRAY)
+          .length(16).as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case other => throw new IllegalArgumentException(
+          s"graft-snapshot writer: unsupported Spark type ${other.simpleString} " +
+          s"for ${f.name} — the table format's leaf-type contract")
+      }
+      b.addField(fb.named(f.name))
+    }
+    b.named("graft_snapshot")
+  }
+
+  /** Per-field InternalRow → Group setter (null already checked by
+    * the caller). Strings/binaries COPY out of the row buffer — Spark
+    * reuses the unsafe row across rows while parquet buffers values
+    * until page flush.
+    */
+  def setterFor(f: StructField): (Group, InternalRow, Int) => Unit =
+    f.dataType match {
+      case LongType => (g, r, i) => g.add(i, r.getLong(i))
+      case IntegerType => (g, r, i) => g.add(i, r.getInt(i))
+      case ShortType => (g, r, i) => g.add(i, r.getShort(i).toInt)
+      case ByteType => (g, r, i) => g.add(i, r.getByte(i).toInt)
+      case DoubleType => (g, r, i) => g.add(i, r.getDouble(i))
+      case FloatType => (g, r, i) => g.add(i, r.getFloat(i))
+      case BooleanType => (g, r, i) => g.add(i, r.getBoolean(i))
+      case StringType => (g, r, i) =>
+        g.add(i, r.getUTF8String(i).toString)
+      case BinaryType => (g, r, i) =>
+        g.add(i, org.apache.parquet.io.api.Binary
+          .fromConstantByteArray(r.getBinary(i)))
+      case DateType => (g, r, i) => g.add(i, r.getInt(i))
+      case TimestampType => (g, r, i) => g.add(i, r.getLong(i))
+      case d: DecimalType if d.precision <= 18 => (g, r, i) =>
+        g.add(i, r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+      case d: DecimalType => (g, r, i) => {
+        val bi = r.getDecimal(i, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue()
+        val raw = bi.toByteArray
+        val out = new Array[Byte](16)
+        if (bi.signum() < 0) java.util.Arrays.fill(out, -1.toByte)
+        System.arraycopy(raw, 0, out, 16 - raw.length, raw.length)
+        g.add(i, org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
+      }
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot writer: unsupported Spark type ${other.simpleString} " +
+        s"for ${f.name}")
+    }
 
   def converterFor(f: StructField, pq: org.apache.parquet.schema.Type,
                    file: String): (Group, Int) => Any = {

@@ -254,6 +254,112 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(view.asScala.toMap == before, "an empty drain applies nothing")
   }
 
+  test("DSv2 write: append commits through the manifest protocol with task-side stats") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      rows(100).repartitionByRange(4, col("k")), "k")
+    rows(50, 100).repartition(3)
+      .write.format("graft-snapshot").option("path", root)
+      .mode("append").save()
+    assert(SnapshotTable.read(spark, root).count() == 150)
+    assert(SnapshotTable.latestVersion(fs(root), new Path(root)) == 2)
+    val m2 = readManifestAt(root, 2)
+    assert(m2.op == "append")
+    // task-side stats envelopes are exact: the appended files cover
+    // exactly [100, 149], so a readRange below them opens none of them
+    val newFiles = m2.addedPaths.get
+    assert(newFiles.nonEmpty && newFiles.size <= 3)
+    m2.files.filter(f => newFiles.contains(f.path)).foreach { f =>
+      assert(f.minKey >= 100 && f.maxKey <= 149,
+        s"task-side envelope must be exact, got [${f.minKey},${f.maxKey}]")
+    }
+    // the feed sees the DSv2 append like any other commit
+    assert(SnapshotTable.changes(spark, root, 1, 2)
+      .agg(sum("k")).head().getLong(0) == (100L until 150L).sum)
+    // round-trip through BOTH readers
+    val viaApi = SnapshotTable.read(spark, root)
+    val viaDsv2 = load(root)
+    assert(viaApi.exceptAll(viaDsv2).isEmpty && viaDsv2.exceptAll(viaApi).isEmpty)
+  }
+
+  test("DSv2 write: typed round-trip through Spark's own parquet reader") {
+    val root = freshRoot()
+    val typed = spark.range(40).select(
+      col("id").as("k"),
+      concat(lit("s"), col("id")).as("s"),
+      (col("id") * 1.5).as("d"),
+      date_add(lit(java.sql.Date.valueOf("2021-06-01")), col("id").cast("int")).as("dt"),
+      timestamp_seconds(col("id") * 60).as("ts"),
+      (col("id") * 100).cast("decimal(12,2)").as("dec"),
+      (col("id") * 12345).cast("decimal(28,4)").as("bigdec"))
+    SnapshotTable.create(spark, root, typed.where(col("k") < 20), "k")
+    typed.where(col("k") >= 20)
+      .write.format("graft-snapshot").option("path", root)
+      .mode("append").save()
+    // SnapshotTable.read decodes the writer's files via SPARK's parquet
+    // reader — annotations must line up for every leaf type
+    val got = SnapshotTable.read(spark, root)
+    assert(got.exceptAll(typed).isEmpty && typed.exceptAll(got).isEmpty,
+      "DSv2-written files must read back bit-identically through Spark")
+  }
+
+  test("DSv2 write: schema mismatch, null stats keys, and overwrite all fail loudly") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(20), "k")
+    // extra column: Spark's AppendData compatibility check fires
+    // before our strict-name check — loud either way
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rows(5, 100).withColumn("extra", lit(1L))
+        .write.format("graft-snapshot").option("path", root)
+        .mode("append").save()
+    }
+    val e = intercept[Exception] {
+      spark.range(5).select(lit(null).cast("long").as("k"), col("id").as("v"))
+        .write.format("graft-snapshot").option("path", root)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("stats column") ||
+      Option(e.getCause).exists(_.getMessage.contains("stats column")),
+      s"null stats keys must fail the task loudly: ${e.getMessage}")
+    intercept[Exception] {
+      rows(5, 100).write.format("graft-snapshot").option("path", root)
+        .mode("overwrite").save()
+    }
+    // nothing leaked: failed writes leave no staging debris behind
+    assert(SnapshotTable.read(spark, root).count() == 20)
+    SnapshotTable.vacuum(spark, root)
+    assert(SnapshotTable.read(spark, root).count() == 20)
+    // column ORDER doesn't matter: path-based V2 save() resolves BY
+    // NAME and reorders to the table schema before the writer sees a
+    // row — the input row (k=104, v=4) written column-swapped still
+    // lands as (k=104, v=4), never a silent transpose
+    rows(5, 100).select(col("v"), col("k"))
+      .write.format("graft-snapshot").option("path", root)
+      .mode("append").save()
+    assert(SnapshotTable.read(spark, root)
+      .where(col("k") === 104L && col("v") === 4L).count() == 1,
+      "by-name resolution must keep values under their own columns")
+  }
+
+  test("DSv2 write: concurrent appends both land via commit retries") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(10), "k")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def append(off: Long) = Future {
+      rows(20, off).write.format("graft-snapshot").option("path", root)
+        .mode("append").save()
+    }
+    Await.result(Future.sequence(Seq(append(100), append(200))), 120.seconds)
+    assert(SnapshotTable.read(spark, root).count() == 50,
+      "both racers' rows must be present at the tip")
+    assert(SnapshotTable.latestVersion(fs(root), new Path(root)) == 3)
+  }
+
+  private def readManifestAt(root: String, v: Int) =
+    SnapshotTable.readManifest(fs(root), new Path(root), v)
+
   private def fs(root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 }
