@@ -300,6 +300,190 @@ object Fixtures {
     })
   }
 
+  /** Per-JVM graft CATALOG registration (q290+): one warehouse scratch
+    * dir, the two catalog confs set once — idempotent and
+    * value-stable, so the shared test session can call this from any
+    * suite without a toggle race (the conf is only ever set to the
+    * same values). Returns the warehouse path.
+    */
+  private val catalogWh = new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] def graftCatalog(s: SparkSession): String =
+    catalogWh.synchronized {
+      if (catalogWh.get == null) {
+        val wh = scratchIndexDir("graft-cat-wh")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.SnapshotCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        catalogWh.set(wh)
+      }
+      catalogWh.get
+    }
+
+  /** Per-JVM SQL-front-door snapshot table for q290: created, loaded,
+    * and committed ENTIRELY through `spark.sql` against the graft
+    * catalog — CREATE NAMESPACE + CREATE TABLE (declaring statsCol as
+    * a table property) + two INSERT INTO ... SELECT commits (v2 =
+    * o_orderkey%3==0, v3 = the rest), so the tip is exactly orders and
+    * v2 is the %3 slice, both stated in closed form by the oracle.
+    * Returns the fully-qualified table name.
+    */
+  private val sqlTableNames = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sqlSnapshotTable(s: SparkSession, d: String): String = {
+    sqlTableNames.computeIfAbsent(d, _ => {
+      graftCatalog(s)
+      val tag = d.split('/').filter(_.nonEmpty).last.replace('.', '_')
+      val ns = s"sql_$tag"
+      val tbl = s"graft.$ns.orders"
+      val view = s"orders_src_$tag"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      s.sql(s"""CREATE TABLE $tbl (
+               |  o_orderkey BIGINT, o_custkey BIGINT,
+               |  o_totalprice DOUBLE, o_orderstatus STRING)
+               |USING `graft-snapshot`
+               |TBLPROPERTIES ('statsCol' = 'o_orderkey')""".stripMargin)
+      Tables.orders(s, d).createOrReplaceTempView(view)
+      s.sql(s"""INSERT INTO $tbl
+               |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+               |FROM $view WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $tbl
+               |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+               |FROM $view WHERE o_orderkey % 3 != 0""".stripMargin)
+      tbl
+    })
+  }
+
+  /** Per-JVM MULTI-COLUMN-envelope snapshot table for q291: lineitem
+    * keyed on l_orderkey (the declared stats column) but CLUSTERED on
+    * l_partkey — so the manifest's SECONDARY envelopes (per-file
+    * min/max of every integral column, recorded since round 17) are
+    * tight on l_partkey while the primary envelopes are near-full-
+    * range: exactly the table where a predicate on a non-statsCol
+    * column prunes files and one on the stats column alone cannot.
+    */
+  private val multiColRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def multiColSnapshotTable(s: SparkSession, d: String): String = {
+    multiColRoots.computeIfAbsent(d, _ => {
+      val root = scratchIndexDir("graft-snapmc")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_returnflag"))
+      graft.sources.SnapshotTable.create(s, root,
+        li.repartitionByRange(8, col("l_partkey")), "l_orderkey")
+      root
+    })
+  }
+
+  /** Pin every manifest's commit stamp to `version × 1,000,000 ms` by
+    * rewriting the `timestampMs:` header line in place (java.nio text
+    * rewrite + checksum-sidecar delete — the manifest-rewrite spec
+    * technique, used here instead of toggling SnapshotTable.clock
+    * because the clock is a JVM-global and fixtures share the JVM with
+    * concurrent suites). Deterministic history/time-travel at any sf.
+    */
+  private[graft] def pinManifestStamps(s: SparkSession, root: String): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.sources.SnapshotTable.versions(fs, rp).foreach { v =>
+      val mf = java.nio.file.Paths.get(root, "meta", f"v$v%08d.manifest")
+      val text = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      java.nio.file.Files.write(mf, text.replaceFirst(
+        "timestampMs: -?\\d+", s"timestampMs: ${v * 1000000L}").getBytes("UTF-8"))
+      val crc = mf.getParent.resolve(s".${mf.getFileName}.crc")
+      java.nio.file.Files.deleteIfExists(crc): Unit
+    }
+  }
+
+  /** Per-JVM TIMESTAMPED snapshot table for q292: three lineitem
+    * commits (v1 = l_orderkey%4<=1, v2 = +%4==2, v3 = the rest) with
+    * stamps pinned to v×10⁶ ms, then `expireOlderThan(2×10⁶)` — v1 is
+    * older than the cutoff and expires; v2 (== the cutoff) and the tip
+    * survive. TIMESTAMP AS OF 2.5×10⁶ must resolve to v2.
+    */
+  private val tsRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def timestampedSnapshotTable(s: SparkSession, d: String): String = {
+    tsRoots.computeIfAbsent(d, _ => {
+      val root = scratchIndexDir("graft-snapts")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      def commitSlice(p: Column) =
+        li.where(p).repartitionByRange(4, col("l_orderkey"))
+      graft.sources.SnapshotTable.create(
+        s, root, commitSlice(col("l_orderkey") % 4 <= 1), "l_orderkey")
+      graft.sources.SnapshotTable.append(
+        s, root, commitSlice(col("l_orderkey") % 4 === 2))
+      graft.sources.SnapshotTable.append(
+        s, root, commitSlice(col("l_orderkey") % 4 === 3))
+      pinManifestStamps(s, root)
+      graft.sources.SnapshotTable.expireOlderThan(s, root, 2000000L)
+      graft.sources.SnapshotTable.vacuum(s, root)
+      root
+    })
+  }
+
+  /** Per-JVM OVERWRITE-demo snapshot table for q293: v1 = the
+    * o_orderkey%3==0 slice of orders (Scala create); v2 = the WHOLE of
+    * orders through `df.write.format("graft-snapshot")
+    * .mode("overwrite")` — the SupportsTruncate path committing a
+    * whole-table REPLACE under snapshot isolation, with the feed's
+    * delete events for every replaced row materialized at commit. Both
+    * versions and the v2 change legs are closed-form.
+    */
+  private val overwriteRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def overwriteSnapshotTable(s: SparkSession, d: String): String = {
+    overwriteRoots.computeIfAbsent(d, _ => {
+      val root = scratchIndexDir("graft-snapow")
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.sources.SnapshotTable.create(s, root,
+        ord.where(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+      ord.repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-snapshot").option("path", root)
+        .mode("overwrite").save()
+      root
+    })
+  }
+
+  /** Per-JVM STREAMING-SINK table for q294: the change feed of
+    * [[mergeSnapshotTable]] read as a micro-batch STREAM
+    * (`readStream.format("graft-snapshot").option("mode","changes")`)
+    * and delivered into a fresh snapshot table through the DSv2
+    * STREAMING sink (`writeStream.format("graft-snapshot")`) under
+    * Trigger.AvailableNow — feed source and exactly-once sink are both
+    * this format, end to end. The sink table's content is exactly the
+    * q287 event log, stated in closed form by the oracle.
+    */
+  private val streamSinkRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def streamSinkSnapshotTable(s: SparkSession, d: String): String = {
+    streamSinkRoots.computeIfAbsent(d, _ => {
+      val src = mergeSnapshotTable(s, d)
+      val dst = scratchIndexDir("graft-snapsink")
+      val ckpt = scratchIndexDir("graft-snapsink-ckpt")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.SnapshotTable.createEmpty(s, dst, schema, "o_orderkey")
+      val q = s.readStream.format("graft-snapshot")
+        .option("path", src).option("mode", "changes").load()
+        .writeStream.format("graft-snapshot")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dst
+    })
+  }
+
   /** The decision rule's ESCAPE-HATCH arm as corpus state (q259): the
     * SAME bucketed files as [[bucketedTables]], read with
     * `spark.sql.sources.bucketing.enabled=false`. The conf is read at

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge, q285_snapshot_expire, q286_snapshot_dsv2, q287_snapshot_changes_versioned, q288_snapshot_history, q289_snapshot_dsv2_write.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge, q285_snapshot_expire, q286_snapshot_dsv2, q287_snapshot_changes_versioned, q288_snapshot_history, q289_snapshot_dsv2_write, q290_snapshot_sql, q291_snapshot_multicol, q292_snapshot_timetravel, q293_snapshot_overwrite, q294_snapshot_stream_sink.
   */
 object LayoutQueries {
 
@@ -696,9 +696,123 @@ object LayoutQueries {
       val h = graft.sources.SnapshotTable.history(s, root)
       import s.implicits._
       h.toDF("version", "op", "parent", "n_files", "n_rows", "n_bytes",
-          "stream_id", "stream_batch")
+          "stream_id", "stream_batch", "ts_ms")
         .select(col("version").cast("long").as("version"), col("op"),
           col("n_rows"))
+    }),
+
+    // SQL FRONT DOOR — the whole lifecycle through spark.sql against
+    // the graft TableCatalog plugin (SnapshotCatalog): CREATE
+    // NAMESPACE, CREATE TABLE ... TBLPROPERTIES('statsCol'),
+    // INSERT INTO ... SELECT twice, then THIS query — a named-table
+    // read with VERSION AS OF time travel, which the path-based
+    // provider structurally cannot serve (Spark routes it through
+    // TableCatalog.loadTable(ident, version)). v2 is the %3==0 slice,
+    // the tip all of orders — both in closed form. Not one Scala-API
+    // call touches the table.
+    "q290_snapshot_sql" -> ((s, d) => {
+      val tbl = Fixtures.sqlSnapshotTable(s, d)
+      s.sql(
+        s"""SELECT 'v2' AS leg, o_orderstatus,
+           |  count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_orders,
+           |  floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS sum_price
+           |FROM $tbl VERSION AS OF 2 GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT 'tip', o_orderstatus,
+           |  count(*), count(DISTINCT o_orderkey),
+           |  floor(sum(o_totalprice) * 100 + 0.5) / 100.0
+           |FROM $tbl GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    // MULTI-COLUMN ENVELOPES — the manifest records per-file min/max
+    // for EVERY integral column since round 17, and the DSv2 scan
+    // prunes on any of them: this table is keyed on l_orderkey but
+    // clustered on l_partkey, so only the SECONDARY l_partkey envelope
+    // is tight — the predicate pair below prunes files through it
+    // (SnapshotDsv2Spec pins the partition-count subset) while the
+    // oracle answers from plain lineitem with the same predicates:
+    // layout- and stats-invariant correctness, the q253/q286
+    // discipline.
+    "q291_snapshot_multicol" -> ((s, d) => {
+      val root = Fixtures.multiColSnapshotTable(s, d)
+      val mx = Tables.lineitem(s, d).agg(max("l_partkey")).head().getLong(0)
+      s.read.format("graft-snapshot").option("path", root).load()
+        .where(col("l_partkey").between(mx / 4, mx / 2) &&
+          col("l_suppkey") % 2 === 0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"))
+    }),
+
+    // COMMIT TIMESTAMPS + TIME-BASED RETENTION + TIMESTAMP TRAVEL —
+    // stamps pinned to v×10⁶ ms (manifest rewrite, deterministic at
+    // any sf), then expireOlderThan(2×10⁶): v1 expires, v2 (== the
+    // cutoff) and the tip survive; versionAt(2.5×10⁶) resolves to v2
+    // and readAsOf returns v2's content (lineitem %4<=2); the tip's
+    // history row carries its pinned stamp. One hash certifies the
+    // stamp plumbing, the time-retention boundary, and wall-clock
+    // travel at once.
+    "q292_snapshot_timetravel" -> ((s, d) => {
+      val root = Fixtures.timestampedSnapshotTable(s, d)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val hfs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vs = graft.sources.SnapshotTable.versions(hfs, rp)
+      val vAt = graft.sources.SnapshotTable.versionAt(s, root, 2500000L)
+      val tipTs = graft.sources.SnapshotTable.history(s, root).last._9
+      val beforeBoundaryFails =
+        try { graft.sources.SnapshotTable.versionAt(s, root, 500000L); false }
+        catch { case _: NoSuchElementException => true }
+      graft.sources.SnapshotTable.readAsOf(s, root, 2500000L)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("l_quantity")).as("sum_qty"))
+        .select(lit(vs.min.toLong).as("earliest_version"),
+          lit(vs.max.toLong).as("latest_version"),
+          lit(vAt.toLong).as("version_at_2500s"),
+          lit(tipTs).as("tip_ts_ms"),
+          lit(beforeBoundaryFails).as("pre_boundary_fails"),
+          col("n_rows"), col("n_orders"), col("sum_qty"))
+    }),
+
+    // DSv2 OVERWRITE — mode("overwrite") through SupportsTruncate
+    // commits a whole-table REPLACE version under snapshot isolation,
+    // and the change feed stays self-contained: v2's legs are a delete
+    // event for EVERY replaced row (materialized at commit from the
+    // parent's files) plus inserts that ARE the new data files; v1's
+    // content stays readable and rides along as its own leg. All four
+    // legs closed-form over orders.
+    "q293_snapshot_overwrite" -> ((s, d) => {
+      val root = Fixtures.overwriteSnapshotTable(s, d)
+      val ch = graft.sources.SnapshotTable.changes(s, root, 0, 2)
+        .groupBy("_commit_version", "change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
+      val v1 = graft.sources.SnapshotTable.read(s, root, Some(1))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
+        .select(lit(0L).as("_commit_version"),
+          lit("v1_snapshot").as("change_type"),
+          col("n_rows"), col("n_orders"), col("sum_price"))
+      ch.unionByName(v1).withColumnRenamed("_commit_version", "commit_version")
+    }),
+
+    // STREAMING SINK — the feed of the merge table read as a
+    // micro-batch STREAM and delivered into a fresh snapshot table
+    // through writeStream.format("graft-snapshot") (exactly-once via
+    // the manifest-internal (queryId, batchId) watermark), under
+    // Trigger.AvailableNow. The sink table's content is exactly the
+    // q284 event log — source feed, stream transport, and sink commit
+    // all certified by one hash.
+    "q294_snapshot_stream_sink" -> ((s, d) => {
+      val root = Fixtures.streamSinkSnapshotTable(s, d)
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
     }),
   )
 
@@ -1234,6 +1348,89 @@ object LayoutQueries {
         |UNION ALL SELECT 4, 'delete', n FROM v4
         |UNION ALL SELECT 5, 'compact', n FROM v4
         |UNION ALL SELECT 6, 'cluster', n FROM v4""".stripMargin,
+
+    // The SQL front door's two legs in closed form: v2 is the %3==0
+    // slice the first INSERT INTO committed, the tip is all of orders.
+    "q290_snapshot_sql" ->
+      """WITH legs AS (
+        | SELECT 'v2' AS leg, o_orderstatus, o_orderkey, o_totalprice
+        | FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT 'tip', o_orderstatus, o_orderkey, o_totalprice FROM orders)
+        |SELECT leg, o_orderstatus, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM legs GROUP BY leg, o_orderstatus""".stripMargin,
+
+    // Plain lineitem under the same two predicates — correctness must
+    // be invariant to which envelope (primary or secondary) pruned.
+    "q291_snapshot_multicol" ->
+      """WITH mx AS (SELECT max(l_partkey) AS m FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem CROSS JOIN mx
+        |WHERE l_partkey BETWEEN mx.m // 4 AND mx.m // 2
+        | AND l_suppkey % 2 = 0
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // Stamps are pinned to v×10⁶: v1 expired by the 2×10⁶ cutoff, v2
+    // survives as the boundary, TIMESTAMP AS OF 2.5×10⁶ reads v2
+    // (= lineitem %4<=2), the tip stamp is 3×10⁶.
+    "q292_snapshot_timetravel" ->
+      """SELECT CAST(2 AS BIGINT) AS earliest_version,
+        | CAST(3 AS BIGINT) AS latest_version,
+        | CAST(2 AS BIGINT) AS version_at_2500s,
+        | CAST(3000000 AS BIGINT) AS tip_ts_ms,
+        | TRUE AS pre_boundary_fails,
+        | count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 4 <= 2""".stripMargin,
+
+    // The overwrite's ledger in closed form: v1 inserted the %3==0
+    // slice, v2 replaced it (a delete event per replaced row) with all
+    // of orders, and v1 stays readable under snapshot isolation.
+    "q293_snapshot_overwrite" ->
+      """WITH ev AS (
+        | SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+        |  o_orderkey AS k, o_totalprice AS p
+        | FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT 2, 'delete', o_orderkey, o_totalprice
+        | FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT 2, 'insert', o_orderkey, o_totalprice FROM orders
+        | UNION ALL
+        | SELECT 0, 'v1_snapshot', o_orderkey, o_totalprice
+        | FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT commit_version, change_type, count(*) AS n_rows,
+        | count(DISTINCT k) AS n_orders,
+        | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
+        |FROM ev GROUP BY commit_version, change_type""".stripMargin,
+
+    // The sink table holds exactly the merge table's event feed —
+    // q284's closed form, re-certified through the streaming transport.
+    "q294_snapshot_stream_sink" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |ev AS (
+        | SELECT 'insert' AS change_type, o_orderkey AS k, o_totalprice AS p
+        | FROM orders
+        | UNION ALL
+        | SELECT 'insert', o_orderkey + mx.m, o_totalprice
+        | FROM orders CROSS JOIN mx WHERE o_orderkey % 100 = 3
+        | UNION ALL
+        | SELECT 'update_postimage', o_orderkey, o_totalprice * 2
+        | FROM orders CROSS JOIN mx
+        | WHERE o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10
+        | UNION ALL
+        | SELECT 'update_preimage', o_orderkey, o_totalprice
+        | FROM orders CROSS JOIN mx
+        | WHERE o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10)
+        |SELECT change_type, count(*) AS n_rows,
+        | count(DISTINCT k) AS n_orders,
+        | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
+        |FROM ev GROUP BY change_type""".stripMargin,
 
     // The merged state in closed form: updates replace in place
     // (CASE on the band), inserts append shifted keys.

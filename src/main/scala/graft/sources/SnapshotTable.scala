@@ -77,9 +77,25 @@ object SnapshotTable {
   /** One immutable data file: path relative to the table root, row
     * count, byte size, and the min/max envelope of the stats column
     * (meaningless when rows == 0; such files are never written).
+    *
+    * `colStats` carries SECONDARY envelopes — per-file min/max over
+    * the non-null values of every OTHER integral column (the Iceberg
+    * column-stats model, restricted to the integral types the format's
+    * pruning understands): a predicate on any of them can then prune
+    * files at the manifest level, not just predicates on the one
+    * declared stats column. Secondary envelopes are best-effort
+    * metadata, never a contract: they cover non-null values only
+    * (sound for the null-rejecting predicates =/</<=/>/>=/IN that
+    * pruning consumes — a null row can never satisfy them), a column
+    * that is all-null or lacks footer statistics in some row group is
+    * simply absent (file never pruned on it), and legacy manifests
+    * parse with the map empty. Only the statsCol envelope backs
+    * copy-on-write semantics ([[deleteWhere]]/[[merge]]), which is why
+    * IT alone gets the null-rejection write check.
     */
   case class DataFileMeta(path: String, rows: Long, bytes: Long,
-                          minKey: Long, maxKey: Long)
+                          minKey: Long, maxKey: Long,
+                          colStats: Map[String, (Long, Long)] = Map.empty)
 
   /** One immutable CHANGE file under cdc/: the change events a
     * delete/merge commit materialized at write time (table schema +
@@ -123,13 +139,25 @@ object SnapshotTable {
     * [[changes]] fails LOUDLY on the latter instead of silently
     * reading an understated feed.
     */
+  /** `timestampMs` is the commit's wall-clock stamp (epoch millis),
+    * recorded at commit time and forced MONOTONIC per table
+    * (max(parent + 1, now) — the Delta convention): wall clocks drift
+    * backwards across writers, but TIMESTAMP AS OF resolution
+    * ([[versionAt]]) and time-based retention ([[expireOlderThan]])
+    * both need "later version ⇒ later-or-equal stamp" to hold, and a
+    * monotonic stamp is at worst milliseconds from the raw clock.
+    * `-1` = legacy manifest written before timestamps existed
+    * (resolves as "unknown, very old": expired first, never matched
+    * by TIMESTAMP AS OF).
+    */
   case class Manifest(version: Int, parent: Int, op: String,
                       statsCol: String, schemaJson: String,
                       files: Seq[DataFileMeta],
                       streamId: String = "", streamBatch: Long = -1L,
                       cdc: Seq[CdcFileMeta] = Nil,
                       addedPaths: Option[Set[String]] = None,
-                      cdcDone: Option[Boolean] = None) {
+                      cdcDone: Option[Boolean] = None,
+                      timestampMs: Long = -1L) {
     def totalRows: Long = files.map(_.rows).sum
   }
 
@@ -142,7 +170,8 @@ object SnapshotTable {
   case class ManifestSummary(version: Int, parent: Int, op: String,
                              fileCount: Int, totalRows: Long,
                              totalBytes: Long,
-                             streamId: String, streamBatch: Long)
+                             streamId: String, streamBatch: Long,
+                             timestampMs: Long = -1L)
 
   private val Header = "graft-snapshot-manifest v1"
 
@@ -165,6 +194,15 @@ object SnapshotTable {
     * untouched; production code never sets it.
     */
   @volatile private[graft] var onCommitAttempt: (String, Path) => Unit = (_, _) => ()
+
+  /** Injectable commit clock (epoch millis): production code never
+    * touches it; specs and deterministic contract fixtures pin it so
+    * commit timestamps — and everything derived from them (history's
+    * time column, [[expireOlderThan]] boundaries, TIMESTAMP AS OF
+    * resolution) — are reproducible. The monotonic max(parent + 1, now)
+    * rule still applies on top of whatever this returns.
+    */
+  @volatile private[graft] var clock: () => Long = () => System.currentTimeMillis()
 
   /** Probe-only A/B knob: when false, delete/merge skip change-file
     * materialization (manifest carries an empty feed). Exists so
@@ -194,7 +232,11 @@ object SnapshotTable {
       build(pm) match {
         case None => return -1
         case Some(m) =>
-          if (tryCommit(spark, rp, m)) return m.version
+          // stamp at commit time, monotone over the parent actually
+          // committed under (re-stamped on every retry — a lost race
+          // means a new parent and a fresh clock read)
+          val stamped = m.copy(timestampMs = math.max(pm.timestampMs + 1, clock()))
+          if (tryCommit(spark, rp, stamped)) return stamped.version
       }
       if (attemptN >= MaxCommitAttempts)
         throw new java.io.IOException(
@@ -265,12 +307,20 @@ object SnapshotTable {
     require(lines.headOption.contains(Header),
       s"not a snapshot manifest: ${manifestPath(root, version)}")
     val kv = lines.tail
-      .takeWhile(l => !l.startsWith("file\t") && !l.startsWith("cdc\t"))
+      .takeWhile(l => !l.startsWith("file\t") && !l.startsWith("cdc\t") &&
+        !l.startsWith("stats\t"))
       .map { l => val i = l.indexOf(": "); l.substring(0, i) -> l.substring(i + 2) }
       .toMap
+    // secondary envelopes: absent on legacy manifests → empty maps
+    val statsByPath: Map[String, Map[String, (Long, Long)]] =
+      lines.filter(_.startsWith("stats\t")).map(_.split('\t'))
+        .groupBy(_(1))
+        .map { case (p, rows) =>
+          p -> rows.map(r => r(2) -> (r(3).toLong, r(4).toLong)).toMap }
     val fileParts = lines.filter(_.startsWith("file\t")).map(_.split('\t'))
     val files = fileParts.map { p =>
-      DataFileMeta(p(1), p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong)
+      DataFileMeta(p(1), p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong,
+        statsByPath.getOrElse(p(1), Map.empty))
     }
     // 7th field (a = added by this commit, c = carried from the
     // parent) — absent on legacy manifests, which parse to
@@ -290,7 +340,8 @@ object SnapshotTable {
     Manifest(kv("version").toInt, kv("parent").toInt, kv("op"),
       kv("statsCol"), kv("schema"), files,
       kv.getOrElse("streamId", ""), kv.getOrElse("streamBatch", "-1").toLong,
-      cdc, addedPaths, kv.get("cdcDone").map(_.toBoolean))
+      cdc, addedPaths, kv.get("cdcDone").map(_.toBoolean),
+      kv.getOrElse("timestampMs", "-1").toLong)
   }
 
   /** Header-only manifest read for [[history]]: stream lines until the
@@ -307,7 +358,8 @@ object SnapshotTable {
       require(Option(br.readLine()).contains(Header),
         s"not a snapshot manifest: ${manifestPath(root, version)}")
       var line = br.readLine()
-      while (line != null && !line.startsWith("file\t") && !line.startsWith("cdc\t")) {
+      while (line != null && !line.startsWith("file\t") && !line.startsWith("cdc\t") &&
+             !line.startsWith("stats\t")) {
         if (line.nonEmpty) {
           val i = line.indexOf(": ")
           kv(line.substring(0, i)) = line.substring(i + 2)
@@ -318,11 +370,12 @@ object SnapshotTable {
     if (kv.contains("fileCount") && kv.contains("totalRows") && kv.contains("totalBytes"))
       ManifestSummary(kv("version").toInt, kv("parent").toInt, kv("op"),
         kv("fileCount").toInt, kv("totalRows").toLong, kv("totalBytes").toLong,
-        kv.getOrElse("streamId", ""), kv.getOrElse("streamBatch", "-1").toLong)
+        kv.getOrElse("streamId", ""), kv.getOrElse("streamBatch", "-1").toLong,
+        kv.getOrElse("timestampMs", "-1").toLong)
     else {
       val m = readManifest(fs, root, version)
       ManifestSummary(m.version, m.parent, m.op, m.files.size, m.totalRows,
-        m.files.map(_.bytes).sum, m.streamId, m.streamBatch)
+        m.files.map(_.bytes).sum, m.streamId, m.streamBatch, m.timestampMs)
     }
   }
 
@@ -335,6 +388,7 @@ object SnapshotTable {
     sb ++= s"statsCol: ${m.statsCol}\n"
     sb ++= s"streamId: ${m.streamId}\n"
     sb ++= s"streamBatch: ${m.streamBatch}\n"
+    sb ++= s"timestampMs: ${m.timestampMs}\n"
     // per-version summary ABOVE the file list: history() reads these
     // three keys and stops, never parsing the O(files) body
     sb ++= s"fileCount: ${m.files.size}\n"
@@ -348,6 +402,19 @@ object SnapshotTable {
     }
     m.files.foreach { f =>
       sb ++= s"file\t${f.path}\t${f.rows}\t${f.bytes}\t${f.minKey}\t${f.maxKey}${flag(f.path)}\n"
+    }
+    // secondary column envelopes AFTER the file list (one line per
+    // file × column — O(files × integral columns), the same cost class
+    // as the file list itself): separate lines keep the file-line
+    // format stable, so legacy readers of either direction never
+    // mis-split a field. Columns whose names carry the delimiters
+    // (tab/newline) are unprunable by construction — the writer skips
+    // them rather than corrupting the manifest.
+    m.files.foreach { f =>
+      f.colStats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        if (!c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'))
+          sb ++= s"stats\t${f.path}\t$c\t$lo\t$hi\n"
+      }
     }
     m.cdc.foreach { c =>
       sb ++= s"cdc\t${c.path}\t${c.rows}\n"
@@ -411,19 +478,37 @@ object SnapshotTable {
     // skip or keep the wrong files. The scan fallback applies the same
     // cast on both sides, so non-integral stats columns keep working
     // exactly as they did before the footer fast path existed.
+    def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val statsColIntegral = df.schema.fields.find(_.name == statsCol)
-      .exists(_.dataType match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      })
+      .exists(f => isIntegral(f.dataType))
+    // ONE footer open per part file serves both the statsCol envelope
+    // (exact, contract-bearing, scan-fallback below) and the secondary
+    // per-column envelopes (best-effort — a column that is all-null or
+    // lacks stats in some row group is simply omitted, so pruning on
+    // it stays conservative)
+    val integralCols = df.schema.fields.filter(f => isIntegral(f.dataType))
+      .map(_.name).toSet + statsCol
+    val footers: Seq[(Long, Map[String, (Long, Long, Long)])] = parts.map(st =>
+      try footerEnvelopes(conf, st.getPath, integralCols)
+      catch { case _: Exception => (-1L, Map.empty[String, (Long, Long, Long)]) })
+    val secondary: Map[String, Map[String, (Long, Long)]] =
+      parts.map(_.getPath.getName).zip(footers).map { case (name, (rows, envs)) =>
+        name -> envs.collect {
+          case (c, (nulls, lo, hi)) if c != statsCol && nulls < rows =>
+            c -> (lo, hi)
+        }
+      }.toMap
     val viaFooter: Option[Seq[(Long, Long, Long, Long)]] =
       if (!statsColIntegral) None
       else {
-        val all = parts.map(st =>
-          try footerStats(conf, st.getPath, statsCol) catch { case _: Exception => None })
+        val all = footers.map { case (rows, envs) =>
+          envs.get(statsCol).map { case (nulls, lo, hi) => (rows, nulls, lo, hi) } }
         if (all.forall(_.isDefined)) Some(all.map(_.get)) else None
       }
     val stats: Map[String, (Long, Long, Long, Long)] = viaFooter match {
@@ -464,7 +549,8 @@ object SnapshotTable {
         val dst = new Path(dataDir(root), name)
         if (!fs.rename(st.getPath, dst))
           throw new java.io.IOException(s"staging move failed: ${st.getPath} -> $dst")
-        DataFileMeta(s"data/$name", rows, st.getLen, lo, hi)
+        DataFileMeta(s"data/$name", rows, st.getLen, lo, hi,
+          secondary.getOrElse(st.getPath.getName, Map.empty))
       }
     }
     fs.delete(staging, true)
@@ -484,41 +570,67 @@ object SnapshotTable {
     */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
                           file: Path, statsCol: String): Option[(Long, Long, Long, Long)] = {
+    val (rows, envs) = footerEnvelopes(conf, file, Set(statsCol))
+    envs.get(statsCol).map { case (nulls, lo, hi) => (rows, nulls, lo, hi) }
+  }
+
+  /** One footer open, many columns: per-column (nullCount, min, max)
+    * over the file's row groups, restricted to columns whose EVERY row
+    * group carries integral statistics with null counts (a column
+    * missing from any group, or with a non-integral physical type, is
+    * simply absent from the result — callers treat absence as "no
+    * envelope", never as an error). min/max are over non-null values
+    * (MaxValue/MinValue sentinels when the column is all null — the
+    * null count disambiguates). Driver-side metadata, O(row groups).
+    */
+  private def footerEnvelopes(conf: org.apache.hadoop.conf.Configuration,
+                              file: Path, cols: Set[String])
+      : (Long, Map[String, (Long, Long, Long)]) = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
-      val md = reader.getFooter.getBlocks
-      var rows = 0L; var nulls = 0L
-      var lo = Long.MaxValue; var hi = Long.MinValue
-      val it = md.iterator()
+      val nulls = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val lo = scala.collection.mutable.Map[String, Long]().withDefaultValue(Long.MaxValue)
+      val hi = scala.collection.mutable.Map[String, Long]().withDefaultValue(Long.MinValue)
+      val dead = scala.collection.mutable.Set[String]()
+      var rows = 0L
+      val it = reader.getFooter.getBlocks.iterator()
       while (it.hasNext) {
         val block = it.next()
         rows += block.getRowCount
-        val colOpt = block.getColumns.iterator()
-        var found = false
-        while (colOpt.hasNext) {
-          val c = colOpt.next()
-          if (c.getPath.toDotString == statsCol) {
-            found = true
-            val st = c.getStatistics
-            if (st == null || !st.isNumNullsSet) return None
-            nulls += st.getNumNulls
-            if (st.getNumNulls < block.getRowCount) {
-              if (!st.hasNonNullValue) return None
-              val (mn, mx) = st.genericGetMin match {
-                case i: java.lang.Integer =>
-                  (i.longValue, st.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
-                case l: java.lang.Long =>
-                  (l.longValue, st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
-                case _ => return None // non-integral physical type
+        val seen = scala.collection.mutable.Set[String]()
+        val colIt = block.getColumns.iterator()
+        while (colIt.hasNext) {
+          val c = colIt.next()
+          val name = c.getPath.toDotString
+          if (cols.contains(name) && !dead.contains(name)) {
+            seen += name
+            val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+            if (st == null || !st.isNumNullsSet) dead += name
+            else {
+              nulls(name) += st.getNumNulls
+              if (st.getNumNulls < block.getRowCount) {
+                if (!st.hasNonNullValue) dead += name
+                else st.genericGetMin match {
+                  case i: java.lang.Integer =>
+                    lo(name) = math.min(lo(name), i.longValue)
+                    hi(name) = math.max(hi(name),
+                      st.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
+                  case l: java.lang.Long =>
+                    lo(name) = math.min(lo(name), l.longValue)
+                    hi(name) = math.max(hi(name),
+                      st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+                  case _ => dead += name // non-integral physical type
+                }
               }
-              lo = math.min(lo, mn); hi = math.max(hi, mx)
             }
           }
         }
-        if (!found) return None
+        // a column absent from some row group has no complete envelope
+        cols.foreach(c => if (!seen.contains(c)) dead += c)
       }
-      Some((rows, nulls, lo, hi))
+      (rows, (cols -- dead).iterator
+        .map(c => c -> (nulls(c), lo(c), hi(c))).toMap)
     } finally reader.close()
   }
 
@@ -605,7 +717,7 @@ object SnapshotTable {
     require(latestVersion(fs, rp) == 0, s"table already exists at $root")
     val files = writeDataFiles(spark, rp, df, statsCol)
     val m = Manifest(1, 0, "create", statsCol, schemaJson(df), files,
-      addedPaths = Some(files.map(_.path).toSet))
+      addedPaths = Some(files.map(_.path).toSet), timestampMs = clock())
     if (!tryCommit(spark, rp, m))
       throw new java.io.IOException(s"concurrent create at $root")
     1
@@ -696,6 +808,93 @@ object SnapshotTable {
         pm.schemaJson, pm.files ++ metas, pm.streamId, pm.streamBatch,
         addedPaths = Some(metas.map(_.path).toSet)))
     }
+  }
+
+  /** Commit already-written data files as a whole-table REPLACE — the
+    * driver half of DSv2 `mode("overwrite")` / `INSERT OVERWRITE`
+    * (SupportsTruncate): the new version's files are exactly `metas`,
+    * under snapshot isolation (every prior version stays readable until
+    * [[expire]]). The change feed stays self-contained: the commit
+    * materializes a `delete` event for EVERY replaced row (read from
+    * the parent's files while they are still referenced) and its
+    * inserts are the added files — CDC of a replacement IS the whole
+    * replaced content, there is no cheaper honest answer; the cost is
+    * ∝ the replaced table and re-paid on a lost commit race (the
+    * orphaned cdc files of the losing attempt die with [[vacuum]]).
+    * Schema is bound strictly, like [[appendFiles]].
+    */
+  private[graft] def overwriteFiles(spark: SparkSession, root: String,
+                                    metas: Seq[DataFileMeta],
+                                    boundSchemaJson: String): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    commitLoop(spark, fs, rp, "overwrite") { pm =>
+      if (pm.schemaJson != boundSchemaJson)
+        throw new IllegalStateException(
+          s"DSv2 overwrite at $root lost a race to a schema evolution " +
+          s"(planned against a different schema than tip v${pm.version}'s) — " +
+          "re-plan the write against the widened schema")
+      val doCdc = materializeChanges // capture once per attempt
+      val cdcFiles =
+        if (doCdc && pm.files.nonEmpty)
+          writeCdcFiles(spark, rp, readFiles(spark, rp, pm, pm.files)
+            .withColumn("change_type", lit("delete")))
+        else Nil
+      Some(Manifest(pm.version + 1, pm.version, "overwrite", pm.statsCol,
+        pm.schemaJson, metas, pm.streamId, pm.streamBatch, cdcFiles,
+        addedPaths = Some(metas.map(_.path).toSet), cdcDone = Some(doCdc)))
+    }
+  }
+
+  /** Commit already-written data files as one streaming micro-batch —
+    * the driver half of the DSv2 STREAMING sink
+    * (`writeStream.format("graft-snapshot")`): same manifest-internal
+    * (queryId, batchId) watermark as [[streamingAppend]], so delivery
+    * is exactly-once per checkpoint lineage with no marker-trails-data
+    * window. Returns -1 for a detected replay — the caller deletes the
+    * staged files it had installed (they are unreferenced, so eager
+    * delete and [[vacuum]] are equally correct).
+    */
+  private[graft] def streamingAppendFiles(spark: SparkSession, root: String,
+                                          metas: Seq[DataFileMeta],
+                                          boundSchemaJson: String,
+                                          queryId: String, batchId: Long): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    commitLoop(spark, fs, rp, "streamingAppend") { pm =>
+      if (pm.streamId.nonEmpty && pm.streamId == queryId && batchId <= pm.streamBatch)
+        None // a racer of the same lineage (or a restart replay) delivered it
+      else if (pm.schemaJson != boundSchemaJson)
+        throw new IllegalStateException(
+          s"DSv2 streaming append at $root lost a race to a schema evolution " +
+          s"(planned against a different schema than tip v${pm.version}'s) — " +
+          "restart the stream against the widened schema")
+      else Some(Manifest(pm.version + 1, pm.version, "append", pm.statsCol,
+        pm.schemaJson, pm.files ++ metas, queryId, batchId,
+        addedPaths = Some(metas.map(_.path).toSet)))
+    }
+  }
+
+  /** Bootstrap an EMPTY table at `root` as version 1 — the catalog's
+    * `CREATE TABLE` surface ([[graft.sources.v2.SnapshotCatalog]]),
+    * where the schema and stats column are declared before any data
+    * exists; the first `INSERT INTO` is then a plain append. All
+    * fields commit nullable (the read surface's convention — files
+    * null-fill under evolution regardless).
+    */
+  def createEmpty(spark: SparkSession, root: String, schema: StructType,
+                  statsCol: String): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    require(latestVersion(fs, rp) == 0, s"table already exists at $root")
+    require(schema.fieldNames.contains(statsCol),
+      s"stats column $statsCol is not in the schema ${schema.simpleString}")
+    val m = Manifest(1, 0, "create", statsCol,
+      schemaJsonOf(StructType(schema.fields.map(_.copy(nullable = true)))),
+      Nil, addedPaths = Some(Set.empty), timestampMs = clock())
+    if (!tryCommit(spark, rp, m))
+      throw new java.io.IOException(s"concurrent create at $root")
+    1
   }
 
   /** Exactly-once streaming delivery into the snapshot table (the
@@ -1179,8 +1378,13 @@ object SnapshotTable {
       // otherwise arrive indistinguishable from the reverse history
       def stamped(df: DataFrame): DataFrame =
         df.withColumn("_commit_version", lit(v.toLong))
-      m.op match {
-        case "create" | "append" =>
+      // An overwrite contributes BOTH legs: its cdc files are the
+      // delete events of every replaced row (materialized at commit
+      // while the parent's files were in hand) and its inserts are the
+      // added data files — the same self-contained per-commit shape as
+      // the other ops, at the cost CDC of a replacement inherently has.
+      val insertLeg: Seq[DataFrame] = m.op match {
+        case "create" | "append" | "overwrite" =>
           val added = m.addedPaths match {
             case Some(ap) => m.files.filter(f => ap.contains(f.path))
             case None =>
@@ -1192,10 +1396,13 @@ object SnapshotTable {
                 else readManifest(fs, rp, m.parent).files.map(_.path).toSet
               m.files.filterNot(f => parentPaths.contains(f.path))
           }
-          if (added.isEmpty) None
-          else Some(stamped(readFiles(spark, rp, m, added)
+          if (added.isEmpty) Nil
+          else Seq(stamped(readFiles(spark, rp, m, added)
             .withColumn("change_type", lit("insert"))))
-        case "delete" | "merge" =>
+        case _ => Nil
+      }
+      val cdcLeg: Seq[DataFrame] = m.op match {
+        case "delete" | "merge" | "overwrite" =>
           // Capability check, loud (the CellGuard convention — enforced
           // bounds, not documented ones): an empty cdc list is only a
           // provably-empty feed when the manifest RECORDS that
@@ -1216,15 +1423,16 @@ object SnapshotTable {
                 s"events; recover them with diff(root, ${v - 1}, $v, keys)")
             case _ => () // Some(true), or legacy with cdc files present
           }
-          if (m.cdc.isEmpty) None
+          if (m.cdc.isEmpty) Nil
           else {
             val schema = parseSchema(m.schemaJson)
               .add("change_type", org.apache.spark.sql.types.StringType)
-            Some(stamped(spark.read.schema(schema)
+            Seq(stamped(spark.read.schema(schema)
               .parquet(m.cdc.map(c => new Path(rp, c.path).toString): _*)))
           }
-        case _ => None // compact/cluster: lossless rewrites change nothing
+        case _ => Nil // compact/cluster: lossless rewrites change nothing
       }
+      cdcLeg ++ insertLeg
     }
     frames match {
       case Seq() =>
@@ -1246,15 +1454,43 @@ object SnapshotTable {
     * minutes of full manifest parses. Expired versions are simply
     * absent (the [[versions]] listing is the source of truth).
     */
-  def history(spark: SparkSession, root: String): Seq[(Int, String, Int, Int, Long, Long, String, Long)] = {
+  def history(spark: SparkSession, root: String): Seq[(Int, String, Int, Int, Long, Long, String, Long, Long)] = {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
     versions(fs, rp).map { v =>
       val m = readManifestSummary(fs, rp, v)
       (m.version, m.op, m.parent, m.fileCount, m.totalRows,
-        m.totalBytes, m.streamId, m.streamBatch)
+        m.totalBytes, m.streamId, m.streamBatch, m.timestampMs)
     }
   }
+
+  /** Resolve TIMESTAMP AS OF: the latest retained version whose commit
+    * timestamp is <= `tsMs` — "the table as a reader at that instant
+    * saw it" (commit stamps are monotone per table, so this is
+    * well-defined). Loud when `tsMs` predates the earliest retained
+    * commit — after [[expire]] that is the retention boundary, and
+    * silently answering from a later version would misrepresent
+    * history. O(versions) header reads, same cost class as [[history]].
+    */
+  def versionAt(spark: SparkSession, root: String, tsMs: Long): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val vs = versions(fs, rp)
+    require(vs.nonEmpty, s"no committed snapshot at $root")
+    val stamped = vs.map(v => v -> readManifestSummary(fs, rp, v).timestampMs)
+    stamped.filter(_._2 <= tsMs).lastOption match {
+      case Some((v, _)) => v
+      case None => throw new NoSuchElementException(
+        s"no snapshot at $root as of timestamp $tsMs — the earliest " +
+        s"retained commit is v${stamped.head._1} at ${stamped.head._2} ms" +
+        (if (stamped.head._1 > 1) " (earlier versions were removed by expire())"
+         else ""))
+    }
+  }
+
+  /** Time-travel read by wall clock: [[read]] at [[versionAt]]`(tsMs)`. */
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    read(spark, root, Some(versionAt(spark, root, tsMs)))
 
   /** RETENTION: drop every manifest older than the last `keepLast`
     * versions, so the data/cdc files those versions exclusively
@@ -1275,6 +1511,18 @@ object SnapshotTable {
     * holding an already-parsed manifest keeps working (data files
     * survive until vacuum) but one about to OPEN an expiring manifest
     * races with the delete.
+    *
+    * CRASH IDEMPOTENCE: the per-manifest deletes are not atomic as a
+    * group — a crash (or the loud first-failure throw) can leave the
+    * expiry PARTIALLY applied. That state is safe, not torn: retention
+    * is monotone (deletes proceed oldest-first, so the surviving
+    * manifests are still a contiguous suffix... except when an
+    * individual delete fails mid-walk, which the throw surfaces), and
+    * [[versions]]/[[history]]/[[vacuum]] all walk the LISTING, never an
+    * assumed range — so reads, GC, and a RE-RUN of the same expire all
+    * behave correctly in the interim, and the re-run completes the
+    * partial expiry (pinned by SnapshotTableSpec's partial-expire
+    * spec).
     */
   def expire(spark: SparkSession, root: String, keepLast: Int): Int = {
     require(keepLast >= 1, s"expire: keepLast must be >= 1, got $keepLast")
@@ -1282,7 +1530,34 @@ object SnapshotTable {
     val fs = fsOf(spark, rp)
     val tip = latestVersion(fs, rp)
     require(tip > 0, s"no committed snapshot at $root")
-    val expired = versions(fs, rp).filter(_ <= tip - keepLast)
+    dropManifests(fs, rp, versions(fs, rp).filter(_ <= tip - keepLast), root)
+  }
+
+  /** TIME-BASED retention: drop every manifest whose commit timestamp
+    * is strictly BEFORE `olderThanMs` — `expire(olderThan = now - 7d)`
+    * is how a real deployment states retention (Delta's
+    * `VACUUM ... RETAIN n HOURS`, Iceberg's
+    * `expireSnapshots(olderThan)`); count-based [[expire]] needs the
+    * operator to know the commit rate. The TIP always survives
+    * regardless of age (a table must keep at least its current
+    * version), and because commit stamps are monotone the expired set
+    * is a prefix — the same contiguous-suffix retention shape as
+    * [[expire]], same crash-idempotence contract. Legacy manifests
+    * with no stamp (-1) count as infinitely old. Returns the number of
+    * versions expired.
+    */
+  def expireOlderThan(spark: SparkSession, root: String, olderThanMs: Long): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val tip = latestVersion(fs, rp)
+    require(tip > 0, s"no committed snapshot at $root")
+    val expired = versions(fs, rp)
+      .filter(v => v != tip && readManifestSummary(fs, rp, v).timestampMs < olderThanMs)
+    dropManifests(fs, rp, expired, root)
+  }
+
+  private def dropManifests(fs: FileSystem, rp: Path, expired: Seq[Int],
+                            root: String): Int = {
     expired.foreach { v =>
       if (!fs.delete(manifestPath(rp, v), false))
         throw new java.io.IOException(

@@ -85,13 +85,40 @@ import org.apache.spark.unsafe.types.UTF8String
 class SnapshotTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
+  /** One resolution per load(): Spark calls `inferSchema` then
+    * `getTable` back-to-back on a FRESH provider instance per load, and
+    * each used to call [[SnapshotV2Table.resolve]] independently — two
+    * full O(files) manifest reads, and (worse) a commit landing between
+    * them pinned two DIFFERENT versions, so the plan schema could come
+    * from one snapshot and the scanned manifest from another, breaking
+    * the documented "version is PINNED at load()" isolation. The cache
+    * is keyed by the normalized options so the second call provably
+    * reuses the first's pinned resolution; being instance-level, it is
+    * load()-scoped by construction (a later load() gets a fresh
+    * provider, and with it the new tip).
+    */
+  @transient private var cached: Option[(Map[String, String], SnapshotV2Table.Resolved)] = None
+
+  private def resolveOnce(options: CaseInsensitiveStringMap): SnapshotV2Table.Resolved =
+    synchronized {
+      import scala.jdk.CollectionConverters._
+      val key = options.asCaseSensitiveMap().asScala.toMap
+        .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+      cached match {
+        case Some((k, r)) if k == key => r
+        case _ =>
+          val r = SnapshotV2Table.resolve(options)
+          cached = Some((key, r))
+          r
+      }
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotV2Table.resolve(options).readSchema
+    resolveOnce(options).readSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new SnapshotV2Table(SnapshotV2Table.resolve(
-      new CaseInsensitiveStringMap(properties)))
+    new SnapshotV2Table(resolveOnce(new CaseInsensitiveStringMap(properties)))
 }
 
 private[v2] object SnapshotV2Table {
@@ -150,8 +177,11 @@ private[v2] object SnapshotV2Table {
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ((vFrom + 1) to vTo).flatMap { v =>
       val m = SnapshotTable.readManifest(fs, rp, v)
-      m.op match {
-        case "create" | "append" =>
+      // overwrite contributes BOTH legs (deletes of every replaced row
+      // from its cdc files, inserts from its added files) — the same
+      // split as SnapshotTable.changes
+      val insertLegs: Seq[SnapshotFilePartition] = m.op match {
+        case "create" | "append" | "overwrite" =>
           val added = m.addedPaths match {
             case Some(ap) => m.files.filter(f => ap.contains(f.path))
             case None =>
@@ -163,7 +193,10 @@ private[v2] object SnapshotV2Table {
           added.map(f => SnapshotFilePartition(
             new Path(rp, f.path).toString, m.schemaJson,
             constChangeType = Some("insert"), commitVersion = Some(v.toLong)))
-        case "delete" | "merge" =>
+        case _ => Nil
+      }
+      val cdcLegs: Seq[SnapshotFilePartition] = m.op match {
+        case "delete" | "merge" | "overwrite" =>
           m.cdcDone match {
             case Some(false) => throw new IllegalStateException(
               s"graft-snapshot changes($vFrom, $vTo) at $root: v$v (${m.op}) " +
@@ -182,6 +215,7 @@ private[v2] object SnapshotV2Table {
             constChangeType = None, commitVersion = Some(v.toLong)))
         case _ => Nil // compact/cluster: lossless rewrites
       }
+      cdcLegs ++ insertLegs
     }
   }
 
@@ -198,23 +232,36 @@ private[v2] class SnapshotV2Table(resolved: SnapshotV2Table.Resolved)
   override def schema(): StructType = resolved.readSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(resolved, options)
 
-  /** The WRITE half of the surface:
-    * `df.write.format("graft-snapshot").option("path", root)
-    * .mode("append").save()` — executor tasks stream rows straight
-    * into parquet files under a staging dir, computing each file's
-    * stats envelope ON THE FLY (rows in hand — no footer read-back,
-    * no second scan), and the driver installs the staged files
-    * through the same optimistic commitLoop as [[SnapshotTable
-    * .append]] (bounded retries, loud schema-race check, null stats
-    * keys rejected at the task). mode("append") only: overwrite is a
-    * table-format DELETE/compaction decision, not a save mode
-    * (SupportsTruncate deliberately unimplemented, so Spark rejects
-    * it loudly); the table must already exist (create() is the
-    * one-time bootstrap that declares the stats column).
+  /** The WRITE half of the surface — three entry points, one task-side
+    * pipeline:
+    *
+    *  - `df.write...mode("append")`: executor tasks stream rows
+    *    straight into parquet files under a staging dir, computing
+    *    every integral column's stats envelope ON THE FLY (rows in
+    *    hand — no footer read-back, no second scan); the driver
+    *    installs the staged files through the same optimistic
+    *    commitLoop as [[SnapshotTable.append]] (bounded retries, loud
+    *    schema-race check, null stats keys rejected at the task).
+    *  - `mode("overwrite")` / `INSERT OVERWRITE` (SupportsTruncate):
+    *    same task pipeline; the driver commits a whole-table REPLACE
+    *    version under snapshot isolation via
+    *    [[SnapshotTable.overwriteFiles]] (prior versions stay
+    *    readable; the change feed gets the replacement's full
+    *    delete+insert events).
+    *  - `df.writeStream.format("graft-snapshot")`: the streaming sink;
+    *    each micro-batch commits through the manifest-internal
+    *    (queryId, batchId) watermark, so delivery is exactly-once per
+    *    checkpoint lineage ([[SnapshotTable.streamingAppendFiles]]).
+    *
+    * The table must already exist (create()/createEmpty() is the
+    * one-time bootstrap that declares the stats column), and the
+    * written schema must match the tip's exactly — widenings go
+    * through `SnapshotTable.appendEvolved`, loudly.
     */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -229,78 +276,193 @@ private[v2] class SnapshotV2Table(resolved: SnapshotV2Table.Resolved)
     // that reaches here without that normalization.
     require(in.fields.map(f => (f.name, f.dataType)).toSeq ==
       tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"strict append: the written schema must match the tip's " +
+      s"strict write: the written schema must match the tip's " +
       s"(${tableSchema.simpleString}), got ${in.simpleString} — use " +
       "SnapshotTable.appendEvolved for widenings")
-    new SnapshotWriteBuilder(resolved.root, resolved.manifest, in)
+    new SnapshotWriteBuilder(resolved.root, resolved.manifest, in,
+      info.queryId())
   }
 }
 
 private[v2] class SnapshotWriteBuilder(root: String,
                                        tip: SnapshotTable.Manifest,
-                                       schema: StructType)
-    extends org.apache.spark.sql.connector.write.WriteBuilder {
+                                       schema: StructType,
+                                       queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
   import org.apache.spark.sql.connector.write._
 
+  // mode("overwrite") / INSERT OVERWRITE arrive as truncate() — the
+  // commit becomes a whole-table REPLACE version instead of an append
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new BatchWrite {
-      private val stagingName = s".staging-${java.util.UUID.randomUUID()}"
-
-      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        SnapshotWriterFactory(s"$root/$stagingName", schema.json, tip.statsCol)
-
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val spark = org.apache.spark.sql.SparkSession.active
-        val rp = new Path(root)
-        val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // install ONLY the files named by committed tasks (speculative
-        // or failed attempts' files stay in staging and die with it),
-        // under fresh UUID names in data/ — the writeDataFiles
-        // discipline, minus the stats read-back the tasks already did
-        val metas = messages.toSeq.map(_.asInstanceOf[SnapshotWriteCommit])
-          .filter(_.rows > 0)
-          .map { m =>
-            val name = s"${java.util.UUID.randomUUID()}.parquet"
-            fs.mkdirs(new Path(rp, "data"))
-            val src = new Path(s"$root/$stagingName/${m.name}")
-            val dst = new Path(rp, s"data/$name")
-            if (!fs.rename(src, dst))
-              throw new java.io.IOException(s"staging move failed: $src -> $dst")
-            SnapshotTable.DataFileMeta(s"data/$name", m.rows,
-              fs.getFileStatus(dst).getLen, m.lo, m.hi)
-          }
-        fs.delete(new Path(s"$root/$stagingName"), true)
-        SnapshotTable.appendFiles(spark, root, metas, tip.schemaJson): Unit
-      }
-
-      override def abort(messages: Array[WriterCommitMessage]): Unit = {
-        val spark = org.apache.spark.sql.SparkSession.active
-        val rp = new Path(root)
-        val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new Path(s"$root/$stagingName"), true): Unit
-      }
+    override def toBatch: BatchWrite =
+      new SnapshotBatchWrite(root, tip, schema, overwrite)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      // loud, not silent: complete/truncate output modes would replace
+      // the table every trigger — not a streaming-table semantics this
+      // format offers (and silently appending instead would be worse)
+      require(!overwrite,
+        "graft-snapshot streaming writes are append-only — use " +
+        "outputMode(\"append\"); complete/update are not supported")
+      new SnapshotStreamingWrite(root, tip, schema, queryId)
     }
   }
 }
 
+/** Shared driver-side install step: rename ONLY the files named by
+  * committed tasks out of staging into data/ under fresh UUID names
+  * (speculative or failed attempts' files stay behind and die with the
+  * staging dir), returning their manifest metadata with the envelopes
+  * the tasks computed on the fly.
+  */
+private[v2] object SnapshotWriteInstall {
+  def install(fs: org.apache.hadoop.fs.FileSystem, rp: Path,
+              stagingName: String,
+              messages: Seq[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Seq[SnapshotTable.DataFileMeta] =
+    messages.map(_.asInstanceOf[SnapshotWriteCommit])
+      .filter(_.rows > 0)
+      .map { m =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        fs.mkdirs(new Path(rp, "data"))
+        val src = new Path(rp, s"$stagingName/${m.name}")
+        val dst = new Path(rp, s"data/$name")
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"staging move failed: $src -> $dst")
+        SnapshotTable.DataFileMeta(s"data/$name", m.rows,
+          fs.getFileStatus(dst).getLen, m.lo, m.hi, m.colStats)
+      }
+}
+
+private[v2] class SnapshotBatchWrite(root: String,
+                                     tip: SnapshotTable.Manifest,
+                                     schema: StructType,
+                                     overwrite: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stagingName = s".staging-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    SnapshotWriterFactory(s"$root/$stagingName", schema.json, tip.statsCol,
+      // the SESSION's Hadoop conf, serialized into the factory: a blank
+      // Configuration on executors silently drops spark.hadoop.* (s3a
+      // credentials, custom fs impls) that the driver half and the v1
+      // path both honor
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metas = SnapshotWriteInstall.install(fs, rp, stagingName, messages.toSeq)
+    fs.delete(new Path(s"$root/$stagingName"), true)
+    if (overwrite)
+      SnapshotTable.overwriteFiles(spark, root, metas, tip.schemaJson): Unit
+    else
+      SnapshotTable.appendFiles(spark, root, metas, tip.schemaJson): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$root/$stagingName"), true): Unit
+  }
+}
+
+/** The STREAMING sink half (`df.writeStream.format("graft-snapshot")`):
+  * every micro-batch runs the same task-side parquet pipeline into one
+  * shared staging dir (file names carry the epoch, so concurrent
+  * retried epochs never collide), and each epoch's commit installs its
+  * files then delegates to [[SnapshotTable.streamingAppendFiles]] —
+  * the manifest-internal (queryId, batchId) watermark, so a replayed
+  * epoch after a restart is DETECTED at the atomic commit point and
+  * its freshly-installed files are deleted again (unreferenced either
+  * way; eager delete just beats vacuum to it). The staging dir of a
+  * stopped stream is crash debris by design — `vacuum()` sweeps
+  * `.staging-*` dirs, the documented reclamation path.
+  */
+private[v2] class SnapshotStreamingWrite(root: String,
+                                         tip: SnapshotTable.Manifest,
+                                         schema: StructType,
+                                         queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stagingName = s".staging-${java.util.UUID.randomUUID()}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    SnapshotWriterFactory(s"$root/$stagingName", schema.json, tip.statsCol,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metas = SnapshotWriteInstall.install(fs, rp, stagingName, messages.toSeq)
+    val v = SnapshotTable.streamingAppendFiles(spark, root, metas,
+      tip.schemaJson, queryId, epochId)
+    if (v == -1)
+      // replay of an already-delivered batch: the files just installed
+      // are referenced by no manifest — remove them eagerly
+      metas.foreach(m => fs.delete(new Path(rp, m.path), false))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.filter(_ != null).map(_.asInstanceOf[SnapshotWriteCommit])
+      .foreach(m => fs.delete(new Path(rp, s"$stagingName/${m.name}"), false))
+  }
+}
+
 private[v2] case class SnapshotWriteCommit(name: String, rows: Long,
-                                           lo: Long, hi: Long)
+                                           lo: Long, hi: Long,
+                                           colStats: Map[String, (Long, Long)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** Executor-side InternalRow → parquet writers (example Group API,
   * the write twin of [[SnapshotReaderFactory]]): one file per task
-  * attempt under the staging dir — distinct names per attempt, so
-  * retries/speculation never collide and only committed attempts'
-  * files are installed. The stats column's envelope and null check
-  * happen per row while writing.
+  * attempt under the staging dir — distinct names per attempt (and per
+  * epoch on the streaming path), so retries/speculation never collide
+  * and only committed attempts' files are installed. The stats
+  * column's envelope and null check happen per row while writing, and
+  * so do the SECONDARY envelopes of every other integral column (nulls
+  * skipped — they can never satisfy the null-rejecting predicates
+  * pruning serves), so the manifest's multi-column stats cost no
+  * read-back on this path either.
   */
 private[v2] case class SnapshotWriterFactory(stagingDir: String,
                                              schemaJson: String,
-                                             statsCol: String)
-    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+                                             statsCol: String,
+                                             conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    mkWriter(f"part-$partitionId%05d-$taskId.parquet")
+
+  // streaming twin: the epoch rides in the file name so a retried
+  // epoch's attempts are distinct files from the original's
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    mkWriter(f"part-$partitionId%05d-$taskId-e$epochId.parquet")
+
+  private def mkWriter(name: String): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val statsIdx = schema.fieldIndex(statsCol)
     schema.fields(statsIdx).dataType match {
@@ -308,12 +470,10 @@ private[v2] case class SnapshotWriterFactory(stagingDir: String,
       case other => throw new IllegalArgumentException(
         s"DSv2 write requires an integral stats column, $statsCol is ${other.simpleString}")
     }
-    val conf = new org.apache.hadoop.conf.Configuration()
     val pqSchema = SnapshotGroupConverters.toParquetSchema(schema)
-    val name = f"part-$partitionId%05d-$taskId.parquet"
     val path = new Path(s"$stagingDir/$name")
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf))
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf.value))
       .withType(pqSchema)
       .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .build()
@@ -322,8 +482,23 @@ private[v2] case class SnapshotWriterFactory(stagingDir: String,
 
     new DataWriter[InternalRow] {
       private var rows = 0L
-      private var lo = Long.MaxValue
-      private var hi = Long.MinValue
+      private val nFields = schema.fields.length
+      private val isIntegral: Array[Boolean] = schema.fields.map(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      private val los = Array.fill(nFields)(Long.MaxValue)
+      private val his = Array.fill(nFields)(Long.MinValue)
+      private val seen = Array.fill(nFields)(false)
+
+      private def longAt(row: InternalRow, i: Int): Long =
+        schema.fields(i).dataType match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i).toLong
+          case ShortType => row.getShort(i).toLong
+          case ByteType => row.getByte(i).toLong
+          case _ => throw new IllegalStateException("unreachable: gated by isIntegral")
+        }
 
       override def write(row: InternalRow): Unit = {
         if (row.isNullAt(statsIdx))
@@ -331,18 +506,18 @@ private[v2] case class SnapshotWriterFactory(stagingDir: String,
             s"stats column $statsCol is null on a written row — the " +
             "file-envelope contract requires a non-null integral key " +
             "on every row; filter or fill before writing")
-        val k = schema.fields(statsIdx).dataType match {
-          case LongType => row.getLong(statsIdx)
-          case IntegerType => row.getInt(statsIdx).toLong
-          case ShortType => row.getShort(statsIdx).toLong
-          case ByteType => row.getByte(statsIdx).toLong
-          case _ => throw new IllegalStateException("unreachable: gated above")
-        }
-        lo = math.min(lo, k); hi = math.max(hi, k)
         val g = factory.newGroup()
         var i = 0
-        while (i < setters.length) {
-          if (!row.isNullAt(i)) setters(i)(g, row, i)
+        while (i < nFields) {
+          if (!row.isNullAt(i)) {
+            setters(i)(g, row, i)
+            if (isIntegral(i)) {
+              val k = longAt(row, i)
+              if (k < los(i)) los(i) = k
+              if (k > his(i)) his(i) = k
+              seen(i) = true
+            }
+          }
           i += 1
         }
         writer.write(g)
@@ -351,7 +526,10 @@ private[v2] case class SnapshotWriterFactory(stagingDir: String,
 
       override def commit(): WriterCommitMessage = {
         writer.close()
-        SnapshotWriteCommit(name, rows, lo, hi)
+        val secondary = schema.fields.indices.iterator
+          .filter(i => i != statsIdx && isIntegral(i) && seen(i))
+          .map(i => schema.fields(i).name -> (los(i), his(i))).toMap
+        SnapshotWriteCommit(name, rows, los(statsIdx), his(statsIdx), secondary)
       }
 
       override def abort(): Unit = writer.close()
@@ -366,16 +544,28 @@ private[v2] class SnapshotScanBuilder(resolved: SnapshotV2Table.Resolved,
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private val statsCol = resolved.manifest.statsCol
-  private var lo = Long.MinValue
-  private var hi = Long.MaxValue
+  // per-COLUMN [lo, hi] bounds, intersected across predicates: the
+  // stats column prunes against the contract envelope (minKey/maxKey),
+  // every other column against its best-effort secondary envelope in
+  // the manifest (DataFileMeta.colStats) — a file without stats for a
+  // bounded column is simply never pruned on it
+  private var bounds: Map[String, (Long, Long)] = Map.empty
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = resolved.readSchema
 
-  /** Envelope pruning below the optimizer: stats-column range
-    * predicates tighten [lo, hi] before partitions are planned. ALL
-    * filters stay residual (returned for Spark to re-evaluate) — the
-    * envelope prunes FILES, not rows; `pushedFilters` reports the
-    * range ones so the pruning is visible in the plan.
+  private def tighten(c: String, lo: Long, hi: Long): Unit = {
+    val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+    bounds += c -> (math.max(l0, lo), math.min(h0, hi))
+  }
+
+  /** Envelope pruning below the optimizer: range predicates on ANY
+    * column tighten that column's [lo, hi] before partitions are
+    * planned. All the accepted shapes are null-rejecting, which is
+    * what makes secondary envelopes (min/max over non-null values
+    * only) sound prune evidence. ALL filters stay residual (returned
+    * for Spark to re-evaluate) — envelopes prune FILES, not rows;
+    * `pushedFilters` reports the range ones so the pruning is visible
+    * in the plan.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def asLong(v: Any): Option[Long] = v match {
@@ -386,24 +576,24 @@ private[v2] class SnapshotScanBuilder(resolved: SnapshotV2Table.Resolved,
       case _ => None
     }
     pushed = filters.filter {
-      case EqualTo(c, v) if c == statsCol && asLong(v).isDefined =>
-        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get); true
-      case GreaterThan(c, v) if c == statsCol && asLong(v).exists(_ < Long.MaxValue) =>
-        lo = math.max(lo, asLong(v).get + 1); true
-      case GreaterThanOrEqual(c, v) if c == statsCol && asLong(v).isDefined =>
-        lo = math.max(lo, asLong(v).get); true
-      case LessThan(c, v) if c == statsCol && asLong(v).exists(_ > Long.MinValue) =>
-        hi = math.min(hi, asLong(v).get - 1); true
-      case LessThanOrEqual(c, v) if c == statsCol && asLong(v).isDefined =>
-        hi = math.min(hi, asLong(v).get); true
+      case EqualTo(c, v) if asLong(v).isDefined =>
+        tighten(c, asLong(v).get, asLong(v).get); true
+      case GreaterThan(c, v) if asLong(v).exists(_ < Long.MaxValue) =>
+        tighten(c, asLong(v).get + 1, Long.MaxValue); true
+      case GreaterThanOrEqual(c, v) if asLong(v).isDefined =>
+        tighten(c, asLong(v).get, Long.MaxValue); true
+      case LessThan(c, v) if asLong(v).exists(_ > Long.MinValue) =>
+        tighten(c, Long.MinValue, asLong(v).get - 1); true
+      case LessThanOrEqual(c, v) if asLong(v).isDefined =>
+        tighten(c, Long.MinValue, asLong(v).get); true
       // IN is a disjunction — its conservative envelope is
       // [min(values), max(values)], AND-able with the other bounds
       // (the q254 point-lookup shape: a 3-key IN prunes to the files
       // whose envelopes cover the key span)
       case org.apache.spark.sql.sources.In(c, vs)
-          if c == statsCol && vs.nonEmpty && vs.forall(asLong(_).isDefined) =>
+          if vs.nonEmpty && vs.forall(asLong(_).isDefined) =>
         val longs = vs.map(asLong(_).get)
-        lo = math.max(lo, longs.min); hi = math.min(hi, longs.max); true
+        tighten(c, longs.min, longs.max); true
       case _ => false
     }
     filters // all residual: file-level pruning is conservative
@@ -418,7 +608,17 @@ private[v2] class SnapshotScanBuilder(resolved: SnapshotV2Table.Resolved,
   override def toBatch: Batch = this
 
   private def prunedFiles: Seq[SnapshotTable.DataFileMeta] =
-    resolved.manifest.files.filter(f => f.minKey <= hi && f.maxKey >= lo)
+    resolved.manifest.files.filter { f =>
+      bounds.forall { case (c, (lo, hi)) =>
+        val env =
+          if (c == statsCol) Some((f.minKey, f.maxKey)) else f.colStats.get(c)
+        env.forall { case (mn, mx) => mn <= hi && mx >= lo }
+      }
+    }
+
+  private def boundsDesc: String =
+    bounds.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"$c=[$lo,$hi]" }.mkString(" ")
 
   override def description(): String =
     if (resolved.mode == "changes")
@@ -427,7 +627,7 @@ private[v2] class SnapshotScanBuilder(resolved: SnapshotV2Table.Resolved,
     else
       s"graft-snapshot ${resolved.root} v${resolved.manifest.version} " +
         s"files=${prunedFiles.size}/${resolved.manifest.files.size} " +
-        s"range=[$lo,$hi] cols=[${required.fieldNames.mkString(",")}]"
+        s"bounds{$boundsDesc} cols=[${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     if (resolved.mode == "changes")
@@ -438,8 +638,15 @@ private[v2] class SnapshotScanBuilder(resolved: SnapshotV2Table.Resolved,
         new Path(new Path(resolved.root), f.path).toString,
         resolved.manifest.schemaJson, None, None): InputPartition).toArray
 
+  private def serializedConf(): org.apache.spark.util.SerializableConfiguration =
+    // the SESSION's Hadoop conf, serialized into the factory (the
+    // write path's discipline): a blank Configuration on executors
+    // silently drops spark.hadoop.* the driver half honors
+    new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotReaderFactory(required.json)
+    SnapshotReaderFactory(required.json, serializedConf())
 
   /** The change feed as a resumable micro-batch stream: the offset is
     * the last commit version whose legs were delivered, so the
@@ -454,17 +661,28 @@ private[v2] class SnapshotScanBuilder(resolved: SnapshotV2Table.Resolved,
     require(resolved.mode == "changes",
       "graft-snapshot streaming reads are the change feed — " +
       "set .option(\"mode\", \"changes\") on readStream")
-    new SnapshotChangesStream(resolved.root,
-      options.getOrDefault("startingVersion",
-        // stream default: replay the whole retained log (Delta's
-        // startingVersion=0 convention); data-mode default is moot
-        "0").toInt,
+    val spark = org.apache.spark.sql.SparkSession.active
+    // default startingVersion: the earliest RETAINED boundary, not 0 —
+    // after expire() the log no longer starts at v1, and a fresh
+    // stream defaulting to 0 would die in changeLegs on the first
+    // missing manifest (Delta's startingVersion ergonomics: "earliest"
+    // is also accepted explicitly; a NUMERIC pre-boundary start stays
+    // loud, because silently skipping expired commits would understate
+    // the feed)
+    val startOpt = options.getOrDefault("startingVersion", "earliest")
+    val starting =
+      if (startOpt.equalsIgnoreCase("earliest")) {
+        val rp = new Path(resolved.root)
+        val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        SnapshotTable.versions(fs, rp).headOption.map(_ - 1).getOrElse(0)
+      } else startOpt.toInt
+    new SnapshotChangesStream(resolved.root, starting,
       Option(options.get("maxVersionsPerTrigger")).map { s =>
         val m = s.toInt
         require(m >= 1, s"maxVersionsPerTrigger must be >= 1, got $m")
         m
       },
-      () => SnapshotReaderFactory(required.json))
+      () => SnapshotReaderFactory(required.json, serializedConf()))
   }
 }
 
@@ -478,7 +696,7 @@ private[v2] case class SnapshotFilePartition(
     constChangeType: Option[String], commitVersion: Option[Long])
     extends InputPartition
 
-private[v2] case class SnapshotStreamOffset(version: Int) extends Offset {
+private[graft] case class SnapshotStreamOffset(version: Int) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
@@ -488,7 +706,7 @@ private[v2] case class SnapshotStreamOffset(version: Int) extends Offset {
   * AvailableNow drains a snapshot of the backlog in capped batches —
   * the PageMicroBatchStream admission-control discipline).
   */
-private[v2] class SnapshotChangesStream(
+private[graft] class SnapshotChangesStream(
     root: String, startingVersion: Int, maxPerTrigger: Option[Int],
     mkFactory: () => PartitionReaderFactory)
     extends MicroBatchStream with SupportsAdmissionControl
@@ -514,6 +732,9 @@ private[v2] class SnapshotChangesStream(
         s"not a graft-snapshot offset: $json"))
       .group(1).toInt)
 
+  // "rows" here MEANS commit versions — ReadMaxRows is the only
+  // count-shaped ReadLimit the engine round-trips, and each version is
+  // one admission unit of this source
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.fold(ReadLimit.allAvailable())(ReadLimit.maxRows(_))
 
@@ -523,13 +744,24 @@ private[v2] class SnapshotChangesStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[SnapshotStreamOffset].version
+    def capAt(n: Long): Int = math.min(availableEnd().toLong, from + n).toInt
     // honor the ENGINE's limit argument (Trigger.Once passes
     // ReadAllAvailable over the source's own default — the
-    // PageMicroBatchStream lesson)
+    // PageMicroBatchStream lesson). A COMPOSITE limit carries the
+    // engine's combination (e.g. maxRows + minRows): extract the
+    // ReadMaxRows component; any limit kind this source cannot
+    // interpret falls back to ITS OWN cap, never to draining the
+    // whole backlog — only an explicit ReadAllAvailable does that.
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxRows}
     val capped = limit match {
-      case rows: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        math.min(availableEnd().toLong, from + rows.maxRows()).toInt
-      case _ => availableEnd()
+      case rows: ReadMaxRows => capAt(rows.maxRows())
+      case comp: CompositeReadLimit =>
+        comp.getReadLimits.collectFirst { case r: ReadMaxRows => r } match {
+          case Some(rows) => capAt(rows.maxRows())
+          case None => maxPerTrigger.fold(availableEnd())(m => capAt(m.toLong))
+        }
+      case _: ReadAllAvailable => availableEnd()
+      case _ => maxPerTrigger.fold(availableEnd())(m => capAt(m.toLong))
     }
     SnapshotStreamOffset(math.max(from, capped))
   }
@@ -554,13 +786,17 @@ private[v2] class SnapshotChangesStream(
   * ALL constants/absent skips row decoding entirely and emits
   * footer-counted constant rows.
   */
-private[v2] case class SnapshotReaderFactory(requiredJson: String)
+private[v2] case class SnapshotReaderFactory(requiredJson: String,
+                                             serConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[SnapshotFilePartition]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // a COPY per reader: the projection below mutates the conf
+    // (PARQUET_READ_SCHEMA), and the serialized session conf instance
+    // is shared by every reader this factory creates on the executor
+    val conf = new org.apache.hadoop.conf.Configuration(serConf.value)
     val fileSchema = DataType.fromJson(part.fileSchemaJson).asInstanceOf[StructType]
     val hPath = new Path(part.absPath)
 

@@ -321,10 +321,6 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(e.getMessage.contains("stats column") ||
       Option(e.getCause).exists(_.getMessage.contains("stats column")),
       s"null stats keys must fail the task loudly: ${e.getMessage}")
-    intercept[Exception] {
-      rows(5, 100).write.format("graft-snapshot").option("path", root)
-        .mode("overwrite").save()
-    }
     // nothing leaked: failed writes leave no staging debris behind
     assert(SnapshotTable.read(spark, root).count() == 20)
     SnapshotTable.vacuum(spark, root)
@@ -355,6 +351,172 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 50,
       "both racers' rows must be present at the tip")
     assert(SnapshotTable.latestVersion(fs(root), new Path(root)) == 3)
+  }
+
+  test("multi-column envelopes prune files on non-statsCol predicates; no-stats columns never prune") {
+    val root = freshRoot()
+    // keyed on k but CLUSTERED on b: the primary k-envelopes overlap
+    // across files while the SECONDARY b-envelopes are disjoint — only
+    // the b predicate can prune here
+    val df = spark.range(1000).select(
+      (col("id") % 10).as("k"), col("id").as("b"),
+      concat(lit("s"), col("id")).as("s"))
+    SnapshotTable.create(spark, root,
+      df.repartitionByRange(8, col("b")), "k")
+    val total = readManifestAt(root, 1).files.size
+    assert(total >= 6, s"fixture needs real file boundaries, got $total")
+    val all = load(root)
+    assert(all.rdd.getNumPartitions == total)
+    val pruned = load(root).where(col("b").between(200, 299))
+    assert(pruned.rdd.getNumPartitions < total,
+      "a range predicate on a SECONDARY integral column must prune files")
+    assert(pruned.count() == 100, "pruning is conservative — rows exact")
+    // correctness is pruning-invariant: agree with the full-scan filter
+    val expect = all.where(col("b").between(200, 299))
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty)
+    // a predicate on a column with NO envelope (string) prunes nothing
+    // and stays correct
+    val unpruned = load(root).where(col("s") === "s42")
+    assert(unpruned.rdd.getNumPartitions == total)
+    assert(unpruned.count() == 1)
+    // combined: bounds on BOTH columns intersect their envelopes
+    assert(load(root).where(col("b").between(200, 299) && col("k") >= 0)
+      .count() == 100)
+  }
+
+  test("overwrite: whole-table replace under snapshot isolation, with a self-contained feed") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")
+    rows(30, 500).write.format("graft-snapshot").option("path", root)
+      .mode("overwrite").save()
+    // the replace committed as v2; v1 stays readable (isolation)
+    assert(SnapshotTable.latestVersion(fs(root), new Path(root)) == 2)
+    assert(readManifestAt(root, 2).op == "overwrite")
+    assert(SnapshotTable.read(spark, root).count() == 30)
+    assert(SnapshotTable.read(spark, root, Some(1)).count() == 100)
+    assert(load(root, "versionAsOf" -> "1").count() == 100)
+    // the feed over the overwrite: a delete event per replaced row
+    // plus the new content as inserts — self-contained, no parent read
+    val ch = SnapshotTable.changes(spark, root, 1, 2)
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("delete" -> 100L, "insert" -> 30L), s"got $ch")
+    // and the DSv2 changes mode agrees
+    val ch2 = load(root, "mode" -> "changes", "changesFrom" -> "1")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch2 == ch)
+    // after expire + vacuum the replaced files are reclaimed and the
+    // tip still reads
+    SnapshotTable.expire(spark, root, keepLast = 1)
+    assert(SnapshotTable.vacuum(spark, root) > 0,
+      "the replaced generation's files must be reclaimable")
+    assert(SnapshotTable.read(spark, root).count() == 30)
+  }
+
+  test("streaming sink: exactly-once delivery across AvailableNow restarts") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    val ckpt = graft.queries.Fixtures.scratchIndexDir("snap-sink-ckpt")
+    SnapshotTable.create(spark, src, rows(40), "k")
+    SnapshotTable.append(spark, src, rows(10, 100))
+    val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
+    SnapshotTable.createEmpty(spark, dst, sinkSchema, "k")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", src).option("mode", "changes")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("graft-snapshot")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(SnapshotTable.read(spark, dst).count() == 50,
+      "first drain delivers both commits' insert legs")
+    // restart with NOTHING new: the checkpoint + manifest watermark
+    // must deliver zero duplicates
+    drain()
+    assert(SnapshotTable.read(spark, dst).count() == 50,
+      "an empty restart must not re-deliver")
+    // restart after one more source commit: exactly the delta arrives
+    SnapshotTable.append(spark, src, rows(5, 200))
+    drain()
+    val out = SnapshotTable.read(spark, dst)
+    assert(out.count() == 55)
+    assert(out.where(col("_commit_version") === 3L).count() == 5,
+      "the restart delivers exactly the new commit's leg")
+    assert(out.groupBy("k").count().where(col("count") > 1).count() == 0,
+      "no key was ever delivered twice")
+  }
+
+  test("change stream after expire: default start is the retention boundary; numeric pre-boundary stays loud") {
+    val src = freshRoot()
+    SnapshotTable.create(spark, src, rows(10), "k")
+    SnapshotTable.append(spark, src, rows(10, 100))
+    SnapshotTable.append(spark, src, rows(10, 200))
+    SnapshotTable.expire(spark, src, keepLast = 2) // v1 gone
+    // a FRESH stream with no startingVersion must start at the
+    // boundary (v2's leg onward), not die on the expired v1
+    val ckpt = graft.queries.Fixtures.scratchIndexDir("snap-exp-ckpt")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", src).option("mode", "changes").load()
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.addAndGet(b.count()): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.get() == 20, s"the retained legs are v2+v3 = 20 rows, got ${seen.get()}")
+    // an explicit numeric start below the boundary is an ERROR, not a
+    // silent skip (an understated feed would be worse than loud)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("graft-snapshot")
+        .option("path", src).option("mode", "changes")
+        .option("startingVersion", "0").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          graft.queries.Fixtures.scratchIndexDir("snap-exp-ckpt2"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    assert(e.getMessage.contains("expire") || e.getMessage.contains("not available"),
+      s"pre-boundary start must surface the retention boundary: ${e.getMessage}")
+  }
+
+  test("admission control: composite and unknown ReadLimits never silently drain the backlog") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val src = freshRoot()
+    SnapshotTable.create(spark, src, rows(10), "k")
+    (1 to 5).foreach(i => SnapshotTable.append(spark, src, rows(10, i * 100L)))
+    // offsets only — no partition is ever read in this test
+    val stream = new graft.sources.v2.SnapshotChangesStream(src, 0, Some(2), () => null)
+    val start = graft.sources.v2.SnapshotStreamOffset(0)
+    // a composite limit carries the engine's maxRows component — honor it
+    val composite = ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(1, 1000L), ReadLimit.maxRows(3)))
+    assert(stream.latestOffset(start, composite) == graft.sources.v2.SnapshotStreamOffset(3),
+      "composite: the ReadMaxRows component caps the batch")
+    // an explicit all-available drains everything (Trigger.Once)
+    assert(stream.latestOffset(start, ReadLimit.allAvailable()) ==
+      graft.sources.v2.SnapshotStreamOffset(6))
+    // a composite WITHOUT maxRows falls back to the source's own cap
+    val minOnly = ReadLimit.compositeLimit(Array(ReadLimit.minRows(1, 1000L)))
+    assert(stream.latestOffset(start, minOnly) == graft.sources.v2.SnapshotStreamOffset(2),
+      "unknown composite members fall back to maxVersionsPerTrigger, " +
+      "never to draining the whole backlog")
   }
 
   private def readManifestAt(root: String, v: Int) =

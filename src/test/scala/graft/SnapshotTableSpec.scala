@@ -733,11 +733,11 @@ class SnapshotTableSpec extends SparkSpec {
     val f0 = fs(root)
     val rp = new Path(root)
     SnapshotTable.history(spark, root).foreach {
-      case (v, op, parent, nFiles, nRows, nBytes, sid, sb) =>
+      case (v, op, parent, nFiles, nRows, nBytes, sid, sb, ts) =>
         val m = readManifest(f0, rp, v)
-        assert((op, parent, nFiles, nRows, nBytes, sid, sb) ==
+        assert((op, parent, nFiles, nRows, nBytes, sid, sb, ts) ==
           (m.op, m.parent, m.files.size, m.totalRows,
-            m.files.map(_.bytes).sum, m.streamId, m.streamBatch),
+            m.files.map(_.bytes).sum, m.streamId, m.streamBatch, m.timestampMs),
           s"summary for v$v must equal the full manifest's accounting")
     }
   }
@@ -754,5 +754,99 @@ class SnapshotTableSpec extends SparkSpec {
       readManifest(fs(root), new Path(root), 1).files,
       "an empty append commits a manifest with the parent's exact file set")
     assert(SnapshotTable.read(spark, root).count() == 10)
+  }
+
+  test("commit timestamps: stamped at commit, strictly monotone, in history") {
+    val root = freshRoot()
+    val before = System.currentTimeMillis()
+    SnapshotTable.create(spark, root, rows(50), "k")
+    SnapshotTable.append(spark, root, rows(10, 50))
+    SnapshotTable.deleteWhere(spark, root, 0L, 4L)
+    val f = fs(root)
+    val rp = new Path(root)
+    val ts = (1 to 3).map(v => readManifest(f, rp, v).timestampMs)
+    assert(ts.forall(_ >= before), s"stamps must be wall-clock-scale: $ts")
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"stamps must be strictly monotone per table: $ts")
+    // the header summary carries the stamp without parsing the body
+    assert(SnapshotTable.history(spark, root).map(_._9) == ts)
+  }
+
+  test("expireOlderThan + versionAt + readAsOf: time-based retention and travel") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")
+    SnapshotTable.append(spark, root, rows(50, 100))
+    SnapshotTable.append(spark, root, rows(25, 150))
+    graft.queries.Fixtures.pinManifestStamps(spark, root) // v -> v * 1e6 ms
+    // cutoff between v1 and v2: only v1 (strictly older) expires
+    assert(SnapshotTable.expireOlderThan(spark, root, 2000000L) == 1)
+    val f = fs(root)
+    assert(SnapshotTable.versions(f, new Path(root)) == Seq(2, 3))
+    // wall-clock travel resolves to the latest version at-or-before
+    assert(SnapshotTable.versionAt(spark, root, 2500000L) == 2)
+    assert(SnapshotTable.versionAt(spark, root, 3000000L) == 3)
+    assert(SnapshotTable.readAsOf(spark, root, 2500000L).count() == 150)
+    val e = intercept[NoSuchElementException] {
+      SnapshotTable.versionAt(spark, root, 500000L)
+    }
+    assert(e.getMessage.contains("earliest retained"),
+      s"pre-boundary travel must name the boundary: ${e.getMessage}")
+    // the TIP survives any cutoff — a table keeps its current version
+    assert(SnapshotTable.expireOlderThan(spark, root, Long.MaxValue) == 1)
+    assert(SnapshotTable.versions(f, new Path(root)) == Seq(3))
+    assert(SnapshotTable.read(spark, root).count() == 175)
+  }
+
+  test("expire crash idempotence: a partial expiry is safe and a re-run completes it") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, rows(100), "k")
+    SnapshotTable.append(spark, root, rows(10, 100))
+    SnapshotTable.append(spark, root, rows(10, 110))
+    SnapshotTable.append(spark, root, rows(10, 120))
+    val f = fs(root)
+    val rp = new Path(root)
+    // simulate an expire(keepLast=2) that crashed after its FIRST
+    // delete (oldest-first): v1's manifest is gone, v2's survived
+    assert(f.delete(new Path(rp, "meta/v00000001.manifest"), false))
+    // interim state is fully operational: listings, reads, history, GC
+    assert(SnapshotTable.versions(f, rp) == Seq(2, 3, 4))
+    assert(SnapshotTable.read(spark, root).count() == 130)
+    assert(SnapshotTable.history(spark, root).map(_._1) == Seq(2, 3, 4))
+    SnapshotTable.vacuum(spark, root): Unit // must not touch live files
+    assert(SnapshotTable.read(spark, root, Some(2)).count() == 110)
+    // the re-run completes the partial expiry: only v2 left to drop
+    assert(SnapshotTable.expire(spark, root, keepLast = 2) == 1)
+    assert(SnapshotTable.versions(f, rp) == Seq(3, 4))
+    assert(SnapshotTable.read(spark, root).count() == 130)
+  }
+
+  test("secondary column envelopes: recorded per integral column, null-aware, round-tripped") {
+    val root = freshRoot()
+    val df = spark.range(100).select(
+      col("id").as("k"),
+      (col("id") * 2).as("b"),
+      when(col("id") < 50, lit(null)).otherwise(col("id") + 1000).as("c"),
+      lit(null).cast("long").as("z"),
+      concat(lit("s"), col("id")).as("s"))
+    SnapshotTable.create(spark, root,
+      df.repartitionByRange(4, col("k")), "k")
+    val m = readManifest(fs(root), new Path(root), 1)
+    m.files.foreach { fm =>
+      // every OTHER integral column with >=1 non-null gets an envelope;
+      // the stats column itself stays in minKey/maxKey, strings and
+      // all-null columns are absent (conservative: never pruned on)
+      assert(fm.colStats.contains("b"), s"b envelope missing: $fm")
+      assert(!fm.colStats.contains("k") && !fm.colStats.contains("s") &&
+        !fm.colStats.contains("z"), s"unexpected envelope: $fm")
+      val (bLo, bHi) = fm.colStats("b")
+      assert(bLo == fm.minKey * 2 && bHi == fm.maxKey * 2,
+        "b = 2k, so its envelope must be exactly twice the primary's")
+      fm.colStats.get("c").foreach { case (cLo, cHi) =>
+        assert(cLo >= 1050 && cHi <= 1099,
+          "c's envelope covers only its non-null values")
+      }
+    }
+    assert(m.files.exists(_.colStats.contains("c")),
+      "the half-null column keeps an envelope where it has values")
   }
 }
