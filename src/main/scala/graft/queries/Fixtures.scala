@@ -484,6 +484,45 @@ object Fixtures {
     })
   }
 
+  /** Per-JVM SQL-MERGE-INTO table for q295: v1 = orders range-clustered
+    * at the graft catalog's path (Scala bootstrap — the clustering is
+    * what gives the runtime group filter files to skip); v2 = ONE SQL
+    * `MERGE INTO` whose source mixes the q279 update band (price
+    * doubled on [max/2, 6·max/10]) and inserts (keys %100==3 shifted by
+    * +max) — the same closed-form merged state, produced through
+    * Spark's row-level rewrite (SupportsRowLevelOperations + `_file`
+    * runtime filtering + replaceFiles commit) instead of the Scala
+    * merge. Returns the fully-qualified table name.
+    */
+  private val mergeIntoNames = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def mergeIntoSnapshotTable(s: SparkSession, d: String): String = {
+    mergeIntoNames.computeIfAbsent(d, _ => {
+      val wh = graftCatalog(s)
+      val tag = d.split('/').filter(_.nonEmpty).last.replace('.', '_')
+      val ns = s"mi_$tag"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      val root = s"$wh/$ns/orders"
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.sources.SnapshotTable.create(s, root,
+        ord.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+      val mx = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0)
+      ord.where(col("o_orderkey").between(mx / 2, 6 * mx / 10))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(ord.where(col("o_orderkey") % 100 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + mx))
+        .createOrReplaceTempView(s"mi_src_$tag")
+      s.sql(
+        s"""MERGE INTO graft.$ns.orders t USING mi_src_$tag s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET
+           |  o_custkey = s.o_custkey, o_totalprice = s.o_totalprice,
+           |  o_orderstatus = s.o_orderstatus
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s"graft.$ns.orders"
+    })
+  }
+
   /** The decision rule's ESCAPE-HATCH arm as corpus state (q259): the
     * SAME bucketed files as [[bucketedTables]], read with
     * `spark.sql.sources.bucketing.enabled=false`. The conf is read at

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * data-skipping audit, small-file compaction (bin-packing) plans, and
   * range-partition split planning from mergeable quantile state.
   *
-  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge, q285_snapshot_expire, q286_snapshot_dsv2, q287_snapshot_changes_versioned, q288_snapshot_history, q289_snapshot_dsv2_write, q290_snapshot_sql, q291_snapshot_multicol, q292_snapshot_timetravel, q293_snapshot_overwrite, q294_snapshot_stream_sink.
+  * Contract queries: q242_zorder_skipping, q243_compaction_plan, q244_range_split, q245_zorder_maintenance, q246_clustering_depth, q254_bucket_pruning, q269_hilbert_layout, q272_bloom_point_lookup, q273_snapshot_travel, q274_snapshot_cdc, q275_snapshot_latest, q276_snapshot_incremental, q277_snapshot_range, q279_snapshot_merge, q280_snapshot_merge_evolve, q281_snapshot_cdc_update, q282_snapshot_incremental_merge, q283_snapshot_changes, q284_snapshot_changes_merge, q285_snapshot_expire, q286_snapshot_dsv2, q287_snapshot_changes_versioned, q288_snapshot_history, q289_snapshot_dsv2_write, q290_snapshot_sql, q291_snapshot_multicol, q292_snapshot_timetravel, q293_snapshot_overwrite, q294_snapshot_stream_sink, q295_snapshot_merge_into.
   */
 object LayoutQueries {
 
@@ -814,6 +814,23 @@ object LayoutQueries {
           countDistinct("o_orderkey").as("n_orders"),
           graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
     }),
+
+    // SQL MERGE INTO — q279's exact upsert (update band + shifted
+    // inserts), produced through Spark's row-level rewrite instead of
+    // the Scala merge: SupportsRowLevelOperations hands the statement
+    // to a group-based copy-on-write whose scan is runtime-filtered to
+    // the files containing matches (`_file` IN ...), and the commit
+    // replaces exactly those groups (SnapshotCatalogSpec pins the
+    // carried-verbatim property and the membership feed). Same oracle
+    // closed form as q279 — two surfaces, one answer.
+    "q295_snapshot_merge_into" -> ((s, d) => {
+      val tbl = Fixtures.mergeIntoSnapshotTable(s, d)
+      s.sql(s"SELECT * FROM $tbl")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_orderkey").as("n_orders"),
+          graft.functions.Rounding.half2(sum("o_totalprice")).as("sum_price"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1431,6 +1448,23 @@ object LayoutQueries {
         | count(DISTINCT k) AS n_orders,
         | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
         |FROM ev GROUP BY change_type""".stripMargin,
+
+    // The SQL MERGE INTO lands exactly the q279 merged state: updates
+    // replace in place (CASE on the band), inserts append shifted keys.
+    "q295_snapshot_merge_into" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |merged AS (
+        | SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey BETWEEN mx.m // 2 AND (6 * mx.m) // 10
+        |   THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        | FROM orders CROSS JOIN mx
+        | UNION ALL
+        | SELECT o_orderkey + mx.m, o_orderstatus, o_totalprice
+        | FROM orders CROSS JOIN mx WHERE o_orderkey % 100 = 3)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | floor(sum(p) * 100 + 0.5) / 100 AS sum_price
+        |FROM merged GROUP BY o_orderstatus""".stripMargin,
 
     // The merged state in closed form: updates replace in place
     // (CASE on the band), inserts append shifted keys.

@@ -875,6 +875,83 @@ object SnapshotTable {
     }
   }
 
+  /** Commit a GROUP REPLACEMENT: the files in `replacedPaths` leave
+    * the table, `metas`' files (already written by executor tasks)
+    * take their place, everything else is carried verbatim — the
+    * driver half of SQL row-level operations (MERGE INTO / UPDATE /
+    * DELETE through [[graft.sources.v2.SnapshotTableProvider]]'s
+    * SupportsRowLevelOperations surface), where Spark's rewrite plan
+    * has already produced the affected groups' full new content and
+    * `replacedPaths` is exactly the runtime-filtered file set that
+    * plan read.
+    *
+    * Concurrency is deliberately STRICTER than append's retry loop: a
+    * racing commit that touched (or vacuumed) any replaced file means
+    * the rewrite was derived against stale groups, and re-deriving
+    * here is impossible — the rewritten rows were computed by Spark's
+    * plan, not by this method. Loud conflict, caller re-runs the
+    * statement (the Scala [[merge]] keeps the self-re-deriving retry
+    * path). A racing schema evolution fails the same way.
+    *
+    * The change feed stays honest at MEMBERSHIP granularity: the
+    * commit materializes `delete` events for replaced rows and
+    * `insert` events for written rows that differ (full-row multiset
+    * anti-joins over the touched groups — SQL merges carry no key
+    * declaration, so update PAIRING is not derivable; an updated row
+    * surfaces as delete(old) + insert(new), the classic
+    * retraction-stream convention). Cost ∝ touched groups, the same
+    * class as the rewrite itself.
+    */
+  private[graft] def replaceFiles(spark: SparkSession, root: String,
+                                  replacedPaths: Set[String],
+                                  metas: Seq[DataFileMeta],
+                                  boundSchemaJson: String,
+                                  op: String): Int = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    commitLoop(spark, fs, rp, op) { pm =>
+      if (pm.schemaJson != boundSchemaJson)
+        throw new IllegalStateException(
+          s"SQL $op at $root lost a race to a schema evolution " +
+          s"(planned against a different schema than tip v${pm.version}'s) — " +
+          "re-run the statement against the widened schema")
+      val present = pm.files.map(_.path).toSet
+      val gone = replacedPaths -- present
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"SQL $op at $root conflicts with a concurrent commit: " +
+          s"${gone.size} of the ${replacedPaths.size} files the rewrite " +
+          s"read are no longer in tip v${pm.version} (e.g. ${gone.head}) — " +
+          "re-run the statement")
+      val (replaced, carried) = pm.files.partition(f => replacedPaths.contains(f.path))
+      val doCdc = materializeChanges // capture once per attempt
+      val cdcFiles =
+        if (!doCdc || (replaced.isEmpty && metas.isEmpty)) Nil
+        else {
+          // membership events over the touched groups: old∖new deletes,
+          // new∖old inserts; a row re-emitted unchanged by the
+          // copy-on-write cancels. Full-row anti-joins (null-safe via
+          // the composite struct), delta-sized on both sides.
+          val oldRows = readFiles(spark, rp, pm, replaced)
+          val newRows = readFiles(spark, rp, pm.copy(files = metas), metas)
+          val cols = parseSchema(pm.schemaJson).fieldNames.toSeq
+          def allEq(l: String, r: String) =
+            cols.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
+          val deletes = oldRows.alias("o")
+            .join(newRows.alias("n"), allEq("o", "n"), "left_anti")
+            .withColumn("change_type", lit("delete"))
+          val inserts = newRows.alias("n")
+            .join(oldRows.alias("o"), allEq("n", "o"), "left_anti")
+            .withColumn("change_type", lit("insert"))
+          writeCdcFiles(spark, rp, deletes.unionByName(inserts))
+        }
+      Some(Manifest(pm.version + 1, pm.version, op, pm.statsCol,
+        pm.schemaJson, carried ++ metas, pm.streamId, pm.streamBatch,
+        cdcFiles, addedPaths = Some(metas.map(_.path).toSet),
+        cdcDone = Some(doCdc)))
+    }
+  }
+
   /** Bootstrap an EMPTY table at `root` as version 1 — the catalog's
     * `CREATE TABLE` surface ([[graft.sources.v2.SnapshotCatalog]]),
     * where the schema and stats column are declared before any data
@@ -1402,7 +1479,7 @@ object SnapshotTable {
         case _ => Nil
       }
       val cdcLeg: Seq[DataFrame] = m.op match {
-        case "delete" | "merge" | "overwrite" =>
+        case "delete" | "merge" | "overwrite" | "update" =>
           // Capability check, loud (the CellGuard convention — enforced
           // bounds, not documented ones): an empty cdc list is only a
           // provably-empty feed when the manifest RECORDS that

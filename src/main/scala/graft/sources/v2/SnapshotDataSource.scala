@@ -196,7 +196,7 @@ private[v2] object SnapshotV2Table {
         case _ => Nil
       }
       val cdcLegs: Seq[SnapshotFilePartition] = m.op match {
-        case "delete" | "merge" | "overwrite" =>
+        case "delete" | "merge" | "overwrite" | "update" =>
           m.cdcDone match {
             case Some(false) => throw new IllegalStateException(
               s"graft-snapshot changes($vFrom, $vTo) at $root: v$v (${m.op}) " +
@@ -226,10 +226,42 @@ private[v2] object SnapshotV2Table {
 
 private[v2] class SnapshotV2Table(resolved: SnapshotV2Table.Resolved)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String =
     s"graft_snapshot_${new Path(resolved.root).getName}_v${resolved.manifest.version}"
   override def schema(): StructType = resolved.readSchema
+
+  /** `_file` — the one metadata column the format can serve for free
+    * (each input partition IS one file): row provenance for users, and
+    * the GROUP handle Spark's row-level rewrites filter on.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the data file the row came from"
+    })
+
+  /** SQL MERGE INTO / UPDATE / DELETE — group-based copy-on-write:
+    * Spark's rewrite reads the affected groups (runtime-filtered to
+    * the files that actually contain matches, via `_file` IN (...) on
+    * [[SnapshotRowLevelScan]]), produces their full new content, and
+    * the commit REPLACES exactly those files
+    * ([[SnapshotTable.replaceFiles]] — loud on any concurrent commit
+    * that touched them; the Scala `merge` keeps the self-retrying
+    * surgical path). Requires `mode=data` like every write.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(resolved.mode == "data",
+      "row-level operations apply to the table, not the change feed — drop mode=changes")
+    () => new SnapshotRowLevelOperation(resolved, info.command())
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
@@ -426,6 +458,170 @@ private[v2] class SnapshotStreamingWrite(root: String,
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     messages.filter(_ != null).map(_.asInstanceOf[SnapshotWriteCommit])
       .foreach(m => fs.delete(new Path(rp, s"$stagingName/${m.name}"), false))
+  }
+}
+
+/** One SQL row-level statement (MERGE INTO / UPDATE / DELETE) as a
+  * group-based copy-on-write: Spark wires the SAME operation instance
+  * into both halves of its rewrite — the scan that reads the affected
+  * groups and the write that replaces them — so the file set the scan
+  * finally planned (post runtime filtering) IS the replacement set the
+  * commit removes. The scan builder is cached (the Iceberg discipline):
+  * Spark's runtime group-filter subquery goes through the TABLE's
+  * regular scan builder, so the one row-level scan here is exactly the
+  * one the rewrite executes.
+  */
+private[v2] class SnapshotRowLevelOperation(
+    val resolved: SnapshotV2Table.Resolved,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.write._
+
+  /** Relative paths of the files the rewrite's scan planned AFTER
+    * runtime filtering — None until the scan planned partitions, and a
+    * commit before that is a wiring bug worth failing loudly on.
+    */
+  @volatile private[v2] var plannedPaths: Option[Set[String]] = None
+
+  private lazy val cachedScanBuilder = new SnapshotRowLevelScanBuilder(this)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    cachedScanBuilder
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the rewrite writes TABLE rows; metadata columns, if Spark left
+    // any projected, are not file content
+    val in = StructType(info.schema().fields.filterNot(_.name == "_file"))
+    val tableSchema = resolved.tableSchema
+    require(in.fields.map(f => (f.name, f.dataType)).toSeq ==
+      tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"row-level ${cmd} writes the table schema " +
+      s"(${tableSchema.simpleString}), got ${in.simpleString}")
+    new SnapshotRowLevelWriteBuilder(this, in)
+  }
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+}
+
+private[v2] class SnapshotRowLevelScanBuilder(op: SnapshotRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = op.resolved.tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SnapshotRowLevelScan(op, required)
+}
+
+/** The rewrite-side scan: all of the pinned snapshot's files until
+  * Spark's runtime group filter narrows them — `filterAttributes` is
+  * `_file`, and the engine pushes `_file IN (matching files)` computed
+  * from the join condition against the source, so only groups that
+  * actually contain matches are read, rewritten, and replaced (the
+  * copy-on-write surgical property, preserved through SQL). Unknown
+  * predicate shapes narrow nothing — conservative both ways, because
+  * the replacement set is ALWAYS exactly what this scan planned.
+  */
+private[v2] class SnapshotRowLevelScan(op: SnapshotRowLevelOperation,
+                                       required: StructType)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  private val root = new Path(op.resolved.root)
+  @volatile private var candidates: Seq[SnapshotTable.DataFileMeta] =
+    op.resolved.manifest.files
+
+  private def absOf(f: SnapshotTable.DataFileMeta): String =
+    new Path(root, f.path).toString
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot row-level ${op.command()} ${op.resolved.root} " +
+    s"files=${candidates.size}/${op.resolved.manifest.files.size}"
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames().toSeq == Seq("_file")
+        case _ => false
+      }
+    def values(es: Seq[org.apache.spark.sql.connector.expressions.Expression]): Option[Set[String]] = {
+      val vs = es.collect { case l: Literal[_] if l.value() != null => l.value().toString }
+      if (vs.length == es.length) Some(vs.toSet) else None
+    }
+    val sets = predicates.toSeq.flatMap { p =>
+      val kids = p.children().toSeq
+      p.name() match {
+        case "IN" if kids.nonEmpty && isFileRef(kids.head) => values(kids.tail)
+        case "=" if kids.length == 2 && isFileRef(kids.head) => values(kids.tail)
+        case _ => None // unknown shape: keep all candidates (conservative)
+      }
+    }
+    sets.reduceOption(_ intersect _).foreach { keep =>
+      candidates = candidates.filter(f => keep.contains(absOf(f)))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    op.plannedPaths = Some(candidates.map(_.path).toSet)
+    candidates.map(f => SnapshotFilePartition(absOf(f),
+      op.resolved.manifest.schemaJson, None, None): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotReaderFactory(required.json,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+private[v2] class SnapshotRowLevelWriteBuilder(op: SnapshotRowLevelOperation,
+                                               schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      private val stagingName = s".staging-${java.util.UUID.randomUUID()}"
+      private val root = op.resolved.root
+
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        SnapshotWriterFactory(s"$root/$stagingName", schema.json,
+          op.resolved.manifest.statsCol,
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+      }
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val rp = new Path(root)
+        val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val replaced = op.plannedPaths.getOrElse(throw new IllegalStateException(
+          s"row-level ${op.command()} at $root committed before its scan " +
+          "planned partitions — rewrite wiring bug"))
+        val metas = SnapshotWriteInstall.install(fs, rp, stagingName, messages.toSeq)
+        fs.delete(new Path(s"$root/$stagingName"), true)
+        SnapshotTable.replaceFiles(spark, root, replaced, metas,
+          op.resolved.manifest.schemaJson,
+          op.command().toString.toLowerCase(java.util.Locale.ROOT)): Unit
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val rp = new Path(root)
+        val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(s"$root/$stagingName"), true): Unit
+      }
+    }
   }
 }
 
@@ -872,6 +1068,8 @@ private[v2] case class SnapshotReaderFactory(requiredJson: String,
         UTF8String.fromString(part.constChangeType.get)
       case "_commit_version" if part.commitVersion.isDefined =>
         part.commitVersion.get
+      case "_file" => // metadata column: one partition IS one file
+        UTF8String.fromString(part.absPath)
       case _ => null // column absent from this file (schema evolution)
     }
 }

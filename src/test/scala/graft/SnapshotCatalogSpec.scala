@@ -153,6 +153,76 @@ class SnapshotCatalogSpec extends SparkSpec {
       .map(_.getString(0)).contains(ns))
   }
 
+  test("MERGE INTO: group-based copy-on-write, untouched files carried verbatim") {
+    warehouse
+    val ns = uniq("ns")
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    // clustered table built at the catalog's path so the SQL name and
+    // the Scala API address the same root
+    val root = s"$warehouse/$ns/t"
+    SnapshotTable.create(spark, root,
+      spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(8, col("k")), "k")
+    val v1 = SnapshotTable.readManifest(
+      new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(root), 1)
+    assert(v1.files.size >= 6)
+    spark.range(100, 140).select(col("id").as("k"), lit(999L).as("v"))
+      .unionByName(spark.range(2000, 2010).select(col("id").as("k"), lit(-1L).as("v")))
+      .createOrReplaceTempView(s"src_$ns")
+    spark.sql(
+      s"""MERGE INTO graft.$ns.t t USING src_$ns s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.sql(s"SELECT * FROM graft.$ns.t")
+    assert(out.count() == 1010)
+    assert(out.where(col("v") === 999L).count() == 40, "matched band updated")
+    assert(out.where(col("v") === -1L).count() == 10, "unmatched keys inserted")
+    assert(out.where(col("k") === 500L && col("v") === (500L % 7)).count() == 1,
+      "rows outside the band untouched")
+    // the surgical property: files whose envelopes miss the matched
+    // keys are carried VERBATIM into v2 (same path, never rewritten)
+    val v2 = SnapshotTable.readManifest(
+      new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(root), 2)
+    assert(v2.op == "merge")
+    val carried = v2.files.map(_.path).toSet intersect v1.files.map(_.path).toSet
+    assert(carried.nonEmpty,
+      s"runtime group filtering must carry untouched files: v1=${v1.files.size} " +
+      s"v2=${v2.files.size} carried=${carried.size}")
+    // the feed records the merge at membership granularity
+    val ch = SnapshotTable.changes(spark, root, 1, 2)
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("delete" -> 40L, "insert" -> 50L),
+      s"40 updated rows retract+insert, 10 new rows insert: $ch")
+  }
+
+  test("SQL UPDATE and DELETE ride the same row-level rewrite") {
+    warehouse
+    val ns = uniq("ns")
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    val root = s"$warehouse/$ns/t"
+    SnapshotTable.create(spark, root,
+      spark.range(400).select(col("id").as("k"), (col("id") % 5).as("v"))
+        .repartitionByRange(4, col("k")), "k")
+    spark.sql(s"UPDATE graft.$ns.t SET v = 77 WHERE k < 50")
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.t WHERE v = 77")
+      .head().getLong(0) == 50)
+    spark.sql(s"DELETE FROM graft.$ns.t WHERE k BETWEEN 100 AND 199")
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.t").head().getLong(0) == 300)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    assert(SnapshotTable.readManifest(fs, rp, 2).op == "update")
+    assert(SnapshotTable.readManifest(fs, rp, 3).op == "delete")
+    // both stay time-travelable
+    assert(SnapshotTable.read(spark, root, Some(1)).count() == 400)
+    assert(SnapshotTable.read(spark, root, Some(2)).count() == 400)
+  }
+
   test("SQL INSERT lands through the executor write path with real envelopes") {
     warehouse
     val ns = uniq("ns")
