@@ -303,40 +303,63 @@ object SnapshotTable {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 64 * 1024, false)
       buf.toString("UTF-8")
     } finally in.close()
+    // SINGLE-PASS parse: manifests at 100 TB scale are ~10⁵–10⁶ lines
+    // (file list) plus O(files × integral columns) stats lines — the
+    // original multi-pass filter/groupBy shape re-split and re-boxed
+    // every line per category and measured 7.9 s at 10⁶ files × 4
+    // stats columns (SnapshotScaleProbe stats= arm); one pass with
+    // mutable builders keeps the same result at a fraction of that.
     val lines = text.split('\n').iterator.filter(_.nonEmpty).toVector
     require(lines.headOption.contains(Header),
       s"not a snapshot manifest: ${manifestPath(root, version)}")
-    val kv = lines.tail
-      .takeWhile(l => !l.startsWith("file\t") && !l.startsWith("cdc\t") &&
-        !l.startsWith("stats\t"))
-      .map { l => val i = l.indexOf(": "); l.substring(0, i) -> l.substring(i + 2) }
-      .toMap
+    val kv = scala.collection.mutable.Map[String, String]()
+    val fileParts = Vector.newBuilder[Array[String]]
+    val cdcB = Vector.newBuilder[CdcFileMeta]
     // secondary envelopes: absent on legacy manifests → empty maps
-    val statsByPath: Map[String, Map[String, (Long, Long)]] =
-      lines.filter(_.startsWith("stats\t")).map(_.split('\t'))
-        .groupBy(_(1))
-        .map { case (p, rows) =>
-          p -> rows.map(r => r(2) -> (r(3).toLong, r(4).toLong)).toMap }
-    val fileParts = lines.filter(_.startsWith("file\t")).map(_.split('\t'))
-    val files = fileParts.map { p =>
+    val statsByPath = new java.util.HashMap[String, scala.collection.mutable.Map[String, (Long, Long)]]()
+    var inHeader = true
+    var nFiles = 0
+    var allFlagged = true
+    lines.tail.foreach { l =>
+      if (l.startsWith("file\t")) {
+        inHeader = false
+        val p = l.split('\t')
+        nFiles += 1
+        if (p.length < 7) allFlagged = false
+        fileParts += p
+      } else if (l.startsWith("stats\t")) {
+        inHeader = false
+        val p = l.split('\t')
+        statsByPath.computeIfAbsent(p(1),
+          _ => scala.collection.mutable.Map[String, (Long, Long)]())
+          .update(p(2), (p(3).toLong, p(4).toLong))
+      } else if (l.startsWith("cdc\t")) {
+        inHeader = false
+        val p = l.split('\t')
+        cdcB += CdcFileMeta(p(1), p(2).toLong)
+      } else if (inHeader) {
+        val i = l.indexOf(": ")
+        kv(l.substring(0, i)) = l.substring(i + 2)
+      }
+    }
+    val fp = fileParts.result()
+    val files = fp.map { p =>
+      val st = statsByPath.get(p(1))
       DataFileMeta(p(1), p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong,
-        statsByPath.getOrElse(p(1), Map.empty))
+        if (st == null) Map.empty else st.toMap)
     }
     // 7th field (a = added by this commit, c = carried from the
     // parent) — absent on legacy manifests, which parse to
     // addedPaths = None and keep the parent-diff read path
     val addedPaths: Option[Set[String]] =
-      if (fileParts.nonEmpty && fileParts.forall(_.length >= 7))
-        Some(fileParts.collect { case p if p(6) == "a" => p(1) }.toSet)
-      else if (fileParts.isEmpty && kv.contains("fileCount"))
+      if (nFiles > 0 && allFlagged)
+        Some(fp.iterator.collect { case p if p(6) == "a" => p(1) }.toSet)
+      else if (nFiles == 0 && kv.contains("fileCount"))
         Some(Set.empty)
       else None
     // cdc lines are absent from pre-materialization manifests — they
     // parse as an empty feed, never as an error
-    val cdc = lines.filter(_.startsWith("cdc\t")).map { l =>
-      val p = l.split('\t')
-      CdcFileMeta(p(1), p(2).toLong)
-    }
+    val cdc = cdcB.result()
     Manifest(kv("version").toInt, kv("parent").toInt, kv("op"),
       kv("statsCol"), kv("schema"), files,
       kv.getOrElse("streamId", ""), kv.getOrElse("streamBatch", "-1").toLong,

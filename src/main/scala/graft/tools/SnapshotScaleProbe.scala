@@ -36,7 +36,7 @@ object SnapshotScaleProbe {
     // files= metadata arm can run alone)
     val sizes = args.filterNot(a => a.startsWith("reps=") ||
         a.startsWith("files=") || a.startsWith("cdc=") ||
-        a.startsWith("history=") ||
+        a.startsWith("history=") || a.startsWith("stats=") ||
         a == "rows=none").map(_.toLong) match {
       case Array() if !args.contains("rows=none") =>
         Seq(2000000L, 20000000L, 60000000L)
@@ -253,6 +253,45 @@ object SnapshotScaleProbe {
         SnapshotTable.expire(spark, root.toString, keepLast = 10))
       println(f"history versions=$nv files/manifest=$nf build=$tBuild%.1f s " +
         f"history()=$tHist%.3f s expire(keep 10)=$tExpire%.2f s ($nExpired dropped)")
+    }
+
+    // ----- multi-column-stats arm (stats=F,C) ----------------------
+    // Round 17 adds per-file min/max for every integral column as
+    // `stats` lines below the file list — O(files × columns) manifest
+    // text. This arm pins what that costs at file-count scale: one
+    // manifest with F files × C secondary envelopes, measuring commit
+    // (render+write), full readManifest (parse), and the header-only
+    // readManifestSummary (which must stay O(1) — it stops above the
+    // file list, stats lines included).
+    args.find(_.startsWith("stats=")).foreach { arg =>
+      val Array(nf, nc) = arg.drop(6).split(',').map(_.toInt)
+      val root = new Path(
+        graft.queries.Fixtures.scratchIndexDir("snapprobe-stats") + "/t")
+      val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val schema = spark.range(1).select(col("id").as("k") +:
+        (0 until nc).map(c => col("id").as(s"c$c")): _*).schema.json
+      val files = (0 until nf).map { i =>
+        SnapshotTable.DataFileMeta(
+          s"data/$i.parquet", 1000L, 128L * 1024 * 1024,
+          i * 1000L, i * 1000L + 999L,
+          (0 until nc).map(c => s"c$c" -> (i * 10L, i * 10L + 9L)).toMap)
+      }
+      val (_, tCommit) = timed {
+        SnapshotTable.tryCommit(spark, root,
+          SnapshotTable.Manifest(1, 0, "create", "k", schema, files,
+            addedPaths = Some(Set.empty)))
+      }
+      val maniBytes = hfs.getFileStatus(
+        new Path(root, f"meta/v${1}%08d.manifest")).getLen
+      val tRead = median((1 to reps).map { _ =>
+        timed(SnapshotTable.readManifest(hfs, root, 1))._2
+      })
+      val tSummary = median((1 to reps).map { _ =>
+        timed(SnapshotTable.readManifestSummary(hfs, root, 1))._2
+      })
+      println(f"stats files=$nf cols=$nc manifest=${maniBytes / 1e6}%.1f MB " +
+        f"commit=$tCommit%.3f s readManifest=$tRead%.3f s " +
+        f"summary=$tSummary%.4f s")
     }
     spark.stop()
   }
