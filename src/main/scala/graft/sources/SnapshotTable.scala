@@ -32,11 +32,12 @@ import org.apache.spark.sql.types.StructType
   * ([[graft.sources.v2.SnapshotTableProvider]]).
   *
   * A snapshot IS its manifest: a text file listing the data files that
-  * make up the version, with per-file row counts and min/max of one
-  * declared long-typed stats column (a real format records per-column
-  * stats; one keyed column is enough to carry the pruning and
-  * copy-on-write semantics, and keeps the manifest trivially
-  * parseable). The CURRENT version is simply the highest manifest
+  * make up the version, with per-file row counts, min/max of one
+  * DECLARED stats column (the contract envelope that carries
+  * copy-on-write pruning — null-rejected at write), and best-effort
+  * min/max for every OTHER integral column (the Iceberg column-stats
+  * model — see [[DataFileMeta.colStats]]; read-side pruning only,
+  * never a write contract). The CURRENT version is simply the highest manifest
   * number present — there is no mutable "latest" pointer to tear, so
   * no reader can ever observe a half-committed state: data files are
   * written first (invisible until referenced), then the manifest

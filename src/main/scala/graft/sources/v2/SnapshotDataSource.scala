@@ -44,13 +44,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Three pushdowns run below the optimizer, each the table-format
   * analog of a graft-pages lever:
   *
-  *  - '''Envelope pruning into partition planning''' — stats-column
-  *    range predicates (`=/</<=/>/>=`) intersect each file's manifest
-  *    [min,max] envelope, so a pruned file is never scheduled as an
-  *    input partition at all (q277's readRange semantics, now below
-  *    the DataFrame API). The predicates stay residual — file-level
-  *    pruning is conservative, Spark still filters rows — so accepted
-  *    vs applied never diverges.
+  *  - '''Envelope pruning into partition planning''' — range
+  *    predicates (`=/</<=/>/>=/IN`) on the stats column AND on any
+  *    other integral column (the manifest's secondary envelopes,
+  *    round 17) intersect each file's [min,max], so a pruned file is
+  *    never scheduled as an input partition at all (q277's readRange
+  *    semantics, now below the DataFrame API). The predicates stay
+  *    residual — file-level pruning is conservative, Spark still
+  *    filters rows — so accepted vs applied never diverges.
   *  - '''Column pruning to the parquet projection''' — required
   *    columns become the parquet read schema; unprojected columns are
   *    never decoded. A scan that needs NO file column (`count()`)
