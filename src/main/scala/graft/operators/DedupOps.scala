@@ -53,7 +53,11 @@ object DedupOps {
                       shingleN: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // spread: tokenize+shingle is the corpus pipelines' dominant kernel,
+    // and a single-row-group scan hands it ONE task (KernelSpread; no-op
+    // on multi-split inputs). Only (id, text) crosses the exchange.
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -293,7 +297,11 @@ object DedupOps {
                                 shingleN: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // spread: one MD5 per shingle is ~3× the xxhash64 path's CPU, all of
+    // it previously on ONE core under a single-row-group scan
+    // (KernelSpread; no-op on multi-split inputs).
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -602,7 +610,11 @@ object DedupOps {
                             k: Int = 8, w: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
+    // spread the narrow (id, text) input so the kernel uses every core;
+    // no-op when the scan already has >= cores partitions.
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val B = 1000003L // polynomial base (prime)
@@ -1120,7 +1132,11 @@ object DedupOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = 8
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
+    // spread the narrow (id, text) input so the kernel uses every core;
+    // no-op when the scan already has >= cores partitions.
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -57,6 +57,20 @@ object MultimodalOps {
     */
   private lazy val imageIoInMemory: Unit = ImageIO.setUseCache(false)
 
+  /** The id projection every blob generator maps over, SPREAD across the
+    * session's cores when the upstream scan under-parallelizes it
+    * ([[KernelSpread]]: a single-row-group parquet file plans as ONE
+    * task, which serialized every ImageIO encode/decode in these
+    * fixtures onto one core). The exchange this may insert carries ONLY
+    * the 8-byte ids — blobs are generated AFTER it, so the
+    * blobs-never-shuffle rule is intact; on a production-layout table
+    * (scan partitions >= cores) it inserts nothing.
+    */
+  private def genIds(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[Long] = {
+    import spark.implicits._
+    KernelSpread.spread(docs.select(col(idCol).cast("long")).as[Long])
+  }
+
   /** Channel values for a seed — the ONLY place the fill color is defined;
     * oracle SQL mirrors these three affine formulas.
     */
@@ -93,7 +107,7 @@ object MultimodalOps {
     */
   def asImageTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    genIds(docs, idCol).mapPartitions { it =>
       it.map { id =>
         val (w, h) = dimsFor(id)
         ImageRow(id, syntheticPng(id, w, h))
@@ -170,7 +184,7 @@ object MultimodalOps {
     */
   def asGradientImageTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    genIds(docs, idCol).mapPartitions { it =>
       it.map(id => ImageRow(id, syntheticGradientPng(id)))
     }
   }
@@ -360,7 +374,7 @@ object MultimodalOps {
     */
   def asMirrorImageTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    genIds(docs, idCol).mapPartitions { it =>
       it.map { id =>
         val base = gradientPng(y => mix8(id / 2 * 8 + y))
         ImageRow(id, if (id % 2 == 0) base else flipHorizontal(base))
@@ -612,7 +626,7 @@ object MultimodalOps {
   /** Synthesize a video table: one container of real PNG frames per id. */
   def asVideoTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    genIds(docs, idCol).mapPartitions { it =>
       it.map(id => ImageRow(id, syntheticVideo(id, frameCountFor(id))))
     }
   }
@@ -698,7 +712,7 @@ object MultimodalOps {
     */
   def asVideoFamilyTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    genIds(docs, idCol).mapPartitions { it =>
       it.map(id => ImageRow(id, syntheticVideoFamily(id)))
     }
   }
@@ -764,7 +778,7 @@ object MultimodalOps {
     */
   def asVideoClipTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    genIds(docs, idCol).mapPartitions { it =>
       it.map { id =>
         val family = id / 2
         val shift = (id % 2).toInt
@@ -1016,7 +1030,7 @@ object MultimodalOps {
     */
   def asAudioFamilyTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    genIds(docs, idCol).mapPartitions { it =>
       it.map(id => ImageRow(id, syntheticWavFamily(id)))
     }
   }
@@ -1104,7 +1118,7 @@ object MultimodalOps {
     */
   def asAudioClipTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    genIds(docs, idCol).mapPartitions { it =>
       it.map(id => ImageRow(id, syntheticWavClipFamily(id)))
     }
   }
@@ -1177,7 +1191,7 @@ object MultimodalOps {
     */
   def asAudioTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    genIds(docs, idCol).mapPartitions { it =>
       it.map(id => ImageRow(id, syntheticWav(id, sampleCountFor(id))))
     }
   }
@@ -1278,7 +1292,7 @@ object MultimodalOps {
     */
   def asDocTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    genIds(docs, idCol).mapPartitions { it =>
       it.map(id => ImageRow(id, syntheticDoc(id)))
     }
   }

@@ -42,7 +42,11 @@ object TextAnalysisOps {
     import spark.implicits._
     val stops = T.EnglishStopwords.toSet
     val markers = LangMarkers.map { case (_, ms) => ms.toSet }
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
+    // spread the narrow (id, text) input so the kernel uses every core;
+    // no-op when the scan already has >= cores partitions.
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, raw) =>
@@ -199,7 +203,11 @@ object TextAnalysisOps {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
+    // spread the narrow (id, text) input so the kernel uses every core;
+    // no-op when the scan already has >= cores partitions.
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         def half4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
@@ -238,7 +246,11 @@ object TextAnalysisOps {
                      vocab: graft.functions.Bpe.Vocab = graft.functions.Bpe.toyVocab): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
+    // spread the narrow (id, text) input so the kernel uses every core;
+    // no-op when the scan already has >= cores partitions.
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap.empty[String, Long]
@@ -393,7 +405,11 @@ object TextAnalysisOps {
   def nfcNormalize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
+    // spread the narrow (id, text) input so the kernel uses every core;
+    // no-op when the scan already has >= cores partitions.
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -548,7 +564,11 @@ object TextAnalysisOps {
   private def bigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
+    // spread the narrow (id, text) input so the kernel uses every core;
+    // no-op when the scan already has >= cores partitions.
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, raw) =>
         val ts = Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
@@ -560,7 +580,11 @@ object TextAnalysisOps {
   private def unigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
+    // spread the narrow (id, text) input so the kernel uses every core;
+    // no-op when the scan already has >= cores partitions.
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, raw) =>
         Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
@@ -625,7 +649,11 @@ object TextAnalysisOps {
                    seed: String = "aug"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
+    // spread the narrow (id, text) input so the kernel uses every core;
+    // no-op when the scan already has >= cores partitions.
+    KernelSpread.spreadDf(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

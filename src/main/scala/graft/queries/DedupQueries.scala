@@ -69,8 +69,12 @@ object DedupQueries {
     "q63_components" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val did = col("doc_id").cast("long")
-      val corpus = docs.select(did.as("id"), col("text"))
-        .unionByName(docs.select((did + 1000000000000L).as("id"), col("text")))
+      // KernelSpread before the regex+md5 fingerprint map side: the
+      // doubled corpus otherwise normalizes 10k texts on the single
+      // task a one-row-group scan plans (guide §2.5).
+      val corpus = KernelSpread.spreadDf(
+        docs.select(did.as("id"), col("text"))
+          .unionByName(docs.select((did + 1000000000000L).as("id"), col("text"))))
       val fp = corpus.select(col("id"), T.fingerprint(col("text")).as("fp"))
       val edges = fp.select(col("fp"), col("id").as("id_a"))
         .join(fp.select(col("fp"), col("id").as("id_b")), "fp")
@@ -93,9 +97,12 @@ object DedupQueries {
     "q237_cc_increment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val idL = col("doc_id").cast("long")
-      val corpus = docs.select(idL.as("id"), col("text"))
-        .unionByName(docs.select((idL + 1000000000000L).as("id"), col("text")))
-        .unionByName(docs.select((idL + 2000000000000L).as("id"), col("text")))
+      // KernelSpread: the tripled corpus fingerprints 15k texts
+      // (regex-normalize + md5) on ONE task without it (guide §2.5).
+      val corpus = KernelSpread.spreadDf(
+        docs.select(idL.as("id"), col("text"))
+          .unionByName(docs.select((idL + 1000000000000L).as("id"), col("text")))
+          .unionByName(docs.select((idL + 2000000000000L).as("id"), col("text"))))
       val fp = corpus.select(col("id"), T.fingerprint(col("text")).as("fp"))
       val edges = fp.select(col("fp"), col("id").as("id_a"))
         .join(fp.select(col("fp"), col("id").as("id_b")), "fp")

@@ -115,11 +115,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), s"scalar chain should codegen:\n$p")
   }
 
-  test("media decode kernels are narrow — zero exchanges scan-to-stats (q54/q59)") {
+  /** Round-17 refinement of "blobs never shuffle": generator inputs MAY
+    * cross one round-robin spread exchange (KernelSpread — a
+    * single-row-group scan plans as one task, which serialized every
+    * ImageIO kernel), but that exchange must carry ONLY the narrow id
+    * projection and sit BELOW the blob-producing MapPartitions: no hash
+    * or range exchange anywhere, and no exchange input wider than the
+    * generator's input row.
+    */
+  private def assertOnlyNarrowSpreadExchanges(name: String, p: String, maxCols: Int = 1): Unit = {
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"$name must not key-shuffle anything (blobs never shuffle):\n$p")
+    val widths = """\(\d+\) Exchange\nInput \[(\d+)\]""".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toList
+    assert(widths.forall(_ <= maxCols),
+      s"$name spread exchange must carry only the narrow kernel input " +
+        s"(got widths $widths, cap $maxCols):\n$p")
+  }
+
+  test("media decode kernels are narrow — blobs never shuffle, spread carries ids only (q54/q59)") {
     for (name <- Seq("q54_image_decode", "q59_audio_decode")) {
       val p = plan(q(name))
-      assert(!p.contains("Exchange"),
-        s"$name decode must be a narrow map over the scan (blobs never shuffle):\n$p")
+      assertOnlyNarrowSpreadExchanges(name, p)
+      assert(p.contains("MapPartitions"),
+        s"$name decode must stay a mapPartitions kernel:\n$p")
     }
   }
 
@@ -150,16 +170,16 @@ class PlanAuditSpec extends SparkSpec {
       s"token stream must map-side combine before the term shuffle:\n$p")
   }
 
-  test("BPE token counting is a shuffle-free scan (q72)") {
+  test("BPE token counting never key-shuffles; spread carries (id, text) only (q72)") {
     val p = plan(q("q72_bpe_tokens"))
-    assert(!p.contains("Exchange"),
-      s"the BPE kernel must be a narrow map over the documents scan:\n$p")
+    assertOnlyNarrowSpreadExchanges("q72_bpe_tokens", p, maxCols = 2)
   }
 
   test("document text extraction is narrow — blobs never shuffle (q73)") {
     val p = plan(q("q73_doc_extract"))
-    assert(!p.contains("Exchange"),
-      s"container parse + inflate must stay in the scan stage:\n$p")
+    assertOnlyNarrowSpreadExchanges("q73_doc_extract", p)
+    assert(p.contains("MapPartitions"),
+      s"container parse + inflate must stay a mapPartitions kernel:\n$p")
   }
 
   test("hybrid RRF fuses k-sized inputs — every rank window is single-partition (q71)") {
@@ -181,10 +201,9 @@ class PlanAuditSpec extends SparkSpec {
       s"per-stratum rates must ride the scan as a literal CASE predicate:\n$p")
   }
 
-  test("repetition stats are a shuffle-free kernel scan (q77)") {
+  test("repetition stats never key-shuffle; spread carries (id, text) only (q77)") {
     val p = plan(q("q77_repetition"))
-    assert(!p.contains("Exchange"),
-      s"per-doc repetition stats are row-local — nothing may shuffle:\n$p")
+    assertOnlyNarrowSpreadExchanges("q77_repetition", p, maxCols = 2)
   }
 
   test("epoch shuffle is one exchange + in-shard sorts, no global sort (q78)") {
@@ -410,10 +429,9 @@ class PlanAuditSpec extends SparkSpec {
       s"component assignment must be an equi-join:\n$p")
   }
 
-  test("CDC chunking is a shuffle-free kernel scan (q181)") {
+  test("CDC chunking never key-shuffles; spread carries (id, text) only (q181)") {
     val p = plan(q("q181_cdc_chunks"))
-    assert(!p.contains("Exchange"),
-      s"rolling-hash chunking must not shuffle — chunks stay in their scan stage:\n$p")
+    assertOnlyNarrowSpreadExchanges("q181_cdc_chunks", p, maxCols = 2)
   }
 
   test("data card partial-aggregates per source; rate/profile sides stay equi (q183)") {
