@@ -80,6 +80,12 @@ object GraphOps {
   def hitsFixedPoint(edges: DataFrame, iters: Int = 2,
                      scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 5, s"iters must be in [1, 5], got $iters")
+    // NOTE (round 17): persisting e/nodes here was MEASURED 7× SLOWER
+    // (2.7 s → 18.9 s at sf0.1) — the InMemoryRelation is an
+    // optimization barrier that blocks the per-branch pruning and the
+    // broadcast of the 1-row mass frames; AQE's ReusedExchange already
+    // dedups the repeated node-set subtree without it. Left unpersisted
+    // deliberately.
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -336,10 +342,18 @@ object GraphOps {
     *    frontier dedupe (`subtractByKey`) and the visited merge
     *    (`zipPartitions` concatenation — keys are disjoint by
     *    construction) add no shuffle;
-    *  - ONE action per hop (the merged-visited count, which materializes
-    *    both persists and carries the new-frontier size in an
-    *    accumulator); empty frontier = convergence, so the loop runs
-    *    diameter-many rounds and stops, `maxHops` merely a safety cap.
+    *  - hops run in BATCHES of `hopBatch` inside ONE action (round 17:
+    *    the per-hop count was pure scheduling floor — a diameter-50
+    *    path spent ~70 ms/job on ~µs of data; batching 4 hops per job
+    *    cut q167 ~2×). Mid-batch hops chain lazily — each hop's
+    *    `reduceByKey` output is shuffle-file-backed within the job, so
+    *    nothing recomputes — and the batch-end count materializes the
+    *    chain. Convergence = the merged-visited count stopped growing;
+    *    an empty frontier mid-batch just drains the remaining hops as
+    *    empty stages, costing at most one extra (cheap) batch over the
+    *    exact per-hop test. Distances are exact either way: every hop
+    *    subtracts the up-to-date lazy merged-visited set. `maxHops`
+    *    stays a safety cap on HOPS, not jobs.
     *
     * Returns (id, dist) with dist = hop distance from the nearest seed;
     * unreachable nodes are absent. Output is identical to
@@ -373,39 +387,52 @@ object GraphOps {
       sc.parallelize(seeds).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     var frontier: RDD[(Long, Long)] = visited
     var h = 0L
-    var done = frontier.count() == 0L
+    var prevCount = frontier.count()
+    var done = prevCount == 0L
+    // 4 hops per scheduled job: deep traversals are scheduling-floor
+    // bound, and a lazily-chained batch turns 4 job submissions into 4
+    // shuffle stages of ONE job (see scaladoc).
+    val hopBatch = 4
     while (!done && h < maxHops) {
-      h += 1L
-      val hop = h
-      // expand: co-partitioned narrow join, then ONE shuffle dedupes the
-      // candidate frontier (map-side combine collapses fan-in before the
-      // wire); subtract the visited set narrowly (co-partitioned)
-      val next = frontier.join(adj)
-        .map { case (_, (_, v)) => (v, hop) }
-        .reduceByKey(part, (a, _) => a)
-        .subtractByKey(visited, part)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // keys are disjoint (subtractByKey) and both sides share `part`,
-      // so per-partition concatenation IS the merged visited set. The
-      // new-frontier size rides along in an accumulator, so ONE action
-      // (merged.count) materializes next + merged AND decides
-      // convergence. Task retries can only OVERcount an accumulator,
-      // never undercount, so "0 = converged" stays safe.
-      val frontierSize = sc.longAccumulator(s"bfs_frontier_h$hop")
-      val merged = visited.zipPartitions(next, preservesPartitioning = true)(
-        (a, b) => a ++ b.map { e => frontierSize.add(1L); e })
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      merged.count() // the hop's ONE action
-      if (frontierSize.value == 0L) {
-        next.unpersist(false); merged.unpersist(false); done = true
+      var nextF = frontier
+      var mergedV = visited
+      var steps = 0
+      while (steps < hopBatch && h < maxHops) {
+        h += 1L
+        val hop = h
+        // expand: co-partitioned narrow join, then ONE shuffle dedupes
+        // the candidate frontier (map-side combine collapses fan-in
+        // before the wire); subtract the up-to-date lazy visited set
+        // narrowly (co-partitioned)
+        val next = nextF.join(adj)
+          .map { case (_, (_, v)) => (v, hop) }
+          .reduceByKey(part, (a, _) => a)
+          .subtractByKey(mergedV, part)
+        // keys are disjoint (subtractByKey) and both sides share `part`,
+        // so per-partition concatenation IS the merged visited set
+        val merged = mergedV.zipPartitions(next, preservesPartitioning = true)(
+          (a, b) => a ++ b)
+        nextF = next
+        mergedV = merged
+        steps += 1
+      }
+      // ONE action materializes the whole batch; convergence = the
+      // visited count stopped growing (counts only grow — merged is a
+      // disjoint union — so equality is exact, not a checksum gamble)
+      val nextP = nextF.persist(StorageLevel.MEMORY_AND_DISK)
+      val mergedP = mergedV.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = mergedP.count()
+      if (n == prevCount) {
+        nextP.unpersist(false); mergedP.unpersist(false); done = true
       } else {
         // merged now holds the data; parents recompute (if ever) narrowly
         // from retained shuffle files, exactly like the CC rounds
         val (oldVisited, oldFrontier) = (visited, frontier)
         oldVisited.unpersist(false)
         if (oldFrontier ne oldVisited) oldFrontier.unpersist(false)
-        visited = merged
-        frontier = next // stays persisted for the next hop's join
+        visited = mergedP
+        frontier = nextP // stays persisted for the next batch's join
+        prevCount = n
       }
     }
     // released by the caller's GraftCache cycle; the returned frame stays

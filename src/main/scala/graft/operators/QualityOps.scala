@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   * mergeable.
   *
   * Scale shapes:
-  *  - [[columnProfile]] is ONE pass over the table: every per-column
-  *    aggregate rides a single aggregation (distinct counts expand the
-  *    input k-fold pre-shuffle but partial-aggregate before the wire;
-  *    at extreme widths swap `count(distinct)` for the q104 HLL
-  *    registers — the merge algebra is the same). The long-format
-  *    explode happens on the 1-row aggregate, not the data.
+  *  - [[columnProfile]] is ONE pass over the table in long format: the
+  *    scan explodes to (col_name, value) pairs that partial-aggregate
+  *    before the wire, and every per-column statistic folds from the
+  *    (col_name, value, cnt) level — no multi-distinct Expand, no
+  *    5N-buffer aggregate (at extreme cardinalities swap the exact
+  *    distinct fold for the q104 HLL registers — the merge algebra is
+  *    the same).
   *  - [[checkViolations]] counts are partial-aggregated scans and
   *    anti-joins; the FK dim side broadcasts when small and degrades
   *    to a shuffled anti-join (never a nested loop) when not.
@@ -36,23 +37,29 @@ object QualityOps {
     * rendering).
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"${c}__n"),
-        count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
-        min(col(c).cast("string")).as(s"${c}__mn"),
-        max(col(c).cast("string")).as(s"${c}__mx"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { c =>
-      struct(lit(c).as("col_name"),
-        col(s"${c}__n").as("n_rows"),
-        (col(s"${c}__n") - col(s"${c}__nn")).as("n_null"),
-        col(s"${c}__nd").as("n_distinct"),
-        col(s"${c}__mn").as("min_s"),
-        col(s"${c}__mx").as("max_s"))
-    }
-    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+    // Round-17 rework: N columns × count_distinct used to Expand the
+    // scan ×(N+1) into one 5N-buffer aggregate — a giant generated
+    // method (the bench measured ~0.5-1.5 s of C2 churn on EVERY rep)
+    // whose whole map side ran as ONE task on a single-row-group scan.
+    // The long-format two-level shape computes the identical result set:
+    // explode to (col_name, value-as-string) pairs (KernelSpread first —
+    // guide §2.5), partially aggregate (col_name, v) counts map-side,
+    // then fold per column: n_rows = Σcnt, n_null = Σcnt over null v,
+    // n_distinct = count of non-null v groups (distinct by
+    // construction; string cast is injective on the long/string columns
+    // this profiler accepts), min/max over the same strings. Two small
+    // keyed shuffles, no Expand, codegen-friendly buffers.
+    val pairs = KernelSpread.spreadDf(df.select(cols.map(col): _*))
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select("p.*")
+    pairs.groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("col_name").agg(
+        sum("cnt").as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        count(col("v")).as("n_distinct"),
+        min("v").as("min_s"),
+        max("v").as("max_s"))
   }
 
   /** A named row-level constraint: `pred` is TRUE for every VIOLATING

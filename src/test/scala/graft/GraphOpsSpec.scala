@@ -89,12 +89,13 @@ class GraphOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll(spark)
   }
 
-  test("bfsDistancesDeep runs ONE job per hop") {
-    // per hop: one merged-visited count (frontier size rides in an
-    // accumulator) — assert via job-start events that total jobs stay
-    // <= hops + small constant (seed count, final collect), i.e. cost
-    // per hop does not grow with depth (the unrolled-plan form would
-    // re-run the whole prefix).
+  test("bfsDistancesDeep runs ONE job per 4-hop batch") {
+    // round 17: hops are batched 4-per-action (lazy chain inside one
+    // job) — assert via job-start events that total jobs stay around
+    // hops/4 + small constant (seed count, one empty confirm batch,
+    // final collect), i.e. scheduling cost per hop is sub-linear in
+    // depth (the unrolled-plan form would re-run the whole prefix;
+    // the per-hop-action form pays a job floor per hop).
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -107,8 +108,9 @@ class GraphOpsSpec extends SparkSpec {
       assert(n == 31L)
       Thread.sleep(500)
       val j = jobs.get()
-      // 30 real hops + 1 empty-frontier confirm: <= 1/hop + 6 slack
-      assert(j <= 31 + 6, s"$j jobs for 30 hops — the loop must run ONE action per hop")
+      // 30 hops / 4 per batch = 8 batches + 1 empty confirm batch +
+      // seed count + final collect, + slack
+      assert(j <= 12 + 4, s"$j jobs for 30 hops — the loop must batch hops per action")
     } finally spark.sparkContext.removeSparkListener(listener)
     graft.GraftCache.releaseAll(spark)
   }
