@@ -20,11 +20,11 @@ object DumpPlans {
     "q49_sessionize" -> "single shuffle reused by both window passes and the rollup",
     "q56_hist_quantiles" -> "cell-level shuffle (partial count) for scale-safe percentiles",
     "q58_ivf_indexed" -> "PartitionFilters source pruning over the materialized IVF index",
-    "q54_image_decode" -> "zero-exchange narrow decode kernel (blobs never shuffle)",
+    "q54_image_decode" -> "narrow decode kernel — blobs never shuffle (the only exchange is the id-only KernelSpread below the generator)",
     "q60_curate" -> "quality/language gates scan-side, only (fingerprint,id) shuffles",
     "q51_percentiles" -> "spill-safe exact quantiles: cell shuffle + sort-window, no ObjectHashAggregate buffer",
-    "q72_bpe_tokens" -> "zero-exchange BPE tokenizer kernel",
-    "q73_doc_extract" -> "zero-exchange container parse + inflate (blobs never shuffle)",
+    "q72_bpe_tokens" -> "BPE tokenizer kernel — no key exchange (one (id, text) KernelSpread below the kernel)",
+    "q73_doc_extract" -> "container parse + inflate — blobs never shuffle (id-only KernelSpread below the generator)",
     "q75_salted_join" -> "hot keys spread over (key, _salt) sub-keys",
     "q78_epoch_shuffle" -> "one hash exchange + in-shard sorts, no global sort",
     "q79_decontaminate" -> "broadcast benchmark grams, matching-gram-only shuffle",
@@ -43,7 +43,7 @@ object DumpPlans {
     "q112_split_leakage" -> "asymmetric probe: candidates scale with the test split",
     "q114_quantized_ann" -> "broadcast (min, scale) + integer dot-product TopK",
     "q115_windowed_hll" -> "per-day registers, bounded contribution explode, register max",
-    "q116_profile" -> "one-pass multi-column profile over a single pruned scan",
+    "q116_profile" -> "one-pass long-format profile: (col_name, value) partial counts, per-column fold — no multi-distinct Expand",
     "q119_ntile_bins" -> "global NTILE from cell-histogram ranks (no global row sort)",
     "q120_scd2" -> "collapse + validity + version windows over ONE key shuffle",
     "q122_triangles" -> "degree-oriented wedge join + closing semi-join (equi only)",
@@ -63,7 +63,7 @@ object DumpPlans {
     "q176_cluster_split" -> "star-CC components + one id equi-join; the split is a projection",
     "q178_temperature_mix" -> "per-source partial agg; |sources|-row rate table broadcasts back",
     "q179_mmr_rerank" -> "greedy over top-N candidates in flatMapGroups — bounded per-query state",
-    "q181_cdc_chunks" -> "shuffle-free rolling-hash kernel — chunks never leave their scan stage",
+    "q181_cdc_chunks" -> "rolling-hash kernel — chunks never leave their stage (one (id, text) KernelSpread below the kernel)",
     "q182_novelty_increment" -> "two batch states + one merge shuffle — history is never rescanned",
     "q183_data_card" -> "three one-pass profile kernels + per-source partial aggs",
     "q186_hll_merge" -> "64-row register sets fold by max — a COUNT DISTINCT that ships sketches",

@@ -53,11 +53,12 @@ object DedupOps {
                       shingleN: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // spread: tokenize+shingle is the corpus pipelines' dominant kernel,
-    // and a single-row-group scan hands it ONE task (KernelSpread; no-op
-    // on multi-split inputs). Only (id, text) crosses the exchange.
-    KernelSpread.spreadDf(
-      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    // NOTE (round 17): a KernelSpread here measured NEGATIVE in the full
+    // 295-query bench context (+30-70% on shingle consumers q79/q112/
+    // q123/q135/q86) despite neutral-positive isolated probes — the
+    // tokenize+shingle kernel is too cheap at this SF to pay for the
+    // added exchange + stage fan-out. Left unspread deliberately.
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -297,11 +298,10 @@ object DedupOps {
                                 shingleN: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // spread: one MD5 per shingle is ~3× the xxhash64 path's CPU, all of
-    // it previously on ONE core under a single-row-group scan
-    // (KernelSpread; no-op on multi-split inputs).
-    KernelSpread.spreadDf(
-      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    // NOTE (round 17): a KernelSpread here measured NEGATIVE in the full
+    // bench context (q165 +35%, q131 +29% vs unspread) — see
+    // wordShingleRows. Left unspread deliberately.
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

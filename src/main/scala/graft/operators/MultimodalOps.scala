@@ -71,6 +71,17 @@ object MultimodalOps {
     KernelSpread.spread(docs.select(col(idCol).cast("long")).as[Long])
   }
 
+  /** Unspread id projection for the CHEAP generators (WAV synthesis and
+    * parsing are memcpy-scale — the round-17 full-bench measurement put
+    * the audio family +19-37% WITH the spread exchange, while the
+    * PNG-codec-backed tables won 2-4× with it; the exchange only pays
+    * when the kernel is expensive).
+    */
+  private def genIdsNarrow(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[Long] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+  }
+
   /** Channel values for a seed — the ONLY place the fill color is defined;
     * oracle SQL mirrors these three affine formulas.
     */
@@ -1030,7 +1041,7 @@ object MultimodalOps {
     */
   def asAudioFamilyTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    genIds(docs, idCol).mapPartitions { it =>
+    genIdsNarrow(docs, idCol).mapPartitions { it =>
       it.map(id => ImageRow(id, syntheticWavFamily(id)))
     }
   }
@@ -1118,7 +1129,7 @@ object MultimodalOps {
     */
   def asAudioClipTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    genIds(docs, idCol).mapPartitions { it =>
+    genIdsNarrow(docs, idCol).mapPartitions { it =>
       it.map(id => ImageRow(id, syntheticWavClipFamily(id)))
     }
   }
@@ -1191,7 +1202,7 @@ object MultimodalOps {
     */
   def asAudioTable(docs: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    genIds(docs, idCol).mapPartitions { it =>
+    genIdsNarrow(docs, idCol).mapPartitions { it =>
       it.map(id => ImageRow(id, syntheticWav(id, sampleCountFor(id))))
     }
   }

@@ -42,11 +42,7 @@ object TextAnalysisOps {
     import spark.implicits._
     val stops = T.EnglishStopwords.toSet
     val markers = LangMarkers.map { case (_, ms) => ms.toSet }
-    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
-    // spread the narrow (id, text) input so the kernel uses every core;
-    // no-op when the scan already has >= cores partitions.
-    KernelSpread.spreadDf(
-      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, raw) =>
@@ -203,11 +199,7 @@ object TextAnalysisOps {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
-    // spread the narrow (id, text) input so the kernel uses every core;
-    // no-op when the scan already has >= cores partitions.
-    KernelSpread.spreadDf(
-      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         def half4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
@@ -246,11 +238,7 @@ object TextAnalysisOps {
                      vocab: graft.functions.Bpe.Vocab = graft.functions.Bpe.toyVocab): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
-    // spread the narrow (id, text) input so the kernel uses every core;
-    // no-op when the scan already has >= cores partitions.
-    KernelSpread.spreadDf(
-      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap.empty[String, Long]
@@ -405,11 +393,7 @@ object TextAnalysisOps {
   def nfcNormalize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
-    // spread the narrow (id, text) input so the kernel uses every core;
-    // no-op when the scan already has >= cores partitions.
-    KernelSpread.spreadDf(
-      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -564,11 +548,7 @@ object TextAnalysisOps {
   private def bigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
-    // spread the narrow (id, text) input so the kernel uses every core;
-    // no-op when the scan already has >= cores partitions.
-    KernelSpread.spreadDf(
-      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, raw) =>
         val ts = Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
@@ -580,11 +560,7 @@ object TextAnalysisOps {
   private def unigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
-    // spread the narrow (id, text) input so the kernel uses every core;
-    // no-op when the scan already has >= cores partitions.
-    KernelSpread.spreadDf(
-      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, raw) =>
         Option(raw).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
@@ -649,11 +625,7 @@ object TextAnalysisOps {
                    seed: String = "aug"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // KernelSpread: single-row-group scans plan ONE task (guide §2.5) —
-    // spread the narrow (id, text) input so the kernel uses every core;
-    // no-op when the scan already has >= cores partitions.
-    KernelSpread.spreadDf(
-      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -69,12 +69,11 @@ object DedupQueries {
     "q63_components" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val did = col("doc_id").cast("long")
-      // KernelSpread before the regex+md5 fingerprint map side: the
-      // doubled corpus otherwise normalizes 10k texts on the single
-      // task a one-row-group scan plans (guide §2.5).
-      val corpus = KernelSpread.spreadDf(
-        docs.select(did.as("id"), col("text"))
-          .unionByName(docs.select((did + 1000000000000L).as("id"), col("text"))))
+      // NOTE (round 17): a KernelSpread here probed -0.2 s in isolation
+      // but measured +22% in the full bench context — reverted (the
+      // fingerprint map side is too cheap for the added exchange).
+      val corpus = docs.select(did.as("id"), col("text"))
+        .unionByName(docs.select((did + 1000000000000L).as("id"), col("text")))
       val fp = corpus.select(col("id"), T.fingerprint(col("text")).as("fp"))
       val edges = fp.select(col("fp"), col("id").as("id_a"))
         .join(fp.select(col("fp"), col("id").as("id_b")), "fp")
@@ -97,12 +96,13 @@ object DedupQueries {
     "q237_cc_increment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val idL = col("doc_id").cast("long")
-      // KernelSpread: the tripled corpus fingerprints 15k texts
-      // (regex-normalize + md5) on ONE task without it (guide §2.5).
-      val corpus = KernelSpread.spreadDf(
-        docs.select(idL.as("id"), col("text"))
-          .unionByName(docs.select((idL + 1000000000000L).as("id"), col("text")))
-          .unionByName(docs.select((idL + 2000000000000L).as("id"), col("text"))))
+      // NOTE (round 17): a KernelSpread here probed -0.35 s in isolation
+      // but was neutral-to-negative in the full bench context — reverted
+      // (see q63; the concurrent-batch Future overlap below is the
+      // change that stays).
+      val corpus = docs.select(idL.as("id"), col("text"))
+        .unionByName(docs.select((idL + 1000000000000L).as("id"), col("text")))
+        .unionByName(docs.select((idL + 2000000000000L).as("id"), col("text")))
       val fp = corpus.select(col("id"), T.fingerprint(col("text")).as("fp"))
       val edges = fp.select(col("fp"), col("id").as("id_a"))
         .join(fp.select(col("fp"), col("id").as("id_b")), "fp")
@@ -110,9 +110,21 @@ object DedupQueries {
         .select("id_a", "id_b")
       val batchA = edges.where(col("id_b") < 2000000000000L)
       val batchB = edges.where(col("id_b") >= 2000000000000L)
+      // The two batch-state resolutions are INDEPENDENT fixpoint loops
+      // whose per-round actions otherwise serialize on the driver —
+      // overlap them from two driver threads (guide §2.6: Spark's
+      // scheduler runs concurrent jobs fine; CC output is deterministic
+      // regardless of scheduling; GraftCache registration is
+      // CHM-backed). Measured: the loops' scheduling floors overlap
+      // almost fully.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fa = Future(DedupOps.connectedComponents(batchA))
+      val fb = Future(DedupOps.connectedComponents(batchB))
       DedupOps.ccMergeStates(
-        DedupOps.connectedComponents(batchA),
-        DedupOps.connectedComponents(batchB))
+        Await.result(fa, Duration.Inf),
+        Await.result(fb, Duration.Inf))
     }),
 
 
